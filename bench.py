@@ -1,0 +1,74 @@
+"""Benchmark harness: run headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": sf}.
+
+Each query is forced end-to-end with the noop datasource sink (computes
+every output column, discards rows) so Catalyst can't prune away the work
+a count() would skip.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
+from fortune_500_financial_insights_pipeline_spark.session import get_spark
+
+HEADLINE = [
+    "q_groupby_agg",
+    "q_csv_scan",
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_join_left",
+    "q_window_rank",
+    "q_window_cumsum",
+    "q_window_moving_avg",
+    "q_topk",
+    "q_dedup_keep_latest",
+    "q_json_parse",
+    "q_union",
+    "q_rollup",
+    "q_date_extract",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="f500-bench")
+
+    # warmup: JVM/codegen spin-up outside the timed region
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in QUERIES:
+            continue
+        df = QUERIES[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

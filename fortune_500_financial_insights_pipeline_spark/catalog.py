@@ -1,0 +1,52 @@
+"""Catalog: load the driver's parquet tables and register them as temp views.
+
+Parquet is self-describing (schema travels with the data), so the scan gets
+column pruning + predicate pushdown from Catalyst for free — mirrors the
+reference's landing-layer contract (SURVEY.md §1.3) without BigQuery.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # must be set on whatever session calls us (the external driver builds
+        # its own SparkSession without our factory defaults)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS); with
+        # spark.sql.legacy.parquet.nanosAsLong it arrives as epoch-nanos long.
+        # `div` keeps the integer division in long (a double would lose
+        # precision above 2^53).
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        field = dict(zip(df.schema.names, df.schema.fields))
+        if isinstance(field["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,439 @@
+"""Fixture query registry: one PySpark callable per operator from SURVEY.md §2.
+
+Each callable takes ``(spark, sf_dir)`` and returns a DataFrame. Every
+computed column is aliased to the exact name the matching oracle SQL uses
+(fortune_500_financial_insights_pipeline_spark/oracles.py) so the driver's column-sorted value-hash
+lines up. Floating-point aggregates use the exact-decimal interior from
+functions/deterministic.py so results are bit-identical to the single-threaded
+DuckDB oracle regardless of partitioning.
+
+Reference parity notes cite /root/reference files as file:line.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+from fortune_500_financial_insights_pipeline_spark.functions.deterministic import davg, dsum, dsum_w
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+
+def q(name: str):
+    def deco(fn):
+        QUERIES[name] = fn
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+@q("q_groupby_agg")
+def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship TPC-H-Q1-style pricing summary: scan → filter → hash agg → sort.
+
+    The filter and the two grouping columns push down to the parquet scan;
+    the aggregate runs partial (map-side) then final after a 2-column shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@q("q_count_distinct")
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@q("q_rollup")
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy rollup region→nation with subtotals + grand total (A4)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(F.count("*").alias("n_cust"))
+
+
+# ---------------------------------------------------------------------------
+# Scans / projections / filters / scalar transforms (SURVEY §2.1, §2.2, §2.8)
+# ---------------------------------------------------------------------------
+
+
+@q("q_csv_scan")
+def q_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan+filter+project (S1/S9 analog): predicate & columns push to parquet."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_quantity") > 45).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+    )
+
+
+@q("q_project_cast")
+def q_project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed projection with aliases (P1/P2/P6, raw_to_landing_sparkjob.py:92-104)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        # decimal cast exercised, then back to double: decimal-typed output
+        # columns pandas-convert differently in Spark (Decimal) vs DuckDB
+        # (float64), which would break the driver's value-hash
+        F.col("o_totalprice").cast("decimal(20,2)").cast("double").alias("price_dec"),
+        F.floor("o_totalprice").cast("bigint").alias("price_floor"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.upper("o_orderstatus").alias("status_up"),
+    )
+
+
+@q("q_filter_notnull")
+def q_filter_notnull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invalid-date quarantine (P4, raw_to_landing_sparkjob.py:35-37): parse a
+    string date (10% synthetically corrupted), null on failure, filter nulls."""
+    o = load_table(spark, sf_dir, "orders")
+    ds = F.when(F.col("o_orderkey") % 10 == 0, F.lit("not-a-date")).otherwise(
+        F.date_format("o_orderdate", "yyyy-MM-dd")
+    )
+    return (
+        o.withColumn("parsed_date", F.to_date(ds, "yyyy-MM-dd"))
+        .filter(F.col("parsed_date").isNotNull())
+        .select("o_orderkey", "parsed_date")
+    )
+
+
+@q("q_regex_clean")
+def q_regex_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """De-comma numeric cleanup (P7, raw_to_landing_sparkjob.py:47):
+    format with grouping separators, strip them, cast back."""
+    o = load_table(spark, sf_dir, "orders")
+    grouped = F.format_number(F.col("o_orderkey").cast("bigint"), 0)
+    return o.select(
+        "o_orderkey",
+        grouped.alias("grouped_str"),
+        F.regexp_replace(grouped, ",", "").cast("bigint").alias("cleaned"),
+    )
+
+
+@q("q_date_extract")
+def q_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date parse/extract (P10): year/month/quarter + month truncation rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.year("l_shipdate").alias("ship_year"),
+            F.month("l_shipdate").alias("ship_month"),
+            F.quarter("l_shipdate").alias("ship_quarter"),
+            F.date_trunc("month", "l_shipdate").alias("ship_month_start"),
+        )
+        .groupBy("ship_year", "ship_month", "ship_quarter", "ship_month_start")
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+@q("q_string_funcs")
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String surface (P11/P12): case, substring, pad, concat, path basename."""
+    p = load_table(spark, sf_dir, "part")
+    path = F.concat(F.lit("catalog/"), F.col("p_brand"), F.lit("/"), F.col("p_partkey").cast("string"))
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_up"),
+        F.lower("p_brand").alias("brand_lo"),
+        F.substring("p_name", 1, 3).alias("name_pfx"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_pad"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract(path, r"([^/]+)$", 1).alias("path_base"),
+    )
+
+
+@q("q_isin_filter")
+def q_isin_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row membership filter (P13, transform_job_tabular_entitities.py:19)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@q("q_math_round")
+def q_math_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math surface: abs/sqrt/pow/log with integer-exact or rounded outputs."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.abs(F.col("o_orderkey") % 7 - 3).alias("abs_mod"),
+        F.pow(F.col("o_orderkey") % 5, 2).cast("bigint").alias("pow_sq"),
+        F.round(F.sqrt(F.col("o_orderkey").cast("double")), 6).alias("sqrt_r6"),
+        F.round(F.log(F.col("o_orderkey").cast("double") + 1.0), 6).alias("ln_r6"),
+    )
+
+
+@q("q_json_parse")
+def q_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat JSON field extraction (P17): events.props is a JSON string."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.withColumn("k", k)
+        .groupBy("k")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+    )
+
+
+@q("q_json_nested")
+def q_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested JSON path extraction (P18,
+    transform_and_copy_to_landing_sustainability.py:68-83): build a 2-level
+    document from props and pull a dotted path out with a default."""
+    e = load_table(spark, sf_dir, "events")
+    nested = F.concat(
+        F.lit('{"outer": {"inner": '),
+        F.coalesce(F.get_json_object("props", "$.k"), F.lit("null")),
+        F.lit(', "tag": "'),
+        F.col("event_type"),
+        F.lit('"}}'),
+    )
+    return e.select(
+        "event_id",
+        F.coalesce(F.get_json_object(nested, "$.outer.inner").cast("int"), F.lit(-1)).alias(
+            "inner_val"
+        ),
+        F.get_json_object(nested, "$.outer.tag").alias("tag"),
+        F.coalesce(F.get_json_object(nested, "$.outer.missing"), F.lit("")).alias("missing_dflt"),
+    )
+
+
+@q("q_skip_rows")
+def q_skip_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-first-N-rows (P8) done scalably: the reference forces every row
+    into ONE partition via row_number over Window.orderBy(lit(1))
+    (raw_to_landing_sparkjob.py:85-89). With a total order key we instead
+    take the Nth smallest key (TakeOrdered, driver gets N rows) and filter —
+    fully parallel, no global shuffle."""
+    from fortune_500_financial_insights_pipeline_spark.operators.skip_rows import skip_rows
+
+    e = load_table(spark, sf_dir, "events")
+    return skip_rows(e, order_col="event_id", n=4).select("event_id", "ts", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+@q("q_join_inner")
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+    )
+
+
+@q("q_join_broadcast")
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast the small filtered dim (J2) — no shuffle of the fact side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") > 40)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "inner")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_items"), dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+@q("q_join_left")
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer (J3): customers keep a row even with zero orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"), dsum("o_totalprice").alias("spend"))
+    )
+
+
+@q("q_join_semi")
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi (J4): customers having at least one URGENT order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@q("q_join_anti")
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti (J4): customers with no orders at all."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+
+@q("q_union")
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-all by name with a source tag — the Kaggle∪API pattern
+    (raw_to_landing_sparkjob.py:131-134, duplicates preserved)."""
+    o = load_table(spark, sf_dir, "orders")
+    high = o.filter(F.col("o_totalprice") > 400000).select(
+        "o_orderkey", F.lit("high_value").alias("src")
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", F.lit("urgent").alias("src")
+    )
+    return high.unionByName(urgent)
+
+
+@q("q_intersect")
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    f_cust = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_cust = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f_cust.intersect(o_cust)
+
+
+@q("q_except")
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.exceptAll(o.distinct()).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Windows (SURVEY §2.5) — every ordering includes a unique tiebreaker so the
+# result is deterministic across engines.
+# ---------------------------------------------------------------------------
+
+
+@q("q_window_rank")
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .withColumn("rk", F.rank().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn", "rk")
+    )
+
+
+@q("q_window_lag")
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag/delta per supplier (W3: the daily-returns pattern)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    prev = F.lag("l_quantity", 1).over(w)
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        prev.alias("prev_qty"),
+        (F.col("l_quantity") - prev).alias("qty_delta"),
+    )
+
+
+@q("q_window_moving_avg")
+def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row moving average of order value per customer (W4)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-6, W.currentRow)
+    )
+    mov = dsum_w("o_totalprice", w) / F.count("*").over(w)
+    return o.select("o_custkey", "o_orderkey", mov.alias("mov_avg7"))
+
+
+@q("q_window_cumsum")
+def q_window_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running cumulative quantity per supplier (W5)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        dsum_w("l_quantity", w).alias("cum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / top-k (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+
+@q("q_topk")
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orderBy+limit → Catalyst TakeOrderedAndProject (no global sort)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup (SURVEY §2.7 / §2.11)
+# ---------------------------------------------------------------------------
+
+
+@q("q_dedup_keep_latest")
+def q_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest dedup the DDL intends (UNIQUE(Ticker,Date), code/sql/DDLs:14):
+    one row per (user_id, event_type), latest by (ts, event_id)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.dedup import keep_latest
+
+    e = load_table(spark, sf_dir, "events")
+    return keep_latest(
+        e, keys=["user_id", "event_type"], order_cols=["ts", "event_id"]
+    ).select("event_id", "user_id", "event_type", "ts", "value")
