@@ -1,0 +1,122 @@
+"""MinHash+LSH and SimHash near-duplicate detection (SURVEY.md §2.11).
+
+Shingle → minhash signature → band → bucket-join: the textbook scale-out
+near-dup pipeline. All hashing is ``xxhash64(token, seed)`` — JVM-side,
+deterministic, no RNG state, no Python in the hot path. The candidate join
+is an equi-join on (band index, band hash): a uniform shuffle key, so the
+O(n²) pair space never materializes — only same-bucket pairs do.
+
+At 100 TB you tune (n_hashes, bands) for the target Jaccard threshold via
+the standard S-curve P(candidate) = 1 - (1 - j^r)^b with r = n_hashes/bands;
+the plan shape is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fortune_500_financial_insights_pipeline_spark.operators.text import jaccard, word_ngrams
+
+
+def minhash_signature(grams: Column, n_hashes: int) -> Column:
+    """Array of n minhash values: min over shingles of xxhash64(shingle, seed)."""
+    return F.array(
+        *[
+            F.array_min(F.transform(grams, lambda g: F.xxhash64(g, F.lit(seed))))
+            for seed in range(n_hashes)
+        ]
+    )
+
+
+def minhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    min_jaccard: float = 0.2,
+    ngram: int = 3,
+) -> DataFrame:
+    """Near-duplicate document pairs: LSH banding for candidates, exact
+    word-ngram Jaccard verification. Returns (id_a, id_b, jac), id_a < id_b.
+    """
+    assert n_hashes % bands == 0, "bands must divide n_hashes"
+    rows_per_band = n_hashes // bands
+
+    grams = word_ngrams(F.col(text_col), ngram)
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        grams.alias("_grams"),
+        minhash_signature(grams, n_hashes).alias("_sig"),
+    )
+    # one row per (doc, band): band hash = xxhash64 over the band's slice
+    banded = sig.select(
+        "_id",
+        "_grams",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("_sig", b * rows_per_band + i + 1).cast(
+                                        "string"
+                                    )
+                                    for i in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "_grams", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
+
+    a = banded.select(
+        F.col("_id").alias("id_a"), F.col("_grams").alias("grams_a"), "band", "bhash"
+    )
+    b = banded.select(
+        F.col("_id").alias("id_b"), F.col("_grams").alias("grams_b"), "band", "bhash"
+    )
+    cand = (
+        a.join(b, ["band", "bhash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("jac", F.round(jaccard(F.col("grams_a"), F.col("grams_b")), 6))
+        .filter(F.col("jac") >= min_jaccard)
+        .select("id_a", "id_b", "jac")
+    )
+
+
+def simhash(text: Column | str, n_bits: int = 64) -> Column:
+    """SimHash fingerprint: per token, xxhash64 supplies the bit pattern;
+    each bit position accumulates +1/-1 across tokens; the sign vector is
+    packed back into a long. Near-dup docs differ in few bits (Hamming).
+
+    Computed as a sum over an exploded bit dimension entirely with array
+    ops — no UDF. n_bits <= 63 keeps the packed value in a signed long.
+    """
+    c = text if isinstance(text, Column) else F.col(text)
+    toks = F.split(c, " ")
+    n_bits = min(n_bits, 63)
+    bit_cols = []
+    for i in range(n_bits):
+        # +1 if bit i of xxhash64(token) is set else -1, summed over tokens
+        contrib = F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bit_cols.append(F.when(contrib > 0, F.lit(2).cast("long") ** i).otherwise(F.lit(0)))
+    out = bit_cols[0]
+    for bc in bit_cols[1:]:
+        out = out + bc
+    return out.cast("long")

@@ -1,0 +1,130 @@
+"""Vector similarity search over an ``array<float>`` embedding column.
+
+Two tiers (SURVEY.md §2.11):
+
+* ``cosine_topk`` — brute-force scan: cosine against one query vector,
+  TakeOrdered top-k. Linear in table size, embarrassingly parallel, no
+  shuffle; the right baseline and exactly what you run at any scale when
+  k ≪ n and there is one query.
+* ``lsh_bucket_topk`` — scale path for *many* queries / self-join shapes:
+  random-hyperplane LSH signatures bucket vectors so only same-bucket pairs
+  are compared (candidate generation is a hash-partitioned groupBy, not an
+  O(n²) crossJoin). Deterministic: hyperplanes derive from a seeded hash of
+  (plane index, dimension), not an RNG.
+
+All arithmetic runs JVM-side through higher-order array functions
+(zip_with/aggregate) in double precision — no Python UDF in the hot path.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int,
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Top-k rows by cosine similarity to ``query_vec`` (brute force).
+
+    The query vector is inlined as a literal array (it is a parameter, not
+    data); orderBy+limit compiles to TakeOrderedAndProject — each partition
+    keeps a local top-k, the driver merges k·p rows, no global sort.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    qnorm = math.sqrt(sum(float(v) * float(v) for v in query_vec))
+    sim = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qnorm))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    other = [c for c in emb.columns if c != vec_col]
+    return (
+        emb.withColumn("sim", sim)
+        .orderBy(F.desc("sim"), *other[:1])
+        .limit(k)
+        .select(*other, "sim")
+    )
+
+
+def _hyperplane(plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane component: a simple
+    integer hash of (plane, dim) mapped to [-1, 1). Reproducible across
+    runs/partitions with no RNG state."""
+    h = (plane * 1_000_003 + dim * 7_919 + 12_345) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0x5BD1E995) & 0xFFFFFFFF
+    h ^= h >> 15
+    return h / 2**31 - 1.0
+
+
+def signature_col(vec_col: str, dim: int, n_planes: int = 16) -> Column:
+    """Random-hyperplane (SimHash) signature: bit i = sign(v · plane_i)."""
+    bits = []
+    for p in range(n_planes):
+        plane = [_hyperplane(p, d) for d in range(dim)]
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(x) for x in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**p))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_neardup_pairs(
+    emb: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    min_cosine: float = 0.9,
+) -> DataFrame:
+    """Near-duplicate vector pairs via LSH bucketing: vectors sharing a full
+    signature become candidates (groupBy signature — shuffle on a uniform
+    hash, no crossJoin); candidates are verified with exact cosine."""
+    sig = emb.select(id_col, vec_col).withColumn(
+        "sig", signature_col(vec_col, dim, n_planes)
+    )
+    a = sig.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "sig"
+    )
+    b = sig.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "sig"
+    )
+    pairs = a.join(b, "sig").filter(F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("vec_a"), F.col("vec_b")) / (
+        _norm(F.col("vec_a")) * _norm(F.col("vec_b"))
+    )
+    return (
+        pairs.withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= min_cosine)
+        .select("id_a", "id_b", "cosine")
+    )

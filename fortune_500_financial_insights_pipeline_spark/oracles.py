@@ -261,3 +261,210 @@ FROM (
 )
 WHERE rn = 1
 """
+
+ORACLES["q_pivot"] = f"""
+SELECT l_returnflag,
+       {_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_O,
+       {_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_F
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+ORACLES["q_unpivot"] = """
+SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS metric_value FROM customer
+UNION ALL
+SELECT c_custkey, 'nationkey_d' AS metric, CAST(c_nationkey AS DOUBLE) AS metric_value FROM customer
+"""
+
+ORACLES["q_asof_lastval"] = """
+WITH u AS (
+  SELECT user_id, ts, event_id, 0 AS is_right,
+         event_id AS p_event_id, value AS p_value, NULL::DOUBLE AS c_value
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, event_id, 1 AS is_right,
+         NULL AS p_event_id, NULL AS p_value, value AS c_value
+  FROM events WHERE event_type = 'click'
+),
+carried AS (
+  SELECT *, last_value(c_value IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, is_right DESC, event_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_value_asof
+  FROM u
+)
+SELECT p_event_id AS event_id, user_id, ts, p_value AS value, click_value_asof
+FROM carried WHERE is_right = 0
+"""
+
+ORACLES["q_events_tumbling"] = f"""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+       COUNT(*) AS n_events,
+       {_dsum('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+ORACLES["q_events_sliding"] = f"""
+WITH cand AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS wstart, event_type, value FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS wstart,
+         event_type, value
+  FROM events
+)
+SELECT wstart, event_type, COUNT(*) AS n_events, {_dsum('value')} AS sum_value
+FROM cand
+GROUP BY 1, 2
+"""
+
+ORACLES["q_events_session"] = f"""
+WITH gaps AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '6 hours'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM gaps
+)
+SELECT MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '6 hours' AS session_end,
+       user_id,
+       COUNT(*) AS n_events,
+       {_dsum('value')} AS sum_value
+FROM sessions
+GROUP BY user_id, sid
+"""
+
+ORACLES["q_pandas_udf_zscore"] = """
+SELECT event_id, event_type, value,
+       ROUND((value - AVG(value) OVER (PARTITION BY event_type))
+             / stddev_pop(value) OVER (PARTITION BY event_type), 6) AS zscore
+FROM events
+"""
+
+ORACLES["q_percentile"] = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90
+FROM events
+GROUP BY event_type
+"""
+
+ORACLES["q_array_explode"] = """
+SELECT label, COUNT(*) AS n_vals,
+       MIN(CAST(component AS DOUBLE)) AS min_val,
+       MAX(CAST(component AS DOUBLE)) AS max_val
+FROM (SELECT label, unnest(embedding) AS component FROM embeddings)
+GROUP BY label
+"""
+
+ORACLES["q_cosine_topk"] = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT vec_id, label,
+         ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), qe)
+               / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(qe, qe))), 6) AS sim
+  FROM embeddings, q
+)
+SELECT vec_id, label, sim FROM s ORDER BY sim DESC, vec_id ASC LIMIT 20
+"""
+
+ORACLES["q_text_stats"] = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+FROM documents
+GROUP BY lang
+"""
+
+ORACLES["q_token_count"] = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INTEGER)
+         AS n_bpe_tokens
+FROM documents
+"""
+
+ORACLES["q_lang_id"] = """
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split(text, ' '),
+                    t -> list_contains(['the','a','of','and','to','in','is','on','for','with'], t)))
+              AS DOUBLE)
+         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS score
+  FROM documents
+)
+SELECT doc_id, lang, ROUND(score, 6) AS en_ratio,
+       CASE WHEN score >= 0.05 THEN 'en' ELSE 'other' END AS pred_lang
+FROM scored
+"""
+
+ORACLES["q_quality_score"] = """
+WITH feats AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_toks,
+         CAST(len(list_filter(string_split(text, ' '),
+                    t -> list_contains(['the','a','of','and','to','in','is','on','for','with'], t)))
+              AS DOUBLE) AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+       ROUND(
+         LEAST(n_chars / 200.0, 1.0) * 0.4
+         + (CASE WHEN n_chars / n_toks >= 3.0 AND n_chars / n_toks <= 10.0
+                 THEN 1.0 ELSE 0.5 END) * 0.3
+         + LEAST((n_stop / n_toks) * 5.0, 1.0) * 0.3, 6) AS quality
+FROM feats
+"""
+
+ORACLES["q_fingerprint"] = """
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+ORACLES["q_dedup_exact"] = """
+SELECT doc_id, fingerprint
+FROM (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+         row_number() OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                            ORDER BY doc_id ASC) AS rn
+  FROM documents
+)
+WHERE rn = 1
+"""
+
+ORACLES["q_ngram_jaccard"] = """
+WITH grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(string_split(text, ' ')) - 1),
+           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+         )) AS g
+  FROM documents
+),
+ref AS (SELECT g AS ref_g FROM grams WHERE doc_id = 0)
+SELECT doc_id,
+       ROUND(CAST(len(list_intersect(g, ref_g)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(g, ref_g))) AS DOUBLE), 6) AS jac
+FROM grams, ref
+WHERE doc_id <> 0
+ORDER BY jac DESC, doc_id ASC
+LIMIT 20
+"""
+
+ORACLES["q_binary_meta"] = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       lower(sha256(text)) AS sha
+FROM documents
+"""

@@ -437,3 +437,316 @@ def q_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_latest(
         e, keys=["user_id", "event_type"], order_cols=["ts", "event_id"]
     ).select("event_id", "user_id", "event_type", "ts", "value")
+
+
+# ---------------------------------------------------------------------------
+# Pivot / reshape (SURVEY §2.2 P15)
+# ---------------------------------------------------------------------------
+
+
+@q("q_pivot")
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statement-transpose analog (transform_job_tabular_entitities.py:21-24)
+    done as a distributed grouped pivot with pinned values."""
+    from fortune_500_financial_insights_pipeline_spark.operators.pivot import pivot_wide
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return pivot_wide(
+        li,
+        group_cols=["l_returnflag"],
+        pivot_col="l_linestatus",
+        values=["O", "F"],
+        agg=dsum("l_quantity"),
+        prefix="qty_",
+    )
+
+
+@q("q_unpivot")
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt (inverse of P15) via the native unpivot operator."""
+    from fortune_500_financial_insights_pipeline_spark.operators.pivot import unpivot
+
+    c = load_table(spark, sf_dir, "customer")
+    wide = c.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey_d"),
+    )
+    return unpivot(
+        wide, id_cols=["c_custkey"], value_cols=["acctbal", "nationkey_d"],
+        var_name="metric", value_name="metric_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (SURVEY §2.3 J5)
+# ---------------------------------------------------------------------------
+
+
+@q("q_asof_lastval")
+def q_asof_lastval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase event: the most recent click value by the same user
+    at or before the purchase (trade-date → most-recent-statement pattern)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.col("value").alias("click_value")
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        ts_col="ts",
+        value_cols=["click_value"],
+        tiebreak_col="event_id",
+    ).select("event_id", "user_id", "ts", "value", "click_value_asof")
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows (SURVEY §2.10) — batch forms; streaming mirrors in
+# streaming/events.py are covered by tests/test_streaming.py
+# ---------------------------------------------------------------------------
+
+
+@q("q_events_tumbling")
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fortune_500_financial_insights_pipeline_spark.streaming.events import tumbling
+
+    return tumbling(load_table(spark, sf_dir, "events"))
+
+
+@q("q_events_sliding")
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fortune_500_financial_insights_pipeline_spark.streaming.events import sliding
+
+    return sliding(load_table(spark, sf_dir, "events"))
+
+
+@q("q_events_session")
+def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fortune_500_financial_insights_pipeline_spark.streaming.events import session
+
+    return session(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# UDF surface (SURVEY §2.9): Arrow-vectorized grouped transform
+# ---------------------------------------------------------------------------
+
+
+@q("q_pandas_udf_zscore")
+def q_pandas_udf_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group zscore via applyInPandas (the escape hatch for whole-group
+    logic built-ins can't express; rounded so the vectorized float math
+    matches the oracle's window formulation)."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mean = pdf["value"].mean()
+        std = pdf["value"].std(ddof=0)
+        pdf["zscore"] = ((pdf["value"] - mean) / std).round(6)
+        return pdf
+
+    return e.groupBy("event_type").applyInPandas(
+        zscore, schema="event_id long, event_type string, value double, zscore double"
+    )
+
+
+@q("q_percentile")
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentile per group (approx twin: q_approx_distinct)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+    )
+
+
+@q("q_approx_distinct")
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct (A3). No oracle: DuckDB's HLL yields a
+    different estimate by construction — the driver records rows-only; the
+    exact twin q_count_distinct carries the value check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arrays / vectors (SURVEY §2.8, §2.11)
+# ---------------------------------------------------------------------------
+
+
+@q("q_array_explode")
+def q_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.explode("embedding").alias("component"))
+    return ex.groupBy("label").agg(
+        F.count("*").alias("n_vals"),
+        F.min(F.col("component").cast("double")).alias("min_val"),
+        F.max(F.col("component").cast("double")).alias("max_val"),
+    )
+
+
+@q("q_cosine_topk")
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against the vec_id=0 embedding (ANN baseline;
+    the LSH scale path is q_embed_neardup_lsh)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return cosine_topk(emb.select("vec_id", "label", "embedding"), list(qvec), k=20)
+
+
+@q("q_embed_neardup_lsh")
+def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate vectors via random-hyperplane LSH bucketing (rows-only:
+    the bucketing is Spark-specific; exact-cosine verification filters the
+    candidates)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.similarity import lsh_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").head()[0])
+    return lsh_neardup_pairs(emb, dim=dim, n_planes=12, min_cosine=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (SURVEY §2.11)
+# ---------------------------------------------------------------------------
+
+
+@q("q_text_stats")
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fortune_500_financial_insights_pipeline_spark.operators import text as TX
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("n_tokens", TX.token_count("text"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        )
+    )
+
+
+@q("q_token_count")
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fortune_500_financial_insights_pipeline_spark.operators import text as TX
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.distinct_token_count("text").alias("n_distinct_tokens"),
+        TX.bpe_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+@q("q_lang_id")
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fortune_500_financial_insights_pipeline_spark.operators import text as TX
+
+    d = load_table(spark, sf_dir, "documents")
+    score = TX.english_score("text")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(score, 6).alias("en_ratio"),
+        F.when(score >= 0.05, "en").otherwise("other").alias("pred_lang"),
+    )
+
+
+@q("q_quality_score")
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fortune_500_financial_insights_pipeline_spark.operators import text as TX
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.round(TX.quality_score("text"), 6).alias("quality"))
+
+
+@q("q_fingerprint")
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fortune_500_financial_insights_pipeline_spark.operators import text as TX
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.fingerprint("text").alias("fingerprint"))
+
+
+@q("q_dedup_exact")
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: min doc_id survives per normalized-text hash."""
+    from fortune_500_financial_insights_pipeline_spark.operators.dedup import fingerprint_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    return fingerprint_dedup(d, text_col="text", id_col="doc_id").select(
+        "doc_id", "fingerprint"
+    )
+
+
+@q("q_ngram_jaccard")
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram Jaccard similarity of every doc against doc_id=0, top 20."""
+    from fortune_500_financial_insights_pipeline_spark.operators import text as TX
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select("doc_id", TX.word_ngrams("text", 2).alias("grams"))
+    ref = grams.filter(F.col("doc_id") == 0).select(F.col("grams").alias("ref_grams"))
+    return (
+        grams.crossJoin(F.broadcast(ref))
+        .filter(F.col("doc_id") != 0)
+        .select("doc_id", F.round(TX.jaccard(F.col("grams"), F.col("ref_grams")), 6).alias("jac"))
+        .orderBy(F.desc("jac"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@q("q_minhash_neardup")
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs (rows-only; Spark-specific
+    hashing). See operators/minhash.py for the banding construction."""
+    from fortune_500_financial_insights_pipeline_spark.operators.minhash import minhash_neardup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_neardup_pairs(
+        d, id_col="doc_id", text_col="text", n_hashes=16, bands=4, min_jaccard=0.2
+    )
+
+
+@q("q_simhash")
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (rows-only; xxhash64 is Spark-specific)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.minhash import simhash
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash("text").alias("simhash64"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (SURVEY §2.11): binary columns + typed metadata
+# ---------------------------------------------------------------------------
+
+
+@q("q_binary_meta")
+def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column handling: synthesize a blob from text, compute
+    byte length + sha256 — the schema/partitioning pattern for image/audio
+    payloads (decode stubs live in operators/multimodal.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    blob = F.encode("text", "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(blob).alias("n_bytes"),
+        F.lower(F.sha2(blob, 256)).alias("sha"),
+    )
