@@ -27,7 +27,27 @@ TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _ensure_runtime_conf(spark: SparkSession) -> None:
+    """Pin the runtime-settable semantics every query depends on.
+
+    The external driver imports __spark_entry__ with a *vanilla*
+    SparkSession — none of our session-factory defaults apply — so any
+    conf that changes query semantics must be (re)asserted here, on the
+    session actually running the query. Both are runtime-settable:
+
+    * UTC session timezone: timestamp→date casts (l_shipdate, o_orderdate)
+      shift by the local offset otherwise, breaking oracle value-hashes;
+    * ANSI off: the engine standardizes on null-on-invalid cast/parse
+      semantics (the reference's invalid-date quarantine,
+      raw_to_landing_sparkjob.py:35-37); Spark 4 defaults ANSI on, where
+      to_date('not-a-date') throws instead of yielding null.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_runtime_conf(spark)
     if name == "events":
         # must be set on whatever session calls us (the external driver builds
         # its own SparkSession without our factory defaults)

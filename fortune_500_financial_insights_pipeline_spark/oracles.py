@@ -52,7 +52,7 @@ GROUP BY ROLLUP (r_name, n_name)
 
 ORACLES["q_csv_scan"] = """
 SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
-       CAST(l_shipdate AS DATE) AS ship_date
+       strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS ship_date
 FROM lineitem
 WHERE l_quantity > 45
 """
@@ -61,13 +61,13 @@ ORACLES["q_project_cast"] = """
 SELECT o_orderkey,
        CAST(CAST(o_totalprice AS DECIMAL(20,2)) AS DOUBLE) AS price_dec,
        CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
-       CAST(o_orderdate AS DATE) AS order_date,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
        UPPER(o_orderstatus) AS status_up
 FROM orders
 """
 
 ORACLES["q_filter_notnull"] = """
-SELECT o_orderkey, parsed_date
+SELECT o_orderkey, strftime(parsed_date, '%Y-%m-%d') AS parsed_date
 FROM (
   SELECT o_orderkey,
          TRY_CAST(CASE WHEN o_orderkey % 10 = 0 THEN 'not-a-date'

@@ -1,0 +1,33 @@
+"""Company-info and ESG JSON pipelines: glob scan → schema'd parse → flatten
+→ sink. Replaces the reference's per-file Dataproc job submission loop
+(/root/reference/code/airflow/dags/transform_json_INFO.py:61-95 — one cluster
+job per JSON file!) with a single job whose scan lists the prefix itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from fortune_500_financial_insights_pipeline_spark.operators.json_flatten import (
+    flatten_info,
+    flatten_sustainability,
+    read_info_json,
+    read_sustainability_json,
+)
+
+
+def info_pipeline(spark: SparkSession, glob: str) -> DataFrame:
+    return flatten_info(read_info_json(spark, glob))
+
+
+def sustainability_pipeline(spark: SparkSession, glob: str) -> DataFrame:
+    return flatten_sustainability(read_sustainability_json(spark, glob))
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """NDJSON sink (the reference lands JSONL for BQ autodetect loads)."""
+    df.write.mode("overwrite").json(path)
+
+
+def write_parquet(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").parquet(path)

@@ -98,7 +98,10 @@ def q_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         "l_quantity",
         "l_extendedprice",
-        F.col("l_shipdate").cast("date").alias("ship_date"),
+        # date cast exercised, then formatted to string: DATE-typed output
+        # columns pandas-convert differently in Spark (datetime.date) vs
+        # DuckDB (datetime64), which would break the driver's value-hash
+        F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM-dd").alias("ship_date"),
     )
 
 
@@ -113,7 +116,7 @@ def q_project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (float64), which would break the driver's value-hash
         F.col("o_totalprice").cast("decimal(20,2)").cast("double").alias("price_dec"),
         F.floor("o_totalprice").cast("bigint").alias("price_floor"),
-        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias("order_date"),
         F.upper("o_orderstatus").alias("status_up"),
     )
 
@@ -129,7 +132,7 @@ def q_filter_notnull(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.withColumn("parsed_date", F.to_date(ds, "yyyy-MM-dd"))
         .filter(F.col("parsed_date").isNotNull())
-        .select("o_orderkey", "parsed_date")
+        .select("o_orderkey", F.date_format("parsed_date", "yyyy-MM-dd").alias("parsed_date"))
     )
 
 

@@ -1,0 +1,232 @@
+"""Reference-parity pipeline tests on reference-shaped fixtures
+(FIXTURES.md §2): Kaggle/API OHLCV CSVs, statement CSVs, info/ESG JSON.
+Asserts the §2.7 invariants the reference's operators silently encode."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from fortune_500_financial_insights_pipeline_spark.pipelines.entity_json import (
+    info_pipeline,
+    sustainability_pipeline,
+)
+from fortune_500_financial_insights_pipeline_spark.pipelines.open_close import (
+    open_close,
+    write_open_close,
+)
+from fortune_500_financial_insights_pipeline_spark.pipelines.tabular import statements_wide
+
+KAGGLE_ROWS = [
+    "Date,Open,High,Low,Close,Volume,OpenInt",
+    "2017-11-08,100.0,101.5,99.0,101.0,\"1,234,567\",0",
+    "2017-11-09,101.0,102.0,100.0,101.5,2000000,0",
+    "2017-11-10,101.5,103.0,101.0,102.5,\"2,500,000\",0",
+    "not-a-date,1.0,1.0,1.0,1.0,10,0",  # must be quarantined
+]
+
+API_ROWS = [
+    "Price,AdjClose,Close,High,Low,Open,Volume",  # 4 metadata rows
+    "Ticker,AAPL,AAPL,AAPL,AAPL,AAPL,AAPL",
+    "Date,,,,,,",
+    ",,,,,,",
+    "2017-11-10,102.0,102.6,103.1,101.2,101.6,\"2,600,000\"",  # overlap date
+    "2017-11-13,102.5,103.0,103.5,102.0,102.6,2700000",
+]
+
+
+@pytest.fixture(scope="module")
+def ohlcv_dirs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ohlcv")
+    kaggle = root / "kaggle"
+    api = root / "api"
+    kaggle.mkdir()
+    api.mkdir()
+    (kaggle / "aapl.us.txt").write_text("\n".join(KAGGLE_ROWS) + "\n")
+    (kaggle / "msft.us.txt").write_text("\n".join(KAGGLE_ROWS) + "\n")
+    (api / "AAPL.csv").write_text("\n".join(API_ROWS) + "\n")
+    (api / "MSFT.csv").write_text("\n".join(API_ROWS) + "\n")
+    return str(kaggle / "*.us.txt"), str(api / "*.csv")
+
+
+def test_open_close_parity_mode(spark, ohlcv_dirs, tmp_path):
+    kaggle_glob, api_glob = ohlcv_dirs
+    df = open_close(spark, kaggle_glob, api_glob, dedup=False)
+    assert [f.name for f in df.schema.fields] == [
+        "Date", "Open", "High", "Low", "Close", "Volume", "Source", "year", "Ticker",
+    ]
+    rows = df.collect()
+    # 3 valid kaggle + 2 api rows per ticker, invalid date dropped
+    assert len(rows) == 2 * (3 + 2)
+    assert all(r["Date"] is not None for r in rows)
+    # de-comma'd volumes are numeric doubles
+    vols = {r["Volume"] for r in rows}
+    assert 1234567.0 in vols and 2600000.0 in vols
+    # overlap date duplicated, distinguished only by Source (raw-union parity)
+    overlap = [r for r in rows if str(r["Date"]) == "2017-11-10" and r["Ticker"] == "AAPL"]
+    assert {r["Source"] for r in overlap} == {"Kaggle", "API"}
+    # round-trip through the year-partitioned sink
+    out = str(tmp_path / "oc")
+    write_open_close(df, out)
+    back = spark.read.parquet(out)
+    assert back.count() == len(rows)
+    assert set(back.select("year").distinct().toPandas()["year"]) == {2017}
+
+
+def test_open_close_dedup_mode(spark, ohlcv_dirs):
+    kaggle_glob, api_glob = ohlcv_dirs
+    df = open_close(spark, kaggle_glob, api_glob, dedup=True)
+    rows = df.collect()
+    # unique (Ticker, Date) as the DDL intends
+    keys = [(r["Ticker"], r["Date"]) for r in rows]
+    assert len(keys) == len(set(keys))
+    # API wins the overlap date
+    overlap = [r for r in rows if str(r["Date"]) == "2017-11-10" and r["Ticker"] == "AAPL"]
+    assert len(overlap) == 1 and overlap[0]["Source"] == "API"
+
+
+STATEMENT_CSV = "\n".join(
+    [
+        ",2023-12-31,2022-12-31",
+        "Total Revenue,394328000000,365817000000",
+        "Net Income,96995000000,94680000000",
+        "Secret Sauce,1,2",  # not in interest list -> filtered
+        "Gross Profit,,152836000000",  # empty cell
+    ]
+)
+
+INTEREST = ["Total Revenue", "Net Income", "Gross Profit"]
+
+
+def test_statements_wide(spark, tmp_path):
+    d = tmp_path / "stmts"
+    d.mkdir()
+    (d / "AAPL.csv").write_text(STATEMENT_CSV + "\n")
+    (d / "MSFT.csv").write_text(STATEMENT_CSV + "\n")
+    wide = statements_wide(
+        spark, {"AAPL": str(d / "AAPL.csv"), "MSFT": str(d / "MSFT.csv")}, INTEREST
+    )
+    assert wide.columns == ["Ticker", "Date"] + INTEREST
+    pdf = wide.toPandas().set_index(["Ticker", "Date"]).sort_index()
+    assert len(pdf) == 4  # 2 tickers x 2 periods
+    assert pdf.loc[("AAPL", "2023-12-31"), "Total Revenue"] == 394328000000.0
+    # filtered line-item never becomes a column; empty cell -> null
+    assert "Secret Sauce" not in wide.columns
+    assert pdf.loc[("AAPL", "2023-12-31"), "Gross Profit"] != pdf.loc[("AAPL", "2023-12-31"), "Gross Profit"]  # NaN
+
+
+INFO_FULL = {
+    "symbol": "AAPL",
+    "shortName": "Apple Inc.",
+    "industry": "Consumer Electronics",
+    "sector": "Technology",
+    "fullTimeEmployees": 161000,
+    "totalRevenue": 394328000000.0,
+    "address1": "One Apple Park Way",
+    "city": "Cupertino",
+    "state": "CA",
+    "zip": "95014",
+    "website": "https://www.apple.com",
+    "extraneousKey": "ignored",
+}
+INFO_SPARSE = {"symbol": "MSFT", "fullTimeEmployees": 221000}
+
+
+def test_info_flatten(spark, tmp_path):
+    d = tmp_path / "info"
+    d.mkdir()
+    (d / "AAPL.json").write_text(json.dumps(INFO_FULL))
+    (d / "MSFT.json").write_text(json.dumps(INFO_SPARSE))
+    out = info_pipeline(spark, str(d / "*.json"))
+    assert len(out.columns) == 11
+    assert "address" in out.columns and "address1" not in out.columns
+    rows = {r["symbol"]: r for r in out.collect()}
+    assert rows["AAPL"]["address"] == "One Apple Park Way"
+    # missing string keys default to "" (reference: data.get(k, ""))
+    assert rows["MSFT"]["industry"] == ""
+    assert rows["MSFT"]["fullTimeEmployees"] == 221000
+
+
+ESG_FULL = {
+    "esgScores": {
+        "totalEsg": 17.2,
+        "environmentScore": 2.1,
+        "socialScore": 9.8,
+        "governanceScore": 5.3,
+        "percentile": 33.0,
+        "ratingYear": 2024,
+        "ratingMonth": 9,
+        "maxAge": 86400,
+        "peerCount": 40,
+        "esgPerformance": "AVG_PERF",
+        "peerGroup": "Retailing",
+        "adult": False,
+        "alcoholic": False,
+        "animalTesting": False,
+        "catholic": False,
+        "coal": True,
+        "controversialWeapons": False,
+        "furLeather": False,
+        "gambling": False,
+        "militaryContract": False,
+        "nuclear": False,
+        "palmOil": False,
+        "pesticides": False,
+        "smallArms": False,
+        "tobacco": False,
+        "environmentPercentile": None,
+        "peerEnvironmentPerformance": {"min": 1.0, "avg": 6.3, "max": 14.6},
+        "peerEsgScorePerformance": {"min": 7.6, "avg": 17.9, "max": 28.2},
+        "peerGovernancePerformance": {"min": 3.0, "avg": 6.6, "max": 11.8},
+        "peerSocialPerformance": {"min": 2.2, "avg": 5.0, "max": 10.6},
+        "peerHighestControversyPerformance": {"min": 0.0, "avg": 2.1, "max": 4.0},
+    }
+}
+
+
+def test_sustainability_flatten(spark, tmp_path):
+    d = tmp_path / "esg"
+    d.mkdir()
+    (d / "AMZN.json").write_text(json.dumps(ESG_FULL))
+    (d / "EMPTY.json").write_text(json.dumps({"someOtherKey": 1}))  # esgScores absent
+    out = sustainability_pipeline(spark, str(d / "*.json"))
+    assert len(out.columns) == 31
+    rows = out.collect()
+    full = next(r for r in rows if r["totalEsg"] is not None)
+    empty = next(r for r in rows if r["totalEsg"] is None)
+    assert full["peerEnvironmentPerformance_avg"] == 6.3
+    assert full["coal"] is True
+    assert full["environmentPercentile"] is None
+    # wholly-missing esgScores -> defaults everywhere
+    assert empty["esgPerformance"] == "" and empty["peerCount"] is None
+
+
+def test_multimodal_plumbing(spark, sf_dir):
+    """Binary payload column + Arrow mapInPandas feature extraction."""
+    from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+    from fortune_500_financial_insights_pipeline_spark.operators.multimodal import (
+        attach_media,
+        extract_features,
+    )
+
+    d = load_table(spark, sf_dir, "documents").limit(50)
+    media = attach_media(d)
+    assert dict(media.dtypes)["media"] == "binary"
+    feats = extract_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(len(r["feature"]) == 8 for r in rows)
+    assert all(16 <= r["width"] < 256 for r in rows)
+    # deterministic: same payload -> same feature
+    again = {r["doc_id"]: r["feature"] for r in extract_features(media, fake=True).collect()}
+    assert all(again[r["doc_id"]] == r["feature"] for r in rows)
+
+
+def test_decode_stub_raises():
+    from fortune_500_financial_insights_pipeline_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"payload", fake=False)
