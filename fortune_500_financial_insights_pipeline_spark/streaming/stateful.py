@@ -1,0 +1,70 @@
+"""Custom stateful streaming operators (SURVEY.md §2.10 extension).
+
+The reference has no streaming at all; these are the two stateful shapes a
+production feed of its data (prices ticking in, entity snapshots) needs:
+
+* ``dedup_within_watermark`` — drop (key) duplicates across micro-batches
+  with bounded state: Spark's native ``dropDuplicatesWithinWatermark``
+  keeps a key's fingerprint only until the watermark passes it, so state
+  doesn't grow without bound the way a plain ``dropDuplicates`` would on
+  an infinite stream.
+* ``running_totals`` — per-key running count/sum maintained across
+  micro-batches via ``applyInPandasWithState`` (Arrow-batched, one state
+  object per group), the escape hatch for custom stateful logic the
+  built-in windowed aggregates can't express.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+RUNNING_SCHEMA = "user_id long, n_events long, total_value double"
+_STATE_SCHEMA = "n long, total double"
+
+
+def dedup_within_watermark(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Exactly-once per key within the watermark horizon, bounded state."""
+    return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
+def running_totals(stream: DataFrame) -> DataFrame:
+    """Running per-user event count + value sum, carried across micro-batches.
+
+    Emits the updated total for every user seen in the current batch
+    (update-mode semantics). State is two scalars per user — O(distinct
+    users), independent of stream length.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=RUNNING_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,196 @@
+"""Structured Streaming mirror tests (SURVEY.md §2.10).
+
+The batch forms in streaming/events.py are oracle-checked by
+test_oracle_parity; here the streaming mirrors run against a file source
+with a memory sink and must (a) reproduce the batch answer when all data
+arrives on time and (b) drop rows later than the watermark in append mode.
+"""
+
+from __future__ import annotations
+
+import shutil
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+from fortune_500_financial_insights_pipeline_spark.streaming.events import (
+    streaming_tumbling,
+    tumbling,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """events table re-laid as a plain-timestamp parquet dir a file stream
+    can read (the fixture file itself is TIMESTAMP(NANOS) and sits next to
+    the other nine tables)."""
+    path = str(tmp_path_factory.mktemp("events_stream") / "events")
+    load_table(spark, sf_dir, "events").coalesce(1).write.parquet(path)
+    return path
+
+
+def _run_stream(df, query_name: str, output_mode: str):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .start()
+    )
+    q.processAllAvailable()
+    return q
+
+
+def test_streaming_tumbling_matches_batch(spark, events_dir):
+    """Complete-mode streaming aggregation == batch aggregation on the same
+    data (same expressions, same windows — only the execution mode differs)."""
+    batch_df = spark.read.parquet(events_dir)
+    expected = {
+        tuple(r) for r in tumbling(batch_df).collect()
+    }
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(events_dir)
+    q = _run_stream(streaming_tumbling(stream), "tumbling_complete", "complete")
+    try:
+        got = {tuple(r) for r in spark.sql("SELECT * FROM tumbling_complete").collect()}
+    finally:
+        q.stop()
+    assert got == expected
+
+
+def test_streaming_append_drops_late_rows(spark, events_dir, tmp_path):
+    """Append mode + watermark: a row arriving in a later micro-batch with an
+    event time far behind the watermark must not resurrect its (closed,
+    already-emitted) window."""
+    src = str(tmp_path / "src")
+    batch_df = spark.read.parquet(events_dir)
+    shutil.copytree(events_dir, src)
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(src)
+    q = _run_stream(
+        streaming_tumbling(stream, watermark="10 minutes"),
+        "tumbling_append",
+        "append",
+    )
+    try:
+        first_pass = spark.sql(
+            "SELECT wstart, event_type, n_events FROM tumbling_append"
+        ).collect()
+        assert len(first_pass) > 0  # on-time windows emitted and final
+        emitted = {(r.wstart, r.event_type): r.n_events for r in first_pass}
+
+        # second micro-batch: one row whose event time is the global minimum
+        # (maximally late — far beyond any watermark) targeting an emitted window
+        late_target = min(emitted)
+        late = spark.createDataFrame(
+            [(999_999_999, late_target[0], 0, late_target[1], 1.0, "{}")],
+            schema=batch_df.schema,
+        )
+        late.write.mode("append").parquet(src)
+        q.processAllAvailable()
+        time.sleep(0.5)
+
+        after = spark.sql(
+            "SELECT wstart, event_type, n_events FROM tumbling_append"
+        ).collect()
+        counts = {}
+        for r in after:
+            key = (r.wstart, r.event_type)
+            counts[key] = counts.get(key, 0) + 1
+        # the late row's window is not re-emitted (no duplicate, no update)
+        assert counts[late_target] == 1
+        final = {(r.wstart, r.event_type): r.n_events for r in after}
+        assert final[late_target] == emitted[late_target]
+    finally:
+        q.stop()
+
+
+def test_streaming_plan_is_stateful(spark, events_dir):
+    """The streaming plan carries a watermark + stateful aggregate (sanity
+    that the mirror is a real incremental plan, not a batch re-run)."""
+    batch_df = spark.read.parquet(events_dir)
+    stream = spark.readStream.schema(batch_df.schema).parquet(events_dir)
+    out = streaming_tumbling(stream)
+    assert out.isStreaming
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in plan
+
+
+def test_stateful_running_totals_across_batches(spark, events_dir, tmp_path):
+    """applyInPandasWithState: state (per-user running totals) must carry
+    across micro-batches — the second batch's emission includes the first
+    batch's counts."""
+    from fortune_500_financial_insights_pipeline_spark.streaming.stateful import running_totals
+
+    src = str(tmp_path / "src")
+    batch_df = spark.read.parquet(events_dir)
+    one_user = batch_df.filter(F.col("user_id") == 1).limit(3).collect()
+    assert len(one_user) == 3
+    spark.createDataFrame(one_user[:2], batch_df.schema).write.parquet(src)
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(src)
+    q = (
+        running_totals(stream)
+        .writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {
+            r.user_id: (r.n_events, r.total_value)
+            for r in spark.sql("SELECT * FROM running_totals").collect()
+        }
+        assert first[1][0] == 2
+
+        spark.createDataFrame(one_user[2:], batch_df.schema).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        rows = [
+            (r.n_events, r.total_value)
+            for r in spark.sql(
+                "SELECT * FROM running_totals WHERE user_id = 1"
+            ).collect()
+        ]
+        # update mode appends a new emission per batch; the latest carries
+        # the accumulated state: 2 rows from batch one + 1 from batch two
+        assert max(n for n, _ in rows) == 3
+        expected_total = sum(r.value for r in one_user)
+        got_total = max(t for _, t in rows)
+        assert abs(got_total - expected_total) < 1e-9
+    finally:
+        q.stop()
+
+
+def test_stream_dedup_within_watermark(spark, events_dir, tmp_path):
+    """dropDuplicatesWithinWatermark: a duplicate key inside the horizon is
+    dropped; state is watermark-bounded (doesn't require keeping all keys)."""
+    from fortune_500_financial_insights_pipeline_spark.streaming.stateful import (
+        dedup_within_watermark,
+    )
+
+    src = str(tmp_path / "src")
+    batch_df = spark.read.parquet(events_dir)
+    rows = batch_df.limit(2).collect()
+    dup = rows + rows  # same micro-batch duplicates
+    spark.createDataFrame(dup, batch_df.schema).write.parquet(src)
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(src)
+    q = (
+        dedup_within_watermark(stream, keys=["event_id"])
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT event_id FROM dedup_stream").collect()
+        assert len(got) == 2
+        assert len({r.event_id for r in got}) == 2
+    finally:
+        q.stop()
