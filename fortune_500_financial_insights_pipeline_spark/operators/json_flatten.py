@@ -128,10 +128,12 @@ def read_sustainability_json(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(SUSTAINABILITY_SCHEMA).json(path, multiLine=True)
 
 
-def flatten_sustainability(df: DataFrame) -> DataFrame:
+def flatten_sustainability(df: DataFrame, keep: list[str] | None = None) -> DataFrame:
     """esgScores nested doc → 31 flat columns (dotted-path extraction; a
     wholly-missing esgScores yields a row of nulls/defaults, mirroring
-    ``data.get("esgScores", {})``)."""
+    ``data.get("esgScores", {})``). ``keep`` passes through extra columns
+    (e.g. a filename-derived Ticker — the reference carries the ticker as a
+    job argument per file, transform_json_SUSTAINABLITY.py:75)."""
     e = "esgScores"
     scalar_nums = [
         "totalEsg",
@@ -151,4 +153,5 @@ def flatten_sustainability(df: DataFrame) -> DataFrame:
     ]
     cols += [F.col(f"{e}.{b}").alias(b) for b in ESG_BOOL_FIELDS]
     cols += [F.col(f"{e}.{p}.avg").alias(f"{p}_avg") for p in ESG_PEER_FIELDS]
+    cols += [F.col(k) for k in (keep or [])]
     return df.select(*cols)

@@ -1,0 +1,85 @@
+"""End-to-end job wiring: the reference's four transform DAGs
+(SURVEY.md §3) as one task graph over this engine's pipelines, landing
+DDL-typed warehouse tables instead of BigQuery loads.
+
+Graph shape mirrors the reference:
+  open_close  : raw CSVs ─standardize+merge─→ warehouse.openclose
+  info        : raw JSON ─flatten─→ warehouse.metadata
+  sustainability: raw JSON ─flatten─→ warehouse.sustainability
+  register    : after all loads, expose tables to spark.sql
+(The tabular statements path is wired separately per sheet since its file
+set is a per-ticker dict — see pipelines/tabular.py.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from fortune_500_financial_insights_pipeline_spark import warehouse as WH
+from fortune_500_financial_insights_pipeline_spark.pipelines.entity_json import (
+    info_pipeline,
+    sustainability_pipeline,
+)
+from fortune_500_financial_insights_pipeline_spark.pipelines.open_close import open_close
+from fortune_500_financial_insights_pipeline_spark.plans.runner import Dag
+
+
+def build_elt_dag(
+    spark: SparkSession,
+    kaggle_glob: str,
+    api_glob: str,
+    info_glob: str,
+    sustainability_glob: str,
+    warehouse_path: str,
+    dedup: bool = True,
+) -> Dag:
+    dag = Dag("f500_elt")
+
+    def load_open_close() -> int:
+        df = open_close(spark, kaggle_glob, api_glob, dedup=dedup)
+        WH.write_table(df, warehouse_path, "openclose")
+        return spark.read.parquet(f"{warehouse_path}/openclose").count()
+
+    def load_info() -> int:
+        df = info_pipeline(spark, info_glob).select(
+            F.col("symbol").alias("Ticker"),
+            F.col("address").alias("Address"),
+            F.col("city").alias("City"),
+            F.col("state").alias("State"),
+            F.col("zip").alias("Zip_Code"),
+            F.col("website").alias("Website"),
+            F.col("industry").alias("Industry"),
+            F.col("sector").alias("Sector"),
+            F.current_date().alias("Date"),
+        )
+        WH.write_table(df, warehouse_path, "metadata")
+        return spark.read.parquet(f"{warehouse_path}/metadata").count()
+
+    def load_sustainability() -> int:
+        df = sustainability_pipeline(spark, sustainability_glob, with_ticker=True).select(
+            "Ticker",
+            F.col("peerGroup").alias("PeerGroup"),
+            F.col("maxAge").alias("MaxAge"),
+            F.col("totalEsg").alias("TotalESG"),
+            F.col("environmentScore").alias("EnvironmentScore"),
+            F.col("socialScore").alias("SocialScore"),
+            F.col("governanceScore").alias("GovernanceScore"),
+            F.col("ratingYear").alias("RatingYear"),
+            F.col("ratingMonth").alias("RatingMonth"),
+            F.col("peerCount").alias("PeerCount"),
+            F.col("esgPerformance").alias("ESGPerformance"),
+            F.current_date().alias("Date"),
+        )
+        WH.write_table(df, warehouse_path, "sustainability")
+        return spark.read.parquet(f"{warehouse_path}/sustainability").count()
+
+    dag.add("transform_open_close", load_open_close, retries=1)
+    dag.add("transform_info", load_info, retries=1)
+    dag.add("transform_sustainability", load_sustainability, retries=1)
+    dag.add(
+        "register_warehouse",
+        lambda: WH.register(spark, warehouse_path),
+        deps=["transform_open_close", "transform_info", "transform_sustainability"],
+    )
+    return dag

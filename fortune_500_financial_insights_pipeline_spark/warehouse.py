@@ -1,0 +1,126 @@
+"""Warehouse layer (SURVEY.md §7.4): DDL-typed, partitioned parquet tables
+served through ``spark.sql``.
+
+Replaces the reference's BigQuery leg (``bq load`` with autodetect,
+transform_open_close_data.py:84-98) with Spark-native managed parquet:
+pipeline outputs are conformed to the declared DDL types
+(warehouse_schemas.py), written partitioned, and registered so the
+Tableau-style analytical queries the reference outsources run as plain SQL
+on this engine.
+
+Scale notes (100 TB design point):
+* Partition by low-cardinality ``year`` derived from the DATE key, never by
+  Ticker — the DDL's PARTITION BY LIST (Ticker) (code/sql/DDLs:15) would
+  create one directory per key, and at high ticker cardinality that's a
+  small-files explosion. Within partitions, rows are sorted by (Ticker,
+  Date) so per-ticker reads cluster into few row groups.
+* Writes are idempotent overwrites per partition
+  (``partitionOverwriteMode=dynamic``) so re-running a day's load replaces
+  only that slice, not the table.
+* SERIAL surrogate keys become deterministic row hashes, not a global
+  row_number — an auto-increment over 100 TB would serialize on a single
+  partition exactly like the reference's Window.orderBy(lit(1)) skip-rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fortune_500_financial_insights_pipeline_spark.warehouse_schemas import WAREHOUSE_SCHEMAS
+
+# tables whose DATE column is a time-series key worth partitioning on
+PARTITIONED = {"openclose", "dividend_history", "analystreccomendations", "quarterly"}
+
+
+def conform(df: DataFrame, table: str) -> DataFrame:
+    """Cast/select ``df`` onto the table's declared DDL schema.
+
+    Column matching is case-insensitive; declared columns missing from the
+    input materialize as typed nulls (the autodetect-tolerant behavior the
+    reference relies on, made explicit); undeclared input columns are
+    dropped. The cast to DecimalType(20,2)/(10,4) is where the engine
+    upgrades the reference's lossy doubles to the DDL's exact money types.
+    """
+    schema = WAREHOUSE_SCHEMAS[table]
+    by_lower = {c.lower(): c for c in df.columns}
+    cols = []
+    for field in schema.fields:
+        src = by_lower.get(field.name.lower())
+        if src is None:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+        else:
+            cols.append(F.col(src).cast(field.dataType).alias(field.name))
+    return df.select(*cols)
+
+
+def add_surrogate_key(df: DataFrame, key_cols: list[str], name: str = "ID") -> DataFrame:
+    """Deterministic 64-bit surrogate for the DDL's SERIAL columns: a hash
+    of the natural key — stable across runs and partitioning, no global
+    ordering required."""
+    return df.withColumn(name, F.xxhash64(*key_cols))
+
+
+def write_table(df: DataFrame, base_path: str, table: str) -> None:
+    """Conform + write one warehouse table as partitioned parquet."""
+    out = conform(df, table)
+    writer = out.write.mode("overwrite")
+    if table in PARTITIONED and "Date" in out.columns:
+        out = out.withColumn("year", F.year("Date"))
+        writer = (
+            out.sortWithinPartitions("Ticker", "Date")
+            .write.mode("overwrite")
+            .partitionBy("year")
+        )
+    writer.parquet(os.path.join(base_path, table))
+
+
+def register(spark: SparkSession, base_path: str) -> list[str]:
+    """Register every table present under ``base_path`` as a temp view (plus
+    partition discovery on the year-partitioned ones). Parquet is
+    self-describing, so the declared types round-trip exactly."""
+    registered = []
+    for table in WAREHOUSE_SCHEMAS:
+        path = os.path.join(base_path, table)
+        if os.path.isdir(path):
+            spark.read.parquet(path).createOrReplaceTempView(table)
+            registered.append(table)
+    return registered
+
+
+# The analytical queries the reference delegates to Tableau/BigQuery
+# (README.md:9-10, images/tableau_AMZN.png: per-ticker price trends overlaid
+# with fundamentals), expressed on the warehouse tables.
+SERVING_QUERIES: dict[str, str] = {
+    "yearly_price_summary": """
+        SELECT Ticker, year,
+               MIN(Low)    AS yr_low,
+               MAX(High)   AS yr_high,
+               AVG(Close)  AS avg_close,
+               SUM(Volume) AS total_volume,
+               COUNT(*)    AS trading_days
+        FROM openclose
+        GROUP BY Ticker, year
+    """,
+    "latest_close_per_ticker": """
+        SELECT Ticker, Date, Close
+        FROM (
+          SELECT Ticker, Date, Close,
+                 ROW_NUMBER() OVER (PARTITION BY Ticker ORDER BY Date DESC) AS rn
+          FROM openclose
+        ) WHERE rn = 1
+    """,
+    "price_with_metadata": """
+        SELECT o.Ticker, m.Sector, m.Industry,
+               AVG(o.Close) AS avg_close, SUM(o.Volume) AS total_volume
+        FROM openclose o
+        JOIN metadata m ON o.Ticker = m.Ticker
+        GROUP BY o.Ticker, m.Sector, m.Industry
+    """,
+}
+
+
+def serve(spark: SparkSession, name: str) -> DataFrame:
+    return spark.sql(SERVING_QUERIES[name])

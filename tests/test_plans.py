@@ -1,0 +1,116 @@
+"""Orchestration shim tests: DAG runner semantics + the end-to-end ELT
+graph landing DDL-typed warehouse tables (SURVEY.md §7.5)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from fortune_500_financial_insights_pipeline_spark.plans.jobs import build_elt_dag
+from fortune_500_financial_insights_pipeline_spark.plans.runner import Dag
+
+
+def test_runner_topological_order_and_results():
+    seen = []
+    dag = (
+        Dag("t")
+        .add("c", lambda: seen.append("c"), deps=["a", "b"])
+        .add("a", lambda: seen.append("a"))
+        .add("b", lambda: seen.append("b"), deps=["a"])
+    )
+    results = dag.run()
+    assert seen == ["a", "b", "c"]
+    assert all(r.status == "success" for r in results.values())
+
+
+def test_runner_failure_skips_downstream_keeps_siblings():
+    seen = []
+
+    def boom():
+        raise RuntimeError("nope")
+
+    dag = (
+        Dag("t")
+        .add("a", boom)
+        .add("b", lambda: seen.append("b"), deps=["a"])
+        .add("c", lambda: seen.append("c"))  # independent branch
+    )
+    results = dag.run()
+    assert results["a"].status == "failed"
+    assert "RuntimeError" in results["a"].error
+    assert results["b"].status == "skipped"
+    assert results["c"].status == "success"
+    assert seen == ["c"]
+
+
+def test_runner_retries():
+    attempts = {"n": 0}
+
+    def flaky():
+        attempts["n"] += 1
+        if attempts["n"] < 3:
+            raise ValueError("transient")
+        return "ok"
+
+    results = Dag("t").add("a", flaky, retries=2).run()
+    assert results["a"].status == "success"
+    assert results["a"].attempts == 3
+
+
+def test_runner_rejects_cycles_and_unknown_deps():
+    dag = Dag("t").add("a", lambda: 1, deps=["b"]).add("b", lambda: 2, deps=["a"])
+    with pytest.raises(ValueError, match="cycle"):
+        dag.run()
+    with pytest.raises(ValueError, match="unknown"):
+        Dag("t").add("a", lambda: 1, deps=["ghost"]).run()
+
+
+def test_elt_dag_end_to_end(spark, tmp_path):
+    """The full reference graph: raw CSV+JSON fixtures → standardize/flatten
+    → DDL-typed warehouse → spark.sql serving."""
+    from tests.test_pipelines import API_ROWS, INFO_FULL, INFO_SPARSE, KAGGLE_ROWS
+
+    kaggle = tmp_path / "kaggle"
+    api = tmp_path / "api"
+    info = tmp_path / "info"
+    esg = tmp_path / "esg"
+    for d in (kaggle, api, info, esg):
+        d.mkdir()
+    (kaggle / "aapl.us.txt").write_text("\n".join(KAGGLE_ROWS) + "\n")
+    (api / "AAPL.csv").write_text("\n".join(API_ROWS) + "\n")
+    (info / "AAPL.json").write_text(json.dumps(INFO_FULL))
+    (info / "MSFT.json").write_text(json.dumps(INFO_SPARSE))
+    (esg / "AAPL.json").write_text(
+        json.dumps({"esgScores": {"totalEsg": 17.2, "peerGroup": "Tech", "peerCount": 40}})
+    )
+
+    wh = str(tmp_path / "wh")
+    dag = build_elt_dag(
+        spark,
+        kaggle_glob=str(kaggle / "*.us.txt"),
+        api_glob=str(api / "*.csv"),
+        info_glob=str(info / "*.json"),
+        sustainability_glob=str(esg / "*.json"),
+        warehouse_path=wh,
+    )
+    results = dag.run()
+    assert {r.status for r in results.values()} == {"success"}, {
+        k: (v.status, v.error) for k, v in results.items()
+    }
+    assert set(results["register_warehouse"].output) == {
+        "openclose",
+        "metadata",
+        "sustainability",
+    }
+
+    # serving SQL over the registered warehouse
+    close = spark.sql(
+        "SELECT Ticker, MAX(Close) AS mx FROM openclose GROUP BY Ticker"
+    ).collect()
+    assert {r.Ticker for r in close} == {"AAPL"}
+    meta = spark.sql("SELECT Ticker, Sector FROM metadata ORDER BY Ticker").collect()
+    assert [r.Ticker for r in meta] == ["AAPL", "MSFT"]
+    esg_rows = spark.sql("SELECT Ticker, TotalESG, PeerGroup FROM sustainability").collect()
+    assert len(esg_rows) == 1 and str(esg_rows[0].TotalESG) == "17.20"
+    assert esg_rows[0].Ticker == "AAPL"

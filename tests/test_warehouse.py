@@ -1,0 +1,98 @@
+"""Warehouse layer tests: DDL-type conformance, partitioned round-trip,
+spark.sql serving (SURVEY.md §7.4)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fortune_500_financial_insights_pipeline_spark import warehouse as WH
+
+
+def _sample_openclose(spark):
+    rows = [
+        ("AAPL", "2017-11-09", 174.9, 175.5, 173.0, 175.88, 30000000.0),
+        ("AAPL", "2017-11-10", 175.1, 175.6, 174.2, 174.67, 25000000.0),
+        ("MSFT", "2017-11-10", 83.5, 84.1, 83.1, 83.87, 18000000.0),
+        ("MSFT", "2018-01-02", 86.1, 86.3, 85.5, 85.95, 22000000.0),
+    ]
+    return (
+        spark.createDataFrame(
+            rows, "Ticker string, Date string, Open double, High double, Low double, Close double, Volume double"
+        )
+        .withColumn("Date", F.to_date("Date"))
+    )
+
+
+def test_conform_types_and_missing_columns(spark):
+    df = WH.conform(_sample_openclose(spark), "openclose")
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    assert isinstance(fields["Date"], T.DateType)
+    assert isinstance(fields["Volume"], T.LongType)  # DDL BIGINT, not double
+    assert isinstance(fields["Close"], T.DoubleType)
+    # declared-but-absent columns materialize as typed nulls
+    assert isinstance(fields["Dividends"], T.DoubleType)
+    assert df.filter(F.col("Dividends").isNotNull()).count() == 0
+
+
+def test_conform_decimal_money(spark):
+    df = spark.createDataFrame(
+        [("AAPL", "2024-12-31", 96995000000.456, 3.14159)],
+        "Ticker string, Date string, Free_Cash_Flow double, ignored double",
+    ).withColumn("Date", F.to_date("Date"))
+    out = WH.conform(df, "cashflow5y")
+    fields = {f.name: f.dataType for f in out.schema.fields}
+    assert fields["Free_Cash_Flow"] == T.DecimalType(20, 2)
+    assert "ignored" not in out.columns
+    got = out.select("Free_Cash_Flow").head()[0]
+    assert str(got) == "96995000000.46"  # exact DECIMAL(20,2), not float
+
+
+def test_surrogate_key_deterministic(spark):
+    df = _sample_openclose(spark)
+    k1 = WH.add_surrogate_key(df, ["Ticker", "Date"]).select("ID").collect()
+    k2 = WH.add_surrogate_key(df.repartition(8), ["Ticker", "Date"]).select("ID").collect()
+    assert sorted(r.ID for r in k1) == sorted(r.ID for r in k2)
+    assert len({r.ID for r in k1}) == 4  # unique per natural key
+
+
+def test_write_register_serve(spark, tmp_path):
+    base = str(tmp_path / "wh")
+    WH.write_table(_sample_openclose(spark), base, "openclose")
+    meta = spark.createDataFrame(
+        [("AAPL", "Tech", "Consumer Electronics"), ("MSFT", "Tech", "Software")],
+        "Ticker string, Sector string, Industry string",
+    ).withColumn("Date", F.to_date(F.lit("2024-12-31")))
+    WH.write_table(meta, base, "metadata")
+
+    # year-partitioned layout on disk (partition pruning works on read)
+    assert os.path.isdir(os.path.join(base, "openclose", "year=2017"))
+    assert os.path.isdir(os.path.join(base, "openclose", "year=2018"))
+
+    registered = WH.register(spark, base)
+    assert set(registered) == {"openclose", "metadata"}
+
+    yearly = {
+        (r.Ticker, r.year): r.trading_days
+        for r in WH.serve(spark, "yearly_price_summary").collect()
+    }
+    assert yearly[("AAPL", 2017)] == 2
+    assert yearly[("MSFT", 2018)] == 1
+
+    latest = {r.Ticker: r.Close for r in WH.serve(spark, "latest_close_per_ticker").collect()}
+    assert latest["MSFT"] == 85.95
+
+    joined = WH.serve(spark, "price_with_metadata").collect()
+    assert {r.Sector for r in joined} == {"Tech"}
+
+
+def test_partition_pruning_on_year(spark, tmp_path):
+    """A year-filtered scan reads only that partition's files."""
+    base = str(tmp_path / "wh")
+    WH.write_table(_sample_openclose(spark), base, "openclose")
+    df = spark.read.parquet(os.path.join(base, "openclose")).filter(F.col("year") == 2018)
+    assert df.count() == 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(year" in plan or "year#" in plan
