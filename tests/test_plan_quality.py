@@ -1,0 +1,94 @@
+"""Physical-plan quality gates (the 100 TB design point, SURVEY.md §4).
+
+Correctness tests prove the small-SF answer; these prove the *plan* is the
+one that survives a 1000-executor scale-up: filters reach the parquet scan,
+small dims broadcast instead of shuffling the fact side, aggregates combine
+map-side, top-k never globally sorts, and nothing collapses to a single
+partition the way the reference's Window.orderBy(lit(1)) does
+(/root/reference/code/spark-jobs/raw_to_landing_sparkjob.py:85-86).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_push_to_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_csv_scan")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "GreaterThan(l_quantity" in m.group(1)
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    # 5 projected source columns only — not lineitem's full 16-column schema
+    assert m and m.group(1).count(":") == 5, m.group(1)
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_join_broadcast")
+    assert "BroadcastHashJoin" in plan
+    # the fact side must not shuffle for the join (only the agg exchanges)
+    assert "hashpartitioning(l_partkey" not in plan
+
+
+def test_aggregate_is_partial_then_final(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_groupby_agg")
+    assert "partial_sum" in plan  # map-side combine before the exchange
+    # fixed-point interior: sums run on longs (vectorized fast path), not
+    # on >18-digit decimals that fall off whole-stage codegen
+    assert "as bigint))" in plan and "partial_sum(cast(round(" in plan
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_single_partition_exchange(spark, sf_dir):
+    """No query may funnel all rows through one partition (the reference's
+    skip-rows pessimization). Global-sort range exchanges and broadcast
+    exchanges are fine; SinglePartition exchanges are not."""
+    for name in [
+        "q_skip_rows",
+        "q_groupby_agg",
+        "q_window_rank",
+        "q_window_cumsum",
+        "q_dedup_keep_latest",
+        "q_join_inner",
+    ]:
+        plan = plan_of(spark, sf_dir, name)
+        assert "Exchange SinglePartition" not in plan, name
+
+
+def test_windows_shuffle_once_by_partition_key(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_window_cumsum")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "hashpartitioning(l_suppkey" in plan
+
+
+def test_semi_anti_do_not_materialize_right_columns(spark, sf_dir):
+    for name, kind in [("q_join_semi", "LeftSemi"), ("q_join_anti", "LeftAnti")]:
+        plan = plan_of(spark, sf_dir, name)
+        assert kind in plan, name
+
+
+def test_similarity_broadcasts_query_vector(spark, sf_dir):
+    """Brute-force cosine top-k: the query vector is inlined as a literal —
+    no join, no shuffle of the corpus side at all — and the result is a
+    streaming top-k, not a global sort."""
+    plan = plan_of(spark, sf_dir, "q_cosine_topk")
+    assert "Join" not in plan and "Exchange" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize("name", ["q_events_tumbling", "q_pivot"])
+def test_event_and_pivot_aggregates_partial(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "partial_" in plan
