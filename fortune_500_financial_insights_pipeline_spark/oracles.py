@@ -468,3 +468,9 @@ SELECT doc_id,
        lower(sha256(text)) AS sha
 FROM documents
 """
+
+# SQL text surface: the Spark query and the oracle are the same statement
+# (see sql_surface.py — dialect-shared subset, zero translation).
+from fortune_500_financial_insights_pipeline_spark.sql_surface import SHARED_SQL as _SHARED_SQL
+
+ORACLES.update(_SHARED_SQL)

@@ -741,6 +741,28 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# SQL text surface (sql_surface.py): the same SQL string runs verbatim on
+# Spark (here) and DuckDB (oracle side) — spark.sql over registered views.
+# ---------------------------------------------------------------------------
+
+
+def _register_sql_surface() -> None:
+    from fortune_500_financial_insights_pipeline_spark.catalog import register_views
+    from fortune_500_financial_insights_pipeline_spark.sql_surface import SHARED_SQL
+
+    for name, sql in SHARED_SQL.items():
+
+        def run_sql(spark: SparkSession, sf_dir: str, _sql: str = sql) -> DataFrame:
+            register_views(spark, sf_dir)
+            return spark.sql(_sql)
+
+        QUERIES[name] = run_sql
+
+
+_register_sql_surface()
+
+
 @q("q_binary_meta")
 def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary column handling: synthesize a blob from text, compute
