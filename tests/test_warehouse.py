@@ -96,3 +96,64 @@ def test_partition_pruning_on_year(spark, tmp_path):
     assert df.count() == 1
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(year" in plan or "year#" in plan
+
+
+def test_bucketed_join_needs_no_exchange(spark, sf_dir, tmp_path):
+    """Same-key same-count bucketed tables sort-merge join with zero
+    shuffles — the write-once-join-many layout for recurring fact joins."""
+    from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    WH.write_bucketed(
+        orders, "orders_b", ["o_custkey"], num_buckets=8,
+        sort_cols=["o_custkey"], path=str(tmp_path / "orders_b"),
+    )
+    WH.write_bucketed(
+        customer, "customer_b", ["c_custkey"], num_buckets=8,
+        sort_cols=["c_custkey"], path=str(tmp_path / "customer_b"),
+    )
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("orders_b").join(
+                spark.table("customer_b"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange hashpartitioning" not in plan  # co-located
+            # result parity with the plain (shuffling) join
+            assert joined.count() == orders.join(
+                customer, orders.o_custkey == customer.c_custkey
+            ).count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Salted skew join returns exactly the plain join's rows, while the
+    shuffle key carries the salt (hot key spread over N partitions)."""
+    from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+    from fortune_500_financial_insights_pipeline_spark.operators.skew import salted_join
+
+    # manufacture skew: 80% of rows share one key
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "skew_key", F.when(F.col("o_orderkey") % 5 != 0, 1).otherwise(F.col("o_orderkey"))
+    )
+    dim = spark.range(0, 50).select(
+        (F.col("id") * 5).alias("skew_key"), (F.col("id") % 7).alias("dim_val")
+    ).union(spark.createDataFrame([(1, 99)], "skew_key long, dim_val long"))
+
+    plain = orders.join(dim, "skew_key", "inner").select("o_orderkey", "dim_val")
+    salted = salted_join(orders, dim, on=["skew_key"], salt=8).select(
+        "o_orderkey", "dim_val"
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan  # join key includes the salt → spread shuffle
