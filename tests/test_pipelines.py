@@ -230,3 +230,55 @@ def test_decode_stub_raises():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"payload", fake=False)
+
+
+DIVIDEND_CSV = "\n".join(
+    [
+        "Date,Dividends",
+        "2024-02-09 00:00:00-05:00,0.24",
+        "2024-05-10 00:00:00-04:00,0.25",
+        "bogus,1.0",
+    ]
+)
+
+RECS_CSV = "\n".join(
+    [
+        "Date,Period,StrongBuy,Buy,Hold,Sell,StrongSell",
+        "2024-03-01,0m,10,21,8,1,0",
+        "2024-03-01,-1m,9,22,8,2,0",
+    ]
+)
+
+
+def test_dividends_pipeline_to_warehouse(spark, tmp_path):
+    from fortune_500_financial_insights_pipeline_spark import warehouse as WH
+    from fortune_500_financial_insights_pipeline_spark.pipelines.entity_csv import dividends
+
+    d = tmp_path / "div"
+    d.mkdir()
+    (d / "AAPL.csv").write_text(DIVIDEND_CSV + "\n")
+    df = dividends(spark, str(d / "*.csv"))
+    rows = df.collect()
+    assert len(rows) == 2  # bogus date quarantined
+    assert {r.Ticker for r in rows} == {"AAPL"}
+    # tz-suffixed timestamps parse on the date prefix
+    assert {str(r.Date) for r in rows} == {"2024-02-09", "2024-05-10"}
+
+    WH.write_table(df, str(tmp_path / "wh"), "dividend_history")
+    back = spark.read.parquet(str(tmp_path / "wh" / "dividend_history"))
+    amt = {str(r.Date): str(r.Dividends) for r in back.collect()}
+    assert amt["2024-02-09"] == "0.24"  # DECIMAL(20,2) exact
+
+
+def test_analyst_recs_pipeline(spark, tmp_path):
+    from fortune_500_financial_insights_pipeline_spark.pipelines.entity_csv import (
+        analyst_recommendations,
+    )
+
+    d = tmp_path / "recs"
+    d.mkdir()
+    (d / "MSFT.csv").write_text(RECS_CSV + "\n")
+    df = analyst_recommendations(spark, str(d / "*.csv"))
+    rows = {r.Period: r for r in df.collect()}
+    assert rows["0m"].StrongBuy == 10 and rows["-1m"].Sell == 2
+    assert df.schema["StrongBuy"].dataType.typeName() == "integer"
