@@ -1,0 +1,190 @@
+"""Operator-level unit tests with planted inputs and hand-computed answers —
+the behavioral contract the fixture-table oracle checks can't pin (near-dup
+recall on actual duplicates, as-of edge cases, per-file skip semantics)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the river shore"),  # near-dup of 0
+    (2, "completely different text about financial statements and revenue"),
+    (3, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+]
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_minhash_finds_planted_neardups(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.minhash import minhash_neardup_pairs
+
+    pairs = {
+        (r.id_a, r.id_b): r.jac
+        for r in minhash_neardup_pairs(
+            _docs_df(spark), "doc_id", "text", n_hashes=16, bands=8, min_jaccard=0.5
+        ).collect()
+    }
+    assert pairs[(0, 3)] == 1.0  # exact dup
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.5  # near dup
+    assert all(2 not in p for p in pairs)  # unrelated doc never paired
+
+
+def test_simhash_hamming_tracks_similarity(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.minhash import simhash
+
+    sh = {
+        r.doc_id: r.sh
+        for r in _docs_df(spark).select("doc_id", simhash("text").alias("sh")).collect()
+    }
+    assert sh[0] == sh[3]  # identical text -> identical fingerprint
+
+    def hamming(a, b):
+        return bin((a ^ b) & (2**63 - 1)).count("1")
+
+    assert hamming(sh[0], sh[1]) < hamming(sh[0], sh[2])
+
+
+def test_fingerprint_normalizes_case_and_whitespace(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.text import fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "hello worlds")],
+        "id long, text string",
+    ).select("id", fingerprint("text").alias("fp"))
+    fp = {r.id: r.fp for r in df.collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]
+
+
+def test_text_metrics_known_values(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators import text as TX
+
+    df = spark.createDataFrame([("the cat sat on the mat",)], "text string").select(
+        TX.token_count("text").alias("n"),
+        TX.distinct_token_count("text").alias("nd"),
+        TX.bpe_token_count("text").alias("nb"),
+        F.round(TX.stopword_ratio("text"), 6).alias("sw"),
+    )
+    r = df.head()
+    assert r.n == 6
+    assert r.nd == 5  # 'the' twice
+    assert r.nb == 6
+    assert r.sw == round(3 / 6, 6)  # the, on, the
+
+
+def test_word_ngrams_and_jaccard(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.text import jaccard, word_ngrams
+
+    df = spark.createDataFrame([("a b c d",)], "text string").select(
+        word_ngrams("text", 2).alias("g2")
+    )
+    assert sorted(df.head().g2) == ["a b", "b c", "c d"]
+
+    two = spark.createDataFrame([("a b c", "b c d")], "x string, y string").select(
+        F.round(jaccard(word_ngrams("x", 2), word_ngrams("y", 2)), 6).alias("j")
+    )
+    # grams {a b, b c} vs {b c, c d}: intersection 1, union 3
+    assert two.head().j == round(1 / 3, 6)
+
+
+def test_cosine_topk_matches_exact_math(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.similarity import cosine_topk
+
+    vecs = [(0, [1.0, 0.0]), (1, [0.8, 0.6]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = cosine_topk(emb, [1.0, 0.0], k=3).collect()
+    assert [r.vec_id for r in got] == [0, 1, 2]
+    assert got[0].sim == 1.0
+    assert got[1].sim == 0.8  # cos = 0.8/1.0
+    assert got[2].sim == 0.0
+
+
+def test_lsh_neardup_finds_planted_pair(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.similarity import lsh_neardup_pairs
+
+    base = [math.sin(i) for i in range(16)]
+    close = [v + (0.001 if i == 0 else 0.0) for i, v in enumerate(base)]
+    ortho = [(1.0 if i == (j + 1) % 16 else 0.0) for j in range(1) for i in range(16)]
+    emb = spark.createDataFrame(
+        [(0, base), (1, close), (2, ortho)], "vec_id long, embedding array<float>"
+    )
+    pairs = lsh_neardup_pairs(emb, dim=16, n_planes=8, min_cosine=0.99).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(0, 1)]
+    assert pairs[0].cosine > 0.999
+
+
+def test_asof_join_edge_cases(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 10, 100), ("k", 20, 101), ("k", 5, 102), ("z", 50, 103)],
+        "key string, ts long, lid long",
+    )
+    # tiebreak col must exist on both sides (shared id namespace)
+    right = spark.createDataFrame(
+        [("k", 10, 1.0, 900), ("k", 15, 2.0, 901), ("z", 60, 9.9, 902)],
+        "key string, ts long, val double, lid long",
+    )
+    got = {
+        r.lid: r.val_asof
+        for r in asof_join(
+            left, right, on=["key"], ts_col="ts", value_cols=["val"], tiebreak_col="lid"
+        ).collect()
+    }
+    assert got[100] == 1.0  # equal ts visible (<= semantics)
+    assert got[101] == 2.0  # latest prior wins
+    assert got[102] is None  # nothing at or before -> null
+    assert got[103] is None  # right row strictly after left ts
+
+
+def test_skip_rows_per_file_is_per_file(spark, tmp_path):
+    from fortune_500_financial_insights_pipeline_spark.operators.skip_rows import skip_rows_per_file
+
+    for fname in ("a.csv", "b.csv"):
+        (tmp_path / fname).write_text("\n".join(f"{fname}:{i}" for i in range(6)) + "\n")
+    df = spark.read.csv(str(tmp_path / "*.csv"), schema="v string")
+    out = skip_rows_per_file(df, n=4)
+    vals = sorted(r.v for r in out.collect())
+    # rows 0-3 of EACH file dropped, 4-5 kept
+    assert vals == ["a.csv:4", "a.csv:5", "b.csv:4", "b.csv:5"]
+
+
+def test_keep_latest_tiebreak(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.dedup import keep_latest
+
+    df = spark.createDataFrame(
+        [("k", 1, "old"), ("k", 2, "mid"), ("k", 2, "new2"), ("j", 9, "only")],
+        "key string, ver long, tag string",
+    )
+    got = {
+        r.key: r.tag
+        for r in keep_latest(df, keys=["key"], order_cols=["ver", "tag"]).collect()
+    }
+    assert got["j"] == "only"
+    assert got["k"] == "new2"  # (2, 'new2') > (2, 'mid') on the tiebreak
+
+
+def test_pivot_unpivot_roundtrip(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.pivot import pivot_wide, unpivot
+
+    long_df = spark.createDataFrame(
+        [("t1", "a", 1.0), ("t1", "b", 2.0), ("t2", "a", 3.0)],
+        "k string, item string, value double",
+    )
+    wide = pivot_wide(
+        long_df, group_cols=["k"], pivot_col="item", values=["a", "b"],
+        agg=F.first("value", ignorenulls=True),
+    )
+    assert set(wide.columns) == {"k", "a", "b"}
+    back = unpivot(wide, id_cols=["k"], value_cols=["a", "b"],
+                   var_name="item", value_name="value")
+    # t2 has no 'b': pivot makes it null, unpivot keeps the null slot
+    got = {(r.k, r.item): r.value for r in back.collect()}
+    assert got[("t1", "a")] == 1.0 and got[("t1", "b")] == 2.0
+    assert got[("t2", "a")] == 3.0 and got[("t2", "b")] is None
