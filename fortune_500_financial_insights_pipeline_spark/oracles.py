@@ -474,3 +474,59 @@ FROM documents
 from fortune_500_financial_insights_pipeline_spark.sql_surface import SHARED_SQL as _SHARED_SQL
 
 ORACLES.update(_SHARED_SQL)
+
+ORACLES["q_window_ntile"] = """
+SELECT c_custkey, c_mktsegment,
+       CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+"""
+
+ORACLES["q_range_join"] = f"""
+SELECT band,
+       COUNT(*) AS n_parts,
+       {_dsum('p_retailprice')} / COUNT(*) AS avg_price
+FROM part
+JOIN (VALUES ('low', 0.0, 930.0),
+             ('mid', 930.0, 970.0),
+             ('high', 970.0, 1000000000.0)) AS bands(band, lo, hi)
+  ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band
+"""
+
+ORACLES["q_first_last"] = """
+SELECT p_brand,
+       MAX(CASE WHEN rn_asc = 1 THEN p_partkey END) AS cheapest_part,
+       MAX(CASE WHEN rn_desc = 1 THEN p_partkey END) AS priciest_part,
+       MIN(p_retailprice) AS min_price,
+       MAX(p_retailprice) AS max_price
+FROM (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice, p_partkey) AS rn_asc,
+         ROW_NUMBER() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey DESC) AS rn_desc
+  FROM part
+)
+GROUP BY p_brand
+"""
+
+ORACLES["q_date_spine"] = """
+SELECT strftime(m, '%Y-%m-%d') AS month,
+       COALESCE(n, 0) AS n_orders
+FROM (
+  SELECT unnest(generate_series(DATE '1994-01-01', DATE '1994-12-01',
+                                INTERVAL 1 MONTH))::DATE AS m
+) spine
+LEFT JOIN (
+  SELECT date_trunc('month', o_orderdate)::DATE AS m, COUNT(*) AS n
+  FROM orders GROUP BY 1
+) agg USING (m)
+"""
+
+ORACLES["q_string_agg"] = """
+SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""

@@ -741,6 +741,93 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+@q("q_window_ntile")
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: quartile bucket + percent_rank per
+    market segment (W2 family)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+@q("q_range_join")
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi band join (J6): price bands × parts. The literal band table
+    broadcasts; the theta condition runs as BroadcastNestedLoopJoin — fine
+    because one side is tiny (the only sane shape for theta joins at scale)."""
+    p = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 930.0), ("mid", 930.0, 970.0), ("high", 970.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    joined = p.join(
+        F.broadcast(bands),
+        (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+    )
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n_parts"),
+        davg("p_retailprice").alias("avg_price"),
+    )
+
+
+@q("q_first_last")
+def q_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin/argmax aggregation (A6): cheapest and priciest part per brand.
+    min_by/max_by need a unique ordering key — p_partkey breaks price ties
+    deterministically via a struct compare."""
+    p = load_table(spark, sf_dir, "part")
+    price_key = F.struct("p_retailprice", "p_partkey")
+    return p.groupBy("p_brand").agg(
+        F.min_by("p_partkey", price_key).alias("cheapest_part"),
+        F.max_by("p_partkey", price_key).alias("priciest_part"),
+        F.min("p_retailprice").alias("min_price"),
+        F.max("p_retailprice").alias("max_price"),
+    )
+
+
+@q("q_date_spine")
+def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated month spine left-joined to monthly order counts — the
+    gaps-filled time series every reporting layer needs (sequence+explode;
+    months with no orders keep a 0)."""
+    o = load_table(spark, sf_dir, "orders")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1994-01-01").cast("date"),
+                F.lit("1994-12-01").cast("date"),
+                F.expr("interval 1 month"),
+            )
+        ).alias("month_start")
+    ).select(F.date_format("month_start", "yyyy-MM-dd").alias("month"))
+    monthly = (
+        o.withColumn("month", F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd"))
+        .groupBy("month")
+        .agg(F.count("*").alias("n"))
+    )
+    return spine.join(monthly, "month", "left").select(
+        "month", F.coalesce("n", F.lit(0)).alias("n_orders")
+    )
+
+
+@q("q_string_agg")
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: nation list per region (collect_list →
+    array_sort → join; DuckDB twin is string_agg ORDER BY)."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SQL text surface (sql_surface.py): the same SQL string runs verbatim on
 # Spark (here) and DuckDB (oracle side) — spark.sql over registered views.
