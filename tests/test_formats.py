@@ -1,0 +1,72 @@
+"""Storage-format matrix: every format the engine reads/writes round-trips
+with schema fidelity (parquet is the canonical warehouse format; CSV/JSON
+mirror the reference's raw/landing layers; ORC is the remaining columnar
+format Spark ships natively)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+
+
+@pytest.fixture(scope="module")
+def sample(spark, sf_dir):
+    return load_table(spark, sf_dir, "orders").limit(200).cache()
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+def test_round_trip(spark, sample, tmp_path, fmt):
+    path = str(tmp_path / fmt)
+    writer = sample.write.mode("overwrite").format(fmt)
+    if fmt == "csv":
+        writer = writer.option("header", True)
+    writer.save(path)
+
+    reader = spark.read.format(fmt)
+    if fmt in ("csv", "json"):
+        # text formats don't carry types: re-apply the schema (the engine's
+        # bronze-layer contract — explicit schemas, never inference)
+        reader = reader.schema(sample.schema)
+    if fmt == "csv":
+        reader = reader.option("header", True)
+    back = reader.load(path)
+
+    assert back.schema == sample.schema
+    key = [r.o_orderkey for r in sample.select("o_orderkey").collect()]
+    assert sorted(r.o_orderkey for r in back.select("o_orderkey").collect()) == sorted(key)
+    # value fidelity on a non-key column
+    want = {r.o_orderkey: r.o_totalprice for r in sample.collect()}
+    got = {r.o_orderkey: r.o_totalprice for r in back.collect()}
+    assert got == want
+
+
+def test_jsonl_sink_is_newline_delimited(spark, sample, tmp_path):
+    """The landing JSONL contract (S8/S10): one object per line, readable
+    back as NDJSON."""
+    import glob as globmod
+    import json
+
+    path = str(tmp_path / "jsonl")
+    sample.select("o_orderkey", "o_orderstatus").coalesce(1).write.json(path)
+    part = next(p for p in globmod.glob(path + "/part-*") if not p.endswith(".crc"))
+    with open(part) as fh:
+        first = fh.readline().strip()
+    obj = json.loads(first)
+    assert set(obj) <= {"o_orderkey", "o_orderstatus"}
+
+
+def test_partitioned_write_prunes_and_preserves(spark, sf_dir, tmp_path):
+    """partitionBy layout: values survive the round trip and the partition
+    column is directory-encoded (S6 semantics)."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    path = str(tmp_path / "byyear")
+    li.write.partitionBy("ship_year").mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    assert back.count() == li.count()
+    years = {r.ship_year for r in back.select("ship_year").distinct().collect()}
+    assert years == {r.ship_year for r in li.select("ship_year").distinct().collect()}
