@@ -58,5 +58,20 @@ def statements_wide(
     return wide.withColumnRenamed("period", "Date")
 
 
+def to_warehouse_columns(df: DataFrame) -> DataFrame:
+    """Line-item display names → DDL column names: non-alphanumerics become
+    underscores ('Total Revenue' → 'Total_Revenue', matching
+    /root/reference/code/sql/DDLs:241), so the wide frame conforms to the
+    QUARTERLY/BALANCESHEET5Y/CASHFLOW5Y schemas via warehouse.conform."""
+    import re
+
+    renames = {c: re.sub(r"[^0-9a-zA-Z]+", "_", c).strip("_") for c in df.columns}
+    out = df
+    for old, new in renames.items():
+        if old != new:
+            out = out.withColumnRenamed(old, new)
+    return out
+
+
 def write_statements(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").parquet(path)

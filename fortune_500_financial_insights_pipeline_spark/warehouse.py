@@ -64,10 +64,16 @@ def add_surrogate_key(df: DataFrame, key_cols: list[str], name: str = "ID") -> D
 
 
 def write_table(df: DataFrame, base_path: str, table: str) -> None:
-    """Conform + write one warehouse table as partitioned parquet."""
+    """Conform + write one warehouse table as partitioned parquet.
+
+    Partitioned tables write in dynamic-overwrite mode: a load that carries
+    only 2024 data replaces only ``year=2024``, so incremental reloads never
+    truncate history (the reference's BQ loads are WRITE_TRUNCATE — full
+    rewrites every run)."""
     out = conform(df, table)
     writer = out.write.mode("overwrite")
     if table in PARTITIONED and "Date" in out.columns:
+        df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         out = out.withColumn("year", F.year("Date"))
         writer = (
             out.sortWithinPartitions("Ticker", "Date")

@@ -157,3 +157,52 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
 
     plan = salted._jdf.queryExecution().executedPlan().toString()
     assert "__salt" in plan  # join key includes the salt → spread shuffle
+
+
+def test_dynamic_partition_overwrite_keeps_history(spark, tmp_path):
+    """A reload carrying only one year must replace only that partition."""
+    base = str(tmp_path / "wh")
+    WH.write_table(_sample_openclose(spark), base, "openclose")
+    # incremental load: only a 2018 row, with a changed close
+    inc = _sample_openclose(spark).filter(F.year("Date") == 2018).withColumn(
+        "Close", F.lit(99.99)
+    )
+    WH.write_table(inc, base, "openclose")
+    back = spark.read.parquet(os.path.join(base, "openclose"))
+    assert back.filter(F.col("year") == 2017).count() == 3  # history intact
+    assert back.filter(F.col("year") == 2018).head().Close == 99.99
+
+
+def test_statements_conform_to_quarterly_ddl(spark, tmp_path):
+    """Financial-statement wide frame -> DDL-named columns -> QUARTERLY
+    table with exact DECIMAL money types."""
+    from fortune_500_financial_insights_pipeline_spark.pipelines.tabular import (
+        statements_wide,
+        to_warehouse_columns,
+    )
+
+    csv = "\n".join(
+        [
+            ",2024-03-31,2023-12-31",
+            "Total Revenue,90753000000,119575000000",
+            "Net Income,23636000000,33916000000",
+            "Basic EPS,1.5328,2.1812",
+        ]
+    )
+    d = tmp_path / "q"
+    d.mkdir()
+    (d / "AAPL.csv").write_text(csv + "\n")
+    wide = statements_wide(
+        spark, {"AAPL": str(d / "AAPL.csv")},
+        ["Total Revenue", "Net Income", "Basic EPS"],
+    )
+    named = to_warehouse_columns(wide)
+    assert {"Total_Revenue", "Net_Income", "Basic_EPS"} <= set(named.columns)
+
+    conformed = WH.conform(named.withColumn("Quarter", F.lit("Q1")), "quarterly")
+    fields = {f.name: f.dataType for f in conformed.schema.fields}
+    assert str(fields["Total_Revenue"]) == "DecimalType(20,2)"
+    assert str(fields["Basic_EPS"]) == "DecimalType(10,4)"
+    row = {str(r.Date): r for r in conformed.collect()}
+    assert str(row["2024-03-31"].Total_Revenue) == "90753000000.00"
+    assert str(row["2024-03-31"].Basic_EPS) == "1.5328"
