@@ -128,3 +128,70 @@ def lsh_neardup_pairs(
         .filter(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: the scale path for *search* (many queries against
+# a fixed corpus). Index time: assign every vector to its nearest centroid
+# cell — one narrow shuffle-free pass; the cell id becomes a partition/
+# cluster key. Query time: pick the n_probe nearest centroids driver-side
+# (centroids are tiny), scan only those cells, brute-force within. Recall is
+# tunable via n_probe; cost drops from O(n) to O(n * n_probe / n_cells).
+# ---------------------------------------------------------------------------
+
+
+def sample_centroids(emb: DataFrame, k: int, vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> list[list[float]]:
+    """Deterministic centroid seed: the k vectors with smallest
+    xxhash64(id) — a uniform pseudo-random sample, stable across runs (a
+    k-means refinement would start from exactly this seed)."""
+    rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    return [list(map(float, r[1])) for r in rows]
+
+
+def _nearest_cell(vec_col: str, centroids: list[list[float]]) -> Column:
+    """Index of the nearest centroid, computed JVM-side: cosine against each
+    centroid literal, argmax via array_position(max)."""
+    sims = F.array(
+        *[
+            _dot(F.col(vec_col), F.array(*[F.lit(x) for x in c]))
+            / (_norm(F.col(vec_col)) * F.lit(math.sqrt(sum(x * x for x in c)) or 1.0))
+            for c in centroids
+        ]
+    )
+    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+
+def ivf_index(emb: DataFrame, centroids: list[list[float]],
+              vec_col: str = "embedding") -> DataFrame:
+    """Attach the IVF cell id. Persist partitioned/bucketed by ``cell`` so a
+    probe reads only its cells' files."""
+    return emb.withColumn("cell", _nearest_cell(vec_col, centroids))
+
+
+def ivf_topk(
+    indexed: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: scan only the n_probe cells whose centroids are
+    nearest the query (cell choice is pure driver-side math on the tiny
+    centroid list), exact cosine within."""
+    qnorm = math.sqrt(sum(v * v for v in query_vec)) or 1.0
+
+    def cos(c: list[float]) -> float:
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        return sum(a * b for a, b in zip(query_vec, c)) / (cn * qnorm)
+
+    probe = sorted(range(len(centroids)), key=lambda i: -cos(centroids[i]))[:n_probe]
+    return cosine_topk(
+        indexed.filter(F.col("cell").isin(probe)).drop("cell"), query_vec, k, vec_col
+    )

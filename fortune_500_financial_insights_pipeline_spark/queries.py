@@ -610,6 +610,23 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb.select("vec_id", "label", "embedding"), list(qvec), k=20)
 
 
+@q("q_ivf_topk")
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (rows-only: cell routing is Spark-specific;
+    recall vs brute force is pinned by test_ivf_topk_recall_on_clustered_data
+    and the exact twin q_cosine_topk carries the value check)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.similarity import (
+        ivf_index,
+        ivf_topk,
+        sample_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    centroids = sample_centroids(emb, k=8)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ivf_topk(ivf_index(emb, centroids), centroids, list(qvec), k=20, n_probe=2)
+
+
 @q("q_embed_neardup_lsh")
 def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate vectors via random-hyperplane LSH bucketing (rows-only:

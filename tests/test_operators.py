@@ -188,3 +188,42 @@ def test_pivot_unpivot_roundtrip(spark):
     got = {(r.k, r.item): r.value for r in back.collect()}
     assert got[("t1", "a")] == 1.0 and got[("t1", "b")] == 2.0
     assert got[("t2", "a")] == 3.0 and got[("t2", "b")] is None
+
+
+def test_ivf_topk_recall_on_clustered_data(spark):
+    """IVF with cluster-aligned centroids: probing 1 of 3 cells returns the
+    exact brute-force top-k when the query sits inside a cluster; cell
+    assignment routes every vector to its own cluster's centroid."""
+    import random
+
+    from fortune_500_financial_insights_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        ivf_index,
+        ivf_topk,
+        sample_centroids,
+    )
+
+    rng = random.Random(7)
+    centers = [[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]]
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(30):
+            rows.append((vid, [x + rng.uniform(-0.5, 0.5) for x in c]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    indexed = ivf_index(emb, centers)
+    cells = {r.vec_id: r.cell for r in indexed.collect()}
+    for v, cell in cells.items():
+        assert cell == v // 30  # every vector lands in its cluster's cell
+
+    query = [9.5, 0.3, -0.2]
+    exact = [r.vec_id for r in cosine_topk(emb, query, k=5).collect()]
+    approx = [r.vec_id for r in ivf_topk(indexed, centers, query, k=5, n_probe=1).collect()]
+    assert approx == exact  # full recall: the true neighbors share the cell
+
+    # deterministic centroid sampling: same seed rows every call
+    s1 = sample_centroids(emb, 3)
+    s2 = sample_centroids(emb.repartition(8), 3)
+    assert s1 == s2
