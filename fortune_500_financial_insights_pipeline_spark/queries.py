@@ -867,6 +867,17 @@ def _register_sql_surface() -> None:
 _register_sql_surface()
 
 
+@q("q_hash_sample")
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-keyed 10% sample (rows-only: xxhash64 is
+    Spark-specific; partition-invariance is pinned by
+    test_hash_sample_is_partition_invariant)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.sampling import hash_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return hash_sample(d, 0.1, ["doc_id"]).select("doc_id", "lang", "n_chars")
+
+
 @q("q_binary_meta")
 def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary column handling: synthesize a blob from text, compute

@@ -227,3 +227,60 @@ def test_ivf_topk_recall_on_clustered_data(spark):
     s1 = sample_centroids(emb, 3)
     s2 = sample_centroids(emb.repartition(8), 3)
     assert s1 == s2
+
+
+def test_hash_sample_is_partition_invariant(spark, sf_dir):
+    from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+    from fortune_500_financial_insights_pipeline_spark.operators.sampling import hash_sample
+
+    o = load_table(spark, sf_dir, "orders")
+    s1 = {r.o_orderkey for r in hash_sample(o, 0.1, ["o_orderkey"]).collect()}
+    s2 = {
+        r.o_orderkey
+        for r in hash_sample(o.repartition(17), 0.1, ["o_orderkey"]).collect()
+    }
+    assert s1 == s2  # same rows regardless of partitioning
+    n = o.count()
+    assert 0.05 * n < len(s1) < 0.15 * n  # roughly the asked fraction
+    # monotone: a bigger fraction strictly contains the smaller sample
+    s3 = {r.o_orderkey for r in hash_sample(o, 0.2, ["o_orderkey"]).collect()}
+    assert s1 <= s3
+
+
+def test_stratified_sample_fractions(spark, sf_dir):
+    from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+    from fortune_500_financial_insights_pipeline_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    got = stratified_sample(o, "o_orderstatus", {"F": 0.5, "O": 0.1, "P": 1.0})
+    by = {r.o_orderstatus: r.n for r in got.groupBy("o_orderstatus").count()
+          .withColumnRenamed("count", "n").collect()}
+    tot = {r.o_orderstatus: r.n for r in o.groupBy("o_orderstatus").count()
+           .withColumnRenamed("count", "n").collect()}
+    assert 0.3 < by["F"] / tot["F"] < 0.7
+    assert by["O"] / tot["O"] < 0.25
+    assert by.get("P", 0) == tot.get("P", 0)  # fraction 1.0 keeps everything
+
+
+def test_compact_for_write_partition_count(spark, sf_dir, tmp_path):
+    from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+    from fortune_500_financial_insights_pipeline_spark.operators.compact import (
+        compact_for_write,
+        estimate_bytes,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    est = estimate_bytes(li)
+    assert est > 0
+    # tiny target -> many partitions; huge target -> exactly one
+    many = compact_for_write(li, target_bytes=est // 10)
+    one = compact_for_write(li, target_bytes=est * 10)
+    assert many.rdd.getNumPartitions() >= 5
+    assert one.rdd.getNumPartitions() == 1
+    # one output file when compacted to a single partition
+    out = str(tmp_path / "one")
+    one.write.mode("overwrite").parquet(out)
+    import glob as g
+    assert len([p for p in g.glob(out + "/part-*") if p.endswith(".parquet")]) == 1
