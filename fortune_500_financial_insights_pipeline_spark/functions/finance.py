@@ -1,0 +1,75 @@
+"""Financial time-series analytics: the per-ticker insights the reference
+delegates to Tableau over the warehouse (README.md:9-10, the AMZN dashboard
+image) — daily returns, moving averages, EMA, rolling volatility, VWAP,
+cumulative return, max drawdown — as window expressions over the
+``openclose`` schema (Ticker, Date, Open/High/Low/Close, Volume).
+
+Everything is a single-shuffle plan: one window partitioned by Ticker,
+ordered by Date. No sequential driver loop — EMA, normally a recursion,
+is computed closed-form inside ``aggregate`` over a bounded trailing
+window's collected values (exact, JVM-side)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _w(ticker_col: str, date_col: str) -> W:
+    return W.partitionBy(ticker_col).orderBy(date_col)
+
+
+def with_insights(
+    df: DataFrame,
+    ticker_col: str = "Ticker",
+    date_col: str = "Date",
+    close_col: str = "Close",
+    volume_col: str = "Volume",
+    ma_days: int = 20,
+    vol_days: int = 20,
+    ema_days: int = 12,
+) -> DataFrame:
+    """Attach the dashboard metric columns in one pass / one shuffle."""
+    w = _w(ticker_col, date_col)
+    w_ma = w.rowsBetween(-(ma_days - 1), W.currentRow)
+    w_vol = w.rowsBetween(-(vol_days - 1), W.currentRow)
+    w_ema = w.rowsBetween(-(ema_days * 4 - 1), W.currentRow)  # 4 spans ≈ exact
+    w_run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+
+    close = F.col(close_col)
+    prev = F.lag(close_col, 1).over(w)
+    ret = (close / prev - 1).alias("daily_return")
+
+    # EMA closed form over the trailing window's values: newest gets weight
+    # a, older values decay by (1-a)^age; normalized so a truncated window
+    # is still a proper weighted mean. aggregate() keeps it JVM-side.
+    a = 2.0 / (ema_days + 1)
+    vals = F.collect_list(close).over(w_ema)  # oldest..newest within window
+    n = F.size(vals)
+    weighted = F.aggregate(
+        F.zip_with(
+            vals,
+            F.transform(F.sequence(F.lit(1), n), lambda i: F.pow(F.lit(1.0 - a), (n - i).cast("double"))),
+            lambda v, wgt: v * wgt,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = (F.lit(1.0) - F.pow(F.lit(1.0 - a), n.cast("double"))) / F.lit(a)
+
+    run_max = F.max(close).over(w_run)
+
+    return df.select(
+        "*",
+        ret,
+        F.avg(close).over(w_ma).alias(f"sma_{ma_days}"),
+        (weighted / norm).alias(f"ema_{ema_days}"),
+        F.stddev_samp(close / prev - 1).over(w_vol).alias(f"volatility_{vol_days}"),
+        (
+            F.sum(close * F.col(volume_col)).over(w_ma)
+            / F.sum(volume_col).over(w_ma)
+        ).alias(f"vwap_{ma_days}"),
+        (close / F.first(close).over(w_run) - 1).alias("cum_return"),
+        (close / run_max - 1).alias("drawdown"),
+        F.min(close / run_max - 1).over(w_run).alias("max_drawdown"),
+    )
