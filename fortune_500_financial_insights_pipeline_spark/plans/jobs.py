@@ -83,3 +83,38 @@ def build_elt_dag(
         deps=["transform_open_close", "transform_info", "transform_sustainability"],
     )
     return dag
+
+
+def build_statements_dag(
+    spark: SparkSession,
+    sheet_files: dict[str, dict[str, str]],
+    interest_items: dict[str, list[str]],
+    warehouse_path: str,
+) -> Dag:
+    """The tabular-statements DAG (reference: transform_tabular_entities.py):
+    one task per sheet, each landing a DDL-conformed warehouse table.
+
+    ``sheet_files``: {warehouse_table: {TICKER: csv_path}} for the sheets
+    that have declared DDL schemas (quarterly / balancesheet5y / cashflow5y);
+    ``interest_items``: the per-sheet line-item keep lists (the reference's
+    columns_interested_in, transform_job_tabular_entitities.py:117-317)."""
+    from fortune_500_financial_insights_pipeline_spark.pipelines.tabular import (
+        statements_wide,
+        to_warehouse_columns,
+    )
+
+    dag = Dag("f500_statements")
+
+    def load_sheet(table: str) -> int:
+        wide = statements_wide(spark, sheet_files[table], interest_items[table])
+        WH.write_table(to_warehouse_columns(wide), warehouse_path, table)
+        return spark.read.parquet(f"{warehouse_path}/{table}").count()
+
+    for table in sheet_files:
+        dag.add(f"transform_{table}", lambda t=table: load_sheet(t), retries=1)
+    dag.add(
+        "register_warehouse",
+        lambda: WH.register(spark, warehouse_path),
+        deps=[f"transform_{t}" for t in sheet_files],
+    )
+    return dag

@@ -114,3 +114,36 @@ def test_elt_dag_end_to_end(spark, tmp_path):
     esg_rows = spark.sql("SELECT Ticker, TotalESG, PeerGroup FROM sustainability").collect()
     assert len(esg_rows) == 1 and str(esg_rows[0].TotalESG) == "17.20"
     assert esg_rows[0].Ticker == "AAPL"
+
+
+def test_statements_dag_lands_quarterly(spark, tmp_path):
+    from fortune_500_financial_insights_pipeline_spark.plans.jobs import build_statements_dag
+
+    csv = "\n".join(
+        [
+            ",2024-03-31,2023-12-31",
+            "Total Revenue,90753000000,119575000000",
+            "Net Income,23636000000,33916000000",
+        ]
+    )
+    d = tmp_path / "stmts"
+    d.mkdir()
+    (d / "AAPL.csv").write_text(csv + "\n")
+    (d / "MSFT.csv").write_text(csv + "\n")
+
+    wh = str(tmp_path / "wh")
+    dag = build_statements_dag(
+        spark,
+        sheet_files={"quarterly": {"AAPL": str(d / "AAPL.csv"), "MSFT": str(d / "MSFT.csv")}},
+        interest_items={"quarterly": ["Total Revenue", "Net Income"]},
+        warehouse_path=wh,
+    )
+    results = dag.run()
+    assert {r.status for r in results.values()} == {"success"}, {
+        k: (v.status, v.error) for k, v in results.items()
+    }
+    rows = spark.sql(
+        "SELECT Ticker, Date, Total_Revenue FROM quarterly ORDER BY Ticker, Date"
+    ).collect()
+    assert len(rows) == 4  # 2 tickers x 2 periods
+    assert str(rows[1].Total_Revenue) == "90753000000.00"  # DECIMAL(20,2)
