@@ -530,3 +530,11 @@ SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
 FROM nation JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
 """
+
+ORACLES["q_union_drift"] = """
+SELECT o_orderkey, o_totalprice, 'A' AS src
+FROM orders WHERE o_orderkey % 3 = 0
+UNION ALL BY NAME
+SELECT o_orderkey, o_orderpriority, 'B' AS src
+FROM orders WHERE o_orderkey % 3 = 1
+"""

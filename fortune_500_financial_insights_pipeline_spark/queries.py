@@ -330,6 +330,21 @@ def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return high.unionByName(urgent)
 
 
+@q("q_union_drift")
+def q_union_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift union (U3, allowMissingColumns — the pandas-concat
+    semantics the statements job relies on): columns absent from one side
+    materialize as nulls."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_totalprice", F.lit("A").alias("src")
+    )
+    b = o.filter(F.col("o_orderkey") % 3 == 1).select(
+        "o_orderkey", "o_orderpriority", F.lit("B").alias("src")
+    )
+    return a.unionByName(b, allowMissingColumns=True)
+
+
 @q("q_intersect")
 def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
