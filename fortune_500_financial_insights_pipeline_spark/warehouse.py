@@ -118,6 +118,41 @@ def register(spark: SparkSession, base_path: str) -> list[str]:
     return registered
 
 
+def upsert_table(
+    spark: SparkSession,
+    base_path: str,
+    table: str,
+    updates: DataFrame,
+    keys: list[str],
+    order_col: str = "Date",
+) -> None:
+    """Merge-upsert without a table format: union existing rows with the
+    update batch, keep-latest per natural key (updates win ties), rewrite
+    only the year partitions the update touches (dynamic overwrite).
+
+    At scale the read side prunes to the touched partitions — the cost is
+    proportional to the updated slice, not the table. A real LakeHouse
+    format (Delta/Iceberg MERGE) drops in here unchanged; this is the
+    format-free equivalent with the same idempotence contract."""
+    from fortune_500_financial_insights_pipeline_spark.operators.dedup import keep_latest
+
+    path = os.path.join(base_path, table)
+    conformed = conform(updates, table).withColumn("_new", F.lit(1))
+    if os.path.isdir(path):
+        existing = spark.read.parquet(path).drop("year")
+        if table in PARTITIONED:
+            years = [r[0] for r in conformed.select(F.year(order_col)).distinct().collect()]
+            existing = existing.filter(F.year(order_col).isin(years))
+        merged = keep_latest(
+            existing.withColumn("_new", F.lit(0)).unionByName(conformed),
+            keys=keys,
+            order_cols=["_new"],
+        ).drop("_new")
+    else:
+        merged = conformed.drop("_new")
+    write_table(merged, base_path, table)
+
+
 # The analytical queries the reference delegates to Tableau/BigQuery
 # (README.md:9-10, images/tableau_AMZN.png: per-ticker price trends overlaid
 # with fundamentals), expressed on the warehouse tables.
