@@ -70,3 +70,47 @@ def test_partitioned_write_prunes_and_preserves(spark, sf_dir, tmp_path):
     assert back.count() == li.count()
     years = {r.ship_year for r in back.select("ship_year").distinct().collect()}
     assert years == {r.ship_year for r in li.select("ship_year").distinct().collect()}
+
+
+def test_corrupt_json_quarantine(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from fortune_500_financial_insights_pipeline_spark.sources.resilient import (
+        read_json_resilient,
+        split_corrupt,
+    )
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        'this is not json at all\n'
+        '{"id": 2, "name": "fine"}\n'
+        '{"id": "not-a-number", "name": 3}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    clean, quarantine = split_corrupt(read_json_resilient(spark, str(p), schema))
+    ids = sorted(r.id for r in clean.collect())
+    assert ids == [1, 2]
+    bad = [r._corrupt_record for r in quarantine.collect()]
+    assert len(bad) == 2
+    assert any("not json" in b for b in bad)  # raw text preserved for replay
+
+
+def test_corrupt_csv_quarantine(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from fortune_500_financial_insights_pipeline_spark.sources.resilient import (
+        read_csv_resilient,
+        split_corrupt,
+    )
+
+    p = tmp_path / "in.csv"
+    p.write_text("id,qty\n1,10\n2,notanumber\n3,30\n")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("qty", T.LongType())]
+    )
+    clean, quarantine = split_corrupt(read_csv_resilient(spark, str(p), schema))
+    assert sorted(r.id for r in clean.collect()) == [1, 3]
+    assert quarantine.count() == 1
