@@ -538,3 +538,14 @@ UNION ALL BY NAME
 SELECT o_orderkey, o_orderpriority, 'B' AS src
 FROM orders WHERE o_orderkey % 3 = 1
 """
+
+ORACLES["q_window_range"] = """
+SELECT o_orderkey, o_custkey,
+       COUNT(*) OVER w AS n_last30d,
+       (CAST(SUM(CAST(ROUND(o_totalprice * 1000000) AS BIGINT)) OVER w AS DOUBLE)
+        / 1000000) AS spend_last30d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+"""

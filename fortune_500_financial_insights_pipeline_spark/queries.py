@@ -773,6 +773,39 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+@q("q_window_range")
+def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame (vs the row-count frames of W4/W5): per
+    customer, count of orders in the trailing 30 *days* — however many rows
+    that is. Ordering key is epoch-days so the range arithmetic is integer
+    on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(days)
+        .rangeBetween(-29, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count("*").over(w).alias("n_last30d"),
+        dsum_w("o_totalprice", w).alias("spend_last30d"),
+    )
+
+
+@q("q_approx_percentile")
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantiles (rows-only: Spark's approx algorithm differs
+    from DuckDB's by construction; the exact twin q_percentile carries the
+    value check)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_approx"),
+        F.percentile_approx("l_extendedprice", 0.99, 1000).alias("p99_approx"),
+    )
+
+
 @q("q_window_ntile")
 def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions: quartile bucket + percent_rank per
