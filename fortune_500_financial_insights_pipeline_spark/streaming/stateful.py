@@ -68,3 +68,29 @@ def running_totals(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_to_warehouse(
+    stream: DataFrame,
+    base_path: str,
+    table: str,
+    keys: list[str],
+    order_col: str = "Date",
+    checkpoint: str | None = None,
+):
+    """Streaming → warehouse loop: each micro-batch merge-upserts into the
+    DDL-typed table via foreachBatch. Exactly-once per key: the upsert is
+    idempotent (keep-latest on the natural key), so a replayed batch after
+    failure converges to the same table state — the property checkpointed
+    foreachBatch needs since its side effects are at-least-once."""
+    from fortune_500_financial_insights_pipeline_spark.warehouse import upsert_table
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_table(batch_df.sparkSession, base_path, table, batch_df, keys, order_col)
+
+    writer = stream.writeStream.foreachBatch(sink).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -90,6 +90,7 @@ def write_bucketed(
     num_buckets: int = 32,
     sort_cols: list[str] | None = None,
     path: str | None = None,
+    analyze: bool = True,
 ) -> None:
     """Persist as a bucketed (+ optionally sorted) table in the session
     catalog. Two tables bucketed on the same keys with the same bucket count
@@ -103,6 +104,14 @@ def write_bucketed(
     if path:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+    if analyze:
+        # table + column stats feed the cost-based optimizer (join
+        # reordering, broadcast decisions) — cheap at write time, paid
+        # back on every query against the table
+        df.sparkSession.sql(
+            f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS "
+            + ", ".join(bucket_cols)
+        )
 
 
 def register(spark: SparkSession, base_path: str) -> list[str]:

@@ -194,3 +194,44 @@ def test_stream_dedup_within_watermark(spark, events_dir, tmp_path):
         assert len({r.event_id for r in got}) == 2
     finally:
         q.stop()
+
+
+def test_stream_to_warehouse_upserts(spark, tmp_path):
+    """File stream -> foreachBatch merge-upsert -> DDL-typed warehouse:
+    later batches update existing keys instead of appending duplicates."""
+    from fortune_500_financial_insights_pipeline_spark.streaming.stateful import stream_to_warehouse
+
+    src = str(tmp_path / "src")
+    wh = str(tmp_path / "wh")
+    schema = "Ticker string, Date date, Close double, Volume double"
+    b1 = spark.createDataFrame(
+        [("AAPL", "2024-01-02", 185.0, 1.0), ("AAPL", "2024-01-03", 184.0, 1.0)],
+        "Ticker string, Date string, Close double, Volume double",
+    ).withColumn("Date", F.to_date("Date"))
+    b1.write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = stream_to_warehouse(
+        stream, wh, "openclose", keys=["Ticker", "Date"],
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        first = spark.read.parquet(wh + "/openclose")
+        assert first.count() == 2
+
+        b2 = spark.createDataFrame(
+            [("AAPL", "2024-01-03", 999.0, 2.0), ("AAPL", "2024-01-04", 182.0, 1.0)],
+            "Ticker string, Date string, Close double, Volume double",
+        ).withColumn("Date", F.to_date("Date"))
+        b2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+
+        back = spark.read.parquet(wh + "/openclose")
+        got = {str(r.Date): r.Close for r in back.collect()}
+        assert back.count() == 3              # upsert, not append
+        assert got["2024-01-03"] == 999.0     # updated
+        assert got["2024-01-02"] == 185.0     # untouched
+        assert got["2024-01-04"] == 182.0     # inserted
+    finally:
+        q.stop()

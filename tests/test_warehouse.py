@@ -206,3 +206,18 @@ def test_statements_conform_to_quarterly_ddl(spark, tmp_path):
     row = {str(r.Date): r for r in conformed.collect()}
     assert str(row["2024-03-31"].Total_Revenue) == "90753000000.00"
     assert str(row["2024-03-31"].Basic_EPS) == "1.5328"
+
+
+def test_bucketed_table_has_cbo_stats(spark, sf_dir, tmp_path):
+    from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+
+    WH.write_bucketed(
+        load_table(spark, sf_dir, "nation"), "nation_b", ["n_nationkey"],
+        num_buckets=4, path=str(tmp_path / "nation_b"),
+    )
+    try:
+        desc = spark.sql("DESCRIBE EXTENDED nation_b").collect()
+        stats = next((r.data_type for r in desc if r.col_name == "Statistics"), "")
+        assert "rows" in stats  # row-count stat recorded for the CBO
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nation_b")
