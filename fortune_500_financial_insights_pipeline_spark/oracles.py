@@ -549,3 +549,12 @@ WINDOW w AS (PARTITION BY o_custkey
              ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
              RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
 """
+
+ORACLES["q_stats_corr"] = """
+SELECT l_returnflag,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       ROUND(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc,
+       ROUND(stddev_samp(l_extendedprice), 4) AS std_price
+FROM lineitem
+GROUP BY l_returnflag
+"""

@@ -773,6 +773,19 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+@q("q_stats_corr")
+def q_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregation surface: Pearson correlation, sample
+    covariance, sample stddev per group (the df.stat family as grouped
+    aggregates)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+    )
+
+
 @q("q_window_range")
 def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-based RANGE frame (vs the row-count frames of W4/W5): per
