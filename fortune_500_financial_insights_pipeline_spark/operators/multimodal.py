@@ -82,3 +82,36 @@ def extract_features(media_df: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return media_df.mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, frame_ts double, n_bytes int, feature array<double>"
+)
+
+
+def sample_frames(media_df: DataFrame, fps: float = 1.0, duration_s: float = 4.0,
+                  fake: bool = True) -> DataFrame:
+    """Video frame sampling: the 1→N mapInPandas shape (one media row out as
+    ceil(duration*fps) frame rows). A real decoder would seek the container;
+    the stub derives per-frame bytes deterministically from (payload, idx).
+    Partition-preserving — the explode happens inside the Arrow batch, so
+    row multiplication costs no shuffle."""
+
+    n_frames = max(1, int(duration_s * fps))
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_ts": [], "n_bytes": [], "feature": []}
+            for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+                for i in range(n_frames):
+                    if not fake:
+                        raise NotImplementedError("real frame decode needs ffmpeg")
+                    frame = hashlib.sha256(media + i.to_bytes(4, "big")).digest()
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_ts"].append(i / fps)
+                    out["n_bytes"].append(len(media))
+                    out["feature"].append([b / 255.0 for b in frame[:8]])
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "media").mapInPandas(expand, schema=FRAME_SCHEMA)

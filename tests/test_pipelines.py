@@ -282,3 +282,29 @@ def test_analyst_recs_pipeline(spark, tmp_path):
     rows = {r.Period: r for r in df.collect()}
     assert rows["0m"].StrongBuy == 10 and rows["-1m"].Sell == 2
     assert df.schema["StrongBuy"].dataType.typeName() == "integer"
+
+
+def test_multimodal_frame_sampling(spark, sf_dir):
+    """1->N mapInPandas: each media row yields fps*duration frame rows,
+    deterministic features, no shuffle in the plan."""
+    from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+    from fortune_500_financial_insights_pipeline_spark.operators.multimodal import (
+        attach_media,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 5)
+    media = attach_media(docs)
+    frames = sample_frames(media, fps=2.0, duration_s=3.0)
+    rows = frames.collect()
+    assert len(rows) == 5 * 6  # ceil(3s * 2fps) frames per doc
+    one = [r for r in rows if r.doc_id == rows[0].doc_id]
+    assert [r.frame_idx for r in sorted(one, key=lambda r: r.frame_idx)] == list(range(6))
+    assert all(len(r.feature) == 8 for r in rows)
+    assert abs(one[1].frame_ts - 0.5) < 1e-9  # 2 fps spacing
+    # determinism: same inputs -> same features
+    again = {(r.doc_id, r.frame_idx): r.feature for r in sample_frames(media, 2.0, 3.0).collect()}
+    for r in rows:
+        assert again[(r.doc_id, r.frame_idx)] == r.feature
+    plan = frames._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # partition-preserving
