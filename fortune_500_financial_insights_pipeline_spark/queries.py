@@ -642,6 +642,22 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(ivf_index(emb, centroids), centroids, list(qvec), k=20, n_probe=2)
 
 
+@q("q_quantized_topk")
+def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized cosine top-k (rows-only: quantization codes are
+    engine-specific; recall vs the exact twin is pinned by
+    test_quantized_embeddings_preserve_neighbors)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.similarity import (
+        quantize_embeddings,
+        quantized_cosine_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    qvec = list(emb.filter(F.col("vec_id") == 0).head().embedding)
+    qstore = quantize_embeddings(emb).drop("embedding")
+    return quantized_cosine_topk(qstore, qvec, k=20, id_cols=["vec_id", "label"])
+
+
 @q("q_embed_neardup_lsh")
 def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate vectors via random-hyperplane LSH bucketing (rows-only:

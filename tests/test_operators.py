@@ -284,3 +284,38 @@ def test_compact_for_write_partition_count(spark, sf_dir, tmp_path):
     one.write.mode("overwrite").parquet(out)
     import glob as g
     assert len([p for p in g.glob(out + "/part-*") if p.endswith(".parquet")]) == 1
+
+
+def test_quantized_embeddings_preserve_neighbors(spark, sf_dir):
+    """int8 quantization: 4x smaller codes, reconstruction error bounded by
+    scale/127, and quantized cosine top-k ~= exact top-k."""
+    from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+    from fortune_500_financial_insights_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        dequantize,
+        quantize_embeddings,
+        quantized_cosine_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = quantize_embeddings(emb)
+
+    # reconstruction error bound: |v - dq(q(v))| <= scale/127 per component
+    err = q.select(
+        F.array_max(
+            F.zip_with(
+                F.col("embedding"),
+                dequantize("qvec", "qvec_scale"),
+                lambda a, b: F.abs(a.cast("double") - b),
+            )
+        ).alias("max_err"),
+        (F.col("qvec_scale") / 127.0).alias("bound"),
+    )
+    assert err.filter(F.col("max_err") > F.col("bound") * 1.0001).count() == 0
+
+    qvec = list(emb.filter(F.col("vec_id") == 3).head().embedding)
+    exact = [r.vec_id for r in cosine_topk(emb, qvec, k=10).collect()]
+    approx = [r.vec_id for r in quantized_cosine_topk(q.drop("embedding"), qvec, k=10).collect()]
+    # top-1 identical (the query itself), >=70% overlap in the top-10
+    assert approx[0] == exact[0] == 3
+    assert len(set(exact) & set(approx)) >= 7
