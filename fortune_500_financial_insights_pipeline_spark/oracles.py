@@ -558,3 +558,36 @@ SELECT l_returnflag,
 FROM lineitem
 GROUP BY l_returnflag
 """
+
+ORACLES["q_array_pos"] = """
+SELECT vec_id,
+       CAST(i - 1 AS INTEGER) AS pos,
+       CAST(embedding[i] AS DOUBLE) AS component
+FROM (
+  SELECT vec_id, embedding,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+  WHERE vec_id < 50
+)
+"""
+
+ORACLES["q_conditional"] = """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 300000 THEN 'big'
+            WHEN o_totalprice > 100000 THEN 'mid'
+            ELSE 'small' END AS size_band,
+       COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_x,
+       GREATEST(o_orderkey % 7, o_orderkey % 5) AS g75,
+       LEAST(o_orderkey % 7, o_orderkey % 5) AS l75
+FROM orders
+"""
+
+ORACLES["q_date_arith"] = """
+SELECT o_orderkey,
+       strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30d,
+       strftime(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus2m,
+       CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS INTEGER) AS days_to_99,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+       CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INTEGER) AS dow
+FROM orders
+"""

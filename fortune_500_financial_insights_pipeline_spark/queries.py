@@ -614,6 +614,47 @@ def q_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_array_pos")
+def q_array_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (posexplode ↔ UNNEST WITH ORDINALITY)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < 50).select(
+        "vec_id", F.posexplode("embedding").alias("pos", "component")
+    ).select("vec_id", "pos", F.col("component").cast("double").alias("component"))
+
+
+@q("q_conditional")
+def q_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional scalar surface: CASE, coalesce, nullif, greatest, least."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+        .alias("size_band"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("open")).alias("status_x"),
+        F.greatest(F.col("o_orderkey") % 7, F.col("o_orderkey") % 5).alias("g75"),
+        F.least(F.col("o_orderkey") % 7, F.col("o_orderkey") % 5).alias("l75"),
+    )
+
+
+@q("q_date_arith")
+def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic (§2.8): day offsets, month adds, day diffs, last_day,
+    weekday extraction — outputs as strings/ints for engine-portable hashing."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("plus30d"),
+        F.date_format(F.add_months(d, 2), "yyyy-MM-dd").alias("plus2m"),
+        F.datediff(F.lit("1999-01-01").cast("date"), d).alias("days_to_99"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.dayofweek(d).alias("dow"),
+    )
+
+
 @q("q_cosine_topk")
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k against the vec_id=0 embedding (ANN baseline;
