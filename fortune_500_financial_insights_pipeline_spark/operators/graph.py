@@ -1,0 +1,85 @@
+"""Iterative graph computation on DataFrames: connected components, and the
+dedup-clustering use it exists for.
+
+Near-dup detection (minhash.py, similarity.py) yields PAIRS; correct
+deduplication needs CLUSTERS — if A~B and B~C, one survivor for {A,B,C}
+even though A~C was never a candidate pair. That closure is a connected-
+components computation.
+
+Implementation is iterative min-label propagation as a DataFrame loop:
+every vertex adopts the smallest label among itself and its neighbors
+until a fixpoint. Spark-idiomatic iteration: each round is one shuffle
+(edge join + min-agg), lineage is cut with localCheckpoint so the plan
+doesn't grow unboundedly, and convergence is O(diameter) rounds — near-dup
+clusters are tiny and shallow, so 3-5 rounds in practice. (At extreme
+graph scale you'd switch to the large-star/small-star algorithm
+[Kiveris et al., "Connected Components in MapReduce and Beyond"], which
+trades more work per round for O(log n) rounds; the loop scaffold here is
+the same.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(vertex id, component) with component = min vertex id reachable.
+
+    ``edges`` is undirected pair data (each pair listed once is enough).
+    Vertices only appear if they touch an edge — callers union isolated
+    ids back in if needed (dedup does: see cluster_dedup)."""
+    both = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    both = both.distinct().localCheckpoint()
+    labels = (
+        both.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            both.join(labels, both.v == labels.id)
+            .groupBy("u")
+            .agg(F.min("comp").alias("n_comp"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.u, "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("n_comp", F.col("comp"))).alias("comp"),
+                (F.col("n_comp") < F.col("comp")).alias("_changed"),
+            )
+        )
+        n_changed = updated.filter(F.col("_changed")).count()
+        labels = updated.drop("_changed").localCheckpoint()
+        if n_changed == 0:
+            break
+    return labels
+
+
+def cluster_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Keep one row (the min-id canonical) per duplicate CLUSTER implied by
+    ``pairs`` — transitive closure included. Rows untouched by any pair
+    survive unchanged."""
+    comps = connected_components(pairs, src=src, dst=dst)
+    tagged = df.join(comps, df[id_col] == comps.id, "left").drop("id")
+    keep_ids = (
+        tagged.withColumn("comp", F.coalesce("comp", F.col(id_col)))
+        .groupBy("comp")
+        .agg(F.min(id_col).alias("_keep"))
+        .select("_keep")
+    )
+    return df.join(keep_ids, df[id_col] == keep_ids._keep, "left_semi")

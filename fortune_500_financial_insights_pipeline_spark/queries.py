@@ -816,6 +816,22 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_dedup_clusters")
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level near-dup dedup: minhash candidate pairs → connected
+    components (iterative min-label propagation) → one canonical doc per
+    duplicate cluster (rows-only: iterative algorithm, no SQL oracle;
+    closure semantics pinned by test_cluster_dedup_transitive)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.graph import cluster_dedup
+    from fortune_500_financial_insights_pipeline_spark.operators.minhash import minhash_neardup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_neardup_pairs(
+        d, id_col="doc_id", text_col="text", n_hashes=16, bands=4, min_jaccard=0.2
+    )
+    return cluster_dedup(d, pairs, "doc_id").select("doc_id", "lang", "n_chars")
+
+
 @q("q_simhash")
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprints (rows-only; xxhash64 is Spark-specific)."""

@@ -319,3 +319,42 @@ def test_quantized_embeddings_preserve_neighbors(spark, sf_dir):
     # top-1 identical (the query itself), >=70% overlap in the top-10
     assert approx[0] == exact[0] == 3
     assert len(set(exact) & set(approx)) >= 7
+
+
+def test_connected_components_chain_and_islands(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.graph import connected_components
+
+    # chain 1-2-3, pair 10-11, isolated-by-absence 99 (no edges)
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {r.id: r.comp for r in connected_components(edges).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1  # transitive closure, min id
+    assert comp[10] == comp[11] == 10
+    assert 99 not in comp  # only edge-touching vertices labeled
+
+
+def test_cluster_dedup_transitive(spark):
+    """A~B and B~C (never A~C) must still leave ONE survivor for {A,B,C} —
+    the closure pairwise keep-latest can't express."""
+    from fortune_500_financial_insights_pipeline_spark.operators.graph import cluster_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a'"), (3, "a''"), (7, "unique"), (9, "other")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    kept = sorted(r.doc_id for r in cluster_dedup(docs, pairs, "doc_id").collect())
+    assert kept == [1, 7, 9]  # one canonical for {1,2,3}; untouched rows survive
+
+
+def test_cluster_dedup_end_to_end_with_minhash(spark):
+    """Full near-dup pipeline: minhash pairs -> components -> one survivor."""
+    from fortune_500_financial_insights_pipeline_spark.operators.graph import cluster_dedup
+    from fortune_500_financial_insights_pipeline_spark.operators.minhash import minhash_neardup_pairs
+
+    docs = _docs_df(spark)  # 0~1 near, 0==3 exact, 2 unrelated
+    pairs = minhash_neardup_pairs(docs, "doc_id", "text", n_hashes=16, bands=8,
+                                  min_jaccard=0.5)
+    kept = sorted(r.doc_id for r in cluster_dedup(docs, pairs, "doc_id").collect())
+    assert kept == [0, 2]  # {0,1,3} collapse to 0; 2 survives alone
