@@ -591,3 +591,27 @@ SELECT o_orderkey,
        CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INTEGER) AS dow
 FROM orders
 """
+
+ORACLES["q_pandas_scalar_udf"] = """
+SELECT c_custkey,
+       regexp_replace(lower(trim(c_name)), '\\s+', ' ', 'g') AS name_norm
+FROM customer
+"""
+
+ORACLES["q_pandas_grouped_agg_udf"] = """
+SELECT c_mktsegment,
+       ROUND(SUM(o_totalprice * (o_orderkey % 5 + 1)) / SUM(o_orderkey % 5 + 1), 6)
+         AS wmean_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+ORACLES["q_higher_order"] = """
+SELECT vec_id,
+       ROUND(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum'), 6) AS sq_l2,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+       ROUND(list_aggregate(list_transform(embedding,
+                x -> least(greatest(CAST(x AS DOUBLE), -0.5), 0.5)), 'sum')
+             / len(embedding), 6) AS clipped_mean
+FROM embeddings
+"""

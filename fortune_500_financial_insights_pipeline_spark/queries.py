@@ -576,6 +576,58 @@ def q_pandas_udf_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_pandas_scalar_udf")
+def q_pandas_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Arrow-vectorized pandas_udf (§2.9): batch-at-a-time string
+    normalization. Oracle-checkable because the semantics are plain SQL —
+    the fixture proves the UDF transport, not exotic logic."""
+    from fortune_500_financial_insights_pipeline_spark.functions.udfs import norm_name
+
+    c = load_table(spark, sf_dir, "customer")
+    return c.select("c_custkey", norm_name("c_name").alias("name_norm"))
+
+
+@q("q_pandas_grouped_agg_udf")
+def q_pandas_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas_udf (§2.9): volume-weighted mean price per
+    market segment — one Arrow batch per group side, partial-agg free but
+    vectorized; rounded for float-order tolerance."""
+    from fortune_500_financial_insights_pipeline_spark.functions.udfs import wmean
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    weight = (F.col("o_orderkey") % 5 + 1).cast("double")
+    return j.groupBy("c_mktsegment").agg(
+        wmean(F.col("o_totalprice"), weight).alias("wmean_price")
+    )
+
+
+@q("q_higher_order")
+def q_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions (§2.8): transform/filter/aggregate over
+    the embedding vectors — squared-l2, positive-component count, clipped
+    mean — all JVM-side lambdas, no UDF."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.round(
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x), 6
+        ).alias("sq_l2"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+        F.round(
+            F.aggregate(
+                F.transform(v, lambda x: F.least(F.greatest(x, F.lit(-0.5)), F.lit(0.5))),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.size(v),
+            6,
+        ).alias("clipped_mean"),
+    )
+
+
 @q("q_percentile")
 def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact continuous percentile per group (approx twin: q_approx_distinct)."""
