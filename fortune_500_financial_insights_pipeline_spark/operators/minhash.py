@@ -104,23 +104,29 @@ def simhash(text: Column | str, n_bits: int = 64) -> Column:
     each bit position accumulates +1/-1 across tokens; the sign vector is
     packed back into a long. Near-dup docs differ in few bits (Hamming).
 
-    Computed as a sum over an exploded bit dimension entirely with array
-    ops — no UDF. n_bits <= 63 keeps the packed value in a signed long.
+    One pass, no UDF: token hashes are bound once (transform), then a
+    single aggregate folds them into a 63-long counter array via zip_with.
+    (A per-bit-column formulation re-hashed every token 63 times — the
+    repeated-subexpression trap; see minhash_neardup_pairs.) n_bits <= 63
+    keeps the packed value in a signed long.
     """
     c = text if isinstance(text, Column) else F.col(text)
-    toks = F.split(c, " ")
     n_bits = min(n_bits, 63)
-    bit_cols = []
-    for i in range(n_bits):
-        # +1 if bit i of xxhash64(token) is set else -1, summed over tokens
-        contrib = F.aggregate(
-            toks,
-            F.lit(0),
-            lambda acc, t: acc
-            + F.when(F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        bit_cols.append(F.when(contrib > 0, F.lit(2).cast("long") ** i).otherwise(F.lit(0)))
-    out = bit_cols[0]
-    for bc in bit_cols[1:]:
-        out = out + bc
-    return out.cast("long")
+    hashes = F.transform(F.split(c, " "), lambda t: F.xxhash64(t))
+    zero = F.array_repeat(F.lit(0), n_bits)
+    masks = F.array(*[F.lit(1 << i).cast("long") for i in range(n_bits)])
+    counts = F.aggregate(
+        hashes,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    powers = F.array(*[F.lit(2 ** i).cast("long") for i in range(n_bits)])
+    return F.aggregate(
+        F.zip_with(counts, powers, lambda cnt, p: F.when(cnt > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
