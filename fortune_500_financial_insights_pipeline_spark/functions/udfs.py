@@ -23,3 +23,22 @@ def wmean(price: pd.Series, qty: pd.Series) -> float:
     """Grouped-aggregate pandas UDF: weighted mean (rounded so vectorized
     float summation order matches the SQL oracle)."""
     return float(round((price * qty).sum() / qty.sum(), 6))
+
+
+def make_nearest_cell_udf(centroids):
+    """Factory: pandas UDF assigning each embedding to its nearest centroid
+    by cosine (numpy matmul over the Arrow batch). Interpreted higher-order
+    array functions cost ~µs per element-lambda; for k×dim dot products per
+    row that's the slow path — vectorized BLAS is 50-100x faster."""
+    import numpy as np
+
+    c = np.asarray(centroids, dtype=np.float64)
+    c_norm = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+
+    @pandas_udf("int")
+    def nearest_cell(vecs: pd.Series) -> pd.Series:
+        m = np.asarray(vecs.tolist(), dtype=np.float64)
+        m_norm = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m_norm @ c_norm.T, axis=1).astype("int32"))
+
+    return nearest_cell

