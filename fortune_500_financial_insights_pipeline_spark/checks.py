@@ -72,3 +72,16 @@ def referential(child: DataFrame, child_key: str, parent: DataFrame, parent_key:
         .count()
     )
     return CheckResult(f"referential({child_key}->{parent_key})", n)
+
+
+def observed(df: DataFrame, name: str, *metrics: Column):
+    """Attach an Observation collecting ``metrics`` during the next action —
+    pipeline telemetry for free (no second scan, no collect): the metrics
+    ride the job that materializes the frame.
+
+    Returns (df, observation); read ``observation.get`` AFTER an action.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *metrics), obs

@@ -53,3 +53,15 @@ def standardize_kaggle(df: DataFrame) -> DataFrame:
 
 def standardize_api(df: DataFrame) -> DataFrame:
     return standardize_ohlcv(df, source="API", drop=["AdjClose"])
+
+
+def filter_to_universe(df, universe, ticker_col: str = "Ticker"):
+    """Restrict to the ticker universe via a broadcast semi-join — the
+    Spark-native form of the reference's stock_list.csv driver loop
+    (raw_to_landing_sparkjob.py:160-178 reads the list with pandas and
+    iterates; here the 20-row dimension broadcasts and no row leaves an
+    executor). ``universe`` is any DataFrame with a Ticker column."""
+    from pyspark.sql import functions as F
+
+    dim = universe.select(F.upper(F.col(ticker_col)).alias(ticker_col)).distinct()
+    return df.join(F.broadcast(dim), ticker_col, "left_semi")
