@@ -615,3 +615,65 @@ SELECT vec_id,
              / len(embedding), 6) AS clipped_mean
 FROM embeddings
 """
+
+ORACLES["q_string_advanced"] = """
+SELECT p_partkey,
+       replace(p_brand, '#', '-') AS brand_tr,
+       -- initcap over lowered words
+       list_aggregate(list_transform(string_split(lower(p_name), ' '),
+         w -> upper(w[1]) || w[2:]), 'string_agg', ' ') AS name_title,
+       reverse(p_brand) AS brand_rev,
+       repeat(substring(p_brand, 1, 2), 2) AS b2x2,
+       CAST(levenshtein(p_brand, 'Brand#11') AS INTEGER) AS lev_b11,
+       CAST(strpos(p_type, 'BRASS') AS INTEGER) AS brass_at
+FROM part
+"""
+
+ORACLES["q_null_semantics"] = """
+WITH t AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END AS v,
+         CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_custkey END AS w
+  FROM orders
+)
+SELECT o_orderkey,
+       CAST(v IS NOT DISTINCT FROM w AS INTEGER) AS nullsafe_eq,
+       CASE WHEN (v = w) IS NULL THEN -1 ELSE CAST(v = w AS INTEGER) END AS plain_eq,
+       CASE WHEN v IS NOT NULL THEN 'present' ELSE 'absent' END AS presence,
+       COALESCE(v, w, -1) AS first_known
+FROM t
+"""
+
+ORACLES["q_bitwise"] = """
+SELECT o_orderkey,
+       o_orderkey & 255 AS and255,
+       o_orderkey | 8 AS or8,
+       xor(o_orderkey, 170) AS xor170,
+       o_orderkey << 2 AS shl2,
+       o_orderkey >> 3 AS shr3,
+       CAST(bit_count(o_orderkey) AS INTEGER) AS popcount
+FROM orders
+"""
+
+ORACLES["q_gaps_islands"] = """
+WITH marked AS (
+  SELECT user_id, event_id,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+  FROM marked
+)
+SELECT user_id, sess_id,
+       COUNT(*) AS n_events,
+       MIN(event_id) AS first_event,
+       MAX(event_id) AS last_event
+FROM sess
+GROUP BY user_id, sess_id
+"""

@@ -181,6 +181,80 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_string_advanced")
+def q_string_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended string surface: translate, initcap, reverse, repeat,
+    edit distance, position."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.translate("p_brand", "#", "-").alias("brand_tr"),
+        F.initcap(F.lower("p_name")).alias("name_title"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat(F.substring("p_brand", 1, 2), 2).alias("b2x2"),
+        F.levenshtein("p_brand", F.lit("Brand#11")).alias("lev_b11"),
+        F.instr("p_type", "BRASS").alias("brass_at"),
+    )
+
+
+@q("q_null_semantics")
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null semantics: null-safe equality (<=>), nvl2, null-aware counts.
+    A synthetic null every 7th row exercises the three-valued logic."""
+    o = load_table(spark, sf_dir, "orders")
+    v = F.when(F.col("o_orderkey") % 7 == 0, None).otherwise(F.col("o_custkey"))
+    w = F.when(F.col("o_orderkey") % 3 == 0, None).otherwise(F.col("o_custkey"))
+    plain = v == w
+    return o.select(
+        "o_orderkey",
+        v.eqNullSafe(w).cast("int").alias("nullsafe_eq"),
+        # three-valued logic encoded as int (-1 = NULL): a nullable boolean
+        # column pandas-converts as None in Spark but NaN in DuckDB,
+        # breaking the value hash
+        F.when(plain.isNull(), -1).otherwise(plain.cast("int")).alias("plain_eq"),
+        F.nvl2(v, F.lit("present"), F.lit("absent")).alias("presence"),
+        F.coalesce(v, w, F.lit(-1)).alias("first_known"),
+    )
+
+
+@q("q_bitwise")
+def q_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise surface: and/or/xor, shifts, bit_count."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("and255"),
+        k.bitwiseOR(F.lit(8)).alias("or8"),
+        k.bitwiseXOR(F.lit(170)).alias("xor170"),
+        F.shiftleft(k, 2).alias("shl2"),
+        F.shiftright(k, 3).alias("shr3"),
+        F.bit_count(k).alias("popcount"),
+    )
+
+
+@q("q_gaps_islands")
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (the lag+cumsum idiom): consecutive
+    events of one user closer than 30 minutes form a session; pure window
+    composition — the same semantics session_window gives natively
+    (q_events_session), expressed relationally so any engine can check it."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess_id = F.sum(new_sess).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (
+        e.withColumn("sess_id", sess_id)
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+    )
+
+
 @q("q_isin_filter")
 def q_isin_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row membership filter (P13, transform_job_tabular_entitities.py:19)."""
