@@ -677,3 +677,35 @@ SELECT user_id, sess_id,
 FROM sess
 GROUP BY user_id, sess_id
 """
+
+ORACLES["q_funnel"] = """
+WITH first_click AS (
+  SELECT user_id, MIN(ts) AS first_click_ts
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+),
+conv AS (
+  SELECT f.user_id, f.first_click_ts, MIN(p.ts) AS first_purchase_ts
+  FROM first_click f
+  LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+    ON p.user_id = f.user_id AND p.ts >= f.first_click_ts
+  GROUP BY f.user_id, f.first_click_ts
+)
+SELECT user_id,
+       strftime(first_click_ts, '%Y-%m-%d %H:%M:%S') AS first_click,
+       strftime(first_purchase_ts, '%Y-%m-%d %H:%M:%S') AS first_purchase,
+       -- truncate EACH side to whole seconds (Spark's timestamp->long cast)
+       -- before differencing, not the difference itself
+       CASE WHEN first_purchase_ts IS NOT NULL
+            THEN CAST(FLOOR(epoch(first_purchase_ts)) - FLOOR(epoch(first_click_ts)) AS BIGINT)
+       END AS latency_s
+FROM conv
+"""
+
+ORACLES["q_histogram"] = """
+SELECT CAST(FLOOR(o_totalprice / 50000) AS INTEGER) AS bucket,
+       COUNT(*) AS n,
+       MIN(o_totalprice) AS lo,
+       MAX(o_totalprice) AS hi
+FROM orders
+GROUP BY 1
+"""

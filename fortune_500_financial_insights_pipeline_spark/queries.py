@@ -604,6 +604,54 @@ def q_asof_lastval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+@q("q_funnel")
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel: per user, first click → first purchase at-or-after
+    it, with latency — the event-sequence composition (conditional min over
+    a self-correlated window, no UDF)."""
+    e = load_table(spark, sf_dir, "events")
+    first_click = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click_ts"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    conv = (
+        first_click.join(purchases, "user_id", "left")
+        .filter(F.col("p_ts").isNull() | (F.col("p_ts") >= F.col("first_click_ts")))
+        .groupBy("user_id", "first_click_ts")
+        .agg(F.min("p_ts").alias("first_purchase_ts"))
+    )
+    return conv.select(
+        "user_id",
+        F.date_format("first_click_ts", "yyyy-MM-dd HH:mm:ss").alias("first_click"),
+        F.date_format("first_purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("first_purchase"),
+        F.when(
+            F.col("first_purchase_ts").isNotNull(),
+            F.col("first_purchase_ts").cast("long") - F.col("first_click_ts").cast("long"),
+        ).alias("latency_s"),
+    )
+
+
+@q("q_histogram")
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order values: bucket = floor(v/width), the
+    distribution profile every data-quality dashboard needs — one scan,
+    one narrow groupBy."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("int")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
 @q("q_events_tumbling")
 def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fortune_500_financial_insights_pipeline_spark.streaming.events import tumbling
