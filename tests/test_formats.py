@@ -114,3 +114,50 @@ def test_corrupt_csv_quarantine(spark, tmp_path):
     clean, quarantine = split_corrupt(read_csv_resilient(spark, str(p), schema))
     assert sorted(r.id for r in clean.collect()) == [1, 3]
     assert quarantine.count() == 1
+
+
+def test_market_api_datasource(spark):
+    """Custom Python DataSource (Spark 4): the API feed as a registered
+    format — one partition per ticker, deterministic rows, weekend gaps."""
+    from fortune_500_financial_insights_pipeline_spark.sources import market_api
+
+    market_api.register(spark)
+    df = (
+        spark.read.format("market_api")
+        .option("tickers", "AAPL,MSFT,GOOG")
+        .option("start", "2024-01-01")
+        .option("days", "14")
+        .load()
+    )
+    assert [f.name for f in df.schema.fields] == [
+        "Ticker", "Date", "Open", "High", "Low", "Close", "Volume",
+    ]
+    rows = df.collect()
+    assert {r.Ticker for r in rows} == {"AAPL", "MSFT", "GOOG"}
+    assert len(rows) == 3 * 10  # 14 calendar days = 10 weekdays
+    assert all(r.Date.weekday() < 5 for r in rows)
+    assert all(r.Low <= min(r.Open, r.Close) <= max(r.Open, r.Close) <= r.High for r in rows)
+    # one input partition per ticker
+    assert df.rdd.getNumPartitions() == 3
+    # deterministic across re-reads
+    again = spark.read.format("market_api").option("tickers", "AAPL,MSFT,GOOG").option(
+        "start", "2024-01-01").option("days", "14").load().collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_market_api_feeds_standardize(spark):
+    """The custom source plugs straight into the bronze->silver pipeline:
+    conform to the warehouse schema and serve."""
+    from fortune_500_financial_insights_pipeline_spark import warehouse as WH
+    from fortune_500_financial_insights_pipeline_spark.sources import market_api
+
+    market_api.register(spark)
+    df = (
+        spark.read.format("market_api")
+        .option("tickers", "AAPL").option("start", "2024-01-01").option("days", "7")
+        .load()
+    )
+    conformed = WH.conform(df, "openclose")
+    got = conformed.select("Ticker", "Date", "Volume").collect()
+    assert len(got) == 5
+    assert all(isinstance(r.Volume, int) for r in got)  # DDL BIGINT

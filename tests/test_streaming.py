@@ -235,3 +235,50 @@ def test_stream_to_warehouse_upserts(spark, tmp_path):
         assert got["2024-01-04"] == 182.0     # inserted
     finally:
         q.stop()
+
+
+def test_stream_stream_interval_join(spark, events_dir, tmp_path):
+    """Watermarked stream-stream join == the equivalent batch interval join
+    on the same data; the streaming plan carries join state + watermarks."""
+    from fortune_500_financial_insights_pipeline_spark.streaming.joins import interval_join
+
+    batch_df = spark.read.parquet(events_dir)
+    clicks_b = batch_df.filter(F.col("event_type") == "click").select("user_id", "ts")
+    buys_b = batch_df.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    expected = {
+        (r.user_id, r.ts, r.pts)
+        for r in clicks_b.join(
+            buys_b,
+            (clicks_b.user_id == buys_b.user_id)
+            & (buys_b.pts >= clicks_b.ts)
+            & (buys_b.pts <= clicks_b.ts + F.expr("interval 1 hour")),
+        ).select(clicks_b.user_id, "ts", "pts").collect()
+    }
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(events_dir)
+    clicks = stream.filter(F.col("event_type") == "click").select("user_id", "ts")
+    buys = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    joined = interval_join(clicks, buys, key="user_id", left_ts="ts", right_ts="pts")
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.left_ts, r.right_ts)
+            for r in spark.sql("SELECT * FROM ss_join").collect()
+        }
+        gaps = [r.gap_s for r in spark.sql("SELECT gap_s FROM ss_join").collect()]
+    finally:
+        q.stop()
+    assert got == expected
+    assert len(got) > 0
+    assert all(0 <= g <= 3600 for g in gaps)
