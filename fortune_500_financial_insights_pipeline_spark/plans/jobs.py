@@ -118,3 +118,37 @@ def build_statements_dag(
         deps=[f"transform_{t}" for t in sheet_files],
     )
     return dag
+
+
+def build_refresh_dag(
+    spark: SparkSession,
+    tickers: list[str],
+    start: str,
+    days: int,
+    warehouse_path: str,
+) -> Dag:
+    """Incremental market-data refresh: the custom API DataSource feeds a
+    merge-upsert into the openclose warehouse table. Re-running a window is
+    idempotent (keep-latest per (Ticker, Date)); only touched year
+    partitions rewrite. This is the daily-refresh loop the reference
+    re-triggers whole Airflow DAGs for."""
+    from fortune_500_financial_insights_pipeline_spark.sources import market_api
+
+    dag = Dag("f500_refresh")
+
+    def fetch_and_upsert() -> int:
+        market_api.register(spark)
+        feed = (
+            spark.read.format("market_api")
+            .option("tickers", ",".join(tickers))
+            .option("start", start)
+            .option("days", str(days))
+            .load()
+        )
+        WH.upsert_table(spark, warehouse_path, "openclose", feed, keys=["Ticker", "Date"])
+        return spark.read.parquet(f"{warehouse_path}/openclose").count()
+
+    dag.add("refresh_open_close", fetch_and_upsert, retries=1)
+    dag.add("register_warehouse", lambda: WH.register(spark, warehouse_path),
+            deps=["refresh_open_close"])
+    return dag

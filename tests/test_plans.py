@@ -147,3 +147,23 @@ def test_statements_dag_lands_quarterly(spark, tmp_path):
     ).collect()
     assert len(rows) == 4  # 2 tickers x 2 periods
     assert str(rows[1].Total_Revenue) == "90753000000.00"  # DECIMAL(20,2)
+
+
+def test_refresh_dag_is_incremental_and_idempotent(spark, tmp_path):
+    from fortune_500_financial_insights_pipeline_spark.plans.jobs import build_refresh_dag
+
+    wh = str(tmp_path / "wh")
+    first = build_refresh_dag(spark, ["AAPL", "MSFT"], "2024-01-01", 7, wh).run()
+    assert all(r.status == "success" for r in first.values())
+    n1 = spark.sql("SELECT COUNT(*) AS n FROM openclose").head().n
+    assert n1 == 2 * 5  # 5 weekdays x 2 tickers
+
+    # overlapping re-run + extension: idempotent on overlap, adds the tail
+    second = build_refresh_dag(spark, ["AAPL", "MSFT"], "2024-01-01", 14, wh).run()
+    assert all(r.status == "success" for r in second.values())
+    n2 = spark.sql("SELECT COUNT(*) AS n FROM openclose").head().n
+    assert n2 == 2 * 10  # no duplicates from the overlapping window
+    dup = spark.sql(
+        "SELECT Ticker, Date, COUNT(*) c FROM openclose GROUP BY 1,2 HAVING COUNT(*) > 1"
+    ).count()
+    assert dup == 0
