@@ -709,3 +709,34 @@ SELECT CAST(FLOOR(o_totalprice / 50000) AS INTEGER) AS bucket,
 FROM orders
 GROUP BY 1
 """
+
+ORACLES["q_window_lead_nth"] = """
+SELECT o_custkey, o_orderkey,
+       lead(o_orderkey, 1) OVER w AS next_order,
+       first_value(o_orderkey) OVER wf AS first_order,
+       last_value(o_orderkey) OVER wf AS last_order,
+       nth_value(o_orderkey, 2) OVER wf AS second_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+ORACLES["q_regex_extract_all"] = """
+SELECT p_partkey,
+       list_aggregate(regexp_extract_all(p_name || ' ' || p_brand || ' ' || p_type,
+                                         '\\d+'), 'string_agg', ',') AS numbers,
+       CAST(len(regexp_extract_all(p_name || ' ' || p_brand || ' ' || p_type,
+                                   '[A-Z]{2,}')) AS INTEGER) AS n_upper_words
+FROM part
+"""
+
+ORACLES["q_map_ops"] = """
+SELECT r_regionkey,
+       r_name AS region_name,
+       CAST(n_nations AS INTEGER) AS n_nations,
+       'name,nations' AS keys
+FROM region
+JOIN (SELECT n_regionkey, COUNT(*) AS n_nations FROM nation GROUP BY 1) c
+  ON r_regionkey = c.n_regionkey
+"""

@@ -1033,6 +1033,59 @@ def q_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_window_lead_nth")
+def q_window_lead_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-looking + positional window values: lead, first/last value in
+    frame, nth_value (completes the W-family with the look-ahead side)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lead("o_orderkey", 1).over(w).alias("next_order"),
+        F.first("o_orderkey").over(wf).alias("first_order"),
+        F.last("o_orderkey").over(wf).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_order"),
+    )
+
+
+@q("q_regex_extract_all")
+def q_regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-match regex extraction: every number in the part name+type,
+    joined (array output stringified for engine-portable hashing)."""
+    p = load_table(spark, sf_dir, "part")
+    blob = F.concat_ws(" ", "p_name", "p_brand", "p_type")
+    return p.select(
+        "p_partkey",
+        F.array_join(F.regexp_extract_all(blob, F.lit(r"\d+"), 0), ",").alias("numbers"),
+        F.size(F.regexp_extract_all(blob, F.lit(r"[A-Z]{2,}"), 0)).alias("n_upper_words"),
+    )
+
+
+@q("q_map_ops")
+def q_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: construct, access by key, keys/values
+    (map internals stringified — map columns don't hash portably)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    counts = n.groupBy("n_regionkey").agg(F.count("*").alias("n_nations"))
+    m = F.map_from_arrays(
+        F.array(F.lit("name"), F.lit("nations")),
+        F.array(F.col("r_name"), F.col("n_nations").cast("string")),
+    )
+    return (
+        r.join(counts, r.r_regionkey == counts.n_regionkey)
+        .select("r_regionkey", m.alias("m"))
+        .select(
+            "r_regionkey",
+            F.col("m")["name"].alias("region_name"),
+            F.col("m")["nations"].cast("int").alias("n_nations"),
+            F.array_join(F.map_keys("m"), ",").alias("keys"),
+        )
+    )
+
+
 @q("q_window_range")
 def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-based RANGE frame (vs the row-count frames of W4/W5): per
