@@ -73,3 +73,74 @@ def _parses(s: str) -> bool:
         return True
     except ValueError:
         return False
+
+
+_kv_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=8),   # key (collisions likely)
+        st.integers(min_value=0, max_value=50),  # version
+        st.integers(min_value=0, max_value=10**6),  # tiebreak
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=_kv_rows)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_keep_latest_properties(spark, rows):
+    """keep_latest: one row per key, and it is exactly the lexicographic max
+    by (order_cols) — for any input, any duplication pattern."""
+    from fortune_500_financial_insights_pipeline_spark.operators.dedup import keep_latest
+
+    df = spark.createDataFrame(rows, "k long, ver long, tb long")
+    got = {r.k: (r.ver, r.tb) for r in keep_latest(df, ["k"], ["ver", "tb"]).collect()}
+    want = {}
+    for k, ver, tb in rows:
+        if k not in want or (ver, tb) > want[k]:
+            want[k] = (ver, tb)
+    assert got == want
+
+
+@given(frac=st.floats(min_value=0.0, max_value=1.0),
+       seed=st.integers(min_value=0, max_value=5))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_hash_sample_properties(spark, frac, seed):
+    """hash_sample: deterministic for (fraction, seed), monotone in the
+    fraction, and full at 1.0."""
+    from fortune_500_financial_insights_pipeline_spark.operators.sampling import hash_sample
+
+    df = spark.range(0, 500).withColumnRenamed("id", "k")
+    s = {r.k for r in hash_sample(df, frac, ["k"], seed=seed).collect()}
+    s2 = {r.k for r in hash_sample(df, frac, ["k"], seed=seed).collect()}
+    assert s == s2
+    bigger = {r.k for r in hash_sample(df, min(1.0, frac + 0.3), ["k"], seed=seed).collect()}
+    assert s <= bigger
+    assert {r.k for r in hash_sample(df, 1.0, ["k"], seed=seed).collect()} == set(range(500))
+
+
+@given(rows=st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]), st.sampled_from(["x", "y"]),
+              st.floats(min_value=-100, max_value=100, allow_nan=False)),
+    min_size=1, max_size=30,
+))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pivot_preserves_first_values(spark, rows):
+    """pivot_wide with first(ignorenulls): every produced cell equals the
+    first value for that (group, pivot) pair in some input order — and no
+    (group, pivot) pair present in the input yields a null cell."""
+    from fortune_500_financial_insights_pipeline_spark.operators.pivot import pivot_wide
+
+    df = spark.createDataFrame(rows, "g string, p string, v double")
+    wide = pivot_wide(df, group_cols=["g"], pivot_col="p", values=["x", "y"],
+                      agg=F.first("v", ignorenulls=True))
+    cells = {(r.g, p): getattr(r, p) for r in wide.collect() for p in ("x", "y")}
+    seen = {(g, p) for g, p, _ in rows}
+    for (g, p), val in cells.items():
+        if (g, p) in seen:
+            assert val in {v for gg, pp, v in rows if (gg, pp) == (g, p)}
+        else:
+            assert val is None
