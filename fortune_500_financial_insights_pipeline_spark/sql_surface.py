@@ -98,4 +98,185 @@ SELECT l_returnflag, l_linestatus, COUNT(*) AS n
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
+    # ---- TPC-H-shaped suite over the columns the fixtures provide ----
+    # (no partsupp table; no commitdate/receiptdate/shipmode/phone/container
+    # columns — each query keeps the canonical plan shape, with predicates
+    # adapted to the fixture domain: dates 1995-2001, nations NATION_0..24.)
+    #
+    # Q4 shape: EXISTS semi-join from orders into lineitem with a
+    # correlated inequality (shipped-after-order as the lateness proxy).
+    "q_sql_tpch_q4": """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o_orderpriority
+""",
+    # Q6 shape: single-table scan-heavy aggregate with a tight band filter —
+    # the purest predicate-pushdown benchmark (no join, no group key).
+    "q_sql_tpch_q6": f"""
+SELECT {_dsum('l_extendedprice * l_discount')} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    # Q7 shape: volume shipping between two nations — double nation join
+    # (supplier's vs customer's), disjunctive pair predicate, year extract.
+    "q_sql_tpch_q7": f"""
+SELECT supp_nation, cust_nation, l_year,
+       {_dsum('volume')} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+    AND c_custkey = o_custkey
+    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+""",
+    # Q8 shape: market share — a ratio of conditional to total revenue per
+    # year over a region-filtered snowflake (part filter dropped: no partsupp
+    # chain in fixtures, the plan shape is the point).
+    "q_sql_tpch_q8": f"""
+SELECT o_year,
+       {_dsum("CASE WHEN nation = 'NATION_3' THEN volume ELSE 0.0 END")}
+         / {_dsum('volume')} AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM lineitem, orders, customer, supplier, nation n1, nation n2, region
+  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+    AND r_name = 'AMERICA'
+    AND l_suppkey = s_suppkey AND s_nationkey = n2.n_nationkey
+    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+) all_nations
+GROUP BY o_year
+""",
+    # Q10 shape: returned-item reporting — fact→dims join, returnflag filter,
+    # high-cardinality group on the customer, top-20 by revenue.
+    "q_sql_tpch_q10": f"""
+SELECT c_custkey, c_name, {REVENUE} AS revenue, c_acctbal, n_name
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_returnflag = 'R'
+  AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    # Q13 shape: customer order-count distribution — left outer join with an
+    # extra ON-clause predicate, then a second aggregation over the counts.
+    "q_sql_tpch_q13": """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+""",
+    # Q14 shape: promotion-revenue percentage — conditional aggregate over a
+    # fact×dim join, one output row.
+    "q_sql_tpch_q14": f"""
+SELECT 100.00 * {_dsum("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+       / {REVENUE} AS promo_revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate < TIMESTAMP '1996-10-01'
+""",
+    # Q15 shape: top supplier — CTE reused twice (grouped revenue + its MAX
+    # as an uncorrelated scalar subquery); exact-decimal sums make the
+    # equality-on-aggregate deterministic across engines.
+    "q_sql_tpch_q15": f"""
+WITH revenue0 AS (
+  SELECT l_suppkey AS supplier_no,
+         {REVENUE} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier, revenue0
+WHERE s_suppkey = supplier_no
+  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+""",
+    # Q17 shape: small-quantity-order revenue — correlated scalar aggregate
+    # subquery against the same fact table (per-part average quantity).
+    "q_sql_tpch_q17": f"""
+SELECT {_dsum('l_extendedprice')} / 7.0 AS avg_yearly
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand = 'Brand#23' AND p_size < 15
+  AND l_quantity < (
+    SELECT 0.2 * ({_dsum('l2.l_quantity')} / COUNT(*))
+    FROM lineitem l2
+    WHERE l2.l_partkey = p_partkey
+  )
+""",
+    # Q18 shape: large-volume customers — IN over a grouped HAVING subquery
+    # on the fact table, then re-join and re-aggregate.
+    "q_sql_tpch_q18": f"""
+SELECT c_name, c_custkey, o_orderkey, o_totalprice,
+       {_dsum('l_quantity')} AS sum_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey
+    HAVING {_dsum('l_quantity')} > 300
+  )
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+""",
+    # Q19 shape: disjunction of conjunctive band predicates spanning both
+    # join sides — exercises OR-pushdown through a join.
+    "q_sql_tpch_q19": f"""
+SELECT {REVENUE} AS revenue
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        AND l_quantity BETWEEN 1 AND 11)
+    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        AND l_quantity BETWEEN 10 AND 20)
+    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        AND l_quantity BETWEEN 20 AND 30))
+""",
+    # Q22 shape: above-average account balance + anti-join (fixtures give
+    # every customer at least one order, so the anti-join is on *recent*
+    # orders; country code derived from nationkey — no phone column).
+    "q_sql_tpch_q22": f"""
+SELECT cntrycode, COUNT(*) AS numcust, {_dsum('c_acctbal')} AS totacctbal
+FROM (
+  SELECT CAST(c_nationkey % 10 AS BIGINT) AS cntrycode, c_acctbal, c_custkey
+  FROM customer
+  WHERE c_acctbal > (
+      SELECT {_dsum('c2.c_acctbal')} / COUNT(*)
+      FROM customer c2
+      WHERE c2.c_acctbal > 0.0
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c_custkey
+        AND o.o_orderdate >= TIMESTAMP '2001-01-01'
+    )
+) custsale
+GROUP BY cntrycode
+""",
 }
