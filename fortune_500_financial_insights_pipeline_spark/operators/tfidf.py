@@ -1,0 +1,86 @@
+"""TF-IDF term weighting over a documents table (SURVEY.md §2.11 text
+analysis; the reference delegates all text analytics downstream — this is
+the training-data-pipeline counterpart).
+
+Plan shape (the 100 TB-relevant part):
+- one posexplode + groupBy(doc, term) → term frequencies (single shuffle,
+  partial aggregation map-side);
+- document frequency is a second aggregation OVER THE TF FRAME (already
+  one row per (doc, term), so df = count per term — no second pass over
+  raw text);
+- corpus size N enters as a 1-row broadcast cross-join, never a driver
+  collect;
+- idf joins back on `term`, a key whose cardinality is the vocabulary —
+  AQE picks broadcast when the vocabulary is small, shuffle-hash when not.
+
+idf = ln((1+N)/(1+df)) (smoothed); tfidf is rounded to 6 decimals so the
+value is stable across libm implementations (Spark JVM vs oracle engines
+may differ in the last ulp of ln).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def term_frequencies(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, term, tf) — whitespace tokens, duplicate-counting."""
+    toks = F.explode(F.split(F.col(text_col), " ")).alias("term")
+    return (
+        docs.select(F.col(id_col), toks)
+        .where(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def tfidf(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int | None = None,
+) -> DataFrame:
+    """(doc_id, term, tf, tfidf) with smoothed idf; optionally keep only
+    the top_k highest-weight terms per document (ties broken by term)."""
+    tf = term_frequencies(docs, id_col=id_col, text_col=text_col)
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.select(F.count("*").alias("n_docs"))
+    weighted = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))),
+                6,
+            ),
+        )
+        .select(id_col, "term", "tf", "tfidf")
+    )
+    if top_k is None:
+        return weighted
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        weighted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= top_k)
+        .drop("rn")
+    )
+
+
+def cosine_prep(tfidf_df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """L2-normalize tfidf weights per document → (doc_id, term, weight);
+    dot products of these are cosine similarities (document-vector form
+    for a sparse similarity join on `term`)."""
+    norm = tfidf_df.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("tfidf") * F.col("tfidf"))).alias("l2")
+    )
+    return tfidf_df.join(norm, id_col).select(
+        id_col, "term", (F.col("tfidf") / F.col("l2")).alias("weight")
+    )

@@ -469,6 +469,43 @@ SELECT doc_id,
 FROM documents
 """
 
+ORACLES["q_tfidf"] = """
+WITH tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> ''
+  GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, term, tf, tfidf
+FROM (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         ROUND(tf.tf * LN((1.0 + n.n_docs) / (1.0 + dfreq.df)), 6) AS tfidf,
+         ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY ROUND(tf.tf * LN((1.0 + n.n_docs) / (1.0 + dfreq.df)), 6) DESC,
+                    tf.term ASC
+         ) AS rn
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+)
+WHERE rn <= 3
+"""
+
+ORACLES["q_chunk_docs"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), st AS (
+  SELECT doc_id, l, UNNEST(range(0, len(l), 24)) AS start FROM toks
+)
+SELECT doc_id,
+       CAST(start // 24 AS BIGINT) AS chunk_index,
+       CAST(start AS BIGINT) AS chunk_start,
+       CAST(len(list_slice(l, start + 1, start + 32)) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(l, start + 1, start + 32), ' ') AS chunk_text
+FROM st
+"""
+
 # SQL text surface: the Spark query and the oracle are the same statement
 # (see sql_surface.py — dialect-shared subset, zero translation).
 from fortune_500_financial_insights_pipeline_spark.sql_surface import SHARED_SQL as _SHARED_SQL

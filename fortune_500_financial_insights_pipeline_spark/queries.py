@@ -950,6 +950,24 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", TX.fingerprint("text").alias("fingerprint"))
 
 
+@q("q_tfidf")
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf, rounded 6dp)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.tfidf import tfidf
+
+    d = load_table(spark, sf_dir, "documents")
+    return tfidf(d, top_k=3)
+
+
+@q("q_chunk_docs")
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 32-token windows, step 24 — 1→N row expansion."""
+    from fortune_500_financial_insights_pipeline_spark.operators.chunking import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_tokens=32, overlap=8)
+
+
 @q("q_dedup_exact")
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact content dedup: min doc_id survives per normalized-text hash."""

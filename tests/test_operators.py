@@ -374,3 +374,63 @@ def test_ivf_vectorized_matches_hof(spark, sf_dir):
     hof = {r.vec_id: r.cell for r in ivf_index(emb, cents).collect()}
     vec = {r.vec_id: r.cell for r in ivf_index(emb, cents, vectorized=True).collect()}
     assert hof == vec
+
+
+def test_chunking_windows_and_reconstruction(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.chunking import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=4, overlap=1).collect(),
+        key=lambda r: r.chunk_index,
+    )
+    # step = 3 → starts 0,3,6,9; final window is the 1-token tail
+    assert [r.chunk_start for r in rows] == [0, 3, 6, 9]
+    assert [r.n_tokens for r in rows] == [4, 4, 4, 1]
+    assert rows[0].chunk_text == "t0 t1 t2 t3"
+    assert rows[-1].chunk_text == "t9"
+    # overlap property: consecutive chunks share exactly `overlap` tokens
+    for a, b in zip(rows, rows[1:]):
+        assert a.chunk_text.split()[-1:] == b.chunk_text.split()[:1]
+
+
+def test_chunking_rejects_bad_overlap(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.chunking import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    try:
+        chunk_documents(df, chunk_tokens=4, overlap=4)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
+def test_tfidf_hand_computed(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.tfidf import tfidf
+
+    df = spark.createDataFrame(
+        [(0, "apple apple banana"), (1, "banana cherry"), (2, "cherry cherry cherry")],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_id, r.term): (r.tf, r.tfidf) for r in tfidf(df).collect()}
+    # idf(term in 1 of 3 docs) = ln(4/2); tf(apple in doc0) = 2
+    assert out[(0, "apple")] == (2, round(2 * math.log(4 / 2), 6))
+    # term in 2 of 3 docs: ln(4/3)
+    assert out[(0, "banana")] == (1, round(math.log(4 / 3), 6))
+    assert out[(2, "cherry")] == (3, round(3 * math.log(4 / 3), 6))
+
+
+def test_tfidf_topk_is_deterministic_on_ties(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.tfidf import tfidf
+
+    # doc 0: four singleton terms, all the same tfidf → top-2 must be the
+    # lexicographically first two (stable tie-break, oracle-reproducible)
+    df = spark.createDataFrame(
+        [(0, "delta alpha charlie bravo"), (1, "zz yy")],
+        "doc_id long, text string",
+    )
+    top = sorted(
+        r.term for r in tfidf(df, top_k=2).where(F.col("doc_id") == 0).collect()
+    )
+    assert top == ["alpha", "bravo"]
