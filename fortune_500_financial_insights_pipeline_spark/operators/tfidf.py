@@ -47,10 +47,16 @@ def tfidf(
     """(doc_id, term, tf, tfidf) with smoothed idf; optionally keep only
     the top_k highest-weight terms per document (ties broken by term)."""
     tf = term_frequencies(docs, id_col=id_col, text_col=text_col)
-    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # document frequency as a window over the TF frame: tf already has one
+    # row per (doc, term), so count(*) over (partition by term) IS df. A
+    # separate tf.groupBy("term") branch would recompute the explode —
+    # two full passes over the raw text (verified in the physical plan).
+    from pyspark.sql.window import Window
+
+    df_w = Window.partitionBy("term")
     n = docs.select(F.count("*").alias("n_docs"))
     weighted = (
-        tf.join(df_, "term")
+        tf.withColumn("df", F.count("*").over(df_w))
         .crossJoin(F.broadcast(n))
         .withColumn(
             "tfidf",

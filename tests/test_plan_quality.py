@@ -92,3 +92,51 @@ def test_similarity_broadcasts_query_vector(spark, sf_dir):
 def test_event_and_pivot_aggregates_partial(spark, sf_dir, name):
     plan = plan_of(spark, sf_dir, name)
     assert "partial_" in plan
+
+
+def test_tpch_q5_broadcasts_dims_and_pushes_dates(spark, sf_dir):
+    """Snowflake join: every dim side broadcasts (no fact shuffle before
+    the agg) and the order-date band reaches the parquet scan."""
+    plan = plan_of(spark, sf_dir, "q_sql_tpch_q5")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_tpch_q6_pushes_all_band_predicates(spark, sf_dir):
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        plan = plan_of(spark, sf_dir, "q_sql_tpch_q6")
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    m = re.search(r"PushedFilters: \[(.*?)\], ReadSchema", plan)
+    pushed = m.group(1) if m else ""
+    for frag in [
+        "GreaterThanOrEqual(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24",
+    ]:
+        assert frag in pushed, (frag, pushed)
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    # scan reads only the 4 referenced columns, not all 11
+    assert m and m.group(1).count(":") == 4, m.group(1)
+
+
+def test_tpch_q18_no_single_partition_funnel(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_sql_tpch_q18")
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_chunking_is_exchange_free(spark, sf_dir):
+    """The 1→N expansion must stay embarrassingly parallel — any exchange
+    here would shuffle the full token payload at 100 TB."""
+    plan = plan_of(spark, sf_dir, "q_chunk_docs")
+    assert "Exchange" not in plan
+
+
+def test_tfidf_single_pass_over_text(spark, sf_dir):
+    """TF-IDF may scan `documents.text` once: document frequency is derived
+    from the TF frame, not a second explode of the raw text."""
+    plan = plan_of(spark, sf_dir, "q_tfidf")
+    assert plan.count("Generate explode") == 1
