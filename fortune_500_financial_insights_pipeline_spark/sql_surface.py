@@ -98,6 +98,31 @@ SELECT l_returnflag, l_linestatus, COUNT(*) AS n
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
+    # Recursive CTE (Spark 4 + DuckDB): a generated monthly spine LEFT
+    # range-joined back to facts — months with zero orders still appear.
+    "q_sql_recursive": """
+WITH RECURSIVE months(m) AS (
+  SELECT TIMESTAMP '1995-01-01'
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM months WHERE m < TIMESTAMP '1996-12-01'
+)
+SELECT CAST(EXTRACT(YEAR FROM m) AS BIGINT) AS y,
+       CAST(EXTRACT(MONTH FROM m) AS BIGINT) AS mo,
+       COUNT(o_orderkey) AS n_orders
+FROM months LEFT JOIN orders
+  ON o_orderdate >= m AND o_orderdate < m + INTERVAL 1 MONTH
+GROUP BY y, mo
+""",
+    # Correlated LATERAL subquery with ORDER/LIMIT — top-1-per-group in
+    # SQL form (the DataFrame form is q_window_rank).
+    "q_sql_lateral": """
+SELECT c_custkey, l.o_orderkey AS top_orderkey, l.o_totalprice AS top_price
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+) l
+""",
     # ---- TPC-H-shaped suite over the columns the fixtures provide ----
     # (no partsupp table; no commitdate/receiptdate/shipmode/phone/container
     # columns — each query keeps the canonical plan shape, with predicates
