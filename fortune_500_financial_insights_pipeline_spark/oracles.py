@@ -469,6 +469,31 @@ SELECT doc_id,
 FROM documents
 """
 
+ORACLES["q_jaccard_clusters"] = """
+WITH RECURSIVE g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(l)),
+                                      x -> l[x] || ' ' || l[x+1])) AS grams
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+), pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
+), edges AS (
+  SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+), reach AS (
+  SELECT u AS src, v AS dst FROM edges
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+), comp AS (
+  SELECT src AS id, LEAST(src, MIN(dst)) AS comp FROM reach GROUP BY src
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id FROM comp)
+   OR doc_id IN (SELECT id FROM comp WHERE id = comp)
+"""
+
 ORACLES["q_tfidf"] = """
 WITH tf AS (
   SELECT doc_id, term, COUNT(*) AS tf

@@ -1024,6 +1024,30 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_dedup(d, pairs, "doc_id").select("doc_id", "lang", "n_chars")
 
 
+@q("q_jaccard_clusters")
+def q_jaccard_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level dedup with a FULL oracle: exact bigram-Jaccard pairs
+    (deterministic set math, unlike minhash's engine-specific hashing) →
+    connected components → min-id survivor per cluster. The DuckDB oracle
+    reproduces the closure with a recursive CTE, so the iterative
+    min-label loop is value-checked end-to-end, transitivity included.
+    The O(n²) pair join is the exact variant; minhash LSH banding
+    (q_minhash_neardup) is the scale path for the same semantics."""
+    from fortune_500_financial_insights_pipeline_spark.operators import text as TX
+    from fortune_500_financial_insights_pipeline_spark.operators.graph import cluster_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select("doc_id", TX.word_ngrams("text", 2).alias("grams"))
+    a = grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
+    b = grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(TX.jaccard(F.col("ga"), F.col("gb")) >= 0.8)
+        .select("id_a", "id_b")
+    )
+    return cluster_dedup(d, pairs, "doc_id").select("doc_id")
+
+
 @q("q_simhash")
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprints (rows-only; xxhash64 is Spark-specific)."""
