@@ -308,3 +308,59 @@ def test_multimodal_frame_sampling(spark, sf_dir):
         assert again[(r.doc_id, r.frame_idx)] == r.feature
     plan = frames._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # partition-preserving
+
+
+def test_training_data_curation_funnel(spark, sf_dir, tmp_path):
+    """End-to-end curation: every stage of the funnel removes what it
+    should, the report counts are consistent, and the landed parquet is
+    partitioned and re-readable."""
+    from fortune_500_financial_insights_pipeline_spark.pipelines.training_data import (
+        curate,
+        write_curated,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # plant one exact dup and one near-dup of doc 0 with fresh ids
+    base = docs.limit(1).select(
+        F.lit(900001).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    near = docs.limit(1).select(
+        F.lit(900002).alias("doc_id"),
+        F.concat("text", F.lit(" tailword")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    corpus = docs.unionByName(base).unionByName(near)
+
+    chunks, report = curate(
+        corpus, min_quality=0.3, min_jaccard=0.5, sample_fraction=0.5
+    )
+    assert report.n_raw == docs.count() + 2
+    # the exact dup dies in stage 1, the near dup in stage 2
+    assert report.n_after_exact_dedup == report.n_raw - 1
+    assert report.n_after_neardup < report.n_after_exact_dedup
+    assert report.n_after_quality <= report.n_after_neardup
+    assert 0 < report.n_sampled_chunks < report.n_chunks
+    # survivors keep the min id: the planted copies never outlive doc 0
+    ids = {r.doc_id for r in chunks.select("doc_id").distinct().collect()}
+    assert 900001 not in ids and 900002 not in ids
+    # metadata columns ride through the 1→N expansion
+    assert {"lang", "source"} <= set(chunks.columns)
+
+    out = str(tmp_path / "curated")
+    write_curated(chunks, out, partition_col="lang")
+    back = spark.read.parquet(out)
+    assert back.count() == report.n_sampled_chunks
+    assert "lang=" in str((tmp_path / "curated").iterdir().__next__())
+
+
+def test_curation_sample_is_partition_invariant(spark, sf_dir):
+    """The sampled chunk set must be a pure function of the data — not of
+    partitioning, scheduling, or which executor ran what."""
+    from fortune_500_financial_insights_pipeline_spark.pipelines.training_data import curate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a, _ = curate(docs, sample_fraction=0.3)
+    b, _ = curate(docs.repartition(13), sample_fraction=0.3)
+    ka = sorted((r.doc_id, r.chunk_index) for r in a.collect())
+    kb = sorted((r.doc_id, r.chunk_index) for r in b.collect())
+    assert ka == kb
