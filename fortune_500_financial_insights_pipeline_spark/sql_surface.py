@@ -98,6 +98,20 @@ SELECT l_returnflag, l_linestatus, COUNT(*) AS n
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
+    # Window functions in SQL text: ranking, lag, and a framed moving
+    # aggregate in one pass (same exchange on the partition key serves all
+    # three — the DataFrame forms are q_window_rank/lag/moving_avg).
+    "q_sql_window": """
+SELECT o_custkey, o_orderkey,
+       CAST(RANK() OVER w AS INTEGER) AS rk,
+       CAST(COALESCE(LAG(o_orderkey) OVER w, -1) AS BIGINT) AS prev_order,
+       CAST(SUM(CAST(ROUND(o_totalprice * 1000000) AS BIGINT)) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) / 1000000 AS mov_sum
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
     # Recursive CTE (Spark 4 + DuckDB): a generated monthly spine LEFT
     # range-joined back to facts — months with zero orders still appear.
     "q_sql_recursive": """
