@@ -80,6 +80,39 @@ def tfidf(
     )
 
 
+def tfidf_from_tf(tf: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """TF-IDF from an already-MATERIALIZED term-frequency frame (parquet
+    or checkpoint) — the 100 TB path.
+
+    The one-shot `tfidf()` derives df with a window over `term` to keep a
+    single pass over raw text; that window's partitions are per-term, and
+    stopword terms appear in nearly every document — billions of buffered
+    rows per hot key at corpus scale. When tf is materialized (a pipeline
+    can afford one write), df becomes a partially-aggregated groupBy —
+    skew-free map-side combine — and the join back is on the aggregated
+    vocabulary, which AQE broadcasts when small.
+
+    N is countDistinct(doc) over tf: identical to `tfidf()`'s docs.count()
+    unless the corpus contains token-less documents (which contribute no
+    tf rows and receive no terms either way).
+    """
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = tf.select(F.countDistinct(id_col).alias("n_docs"))
+    return (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))),
+                6,
+            ),
+        )
+        .select(id_col, "term", "tf", "tfidf")
+    )
+
+
 def cosine_prep(tfidf_df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     """L2-normalize tfidf weights per document → (doc_id, term, weight);
     dot products of these are cosine similarities (document-vector form

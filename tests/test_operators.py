@@ -434,3 +434,20 @@ def test_tfidf_topk_is_deterministic_on_ties(spark):
         r.term for r in tfidf(df, top_k=2).where(F.col("doc_id") == 0).collect()
     )
     assert top == ["alpha", "bravo"]
+
+
+def test_tfidf_from_materialized_tf_matches_oneshot(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.tfidf import (
+        term_frequencies,
+        tfidf,
+        tfidf_from_tf,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "apple apple banana"), (1, "banana cherry"), (2, "cherry date fig")],
+        "doc_id long, text string",
+    )
+    oneshot = {(r.doc_id, r.term): (r.tf, r.tfidf) for r in tfidf(df).collect()}
+    tf = term_frequencies(df).localCheckpoint()  # the materialization stand-in
+    staged = {(r.doc_id, r.term): (r.tf, r.tfidf) for r in tfidf_from_tf(tf).collect()}
+    assert oneshot == staged

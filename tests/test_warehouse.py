@@ -221,3 +221,20 @@ def test_bucketed_table_has_cbo_stats(spark, sf_dir, tmp_path):
         assert "rows" in stats  # row-count stat recorded for the CBO
     finally:
         spark.sql("DROP TABLE IF EXISTS nation_b")
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    """A filter on a joined dim must prune fact partitions at RUNTIME:
+    the year-partitioned scan carries a dynamicpruning expression, so at
+    100 TB the fact read is bounded by the dim's selectivity, not the
+    calendar."""
+    base = str(tmp_path / "wh")
+    WH.write_table(_sample_openclose(spark), base, "openclose")
+    fact = spark.read.parquet(os.path.join(base, "openclose"))
+    dim = spark.createDataFrame(
+        [(2018, "keep"), (2017, "drop")], "year int, tag string"
+    )
+    joined = fact.join(dim.filter(F.col("tag") == "keep"), "year")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert joined.count() == 1
