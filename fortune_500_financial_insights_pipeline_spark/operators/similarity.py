@@ -281,3 +281,51 @@ def quantized_cosine_topk(
         .limit(k)
         .select(*keep, "sim")
     )
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Batched k-NN: top-k cosine neighbors in ``corpus`` for EVERY row of
+    ``queries`` (self-matches on ``id_col`` excluded).
+
+    Plan: the query batch broadcasts (it is the small side by contract),
+    the corpus streams partition-parallel, and both side's norms are
+    STAGED as columns before the pair join — an inlined norm would be
+    re-evaluated once per (query, corpus) pair instead of once per row
+    (SCALE.md "Expression staging").
+
+    Per-query top-k runs as row_number over a per-query window: fine while
+    ``corpus_rows`` fits a partition. At extreme scale, route through
+    ivf_index first so each query ranks only its cell's candidates — the
+    window then sees cell-sized, not corpus-sized, partitions.
+    """
+    from pyspark.sql.window import Window
+
+    qn = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("__qv"),
+        _norm(F.col(vec_col)).alias("__qnorm"),
+    )
+    cn = corpus.withColumn("__cnorm", _norm(F.col(vec_col)))
+    sim = F.round(
+        _dot(F.col(vec_col), F.col("__qv")) / (F.col("__cnorm") * F.col("__qnorm")),
+        round_digits,
+    )
+    other = [c for c in corpus.columns if c != vec_col]
+    pairs = (
+        cn.crossJoin(F.broadcast(qn))
+        .where(F.col(id_col) != F.col("q_id"))
+        .select("q_id", *other, sim.alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -376,6 +376,26 @@ s AS (
 SELECT vec_id, label, sim FROM s ORDER BY sim DESC, vec_id ASC LIMIT 20
 """
 
+ORACLES["q_knn_join"] = """
+WITH q AS (
+  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < 10
+), s AS (
+  SELECT q.q_id, e.vec_id, e.label,
+         ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(q.qe, q.qe))), 6) AS sim
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.q_id
+), r AS (
+  SELECT q_id, vec_id, label, sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rn
+  FROM s
+)
+SELECT q_id, vec_id, label, sim FROM r WHERE rn <= 5
+"""
+
 ORACLES["q_text_stats"] = """
 SELECT lang, COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars,

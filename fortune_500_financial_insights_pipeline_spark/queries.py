@@ -840,6 +840,16 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb.select("vec_id", "label", "embedding"), list(qvec), k=20)
 
 
+@q("q_knn_join")
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched k-NN similarity join: top-5 cosine neighbors for each of
+    the first 10 vectors (self excluded), exact brute force."""
+    from fortune_500_financial_insights_pipeline_spark.operators.similarity import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    return knn_join(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
 @q("q_ivf_topk")
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (rows-only: cell routing is Spark-specific;
