@@ -551,6 +551,10 @@ SELECT doc_id,
 FROM st
 """
 
+# the UDTF chunker is value-interchangeable with the native operator —
+# one oracle serves both (functions/udtfs.py docstring)
+ORACLES["q_udtf_chunk"] = ORACLES["q_chunk_docs"]
+
 # SQL text surface: the Spark query and the oracle are the same statement
 # (see sql_surface.py — dialect-shared subset, zero translation).
 from fortune_500_financial_insights_pipeline_spark.sql_surface import SHARED_SQL as _SHARED_SQL

@@ -1280,6 +1280,20 @@ def _register_sql_surface() -> None:
 _register_sql_surface()
 
 
+@q("q_udtf_chunk")
+def q_udtf_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF via LATERAL join — same semantics (and same oracle) as
+    the JVM-side q_chunk_docs, proving the table-function escape hatch."""
+    from fortune_500_financial_insights_pipeline_spark.catalog import register_views
+    from fortune_500_financial_insights_pipeline_spark.functions.udtfs import register_udtfs
+
+    register_views(spark, sf_dir)
+    register_udtfs(spark)
+    return spark.sql(
+        "SELECT doc_id, s.* FROM documents, LATERAL chunk_tokens(text, 32, 8) s"
+    )
+
+
 @q("q_hash_sample")
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content-keyed 10% sample (rows-only: xxhash64 is

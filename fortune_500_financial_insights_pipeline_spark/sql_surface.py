@@ -98,6 +98,17 @@ SELECT l_returnflag, l_linestatus, COUNT(*) AS n
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
+    # Several COUNT(DISTINCT ...) in one aggregation — Catalyst plans this
+    # with an Expand (one row replicated per distinct column) so all
+    # distinct sets resolve in a single shuffle, not one job each.
+    "q_sql_multi_distinct": """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
     # Window functions in SQL text: ranking, lag, and a framed moving
     # aggregate in one pass (same exchange on the partition key serves all
     # three — the DataFrame forms are q_window_rank/lag/moving_avg).
