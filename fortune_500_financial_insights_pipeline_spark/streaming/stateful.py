@@ -94,3 +94,60 @@ def stream_to_warehouse(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+class RunningTotalsProcessor:
+    """`transformWithStateInPandas` processor: same running per-user
+    totals as ``running_totals`` on the Spark-4 successor API —
+    typed state handles (ValueState here; ListState/MapState available),
+    timers, and TTL support that ``applyInPandasWithState`` lacks.
+
+    Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) — the HDFS-backed
+    default does not implement the new state engine — and the
+    ``protobuf`` package (the TWS state-server wire protocol;
+    ``pyspark[connect]`` ships it). In environments without protobuf the
+    query fails at init with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE;
+    ``applyInPandasWithState`` (``running_totals``) is the
+    dependency-free fallback with identical semantics for this shape.
+    """
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("totals", _STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        if self._state.exists():
+            n, total = self._state.get()
+        else:
+            n, total = 0, 0.0
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        self._state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_totals_tws(stream: DataFrame) -> DataFrame:
+    """``running_totals`` on the transformWithStateInPandas API."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    # subclass dynamically so import of this module never hard-depends on
+    # the Spark-4-only API surface
+    proc = type(
+        "_RunningTotals", (StatefulProcessor,), dict(RunningTotalsProcessor.__dict__)
+    )()
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=proc,
+            outputStructType=RUNNING_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

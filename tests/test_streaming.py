@@ -282,3 +282,64 @@ def test_stream_stream_interval_join(spark, events_dir, tmp_path):
     assert got == expected
     assert len(got) > 0
     assert all(0 <= g <= 3600 for g in gaps)
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's state-server protocol needs google.protobuf, "
+    "absent in this container (operator code is complete; see "
+    "streaming/stateful.running_totals_tws docstring)",
+)
+def test_transform_with_state_running_totals(spark, events_dir, tmp_path):
+    """transformWithStateInPandas (the Spark-4 stateful API): state carries
+    across micro-batches exactly like the applyInPandasWithState twin."""
+    from fortune_500_financial_insights_pipeline_spark.streaming.stateful import running_totals_tws
+
+    src = str(tmp_path / "src_tws")
+    batch_df = spark.read.parquet(events_dir)
+    one_user = batch_df.filter(F.col("user_id") == 1).limit(3).collect()
+    spark.createDataFrame(one_user[:2], batch_df.schema).write.parquet(src)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = spark.readStream.schema(batch_df.schema).parquet(src)
+    q = (
+        running_totals_tws(stream)
+        .writeStream.format("memory")
+        .queryName("running_totals_tws")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(one_user[2:], batch_df.schema).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        rows = [
+            (r.n_events, r.total_value)
+            for r in spark.sql(
+                "SELECT * FROM running_totals_tws WHERE user_id = 1"
+            ).collect()
+        ]
+        assert max(n for n, _ in rows) == 3
+        expected_total = sum(r.value for r in one_user)
+        assert abs(max(t for _, t in rows) - expected_total) < 1e-9
+    finally:
+        q.stop()
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
