@@ -551,6 +551,18 @@ SELECT doc_id,
 FROM st
 """
 
+ORACLES["q_sql_pivot"] = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'F'
+                     THEN CAST(ROUND(l_quantity * 1000000) AS BIGINT) END)
+            AS DOUBLE) / 1000000 AS qty_f,
+       CAST(SUM(CASE WHEN l_linestatus = 'O'
+                     THEN CAST(ROUND(l_quantity * 1000000) AS BIGINT) END)
+            AS DOUBLE) / 1000000 AS qty_o
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
 # the UDTF chunker is value-interchangeable with the native operator —
 # one oracle serves both (functions/udtfs.py docstring)
 ORACLES["q_udtf_chunk"] = ORACLES["q_chunk_docs"]

@@ -1280,6 +1280,24 @@ def _register_sql_surface() -> None:
 _register_sql_surface()
 
 
+@q("q_sql_pivot")
+def q_sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIVOT clause (Spark dialect; the oracle is the equivalent
+    conditional aggregation — PIVOT syntax differs across engines, the
+    semantics don't). DataFrame twin: q_pivot."""
+    from fortune_500_financial_insights_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT * FROM (SELECT l_returnflag, l_linestatus, l_quantity FROM lineitem)
+        PIVOT (CAST(SUM(CAST(ROUND(l_quantity * 1000000) AS BIGINT)) AS DOUBLE)
+               / 1000000
+               FOR l_linestatus IN ('F' AS qty_f, 'O' AS qty_o))
+        """
+    )
+
+
 @q("q_udtf_chunk")
 def q_udtf_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF via LATERAL join — same semantics (and same oracle) as

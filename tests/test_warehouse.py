@@ -238,3 +238,49 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     assert joined.count() == 1
+
+
+def test_sql_ddl_dml_roundtrip(spark, tmp_path):
+    """Pure-SQL table lifecycle against the session catalog: CREATE TABLE
+    USING parquet, INSERT INTO (+ partition overwrite semantics via SQL),
+    then query — the DDL surface a BigQuery-style user expects."""
+    loc = str(tmp_path / "sqltbl")
+    spark.sql(
+        f"CREATE TABLE sql_prices (ticker STRING, close DOUBLE, year INT) "
+        f"USING parquet PARTITIONED BY (year) LOCATION '{loc}'"
+    )
+    try:
+        spark.sql(
+            "INSERT INTO sql_prices VALUES ('AAPL', 180.0, 2023), ('MSFT', 390.5, 2023), ('AAPL', 190.1, 2024)"
+        )
+        got = {
+            (r.ticker, r.year): r.close
+            for r in spark.sql("SELECT * FROM sql_prices").collect()
+        }
+        assert got[("AAPL", 2024)] == 190.1 and len(got) == 3
+        # INSERT OVERWRITE a single partition leaves the others intact
+        spark.sql(
+            "INSERT OVERWRITE sql_prices PARTITION (year=2023) VALUES ('GOOG', 140.0)"
+        )
+        left = spark.sql(
+            "SELECT ticker FROM sql_prices WHERE year = 2023"
+        ).collect()
+        assert {r.ticker for r in left} == {"GOOG"}
+        assert spark.sql("SELECT COUNT(*) AS n FROM sql_prices").head().n == 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sql_prices")
+
+
+def test_python_udf_callable_from_sql(spark):
+    """A registered Python UDF is first-class in the SQL surface."""
+    from pyspark.sql.types import DoubleType
+
+    spark.udf.register(
+        "pct_change",
+        lambda a, b: None if a is None or b is None else (b - a) / a,
+        DoubleType(),
+    )
+    got = spark.sql(
+        "SELECT pct_change(CAST(100.0 AS DOUBLE), CAST(110.0 AS DOUBLE)) AS pc"
+    ).head().pc
+    assert abs(got - 0.1) < 1e-12
