@@ -551,6 +551,22 @@ SELECT doc_id,
 FROM st
 """
 
+ORACLES["q_scd2"] = """
+WITH ordered AS (
+  SELECT user_id, ts, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+), changed AS (
+  SELECT user_id, ts, event_type FROM ordered
+  WHERE prev IS NULL OR event_type <> prev
+)
+SELECT user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                '%Y-%m-%d %H:%M:%S') AS valid_to
+FROM changed
+"""
+
 ORACLES["q_sql_pivot"] = """
 SELECT l_returnflag,
        CAST(SUM(CASE WHEN l_linestatus = 'F'

@@ -1280,6 +1280,24 @@ def _register_sql_surface() -> None:
 _register_sql_surface()
 
 
+@q("q_scd2")
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history from event snapshots: per-user episodes of
+    event_type with [valid_from, valid_to) bounds (dates as ISO strings
+    for dtype-stable hashing)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.scd import scd2
+
+    e = load_table(spark, sf_dir, "events")
+    hist = scd2(e, ["user_id"], "ts", ["event_type"])
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return hist.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format("valid_to", fmt).alias("valid_to"),
+    )
+
+
 @q("q_sql_pivot")
 def q_sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL PIVOT clause (Spark dialect; the oracle is the equivalent

@@ -451,3 +451,41 @@ def test_tfidf_from_materialized_tf_matches_oneshot(spark):
     tf = term_frequencies(df).localCheckpoint()  # the materialization stand-in
     staged = {(r.doc_id, r.term): (r.tf, r.tfidf) for r in tfidf_from_tf(tf).collect()}
     assert oneshot == staged
+
+
+def test_scd2_episodes_and_point_in_time(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.scd import as_of_snapshot, scd2
+
+    snaps = spark.createDataFrame(
+        [
+            (1, "2024-01-01", "Tech", "CA"),
+            (1, "2024-02-01", "Tech", "CA"),   # no change → absorbed
+            (1, "2024-03-01", "Tech", "NY"),   # state changed → new episode
+            (2, "2024-01-15", "Energy", "TX"),
+        ],
+        "ticker long, ts string, sector string, state string",
+    ).withColumn("ts", F.to_date("ts"))
+    hist = scd2(snaps, ["ticker"], "ts", ["sector", "state"]).collect()
+    eps = {(r.ticker, str(r.valid_from)): (r.state, str(r.valid_to)) for r in hist}
+    assert len(hist) == 3  # the unchanged snapshot created no episode
+    assert eps[(1, "2024-01-01")] == ("CA", "2024-03-01")  # closed by the change
+    assert eps[(1, "2024-03-01")][1] == "None"             # current episode open
+    assert eps[(2, "2024-01-15")][1] == "None"
+
+    hist_df = scd2(snaps, ["ticker"], "ts", ["sector", "state"])
+    at_feb = as_of_snapshot(hist_df, "2024-02-15").collect()
+    assert {(r.ticker, r.state) for r in at_feb} == {(1, "CA"), (2, "TX")}
+
+
+def test_scd2_single_shuffle(spark, sf_dir):
+    """Both windows share the partition key — one exchange, not two."""
+    import re
+    from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+    from fortune_500_financial_insights_pipeline_spark.operators.scd import scd2
+
+    e = load_table(spark, sf_dir, "events")
+    plan = (
+        scd2(e, ["user_id"], "ts", ["event_type"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
