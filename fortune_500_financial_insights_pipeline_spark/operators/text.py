@@ -91,3 +91,24 @@ def jaccard(a: Column, b: Column) -> Column:
     inter = F.size(F.array_intersect(a, b)).cast("double")
     union = F.size(F.array_union(a, b)).cast("double")
     return inter / union
+
+
+def rolling_fingerprint(text: Column | str, base: int = 31, mod: int = (1 << 61) - 1) -> Column:
+    """Polynomial rolling hash over whitespace tokens (Rabin–Karp style):
+    h = Σ h·base + tokhash  (mod 2^61-1), entirely JVM-side via a
+    higher-order fold — an order-SENSITIVE fingerprint, unlike md5 of the
+    normalized text (`fingerprint`): token transpositions change it, so
+    it also serves as a cheap shingle hash for windowed dedup.
+
+    Token values come from xxhash64 (stable across Spark versions and
+    partitionings); the fold keeps everything in long arithmetic inside
+    codegen — no strings survive past the first projection."""
+    c = text if isinstance(text, Column) else F.col(text)
+    toks = F.split(c, " ")
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(
+            acc * F.lit(base) + F.pmod(F.xxhash64(t), F.lit(mod)), F.lit(mod)
+        ),
+    )

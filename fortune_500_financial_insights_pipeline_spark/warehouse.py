@@ -196,3 +196,28 @@ SERVING_QUERIES: dict[str, str] = {
 
 def serve(spark: SparkSession, name: str) -> DataFrame:
     return spark.sql(SERVING_QUERIES[name])
+
+
+def analyze_table(
+    spark: SparkSession, base_path: str, table: str, columns: list[str] | None = None
+) -> dict[str, str]:
+    """Register ``table``'s parquet directory as an external catalog table
+    (temp views can't hold stats) and compute table + column statistics —
+    what turns on cost-based join reordering and better broadcast
+    decisions (SURVEY.md §4 "Collect stats for CBO"). Returns the stats
+    DESCRIBE EXTENDED reports.
+
+    Idempotent: re-running refreshes the stats in place."""
+    path = os.path.join(base_path, table)
+    cat_name = f"{table}_stats"
+    spark.sql(f"DROP TABLE IF EXISTS {cat_name}")
+    spark.sql(f"CREATE TABLE {cat_name} USING parquet LOCATION '{path}'")
+    if any(f.name == "year" for f in spark.read.parquet(path).schema.fields):
+        spark.sql(f"MSCK REPAIR TABLE {cat_name}")
+    cols = ", ".join(columns) if columns else None
+    spark.sql(
+        f"ANALYZE TABLE {cat_name} COMPUTE STATISTICS"
+        + (f" FOR COLUMNS {cols}" if cols else "")
+    )
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {cat_name}").collect()
+    return {r.col_name: r.data_type for r in rows if r.col_name == "Statistics"}

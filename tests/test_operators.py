@@ -489,3 +489,28 @@ def test_scd2_single_shuffle(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_rolling_fingerprint_is_order_sensitive(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators import text as TX
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "beta alpha gamma"), (2, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: r.fp for r in df.select(
+        "doc_id", TX.rolling_fingerprint("text").alias("fp")).collect()}
+    assert fps[0] == fps[2]          # identical text → identical hash
+    assert fps[0] != fps[1]          # transposed tokens → different hash
+    assert all(0 <= v < (1 << 61) - 1 for v in fps.values())
+
+
+def test_rolling_fingerprint_partition_invariant(spark, sf_dir):
+    from fortune_500_financial_insights_pipeline_spark.operators import text as TX
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    one = {r.doc_id: r.fp for r in d.select(
+        "doc_id", TX.rolling_fingerprint("text").alias("fp")).collect()}
+    many = {r.doc_id: r.fp for r in d.repartition(7).select(
+        "doc_id", TX.rolling_fingerprint("text").alias("fp")).collect()}
+    assert one == many

@@ -284,3 +284,25 @@ def test_python_udf_callable_from_sql(spark):
         "SELECT pct_change(CAST(100.0 AS DOUBLE), CAST(110.0 AS DOUBLE)) AS pc"
     ).head().pc
     assert abs(got - 0.1) < 1e-12
+
+
+def test_analyze_table_feeds_cbo(spark, tmp_path):
+    """ANALYZE TABLE puts row/size stats in the catalog, and the optimizer
+    picks them up (plan statistics show the exact row count instead of a
+    size-based guess)."""
+    base = str(tmp_path / "wh")
+    WH.write_table(_sample_openclose(spark), base, "openclose")
+    stats = WH.analyze_table(spark, base, "openclose", columns=["Ticker", "Close"])
+    prev_cbo = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")  # vanilla sessions: off
+    try:
+        assert "Statistics" in stats and "rows" in stats["Statistics"]
+        plan_stats = (
+            spark.table("openclose_stats")
+            ._jdf.queryExecution().optimizedPlan().stats().toString()
+        )
+        n = _sample_openclose(spark).count()
+        assert f"rowCount={n}" in plan_stats, plan_stats
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev_cbo)
+        spark.sql("DROP TABLE IF EXISTS openclose_stats")
