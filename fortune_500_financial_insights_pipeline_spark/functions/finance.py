@@ -73,3 +73,51 @@ def with_insights(
         (close / run_max - 1).alias("drawdown"),
         F.min(close / run_max - 1).over(w_run).alias("max_drawdown"),
     )
+
+
+def with_insights_exact(
+    df: DataFrame,
+    ticker_col: str = "Ticker",
+    date_col: str = "Date",
+    close_col: str = "Close",
+    volume_col: str = "Volume",
+    ma_days: int = 20,
+) -> DataFrame:
+    """The oracle-checkable subset of ``with_insights`` with an exact
+    fixed-point interior for every frame sum (functions/deterministic.py):
+    daily return, SMA, VWAP, cumulative return, drawdown, max drawdown.
+
+    EMA and rolling volatility stay in ``with_insights`` only — their
+    accumulation (pow-weighted sums, Welford variance) is inherently
+    order/algorithm-sensitive across engines, so they're pinned by unit
+    tests rather than a value-hash oracle. Two projection stages because
+    max_drawdown is a window over a window (min of drawdown), which
+    neither Spark nor ANSI SQL allows nested in one expression.
+    """
+    from fortune_500_financial_insights_pipeline_spark.functions.deterministic import SCALE
+
+    w = _w(ticker_col, date_col)
+    w_ma = w.rowsBetween(-(ma_days - 1), W.currentRow)
+    w_run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+
+    close = F.col(close_col)
+    prev = F.lag(close_col, 1).over(w)
+    fixed = lambda c: F.round(c * SCALE).cast("long")  # noqa: E731
+
+    staged = df.select(
+        "*",
+        (close / prev - 1).alias("daily_return"),
+        (
+            (F.sum(fixed(close)).over(w_ma).cast("double") / SCALE)
+            / F.count(close).over(w_ma)
+        ).alias(f"sma_{ma_days}"),
+        (
+            F.sum(fixed(close * F.col(volume_col))).over(w_ma).cast("double")
+            / F.sum(fixed(F.col(volume_col))).over(w_ma).cast("double")
+        ).alias(f"vwap_{ma_days}"),
+        (close / F.first(close).over(w_run) - 1).alias("cum_return"),
+        (close / F.max(close).over(w_run) - 1).alias("drawdown"),
+    )
+    return staged.select(
+        "*", F.min("drawdown").over(w_run).alias("max_drawdown")
+    )

@@ -551,6 +551,43 @@ SELECT doc_id,
 FROM st
 """
 
+ORACLES["q_finance_insights"] = """
+WITH series AS (
+  SELECT l_suppkey,
+         strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS day,
+         (CAST(SUM(CAST(ROUND(l_extendedprice * 1000000) AS BIGINT)) AS DOUBLE)
+          / 1000000) / COUNT(*) AS close,
+         CAST(SUM(CAST(ROUND(l_quantity * 1000000) AS BIGINT)) AS DOUBLE)
+          / 1000000 AS volume
+  FROM lineitem
+  GROUP BY l_suppkey, day
+), staged AS (
+  SELECT l_suppkey, day, close, volume,
+         close / LAG(close) OVER w - 1 AS daily_return,
+         (CAST(SUM(CAST(ROUND(close * 1000000) AS BIGINT))
+               OVER wma AS DOUBLE) / 1000000)
+           / COUNT(close) OVER wma AS sma_5,
+         CAST(SUM(CAST(ROUND(close * volume * 1000000) AS BIGINT))
+              OVER wma AS DOUBLE)
+           / CAST(SUM(CAST(ROUND(volume * 1000000) AS BIGINT))
+                  OVER wma AS DOUBLE) AS vwap_5,
+         close / FIRST_VALUE(close) OVER wrun - 1 AS cum_return,
+         close / MAX(close) OVER wrun - 1 AS drawdown
+  FROM series
+  WINDOW w AS (PARTITION BY l_suppkey ORDER BY day),
+         wma AS (PARTITION BY l_suppkey ORDER BY day
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         wrun AS (PARTITION BY l_suppkey ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT l_suppkey, day, close, volume, daily_return, sma_5, vwap_5,
+       cum_return, drawdown,
+       MIN(drawdown) OVER (PARTITION BY l_suppkey ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS max_drawdown
+FROM staged
+"""
+
 ORACLES["q_scd2"] = """
 WITH ordered AS (
   SELECT user_id, ts, event_type,

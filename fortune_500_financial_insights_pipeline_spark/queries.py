@@ -1280,6 +1280,36 @@ def _register_sql_surface() -> None:
 _register_sql_surface()
 
 
+@q("q_finance_insights")
+def q_finance_insights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's dashboard metrics (daily return, SMA, VWAP,
+    cumulative return, drawdown — README.md:9-10's Tableau overlay) on a
+    supplier-day price series derived from lineitem, exact fixed-point
+    frame sums throughout (functions/finance.with_insights_exact)."""
+    from fortune_500_financial_insights_pipeline_spark.functions.deterministic import davg, dsum
+    from fortune_500_financial_insights_pipeline_spark.functions.finance import with_insights_exact
+
+    li = load_table(spark, sf_dir, "lineitem")
+    series = (
+        li.groupBy(
+            "l_suppkey",
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            davg("l_extendedprice").alias("close"),
+            dsum("l_quantity").alias("volume"),
+        )
+    )
+    return with_insights_exact(
+        series,
+        ticker_col="l_suppkey",
+        date_col="day",
+        close_col="close",
+        volume_col="volume",
+        ma_days=5,
+    )
+
+
 @q("q_scd2")
 def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 history from event snapshots: per-user episodes of
