@@ -149,6 +149,23 @@ FROM customer c, LATERAL (
 ) l
 """,
     # ---- TPC-H-shaped suite over the columns the fixtures provide ----
+    # Q1: the canonical pricing summary (SQL-text twin of the DataFrame
+    # flagship q_groupby_agg — same fixed-point interior, same answer).
+    "q_sql_tpch_q1": f"""
+SELECT l_returnflag, l_linestatus,
+       {_dsum('l_quantity')} AS sum_qty,
+       {_dsum('l_extendedprice')} AS sum_base_price,
+       {_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {_dsum('l_quantity')} / COUNT(*) AS avg_qty,
+       {_dsum('l_extendedprice')} / COUNT(*) AS avg_price,
+       {_dsum('l_discount')} / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
     # (no partsupp table; no commitdate/receiptdate/shipmode/phone/container
     # columns — each query keeps the canonical plan shape, with predicates
     # adapted to the fixture domain: dates 1995-2001, nations NATION_0..24.)
