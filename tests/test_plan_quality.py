@@ -140,3 +140,33 @@ def test_tfidf_single_pass_over_text(spark, sf_dir):
     from the TF frame, not a second explode of the raw text."""
     plan = plan_of(spark, sf_dir, "q_tfidf")
     assert plan.count("Generate explode") == 1
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """A selective dim filter injects a runtime bloom filter on the fact
+    side's join key (semi-join reduction before the shuffle). Local data
+    sits under the 10 GiB application-side default threshold, so the test
+    lowers it to zero — at the 100 TB design point the defaults fire on
+    their own."""
+    from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        plan = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert "bloom_filter_agg" in plan and "might_contain" in plan, plan[:1500]
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
