@@ -170,3 +170,62 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_zorder_layout_skips_files_on_second_dimension(spark, sf_dir, tmp_path):
+    """Data skipping proof via parquet footer stats: with a linear sort on
+    quantity, a price-only filter cannot prune any file (every file spans
+    the full price range); the z-ordered layout gives each file a tight
+    envelope on BOTH dims, so the same filter skips most files."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+    from fortune_500_financial_insights_pipeline_spark.operators.zorder import zorder_write
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    linear = str(tmp_path / "linear")
+    zpath = str(tmp_path / "zorder")
+    (
+        li.repartitionByRange(64, F.col("l_quantity"))
+        .sortWithinPartitions("l_quantity")
+        .write.mode("overwrite").parquet(linear)
+    )
+    zorder_write(li, zpath, ["l_quantity", "l_extendedprice"], n_files=64)
+
+    lo, hi = li.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).head()
+    band_lo = lo + 0.45 * (hi - lo)
+    band_hi = lo + 0.55 * (hi - lo)
+
+    def files_touched(path: str) -> tuple[int, int]:
+        import glob
+        touched = total = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            fmin, fmax = None, None
+            for rg in range(md.num_row_groups):
+                col = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.row_group(rg).num_columns)
+                    if md.row_group(rg).column(i).path_in_schema
+                    == "l_extendedprice"
+                )
+                s = col.statistics
+                fmin = s.min if fmin is None else min(fmin, s.min)
+                fmax = s.max if fmax is None else max(fmax, s.max)
+            total += 1
+            if not (fmax < band_lo or fmin > band_hi):
+                touched += 1
+        return touched, total
+
+    lin_touched, lin_total = files_touched(linear)
+    z_touched, z_total = files_touched(zpath)
+    assert lin_total >= 32 and z_total >= 32
+    assert lin_touched == lin_total  # linear layout: zero pruning on price
+    assert z_touched < z_total // 2, (z_touched, z_total)  # z-order: >50% skipped
+
+    # the layouts hold identical data
+    a = spark.read.parquet(linear).count()
+    b = spark.read.parquet(zpath).count()
+    assert a == b == li.count()
