@@ -551,6 +551,22 @@ SELECT doc_id,
 FROM st
 """
 
+ORACLES["q_decontaminate"] = """
+WITH g AS (
+  SELECT doc_id, UNNEST(list_distinct(
+           list_transform(range(1, len(l)), x -> l[x] || ' ' || l[x+1])
+         )) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+), bench AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id < 5
+)
+SELECT g.doc_id, COUNT(DISTINCT g.gram) AS shared_grams
+FROM g JOIN bench ON g.gram = bench.gram
+WHERE g.doc_id >= 5
+GROUP BY g.doc_id
+HAVING COUNT(DISTINCT g.gram) >= 3
+"""
+
 ORACLES["q_finance_insights"] = """
 WITH series AS (
   SELECT l_suppkey,

@@ -1280,6 +1280,33 @@ def _register_sql_surface() -> None:
 _register_sql_surface()
 
 
+@q("q_decontaminate")
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing ≥3 distinct
+    word-bigrams with a benchmark set (here: doc_id < 5 stands in for the
+    eval set). Explode distinct grams on both sides; the join key is the
+    gram, so contaminated docs surface without any pairwise compare —
+    at scale the benchmark gram set is small and broadcasts."""
+    from fortune_500_financial_insights_pipeline_spark.operators import text as TX
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(TX.word_ngrams("text", 2)).alias("gram")
+    )
+    bench = (
+        grams.where(F.col("doc_id") < 5)
+        .select(F.col("gram").alias("bgram"))
+        .distinct()
+    )
+    return (
+        grams.where(F.col("doc_id") >= 5)
+        .join(F.broadcast(bench), F.col("gram") == F.col("bgram"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("shared_grams"))
+        .where(F.col("shared_grams") >= 3)
+    )
+
+
 @q("q_finance_insights")
 def q_finance_insights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's dashboard metrics (daily return, SMA, VWAP,
