@@ -93,7 +93,7 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter / union
 
 
-def rolling_fingerprint(text: Column | str, base: int = 31, mod: int = (1 << 61) - 1) -> Column:
+def rolling_fingerprint(text: Column | str, base: int = 31, mod: int = 288230376151711717) -> Column:
     """Polynomial rolling hash over whitespace tokens (Rabin–Karp style):
     h = Σ h·base + tokhash  (mod 2^61-1), entirely JVM-side via a
     higher-order fold — an order-SENSITIVE fingerprint, unlike md5 of the
@@ -102,7 +102,11 @@ def rolling_fingerprint(text: Column | str, base: int = 31, mod: int = (1 << 61)
 
     Token values come from xxhash64 (stable across Spark versions and
     partitionings); the fold keeps everything in long arithmetic inside
-    codegen — no strings survive past the first projection."""
+    codegen — no strings survive past the first projection. The default
+    modulus is the largest prime below 2^58: acc*base + term then peaks
+    below 2^63, so the fold never wraps int64 (a Mersenne-2^61 modulus
+    would overflow at acc*31 and silently diverge from any big-int
+    reference — caught by the Hypothesis model test)."""
     c = text if isinstance(text, Column) else F.col(text)
     toks = F.split(c, " ")
     return F.aggregate(

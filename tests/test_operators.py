@@ -502,7 +502,7 @@ def test_rolling_fingerprint_is_order_sensitive(spark):
         "doc_id", TX.rolling_fingerprint("text").alias("fp")).collect()}
     assert fps[0] == fps[2]          # identical text → identical hash
     assert fps[0] != fps[1]          # transposed tokens → different hash
-    assert all(0 <= v < (1 << 61) - 1 for v in fps.values())
+    assert all(0 <= v < 288230376151711717 for v in fps.values())
 
 
 def test_rolling_fingerprint_partition_invariant(spark, sf_dir):

@@ -144,3 +144,61 @@ def test_pivot_preserves_first_values(spark, rows):
             assert val in {v for gg, pp, v in rows if (gg, pp) == (g, p)}
         else:
             assert val is None
+
+
+_token = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+    min_size=1, max_size=8,
+)
+_tokens = st.lists(_token, min_size=1, max_size=40)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(toks=_tokens, chunk=st.integers(2, 10), overlap=st.integers(0, 5))
+def test_chunking_covers_every_token_exactly(spark, toks, chunk, overlap):
+    """Every token lands in ≥1 chunk; stripping the overlaps reconstructs
+    the document exactly — for ANY doc length / chunk size / overlap."""
+    from fortune_500_financial_insights_pipeline_spark.operators.chunking import chunk_documents
+
+    if overlap >= chunk:
+        overlap = chunk - 1
+    step = chunk - overlap
+    text = " ".join(toks)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect(),
+        key=lambda r: r.chunk_index,
+    )
+    # reconstruction: first chunk whole, then each chunk minus its overlap
+    rebuilt = rows[0].chunk_text.split(" ")
+    for r in rows[1:]:
+        rebuilt.extend(r.chunk_text.split(" ")[overlap:])
+    assert rebuilt == toks
+    # per-chunk spans agree with the declared geometry
+    for r in rows:
+        assert r.chunk_start == r.chunk_index * step
+        assert r.n_tokens == len(r.chunk_text.split(" "))
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(toks=_tokens)
+def test_rolling_fingerprint_matches_reference_model(spark, toks):
+    """The JVM fold equals the sequential Python model — same base, same
+    modulus, same token hashes — for arbitrary token sequences."""
+    from fortune_500_financial_insights_pipeline_spark.operators import text as TX
+
+    text = " ".join(toks)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = df.select(TX.rolling_fingerprint("text").alias("fp")).head().fp
+
+    hashes = {
+        r.t: r.h
+        for r in df.select(
+            F.explode(F.split("text", " ")).alias("t")
+        ).select("t", F.xxhash64("t").alias("h")).collect()
+    }
+    MOD = 288230376151711717
+    acc = 0
+    for t in toks:
+        acc = (acc * 31 + (hashes[t] % MOD)) % MOD
+    assert got == acc
