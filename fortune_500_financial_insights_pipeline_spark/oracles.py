@@ -907,3 +907,71 @@ FROM region
 JOIN (SELECT n_regionkey, COUNT(*) AS n_nations FROM nation GROUP BY 1) c
   ON r_regionkey = c.n_regionkey
 """
+
+ORACLES["q_pack_offsets"] = """
+WITH counted AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(doc_id % 8 AS BIGINT) AS bucket
+  FROM documents
+), cum AS (
+  SELECT doc_id, bucket, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id)
+              - n_tokens AS BIGINT) AS start_offset
+  FROM counted
+)
+SELECT doc_id, bucket,
+       CAST(start_offset // 256 AS BIGINT) AS seq_index,
+       start_offset, n_tokens
+FROM cum
+"""
+
+ORACLES["q_pack_greedy"] = """
+WITH RECURSIVE counted AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(doc_id % 8 AS BIGINT) AS bucket
+  FROM documents
+), ordered AS (
+  SELECT doc_id, bucket, n_tokens,
+         row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+  FROM counted
+), packed AS (
+  SELECT doc_id, bucket, n_tokens, rn,
+         CAST(0 AS BIGINT) AS seq_index,
+         n_tokens AS seq_fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.doc_id, o.bucket, o.n_tokens, o.rn,
+         CASE WHEN p.seq_fill + o.n_tokens > 256
+              THEN p.seq_index + 1 ELSE p.seq_index END,
+         CASE WHEN p.seq_fill + o.n_tokens > 256
+              THEN o.n_tokens ELSE p.seq_fill + o.n_tokens END
+  FROM packed p
+  JOIN ordered o ON o.bucket = p.bucket AND o.rn = p.rn + 1
+)
+SELECT doc_id, bucket, seq_index, seq_fill, n_tokens FROM packed
+"""
+
+ORACLES["q_quality_gate"] = """
+WITH feats AS (
+  SELECT doc_id, lang,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_toks,
+         CAST(len(list_filter(string_split(text, ' '),
+                    t -> list_contains(['the','a','of','and','to','in','is','on','for','with'], t)))
+              AS DOUBLE) AS n_stop
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+         ROUND(
+           LEAST(n_chars / 200.0, 1.0) * 0.4
+           + (CASE WHEN n_chars / n_toks >= 3.0 AND n_chars / n_toks <= 10.0
+                   THEN 1.0 ELSE 0.5 END) * 0.3
+           + LEAST((n_stop / n_toks) * 5.0, 1.0) * 0.3, 6) AS quality
+  FROM feats
+)
+SELECT doc_id, lang, quality
+FROM scored
+WHERE quality >= (SELECT quantile_cont(quality, 0.25) FROM scored)
+"""

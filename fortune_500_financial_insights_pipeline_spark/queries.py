@@ -1410,3 +1410,48 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length(blob).alias("n_bytes"),
         F.lower(F.sha2(blob, 256)).alias("sha"),
     )
+
+
+@q("q_pack_offsets")
+def q_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-offset sequence packing: documents laid end-to-end per
+    id%8 bucket, bin boundary every 256 tokens (window cumsum, one
+    shuffle on the bucket key)."""
+    from fortune_500_financial_insights_pipeline_spark.operators import text as TX
+    from fortune_500_financial_insights_pipeline_spark.operators.packing import pack_offsets
+
+    d = load_table(spark, sf_dir, "documents")
+    counted = d.select("doc_id", TX.token_count("text").alias("n_tokens"))
+    return pack_offsets(counted, budget=256, n_buckets=8)
+
+
+@q("q_pack_greedy")
+def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy first-fit sequence packing (no straddling): per-bucket
+    Arrow-batched applyInPandas; oracle is a recursive CTE replaying the
+    same non-associative reset recurrence."""
+    from fortune_500_financial_insights_pipeline_spark.operators import text as TX
+    from fortune_500_financial_insights_pipeline_spark.operators.packing import pack_greedy
+
+    d = load_table(spark, sf_dir, "documents")
+    counted = d.select("doc_id", TX.token_count("text").alias("n_tokens"))
+    return pack_greedy(counted, budget=256, n_buckets=8)
+
+
+@q("q_quality_gate")
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quality gate: keep documents at or above the corpus p25
+    quality score. The exact-percentile threshold is a 1-row aggregate
+    broadcast into the filter — no second pass over the text."""
+    from fortune_500_financial_insights_pipeline_spark.operators import text as TX
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "lang", F.round(TX.quality_score("text"), 6).alias("quality")
+    )
+    thr = scored.agg(F.percentile("quality", F.lit(0.25)).alias("__thr"))
+    return (
+        scored.join(F.broadcast(thr))
+        .filter(F.col("quality") >= F.col("__thr"))
+        .select("doc_id", "lang", "quality")
+    )

@@ -514,3 +514,52 @@ def test_rolling_fingerprint_partition_invariant(spark, sf_dir):
     many = {r.doc_id: r.fp for r in d.repartition(7).select(
         "doc_id", TX.rolling_fingerprint("text").alias("fp")).collect()}
     assert one == many
+
+
+def test_pack_greedy_respects_budget(spark, sf_dir):
+    """No greedy bin exceeds the budget unless it holds a single oversized
+    document; every input row is assigned exactly once."""
+    from pyspark.sql import functions as F
+    from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+    from fortune_500_financial_insights_pipeline_spark.operators import text as TX
+    from fortune_500_financial_insights_pipeline_spark.operators.packing import pack_greedy
+
+    d = load_table(spark, sf_dir, "documents")
+    counted = d.select("doc_id", TX.token_count("text").alias("n_tokens"))
+    packed = pack_greedy(counted, budget=64, n_buckets=4).cache()
+    try:
+        assert packed.count() == counted.count()
+        assert packed.select("doc_id").distinct().count() == counted.count()
+        bins = packed.groupBy("bucket", "seq_index").agg(
+            F.sum("n_tokens").alias("total"), F.count("*").alias("n_docs")
+        )
+        assert bins.filter((F.col("total") > 64) & (F.col("n_docs") > 1)).count() == 0
+        # bin indices are contiguous from 0 within each bucket
+        idx = bins.groupBy("bucket").agg(
+            F.min("seq_index").alias("lo"),
+            F.max("seq_index").alias("hi"),
+            F.count("*").alias("n"),
+        )
+        assert idx.filter((F.col("lo") != 0) | (F.col("n") != F.col("hi") + 1)).count() == 0
+    finally:
+        packed.unpersist()
+
+
+def test_pack_offsets_stream_is_gapless(spark, sf_dir):
+    """Offset packing concatenates each bucket's documents without gaps:
+    per bucket, offsets sorted by doc_id telescope (next start = prev
+    start + prev tokens) and bin index is start//budget."""
+    from pyspark.sql import functions as F
+    from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+    from fortune_500_financial_insights_pipeline_spark.operators import text as TX
+    from fortune_500_financial_insights_pipeline_spark.operators.packing import pack_offsets
+
+    d = load_table(spark, sf_dir, "documents")
+    counted = d.select("doc_id", TX.token_count("text").alias("n_tokens"))
+    packed = pack_offsets(counted, budget=64, n_buckets=4)
+    rows = packed.orderBy("bucket", "doc_id").collect()
+    prev = {}
+    for r in rows:
+        assert r.start_offset == prev.get(r.bucket, 0)
+        assert r.seq_index == r.start_offset // 64
+        prev[r.bucket] = r.start_offset + r.n_tokens
