@@ -121,3 +121,73 @@ def with_insights_exact(
     return staged.select(
         "*", F.min("drawdown").over(w_run).alias("max_drawdown")
     )
+
+
+def with_indicators_exact(
+    df: DataFrame,
+    ticker_col: str = "Ticker",
+    date_col: str = "Date",
+    close_col: str = "Close",
+    rsi_days: int = 14,
+    bb_days: int = 20,
+) -> DataFrame:
+    """Technical indicators with exact fixed-point interiors, oracle-
+    checkable like ``with_insights_exact``: Cutler's RSI (simple-average
+    gains/losses — Wilder's smoothing is a recursion, deliberately not
+    used) and Bollinger bands (mid = exact SMA, width = 2× sample stddev
+    from exact Σx/Σx² — the two-sums identity instead of Welford, so the
+    oracle can replay the arithmetic op-for-op).
+
+    A missing first-row delta contributes 0 to the gain/loss sums (CASE,
+    not ``greatest`` — Spark and DuckDB disagree on greatest's NULL
+    handling); an all-flat window yields NULL RSI, a one-row window NULL
+    bands. Single shuffle: every frame hangs off one (ticker, date)
+    window; the window sums and band edges are bound to columns in their
+    own projections (SCALE.md "Expression staging") so each is computed
+    once however many downstream expressions read it.
+    """
+    from fortune_500_financial_insights_pipeline_spark.functions.deterministic import SCALE
+
+    w = _w(ticker_col, date_col)
+    w_rsi = w.rowsBetween(-(rsi_days - 1), W.currentRow)
+    w_bb = w.rowsBetween(-(bb_days - 1), W.currentRow)
+
+    close = F.col(close_col)
+    delta = close - F.lag(close_col, 1).over(w)
+    fixed = lambda c: F.round(c * SCALE).cast("long")  # noqa: E731
+
+    gain = F.when(delta > 0, delta).otherwise(F.lit(0.0))
+    loss = F.when(delta < 0, -delta).otherwise(F.lit(0.0))
+
+    s0 = df.select(
+        "*",
+        (F.sum(fixed(gain)).over(w_rsi).cast("double") / SCALE).alias("__g"),
+        (F.sum(fixed(loss)).over(w_rsi).cast("double") / SCALE).alias("__l"),
+        F.count(close).over(w_bb).alias("__n"),
+        (F.sum(fixed(close)).over(w_bb).cast("double") / SCALE).alias("__sx"),
+        (F.sum(fixed(close * close)).over(w_bb).cast("double") / SCALE).alias("__sx2"),
+    )
+    g, l, n = F.col("__g"), F.col("__l"), F.col("__n")
+    mean = F.col("__sx") / n
+    var = F.when(n > 1, (F.col("__sx2") - F.col("__sx") * mean) / (n - 1))
+    s1 = s0.select(
+        "*",
+        F.when(g + l == 0, F.lit(None).cast("double"))
+        .otherwise(F.lit(100.0) * g / (g + l))
+        .alias(f"rsi_{rsi_days}"),
+        mean.alias(f"bb_mid_{bb_days}"),
+        F.sqrt(F.when(var < 0, F.lit(0.0)).otherwise(var)).alias("__sd"),
+    )
+    mid, sd = F.col(f"bb_mid_{bb_days}"), F.col("__sd")
+    s2 = s1.select(
+        "*",
+        (mid + F.lit(2.0) * sd).alias(f"bb_upper_{bb_days}"),
+        (mid - F.lit(2.0) * sd).alias(f"bb_lower_{bb_days}"),
+    )
+    up, lo = F.col(f"bb_upper_{bb_days}"), F.col(f"bb_lower_{bb_days}")
+    return s2.select(
+        "*",
+        F.when(up == lo, F.lit(None).cast("double"))
+        .otherwise((close - lo) / (up - lo))
+        .alias(f"bb_pctb_{bb_days}"),
+    ).drop("__g", "__l", "__n", "__sx", "__sx2", "__sd")

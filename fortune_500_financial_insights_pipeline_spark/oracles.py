@@ -975,3 +975,49 @@ SELECT doc_id, lang, quality
 FROM scored
 WHERE quality >= (SELECT quantile_cont(quality, 0.25) FROM scored)
 """
+
+ORACLES["q_tech_indicators"] = """
+WITH series AS (
+  SELECT l_suppkey,
+         strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS day,
+         (CAST(SUM(CAST(ROUND(l_extendedprice * 1000000) AS BIGINT)) AS DOUBLE)
+          / 1000000) / COUNT(*) AS close
+  FROM lineitem
+  GROUP BY l_suppkey, day
+), deltas AS (
+  SELECT l_suppkey, day, close,
+         close - LAG(close) OVER (PARTITION BY l_suppkey ORDER BY day) AS delta
+  FROM series
+), s0 AS (
+  SELECT l_suppkey, day, close,
+         CAST(SUM(CAST(ROUND((CASE WHEN delta > 0 THEN delta ELSE 0.0 END) * 1000000) AS BIGINT))
+              OVER wr AS DOUBLE) / 1000000 AS g,
+         CAST(SUM(CAST(ROUND((CASE WHEN delta < 0 THEN -delta ELSE 0.0 END) * 1000000) AS BIGINT))
+              OVER wr AS DOUBLE) / 1000000 AS l,
+         COUNT(close) OVER wb AS n,
+         CAST(SUM(CAST(ROUND(close * 1000000) AS BIGINT)) OVER wb AS DOUBLE) / 1000000 AS sx,
+         CAST(SUM(CAST(ROUND(close * close * 1000000) AS BIGINT)) OVER wb AS DOUBLE) / 1000000 AS sx2
+  FROM deltas
+  WINDOW wr AS (PARTITION BY l_suppkey ORDER BY day
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         wb AS (PARTITION BY l_suppkey ORDER BY day
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+), s1 AS (
+  SELECT l_suppkey, day, close,
+         CASE WHEN g + l = 0 THEN NULL ELSE 100.0 * g / (g + l) END AS rsi_5,
+         sx / n AS bb_mid_5,
+         sqrt(CASE WHEN (CASE WHEN n > 1 THEN (sx2 - sx * (sx / n)) / (n - 1) END) < 0
+                   THEN 0.0
+                   ELSE (CASE WHEN n > 1 THEN (sx2 - sx * (sx / n)) / (n - 1) END) END) AS sd
+  FROM s0
+), s2 AS (
+  SELECT l_suppkey, day, close, rsi_5, bb_mid_5,
+         bb_mid_5 + 2.0 * sd AS bb_upper_5,
+         bb_mid_5 - 2.0 * sd AS bb_lower_5
+  FROM s1
+)
+SELECT l_suppkey, day, close, rsi_5, bb_mid_5, bb_upper_5, bb_lower_5,
+       CASE WHEN bb_upper_5 = bb_lower_5 THEN NULL
+            ELSE (close - bb_lower_5) / (bb_upper_5 - bb_lower_5) END AS bb_pctb_5
+FROM s2
+"""

@@ -1455,3 +1455,26 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("quality") >= F.col("__thr"))
         .select("doc_id", "lang", "quality")
     )
+
+
+@q("q_tech_indicators")
+def q_tech_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cutler's RSI-5 and 5-day Bollinger bands on the supplier-day price
+    series, exact fixed-point frame sums (functions/finance.
+    with_indicators_exact) — value-hash-matched against an op-for-op
+    DuckDB replay."""
+    from fortune_500_financial_insights_pipeline_spark.functions.deterministic import davg
+    from fortune_500_financial_insights_pipeline_spark.functions.finance import with_indicators_exact
+
+    li = load_table(spark, sf_dir, "lineitem")
+    series = li.groupBy(
+        "l_suppkey", F.date_format("l_shipdate", "yyyy-MM-dd").alias("day")
+    ).agg(davg("l_extendedprice").alias("close"))
+    return with_indicators_exact(
+        series,
+        ticker_col="l_suppkey",
+        date_col="day",
+        close_col="close",
+        rsi_days=5,
+        bb_days=5,
+    )

@@ -75,3 +75,26 @@ def test_single_shuffle_plan(spark):
     )
     plan = with_insights(df)._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_indicators_bounds(spark, sf_dir):
+    """RSI stays in [0,100]; band edges bracket the mid symmetrically."""
+    from pyspark.sql import functions as F
+    from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["q_tech_indicators"](spark, sf_dir).cache()
+    try:
+        assert out.count() > 0
+        bad_rsi = out.filter((F.col("rsi_5") < 0) | (F.col("rsi_5") > 100))
+        assert bad_rsi.count() == 0
+        bad_band = out.filter(
+            (F.col("bb_upper_5") < F.col("bb_mid_5"))
+            | (F.col("bb_lower_5") > F.col("bb_mid_5"))
+        )
+        assert bad_band.count() == 0
+        # %B is defined exactly when the band has width
+        assert out.filter(
+            F.col("bb_pctb_5").isNull() & (F.col("bb_upper_5") != F.col("bb_lower_5"))
+        ).count() == 0
+    finally:
+        out.unpersist()
