@@ -229,3 +229,24 @@ def test_zorder_layout_skips_files_on_second_dimension(spark, sf_dir, tmp_path):
     a = spark.read.parquet(linear).count()
     b = spark.read.parquet(zpath).count()
     assert a == b == li.count()
+
+
+def test_packing_shuffles_once_on_bucket(spark, sf_dir):
+    """Both packing modes move data exactly once, on the bucket key —
+    never through a single partition. The greedy mode's Python stage is
+    fed by the same one exchange (FlatMapGroupsInPandas over bucket)."""
+    for name in ["q_pack_offsets", "q_pack_greedy"]:
+        plan = plan_of(spark, sf_dir, name)
+        assert "Exchange SinglePartition" not in plan, name
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, name
+        assert "hashpartitioning(bucket" in plan, name
+
+
+def test_quality_gate_threshold_is_broadcast(spark, sf_dir):
+    """The percentile threshold joins as a broadcast nested loop over a
+    1-row aggregate — the document side is never shuffled for the join."""
+    plan = plan_of(spark, sf_dir, "q_quality_gate")
+    assert "BroadcastNestedLoopJoin" in plan
+    # the 1-row aggregate side necessarily funnels to one partition; the
+    # document side must reach the join without any hash exchange
+    assert "Exchange hashpartitioning" not in plan
