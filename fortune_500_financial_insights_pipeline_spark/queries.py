@@ -1478,3 +1478,25 @@ def q_tech_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
         rsi_days=5,
         bb_days=5,
     )
+
+
+@q("q_hll_distinct")
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (rows-only: DataSketches HLL
+    binary images and estimates are engine-specific, so no DuckDB value
+    twin; test_hll_estimates_within_error pins accuracy vs exact).
+
+    Per-lang HLL(lgK=12) sketches are built once, estimated per group,
+    then UNIONED — not recounted — into the corpus-wide row. At 100 TB
+    this is the pattern that replaces COUNT(DISTINCT): partials merge
+    associatively on executors, the final union touches sketches only."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("lang").agg(F.hll_sketch_agg("doc_id", 12).alias("__sk"))
+    per_est = per.select(
+        "lang", F.hll_sketch_estimate("__sk").alias("est_distinct")
+    )
+    total = per.agg(F.hll_union_agg("__sk").alias("__sk")).select(
+        F.lit("ALL").alias("lang"),
+        F.hll_sketch_estimate("__sk").alias("est_distinct"),
+    )
+    return per_est.unionAll(total)

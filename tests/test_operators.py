@@ -563,3 +563,20 @@ def test_pack_offsets_stream_is_gapless(spark, sf_dir):
         assert r.start_offset == prev.get(r.bucket, 0)
         assert r.seq_index == r.start_offset // 64
         prev[r.bucket] = r.start_offset + r.n_tokens
+
+
+def test_hll_estimates_within_error(spark, sf_dir):
+    """HLL(lgK=12) estimates land within 5% of exact distinct counts, and
+    the merged ALL row equals the union of the per-lang sketches (doc_id
+    is unique, so exact distinct = group size)."""
+    from pyspark.sql import functions as F
+    from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+    from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
+
+    est = {r.lang: r.est_distinct for r in QUERIES["q_hll_distinct"](spark, sf_dir).collect()}
+    d = load_table(spark, sf_dir, "documents")
+    exact = {r.lang: r.n for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    exact["ALL"] = d.count()
+    assert set(est) == set(exact)
+    for lang, e in est.items():
+        assert abs(e - exact[lang]) <= max(1, 0.05 * exact[lang]), (lang, e, exact[lang])
