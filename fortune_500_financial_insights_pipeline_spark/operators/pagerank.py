@@ -1,0 +1,106 @@
+"""PageRank as an iterative DataFrame loop — the link-analysis quality
+weight large-scale curation pipelines attach to crawl domains (the same
+role harmonic-centrality lists play for web corpora; SURVEY.md §2.11
+training-data extras, no counterpart in the reference).
+
+Bit-deterministic by construction: ranks are fixed-point longs (scale
+1e9) and each contribution is ``rank // out_degree`` (integer floor
+division), so per-iteration sums are exact under any partitioning or
+shuffle order — a float PageRank differs in the low bits run-to-run,
+which would poison downstream value-hash comparisons. Floor division
+leaks a few units of mass per node per round; the teleport term does not
+renormalize it, so ranks are a deterministic lower bound within
+``n_nodes * max_iter`` scale-units of the float fixpoint — negligible at
+scale 1e9 (pinned against a sequential Python replay of the identical
+integer recurrence in tests).
+
+Spark-idiomatic iteration, same scaffold as graph.connected_components:
+one shuffle per round (contribution groupBy), out-degrees computed once
+and re-joined each round, lineage cut with localCheckpoint so the plan
+stays O(1) deep. Fixed iteration count (no convergence collect) keeps
+every round's job identical — at 100 TB you want 10 predictable
+shuffle rounds, not a driver round-trip deciding a data-dependent 11th.
+Dangling mass (sinks) goes to teleport, the standard large-graph choice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+RANK_SCALE = 1_000_000_000  # fixed-point: 9 fractional digits
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    damping: float = 0.85,
+    max_iter: int = 10,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """(node, rank_fp) over the directed ``edges``; rank_fp is the
+    fixed-point long rank (divide by RANK_SCALE for the float value;
+    ranks over all nodes sum to ~RANK_SCALE * n_nodes * (leaked mass
+    aside)). Every node appearing as src or dst is a vertex.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # fold out-degree into the edge table once — inside the loop each
+    # round then needs exactly one join (ranks) and one groupBy, not a
+    # second degree join per iteration
+    w_deg = F.count("*").over(Window.partitionBy("src"))
+    e = e.select("src", "dst", w_deg.alias("out_deg")).localCheckpoint()
+
+    # damping as an exact fixed-point fraction: d_num/DENOM, applied in
+    # integer arithmetic (x * d_num) // DENOM — deterministic, no doubles
+    DENOM = 1000
+    d_num = int(round(damping * DENOM))
+
+    ranks = nodes.select("node", F.lit(RANK_SCALE).cast("long").alias("rank_fp"))
+    teleport = F.lit((DENOM - d_num) * RANK_SCALE // DENOM).cast("long")
+
+    # all integral arithmetic uses SQL `div` (exact long division) — the
+    # Column `/` operator routes longs through doubles, which stops being
+    # exact past 2^53 and would break bit-determinism on huge graphs.
+    # (in_sum * d_num) div DENOM is computed as the algebraically equal
+    # (in_sum div DENOM) * d_num + ((in_sum % DENOM) * d_num) div DENOM
+    # so the product never overflows long.
+    damped = (
+        f"(in_sum DIV {DENOM}) * {d_num}"
+        f" + ((in_sum % {DENOM}) * {d_num}) DIV {DENOM}"
+    )
+    for i in range(max_iter):
+        contribs = (
+            e.join(ranks, e.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_fp DIV out_deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                F.coalesce("in_sum", F.lit(0).cast("long")).alias("in_sum"),
+            )
+            .select("node", (teleport + F.expr(damped)).alias("rank_fp"))
+        )
+        # default: cut lineage every round. Measured at sf0.01 local:
+        # checkpoint_every=3 was ~1.5x SLOWER — the stacked unplanned
+        # rounds cost more in optimizer/plan work than the saved job
+        # launches. The knob stays for giant graphs where a
+        # materialization is genuinely expensive.
+        if (i + 1) % checkpoint_every == 0 or i == max_iter - 1:
+            ranks = ranks.localCheckpoint()
+    return ranks

@@ -1021,3 +1021,47 @@ SELECT l_suppkey, day, close, rsi_5, bb_mid_5, bb_upper_5, bb_lower_5,
             ELSE (close - bb_lower_5) / (bb_upper_5 - bb_lower_5) END AS bb_pctb_5
 FROM s2
 """
+
+def _pagerank_oracle(iters: int = 10, d_num: int = 850, denom: int = 1000,
+                     scale: int = 1_000_000_000) -> str:
+    """The q_pagerank integer recurrence unrolled: fixed iteration count
+    means the 'iterative' algorithm is just a deep CTE chain — DuckDB
+    replays Spark's exact long arithmetic (// == Spark DIV on
+    nonnegatives; the damping product is split to avoid overflow)."""
+    teleport = (denom - d_num) * scale // denom
+    parts = [f"""
+WITH base AS (
+  SELECT DISTINCT l_suppkey AS s, o_custkey + 1000000 AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), edges AS (
+  SELECT s AS src, c AS dst FROM base
+  UNION
+  SELECT c AS src, s AS dst FROM base
+), nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), deg AS (
+  SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src
+), r0 AS (
+  SELECT node, CAST({scale} AS BIGINT) AS rank_fp FROM nodes
+)"""]
+    for k in range(1, iters + 1):
+        parts.append(f""", r{k} AS (
+  SELECT n.node,
+         CAST({teleport}
+              + (COALESCE(s.in_sum, 0) // {denom}) * {d_num}
+              + ((COALESCE(s.in_sum, 0) % {denom}) * {d_num}) // {denom}
+              AS BIGINT) AS rank_fp
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(SUM(r.rank_fp // d.out_deg) AS BIGINT) AS in_sum
+    FROM edges e
+    JOIN r{k - 1} r ON e.src = r.node
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) s ON n.node = s.node
+)""")
+    parts.append(f"\nSELECT node, rank_fp FROM r{iters}")
+    return "".join(parts)
+
+
+ORACLES["q_pagerank"] = _pagerank_oracle()

@@ -1500,3 +1500,28 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("__sk").alias("est_distinct"),
     )
     return per_est.unionAll(total)
+
+
+@q("q_pagerank")
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (10 rounds, damping 0.85) over the bipartite
+    supplier<->customer trade graph from lineitem x orders (customer ids
+    offset by 1e6 into their own node-id space). Bit-exact integer
+    recurrence, so the oracle is the same 10 rounds unrolled as SQL CTE
+    stages — an iterative algorithm that still value-hash-matches."""
+    from fortune_500_financial_insights_pipeline_spark.operators.pagerank import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("s"),
+            (F.col("o_custkey") + 1000000).alias("c"),
+        )
+        .distinct()
+    )
+    edges = base.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionByName(
+        base.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    )
+    return pagerank(edges, damping=0.85, max_iter=10)

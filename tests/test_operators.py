@@ -580,3 +580,43 @@ def test_hll_estimates_within_error(spark, sf_dir):
     assert set(est) == set(exact)
     for lang, e in est.items():
         assert abs(e - exact[lang]) <= max(1, 0.05 * exact[lang]), (lang, e, exact[lang])
+
+
+def test_pagerank_matches_sequential_replay_and_partitioning(spark):
+    """The distributed integer recurrence equals a sequential Python
+    replay on a handmade graph, and is invariant to input partitioning
+    (the determinism claim fixed-point arithmetic exists to buy)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.pagerank import (
+        RANK_SCALE,
+        pagerank,
+    )
+
+    edge_list = [(1, 2), (2, 1), (2, 3), (3, 1), (4, 1), (1, 4), (3, 4)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r.node: r.rank_fp for r in pagerank(edges, max_iter=10).collect()}
+    got_repart = {
+        r.node: r.rank_fp
+        for r in pagerank(edges.repartition(7, "dst"), max_iter=10).collect()
+    }
+    assert got == got_repart
+
+    out = {}
+    for s, d in edge_list:
+        out.setdefault(s, set()).add(d)
+    nodes = {n for e in edge_list for n in e}
+    deg = {s: len(ds) for s, ds in out.items()}
+    ranks = {n: RANK_SCALE for n in nodes}
+    teleport = 150 * RANK_SCALE // 1000
+    for _ in range(10):
+        in_sum = {n: 0 for n in nodes}
+        for s, ds in out.items():
+            c = ranks[s] // deg[s]
+            for d in ds:
+                in_sum[d] += c
+        ranks = {
+            n: teleport + (in_sum[n] // 1000) * 850 + ((in_sum[n] % 1000) * 850) // 1000
+            for n in nodes
+        }
+    assert got == ranks
+    # sanity: node 1 (most in-links) outranks the others
+    assert got[1] == max(got.values())

@@ -343,3 +343,34 @@ def test_transform_with_state_running_totals(spark, events_dir, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_stream_static_broadcast_enrichment(spark, events_dir):
+    """Stream-static join: each micro-batch enriches against a static
+    dimension with a broadcast hash join — no state store, no watermark,
+    and the static side is re-usable across batches. Result equals the
+    batch join on the same data."""
+    batch_df = spark.read.parquet(events_dir)
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.1), ("purchase", 10.0)],
+        "event_type string, weight double",
+    )
+
+    def enrich(df):
+        return df.join(F.broadcast(dim), "event_type").select(
+            "event_id", "event_type", (F.col("value") * F.col("weight")).alias("score")
+        )
+
+    expected = {tuple(r) for r in enrich(batch_df).collect()}
+    stream = spark.readStream.schema(batch_df.schema).parquet(events_dir)
+    q = _run_stream(enrich(stream), "stream_static_enriched", "append")
+    try:
+        got = {
+            tuple(r)
+            for r in spark.sql("SELECT * FROM stream_static_enriched").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected
+    # inner join against the 3-key dim filters unknown event types
+    assert len(got) <= batch_df.count()
