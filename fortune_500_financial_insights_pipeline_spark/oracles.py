@@ -1065,3 +1065,20 @@ WITH base AS (
 
 
 ORACLES["q_pagerank"] = _pagerank_oracle()
+
+
+from fortune_500_financial_insights_pipeline_spark.operators.sampling import _hex_threshold
+
+ORACLES["q_det_sample"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE md5(CAST(doc_id AS VARCHAR)) < '{_hex_threshold(0.1)}'
+"""
+
+ORACLES["q_stratified_sample"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE md5(CAST(doc_id AS VARCHAR)) <
+      CASE lang WHEN 'en' THEN '{_hex_threshold(0.05)}'
+                WHEN 'de' THEN '{_hex_threshold(0.5)}'
+                WHEN 'es' THEN '{_hex_threshold(0.25)}'
+                ELSE '' END
+"""

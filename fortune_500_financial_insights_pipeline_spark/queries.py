@@ -1525,3 +1525,26 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.select(F.col("c").alias("src"), F.col("s").alias("dst"))
     )
     return pagerank(edges, damping=0.85, max_iter=10)
+
+
+@q("q_det_sample")
+def q_det_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable deterministic 10% sample: md5 hash-space threshold
+    as a plain string predicate — unlike q_hash_sample (xxhash64), this
+    one value-hash-matches a DuckDB replay of the same predicate."""
+    from fortune_500_financial_insights_pipeline_spark.operators.sampling import md5_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return md5_sample(d, 0.1, ["doc_id"]).select("doc_id", "lang")
+
+
+@q("q_stratified_sample")
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic class rebalancing: per-lang md5 thresholds (en
+    downsampled 20x vs de) via one CASE chain; langs outside the map drop."""
+    from fortune_500_financial_insights_pipeline_spark.operators.sampling import md5_stratified
+
+    d = load_table(spark, sf_dir, "documents")
+    return md5_stratified(
+        d, "lang", {"en": 0.05, "de": 0.5, "es": 0.25}, key_cols=["doc_id"]
+    ).select("doc_id", "lang")

@@ -620,3 +620,31 @@ def test_pagerank_matches_sequential_replay_and_partitioning(spark):
     assert got == ranks
     # sanity: node 1 (most in-links) outranks the others
     assert got[1] == max(got.values())
+
+
+def test_md5_sample_invariant_and_near_fraction(spark, sf_dir):
+    """md5_sample keeps the same rows under any partitioning and lands
+    near the requested fraction; stratified thresholds rebalance per
+    class and drop unlisted strata."""
+    from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+    from fortune_500_financial_insights_pipeline_spark.operators.sampling import (
+        md5_sample,
+        md5_stratified,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    ids = {r.doc_id for r in md5_sample(d, 0.2, ["doc_id"]).select("doc_id").collect()}
+    ids_rep = {
+        r.doc_id
+        for r in md5_sample(d.repartition(13), 0.2, ["doc_id"]).select("doc_id").collect()
+    }
+    assert ids == ids_rep
+    n = d.count()
+    assert 0.1 * n <= len(ids) <= 0.3 * n
+    # smaller fraction is a strict subset (supersets compose)
+    sub = {r.doc_id for r in md5_sample(d, 0.05, ["doc_id"]).select("doc_id").collect()}
+    assert sub <= ids
+
+    strat = md5_stratified(d, "lang", {"en": 1.0, "de": 0.0}, key_cols=["doc_id"])
+    langs = {r.lang for r in strat.select("lang").distinct().collect()}
+    assert langs == {"en"}
