@@ -325,6 +325,157 @@ WHERE p_partkey = l_partkey
     OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
         AND l_quantity BETWEEN 20 AND 30))
 """,
+    # Q2 shape: min-cost supplier per part — correlated scalar MIN subquery
+    # against a reused CTE. Fixtures have no partsupp table, so the
+    # part×supplier cost relation is derived from lineitem (min observed
+    # unit price per pair); the derivation is shared by outer query and
+    # subquery, so the aggregate-equality join keeps Q2's plan shape.
+    "q_sql_tpch_q2": """
+WITH partsupp AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(l_extendedprice / l_quantity) AS ps_supplycost
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+FROM part, partsupp, supplier, nation, region
+WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+  AND p_size <= 15 AND p_name LIKE '%widget%'
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'EUROPE'
+  AND ps_supplycost = (
+    SELECT MIN(ps2.ps_supplycost)
+    FROM partsupp ps2, supplier s2, nation n2, region r2
+    WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+      AND r2.r_name = 'EUROPE'
+  )
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+    # Q9 shape: product-type profit by nation and year — 5-way join with a
+    # LIKE part filter, arithmetic in a derived column, two-key aggregate.
+    # (No ps_supplycost: cost modeled as a 45% ratio of list price, which
+    # preserves the profit-expression shape without the partsupp chain.)
+    "q_sql_tpch_q9": f"""
+SELECT nation, o_year, {_dsum('amount')} AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount) - 0.45 * l_extendedprice AS amount
+  FROM part, supplier, lineitem, orders, nation
+  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+    AND p_name LIKE '%bolt%'
+) profit
+GROUP BY nation, o_year
+""",
+    # Q11 shape: important stock — grouped value with a HAVING threshold
+    # that is a fraction of the same aggregate over the whole (nation-
+    # filtered) relation, i.e. an uncorrelated scalar subquery re-running
+    # the join. Fraction 0.003 keeps the selectivity scale-invariant the
+    # way Q11's 0.0001/SF does (share-of-total, so SF cancels), and sits
+    # below the observed max part-share (~0.005 at sf0.01) so the result
+    # is non-empty at driver scale.
+    "q_sql_tpch_q11": f"""
+SELECT l_partkey, {_dsum('l_extendedprice')} AS total_value
+FROM lineitem, supplier, nation
+WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+  AND n_name = 'NATION_13'
+GROUP BY l_partkey
+HAVING {_dsum('l_extendedprice')} > (
+  SELECT {_dsum('l_extendedprice')} * 0.003
+  FROM lineitem, supplier, nation
+  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+    AND n_name = 'NATION_13'
+)
+""",
+    # Q12 shape: shipping-priority counts — join + conditional two-way
+    # sums per ship class. No l_shipmode column: class derived from line
+    # number parity; lateness proxy = shipped after order date.
+    "q_sql_tpch_q12": """
+SELECT ship_class,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM (
+  SELECT CASE WHEN l_linenumber % 2 = 0 THEN 'MAIL' ELSE 'SHIP' END AS ship_class,
+         o_orderpriority
+  FROM orders, lineitem
+  WHERE o_orderkey = l_orderkey
+    AND l_shipdate > o_orderdate
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+) t
+GROUP BY ship_class
+""",
+    # Q16 shape: supplier count by part attributes — COUNT(DISTINCT) per
+    # 3-key group, NOT-IN anti-subquery on the dimension, IN-list size
+    # filter. partsupp derived implicitly via lineitem pairs.
+    "q_sql_tpch_q16": """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand <> 'Brand#45' AND p_type <> 'MEDIUM'
+  AND p_size IN (1, 4, 7, 10, 14, 19, 25, 32, 41, 50)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_name LIKE '%08'
+  )
+GROUP BY p_brand, p_type, p_size
+""",
+    # Q20 shape: excess-inventory suppliers — IN over a grouped HAVING
+    # subquery whose part set comes from a nested IN (part-name LIKE).
+    "q_sql_tpch_q20": f"""
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%rod%')
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey, l_partkey
+  HAVING {_dsum('l_quantity')} > 50
+)
+""",
+    # Q21 shape: suppliers who kept orders waiting — EXISTS (another
+    # supplier contributed to the order) + NOT EXISTS (no OTHER supplier
+    # was late on it). No commitdate: late = shipped >90 days after the
+    # order date; the inner orders join keeps the lateness predicate
+    # uncorrelated so both engines decorrelate cleanly.
+    "q_sql_tpch_q21": """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3, orders o3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_orderkey = o3.o_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""",
+    # Multiset set-ops (INTERSECT ALL / EXCEPT ALL keep duplicates —
+    # Spark plans them as aggregated counts + generate, not a distinct).
+    "q_sql_intersect_all": """
+SELECT c_nationkey AS nk FROM customer
+INTERSECT ALL
+SELECT s_nationkey FROM supplier
+""",
+    "q_sql_except_all": """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
     # Q22 shape: above-average account balance + anti-join (fixtures give
     # every customer at least one order, so the anti-join is on *recent*
     # orders; country code derived from nationkey — no phone column).
