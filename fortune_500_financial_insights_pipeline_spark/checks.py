@@ -85,3 +85,53 @@ def observed(df: DataFrame, name: str, *metrics: Column):
 
     obs = Observation(name)
     return df.observe(obs, *metrics), obs
+
+
+# --- DataFrame-returning audit form -----------------------------------------
+# run_checks/referential above collect a driver-side verdict; the functions
+# below keep the SAME rules as a (rule, n_violations) DataFrame — no collect,
+# so the summary can be written, joined, or gated on downstream, and the
+# whole audit is oracle-checkable (q_dq_audit).
+
+
+def row_rule_violations(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Count violations for row-local rules in ONE aggregation pass.
+
+    ``rules`` maps rule name → boolean Column that is true when the row
+    VIOLATES the rule (nulls in the predicate count as non-violations —
+    write an explicit ``isNull()`` rule for null checks).
+    """
+    aggs = [
+        F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+        for name, cond in rules.items()
+    ]
+    wide = df.agg(*aggs)
+    return wide.unpivot([], list(rules), "rule", "n_violations")
+
+
+def unique_violations(df: DataFrame, keys: list[str], rule: str) -> DataFrame:
+    """Rows beyond the first per key group (0 when the key is unique)."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.sum(F.col("_n") - 1).cast("long").alias("n_violations"))
+        .select(F.lit(rule).alias("rule"), "n_violations")
+    )
+
+
+def ref_violations(
+    df: DataFrame, key: str, dim: DataFrame, dim_key: str, rule: str
+) -> DataFrame:
+    """Fact rows whose key has no match in the dimension (orphans)."""
+    orphans = df.join(dim, df[key] == dim[dim_key], "left_anti")
+    return orphans.agg(F.count(F.lit(1)).cast("long").alias("n_violations")).select(
+        F.lit(rule).alias("rule"), "n_violations"
+    )
+
+
+def audit(parts: list[DataFrame]) -> DataFrame:
+    """Union the per-rule summaries into one (rule, n_violations) frame."""
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,0 +1,79 @@
+"""Time-series gap filling: dense calendar spine + linear interpolation.
+
+The reference's domain is daily OHLCV series with holes (non-trading days,
+source gaps across the Kaggle/API boundary, `ingest_data_API.py:41-42`);
+its pipeline simply leaves the holes. This operator produces the dense
+series an analytics layer wants: one row per (key, day) over a fixed range,
+observed values carried through, missing days linearly interpolated between
+the nearest observations (clamped to nearest at the edges).
+
+Spark shape: the spine is ``sequence(start, end)`` exploded per key — no
+driver loop, no collect; the join back is an equi-join on (key, day); the
+interpolation needs only four IGNORE NULLS window functions over the same
+(key, order-by-day) window, so the whole fill is ONE shuffle on the key.
+Window frames are unbounded on one side each — Spark evaluates them in a
+single pass per direction. All arithmetic is double IEEE-754 with a fixed
+evaluation order, so results are bit-identical to a single-threaded oracle.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def fill_gaps_linear(
+    daily: DataFrame,
+    key_col: str,
+    date_col: str,
+    value_col: str,
+    start: _dt.date,
+    end: _dt.date,
+) -> DataFrame:
+    """(key, day, value_filled) densified over [start, end] per key.
+
+    ``daily`` must be one row per (key, day) (aggregate first). Days inside
+    the range with no row get ``prev + (next - prev) * elapsed/gap``;
+    leading/trailing gaps clamp to the nearest observation.
+    """
+    keys = daily.select(F.col(key_col).alias("k")).distinct()
+    spine = keys.select(
+        "k",
+        F.explode(
+            F.sequence(F.lit(start), F.lit(end), F.expr("INTERVAL 1 DAY"))
+        ).alias("d"),
+    )
+    obs = daily.select(
+        F.col(key_col).alias("k"), F.col(date_col).alias("d"), F.col(value_col).alias("v")
+    )
+    dense = spine.join(obs, ["k", "d"], "left")
+
+    w_back = W.partitionBy("k").orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    w_fwd = W.partitionBy("k").orderBy("d").rowsBetween(0, W.unboundedFollowing)
+    obs_day = F.when(F.col("v").isNotNull(), F.col("d"))
+    dense = dense.select(
+        "k",
+        "d",
+        "v",
+        F.last("v", ignorenulls=True).over(w_back).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(w_back).alias("pd"),
+        F.first("v", ignorenulls=True).over(w_fwd).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(w_fwd).alias("nd"),
+    )
+    lerp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        F.datediff("d", "pd").cast("double") / F.datediff("nd", "pd").cast("double")
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(lerp)
+    )
+    return dense.select(
+        F.col("k").alias(key_col),
+        F.col("d").alias(date_col),
+        filled.alias("value_filled"),
+    )

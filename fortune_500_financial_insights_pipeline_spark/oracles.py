@@ -1082,3 +1082,148 @@ WHERE md5(CAST(doc_id AS VARCHAR)) <
                 WHEN 'es' THEN '{_hex_threshold(0.25)}'
                 ELSE '' END
 """
+
+
+# --- analytics extensions: entity resolution, DQ, cohorts, time series,
+# robust stats, graph metrics ---
+
+ORACLES["q_fuzzy_match"] = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+FROM customer a JOIN customer b
+  ON substr(a.c_name, 1, length(a.c_name) - 2)
+     = substr(b.c_name, 1, length(b.c_name) - 2)
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+ORACLES["q_dq_audit"] = """
+SELECT 'not_null:o_custkey' AS rule,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'range:o_totalprice_positive',
+       CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'accepted:o_orderstatus',
+       CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'fresh:o_orderdate_after_1990',
+       CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01' THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'unique:o_orderkey',
+       CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders) AS BIGINT)
+UNION ALL
+SELECT 'ref:o_custkey->customer',
+       CAST((SELECT COUNT(*) FROM orders
+             WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT)
+"""
+
+ORACLES["q_retention_cohort"] = """
+WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+f AS (SELECT user_id, MIN(d) AS cd FROM ev GROUP BY user_id)
+SELECT strftime(cd, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', cd, d) AS INTEGER) AS offset_days,
+       COUNT(DISTINCT user_id) AS n_users
+FROM ev JOIN f USING (user_id)
+GROUP BY cd, date_diff('day', cd, d)
+"""
+
+ORACLES["q_interpolate"] = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         (CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000)
+           / COUNT(value) AS v
+  FROM events WHERE user_id < 8
+  GROUP BY user_id, CAST(ts AS DATE)
+),
+spine AS (
+  SELECT user_id,
+         unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                INTERVAL 1 DAY))::DATE AS d
+  FROM (SELECT DISTINCT user_id FROM daily)
+),
+dense AS (
+  SELECT s.user_id, s.d, daily.v
+  FROM spine s LEFT JOIN daily ON s.user_id = daily.user_id AND s.d = daily.d
+),
+w AS (
+  SELECT user_id, d, v,
+    last_value(v IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY d
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY d
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+    first_value(v IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY d
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY d
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+  FROM dense
+)
+SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+  CASE WHEN v IS NOT NULL THEN v
+       WHEN pv IS NULL THEN nv
+       WHEN nv IS NULL THEN pv
+       ELSE pv + (nv - pv) * (CAST(date_diff('day', pd, d) AS DOUBLE)
+                              / CAST(date_diff('day', pd, nd) AS DOUBLE))
+  END AS value_filled
+FROM w
+"""
+
+ORACLES["q_mad_outliers"] = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_id, e.event_type, ABS(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY event_type
+)
+SELECT d.event_id, d.event_type
+FROM dev d JOIN mad USING (event_type)
+WHERE d.adev > 3 * mad.mad
+"""
+
+ORACLES["q_triangles"] = """
+WITH g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(l)),
+                                      x -> l[x] || ' ' || l[x+1])) AS grams
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+), pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
+), tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e1.v = e2.u
+  JOIN pairs e3 ON e1.u = e3.u AND e2.v = e3.v
+), nodes AS (
+  SELECT a AS id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT id AS doc_id, COUNT(*) AS n_triangles FROM nodes GROUP BY id
+"""
+
+ORACLES["q_heavy_hitters"] = """
+WITH c AS (
+  SELECT event_type, user_id, COUNT(*) AS n_events FROM events GROUP BY event_type, user_id
+),
+t AS (
+  SELECT event_type, COUNT(*) * CAST(0.01 AS DOUBLE) AS thr FROM events GROUP BY event_type
+)
+SELECT c.event_type, c.user_id, CAST(c.n_events AS BIGINT) AS n_events
+FROM c JOIN t USING (event_type)
+WHERE c.n_events > t.thr
+"""

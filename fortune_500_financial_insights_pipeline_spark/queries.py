@@ -1548,3 +1548,158 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return md5_stratified(
         d, "lang", {"en": 0.05, "de": 0.5, "es": 0.25}, key_cols=["doc_id"]
     ).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Analytics extensions: entity resolution, data quality, product analytics,
+# time series, robust stats, graph metrics (SURVEY §2.11 widening)
+# ---------------------------------------------------------------------------
+
+
+@q("q_fuzzy_match")
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-match on customer names: levenshtein <= 1 inside
+    prefix blocks (all-but-last-2-chars), the entity-resolution primitive
+    for name-keyed dims (reference stock_list.csv / DDL VARCHAR keys).
+    Equi-join on the block key — never a cartesian; levenshtein is a JVM
+    built-in on both engines, so fully oracle-checked."""
+    from fortune_500_financial_insights_pipeline_spark.operators.fuzzy import blocked_fuzzy_pairs
+
+    c = load_table(spark, sf_dir, "customer")
+    block = F.expr("substr(c_name, 1, length(c_name) - 2)")
+    return blocked_fuzzy_pairs(c, "c_custkey", "c_name", block, max_dist=1)
+
+
+@q("q_dq_audit")
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit over orders: the constraints the reference only
+    declares in unused DDLs (UNIQUE keys, NOT NULL, accepted values —
+    code/sql/DDLs:14,28) compiled to executable rules. Row-local rules run
+    in ONE aggregation pass; uniqueness is a key groupBy; referential
+    integrity is a broadcast left-anti join."""
+    from fortune_500_financial_insights_pipeline_spark import checks as QA
+
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    row_rules = QA.row_rule_violations(
+        o,
+        {
+            "not_null:o_custkey": F.col("o_custkey").isNull(),
+            "range:o_totalprice_positive": F.col("o_totalprice") <= 0,
+            "accepted:o_orderstatus": ~F.col("o_orderstatus").isin("O", "F", "P"),
+            "fresh:o_orderdate_after_1990": F.col("o_orderdate")
+            < F.lit("1990-01-01").cast("timestamp"),
+        },
+    )
+    return QA.audit(
+        [
+            row_rules,
+            QA.unique_violations(o, ["o_orderkey"], "unique:o_orderkey"),
+            QA.ref_violations(o, "o_custkey", cust, "c_custkey", "ref:o_custkey->customer"),
+        ]
+    )
+
+
+@q("q_retention_cohort")
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix over events: cohort = day of a user's first
+    event, cell = distinct users active at each day offset. Two shuffles
+    (user-grain min, then cohort-grain distinct count) — the canonical
+    product-analytics rollup the reference delegates to Tableau."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cd"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            F.date_format("cd", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("d", "cd").alias("offset_days"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@q("q_interpolate")
+def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily series per user (users 0-7, Jan 2024) with missing days
+    linearly interpolated between nearest observations, edges clamped.
+    Spine = sequence() exploded per key; fill = four IGNORE NULLS windows
+    over one (key, day) shuffle. Fixed-order double arithmetic on a
+    fixed-point daily mean → bit-identical to the single-threaded oracle."""
+    import datetime as dt
+
+    from fortune_500_financial_insights_pipeline_spark.operators.timeseries import fill_gaps_linear
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 8)
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        davg("value").alias("v")
+    )
+    filled = fill_gaps_linear(
+        daily, "user_id", "d", "v", dt.date(2024, 1, 1), dt.date(2024, 1, 30)
+    )
+    return filled.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "value_filled",
+    )
+
+
+@q("q_mad_outliers")
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier flags: |x - median| > 3 * MAD (median
+    absolute deviation) per event_type. Exact interpolated medians via
+    built-in percentile (two grouped aggregations + re-join) — the
+    robust-statistics cousin of the z-score UDF query, entirely JVM-side."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    dev = ev.join(med, "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("adev", 0.5).alias("mad"))
+    return (
+        dev.join(mad, "event_type")
+        .where(F.col("adev") > 3 * F.col("mad"))
+        .select("event_id", "event_type")
+    )
+
+
+@q("q_triangles")
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the exact bigram-Jaccard similarity
+    graph (same edge rule as q_jaccard_clusters): triangle membership =
+    mutually-similar triples, the density signal LSH-based dedup uses to
+    distinguish a tight duplicate cluster from a chain of borderline pairs.
+    Triple enumeration is two equi-joins on canonicalized (u < v) edges."""
+    from fortune_500_financial_insights_pipeline_spark.operators import text as TX
+    from fortune_500_financial_insights_pipeline_spark.operators.graph import triangle_counts
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select("doc_id", TX.word_ngrams("text", 2).alias("grams"))
+    a = grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
+    b = grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(TX.jaccard(F.col("ga"), F.col("gb")) >= 0.8)
+        .select("id_a", "id_b")
+    )
+    return triangle_counts(pairs).select(
+        F.col("id").alias("doc_id"), "n_triangles"
+    )
+
+
+@q("q_heavy_hitters")
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact group-relative heavy hitters: users contributing > 1% of their
+    event_type's volume. Two partial-aggregated shuffles + a broadcast join
+    of the tiny totals side. At sketch scale the same contract is served
+    mergeably by Misra-Gries summaries per partition (union = merge +
+    re-trim), mirroring the HLL pattern in functions/deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    t = ev.groupBy("event_type").agg((F.count(F.lit(1)) * 0.01).alias("thr"))
+    return (
+        c.join(F.broadcast(t), "event_type")
+        .where(F.col("n_events") > F.col("thr"))
+        .select("event_type", "user_id", "n_events")
+    )

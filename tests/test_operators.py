@@ -648,3 +648,87 @@ def test_md5_sample_invariant_and_near_fraction(spark, sf_dir):
     strat = md5_stratified(d, "lang", {"en": 1.0, "de": 0.0}, key_cols=["doc_id"])
     langs = {r.lang for r in strat.select("lang").distinct().collect()}
     assert langs == {"en"}
+
+
+def test_triangle_counts_hand_graph(spark):
+    """K4 minus one edge: {1,2,3,4} complete except (1,4) -> triangles
+    (1,2,3) and (2,3,4); nodes 1,4 in one each, 2,3 in two. Edge direction
+    and duplicates in the input must not matter."""
+    from fortune_500_financial_insights_pipeline_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (2, 3), (2, 4), (4, 3), (5, 6)],
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_fill_gaps_linear_interpolates_and_clamps(spark):
+    """Observed days 2,4 (values 10, 30): day 3 lerps to 20; days 1 and 5
+    clamp to the nearest observation (no extrapolation)."""
+    import datetime as dt
+
+    from fortune_500_financial_insights_pipeline_spark.operators.timeseries import fill_gaps_linear
+
+    daily = spark.createDataFrame(
+        [("a", dt.date(2024, 1, 2), 10.0), ("a", dt.date(2024, 1, 4), 30.0)],
+        "k string, d date, v double",
+    )
+    out = {
+        r.d.day: r.value_filled
+        for r in fill_gaps_linear(
+            daily, "k", "d", "v", dt.date(2024, 1, 1), dt.date(2024, 1, 5)
+        ).collect()
+    }
+    assert out == {1: 10.0, 2: 10.0, 3: 20.0, 4: 30.0, 5: 30.0}
+
+
+def test_blocked_fuzzy_pairs_respects_blocks(spark):
+    """'cat'~'cot' pair inside the same first-letter block; 'cat'~'bat'
+    (distance 1 but different block) must NOT appear — blocking is an
+    explicit recall trade, not a bug."""
+    from fortune_500_financial_insights_pipeline_spark.operators.fuzzy import blocked_fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [(1, "cat"), (2, "cot"), (3, "bat"), (4, "cobalt")],
+        "id long, name string",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.dist
+        for r in blocked_fuzzy_pairs(
+            df, "id", "name", F.substring("name", 1, 1), max_dist=1
+        ).collect()
+    }
+    assert pairs == {(1, 2): 1}
+
+
+def test_quality_audit_counts_planted_violations(spark):
+    from fortune_500_financial_insights_pipeline_spark import checks as QA
+
+    facts = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 11, -2.0), (2, None, 3.0), (3, 99, 0.0)],
+        "k long, fk int, amt double",
+    )
+    dim = spark.createDataFrame([(10,), (11,)], "dk int")
+    out = QA.audit(
+        [
+            QA.row_rule_violations(
+                facts,
+                {
+                    "not_null:fk": F.col("fk").isNull(),
+                    "range:amt_positive": F.col("amt") <= 0,
+                },
+            ),
+            QA.unique_violations(facts, ["k"], "unique:k"),
+            QA.ref_violations(facts, "fk", dim, "dk", "ref:fk"),
+        ]
+    )
+    got = {r.rule: r.n_violations for r in out.collect()}
+    # ref orphans: fk=None and fk=99 both fail the left-anti match
+    assert got == {
+        "not_null:fk": 1,
+        "range:amt_positive": 2,
+        "unique:k": 1,
+        "ref:fk": 2,
+    }
