@@ -116,3 +116,73 @@ def rolling_fingerprint(text: Column | str, base: int = 31, mod: int = 288230376
             acc * F.lit(base) + F.pmod(F.xxhash64(t), F.lit(mod)), F.lit(mod)
         ),
     )
+
+
+def word_ngrams_all(text: Column | str, n: int = 2) -> Column:
+    """Word n-grams WITH multiplicity (the stream, not the set) — the
+    input for repetition statistics, where how often a gram repeats is
+    the whole point. Same JVM-side array lambda as ``word_ngrams``."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+
+
+# PII patterns in the regex subset Java (Spark) and RE2 (DuckDB, Go tooling)
+# interpret identically: character classes, \d, \b, bounded repetition.
+# Order matters: emails first (an IPv4-looking domain must redact as part of
+# the email), SSN before phone (3-2-4 vs 3-3-4 groupings don't overlap, but
+# keeping the more specific pattern first is the safe default).
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("SSN", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("PHONE", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"),
+    ("IPV4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+]
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace every PII match with its ``<KIND>`` tag — a chained
+    regexp_replace, one codegen'd projection, no Python. The curation
+    stage every shareable training corpus needs before packing."""
+    c = text if isinstance(text, Column) else F.col(text)
+    for kind, pat in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, f"<{kind}>")
+    return c
+
+
+def pii_count(text: Column | str) -> Column:
+    """Total PII matches across all patterns (counted on the raw text,
+    before any replacement — chained counts would undercount a kind whose
+    match a prior replacement consumed)."""
+    c = text if isinstance(text, Column) else F.col(text)
+    total = F.lit(0)
+    for _, pat in PII_PATTERNS:
+        total = total + F.regexp_count(c, F.lit(pat))
+    return total
+
+
+def repetition_stats(df, id_col: str, text_col: str, n: int = 2):
+    """Gopher-style within-document repetition: the fraction of a
+    document's n-gram STREAM occupied by its single most frequent n-gram
+    (high fraction = boilerplate/loop junk; quality-filter rule 'top
+    2-gram fraction' from Rae et al., Gopher appendix A).
+
+    Shape: explode the gram stream, two stacked aggregations keyed by
+    doc — both partial-aggregated map-side, and the doc key means the
+    explode never crosses documents, so skew is bounded by the longest
+    single document."""
+    grams = df.select(
+        F.col(id_col), F.explode(word_ngrams_all(text_col, n)).alias("gram")
+    )
+    per = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    return per.groupBy(id_col).agg(
+        (F.max("cnt").cast("double") / F.sum("cnt").cast("double")).alias(
+            "top_gram_frac"
+        ),
+        F.sum("cnt").cast("long").alias("n_grams"),
+    )

@@ -1227,3 +1227,47 @@ SELECT c.event_type, c.user_id, CAST(c.n_events AS BIGINT) AS n_events
 FROM c JOIN t USING (event_type)
 WHERE c.n_events > t.thr
 """
+
+ORACLES["q_redact_pii"] = """
+WITH raw AS (
+  SELECT c_custkey,
+         'reach ' || c_name || ' at c' || CAST(c_custkey AS VARCHAR)
+         || '@corp.example.com'
+         || CASE WHEN c_custkey % 2 = 0
+                 THEN ' or 555-' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+                      || '-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || ' ssn 123-45-6789 ip 10.0.0.' || CAST(c_custkey % 256 AS VARCHAR) AS t
+  FROM customer
+)
+SELECT c_custkey,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+           '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'),
+         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IPV4>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+          + len(regexp_extract_all(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b'))
+          + len(regexp_extract_all(t, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b'))
+          + len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+         AS INTEGER) AS n_pii
+FROM raw
+"""
+
+ORACLES["q_repetition_filter"] = """
+WITH grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(l)), x -> l[x] || ' ' || l[x+1])) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+), per AS (
+  SELECT doc_id, gram, COUNT(*) AS cnt FROM grams GROUP BY doc_id, gram
+)
+SELECT doc_id,
+       CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS top_gram_frac,
+       CAST(SUM(cnt) AS BIGINT) AS n_grams,
+       (CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)) >= 0.08 AS is_repetitive
+FROM per
+GROUP BY doc_id
+"""

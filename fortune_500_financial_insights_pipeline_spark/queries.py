@@ -1703,3 +1703,56 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_events") > F.col("thr"))
         .select("event_type", "user_id", "n_events")
     )
+
+
+@q("q_redact_pii")
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction as a curation stage: emails/SSNs/phones/IPs tagged out
+    by one chained-regexp projection (operators/text.redact_pii). Fixture
+    documents are digit-free, so the contact strings are synthesized
+    deterministically from customer columns — both engines build the
+    identical raw text, redact it, and count matches, value-hash-checked."""
+    from fortune_500_financial_insights_pipeline_spark.operators import text as TX
+
+    c = load_table(spark, sf_dir, "customer")
+    raw = F.concat(
+        F.lit("reach "),
+        F.col("c_name"),
+        F.lit(" at c"),
+        F.col("c_custkey").cast("string"),
+        F.lit("@corp.example.com"),
+        F.when(
+            F.col("c_custkey") % 2 == 0,
+            F.concat(
+                F.lit(" or 555-"),
+                F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit(" ssn 123-45-6789 ip 10.0.0."),
+        (F.col("c_custkey") % 256).cast("string"),
+    )
+    return c.select(
+        "c_custkey",
+        TX.redact_pii(raw).alias("redacted"),
+        TX.pii_count(raw).cast("int").alias("n_pii"),
+    )
+
+
+@q("q_repetition_filter")
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule repetition filter: flag documents whose most frequent
+    bigram occupies >= 8% of the bigram stream (boilerplate detector that
+    complements the length/stopword quality score). Two stacked doc-keyed
+    aggregations — no cross-document shuffle skew."""
+    from fortune_500_financial_insights_pipeline_spark.operators.text import repetition_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    stats = repetition_stats(d, "doc_id", "text", n=2)
+    return stats.select(
+        "doc_id",
+        "top_gram_frac",
+        "n_grams",
+        (F.col("top_gram_frac") >= 0.08).alias("is_repetitive"),
+    )

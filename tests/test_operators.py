@@ -732,3 +732,41 @@ def test_quality_audit_counts_planted_violations(spark):
         "unique:k": 1,
         "ref:fk": 2,
     }
+
+
+def test_redact_pii_planted(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.text import pii_count, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.io, ssn 123-45-6789, tel 415-555-1234, host 192.168.0.1"),
+            (2, "no pii here at all"),
+        ],
+        "id long, t string",
+    )
+    rows = {
+        r.id: (r.red, r.n)
+        for r in df.select(
+            "id", redact_pii("t").alias("red"), pii_count("t").alias("n")
+        ).collect()
+    }
+    assert rows[1] == (
+        "mail <EMAIL>, ssn <SSN>, tel <PHONE>, host <IPV4>",
+        4,
+    )
+    assert rows[2] == ("no pii here at all", 0)
+
+
+def test_repetition_stats_flags_looped_text(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam ham " * 50 + "end"),  # 'spam ham'/'ham spam' dominate
+            (2, "a b c d e f g h i j"),  # all bigrams unique
+        ],
+        "id long, t string",
+    )
+    got = {r.id: (r.top_gram_frac, r.n_grams) for r in repetition_stats(df, "id", "t").collect()}
+    assert got[2] == (1 / 9, 9)
+    assert got[1][0] > 0.45  # one gram owns nearly half the stream
