@@ -1,0 +1,122 @@
+"""Exact set-similarity self-join via prefix filtering (AllPairs/PPJoin).
+
+The brute-force exact-Jaccard pair join is an O(n²) nested-loop with an
+array-intersection filter — fine at 500 fixture docs, hopeless at corpus
+scale. Prefix filtering (Chaudhuri et al., "A Primitive Operator for
+Similarity Joins", ICDE 2006; Xiao et al., "Efficient Similarity Joins for
+Near Duplicate Detection", WWW 2008) keeps the EXACT same output while
+generating candidates with an equi-join:
+
+1. Impose one global token order (rarest first: ascending corpus frequency,
+   ties by token) and sort each record's token set by it.
+2. Keep each record's *prefix*: its first ``|g| - ceil(t·|g|) + 1`` tokens.
+   Prefix-filtering principle: two sets with Jaccard >= t MUST share at
+   least one token inside both prefixes — any pair the equi-join on prefix
+   tokens misses provably fails the threshold.
+3. Equi-join records on shared prefix token (a shuffle on the token, not a
+   cartesian), dedup candidate pairs, then verify true Jaccard on just the
+   candidates.
+
+Scale shape: the candidate join shuffles (token, id, grams) tuples keyed by
+rare tokens — frequency-ascending order makes hot tokens land at the END of
+records, so they rarely enter prefixes and the join key distribution is
+anti-skewed by construction. Candidate count tracks the number of truly
+similar pairs, not n². Unlike MinHash LSH banding (operators/minhash.py),
+output is exact — no probabilistic recall — so the DuckDB brute-force
+oracle still value-matches verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def jaccard_pairs_exact(
+    grams: DataFrame,
+    id_col: str = "doc_id",
+    gram_col: str = "grams",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """(id_a, id_b) with id_a < id_b and Jaccard(grams_a, grams_b) >= t.
+
+    ``grams`` is one row per record with a distinct-token array column.
+    Output is identical to the brute-force cross-join filter — prefix
+    filtering only prunes candidate GENERATION, never results.
+    """
+    recs = grams.select(F.col(id_col).alias("_id"), F.col(gram_col).alias("_g"))
+
+    tok = recs.select("_id", F.explode("_g").alias("t"))
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("f"))
+
+    # Rebuild each record's token list sorted by the global (freq, token)
+    # order: array_sort on (freq, token) structs — all JVM-side.
+    ordered = (
+        tok.join(freq, "t")
+        .groupBy("_id")
+        .agg(F.array_sort(F.collect_list(F.struct("f", "t"))).alias("_ord"))
+        .select(
+            "_id",
+            F.transform("_ord", lambda s: s["t"]).alias("_g"),
+        )
+    )
+
+    # Prefix length p = |g| - ceil(t*|g|) + 1 (overlap of a qualifying pair
+    # exceeds |g| - p, so it must touch the prefix). posexplode keeps each
+    # prefix token's position for the positional filter below.
+    #
+    # Every ceil() here subtracts a small epsilon first: 0.8*190 is exactly
+    # 152 in rationals but 152.0000000000001 in doubles, and a ceil that
+    # overshoots to 153 silently turns a lossless filter into a lossy one
+    # (shorter prefix / stricter bound than the lemma allows). Erring one
+    # token looser only admits extra candidates the verify step re-checks.
+    eps = 1e-6
+    p = (
+        F.size("_g") - F.ceil(F.lit(threshold) * F.size("_g") - eps) + 1
+    ).cast("int")
+    prefixes = ordered.select(
+        "_id",
+        F.size("_g").alias("sz"),
+        F.posexplode(F.slice("_g", 1, p)).alias("pos", "t"),
+    )
+
+    # Candidates as bare id pairs first (the token join can fan out — keep
+    # its shuffle rows narrow), then re-attach the token arrays for the
+    # verify step with two id-keyed joins. Two more PPJoin prunes run on the
+    # narrow rows before the dedup shuffle:
+    #  * length filter — Jaccard >= t forces t <= |a|/|b| <= 1/t;
+    #  * positional filter — a shared token at 0-based positions (pa, pb)
+    #    allows at most 1 + min(sza-pa-1, szb-pb-1) overlap from itself
+    #    onward, which must reach ceil(t/(1+t)*(sza+szb)), the overlap a
+    #    qualifying pair needs. The bound ignores common tokens BEFORE
+    #    (pa, pb), so it only holds for the pair's earliest common token —
+    #    which is always one of the joined rows (it precedes, hence sits
+    #    inside, both prefixes), so keep-if-ANY-row-passes stays lossless.
+    a = prefixes.select(
+        F.col("_id").alias("id_a"), F.col("sz").alias("sza"), F.col("pos").alias("pa"), "t"
+    )
+    b = prefixes.select(
+        F.col("_id").alias("id_b"), F.col("sz").alias("szb"), F.col("pos").alias("pb"), "t"
+    )
+    alpha = F.ceil(
+        F.lit(threshold) / (1 + threshold) * (F.col("sza") + F.col("szb")) - eps
+    )
+    ubound = 1 + F.least(
+        F.col("sza") - F.col("pa") - 1, F.col("szb") - F.col("pb") - 1
+    )
+    cands = (
+        a.join(b, "t")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.col("szb") >= F.ceil(F.lit(threshold) * F.col("sza") - eps))
+        .where(F.col("sza") >= F.ceil(F.lit(threshold) * F.col("szb") - eps))
+        .where(ubound >= alpha)
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ga = ordered.select(F.col("_id").alias("id_a"), F.col("_g").alias("ga"))
+    gb = ordered.select(F.col("_id").alias("id_b"), F.col("_g").alias("gb"))
+    pairs = cands.join(ga, "id_a").join(gb, "id_b")
+
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    union = F.size(F.array_union("ga", "gb")).cast("double")
+    return pairs.where(inter / union >= threshold).select("id_a", "id_b")

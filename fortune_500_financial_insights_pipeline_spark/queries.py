@@ -1041,20 +1041,18 @@ def q_jaccard_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components → min-id survivor per cluster. The DuckDB oracle
     reproduces the closure with a recursive CTE, so the iterative
     min-label loop is value-checked end-to-end, transitivity included.
-    The O(n²) pair join is the exact variant; minhash LSH banding
-    (q_minhash_neardup) is the scale path for the same semantics."""
+    Pair generation is the prefix-filtered set-similarity join
+    (operators/setjoin.py — AllPairs/PPJoin candidates from an equi-join
+    on rare prefix tokens, identical output to the O(n²) scan); minhash
+    LSH banding (q_minhash_neardup) remains the probabilistic path when
+    even exact candidates are too many."""
     from fortune_500_financial_insights_pipeline_spark.operators import text as TX
     from fortune_500_financial_insights_pipeline_spark.operators.graph import cluster_dedup
+    from fortune_500_financial_insights_pipeline_spark.operators.setjoin import jaccard_pairs_exact
 
     d = load_table(spark, sf_dir, "documents")
     grams = d.select("doc_id", TX.word_ngrams("text", 2).alias("grams"))
-    a = grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
-    b = grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
-    pairs = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .where(TX.jaccard(F.col("ga"), F.col("gb")) >= 0.8)
-        .select("id_a", "id_b")
-    )
+    pairs = jaccard_pairs_exact(grams, "doc_id", "grams", 0.8)
     return cluster_dedup(d, pairs, "doc_id").select("doc_id")
 
 
@@ -1670,19 +1668,16 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph (same edge rule as q_jaccard_clusters): triangle membership =
     mutually-similar triples, the density signal LSH-based dedup uses to
     distinguish a tight duplicate cluster from a chain of borderline pairs.
-    Triple enumeration is two equi-joins on canonicalized (u < v) edges."""
+    Edges come from the prefix-filtered exact set-similarity join
+    (operators/setjoin.py); triple enumeration is two equi-joins on
+    canonicalized (u < v) edges."""
     from fortune_500_financial_insights_pipeline_spark.operators import text as TX
     from fortune_500_financial_insights_pipeline_spark.operators.graph import triangle_counts
+    from fortune_500_financial_insights_pipeline_spark.operators.setjoin import jaccard_pairs_exact
 
     d = load_table(spark, sf_dir, "documents")
     grams = d.select("doc_id", TX.word_ngrams("text", 2).alias("grams"))
-    a = grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
-    b = grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
-    pairs = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .where(TX.jaccard(F.col("ga"), F.col("gb")) >= 0.8)
-        .select("id_a", "id_b")
-    )
+    pairs = jaccard_pairs_exact(grams, "doc_id", "grams", 0.8)
     return triangle_counts(pairs).select(
         F.col("id").alias("doc_id"), "n_triangles"
     )

@@ -770,3 +770,35 @@ def test_repetition_stats_flags_looped_text(spark):
     got = {r.id: (r.top_gram_frac, r.n_grams) for r in repetition_stats(df, "id", "t").collect()}
     assert got[2] == (1 / 9, 9)
     assert got[1][0] > 0.45  # one gram owns nearly half the stream
+
+
+def test_setjoin_matches_brute_force(spark):
+    """Prefix-filtered exact join == brute-force cross join on random-ish
+    token sets, including a pair at EXACTLY the threshold where float
+    ceil(t*|g|) overshoots the rational value (the epsilon guard)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.setjoin import jaccard_pairs_exact
+    from fortune_500_financial_insights_pipeline_spark.operators.text import jaccard
+
+    rows = [
+        # |a|=9, |b|=9, overlap 8 -> union 10 -> jaccard exactly 0.8
+        (1, [f"t{i}" for i in range(9)]),
+        (2, [f"t{i}" for i in range(8)] + ["t9"]),
+        (3, [f"u{i}" for i in range(10)]),          # disjoint singleton
+        (4, [f"t{i}" for i in range(5)]),           # subset, fails length filter
+        (5, [f"t{i}" for i in range(9)]),           # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grams array<string>")
+    a = df.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
+    b = df.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
+    brute = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(jaccard(F.col("ga"), F.col("gb")) >= 0.8)
+        .collect()
+    }
+    fast = {
+        (r.id_a, r.id_b)
+        for r in jaccard_pairs_exact(df, "doc_id", "grams", 0.8).collect()
+    }
+    assert (1, 2) in fast  # the exact-boundary pair survives the filters
+    assert fast == brute
