@@ -476,6 +476,19 @@ SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
 EXCEPT ALL
 SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
 """,
+    # UNPIVOT clause (wide->long): both engines parse the SQL-Server-style
+    # relational UNPIVOT verbatim; the inverse of q_sql_pivot.
+    "q_sql_unpivot": f"""
+SELECT n_name, role, bal
+FROM (
+  SELECT n_name, cb.cust_bal, sb.supp_bal
+  FROM nation
+  JOIN (SELECT c_nationkey AS nk, {_dsum('c_acctbal')} AS cust_bal
+        FROM customer GROUP BY c_nationkey) cb ON cb.nk = n_nationkey
+  JOIN (SELECT s_nationkey AS nk, {_dsum('s_acctbal')} AS supp_bal
+        FROM supplier GROUP BY s_nationkey) sb ON sb.nk = n_nationkey
+) wide UNPIVOT (bal FOR role IN (cust_bal, supp_bal))
+""",
     # Q22 shape: above-average account balance + anti-join (fixtures give
     # every customer at least one order, so the anti-join is on *recent*
     # orders; country code derived from nationkey — no phone column).

@@ -68,3 +68,26 @@ def streaming_tumbling(
         .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
         .select(F.col("w.start").alias("wstart"), "event_type", "n_events", "sum_value")
     )
+
+
+def streaming_session(
+    stream: DataFrame, gap: str = "6 hours", watermark: str = "0 seconds"
+) -> DataFrame:
+    """Streaming mirror of ``session``: dynamic-gap windows merge in state
+    until the watermark passes a session's end, then append emits it
+    exactly once and drops the state. (Sessions still open at the
+    watermark — every user's last burst — stay in state and don't emit:
+    that withheld tail is the semantic difference from the batch form,
+    asserted in tests.)"""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )

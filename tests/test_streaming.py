@@ -374,3 +374,36 @@ def test_stream_static_broadcast_enrichment(spark, events_dir):
     assert got == expected
     # inner join against the 3-key dim filters unknown event types
     assert len(got) <= batch_df.count()
+
+
+def test_streaming_session_window_emits_closed_sessions(spark, events_dir):
+    """Append-mode session windows: every session whose end the watermark
+    passed emits exactly once with the batch-identical aggregate; each
+    user's final (still-open) session is withheld in state."""
+    from fortune_500_financial_insights_pipeline_spark.streaming.events import (
+        session,
+        streaming_session,
+    )
+
+    batch_df = spark.read.parquet(events_dir)
+    batch = {tuple(r) for r in session(batch_df).collect()}
+    max_ts = batch_df.agg(F.max("ts")).head()[0]
+    expected = {r for r in batch if r[1] <= max_ts}  # session_end <= watermark
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(events_dir)
+    q = _run_stream(
+        streaming_session(stream), "session_append", "append"
+    )
+    try:
+        got = {tuple(r) for r in spark.sql("SELECT * FROM session_append").collect()}
+    finally:
+        q.stop()
+    assert expected, "fixture must close at least one session"
+    assert got == expected
+    # Withheld rows are still-open sessions: at most one per user (only a
+    # user's LAST session can end beyond the watermark), and at least the
+    # user owning the globally-latest event is still open.
+    held = batch - expected
+    assert held
+    held_users = [r[2] for r in held]
+    assert len(held_users) == len(set(held_users))
