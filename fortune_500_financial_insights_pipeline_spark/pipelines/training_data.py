@@ -11,10 +11,15 @@ Stage order is chosen for 100 TB economics:
    connected components → min-id survivor: transitive closure, so
    A~B~C collapses even when A~C was never a candidate);
 3. quality + language gate (pure narrow ops, no shuffle);
-4. chunking (1→N token windows, exchange-free);
-5. deterministic hash sampling (partition-invariant: the sample is a
+4. repetition gate (Gopher top-bigram-fraction rule: doc-keyed aggs +
+   a semi-join back — boilerplate that survived dedup dies here);
+5. PII redaction (chained-regex projection; BEFORE chunking so no chunk
+   ever carries a raw email/SSN/phone/IP; the redaction count rides the
+   chunk-count action as an Observation — zero extra scans);
+6. chunking (1→N token windows, exchange-free);
+7. deterministic hash sampling (partition-invariant: the sample is a
    function of the key, not of executor scheduling);
-6. compacted parquet write partitioned by `lang` (small-files control).
+8. compacted parquet write partitioned by `lang` (small-files control).
 
 Each stage is independently tested; `curate()` returns the final frame
 plus per-stage row counts (the curation funnel report every data job
@@ -42,6 +47,8 @@ class CurationReport:
     n_after_exact_dedup: int
     n_after_neardup: int
     n_after_quality: int
+    n_after_repetition: int
+    n_pii_redactions: int
     n_chunks: int
     n_sampled_chunks: int
 
@@ -53,6 +60,7 @@ def curate(
     text_col: str = "text",
     min_quality: float = 0.5,
     min_jaccard: float = 0.5,
+    max_rep_frac: float = 0.2,
     chunk_tokens: int = 32,
     overlap: int = 8,
     sample_fraction: float = 1.0,
@@ -84,12 +92,30 @@ def curate(
     ).localCheckpoint()
     n_quality = quality.count()
 
-    keep = [c for c in quality.columns if c not in (id_col, text_col)]
+    rep_ok = (
+        TX.repetition_stats(quality, id_col, text_col)
+        .where(F.col("top_gram_frac") < max_rep_frac)
+        .select(id_col)
+    )
+    deboiler = quality.join(rep_ok, id_col, "left_semi").localCheckpoint()
+    n_rep = deboiler.count()
+
+    from fortune_500_financial_insights_pipeline_spark.checks import observed
+
+    redacted, pii_obs = observed(
+        deboiler.withColumn("_n_pii", TX.pii_count(text_col)),
+        "pii",
+        F.sum("_n_pii").alias("n_redactions"),
+    )
+    redacted = redacted.withColumn(text_col, TX.redact_pii(text_col)).drop("_n_pii")
+
+    keep = [c for c in redacted.columns if c not in (id_col, text_col)]
     chunks_all = chunk_documents(
-        quality, id_col=id_col, text_col=text_col,
+        redacted, id_col=id_col, text_col=text_col,
         chunk_tokens=chunk_tokens, overlap=overlap, keep_cols=keep,
     ).localCheckpoint()
     n_chunks = chunks_all.count()
+    n_pii = int(pii_obs.get["n_redactions"] or 0)
 
     chunks = chunks_all
     if sample_fraction < 1.0:
@@ -103,6 +129,8 @@ def curate(
         n_after_exact_dedup=n_exact,
         n_after_neardup=n_neardup,
         n_after_quality=n_quality,
+        n_after_repetition=n_rep,
+        n_pii_redactions=n_pii,
         n_chunks=n_chunks,
         n_sampled_chunks=n_sampled,
     )

@@ -329,16 +329,45 @@ def test_training_data_curation_funnel(spark, sf_dir, tmp_path):
         F.concat("text", F.lit(" tailword")).alias("text"),
         "lang", "source", "n_chars",
     )
-    corpus = docs.unionByName(base).unionByName(near)
+    # a boilerplate doc (one bigram dominates) and a doc carrying PII
+    rep = docs.limit(1).select(
+        F.lit(900003).alias("doc_id"),
+        F.lit("the spam ham of " * 20 + "end").alias("text"),
+        "lang", "source", "n_chars",
+    )
+    pii = docs.limit(1).select(
+        F.lit(900004).alias("doc_id"),
+        F.lit(
+            "the report for a customer is at bob@x.io and the data is "
+            "in the table with a key for the join and a value to read"
+        ).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    corpus = (
+        docs.unionByName(base).unionByName(near).unionByName(rep).unionByName(pii)
+    )
 
     chunks, report = curate(
         corpus, min_quality=0.3, min_jaccard=0.5, sample_fraction=0.5
     )
-    assert report.n_raw == docs.count() + 2
+    assert report.n_raw == docs.count() + 4
     # the exact dup dies in stage 1, the near dup in stage 2
     assert report.n_after_exact_dedup == report.n_raw - 1
     assert report.n_after_neardup < report.n_after_exact_dedup
     assert report.n_after_quality <= report.n_after_neardup
+    # the boilerplate plant dies in the repetition gate; nothing else does
+    assert report.n_after_repetition == report.n_after_quality - 1
+    # the planted email was counted; NO chunk anywhere carries raw PII,
+    # and the pii doc's chunks (if the 0.5 sample kept any) carry the tag
+    assert report.n_pii_redactions >= 1
+    assert chunks.where(F.col("chunk_text").contains("bob@x.io")).count() == 0
+    # the email sits in the doc's first 32 tokens: if the sample kept
+    # chunk 0, that chunk must carry the tag (later chunks needn't)
+    first = chunks.where(
+        (F.col("doc_id") == 900004) & (F.col("chunk_index") == 0)
+    )
+    if first.count() > 0:
+        assert first.where(F.col("chunk_text").contains("<EMAIL>")).count() == 1
     assert 0 < report.n_sampled_chunks < report.n_chunks
     # survivors keep the min id: the planted copies never outlive doc 0
     ids = {r.doc_id for r in chunks.select("doc_id").distinct().collect()}
