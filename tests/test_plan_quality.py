@@ -250,3 +250,28 @@ def test_quality_gate_threshold_is_broadcast(spark, sf_dir):
     # the 1-row aggregate side necessarily funnels to one partition; the
     # document side must reach the join without any hash exchange
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """The SQL surface exposes Spark's join-strategy hints: the same
+    logical join flips physical strategy on demand — BROADCAST forces a
+    broadcast-hash, SHUFFLE_HASH forbids it, MERGE forces sort-merge.
+    At 100 TB these hints are the manual override when statistics mislead
+    AQE (e.g. a 'small' side that explodes after a filter)."""
+    from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("o_hint")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("c_hint")
+    base = "SELECT /*+ {h} */ o_orderkey FROM o_hint JOIN c_hint ON o_custkey = c_custkey"
+
+    def physical(hint):
+        return (
+            spark.sql(base.format(h=hint))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+
+    assert "BroadcastHashJoin" in physical("BROADCAST(c_hint)")
+    shuffled = physical("SHUFFLE_HASH(c_hint)")
+    assert "ShuffledHashJoin" in shuffled and "BroadcastHashJoin" not in shuffled
+    merged = physical("MERGE(c_hint)")
+    assert "SortMergeJoin" in merged and "BroadcastHashJoin" not in merged
