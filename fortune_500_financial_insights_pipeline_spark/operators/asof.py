@@ -32,12 +32,19 @@ def asof_join(
     value_cols: Sequence[str],
     tiebreak_col: str,
     suffix: str = "_asof",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Return ``left`` with ``{v}{suffix}`` columns holding the most recent
     ``right`` values at or before each left row's ``ts_col``.
 
     ``tiebreak_col`` must make (ts, tiebreak) unique per side so the result
     is deterministic.
+
+    ``tolerance`` (an INTERVAL string, e.g. ``"2 days"``) bounds staleness
+    the way pandas ``merge_asof(tolerance=...)`` does: a carried value older
+    than ``left.ts - tolerance`` reverts to null. The window also carries
+    the matched right row's timestamp, so the bound is one comparison —
+    no second join.
     """
     on = list(on)
     lcols = left.columns
@@ -69,7 +76,19 @@ def asof_join(
             F.last(f"_rv_{v}", ignorenulls=True).over(w).alias(f"{v}{suffix}")
             for v in value_cols
         ],
+        F.last(F.when(F.col("_is_right") == 1, F.col("_ts")), ignorenulls=True)
+        .over(w)
+        .alias("_rts"),
     ).filter(F.col("_is_right") == 0)
+    if tolerance is not None:
+        fresh = F.col("_rts") >= F.col("_ts") - F.expr(f"INTERVAL {tolerance}")
+        carried = carried.select(
+            *[c for c in carried.columns if not c.endswith(suffix)],
+            *[
+                F.when(fresh, F.col(f"{v}{suffix}")).alias(f"{v}{suffix}")
+                for v in value_cols
+            ],
+        )
     return carried.select(
         *[F.col(f"_lrow.{c}").alias(c) for c in lcols],
         *[F.col(f"{v}{suffix}") for v in value_cols],

@@ -1271,3 +1271,57 @@ SELECT doc_id,
 FROM per
 GROUP BY doc_id
 """
+
+ORACLES["q_asof_tolerance"] = """
+WITH u AS (
+  SELECT user_id, ts, event_id, 0 AS is_right,
+         event_id AS p_event_id, value AS p_value, NULL::DOUBLE AS c_value
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, event_id, 1 AS is_right,
+         NULL AS p_event_id, NULL AS p_value, value AS c_value
+  FROM events WHERE event_type = 'click'
+),
+carried AS (
+  SELECT *, last_value(c_value IGNORE NULLS) OVER w AS cv,
+         last_value(CASE WHEN is_right = 1 THEN ts END IGNORE NULLS) OVER w AS rts
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, is_right DESC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT p_event_id AS event_id, user_id, ts, p_value AS value,
+       CASE WHEN rts >= ts - INTERVAL 1 HOUR THEN cv END AS click_value_asof
+FROM carried
+WHERE is_right = 0
+"""
+
+ORACLES["q_rolling_beta"] = """
+WITH ud AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         (CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000)
+           / COUNT(value) AS y
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+md AS (
+  SELECT CAST(ts AS DATE) AS d,
+         (CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000)
+           / COUNT(value) AS x
+  FROM events GROUP BY CAST(ts AS DATE)
+),
+j AS (SELECT ud.user_id, ud.d, ud.y, md.x FROM ud JOIN md USING (d)),
+comp AS (
+  SELECT user_id, d,
+    CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+    (CAST(SUM(CAST(ROUND((x) * 1000000) AS BIGINT)) OVER w AS DOUBLE) / 1000000) AS sx,
+    (CAST(SUM(CAST(ROUND((y) * 1000000) AS BIGINT)) OVER w AS DOUBLE) / 1000000) AS sy,
+    (CAST(SUM(CAST(ROUND((x * y) * 1000000) AS BIGINT)) OVER w AS DOUBLE) / 1000000) AS sxy,
+    (CAST(SUM(CAST(ROUND((x * x) * 1000000) AS BIGINT)) OVER w AS DOUBLE) / 1000000) AS sxx
+  FROM j
+  WINDOW w AS (PARTITION BY user_id ORDER BY d
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+       CASE WHEN n * sxx - sx * sx <> 0
+            THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS beta
+FROM comp
+"""

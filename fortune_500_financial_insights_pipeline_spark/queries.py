@@ -1751,3 +1751,60 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_grams",
         (F.col("top_gram_frac") >= 0.08).alias("is_repetitive"),
     )
+
+
+@q("q_asof_tolerance")
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of join (pandas merge_asof(tolerance=...) /
+    kdb wj semantics): the most recent click value per user reverts to
+    null when it is staler than 1 hour at the purchase — same single
+    union+window pass as q_asof_lastval, one extra carried timestamp."""
+    from fortune_500_financial_insights_pipeline_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.col("value").alias("click_value")
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        ts_col="ts",
+        value_cols=["click_value"],
+        tiebreak_col="event_id",
+        tolerance="1 HOUR",
+    ).select("event_id", "user_id", "ts", "value", "click_value_asof")
+
+
+@q("q_rolling_beta")
+def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 10-day beta of each user's daily mean value against the
+    all-events market mean: the classic factor-exposure window statistic,
+    computed from fixed-point component sums (Σx, Σy, Σxy, Σx²) so the
+    distributed result is bit-identical to the single-threaded oracle —
+    never from a built-in corr/covar whose online update order differs
+    per engine. One shuffle (user, day grain), then one window pass."""
+    ev = load_table(spark, sf_dir, "events")
+    user_daily = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        davg("value").alias("y")
+    )
+    market_daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        davg("value").alias("x")
+    )
+    j = user_daily.join(market_daily, "d")
+    w = W.partitionBy("user_id").orderBy("d").rowsBetween(-9, 0)
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx = dsum_w(F.col("x"), w)
+    sy = dsum_w(F.col("y"), w)
+    sxy = dsum_w(F.col("x") * F.col("y"), w)
+    sxx = dsum_w(F.col("x") * F.col("x"), w)
+    denom = n * sxx - sx * sx
+    beta = F.when(denom != 0, (n * sxy - sx * sy) / denom)
+    return j.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        beta.alias("beta"),
+    )

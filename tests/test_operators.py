@@ -802,3 +802,33 @@ def test_setjoin_matches_brute_force(spark):
     }
     assert (1, 2) in fast  # the exact-boundary pair survives the filters
     assert fast == brute
+
+
+def test_asof_tolerance_bounds_staleness(spark):
+    import datetime as dt
+
+    from fortune_500_financial_insights_pipeline_spark.operators.asof import asof_join
+
+    T = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(minutes):
+        return T + dt.timedelta(minutes=minutes)
+
+    left = spark.createDataFrame(
+        [(1, "u", at(0), 1.0), (2, "u", at(90), 2.0)],
+        "event_id long, user_id string, ts timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [(10, "u", at(-5), 42.0)],
+        "event_id long, user_id string, ts timestamp, click_value double",
+    )
+    got = {
+        r.event_id: r.click_value_asof
+        for r in asof_join(
+            left, right, on=["user_id"], ts_col="ts",
+            value_cols=["click_value"], tiebreak_col="event_id",
+            tolerance="1 HOUR",
+        ).collect()
+    }
+    assert got[1] == 42.0   # 5 minutes old: within tolerance
+    assert got[2] is None   # 95 minutes old: reverted to null
