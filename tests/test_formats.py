@@ -161,3 +161,35 @@ def test_market_api_feeds_standardize(spark):
     got = conformed.select("Ticker", "Date", "Volume").collect()
     assert len(got) == 5
     assert all(isinstance(r.Volume, int) for r in got)  # DDL BIGINT
+
+
+def test_market_api_stream_matches_batch(spark, tmp_path):
+    """The streaming form of the custom data source delivers exactly the
+    batch rows, exactly once, across several microbatch offset ranges."""
+    from fortune_500_financial_insights_pipeline_spark.sources.market_api import register
+
+    register(spark)
+    opts = {"tickers": "AAPL,MSFT", "start": "2024-01-02"}
+    batch = spark.read.format("market_api").options(**opts, days="30").load()
+    expected = {tuple(map(str, r)) for r in batch.collect()}
+
+    q = (
+        spark.readStream.format("market_api")
+        .options(**opts, batch_days="7", max_days="30")
+        .load()
+        .writeStream.format("memory")
+        .queryName("mkt_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            tuple(map(str, r)) for r in spark.sql("SELECT * FROM mkt_stream").collect()
+        }
+        n_rows = spark.sql("SELECT COUNT(*) FROM mkt_stream").head()[0]
+    finally:
+        q.stop()
+    assert got == expected
+    assert n_rows == len(expected)  # exactly once: no replayed duplicates
