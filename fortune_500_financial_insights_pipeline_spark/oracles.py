@@ -1325,3 +1325,47 @@ SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
             THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS beta
 FROM comp
 """
+
+ORACLES["q_ab_test"] = """
+WITH agg AS (
+  SELECT event_type, CAST(user_id % 2 AS INTEGER) AS grp,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         (CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS sx,
+         (CAST(SUM(CAST(ROUND((value * value) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS sxx
+  FROM events GROUP BY event_type, CAST(user_id % 2 AS INTEGER)
+),
+j AS (
+  SELECT a.event_type,
+         a.n AS na, a.sx AS sxa, a.sxx AS sxxa,
+         b.n AS nb, b.sx AS sxb, b.sxx AS sxxb
+  FROM (SELECT * FROM agg WHERE grp = 0) a
+  JOIN (SELECT * FROM agg WHERE grp = 1) b USING (event_type)
+)
+SELECT event_type,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       (sxa / na - sxb / nb) AS mean_diff,
+       (sxa / na - sxb / nb) /
+       sqrt(((sxxa - sxa * sxa / na) / (na - 1)) / na
+            + ((sxxb - sxb * sxb / nb) / (nb - 1)) / nb) AS t_stat
+FROM j
+"""
+
+ORACLES["q_market_basket"] = """
+WITH baskets AS (SELECT DISTINCT user_id, event_type FROM events),
+nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n FROM baskets),
+sup AS (
+  SELECT event_type, COUNT(*) / nu.n AS support FROM baskets, nu
+  GROUP BY event_type, nu.n
+),
+pair AS (
+  SELECT a.event_type AS t_a, b.event_type AS t_b, COUNT(*) / nu.n AS support_ab
+  FROM baskets a
+  JOIN baskets b ON a.user_id = b.user_id AND a.event_type < b.event_type, nu
+  GROUP BY a.event_type, b.event_type, nu.n
+)
+SELECT t_a, t_b, support_ab,
+       support_ab / (sa.support * sb.support) AS lift
+FROM pair
+JOIN sup sa ON sa.event_type = t_a
+JOIN sup sb ON sb.event_type = t_b
+"""

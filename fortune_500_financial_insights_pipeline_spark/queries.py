@@ -1808,3 +1808,74 @@ def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("d", "yyyy-MM-dd").alias("day"),
         beta.alias("beta"),
     )
+
+
+@q("q_ab_test")
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout: Welch's t statistic per event_type between the
+    user_id-parity split (the deterministic A/B assignment), built from
+    fixed-point Σx and Σx² — closed-form mean/variance, no built-in
+    stddev whose accumulation order differs per engine. One grouped
+    aggregation, one pivot-style self-alignment via conditional sums."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.withColumn("grp", (F.col("user_id") % 2).cast("int"))
+    agg = g.groupBy("event_type", "grp").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum("value").alias("sx"),
+        dsum(F.col("value") * F.col("value")).alias("sxx"),
+    )
+    a = agg.where(F.col("grp") == 0).select(
+        "event_type",
+        F.col("n").alias("na"), F.col("sx").alias("sxa"), F.col("sxx").alias("sxxa"),
+    )
+    b = agg.where(F.col("grp") == 1).select(
+        "event_type",
+        F.col("n").alias("nb"), F.col("sx").alias("sxb"), F.col("sxx").alias("sxxb"),
+    )
+    j = a.join(b, "event_type")
+    ma = F.col("sxa") / F.col("na")
+    mb = F.col("sxb") / F.col("nb")
+    va = (F.col("sxxa") - F.col("sxa") * F.col("sxa") / F.col("na")) / (F.col("na") - 1)
+    vb = (F.col("sxxb") - F.col("sxb") * F.col("sxb") / F.col("nb")) / (F.col("nb") - 1)
+    t = (ma - mb) / F.sqrt(va / F.col("na") + vb / F.col("nb"))
+    return j.select(
+        "event_type",
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        (ma - mb).alias("mean_diff"),
+        t.alias("t_stat"),
+    )
+
+
+@q("q_market_basket")
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association mining over (user, event_type) baskets: support and
+    lift for every ordered event-type pair. Basket build is a distinct
+    user-type projection; co-occurrence is a self-join on user (bounded:
+    5 types → ≤ C(5,2) pairs per user); supports broadcast back. The
+    co-occurrence self-join is the same shape PPJoin prunes at corpus
+    scale (operators/setjoin.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    baskets = ev.select("user_id", "event_type").distinct()
+    n_users = baskets.select("user_id").distinct().count()
+    sup = baskets.groupBy("event_type").agg(
+        (F.count(F.lit(1)) / F.lit(float(n_users))).alias("support")
+    )
+    a = baskets.select("user_id", F.col("event_type").alias("t_a"))
+    b = baskets.select("user_id", F.col("event_type").alias("t_b"))
+    pair = (
+        a.join(b, "user_id")
+        .where(F.col("t_a") < F.col("t_b"))
+        .groupBy("t_a", "t_b")
+        .agg((F.count(F.lit(1)) / F.lit(float(n_users))).alias("support_ab"))
+    )
+    sa = sup.select(F.col("event_type").alias("t_a"), F.col("support").alias("sup_a"))
+    sb = sup.select(F.col("event_type").alias("t_b"), F.col("support").alias("sup_b"))
+    return (
+        pair.join(F.broadcast(sa), "t_a")
+        .join(F.broadcast(sb), "t_b")
+        .select(
+            "t_a", "t_b", "support_ab",
+            (F.col("support_ab") / (F.col("sup_a") * F.col("sup_b"))).alias("lift"),
+        )
+    )
