@@ -44,6 +44,12 @@ def _ensure_runtime_conf(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    # The fixture parquet stores naive timestamp[us]; Spark 4 infers
+    # TIMESTAMP_NTZ by default, which rejects event-time watermarks and
+    # direct epoch casts. Read them as session-tz TIMESTAMP instead — the
+    # session tz is pinned UTC above, so the wall-clock values are
+    # bit-identical to the NTZ reading (and to DuckDB's naive reading).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

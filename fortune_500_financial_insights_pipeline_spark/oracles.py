@@ -1369,3 +1369,56 @@ FROM pair
 JOIN sup sa ON sa.event_type = t_a
 JOIN sup sb ON sb.event_type = t_b
 """
+
+ORACLES["q_variant_json"] = """
+SELECT event_type,
+       COUNT(CAST(json_extract(props, '$.k') AS INTEGER)) AS n_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       ROUND(AVG(CAST(json_extract(props, '$.k') AS INTEGER)), 6) AS avg_k,
+       MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+ORACLES["q_regr_agg"] = """
+SELECT l_returnflag,
+       regr_count(l_extendedprice, l_quantity) AS n_pairs,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+       ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       ROUND(regr_avgx(l_extendedprice, l_quantity), 6) AS avg_x,
+       ROUND(regr_avgy(l_extendedprice, l_quantity), 6) AS avg_y
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+ORACLES["q_join_full"] = f"""
+WITH cust AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer WHERE c_acctbal > 7500
+),
+ords AS (
+  SELECT o_custkey, COUNT(*) AS n_orders, {_dsum('o_totalprice')} AS total_spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+       c_mktsegment,
+       ROUND(c_acctbal, 2) AS acctbal,
+       n_orders,
+       total_spend
+FROM cust FULL OUTER JOIN ords ON c_custkey = o_custkey
+"""
+
+ORACLES["q_mode_exact"] = """
+WITH counts AS (
+  SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_returnflag, l_quantity
+),
+ranked AS (
+  SELECT l_returnflag, l_quantity, cnt,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY cnt DESC, l_quantity ASC) AS rn
+  FROM counts
+)
+SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_count
+FROM ranked WHERE rn = 1
+"""

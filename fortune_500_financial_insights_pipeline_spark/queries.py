@@ -241,7 +241,8 @@ def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_events_session), expressed relationally so any engine can check it."""
     e = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    ts_s = F.col("ts").cast("timestamp").cast("long")
+    gap = ts_s - F.lag(ts_s).over(w)
     new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     sess_id = F.sum(new_sess).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
     return (
@@ -630,7 +631,8 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("first_purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("first_purchase"),
         F.when(
             F.col("first_purchase_ts").isNotNull(),
-            F.col("first_purchase_ts").cast("long") - F.col("first_click_ts").cast("long"),
+            F.col("first_purchase_ts").cast("timestamp").cast("long")
+            - F.col("first_click_ts").cast("timestamp").cast("long"),
         ).alias("latency_s"),
     )
 
@@ -1877,5 +1879,96 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "t_a", "t_b", "support_ab",
             (F.col("support_ab") / (F.col("sup_a") * F.col("sup_b"))).alias("lift"),
+        )
+    )
+
+
+@q("q_variant_json")
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path: parse the JSON ``props`` payload into
+    Spark 4's VARIANT type, extract a typed field, aggregate per event type.
+
+    VARIANT keeps the shredded binary encoding JVM-side (no Python UDF, no
+    schema-on-write) — at 100 TB this is the schema-flexible analog of the
+    reference's autodetect JSON loads (transform_json_INFO.py:104-119);
+    extraction happens inside whole-stage codegen."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@q("q_regr_agg")
+def q_regr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregate family (OLS slope/intercept/R² per group)
+    — the one-pass regr_* aggregates the warehouse layer would run for the
+    Tableau-style price-vs-volume overlays (SURVEY §2.4: aggregation surface
+    delegated downstream by the reference)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count("l_extendedprice", "l_quantity").alias("n_pairs"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 6).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.round(F.regr_avgx("l_extendedprice", "l_quantity"), 6).alias("avg_x"),
+        F.round(F.regr_avgy("l_extendedprice", "l_quantity"), 6).alias("avg_y"),
+    )
+
+
+@q("q_join_full")
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer equi-join with nulls surviving on BOTH sides: high-balance
+    customers vs per-customer order rollups. TPC-H leaves ~1/3 of customers
+    orderless and the balance filter drops customers that do have orders, so
+    both null wings are populated. Completes the join-type surface (J1-J4 +
+    full outer; SURVEY §2.3). Shuffle join on c_custkey; the pre-aggregation
+    runs partial map-side so the shuffled right side is one row per customer."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 7500)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+    )
+    ords = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total_spend"))
+    )
+    return (
+        cust.join(ords, cust.c_custkey == ords.o_custkey, "full_outer")
+        .select(
+            F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+            "c_mktsegment",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "n_orders",
+            "total_spend",
+        )
+    )
+
+
+@q("q_mode_exact")
+def q_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group mode with a deterministic tie-break (smallest value
+    wins). Built-in F.mode is tie-nondeterministic across engines, so the
+    portable form is count→rank with an explicit order — two shuffles on the
+    grouping key, both partial-aggregated map-side. The same shape yields
+    any 'argmax per group' (most common token, dominant language per shard)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.partitionBy("l_returnflag").orderBy(F.desc("cnt"), F.asc("l_quantity"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_qty"),
+            F.col("cnt").alias("mode_count"),
         )
     )

@@ -49,6 +49,10 @@ def get_spark(
         # the events fixture stores TIMESTAMP(NANOS) which Spark's parquet
         # reader rejects; read as long and convert in the catalog
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # naive timestamp[us] parquet columns read as session-tz TIMESTAMP
+        # (not NTZ): watermarks and epoch casts need TIMESTAMP, and with the
+        # UTC session tz the values match the naive/DuckDB reading exactly
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         # parquet scans: vectorized reader + pushdown are on by default; keep
