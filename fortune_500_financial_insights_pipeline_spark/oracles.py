@@ -1422,3 +1422,25 @@ ranked AS (
 SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_count
 FROM ranked WHERE rn = 1
 """
+
+ORACLES["q_ohlc_resample"] = """
+WITH ordered AS (
+  SELECT event_type,
+         CAST(ts AS DATE) AS day,
+         value,
+         FIRST_VALUE(value) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                  ORDER BY ts, event_id) AS open,
+         FIRST_VALUE(value) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                  ORDER BY ts DESC, event_id DESC) AS close
+  FROM events
+)
+SELECT event_type,
+       strftime(day, '%Y-%m-%d') AS day,
+       ANY_VALUE(open) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       ANY_VALUE(close) AS close,
+       COUNT(*) AS n_ticks
+FROM ordered
+GROUP BY event_type, day
+"""

@@ -1972,3 +1972,35 @@ def q_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("mode_count"),
         )
     )
+
+
+@q("q_ohlc_resample")
+def q_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsample to OHLC candlestick bars: per (series, day),
+    open = first value / close = last value by event time, high/low = extrema,
+    volume = row count. The first/last pick uses min_by/max_by over a
+    composite (ts, event_id) key so ties are deterministic — one shuffle on
+    the bar key, all five aggregates partial map-side. The struct key costs
+    a SortAggregate (partition-local sorts only; asserted in
+    test_plan_quality), still far cheaper than the window-sort formulation,
+    which shuffles full tick rows then sorts per key.
+    This is the daily→period rollup the reference delegates to Tableau over
+    the open_close warehouse table (SURVEY §2.4; DDLs:4-14)."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.withColumn("day", F.to_date("ts"))
+        .groupBy("event_type", "day")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "open", "high", "low", "close", "n_ticks",
+        )
+    )

@@ -275,3 +275,30 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
     assert "ShuffledHashJoin" in shuffled and "BroadcastHashJoin" not in shuffled
     merged = physical("MERGE(c_hint)")
     assert "SortMergeJoin" in merged and "BroadcastHashJoin" not in merged
+
+
+def test_full_outer_pre_aggregates_before_join(spark, sf_dir):
+    """q_join_full: the orders side must collapse to one row per customer
+    BEFORE the full-outer join (partial agg map-side), and the customer
+    balance filter must reach its scan — at 100 TB the join then shuffles
+    |customers| rows, not |orders|."""
+    plan = plan_of(spark, sf_dir, "q_join_full")
+    assert "FullOuter" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThan\(c_acctbal", plan), plan
+
+
+def test_ohlc_resample_aggregates_partial(spark, sf_dir):
+    """q_ohlc_resample: min_by/max_by/extrema all combine map-side, so the
+    one exchange carries a row per (series, day) bar, not per tick. The
+    struct ordering key forces SortAggregate (structs aren't mutable-buffer
+    types), but its sorts are partition-local (global=false) — no
+    single-partition funnel, unlike a window-function formulation which
+    would shuffle and sort the full tick stream."""
+    plan = plan_of(spark, sf_dir, "q_ohlc_resample")
+    assert "partial_min_by" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    import re as _re
+
+    for m in _re.finditer(r"Sort \[[^\]]*\], (\w+),", plan):
+        assert m.group(1) == "false", "global sort in OHLC plan"
