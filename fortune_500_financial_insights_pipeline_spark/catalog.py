@@ -52,6 +52,47 @@ def _ensure_runtime_conf(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
+# Canonical logical types per table. The driver regenerates the fixture
+# parquet between rounds and has already shifted physical types twice
+# (TIMESTAMP(NANOS) → naive timestamp[us]); every query and oracle is written
+# against THESE types, so load_table coerces drift instead of letting it
+# surface as per-query failures. Casts are emitted only on mismatch — when
+# the file already matches, the scan keeps full pushdown/pruning.
+CANONICAL_TYPES: dict[str, dict[str, str]] = {
+    "region": {"r_regionkey": "int"},
+    "nation": {"n_nationkey": "int", "n_regionkey": "int"},
+    "customer": {"c_custkey": "bigint", "c_nationkey": "int", "c_acctbal": "double"},
+    "supplier": {"s_suppkey": "bigint", "s_nationkey": "int", "s_acctbal": "double"},
+    "part": {"p_partkey": "bigint", "p_size": "int", "p_retailprice": "double"},
+    "orders": {
+        "o_orderkey": "bigint",
+        "o_custkey": "bigint",
+        "o_totalprice": "double",
+        "o_orderdate": "timestamp",
+    },
+    "lineitem": {
+        "l_orderkey": "bigint",
+        "l_partkey": "bigint",
+        "l_suppkey": "bigint",
+        "l_linenumber": "int",
+        "l_quantity": "double",
+        "l_extendedprice": "double",
+        "l_discount": "double",
+        "l_tax": "double",
+        "l_shipdate": "timestamp",
+    },
+    "events": {
+        "event_id": "bigint",
+        "ts": "timestamp",
+        "user_id": "bigint",
+        "value": "double",
+        "props": "string",
+    },
+    "documents": {"doc_id": "bigint", "n_chars": "bigint"},
+    "embeddings": {"vec_id": "bigint", "embedding": "array<float>", "label": "int"},
+}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_runtime_conf(spark)
     if name == "events":
@@ -59,17 +100,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # its own SparkSession without our factory defaults)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); with
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    field = dict(zip(df.schema.names, df.schema.fields))
+    if name == "events" and isinstance(field["ts"].dataType, T.LongType):
+        # events.ts as parquet TIMESTAMP(NANOS): with
         # spark.sql.legacy.parquet.nanosAsLong it arrives as epoch-nanos long.
         # `div` keeps the integer division in long (a double would lose
         # precision above 2^53).
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
-
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         field = dict(zip(df.schema.names, df.schema.fields))
-        if isinstance(field["ts"].dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    drifted = {
+        col: want
+        for col, want in CANONICAL_TYPES.get(name, {}).items()
+        if col in field and field[col].dataType.simpleString() != want
+    }
+    if drifted:
+        df = df.withColumns({col: F.col(col).cast(want) for col, want in drifted.items()})
     return df
 
 

@@ -193,3 +193,34 @@ def test_market_api_stream_matches_batch(spark, tmp_path):
         q.stop()
     assert got == expected
     assert n_rows == len(expected)  # exactly once: no replayed duplicates
+
+
+def test_load_table_coerces_schema_drift(spark, sf_dir, tmp_path):
+    """The driver regenerates fixture parquet between rounds and has shifted
+    physical types before (TIMESTAMP(NANOS) → naive timestamp[us]). Simulate
+    the next likely drifts — narrowed keys, decimal prices, date-typed
+    shipdate — and require load_table to hand back the canonical schema
+    every query and oracle is written against."""
+    from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").limit(100)
+    drifted = li.selectExpr(
+        "cast(l_orderkey as int) as l_orderkey",
+        "cast(l_partkey as int) as l_partkey",
+        "cast(l_suppkey as int) as l_suppkey",
+        "cast(l_linenumber as smallint) as l_linenumber",
+        "cast(l_quantity as decimal(12,2)) as l_quantity",
+        "cast(l_extendedprice as decimal(12,2)) as l_extendedprice",
+        "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "cast(l_shipdate as date) as l_shipdate",
+    )
+    drifted.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    back = load_table(spark, str(tmp_path), "lineitem")
+    got = {f.name: f.dataType.simpleString() for f in back.schema.fields}
+    assert got["l_orderkey"] == "bigint"
+    assert got["l_linenumber"] == "int"
+    assert got["l_quantity"] == "double"
+    assert got["l_shipdate"] == "timestamp"
+    # and an untouched read stays cast-free: same plan as a bare scan
+    clean = load_table(spark, sf_dir, "lineitem")
+    assert "cast" not in clean._jdf.queryExecution().optimizedPlan().toString().lower()
