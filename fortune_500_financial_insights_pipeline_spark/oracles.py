@@ -1444,3 +1444,69 @@ SELECT event_type,
 FROM ordered
 GROUP BY event_type, day
 """
+
+ORACLES["q_kmeans"] = """
+WITH v AS (
+  SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+         CAST(ROUND(CAST(xv AS DOUBLE) * 1000000) AS BIGINT) AS x
+  FROM (SELECT vec_id,
+               unnest(range(len(embedding))) AS pos,
+               unnest(embedding) AS xv
+        FROM embeddings)
+),
+init AS (
+  SELECT vec_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS BIGINT) AS cell
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8
+),
+c0 AS (SELECT i.cell, v.pos, v.x AS c FROM init i JOIN v USING (vec_id)),
+d0 AS (
+  SELECT v.vec_id, c.cell, SUM((v.x - c.c) * (v.x - c.c)) AS dist
+  FROM v JOIN c0 c USING (pos) GROUP BY v.vec_id, c.cell
+),
+a0 AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+    FROM d0
+  ) WHERE rn = 1
+),
+s0 AS (
+  SELECT a.cell, v.pos, CAST(SUM(v.x) AS BIGINT) AS s, COUNT(*) AS n
+  FROM a0 a JOIN v USING (vec_id) GROUP BY a.cell, v.pos
+),
+c1 AS (SELECT cell, pos, CAST((s - s % n) / n AS BIGINT) AS c FROM s0),
+d1 AS (
+  SELECT v.vec_id, c.cell, SUM((v.x - c.c) * (v.x - c.c)) AS dist
+  FROM v JOIN c1 c USING (pos) GROUP BY v.vec_id, c.cell
+),
+a1 AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+    FROM d1
+  ) WHERE rn = 1
+),
+s1 AS (
+  SELECT a.cell, v.pos, CAST(SUM(v.x) AS BIGINT) AS s, COUNT(*) AS n
+  FROM a1 a JOIN v USING (vec_id) GROUP BY a.cell, v.pos
+),
+c2 AS (SELECT cell, pos, CAST((s - s % n) / n AS BIGINT) AS c FROM s1),
+d2 AS (
+  SELECT v.vec_id, c.cell, SUM((v.x - c.c) * (v.x - c.c)) AS dist
+  FROM v JOIN c2 c USING (pos) GROUP BY v.vec_id, c.cell
+),
+a2 AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+    FROM d2
+  ) WHERE rn = 1
+),
+s2 AS (
+  SELECT a.cell, v.pos, CAST(SUM(v.x) AS BIGINT) AS s, COUNT(*) AS n
+  FROM a2 a JOIN v USING (vec_id) GROUP BY a.cell, v.pos
+),
+c3 AS (SELECT cell, pos, CAST((s - s % n) / n AS BIGINT) AS c FROM s2)
+SELECT cell, pos, CAST((s - s % n) / n AS BIGINT) AS c, n FROM s2
+"""

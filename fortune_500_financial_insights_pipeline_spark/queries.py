@@ -2004,3 +2004,15 @@ def q_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "open", "high", "low", "close", "n_ticks",
         )
     )
+
+
+@q("q_kmeans")
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means over the embeddings table (k=8, 3 exact
+    integer iterations; operators/kmeans.py) — the trained coarse quantizer
+    for the IVF similarity path. Oracle = the iterations unrolled as CTE
+    stages replaying the same fixed-point arithmetic."""
+    from fortune_500_financial_insights_pipeline_spark.operators.kmeans import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_fit(emb, k=8, n_iter=3)

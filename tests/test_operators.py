@@ -832,3 +832,59 @@ def test_asof_tolerance_bounds_staleness(spark):
     }
     assert got[1] == 42.0   # 5 minutes old: within tolerance
     assert got[2] is None   # 95 minutes old: reverted to null
+
+
+def test_kmeans_tightens_cells_monotonically(spark, sf_dir):
+    """Lloyd's invariant: within-cluster sum of squared distances (WCSS)
+    never increases across iterations — and the trained centroids beat the
+    raw init seed. Computed in the same fixed-point space the operator
+    uses, so the check is exact."""
+    from pyspark.sql import functions as F
+
+    from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+    from fortune_500_financial_insights_pipeline_spark.operators import kmeans as KM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        KM._fixed_vec("embedding").alias("v"),
+    ).persist()
+
+    def wcss(centroids: dict[int, list[int]]) -> int:
+        cells = sorted(centroids)
+        dists = F.array(*[KM._sqdist(F.col("v"), centroids[c]) for c in cells])
+        return df.select(F.sum(F.array_min(dists)).alias("w")).collect()[0]["w"]
+
+    seed = (
+        df.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h").limit(4).collect()
+    )
+    centroids = {i: list(r["v"]) for i, r in enumerate(seed)}
+    scores = [wcss(centroids)]
+    for _ in range(3):
+        fitted = KM.kmeans_fit(emb, k=4, n_iter=len(scores))
+        rows = fitted.collect()
+        cents: dict[int, list[int]] = {}
+        for r in rows:
+            cents.setdefault(int(r["cell"]), [0] * 64)[int(r["pos"])] = int(r["c"])
+        scores.append(wcss(cents))
+    assert all(a >= b for a, b in zip(scores, scores[1:])), scores
+    assert scores[-1] < scores[0]
+
+
+def test_kmeans_centroids_feed_ivf(spark, sf_dir):
+    """kmeans_centroids output plugs straight into the IVF index/probe path
+    and yields a valid top-k (same contract as sample_centroids)."""
+    from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+    from fortune_500_financial_insights_pipeline_spark.operators.kmeans import kmeans_centroids
+    from fortune_500_financial_insights_pipeline_spark.operators.similarity import (
+        ivf_index,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, k=4, n_iter=2)
+    assert len(cents) == 4 and all(len(c) == 64 for c in cents)
+    qvec = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    got = ivf_topk(ivf_index(emb, cents), cents, qvec, k=5, n_probe=2).collect()
+    assert len(got) == 5
