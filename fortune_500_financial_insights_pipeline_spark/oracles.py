@@ -1510,3 +1510,22 @@ s2 AS (
 c3 AS (SELECT cell, pos, CAST((s - s % n) / n AS BIGINT) AS c FROM s2)
 SELECT cell, pos, CAST((s - s % n) / n AS BIGINT) AS c, n FROM s2
 """
+
+ORACLES["q_cms_heavy"] = """
+WITH hashed AS (
+  SELECT t.i, ((instr('0123456789abcdef', substring(md5(concat(CAST(t.i AS STRING), '|', CAST(e.user_id AS STRING))), 1, 1)) - 1) * 16 + (instr('0123456789abcdef', substring(md5(concat(CAST(t.i AS STRING), '|', CAST(e.user_id AS STRING))), 2, 1)) - 1)) AS b
+  FROM events e, range(4) t(i)
+),
+cms AS (SELECT i, b, COUNT(*) AS cnt FROM hashed GROUP BY i, b),
+true_top AS (
+  SELECT user_id, COUNT(*) AS true_cnt FROM events GROUP BY user_id
+  ORDER BY true_cnt DESC, user_id ASC LIMIT 10
+),
+cand AS (
+  SELECT tt.user_id, tt.true_cnt, t.i, ((instr('0123456789abcdef', substring(md5(concat(CAST(t.i AS STRING), '|', CAST(tt.user_id AS STRING))), 1, 1)) - 1) * 16 + (instr('0123456789abcdef', substring(md5(concat(CAST(t.i AS STRING), '|', CAST(tt.user_id AS STRING))), 2, 1)) - 1)) AS b
+  FROM true_top tt, range(4) t(i)
+)
+SELECT c.user_id, c.true_cnt, MIN(s.cnt) AS est_cnt
+FROM cand c JOIN cms s USING (i, b)
+GROUP BY c.user_id, c.true_cnt
+"""

@@ -2016,3 +2016,24 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_fit(emb, k=8, n_iter=3)
+
+
+@q("q_cms_heavy")
+def q_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy-hitter estimates vs exact counts: build the
+    relational CMS over events.user_id (operators/cms.py), then point-query
+    the true top-10 users. est_cnt ≥ true_cnt always (CMS guarantee); the
+    whole build→estimate pipeline is md5-hash integer arithmetic shared
+    verbatim with the DuckDB oracle — a verifiable sketch, unlike binary
+    blobs. The sketch shuffle carries ≤ d·w cells, never input rows."""
+    from fortune_500_financial_insights_pipeline_spark.operators.cms import cms_build, cms_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    sketch = cms_build(ev, "user_id")
+    true_top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("user_id"))
+        .limit(10)
+    )
+    return cms_estimate(sketch, true_top, "user_id")

@@ -888,3 +888,30 @@ def test_kmeans_centroids_feed_ivf(spark, sf_dir):
     qvec = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
     got = ivf_topk(ivf_index(emb, cents), cents, qvec, k=5, n_probe=2).collect()
     assert len(got) == 5
+
+
+def test_cms_merge_is_exact_and_estimates_upper_bound(spark, sf_dir):
+    """Sketch mergeability: CMS(built on half A) ⊕ CMS(half B) equals
+    CMS(all) cell-for-cell (counts are exact longs — no approximation in
+    the merge). And every point estimate dominates the true count."""
+    from pyspark.sql import functions as F
+
+    from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+    from fortune_500_financial_insights_pipeline_spark.operators.cms import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    whole = cms_build(ev, "user_id")
+    merged = cms_merge(
+        cms_build(ev.where(F.col("event_id") % 2 == 0), "user_id"),
+        cms_build(ev.where(F.col("event_id") % 2 == 1), "user_id"),
+    )
+    assert {tuple(r) for r in whole.collect()} == {tuple(r) for r in merged.collect()}
+
+    truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = cms_estimate(whole, truth, "user_id")
+    bad = est.where(F.col("est_cnt") < F.col("true_cnt")).count()
+    assert bad == 0
