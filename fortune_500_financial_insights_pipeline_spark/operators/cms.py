@@ -45,9 +45,10 @@ def _bucket_sql(value_sql: str, i: int) -> str:
     return f"({d(1)} * 16 + {d(2)})"
 
 
-def cms_build(df: DataFrame, value_col: str, depth: int = DEPTH) -> DataFrame:
-    """Sketch table (i, b, cnt) for the values in ``value_col``."""
-    pairs = df.select(
+def cms_pairs(df: DataFrame, value_col: str, depth: int = DEPTH) -> DataFrame:
+    """The d (i, b) cell coordinates per input row — the pre-aggregation
+    form shared by batch build and streaming maintenance."""
+    return df.select(
         F.explode(
             F.array(
                 *[
@@ -60,7 +61,23 @@ def cms_build(df: DataFrame, value_col: str, depth: int = DEPTH) -> DataFrame:
             )
         ).alias("hb")
     ).select("hb.i", "hb.b")
-    return pairs.groupBy("i", "b").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_build(df: DataFrame, value_col: str, depth: int = DEPTH) -> DataFrame:
+    """Sketch table (i, b, cnt) for the values in ``value_col``."""
+    return cms_pairs(df, value_col, depth).groupBy("i", "b").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def streaming_cms(stream: DataFrame, value_col: str, depth: int = DEPTH) -> DataFrame:
+    """CMS over an unbounded stream: the sketch IS a streaming aggregate —
+    the state store holds at most d·w cells no matter how long the stream
+    runs (complete/update output mode; no watermark needed because the
+    state is bounded by construction, not by time)."""
+    return cms_pairs(stream, value_col, depth).groupBy("i", "b").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
 
 
 def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:

@@ -407,3 +407,28 @@ def test_streaming_session_window_emits_closed_sessions(spark, events_dir):
     assert held
     held_users = [r[2] for r in held]
     assert len(held_users) == len(set(held_users))
+
+
+def test_streaming_cms_matches_batch_sketch(spark, events_dir):
+    """Sketch maintenance as a streaming aggregate: the count-min sketch
+    over the full stream equals the batch-built sketch cell-for-cell, and
+    the state is bounded at d*w cells regardless of stream length — the
+    constant-memory way to track heavy hitters on an unbounded stream."""
+    from fortune_500_financial_insights_pipeline_spark.operators.cms import (
+        DEPTH,
+        WIDTH,
+        cms_build,
+        streaming_cms,
+    )
+
+    batch_df = spark.read.parquet(events_dir)
+    expected = {tuple(r) for r in cms_build(batch_df, "user_id").collect()}
+    assert len(expected) <= DEPTH * WIDTH
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(events_dir)
+    q = _run_stream(streaming_cms(stream, "user_id"), "cms_complete", "complete")
+    try:
+        got = {tuple(r) for r in spark.sql("SELECT * FROM cms_complete").collect()}
+    finally:
+        q.stop()
+    assert got == expected
