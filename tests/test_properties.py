@@ -202,3 +202,31 @@ def test_rolling_fingerprint_matches_reference_model(spark, toks):
     for t in toks:
         acc = (acc * 31 + (hashes[t] % MOD)) % MOD
     assert got == acc
+
+
+@given(vals=st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=60))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_cms_never_undercounts(spark, vals):
+    """CMS guarantee for ALL inputs: every point estimate dominates the true
+    count, and splitting the input arbitrarily then merging the sketches
+    reproduces the whole-input sketch exactly."""
+    from fortune_500_financial_insights_pipeline_spark.operators.cms import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    whole = cms_build(df, "x")
+    truth = df.groupBy("x").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = cms_estimate(whole, truth, "x")
+    assert est.where(F.col("est_cnt") < F.col("true_cnt")).count() == 0
+
+    cut = vals[0]  # arbitrary but input-derived split point
+    a, b = df.where(F.col("x") <= cut), df.where(F.col("x") > cut)
+    merged = cms_merge(cms_build(a, "x"), cms_build(b, "x"))
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in whole.collect()}
