@@ -1529,3 +1529,16 @@ SELECT c.user_id, c.true_cnt, MIN(s.cnt) AS est_cnt
 FROM cand c JOIN cms s USING (i, b)
 GROUP BY c.user_id, c.true_cnt
 """
+
+ORACLES["q_interval_join"] = """
+SELECT l.user_id,
+       COUNT(*) AS n_pairs,
+       COUNT(DISTINCT l.event_id) AS n_clicks_with_followup
+FROM events l
+JOIN events r
+  ON r.user_id = l.user_id
+ AND epoch(r.ts) > epoch(l.ts)
+ AND epoch(r.ts) <= epoch(l.ts) + 1800
+WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+GROUP BY l.user_id
+"""

@@ -2037,3 +2037,31 @@ def q_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
     )
     return cms_estimate(sketch, true_top, "user_id")
+
+
+@q("q_interval_join")
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big interval join in batch: purchases within 30 minutes after a
+    click by the same user, counted per user. Planned as a shuffle equi-join
+    on (user_id, time-bin) with a ≤2-bin left fan-out then an exact band
+    refine (operators/intervaljoin.py) — never a nested-loop/cartesian,
+    which a raw theta join between two fact tables would be. The batch twin
+    of the watermarked stream-stream interval join (streaming/joins.py)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.intervaljoin import (
+        binned_interval_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts")
+    )
+    pairs = binned_interval_join(
+        clicks, purchases, ["user_id"], "click_ts", "purchase_ts", 0, 1800
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("click_id").alias("n_clicks_with_followup"),
+    )

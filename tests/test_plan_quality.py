@@ -302,3 +302,13 @@ def test_ohlc_resample_aggregates_partial(spark, sf_dir):
 
     for m in _re.finditer(r"Sort \[[^\]]*\], (\w+),", plan):
         assert m.group(1) == "false", "global sort in OHLC plan"
+
+
+def test_interval_join_avoids_nested_loop(spark, sf_dir):
+    """q_interval_join: the theta band between two fact-sized inputs must
+    run as an equi-join on (user_id, bin) — BroadcastNestedLoopJoin or a
+    cartesian here is O(|L|*|R|) and would be the 100 TB killer."""
+    plan = plan_of(spark, sf_dir, "q_interval_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
