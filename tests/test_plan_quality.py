@@ -312,3 +312,13 @@ def test_interval_join_avoids_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
+
+
+def test_grouped_topk_limits_before_shuffle(spark, sf_dir):
+    """q_window_rank (rank ≤ 3 per customer): Catalyst must insert a
+    Partial WindowGroupLimit below the exchange — each map task forwards at
+    most 3 rows per group, so the shuffle carries top-k candidates, not the
+    whole orders table. Breaking the rank-filter pattern (e.g. filtering on
+    a derived column) silently loses this."""
+    plan = plan_of(spark, sf_dir, "q_window_rank")
+    assert re.search(r"WindowGroupLimit .*row_number\(\), 3, Partial", plan), plan
