@@ -8,6 +8,8 @@ reference's landing-layer contract (SURVEY.md §1.3) without BigQuery.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -50,6 +52,37 @@ def _ensure_runtime_conf(spark: SparkSession) -> None:
     # session tz is pinned UTC above, so the wall-clock values are
     # bit-identical to the NTZ reading (and to DuckDB's naive reading).
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    _ensure_worker_imports(spark)
+
+
+def _ensure_worker_imports(spark: SparkSession) -> None:
+    """Make this package importable on Python workers under ANY driver.
+
+    The external driver imports __spark_entry__ by path from its own cwd;
+    driver-side sys.path edits don't reach the executor Python workers, so
+    any UDF whose closure references a module-level name (cloudpickle
+    serializes those by module reference) dies with ModuleNotFoundError.
+    Ship the package once per SparkContext as a zip via addPyFile — workers
+    zipimport it; in-repo runs are unaffected (the local import wins)."""
+    sc = spark.sparkContext
+    if getattr(sc, "_f500_pyfiles_added", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"{pkg_name}_pyfiles_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fname in files:
+                    if not fname.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fname)
+                    rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                    zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    sc._f500_pyfiles_added = True
 
 
 # Canonical logical types per table. The driver regenerates the fixture

@@ -115,3 +115,25 @@ def sample_frames(media_df: DataFrame, fps: float = 1.0, duration_s: float = 4.0
             yield pd.DataFrame(out)
 
     return media_df.select("doc_id", "media").mapInPandas(expand, schema=FRAME_SCHEMA)
+
+
+def read_media_dir(spark, path: str, glob: str = "*") -> DataFrame:
+    """Ingest a directory of media files as binary rows via Spark's native
+    binaryFile source — the real object-store path for media at scale (one
+    row per file: path, modificationTime, length, content; driver never
+    touches the bytes). Output is conformed to the MEDIA_SCHEMA shape used
+    by extract_features/sample_frames, with the path basename as media id
+    and the extension as media_type."""
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    base = F.element_at(F.split(F.col("path"), "/"), -1)
+    return raw.select(
+        F.abs(F.xxhash64(base)).alias("doc_id"),
+        F.col("content").alias("media"),
+        F.element_at(F.split(base, "\\."), -1).alias("media_type"),
+        F.col("length").cast("int").alias("n_bytes"),
+        F.sha1(F.col("content")).alias("sha"),
+    )

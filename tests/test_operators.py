@@ -915,3 +915,56 @@ def test_cms_merge_is_exact_and_estimates_upper_bound(spark, sf_dir):
     est = cms_estimate(whole, truth, "user_id")
     bad = est.where(F.col("est_cnt") < F.col("true_cnt")).count()
     assert bad == 0
+
+
+def test_binaryfile_source_feeds_feature_extraction(spark, tmp_path):
+    """Media ingestion end-to-end: a directory of binary files read through
+    Spark's binaryFile source (the object-store scale path — bytes never
+    visit the driver), conformed to the media schema, pushed through the
+    mapInPandas feature extractor. Dedup-by-content works off the sha."""
+    from fortune_500_financial_insights_pipeline_spark.operators.multimodal import (
+        extract_features,
+        read_media_dir,
+    )
+
+    media = tmp_path / "media"
+    media.mkdir()
+    payloads = {f"img_{i}.png": bytes([i]) * (100 + i) for i in range(5)}
+    payloads["dup_of_0.png"] = payloads["img_0.png"]
+    for fname, blob in payloads.items():
+        (media / fname).write_bytes(blob)
+
+    df = read_media_dir(spark, str(media), "*.png")
+    assert df.count() == 6
+    assert dict(df.dtypes)["media"] == "binary"
+    # content-hash dedup: the duplicated payload collapses
+    assert df.select("sha").distinct().count() == 5
+
+    feats = extract_features(df, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 6 and all(len(r["feature"]) > 0 for r in rows)
+
+
+def test_mapinpandas_respects_arrow_batch_size(spark, sf_dir):
+    """The Arrow batch contract the multimodal UDFs rely on:
+    maxRecordsPerBatch bounds every pandas batch handed to mapInPandas —
+    the knob that keeps decoded media from blowing executor memory."""
+    from pyspark.sql import functions as F
+
+    from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100")
+    try:
+        df = load_table(spark, sf_dir, "documents").select("doc_id")
+
+        def sizes(batches):
+            import pandas as pd
+
+            for b in batches:
+                yield pd.DataFrame({"batch_rows": [len(b)]})
+
+        got = df.repartition(2).mapInPandas(sizes, "batch_rows long").collect()
+        assert max(r["batch_rows"] for r in got) <= 100
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
