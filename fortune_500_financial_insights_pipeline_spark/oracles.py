@@ -1542,3 +1542,24 @@ JOIN events r
 WHERE l.event_type = 'click' AND r.event_type = 'purchase'
 GROUP BY l.user_id
 """
+
+ORACLES["q_char_entropy"] = """
+WITH docs AS (
+  SELECT doc_id, lower(substring(text, 1, 240)) AS t FROM documents
+),
+chars AS (
+  SELECT doc_id, substring(t, CAST(i AS INTEGER), 1) AS c
+  FROM (SELECT doc_id, t, unnest(range(1, length(t) + 1)) AS i FROM docs)
+),
+counts AS (
+  SELECT doc_id, c, COUNT(*) AS n_c FROM chars GROUP BY doc_id, c
+),
+totals AS (
+  SELECT doc_id, SUM(n_c) AS n FROM counts GROUP BY doc_id
+)
+SELECT counts.doc_id,
+       -(CAST(SUM(CAST(ROUND(((n_c / n) * log2(n_c / n)) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS entropy_bits,
+       COUNT(*) AS n_distinct_chars
+FROM counts JOIN totals USING (doc_id)
+GROUP BY counts.doc_id
+"""
