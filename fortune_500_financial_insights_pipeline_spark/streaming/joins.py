@@ -21,10 +21,17 @@ def interval_join(
     right_ts: str,
     horizon: str = "1 hour",
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join: right rows within
+    """Watermarked stream-stream join: right rows within
     [left_ts, left_ts + horizon] per key. Both inputs must be streaming
-    DataFrames; both get watermarks so Spark can bound join state."""
+    DataFrames; both get watermarks so Spark can bound join state.
+
+    ``how="left_outer"`` additionally emits each unmatched left row (right
+    columns null) — but only once the watermark has passed the row's join
+    horizon, when absence is proven rather than merely unobserved yet. The
+    interval condition is what makes the outer form legal: without an upper
+    bound on right_ts the engine could never rule a match out."""
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = right.withWatermark(right_ts, watermark).alias("r")
     cond = (
@@ -32,7 +39,7 @@ def interval_join(
         & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"interval {horizon}"))
     )
-    return l.join(r, cond, "inner").select(
+    return l.join(r, cond, how).select(
         F.col(f"l.{key}").alias(key),
         F.col(f"l.{left_ts}").alias("left_ts"),
         F.col(f"r.{right_ts}").alias("right_ts"),

@@ -432,3 +432,57 @@ def test_streaming_cms_matches_batch_sketch(spark, events_dir):
     finally:
         q.stop()
     assert got == expected
+
+
+def test_stream_stream_left_outer_interval_join(spark, tmp_path):
+    """Left-outer stream-stream interval join: the unmatched click emits
+    with null purchase columns only after the watermark proves no purchase
+    can still arrive inside the horizon — absence as a positive, late-safe
+    result (the streaming form of funnel drop-off detection)."""
+    from fortune_500_financial_insights_pipeline_spark.streaming.joins import interval_join
+
+    from datetime import datetime
+
+    schema = "user_id long, ts timestamp, event_type string"
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    rows_l = [(1, base, "click"), (2, base, "click")]
+    rows_r = [(1, datetime(2024, 1, 1, 0, 10, 0), "purchase")]
+    spark.createDataFrame(rows_l, schema).write.parquet(lsrc)
+    spark.createDataFrame(rows_r, schema).write.parquet(rsrc)
+
+    clicks = spark.readStream.schema(schema).parquet(lsrc).select("user_id", "ts")
+    buys = (
+        spark.readStream.schema(schema)
+        .parquet(rsrc)
+        .select("user_id", F.col("ts").alias("pts"))
+    )
+    joined = interval_join(
+        clicks, buys, key="user_id", left_ts="ts", right_ts="pts",
+        horizon="1 hour", watermark="10 minutes", how="left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_left_join")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # push the watermark far past click + horizon on BOTH streams
+        for late in [datetime(2024, 1, 1, 5, 0, 0), datetime(2024, 1, 1, 6, 0, 0)]:
+            spark.createDataFrame([(99, late, "click")], schema).write.mode(
+                "append"
+            ).parquet(lsrc)
+            spark.createDataFrame([(99, late, "purchase")], schema).write.mode(
+                "append"
+            ).parquet(rsrc)
+            q.processAllAvailable()
+        rows = {
+            (r.user_id, str(r.right_ts))
+            for r in spark.sql("SELECT * FROM ss_left_join").collect()
+        }
+    finally:
+        q.stop()
+    assert (1, "2024-01-01 00:10:00") in rows          # matched pair
+    assert (2, "None") in rows                          # proven drop-off
