@@ -186,3 +186,36 @@ def repetition_stats(df, id_col: str, text_col: str, n: int = 2):
         ),
         F.sum("cnt").cast("long").alias("n_grams"),
     )
+
+
+def char_entropy(df, id_col: str = "doc_id", text_col: str = "text",
+                 prefix_len: int = 240):
+    """Per-document character entropy in bits over a bounded text prefix —
+    the info-theoretic boilerplate/junk signal (low = repetitive, high =
+    random bytes). DataFrame-in/DataFrame-out like repetition_stats: the
+    explode fan-out is capped at prefix_len, and both groupBys reduce to
+    (doc, char) pairs — bounded by alphabet size, not document length.
+    The per-char p·log2(p) terms are per-row IEEE arithmetic; the per-doc
+    sum is fixed-point (dsum) so results are partitioning-invariant and
+    oracle-exact (q_char_entropy)."""
+    from fortune_500_financial_insights_pipeline_spark.functions.deterministic import dsum
+
+    docs = df.select(
+        id_col, F.lower(F.substring(text_col, 1, prefix_len)).alias("__t")
+    )
+    chars = docs.select(
+        id_col,
+        F.explode(F.sequence(F.lit(1), F.length("__t"))).alias("__i"),
+        "__t",
+    ).select(id_col, F.expr("substring(__t, __i, 1)").alias("__c"))
+    counts = chars.groupBy(id_col, "__c").agg(F.count(F.lit(1)).alias("__n_c"))
+    totals = counts.groupBy(id_col).agg(F.sum("__n_c").alias("__n"))
+    p = F.col("__n_c") / F.col("__n")
+    return (
+        counts.join(totals, id_col)
+        .groupBy(id_col)
+        .agg(
+            (-dsum(p * F.log2(p))).alias("entropy_bits"),
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+        )
+    )

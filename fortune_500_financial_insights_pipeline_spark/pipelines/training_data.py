@@ -48,6 +48,7 @@ class CurationReport:
     n_after_neardup: int
     n_after_quality: int
     n_after_repetition: int
+    n_after_entropy: int
     n_pii_redactions: int
     n_chunks: int
     n_sampled_chunks: int
@@ -61,6 +62,7 @@ def curate(
     min_quality: float = 0.5,
     min_jaccard: float = 0.5,
     max_rep_frac: float = 0.2,
+    entropy_band: tuple[float, float] | None = (1.5, 7.0),
     chunk_tokens: int = 32,
     overlap: int = 8,
     sample_fraction: float = 1.0,
@@ -100,6 +102,19 @@ def curate(
     deboiler = quality.join(rep_ok, id_col, "left_semi").localCheckpoint()
     n_rep = deboiler.count()
 
+    if entropy_band is not None:
+        # info-theoretic junk gate: drop ultra-low-entropy boilerplate and
+        # ultra-high-entropy binary noise (operators/text.py char_entropy);
+        # the per-doc signal joins back as a semi-join on the id
+        lo, hi = entropy_band
+        ent_ok = (
+            TX.char_entropy(deboiler, id_col=id_col, text_col=text_col)
+            .where(F.col("entropy_bits").between(lo, hi))
+            .select(id_col)
+        )
+        deboiler = deboiler.join(ent_ok, id_col, "left_semi").localCheckpoint()
+    n_entropy = deboiler.count()
+
     from fortune_500_financial_insights_pipeline_spark.checks import observed
 
     redacted, pii_obs = observed(
@@ -130,6 +145,7 @@ def curate(
         n_after_neardup=n_neardup,
         n_after_quality=n_quality,
         n_after_repetition=n_rep,
+        n_after_entropy=n_entropy,
         n_pii_redactions=n_pii,
         n_chunks=n_chunks,
         n_sampled_chunks=n_sampled,

@@ -2072,25 +2072,10 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-entropy quality signal per document: low entropy flags
     boilerplate/repetition, high entropy flags binary junk — the
     information-theoretic cousin of the Gopher repetition rule
-    (q_repetition_filter). Chars come from a sequence-explode (portable —
-    empty-separator splits differ across engines); the per-char p·log2(p)
-    terms are deterministic per-row IEEE math and the per-doc sum runs in
-    fixed point (dsum), so the distributed result is bit-identical to the
-    oracle. Explode fan-out is capped at 240 chars/doc; the groupBys stay
-    on (doc, char) pairs — bounded by alphabet size, not text length."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.lower(F.substring("text", 1, 240)).alias("t")
-    )
-    chars = (
-        docs.select("doc_id", F.explode(F.sequence(F.lit(1), F.length("t"))).alias("i"), "t")
-        .select("doc_id", F.expr("substring(t, i, 1)").alias("c"))
-    )
-    counts = chars.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n_c"))
-    totals = counts.groupBy("doc_id").agg(F.sum("n_c").alias("n"))
-    p = F.col("n_c") / F.col("n")
-    term = p * F.log2(p)
-    return (
-        counts.join(totals, "doc_id")
-        .groupBy("doc_id")
-        .agg((-dsum(term)).alias("entropy_bits"), F.count(F.lit(1)).alias("n_distinct_chars"))
-    )
+    (q_repetition_filter). Implementation: operators/text.py char_entropy
+    (sequence-explode chars, fixed-point p*log2(p) sum — distributed result
+    is bit-identical to the oracle); also a curation-funnel stage
+    (pipelines/training_data.py)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.text import char_entropy
+
+    return char_entropy(load_table(spark, sf_dir, "documents"))

@@ -968,3 +968,23 @@ def test_mapinpandas_respects_arrow_batch_size(spark, sf_dir):
         assert max(r["batch_rows"] for r in got) <= 100
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_char_entropy_separates_junk_from_text(spark):
+    """Entropy values behave like Shannon says: a one-char doc scores 0
+    bits, a two-char alternation scores exactly 1, and real text scores
+    well above the funnel's low-entropy cutoff."""
+    from fortune_500_financial_insights_pipeline_spark.operators.text import char_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaaaaaaaaaaaaaa"),
+            (2, "abababababababab"),
+            (3, "The quick brown fox jumps over the lazy dog."),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["entropy_bits"] for r in char_entropy(docs).collect()}
+    assert got[1] == 0.0
+    assert got[2] == 1.0
+    assert got[3] > 3.0
