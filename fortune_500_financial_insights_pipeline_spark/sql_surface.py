@@ -510,4 +510,14 @@ FROM (
 ) custsale
 GROUP BY cntrycode
 """,
+    # GROUP BY ALL (every non-aggregate select item groups implicitly) —
+    # the modern analyst shorthand both dialects support; COUNT cast to
+    # BIGINT for the HUGEINT divergence as everywhere else.
+    "q_sql_group_by_all": f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {_dsum('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY ALL
+""",
 }
