@@ -52,6 +52,10 @@ def _ensure_runtime_conf(spark: SparkSession) -> None:
     # session tz is pinned UTC above, so the wall-clock values are
     # bit-identical to the NTZ reading (and to DuckDB's naive reading).
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # performance only (results are partitioning-invariant by design): a
+    # vanilla session defaults to 200 shuffle partitions, pure task
+    # overhead at fixture scale; AQE still coalesces/splits as needed
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
     _ensure_worker_imports(spark)
 
 
