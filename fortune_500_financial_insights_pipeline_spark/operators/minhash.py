@@ -130,3 +130,43 @@ def simhash(text: Column | str, n_bits: int = 64) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+
+def simhash_portable(text: Column | str, n_bits: int = 48) -> Column:
+    """SimHash with engine-portable bits: each token's bit pattern comes
+    from its md5 hex digits (4 bits per digit) instead of xxhash64, so the
+    identical signature is computable in any engine with md5/substring —
+    which makes the fingerprint DuckDB-oracle-checkable bit for bit
+    (q_simhash_portable), at ~2× the cost of the xxhash64 form (simhash):
+    use that one when verification doesn't need to cross engines.
+
+    Same single-pass fold shape as simhash: hashes bound once, one
+    aggregate accumulates the ±1 counters, one zip_with packs the sign
+    vector. n_bits ≤ 48 keeps every intermediate exact in double range for
+    the oracle's POWER() arithmetic."""
+    alpha = "0123456789abcdef"
+    c = text if isinstance(text, Column) else F.col(text)
+    n_bits = min(n_bits, 48)
+    hashes = F.transform(F.split(c, " "), lambda t: F.md5(t))
+
+    def sgn(h: Column, i: int) -> Column:
+        d = F.position(F.substring(h, 1 + i // 4, 1), F.lit(alpha)) - 1
+        bit = F.floor(d / float(2 ** (i % 4))).cast("long") % 2
+        return F.when(bit == 1, 1).otherwise(-1)
+
+    zero = F.array_repeat(F.lit(0), n_bits)
+    counts = F.aggregate(
+        hashes,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[sgn(h, i) for i in range(n_bits)]),
+            lambda a, s: a + s,
+        ),
+    )
+    powers = F.array(*[F.lit(2 ** i).cast("long") for i in range(n_bits)])
+    return F.aggregate(
+        F.zip_with(counts, powers, lambda cnt, p: F.when(cnt > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )

@@ -1563,3 +1563,22 @@ SELECT counts.doc_id,
 FROM counts JOIN totals USING (doc_id)
 GROUP BY counts.doc_id
 """
+
+ORACLES["q_simhash_portable"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+bits AS (
+  SELECT doc_id, t.i,
+         CASE WHEN CAST(FLOOR(
+             (instr('0123456789abcdef',
+                    substring(md5(tok), 1 + CAST(FLOOR(t.i / 4) AS INTEGER), 1)) - 1)
+             / POWER(2, t.i % 4)) AS BIGINT) % 2 = 1
+           THEN 1 ELSE -1 END AS sgn
+  FROM toks, (SELECT unnest(range(48)) AS i) t
+),
+counts AS (SELECT doc_id, i, SUM(sgn) AS s FROM bits GROUP BY doc_id, i)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN POWER(2, i) ELSE 0 END) AS BIGINT) AS simhash
+FROM counts GROUP BY doc_id
+"""

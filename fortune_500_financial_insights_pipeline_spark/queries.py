@@ -2079,3 +2079,15 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fortune_500_financial_insights_pipeline_spark.operators.text import char_entropy
 
     return char_entropy(load_table(spark, sf_dir, "documents"))
+
+
+@q("q_simhash_portable")
+def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints whose bits derive from md5 hex digits — the
+    verifiable twin of q_simhash (xxhash64): DuckDB reproduces the exact
+    signature, upgrading the near-dup fingerprint from rows-only checking
+    to full value parity. One pass, no UDF, no shuffle beyond the scan."""
+    from fortune_500_financial_insights_pipeline_spark.operators.minhash import simhash_portable
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash_portable("text").alias("simhash"))
