@@ -854,17 +854,20 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("q_ivf_topk")
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (rows-only: cell routing is Spark-specific;
+    """IVF approximate top-k with a TRAINED coarse quantizer: two exact
+    Lloyd iterations (operators/kmeans.py) tighten the cells before
+    index+probe — fewer false candidates per probe than raw sampled seeds
+    at the same n_probe. (Rows-only: cell routing is engine-specific;
     recall vs brute force is pinned by test_ivf_topk_recall_on_clustered_data
-    and the exact twin q_cosine_topk carries the value check)."""
+    and the exact twin q_cosine_topk carries the value check.)"""
+    from fortune_500_financial_insights_pipeline_spark.operators.kmeans import kmeans_centroids
     from fortune_500_financial_insights_pipeline_spark.operators.similarity import (
         ivf_index,
         ivf_topk,
-        sample_centroids,
     )
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-    centroids = sample_centroids(emb, k=8)
+    centroids = kmeans_centroids(emb, k=8, n_iter=2)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     return ivf_topk(ivf_index(emb, centroids), centroids, list(qvec), k=20, n_probe=2)
 
