@@ -1582,3 +1582,35 @@ SELECT doc_id,
        CAST(SUM(CASE WHEN s > 0 THEN POWER(2, i) ELSE 0 END) AS BIGINT) AS simhash
 FROM counts GROUP BY doc_id
 """
+
+ORACLES["q_winsorize"] = f"""
+WITH bands AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS p05,
+         quantile_cont(value, 0.95) AS p95
+  FROM events GROUP BY event_type
+),
+clamped AS (
+  SELECT e.event_type,
+         GREATEST(LEAST(e.value, b.p95), b.p05) AS w
+  FROM events e JOIN bands b USING (event_type)
+)
+SELECT event_type,
+       ROUND(MIN(w), 6) AS min_w,
+       ROUND(MAX(w), 6) AS max_w,
+       {_dsum('w')} AS sum_w,
+       COUNT(*) AS n
+FROM clamped GROUP BY event_type
+"""
+
+ORACLES["q_calendar_features"] = """
+SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+       CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INTEGER) AS dow,
+       CAST(quarter(CAST(o_orderdate AS DATE)) AS INTEGER) AS quarter,
+       CAST(CASE WHEN CAST(o_orderdate AS DATE) = last_day(CAST(o_orderdate AS DATE))
+            THEN 1 ELSE 0 END AS INTEGER) AS is_month_end,
+       CAST(dayofmonth(last_day(CAST(o_orderdate AS DATE))) AS INTEGER) AS days_in_month,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY 1, 2, 3, 4, 5
+"""

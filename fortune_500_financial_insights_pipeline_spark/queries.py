@@ -2094,3 +2094,52 @@ def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", simhash_portable("text").alias("simhash"))
+
+
+@q("q_winsorize")
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clamp each series' values to its own exact [P05, P95]
+    band — the standard outlier treatment before scaling/aggregating a
+    feature. Two passes: per-group exact percentiles (tiny frame,
+    broadcast back), then a clamp projection; the per-group comparison
+    aggregates confirm the clamp (min == p05, max == p95). Same adaptive-
+    threshold shape as q_quality_gate but value-clamping, not filtering."""
+    e = load_table(spark, sf_dir, "events")
+    bands = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    clamped = e.join(F.broadcast(bands), "event_type").select(
+        "event_type",
+        F.greatest(F.least(F.col("value"), F.col("p95")), F.col("p05")).alias("w"),
+    )
+    return clamped.groupBy("event_type").agg(
+        F.round(F.min("w"), 6).alias("min_w"),
+        F.round(F.max("w"), 6).alias("max_w"),
+        dsum("w").alias("sum_w"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@q("q_calendar_features")
+def q_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar feature derivation per order date: day-of-week, quarter,
+    month-end flag, days-in-month — the trading-calendar features the
+    reference's Tableau layer derives downstream (SURVEY §2.8 date
+    surface). All scan-side projections; the aggregate keeps the output
+    compact (one row per distinct date). Day-of-week numbering differs
+    across engines (Spark: Sunday=1; DuckDB: Sunday=0) — the oracle maps
+    explicitly rather than hiding the divergence."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return (
+        o.select(
+            F.date_format(d, "yyyy-MM-dd").alias("day"),
+            F.dayofweek(d).alias("dow"),
+            F.quarter(d).alias("quarter"),
+            (F.dayofmonth(d) == F.dayofmonth(F.last_day(d))).cast("int").alias("is_month_end"),
+            F.dayofmonth(F.last_day(d)).alias("days_in_month"),
+        )
+        .groupBy("day", "dow", "quarter", "is_month_end", "days_in_month")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
