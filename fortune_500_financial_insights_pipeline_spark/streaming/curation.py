@@ -1,0 +1,69 @@
+"""Streaming form of the training-data curation funnel (SURVEY.md §2.11).
+
+The batch funnel (pipelines/training_data.py) composes per-row gates with
+whole-corpus operators. On a live document stream the per-row stages stream
+unchanged — quality gate, PII redaction, chunk explosion are stateless
+projections/filters — while each corpus-level stage maps to its streaming
+dual:
+
+| batch stage                  | streaming dual                              |
+|------------------------------|---------------------------------------------|
+| fingerprint_dedup (window)   | dropDuplicates on the content hash (state    |
+|                              | per digest; add a watermark column to bound  |
+|                              | state when the stream has event time)        |
+| minhash cluster dedup        | no exact streaming dual (needs the pair      |
+|                              | graph); run periodically on the accumulated  |
+|                              | corpus via foreachBatch                      |
+| quality/entropy percentiles  | fixed thresholds (percentiles are corpus     |
+|                              | statistics; recompute offline, feed as conf) |
+
+So the streaming funnel is: content-hash dedup → fixed-threshold quality
+gate → PII redaction → chunk explosion. Everything after the dedup is
+append-mode compatible and shuffle-free; the dedup is the only stateful
+operator and its state key (md5 digest) is uniformly distributed — no skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fortune_500_financial_insights_pipeline_spark.operators import text as TX
+from fortune_500_financial_insights_pipeline_spark.operators.chunking import chunk_documents
+
+
+def streaming_curate(
+    stream: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    watermark: tuple[str, str] | None = None,
+) -> DataFrame:
+    """Curated chunk stream from a raw document stream.
+
+    ``watermark=(ts_col, delay)`` bounds dedup state when documents carry an
+    ingest timestamp; without it the digest state grows with corpus size
+    (fine for bounded backfills, not for a forever-stream)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    df = stream.withColumn("fingerprint", F.md5(norm))
+    if watermark is not None:
+        ts_col, delay = watermark
+        df = df.withWatermark(ts_col, delay)
+        deduped = df.dropDuplicates(["fingerprint", ts_col])
+    else:
+        deduped = df.dropDuplicates(["fingerprint"])
+
+    gated = deduped.where(F.round(TX.quality_score(text_col), 6) >= min_quality)
+    redacted = gated.withColumn(text_col, TX.redact_pii(text_col))
+    keep = [c for c in redacted.columns if c not in (id_col, text_col)]
+    return chunk_documents(
+        redacted,
+        id_col=id_col,
+        text_col=text_col,
+        chunk_tokens=chunk_tokens,
+        overlap=overlap,
+        keep_cols=keep,
+    )

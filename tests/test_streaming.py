@@ -486,3 +486,56 @@ def test_stream_stream_left_outer_interval_join(spark, tmp_path):
         q.stop()
     assert (1, "2024-01-01 00:10:00") in rows          # matched pair
     assert (2, "None") in rows                          # proven drop-off
+
+
+def test_streaming_curation_matches_batch_on_same_data(spark, sf_dir, tmp_path):
+    """The streaming funnel (dedup → quality gate → PII redact → chunk) on
+    a finite stream produces exactly the batch composition of the same
+    stages — per-row stages stream unchanged; the content-hash dedup's
+    keep-first-arrival equals batch keep-smallest-id because the single
+    source file arrives in id order."""
+    from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+    from fortune_500_financial_insights_pipeline_spark.operators import text as TX
+    from fortune_500_financial_insights_pipeline_spark.operators.chunking import chunk_documents
+    from fortune_500_financial_insights_pipeline_spark.operators.dedup import fingerprint_dedup
+    from fortune_500_financial_insights_pipeline_spark.streaming.curation import streaming_curate
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+        .limit(60)
+    )
+    src = str(tmp_path / "docs")
+    docs.coalesce(1).write.parquet(src)
+    batch_docs = spark.read.parquet(src)
+
+    bat = fingerprint_dedup(batch_docs, text_col="text", id_col="doc_id")
+    bat = bat.where(F.round(TX.quality_score("text"), 6) >= 0.5)
+    bat = bat.withColumn("text", TX.redact_pii("text"))
+    keep = [c for c in bat.columns if c not in ("doc_id", "text")]
+    expected = {
+        (r["doc_id"], r["chunk_index"], r["chunk_text"])
+        for r in chunk_documents(
+            bat, id_col="doc_id", text_col="text",
+            chunk_tokens=32, overlap=8, keep_cols=keep,
+        ).collect()
+    }
+
+    stream = spark.readStream.schema(batch_docs.schema).parquet(src)
+    q = (
+        streaming_curate(stream, min_quality=0.5, chunk_tokens=32, overlap=8)
+        .writeStream.format("memory")
+        .queryName("curated_chunks")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["doc_id"], r["chunk_index"], r["chunk_text"])
+            for r in spark.sql("SELECT * FROM curated_chunks").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected and len(got) > 0
