@@ -1614,3 +1614,14 @@ SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
 FROM orders
 GROUP BY 1, 2, 3, 4, 5
 """
+
+ORACLES["q_gap_fill"] = """
+SELECT user_id, event_id,
+       ROUND(last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS ffill,
+       ROUND(first_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 6) AS bfill
+FROM events
+"""

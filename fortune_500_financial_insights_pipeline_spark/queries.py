@@ -2143,3 +2143,26 @@ def q_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day", "dow", "quarter", "is_month_end", "days_in_month")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+@q("q_gap_fill")
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward/backward fill per series: sensor-style sparse observations
+    (only 'view' events carry a reading here) filled from the last/next
+    non-null within each user's timeline — last_value/first_value with
+    ignoreNulls over one window family (one shuffle on user_id, shared by
+    both directions). The complement of q_interpolate's linear fill."""
+    e = load_table(spark, sf_dir, "events")
+    obs = F.when(F.col("event_type") == "view", F.col("value"))
+    wf = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wb = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.currentRow, W.unboundedFollowing
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.last(obs, ignorenulls=True).over(wf), 6).alias("ffill"),
+        F.round(F.first(obs, ignorenulls=True).over(wb), 6).alias("bfill"),
+    )
