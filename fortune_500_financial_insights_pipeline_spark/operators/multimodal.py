@@ -137,3 +137,43 @@ def read_media_dir(spark, path: str, glob: str = "*") -> DataFrame:
         F.col("length").cast("int").alias("n_bytes"),
         F.sha1(F.col("content")).alias("sha"),
     )
+
+
+RESIZED_SCHEMA = (
+    "doc_id long, media_type string, target_w int, target_h int, "
+    "resized binary, n_bytes_out int"
+)
+
+
+def resize_images(media_df: DataFrame, target_w: int = 64, target_h: int = 64,
+                  fake: bool = True) -> DataFrame:
+    """Image resize as a binary→binary mapInPandas stage: the shape of every
+    production thumbnailing/normalization pass (decode → resample → re-encode
+    inside the Arrow batch, no shuffle, no driver bytes). A real decoder
+    would hand PIL the payload; the stub emits a deterministic pseudo-bitmap
+    of exactly target_w·target_h bytes derived from (payload, dims) so batch
+    shape, output sizing, and schema are all real and testable."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "media_type": [], "target_w": [], "target_h": [],
+                   "resized": [], "n_bytes_out": []}
+            for doc_id, mtype, media in zip(pdf["doc_id"], pdf["media_type"], pdf["media"]):
+                if not fake:
+                    raise NotImplementedError("real resize needs PIL")
+                n = target_w * target_h
+                seed = hashlib.sha256(
+                    media + target_w.to_bytes(2, "big") + target_h.to_bytes(2, "big")
+                ).digest()
+                bitmap = (seed * (n // len(seed) + 1))[:n]
+                out["doc_id"].append(doc_id)
+                out["media_type"].append(mtype)
+                out["target_w"].append(target_w)
+                out["target_h"].append(target_h)
+                out["resized"].append(bitmap)
+                out["n_bytes_out"].append(len(bitmap))
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "media_type", "media").mapInPandas(
+        resize_batches, schema=RESIZED_SCHEMA
+    )

@@ -988,3 +988,22 @@ def test_char_entropy_separates_junk_from_text(spark):
     assert got[1] == 0.0
     assert got[2] == 1.0
     assert got[3] > 3.0
+
+
+def test_resize_images_emits_exact_bitmap_size(spark, sf_dir):
+    """Resize plumbing: binary in → binary out inside the Arrow batch, one
+    row per image, output payload exactly target_w*target_h bytes, and
+    deterministic for the same (payload, dims)."""
+    from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+    from fortune_500_financial_insights_pipeline_spark.operators.multimodal import (
+        attach_media,
+        resize_images,
+    )
+
+    media = attach_media(load_table(spark, sf_dir, "documents").limit(8))
+    out = resize_images(media, target_w=16, target_h=16)
+    rows = out.collect()
+    assert len(rows) == 8
+    assert all(len(r["resized"]) == 256 and r["n_bytes_out"] == 256 for r in rows)
+    again = {r["doc_id"]: bytes(r["resized"]) for r in resize_images(media, 16, 16).collect()}
+    assert all(bytes(r["resized"]) == again[r["doc_id"]] for r in rows)
