@@ -134,34 +134,41 @@ def simhash(text: Column | str, n_bits: int = 64) -> Column:
 
 def simhash_portable(text: Column | str, n_bits: int = 48) -> Column:
     """SimHash with engine-portable bits: each token's bit pattern comes
-    from its md5 hex digits (4 bits per digit) instead of xxhash64, so the
-    identical signature is computable in any engine with md5/substring —
-    which makes the fingerprint DuckDB-oracle-checkable bit for bit
-    (q_simhash_portable), at ~2× the cost of the xxhash64 form (simhash):
-    use that one when verification doesn't need to cross engines.
+    from its first md5 hex digits (4 bits per digit) instead of xxhash64,
+    so the identical signature is computable in any engine with
+    md5/substring arithmetic — which makes the fingerprint
+    DuckDB-oracle-checkable bit for bit (q_simhash_portable). Use simhash
+    (xxhash64) when verification doesn't need to cross engines.
 
-    Same single-pass fold shape as simhash: hashes bound once, one
-    aggregate accumulates the ±1 counters, one zip_with packs the sign
-    vector. n_bits ≤ 48 keeps every intermediate exact in double range for
-    the oracle's POWER() arithmetic."""
-    alpha = "0123456789abcdef"
+    Spark-side the hex prefix is packed into ONE long per token via conv()
+    and bits are tested with masks — same fold shape and cost profile as
+    the xxhash64 form (a per-bit substring/position formulation measured
+    3× slower; the oracle spells the per-digit arithmetic instead, same
+    math). Bit i tests hex digit i//4 (left-to-right) at shift i%4; in the
+    packed value that digit sits at bits 4·(n_digits−1−i//4)…+3. n_bits ≤
+    48 keeps every intermediate exact in double range for the oracle's
+    POWER() arithmetic."""
     c = text if isinstance(text, Column) else F.col(text)
     n_bits = min(n_bits, 48)
-    hashes = F.transform(F.split(c, " "), lambda t: F.md5(t))
-
-    def sgn(h: Column, i: int) -> Column:
-        d = F.position(F.substring(h, 1 + i // 4, 1), F.lit(alpha)) - 1
-        bit = F.floor(d / float(2 ** (i % 4))).cast("long") % 2
-        return F.when(bit == 1, 1).otherwise(-1)
-
-    zero = F.array_repeat(F.lit(0), n_bits)
+    nd = n_bits // 4
+    vs = F.transform(
+        F.split(c, " "),
+        lambda t: F.conv(F.substring(F.md5(t), 1, nd), 16, 10).cast("long"),
+    )
+    masks = F.array(
+        *[
+            F.lit(1 << (4 * (nd - 1 - i // 4) + (i % 4))).cast("long")
+            for i in range(n_bits)
+        ]
+    )
+    zero = F.array_repeat(F.lit(0).cast("long"), n_bits)
     counts = F.aggregate(
-        hashes,
+        vs,
         zero,
-        lambda acc, h: F.zip_with(
+        lambda acc, v: F.zip_with(
             acc,
-            F.array(*[sgn(h, i) for i in range(n_bits)]),
-            lambda a, s: a + s,
+            masks,
+            lambda a, m: a + F.when(v.bitwiseAND(m) != 0, 1).otherwise(-1),
         ),
     )
     powers = F.array(*[F.lit(2 ** i).cast("long") for i in range(n_bits)])
