@@ -1625,3 +1625,26 @@ SELECT user_id, event_id,
                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 6) AS bfill
 FROM events
 """
+
+ORACLES["q_simhash_pairs"] = (
+    """
+WITH sigs AS (
+  SELECT doc_id, simhash FROM ("""
+    + ORACLES["q_simhash_portable"]
+    + """)
+),
+bands AS (
+  SELECT doc_id, simhash AS sig, t.b AS band,
+         CAST(FLOOR(simhash / POWER(2, 12 * t.b)) AS BIGINT) % 4096 AS bval
+  FROM sigs, (SELECT unnest(range(4)) AS b) t
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sig AS sig_a, b.sig AS sig_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+FROM pairs
+"""
+)

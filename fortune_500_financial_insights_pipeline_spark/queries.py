@@ -2166,3 +2166,46 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.last(obs, ignorenulls=True).over(wf), 6).alias("ffill"),
         F.round(F.first(obs, ignorenulls=True).over(wb), 6).alias("bfill"),
     )
+
+
+@q("q_simhash_pairs")
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash candidate pairs with exact Hamming distances: the portable
+    48-bit signature splits into 4 12-bit bands; docs sharing any band
+    bucket-join into candidates (the standard simhash blocking — an
+    equi-join on (band, value), never an O(n²) signature scan), then
+    bit_count(a XOR b) scores each pair. With the md5-bit signature the
+    entire pipeline — signature, banding arithmetic, xor popcount — is
+    engine-portable and oracle-exact, end to end."""
+    from fortune_500_financial_insights_pipeline_spark.operators.minhash import simhash_portable
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = docs.select("doc_id", simhash_portable("text").alias("sig"))
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (F.floor(F.col("sig") / F.lit(float(2 ** (12 * b)))).cast("long") % 4096).alias("bval"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", "bb.band", "bb.bval")
+    a = bands.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bval")
+    b = bands.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bval")
+    pairs = (
+        a.join(b, ["band", "bval"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+    )
