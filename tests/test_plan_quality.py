@@ -322,3 +322,12 @@ def test_grouped_topk_limits_before_shuffle(spark, sf_dir):
     a derived column) silently loses this."""
     plan = plan_of(spark, sf_dir, "q_window_rank")
     assert re.search(r"WindowGroupLimit .*row_number\(\), 3, Partial", plan), plan
+
+
+def test_simhash_pairs_joins_on_bands_not_cartesian(spark, sf_dir):
+    """q_simhash_pairs: candidate generation must be the (band, value)
+    equi-join — an O(n²) signature cross-compare here would defeat the
+    banding entirely."""
+    plan = plan_of(spark, sf_dir, "q_simhash_pairs")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
