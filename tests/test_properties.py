@@ -230,3 +230,58 @@ def test_cms_never_undercounts(spark, vals):
     a, b = df.where(F.col("x") <= cut), df.where(F.col("x") > cut)
     merged = cms_merge(cms_build(a, "x"), cms_build(b, "x"))
     assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in whole.collect()}
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),      # key
+            st.integers(min_value=0, max_value=7200),   # left offset s
+        ),
+        min_size=1, max_size=20,
+    ),
+    rrows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),
+            st.integers(min_value=0, max_value=7200),
+        ),
+        min_size=1, max_size=20,
+    ),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_binned_interval_join_equals_naive_theta(spark, rows, rrows):
+    """The bin rewrite is pure plumbing: for ANY inputs it must produce
+    exactly the rows the naive theta join produces."""
+    from datetime import datetime, timedelta
+
+    from fortune_500_financial_insights_pipeline_spark.operators.intervaljoin import (
+        binned_interval_join,
+    )
+
+    base = datetime(2024, 1, 1)
+    l = spark.createDataFrame(
+        [(k, base + timedelta(seconds=s), i) for i, (k, s) in enumerate(rows)],
+        "k long, lts timestamp, lid long",
+    )
+    r = spark.createDataFrame(
+        [(k, base + timedelta(seconds=s), i) for i, (k, s) in enumerate(rrows)],
+        "k long, rts timestamp, rid long",
+    )
+    got = {
+        (x.lid, x.rid)
+        for x in binned_interval_join(l, r, ["k"], "lts", "rts", 0, 1800).collect()
+    }
+    naive = {
+        (x.lid, x.rid)
+        for x in l.join(
+            r,
+            (l.k == r.k)
+            & (r.rts.cast("long") > l.lts.cast("long"))
+            & (r.rts.cast("long") <= l.lts.cast("long") + 1800),
+        ).collect()
+    }
+    assert got == naive
