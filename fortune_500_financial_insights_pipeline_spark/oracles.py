@@ -1648,3 +1648,18 @@ SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
 FROM pairs
 """
 )
+
+ORACLES["q_source_cap"] = """
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
+       MIN(doc_id) AS min_doc_id
+FROM ranked WHERE rn <= 50
+GROUP BY source
+"""

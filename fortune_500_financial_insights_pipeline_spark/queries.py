@@ -2209,3 +2209,26 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_b",
         F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
     )
+
+
+@q("q_source_cap")
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-capped sampling: keep at most N documents per source, the
+    standard web-curation guard against one domain dominating the corpus.
+    Priority is md5(doc_id) — deterministic, engine-portable, uniformly
+    'random' — and the rank ≤ N filter gets Catalyst's partial
+    WindowGroupLimit: each map task forwards at most N rows per source
+    before the shuffle, so the exchange is capped at N·sources·tasks no
+    matter how skewed the source distribution is."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    capped = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 50)
+        .drop("rn")
+    )
+    return capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("chars_kept"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
