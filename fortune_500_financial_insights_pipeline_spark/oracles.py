@@ -1663,3 +1663,36 @@ SELECT source,
 FROM ranked WHERE rn <= 50
 GROUP BY source
 """
+
+ORACLES["q_unigram_logprob"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+nz AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+doc_tok AS (SELECT doc_id, tok, COUNT(*) AS n_dt FROM nz GROUP BY doc_id, tok),
+vocab AS (SELECT tok, CAST(SUM(n_dt) AS BIGINT) AS n_t FROM doc_tok GROUP BY tok),
+total AS (SELECT CAST(SUM(n_t) AS BIGINT) AS n_total FROM vocab)
+SELECT doc_id,
+       (CAST(SUM(CAST(ROUND((n_dt * log2(CAST(n_t AS DOUBLE) / n_total)) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000)
+         / CAST(SUM(n_dt) AS DOUBLE) AS avg_log2_prob,
+       CAST(SUM(n_dt) AS BIGINT) AS n_tokens
+FROM doc_tok JOIN vocab USING (tok), total
+GROUP BY doc_id
+"""
+
+ORACLES["q_dataset_card"] = """
+WITH fps AS (
+  SELECT lang, source, n_chars,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT source) AS n_sources,
+       COUNT(DISTINCT fp) AS n_unique,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS mean_chars,
+       ROUND(CAST(COUNT(*) - COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 6) AS dup_rate
+FROM fps
+GROUP BY lang
+"""

@@ -2232,3 +2232,54 @@ def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("chars_kept"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+@q("q_unigram_logprob")
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality score: average per-token unigram log-probability
+    of each document under the corpus's own token distribution — the
+    CCNet-style signal (odd docs score low because their tokens are rare
+    corpus-wide). One token explode feeds both the vocabulary counts and
+    the per-doc counts; the vocab frame (one row per distinct token) joins
+    back broadcast-style. Per-token log2(p) terms are per-row IEEE math;
+    the per-doc weighted sum runs in fixed point, so the score is
+    partitioning-invariant and oracle-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    doc_tok = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("n_dt"))
+    vocab = doc_tok.groupBy("tok").agg(F.sum("n_dt").alias("n_t"))
+    total = vocab.agg(F.sum("n_t").alias("n_total"))
+    scored = doc_tok.join(vocab, "tok").crossJoin(F.broadcast(total))
+    term = F.col("n_dt") * F.log2(F.col("n_t") / F.col("n_total"))
+    return scored.groupBy("doc_id").agg(
+        (dsum(term) / F.sum("n_dt")).alias("avg_log2_prob"),
+        F.sum("n_dt").cast("long").alias("n_tokens"),
+    )
+
+
+@q("q_dataset_card")
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card summary per language: the corpus-level numbers every
+    training-data release reports — document and source counts, char
+    volume, exact-dup rate (via content fingerprints), mean doc length.
+    One scan, one groupBy; the dup rate reuses the md5 fingerprint so the
+    whole card is oracle-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    return (
+        docs.withColumn("fp", fp)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.countDistinct("fp").alias("n_unique"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.round(F.sum("n_chars") / F.count(F.lit(1)), 6).alias("mean_chars"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.round((F.col("n_docs") - F.col("n_unique")) / F.col("n_docs"), 6),
+        )
+    )
