@@ -221,3 +221,44 @@ def analyze_table(
     )
     rows = spark.sql(f"DESCRIBE TABLE EXTENDED {cat_name}").collect()
     return {r.col_name: r.data_type for r in rows if r.col_name == "Statistics"}
+
+
+def incremental_agg_refresh(
+    spark: SparkSession,
+    agg_path: str,
+    new_df: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Maintain a sum/count rollup incrementally: partial-aggregate only the
+    new batch, merge with the stored rollup by summing (sums, counts, and
+    anything else decomposable are mergeable aggregates), rewrite the
+    rollup. History is NEVER rescanned — per refresh the cost is
+    O(new batch) + O(existing groups), which is what keeps a daily rollup
+    over a 100 TB fact table affordable. Averages reconstruct as
+    sum/count downstream; non-decomposable aggregates (exact medians)
+    don't belong here — use sketches (operators/cms.py, q_hll_distinct)
+    which merge the same way.
+
+    Returns the merged rollup after persisting it to ``agg_path``."""
+    sums = [F.sum(c).alias(f"sum_{c}") for c in sum_cols]
+    partial = new_df.groupBy(*keys).agg(
+        *sums, F.count(F.lit(1)).cast("long").alias(count_col)
+    )
+    if os.path.isdir(agg_path):
+        existing = spark.read.parquet(agg_path)
+        merged = (
+            existing.unionByName(partial)
+            .groupBy(*keys)
+            .agg(
+                *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols],
+                F.sum(count_col).cast("long").alias(count_col),
+            )
+        )
+    else:
+        merged = partial
+    # materialize off the input files before overwriting the path we read
+    merged = merged.localCheckpoint()
+    merged.write.mode("overwrite").parquet(agg_path)
+    return spark.read.parquet(agg_path)

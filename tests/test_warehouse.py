@@ -306,3 +306,34 @@ def test_analyze_table_feeds_cbo(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", prev_cbo)
         spark.sql("DROP TABLE IF EXISTS openclose_stats")
+
+
+def test_incremental_agg_refresh_equals_full_recompute(spark, sf_dir, tmp_path):
+    """Two incremental refreshes (first half, then second half) must land
+    exactly where a full recompute lands — mergeable aggregates, no
+    history rescan (the rollup path holds only group rows between
+    refreshes)."""
+    from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+    from fortune_500_financial_insights_pipeline_spark.warehouse import incremental_agg_refresh
+
+    orders = load_table(spark, sf_dir, "orders")
+    h1 = orders.where(F.col("o_orderkey") % 2 == 0)
+    h2 = orders.where(F.col("o_orderkey") % 2 == 1)
+    path = str(tmp_path / "rollup")
+
+    incremental_agg_refresh(spark, path, h1, ["o_orderpriority"], ["o_totalprice"])
+    got = incremental_agg_refresh(spark, path, h2, ["o_orderpriority"], ["o_totalprice"])
+
+    full = orders.groupBy("o_orderpriority").agg(
+        F.sum("o_totalprice").alias("sum_o_totalprice"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    g = {
+        (r["o_orderpriority"], r["n_rows"], round(r["sum_o_totalprice"], 4))
+        for r in got.collect()
+    }
+    f = {
+        (r["o_orderpriority"], r["n_rows"], round(r["sum_o_totalprice"], 4))
+        for r in full.collect()
+    }
+    assert g == f
