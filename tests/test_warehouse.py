@@ -337,3 +337,47 @@ def test_incremental_agg_refresh_equals_full_recompute(spark, sf_dir, tmp_path):
         for r in full.collect()
     }
     assert g == f
+
+
+def test_incremental_distinct_via_hll_sketch_column(spark, sf_dir, tmp_path):
+    """Incremental DISTINCT maintenance: store the HLL sketch as a binary
+    column in the rollup, union-merge it on each refresh. Two half-batch
+    refreshes produce the identical sketch (and thus estimate) as one
+    full build — the sketch is the mergeable form of count-distinct, the
+    piece a sum/count rollup can't provide."""
+    from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    h1 = orders.where(F.col("o_orderkey") % 2 == 0)
+    h2 = orders.where(F.col("o_orderkey") % 2 == 1)
+    path = str(tmp_path / "hll_rollup")
+
+    def refresh(new_df):
+        partial = new_df.groupBy("o_orderpriority").agg(
+            F.hll_sketch_agg("o_custkey", 12).alias("sk")
+        )
+        import os
+
+        if os.path.isdir(path):
+            existing = spark.read.parquet(path)
+            merged = (
+                existing.unionByName(partial)
+                .groupBy("o_orderpriority")
+                .agg(F.hll_union_agg("sk").alias("sk"))
+            )
+        else:
+            merged = partial
+        merged = merged.localCheckpoint()
+        merged.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    refresh(h1)
+    got = refresh(h2).select(
+        "o_orderpriority", F.hll_sketch_estimate("sk").alias("est")
+    )
+    full = orders.groupBy("o_orderpriority").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey", 12)).alias("est")
+    )
+    g = {(r["o_orderpriority"], r["est"]) for r in got.collect()}
+    f = {(r["o_orderpriority"], r["est"]) for r in full.collect()}
+    assert g == f
