@@ -1696,3 +1696,25 @@ SELECT lang,
 FROM fps
 GROUP BY lang
 """
+
+ORACLES["q_rfm"] = f"""
+WITH per AS (
+  SELECT o_custkey,
+         MAX(CAST(o_orderdate AS DATE)) AS last_order,
+         COUNT(*) AS frequency,
+         {_dsum('o_totalprice')} AS monetary
+  FROM orders GROUP BY o_custkey
+),
+anchored AS (
+  SELECT p.*, date_diff('day', last_order, (SELECT MAX(last_order) FROM per)) AS recency_days
+  FROM per p
+)
+SELECT o_custkey,
+       CAST(recency_days AS INTEGER) AS recency_days,
+       frequency,
+       ROUND(monetary, 2) AS monetary,
+       CAST(NTILE(5) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS INTEGER) AS r_score,
+       CAST(NTILE(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS INTEGER) AS f_score,
+       CAST(NTILE(5) OVER (ORDER BY monetary DESC, o_custkey ASC) AS INTEGER) AS m_score
+FROM anchored
+"""

@@ -2283,3 +2283,36 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("n_docs") - F.col("n_unique")) / F.col("n_docs"), 6),
         )
     )
+
+
+@q("q_rfm")
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order, against
+    the corpus max date so the result is reproducible), frequency (order
+    count), monetary (fixed-point spend), each cut into quintiles with a
+    customer-id tiebreak so the ntile assignment is total-order
+    deterministic across engines. One aggregation pass + three ntile
+    windows over the compact per-customer frame (rows = customers, not
+    orders)."""
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum("o_totalprice").alias("monetary"),
+    )
+    anchor = per.agg(F.max("last_order").alias("a"))
+    per = per.crossJoin(F.broadcast(anchor)).withColumn(
+        "recency_days", F.datediff(F.col("a"), F.col("last_order"))
+    )
+    r_w = W.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    f_w = W.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    m_w = W.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    return per.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        F.round("monetary", 2).alias("monetary"),
+        F.ntile(5).over(r_w).alias("r_score"),
+        F.ntile(5).over(f_w).alias("f_score"),
+        F.ntile(5).over(m_w).alias("m_score"),
+    )
