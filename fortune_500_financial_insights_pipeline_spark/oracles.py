@@ -1718,3 +1718,17 @@ SELECT o_custkey,
        CAST(NTILE(5) OVER (ORDER BY monetary DESC, o_custkey ASC) AS INTEGER) AS m_score
 FROM anchored
 """
+
+ORACLES["q_new_vs_returning"] = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+first AS (
+  SELECT user_id, MIN(day) AS first_day FROM days GROUP BY user_id
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+       CAST(SUM(CASE WHEN day = first_day THEN 0 ELSE 1 END) AS BIGINT) AS returning_users
+FROM days JOIN first USING (user_id)
+GROUP BY day
+"""

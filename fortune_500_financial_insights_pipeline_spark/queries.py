@@ -2316,3 +2316,30 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(5).over(f_w).alias("f_score"),
         F.ntile(5).over(m_w).alias("m_score"),
     )
+
+
+@q("q_new_vs_returning")
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning user split: a user's first-seen day labels
+    each active (user, day); the daily rollup counts both classes. The
+    first-seen frame is one row per user (min over the scan, partial
+    map-side) joined back on user_id — the standard two-pass shape that
+    avoids any window over the raw event stream."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    first = days.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    labeled = days.join(first, "user_id").withColumn(
+        "is_new", (F.col("day") == F.col("first_day")).cast("int")
+    )
+    return (
+        labeled.groupBy("day")
+        .agg(
+            F.sum("is_new").cast("long").alias("new_users"),
+            F.sum(1 - F.col("is_new")).cast("long").alias("returning_users"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "new_users",
+            "returning_users",
+        )
+    )
