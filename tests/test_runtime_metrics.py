@@ -96,3 +96,14 @@ def test_cms_shuffle_bounded_by_cells(spark, sf_dir):
     # d*w = 1024 cells; a few map tasks each contribute at most that many
     # partials, and the candidate/true-top exchanges are tiny
     assert all(s <= 5000 for s in shuffles), shuffles
+
+
+def test_interval_join_shuffles_bounded_fan_out(spark, sf_dir):
+    """q_interval_join at sf0.001 (~2k clicks, ~2k purchases after the
+    type filters): the join exchanges carry at most 2× the left side plus
+    1× the right side — the ≤2-bin fan-out bound, measured. A nested-loop
+    regression would show up here as a pair-count-sized number."""
+    nodes = _metrics_by_node(spark, sf_dir, "q_interval_join")
+    shuffles = _shuffle_rows(nodes)
+    assert shuffles
+    assert all(s <= 3 * 2100 for s in shuffles), shuffles
