@@ -3,10 +3,27 @@
 ``entry(spark)`` runs the flagship query at sf0.001 as a smoke check;
 ``queries()``/``oracle_sql()`` expose every implemented operator from
 SURVEY.md §2 for the driver's DuckDB-oracle comparison at sf0.01.
+
+The driver's correctness run checks queries in registration order and may
+truncate (round 1 recorded exactly the first 50 keys).  To get every key a
+driver CORRECTNESS row across rounds, ``queries()`` orders the registry so
+keys with no green row in any prior ``CORRECTNESS_r*.json`` come first:
+
+1. never-verified keys that have a DuckDB oracle (hash-checkable),
+2. never-verified keys without an oracle (rows-only check),
+3. previously-green keys, oldest verification first.
+
+The ordering is derived from the CORRECTNESS files the driver itself wrote,
+so it self-maintains: each new round the freshly-verified keys rotate to the
+back and the remaining unverified ones surface.
 """
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+import re
 import sys
 from collections.abc import Callable
 
@@ -17,14 +34,51 @@ sys.path.insert(0, "/root/repo")
 from fortune_500_financial_insights_pipeline_spark.oracles import ORACLES
 from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H-Q1-style pricing summary) on /root/testdata/sf0.001."""
     return QUERIES["q_groupby_agg"](spark, "/root/testdata/sf0.001")
 
 
+def _verified_rounds() -> dict[str, int]:
+    """Map key -> earliest round where the driver recorded a usable row.
+
+    A row counts as verified if the hash matched (oracle-backed) or the check
+    was rows-only by design (``err == "no_oracle"`` with a recorded row
+    count).  Failed rows do NOT count — those keys stay at the front so the
+    driver re-checks them after a fix.
+    """
+    seen: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for key, row in rows.items():
+            ok = bool(row.get("hash_match")) or (
+                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            )
+            if ok and key not in seen:
+                seen[key] = rnd
+    return seen
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    verified = _verified_rounds()
+
+    def rank(key: str) -> tuple[int, int]:
+        if key not in verified:
+            # Unverified: oracle-backed first (hash-checkable), rows-only after.
+            return (0, 0) if key in ORACLES else (1, 0)
+        return (2, verified[key])
+
+    ordered = sorted(QUERIES, key=lambda k: (rank(k), list(QUERIES).index(k)))
+    return {k: QUERIES[k] for k in ordered}
 
 
 def oracle_sql() -> dict[str, str]:
