@@ -38,14 +38,34 @@ def binned_interval_join(
     and the ``on`` keys match. Columns of both inputs survive with their
     original names (prefix them beforehand on collision).
 
+    ``how`` may be ``inner``, ``left``, ``right`` or ``full``. Outer variants
+    cannot ride the exploded join directly: a left row fans out to ≤2 bin
+    rows, so a plain outer join would null-extend it once per bin and the
+    post-join band refinement would then drop those null rows. Instead the
+    inner core is computed once and the unmatched side(s) are recovered with
+    a LEFT ANTI join on a per-row id — both legs are ordinary shuffle joins,
+    and AQE's exchange reuse shares the core between them.
+
     Requires ``upper_s > lower_s``; bin width = the window length, which is
     what bounds left fan-out at 2 regardless of data."""
     if upper_s <= lower_s:
         raise ValueError("upper_s must exceed lower_s")
+    if how not in ("inner", "left", "right", "full"):
+        raise ValueError(f"unsupported how={how!r}")
     width = upper_s - lower_s
 
     l_epoch = F.col(left_ts).cast("timestamp").cast("long")
     r_epoch = F.col(right_ts).cast("timestamp").cast("long")
+
+    # Row ids for the anti-join rebuild. Deterministic for a fixed input
+    # partitioning (partition ordinal << 33 | row ordinal), which is all the
+    # rebuild needs: the same id on both sides of the anti join.
+    need_lid = how in ("left", "full")
+    need_rid = how in ("right", "full")
+    if need_lid:
+        left = left.withColumn("__lid", F.monotonically_increasing_id())
+    if need_rid:
+        right = right.withColumn("__rid", F.monotonically_increasing_id())
 
     lo = (l_epoch + lower_s) / F.lit(width)
     hi = (l_epoch + upper_s) / F.lit(width)
@@ -55,8 +75,32 @@ def binned_interval_join(
     lb = left.withColumn("__bin", F.explode(bins))
     rb = right.withColumn("__bin", F.floor(r_epoch / F.lit(width)).cast("long"))
 
-    joined = lb.join(rb, [*on, "__bin"], how)
     band = (F.col(right_ts).cast("timestamp").cast("long") > l_epoch + lower_s) & (
         F.col(right_ts).cast("timestamp").cast("long") <= l_epoch + upper_s
     )
-    return joined.where(band).drop("__bin")
+    matched = lb.join(rb, [*on, "__bin"], "inner").where(band).drop("__bin")
+    if how == "inner":
+        return matched
+
+    out = matched
+    if need_lid:
+        unmatched_l = left.join(matched.select("__lid"), "__lid", "left_anti")
+        for f in right.schema.fields:
+            if f.name not in on and f.name != "__rid":
+                unmatched_l = unmatched_l.withColumn(
+                    f.name, F.lit(None).cast(f.dataType)
+                )
+        if need_rid:
+            unmatched_l = unmatched_l.withColumn("__rid", F.lit(None).cast("long"))
+        out = out.unionByName(unmatched_l.select(out.columns))
+    if need_rid:
+        unmatched_r = right.join(matched.select("__rid"), "__rid", "left_anti")
+        for f in left.schema.fields:
+            if f.name not in on and f.name != "__lid":
+                unmatched_r = unmatched_r.withColumn(
+                    f.name, F.lit(None).cast(f.dataType)
+                )
+        if need_lid:
+            unmatched_r = unmatched_r.withColumn("__lid", F.lit(None).cast("long"))
+        out = out.unionByName(unmatched_r.select(out.columns))
+    return out.drop("__lid", "__rid")

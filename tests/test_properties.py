@@ -285,3 +285,82 @@ def test_binned_interval_join_equals_naive_theta(spark, rows, rrows):
         ).collect()
     }
     assert got == naive
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),
+            st.integers(min_value=0, max_value=7200),
+        ),
+        min_size=1, max_size=12,
+    ),
+    rrows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),
+            st.integers(min_value=0, max_value=7200),
+        ),
+        min_size=1, max_size=12,
+    ),
+    how=st.sampled_from(["left", "right", "full"]),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_binned_interval_join_outer_equals_naive(spark, rows, rrows, how):
+    """Outer variants must keep the null-extended unmatched rows a plain
+    outer theta join keeps — exactly once each, despite the 2-bin explode
+    (regression for the how= API trap flagged in round 1)."""
+    from datetime import datetime, timedelta
+
+    from fortune_500_financial_insights_pipeline_spark.operators.intervaljoin import (
+        binned_interval_join,
+    )
+
+    base = datetime(2024, 1, 1)
+    l = spark.createDataFrame(
+        [(k, base + timedelta(seconds=s), i) for i, (k, s) in enumerate(rows)],
+        "k long, lts timestamp, lid long",
+    )
+    r = spark.createDataFrame(
+        [(k, base + timedelta(seconds=s), i) for i, (k, s) in enumerate(rrows)],
+        "k long, rts timestamp, rid long",
+    )
+    nkey = lambda t: tuple((v is None, v or 0) for v in t)  # noqa: E731
+    got = sorted(
+        (
+            (x.lid, x.rid)
+            for x in binned_interval_join(
+                l, r, ["k"], "lts", "rts", 0, 1800, how=how
+            ).collect()
+        ),
+        key=nkey,
+    )
+    naive = sorted(
+        (
+            (x.lid, x.rid)
+            for x in l.join(
+                r,
+                (l.k == r.k)
+                & (r.rts.cast("long") > l.lts.cast("long"))
+                & (r.rts.cast("long") <= l.lts.cast("long") + 1800),
+                how,
+            ).collect()
+        ),
+        key=nkey,
+    )
+    assert got == naive
+
+
+def test_binned_interval_join_rejects_unknown_how(spark):
+    import pytest as _pytest
+
+    from fortune_500_financial_insights_pipeline_spark.operators.intervaljoin import (
+        binned_interval_join,
+    )
+
+    df = spark.range(1).selectExpr("id as k", "timestamp'2024-01-01' as ts")
+    with _pytest.raises(ValueError, match="unsupported how"):
+        binned_interval_join(df, df, ["k"], "ts", "ts", 0, 60, how="cross")
