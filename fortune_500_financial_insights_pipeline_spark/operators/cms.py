@@ -110,8 +110,11 @@ def cms_estimate(
         ).alias("hb"),
     ).select(*items.columns, "hb.i", "hb.b")
     carry = [c for c in items.columns]
+    # LEFT join + coalesce(0): a hash row landing in an absent (zero-count)
+    # cell must contribute 0 to the min, and an item whose d cells are all
+    # absent must estimate 0 — an inner join would drop both.
     return (
-        cells.join(F.broadcast(cms), ["i", "b"])
+        cells.join(F.broadcast(cms), ["i", "b"], "left")
         .groupBy(*carry)
-        .agg(F.min("cnt").alias("est_cnt"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt"))
     )

@@ -59,6 +59,8 @@ def kmeans_fit(
 ) -> DataFrame:
     """Run ``n_iter`` exact Lloyd iterations; return (cell, pos, c, n):
     per-cell fixed-point centroid components and member counts."""
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1 (the result is the last iteration's aggregate)")
     df = emb.select(
         F.col(id_col).cast("long").alias("vec_id"), _fixed_vec(vec_col).alias("v")
     ).persist()
@@ -95,18 +97,27 @@ def kmeans_fit(
             vec[int(r["pos"])] = (s - _trunc_mod(s, n)) // n
         centroids = new  # cells that lost every member drop out, as in the oracle
 
+    # `s div n` is Spark's integer division on longs — exact at any
+    # magnitude, unlike (s - s % n) / n which routes through a double.
     return agg.select(
         "cell",
         F.col("pos").cast("long").alias("pos"),
-        ((F.col("s") - F.col("s") % F.col("n")) / F.col("n")).cast("long").alias("c"),
+        F.expr("s div n").cast("long").alias("c"),
         "n",
     )
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """C-style truncated integer division, exact at any magnitude (int(a / b)
+    goes through a float and loses precision past 2^53)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
 
 
 def _trunc_mod(a: int, b: int) -> int:
     """C-style % (sign follows the dividend) — what Spark and DuckDB compute,
     unlike Python's floor mod."""
-    return a - int(a / b) * b
+    return a - _trunc_div(a, b) * b
 
 
 def kmeans_centroids(

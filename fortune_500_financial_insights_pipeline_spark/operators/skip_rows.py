@@ -24,10 +24,23 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
+MAX_SKIP_ROWS = 100_000  # the threshold scan collects n rows to the driver
+
+
 def skip_rows(df: DataFrame, order_col: str, n: int) -> DataFrame:
-    """Drop the n rows with the smallest ``order_col`` (must be unique)."""
+    """Drop the n rows with the smallest ``order_col`` (must be unique).
+
+    ``n`` must stay small (≤ ``MAX_SKIP_ROWS``): the threshold is found with
+    a TakeOrdered that materializes n rows on the driver. The operator exists
+    for metadata-row skips (n≈4); for dropping a large prefix, filter on the
+    key range instead."""
     if n <= 0:
         return df
+    if n > MAX_SKIP_ROWS:
+        raise ValueError(
+            f"skip_rows collects n={n} rows to the driver; cap is "
+            f"{MAX_SKIP_ROWS}. Filter on the key range instead."
+        )
     head = df.select(order_col).orderBy(order_col).limit(n).collect()
     if len(head) < n:
         return df.limit(0)

@@ -202,7 +202,10 @@ def char_entropy(df, id_col: str = "doc_id", text_col: str = "text",
 
     docs = df.select(
         id_col, F.lower(F.substring(text_col, 1, prefix_len)).alias("__t")
-    )
+    ).where(F.length("__t") > 0)
+    # The empty-text guard matters: sequence(1, 0) defaults to step -1 and
+    # yields [1, 0], so an empty doc would surface with entropy 0 while the
+    # oracle's range(1, 1) emits no row at all.
     chars = docs.select(
         id_col,
         F.explode(F.sequence(F.lit(1), F.length("__t"))).alias("__i"),

@@ -50,9 +50,13 @@ def streaming_curate(
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     df = stream.withColumn("fingerprint", F.md5(norm))
     if watermark is not None:
+        # dropDuplicatesWithinWatermark dedups by content alone with bounded
+        # state — dropDuplicates(["fingerprint", ts_col]) would keep identical
+        # content arriving at different event times, silently diverging from
+        # the batch funnel's content dedup.
         ts_col, delay = watermark
         df = df.withWatermark(ts_col, delay)
-        deduped = df.dropDuplicates(["fingerprint", ts_col])
+        deduped = df.dropDuplicatesWithinWatermark(["fingerprint"])
     else:
         deduped = df.dropDuplicates(["fingerprint"])
 

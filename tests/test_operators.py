@@ -917,6 +917,65 @@ def test_cms_merge_is_exact_and_estimates_upper_bound(spark, sf_dir):
     assert bad == 0
 
 
+def test_cms_estimate_absent_item_is_zero_not_dropped(spark):
+    """General point queries: an item never sketched must surface with
+    est_cnt 0 (or the collision noise floor), not vanish — the sketch join
+    is LEFT with coalesce(0), so absent cells count as zero (round-1
+    advisory: the inner join dropped rows landing in absent cells)."""
+    from pyspark.sql import functions as F
+
+    from fortune_500_financial_insights_pipeline_spark.operators.cms import cms_build, cms_estimate
+
+    data = spark.createDataFrame([("a",)] * 5 + [("b",)] * 3, "v string")
+    sketch = cms_build(data, "v")
+    items = spark.createDataFrame([("a",), ("zzz_never_seen",)], "v string")
+    est = {r["v"]: r["est_cnt"] for r in cms_estimate(sketch, items, "v").collect()}
+    assert set(est) == {"a", "zzz_never_seen"}  # absent item still present
+    assert est["a"] >= 5
+    # d independent hash rows all landing on occupied cells is vanishingly
+    # unlikely in a near-empty sketch; the guarantee we pin is presence + 0.
+    assert est["zzz_never_seen"] == 0
+
+
+def test_skip_rows_guards_driver_materialization(spark):
+    """skip_rows collects n rows to the driver for the threshold — n beyond
+    the documented cap must raise, not OOM the driver."""
+    import pytest as _pytest
+
+    from fortune_500_financial_insights_pipeline_spark.operators.skip_rows import (
+        MAX_SKIP_ROWS,
+        skip_rows,
+    )
+
+    df = spark.range(10).withColumnRenamed("id", "k")
+    with _pytest.raises(ValueError, match="cap"):
+        skip_rows(df, "k", MAX_SKIP_ROWS + 1)
+    assert skip_rows(df, "k", 3).count() == 7
+
+
+def test_kmeans_guards_and_exact_trunc_division():
+    """n_iter=0 raises (result is the last iteration's aggregate); the
+    centroid fixed-point math stays exact past 2^53 where float division
+    would drift."""
+    import pytest as _pytest
+
+    from fortune_500_financial_insights_pipeline_spark.operators.kmeans import (
+        _trunc_div,
+        _trunc_mod,
+        kmeans_fit,
+    )
+
+    with _pytest.raises(ValueError, match="n_iter"):
+        kmeans_fit(None, k=2, n_iter=0)
+
+    big = 2**60 + 12345
+    for a, b in [(big, 7), (-big, 7), (big, -7), (-big, -7), (7, 3), (-7, 3)]:
+        q, r = _trunc_div(a, b), _trunc_mod(a, b)
+        assert q * b + r == a
+        assert abs(r) < abs(b)
+        assert r == 0 or (r > 0) == (a > 0)  # C-style: sign follows dividend
+
+
 def test_binaryfile_source_feeds_feature_extraction(spark, tmp_path):
     """Media ingestion end-to-end: a directory of binary files read through
     Spark's binaryFile source (the object-store scale path — bytes never

@@ -539,3 +539,52 @@ def test_streaming_curation_matches_batch_on_same_data(spark, sf_dir, tmp_path):
     finally:
         q.stop()
     assert got == expected and len(got) > 0
+
+
+def test_streaming_curation_watermark_dedups_across_event_times(spark, tmp_path):
+    """With a watermark set, the funnel's dedup stage must still dedup by
+    CONTENT alone: identical text arriving at two different event times is
+    one document, not two (round-1 advisory — dropDuplicates on
+    (fingerprint, ts) silently kept both)."""
+    from datetime import datetime, timedelta
+
+    from fortune_500_financial_insights_pipeline_spark.streaming.curation import streaming_curate
+
+    base = datetime(2024, 3, 1, 12, 0, 0)
+    text = (
+        "the quick brown fox jumps over the lazy dog and keeps on running "
+        "through the quiet green field until the evening sun finally sets."
+    )
+    rows = [
+        (1, text, base),
+        (2, text, base + timedelta(minutes=5)),   # same content, later event time
+        (3, text + " extra tail words here.", base + timedelta(minutes=1)),
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, ingest_ts timestamp"
+    ).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ingest_ts timestamp"
+    ).parquet(src)
+    q = (
+        streaming_curate(
+            stream,
+            min_quality=0.0,
+            chunk_tokens=64,
+            overlap=0,
+            watermark=("ingest_ts", "10 minutes"),
+        )
+        .writeStream.format("memory")
+        .queryName("curated_wm")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT DISTINCT doc_id FROM curated_wm").collect()
+    finally:
+        q.stop()
+    # doc 2 is a content-duplicate of doc 1 within the horizon → dropped.
+    assert {r.doc_id for r in got} == {1, 3}
