@@ -283,6 +283,108 @@ def quantized_cosine_topk(
     )
 
 
+def md5_sample_centroids(emb: DataFrame, k: int, vec_col: str = "embedding",
+                         id_col: str = "vec_id") -> list[list[float]]:
+    """Deterministic centroid seed like ``sample_centroids`` but ordered by
+    ``md5(id)`` instead of xxhash64 — md5 exists in every SQL engine, so an
+    oracle can reproduce the exact same seed (xxhash64 is Spark-only)."""
+    rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    return [list(map(float, r[1])) for r in rows]
+
+
+def probe_cells_col(
+    vec_col: str,
+    centroids: list[list[float]],
+    n_probe: int,
+    round_digits: int = 6,
+    norm_col: str | None = None,
+) -> Column:
+    """Array of the ``n_probe`` cell ids whose centroids are cosine-nearest
+    the row's vector (rounded similarity, ties to the lower cell id — the
+    deterministic order an oracle can mirror with ROW_NUMBER). Pass a staged
+    ``norm_col`` so the row norm is computed once, not once per centroid."""
+    vn = F.col(norm_col) if norm_col else _norm(F.col(vec_col))
+    entries = []
+    for i, c in enumerate(centroids):
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        sim = F.round(
+            _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+            / (vn * F.lit(cn)),
+            round_digits,
+        )
+        entries.append(F.struct((-sim).alias("negsim"), F.lit(i).alias("cell")))
+    ranked = F.sort_array(F.array(*entries))  # struct sort: negsim asc, cell asc
+    return F.transform(F.slice(ranked, 1, n_probe), lambda s: s["cell"])
+
+
+def knn_join_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    k: int,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-routed batched k-NN: the scale path ``knn_join``'s docstring
+    promises. Each corpus vector is assigned to its single nearest centroid
+    cell; each query explodes to its ``n_probe`` nearest cells; candidates
+    meet in an ordinary equi-join on ``cell``.
+
+    The per-query top-k window then ranks only the query's probed cells'
+    candidates — cell-sized partitions (~n_probe/n_cells of the corpus per
+    query), not corpus-sized ones, which is what lets the window survive a
+    corpus that no longer fits a partition. Approximate by construction:
+    a true neighbor assigned to an unprobed cell is missed (recall tunes
+    with n_probe), but every returned similarity is exact.
+
+    Both sides' norms are staged as columns (SCALE.md "Expression staging"),
+    and cell assignment/probing use round-6 similarities with ties to the
+    lower cell id, so a SQL oracle reproduces the routing exactly."""
+    cn = corpus.withColumn("__cnorm", _norm(F.col(vec_col)))
+    indexed = cn.withColumn(
+        "cell",
+        F.element_at(
+            probe_cells_col(vec_col, centroids, 1, round_digits, norm_col="__cnorm"),
+            1,
+        ),
+    )
+    qn = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("__qv"),
+        _norm(F.col(vec_col)).alias("__qnorm"),
+    ).withColumn(
+        "cell",
+        F.explode(
+            probe_cells_col("__qv", centroids, n_probe, round_digits, norm_col="__qnorm")
+        ),
+    )
+    sim = F.round(
+        _dot(F.col(vec_col), F.col("__qv")) / (F.col("__cnorm") * F.col("__qnorm")),
+        round_digits,
+    )
+    other = [c for c in corpus.columns if c != vec_col]
+    pairs = (
+        indexed.join(F.broadcast(qn), "cell")
+        .where(F.col(id_col) != F.col("q_id"))
+        .select("q_id", *other, sim.alias("sim"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def knn_join(
     queries: DataFrame,
     corpus: DataFrame,

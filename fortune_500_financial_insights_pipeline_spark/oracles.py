@@ -376,6 +376,43 @@ s AS (
 SELECT vec_id, label, sim FROM s ORDER BY sim DESC, vec_id ASC LIMIT 20
 """
 
+ORACLES["q_knn_join_ivf"] = """
+WITH seeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+         CAST(embedding AS DOUBLE[]) AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4)
+), sims AS (
+  SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) AS vec, s.cell,
+         ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), s.cvec)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(s.cvec, s.cvec))), 6) AS csim
+  FROM embeddings e CROSS JOIN seeds s
+), corpus_cells AS (
+  SELECT vec_id, label, vec, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY csim DESC, cell ASC) AS rn
+    FROM sims) WHERE rn = 1
+), query_probes AS (
+  SELECT vec_id AS q_id, vec AS qvec, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY csim DESC, cell ASC) AS rn
+    FROM sims WHERE vec_id < 10) WHERE rn <= 2
+), cand AS (
+  SELECT p.q_id, c.vec_id, c.label,
+         ROUND(list_dot_product(c.vec, p.qvec)
+               / (sqrt(list_dot_product(c.vec, c.vec))
+                  * sqrt(list_dot_product(p.qvec, p.qvec))), 6) AS sim
+  FROM query_probes p JOIN corpus_cells c USING (cell)
+  WHERE c.vec_id <> p.q_id
+)
+SELECT q_id, vec_id, label, sim FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY sim DESC, vec_id ASC) AS rn
+  FROM cand) WHERE rn <= 3
+"""
+
 ORACLES["q_knn_join"] = """
 WITH q AS (
   SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe

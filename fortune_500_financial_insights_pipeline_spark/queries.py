@@ -852,6 +852,27 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(emb.filter(F.col("vec_id") < 10), emb, k=5)
 
 
+@q("q_knn_join_ivf")
+def q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-routed batched k-NN (the registered scale shape round 1 lacked):
+    corpus vectors bucketed into 4 md5-seeded centroid cells, each query
+    probes its 2 nearest cells, per-query top-3 ranks only cell-sized
+    candidate lists. md5 seeding + round-6 routing make the cell
+    assignment oracle-reproducible, so this is hash-checked end to end
+    (the approximation is in WHICH cells are scanned, mirrored exactly by
+    the oracle — returned similarities are exact)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.similarity import (
+        knn_join_ivf,
+        md5_sample_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    centroids = md5_sample_centroids(emb, k=4)
+    return knn_join_ivf(
+        emb.filter(F.col("vec_id") < 10), emb, centroids, k=3, n_probe=2
+    )
+
+
 @q("q_ivf_topk")
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k with a TRAINED coarse quantizer: two exact

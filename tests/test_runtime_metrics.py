@@ -107,3 +107,21 @@ def test_interval_join_shuffles_bounded_fan_out(spark, sf_dir):
     shuffles = _shuffle_rows(nodes)
     assert shuffles
     assert all(s <= 3 * 2100 for s in shuffles), shuffles
+
+
+def test_knn_join_ivf_window_sees_cell_sized_partitions(spark, sf_dir):
+    """q_knn_join_ivf: the per-query top-k window must rank only probed-cell
+    candidates. With 10 queries probing 2 of 4 cells over an n-row corpus,
+    the window exchange carries ≈ 10 · n_probe/n_cells · n rows in
+    expectation — we gate at 10·n·0.9, well under the 10·n the brute-force
+    knn_join would shuffle if the IVF routing silently degraded, while
+    loose enough for skewed cell occupancy. The corpus side never exchanges
+    more than n rows (query side is broadcast)."""
+    from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    nodes = _metrics_by_node(spark, sf_dir, "q_knn_join_ivf")
+    shuffles = _shuffle_rows(nodes)
+    assert shuffles
+    assert all(s <= max(n, int(10 * n * 0.9)) for s in shuffles), (shuffles, n)
+    assert _total_spill(nodes) == 0
