@@ -85,6 +85,79 @@ def build_elt_dag(
     return dag
 
 
+def build_api_entities_dag(
+    spark: SparkSession,
+    dividends_glob: str,
+    recs_glob: str,
+    estimates_glob: str,
+    options_glob: str,
+    warehouse_path: str,
+    as_of: str,
+) -> Dag:
+    """The four ingested-only API feeds (reference Data_API_Ingestion DAG,
+    ingest_data_API.py:97-128) landed as DDL-typed warehouse tables:
+    dividend_history, analystreccomendations, earnings_estimates,
+    options_chain. One independent task per feed (they share no inputs),
+    register after all four — the same graph shape the reference's
+    download_tasks >> upload fan-in has."""
+    from fortune_500_financial_insights_pipeline_spark.pipelines.entity_csv import (
+        analyst_recommendations,
+        dividends,
+        earnings_estimates,
+        options_chain,
+    )
+
+    dag = Dag("f500_api_entities")
+
+    def load_dividends() -> int:
+        df = dividends(spark, dividends_glob)
+        WH.write_table(df, warehouse_path, "dividend_history")
+        return spark.read.parquet(f"{warehouse_path}/dividend_history").count()
+
+    def load_recs() -> int:
+        df = analyst_recommendations(spark, recs_glob)
+        WH.write_table(
+            WH.add_surrogate_key(df, ["Ticker", "Date", "Period"]),
+            warehouse_path,
+            "analystreccomendations",
+        )
+        return spark.read.parquet(f"{warehouse_path}/analystreccomendations").count()
+
+    def load_estimates() -> int:
+        df = earnings_estimates(spark, estimates_glob, as_of=as_of)
+        WH.write_table(
+            WH.add_surrogate_key(df, ["Ticker", "Period", "Date"]),
+            warehouse_path,
+            "earnings_estimates",
+        )
+        return spark.read.parquet(f"{warehouse_path}/earnings_estimates").count()
+
+    def load_options() -> int:
+        df = options_chain(spark, options_glob, as_of=as_of)
+        WH.write_table(
+            WH.add_surrogate_key(df, ["ContractSymbol", "Date"]),
+            warehouse_path,
+            "options_chain",
+        )
+        return spark.read.parquet(f"{warehouse_path}/options_chain").count()
+
+    dag.add("transform_dividends", load_dividends, retries=1)
+    dag.add("transform_analyst_recs", load_recs, retries=1)
+    dag.add("transform_earnings_estimates", load_estimates, retries=1)
+    dag.add("transform_options_chain", load_options, retries=1)
+    dag.add(
+        "register_warehouse",
+        lambda: WH.register(spark, warehouse_path),
+        deps=[
+            "transform_dividends",
+            "transform_analyst_recs",
+            "transform_earnings_estimates",
+            "transform_options_chain",
+        ],
+    )
+    return dag
+
+
 def build_statements_dag(
     spark: SparkSession,
     sheet_files: dict[str, dict[str, str]],

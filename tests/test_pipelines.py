@@ -249,6 +249,42 @@ RECS_CSV = "\n".join(
     ]
 )
 
+ESTIMATES_CSV = "\n".join(
+    [
+        "period,numberOfAnalysts,avg,low,high,yearAgoEps,growth",
+        "0q,28,2.35,2.19,2.53,2.18,0.0779",
+        "+1q,27,1.7,1.55,1.82,1.4,0.2142",
+        "0y,41,7.32,7.11,7.65,6.57,0.1141",
+        "+1y,41,8.31,7.41,9.16,7.32,0.1352",
+    ]
+)
+
+CALLS_CSV = "\n".join(
+    [
+        "idx," + "contractSymbol,lastTradeDate,strike,lastPrice,bid,ask,change,"
+        "percentChange,volume,openInterest,impliedVolatility,inTheMoney,"
+        "contractSize,currency",
+        "0,AAPL240621C00150000,2024-06-14 19:59:59+00:00,150.0,62.3,61.9,62.7,"
+        "1.2,1.96,105,2011,0.4321,True,REGULAR,USD",
+        "1,AAPL240621C00210000,2024-06-14 19:58:01+00:00,210.0,4.05,4.0,4.1,"
+        "-0.3,-6.89,5210,11025,0.2211,True,REGULAR,USD",
+        "2,AAPL240621C00260000,2024-06-13 15:10:00+00:00,260.0,0.12,0.11,0.13,"
+        "0.0,0.0,380,9907,0.1918,False,REGULAR,USD",
+    ]
+)
+
+PUTS_CSV = "\n".join(
+    [
+        "idx," + "contractSymbol,lastTradeDate,strike,lastPrice,bid,ask,change,"
+        "percentChange,volume,openInterest,impliedVolatility,inTheMoney,"
+        "contractSize,currency",
+        "0,AAPL240621P00200000,2024-06-14 18:22:10+00:00,200.0,1.31,1.29,1.33,"
+        "0.05,3.96,801,5902,0.2533,False,REGULAR,USD",
+        "1,AAPL240621P00230000,2024-06-14 19:01:44+00:00,230.0,18.75,18.5,19.0,"
+        "-0.9,-4.58,44,310,0.2711,True,REGULAR,USD",
+    ]
+)
+
 
 def test_dividends_pipeline_to_warehouse(spark, tmp_path):
     from fortune_500_financial_insights_pipeline_spark import warehouse as WH
@@ -282,6 +318,70 @@ def test_analyst_recs_pipeline(spark, tmp_path):
     rows = {r.Period: r for r in df.collect()}
     assert rows["0m"].StrongBuy == 10 and rows["-1m"].Sell == 2
     assert df.schema["StrongBuy"].dataType.typeName() == "integer"
+
+
+def test_earnings_estimates_pipeline_to_warehouse(spark, tmp_path):
+    """The ingested-only earnings-estimate feed lands as a DDL-typed table:
+    per-ticker point-in-time snapshot, load-date stamped, DECIMAL(10,4)
+    EPS ratios exact after the warehouse conform."""
+    from fortune_500_financial_insights_pipeline_spark import warehouse as WH
+    from fortune_500_financial_insights_pipeline_spark.pipelines.entity_csv import earnings_estimates
+
+    d = tmp_path / "est"
+    d.mkdir()
+    (d / "AAPL.csv").write_text(ESTIMATES_CSV + "\n")
+    (d / "MSFT.csv").write_text(ESTIMATES_CSV + "\n")
+    df = earnings_estimates(spark, str(d / "*.csv"), as_of="2024-06-15")
+    assert df.count() == 8  # 4 periods × 2 tickers
+    assert {r.Ticker for r in df.collect()} == {"AAPL", "MSFT"}
+
+    typed = WH.add_surrogate_key(df, ["Ticker", "Period", "Date"])
+    WH.write_table(typed, str(tmp_path / "wh"), "earnings_estimates")
+    back = spark.read.parquet(str(tmp_path / "wh" / "earnings_estimates"))
+    row = {
+        (r.Ticker, r.Period): r
+        for r in back.collect()
+    }[("AAPL", "+1q")]
+    assert str(row.Avg) == "1.7000"  # DECIMAL(10,4) exact
+    assert str(row.Date) == "2024-06-15"
+    assert row.NumberOfAnalysts == 27
+    assert row.ID is not None
+
+
+def test_options_chain_pipeline_and_strike_range_join(spark, tmp_path):
+    """calls_/puts_ files collapse to ONE glob scan with OptionType
+    recovered from the filename; the DDL conform lands exact DECIMAL
+    strikes; the near-money strike-range join keeps only contracts within
+    ±10% of spot via a broadcast join (plan-checked: no cartesian)."""
+    from fortune_500_financial_insights_pipeline_spark import warehouse as WH
+    from fortune_500_financial_insights_pipeline_spark.pipelines.entity_csv import (
+        near_money_options,
+        options_chain,
+    )
+
+    d = tmp_path / "opts"
+    d.mkdir()
+    (d / "calls_AAPL.csv").write_text(CALLS_CSV + "\n")
+    (d / "puts_AAPL.csv").write_text(PUTS_CSV + "\n")
+    df = options_chain(spark, str(d / "*.csv"), as_of="2024-06-15")
+    rows = df.collect()
+    assert len(rows) == 5
+    assert {r.OptionType for r in rows} == {"call", "put"}
+    assert all(r.Ticker == "AAPL" for r in rows)
+
+    typed = WH.add_surrogate_key(df, ["ContractSymbol", "Date"])
+    WH.write_table(typed, str(tmp_path / "wh"), "options_chain")
+    back = spark.read.parquet(str(tmp_path / "wh" / "options_chain"))
+    strikes = {str(r.Strike) for r in back.collect()}
+    assert "210.00" in strikes  # DECIMAL(20,2) exact
+
+    spot = spark.createDataFrame([("AAPL", 212.5)], "Ticker string, Close double")
+    near = near_money_options(back, spot, pct=0.10)
+    got = {(r.OptionType, str(r.Strike)) for r in near.collect()}
+    # 10% band around 212.5 = [191.25, 233.75]: keeps 210C, 200P, 230P
+    assert got == {("call", "210.00"), ("put", "200.00"), ("put", "230.00")}
+    plan = near._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "Cartesian" not in plan
 
 
 def test_multimodal_frame_sampling(spark, sf_dir):

@@ -116,6 +116,56 @@ def test_elt_dag_end_to_end(spark, tmp_path):
     assert esg_rows[0].Ticker == "AAPL"
 
 
+def test_api_entities_dag_lands_all_four_feeds(spark, tmp_path):
+    """The Data_API_Ingestion graph: four independent per-ticker CSV feeds
+    → DDL-typed warehouse tables → spark.sql serving, including the
+    ingested-only earnings_estimates/options_chain the reference never
+    transforms."""
+    from tests.test_pipelines import CALLS_CSV, DIVIDEND_CSV, ESTIMATES_CSV, PUTS_CSV, RECS_CSV
+
+    from fortune_500_financial_insights_pipeline_spark.plans.jobs import build_api_entities_dag
+
+    div, recs, est, opts = (tmp_path / n for n in ("div", "recs", "est", "opts"))
+    for d in (div, recs, est, opts):
+        d.mkdir()
+    (div / "AAPL.csv").write_text(DIVIDEND_CSV + "\n")
+    (recs / "AAPL.csv").write_text(RECS_CSV + "\n")
+    (est / "AAPL.csv").write_text(ESTIMATES_CSV + "\n")
+    (opts / "calls_AAPL.csv").write_text(CALLS_CSV + "\n")
+    (opts / "puts_AAPL.csv").write_text(PUTS_CSV + "\n")
+
+    wh = str(tmp_path / "wh")
+    dag = build_api_entities_dag(
+        spark,
+        dividends_glob=str(div / "*.csv"),
+        recs_glob=str(recs / "*.csv"),
+        estimates_glob=str(est / "*.csv"),
+        options_glob=str(opts / "*.csv"),
+        warehouse_path=wh,
+        as_of="2024-06-15",
+    )
+    results = dag.run()
+    assert {r.status for r in results.values()} == {"success"}, {
+        k: (v.status, v.error) for k, v in results.items()
+    }
+    assert {
+        "dividend_history",
+        "analystreccomendations",
+        "earnings_estimates",
+        "options_chain",
+    } <= set(results["register_warehouse"].output)
+
+    atm = spark.sql(
+        "SELECT OptionType, COUNT(*) AS n FROM options_chain "
+        "WHERE InTheMoney GROUP BY OptionType ORDER BY OptionType"
+    ).collect()
+    assert [(r.OptionType, r.n) for r in atm] == [("call", 2), ("put", 1)]
+    est_row = spark.sql(
+        "SELECT Avg FROM earnings_estimates WHERE Period = '0y'"
+    ).head()
+    assert str(est_row.Avg) == "7.3200"
+
+
 def test_statements_dag_lands_quarterly(spark, tmp_path):
     from fortune_500_financial_insights_pipeline_spark.plans.jobs import build_statements_dag
 
