@@ -35,7 +35,34 @@ HEADLINE = [
     "q_union",
     "q_rollup",
     "q_date_extract",
+    # LLM-pipeline extension shapes — the expensive operators whose
+    # regressions SCALE.md used to track by hand (round-1 verdict #5)
+    "q_simhash_pairs",
+    "q_jaccard_clusters",
+    "q_minhash_neardup",
+    "q_pack_greedy",
+    "q_kmeans",
+    "q_tfidf",
+    "q_knn_join_ivf",
 ]
+
+# DuckDB oracle wall-clock on the SAME queries at sf0.1, best-of-2, measured
+# 2026-08-14 (see BASELINE.md "Numeric local baseline" for the recipe).
+# None = not comparable: q_minhash_neardup has no oracle; q_jaccard_clusters'
+# recursive-CTE oracle was interrupted at 180 s (Spark's label propagation
+# finishes in seconds — counting the cap would flatter us, so it's excluded
+# from the ratio on BOTH sides). Reported in the bench line as baseline_sec /
+# vs_baseline so the 2×-of-baseline bound is a checkable number per round.
+DUCKDB_BASELINE_SF01: dict[str, float | None] = {
+    "q_groupby_agg": 0.131, "q_csv_scan": 0.114, "q_join_inner": 0.0198,
+    "q_join_broadcast": 0.0267, "q_join_left": 0.0502, "q_window_rank": 0.0713,
+    "q_window_cumsum": 0.9003, "q_window_moving_avg": 0.1194, "q_topk": 0.0136,
+    "q_dedup_keep_latest": 0.0425, "q_json_parse": 0.0203, "q_union": 0.0474,
+    "q_rollup": 0.0095, "q_date_extract": 0.1061, "q_simhash_pairs": 6.9251,
+    "q_jaccard_clusters": None, "q_minhash_neardup": None,
+    "q_pack_greedy": 8.8492, "q_kmeans": 0.3904, "q_tfidf": 0.1239,
+    "q_knn_join_ivf": 0.0445,
+}
 
 
 def main() -> None:
@@ -80,6 +107,15 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    comparable = [
+        k for k, v in DUCKDB_BASELINE_SF01.items() if v is not None and k in timings
+    ]
+    if comparable and str(sf) == "0.1":
+        base = round(sum(DUCKDB_BASELINE_SF01[k] for k in comparable), 4)
+        ours = round(sum(timings[k] for k in comparable), 4)
+        line["baseline_sec"] = base
+        line["comparable_sec"] = ours
+        line["vs_baseline"] = round(ours / base, 3)
     if failed:
         line["failed"] = failed
     print(json.dumps(line))

@@ -582,6 +582,68 @@ def test_hll_estimates_within_error(spark, sf_dir):
         assert abs(e - exact[lang]) <= max(1, 0.05 * exact[lang]), (lang, e, exact[lang])
 
 
+def test_approx_distinct_within_relative_error(spark, sf_dir):
+    """A3's check is bounded-error, not hash-match (no exact oracle can
+    exist for a sketch estimate): approx_count_distinct's default rsd is
+    5% — ONE standard deviation, so individual groups routinely land
+    beyond it; pin every estimate within 3σ (15%), the band the estimator
+    contract makes overwhelmingly likely."""
+    from pyspark.sql import functions as F
+    from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+    from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
+
+    est = {
+        r.l_returnflag: (r.approx_parts, r.approx_orders)
+        for r in QUERIES["q_approx_distinct"](spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r.l_returnflag: (r.p, r.o)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("p"),
+            F.countDistinct("l_orderkey").alias("o"),
+        )
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for flag, (ap, ao) in est.items():
+        ep, eo = exact[flag]
+        assert abs(ap - ep) <= max(1, 0.15 * ep), (flag, ap, ep)
+        assert abs(ao - eo) <= max(1, 0.15 * eo), (flag, ao, eo)
+
+
+def test_approx_percentile_within_rank_error(spark, sf_dir):
+    """percentile_approx(accuracy=1000) guarantees rank error ≤ n/1000:
+    the returned value must lie between the exact (q ± n/1000)-rank
+    values per group — the bounded-error contract, engine-agnostic."""
+    from pyspark.sql import functions as F
+    from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+    from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
+
+    got = {
+        r.l_returnflag: (r.p50_approx, r.p99_approx)
+        for r in QUERIES["q_approx_percentile"](spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    for flag, (p50, p99) in got.items():
+        vals = sorted(
+            r.l_extendedprice
+            for r in li.where(F.col("l_returnflag") == flag).collect()
+        )
+        n = len(vals)
+        # rank error ≤ ceil(n/accuracy); +1 absorbs the rank-convention
+        # off-by-one (floor(q·n) vs q·(n-1) index the same guarantee band)
+        err = n // 1000 + 2
+        for q, v in ((0.5, p50), (0.99, p99)):
+            rank = int(q * (n - 1))
+            lo = vals[max(0, rank - err)]
+            hi = vals[min(n - 1, rank + err)]
+            assert lo <= v <= hi, (flag, q, v, lo, hi, n)
+
+
 def test_pagerank_matches_sequential_replay_and_partitioning(spark):
     """The distributed integer recurrence equals a sequential Python
     replay on a handmade graph, and is invariant to input partitioning
