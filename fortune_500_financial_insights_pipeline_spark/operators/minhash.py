@@ -49,13 +49,42 @@ def minhash_neardup_pairs(
     # re-evaluate the whole tokenize+ngram tree once per seed (Catalyst's
     # CollapseProject declines to merge the projections precisely because
     # the reference is non-cheap and repeated) — measured 7x slower.
-    g = df.select(F.col(id_col).alias("_id"), word_ngrams(F.col(text_col), ngram).alias("_grams"))
-    sig = g.select("_id", minhash_signature(F.col("_grams"), n_hashes).alias("_sig"))
+    # Tokenize/hash cost scales with text volume but the SCAN's partition
+    # count scales with file bytes — a compact corpus (one small parquet
+    # file) plans as one task and serializes everything on one core. When
+    # the scan under-splits relative to the cluster, buy parallelism with
+    # one cheap text-sized shuffle, hash-keyed on id so per-doc gram
+    # locality (and the partial-agg collapse below) survives. The shuffle
+    # goes UNDER the n-gram projection: repartitioning the projected grams
+    # would run the expensive tokenization single-threaded below the
+    # exchange and ship the ~3× larger gram arrays instead of raw text.
+    # When the input already has >= cores partitions (any real corpus),
+    # this is a no-op and no shuffle is added.
+    src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    sc = df.sparkSession.sparkContext
+    if src.rdd.getNumPartitions() < sc.defaultParallelism:
+        src = src.repartition(sc.defaultParallelism, "_id")
+    g = src.select("_id", word_ngrams(F.col("_text"), ngram).alias("_grams"))
+
+    # Signature on the CODEGEN path, not higher-order functions: explode to
+    # (id, gram) rows and take per-seed min() in a hash aggregate. The HOF
+    # form (array_min ∘ transform per seed) evaluates ~n_hashes·|grams|
+    # interpreted lambdas per doc — measured 2.5× slower end-to-end at sf0.1.
+    # Values are bit-identical (same min over the same xxhash64 calls).
+    # Shuffle stays doc-count-sized: a doc's grams share its input partition,
+    # so map-side partial agg collapses to one row per doc before exchange.
+    ex = g.select("_id", F.explode("_grams").alias("_g"))
+    sig_wide = ex.groupBy("_id").agg(
+        *[
+            F.min(F.xxhash64("_g", F.lit(seed))).alias(f"_h{seed}")
+            for seed in range(n_hashes)
+        ]
+    )
 
     # one row per (doc, band): band hash = xxhash64 over the band's slice.
-    # Only (id, band, bhash) enters the candidate join — the gram arrays
+    # Only (id, band, bhash) enters the candidate stage — the gram arrays
     # (the wide payload) never ride the bucket shuffle.
-    banded = sig.select(
+    banded = sig_wide.select(
         "_id",
         F.explode(
             F.array(
@@ -66,9 +95,7 @@ def minhash_neardup_pairs(
                             F.concat_ws(
                                 ",",
                                 *[
-                                    F.element_at("_sig", b * rows_per_band + i + 1).cast(
-                                        "string"
-                                    )
+                                    F.col(f"_h{b * rows_per_band + i}").cast("string")
                                     for i in range(rows_per_band)
                                 ],
                             )
@@ -80,11 +107,31 @@ def minhash_neardup_pairs(
         ).alias("bb"),
     ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
 
+    # Candidates via groupBy-collect_list instead of a bucket self-join: the
+    # self-join's two scans cannot share the signature subtree (different
+    # output aliases defeat ReuseExchange), so the expensive signature would
+    # compute TWICE. One groupBy computes it once; the within-bucket pair
+    # expansion is the same O(bucket²) the join would produce — small by
+    # construction (buckets are near-dup groups), and a skew-bounded bucket
+    # cap belongs in the caller if a degenerate corpus makes them collide.
+    pair_expr = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ids"), i + 2, F.size("ids")),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        ),
+        lambda p: p["id_a"] < p["id_b"],
+    )
     cand = (
-        banded.select(F.col("_id").alias("id_a"), "band", "bhash")
-        .join(banded.select(F.col("_id").alias("id_b"), "band", "bhash"), ["band", "bhash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        banded.groupBy("band", "bhash")
+        .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+        .select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     # exact verification: grams re-attached to the (small) candidate set only
