@@ -44,3 +44,28 @@ def compact_for_write(
     if by:
         return df.repartition(n_parts, *by)
     return df.repartition(n_parts)
+
+
+def ensure_min_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Input-side twin of compact_for_write: give a compact scan enough
+    partitions to use the cluster.
+
+    CPU-heavy per-row work (tokenization, per-token hashing, regex) scales
+    with DATA VOLUME, but a scan's task count scales with FILE BYTES —
+    compressed text diverges by an order of magnitude, and a single-row-group
+    file cannot be split at all, so a "small" file can serialize minutes of
+    compute on one core. When the plan has fewer partitions than
+    ``defaultParallelism``, one input-sized shuffle (hash-keyed on
+    ``key_cols`` so per-key locality — and map-side partial-agg collapse —
+    survives) buys full parallelism. No-op for any input that already splits,
+    so it is safe to leave on the 100 TB path.
+
+    Call it on the NARROW projection (id + raw text), before the expensive
+    derivation, so the heavy expressions run above the exchange.
+    """
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    if key_cols:
+        return df.repartition(sc.defaultParallelism, *key_cols)
+    return df.repartition(sc.defaultParallelism)

@@ -16,7 +16,52 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from fortune_500_financial_insights_pipeline_spark.operators.compact import ensure_min_parallelism
 from fortune_500_financial_insights_pipeline_spark.operators.text import jaccard, word_ngrams
+
+
+def bucket_pairs(
+    buckets: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """All (a, b) pairs within each bucket with ``a.id < b.id``, via ONE
+    groupBy + within-array expansion instead of a bucket self-join.
+
+    The self-join form computes the (usually expensive) bucket-key subtree
+    TWICE: its two branches alias columns differently, so ReuseExchange
+    never fires. One collect_list computes it once; the within-bucket
+    expansion is the same O(bucket²) output the join would produce. Buckets
+    are near-dup groups — small by construction; a degenerate corpus that
+    collides buckets needs a caller-side bucket cap, not a different plan.
+
+    Returns id_a, id_b (+ each carry col as ``{c}_a``/``{c}_b``); pairs
+    seen in several buckets are deduplicated."""
+    payload = F.struct(
+        F.col(id_col).alias("i"), *[F.col(c).alias(c) for c in carry_cols]
+    )
+    # array_sort on structs orders by the leading field (the id), so the
+    # i-th element always precedes the j-th for i<j — a<b by construction.
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("xs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("xs"), i + 2, F.size("xs")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    out = (
+        buckets.groupBy(*key_cols)
+        .agg(F.array_sort(F.collect_list(payload)).alias("xs"))
+        .where(F.size("xs") > 1)
+        .select(F.explode(pair_expr).alias("p"))
+    )
+    cols = [F.col("p.a.i").alias("id_a"), F.col("p.b.i").alias("id_b")]
+    for c in carry_cols:
+        cols += [F.col(f"p.a.{c}").alias(f"{c}_a"), F.col(f"p.b.{c}").alias(f"{c}_b")]
+    return out.select(*cols).dropDuplicates(["id_a", "id_b"])
 
 
 def minhash_signature(grams: Column, n_hashes: int) -> Column:
@@ -49,21 +94,13 @@ def minhash_neardup_pairs(
     # re-evaluate the whole tokenize+ngram tree once per seed (Catalyst's
     # CollapseProject declines to merge the projections precisely because
     # the reference is non-cheap and repeated) — measured 7x slower.
-    # Tokenize/hash cost scales with text volume but the SCAN's partition
-    # count scales with file bytes — a compact corpus (one small parquet
-    # file) plans as one task and serializes everything on one core. When
-    # the scan under-splits relative to the cluster, buy parallelism with
-    # one cheap text-sized shuffle, hash-keyed on id so per-doc gram
-    # locality (and the partial-agg collapse below) survives. The shuffle
-    # goes UNDER the n-gram projection: repartitioning the projected grams
-    # would run the expensive tokenization single-threaded below the
-    # exchange and ship the ~3× larger gram arrays instead of raw text.
-    # When the input already has >= cores partitions (any real corpus),
-    # this is a no-op and no shuffle is added.
-    src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
-    sc = df.sparkSession.sparkContext
-    if src.rdd.getNumPartitions() < sc.defaultParallelism:
-        src = src.repartition(sc.defaultParallelism, "_id")
+    # The parallelism guard goes UNDER the n-gram projection: repartitioning
+    # the projected grams would run the expensive tokenization
+    # single-threaded below the exchange and ship the ~3× larger gram
+    # arrays instead of raw text (see ensure_min_parallelism).
+    src = ensure_min_parallelism(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")), "_id"
+    )
     g = src.select("_id", word_ngrams(F.col("_text"), ngram).alias("_grams"))
 
     # Signature on the CODEGEN path, not higher-order functions: explode to
@@ -107,33 +144,7 @@ def minhash_neardup_pairs(
         ).alias("bb"),
     ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
 
-    # Candidates via groupBy-collect_list instead of a bucket self-join: the
-    # self-join's two scans cannot share the signature subtree (different
-    # output aliases defeat ReuseExchange), so the expensive signature would
-    # compute TWICE. One groupBy computes it once; the within-bucket pair
-    # expansion is the same O(bucket²) the join would produce — small by
-    # construction (buckets are near-dup groups), and a skew-bounded bucket
-    # cap belongs in the caller if a degenerate corpus makes them collide.
-    pair_expr = F.filter(
-        F.flatten(
-            F.transform(
-                F.col("ids"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("ids"), i + 2, F.size("ids")),
-                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                ),
-            )
-        ),
-        lambda p: p["id_a"] < p["id_b"],
-    )
-    cand = (
-        banded.groupBy("band", "bhash")
-        .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
-        .where(F.size("ids") > 1)
-        .select(F.explode(pair_expr).alias("p"))
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = bucket_pairs(banded, ["band", "bhash"], "_id")
     # exact verification: grams re-attached to the (small) candidate set only
     ga = g.select(F.col("_id").alias("id_a"), F.col("_grams").alias("grams_a"))
     gb = g.select(F.col("_id").alias("id_b"), F.col("_grams").alias("grams_b"))

@@ -2198,9 +2198,17 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit_count(a XOR b) scores each pair. With the md5-bit signature the
     entire pipeline — signature, banding arithmetic, xor popcount — is
     engine-portable and oracle-exact, end to end."""
-    from fortune_500_financial_insights_pipeline_spark.operators.minhash import simhash_portable
+    from fortune_500_financial_insights_pipeline_spark.operators.compact import (
+        ensure_min_parallelism,
+    )
+    from fortune_500_financial_insights_pipeline_spark.operators.minhash import (
+        bucket_pairs,
+        simhash_portable,
+    )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     sigs = docs.select("doc_id", simhash_portable("text").alias("sig"))
     bands = sigs.select(
         "doc_id",
@@ -2217,14 +2225,9 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "sig", "bb.band", "bb.bval")
-    a = bands.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bval")
-    b = bands.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bval")
-    pairs = (
-        a.join(b, ["band", "bval"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .distinct()
-    )
+    # bucket_pairs computes the md5-fold signature subtree ONCE (a bucket
+    # self-join would compute it per branch) and yields id_a < id_b pairs.
+    pairs = bucket_pairs(bands, ["band", "bval"], "doc_id", carry_cols=("sig",))
     return pairs.select(
         "id_a",
         "id_b",

@@ -325,9 +325,13 @@ def test_grouped_topk_limits_before_shuffle(spark, sf_dir):
 
 
 def test_simhash_pairs_joins_on_bands_not_cartesian(spark, sf_dir):
-    """q_simhash_pairs: candidate generation must be the (band, value)
-    equi-join — an O(n²) signature cross-compare here would defeat the
-    banding entirely."""
+    """q_simhash_pairs: candidate generation must stay bucketed — an O(n²)
+    signature cross-compare would defeat the banding entirely. Since round
+    2 the bucket grouping is a hash AGGREGATE on (band, bval) with
+    within-bucket pair expansion (bucket_pairs) rather than a self-join:
+    zero join nodes, and the signature subtree computes once instead of
+    twice."""
     plan = plan_of(spark, sf_dir, "q_simhash_pairs")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
-    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+    assert "Join" not in plan  # bucket_pairs replaced the bucket self-join
+    assert re.search(r"HashAggregate.*\bband\b", plan, re.S), plan[:2000]
