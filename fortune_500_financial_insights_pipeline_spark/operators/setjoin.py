@@ -59,6 +59,12 @@ def jaccard_pairs_exact(
             "_id",
             F.transform("_ord", lambda s: s["t"]).alias("_g"),
         )
+        # Four consumers (both prefix-join branches + both verify rejoins)
+        # would each recompute the token-frequency join and the per-record
+        # sort; the branches alias differently so ReuseExchange never fires.
+        # A lazy localCheckpoint materializes it once and truncates lineage
+        # (same pattern as graph.label_propagation's iteration cut).
+        .localCheckpoint(eager=False)
     )
 
     # Prefix length p = |g| - ceil(t*|g|) + 1 (overlap of a qualifying pair
