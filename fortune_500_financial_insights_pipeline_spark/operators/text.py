@@ -176,7 +176,12 @@ def repetition_stats(df, id_col: str, text_col: str, n: int = 2):
     doc — both partial-aggregated map-side, and the doc key means the
     explode never crosses documents, so skew is bounded by the longest
     single document."""
-    grams = df.select(
+    from fortune_500_financial_insights_pipeline_spark.operators.compact import (
+        ensure_min_parallelism,
+    )
+
+    src = ensure_min_parallelism(df.select(F.col(id_col), F.col(text_col)), id_col)
+    grams = src.select(
         F.col(id_col), F.explode(word_ngrams_all(text_col, n)).alias("gram")
     )
     per = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("cnt"))

@@ -27,10 +27,21 @@ from pyspark.sql import functions as F
 def term_frequencies(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(doc_id, term, tf) — whitespace tokens, duplicate-counting."""
+    """(doc_id, term, tf) — whitespace tokens, duplicate-counting.
+
+    The tokenize/explode is guarded by ensure_min_parallelism: a compact
+    single-file corpus would otherwise run it on one scan task (results are
+    doc-keyed aggregates — partition-invariant by construction)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.compact import (
+        ensure_min_parallelism,
+    )
+
+    src = ensure_min_parallelism(
+        docs.select(F.col(id_col), F.col(text_col)), id_col
+    )
     toks = F.explode(F.split(F.col(text_col), " ")).alias("term")
     return (
-        docs.select(F.col(id_col), toks)
+        src.select(F.col(id_col), toks)
         .where(F.col("term") != "")
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"))
