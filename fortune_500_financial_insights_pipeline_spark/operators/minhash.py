@@ -101,7 +101,12 @@ def minhash_neardup_pairs(
     src = ensure_min_parallelism(
         df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")), "_id"
     )
-    g = src.select("_id", word_ngrams(F.col("_text"), ngram).alias("_grams"))
+    # Tokenization is interpreted-HOF work consumed by THREE branches (the
+    # signature and both verify rejoins, whose aliases defeat ReuseExchange)
+    # — checkpoint the gram table once, same cut as setjoin's ordered table.
+    g = src.select(
+        "_id", word_ngrams(F.col("_text"), ngram).alias("_grams")
+    ).localCheckpoint(eager=False)
 
     # Signature on the CODEGEN path, not higher-order functions: explode to
     # (id, gram) rows and take per-seed min() in a hash aggregate. The HOF
