@@ -25,6 +25,7 @@ def bucket_pairs(
     key_cols: list[str],
     id_col: str,
     carry_cols: tuple[str, ...] = (),
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """All (a, b) pairs within each bucket with ``a.id < b.id``, via ONE
     groupBy + within-array expansion instead of a bucket self-join.
@@ -33,11 +34,19 @@ def bucket_pairs(
     TWICE: its two branches alias columns differently, so ReuseExchange
     never fires. One collect_list computes it once; the within-bucket
     expansion is the same O(bucket²) output the join would produce. Buckets
-    are near-dup groups — small by construction; a degenerate corpus that
-    collides buckets needs a caller-side bucket cap, not a different plan.
+    are near-dup groups — small by construction on a healthy corpus.
+
+    ``max_bucket`` is the skew guard for degenerate corpora (boilerplate
+    floods, constant fields): a bucket of b members emits b(b-1)/2 pairs,
+    so ONE 100k-member bucket is 5e9 pairs — at 100 TB you cap and drop
+    such buckets (standard LSH practice: an over-full bucket carries no
+    discriminating signal anyway). None = emit everything.
 
     Returns id_a, id_b (+ each carry col as ``{c}_a``/``{c}_b``); pairs
-    seen in several buckets are deduplicated."""
+    seen in several buckets are deduplicated. ``carry_cols`` must be
+    functionally dependent on the id (a signature, a gram array): the
+    dedup keeps one arbitrary bucket's row per pair, which is only
+    row-identical under that dependency."""
     payload = F.struct(
         F.col(id_col).alias("i"), *[F.col(c).alias(c) for c in carry_cols]
     )
@@ -52,12 +61,14 @@ def bucket_pairs(
             ),
         )
     )
-    out = (
+    grouped = (
         buckets.groupBy(*key_cols)
         .agg(F.array_sort(F.collect_list(payload)).alias("xs"))
         .where(F.size("xs") > 1)
-        .select(F.explode(pair_expr).alias("p"))
     )
+    if max_bucket is not None:
+        grouped = grouped.where(F.size("xs") <= max_bucket)
+    out = grouped.select(F.explode(pair_expr).alias("p"))
     cols = [F.col("p.a.i").alias("id_a"), F.col("p.b.i").alias("id_b")]
     for c in carry_cols:
         cols += [F.col(f"p.a.{c}").alias(f"{c}_a"), F.col(f"p.b.{c}").alias(f"{c}_b")]

@@ -354,6 +354,73 @@ def test_binned_interval_join_outer_equals_naive(spark, rows, rrows, how):
     assert got == naive
 
 
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),    # bucket key
+            st.integers(min_value=0, max_value=30),   # member id
+        ),
+        min_size=1, max_size=40, unique_by=lambda r: (r[0], r[1]),
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bucket_pairs_equals_self_join(spark, rows):
+    """bucket_pairs (groupBy + within-array expansion) must emit exactly
+    the id_a<id_b pairs — with carried payload — that the classic bucket
+    self-join emits, for ANY bucket layout including ids shared across
+    buckets (dedup) and singleton buckets (dropped). The payload is a
+    function of the id, per the operator's carry_cols contract."""
+    from fortune_500_financial_insights_pipeline_spark.operators.minhash import bucket_pairs
+
+    df = spark.createDataFrame(
+        [(b, i, (i * 7) % 10) for b, i in rows], "b int, id int, pay int"
+    )
+    got = {
+        (r.id_a, r.id_b, r.pay_a, r.pay_b)
+        for r in bucket_pairs(df, ["b"], "id", carry_cols=("pay",)).collect()
+    }
+    a = df.select(F.col("b"), F.col("id").alias("id_a"), F.col("pay").alias("pay_a"))
+    bdf = df.select(F.col("b"), F.col("id").alias("id_b"), F.col("pay").alias("pay_b"))
+    ref = {
+        (r.id_a, r.id_b, r.pay_a, r.pay_b)
+        for r in a.join(bdf, "b").where(F.col("id_a") < F.col("id_b")).collect()
+    }
+    assert got == ref
+
+
+def test_bucket_pairs_max_bucket_drops_oversized(spark):
+    """The skew guard: a bucket beyond max_bucket contributes NO pairs
+    (b(b-1)/2 from one flooded bucket is the LSH blow-up mode at scale);
+    healthy buckets are unaffected."""
+    from fortune_500_financial_insights_pipeline_spark.operators.minhash import bucket_pairs
+
+    rows = [("flood", i) for i in range(10)] + [("ok", 100), ("ok", 101)]
+    df = spark.createDataFrame(rows, "b string, id int")
+    got = {
+        (r.id_a, r.id_b)
+        for r in bucket_pairs(df, ["b"], "id", max_bucket=5).collect()
+    }
+    assert got == {(100, 101)}
+
+
+def test_ensure_min_parallelism_repartitions_only_when_needed(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.compact import (
+        ensure_min_parallelism,
+    )
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).coalesce(1)
+    widened = ensure_min_parallelism(narrow.selectExpr("id"), "id")
+    assert widened.rdd.getNumPartitions() == target
+    assert widened.count() == 1000
+    already = spark.range(1000).repartition(target + 4)
+    assert ensure_min_parallelism(already).rdd.getNumPartitions() == target + 4
+
+
 def test_binned_interval_join_rejects_unknown_how(spark):
     import pytest as _pytest
 
