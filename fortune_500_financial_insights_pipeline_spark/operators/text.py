@@ -86,6 +86,47 @@ def word_ngrams(text: Column | str, n: int = 2) -> Column:
     return F.array_distinct(gram)
 
 
+def duplicated_spans(df, n: int = 8, id_col: str = "doc_id", text_col: str = "text"):
+    """Cross-document duplicated text spans: every n-word window whose
+    exact content occurs in ≥2 distinct documents, reported per (doc,
+    start position) — exact substring dedup at span granularity
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better": doc-level dedup misses boilerplate INSIDE otherwise-unique
+    documents; span-level catches it).
+
+    Scale shape: one positioned-window explode (≈ token count rows — the
+    only volume-carrying stage, behind the parallelism guard), then all
+    work happens on the 32-byte md5 span key: a count-distinct-docs
+    aggregate finds shared spans and an equi-join re-attaches positions.
+    The span text itself never rides a shuffle."""
+    from fortune_500_financial_insights_pipeline_spark.operators.compact import (
+        ensure_min_parallelism,
+    )
+
+    src = ensure_min_parallelism(
+        df.select(F.col(id_col), F.col(text_col).alias("__t")), id_col
+    )
+    toks = tokens(F.col("__t"))
+    windows = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+            )
+        ),
+    )
+    spans = src.where(F.size(toks) >= n).select(
+        id_col, F.posexplode(windows).alias("pos", "span_hash")
+    )
+    shared = (
+        spans.groupBy("span_hash")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .where(F.col("__nd") >= 2)
+        .select("span_hash")
+    )
+    return spans.join(shared, "span_hash").select(id_col, "pos", "span_hash")
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Jaccard similarity of two string arrays (distinct-set semantics)."""
     inter = F.size(F.array_intersect(a, b)).cast("double")

@@ -500,6 +500,23 @@ FROM (
 WHERE rn = 1
 """
 
+ORACLES["q_dup_spans"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+spans AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(l[i]||' '||l[i+1]||' '||l[i+2]||' '||l[i+3]||' '||l[i+4]
+             ||' '||l[i+5]||' '||l[i+6]||' '||l[i+7]) AS span_hash
+  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 7)) AS i
+        FROM toks WHERE len(l) >= 8)
+),
+dups AS (
+  SELECT span_hash FROM spans GROUP BY span_hash
+  HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT s.doc_id, CAST(s.pos AS INTEGER) AS pos, s.span_hash
+FROM spans s JOIN dups USING (span_hash)
+"""
+
 ORACLES["q_ngram_jaccard"] = """
 WITH grams AS (
   SELECT doc_id,

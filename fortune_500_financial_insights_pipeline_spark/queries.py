@@ -1015,6 +1015,19 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_dup_spans")
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup: 8-word windows occurring in ≥2 distinct
+    documents, per (doc, start position) — the boilerplate-inside-unique-
+    documents detector doc-level fingerprint dedup misses. All post-
+    explode work rides the md5 span key (operators/text.duplicated_spans);
+    oracle mirrors the window construction verbatim."""
+    from fortune_500_financial_insights_pipeline_spark.operators.text import duplicated_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return duplicated_spans(d, n=8)
+
+
 @q("q_ngram_jaccard")
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-bigram Jaccard similarity of every doc against doc_id=0, top 20."""

@@ -582,6 +582,27 @@ def test_hll_estimates_within_error(spark, sf_dir):
         assert abs(e - exact[lang]) <= max(1, 0.05 * exact[lang]), (lang, e, exact[lang])
 
 
+def test_duplicated_spans_finds_planted_boilerplate(spark):
+    """Span-level dedup: an 8-word boilerplate block shared by two
+    otherwise-different documents is flagged at the right start offsets in
+    BOTH docs; a doc shorter than the window and a unique doc produce
+    nothing; within-doc repeats alone don't count (≥2 DISTINCT docs)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.text import duplicated_spans
+
+    boiler = "please subscribe to our newsletter for more updates every day"  # 10 words
+    rows = [
+        (1, "alpha beta " + boiler),                    # boiler at pos 2
+        (2, boiler + " gamma delta"),                   # boiler at pos 0
+        (3, "totally unrelated words that never repeat anywhere at all ok"),
+        (4, "short doc"),                               # < 8 words
+        (5, "x y " + "z " * 20),                        # within-doc repeats only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_id, r.pos) for r in duplicated_spans(df, n=8).collect()}
+    # 10-word boiler → 3 shared 8-word windows per doc
+    assert got == {(1, 2), (1, 3), (1, 4), (2, 0), (2, 1), (2, 2)}
+
+
 def test_approx_distinct_within_relative_error(spark, sf_dir):
     """A3's check is bounded-error, not hash-match (no exact oracle can
     exist for a sketch estimate): approx_count_distinct's default rsd is
