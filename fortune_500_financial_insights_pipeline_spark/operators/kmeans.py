@@ -23,6 +23,15 @@ shuffle carrying k·dim rows. Driver traffic is k·dim longs per iteration —
 the classic small-k k-means layout. Init = k lowest md5(vec_id) vectors
 (engine-portable, same trick as operators/sampling.py).
 
+Centroids reach the executors as a one-row broadcast relation (an
+``array<struct<cell,c>>`` column attached by a broadcast nested-loop join),
+NOT as per-cell literal arrays in the plan: k·dim plan literals made every
+iteration re-analyze and re-compile a fresh giant expression (measured 2-3 s
+per iteration at ANY scale factor — pure fixed overhead), and at a realistic
+quantizer size (k=4096, dim=1024) a 4M-literal plan would not compile at
+all. With the broadcast form the plan shape is identical across iterations,
+so analysis and codegen are cached after the first.
+
 Oracle: the iterations unroll to CTE stages (oracles.py q_kmeans) — DuckDB
 replays the exact integer computation single-threaded.
 """
@@ -75,14 +84,33 @@ def kmeans_fit(
     )
     centroids: dict[int, list[int]] = {i: list(r["v"]) for i, r in enumerate(seed_rows)}
 
-    agg = None
+    spark = emb.sparkSession
+    cent_schema = "cents array<struct<cell:bigint,c:array<bigint>>>"
+    rows: list = []
     for _ in range(n_iter):
-        cells = sorted(centroids)
-        dists = F.array(*[_sqdist(F.col("v"), centroids[c]) for c in cells])
-        # first occurrence of the minimum → ties go to the lowest cell id
-        idx = F.array_position(dists, F.array_min(dists))
-        cell = F.element_at(F.array(*[F.lit(c).cast("long") for c in cells]), idx.cast("int"))
-        assigned = df.withColumn("cell", cell)
+        cent_df = spark.createDataFrame(
+            [([(int(c), [int(x) for x in centroids[c]]) for c in sorted(centroids)],)],
+            cent_schema,
+        )
+        # squared distance to every live centroid, struct-ordered so
+        # array_min picks (min distance, then lowest cell id) — the same
+        # tie-break as taking the first occurrence over ascending cells
+        scored = F.transform(
+            F.col("cents"),
+            lambda ct: F.struct(
+                F.aggregate(
+                    F.zip_with(F.col("v"), ct["c"], lambda x, y: (x - y) * (x - y)),
+                    F.lit(0).cast("long"),
+                    lambda acc, d: acc + d,
+                ).alias("d"),
+                ct["cell"].alias("cell"),
+            ),
+        )
+        assigned = (
+            df.join(F.broadcast(cent_df))  # 1-row relation: map-side attach
+            .withColumn("cell", F.array_min(scored)["cell"])
+            .drop("cents")
+        )
         agg = (
             assigned.select("cell", F.posexplode("v").alias("pos", "x"))
             .groupBy("cell", "pos")
@@ -93,17 +121,20 @@ def kmeans_fit(
         dim = len(next(iter(centroids.values())))
         for r in rows:
             vec = new.setdefault(int(r["cell"]), [0] * dim)
-            s, n = int(r["s"]), int(r["n"])
-            vec[int(r["pos"])] = (s - _trunc_mod(s, n)) // n
+            vec[int(r["pos"])] = _trunc_div(int(r["s"]), int(r["n"]))
         centroids = new  # cells that lost every member drop out, as in the oracle
 
-    # `s div n` is Spark's integer division on longs — exact at any
-    # magnitude, unlike (s - s % n) / n which routes through a double.
-    return agg.select(
-        "cell",
-        F.col("pos").cast("long").alias("pos"),
-        F.expr("s div n").cast("long").alias("c"),
-        "n",
+    df.unpersist()
+    # The driver already holds the final iteration's aggregate (k·dim longs —
+    # the same payload every iteration ships); materializing `agg` again
+    # would re-run assignment + shuffle, a full extra pass over the data at
+    # scale. _trunc_div matches Spark's `s div n` long division exactly.
+    return spark.createDataFrame(
+        [
+            (int(r["cell"]), int(r["pos"]), _trunc_div(int(r["s"]), int(r["n"])), int(r["n"]))
+            for r in rows
+        ],
+        "cell bigint, pos bigint, c bigint, n bigint",
     )
 
 
