@@ -385,6 +385,70 @@ def knn_join_ivf(
     )
 
 
+def semdedup(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    *,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540): bucket embeddings into coarse-quantizer cells, then
+    inside each cell drop every vector that has a cosine-similar
+    (``round(sim, round_digits) >= threshold``) neighbor with a LOWER id.
+    The kept rows (one representative per duplicate neighborhood, lowest id
+    wins) come back with their ``cell`` attached; ``vec_col`` is dropped.
+
+    The drop rule is pairwise, not transitive: b is dropped whenever some
+    a < b is similar to it, whether or not a itself survived — the
+    deterministic variant of the paper's per-cluster pruning, and exactly
+    expressible as one anti-join (no iterative closure; for the transitive
+    form compose with graph.connected_components as q_jaccard_clusters
+    does).
+
+    100 TB shape: the pair enumeration is an equi-join on ``cell`` (never a
+    crossJoin), so the cost is sum(cell_size^2) — k must scale with corpus
+    size to keep cells bounded (the paper uses k=50000 for LAION-scale);
+    feed ``kmeans_centroids`` for trained cells, ``md5_sample_centroids``
+    when the oracle must replay the routing. Norms are staged once per row
+    and reused across every pair the row participates in."""
+    staged = emb.withColumn("__vnorm", _norm(F.col(vec_col)))
+    indexed = staged.withColumn(
+        "cell",
+        F.element_at(
+            probe_cells_col(vec_col, centroids, 1, round_digits, norm_col="__vnorm"),
+            1,
+        ),
+    )
+    left = indexed.select(
+        F.col(id_col).alias("__id_a"),
+        F.col(vec_col).alias("__vec_a"),
+        F.col("__vnorm").alias("__norm_a"),
+        "cell",
+    )
+    right = indexed.select(
+        F.col(id_col).alias("__id_b"),
+        F.col(vec_col).alias("__vec_b"),
+        F.col("__vnorm").alias("__norm_b"),
+        "cell",
+    )
+    sim = F.round(
+        _dot(F.col("__vec_a"), F.col("__vec_b"))
+        / (F.col("__norm_a") * F.col("__norm_b")),
+        round_digits,
+    )
+    dropped = (
+        left.join(right, "cell")
+        .where(F.col("__id_a") < F.col("__id_b"))
+        .where(sim >= threshold)
+        .select(F.col("__id_b").alias(id_col))
+        .distinct()
+    )
+    return indexed.drop("__vnorm", vec_col).join(dropped, id_col, "left_anti")
+
+
 def knn_join(
     queries: DataFrame,
     corpus: DataFrame,

@@ -376,6 +376,36 @@ s AS (
 SELECT vec_id, label, sim FROM s ORDER BY sim DESC, vec_id ASC LIMIT 20
 """
 
+ORACLES["q_semdedup"] = """
+WITH seeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+         CAST(embedding AS DOUBLE[]) AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)
+), sims AS (
+  SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) AS vec, s.cell,
+         ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), s.cvec)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(s.cvec, s.cvec))), 6) AS csim
+  FROM embeddings e CROSS JOIN seeds s
+), cells AS (
+  SELECT vec_id, label, vec, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY csim DESC, cell ASC) AS rn
+    FROM sims) WHERE rn = 1
+), dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.vec, b.vec)
+              / (sqrt(list_dot_product(a.vec, a.vec))
+                 * sqrt(list_dot_product(b.vec, b.vec))), 6) >= 0.4
+)
+SELECT c.vec_id, c.label, CAST(c.cell AS BIGINT) AS cell
+FROM cells c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+WHERE d.vec_id IS NULL
+"""
+
 ORACLES["q_knn_join_ivf"] = """
 WITH seeds AS (
   SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,

@@ -229,6 +229,40 @@ def test_ivf_topk_recall_on_clustered_data(spark):
     assert s1 == s2
 
 
+def test_semdedup_drops_planted_duplicates_keeps_lowest_id(spark):
+    """SemDeDup on cluster-structured vectors: an exact copy and a tiny
+    perturbation of an existing vector are dropped (their lower-id original
+    survives), dissimilar vectors all survive, and the drop rule is
+    pairwise — b dropped by a does not shield c from b (a<b<c chain all
+    similar: only a remains)."""
+    import random
+
+    from fortune_500_financial_insights_pipeline_spark.operators.similarity import semdedup
+
+    rng = random.Random(11)
+    centers = [[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]]
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(10):
+            # spread wide enough that distinct members stay below threshold
+            rows.append((vid, [x + rng.uniform(-4.0, 4.0) for x in c]))
+            vid += 1
+    base = dict(rows)
+    rows.append((100, list(base[0])))                        # exact copy of 0
+    rows.append((101, [x * 1.001 + 0.001 for x in base[0]]))  # near-copy chain
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    kept = {
+        r.vec_id
+        for r in semdedup(emb, centers, threshold=0.999).collect()
+    }
+    assert 0 in kept            # lowest id of the duplicate group survives
+    assert 100 not in kept      # exact copy dropped (cos == 1 with 0)
+    assert 101 not in kept      # near-copy dropped even though 100 also died
+    assert len(kept) == 30      # every non-planted vector survives
+
+
 def test_hash_sample_is_partition_invariant(spark, sf_dir):
     from fortune_500_financial_insights_pipeline_spark.catalog import load_table
     from fortune_500_financial_insights_pipeline_spark.operators.sampling import hash_sample
