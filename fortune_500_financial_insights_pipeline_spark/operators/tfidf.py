@@ -134,3 +134,58 @@ def cosine_prep(tfidf_df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     return tfidf_df.join(norm, id_col).select(
         id_col, "term", (F.col("tfidf") / F.col("l2")).alias("weight")
     )
+
+
+def bm25(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Okapi BM25 term weights — (doc_id, term, tf, score) with the
+    document-length saturation TF-IDF lacks; the standard retrieval /
+    data-curation relevance weight (Robertson & Zaragoza 2009).
+
+    score = idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)),
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+    Plan shape matches tfidf(): one explode pass builds the tf frame; dl
+    (document token count) and df (term document frequency) are windows
+    OVER the tf frame — no second pass over raw text; N and total token
+    count enter as a 1-row broadcast. Scores round to 6dp so libm ln ulp
+    differences can't leak into cross-engine comparisons. avgdl counts
+    tokens/docs over the whole corpus (empty docs lower avgdl but earn no
+    term rows, same convention as tfidf_from_tf's note)."""
+    from pyspark.sql.window import Window
+
+    tf = term_frequencies(docs, id_col=id_col, text_col=text_col)
+    stats = (
+        tf.agg(F.sum("tf").alias("total_tf"))
+        .crossJoin(F.broadcast(docs.select(F.count("*").alias("n_docs"))))
+    )
+    dl_w = Window.partitionBy(id_col)
+    df_w = Window.partitionBy("term")
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (
+        1.0 - b + b * F.col("dl") / (F.col("total_tf") / F.col("n_docs"))
+    )
+    scored = (
+        tf.withColumn("dl", F.sum("tf").over(dl_w))
+        .withColumn("df", F.count("*").over(df_w))
+        .crossJoin(F.broadcast(stats))
+        .withColumn("score", F.round(idf * F.col("tf") * (k1 + 1.0) / denom, 6))
+        .select(id_col, "term", "tf", "score")
+    )
+    if top_k is None:
+        return scored
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= top_k)
+        .drop("rn")
+    )

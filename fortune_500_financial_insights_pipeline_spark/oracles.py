@@ -621,6 +621,45 @@ FROM (
 WHERE rn <= 3
 """
 
+ORACLES["q_bm25"] = """
+WITH tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> ''
+  GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), stats AS (
+  SELECT (SELECT SUM(tf) FROM tf) AS total_tf,
+         (SELECT COUNT(*) FROM documents) AS n_docs
+)
+SELECT doc_id, term, tf, score
+FROM (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         ROUND(LN(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * (1.0 - 0.75
+                                 + 0.75 * dl.dl / (s.total_tf * 1.0 / s.n_docs))),
+               6) AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY ROUND(LN(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                          * tf.tf * (1.2 + 1.0)
+                          / (tf.tf + 1.2 * (1.0 - 0.75
+                                            + 0.75 * dl.dl / (s.total_tf * 1.0 / s.n_docs))),
+                          6) DESC,
+                    tf.term ASC
+         ) AS rn
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN dfreq ON tf.term = dfreq.term
+  CROSS JOIN stats s
+)
+WHERE rn <= 3
+"""
+
 ORACLES["q_chunk_docs"] = """
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS l FROM documents

@@ -1015,6 +1015,17 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf(d, top_k=3)
 
 
+@q("q_bm25")
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 Okapi BM25 terms per document (k1=1.2, b=0.75, round 6dp) —
+    the length-saturating retrieval weight next to q_tfidf's raw TF-IDF
+    (operators/tfidf.py bm25)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.tfidf import bm25
+
+    d = load_table(spark, sf_dir, "documents")
+    return bm25(d, top_k=3)
+
+
 @q("q_chunk_docs")
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping 32-token windows, step 24 — 1→N row expansion."""
