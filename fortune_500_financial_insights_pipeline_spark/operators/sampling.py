@@ -67,3 +67,79 @@ def md5_stratified(
         case = F.when(*arm) if case is None else case.when(*arm)
     threshold = case.otherwise(F.lit(""))
     return df.filter(F.md5(F.concat_ws("|", *key_cols)) < threshold)
+
+
+def mix_sources(
+    docs: DataFrame,
+    weights: dict[str, int],
+    *,
+    budget_fraction: float | None = None,
+    budget_tokens: int | None = None,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Weighted source mixing to a token budget — the "data mixture" step
+    of a training-data build (e.g. web 60% / code 20% / books 20% of an
+    N-token target). Integer ``weights`` split the total budget
+    proportionally: ``budget(s) = (w_s * total) div sum(w)`` in exact
+    long arithmetic; the total is ``budget_tokens`` or
+    ``floor(budget_fraction * corpus_tokens)`` with the corpus total
+    entering as a 1-row broadcast, never a driver collect.
+
+    Within each source, documents are ordered by ``(md5(id), id)`` — the
+    engine-portable deterministic shuffle used across this repo — and the
+    kept set is the longest PREFIX whose running token count fits the
+    source's budget (prefix truncation: the first overflowing doc and
+    everything after it are cut; no skip-and-refill, so the selection is a
+    pure predicate on the running sum and replays identically in any
+    engine). Output: kept docs with ``n_tokens``, running ``cum_tokens``,
+    and the source's ``budget``.
+
+    100 TB shape: one window keyed by source — low cardinality by nature
+    (sources are datasets, not rows), so a hot source serializes in one
+    task. When a single source is itself huge, pre-aggregate the running
+    sum at file/shard granularity first (shard prefix sums broadcast,
+    per-shard windows then run in parallel) — same semantics, two-level
+    scan; at fixture scale the single window is the honest plan."""
+    from pyspark.sql.window import Window
+
+    spark = docs.sparkSession
+    if (budget_fraction is None) == (budget_tokens is None):
+        raise ValueError("exactly one of budget_fraction / budget_tokens required")
+    sum_w = sum(int(w) for w in weights.values())
+    wdf = spark.createDataFrame(
+        [(s, int(w)) for s, w in sorted(weights.items())],
+        f"{source_col} string, weight bigint",
+    )
+    t = docs.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    )
+    if budget_tokens is not None:
+        total = spark.range(1).select(
+            F.lit(int(budget_tokens)).cast("long").alias("total_budget")
+        )
+    else:
+        total = t.agg(
+            F.floor(F.sum("n_tokens") * F.lit(float(budget_fraction)))
+            .cast("long")
+            .alias("total_budget")
+        )
+    budgets = (
+        wdf.crossJoin(F.broadcast(total))
+        .select(
+            source_col,
+            F.expr(f"(weight * total_budget) div {sum_w}").alias("budget"),
+        )
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .join(F.broadcast(budgets), source_col)
+        .where(F.col("cum_tokens") <= F.col("budget"))
+        .select(id_col, source_col, "n_tokens", "cum_tokens", "budget")
+    )

@@ -621,6 +621,37 @@ FROM (
 WHERE rn <= 3
 """
 
+ORACLES["q_mix_sources"] = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), tot AS (
+  SELECT CAST(FLOOR(SUM(n_tokens) * 0.4) AS BIGINT) AS total_budget FROM t
+), w AS (
+  SELECT source,
+         CAST(1 + (ROW_NUMBER() OVER (ORDER BY source) - 1) % 3 AS BIGINT) AS weight
+  FROM (SELECT DISTINCT source FROM t)
+), sw AS (SELECT CAST(SUM(weight) AS BIGINT) AS sum_w FROM w),
+b AS (
+  SELECT w.source,
+         CAST((w.weight * tot.total_budget) // sw.sum_w AS BIGINT) AS budget
+  FROM w CROSS JOIN tot CROSS JOIN sw
+), c AS (
+  SELECT t.*, SUM(n_tokens) OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM t
+)
+SELECT c.source, COUNT(*) AS kept_docs,
+       CAST(SUM(c.n_tokens) AS BIGINT) AS kept_tokens,
+       MAX(b.budget) AS budget
+FROM c JOIN b ON c.source = b.source
+WHERE c.cum_tokens <= b.budget
+GROUP BY c.source
+"""
+
 ORACLES["q_bm25"] = """
 WITH tf AS (
   SELECT doc_id, term, COUNT(*) AS tf

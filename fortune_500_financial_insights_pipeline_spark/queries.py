@@ -1015,6 +1015,27 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf(d, top_k=3)
 
 
+@q("q_mix_sources")
+def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted data mixture: split a 40%-of-corpus token budget across
+    sources with weights 1/2/3 cycling over the sorted source names, keep
+    each source's deterministic (md5-ordered) prefix that fits its budget
+    (operators/sampling.py mix_sources). Per-source readout. The weight
+    table is dim-sized driver traffic (one row per source — sources are
+    datasets, not rows), same budget class as centroid lists."""
+    from fortune_500_financial_insights_pipeline_spark.operators.sampling import mix_sources
+
+    d = load_table(spark, sf_dir, "documents")
+    sources = sorted(r[0] for r in d.select("source").distinct().collect())
+    weights = {s: 1 + (i % 3) for i, s in enumerate(sources)}
+    kept = mix_sources(d, weights, budget_fraction=0.4)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("kept_docs"),
+        F.sum("n_tokens").alias("kept_tokens"),
+        F.max("budget").alias("budget"),
+    )
+
+
 @q("q_bm25")
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 Okapi BM25 terms per document (k1=1.2, b=0.75, round 6dp) —

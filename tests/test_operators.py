@@ -263,6 +263,44 @@ def test_semdedup_drops_planted_duplicates_keeps_lowest_id(spark):
     assert len(kept) == 30      # every non-planted vector survives
 
 
+def test_mix_sources_prefix_budget_semantics(spark):
+    """mix_sources: each source keeps exactly the md5-ordered prefix that
+    fits its proportional budget; the first overflowing doc cuts the tail
+    (no skip-and-refill); weights split the budget in exact integer
+    arithmetic; and exactly one budget parameter is accepted."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from fortune_500_financial_insights_pipeline_spark.operators.sampling import mix_sources
+
+    rows = [(i, "a" if i < 8 else "b", "t " * 9 + "t") for i in range(16)]  # 10 tokens each
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    # weights 3:1 over a 60-token budget -> a gets 45, b gets 15
+    kept = mix_sources(
+        docs, {"a": 3, "b": 1}, budget_tokens=60
+    ).collect()
+    by_src: dict[str, list] = {}
+    for r in kept:
+        by_src.setdefault(r.source, []).append(r)
+    assert {r.budget for r in by_src["a"]} == {45}
+    assert {r.budget for r in by_src["b"]} == {15}
+    # 10-token docs: floor(45/10)=4 fit in a, floor(15/10)=1 fits in b
+    assert len(by_src["a"]) == 4 and len(by_src["b"]) == 1
+
+    # the kept set IS the md5-order prefix, not any other 4 docs
+    order = sorted(
+        range(8), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )
+    assert sorted(r.doc_id for r in by_src["a"]) == sorted(order[:4])
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        mix_sources(docs, {"a": 1}, budget_tokens=10, budget_fraction=0.5)
+    with _pytest.raises(ValueError, match="exactly one"):
+        mix_sources(docs, {"a": 1})
+
+
 def test_hash_sample_is_partition_invariant(spark, sf_dir):
     from fortune_500_financial_insights_pipeline_spark.catalog import load_table
     from fortune_500_financial_insights_pipeline_spark.operators.sampling import hash_sample
