@@ -143,3 +143,56 @@ def mix_sources(
         .where(F.col("cum_tokens") <= F.col("budget"))
         .select(id_col, source_col, "n_tokens", "cum_tokens", "budget")
     )
+
+
+def upsample_sources(
+    docs: DataFrame,
+    factors: dict[str, float],
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source epoch upsampling — the repetition half of data mixing
+    (mix_sources truncates down; this repeats up, e.g. "2.5 epochs of
+    books, 1 epoch of web"). Each doc emits ``floor(factor)`` full copies
+    plus one extra for the deterministic md5-prefix fraction of docs that
+    covers the fractional part, so a source with factor 2.5 repeats every
+    doc twice and exactly the first half of md5 space a third time.
+    Output: one row per (doc, epoch), epoch counting from 0.
+
+    The fractional threshold is computed driver-side (_hex_threshold) and
+    enters the plan as a string literal, so the copy decision is a pure
+    md5-prefix predicate any engine replays byte-for-byte. The explode is
+    guarded by ``n_copies >= 1`` — ``sequence(0, -1)`` would walk
+    DESCENDING (Spark defaults step=-1 when start > stop, the
+    q_char_entropy lesson) instead of emitting nothing.
+
+    100 TB shape: copies are rows out of a projection+explode (no shuffle,
+    no driver traffic); the per-source parameters ride a broadcast
+    dim-sized table. Downstream shuffles see the amplified row count —
+    apply this AFTER filtering/dedup, immediately before sequence packing."""
+    spark = docs.sparkSession
+    params = []
+    for s, f in sorted(factors.items()):
+        if f < 0:
+            raise ValueError(f"factor for {s!r} must be >= 0")
+        full = int(f)
+        params.append((s, full, _hex_threshold(f - full)))
+    pdf = spark.createDataFrame(
+        params, f"{source_col} string, full_epochs int, th string"
+    )
+    n_copies = F.col("full_epochs") + F.when(
+        F.md5(F.col(id_col).cast("string")) < F.col("th"), 1
+    ).otherwise(0)
+    return (
+        docs.select(id_col, source_col)
+        .join(F.broadcast(pdf), source_col)
+        .withColumn("n_copies", n_copies)
+        .where(F.col("n_copies") >= 1)
+        .select(
+            id_col,
+            source_col,
+            F.explode(F.sequence(F.lit(0), F.col("n_copies") - 1)).alias("epoch"),
+        )
+        .select(id_col, source_col, F.col("epoch").cast("long").alias("epoch"))
+    )

@@ -652,6 +652,32 @@ WHERE c.cum_tokens <= b.budget
 GROUP BY c.source
 """
 
+ORACLES["q_upsample_sources"] = """
+WITH w AS (
+  SELECT source, (ROW_NUMBER() OVER (ORDER BY source) - 1) % 3 AS pos
+  FROM (SELECT DISTINCT source FROM documents)
+), f AS (
+  SELECT source,
+         CASE pos WHEN 2 THEN 2 ELSE 1 END AS full_epochs,
+         CASE pos WHEN 0 THEN '00000000000000000000000000000000'
+                  ELSE '80000000000000000000000000000000' END AS th
+  FROM w
+), n AS (
+  SELECT d.doc_id, d.source,
+         f.full_epochs
+         + CASE WHEN md5(CAST(d.doc_id AS VARCHAR)) < f.th THEN 1 ELSE 0 END
+           AS n_copies
+  FROM documents d JOIN f ON d.source = f.source
+), e AS (
+  SELECT doc_id, source, UNNEST(range(0, n_copies)) AS epoch
+  FROM n WHERE n_copies >= 1
+)
+SELECT source, COUNT(*) AS emitted_rows,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       CAST(MAX(epoch) AS BIGINT) AS max_epoch
+FROM e GROUP BY source
+"""
+
 ORACLES["q_bm25"] = """
 WITH tf AS (
   SELECT doc_id, term, COUNT(*) AS tf

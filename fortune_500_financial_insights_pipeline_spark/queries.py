@@ -1036,6 +1036,27 @@ def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_upsample_sources")
+def q_upsample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch upsampling readout: factors 1.0/1.5/2.5 cycling over sorted
+    source names — full copies for floor(factor), one extra epoch for the
+    md5-prefix fraction (operators/sampling.py upsample_sources). Emitted
+    rows, distinct docs, and max epoch per source, hash-checked."""
+    from fortune_500_financial_insights_pipeline_spark.operators.sampling import (
+        upsample_sources,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sources = sorted(r[0] for r in d.select("source").distinct().collect())
+    factors = {s: [1.0, 1.5, 2.5][i % 3] for i, s in enumerate(sources)}
+    up = upsample_sources(d, factors)
+    return up.groupBy("source").agg(
+        F.count("*").alias("emitted_rows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.max("epoch").alias("max_epoch"),
+    )
+
+
 @q("q_bm25")
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 Okapi BM25 terms per document (k1=1.2, b=0.75, round 6dp) —

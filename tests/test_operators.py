@@ -301,6 +301,43 @@ def test_mix_sources_prefix_budget_semantics(spark):
         mix_sources(docs, {"a": 1})
 
 
+def test_upsample_sources_epoch_semantics(spark):
+    """upsample_sources: factor 2.0 duplicates every doc, factor 0.5 keeps
+    the md5-prefix half at one copy, factor 0.0 emits nothing (and does not
+    trip the descending-sequence trap); epochs number from 0; negative
+    factors are rejected."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from fortune_500_financial_insights_pipeline_spark.operators.sampling import (
+        upsample_sources,
+    )
+
+    rows = [(i, ["a", "b", "z"][i % 3]) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = upsample_sources(docs, {"a": 2.0, "b": 0.5, "z": 0.0}).collect()
+    by_src: dict[str, list] = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+
+    a_ids = [i for i in range(30) if i % 3 == 0]
+    assert sorted(r.doc_id for r in by_src["a"]) == sorted(a_ids * 2)
+    assert {r.epoch for r in by_src["a"]} == {0, 1}
+
+    half = {
+        i for i in range(30)
+        if i % 3 == 1 and hashlib.md5(str(i).encode()).hexdigest() < "8" + "0" * 31
+    }
+    assert {r.doc_id for r in by_src["b"]} == half
+    assert all(r.epoch == 0 for r in by_src["b"])
+
+    assert "z" not in by_src  # factor 0: no rows, no sequence(0,-1) surprise
+
+    with _pytest.raises(ValueError, match=">= 0"):
+        upsample_sources(docs, {"a": -1.0})
+
+
 def test_hash_sample_is_partition_invariant(spark, sf_dir):
     from fortune_500_financial_insights_pipeline_spark.catalog import load_table
     from fortune_500_financial_insights_pipeline_spark.operators.sampling import hash_sample

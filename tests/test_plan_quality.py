@@ -335,3 +335,16 @@ def test_simhash_pairs_joins_on_bands_not_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "Join" not in plan  # bucket_pairs replaced the bucket self-join
     assert re.search(r"HashAggregate.*\bband\b", plan, re.S), plan[:2000]
+
+
+def test_semdedup_pairs_join_on_cell_not_cartesian(spark, sf_dir):
+    """q_semdedup: the within-cell pair enumeration must be an equi-join on
+    ``cell`` — an all-pairs cosine compare (CartesianProduct /
+    BroadcastNestedLoopJoin) is the O(n²) shape SemDeDup's clustering
+    exists to avoid. (Unlike simhash's scalar signatures, the payload here
+    is the embedding array, so a shuffled join beats collect_list-based
+    bucket expansion: no cell-sized vector lists buffered per task.)"""
+    plan = plan_of(spark, sf_dir, "q_semdedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*cell", plan), plan[:3000]
