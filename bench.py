@@ -45,6 +45,10 @@ HEADLINE = [
     "q_kmeans",
     "q_tfidf",
     "q_knn_join_ivf",
+    "q_semdedup",
+    "q_bm25",
+    "q_mix_sources",
+    "q_upsample_sources",
 ]
 
 # DuckDB oracle wall-clock on the SAME queries at sf0.1, best-of-2, measured
@@ -62,7 +66,8 @@ DUCKDB_BASELINE_SF01: dict[str, float | None] = {
     "q_rollup": 0.0095, "q_date_extract": 0.1061, "q_simhash_pairs": 6.9251,
     "q_jaccard_clusters": None, "q_minhash_neardup": None,
     "q_pack_greedy": 8.8492, "q_kmeans": 0.3904, "q_tfidf": 0.1239,
-    "q_knn_join_ivf": 0.0445,
+    "q_knn_join_ivf": 0.0445, "q_semdedup": 0.1435, "q_bm25": 0.2705,
+    "q_mix_sources": 0.0407, "q_upsample_sources": 0.0415,
 }
 
 

@@ -413,15 +413,20 @@ def semdedup(
     size to keep cells bounded (the paper uses k=50000 for LAION-scale);
     feed ``kmeans_centroids`` for trained cells, ``md5_sample_centroids``
     when the oracle must replay the routing. Norms are staged once per row
-    and reused across every pair the row participates in."""
+    and reused across every pair the row participates in, so the per-pair
+    work is one zip_with dot over the staged (vec, norm) columns — the
+    pair count, not per-pair math, is what k controls."""
     staged = emb.withColumn("__vnorm", _norm(F.col(vec_col)))
+    # the assignment subtree (k dots per row) feeds three consumers — both
+    # pair sides and the final anti-join; a lazy localCheckpoint runs it
+    # once instead of three times (computed on first use, then reused)
     indexed = staged.withColumn(
         "cell",
         F.element_at(
             probe_cells_col(vec_col, centroids, 1, round_digits, norm_col="__vnorm"),
             1,
         ),
-    )
+    ).localCheckpoint(eager=False)
     left = indexed.select(
         F.col(id_col).alias("__id_a"),
         F.col(vec_col).alias("__vec_a"),

@@ -381,7 +381,7 @@ WITH seeds AS (
   SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
          CAST(embedding AS DOUBLE[]) AS cvec
   FROM (SELECT vec_id, embedding FROM embeddings
-        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)
 ), sims AS (
   SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) AS vec, s.cell,
          ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), s.cvec)

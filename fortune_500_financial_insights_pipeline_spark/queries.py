@@ -875,7 +875,7 @@ def q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("q_semdedup")
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic dedup (SemDeDup): md5-seeded 8-cell coarse quantizer, then
+    """Semantic dedup (SemDeDup): md5-seeded 16-cell coarse quantizer, then
     drop every vector with a cosine>=0.4-similar lower-id neighbor in its
     cell (threshold tuned to the fixture's similarity range — real corpora
     use ~0.95). Kept representatives, hash-checked: md5 seeding + round-6
@@ -887,7 +887,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-    centroids = md5_sample_centroids(emb, k=8)
+    centroids = md5_sample_centroids(emb, k=16)
     return semdedup(emb, centroids, threshold=0.4).select(
         "vec_id", "label", F.col("cell").cast("long").alias("cell")
     )
