@@ -268,3 +268,68 @@ def char_entropy(df, id_col: str = "doc_id", text_col: str = "text",
             F.count(F.lit(1)).alias("n_distinct_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed-feature linear classifier inference as relational algebra: the
+# fastText-shaped quality/topic scorer big curation pipelines run over every
+# document, expressed so the whole forward pass is engine-portable SQL.
+# ---------------------------------------------------------------------------
+
+CLASSIFIER_BUCKETS = 256  # two md5 hex digits, exactly uniform
+
+
+def _feature_bucket_sql(value_sql: str) -> str:
+    """Token -> feature bucket in [0, 256) as engine-shared SQL (the
+    operators/cms.py md5-digit idiom with a fixed 'f' seed): every function
+    (md5, substring, instr) evaluates identically in Spark and DuckDB."""
+    alpha = "0123456789abcdef"
+    h = f"md5(concat('f|', CAST({value_sql} AS STRING)))"
+    d = lambda pos: f"(instr('{alpha}', substring({h}, {pos}, 1)) - 1)"  # noqa: E731
+    return f"({d(1)} * 16 + {d(2)})"
+
+
+def classifier_score(
+    docs: DataFrame,
+    weights_fp: DataFrame,
+    *,
+    scale: int = 1000,
+    bias_fp: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Linear bag-of-hashed-tokens classifier forward pass (the fastText
+    architecture without the embedding hidden layer): each token hashes to
+    one of 256 buckets, the doc logit is bias + mean bucket weight, and the
+    output is ``prob = round(sigmoid(logit), 6)``.
+
+    ``weights_fp`` is a (bucket int, w_fp long) table of FIXED-POINT weights
+    in units of 1/scale — per-doc accumulation is an exact long sum, so the
+    result is independent of row order and partitioning (a double-weight sum
+    would drift in the low bits across engines and poison round-6 compares);
+    floats appear only in the final logit division and sigmoid. Docs with
+    zero tokens emit no row (no features, no prediction), same convention as
+    the tf frame.
+
+    100 TB shape: one explode pass; the weight table is 256 rows broadcast;
+    the per-doc aggregate partial-combines map-side so the shuffle carries
+    one row per document, not per token. Inference cost is a hash + a
+    broadcast-hash-join probe per token — no Python, no model server."""
+    toks = (
+        docs.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("__t"))
+        .where(F.col("__t") != "")
+    )
+    feat = toks.select(
+        id_col, F.expr(_feature_bucket_sql("__t")).cast("int").alias("bucket")
+    )
+    agg = (
+        feat.join(F.broadcast(weights_fp), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("w_fp").alias("__sw"), F.count(F.lit(1)).alias("__nt"))
+    )
+    logit = F.lit(float(bias_fp) / scale) + F.col("__sw") / (
+        float(scale) * F.col("__nt")
+    )
+    return agg.select(
+        id_col, F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("prob")
+    )

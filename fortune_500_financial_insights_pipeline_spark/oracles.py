@@ -652,6 +652,30 @@ WHERE c.cum_tokens <= b.budget
 GROUP BY c.source
 """
 
+ORACLES["q_classifier_score"] = """
+WITH w AS (
+  SELECT CAST(b AS INTEGER) AS bucket,
+         CAST((b % 21) * 50 - 500 AS BIGINT) AS w_fp
+  FROM range(256) t(b)
+), tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+), f AS (
+  SELECT doc_id,
+         ((instr('0123456789abcdef',
+                 substring(md5(concat('f|', CAST(term AS VARCHAR))), 1, 1)) - 1) * 16
+          + (instr('0123456789abcdef',
+                   substring(md5(concat('f|', CAST(term AS VARCHAR))), 2, 1)) - 1))
+           AS bucket
+  FROM tok WHERE term <> ''
+), s AS (
+  SELECT f.doc_id, CAST(SUM(w.w_fp) AS BIGINT) AS sw, COUNT(*) AS nt
+  FROM f JOIN w ON f.bucket = w.bucket GROUP BY f.doc_id
+)
+SELECT doc_id,
+       ROUND(1.0 / (1.0 + EXP(-(0.0 + sw / (1000.0 * nt)))), 6) AS prob
+FROM s
+"""
+
 ORACLES["q_upsample_sources"] = """
 WITH w AS (
   SELECT source, (ROW_NUMBER() OVER (ORDER BY source) - 1) % 3 AS pos

@@ -1036,6 +1036,22 @@ def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_classifier_score")
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear classifier forward pass over documents
+    (operators/text.py classifier_score): 256 md5 buckets, fixed-point
+    weights (b%21)*50-500 milli-units, prob = round(sigmoid(mean weight),
+    6). Model inference as relational algebra — hash-checked end to end."""
+    from fortune_500_financial_insights_pipeline_spark.operators.text import classifier_score
+
+    d = load_table(spark, sf_dir, "documents")
+    weights = spark.range(256).select(
+        F.col("id").cast("int").alias("bucket"),
+        ((F.col("id") % 21) * 50 - 500).cast("long").alias("w_fp"),
+    )
+    return classifier_score(d, weights)
+
+
 @q("q_upsample_sources")
 def q_upsample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Epoch upsampling readout: factors 1.0/1.5/2.5 cycling over sorted

@@ -263,6 +263,36 @@ def test_semdedup_drops_planted_duplicates_keeps_lowest_id(spark):
     assert len(kept) == 30      # every non-planted vector survives
 
 
+def test_classifier_score_exact_and_partition_invariant(spark):
+    """classifier_score: uniform weights make the logit exactly w/scale
+    regardless of token count; zero-token docs emit no row; and the
+    fixed-point sum makes the score identical under any repartitioning."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from fortune_500_financial_insights_pipeline_spark.operators.text import classifier_score
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "x"), (3, "")],
+        "doc_id long, text string",
+    )
+    # every bucket weighs 250 milli-units -> logit = 0.25 for any doc
+    weights = spark.range(256).select(
+        F.col("id").cast("int").alias("bucket"),
+        F.lit(250).cast("long").alias("w_fp"),
+    )
+    got = {r.doc_id: r.prob for r in classifier_score(docs, weights).collect()}
+    expect = round(1.0 / (1.0 + math.exp(-0.25)), 6)
+    assert got == {1: expect, 2: expect}  # doc 3: no tokens, no row
+
+    shuffled = {
+        r.doc_id: r.prob
+        for r in classifier_score(docs.repartition(16), weights).collect()
+    }
+    assert shuffled == got
+
+
 def test_mix_sources_prefix_budget_semantics(spark):
     """mix_sources: each source keeps exactly the md5-ordered prefix that
     fits its proportional budget; the first overflowing doc cuts the tail
