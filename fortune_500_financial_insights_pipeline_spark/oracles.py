@@ -579,11 +579,23 @@ WITH RECURSIVE g AS (
          list_distinct(list_transform(range(1, len(l)),
                                       x -> l[x] || ' ' || l[x+1])) AS grams
   FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+), ex AS (
+  SELECT doc_id, UNNEST(grams) AS gram FROM g
+), sizes AS (
+  SELECT doc_id, len(grams) AS n FROM g
+), inter AS (
+  -- |A ∩ B| via equi-join on the exploded distinct grams: identical to
+  -- len(list_intersect(a.grams, b.grams)) but O(shared grams), not O(n^2)
+  -- all-pairs list arithmetic; |A ∪ B| = |A| + |B| - |A ∩ B|.
+  SELECT a.doc_id AS u, b.doc_id AS v, COUNT(*) AS c
+  FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
 ), pairs AS (
-  SELECT a.doc_id AS u, b.doc_id AS v
-  FROM g a JOIN g b ON a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-        / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
+  SELECT i.u, i.v
+  FROM inter i
+  JOIN sizes su ON i.u = su.doc_id
+  JOIN sizes sv ON i.v = sv.doc_id
+  WHERE CAST(i.c AS DOUBLE) / (su.n + sv.n - i.c) >= 0.8
 ), edges AS (
   SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
 ), reach AS (
@@ -1402,11 +1414,20 @@ WITH g AS (
          list_distinct(list_transform(range(1, len(l)),
                                       x -> l[x] || ' ' || l[x+1])) AS grams
   FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+), ex AS (
+  SELECT doc_id, UNNEST(grams) AS gram FROM g
+), sizes AS (
+  SELECT doc_id, len(grams) AS n FROM g
+), inter AS (
+  SELECT a.doc_id AS u, b.doc_id AS v, COUNT(*) AS c
+  FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
 ), pairs AS (
-  SELECT a.doc_id AS u, b.doc_id AS v
-  FROM g a JOIN g b ON a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-        / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
+  SELECT i.u, i.v
+  FROM inter i
+  JOIN sizes su ON i.u = su.doc_id
+  JOIN sizes sv ON i.v = sv.doc_id
+  WHERE CAST(i.c AS DOUBLE) / (su.n + sv.n - i.c) >= 0.8
 ), tri AS (
   SELECT e1.u AS a, e1.v AS b, e2.v AS c
   FROM pairs e1
