@@ -196,3 +196,23 @@ def upsample_sources(
         )
         .select(id_col, source_col, F.col("epoch").cast("long").alias("epoch"))
     )
+
+
+def hash_shards(df: DataFrame, key_cols: list[str], n_shards: int) -> DataFrame:
+    """Deterministic shard assignment for sharded dataset export: adds
+    ``shard`` = md5-hash of the '|'-joined keys mod ``n_shards``.
+
+    The export half of the training-data story: a 100 TB curated corpus
+    ships as N self-contained shards, and the assignment must be (a)
+    uniform — md5 is, regardless of key skew, (b) stable across reruns,
+    partitionings and engines — same portability contract as md5_sample,
+    so a resumed or incremental export never moves a document between
+    shards, and (c) computable map-side with no shuffle — the subsequent
+    ``write.partitionBy('shard')`` (or repartition('shard') for one file
+    per shard) is the only exchange."""
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", *key_cols)), 1, 15), 16, 10
+    ).cast("long")
+    return df.withColumn("shard", (h % n_shards).cast("int"))

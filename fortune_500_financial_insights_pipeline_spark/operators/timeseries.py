@@ -77,3 +77,38 @@ def fill_gaps_linear(
         F.col("d").alias(date_col),
         filled.alias("value_filled"),
     )
+
+
+def rolling_median(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    frame_rows: int,
+    out_col: str = "med",
+) -> DataFrame:
+    """Exact median over a trailing ``frame_rows``-row window per key.
+
+    Spark has no exact windowed percentile (approx_percentile is sketch-
+    based), but for the bounded frames a robust rolling statistic uses
+    (7/30/90 observations) the exact answer is a collect_list + sort_array
+    inside the frame — all JVM-side array intrinsics, state bounded by the
+    frame length regardless of data volume, one shuffle on ``part_cols``.
+    Even-count frames interpolate the two middle values ((a+b)/2, the
+    median definition DuckDB/Postgres use), odd frames take the middle
+    element exactly; the value is cast to double first so both branches
+    are plain IEEE arithmetic any engine reproduces bit-exactly.
+
+    ``order_cols`` must be a total order within each partition or the
+    frame contents (hence the median) are partition-order dependent.
+    """
+    w = (
+        W.partitionBy(*part_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(-(frame_rows - 1), 0)
+    )
+    arr = F.sort_array(F.collect_list(F.col(value_col).cast("double")).over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, F.floor((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (F.floor(n / 2) + 1).cast("int"))
+    return df.withColumn(out_col, (lo + hi) / 2)

@@ -1957,3 +1957,66 @@ SELECT strftime(day, '%Y-%m-%d') AS day,
 FROM days JOIN first USING (user_id)
 GROUP BY day
 """
+
+ORACLES["q_skyline"] = """
+SELECT a.p_partkey, a.p_retailprice, a.p_size
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+)
+"""
+
+ORACLES["q_rolling_median"] = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       median(CAST(l_quantity AS DOUBLE)) OVER (
+         PARTITION BY l_suppkey
+         ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) AS med
+FROM lineitem
+"""
+
+# Mirrors operators/bloom.py arithmetic bit-for-bit: k=3 md5 positions mod
+# 16384, packed into 32-bit words, bit_or build, all-bits-set probe.
+ORACLES["q_bloom_semijoin"] = """
+WITH ks(i) AS (VALUES ('0'), ('1'), ('2')),
+build AS (
+  SELECT (('0x' || substr(md5(ks.i || ':' || CAST(o.o_custkey AS VARCHAR)), 1, 15))::BIGINT
+          % 16384) AS pos
+  FROM orders o CROSS JOIN ks
+  WHERE year(CAST(o.o_orderdate AS DATE)) = 1995
+),
+words AS (
+  SELECT pos // 32 AS word,
+         bit_or(1::BIGINT << CAST(pos % 32 AS INTEGER)) AS bits
+  FROM build GROUP BY pos // 32
+),
+probe AS (
+  SELECT c.c_custkey,
+         (('0x' || substr(md5(ks.i || ':' || CAST(c.c_custkey AS VARCHAR)), 1, 15))::BIGINT
+          % 16384) AS pos
+  FROM customer c CROSS JOIN ks
+),
+hits AS (
+  SELECT p.c_custkey,
+         SUM(CASE WHEN w.bits IS NOT NULL
+                   AND (w.bits & (1::BIGINT << CAST(p.pos % 32 AS INTEGER))) <> 0
+             THEN 1 ELSE 0 END) AS nhit
+  FROM probe p LEFT JOIN words w ON p.pos // 32 = w.word
+  GROUP BY p.c_custkey
+)
+SELECT c_custkey FROM hits WHERE nhit = 3
+"""
+
+ORACLES["q_shard_stats"] = """
+SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 16 AS INTEGER)
+         AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM documents
+GROUP BY 1
+"""

@@ -2472,3 +2472,80 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "returning_users",
         )
     )
+
+
+@q("q_skyline")
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of parts under (retail price ↓, size ↑): the
+    sort-scan skyline (operators/skyline.py) — two aggregations and one
+    window over the distinct-price frame, no dominance self-join."""
+    from fortune_500_financial_insights_pipeline_spark.operators.skyline import skyline_2d
+
+    p = load_table(spark, sf_dir, "part")
+    return skyline_2d(
+        p.select("p_partkey", "p_retailprice", "p_size"),
+        minimize="p_retailprice",
+        maximize="p_size",
+    )
+
+
+@q("q_rolling_median")
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing 7-observation median of shipped quantity per supplier
+    (robust rolling level for anomaly baselines). Bounded-frame
+    collect_list + sort_array — exact, JVM-side, state independent of
+    table size (operators/timeseries.rolling_median)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.timeseries import rolling_median
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return rolling_median(
+        li.select("l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"),
+        part_cols=["l_suppkey"],
+        order_cols=["l_shipdate", "l_orderkey", "l_linenumber"],
+        value_col="l_quantity",
+        frame_rows=7,
+    ).select("l_suppkey", "l_orderkey", "l_linenumber", "med")
+
+
+@q("q_bloom_semijoin")
+def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-join pre-filter: customers whose key passes a 16 Kbit / k=3
+    Bloom filter built from order custkeys. Supersets the true semi-join
+    (zero false negatives) with ~1% deterministic false positives — the
+    map-side shuffle-elimination filter for big-big joins
+    (operators/bloom.py)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    # build from a proper subset (1995 orders) so the probe exercises both
+    # the hit and the definite-miss path — this fixture has no customer
+    # without orders at all, so an unfiltered build passes everyone
+    o95 = o.where(F.year(F.to_date("o_orderdate")) == 1995)
+    flt = bloom_build(o95, "o_custkey", m_bits=16384, k=3)
+    probed = bloom_probe(flt, c.select("c_custkey"), "c_custkey", m_bits=16384, k=3)
+    return probed.where("maybe_member").select("c_custkey")
+
+
+@q("q_shard_stats")
+def q_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded-export manifest: md5-deterministic 16-way shard assignment
+    of the documents corpus plus per-shard size stats — the balance sheet
+    a sharded dataset release ships with (operators/sampling.hash_shards).
+    The assignment is map-side; the only exchange is the 16-group agg."""
+    from fortune_500_financial_insights_pipeline_spark.operators.sampling import hash_shards
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        hash_shards(d, key_cols=["doc_id"], n_shards=16)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
