@@ -1,0 +1,76 @@
+"""KMV (k-minimum-values) distinct-count sketch as a relation.
+
+The mergeable cardinality sketch with an *engine-portable* estimate:
+hash every key to a uniform fraction of hash space, keep the k smallest
+values per group, and estimate distinct = (k-1) / u_k where u_k is the
+k-th smallest (Bar-Yossef et al. 2002; the KMV/bottom-k form of Beyer et
+al., SIGMOD 2007). Unlike HLL (whose register layout is implementation-
+defined — `q_hll_distinct` is rows-only for that reason), every step here
+is md5 + plain arithmetic, so a DuckDB oracle reproduces the estimate
+bit-for-bit: this is the distinct sketch that can sit behind a hard
+correctness gate.
+
+Scale shape: the hash + distinct is one shuffle on (group, value); the
+bottom-k is a WindowGroupLimit-capped rank (partial top-k map-side, so
+the exchange carries at most k rows per group per input partition, never
+the raw value stream); the sketch itself is k rows per group — kilobytes.
+Sketches merge by union + re-rank (bottom-k of a union of bottom-k sets
+is the bottom-k of the union), which is what lets per-partition / per-day
+sketches roll up without touching raw data again — the property that
+matters when the raw table is 100 TB and the rollup is daily.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+_HASH_SPACE = float(1 << 60)  # first 15 md5 hex chars span [0, 2^60)
+
+
+def _uniform(key) -> F.Column:
+    """md5-derived uniform fraction in [0, 1) — deterministic, portable
+    (same arithmetic as operators/bloom._position / sampling.md5_sample)."""
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast("double")
+    return h / F.lit(_HASH_SPACE)
+
+
+def kmv_sketch(
+    df: DataFrame, group_cols: list[str], key_col: str, k: int = 64
+) -> DataFrame:
+    """Bottom-k sketch: the k smallest distinct key-hash fractions per
+    group, as rows ``(group…, u)``."""
+    if k < 2:
+        raise ValueError("k must be >= 2 ((k-1)/u_k needs at least 2 values)")
+    u = df.select(*group_cols, _uniform(F.col(key_col)).alias("u")).distinct()
+    w = W.partitionBy(*group_cols).orderBy(F.asc("u"))
+    return (
+        u.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """Union two sketches of the same shape and re-take the bottom k —
+    exactly the sketch of the union of the underlying key sets."""
+    w = W.partitionBy(*group_cols).orderBy(F.asc("u"))
+    return (
+        a.unionByName(b)
+        .distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """Distinct-count estimate per group: exact count when the group held
+    fewer than k distinct values (the sketch saw everything), else
+    (k-1)/u_k. Rounded to 6 so the division is comparison-stable across
+    engines."""
+    return sketch.groupBy(*group_cols).agg(
+        F.when(F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double"))
+        .otherwise(F.round((F.lit(k - 1)) / F.max("u"), 6))
+        .alias("est_distinct")
+    )
