@@ -216,3 +216,37 @@ def hash_shards(df: DataFrame, key_cols: list[str], n_shards: int) -> DataFrame:
         F.substring(F.md5(F.concat_ws("|", *key_cols)), 1, 15), 16, 10
     ).cast("long")
     return df.withColumn("shard", (h % n_shards).cast("int"))
+
+
+def weighted_sample(
+    df: DataFrame, weight_col: str, key_cols: list[str], n: int
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: top-n rows by
+    the Efraimidis–Spirakis key u^(1/w) (Inf. Proc. Letters 97(5), 2006),
+    with u an md5-derived uniform in [0, 1) over the row identity.
+
+    Selection probability is proportional to weight (a doc with twice the
+    weight is twice as likely in), but the draw is a pure function of the
+    row keys — partition-invariant, rerun-stable, engine-portable: the
+    quality-weighted corpus selection a reproducible training-data build
+    needs, where `df.sample` or rand()-keyed draws shuffle membership on
+    every retry. Plan shape: map-side score + TakeOrdered(n) — no shuffle,
+    no window, driver holds n rows only.
+
+    The score is rounded to 6 decimals before ranking (pow() may differ in
+    the last ulp across libm implementations) and tie-broken on the keys,
+    so the selected set is total-order deterministic across engines.
+    """
+    if n <= 0:
+        raise ValueError("n must be positive")
+    u = (
+        F.conv(F.substring(F.md5(F.concat_ws("|", *key_cols)), 1, 15), 16, 10)
+        .cast("double")
+        / F.lit(float(1 << 60))
+    )
+    score = F.round(F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 6)
+    return (
+        df.withColumn("es_score", score)
+        .orderBy(F.desc("es_score"), *[F.asc(c) for c in key_cols])
+        .limit(n)
+    )

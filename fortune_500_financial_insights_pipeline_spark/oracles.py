@@ -2020,3 +2020,37 @@ SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 16 A
 FROM documents
 GROUP BY 1
 """
+
+# Mirrors operators/kmv.py: md5-uniform per distinct (group, key), bottom-64
+# rank, (k-1)/u_k estimate (exact count when the group has < k distinct).
+ORACLES["q_kmv_distinct"] = """
+WITH u AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           / 1152921504606846976.0 AS u
+  FROM events
+), r AS (
+  SELECT event_type, u,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY u) AS rn
+  FROM u
+), s AS (
+  SELECT event_type, COUNT(*) AS n, MAX(u) AS uk
+  FROM r WHERE rn <= 64 GROUP BY event_type
+)
+SELECT event_type,
+       CASE WHEN n < 64 THEN CAST(n AS DOUBLE) ELSE ROUND(63 / uk, 6) END
+         AS est_distinct
+FROM s
+"""
+
+ORACLES["q_weighted_sample"] = """
+SELECT doc_id, ROUND(pow(h, 1.0 / w), 6) AS es_score
+FROM (
+  SELECT doc_id, length(text) AS w,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           / 1152921504606846976.0 AS h
+  FROM documents
+)
+ORDER BY es_score DESC, doc_id ASC
+LIMIT 50
+"""

@@ -2549,3 +2549,28 @@ def q_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+@q("q_kmv_distinct")
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via a k=64 KMV bottom-k sketch — the
+    mergeable cardinality sketch whose estimate is engine-portable md5
+    arithmetic, so unlike HLL (q_hll_distinct, rows-only) it sits behind
+    the exact-hash correctness gate (operators/kmv.py)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.kmv import kmv_estimate, kmv_sketch
+
+    e = load_table(spark, sf_dir, "events")
+    sk = kmv_sketch(e, ["event_type"], "user_id", k=64)
+    return kmv_estimate(sk, ["event_type"], k=64)
+
+
+@q("q_weighted_sample")
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """50 documents drawn by length-weighted sampling without replacement
+    (Efraimidis–Spirakis md5-keyed, operators/sampling.weighted_sample):
+    the reproducible quality-weighted corpus selection primitive."""
+    from fortune_500_financial_insights_pipeline_spark.operators.sampling import weighted_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    dw = d.withColumn("w", F.length("text"))
+    return weighted_sample(dw, "w", ["doc_id"], n=50).select("doc_id", "es_score")

@@ -124,3 +124,89 @@ def test_hash_shards_stable_and_in_range(spark):
 def test_hash_shards_rejects_nonpositive(spark):
     with pytest.raises(ValueError):
         hash_shards(spark.range(1), ["id"], 0)
+
+
+# ------------------------------------------------------------------ kmv
+
+def test_kmv_estimate_accuracy(spark, sf_dir):
+    """k=64 → relative stderr ≈ 1/sqrt(64) = 12.5%; assert every group
+    estimate within 50% of exact (generous so fixture regens can't flake)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.kmv import kmv_estimate, kmv_sketch
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    est = {
+        r.event_type: r.est_distinct
+        for r in kmv_estimate(
+            kmv_sketch(e, ["event_type"], "user_id", k=64), ["event_type"], k=64
+        ).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert est.keys() == exact.keys()
+    for t, n in exact.items():
+        assert abs(est[t] - n) / n < 0.5, (t, est[t], n)
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.kmv import kmv_merge, kmv_sketch
+
+    a = spark.range(0, 500).select(F.lit("g").alias("g"), F.col("id").alias("k"))
+    b = spark.range(300, 900).select(F.lit("g").alias("g"), F.col("id").alias("k"))
+    merged = kmv_merge(
+        kmv_sketch(a, ["g"], "k", k=32), kmv_sketch(b, ["g"], "k", k=32), ["g"], k=32
+    )
+    whole = kmv_sketch(a.unionByName(b), ["g"], "k", k=32)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_kmv_small_group_is_exact(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.kmv import kmv_estimate, kmv_sketch
+
+    df = spark.range(0, 10).select(F.lit("g").alias("g"), F.col("id").alias("k"))
+    out = kmv_estimate(kmv_sketch(df, ["g"], "k", k=64), ["g"], k=64).collect()
+    assert out[0].est_distinct == 10.0
+
+
+def test_kmv_rejects_tiny_k(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.kmv import kmv_sketch
+
+    with pytest.raises(ValueError):
+        kmv_sketch(spark.range(1).select(F.lit("g").alias("g"), "id"), ["g"], "id", k=1)
+
+
+# -------------------------------------------------------- weighted sample
+
+def test_weighted_sample_partition_invariant(spark, sf_dir):
+    from fortune_500_financial_insights_pipeline_spark.operators.sampling import weighted_sample
+
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn("w", F.length("text"))
+    )
+    a = weighted_sample(d, "w", ["doc_id"], 40).select("doc_id").collect()
+    b = weighted_sample(d.repartition(13), "w", ["doc_id"], 40).select("doc_id").collect()
+    assert sorted(r.doc_id for r in a) == sorted(r.doc_id for r in b)
+
+
+def test_weighted_sample_biases_toward_weight(spark):
+    """Rows weighted 100x must dominate the draw: ~n_heavy selected from
+    the heavy half despite equal counts. Deterministic given md5."""
+    from fortune_500_financial_insights_pipeline_spark.operators.sampling import weighted_sample
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), F.when(F.col("id") < 500, 100.0).otherwise(1.0).alias("w")
+    )
+    picked = weighted_sample(df, "w", ["id"], 100).collect()
+    heavy = sum(1 for r in picked if r.id < 500)
+    assert heavy > 80  # E[heavy] ≈ 99 under w-proportional draws
+
+
+def test_weighted_sample_rejects_nonpositive_n(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.sampling import weighted_sample
+
+    with pytest.raises(ValueError):
+        weighted_sample(spark.range(1).withColumn("w", F.lit(1.0)), "w", ["id"], 0)
