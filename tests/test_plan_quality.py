@@ -348,3 +348,39 @@ def test_semdedup_pairs_join_on_cell_not_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*cell", plan), plan[:3000]
+
+
+def test_skyline_no_selfjoin_and_frontier_broadcasts(spark, sf_dir):
+    """The skyline must plan as agg + window + broadcast join back — never
+    the O(n²) dominance self-join (no nested-loop/cartesian anywhere), and
+    the anti-chain frontier side must broadcast, not shuffle the base."""
+    plan = plan_of(spark, sf_dir, "q_skyline")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_probe_broadcasts_filter_side(spark, sf_dir):
+    """The Bloom relation is kilobytes by construction; the probe join must
+    broadcast it — the probe table never shuffles for the membership test."""
+    plan = plan_of(spark, sf_dir, "q_bloom_semijoin")
+    # probe join: filter side built (broadcast), probe side streamed — the
+    # build side's own m/32-row aggregation may exchange (it's kilobytes);
+    # what must NOT happen is a sort-merge/shuffle join of the probe table
+    assert "BroadcastHashJoin" in plan and "BuildRight" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_weighted_sample_is_takeordered(spark, sf_dir):
+    """Top-n by sampling key must plan as TakeOrderedAndProject (map-side
+    partial top-n, driver holds n rows) — not a global sort."""
+    plan = plan_of(spark, sf_dir, "q_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_kmv_sketch_caps_rank_before_shuffle(spark, sf_dir):
+    """The bottom-k rank must run as a WindowGroupLimit partial before the
+    exchange so each input partition ships at most k rows per group —
+    the property that keeps the sketch build O(k) per group at 100 TB."""
+    plan = plan_of(spark, sf_dir, "q_kmv_distinct")
+    assert "WindowGroupLimit" in plan and "Partial" in plan
