@@ -322,6 +322,27 @@ def probe_cells_col(
     return F.transform(F.slice(ranked, 1, n_probe), lambda s: s["cell"])
 
 
+def ivf_index_portable(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """``ivf_index`` with engine-portable routing: round-``round_digits``
+    cosine, ties to the lower cell id — the same deterministic assignment
+    rule ``knn_join_ivf`` uses, so a SQL oracle reproduces the cell ids
+    exactly (raw-double argmax is ulp-sensitive across engines). Same plan
+    shape as ivf_index: one staged norm, one projection, no shuffle."""
+    staged = emb.withColumn("__vnorm", _norm(F.col(vec_col)))
+    return staged.withColumn(
+        "cell",
+        F.element_at(
+            probe_cells_col(vec_col, centroids, 1, round_digits, norm_col="__vnorm"),
+            1,
+        ),
+    ).drop("__vnorm")
+
+
 def knn_join_ivf(
     queries: DataFrame,
     corpus: DataFrame,

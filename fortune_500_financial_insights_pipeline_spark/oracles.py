@@ -2054,3 +2054,127 @@ FROM (
 ORDER BY es_score DESC, doc_id ASC
 LIMIT 50
 """
+
+# q_quantized_topk upgraded from rows-only (r1) to exact: the int8 codes are
+# NOT engine-specific after all — per-vector max-abs scale, round-half-away
+# (Spark HALF_UP == DuckDB round), tinyint cast and the cosine fold are all
+# portable double arithmetic; round-6 absorbs fold-order ulps. Verified
+# value-identical at sf0.001 and sf0.01.
+ORACLES["q_quantized_topk"] = """
+WITH qn AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE) /
+           sqrt(list_sum(list_transform(embedding,
+                y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS q
+  FROM embeddings WHERE vec_id = 0
+),
+store AS (
+  SELECT vec_id, label, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s0
+  FROM embeddings
+),
+codes AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(CAST(round(CAST(x AS DOUBLE)
+                  / (CASE WHEN s0 = 0 THEN 1.0 ELSE s0 END) * 127.0) AS TINYINT)
+                AS DOUBLE)) AS c
+  FROM store
+),
+scored AS (
+  SELECT vec_id, label,
+         ROUND(
+           list_sum(list_transform(list_zip(c, q), s -> s[1] * s[2]))
+           / sqrt(list_sum(list_transform(c, x -> x * x))), 6) AS sim
+  FROM codes CROSS JOIN qn
+)
+SELECT vec_id, label, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 20
+"""
+
+# q_ivf_topk upgraded from rows-only (r1) to exact: the quantizer is the
+# fixed-point Lloyd training already oracled by q_kmeans (prefix below =
+# that oracle's first two iterations, k=8), and routing/probing use the
+# portable round-6 cosine rule (similarity.ivf_index_portable /
+# probe_cells_col) with ties to the lower cell id.
+ORACLES["q_ivf_topk"] = """
+WITH v AS (
+  SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+         CAST(ROUND(CAST(xv AS DOUBLE) * 1000000) AS BIGINT) AS x
+  FROM (SELECT vec_id,
+               unnest(range(len(embedding))) AS pos,
+               unnest(embedding) AS xv
+        FROM embeddings)
+),
+init AS (
+  SELECT vec_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS BIGINT) AS cell
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8
+),
+c0 AS (SELECT i.cell, v.pos, v.x AS c FROM init i JOIN v USING (vec_id)),
+d0 AS (
+  SELECT v.vec_id, c.cell, SUM((v.x - c.c) * (v.x - c.c)) AS dist
+  FROM v JOIN c0 c USING (pos) GROUP BY v.vec_id, c.cell
+),
+a0 AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+    FROM d0
+  ) WHERE rn = 1
+),
+s0 AS (
+  SELECT a.cell, v.pos, CAST(SUM(v.x) AS BIGINT) AS s, COUNT(*) AS n
+  FROM a0 a JOIN v USING (vec_id) GROUP BY a.cell, v.pos
+),
+c1 AS (SELECT cell, pos, CAST((s - s % n) / n AS BIGINT) AS c FROM s0),
+d1 AS (
+  SELECT v.vec_id, c.cell, SUM((v.x - c.c) * (v.x - c.c)) AS dist
+  FROM v JOIN c1 c USING (pos) GROUP BY v.vec_id, c.cell
+),
+a1 AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+    FROM d1
+  ) WHERE rn = 1
+),
+s1 AS (
+  SELECT a.cell, v.pos, CAST(SUM(v.x) AS BIGINT) AS s, COUNT(*) AS n
+  FROM a1 a JOIN v USING (vec_id) GROUP BY a.cell, v.pos
+),
+cent AS (
+  SELECT cell,
+         list(CAST(CAST((s - s % n) / n AS BIGINT) AS DOUBLE) / 1000000.0
+              ORDER BY pos) AS cvec
+  FROM s1 GROUP BY cell
+),
+e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+),
+route AS (
+  SELECT e.vec_id, e.label, e.vec, c.cell,
+         ROUND(list_dot_product(e.vec, c.cvec)
+               / (sqrt(list_dot_product(e.vec, e.vec))
+                  * sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS csim
+  FROM e CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, label, vec, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY csim DESC, cell ASC) AS rn
+    FROM route) WHERE rn = 1
+),
+probes AS (
+  SELECT cell FROM (
+    SELECT cell, ROW_NUMBER() OVER (ORDER BY csim DESC, cell ASC) AS rn
+    FROM route WHERE vec_id = 0) WHERE rn <= 2
+),
+q AS (SELECT vec FROM e WHERE vec_id = 0),
+cand AS (
+  SELECT a.vec_id, a.label,
+         ROUND(list_dot_product(a.vec, q.vec)
+               / (sqrt(list_dot_product(a.vec, a.vec))
+                  * sqrt(list_dot_product(q.vec, q.vec))), 6) AS sim
+  FROM assigned a JOIN probes USING (cell) CROSS JOIN q
+)
+SELECT vec_id, label, sim FROM cand ORDER BY sim DESC, vec_id LIMIT 20
+"""

@@ -898,25 +898,38 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k with a TRAINED coarse quantizer: two exact
     Lloyd iterations (operators/kmeans.py) tighten the cells before
     index+probe — fewer false candidates per probe than raw sampled seeds
-    at the same n_probe. (Rows-only: cell routing is engine-specific;
-    recall vs brute force is pinned by test_ivf_topk_recall_on_clustered_data
-    and the exact twin q_cosine_topk carries the value check.)"""
+    at the same n_probe. Oracle-exact since r2: routing uses the portable
+    round-6 rule (ivf_index_portable / probe_cells_col) and the quantizer
+    is the fixed-point Lloyd training q_kmeans already oracles, so the
+    whole train→index→probe→score path is hash-checked; recall vs brute
+    force additionally pinned by test_ivf_topk_recall_on_clustered_data."""
     from fortune_500_financial_insights_pipeline_spark.operators.kmeans import kmeans_centroids
     from fortune_500_financial_insights_pipeline_spark.operators.similarity import (
-        ivf_index,
-        ivf_topk,
+        cosine_topk,
+        ivf_index_portable,
+        probe_cells_col,
     )
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     centroids = kmeans_centroids(emb, k=8, n_iter=2)
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return ivf_topk(ivf_index(emb, centroids), centroids, list(qvec), k=20, n_probe=2)
+    indexed = ivf_index_portable(emb, centroids)
+    qrow = emb.filter(F.col("vec_id") == 0)
+    qvec = list(qrow.select("embedding").head()[0])
+    # probe selection through the SAME Spark round-6 expression the oracle
+    # mirrors (python round() is banker's — not a safe stand-in)
+    probe = list(
+        qrow.select(probe_cells_col("embedding", centroids, 2).alias("p")).head()["p"]
+    )
+    return cosine_topk(
+        indexed.filter(F.col("cell").isin(probe)).drop("cell"), qvec, k=20
+    )
 
 
 @q("q_quantized_topk")
 def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """int8-quantized cosine top-k (rows-only: quantization codes are
-    engine-specific; recall vs the exact twin is pinned by
+    """int8-quantized cosine top-k. Oracle-exact since r2: per-vector
+    max-abs scale, HALF_UP rounding and the cosine fold are all portable
+    double arithmetic (recall vs the exact twin additionally pinned by
     test_quantized_embeddings_preserve_neighbors)."""
     from fortune_500_financial_insights_pipeline_spark.operators.similarity import (
         quantize_embeddings,
