@@ -2178,3 +2178,13 @@ cand AS (
 )
 SELECT vec_id, label, sim FROM cand ORDER BY sim DESC, vec_id LIMIT 20
 """
+
+ORACLES["q_histogram_equidepth"] = """
+SELECT bucket, COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+FROM (
+  SELECT o_orderkey, o_totalprice,
+         CAST(NTILE(10) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS INTEGER) AS bucket
+  FROM orders
+)
+GROUP BY bucket
+"""

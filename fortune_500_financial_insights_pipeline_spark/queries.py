@@ -2587,3 +2587,27 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     dw = d.withColumn("w", F.length("text"))
     return weighted_sample(dw, "w", ["doc_id"], n=50).select("doc_id", "es_score")
+
+
+@q("q_histogram_equidepth")
+def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram of order values (10 equal-count buckets): the
+    optimizer-statistics form — bucket boundaries track the data density
+    where equi-width (q_histogram) leaves most buckets empty under skew.
+    ntile over a (value, key) total order is deterministic cross-engine;
+    the single global window runs over (value, key) pairs only — at true
+    scale swap in exact-percentile cut points (operators/..winsorize
+    pattern) to avoid the one-partition sort, which is why the equi-width
+    twin stays the default."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .withColumn("bucket", F.ntile(10).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )

@@ -588,3 +588,51 @@ def test_streaming_curation_watermark_dedups_across_event_times(spark, tmp_path)
         q.stop()
     # doc 2 is a content-duplicate of doc 1 within the horizon → dropped.
     assert {r.doc_id for r in got} == {1, 3}
+
+
+def test_bloom_dedup_across_batches(spark, tmp_path):
+    """Cross-batch Bloom dedup: keys re-sent in a later batch must not be
+    emitted again; new keys pass; the guarantee survives a fresh query
+    against the same persisted state (restart simulation)."""
+    from fortune_500_financial_insights_pipeline_spark.streaming.bloom_dedup import (
+        bloom_dedup_stream,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "bloom_state")
+    ckpt = str(tmp_path / "ckpt")
+    emitted: list[tuple[int, int]] = []
+
+    def emit(df, batch_id):
+        emitted.extend((batch_id, r.k) for r in df.collect())
+
+    # batch 1: keys 0..9; batch 2: keys 5..14 (5 dups, 5 new)
+    spark.range(0, 10).withColumnRenamed("id", "k").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = spark.readStream.schema("k long").parquet(src)
+    q = (
+        bloom_dedup_stream(stream, "k", state, emit, m_bits=1 << 14)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    spark.range(5, 15).withColumnRenamed("id", "k").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    keys = sorted(k for _, k in emitted)
+    assert keys == list(range(15)), keys  # each key exactly once
+    # restart: a NEW query against the same state must still drop all 15
+    emitted.clear()
+    stream2 = spark.readStream.schema("k long").parquet(src)
+    q2 = (
+        bloom_dedup_stream(stream2, "k", state, emit, m_bits=1 << 14)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert emitted == [], emitted
