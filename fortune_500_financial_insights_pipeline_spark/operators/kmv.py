@@ -74,3 +74,44 @@ def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int) -> DataFrame:
         .otherwise(F.round((F.lit(k - 1)) / F.max("u"), 6))
         .alias("est_distinct")
     )
+
+
+def kmv_overlap(a: DataFrame, b: DataFrame, key_col: str, k: int = 128) -> DataFrame:
+    """Jaccard / intersection / union estimates between two key sets from
+    bottom-k sketches alone (Beyer et al., SIGMOD 2007 §4): never joins the
+    raw sides. M = bottom-k of the sketch union; J ≈ |M ∩ A ∩ B| / |M|;
+    |A ∪ B| ≈ (k-1)/u_k; |A ∩ B| ≈ J · |A ∪ B|. When the union holds fewer
+    than k distinct hashes the sketches saw everything and all three are
+    exact.
+
+    This answers the corpus-planning question — "how much does source A
+    overlap source B?" — at sketch cost: each side is scanned once for a
+    k-row TakeOrdered; the estimate combines two k-row frames. At 100 TB
+    the sketches are reusable artifacts: persist per-source sketches once,
+    estimate any pairwise overlap later without touching the data.
+
+    Returns one row: (j_est, union_est, inter_est), round-6.
+    """
+    def sk(df: DataFrame) -> DataFrame:
+        return (
+            df.select(_uniform(F.col(key_col)).alias("u"))
+            .distinct()
+            .orderBy(F.asc("u"))
+            .limit(k)
+        )
+
+    sa, sb = sk(a), sk(b)
+    m = sa.unionByName(sb).distinct().orderBy(F.asc("u")).limit(k)
+    both = m.join(sa, "u", "left_semi").join(sb, "u", "left_semi")
+    stats = m.agg(F.count(F.lit(1)).alias("n_m"), F.max("u").alias("u_k")).crossJoin(
+        both.agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    j = F.col("n_both") / F.col("n_m")
+    union_est = F.when(
+        F.col("n_m") < k, F.col("n_m").cast("double")
+    ).otherwise(F.round(F.lit(k - 1) / F.col("u_k"), 6))
+    return stats.select(
+        F.round(j, 6).alias("j_est"),
+        union_est.alias("union_est"),
+        F.round(j * union_est, 6).alias("inter_est"),
+    )

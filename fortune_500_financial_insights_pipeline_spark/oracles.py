@@ -2188,3 +2188,36 @@ FROM (
 )
 GROUP BY bucket
 """
+
+# Mirrors operators/kmv.kmv_overlap arithmetic: per-side bottom-128 of the
+# md5-uniform, M = bottom-128 of the union, J = |M∩A∩B|/|M|,
+# union = (k-1)/u_k (exact count when |M| < k), intersection = J * union.
+ORACLES["q_kmv_overlap"] = """
+WITH ua AS (
+  SELECT DISTINCT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+           / 1152921504606846976.0 AS u
+  FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995
+), ub AS (
+  SELECT DISTINCT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+           / 1152921504606846976.0 AS u
+  FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1996
+), sa AS (SELECT u FROM ua ORDER BY u LIMIT 128),
+   sb AS (SELECT u FROM ub ORDER BY u LIMIT 128),
+   m AS (
+     SELECT u FROM (SELECT u FROM sa UNION SELECT u FROM sb)
+     ORDER BY u LIMIT 128
+   ),
+   stats AS (
+     SELECT (SELECT COUNT(*) FROM m) AS n_m,
+            (SELECT MAX(u) FROM m) AS u_k,
+            (SELECT COUNT(*) FROM m
+             WHERE u IN (SELECT u FROM sa) AND u IN (SELECT u FROM sb)) AS n_both
+   )
+SELECT ROUND(CAST(n_both AS DOUBLE) / n_m, 6) AS j_est,
+       CASE WHEN n_m < 128 THEN CAST(n_m AS DOUBLE)
+            ELSE ROUND(127 / u_k, 6) END AS union_est,
+       ROUND(CAST(n_both AS DOUBLE) / n_m *
+             (CASE WHEN n_m < 128 THEN CAST(n_m AS DOUBLE)
+                   ELSE ROUND(127 / u_k, 6) END), 6) AS inter_est
+FROM stats
+"""

@@ -2611,3 +2611,17 @@ def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+@q("q_kmv_overlap")
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated customer overlap between 1995 and 1996 order cohorts from
+    k=128 KMV sketches alone — year-over-year retention sizing without
+    joining the two years (operators/kmv.kmv_overlap)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.kmv import kmv_overlap
+
+    o = load_table(spark, sf_dir, "orders")
+    y = F.year(F.to_date("o_orderdate"))
+    a = o.where(y == 1995).select("o_custkey")
+    b = o.where(y == 1996).select("o_custkey")
+    return kmv_overlap(a, b, "o_custkey", k=128)

@@ -210,3 +210,29 @@ def test_weighted_sample_rejects_nonpositive_n(spark):
 
     with pytest.raises(ValueError):
         weighted_sample(spark.range(1).withColumn("w", F.lit(1.0)), "w", ["id"], 0)
+
+
+# ------------------------------------------------------------ kmv overlap
+
+def test_kmv_overlap_tracks_exact_jaccard(spark):
+    """Two overlapping key ranges: sketch estimates must sit near the true
+    Jaccard/intersection (k=128 → ~9% stderr; assert within 35%)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.kmv import kmv_overlap
+
+    a = spark.range(0, 2000).withColumnRenamed("id", "k")
+    b = spark.range(1000, 3000).withColumnRenamed("id", "k")
+    r = kmv_overlap(a, b, "k", k=128).collect()[0]
+    # truth: |A∩B|=1000, |A∪B|=3000, J=1/3
+    assert abs(r.j_est - 1 / 3) / (1 / 3) < 0.35, r
+    assert abs(r.union_est - 3000) / 3000 < 0.35, r
+    assert abs(r.inter_est - 1000) / 1000 < 0.35, r
+
+
+def test_kmv_overlap_exact_below_capacity(spark):
+    """Fewer than k distinct hashes in the union → all three outputs exact."""
+    from fortune_500_financial_insights_pipeline_spark.operators.kmv import kmv_overlap
+
+    a = spark.range(0, 60).withColumnRenamed("id", "k")
+    b = spark.range(40, 100).withColumnRenamed("id", "k")
+    r = kmv_overlap(a, b, "k", k=128).collect()[0]
+    assert r.union_est == 100.0 and r.j_est == 0.2 and r.inter_est == 20.0, r
