@@ -2221,3 +2221,9 @@ SELECT ROUND(CAST(n_both AS DOUBLE) / n_m, 6) AS j_est,
                    ELSE ROUND(127 / u_k, 6) END), 6) AS inter_est
 FROM stats
 """
+
+ORACLES["q_salted_join"] = """
+SELECT n.n_name, COUNT(*) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""

@@ -2625,3 +2625,20 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.where(y == 1995).select("o_custkey")
     b = o.where(y == 1996).select("o_custkey")
     return kmv_overlap(a, b, "o_custkey", k=128)
+
+
+@q("q_salted_join")
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact⋈dim join + rollup (operators/skew.salted_join):
+    result is identical to the plain join — the salt spreads each hot
+    nation key over 16 shuffle buckets and never leaves the operator —
+    so the oracle is simply the unsalted SQL. Gives the explicit-salting
+    fallback (for skew AQE can't split) a driver-checked row."""
+    from fortune_500_financial_insights_pipeline_spark.operators.skew import salted_join
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    joined = salted_join(c, n, on=["c_nationkey"], salt=16)
+    return joined.groupBy("n_name").agg(F.count(F.lit(1)).alias("n_customers"))
