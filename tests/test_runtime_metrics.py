@@ -125,3 +125,33 @@ def test_knn_join_ivf_window_sees_cell_sized_partitions(spark, sf_dir):
     assert shuffles
     assert all(s <= max(n, int(10 * n * 0.9)) for s in shuffles), (shuffles, n)
     assert _total_spill(nodes) == 0
+
+
+def test_bloom_probe_shuffles_custkey_groups_only(spark, sf_dir):
+    """q_bloom_semijoin probes 150 customers × 3 positions (sf0.001): the
+    probe side must reach the join by broadcast (no probe-table exchange
+    before the join); measured exchanges may carry only the per-customer
+    partial-agg rows and the tiny filter build — all bounded by key count,
+    never by positions × rows."""
+    nodes = _metrics_by_node(spark, sf_dir, "q_bloom_semijoin")
+    shuffles = _shuffle_rows(nodes)
+    assert shuffles, "expected measured exchanges"
+    # 150 customers + <=512 bloom words; 3x-exploded probe rows (450+) must
+    # never cross an exchange
+    assert all(s <= 400 for s in shuffles), shuffles
+    assert _total_spill(nodes) == 0
+
+
+def test_kmv_shuffle_bounded_by_k_per_group(spark, sf_dir):
+    """q_kmv_distinct (k=64) over 1000 events: the rank's WindowGroupLimit
+    partial must cap each exchange at ~k rows per (group × map task), so
+    the shuffle stays O(k·groups), not O(distinct users)."""
+    nodes = _metrics_by_node(spark, sf_dir, "q_kmv_distinct")
+    shuffles = _shuffle_rows(nodes)
+    assert shuffles, "expected measured exchanges"
+    # sf0.001 holds only ~75 distinct (type, user) pairs, so k=64 doesn't
+    # bite here — the structural cap is pinned by the WindowGroupLimit plan
+    # gate (test_plan_quality.test_kmv_sketch_caps_rank_before_shuffle);
+    # this gate pins the runtime order of magnitude and zero spill
+    assert all(s <= 300 for s in shuffles), shuffles
+    assert _total_spill(nodes) == 0
