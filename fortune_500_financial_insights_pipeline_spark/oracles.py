@@ -2227,3 +2227,45 @@ SELECT n.n_name, COUNT(*) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name
 """
+
+ORACLES["q_attribution"] = """
+SELECT event_id AS purchase_id, user_id, first_touch, last_touch
+FROM (
+  SELECT event_id, user_id, event_type,
+         first_value(CASE WHEN event_type IN ('click', 'view') THEN event_id END
+                     IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch,
+         last_value(CASE WHEN event_type IN ('click', 'view') THEN event_id END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+  FROM events
+)
+WHERE event_type = 'purchase'
+"""
+
+ORACLES["q_cumulative_users"] = """
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT first_day, COUNT(*) AS new_users FROM first_seen GROUP BY first_day
+)
+SELECT strftime(first_day, '%Y-%m-%d') AS day,
+       CAST(SUM(new_users) OVER (ORDER BY first_day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+FROM daily
+"""
+
+ORACLES["q_pop_growth"] = f"""
+WITH monthly AS (
+  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+         ROUND({_dsum('o_totalprice')}, 2) AS revenue
+  FROM orders GROUP BY strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+)
+SELECT month, revenue,
+       ROUND((revenue - LAG(revenue) OVER (ORDER BY month))
+             / LAG(revenue) OVER (ORDER BY month) * 100, 6) AS growth_pct
+FROM monthly
+"""

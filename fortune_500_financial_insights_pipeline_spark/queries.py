@@ -2642,3 +2642,72 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = salted_join(c, n, on=["c_nationkey"], salt=16)
     return joined.groupBy("n_name").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@q("q_attribution")
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-/last-touch attribution: for every purchase, the first and the
+    most recent touch event (click/view) by the same user strictly before
+    it — the conversion-credit query a marketing warehouse runs daily. One
+    shuffle on user_id; both credits come from the same ignoreNulls window
+    family over the interleaved event stream (no self-join, no as-of pass
+    per touch type); purchases with no prior touch keep NULL credits."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    touch = F.when(
+        F.col("event_type").isin("click", "view"), F.col("event_id")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    labeled = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+    )
+    return labeled.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "first_touch", "last_touch"
+    )
+
+
+@q("q_cumulative_users")
+def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — the running-reach curve. Exact
+    without any running COUNT(DISTINCT): each user contributes once at
+    their first-seen day (one grouped min), then a cumulative sum over the
+    per-day frame. The global window runs over days (bounded domain), not
+    events; the heavy reduction is the partial-aggregated first-seen min."""
+    e = load_table(spark, sf_dir, "events")
+    first = e.select("user_id", F.to_date("ts").alias("day")).groupBy("user_id").agg(
+        F.min("day").alias("first_day")
+    )
+    daily = first.groupBy("first_day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = W.orderBy("first_day").rowsBetween(W.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("first_day", "yyyy-MM-dd").alias("day"),
+        F.sum("new_users").over(w).alias("cum_users"),
+    )
+
+
+@q("q_pop_growth")
+def q_pop_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: fixed-point monthly sums (exact,
+    partitioning-invariant), one lag over the month frame, growth in
+    round-6 percent (NULL for the first month). The window is over months
+    — a bounded domain — after the heavy aggregation collapsed orders."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format(F.to_date("o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(F.round(dsum("o_totalprice"), 2).alias("revenue"))
+    w = W.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round((F.col("revenue") - prev) / prev * 100, 6).alias("growth_pct"),
+    )
