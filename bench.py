@@ -54,6 +54,12 @@ HEADLINE = [
     "q_rolling_median",
     "q_bloom_semijoin",
     "q_shard_stats",
+    "q_kmv_distinct",
+    "q_kmv_overlap",
+    "q_weighted_sample",
+    "q_attribution",
+    "q_salted_join",
+    "q_histogram_equidepth",
 ]
 
 # DuckDB oracle wall-clock on the SAME queries at sf0.1, best-of-2, measured
@@ -75,6 +81,9 @@ DUCKDB_BASELINE_SF01: dict[str, float | None] = {
     "q_mix_sources": 0.0407, "q_upsample_sources": 0.0415,
     "q_skyline": 4.3139, "q_rolling_median": 0.6785,
     "q_bloom_semijoin": 0.0738, "q_shard_stats": 0.0075,
+    "q_kmv_distinct": 0.0531, "q_kmv_overlap": 0.044,
+    "q_weighted_sample": 0.0084, "q_attribution": 0.0565,
+    "q_salted_join": 0.0047, "q_histogram_equidepth": 0.0549,
 }
 
 
