@@ -636,3 +636,47 @@ def test_bloom_dedup_across_batches(spark, tmp_path):
     q2.processAllAvailable()
     q2.stop()
     assert emitted == [], emitted
+
+
+def test_kmv_cardinality_stream_equals_batch(spark, tmp_path):
+    """The running streamed estimate after the final batch must equal the
+    batch estimate over all data seen — exactly (sketch-merge identity),
+    not approximately."""
+    from fortune_500_financial_insights_pipeline_spark.operators.kmv import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+    from fortune_500_financial_insights_pipeline_spark.streaming.kmv_cardinality import (
+        kmv_cardinality_stream,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "kmv_state")
+    last: dict[str, float] = {}
+
+    def emit(df, batch_id):
+        last.clear()
+        last.update({r.g: r.est_distinct for r in df.collect()})
+
+    b1 = spark.range(0, 400).selectExpr("'a' AS g", "id AS k")
+    b2 = spark.range(300, 900).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS g", "id AS k"
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("g string, k long").parquet(src)
+    q = (
+        kmv_cardinality_stream(stream, ["g"], "k", state, emit, k=64)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    b2.coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    whole = b1.unionByName(b2)
+    expect = {
+        r.g: r.est_distinct
+        for r in kmv_estimate(kmv_sketch(whole, ["g"], "k", k=64), ["g"], k=64).collect()
+    }
+    assert last == expect and set(last) == {"a", "b"}, (last, expect)
