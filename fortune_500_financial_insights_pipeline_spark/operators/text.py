@@ -333,3 +333,62 @@ def classifier_score(
     return agg.select(
         id_col, F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("prob")
     )
+
+
+def dup_fraction(df, n: int = 8, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document duplicate-text fraction: share of a doc's n-word
+    windows whose exact content also appears in another document — the
+    scalar quality signal the C4/RefinedWeb-style filters threshold on
+    ("drop docs that are mostly boilerplate"), rolled up from the same
+    span frame duplicated_spans reports row-wise.
+
+    Same scale shape as duplicated_spans: one positioned-window explode,
+    then all joins/aggregates ride the md5 span key; the rollup adds two
+    doc-keyed aggregations (bounded by doc count). Docs shorter than n
+    tokens have zero windows and fraction 0."""
+    from fortune_500_financial_insights_pipeline_spark.operators.compact import (
+        ensure_min_parallelism,
+    )
+
+    src = ensure_min_parallelism(
+        df.select(F.col(id_col), F.col(text_col).alias("__t")), id_col
+    )
+    toks = tokens(F.col("__t"))
+    windows = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+            )
+        ),
+    )
+    spans = src.where(F.size(toks) >= n).select(
+        id_col, F.explode(windows).alias("span_hash")
+    )
+    dups = (
+        spans.groupBy("span_hash")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .where(F.col("__nd") >= 2)
+        .select("span_hash")
+    )
+    totals = spans.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_windows"))
+    dup_counts = (
+        spans.join(dups, "span_hash")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    nw = F.coalesce(F.col("n_windows"), F.lit(0))
+    nd = F.coalesce(F.col("n_dup"), F.lit(0))
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(dup_counts, id_col, "left")
+        .select(
+            id_col,
+            nw.alias("n_windows"),
+            nd.alias("n_dup"),
+            F.when(nw == 0, F.lit(0.0))
+            .otherwise(F.round(nd / nw, 6))
+            .alias("dup_fraction"),
+        )
+    )

@@ -2269,3 +2269,32 @@ SELECT month, revenue,
              / LAG(revenue) OVER (ORDER BY month) * 100, 6) AS growth_pct
 FROM monthly
 """
+
+ORACLES["q_dup_fraction"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+spans AS (
+  SELECT doc_id,
+         md5(l[i]||' '||l[i+1]||' '||l[i+2]||' '||l[i+3]||' '||l[i+4]
+             ||' '||l[i+5]||' '||l[i+6]||' '||l[i+7]) AS span_hash
+  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 7)) AS i
+        FROM toks WHERE len(l) >= 8)
+),
+dups AS (
+  SELECT span_hash FROM spans GROUP BY span_hash
+  HAVING COUNT(DISTINCT doc_id) >= 2
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_windows FROM spans GROUP BY doc_id),
+dupc AS (
+  SELECT s.doc_id, COUNT(*) AS n_dup
+  FROM spans s JOIN dups USING (span_hash) GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(t.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(COALESCE(c.n_dup, 0) AS BIGINT) AS n_dup,
+       CASE WHEN COALESCE(t.n_windows, 0) = 0 THEN 0.0
+            ELSE ROUND(CAST(COALESCE(c.n_dup, 0) AS DOUBLE) / t.n_windows, 6)
+       END AS dup_fraction
+FROM documents d
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN dupc c USING (doc_id)
+"""

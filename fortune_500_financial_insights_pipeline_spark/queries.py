@@ -2711,3 +2711,14 @@ def q_pop_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round((F.col("revenue") - prev) / prev * 100, 6).alias("growth_pct"),
     )
+
+
+@q("q_dup_fraction")
+def q_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicate-text fraction (share of 8-word windows also
+    found in other docs) — the thresholdable scalar the span detector
+    (q_dup_spans) feeds a quality filter (operators/text.dup_fraction)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.text import dup_fraction
+
+    d = load_table(spark, sf_dir, "documents")
+    return dup_fraction(d, n=8)
