@@ -250,3 +250,41 @@ def weighted_sample(
         .orderBy(F.desc("es_score"), *[F.asc(c) for c in key_cols])
         .limit(n)
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    weight_col: str,
+    key_cols: list[str],
+    n_per_group: int,
+) -> DataFrame:
+    """Per-group weighted sampling without replacement: ``weighted_sample``
+    with an n-quota per group (top-n by the Efraimidis–Spirakis key within
+    each group) — the per-source quality-weighted selection a data-mixture
+    build runs ("keep the best-weighted 100k docs from EACH source").
+
+    Plan shape: map-side score, then a rank the optimizer caps with a
+    WindowGroupLimit partial — each input partition ships at most
+    ``n_per_group`` rows per group into the exchange, so the shuffle is
+    O(n·groups·partitions) no matter how skewed the source sizes are
+    (same property test_plan_quality pins for q_source_cap)."""
+    if n_per_group <= 0:
+        raise ValueError("n_per_group must be positive")
+    from pyspark.sql import Window as W
+
+    u = (
+        F.conv(F.substring(F.md5(F.concat_ws("|", *key_cols)), 1, 15), 16, 10)
+        .cast("double")
+        / F.lit(float(1 << 60))
+    )
+    score = F.round(F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 6)
+    w = W.partitionBy(*group_cols).orderBy(
+        F.desc("es_score"), *[F.asc(c) for c in key_cols]
+    )
+    return (
+        df.withColumn("es_score", score)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_per_group)
+        .drop("__rn")
+    )

@@ -2298,3 +2298,20 @@ FROM documents d
 LEFT JOIN tot t USING (doc_id)
 LEFT JOIN dupc c USING (doc_id)
 """
+
+ORACLES["q_weighted_sample_grouped"] = """
+SELECT lang, doc_id, es_score
+FROM (
+  SELECT lang, doc_id, es_score,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY es_score DESC, doc_id ASC) AS rn
+  FROM (
+    SELECT lang, doc_id,
+           ROUND(pow(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                     / 1152921504606846976.0,
+                     1.0 / length(text)), 6) AS es_score
+    FROM documents
+  )
+)
+WHERE rn <= 20
+"""

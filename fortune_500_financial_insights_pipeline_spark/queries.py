@@ -2722,3 +2722,18 @@ def q_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return dup_fraction(d, n=8)
+
+
+@q("q_weighted_sample_grouped")
+def q_weighted_sample_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 length-weighted draw per language — the per-source quota form
+    of q_weighted_sample (operators/sampling.weighted_sample_per_group),
+    WindowGroupLimit-capped so skewed sources can't flood the shuffle."""
+    from fortune_500_financial_insights_pipeline_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    d = load_table(spark, sf_dir, "documents").withColumn("w", F.length("text"))
+    return weighted_sample_per_group(
+        d, ["lang"], "w", ["doc_id"], n_per_group=20
+    ).select("lang", "doc_id", "es_score")

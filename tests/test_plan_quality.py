@@ -384,3 +384,11 @@ def test_kmv_sketch_caps_rank_before_shuffle(spark, sf_dir):
     the property that keeps the sketch build O(k) per group at 100 TB."""
     plan = plan_of(spark, sf_dir, "q_kmv_distinct")
     assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_weighted_sample_grouped_limits_before_shuffle(spark, sf_dir):
+    """The per-group quota rank must cap map-side (WindowGroupLimit
+    Partial) so each partition ships at most n rows per group — the skew
+    guard that keeps a giant source from flooding the exchange."""
+    plan = plan_of(spark, sf_dir, "q_weighted_sample_grouped")
+    assert "WindowGroupLimit" in plan and "Partial" in plan
