@@ -189,3 +189,63 @@ def bm25(
         .where(F.col("rn") <= top_k)
         .drop("rn")
     )
+
+
+def bm25_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Multi-query top-k BM25 retrieval — the search-engine / RAG-recall
+    shape built on the ``bm25()`` postings frame.
+
+    ``queries`` is a tiny (query_id, qtext) frame; result is one row per
+    (query_id, retrieved doc) with the summed BM25 score over the query's
+    DISTINCT terms, ranked 1..k per query.
+
+    Plan shape for the 100 TB design point:
+    - the postings frame (one row per (doc, term)) is the big side and is
+      joined ON TERM to the broadcast query-term list — the classic
+      inverted-index probe: only postings of query terms survive the join,
+      everything else is filtered at the scan of the materialized
+      postings in a real deployment;
+    - per-(query, doc) score totals are a partial-aggregated groupBy whose
+      key cardinality is bounded by (queries x matched docs), tiny next to
+      the corpus;
+    - top-k per query is a row_number window the optimizer rewrites to
+      WindowGroupLimit — per-partition heaps of k rows, not a full sort;
+    - the score sum runs in fixed point (``dsum``) so the total is
+      bit-identical regardless of partitioning or join order.
+    """
+    from pyspark.sql.window import Window
+
+    from fortune_500_financial_insights_pipeline_spark.functions.deterministic import dsum
+
+    scored = bm25(docs, id_col=id_col, text_col=text_col, k1=k1, b=b)
+    qterms = (
+        queries.select(
+            "query_id",
+            F.explode(F.array_distinct(F.split(F.col("qtext"), " "))).alias("term"),
+        )
+        .where(F.col("term") != "")
+    )
+    totals = (
+        scored.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", id_col)
+        .agg(
+            F.round(dsum("score"), 6).alias("total_score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("total_score"), F.asc(id_col)
+    )
+    return (
+        totals.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

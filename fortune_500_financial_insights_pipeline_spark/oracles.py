@@ -2315,3 +2315,54 @@ FROM (
 )
 WHERE rn <= 20
 """
+
+ORACLES["q_bm25_search"] = """
+WITH tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> ''
+  GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), stats AS (
+  SELECT (SELECT SUM(tf) FROM tf) AS total_tf,
+         (SELECT COUNT(*) FROM documents) AS n_docs
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(LN(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * (1.0 - 0.75
+                                 + 0.75 * dl.dl / (s.total_tf * 1.0 / s.n_docs))),
+               6) AS score
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN dfreq ON tf.term = dfreq.term
+  CROSS JOIN stats s
+), queries(query_id, qtext) AS (
+  VALUES (1, 'spark join hash'),
+         (2, 'window agg sort'),
+         (3, 'stream batch merge'),
+         (4, 'customer query filter zzzmissingterm')
+), qterms AS (
+  SELECT DISTINCT query_id, term
+  FROM (SELECT query_id, UNNEST(string_split(qtext, ' ')) AS term FROM queries)
+  WHERE term <> ''
+), totals AS (
+  SELECT q.query_id, s.doc_id,
+         ROUND(CAST(SUM(CAST(ROUND(s.score * 1000000) AS BIGINT)) AS DOUBLE)
+               / 1000000, 6) AS total_score,
+         COUNT(*) AS n_terms_hit
+  FROM scored s JOIN qterms q ON s.term = q.term
+  GROUP BY q.query_id, s.doc_id
+)
+SELECT query_id, doc_id, total_score, n_terms_hit, rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY total_score DESC, doc_id ASC
+         ) AS rank
+  FROM totals
+)
+WHERE rank <= 5
+"""

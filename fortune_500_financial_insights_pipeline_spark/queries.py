@@ -2737,3 +2737,26 @@ def q_weighted_sample_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_per_group(
         d, ["lang"], "w", ["doc_id"], n_per_group=20
     ).select("lang", "doc_id", "es_score")
+
+
+@q("q_bm25_search")
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 documents per query for four fixed bag-of-words queries —
+    inverted-index retrieval over the q_bm25 postings (operators/tfidf
+    .bm25_search): broadcast query-term probe, fixed-point score totals,
+    WindowGroupLimit top-k per query. One query carries a term absent
+    from the corpus to prove unmatched terms drop without nulling the
+    score."""
+    from fortune_500_financial_insights_pipeline_spark.operators.tfidf import bm25_search
+
+    d = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [
+            (1, "spark join hash"),
+            (2, "window agg sort"),
+            (3, "stream batch merge"),
+            (4, "customer query filter zzzmissingterm"),
+        ],
+        "query_id int, qtext string",
+    )
+    return bm25_search(d, queries, k=5)

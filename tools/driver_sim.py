@@ -1,0 +1,101 @@
+"""Simulate the external driver's correctness pass locally.
+
+Runs registered queries at sf0.01 (the driver's scale) in the same order
+``__spark_entry__.queries()`` exposes them, compares each against its DuckDB
+oracle with the strict local harness, and prints per-key wall time — so slow
+keys that would eat the driver's budget are visible before the round ends.
+
+Usage:
+    python tools/driver_sim.py [--limit N] [--only key1,key2] [--all]
+
+Default checks only keys with no green row in any CORRECTNESS_r*.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--limit", type=int, default=0)
+    ap.add_argument("--only", type=str, default="")
+    ap.add_argument("--all", action="store_true")
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    args = ap.parse_args()
+
+    import __spark_entry__ as entrymod
+    from fortune_500_financial_insights_pipeline_spark.session import get_spark
+    from fortune_500_financial_insights_pipeline_spark.testing import (
+        compare_frames,
+        run_oracle,
+    )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    verified = entrymod._verified_rounds()
+
+    if args.only:
+        keys = [k for k in args.only.split(",") if k in qs]
+    else:
+        keys = [k for k in qs if args.all or k not in verified]
+    if args.limit:
+        keys = keys[: args.limit]
+
+    spark = get_spark(
+        app_name="driver-sim", master=f"local[{args.cpus}]", shuffle_partitions=args.cpus
+    )
+    results: dict[str, dict] = {}
+    t_all = time.monotonic()
+    for i, k in enumerate(keys):
+        t0 = time.monotonic()
+        row: dict = {}
+        try:
+            sdf = qs[k](spark, SF_DIR).toPandas()
+            t_spark = time.monotonic() - t0
+            if k in oracles:
+                t1 = time.monotonic()
+                odf = run_oracle(oracles[k], SF_DIR)
+                t_oracle = time.monotonic() - t1
+                problems = compare_frames(sdf, odf)
+                row = {
+                    "ok": not problems,
+                    "rows": len(sdf),
+                    "spark_s": round(t_spark, 2),
+                    "oracle_s": round(t_oracle, 2),
+                    "problems": problems[:1],
+                }
+            else:
+                row = {"ok": True, "rows": len(sdf), "spark_s": round(t_spark, 2),
+                       "oracle_s": None, "problems": ["no_oracle"]}
+        except Exception as e:  # noqa: BLE001
+            row = {"ok": False, "rows": None, "spark_s": round(time.monotonic() - t0, 2),
+                   "oracle_s": None, "problems": [f"{type(e).__name__}: {e}"[:300]]}
+        results[k] = row
+        status = "OK " if row["ok"] else "FAIL"
+        print(
+            f"[{i+1}/{len(keys)}] {status} {k:32s} spark={row['spark_s']}s "
+            f"oracle={row['oracle_s']}s rows={row['rows']} {row['problems'] if not row['ok'] else ''}",
+            flush=True,
+        )
+    total = time.monotonic() - t_all
+    fails = [k for k, r in results.items() if not r["ok"]]
+    slow = sorted(results, key=lambda k: -(results[k]["spark_s"] or 0))[:10]
+    print(f"\nTOTAL {total:.1f}s for {len(keys)} keys; fails={fails}")
+    print("slowest:", [(k, results[k]["spark_s"]) for k in slow])
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "driver_sim_last.json")
+    with open(out, "w") as f:
+        json.dump({"total_s": round(total, 1), "results": results}, f, indent=1)
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
