@@ -1,0 +1,73 @@
+"""Incremental aggregate maintenance: mergeable partial states.
+
+The materialized-view refresh pattern every warehouse (and every streaming
+sink) relies on: aggregate each arriving batch into a small per-key STATE
+relation, and fold states together instead of re-scanning history. Correct
+iff every aggregate is algebraic — expressible as a finalize() over
+merge()-able partials (Gray et al., "Data Cube", ICDE 1996). count/sum/
+min/max merge trivially; avg is finalized from (sum, count); the sum runs
+in fixed point (same discipline as functions/deterministic.dsum) so the
+merged total is bit-identical to a direct pass regardless of how history
+was batched.
+
+At 100 TB this is the difference between an O(delta) nightly refresh and an
+O(history) one. The state relation is keyed by the group-by columns; the
+merge is a groupBy over (states ∪ delta-state) — partial aggregation on the
+tiny state rows, never the raw history.
+
+Reference parity: the reference's warehouse rebuilds staging tables from
+raw on every DAG run (`dags/transform_data.py`); this operator is the
+incremental form of the same staging aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SCALE = 1_000_000
+
+
+def grouped_state(
+    df: DataFrame, keys: list[str], value_col: str
+) -> DataFrame:
+    """Per-key mergeable aggregate state over one batch:
+    (keys..., cnt, sum_fp, vmin, vmax). ``sum_fp`` is the exact fixed-point
+    (1e6) long sum of ``value_col``."""
+    v = F.col(value_col)
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.round(v * _SCALE).cast("long")).alias("sum_fp"),
+        F.min(v).alias("vmin"),
+        F.max(v).alias("vmax"),
+    )
+
+
+def merge_states(states: list[DataFrame], keys: list[str]) -> DataFrame:
+    """Fold any number of state relations into one: union + re-aggregate.
+    Associative and commutative — batch boundaries can't leak into the
+    result. The union's inputs are already per-key states, so the merge
+    shuffles state rows (|keys| cardinality), not history."""
+    it = iter(states)
+    u = next(it)
+    for s in it:
+        u = u.unionByName(s)
+    return u.groupBy(*keys).agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum_fp").alias("sum_fp"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+    )
+
+
+def finalize_state(state: DataFrame, keys: list[str]) -> DataFrame:
+    """State → user-facing aggregate row: count, exact sum, min, max, avg."""
+    total = F.col("sum_fp").cast("double") / _SCALE
+    return state.select(
+        *keys,
+        F.col("cnt").alias("n_rows"),
+        F.round(total, 2).alias("sum_value"),
+        F.col("vmin").alias("min_value"),
+        F.col("vmax").alias("max_value"),
+        F.round(total / F.col("cnt"), 6).alias("avg_value"),
+    )

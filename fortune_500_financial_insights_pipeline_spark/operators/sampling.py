@@ -288,3 +288,36 @@ def weighted_sample_per_group(
         .where(F.col("__rn") <= n_per_group)
         .drop("__rn")
     )
+
+
+def epoch_shuffle(
+    df: DataFrame, key_cols: list[str], *, n_shards: int, epoch: int = 0
+) -> DataFrame:
+    """Reproducible global epoch shuffle for training-data loading: adds
+    ``shard`` (md5 of the keys mod ``n_shards``, same contract as
+    ``hash_shards``) and ``pos`` — the row's position within its shard
+    under an epoch-salted md5 order. (shard, pos) is a total order over
+    the corpus; changing ``epoch`` re-salts the order key, yielding a
+    fresh deterministic permutation per epoch with no RNG state, no
+    central shuffle service, and no driver involvement.
+
+    Why not one global row_number: an unpartitioned window funnels the
+    corpus through a single partition. Per-shard numbering keeps every
+    window partition at corpus/n_shards rows while still defining a global
+    order (loaders read shards round-robin or in parallel — exactly how
+    sharded training datasets are consumed). The md5 order key is uniform,
+    so shards AND positions are balanced regardless of key skew.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    from pyspark.sql import Window as W
+
+    key = F.concat_ws("|", *key_cols)
+    order_key = F.md5(F.concat_ws("|", F.lit(str(epoch)), key))
+    w = W.partitionBy("shard").orderBy(F.asc("__ek"), *[F.asc(c) for c in key_cols])
+    return (
+        hash_shards(df, key_cols, n_shards)
+        .withColumn("__ek", order_key)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("__ek")
+    )

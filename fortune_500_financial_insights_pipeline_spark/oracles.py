@@ -2366,3 +2366,32 @@ FROM (
 )
 WHERE rank <= 5
 """
+
+ORACLES["q_epoch_shuffle"] = """
+WITH s AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8
+              AS INTEGER) AS shard,
+         md5('1' || '|' || CAST(doc_id AS VARCHAR)) AS ek
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ek ASC, doc_id ASC)
+            AS BIGINT) AS pos
+FROM s
+"""
+
+# Direct single-pass aggregate — the merge-of-batches Spark side must equal
+# it exactly (algebraic-aggregate property, fixed-point interior).
+ORACLES["q_mv_merge"] = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 1000000) AS BIGINT)) AS DOUBLE)
+             / 1000000, 2) AS sum_value,
+       MIN(o_totalprice) AS min_value,
+       MAX(o_totalprice) AS max_value,
+       ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 1000000) AS BIGINT)) AS DOUBLE)
+             / 1000000 / COUNT(*), 6) AS avg_value
+FROM orders
+GROUP BY o_orderstatus
+"""

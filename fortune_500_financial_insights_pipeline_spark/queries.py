@@ -2760,3 +2760,45 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id int, qtext string",
     )
     return bm25_search(d, queries, k=5)
+
+
+@q("q_epoch_shuffle")
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-1 deterministic global shuffle of the documents corpus into 8
+    shards (operators/sampling.epoch_shuffle): md5 shard + epoch-salted
+    in-shard position. The data-loader contract for sharded pretraining
+    corpora — same permutation on every rerun, different permutation next
+    epoch, never a single-partition window."""
+    from fortune_500_financial_insights_pipeline_spark.operators.sampling import epoch_shuffle
+
+    d = load_table(spark, sf_dir, "documents")
+    return epoch_shuffle(d, ["doc_id"], n_shards=8, epoch=1).select(
+        "doc_id", "shard", "pos"
+    )
+
+
+@q("q_mv_merge")
+def q_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view refresh (operators/incremental): the
+    orders history is aggregated as three date-range batches into per-status
+    mergeable states, folded, and finalized — and the oracle computes the
+    SAME aggregate in ONE direct pass, so the hash check proves batch
+    boundaries can't leak into an algebraic aggregate (fixed-point sums
+    make the proof exact, not approximate)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.incremental import (
+        finalize_state,
+        grouped_state,
+        merge_states,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    batches = [
+        o.where(F.col("o_orderdate") < "1994-01-01"),
+        o.where(
+            (F.col("o_orderdate") >= "1994-01-01")
+            & (F.col("o_orderdate") < "1996-07-01")
+        ),
+        o.where(F.col("o_orderdate") >= "1996-07-01"),
+    ]
+    states = [grouped_state(b, ["o_orderstatus"], "o_totalprice") for b in batches]
+    return finalize_state(merge_states(states, ["o_orderstatus"]), ["o_orderstatus"])
