@@ -60,6 +60,9 @@ HEADLINE = [
     "q_attribution",
     "q_salted_join",
     "q_histogram_equidepth",
+    "q_bm25_search",
+    "q_epoch_shuffle",
+    "q_mv_merge",
 ]
 
 # DuckDB oracle wall-clock on the SAME queries at sf0.1, best-of-2, measured
@@ -84,6 +87,7 @@ DUCKDB_BASELINE_SF01: dict[str, float | None] = {
     "q_kmv_distinct": 0.0531, "q_kmv_overlap": 0.044,
     "q_weighted_sample": 0.0084, "q_attribution": 0.0565,
     "q_salted_join": 0.0047, "q_histogram_equidepth": 0.0549,
+    "q_bm25_search": 0.0835, "q_epoch_shuffle": 0.0081, "q_mv_merge": 0.0087,
 }
 
 
