@@ -2395,3 +2395,69 @@ SELECT o_orderstatus,
 FROM orders
 GROUP BY o_orderstatus
 """
+
+# Mirrors operators/pq.py at m=4, k=4, n_iter=1, dim=64 (d_sub=16): the
+# per-subspace Lloyd step is q_kmeans's unrolled chain with `sub` added to
+# every key; encode = argmin against the updated codebooks; ADC = LUT join.
+ORACLES["q_pq_topk"] = """
+WITH v AS (
+  SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+         CAST(pos // 16 AS BIGINT) AS sub,
+         CAST(pos % 16 AS BIGINT) AS spos,
+         CAST(ROUND(CAST(xv AS DOUBLE) * 1000000) AS BIGINT) AS x
+  FROM (SELECT vec_id,
+               unnest(range(len(embedding))) AS pos,
+               unnest(embedding) AS xv
+        FROM embeddings)
+),
+init AS (
+  SELECT vec_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS BIGINT) AS cell
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 4
+),
+c0 AS (
+  SELECT i.cell, v.sub, v.spos, v.x AS c FROM init i JOIN v USING (vec_id)
+),
+d0 AS (
+  SELECT v.vec_id, v.sub, c.cell, SUM((v.x - c.c) * (v.x - c.c)) AS dist
+  FROM v JOIN c0 c ON v.sub = c.sub AND v.spos = c.spos
+  GROUP BY v.vec_id, v.sub, c.cell
+),
+a0 AS (
+  SELECT vec_id, sub, cell FROM (
+    SELECT vec_id, sub, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, cell) AS rn
+    FROM d0
+  ) WHERE rn = 1
+),
+s0 AS (
+  SELECT a.sub, a.cell, v.spos, CAST(SUM(v.x) AS BIGINT) AS s, COUNT(*) AS n
+  FROM a0 a JOIN v ON a.vec_id = v.vec_id AND a.sub = v.sub
+  GROUP BY a.sub, a.cell, v.spos
+),
+c1 AS (SELECT sub, cell, spos, CAST((s - s % n) / n AS BIGINT) AS c FROM s0),
+de AS (
+  SELECT v.vec_id, v.sub, c.cell, SUM((v.x - c.c) * (v.x - c.c)) AS dist
+  FROM v JOIN c1 c ON v.sub = c.sub AND v.spos = c.spos
+  GROUP BY v.vec_id, v.sub, c.cell
+),
+enc AS (
+  SELECT vec_id, sub, cell AS code FROM (
+    SELECT vec_id, sub, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, cell) AS rn
+    FROM de
+  ) WHERE rn = 1
+),
+qv AS (SELECT sub, spos, x FROM v WHERE vec_id = 0),
+lut AS (
+  SELECT c.sub, c.cell, SUM((q.x - c.c) * (q.x - c.c)) AS d
+  FROM c1 c JOIN qv q ON c.sub = q.sub AND c.spos = q.spos
+  GROUP BY c.sub, c.cell
+),
+adist AS (
+  SELECT e.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc_dist
+  FROM enc e JOIN lut l ON e.sub = l.sub AND e.code = l.cell
+  GROUP BY e.vec_id
+)
+SELECT vec_id, adc_dist FROM adist ORDER BY adc_dist ASC, vec_id ASC LIMIT 20
+"""

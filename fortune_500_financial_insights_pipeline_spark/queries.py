@@ -2802,3 +2802,24 @@ def q_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     states = [grouped_state(b, ["o_orderstatus"], "o_totalprice") for b in batches]
     return finalize_state(merge_states(states, ["o_orderstatus"]), ["o_orderstatus"])
+
+
+@q("q_pq_topk")
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN, whole path hash-checked: train 4 codebooks
+    (k=4, one Lloyd iteration) over 16-dim subvectors, encode the corpus to
+    4 codes/vector, answer the vec_id=0 query via the asymmetric-distance
+    LUT, top-20 (operators/pq.py). The oracle replays train→encode→ADC in
+    one CTE chain — exact because every step is fixed-point integer
+    arithmetic."""
+    from fortune_500_financial_insights_pipeline_spark.operators.pq import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    books = pq_train(emb, m=4, k=4, n_iter=1, dim=64)
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    enc = pq_encode(emb, books, m=4, dim=64)
+    return pq_adc_topk(enc, books, qvec, m=4, dim=64, k_top=20)

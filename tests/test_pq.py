@@ -1,0 +1,93 @@
+"""Product quantization (operators/pq.py): determinism, guards, recall."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from fortune_500_financial_insights_pipeline_spark.operators.pq import (
+    pq_adc_topk,
+    pq_encode,
+    pq_train,
+)
+from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
+
+
+def _clustered(spark, dim=8, per=25):
+    rng = random.Random(11)
+    centers = [
+        [10.0 if i == j % dim else 0.0 for i in range(dim)] for j in range(4)
+    ]
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(per):
+            rows.append((vid, [x + rng.uniform(-0.4, 0.4) for x in c]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), centers
+
+
+def test_pq_train_guards(spark):
+    emb, _ = _clustered(spark)
+    with pytest.raises(ValueError):
+        pq_train(emb, m=3, k=2, dim=8)  # 8 % 3 != 0
+    with pytest.raises(ValueError):
+        pq_train(emb, m=2, k=2, dim=8, n_iter=0)
+
+
+def test_pq_encode_deterministic_and_in_book(spark):
+    emb, _ = _clustered(spark)
+    books = pq_train(emb, m=2, k=4, n_iter=2, dim=8)
+    enc = {r.vec_id: list(r.codes) for r in pq_encode(emb, books, m=2, dim=8).collect()}
+    # codes reference live codebook entries only
+    for codes in enc.values():
+        for j, c in enumerate(codes):
+            assert c in books[j]
+    # partitioning cannot change the result
+    enc2 = {
+        r.vec_id: list(r.codes)
+        for r in pq_encode(emb.repartition(7), books, m=2, dim=8).collect()
+    }
+    assert enc == enc2
+
+
+def test_pq_adc_recall_on_clustered_data(spark):
+    """With cluster-separated data, ADC top-`per` recovers the query's own
+    cluster: quantization error is tiny next to inter-cluster distance."""
+    emb, centers = _clustered(spark)
+    books = pq_train(emb, m=2, k=4, n_iter=2, dim=8)
+    enc = pq_encode(emb, books, m=2, dim=8)
+    got = pq_adc_topk(enc, books, centers[0], m=2, dim=8, k_top=25).collect()
+    ids = {r.vec_id for r in got}
+    assert ids == set(range(25)), "ADC must rank the query's cluster first"
+    # distances are exact longs, never null
+    assert all(r.adc_dist is not None and r.adc_dist >= 0 for r in got)
+
+
+def test_pq_query_plan_has_no_corpus_shuffle(spark, sf_dir):
+    """The ADC scoring leg is a projection + TakeOrdered over the codes
+    table: broadcast LUT join only — no exchange of corpus rows, no
+    SinglePartition funnel."""
+    from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    books = pq_train(emb, m=4, k=4, n_iter=1, dim=64)
+    enc = pq_encode(emb, books, m=4, dim=64)
+    plan = (
+        pq_adc_topk(enc, books, [0.0] * 64, m=4, dim=64, k_top=20)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning" not in plan, "corpus rows must not shuffle"
+
+
+def test_pq_registered_query_runs(spark, sf_dir):
+    rows = QUERIES["q_pq_topk"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    dists = [r.adc_dist for r in rows]
+    assert dists == sorted(dists)
