@@ -2823,3 +2823,40 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
     enc = pq_encode(emb, books, m=4, dim=64)
     return pq_adc_topk(enc, books, qvec, m=4, dim=64, k_top=20)
+
+
+@q("q_ivfpq_topk")
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the production ANN layout at 100 TB (Jégou et al. 2011):
+    coarse quantizer routes the query to 2 of 8 trained cells
+    (q_ivf_topk's exact chain), and the candidates inside those cells are
+    scored from their 4 PQ codes via the asymmetric-distance LUT
+    (q_pq_topk's exact chain) — so a query touches n_probe cells of codes,
+    never raw vectors. In a materialized deployment codes are computed at
+    index time and the cell filter prunes partitions; here encoding sits
+    above the filter so Catalyst computes codes only for probed rows —
+    identical results, same scan shape. Top-20 by exact integer ADC
+    distance, fully hash-checked."""
+    from fortune_500_financial_insights_pipeline_spark.operators.kmeans import kmeans_centroids
+    from fortune_500_financial_insights_pipeline_spark.operators.pq import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+    from fortune_500_financial_insights_pipeline_spark.operators.similarity import (
+        ivf_index_portable,
+        probe_cells_col,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    centroids = kmeans_centroids(emb, k=8, n_iter=2)
+    indexed = ivf_index_portable(emb, centroids)
+    qrow = emb.filter(F.col("vec_id") == 0)
+    qvec = list(qrow.select("embedding").head()[0])
+    probe = list(
+        qrow.select(probe_cells_col("embedding", centroids, 2).alias("p")).head()["p"]
+    )
+    books = pq_train(emb, m=4, k=4, n_iter=1, dim=64)
+    cand = indexed.filter(F.col("cell").isin(probe)).drop("cell")
+    enc = pq_encode(cand, books, m=4, dim=64)
+    return pq_adc_topk(enc, books, qvec, m=4, dim=64, k_top=20)

@@ -91,3 +91,20 @@ def test_pq_registered_query_runs(spark, sf_dir):
     assert len(rows) == 20
     dists = [r.adc_dist for r in rows]
     assert dists == sorted(dists)
+
+
+def test_ivfpq_registered_query_runs(spark, sf_dir):
+    rows = QUERIES["q_ivfpq_topk"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    dists = [r.adc_dist for r in rows]
+    assert dists == sorted(dists)
+
+
+def test_ivfpq_subset_of_pq_over_probed_cells(spark, sf_dir):
+    """IVF-PQ candidates are exactly the PQ-scored rows whose coarse cell
+    was probed — the composition adds pruning, never new candidates."""
+    ivfpq = {r.vec_id: r.adc_dist for r in QUERIES["q_ivfpq_topk"](spark, sf_dir).collect()}
+    full = {r.vec_id: r.adc_dist for r in QUERIES["q_pq_topk"](spark, sf_dir).collect()}
+    # any id in both must carry the same exact ADC distance
+    for vid in set(ivfpq) & set(full):
+        assert ivfpq[vid] == full[vid]
