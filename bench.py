@@ -65,6 +65,7 @@ HEADLINE = [
     "q_mv_merge",
     "q_pq_topk",
     "q_ivfpq_topk",
+    "q_ivfpq_residual_topk",
 ]
 
 # DuckDB oracle wall-clock on the SAME queries at sf0.1, best-of-2, measured
@@ -91,6 +92,7 @@ DUCKDB_BASELINE_SF01: dict[str, float | None] = {
     "q_salted_join": 0.0047, "q_histogram_equidepth": 0.0549,
     "q_bm25_search": 0.0835, "q_epoch_shuffle": 0.0081, "q_mv_merge": 0.0087,
     "q_pq_topk": 0.2028, "q_ivfpq_topk": 0.236,
+    "q_ivfpq_residual_topk": 0.6812,
 }
 
 

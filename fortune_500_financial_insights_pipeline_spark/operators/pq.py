@@ -14,9 +14,10 @@ truncating-division centroid updates — so the whole train → encode → ADC
 path is hash-checkable against a single-threaded SQL oracle.
 
 Scale shape:
-* training: m runs of the existing k-means over SLICED vectors — each run
-  scans the corpus once per iteration; codebooks are m·k·(d/m) longs on the
-  driver (tiny, by PQ's design);
+* training: ALL m subspaces in one combined Lloyd loop — each iteration is
+  a single corpus scan (map-side HOF assignment against the broadcast
+  books) plus one partial-aggregated shuffle of k·m·(d/m) rows; codebooks
+  are m·k·(d/m) longs on the driver (tiny, by PQ's design);
 * encoding: one projection pass; codebooks attach as a 1-row broadcast
   relation (same no-giant-literals trick as kmeans.py — plan size is
   independent of m·k);
@@ -63,13 +64,22 @@ def pq_train(
     by ``m``."""
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m}")
-    if n_iter < 1:
-        raise ValueError("n_iter must be >= 1")
-    d_sub = dim // m
-    spark = emb.sparkSession
     fixed = emb.select(
         F.col(id_col).cast("long").alias("vec_id"), _fixed_vec(vec_col).alias("v")
-    ).persist()
+    )
+    return _train_on_fixed(fixed, m=m, k=k, n_iter=n_iter, d_sub=dim // m)
+
+
+def _train_on_fixed(
+    fixed: DataFrame, *, m: int, k: int, n_iter: int, d_sub: int
+) -> Codebooks:
+    """The combined-subspace Lloyd loop over an already-fixed-point
+    (vec_id, v array<bigint>) frame — shared by raw-vector and residual
+    training."""
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    spark = fixed.sparkSession
+    fixed = fixed.persist()
     seed_rows = (
         fixed.withColumn("h", F.md5(F.col("vec_id").cast("string")))
         .orderBy("h")
@@ -213,6 +223,151 @@ def pq_adc_topk(
     return (
         encoded.join(F.broadcast(lut_df))
         .select(F.col(id_col), codes_scored.alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k_top)
+    )
+
+
+# --- residual IVF-PQ (the production layout) -------------------------------
+
+
+def _cent_relation(spark, centroids: list[list[float]]):
+    """Coarse centroids as a 1-row broadcast relation keyed by cell id, in
+    fixed point. float(c)/SCALE round-trips to the trained long exactly
+    (|c| ≪ 2^52), so residuals computed here match an oracle that uses the
+    training chain's fixed centroids directly."""
+    flat = [
+        (int(cell), [int(round(float(x) * SCALE)) for x in c])
+        for cell, c in enumerate(centroids)
+    ]
+    return spark.createDataFrame(
+        [(flat,)], "cents array<struct<cell:bigint,c:array<bigint>>>"
+    )
+
+
+def residual_frame(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, cell, v) where ``v`` is the fixed-point residual to the
+    row's coarse centroid (round-6 portable cosine routing, same rule as
+    similarity.ivf_index_portable). Residuals concentrate around zero, so
+    the SAME m·k codebook budget quantizes them far more finely than raw
+    vectors — the reason IVF-PQ encodes residuals (Jégou et al. 2011 §III)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.similarity import (
+        ivf_index_portable,
+    )
+
+    spark = emb.sparkSession
+    indexed = ivf_index_portable(emb, centroids, vec_col)
+    cent_c = F.element_at(
+        F.filter(F.col("cents"), lambda e: e["cell"] == F.col("cell")), 1
+    )["c"]
+    return (
+        indexed.join(F.broadcast(_cent_relation(spark, centroids)))
+        .select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.col("cell"),
+            F.zip_with(_fixed_vec(vec_col), cent_c, lambda a, b: a - b).alias("v"),
+        )
+    )
+
+
+def pq_train_residual(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    *,
+    m: int,
+    k: int,
+    n_iter: int = 1,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> Codebooks:
+    """Codebooks over coarse-cell residuals (one shared book set across
+    cells, the standard memory/accuracy compromise)."""
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    res = residual_frame(emb, centroids, vec_col=vec_col, id_col=id_col).select(
+        "vec_id", "v"
+    )
+    return _train_on_fixed(res, m=m, k=k, n_iter=n_iter, d_sub=dim // m)
+
+
+def pq_encode_residual(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    books: Codebooks,
+    *,
+    m: int,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, cell, codes) — the stored IVF-PQ index row: coarse cell for
+    routing plus m residual codes for scoring."""
+    d_sub = dim // m
+    spark = emb.sparkSession
+    res = residual_frame(emb, centroids, vec_col=vec_col, id_col=id_col)
+    return res.join(F.broadcast(_books_relation(spark, books))).select(
+        "vec_id", "cell", _codes_col("v", m, d_sub).alias("codes")
+    )
+
+
+def ivfpq_residual_topk(
+    encoded: DataFrame,
+    books: Codebooks,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    probe_cells: list[int],
+    *,
+    m: int,
+    dim: int,
+    k_top: int = 20,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Residual-ADC top-k over the probed cells: ONE LUT per probed cell
+    (the query residual differs per cell), built driver-side from the
+    codebooks — n_probe·m·k longs, no data scan — broadcast once. Scoring
+    stays m lookups + adds per candidate; TakeOrdered; zero corpus shuffle."""
+    d_sub = dim // m
+    q_fixed = [int(round(float(x) * SCALE)) for x in query_vec]
+    lut = []
+    for cell in probe_cells:
+        c_fixed = [int(round(float(x) * SCALE)) for x in centroids[cell]]
+        q_res = [q_fixed[i] - c_fixed[i] for i in range(dim)]
+        for j in sorted(books):
+            for code, vec in sorted(books[j].items()):
+                d = sum((q_res[j * d_sub + i] - vec[i]) ** 2 for i in range(d_sub))
+                lut.append((int(cell), int(j), int(code), int(d)))
+    spark = encoded.sparkSession
+    lut_df = spark.createDataFrame(
+        [(lut,)], "lut array<struct<ccell:bigint,sub:bigint,code:bigint,d:bigint>>"
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)).cast("array<bigint>"),
+            lambda code, j: F.element_at(
+                F.filter(
+                    F.col("lut"),
+                    lambda e: (e["ccell"] == F.col("cell"))
+                    & (e["sub"] == j)
+                    & (e["code"] == code),
+                ),
+                1,
+            )["d"],
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+    return (
+        encoded.where(F.col("cell").isin([int(c) for c in probe_cells]))
+        .join(F.broadcast(lut_df))
+        .select(F.col(id_col), adc.alias("adc_dist"))
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
         .limit(k_top)
     )

@@ -2598,3 +2598,157 @@ adist AS (
 )
 SELECT vec_id, adc_dist FROM adist ORDER BY adc_dist ASC, vec_id ASC LIMIT 20
 """
+
+# Residual IVF-PQ: q_ivfpq_topk's coarse chain, then the PQ chain over
+# RESIDUALS (x - assigned coarse centroid, fixed point), and a per-probed-
+# cell ADC LUT from the query's own residual.
+ORACLES["q_ivfpq_residual_topk"] = """
+WITH v AS (
+  SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+         CAST(ROUND(CAST(xv AS DOUBLE) * 1000000) AS BIGINT) AS x
+  FROM (SELECT vec_id,
+               unnest(range(len(embedding))) AS pos,
+               unnest(embedding) AS xv
+        FROM embeddings)
+),
+init AS (
+  SELECT vec_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS BIGINT) AS cell
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8
+),
+c0 AS (SELECT i.cell, v.pos, v.x AS c FROM init i JOIN v USING (vec_id)),
+d0 AS (
+  SELECT v.vec_id, c.cell, SUM((v.x - c.c) * (v.x - c.c)) AS dist
+  FROM v JOIN c0 c USING (pos) GROUP BY v.vec_id, c.cell
+),
+a0 AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+    FROM d0
+  ) WHERE rn = 1
+),
+s0 AS (
+  SELECT a.cell, v.pos, CAST(SUM(v.x) AS BIGINT) AS s, COUNT(*) AS n
+  FROM a0 a JOIN v USING (vec_id) GROUP BY a.cell, v.pos
+),
+c1 AS (SELECT cell, pos, CAST((s - s % n) / n AS BIGINT) AS c FROM s0),
+d1 AS (
+  SELECT v.vec_id, c.cell, SUM((v.x - c.c) * (v.x - c.c)) AS dist
+  FROM v JOIN c1 c USING (pos) GROUP BY v.vec_id, c.cell
+),
+a1 AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+    FROM d1
+  ) WHERE rn = 1
+),
+s1 AS (
+  SELECT a.cell, v.pos, CAST(SUM(v.x) AS BIGINT) AS s, COUNT(*) AS n
+  FROM a1 a JOIN v USING (vec_id) GROUP BY a.cell, v.pos
+),
+c1f AS (SELECT cell, pos, CAST((s - s % n) / n AS BIGINT) AS c FROM s1),
+cent AS (
+  SELECT cell,
+         list(CAST(c AS DOUBLE) / 1000000.0 ORDER BY pos) AS cvec
+  FROM c1f GROUP BY cell
+),
+e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+),
+route AS (
+  SELECT e.vec_id, c.cell,
+         ROUND(list_dot_product(e.vec, c.cvec)
+               / (sqrt(list_dot_product(e.vec, e.vec))
+                  * sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS csim
+  FROM e CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cell ASC) AS rn
+    FROM route) WHERE rn = 1
+),
+probes AS (
+  SELECT cell FROM (
+    SELECT cell, ROW_NUMBER() OVER (ORDER BY csim DESC, cell ASC) AS rn
+    FROM route WHERE vec_id = 0) WHERE rn <= 2
+),
+rv AS (
+  SELECT v.vec_id, v.pos, v.x - cf.c AS x
+  FROM v
+  JOIN assigned a USING (vec_id)
+  JOIN c1f cf ON cf.cell = a.cell AND cf.pos = v.pos
+),
+prv AS (
+  SELECT vec_id, CAST(pos // 16 AS BIGINT) AS sub,
+         CAST(pos % 16 AS BIGINT) AS spos, x
+  FROM rv
+),
+pinit AS (
+  SELECT vec_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS BIGINT) AS cell
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 4
+),
+pc0 AS (
+  SELECT i.cell, p.sub, p.spos, p.x AS c FROM pinit i JOIN prv p USING (vec_id)
+),
+pd0 AS (
+  SELECT p.vec_id, p.sub, c.cell, SUM((p.x - c.c) * (p.x - c.c)) AS dist
+  FROM prv p JOIN pc0 c ON p.sub = c.sub AND p.spos = c.spos
+  GROUP BY p.vec_id, p.sub, c.cell
+),
+pa0 AS (
+  SELECT vec_id, sub, cell FROM (
+    SELECT vec_id, sub, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, cell) AS rn
+    FROM pd0
+  ) WHERE rn = 1
+),
+ps0 AS (
+  SELECT a.sub, a.cell, p.spos, CAST(SUM(p.x) AS BIGINT) AS s, COUNT(*) AS n
+  FROM pa0 a JOIN prv p ON a.vec_id = p.vec_id AND a.sub = p.sub
+  GROUP BY a.sub, a.cell, p.spos
+),
+pc1 AS (SELECT sub, cell, spos, CAST((s - s % n) / n AS BIGINT) AS c FROM ps0),
+pde AS (
+  SELECT p.vec_id, p.sub, c.cell, SUM((p.x - c.c) * (p.x - c.c)) AS dist
+  FROM prv p JOIN pc1 c ON p.sub = c.sub AND p.spos = c.spos
+  GROUP BY p.vec_id, p.sub, c.cell
+),
+penc AS (
+  SELECT vec_id, sub, cell AS code FROM (
+    SELECT vec_id, sub, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, cell) AS rn
+    FROM pde
+  ) WHERE rn = 1
+),
+qres AS (
+  SELECT pr.cell AS ccell, cf.pos, q.x - cf.c AS x
+  FROM probes pr
+  JOIN c1f cf ON cf.cell = pr.cell
+  JOIN (SELECT pos, x FROM v WHERE vec_id = 0) q ON q.pos = cf.pos
+),
+qr AS (
+  SELECT ccell, CAST(pos // 16 AS BIGINT) AS sub,
+         CAST(pos % 16 AS BIGINT) AS spos, x
+  FROM qres
+),
+lut AS (
+  SELECT qr.ccell, c.sub, c.cell AS code,
+         SUM((qr.x - c.c) * (qr.x - c.c)) AS d
+  FROM qr JOIN pc1 c ON qr.sub = c.sub AND qr.spos = c.spos
+  GROUP BY qr.ccell, c.sub, c.cell
+),
+adist AS (
+  SELECT pe.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc_dist
+  FROM penc pe
+  JOIN assigned a ON pe.vec_id = a.vec_id
+  JOIN probes pr ON a.cell = pr.cell
+  JOIN lut l ON l.ccell = a.cell AND pe.sub = l.sub AND pe.code = l.code
+  GROUP BY pe.vec_id
+)
+SELECT vec_id, adc_dist FROM adist ORDER BY adc_dist ASC, vec_id ASC LIMIT 20
+"""

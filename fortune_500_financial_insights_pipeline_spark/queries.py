@@ -2860,3 +2860,37 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = indexed.filter(F.col("cell").isin(probe)).drop("cell")
     enc = pq_encode(cand, books, m=4, dim=64)
     return pq_adc_topk(enc, books, qvec, m=4, dim=64, k_top=20)
+
+
+@q("q_ivfpq_residual_topk")
+def q_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ — the form production ANN indexes actually ship
+    (Jégou et al. 2011 §III): PQ codebooks are trained on residuals to the
+    assigned coarse centroid (residuals concentrate near zero, so the same
+    m·k code budget quantizes far more finely), the stored row is
+    (cell, codes), and the query builds one ADC LUT PER PROBED CELL from
+    its own query residual. Coarse chain = q_ivf_topk's (k=8, 2 Lloyd
+    iterations, round-6 routing, n_probe=2); residual PQ = m=4, k=4, one
+    iteration. Exact integer arithmetic end to end — hash-checked."""
+    from fortune_500_financial_insights_pipeline_spark.operators.kmeans import kmeans_centroids
+    from fortune_500_financial_insights_pipeline_spark.operators.pq import (
+        ivfpq_residual_topk,
+        pq_encode_residual,
+        pq_train_residual,
+    )
+    from fortune_500_financial_insights_pipeline_spark.operators.similarity import (
+        probe_cells_col,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = kmeans_centroids(emb, k=8, n_iter=2)
+    qrow = emb.filter(F.col("vec_id") == 0)
+    qvec = list(qrow.select("embedding").head()[0])
+    probe = list(
+        qrow.select(probe_cells_col("embedding", centroids, 2).alias("p")).head()["p"]
+    )
+    books = pq_train_residual(emb, centroids, m=4, k=4, n_iter=1, dim=64)
+    enc = pq_encode_residual(emb, centroids, books, m=4, dim=64)
+    return ivfpq_residual_topk(
+        enc, books, centroids, qvec, probe, m=4, dim=64, k_top=20
+    )

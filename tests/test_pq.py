@@ -108,3 +108,41 @@ def test_ivfpq_subset_of_pq_over_probed_cells(spark, sf_dir):
     # any id in both must carry the same exact ADC distance
     for vid in set(ivfpq) & set(full):
         assert ivfpq[vid] == full[vid]
+
+
+def test_residual_ivfpq_recall_on_clustered_data(spark):
+    """Probing the query's own coarse cell with residual codes recovers the
+    cluster; residual encoding is partition-invariant."""
+    from fortune_500_financial_insights_pipeline_spark.operators.kmeans import kmeans_centroids
+    from fortune_500_financial_insights_pipeline_spark.operators.pq import (
+        ivfpq_residual_topk,
+        pq_encode_residual,
+        pq_train_residual,
+    )
+    from fortune_500_financial_insights_pipeline_spark.operators.similarity import (
+        probe_cells_col,
+    )
+
+    emb, centers = _clustered(spark)
+    cents = kmeans_centroids(emb, k=4, n_iter=2)
+    books = pq_train_residual(emb, cents, m=2, k=4, n_iter=1, dim=8)
+    enc = pq_encode_residual(emb, cents, books, m=2, dim=8)
+    enc2 = pq_encode_residual(emb.repartition(5), cents, books, m=2, dim=8)
+    as_map = lambda df: {r.vec_id: (r.cell, tuple(r.codes)) for r in df.collect()}  # noqa: E731
+    assert as_map(enc) == as_map(enc2)
+
+    probe_df = spark.createDataFrame([(centers[0],)], "embedding array<float>")
+    probe = list(
+        probe_df.select(probe_cells_col("embedding", cents, 1).alias("p")).head()["p"]
+    )
+    got = ivfpq_residual_topk(
+        enc, books, cents, centers[0], probe, m=2, dim=8, k_top=25
+    ).collect()
+    assert {r.vec_id for r in got} == set(range(25))
+    dists = [r.adc_dist for r in got]
+    assert dists == sorted(dists) and all(d >= 0 for d in dists)
+
+
+def test_residual_ivfpq_registered_query_runs(spark, sf_dir):
+    rows = QUERIES["q_ivfpq_residual_topk"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
