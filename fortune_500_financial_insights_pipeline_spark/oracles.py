@@ -2752,3 +2752,223 @@ adist AS (
 )
 SELECT vec_id, adc_dist FROM adist ORDER BY adc_dist ASC, vec_id ASC LIMIT 20
 """
+
+# BPE training replayed relationally: per-iteration pair count, argmax
+# (count DESC, lhs, rhs), leftmost-greedy merge via gaps-islands parity.
+ORACLES["q_bpe_train"] = """
+WITH w0 AS (
+  SELECT word, COUNT(*) AS cnt
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+v0 AS (SELECT word, cnt, string_split(word, '') AS s FROM w0),
+p1 AS (
+  SELECT lhs, rhs, SUM(cnt) AS c FROM (
+    SELECT cnt, s[i] AS lhs, s[i+1] AS rhs
+    FROM (SELECT cnt, s, UNNEST(range(1, len(s))) AS i FROM v0)
+  ) GROUP BY lhs, rhs
+),
+b1 AS (SELECT lhs, rhs, c FROM p1 ORDER BY c DESC, lhs, rhs LIMIT 1),
+s1 AS (
+  SELECT e.word, e.i
+  FROM (SELECT word, s, UNNEST(range(1, len(s))) AS i FROM v0) e, b1
+  WHERE e.s[e.i] = b1.lhs AND e.s[e.i+1] = b1.rhs
+),
+k1 AS (
+  SELECT word, i FROM (
+    SELECT word, i, MIN(i) OVER (PARTITION BY word, g) AS m
+    FROM (SELECT word, i,
+                 i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS g
+          FROM s1)
+  ) WHERE (i - m) % 2 = 0
+),
+v1 AS (
+  SELECT e.word, ANY_VALUE(e.cnt) AS cnt,
+         list(CASE WHEN ka.i IS NOT NULL THEN e.sym || e.nxt ELSE e.sym END
+              ORDER BY e.idx) AS s
+  FROM (SELECT word, cnt, s[idx] AS sym, s[idx+1] AS nxt, idx
+        FROM (SELECT word, cnt, s, UNNEST(range(1, len(s)+1)) AS idx FROM v0)) e
+  LEFT JOIN k1 ka ON e.word = ka.word AND e.idx = ka.i
+  LEFT JOIN k1 kb ON e.word = kb.word AND e.idx = kb.i + 1
+  WHERE kb.i IS NULL
+  GROUP BY e.word
+),
+p2 AS (
+  SELECT lhs, rhs, SUM(cnt) AS c FROM (
+    SELECT cnt, s[i] AS lhs, s[i+1] AS rhs
+    FROM (SELECT cnt, s, UNNEST(range(1, len(s))) AS i FROM v1)
+  ) GROUP BY lhs, rhs
+),
+b2 AS (SELECT lhs, rhs, c FROM p2 ORDER BY c DESC, lhs, rhs LIMIT 1),
+s2 AS (
+  SELECT e.word, e.i
+  FROM (SELECT word, s, UNNEST(range(1, len(s))) AS i FROM v1) e, b2
+  WHERE e.s[e.i] = b2.lhs AND e.s[e.i+1] = b2.rhs
+),
+k2 AS (
+  SELECT word, i FROM (
+    SELECT word, i, MIN(i) OVER (PARTITION BY word, g) AS m
+    FROM (SELECT word, i,
+                 i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS g
+          FROM s2)
+  ) WHERE (i - m) % 2 = 0
+),
+v2 AS (
+  SELECT e.word, ANY_VALUE(e.cnt) AS cnt,
+         list(CASE WHEN ka.i IS NOT NULL THEN e.sym || e.nxt ELSE e.sym END
+              ORDER BY e.idx) AS s
+  FROM (SELECT word, cnt, s[idx] AS sym, s[idx+1] AS nxt, idx
+        FROM (SELECT word, cnt, s, UNNEST(range(1, len(s)+1)) AS idx FROM v1)) e
+  LEFT JOIN k2 ka ON e.word = ka.word AND e.idx = ka.i
+  LEFT JOIN k2 kb ON e.word = kb.word AND e.idx = kb.i + 1
+  WHERE kb.i IS NULL
+  GROUP BY e.word
+),
+p3 AS (
+  SELECT lhs, rhs, SUM(cnt) AS c FROM (
+    SELECT cnt, s[i] AS lhs, s[i+1] AS rhs
+    FROM (SELECT cnt, s, UNNEST(range(1, len(s))) AS i FROM v2)
+  ) GROUP BY lhs, rhs
+),
+b3 AS (SELECT lhs, rhs, c FROM p3 ORDER BY c DESC, lhs, rhs LIMIT 1),
+s3 AS (
+  SELECT e.word, e.i
+  FROM (SELECT word, s, UNNEST(range(1, len(s))) AS i FROM v2) e, b3
+  WHERE e.s[e.i] = b3.lhs AND e.s[e.i+1] = b3.rhs
+),
+k3 AS (
+  SELECT word, i FROM (
+    SELECT word, i, MIN(i) OVER (PARTITION BY word, g) AS m
+    FROM (SELECT word, i,
+                 i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS g
+          FROM s3)
+  ) WHERE (i - m) % 2 = 0
+),
+v3 AS (
+  SELECT e.word, ANY_VALUE(e.cnt) AS cnt,
+         list(CASE WHEN ka.i IS NOT NULL THEN e.sym || e.nxt ELSE e.sym END
+              ORDER BY e.idx) AS s
+  FROM (SELECT word, cnt, s[idx] AS sym, s[idx+1] AS nxt, idx
+        FROM (SELECT word, cnt, s, UNNEST(range(1, len(s)+1)) AS idx FROM v2)) e
+  LEFT JOIN k3 ka ON e.word = ka.word AND e.idx = ka.i
+  LEFT JOIN k3 kb ON e.word = kb.word AND e.idx = kb.i + 1
+  WHERE kb.i IS NULL
+  GROUP BY e.word
+)
+SELECT step, lhs, rhs, pair_count FROM (
+  SELECT 1 AS step, lhs, rhs, CAST(c AS BIGINT) AS pair_count FROM b1
+  UNION ALL SELECT 2, lhs, rhs, CAST(c AS BIGINT) FROM b2
+  UNION ALL SELECT 3, lhs, rhs, CAST(c AS BIGINT) FROM b3
+)
+"""
+
+ORACLES["q_bpe_segment"] = """
+WITH w0 AS (
+  SELECT word, COUNT(*) AS cnt
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+v0 AS (SELECT word, cnt, string_split(word, '') AS s FROM w0),
+p1 AS (
+  SELECT lhs, rhs, SUM(cnt) AS c FROM (
+    SELECT cnt, s[i] AS lhs, s[i+1] AS rhs
+    FROM (SELECT cnt, s, UNNEST(range(1, len(s))) AS i FROM v0)
+  ) GROUP BY lhs, rhs
+),
+b1 AS (SELECT lhs, rhs, c FROM p1 ORDER BY c DESC, lhs, rhs LIMIT 1),
+s1 AS (
+  SELECT e.word, e.i
+  FROM (SELECT word, s, UNNEST(range(1, len(s))) AS i FROM v0) e, b1
+  WHERE e.s[e.i] = b1.lhs AND e.s[e.i+1] = b1.rhs
+),
+k1 AS (
+  SELECT word, i FROM (
+    SELECT word, i, MIN(i) OVER (PARTITION BY word, g) AS m
+    FROM (SELECT word, i,
+                 i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS g
+          FROM s1)
+  ) WHERE (i - m) % 2 = 0
+),
+v1 AS (
+  SELECT e.word, ANY_VALUE(e.cnt) AS cnt,
+         list(CASE WHEN ka.i IS NOT NULL THEN e.sym || e.nxt ELSE e.sym END
+              ORDER BY e.idx) AS s
+  FROM (SELECT word, cnt, s[idx] AS sym, s[idx+1] AS nxt, idx
+        FROM (SELECT word, cnt, s, UNNEST(range(1, len(s)+1)) AS idx FROM v0)) e
+  LEFT JOIN k1 ka ON e.word = ka.word AND e.idx = ka.i
+  LEFT JOIN k1 kb ON e.word = kb.word AND e.idx = kb.i + 1
+  WHERE kb.i IS NULL
+  GROUP BY e.word
+),
+p2 AS (
+  SELECT lhs, rhs, SUM(cnt) AS c FROM (
+    SELECT cnt, s[i] AS lhs, s[i+1] AS rhs
+    FROM (SELECT cnt, s, UNNEST(range(1, len(s))) AS i FROM v1)
+  ) GROUP BY lhs, rhs
+),
+b2 AS (SELECT lhs, rhs, c FROM p2 ORDER BY c DESC, lhs, rhs LIMIT 1),
+s2 AS (
+  SELECT e.word, e.i
+  FROM (SELECT word, s, UNNEST(range(1, len(s))) AS i FROM v1) e, b2
+  WHERE e.s[e.i] = b2.lhs AND e.s[e.i+1] = b2.rhs
+),
+k2 AS (
+  SELECT word, i FROM (
+    SELECT word, i, MIN(i) OVER (PARTITION BY word, g) AS m
+    FROM (SELECT word, i,
+                 i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS g
+          FROM s2)
+  ) WHERE (i - m) % 2 = 0
+),
+v2 AS (
+  SELECT e.word, ANY_VALUE(e.cnt) AS cnt,
+         list(CASE WHEN ka.i IS NOT NULL THEN e.sym || e.nxt ELSE e.sym END
+              ORDER BY e.idx) AS s
+  FROM (SELECT word, cnt, s[idx] AS sym, s[idx+1] AS nxt, idx
+        FROM (SELECT word, cnt, s, UNNEST(range(1, len(s)+1)) AS idx FROM v1)) e
+  LEFT JOIN k2 ka ON e.word = ka.word AND e.idx = ka.i
+  LEFT JOIN k2 kb ON e.word = kb.word AND e.idx = kb.i + 1
+  WHERE kb.i IS NULL
+  GROUP BY e.word
+),
+p3 AS (
+  SELECT lhs, rhs, SUM(cnt) AS c FROM (
+    SELECT cnt, s[i] AS lhs, s[i+1] AS rhs
+    FROM (SELECT cnt, s, UNNEST(range(1, len(s))) AS i FROM v2)
+  ) GROUP BY lhs, rhs
+),
+b3 AS (SELECT lhs, rhs, c FROM p3 ORDER BY c DESC, lhs, rhs LIMIT 1),
+s3 AS (
+  SELECT e.word, e.i
+  FROM (SELECT word, s, UNNEST(range(1, len(s))) AS i FROM v2) e, b3
+  WHERE e.s[e.i] = b3.lhs AND e.s[e.i+1] = b3.rhs
+),
+k3 AS (
+  SELECT word, i FROM (
+    SELECT word, i, MIN(i) OVER (PARTITION BY word, g) AS m
+    FROM (SELECT word, i,
+                 i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS g
+          FROM s3)
+  ) WHERE (i - m) % 2 = 0
+),
+v3 AS (
+  SELECT e.word, ANY_VALUE(e.cnt) AS cnt,
+         list(CASE WHEN ka.i IS NOT NULL THEN e.sym || e.nxt ELSE e.sym END
+              ORDER BY e.idx) AS s
+  FROM (SELECT word, cnt, s[idx] AS sym, s[idx+1] AS nxt, idx
+        FROM (SELECT word, cnt, s, UNNEST(range(1, len(s)+1)) AS idx FROM v2)) e
+  LEFT JOIN k3 ka ON e.word = ka.word AND e.idx = ka.i
+  LEFT JOIN k3 kb ON e.word = kb.word AND e.idx = kb.i + 1
+  WHERE kb.i IS NULL
+  GROUP BY e.word
+),
+tok AS (SELECT word, UNNEST(s) AS token FROM v3),
+docw AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+  FROM documents WHERE doc_id < 50
+)
+SELECT d.doc_id, t.token, COUNT(*) AS n
+FROM (SELECT doc_id, word FROM docw WHERE word <> '') d
+JOIN tok t ON d.word = t.word
+GROUP BY d.doc_id, t.token
+"""

@@ -2894,3 +2894,32 @@ def q_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_residual_topk(
         enc, books, centroids, qvec, probe, m=4, dim=64, k_top=20
     )
+
+
+@q("q_bpe_train")
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three BPE merges learned from the documents corpus
+    (operators/bpe.bpe_train): word-frequency table → per-iteration pair
+    count / deterministic argmax / leftmost-greedy merge. The oracle
+    replays the full training trajectory relationally (gaps-islands parity
+    handles overlapping 'aaa' runs), so the learned vocabulary itself is
+    hash-checked, not just row counts."""
+    from fortune_500_financial_insights_pipeline_spark.operators.bpe import bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_train(d, n_merges=3)
+
+
+@q("q_bpe_segment")
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize docs 0-49 with the 3 learned merges (operators/bpe
+    .bpe_segment) — per-document BPE token counts, the encode half of the
+    tokenizer lifecycle, applied as chained map-side HOF projections."""
+    from fortune_500_financial_insights_pipeline_spark.operators.bpe import (
+        bpe_segment,
+        bpe_train,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = [(r["lhs"], r["rhs"]) for r in bpe_train(d, n_merges=3).collect()]
+    return bpe_segment(d.filter(F.col("doc_id") < 50), merges)

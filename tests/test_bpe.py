@@ -1,0 +1,100 @@
+"""BPE trainer/encoder (operators/bpe.py): merge semantics, determinism,
+vocabulary structure."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fortune_500_financial_insights_pipeline_spark.operators.bpe import (
+    _merge_once,
+    bpe_segment,
+    bpe_train,
+    word_frequencies,
+)
+from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
+
+
+def _syms(spark, word: str, lhs: str, rhs: str) -> list[str]:
+    df = spark.createDataFrame([(word,)], "w string")
+    return list(
+        df.select(_merge_once(F.split("w", ""), lhs, rhs).alias("s")).head()["s"]
+    )
+
+
+def test_merge_is_leftmost_greedy_on_runs(spark):
+    # the overlapping-run case: 'aaa' + (a,a) merges the LEFT pair only
+    assert _syms(spark, "aaa", "a", "a") == ["aa", "a"]
+    assert _syms(spark, "aaaa", "a", "a") == ["aa", "aa"]
+    assert _syms(spark, "aaaaa", "a", "a") == ["aa", "aa", "a"]
+
+
+def test_merge_handles_disjoint_and_absent_sites(spark):
+    assert _syms(spark, "abab", "a", "b") == ["ab", "ab"]
+    assert _syms(spark, "aab", "a", "b") == ["a", "ab"]
+    assert _syms(spark, "xyz", "a", "b") == ["x", "y", "z"]
+    # single-char word: the sequence(1,0)=[1,0] trap must not create sites
+    assert _syms(spark, "a", "a", "a") == ["a"]
+
+
+def test_train_learns_the_dominant_pair_first(spark):
+    docs = spark.createDataFrame(
+        [(1, "abab abab cd"), (2, "abab cd cd")], "doc_id long, text string"
+    )
+    merges = bpe_train(docs, n_merges=2).collect()
+    assert (merges[0].lhs, merges[0].rhs) == ("a", "b")
+    # 'ab' appears twice per 'abab' word occurrence -> count 6
+    assert merges[0].pair_count == 6
+    assert merges[0].step == 1 and merges[1].step == 2
+
+
+def test_train_tie_breaks_lexicographically(spark):
+    docs = spark.createDataFrame([(1, "xy za xy za")], "doc_id long, text string")
+    merges = bpe_train(docs, n_merges=1).collect()
+    # (x,y) and (z,a) both count 2 — lexicographically lower lhs wins
+    assert (merges[0].lhs, merges[0].rhs) == ("x", "y")
+
+
+def test_train_stops_when_fully_merged(spark):
+    docs = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    merges = bpe_train(docs, n_merges=10).collect()
+    # one merge exhausts the 2-char vocabulary; no phantom steps
+    assert len(merges) == 1
+
+
+def test_segment_matches_train_vocabulary(spark):
+    docs = spark.createDataFrame(
+        [(1, "abab cd"), (2, "cd abab abab")], "doc_id long, text string"
+    )
+    merges = [(r.lhs, r.rhs) for r in bpe_train(docs, n_merges=2).collect()]
+    seg = bpe_segment(docs, merges)
+    counts = {(r.doc_id, r.token): r.n for r in seg.collect()}
+    # merge 1 = (a,b) count 6; merge 2 = (ab,ab) (ties with (c,d), 'ab' < 'c')
+    # -> each 'abab' word is ONE token after both merges
+    assert merges == [("a", "b"), ("ab", "ab")]
+    assert counts[(2, "abab")] == 2 and counts[(1, "abab")] == 1
+    # token counts conserve characters
+    total_chars = sum(
+        len(t) * n for (_, t), n in counts.items()
+    )
+    assert total_chars == sum(len(w) for w in "abab cd cd abab abab".split())
+
+
+def test_word_frequencies_is_vocab_sized(spark):
+    docs = spark.createDataFrame([(1, "a b a"), (2, "b a")], "doc_id long, text string")
+    rows = {r.word: r.cnt for r in word_frequencies(docs).collect()}
+    assert rows == {"a": 3, "b": 2}
+
+
+def test_train_rejects_nonpositive_merges(spark):
+    docs = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bpe_train(docs, n_merges=0)
+
+
+def test_registered_bpe_queries_run(spark, sf_dir):
+    m = QUERIES["q_bpe_train"](spark, sf_dir).collect()
+    assert len(m) == 3 and [r.step for r in m] == [1, 2, 3]
+    seg = QUERIES["q_bpe_segment"](spark, sf_dir)
+    assert seg.columns == ["doc_id", "token", "n"]
+    assert seg.count() > 0
