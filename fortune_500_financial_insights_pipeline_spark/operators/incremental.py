@@ -48,6 +48,8 @@ def merge_states(states: list[DataFrame], keys: list[str]) -> DataFrame:
     Associative and commutative — batch boundaries can't leak into the
     result. The union's inputs are already per-key states, so the merge
     shuffles state rows (|keys| cardinality), not history."""
+    if not states:
+        raise ValueError("states must be non-empty")
     it = iter(states)
     u = next(it)
     for s in it:

@@ -165,6 +165,8 @@ def pq_encode(
 ) -> DataFrame:
     """(id, codes array<bigint>) — nearest codebook entry per subspace,
     ties to the lowest cell id (same rule as the trainer's assignment)."""
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
     d_sub = dim // m
     spark = emb.sparkSession
     return (
@@ -191,6 +193,8 @@ def pq_adc_topk(
     from the codebooks (m·k longs, no data scan), broadcast once; each
     row's distance is m lookups + adds; TakeOrdered returns k_top rows —
     zero shuffle over the corpus."""
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
     d_sub = dim // m
     q_fixed = [int(round(float(x) * SCALE)) for x in query_vec]
     lut = [
@@ -309,6 +313,8 @@ def pq_encode_residual(
 ) -> DataFrame:
     """(vec_id, cell, codes) — the stored IVF-PQ index row: coarse cell for
     routing plus m residual codes for scoring."""
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
     d_sub = dim // m
     spark = emb.sparkSession
     res = residual_frame(emb, centroids, vec_col=vec_col, id_col=id_col)
@@ -333,6 +339,8 @@ def ivfpq_residual_topk(
     (the query residual differs per cell), built driver-side from the
     codebooks — n_probe·m·k longs, no data scan — broadcast once. Scoring
     stays m lookups + adds per candidate; TakeOrdered; zero corpus shuffle."""
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
     d_sub = dim // m
     q_fixed = [int(round(float(x) * SCALE)) for x in query_vec]
     lut = []

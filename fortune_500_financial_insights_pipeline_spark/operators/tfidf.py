@@ -249,3 +249,43 @@ def bm25_search(
         totals.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def bm25_from_tf(
+    tf: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 from an already-MATERIALIZED term-frequency frame — the 100 TB
+    path, mirroring ``tfidf_from_tf``'s rationale: the one-shot ``bm25()``
+    derives df and dl with windows over the TF frame, and the per-term
+    window partitions are exactly the stopword-skewed shape that buffers
+    billions of rows per hot key at corpus scale. With tf materialized,
+    df/dl/totals become partially-aggregated groupBys (skew-free map-side
+    combine) joined back on the aggregated keys — AQE broadcasts the
+    vocabulary side when small.
+
+    Identical output to ``bm25()`` on the same tf rows (asserted by test):
+    N is countDistinct(doc) over tf — the tfidf_from_tf empty-doc
+    convention note applies."""
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    stats = tf.agg(
+        F.sum("tf").alias("total_tf"),
+        F.countDistinct(id_col).alias("n_docs"),
+    )
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (
+        1.0 - b + b * F.col("dl") / (F.col("total_tf") / F.col("n_docs"))
+    )
+    return (
+        tf.join(dfreq, "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn("score", F.round(idf * F.col("tf") * (k1 + 1.0) / denom, 6))
+        .select(id_col, "term", "tf", "score")
+    )

@@ -151,3 +151,41 @@ def test_merge_states_shuffles_states_not_history(spark, sf_dir):
     # every batch must partial-aggregate below its exchange: history rows
     # never cross the wire unaggregated
     assert plan.count("partial_count") >= 3
+
+
+def test_merge_states_rejects_empty(spark):
+    with pytest.raises(ValueError):
+        merge_states([], ["g"])
+
+
+# --- bm25_from_tf ---------------------------------------------------------
+
+
+def test_bm25_from_tf_matches_windowed_form(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.tfidf import (
+        bm25,
+        bm25_from_tf,
+        term_frequencies,
+    )
+
+    docs = _docs(spark)
+    windowed = {tuple(r) for r in bm25(docs).collect()}
+    materialized = {
+        tuple(r) for r in bm25_from_tf(term_frequencies(docs)).collect()
+    }
+    assert windowed == materialized
+
+
+def test_bm25_from_tf_plan_has_no_term_window(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.tfidf import (
+        bm25_from_tf,
+        term_frequencies,
+    )
+
+    plan = (
+        bm25_from_tf(term_frequencies(_docs(spark)))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan, "scale path must not window over terms"

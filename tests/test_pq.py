@@ -146,3 +146,13 @@ def test_residual_ivfpq_recall_on_clustered_data(spark):
 def test_residual_ivfpq_registered_query_runs(spark, sf_dir):
     rows = QUERIES["q_ivfpq_residual_topk"](spark, sf_dir).collect()
     assert 0 < len(rows) <= 20
+
+
+def test_pq_encode_and_query_guard_dim(spark):
+    emb, _ = _clustered(spark)
+    books = pq_train(emb, m=2, k=2, n_iter=1, dim=8)
+    with pytest.raises(ValueError):
+        pq_encode(emb, books, m=3, dim=8)
+    with pytest.raises(ValueError):
+        pq_adc_topk(spark.range(1).withColumnRenamed("id", "vec_id"), books,
+                    [0.0] * 8, m=3, dim=8)
