@@ -156,3 +156,59 @@ def test_pq_encode_and_query_guard_dim(spark):
     with pytest.raises(ValueError):
         pq_adc_topk(spark.range(1).withColumnRenamed("id", "vec_id"), books,
                     [0.0] * 8, m=3, dim=8)
+
+
+def test_residual_codes_quantize_finer_than_raw(spark):
+    """The reason residual IVF-PQ exists: with the same m x k code budget,
+    ADC distances computed from residual codes track the TRUE fixed-point
+    L2 distances more closely than raw-vector codes (residuals concentrate
+    near zero). Asserted as strictly lower total absolute ADC error over
+    the corpus, query = cluster-0 center."""
+    from fortune_500_financial_insights_pipeline_spark.operators.kmeans import (
+        SCALE as KSCALE,
+    )
+    from fortune_500_financial_insights_pipeline_spark.operators.kmeans import (
+        kmeans_centroids,
+    )
+    from fortune_500_financial_insights_pipeline_spark.operators.pq import (
+        ivfpq_residual_topk,
+        pq_encode_residual,
+        pq_train_residual,
+    )
+
+    emb, centers = _clustered(spark)
+    n = emb.count()
+    query = centers[0]
+    q_fp = [int(round(x * KSCALE)) for x in query]
+    truth = {
+        r.vec_id: sum(
+            (q_fp[i] - int(round(float(x) * KSCALE))) ** 2
+            for i, x in enumerate(r.embedding)
+        )
+        for r in emb.collect()
+    }
+
+    # raw-vector PQ over every vector
+    books_raw = pq_train(emb, m=2, k=4, n_iter=2, dim=8)
+    raw = {
+        r.vec_id: r.adc_dist
+        for r in pq_adc_topk(
+            pq_encode(emb, books_raw, m=2, dim=8), books_raw, query,
+            m=2, dim=8, k_top=n,
+        ).collect()
+    }
+    # residual PQ, probing ALL cells so every vector is scored
+    cents = kmeans_centroids(emb, k=4, n_iter=2)
+    books_res = pq_train_residual(emb, cents, m=2, k=4, n_iter=2, dim=8)
+    enc = pq_encode_residual(emb, cents, books_res, m=2, dim=8)
+    res = {
+        r.vec_id: r.adc_dist
+        for r in ivfpq_residual_topk(
+            enc, books_res, cents, query, list(range(len(cents))),
+            m=2, dim=8, k_top=n,
+        ).collect()
+    }
+    assert set(raw) == set(res) == set(truth)
+    err_raw = sum(abs(raw[v] - truth[v]) for v in truth)
+    err_res = sum(abs(res[v] - truth[v]) for v in truth)
+    assert err_res < err_raw, (err_res, err_raw)
