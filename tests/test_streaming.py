@@ -680,3 +680,52 @@ def test_kmv_cardinality_stream_equals_batch(spark, tmp_path):
         for r in kmv_estimate(kmv_sketch(whole, ["g"], "k", k=64), ["g"], k=64).collect()
     }
     assert last == expect and set(last) == {"a", "b"}, (last, expect)
+
+
+def test_streaming_mv_merge_equals_batch_aggregate(spark, tmp_path):
+    """The persisted incremental view after N micro-batches must equal the
+    direct batch aggregate over everything streamed — EXACTLY (fixed-point
+    interior), and survive a restart with a fresh query; a batch backfill
+    through the same fold lands in the same state."""
+    from fortune_500_financial_insights_pipeline_spark.operators.incremental import (
+        finalize_state,
+        grouped_state,
+    )
+    from fortune_500_financial_insights_pipeline_spark.streaming.mv_merge import (
+        mv_merge_batch_fn,
+        mv_merge_stream,
+        read_view,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "mv_state")
+
+    def chunk(lo, hi, mode):
+        spark.range(lo, hi).select(
+            (F.col("id") % 3).cast("int").alias("g"),
+            (F.col("id") * 1.25).alias("v"),
+        ).coalesce(1).write.mode(mode).parquet(src)
+
+    chunk(0, 40, "overwrite")
+    stream = spark.readStream.schema("g int, v double").parquet(src)
+    q = mv_merge_stream(stream, ["g"], "v", state, str(tmp_path / "ck"))
+    q.awaitTermination()
+    chunk(40, 100, "append")
+    stream2 = spark.readStream.schema("g int, v double").parquet(src)
+    q2 = mv_merge_stream(stream2, ["g"], "v", state, str(tmp_path / "ck"))
+    q2.awaitTermination()
+
+    whole = spark.read.parquet(src)
+    expect = {
+        tuple(r)
+        for r in finalize_state(grouped_state(whole, ["g"], "v"), ["g"]).collect()
+    }
+    got = {tuple(r) for r in read_view(spark, state, ["g"]).collect()}
+    assert got == expect
+
+    # batch backfill through the SAME fold: replaying history into a fresh
+    # state dir reproduces the same view
+    state2 = str(tmp_path / "mv_state2")
+    mv_merge_batch_fn(["g"], "v", state2)(whole, 0)
+    got2 = {tuple(r) for r in read_view(spark, state2, ["g"]).collect()}
+    assert got2 == expect
