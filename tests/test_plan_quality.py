@@ -392,3 +392,32 @@ def test_weighted_sample_grouped_limits_before_shuffle(spark, sf_dir):
     guard that keeps a giant source from flooding the exchange."""
     plan = plan_of(spark, sf_dir, "q_weighted_sample_grouped")
     assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_parquet_aggregate_pushdown_reads_footers_only(spark, sf_dir):
+    """COUNT/MIN/MAX with no filter can be answered from parquet FOOTER
+    statistics — at 100 TB that's a metadata-only scan instead of reading
+    every page. Requires the v2 parquet source + aggregatePushdown; both
+    set per-query here, restored after."""
+    import pyspark.sql.functions as F
+
+    prev_push = spark.conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    prev_v1 = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+    try:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        df = spark.read.parquet(f"{sf_dir}/orders.parquet").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation: [COUNT(*), MIN(o_totalprice), MAX(o_totalprice)]" in plan
+        row = df.head()
+        assert row["n"] > 0 and row["lo"] <= row["hi"]
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", prev_push)
+        if prev_v1 is None:
+            spark.conf.unset("spark.sql.sources.useV1SourceList")
+        else:
+            spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
