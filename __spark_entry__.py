@@ -68,14 +68,34 @@ def _verified_rounds() -> dict[str, int]:
     return seen
 
 
+def _measured_cost() -> dict[str, float]:
+    """Per-key wall seconds from the last full local driver simulation
+    (tools/driver_sim.py --all at sf0.01). Used to order unverified keys
+    cheapest-first: if the driver's correctness pass is time-boxed rather
+    than count-capped, this maximizes how many keys earn a row per round."""
+    try:
+        with open(os.path.join(_REPO, "tools", "driver_sim_last.json")) as f:
+            data = json.load(f)
+        return {
+            k: float(v.get("spark_s") or 0.0) + float(v.get("oracle_s") or 0.0)
+            for k, v in data.get("results", {}).items()
+        }
+    except (OSError, ValueError):
+        return {}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     verified = _verified_rounds()
+    cost = _measured_cost()
 
-    def rank(key: str) -> tuple[int, int]:
+    def rank(key: str) -> tuple[int, float]:
         if key not in verified:
-            # Unverified: oracle-backed first (hash-checkable), rows-only after.
-            return (0, 0) if key in ORACLES else (1, 0)
-        return (2, verified[key])
+            # Unverified: oracle-backed first (hash-checkable), rows-only
+            # after; within each group cheapest-measured first (unmeasured
+            # keys sort last via +inf, stable by registration order).
+            c = cost.get(key, float("inf"))
+            return (0, c) if key in ORACLES else (1, c)
+        return (2, float(verified[key]))
 
     ordered = sorted(QUERIES, key=lambda k: (rank(k), list(QUERIES).index(k)))
     return {k: QUERIES[k] for k in ordered}
