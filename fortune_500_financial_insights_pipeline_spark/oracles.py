@@ -2972,3 +2972,23 @@ FROM (SELECT doc_id, word FROM docw WHERE word <> '') d
 JOIN tok t ON d.word = t.word
 GROUP BY d.doc_id, t.token
 """
+
+# Shortlist-then-exact-rerank: the residual IVF-PQ chain's ADC top-50,
+# reranked by exact round-6 cosine over raw vectors.
+ORACLES["q_ivfpq_rerank"] = ORACLES["q_ivfpq_residual_topk"].replace(
+    "SELECT vec_id, adc_dist FROM adist ORDER BY adc_dist ASC, vec_id ASC LIMIT 20",
+    """
+, short AS (
+  SELECT vec_id FROM adist ORDER BY adc_dist ASC, vec_id ASC LIMIT 50
+),
+rer AS (
+  SELECT e.vec_id,
+         ROUND(list_dot_product(e.vec, q.vec)
+               / (sqrt(list_dot_product(e.vec, e.vec))
+                  * sqrt(list_dot_product(q.vec, q.vec))), 6) AS sim
+  FROM e JOIN short USING (vec_id)
+  CROSS JOIN (SELECT vec FROM e WHERE vec_id = 0) q
+)
+SELECT vec_id, sim FROM rer ORDER BY sim DESC, vec_id ASC LIMIT 20
+""",
+)

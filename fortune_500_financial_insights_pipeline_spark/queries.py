@@ -2923,3 +2923,46 @@ def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     merges = [(r["lhs"], r["rhs"]) for r in bpe_train(d, n_merges=3).collect()]
     return bpe_segment(d.filter(F.col("doc_id") < 50), merges)
+
+
+@q("q_ivfpq_rerank")
+def q_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production retrieval stack: residual IVF-PQ ADC shortlists
+    50 candidates from the probed cells (codes only — no raw vectors
+    touched), then an EXACT cosine rerank over just those 50 raw vectors
+    picks the final top-20. At 100 TB the rerank reads 50 rows by id —
+    the expensive exactness is paid only where it changes the answer.
+    Shortlist is a broadcast semi-join back to the embeddings table."""
+    from fortune_500_financial_insights_pipeline_spark.operators.kmeans import kmeans_centroids
+    from fortune_500_financial_insights_pipeline_spark.operators.pq import (
+        ivfpq_residual_topk,
+        pq_encode_residual,
+        pq_train_residual,
+    )
+    from fortune_500_financial_insights_pipeline_spark.operators.similarity import (
+        cosine_similarity,
+        probe_cells_col,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = kmeans_centroids(emb, k=8, n_iter=2)
+    qrow = emb.filter(F.col("vec_id") == 0)
+    qvec = list(qrow.select("embedding").head()[0])
+    probe = list(
+        qrow.select(probe_cells_col("embedding", centroids, 2).alias("p")).head()["p"]
+    )
+    books = pq_train_residual(emb, centroids, m=4, k=4, n_iter=1, dim=64)
+    enc = pq_encode_residual(emb, centroids, books, m=4, dim=64)
+    short = ivfpq_residual_topk(
+        enc, books, centroids, qvec, probe, m=4, dim=64, k_top=50
+    ).select("vec_id")
+    qarr = F.array(*[F.lit(float(x)) for x in qvec])
+    return (
+        emb.join(F.broadcast(short), "vec_id")
+        .select(
+            "vec_id",
+            F.round(cosine_similarity(F.col("embedding"), qarr), 6).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(20)
+    )

@@ -212,3 +212,42 @@ def test_residual_codes_quantize_finer_than_raw(spark):
     err_raw = sum(abs(raw[v] - truth[v]) for v in truth)
     err_res = sum(abs(res[v] - truth[v]) for v in truth)
     assert err_res < err_raw, (err_res, err_raw)
+
+
+def test_ivfpq_index_partitioned_by_cell_prunes_probes(spark, tmp_path):
+    """The deployment story: the encoded index written partitionBy('cell')
+    turns a probe into PARTITION PRUNING — a 2-cell probe reads 2/k of the
+    index, asserted via PartitionFilters in the scan plan and identical
+    results to the unpartitioned path."""
+    from fortune_500_financial_insights_pipeline_spark.operators.kmeans import kmeans_centroids
+    from fortune_500_financial_insights_pipeline_spark.operators.pq import (
+        pq_encode_residual,
+        pq_train_residual,
+    )
+
+    emb, centers = _clustered(spark)
+    cents = kmeans_centroids(emb, k=4, n_iter=2)
+    books = pq_train_residual(emb, cents, m=2, k=4, n_iter=1, dim=8)
+    enc = pq_encode_residual(emb, cents, books, m=2, dim=8)
+    path = str(tmp_path / "ivfpq_index")
+    enc.write.partitionBy("cell").parquet(path)
+
+    probe = [0, 1]
+    scan = spark.read.parquet(path).where(F.col("cell").isin(probe))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    got = {(r.vec_id, r.cell, tuple(r.codes)) for r in scan.collect()}
+    want = {
+        (r.vec_id, r.cell, tuple(r.codes))
+        for r in enc.where(F.col("cell").isin(probe)).collect()
+    }
+    assert got == want and got, "pruned scan must equal filtered index"
+
+
+def test_ivfpq_rerank_registered_query_runs(spark, sf_dir):
+    rows = QUERIES["q_ivfpq_rerank"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    sims = [r.sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    # the query vector itself survives shortlist+rerank at similarity 1
+    assert rows[0].vec_id == 0 and abs(rows[0].sim - 1.0) < 1e-6
