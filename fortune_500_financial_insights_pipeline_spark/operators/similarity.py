@@ -521,3 +521,50 @@ def knn_join(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def late_interaction_topk(
+    emb: DataFrame,
+    query_vecs: list[list[float]],
+    *,
+    k: int = 5,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """ColBERT-style late interaction (Khattab & Zaharia, SIGIR 2020) over
+    multi-vector documents: each ``group_col`` value is a document made of
+    many vectors; score(doc) = Σ over query vectors of max_{v∈doc}
+    cosine(q, v); top-``k`` docs.
+
+    Plan shape for 100 TB: the query side is a tiny broadcast relation
+    (one row per query vector) attached map-side — the corpus-sized
+    cosine grid never shuffles raw vectors; the MaxSim reduction is a
+    partially-aggregated groupBy on (doc, query-vector) whose key count is
+    |docs|·|query vecs|, then the per-doc sum collapses |query vecs| rows
+    per doc; TakeOrdered picks k. Cosines round to ``round_digits`` and
+    the final sum runs in fixed point, so the score is engine-exact."""
+    spark = emb.sparkSession
+    qrel = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(query_vecs)],
+        "qid int, qv array<double>",
+    )
+    sim = F.round(
+        _dot(F.col(vec_col), F.col("qv"))
+        / (_norm(F.col(vec_col)) * _norm(F.col("qv"))),
+        round_digits,
+    )
+    per_pair = (
+        emb.join(F.broadcast(qrel))
+        .select(F.col(group_col), F.col("qid"), sim.alias("sim"))
+        .groupBy(group_col, "qid")
+        .agg(F.max("sim").alias("maxsim"))
+    )
+    scored = per_pair.groupBy(group_col).agg(
+        (
+            F.sum(F.round(F.col("maxsim") * 1000000).cast("long")).cast("double")
+            / 1000000
+        ).alias("score")
+    )
+    return scored.orderBy(F.desc("score"), F.asc(group_col)).limit(k)

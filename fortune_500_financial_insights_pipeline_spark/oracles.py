@@ -2992,3 +2992,26 @@ rer AS (
 SELECT vec_id, sim FROM rer ORDER BY sim DESC, vec_id ASC LIMIT 20
 """,
 )
+
+# MaxSim late interaction: query vectors are vec_id 0..3; doc = label.
+ORACLES["q_late_interaction"] = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+),
+q AS (SELECT vec_id AS qid, vec AS qv FROM e WHERE vec_id < 4),
+grid AS (
+  SELECT e.label, q.qid,
+         ROUND(list_dot_product(e.vec, q.qv)
+               / (sqrt(list_dot_product(e.vec, e.vec))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
+  FROM e CROSS JOIN q
+),
+ms AS (SELECT label, qid, MAX(sim) AS maxsim FROM grid GROUP BY label, qid),
+sc AS (
+  SELECT label,
+         CAST(SUM(CAST(ROUND(maxsim * 1000000) AS BIGINT)) AS DOUBLE) / 1000000
+           AS score
+  FROM ms GROUP BY label
+)
+SELECT label, score FROM sc ORDER BY score DESC, label ASC LIMIT 5
+"""

@@ -2966,3 +2966,24 @@ def q_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("sim"), F.asc("vec_id"))
         .limit(20)
     )
+
+
+@q("q_late_interaction")
+def q_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-vector late-interaction retrieval (operators/similarity
+    .late_interaction_topk): labels act as multi-vector documents, vectors
+    0-3 as the query's token embeddings; score = Σ per-query-token MaxSim,
+    top-5 labels. Broadcast query grid, partial-agged MaxSim, fixed-point
+    score sum — hash-exact."""
+    from fortune_500_financial_insights_pipeline_spark.operators.similarity import (
+        late_interaction_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    qvecs = [
+        list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    return late_interaction_topk(emb, qvecs, k=5)

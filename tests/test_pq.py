@@ -251,3 +251,24 @@ def test_ivfpq_rerank_registered_query_runs(spark, sf_dir):
     assert sims == sorted(sims, reverse=True)
     # the query vector itself survives shortlist+rerank at similarity 1
     assert rows[0].vec_id == 0 and abs(rows[0].sim - 1.0) < 1e-6
+
+
+def test_late_interaction_prefers_query_cluster(spark):
+    """With cluster-separated vectors and all query tokens drawn from one
+    cluster, that cluster's label must win MaxSim-sum retrieval."""
+    from fortune_500_financial_insights_pipeline_spark.operators.similarity import (
+        late_interaction_topk,
+    )
+
+    emb, centers = _clustered(spark)
+    lab = emb.withColumn("label", (F.col("vec_id") / 25).cast("int"))
+    got = late_interaction_topk(lab, [centers[1], centers[1]], k=2).collect()
+    assert got[0].label == 1
+    assert got[0].score > got[1].score
+
+
+def test_late_interaction_registered_query_runs(spark, sf_dir):
+    rows = QUERIES["q_late_interaction"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
