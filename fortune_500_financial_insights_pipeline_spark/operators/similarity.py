@@ -568,3 +568,86 @@ def late_interaction_topk(
         ).alias("score")
     )
     return scored.orderBy(F.desc("score"), F.asc(group_col)).limit(k)
+
+
+def signature_col_portable(
+    vec_col: str, dim: int, n_planes: int = 16, scale: int = 1_000_000
+) -> Column:
+    """Random-hyperplane signature with an EXACT-INTEGER interior: vector
+    and plane components in fixed point, dot products as long sums — the
+    sign (each LSH bit) is then order-invariant and engine-portable, so
+    the whole bucketing is oracle-checkable (the float form's near-zero
+    signs can flip in the last ulp across engines)."""
+    from fortune_500_financial_insights_pipeline_spark.functions.planes import (
+        hyperplane_fixed,
+    )
+
+    vfix = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("long")
+    )
+    bits = []
+    for p in range(n_planes):
+        plane = [hyperplane_fixed(p, d, scale) for d in range(dim)]
+        dot = F.aggregate(
+            F.zip_with(
+                vfix,
+                F.array(*[F.lit(int(c)).cast("long") for c in plane]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**p))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def lsh_neardup_pairs_portable(
+    emb: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    min_cosine: float = 0.9,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """``lsh_neardup_pairs`` with every engine-sensitive step made exact:
+    integer-dot signatures (bucketing), and the verification cosine built
+    from exact integer components — dot and squared norms are long sums,
+    combined in one deterministic double expression, rounded to 6dp. The
+    pair SET is then hash-checkable, not just the pair count. Same plan
+    shape: signature groupBy bucket join (no crossJoin), verify only
+    within buckets."""
+    vfix = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("long")
+    )
+    sig = emb.select(
+        F.col(id_col),
+        vfix.alias("vf"),
+        signature_col_portable(vec_col, dim, n_planes, scale).alias("sig"),
+    )
+    a = sig.select(F.col(id_col).alias("id_a"), F.col("vf").alias("vf_a"), "sig")
+    b = sig.select(F.col(id_col).alias("id_b"), F.col("vf").alias("vf_b"), "sig")
+    pairs = a.join(b, "sig").filter(F.col("id_a") < F.col("id_b"))
+    ldot = F.aggregate(
+        F.zip_with(F.col("vf_a"), F.col("vf_b"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    n2 = lambda c: F.aggregate(  # noqa: E731
+        F.transform(F.col(c), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cos = F.round(
+        ldot.cast("double")
+        / (F.sqrt(n2("vf_a").cast("double")) * F.sqrt(n2("vf_b").cast("double"))),
+        6,
+    )
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= min_cosine)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -2987,3 +2987,30 @@ def q_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
     ]
     return late_interaction_topk(emb, qvecs, k=5)
+
+
+@q("q_embed_neardup_portable")
+def q_embed_neardup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup detection with the bucketing itself hash-checked
+    — the oracle-exact upgrade of q_embed_neardup_lsh (operators/similarity
+    .lsh_neardup_pairs_portable): integer-dot hyperplane signatures, bucket
+    equi-join, exact fixed-point cosine verify at >= 0.9. The fixture
+    embeddings are near-orthogonal (max pairwise cosine 0.48), so the query
+    PLANTS 50 near-duplicates (vectors 0-49 rescaled by 1.02 under shifted
+    ids — cosine 1.0, scale-invariant) and the detector must return exactly
+    those pairs and nothing else; the oracle replays the planting."""
+    from fortune_500_financial_insights_pipeline_spark.operators.similarity import (
+        lsh_neardup_pairs_portable,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    planted = emb.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.02)).alias("embedding"),
+    )
+    return lsh_neardup_pairs_portable(
+        emb.unionByName(planted), dim=64, n_planes=16, min_cosine=0.9
+    )

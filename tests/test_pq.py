@@ -272,3 +272,32 @@ def test_late_interaction_registered_query_runs(spark, sf_dir):
     assert len(rows) == 5
     scores = [r.score for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_portable_lsh_finds_planted_dups_only(spark):
+    """Planted scaled copies (cosine 1.0) are found; near-orthogonal noise
+    is not; the signature interior is integer-exact so the pair set is
+    partition-invariant."""
+    from fortune_500_financial_insights_pipeline_spark.operators.similarity import (
+        lsh_neardup_pairs_portable,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (vid, [rng.uniform(-1.0, 1.0) for _ in range(8)]) for vid in range(80)
+    ]
+    base = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planted = base.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.02)).alias("embedding"),
+    )
+    corpus = base.unionByName(planted)
+    got = lsh_neardup_pairs_portable(
+        corpus, dim=8, n_planes=12, min_cosine=0.9999
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in got} == {(i, i + 1000) for i in range(5)}
+    assert all(abs(r.cosine - 1.0) < 1e-5 for r in got)
+    got2 = lsh_neardup_pairs_portable(
+        corpus.repartition(7), dim=8, n_planes=12, min_cosine=0.9999
+    ).collect()
+    assert {tuple(r) for r in got} == {tuple(r) for r in got2}
