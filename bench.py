@@ -71,6 +71,7 @@ HEADLINE = [
     "q_ivfpq_rerank",
     "q_late_interaction",
     "q_embed_neardup_portable",
+    "q_minhash_portable",
 ]
 
 # DuckDB oracle wall-clock on the SAME queries at sf0.1, best-of-2, measured
@@ -98,7 +99,7 @@ DUCKDB_BASELINE_SF01: dict[str, float | None] = {
     "q_bm25_search": 0.0835, "q_epoch_shuffle": 0.0081, "q_mv_merge": 0.0087,
     "q_pq_topk": 0.2028, "q_ivfpq_topk": 0.236,
     "q_ivfpq_residual_topk": 0.6812,
-    "q_bpe_train": 0.0967, "q_bpe_segment": 0.3975, "q_ivfpq_rerank": 0.712, "q_late_interaction": 0.0085, "q_embed_neardup_portable": 0.2543,
+    "q_bpe_train": 0.0967, "q_bpe_segment": 0.3975, "q_ivfpq_rerank": 0.712, "q_late_interaction": 0.0085, "q_embed_neardup_portable": 0.2543, "q_minhash_portable": 0.7615,
 }
 
 

@@ -251,3 +251,76 @@ def simhash_portable(text: Column | str, n_bits: int = 48) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+
+def minhash_neardup_pairs_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    min_jaccard: float = 0.2,
+    ngram: int = 3,
+) -> DataFrame:
+    """``minhash_neardup_pairs`` with an engine-portable hash family, so
+    the WHOLE pipeline — signatures, banding, candidate set, verified
+    pairs — is oracle-checkable instead of rows-only.
+
+    Hashing: one md5 per shingle, expanded to ``n_hashes`` seeds by
+    Kirsch–Mitzenmacher double hashing (seed_i = (u1 + i·u2) mod 2^60 with
+    u1 = md5 bits 0-59, u2 = md5 bits 64-119 mod 2^56 — bounds chosen so
+    u1 + 15·u2 < 2^63 never overflows a BIGINT in either engine). Same
+    plan shape as the xxhash64 form: exploded (doc, gram) rows, per-seed
+    mins as ONE hash aggregate (map-side combined, doc-count-sized
+    shuffle), band equi-join, within-bucket pair expansion, exact-integer
+    Jaccard verify. md5 costs more per gram than xxhash64 — the price of
+    portability; production keeps the xxhash64 form, the portable one
+    exists so the oracle can certify the ALGORITHM."""
+    assert n_hashes % bands == 0, "bands must divide n_hashes"
+    r = n_hashes // bands
+    m60 = 1 << 60
+
+    src = ensure_min_parallelism(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")), "_id"
+    )
+    g = src.select(
+        "_id", word_ngrams(F.col("_text"), ngram).alias("_grams")
+    ).localCheckpoint(eager=False)
+
+    hx = F.md5(F.col("_gram"))
+    u1 = F.conv(F.substring(hx, 1, 15), 16, 10).cast("long")
+    u2 = F.conv(F.substring(hx, 17, 15), 16, 10).cast("long") % (1 << 56)
+    exploded = (
+        g.select("_id", F.explode("_grams").alias("_gram"))
+        .select("_id", u1.alias("_u1"), u2.alias("_u2"))
+    )
+    sig = exploded.groupBy("_id").agg(
+        *[
+            F.min((F.col("_u1") + F.lit(i) * F.col("_u2")) % m60).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_", *[F.col(f"h{b * r + j}").cast("string") for j in range(r)]
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select("_id", F.explode(band_entries).alias("e")).select(
+        "_id", F.col("e.band").alias("band"), F.col("e.key").alias("key")
+    )
+    cand = bucket_pairs(buckets, ["band", "key"], "_id")
+    ga = g.select(F.col("_id").alias("id_a"), F.col("_grams").alias("_ga"))
+    gb = g.select(F.col("_id").alias("id_b"), F.col("_grams").alias("_gb"))
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("jac", F.round(jaccard(F.col("_ga"), F.col("_gb")), 6))
+        .filter(F.col("jac") >= min_jaccard)
+        .select("id_a", "id_b", "jac")
+    )

@@ -3014,3 +3014,21 @@ def q_embed_neardup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_neardup_pairs_portable(
         emb.unionByName(planted), dim=64, n_planes=16, min_cosine=0.9
     )
+
+
+@q("q_minhash_portable")
+def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs with the ENTIRE pipeline hash-checked —
+    the oracle-exact certification of q_minhash_neardup's algorithm
+    (operators/minhash.minhash_neardup_pairs_portable): md5 double-hashed
+    16-seed signatures, 4-band bucketing, within-bucket pair expansion,
+    exact-integer Jaccard verify at >= 0.2. Finds the identical pair set
+    the xxhash64 production form finds on the fixtures (by test)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.minhash import (
+        minhash_neardup_pairs_portable,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_neardup_pairs_portable(
+        d, id_col="doc_id", text_col="text", n_hashes=16, bands=4, min_jaccard=0.2
+    )

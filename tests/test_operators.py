@@ -1288,3 +1288,23 @@ def test_resize_images_emits_exact_bitmap_size(spark, sf_dir):
     assert all(len(r["resized"]) == 256 and r["n_bytes_out"] == 256 for r in rows)
     again = {r["doc_id"]: bytes(r["resized"]) for r in resize_images(media, 16, 16).collect()}
     assert all(bytes(r["resized"]) == again[r["doc_id"]] for r in rows)
+
+
+def test_portable_minhash_matches_production_form(spark, sf_dir):
+    """The md5 double-hash portable MinHash finds the same verified pair
+    set as the xxhash64 production form — different hash family, same
+    algorithm, same exact-Jaccard verification."""
+    from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+    from fortune_500_financial_insights_pipeline_spark.operators.minhash import (
+        minhash_neardup_pairs,
+        minhash_neardup_pairs_portable,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    kw = dict(id_col="doc_id", text_col="text", n_hashes=16, bands=4, min_jaccard=0.2)
+    prod = {(r.id_a, r.id_b, r.jac) for r in minhash_neardup_pairs(d, **kw).collect()}
+    port = {
+        (r.id_a, r.id_b, r.jac)
+        for r in minhash_neardup_pairs_portable(d, **kw).collect()
+    }
+    assert prod == port and prod, "pair sets must agree and be non-empty"
