@@ -431,3 +431,40 @@ def test_binned_interval_join_rejects_unknown_how(spark):
     df = spark.range(1).selectExpr("id as k", "timestamp'2024-01-01' as ts")
     with _pytest.raises(ValueError, match="unsupported how"):
         binned_interval_join(df, df, ["k"], "ts", "ts", 0, 60, how="cross")
+
+
+def _bpe_merge_ref(syms: list[str], a: str, b: str) -> list[str]:
+    """Pure-Python leftmost-non-overlapping greedy merge — the reference
+    model for operators/bpe._merge_once."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+@given(
+    word=st.text(alphabet="ab", min_size=1, max_size=14),
+    pair=st.tuples(st.sampled_from("ab"), st.sampled_from("ab")),
+)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bpe_merge_matches_reference_model(spark, word, pair):
+    """The HOF fold merge equals the sequential reference for every word
+    over a 2-letter alphabet — including the overlapping-run cases ('aaa'
+    with (a,a)) where greedy semantics are easy to get wrong."""
+    from fortune_500_financial_insights_pipeline_spark.operators.bpe import _merge_once
+
+    df = spark.createDataFrame([(word,)], "w string")
+    got = list(
+        df.select(_merge_once(F.split("w", ""), pair[0], pair[1]).alias("s")).head()["s"]
+    )
+    assert got == _bpe_merge_ref(list(word), pair[0], pair[1])
