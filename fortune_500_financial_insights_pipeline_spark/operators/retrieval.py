@@ -1,0 +1,132 @@
+"""Retrieval compositions past single-list BM25: positional phrase search
+and reciprocal-rank fusion of lexical + dense candidate lists.
+
+Both are first-class pieces of the LLM-data/RAG stack the engine targets:
+
+* ``phrase_search`` — exact multi-word phrase lookup over a positional
+  inverted index. The reference's search surface is term-level only
+  (BigQuery LIKE filters over statement text); position-aware matching is
+  the standard inverted-index extension (Manning et al., IIR ch. 2).
+* ``rrf_fuse`` — Reciprocal Rank Fusion (Cormack, Clarke & Buettcher,
+  SIGIR 2009): combine per-query rank lists from heterogeneous retrievers
+  (BM25, embedding k-NN, ...) by summing 1/(rrf_k + rank). The standard
+  hybrid-search merge — rank-only, so wildly different score scales fuse
+  without calibration.
+
+Scale shape: phrase matching is one broadcast equi-join on TERM (only
+postings of query-phrase terms survive the probe — the inverted-index
+contract) plus one partial-aggregated groupBy keyed by candidate
+occurrence; fusion is a union of tiny per-leg top-k lists followed by a
+groupBy on (query, doc). Nothing touches the corpus twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def positional_postings(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per token occurrence: (id, pos, term), pos 0-based.
+
+    posexplode keeps the token's offset — the positional inverted index a
+    phrase query needs. At warehouse scale this frame is what you persist
+    (partitioned by term-hash bucket); here it is built inline."""
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "term"),
+    ).where(F.col("term") != "")
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrases: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase occurrences: one row per (phrase_id, doc) with the
+    occurrence count and the first match position.
+
+    ``phrases`` is a tiny (phrase_id, phrase) frame. A phrase of n terms
+    [t0..t(n-1)] occurs at start s iff every offset j finds t_j at s+j —
+    relationally: join postings to the broadcast (phrase_id, off, term)
+    list on TERM, derive the implied start ``pos - off``, and keep
+    (phrase_id, doc, start) groups where all n offsets matched. Repeated
+    terms inside a phrase are handled by counting DISTINCT offsets, not
+    rows. One broadcast join + one groupBy; candidate group cardinality is
+    bounded by term-match counts, not corpus size.
+    """
+    post = positional_postings(docs, id_col=id_col, text_col=text_col)
+    pterms = phrases.select(
+        "phrase_id",
+        F.posexplode(F.split(F.col("phrase"), " ")).alias("off", "term"),
+        F.size(F.split(F.col("phrase"), " ")).alias("n_terms"),
+    ).where(F.col("term") != "")
+    occ = (
+        post.join(F.broadcast(pterms), "term")
+        .groupBy("phrase_id", id_col, (F.col("pos") - F.col("off")).alias("start"))
+        .agg(
+            F.count_distinct("off").alias("matched"),
+            F.max("n_terms").alias("n_terms"),
+        )
+        .where((F.col("matched") == F.col("n_terms")) & (F.col("start") >= 0))
+    )
+    return occ.groupBy("phrase_id", id_col).agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.min("start").alias("first_pos"),
+    )
+
+
+def rrf_fuse(
+    legs: list[DataFrame],
+    *,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    rrf_k: int = 60,
+    topn: int = 10,
+) -> DataFrame:
+    """Fuse per-query rank lists into one: RRF(d) = Σ_legs 1/(rrf_k + r).
+
+    Each leg carries (query, doc, rank) for its own top-k. Legs are
+    union-tagged and collapsed with one groupBy; per-leg ranks come back
+    as conditional-min columns (``rank_0``, ``rank_1``, ...), and the
+    score is a single left-to-right IEEE expression over them — the same
+    expression a SQL oracle writes, so fused scores are bit-identical
+    cross-engine (no float summation-order ambiguity: leg order is fixed
+    in the expression tree, not data-dependent).
+
+    Output: (query, doc, rrf round-9, rank_i per leg, fused row_number
+    ``rank`` by score desc / doc asc) — top ``topn`` rows per query.
+    """
+    from pyspark.sql.window import Window
+
+    tagged = None
+    for i, leg in enumerate(legs):
+        t = leg.select(
+            F.col(query_col),
+            F.col(id_col),
+            F.lit(i).alias("_leg"),
+            F.col(rank_col).alias("_r"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    per_leg = [
+        F.min(F.when(F.col("_leg") == i, F.col("_r"))).alias(f"rank_{i}")
+        for i in range(len(legs))
+    ]
+    fused = tagged.groupBy(query_col, id_col).agg(*per_leg)
+    score = None
+    for i in range(len(legs)):
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(f"rank_{i}")), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    w = Window.partitionBy(query_col).orderBy(F.desc("rrf"), F.asc(id_col))
+    return (
+        fused.withColumn("rrf", F.round(score, 9))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topn)
+    )

@@ -4145,3 +4145,128 @@ SELECT id_a, id_b, jac FROM (
 )
 WHERE jac >= 0.2
 """
+
+
+ORACLES["q_phrase_search"] = """
+WITH toks AS (
+  SELECT doc_id, i - 1 AS pos, l[i] AS term
+  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))
+  WHERE l[i] <> ''
+), phrases(phrase_id, phrase) AS (
+  VALUES (1, 'table part'),
+         (2, 'scan stream fast'),
+         (3, 'window window'),
+         (4, 'big table table'),
+         (5, 'spark zzznosuchterm')
+), pt AS (
+  SELECT phrase_id, i - 1 AS off, p[i] AS term, len(p) AS n_terms
+  FROM (SELECT phrase_id, p, unnest(generate_series(1, len(p))) AS i
+        FROM (SELECT phrase_id, string_split(phrase, ' ') AS p FROM phrases))
+  WHERE p[i] <> ''
+), occ AS (
+  SELECT p.phrase_id, t.doc_id, t.pos - p.off AS start,
+         COUNT(DISTINCT p.off) AS matched, MAX(p.n_terms) AS n_terms
+  FROM toks t JOIN pt p ON t.term = p.term
+  GROUP BY p.phrase_id, t.doc_id, t.pos - p.off
+)
+SELECT CAST(phrase_id AS INTEGER) AS phrase_id, doc_id,
+       COUNT(*) AS n_hits, CAST(MIN(start) AS INTEGER) AS first_pos
+FROM occ
+WHERE matched = n_terms AND start >= 0
+GROUP BY phrase_id, doc_id
+"""
+
+# Lexical leg mirrors ORACLES["q_bm25_search"] verbatim (same BM25
+# constants and fixed-point total), with the query list drawn from the
+# three query documents' own text; dense leg mirrors ORACLES["q_knn_join"]
+# restricted to the same query ids at k=20. Fusion is the fixed-order
+# two-term RRF expression rrf_fuse builds.
+ORACLES["q_rrf_fusion"] = """
+WITH tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> ''
+  GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), stats AS (
+  SELECT (SELECT SUM(tf) FROM tf) AS total_tf,
+         (SELECT COUNT(*) FROM documents) AS n_docs
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(LN(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * (1.0 - 0.75
+                                 + 0.75 * dl.dl / (s.total_tf * 1.0 / s.n_docs))),
+               6) AS score
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN dfreq ON tf.term = dfreq.term
+  CROSS JOIN stats s
+), queries AS (
+  SELECT doc_id AS query_id, text AS qtext FROM documents
+  WHERE doc_id IN (0, 7, 42)
+), qterms AS (
+  SELECT DISTINCT query_id, term
+  FROM (SELECT query_id, UNNEST(string_split(qtext, ' ')) AS term FROM queries)
+  WHERE term <> ''
+), totals AS (
+  SELECT q.query_id, s.doc_id,
+         ROUND(CAST(SUM(CAST(ROUND(s.score * 1000000) AS BIGINT)) AS DOUBLE)
+               / 1000000, 6) AS total_score
+  FROM scored s JOIN qterms q ON s.term = q.term
+  GROUP BY q.query_id, s.doc_id
+), lex AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id, ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY total_score DESC, doc_id ASC
+           ) AS rank
+    FROM totals
+  ) WHERE rank <= 20 AND doc_id <> query_id
+), qv AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id IN (0, 7, 42)
+), sims AS (
+  SELECT qv.query_id, e.vec_id AS doc_id,
+         ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), qv.qe)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(qv.qe, qv.qe))), 6) AS sim
+  FROM embeddings e, qv
+  WHERE e.vec_id <> qv.query_id
+), dense AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id, ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY sim DESC, doc_id ASC
+           ) AS rank
+    FROM sims
+  ) WHERE rank <= 20
+), legs AS (
+  SELECT query_id, doc_id, rank, 0 AS leg FROM lex
+  UNION ALL
+  SELECT query_id, doc_id, rank, 1 AS leg FROM dense
+), fused AS (
+  SELECT query_id, doc_id,
+         MIN(CASE WHEN leg = 0 THEN rank END) AS r0,
+         MIN(CASE WHEN leg = 1 THEN rank END) AS r1
+  FROM legs GROUP BY query_id, doc_id
+), rrfed AS (
+  SELECT query_id, doc_id,
+         CAST(r0 AS INTEGER) AS rank_0, CAST(r1 AS INTEGER) AS rank_1,
+         ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + r0), CAST(0 AS DOUBLE))
+               + COALESCE(CAST(1 AS DOUBLE) / (60 + r1), CAST(0 AS DOUBLE)),
+               9) AS rrf
+  FROM fused
+)
+SELECT query_id, doc_id, rank_0, rank_1, rrf, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC
+         ) AS rank
+  FROM rrfed
+)
+WHERE rank <= 10
+"""

@@ -3032,3 +3032,69 @@ def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_neardup_pairs_portable(
         d, id_col="doc_id", text_col="text", n_hashes=16, bands=4, min_jaccard=0.2
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval compositions: positional phrase search + hybrid rank fusion
+# ---------------------------------------------------------------------------
+
+
+@q("q_phrase_search")
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-word phrase lookup over a positional inverted index
+    (operators/retrieval.phrase_search): postings joined ON TERM to the
+    broadcast (phrase, offset, term) list, candidate starts derived as
+    ``pos - off``, kept when every offset matched. Counts occurrences and
+    first position per (phrase, doc). One phrase repeats a term
+    ("window window") to prove DISTINCT-offset matching; one carries a
+    term absent from the corpus and must return no rows."""
+    from fortune_500_financial_insights_pipeline_spark.operators.retrieval import phrase_search
+
+    d = load_table(spark, sf_dir, "documents")
+    phrases = spark.createDataFrame(
+        [
+            (1, "table part"),
+            (2, "scan stream fast"),
+            (3, "window window"),
+            (4, "big table table"),
+            (5, "spark zzznosuchterm"),
+        ],
+        "phrase_id int, phrase string",
+    )
+    return phrase_search(d, phrases)
+
+
+@q("q_rrf_fusion")
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid related-document retrieval: for three query documents, fuse a
+    lexical BM25 top-20 (query = the document's own distinct terms) with a
+    dense embedding k-NN top-20 via Reciprocal Rank Fusion
+    (operators/retrieval.rrf_fuse, rrf_k=60), keeping the fused top-10.
+    Leg ranks are the retrievers' own (self-match dropped from the lexical
+    list after ranking, exactly as the oracle does); the fused score is a
+    fixed-order IEEE expression so it hash-matches cross-engine."""
+    from fortune_500_financial_insights_pipeline_spark.operators.retrieval import rrf_fuse
+    from fortune_500_financial_insights_pipeline_spark.operators.similarity import knn_join
+    from fortune_500_financial_insights_pipeline_spark.operators.tfidf import bm25_search
+
+    d = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 7, 42]
+
+    queries = d.where(F.col("doc_id").isin(qids)).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("qtext")
+    )
+    lex = bm25_search(d, queries, k=20).where(
+        F.col("doc_id") != F.col("query_id")
+    ).select("query_id", "doc_id", "rank")
+
+    from pyspark.sql.window import Window
+
+    dense_raw = knn_join(emb.where(F.col("vec_id").isin(qids)), emb, k=20)
+    wd = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    dense = dense_raw.select(
+        F.col("q_id").alias("query_id"),
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(wd).alias("rank"),
+    )
+    return rrf_fuse([lex, dense], rrf_k=60, topn=10)

@@ -421,3 +421,30 @@ def test_parquet_aggregate_pushdown_reads_footers_only(spark, sf_dir):
             spark.conf.unset("spark.sql.sources.useV1SourceList")
         else:
             spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+
+
+def test_phrase_search_probes_broadcast_terms(spark, sf_dir):
+    """The positional-postings probe must broadcast the tiny phrase-term
+    list (inverted-index contract: corpus postings never shuffle for the
+    join) and plan no cartesian product."""
+    plan = plan_of(spark, sf_dir, "q_phrase_search")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # occurrence agg combines map-side before its exchange
+    assert "partial_" in plan
+
+
+def test_rrf_fusion_legs_stay_bounded(spark, sf_dir):
+    """Fusion joins two top-k lists: the corpus-sized work sits in the legs
+    (broadcast probe / broadcast query batch), every per-query top-k cut
+    runs as a WindowGroupLimit partial (per-partition heaps, never a full
+    sort of the leg), and no WINDOW runs with an empty partition spec (the
+    single-partition funnel; the BM25 corpus constants do plan a scalar
+    SinglePartition final over per-partition partials, which carries one
+    row per partition and is scale-fine)."""
+    plan = plan_of(spark, sf_dir, "q_rrf_fusion")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "WindowGroupLimit" in plan and ", Partial" in plan
+    assert not re.search(r"windowspecdefinition\((rrf|total_score|sim)#", plan), (
+        "rank window lost its query_id partition key"
+    )
