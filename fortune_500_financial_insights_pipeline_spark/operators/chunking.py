@@ -57,3 +57,59 @@ def chunk_documents(
         F.size(window).cast("long").alias("n_tokens"),
         F.concat_ws(" ", window).alias("chunk_text"),
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    divisor: int = 16,
+) -> DataFrame:
+    """Content-defined chunking: chunk boundaries fall AFTER any token
+    whose k-token rolling window hash is ≡ 0 (mod ``divisor``) — the
+    storage-dedup/chunk-dedup boundary rule (Muthitacharoen et al., "A
+    Low-Bandwidth Network File System", SOSP 2001; gear/Rabin CDC family).
+    Unlike fixed windows (``chunk_documents``), an insertion early in a
+    document shifts only the chunk it lands in — downstream chunk hashes
+    stay stable, which is what makes chunk-level dedup survive edits.
+
+    Expected chunk length = ``divisor`` tokens. The window hash is the
+    engine-portable md5-long over the last k tokens (position gated:
+    the first k-1 tokens never bound), boundary flags turn into chunk ids
+    with one gaps-islands cumulative window, and per-chunk rows collapse
+    in one groupBy: (doc, chunk_id, chunk_start, n_tokens, chunk_hash)
+    with chunk_hash = md5 of the position-ordered chunk text.
+
+    Scale shape: one positioned explode, ONE window family (per-doc by
+    position: lags + cumulative sum share the sort), one partial-agged
+    groupBy — text rides no shuffle except the final chunk-sized rows."""
+    from pyspark.sql import Window as W
+
+    src = docs.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok")
+    )
+    wo = W.partitionBy(id_col).orderBy("pos")
+    gram = F.concat_ws(
+        " ", *[F.lag("tok", k - 1 - j).over(wo) for j in range(k - 1)], F.col("tok")
+    )
+    h = F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
+    bnd = F.when(
+        (F.col("pos") >= k - 1) & (F.pmod(h, F.lit(divisor)) == 0), F.lit(1)
+    ).otherwise(F.lit(0))
+    cum = W.partitionBy(id_col).orderBy("pos").rowsBetween(W.unboundedPreceding, -1)
+    chunked = src.withColumn("b", bnd).withColumn(
+        "chunk_id", F.coalesce(F.sum("b").over(cum), F.lit(0)).cast("long")
+    )
+    ordered_text = F.concat_ws(
+        " ",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]
+        ),
+    )
+    return chunked.groupBy(id_col, "chunk_id").agg(
+        F.min("pos").alias("chunk_start"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.md5(ordered_text).alias("chunk_hash"),
+    )

@@ -4270,3 +4270,56 @@ FROM (
 )
 WHERE rank <= 10
 """
+
+
+ORACLES["q_winnow"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         ('0x' || substr(md5(l[i]||' '||l[i+1]||' '||l[i+2]||' '||l[i+3]),
+                         1, 15))::BIGINT AS h,
+         len(l) - 3 AS n_grams
+  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 3)) AS i
+        FROM toks WHERE len(l) >= 4)
+), starts AS (
+  SELECT doc_id, pos AS s,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+  FROM grams
+  QUALIFY pos <= n_grams - 4
+), sel AS (
+  SELECT st.doc_id, st.s, st.wmin, MAX(g.pos) AS pos
+  FROM starts st
+  JOIN grams g ON g.doc_id = st.doc_id AND g.h = st.wmin
+              AND g.pos BETWEEN st.s AND st.s + 3
+  GROUP BY st.doc_id, st.s, st.wmin
+)
+SELECT DISTINCT doc_id, CAST(pos AS INTEGER) AS pos, wmin AS fp FROM sel
+"""
+
+ORACLES["q_cdc_chunks"] = """
+WITH t AS (
+  SELECT doc_id, i - 1 AS pos, l[i] AS tok
+  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))
+), g AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN pos >= 2
+               AND ('0x' || substr(md5(concat_ws(' ',
+                     LAG(tok, 2) OVER w, LAG(tok, 1) OVER w, tok)),
+                     1, 15))::BIGINT % 16 = 0
+              THEN 1 ELSE 0 END AS b
+  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), c AS (
+  SELECT doc_id, pos, tok,
+         COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS chunk_id
+  FROM g
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(MIN(pos) AS INTEGER) AS chunk_start,
+       COUNT(*) AS n_tokens,
+       md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+FROM c GROUP BY doc_id, chunk_id
+"""

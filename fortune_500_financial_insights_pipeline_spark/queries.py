@@ -3098,3 +3098,28 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wd).alias("rank"),
     )
     return rrf_fuse([lex, dense], rrf_k=60, topn=10)
+
+
+@q("q_winnow")
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprint selection (operators/winnow): word
+    4-gram md5-long hashes, window w=4, min-per-window with rightmost
+    ties — the position-robust local dedup signature set. Frame-bounded
+    window MIN + an equi-join argmin recovery; density ~2/(w+1) of the
+    gram stream by construction."""
+    from fortune_500_financial_insights_pipeline_spark.operators.winnow import winnow_fingerprints
+
+    d = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(d, k=4, w=4)
+
+
+@q("q_cdc_chunks")
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (operators/chunking.cdc_chunks): boundary
+    after any token whose 3-token window hash ≡ 0 mod 16, chunk ids via
+    one gaps-islands cumulative window, per-chunk md5 over the ordered
+    text — the edit-stable chunk-dedup layout (SOSP'01 LBFS rule)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.chunking import cdc_chunks
+
+    d = load_table(spark, sf_dir, "documents")
+    return cdc_chunks(d, k=3, divisor=16)
