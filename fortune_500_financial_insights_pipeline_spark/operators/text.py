@@ -392,3 +392,63 @@ def dup_fraction(df, n: int = 8, id_col: str = "doc_id", text_col: str = "text")
             .alias("dup_fraction"),
         )
     )
+
+
+def bigram_logprob(df, lam: float = 0.7, id_col: str = "doc_id", text_col: str = "text"):
+    """Interpolated bigram-LM quality score: per-doc average
+    log2( λ·p(w2|w1) + (1-λ)·p(w2) ) under the corpus's OWN counts — the
+    next step up from the unigram CCNet signal (`q_unigram_logprob`):
+    word-order breakage (shuffled/boilerplate/spun text) now scores low
+    even when the unigram mix looks normal. MLE conditionals with unigram
+    interpolation (Jelinek–Mercer with a fixed λ; Chen & Goodman 1998's
+    baseline) — no singleton discounting so every probability is an exact
+    ratio of corpus counts and the score stays oracle-exact.
+
+    One bigram explode feeds the per-doc counts AND (re-aggregated) the
+    corpus tables — c(w1,w2), the w1 context totals, and the unigram
+    distribution all join back on their own keys; per-row IEEE log terms,
+    fixed-point per-doc sum, so the result is partitioning-invariant."""
+    from fortune_500_financial_insights_pipeline_spark.functions.deterministic import dsum
+
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, (i + 1).cast("int")),
+            F.element_at(toks, (i + 2).cast("int")),
+        ),
+    )
+    doc_bg = (
+        df.where(F.size(toks) >= 2)
+        .select(F.col(id_col), F.explode(bigrams).alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("n_db"))
+        .withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+        .withColumn("w2", F.split(F.col("bg"), " ").getItem(1))
+    )
+    c_bg = doc_bg.groupBy("bg").agg(F.sum("n_db").alias("c_bg"))
+    c_w1 = doc_bg.groupBy("w1").agg(F.sum("n_db").alias("c_w1"))
+
+    uni = (
+        df.select(F.explode(toks).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_t"))
+    )
+    total = uni.agg(F.sum("n_t").alias("n_total"))
+
+    p = F.lit(lam) * (F.col("c_bg") / F.col("c_w1")) + F.lit(1.0 - lam) * (
+        F.col("n_t") / F.col("n_total")
+    )
+    scored = (
+        doc_bg.join(c_bg, "bg")
+        .join(c_w1, "w1")
+        .join(uni, F.col("w2") == F.col("tok"))
+        .crossJoin(F.broadcast(total))
+    )
+    term = F.col("n_db") * F.log2(p)
+    return scored.groupBy(id_col).agg(
+        (dsum(term) / F.sum("n_db")).alias("avg_log2_bigram"),
+        F.sum("n_db").cast("long").alias("n_bigrams"),
+    )

@@ -4323,3 +4323,63 @@ SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
        md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
 FROM c GROUP BY doc_id, chunk_id
 """
+
+
+ORACLES["q_bigram_lm"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents
+), doc_bg AS (
+  SELECT doc_id, l[i] || ' ' || l[i+1] AS bg, l[i] AS w1, l[i+1] AS w2,
+         COUNT(*) AS n_db
+  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i
+        FROM toks WHERE len(l) >= 2)
+  GROUP BY doc_id, l[i] || ' ' || l[i+1], l[i], l[i+1]
+), c_bg AS (
+  SELECT bg, CAST(SUM(n_db) AS BIGINT) AS c_bg FROM doc_bg GROUP BY bg
+), c_w1 AS (
+  SELECT w1, CAST(SUM(n_db) AS BIGINT) AS c_w1 FROM doc_bg GROUP BY w1
+), uni AS (
+  SELECT tok, COUNT(*) AS n_t
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY tok
+), total AS (SELECT CAST(SUM(n_t) AS BIGINT) AS n_total FROM uni)
+SELECT doc_id,
+       (CAST(SUM(CAST(ROUND((n_db * log2(
+            CAST(0.7 AS DOUBLE) * (CAST(c_bg AS DOUBLE) / c_w1)
+          + CAST(0.3 AS DOUBLE) * (CAST(n_t AS DOUBLE) / n_total)
+        )) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000)
+         / CAST(SUM(n_db) AS DOUBLE) AS avg_log2_bigram,
+       CAST(SUM(n_db) AS BIGINT) AS n_bigrams
+FROM doc_bg
+JOIN c_bg USING (bg) JOIN c_w1 USING (w1)
+JOIN uni ON doc_bg.w2 = uni.tok, total
+GROUP BY doc_id
+"""
+
+ORACLES["q_cluster_sample"] = """
+WITH seeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+         CAST(embedding AS DOUBLE[]) AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)
+), sims AS (
+  SELECT e.vec_id, e.label, s.cell,
+         ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), s.cvec)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(s.cvec, s.cvec))), 6) AS csim
+  FROM embeddings e CROSS JOIN seeds s
+), cells AS (
+  SELECT vec_id, label, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY csim DESC, cell ASC) AS rn
+    FROM sims) WHERE rn = 1
+)
+SELECT vec_id, label, CAST(cell AS BIGINT) AS cell, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY cell
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+  FROM cells
+)
+WHERE rk <= 10
+"""

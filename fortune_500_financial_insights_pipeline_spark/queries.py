@@ -3123,3 +3123,42 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return cdc_chunks(d, k=3, divisor=16)
+
+
+@q("q_bigram_lm")
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM quality score (operators/text.bigram_logprob,
+    λ=0.7 Jelinek–Mercer): per-doc average log2(λ·p(w2|w1) + 0.3·p(w2))
+    under the corpus's own counts — catches word-order breakage the
+    unigram signal (q_unigram_logprob) cannot. Exact count ratios,
+    fixed-point doc sums: oracle-exact."""
+    from fortune_500_financial_insights_pipeline_spark.operators.text import bigram_logprob
+
+    d = load_table(spark, sf_dir, "documents")
+    return bigram_logprob(d, lam=0.7)
+
+
+@q("q_cluster_sample")
+def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling: md5-seeded 8-cell coarse
+    quantizer (same portable routing as q_semdedup), then an md5-priority
+    top-10 per cell — equal representation per embedding cluster, the
+    diversity-preserving subset selection a curation pipeline runs before
+    expensive scoring. WindowGroupLimit caps the per-cell shuffle."""
+    from pyspark.sql.window import Window
+    from fortune_500_financial_insights_pipeline_spark.operators.similarity import (
+        ivf_index_portable,
+        md5_sample_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    centroids = md5_sample_centroids(emb, k=8)
+    idx = ivf_index_portable(emb, centroids)
+    w = Window.partitionBy("cell").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    return (
+        idx.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select("vec_id", "label", F.col("cell").cast("long").alias("cell"), "rk")
+    )

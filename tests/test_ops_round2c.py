@@ -95,8 +95,6 @@ def test_cdc_chunks_are_edit_stable_past_the_edit(spark):
     # Same suffix Y behind different prefixes: every chunk of Y except the
     # one straddling the splice must carry an identical hash — the CDC
     # selling point fixed-size chunking cannot offer.
-    import hashlib
-
     y = " ".join(f"s{i}" for i in range(200))
     docs = _docs(spark, [(1, "a1 a2 a3 " + y), (2, "b1 b2 b3 b4 b5 b6 b7 " + y)])
     out = cdc_chunks(docs, k=3, divisor=16)
@@ -121,3 +119,28 @@ def test_cdc_chunks_reassemble_every_token_exactly_once(spark, sf_dir):
     toks = d.select("doc_id", F.size(F.split("text", " ")).alias("n"))
     joined = per_doc.join(toks, "doc_id").where(F.col("total") != F.col("n"))
     assert joined.count() == 0
+
+
+def test_bigram_lm_rewards_common_word_order(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.text import bigram_logprob
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)]
+    rows.append((100, "dog the over fox lazy jumps quick brown the"))  # same words, broken order
+    scores = {
+        r.doc_id: r.avg_log2_bigram
+        for r in bigram_logprob(_docs(spark, rows), lam=0.7).collect()
+    }
+    assert all(v < 0 for v in scores.values())  # probabilities are < 1
+    assert scores[0] > scores[100], "frequent word order must outscore scrambled"
+
+
+def test_cluster_sample_quota_and_coverage(spark, sf_dir):
+    from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["q_cluster_sample"](spark, sf_dir).toPandas()
+    per_cell = out.groupby("cell")["vec_id"].count()
+    assert (per_cell <= 10).all()
+    assert out["rk"].min() == 1
+    # every cell that received any vector contributes — balanced, not
+    # proportional: no cell may dominate the sample
+    assert per_cell.max() <= 10 and len(per_cell) >= 2
