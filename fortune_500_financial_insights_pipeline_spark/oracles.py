@@ -4383,3 +4383,46 @@ FROM (
 )
 WHERE rk <= 10
 """
+
+
+ORACLES["q_dsir_select"] = """
+WITH cb AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(l[i] || ' ' || l[i+1]), 1, 15))::BIGINT % 64 AS bucket
+  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS l
+              FROM documents WHERE lang <> 'en')
+        WHERE len(l) >= 2)
+), tb AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(l[i] || ' ' || l[i+1]), 1, 15))::BIGINT % 64 AS bucket
+  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS l
+              FROM documents WHERE lang = 'en')
+        WHERE len(l) >= 2)
+), doc_b AS (
+  SELECT doc_id, bucket, COUNT(*) AS c FROM cb GROUP BY doc_id, bucket
+), q_model AS (
+  SELECT bucket, CAST(SUM(c) AS BIGINT) AS cq FROM doc_b GROUP BY bucket
+), p_model AS (
+  SELECT bucket, COUNT(*) AS ct FROM tb GROUP BY bucket
+), qt AS (SELECT CAST(SUM(cq) AS BIGINT) AS qt FROM q_model),
+pt AS (SELECT CAST(SUM(ct) AS BIGINT) AS pt FROM p_model),
+scored AS (
+  SELECT d.doc_id,
+         ROUND(CAST(SUM(CAST(ROUND((d.c * (
+               ln((COALESCE(p.ct, 0) + CAST(0.5 AS DOUBLE))
+                  / (pt.pt + CAST(32 AS DOUBLE)))
+             - ln((q.cq + CAST(0.5 AS DOUBLE))
+                  / (qt.qt + CAST(32 AS DOUBLE)))
+             )) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS logw,
+         CAST(SUM(d.c) AS BIGINT) AS n_feats
+  FROM doc_b d JOIN q_model q USING (bucket)
+  LEFT JOIN p_model p USING (bucket), qt, pt
+  GROUP BY d.doc_id
+)
+SELECT doc_id, logw, n_feats, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY logw DESC, doc_id ASC) AS rank
+      FROM scored)
+WHERE rank <= 50
+"""

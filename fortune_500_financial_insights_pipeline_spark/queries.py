@@ -3162,3 +3162,24 @@ def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 10)
         .select("vec_id", "label", F.col("cell").cast("long").alias("cell"), "rk")
     )
+
+
+@q("q_dsir_select")
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/dsir): score every non-English
+    document's hashed-bigram bag by its importance log-weight toward the
+    English subcorpus (64 md5 buckets, add-0.5 smoothing), keep the
+    top-50. The quota cut is a TakeOrdered limit; the 50-row rank window
+    runs after the cut, so nothing corpus-sized funnels through one
+    partition."""
+    from pyspark.sql.window import Window
+    from fortune_500_financial_insights_pipeline_spark.operators.dsir import dsir_logweights
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = dsir_logweights(
+        d.where(F.col("lang") != "en"), d.where(F.col("lang") == "en"),
+        n_buckets=64, alpha=0.5,
+    )
+    top = scored.orderBy(F.desc("logw"), F.asc("doc_id")).limit(50)
+    w = Window.orderBy(F.desc("logw"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w))

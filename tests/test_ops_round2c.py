@@ -144,3 +144,19 @@ def test_cluster_sample_quota_and_coverage(spark, sf_dir):
     # every cell that received any vector contributes — balanced, not
     # proportional: no cell may dominate the sample
     assert per_cell.max() <= 10 and len(per_cell) >= 2
+
+
+def test_dsir_ranks_target_like_candidates_first(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.dsir import dsir_logweights
+
+    target = _docs(spark, [(i, "alpha beta gamma delta epsilon zeta") for i in range(20)])
+    cands = _docs(
+        spark,
+        [(100, "alpha beta gamma delta epsilon")]  # target-like
+        + [(200 + i, f"rock{i} paper{i} scissors{i} lizard{i} spock{i}") for i in range(10)],
+    )
+    out = dsir_logweights(cands, target, n_buckets=64, alpha=0.5).collect()
+    best = max(out, key=lambda r: r.logw)
+    assert best.doc_id == 100, "target-like candidate must carry the top importance weight"
+    others = [r.logw for r in out if r.doc_id != 100]
+    assert all(best.logw > o for o in others)
