@@ -92,8 +92,17 @@ def main() -> int:
     print(f"\nTOTAL {total:.1f}s for {len(keys)} keys; fails={fails}")
     print("slowest:", [(k, results[k]["spark_s"]) for k in slow])
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "driver_sim_last.json")
+    # Merge into prior results: partial runs (--only/--limit) must not wipe
+    # the cost data __spark_entry__.queries() uses to order unverified keys.
+    merged: dict[str, dict] = {}
+    try:
+        with open(out) as f:
+            merged = json.load(f).get("results", {})
+    except (OSError, ValueError):
+        pass
+    merged.update(results)
     with open(out, "w") as f:
-        json.dump({"total_s": round(total, 1), "results": results}, f, indent=1)
+        json.dump({"total_s": round(total, 1), "results": merged}, f, indent=1)
     return 1 if fails else 0
 
 
