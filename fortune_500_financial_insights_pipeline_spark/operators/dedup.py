@@ -33,6 +33,72 @@ def keep_latest(
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
+def strip_duplicate_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Substring-granularity dedup REMOVAL (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022): segment each
+    document into disjoint ``chunk_words``-word chunks, drop every chunk
+    whose content appears in >= ``min_docs`` distinct documents, and
+    reassemble the surviving chunks in order.  Detection alone is
+    ``text.duplicated_spans`` (q_dup_spans); this is the edit step that
+    actually produces the cleaned corpus.
+
+    Returns (id, clean_text, n_chunks, n_kept).  Docs whose every chunk is
+    corpus-duplicated survive with clean_text = '' (the caller's quality
+    gate drops empties) — silently losing the row would break joins keyed
+    on the id downstream.
+
+    Scale shape: the only wide ops are a groupBy on the 128-bit chunk hash
+    (uniform — no skew regardless of text skew) and a groupBy on the doc id
+    to reassemble.  Chunk text never rides the hash shuffle: the dup-hash
+    side reduces to (hash, n_docs) before the anti-join back.  Fixed
+    chunking (not sliding windows) keeps the exploded volume at 1x corpus.
+    """
+    toks = F.split(F.col(text_col), " ")
+    nchunks = F.ceil(F.size(toks) / F.lit(chunk_words)).cast("int")
+    chunks = df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), nchunks - 1)).alias("cid"),
+        toks.alias("__t"),
+    ).select(
+        id_col,
+        "cid",
+        F.array_join(
+            F.slice("__t", F.col("cid") * chunk_words + 1, chunk_words), " "
+        ).alias("ctext"),
+    )
+    hashed = chunks.withColumn("h", F.md5("ctext"))
+    dup = (
+        hashed.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    kept = hashed.join(dup, "h", "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("cid", "ctext"))),
+                lambda s: s["ctext"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = df.select(id_col, nchunks.cast("long").alias("n_chunks"))
+    return totals.join(reassembled, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+    )
+
+
 def fingerprint_dedup(
     df: DataFrame, text_col: str, id_col: str, normalize: bool = True
 ) -> DataFrame:

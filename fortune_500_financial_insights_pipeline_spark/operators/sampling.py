@@ -69,6 +69,35 @@ def md5_stratified(
     return df.filter(F.md5(F.concat_ws("|", *key_cols)) < threshold)
 
 
+def split_assign(
+    df: DataFrame, key_cols: list[str], splits: dict[str, float]
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the md5 over the keys lands
+    in consecutive hash-space bands, one per split (in ``splits`` order, so
+    {'train': .8, 'val': .1, 'test': .1} gives train=[0,.8), val=[.8,.9),
+    test=[.9,1)).  Same engine-portability contract as md5_sample: the
+    assignment is a pure string comparison, invariant to partitioning,
+    cluster size, engine, and incremental loads — a doc never migrates
+    between splits across corpus refreshes, which is what keeps eval sets
+    uncontaminated release over release."""
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    key = F.md5(F.concat_ws("|", *key_cols))
+    names = list(splits)
+    case = None
+    cum = 0.0
+    for name in names[:-1]:
+        # round the running sum so 0.8 + 0.1 -> 0.9 exactly: the oracle
+        # spells the band edge as _hex_threshold(0.9), and a 1-ulp float
+        # drift here would move the edge by a few hash values
+        cum = round(cum + splits[name], 12)
+        arm = (key < F.lit(_hex_threshold(cum)), F.lit(name))
+        case = F.when(*arm) if case is None else case.when(*arm)
+    assigned = case.otherwise(F.lit(names[-1])) if case is not None else F.lit(names[-1])
+    return df.withColumn("split", assigned)
+
+
 def mix_sources(
     docs: DataFrame,
     weights: dict[str, int],

@@ -4426,3 +4426,56 @@ FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY logw DESC, doc_id ASC) AS rank
       FROM scored)
 WHERE rank <= 50
 """
+
+
+ORACLES["q_strip_dup_spans"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+chunks AS (
+  SELECT doc_id, i AS cid,
+         array_to_string(l[(i*20+1):(i*20+20)], ' ') AS ctext
+  FROM (SELECT doc_id, l,
+               unnest(generate_series(0, CAST(ceil(len(l) / 20.0) AS INT) - 1)) AS i
+        FROM toks)
+),
+hashed AS (SELECT doc_id, cid, ctext, md5(ctext) AS h FROM chunks),
+dup AS (SELECT h FROM hashed GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+kept AS (SELECT * FROM hashed WHERE h NOT IN (SELECT h FROM dup)),
+agg AS (
+  SELECT doc_id, string_agg(ctext, ' ' ORDER BY cid) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM hashed GROUP BY doc_id)
+SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+       CAST(t.n_chunks AS BIGINT) AS n_chunks,
+       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept
+FROM tot t LEFT JOIN agg a USING (doc_id)
+"""
+
+ORACLES["q_split_assign"] = f"""
+SELECT lang,
+       CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '{_hex_threshold(0.8)}' THEN 'train'
+            WHEN md5(CAST(doc_id AS VARCHAR)) < '{_hex_threshold(0.9)}' THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY lang, split
+"""
+
+ORACLES["q_pairwise_corr"] = """
+WITH series AS (
+  SELECT l_suppkey,
+         strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS day,
+         (CAST(SUM(CAST(ROUND(l_extendedprice * 1000000) AS BIGINT)) AS DOUBLE)
+          / 1000000) / COUNT(*) AS close
+  FROM lineitem
+  WHERE l_suppkey <= 10
+  GROUP BY l_suppkey, day
+)
+SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b,
+       COUNT(*) AS n_days,
+       ROUND(corr(a.close, b.close), 6) AS corr_close
+FROM series a JOIN series b USING (day)
+WHERE a.l_suppkey < b.l_suppkey
+GROUP BY supp_a, supp_b
+"""

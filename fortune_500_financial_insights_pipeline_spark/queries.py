@@ -3183,3 +3183,63 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = scored.orderBy(F.desc("logw"), F.asc("doc_id")).limit(50)
     w = Window.orderBy(F.desc("logw"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+@q("q_strip_dup_spans")
+def q_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-dedup REMOVAL (Lee et al. 2022): drop every disjoint
+    20-word chunk whose content occurs in >=2 distinct documents, and
+    reassemble the surviving text per doc (operators/dedup.
+    strip_duplicate_chunks). q_dup_spans is the detector; this is the edit
+    that produces the cleaned corpus. Oracle replays the chunking, hash
+    counting, and ordered string_agg reassembly verbatim."""
+    from fortune_500_financial_insights_pipeline_spark.operators.dedup import strip_duplicate_chunks
+
+    d = load_table(spark, sf_dir, "documents")
+    return strip_duplicate_chunks(d, id_col="doc_id", text_col="text",
+                                  chunk_words=20, min_docs=2)
+
+
+@q("q_split_assign")
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment (operators/sampling.
+    split_assign): md5(doc_id) lands each doc in a fixed hash-space band —
+    80/10/10 — so the assignment is engine-portable and stable across
+    corpus refreshes. Output is the per-(lang, split) doc count, the
+    release-audit view of the split."""
+    from fortune_500_financial_insights_pipeline_spark.operators.sampling import split_assign
+
+    d = load_table(spark, sf_dir, "documents")
+    assigned = split_assign(d, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1})
+    return assigned.groupBy("lang", "split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@q("q_pairwise_corr")
+def q_pairwise_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-series correlation matrix: Pearson correlation between every
+    pair of supplier daily-price series, date-aligned by an equi-join on
+    the day (the cross-ticker analytics view a finance warehouse derives —
+    the reference's Tableau layer shows per-ticker series; this is the
+    pairwise extension). The series interior is exact fixed-point (davg),
+    so both engines correlate identical inputs; the join key is the day,
+    suppliers restricted to a 10-ticker watchlist so the pair fan-out is
+    bounded (45 pairs x trading days)."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_suppkey") <= 10)
+    series = li.groupBy(
+        "l_suppkey", F.date_format("l_shipdate", "yyyy-MM-dd").alias("day")
+    ).agg(davg("l_extendedprice").alias("close"))
+    a = series.select(
+        F.col("l_suppkey").alias("supp_a"), "day", F.col("close").alias("ca")
+    )
+    b = series.select(
+        F.col("l_suppkey").alias("supp_b"), "day", F.col("close").alias("cb")
+    )
+    return (
+        a.join(b, "day")
+        .where(F.col("supp_a") < F.col("supp_b"))
+        .groupBy("supp_a", "supp_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.corr("ca", "cb"), 6).alias("corr_close"),
+        )
+    )
