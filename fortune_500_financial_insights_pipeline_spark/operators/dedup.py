@@ -61,16 +61,15 @@ def strip_duplicate_chunks(
     """
     toks = F.split(F.col(text_col), " ")
     nchunks = F.ceil(F.size(toks) / F.lit(chunk_words)).cast("int")
+    # Build the chunk array once per doc, then posexplode — the naive
+    # explode(sequence)-then-slice form duplicates the full token array
+    # into every chunk row (O(chunks x doc_len) intermediate volume).
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), nchunks - 1),
+        lambda c: F.array_join(F.slice(toks, c * chunk_words + 1, chunk_words), " "),
+    )
     chunks = df.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0), nchunks - 1)).alias("cid"),
-        toks.alias("__t"),
-    ).select(
-        id_col,
-        "cid",
-        F.array_join(
-            F.slice("__t", F.col("cid") * chunk_words + 1, chunk_words), " "
-        ).alias("ctext"),
+        F.col(id_col), F.posexplode(chunk_arr).alias("cid", "ctext")
     )
     hashed = chunks.withColumn("h", F.md5("ctext"))
     dup = (

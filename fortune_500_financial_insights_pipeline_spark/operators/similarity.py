@@ -651,3 +651,34 @@ def lsh_neardup_pairs_portable(
         .filter(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def mutual_knn_pairs(
+    emb: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Reciprocal k-NN pairs: (a, b) with a < b where EACH vector is in
+    the other's cosine top-k. Mutual neighborship is the standard
+    high-precision edge filter for near-dup graphs and agglomerative
+    semantic clustering (one-directional kNN edges in dense regions match
+    hub vectors that are nobody's reciprocal neighbor).
+
+    Plan: self k-NN via knn_join (broadcast queries over partition-
+    parallel corpus, per-query window rank), then the reciprocity check
+    is a SELF SEMI-JOIN of the directed edge list against its own swap —
+    edges only, never re-scoring. The directed edge list is |V|*k rows,
+    so the reciprocal join is tiny next to the scoring pass.
+    """
+    edges = knn_join(emb, emb, k, id_col=id_col, vec_col=vec_col,
+                     round_digits=round_digits).select(
+        F.col("q_id").alias("src"), F.col(id_col).alias("dst"), "sim"
+    )
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return (
+        edges.join(rev, ["src", "dst"], "left_semi")
+        .where(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"), "sim")
+    )

@@ -45,3 +45,40 @@ def salted_join(
         SALT_COL, F.explode(F.array([F.lit(i) for i in range(salt)]))
     )
     return salted_large.join(salted_small, [*on, SALT_COL], how).drop(SALT_COL)
+
+
+def key_skew_profile(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
+    """One-row skew diagnostic for a prospective shuffle key: row count,
+    distinct keys, the heaviest key's share, the top-``top_n`` keys'
+    combined share, and the max/mean frequency ratio (the factor by which
+    the hottest post-shuffle partition would exceed the average — the
+    number that decides between plain AQE skew-split and explicit
+    salting, SURVEY §4).
+
+    Scale shape: one groupBy on the key (the same shuffle the join would
+    do, but reduced to counts), one full aggregate over the frequency
+    table, and a TakeOrdered top-``top_n`` of it (per-partition heaps —
+    NOT a global sort or a single-partition rank window, either of which
+    funnels a billion-key frequency table through one task). The two
+    one-row sides broadcast-cross-join. Output is one row — safe to
+    collect/log per run.
+    """
+    freq = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__n"))
+    totals = freq.agg(
+        F.sum("__n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("__n").alias("max_freq"),
+    )
+    top = (
+        freq.orderBy(F.col("__n").desc(), F.col(key_col).asc())
+        .limit(top_n)
+        .agg(F.sum("__n").alias("__top_n_rows"))
+    )
+    return totals.crossJoin(F.broadcast(top)).select(
+        "n_rows",
+        "n_keys",
+        "max_freq",
+        (F.col("max_freq") / (F.col("n_rows") / F.col("n_keys"))).alias("skew_ratio"),
+        F.round(F.col("max_freq") / F.col("n_rows"), 6).alias("top1_share"),
+        F.round(F.col("__top_n_rows") / F.col("n_rows"), 6).alias("topn_share"),
+    )

@@ -103,19 +103,20 @@ def duplicated_spans(df, n: int = 8, id_col: str = "doc_id", text_col: str = "te
         ensure_min_parallelism,
     )
 
+    # Materialize the token array in its own projection before the window
+    # transform: referencing the raw tokens() expression inside the lambda
+    # would re-embed the tokenizer once per element access, blowing the
+    # expression tree up to O(n) copies and stalling optimize/codegen for
+    # seconds before the first row moves.
     src = ensure_min_parallelism(
-        df.select(F.col(id_col), F.col(text_col).alias("__t")), id_col
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__tk")), id_col
     )
-    toks = tokens(F.col("__t"))
+    tk = F.col("__tk")
     windows = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.md5(
-            F.concat_ws(
-                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-            )
-        ),
+        F.sequence(F.lit(0), F.size(tk) - n),
+        lambda i: F.md5(F.array_join(F.slice(tk, i + 1, n), " ")),
     )
-    spans = src.where(F.size(toks) >= n).select(
+    spans = src.where(F.size(tk) >= n).select(
         id_col, F.posexplode(windows).alias("pos", "span_hash")
     )
     shared = (
@@ -350,19 +351,17 @@ def dup_fraction(df, n: int = 8, id_col: str = "doc_id", text_col: str = "text")
         ensure_min_parallelism,
     )
 
+    # Token array materialized once (see duplicated_spans): embedding the
+    # tokenizer expression in the lambda blows the tree to O(n) copies.
     src = ensure_min_parallelism(
-        df.select(F.col(id_col), F.col(text_col).alias("__t")), id_col
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__tk")), id_col
     )
-    toks = tokens(F.col("__t"))
+    tk = F.col("__tk")
     windows = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.md5(
-            F.concat_ws(
-                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-            )
-        ),
+        F.sequence(F.lit(0), F.size(tk) - n),
+        lambda i: F.md5(F.array_join(F.slice(tk, i + 1, n), " ")),
     )
-    spans = src.where(F.size(toks) >= n).select(
+    spans = src.where(F.size(tk) >= n).select(
         id_col, F.explode(windows).alias("span_hash")
     )
     dups = (

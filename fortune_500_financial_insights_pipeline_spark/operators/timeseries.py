@@ -112,3 +112,41 @@ def rolling_median(
     lo = F.element_at(arr, F.floor((n + 1) / 2).cast("int"))
     hi = F.element_at(arr, (F.floor(n / 2) + 1).cast("int"))
     return df.withColumn(out_col, (lo + hi) / 2)
+
+
+def ewma_finite(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.5,
+    horizon: int = 10,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Finite-horizon exponentially weighted moving average per key.
+
+    The classic recursive EWMA (s_t = a*x_t + (1-a)*s_{t-1}) carries an
+    unbounded tail; truncating at ``horizon`` lags makes it a fixed linear
+    combination of the last ``horizon`` observations —
+    sum_j w_j x_{t-j} / sum_j w_j over the lags present, w_j = (1-a)^j —
+    which a window expression evaluates in one pass with NO recursion and
+    NO state beyond the frame. For a=0.5, h=10 the truncation error is
+    < 2^-10 of the weight mass — the smoothing signal a monitoring layer
+    wants, at completely deterministic cost.
+
+    Scale shape: one shuffle on ``part_cols``; the frame is O(horizon)
+    per row. Weights (1-a)^j are exact powers of two for a=0.5 and the
+    weighted sum is evaluated lag-by-lag in fixed order, so IEEE doubles
+    agree bit-for-bit with any single-threaded engine evaluating the same
+    expression.
+    """
+    w = W.partitionBy(*part_cols).orderBy(*order_cols)
+    v = F.col(value_col).cast("double")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j in range(horizon):
+        lagged = F.lag(v, j).over(w)
+        wt = float((1.0 - alpha) ** j)
+        num = num + F.coalesce(lagged * wt, F.lit(0.0))
+        den = den + F.when(lagged.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+    return df.withColumn(out_col, num / den)

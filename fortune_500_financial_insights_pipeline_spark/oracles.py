@@ -4479,3 +4479,159 @@ FROM series a JOIN series b USING (day)
 WHERE a.l_suppkey < b.l_suppkey
 GROUP BY supp_a, supp_b
 """
+
+# ---------------------------------------------------------------------------
+# Round-2 batch F: CDC diff, layout, distribution transforms, diagnostics
+# ---------------------------------------------------------------------------
+
+ORACLES["q_snapshot_diff"] = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus AS status_s,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders
+), old AS (
+  SELECT o_orderkey, status_s, CAST(price_cents AS VARCHAR) AS price_s
+  FROM base WHERE o_orderkey % 97 <> 0
+), new AS (
+  SELECT o_orderkey, status_s,
+         CAST(CASE WHEN o_orderkey % 13 = 0 THEN price_cents + 1
+                   ELSE price_cents END AS VARCHAR) AS price_s
+  FROM base WHERE o_orderkey % 89 <> 0
+), j AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+              WHEN n.o_orderkey IS NULL THEN 'delete'
+              WHEN o.status_s = n.status_s AND o.price_s = n.price_s
+                   THEN 'unchanged'
+              ELSE 'update' END AS action
+  FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+)
+SELECT o_orderkey, action FROM j WHERE action <> 'unchanged'
+"""
+
+_Z_CUST = " + ".join(
+    f"((((cn >> {i}) & 1)) << {i * 2})" for i in range(8)
+)
+_Z_DAY = " + ".join(
+    f"((((dn >> {i}) & 1)) << {i * 2 + 1})" for i in range(8)
+)
+ORACLES["q_zorder"] = f"""
+WITH src AS (
+  SELECT o_orderkey, o_custkey,
+         datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS epoch_day
+  FROM orders
+), stats AS (
+  SELECT MIN(o_custkey) AS mn_c, MAX(o_custkey) AS mx_c,
+         MIN(epoch_day) AS mn_d, MAX(epoch_day) AS mx_d
+  FROM src
+), normed AS (
+  SELECT o_custkey, epoch_day,
+         LEAST(255, CAST(TRUNC((CAST(o_custkey AS DOUBLE) - mn_c)
+               / (CASE WHEN mx_c = mn_c THEN 1.0 ELSE CAST(mx_c - mn_c AS DOUBLE) END)
+               * 255) AS BIGINT)) AS cn,
+         LEAST(255, CAST(TRUNC((CAST(epoch_day AS DOUBLE) - mn_d)
+               / (CASE WHEN mx_d = mn_d THEN 1.0 ELSE CAST(mx_d - mn_d AS DOUBLE) END)
+               * 255) AS BIGINT)) AS dn
+  FROM src, stats
+), z AS (
+  SELECT o_custkey, epoch_day, ({_Z_CUST} + {_Z_DAY}) AS zval FROM normed
+)
+SELECT CAST(TRUNC(zval / 256.0) AS BIGINT) AS z_bucket,
+       COUNT(*) AS n_rows,
+       MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
+       MIN(epoch_day) AS min_day, MAX(epoch_day) AS max_day
+FROM z GROUP BY 1
+"""
+
+_EWMA_NUM = "0.0 + " + " + ".join(
+    f"COALESCE(LAG(close, {j}) OVER w * {(0.5) ** j!r}, 0.0)" for j in range(10)
+)
+_EWMA_DEN = "0.0 + " + " + ".join(
+    f"CASE WHEN LAG(close, {j}) OVER w IS NOT NULL THEN {(0.5) ** j!r} ELSE 0.0 END"
+    for j in range(10)
+)
+ORACLES["q_ewma"] = f"""
+WITH daily AS (
+  SELECT l_suppkey,
+         strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS day,
+         {_dsum('l_extendedprice')} / COUNT(*) AS close
+  FROM lineitem WHERE l_suppkey <= 20
+  GROUP BY l_suppkey, strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')
+)
+SELECT l_suppkey, day, ROUND(close, 6) AS close,
+       ROUND(({_EWMA_NUM}) / ({_EWMA_DEN}), 6) AS ewma
+FROM daily
+WINDOW w AS (PARTITION BY l_suppkey ORDER BY day)
+"""
+
+ORACLES["q_quantile_norm"] = """
+WITH ranked AS (
+  SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS v,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY CAST(n_chars AS DOUBLE) ASC,
+                            doc_id ASC) AS rk
+  FROM documents
+), means AS (
+  SELECT rk,
+         (CAST(SUM(CAST(ROUND(v * 1000000) AS BIGINT)) AS DOUBLE) / 1000000)
+           / COUNT(v) AS qnorm
+  FROM ranked GROUP BY rk
+)
+SELECT r.doc_id, r.source, r.v, ROUND(m.qnorm, 6) AS qnorm
+FROM ranked r JOIN means m USING (rk)
+"""
+
+ORACLES["q_robust_scale"] = """
+WITH stats AS (
+  SELECT event_type,
+         quantile_cont(CAST(value AS DOUBLE), 0.5) AS med,
+         quantile_cont(CAST(value AS DOUBLE), 0.25) AS p25,
+         quantile_cont(CAST(value AS DOUBLE), 0.75) AS p75
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, ROUND(e.value, 6) AS value,
+       ROUND(CASE WHEN (s.p75 - s.p25) <> 0
+                  THEN (CAST(e.value AS DOUBLE) - s.med) / (s.p75 - s.p25)
+             END, 6) AS scaled
+FROM events e JOIN stats s USING (event_type)
+"""
+
+ORACLES["q_skew_profile"] = """
+WITH freq AS (
+  SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY l_orderkey
+), totals AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
+         CAST(MAX(n) AS BIGINT) AS max_freq
+  FROM freq
+), top AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS top_n_rows
+  FROM (SELECT n FROM freq ORDER BY n DESC, l_orderkey ASC LIMIT 10)
+)
+SELECT n_rows, n_keys, max_freq,
+       ROUND(max_freq / (n_rows / n_keys), 6) AS skew_ratio,
+       ROUND(max_freq / n_rows, 6) AS top1_share,
+       ROUND(top_n_rows / n_rows, 6) AS topn_share
+FROM totals, top
+"""
+
+ORACLES["q_mutual_knn"] = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 300
+), pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         ROUND(list_dot_product(b.e, a.e)
+               / (sqrt(list_dot_product(b.e, b.e)) * sqrt(list_dot_product(a.e, a.e))),
+               6) AS sim
+  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+), edges AS (
+  SELECT src, dst, sim
+  FROM (SELECT src, dst, sim,
+               ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rn
+        FROM pairs)
+  WHERE rn <= 5
+)
+SELECT e.src AS id_a, e.dst AS id_b, e.sim
+FROM edges e
+WHERE e.src < e.dst
+  AND EXISTS (SELECT 1 FROM edges r WHERE r.src = e.dst AND r.dst = e.src)
+ORDER BY id_a, id_b
+"""

@@ -3243,3 +3243,164 @@ def q_pairwise_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.corr("ca", "cb"), 6).alias("corr_close"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 batch F: CDC diff, layout, distribution transforms, diagnostics
+# ---------------------------------------------------------------------------
+
+
+@q("q_snapshot_diff")
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CDC between two deterministic snapshots of orders
+    (operators/cdc.snapshot_diff): old = orders minus keys % 97 == 0,
+    new = orders minus keys % 89 == 0 with totalprice bumped one cent on
+    keys % 13 == 0 — classify insert/delete/update per key (unchanged
+    rows are filtered: the change SET is the deliverable a merge
+    consumes). Compared columns are pre-stringified portably (status
+    string + price in integer cents) so the md5 change digest is
+    engine-identical. The reference reloads raw layers wholesale per DAG
+    run (dags/ re-land every tick); this derives the incremental form."""
+    from fortune_500_financial_insights_pipeline_spark.operators.cdc import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = o.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status_s"),
+        cents.alias("price_cents"),
+    )
+    old = base.where(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey", "status_s", F.col("price_cents").cast("string").alias("price_s")
+    )
+    new = base.where(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey",
+        "status_s",
+        F.when(F.col("o_orderkey") % 13 == 0, F.col("price_cents") + 1)
+        .otherwise(F.col("price_cents"))
+        .cast("string")
+        .alias("price_s"),
+    )
+    diff = snapshot_diff(old, new, ["o_orderkey"], ["status_s", "price_s"])
+    return diff.where(F.col("action") != "unchanged").select(
+        "o_orderkey", "action"
+    )
+
+
+@q("q_zorder")
+def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit (operators/zorder.with_zvalue): Morton-
+    interleave 8-bit normalized (o_custkey, o_orderdate-as-epoch-day)
+    and report, per 256-wide z-range (the would-be file), row count and
+    the min/max envelope of BOTH dimensions — the statistics a reader
+    prunes on. The oracle replays the interleave bit-by-bit, certifying
+    the layout key itself, not just the plumbing. Multi-dim clustering is
+    the lake-layout step OSS Spark leaves to table services."""
+    from fortune_500_financial_insights_pipeline_spark.operators.zorder import with_zvalue
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")).alias("epoch_day"),
+    )
+    z = with_zvalue(o, ["o_custkey", "epoch_day"], bits=8, out_col="zval")
+    return (
+        z.groupBy((F.col("zval") / 256).cast("long").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_custkey").alias("min_cust"),
+            F.max("o_custkey").alias("max_cust"),
+            F.min("epoch_day").alias("min_day"),
+            F.max("epoch_day").alias("max_day"),
+        )
+    )
+
+
+@q("q_ewma")
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finite-horizon EWMA smoothing (operators/timeseries.ewma_finite)
+    of each supplier's daily average price — the monitoring smoother the
+    reference's Tableau layer approximates with moving averages, in the
+    bounded-lag exact form (a=0.5 → power-of-two weights; 10 lags).
+    Oracle mirrors the identical lag-by-lag IEEE expression."""
+    from fortune_500_financial_insights_pipeline_spark.operators.timeseries import ewma_finite
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_suppkey") <= 20)
+    daily = li.groupBy(
+        "l_suppkey", F.date_format("l_shipdate", "yyyy-MM-dd").alias("day")
+    ).agg(davg("l_extendedprice").alias("close"))
+    sm = ewma_finite(daily, ["l_suppkey"], ["day"], "close", alpha=0.5, horizon=10)
+    return sm.select(
+        "l_suppkey", "day", F.round("close", 6).alias("close"),
+        F.round("ewma", 6).alias("ewma"),
+    )
+
+
+@q("q_quantile_norm")
+def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across sources (operators/normalize.
+    quantile_normalize): per-source quality scores are forced onto a
+    common empirical distribution before corpus mixing — the alignment
+    step that stops one source's generous scorer from dominating a
+    score-thresholded blend. Value = doc length; groups = source."""
+    from fortune_500_financial_insights_pipeline_spark.operators.normalize import (
+        quantile_normalize,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    out = quantile_normalize(
+        d.select("doc_id", "source", F.col("n_chars").cast("double").alias("v")),
+        "source", "v", order_tiebreak=["doc_id"],
+    )
+    return out.select("doc_id", "source", "v", F.round("qnorm", 6).alias("qnorm"))
+
+
+@q("q_robust_scale")
+def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/IQR robust scaling per event type (operators/normalize.
+    robust_scale): heavy-tailed `value` series centered and spread
+    without letting outliers set the scale — exact interpolated
+    percentiles, identical in both engines."""
+    from fortune_500_financial_insights_pipeline_spark.operators.normalize import robust_scale
+
+    e = load_table(spark, sf_dir, "events")
+    out = robust_scale(
+        e.select("event_id", "event_type", "value"), "event_type", "value"
+    )
+    return out.select(
+        "event_id", "event_type", F.round("value", 6).alias("value"),
+        F.round("scaled", 6).alias("scaled"),
+    )
+
+
+@q("q_skew_profile")
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic (operators/skew.key_skew_profile) on
+    lineitem.l_orderkey — the one-row profile (distinct keys, hottest
+    key's multiplier over the mean, top-10 share) that decides between
+    AQE skew-split and explicit salting before a big join lands."""
+    from fortune_500_financial_insights_pipeline_spark.operators.skew import key_skew_profile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = key_skew_profile(li, "l_orderkey", top_n=10)
+    return p.select(
+        "n_rows", "n_keys", "max_freq",
+        F.round("skew_ratio", 6).alias("skew_ratio"),
+        "top1_share", "topn_share",
+    )
+
+
+@q("q_mutual_knn")
+def q_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal k-NN pairs over embeddings (operators/similarity.
+    mutual_knn_pairs): high-precision near-dup edges — (a,b) each in the
+    other's exact cosine top-5 — the edge filter semantic clustering
+    builds on. Restricted to vec_id < 300 so the oracle's quadratic
+    replay stays cheap; the Spark path is the broadcast-kNN + edge-list
+    semi-join that scales past it."""
+    from fortune_500_financial_insights_pipeline_spark.operators.similarity import (
+        mutual_knn_pairs,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    return mutual_knn_pairs(e, k=5).orderBy("id_a", "id_b")
