@@ -135,3 +135,50 @@ def audit(parts: list[DataFrame]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Deequ-style dataset profile: one row per column with
+    (col_name, n_rows, n_nonnull, n_distinct, null_frac, min_s, max_s) —
+    the stats sheet a curation pipeline records per snapshot before
+    gating a load (completeness regressions, key-cardinality drift,
+    domain-bound violations all fall out of this one frame diffed
+    against yesterday's).
+
+    Scale shape: ONE aggregate pass over the table computes every metric
+    (Catalyst plans the multi COUNT DISTINCT via Expand — one shuffle);
+    the per-column rows come from a ``stack`` unpivot of that single
+    1-row result, so profiling k columns of a 100 TB table costs one
+    scan, never k.  min/max are cast to string AFTER aggregating so one
+    output schema fits every column type; ``null_frac`` is one
+    deterministic double division of exact longs.
+    """
+    aggs = [F.count(F.lit(1)).alias("__nr")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"__nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    row = df.agg(*aggs)
+    stacked = [
+        x
+        for c in cols
+        for x in (
+            F.lit(c),
+            F.col(f"__nn_{c}"),
+            F.col(f"__nd_{c}"),
+            (F.col("__nr") - F.col(f"__nn_{c}")).cast("double") / F.col("__nr"),
+            F.col(f"__mn_{c}"),
+            F.col(f"__mx_{c}"),
+        )
+    ]
+    return (
+        row.select(
+            F.col("__nr").alias("n_rows"),
+            F.stack(F.lit(len(cols)), *stacked),
+        )
+        .toDF("n_rows", "col_name", "n_nonnull", "n_distinct", "null_frac", "min_s", "max_s")
+        .select("col_name", "n_rows", "n_nonnull", "n_distinct", "null_frac", "min_s", "max_s")
+    )

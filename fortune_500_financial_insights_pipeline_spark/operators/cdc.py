@@ -60,3 +60,35 @@ def snapshot_diff(
 def diff_summary(diff: DataFrame) -> DataFrame:
     """Per-action row counts — the audit line a load job logs per run."""
     return diff.groupBy("action").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def apply_changeset(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    payload_cols: list[str],
+) -> DataFrame:
+    """MERGE: apply a row-level changeset to a snapshot — delete keys
+    removed, update rows replaced, insert rows appended.  The consuming
+    half of ``snapshot_diff``: together they give the incremental-load
+    round trip (apply(old, diff(old, new)) == new, by test and by the
+    registered oracle) the reference's wholesale per-DAG-run reloads
+    never had.
+
+    ``changes`` carries ``keys`` + an ``action`` column in
+    {insert, update, delete} + ``payload_cols`` (ignored for deletes).
+    Rows labeled 'unchanged' are tolerated and ignored, so a raw
+    ``snapshot_diff`` output joined to payloads can be passed directly.
+
+    Scale shape (100 TB): ONE left-anti equi-join on the key is the only
+    snapshot-sized operation — AQE broadcasts it when the changeset is
+    small (the normal case: changes are a sliver of the table), and the
+    upsert rows ride in shuffle-free via union.  No window, no global
+    sort, no full-table rewrite logic in the plan.
+    """
+    touched = changes.where(F.col("action") != "unchanged").select(*keys)
+    upserts = changes.where(F.col("action").isin("insert", "update")).select(
+        *keys, *payload_cols
+    )
+    kept = snapshot.join(touched, keys, "left_anti").select(*keys, *payload_cols)
+    return kept.unionByName(upserts)

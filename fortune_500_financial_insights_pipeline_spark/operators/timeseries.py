@@ -150,3 +150,159 @@ def ewma_finite(
         num = num + F.coalesce(lagged * wt, F.lit(0.0))
         den = den + F.when(lagged.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
     return df.withColumn(out_col, num / den)
+
+
+def seasonal_decompose(
+    series: DataFrame,
+    order_col: str,
+    value_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average method
+    STL generalizes): value = trend + seasonal + residual, with
+    trend = centered ``period``-point moving average, seasonal = the mean
+    detrended value per phase (position mod period), centered to sum to
+    zero, residual = what's left.  The reference's domain is daily OHLCV
+    series with strong weekly structure; this is the decomposition an
+    analytics layer runs before anomaly detection or forecasting.
+
+    ``series`` must be ONE row per tick with an integer-valued
+    ``value_col`` (aggregate first — e.g. daily order counts).  Only
+    interior rows (full centered window) are returned, per the classical
+    definition.
+
+    Exactness: the trend rides as the raw window SUM (an exact long);
+    detrended values are scaled by ``period`` so they stay integral; the
+    per-phase seasonal mean is fixed-pointed at 6dp and centered in
+    integer space (subtracting the integer mean of the rounded phase
+    values), so every emitted double is one deterministic division of
+    exact integers and the whole frame hash-matches a single-threaded
+    oracle.
+
+    Scale shape: the only global sort is over the SERIES frame, which is
+    aggregate-sized (n_ticks rows — days, not events); the phase means are
+    a ``period``-row aggregate broadcast back.  No raw-data shuffle
+    happens here.
+    """
+    if period % 2 == 0 or period < 3:
+        raise ValueError("period must be odd and >= 3 (centered window)")
+    half = period // 2
+    w_ord = W.orderBy(order_col)
+    w_frame = w_ord.rowsBetween(-half, half)
+    v = F.col(value_col).cast("long")
+    base = series.select(
+        F.col(order_col),
+        v.alias("__v"),
+        F.sum(v).over(w_frame).alias("__ts"),
+        F.count(v).over(w_frame).alias("__tc"),
+        ((F.row_number().over(w_ord) - 1) % period).alias("__ph"),
+    )
+    interior = base.where(F.col("__tc") == period).select(
+        "*", (F.col("__v") * period - F.col("__ts")).alias("__dt")
+    )
+    seas = interior.groupBy("__ph").agg(
+        F.round(
+            F.sum("__dt").cast("double") / F.count(F.lit(1)) / period * 1000000
+        )
+        .cast("long")
+        .alias("__s6")
+    )
+    tot = seas.agg(F.sum("__s6").alias("__tot6"))
+    seas_c = seas.crossJoin(F.broadcast(tot)).select(
+        "__ph", (F.col("__s6") * period - F.col("__tot6")).alias("__sc6p")
+    )
+    trend = F.col("__ts").cast("double") / period
+    seasonal = F.col("__sc6p").cast("double") / (period * 1000000.0)
+    return interior.join(F.broadcast(seas_c), "__ph").select(
+        F.col(order_col),
+        F.col("__v").alias("value"),
+        trend.alias("trend"),
+        seasonal.alias("seasonal"),
+        (F.col("__v").cast("double") - trend - seasonal).alias("residual"),
+    )
+
+
+def acf_exact(
+    series: DataFrame,
+    order_col: str,
+    value_col: str,
+    max_lag: int = 5,
+) -> DataFrame:
+    """Autocorrelation function r_1..r_max_lag of one integer-valued
+    series — the periodicity probe (is there weekly structure? at what
+    lag does the signal decay?) run before fixing a seasonal period.
+
+    Exact-integer interior: centering normally divides by n (x_t - S/n);
+    scaling the centered series by n instead — c_t = n*x_t - S — keeps it
+    integral without changing any correlation RATIO, so numerator
+    (sum c_t * c_{t-k}) and denominator (sum c_t^2) are exact long sums
+    and each r_k is one deterministic double division.  Uses the textbook
+    estimator: lag-k products over the n-k overlapping pairs, denominator
+    over all n (so r decays with lag, never exceeds 1).
+
+    Scale shape: one aggregate for (n, S), one window sort over the
+    aggregate-sized series frame serving every lag, one final aggregate.
+    """
+    stats = series.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col(value_col).cast("long")).alias("__S"),
+    )
+    w = W.orderBy(order_col)
+    c = (F.col("__n") * F.col(value_col).cast("long") - F.col("__S")).alias("__c")
+    centered = series.crossJoin(F.broadcast(stats)).select(F.col(order_col), c)
+    lagged = centered.select(
+        "__c", *[F.lag("__c", k).over(w).alias(f"__c{k}") for k in range(1, max_lag + 1)]
+    )
+    aggs = [F.sum(F.col("__c") * F.col("__c")).alias("__den")] + [
+        F.sum(F.col("__c") * F.col(f"__c{k}")).alias(f"__num{k}")
+        for k in range(1, max_lag + 1)
+    ]
+    row = lagged.agg(*aggs)
+    stacked = [
+        x
+        for k in range(1, max_lag + 1)
+        for x in (
+            F.lit(k),
+            F.col(f"__num{k}").cast("double") / F.col("__den").cast("double"),
+        )
+    ]
+    return row.select(
+        F.stack(F.lit(max_lag), *stacked).alias("lag_k", "acf")
+    )
+
+
+def cusum_peaks(
+    series: DataFrame,
+    order_col: str,
+    value_col: str,
+    top_n: int = 5,
+) -> DataFrame:
+    """CUSUM mean-shift locator (Page 1954): the running sum of the
+    centered series S_t = sum_{u<=t} (x_u - mean) peaks in magnitude AT
+    the most likely changepoint — the classic level-shift detector for
+    feed drift (a source silently changing volume mid-history).
+
+    Same exact-integer trick as ``acf_exact``: center scaled by n
+    (c_t = n*x_t - S), so every running sum is an exact long and the
+    top-``top_n`` |S_t| ranking is integer-deterministic (ties break on
+    the order column).  Output: (order, cusum) with cusum in the
+    n-scaled units — the ARGMAX location is scale-invariant.
+
+    Scale shape: one (n, S) aggregate, one running-sum window over the
+    aggregate-sized series frame, then a TakeOrdered top-N — no global
+    rank materialization.
+    """
+    stats = series.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col(value_col).cast("long")).alias("__S"),
+    )
+    w = W.orderBy(order_col).rowsBetween(W.unboundedPreceding, 0)
+    c = F.col("__n") * F.col(value_col).cast("long") - F.col("__S")
+    cus = (
+        series.crossJoin(F.broadcast(stats))
+        .select(F.col(order_col), c.alias("__c"))
+        .select(F.col(order_col), F.sum("__c").over(w).alias("cusum"))
+    )
+    return cus.orderBy(F.abs(F.col("cusum")).desc(), F.col(order_col).asc()).limit(
+        top_n
+    )

@@ -4635,3 +4635,149 @@ WHERE e.src < e.dst
   AND EXISTS (SELECT 1 FROM edges r WHERE r.src = e.dst AND r.dst = e.src)
 ORDER BY id_a, id_b
 """
+
+
+# --- round-2g -------------------------------------------------------------
+
+# MERGE round trip: apply(old, diff(old, new)) must reproduce the new
+# snapshot exactly, so the oracle IS the new-snapshot expression.
+ORACLES["q_apply_changes"] = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus AS status_s,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders
+)
+SELECT o_orderkey, status_s,
+       CAST(CASE WHEN o_orderkey % 13 = 0 THEN price_cents + 1
+                 ELSE price_cents END AS VARCHAR) AS price_s
+FROM base WHERE o_orderkey % 89 <> 0
+"""
+
+_PROF_COL = """
+SELECT '{c}' AS col_name, COUNT(*) AS n_rows, COUNT({c}) AS n_nonnull,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(COUNT(*) - COUNT({c}) AS DOUBLE) / COUNT(*) AS null_frac,
+       CAST(MIN({c}) AS VARCHAR) AS min_s, CAST(MAX({c}) AS VARCHAR) AS max_s
+FROM c
+"""
+ORACLES["q_column_profile"] = (
+    """
+WITH c AS (
+  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+  FROM customer
+)
+"""
+    + " UNION ALL ".join(
+        _PROF_COL.format(c=c)
+        for c in ["c_custkey", "c_name", "c_nationkey", "c_mktsegment", "acctbal_cents"]
+    )
+)
+
+_DAILY_ORDERS = """
+daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n
+  FROM orders GROUP BY 1
+)
+"""
+
+ORACLES["q_seasonal_decompose"] = f"""
+WITH {_DAILY_ORDERS},
+base AS (
+  SELECT d, CAST(n AS BIGINT) AS v,
+         CAST(SUM(CAST(n AS BIGINT)) OVER w AS BIGINT) AS ts,
+         COUNT(*) OVER w AS tc,
+         (ROW_NUMBER() OVER (ORDER BY d) - 1) % 7 AS ph
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+interior AS (
+  SELECT *, v * 7 - ts AS dt FROM base WHERE tc = 7
+),
+seas AS (
+  SELECT ph,
+         CAST(ROUND(CAST(SUM(dt) AS DOUBLE) / COUNT(*) / 7 * 1000000)
+              AS BIGINT) AS s6
+  FROM interior GROUP BY ph
+),
+tot AS (SELECT CAST(SUM(s6) AS BIGINT) AS tot6 FROM seas),
+seas_c AS (SELECT ph, s6 * 7 - tot6 AS sc6p FROM seas, tot)
+SELECT i.d, i.v AS value,
+       CAST(i.ts AS DOUBLE) / 7 AS trend,
+       CAST(s.sc6p AS DOUBLE) / (7 * 1000000.0) AS seasonal,
+       CAST(i.v AS DOUBLE) - CAST(i.ts AS DOUBLE) / 7
+         - CAST(s.sc6p AS DOUBLE) / (7 * 1000000.0) AS residual
+FROM interior i JOIN seas_c s USING (ph)
+"""
+
+_ACF_LAGS = list(range(1, 8))
+ORACLES["q_acf"] = f"""
+WITH {_DAILY_ORDERS},
+stats AS (SELECT COUNT(*) AS nn, CAST(SUM(CAST(n AS BIGINT)) AS BIGINT) AS s
+          FROM daily),
+c AS (
+  SELECT d, CAST(nn * CAST(n AS BIGINT) - s AS BIGINT) AS c
+  FROM daily, stats
+),
+lagged AS (
+  SELECT c, {", ".join(f"LAG(c, {k}) OVER w AS c{k}" for k in _ACF_LAGS)}
+  FROM c WINDOW w AS (ORDER BY d)
+),
+sums AS (
+  SELECT CAST(SUM(c * c) AS BIGINT) AS den,
+         {", ".join(f"CAST(SUM(c * c{k}) AS BIGINT) AS num{k}" for k in _ACF_LAGS)}
+  FROM lagged
+)
+{" UNION ALL ".join(
+    f"SELECT {k} AS lag_k, CAST(num{k} AS DOUBLE) / CAST(den AS DOUBLE) AS acf FROM sums"
+    for k in _ACF_LAGS
+)}
+"""
+
+ORACLES["q_cusum"] = f"""
+WITH {_DAILY_ORDERS},
+stats AS (SELECT COUNT(*) AS nn, CAST(SUM(CAST(n AS BIGINT)) AS BIGINT) AS s
+          FROM daily),
+c AS (
+  SELECT d, CAST(nn * CAST(n AS BIGINT) - s AS BIGINT) AS c
+  FROM daily, stats
+),
+cus AS (
+  SELECT d, CAST(SUM(c) OVER (ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cusum
+  FROM c
+)
+SELECT d, cusum FROM cus ORDER BY ABS(cusum) DESC, d ASC LIMIT 5
+"""
+
+# JL signed random projection: the 8x64 sign matrix is the SIGN of the shared
+# fixed-point plane table (operators/rproj.sign_entry), generated here so the
+# oracle spells the identical matrix the Spark operator embeds.
+from fortune_500_financial_insights_pipeline_spark.operators.rproj import sign_entry as _rp_sign
+
+_SG_ROWS = ",\n  ".join(
+    f"({p},{d},{_rp_sign(p, d)})" for p in range(8) for d in range(64)
+)
+ORACLES["q_random_projection"] = f"""
+WITH v AS (
+  SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+         CAST(ROUND(CAST(xv AS DOUBLE) * 1000000) AS BIGINT) AS x
+  FROM (SELECT vec_id, unnest(range(len(embedding))) AS pos,
+               unnest(embedding) AS xv
+        FROM embeddings)
+),
+sg(p, pos, w) AS (VALUES
+  {_SG_ROWS}
+),
+proj AS (
+  SELECT vec_id, p, CAST(SUM(x * w) AS BIGINT) AS pv
+  FROM v JOIN sg ON v.pos = sg.pos GROUP BY vec_id, p
+),
+q AS (SELECT p, pv AS qv FROM proj WHERE vec_id = 0),
+dist AS (
+  SELECT vec_id, CAST(SUM((pv - qv) * (pv - qv)) AS BIGINT) AS pdist
+  FROM proj JOIN q USING (p) GROUP BY vec_id
+)
+SELECT vec_id, pdist FROM dist ORDER BY pdist ASC, vec_id ASC LIMIT 20
+"""

@@ -3404,3 +3404,135 @@ def q_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
     return mutual_knn_pairs(e, k=5).orderBy("id_a", "id_b")
+
+
+@q("q_apply_changes")
+def q_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE round trip (operators/cdc.apply_changeset): build the same
+    old/new order snapshots q_snapshot_diff uses, derive the changeset
+    (diff actions joined to the new-side payload), apply it to OLD — the
+    result must BE the new snapshot, row for row, which is exactly what
+    the oracle asserts (its SQL is just the new-snapshot expression).
+    This proves the incremental-load path reconstructs the wholesale
+    reload the reference's DAGs perform (dags/ re-land raw layers every
+    tick), at changeset cost instead of table cost."""
+    from fortune_500_financial_insights_pipeline_spark.operators.cdc import (
+        apply_changeset,
+        snapshot_diff,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = o.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status_s"),
+        cents.alias("price_cents"),
+    )
+    old = base.where(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey", "status_s", F.col("price_cents").cast("string").alias("price_s")
+    )
+    new = base.where(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey",
+        "status_s",
+        F.when(F.col("o_orderkey") % 13 == 0, F.col("price_cents") + 1)
+        .otherwise(F.col("price_cents"))
+        .cast("string")
+        .alias("price_s"),
+    )
+    diff = snapshot_diff(old, new, ["o_orderkey"], ["status_s", "price_s"])
+    changeset = diff.select("o_orderkey", "action").join(
+        new, "o_orderkey", "left"
+    )
+    return apply_changeset(old, changeset, ["o_orderkey"], ["status_s", "price_s"])
+
+
+@q("q_column_profile")
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style one-pass dataset profile (checks.profile_columns) over
+    customer: per column, row/non-null/distinct counts, null fraction and
+    stringified min/max — the per-snapshot stats sheet completeness and
+    cardinality-drift gates diff. acctbal is pre-cast to integer cents so
+    no double ever needs a cross-engine string form. One scan for all
+    five columns (multi count-distinct plans via Expand)."""
+    from fortune_500_financial_insights_pipeline_spark.checks import profile_columns
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+    )
+    return profile_columns(
+        c, ["c_custkey", "c_name", "c_nationkey", "c_mktsegment", "acctbal_cents"]
+    )
+
+
+@q("q_seasonal_decompose")
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the daily order-count series
+    (operators/timeseries.seasonal_decompose, period 7): centered
+    moving-average trend, zero-centered per-phase seasonal, residual —
+    interior days only. The series frame is aggregate-sized (one row per
+    order date), so the decomposition's global sort never touches raw
+    rows. Exact by construction: integer window sums, 6dp-fixed-point
+    phase means centered in integer space, one deterministic division
+    per emitted double."""
+    from fortune_500_financial_insights_pipeline_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return seasonal_decompose(daily, "d", "n", period=7)
+
+
+@q("q_acf")
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation r_1..r_7 of the daily order-count series
+    (operators/timeseries.acf_exact) — the periodicity probe run before
+    committing to a seasonal period. n-scaled integer centering makes
+    numerator and denominator exact long sums; each r_k is one
+    deterministic double division, so the whole curve hash-matches the
+    oracle."""
+    from fortune_500_financial_insights_pipeline_spark.operators.timeseries import acf_exact
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return acf_exact(daily, "d", "n", max_lag=7)
+
+
+@q("q_cusum")
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift scan over the daily order-count series
+    (operators/timeseries.cusum_peaks): top-5 |running centered sum|
+    days — where the series most likely changed level (feed drift /
+    source-volume shifts the reference's wholesale reloads would never
+    notice). Integer-exact end to end; ties break on the day."""
+    from fortune_500_financial_insights_pipeline_spark.operators.timeseries import cusum_peaks
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return cusum_peaks(daily, "d", "n", top_n=5)
+
+
+@q("q_random_projection")
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss shortlist probe (operators/rproj.rp_knn):
+    project the 64-dim embeddings to 8 exact-integer components with the
+    shared ±1 Achlioptas sign matrix (functions/planes — the oracle
+    generates the identical matrix) and rank the top-20 neighbours of
+    vec_id 0 by exact projected squared-L2. The projection is a map-side
+    HOF fold (zero shuffle) and the ranking a TakeOrdered — the
+    dimensionality-reduction leg a 100 TB duplicate-triage pass runs
+    before exact scoring."""
+    from fortune_500_financial_insights_pipeline_spark.operators.rproj import rp_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return rp_knn(emb, query_id=0, dim=64, m=8, k=20)
