@@ -182,3 +182,48 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         .toDF("n_rows", "col_name", "n_nonnull", "n_distinct", "null_frac", "min_s", "max_s")
         .select("col_name", "n_rows", "n_nonnull", "n_distinct", "null_frac", "min_s", "max_s")
     )
+
+
+# First-digit shares under Benford's law, computed ONCE in Python so the
+# Spark plan and the DuckDB oracle embed the identical double literals —
+# no cross-engine libm log10 ever enters a query.
+BENFORD_EXPECTED: dict[int, float] = {
+    d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)
+}
+
+
+def benford_digit_audit(df: DataFrame, amount_col: str) -> DataFrame:
+    """First-significant-digit distribution of a positive amount column
+    vs Benford's law — the classic screening audit for fabricated or
+    mis-scaled financial feeds (naturally-occurring prices follow
+    log-uniform first digits; synthetic or truncated feeds don't).
+    One row per digit 1-9: (digit, n, obs_share, exp_share, dev).
+
+    The amount must be pre-scaled to a positive integer (cents): the
+    first significant digit is then just the first character of its
+    decimal form (scaling by powers of ten never changes it).  One
+    groupBy(digit) aggregate + a broadcast 1-row total; shares and
+    deviations are fixed-order double expressions over exact longs, so
+    the audit hash-matches cross-engine.  No chi² scalar is emitted on
+    purpose — summing 9 doubles has engine-ordered rounding; the
+    per-digit rows are the deterministic deliverable and a caller can
+    fold them any way it likes.
+    """
+    pos = df.where(F.col(amount_col) > 0)
+    digit = F.substring(F.col(amount_col).cast("string"), 1, 1).cast("int")
+    counts = pos.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("__tot"))
+    exp_share = F.element_at(
+        F.array(*[F.lit(BENFORD_EXPECTED[d]) for d in range(1, 10)]),
+        F.col("digit"),
+    )
+    obs = F.col("n").cast("double") / F.col("__tot")
+    return counts.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n",
+        obs.alias("obs_share"),
+        exp_share.alias("exp_share"),
+        (obs - exp_share).alias("dev"),
+    )

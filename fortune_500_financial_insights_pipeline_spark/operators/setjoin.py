@@ -126,3 +126,43 @@ def jaccard_pairs_exact(
     inter = F.size(F.array_intersect("ga", "gb")).cast("double")
     union = F.size(F.array_union("ga", "gb")).cast("double")
     return pairs.where(inter / union >= threshold).select("id_a", "id_b")
+
+
+def containment_scores(
+    corpus_grams: DataFrame,
+    bench_grams: DataFrame,
+    min_containment: float = 0.3,
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    gram_col: str = "gram",
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT |B ∩ A| / |B| of each benchmark doc
+    B in each corpus doc A — the decontamination score (GPT-3 appendix C
+    measures 13-gram overlap against eval sets; q_decontaminate's shared-
+    gram FLAG is the cheap gate, this is the normalized score you rank
+    and audit).  Jaccard is the wrong metric here: a benchmark item
+    quoted inside a much longer document has tiny Jaccard but containment
+    ~1.
+
+    Inputs are exploded (id, gram) frames with DISTINCT grams per doc.
+    Plan: benchmark gram counts stage once (the benchmark side is small
+    by contract and broadcasts); candidates meet in an equi-join ON THE
+    GRAM — never a cartesian — and one partial-agged groupBy per
+    (corpus doc, bench doc) counts shared grams.  The score is one
+    deterministic double division of exact longs."""
+    bsize = bench_grams.groupBy(bench_id_col).agg(
+        F.count(F.lit(1)).alias("__bsize")
+    )
+    b = bench_grams.join(bsize, bench_id_col)
+    shared = (
+        corpus_grams.join(F.broadcast(b), gram_col)
+        .groupBy(id_col, bench_id_col, "__bsize")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+    containment = F.col("shared_grams").cast("double") / F.col("__bsize")
+    return (
+        shared.select(
+            id_col, bench_id_col, "shared_grams", containment.alias("containment")
+        )
+        .where(F.col("containment") >= min_containment)
+    )

@@ -682,3 +682,51 @@ def mutual_knn_pairs(
         .where(F.col("src") < F.col("dst"))
         .select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"), "sim")
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    n_queries: int,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: for each
+    query vector, the ``k`` most-similar corpus vectors with a DIFFERENT
+    label — the near-misses a trainer wants in the batch because random
+    negatives are too easy to teach a margin.
+
+    Same plan skeleton as ``knn_join`` (broadcast query batch, staged
+    norms, per-query WindowGroupLimit top-k); the label-inequality
+    predicate rides the pair filter, so wrong-label candidates never
+    reach the window. Round-6 similarities keep the ranking (ties on id)
+    oracle-exact."""
+    from pyspark.sql.window import Window
+
+    qn = emb.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"),
+        F.col(label_col).alias("__qlabel"),
+        F.col(vec_col).alias("__qv"),
+        _norm(F.col(vec_col)).alias("__qnorm"),
+    )
+    cn = emb.withColumn("__cnorm", _norm(F.col(vec_col)))
+    sim = F.round(
+        _dot(F.col(vec_col), F.col("__qv")) / (F.col("__cnorm") * F.col("__qnorm")),
+        round_digits,
+    )
+    pairs = (
+        cn.crossJoin(F.broadcast(qn))
+        .where(
+            (F.col(id_col) != F.col("q_id"))
+            & (F.col(label_col) != F.col("__qlabel"))
+        )
+        .select("q_id", F.col(id_col), F.col(label_col), sim.alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -451,3 +451,31 @@ def bigram_logprob(df, lam: float = 0.7, id_col: str = "doc_id", text_col: str =
         (dsum(term) / F.sum("n_db")).alias("avg_log2_bigram"),
         F.sum("n_db").cast("long").alias("n_bigrams"),
     )
+
+
+def line_dup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep_regex: str = "\\. ",
+) -> DataFrame:
+    """Within-document repeated-line fraction — the Gopher/C4 boilerplate
+    rule the cross-document span detector (duplicated_spans) does not
+    cover: a doc that repeats ITS OWN lines (nav chrome, templated rows)
+    is low quality even if no other doc shares them.  Fixture documents
+    are single-paragraph, so 'lines' are the sentence-ish units split on
+    ``sep_regex`` — the rule is separator-parametric (use "\\n" for real
+    line-structured corpora).
+
+    Pure map-side array algebra (split / array_distinct / size) — zero
+    shuffle, stays in codegen; the fraction is one deterministic double
+    division of exact ints."""
+    lines = F.split(F.col(text_col), sep_regex)
+    n = F.size(lines)
+    nd = F.size(F.array_distinct(lines))
+    return df.select(
+        F.col(id_col),
+        n.alias("n_lines"),
+        nd.alias("n_uniq"),
+        ((n - nd).cast("double") / n).alias("dup_line_frac"),
+    )

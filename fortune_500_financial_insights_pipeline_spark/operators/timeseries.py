@@ -306,3 +306,40 @@ def cusum_peaks(
     return cus.orderBy(F.abs(F.col("cusum")).desc(), F.col(order_col).asc()).limit(
         top_n
     )
+
+
+def theil_sen_slope(
+    series: DataFrame,
+    t_col: str,
+    value_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Theil–Sen robust trend estimate: the median of all pairwise slopes
+    (v_j − v_i)/(t_j − t_i), i<j — breakdown point 29%, so outlier days
+    (feed gaps, flash spikes) cannot drag the trend the way they drag an
+    OLS fit (q_regr_agg's family).  One row out: (n_pairs, slope_med).
+
+    O(n²) pairs is deliberate and safe: the input is the aggregate-sized
+    SERIES frame (days, not events — callers window it down first), so
+    even ten years of daily data is ~6.6M pairs, a map-side flood Spark
+    chews through without a shuffle; nothing here scales with raw-data
+    volume.  ``t_col`` must be numeric (epoch day).  Each slope is one
+    exact-long-over-exact-long division; the median is the exact
+    interpolating percentile, rounded like every cross-engine percentile
+    in this repo."""
+    a = series.select(
+        F.col(t_col).cast("long").alias("__t1"),
+        F.col(value_col).cast("long").alias("__v1"),
+    )
+    b = series.select(
+        F.col(t_col).cast("long").alias("__t2"),
+        F.col(value_col).cast("long").alias("__v2"),
+    )
+    pairs = a.join(b, F.col("__t2") > F.col("__t1"))
+    slope = (F.col("__v2") - F.col("__v1")).cast("double") / (
+        F.col("__t2") - F.col("__t1")
+    )
+    return pairs.select(slope.alias("__s")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.expr("percentile(__s, 0.5)"), round_digits).alias("slope_med"),
+    )

@@ -4781,3 +4781,92 @@ dist AS (
 )
 SELECT vec_id, pdist FROM dist ORDER BY pdist ASC, vec_id ASC LIMIT 20
 """
+
+# --- round-2h -------------------------------------------------------------
+
+ORACLES["q_hard_negatives"] = """
+WITH q AS (
+  SELECT vec_id AS q_id, label AS qlabel, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < 10
+), s AS (
+  SELECT q.q_id, e.vec_id, e.label,
+         ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(q.qe, q.qe))), 6) AS sim
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.q_id AND e.label <> q.qlabel
+), r AS (
+  SELECT q_id, vec_id, label, sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rn
+  FROM s
+)
+SELECT q_id, vec_id, label, sim FROM r WHERE rn <= 5
+"""
+
+ORACLES["q_line_dedup"] = """
+SELECT doc_id,
+       CAST(len(string_split(text, '. ')) AS INTEGER) AS n_lines,
+       CAST(len(list_distinct(string_split(text, '. '))) AS INTEGER) AS n_uniq,
+       CAST(len(string_split(text, '. '))
+            - len(list_distinct(string_split(text, '. '))) AS DOUBLE)
+         / len(string_split(text, '. ')) AS dup_line_frac
+FROM documents
+"""
+
+ORACLES["q_containment"] = """
+WITH g AS (
+  SELECT DISTINCT doc_id, UNNEST(list_distinct(
+           list_transform(range(1, len(l)), x -> l[x] || ' ' || l[x+1])
+         )) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+), b AS (
+  SELECT doc_id AS bench_id, gram FROM g WHERE doc_id < 5
+), bs AS (
+  SELECT bench_id, COUNT(*) AS bsize FROM b GROUP BY bench_id
+), sh AS (
+  SELECT g.doc_id, b.bench_id, COUNT(*) AS shared_grams
+  FROM g JOIN b ON g.gram = b.gram
+  WHERE g.doc_id >= 5
+  GROUP BY g.doc_id, b.bench_id
+)
+SELECT sh.doc_id, sh.bench_id, CAST(sh.shared_grams AS BIGINT) AS shared_grams,
+       CAST(sh.shared_grams AS DOUBLE) / bs.bsize AS containment
+FROM sh JOIN bs USING (bench_id)
+WHERE CAST(sh.shared_grams AS DOUBLE) / bs.bsize >= 0.05
+"""
+
+ORACLES["q_theil_sen"] = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n
+  FROM orders GROUP BY 1
+), s AS (
+  SELECT datediff('day', DATE '1998-01-01', d) AS t, CAST(n AS BIGINT) AS v
+  FROM daily WHERE d >= DATE '1998-01-01'
+), p AS (
+  SELECT CAST(b.v - a.v AS DOUBLE) / (b.t - a.t) AS s
+  FROM s a JOIN s b ON b.t > a.t
+)
+SELECT COUNT(*) AS n_pairs, ROUND(quantile_cont(s, 0.5), 6) AS slope_med
+FROM p
+"""
+
+from fortune_500_financial_insights_pipeline_spark.checks import BENFORD_EXPECTED as _BF
+
+_BF_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN CAST({_BF[d]!r} AS DOUBLE)" for d in range(1, 10)
+) + " END"
+ORACLES["q_benford"] = f"""
+WITH pos AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE ROUND(o_totalprice * 100) > 0
+), c AS (
+  SELECT CAST(SUBSTR(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         COUNT(*) AS n
+  FROM pos GROUP BY 1
+), t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c)
+SELECT digit, n, CAST(n AS DOUBLE) / tot AS obs_share,
+       {_BF_CASE} AS exp_share,
+       CAST(n AS DOUBLE) / tot - {_BF_CASE} AS dev
+FROM c, t
+"""

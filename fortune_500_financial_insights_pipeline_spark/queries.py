@@ -3536,3 +3536,90 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return rp_knn(emb, query_id=0, dim=64, m=8, k=20)
+
+
+@q("q_hard_negatives")
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.hard_negatives): for
+    each of the first 10 vectors, the 5 most-cosine-similar vectors with
+    a DIFFERENT label — the near-miss negatives a contrastive trainer
+    batches because random negatives are too easy. Same broadcast-query
+    staged-norm plan as q_knn_join with the label predicate on the pair
+    filter; round-6 similarities keep the ranking oracle-exact."""
+    from fortune_500_financial_insights_pipeline_spark.operators.similarity import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, n_queries=10, k=5)
+
+
+@q("q_line_dedup")
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-line fraction (operators/text.
+    line_dup_stats) — the Gopher/C4 self-repetition rule: a doc
+    repeating its own sentence units is boilerplate even if no other doc
+    shares them (the cross-doc detector q_dup_spans can't see it). Pure
+    map-side array algebra, zero shuffle."""
+    from fortune_500_financial_insights_pipeline_spark.operators.text import line_dup_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return line_dup_stats(d)
+
+
+@q("q_containment")
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark containment scores (operators/setjoin.containment_scores):
+    |B ∩ A| / |B| of each benchmark doc's distinct word-bigrams in each
+    corpus doc — the normalized decontamination score ranked and audited
+    after q_decontaminate's cheap shared-gram gate (GPT-3 appendix C
+    measures eval contamination this way). Candidates meet on the GRAM
+    (broadcast benchmark side), never pairwise."""
+    from fortune_500_financial_insights_pipeline_spark.operators import text as TX
+    from fortune_500_financial_insights_pipeline_spark.operators.setjoin import containment_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(TX.word_ngrams("text", 2)).alias("gram")
+    ).distinct()
+    bench = grams.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("bench_id"), "gram"
+    )
+    return containment_scores(
+        grams.where(F.col("doc_id") >= 5), bench, min_containment=0.05
+    )
+
+
+@q("q_theil_sen")
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of the 1998 daily order-count series
+    (operators/timeseries.theil_sen_slope): median of all pairwise
+    slopes — outlier days can't drag it the way they drag the OLS family
+    (q_regr_agg). The pair expansion runs on the aggregate-sized series
+    frame only."""
+    from fortune_500_financial_insights_pipeline_spark.operators.timeseries import theil_sen_slope
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("d") >= F.lit("1998-01-01").cast("date"))
+        .select(
+            F.datediff("d", F.lit("1998-01-01").cast("date")).alias("t"), "n"
+        )
+    )
+    return theil_sen_slope(daily, "t", "n")
+
+
+@q("q_benford")
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals (checks.
+    benford_digit_audit) — the fraud/mis-scaling screen a financial
+    feed gets on landing: naturally-occurring prices follow log-uniform
+    first digits. Expected shares are Python-computed literals embedded
+    identically in the Spark plan and the oracle, so no cross-engine
+    libm log10 enters the query."""
+    from fortune_500_financial_insights_pipeline_spark.checks import benford_digit_audit
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    return benford_digit_audit(o, "cents")
