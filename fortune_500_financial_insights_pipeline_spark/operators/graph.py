@@ -115,3 +115,51 @@ def triangle_counts(
     tri = e1.join(e2, "b").join(e3, ["a", "c"])
     nodes = tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
     return nodes.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """k-core extraction with a FIXED round budget: repeatedly peel nodes
+    of degree < ``k`` (each peel drops every edge touching a removed
+    node), ``rounds`` times.  The k-core is the densest-region filter a
+    similarity graph gets before community/cluster work — low-degree
+    fringe (weakly-connected near-dups, isolated points) falls away.
+
+    A fixed round count instead of loop-to-convergence keeps the plan
+    finite and lets a SQL oracle unroll the same rounds verbatim
+    (pagerank.py precedent); callers assert convergence on their graph
+    (a round that removes nothing is a fixpoint — the fixture converges
+    well inside the budget, by test).
+
+    Scale shape: per round, ONE degree groupBy + two semi-joins keyed on
+    the node id; ``localCheckpoint`` cuts lineage each round so Catalyst
+    analysis stays linear in ``rounds``.  Input edges are undirected
+    (id_a < id_b); they are symmetrized internally.
+
+    Returns surviving (node, degree) — degree within the core.
+    """
+    directed = edges.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionByName(
+        edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    e = directed.localCheckpoint(eager=False)
+    for _ in range(rounds):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+        keep = deg.where(F.col("__deg") >= k).select("src")
+        e = (
+            e.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(F.col("src").alias("node"), "degree")
+    )

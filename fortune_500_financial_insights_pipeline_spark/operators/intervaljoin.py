@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 
 def binned_interval_join(
@@ -104,3 +105,49 @@ def binned_interval_join(
             unmatched_r = unmatched_r.withColumn("__lid", F.lit(None).cast("long"))
         out = out.unionByName(unmatched_r.select(out.columns))
     return out.drop("__lid", "__rid")
+
+
+def interval_coverage(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Total covered length per key after merging overlapping intervals —
+    the union-of-intervals measure (actual seconds watched, machine
+    uptime, session coverage) where naive SUM(end-start) double-counts
+    every overlap.
+
+    The merge is the gaps-islands idiom lifted to intervals: ordered by
+    (start, end), a new island begins where start exceeds the running
+    max of all PRIOR ends; per island, coverage = max(end) − min(start).
+    Bounds must be numeric (epoch seconds); all arithmetic is exact
+    longs.  Island labels are invariant under permutation of identical
+    rows, so the result is partition-deterministic.
+
+    Scale shape: one shuffle on the key; both windows (prior-end max,
+    island cumsum) share the same (key, start, end) sort; the two
+    aggregates are partial-agged groupBys.
+
+    Returns (key, covered, n_islands).
+    """
+    w = W.partitionBy(key_col).orderBy(start_col, end_col)
+    s = F.col(start_col).cast("long")
+    e = F.col(end_col).cast("long")
+    prev_max_end = F.max(e).over(w.rowsBetween(W.unboundedPreceding, -1))
+    new_island = F.when(
+        prev_max_end.isNull() | (s > prev_max_end), F.lit(1)
+    ).otherwise(F.lit(0))
+    island = F.sum(new_island).over(w.rowsBetween(W.unboundedPreceding, 0))
+    return (
+        df.select(
+            F.col(key_col), s.alias("__s"), e.alias("__e"), island.alias("__isl")
+        )
+        .groupBy(key_col, "__isl")
+        .agg((F.max("__e") - F.min("__s")).alias("__cov"))
+        .groupBy(key_col)
+        .agg(
+            F.sum("__cov").alias("covered"),
+            F.count(F.lit(1)).alias("n_islands"),
+        )
+    )

@@ -177,3 +177,31 @@ def resize_images(media_df: DataFrame, target_w: int = 64, target_h: int = 64,
     return media_df.select("doc_id", "media_type", "media").mapInPandas(
         resize_batches, schema=RESIZED_SCHEMA
     )
+
+
+# Container magic numbers (hex of the leading bytes). Unlike the decode
+# path, format detection needs NO media library — it's real, JVM-side
+# byte/string algebra, so it runs (and is oracle-checked) in any
+# environment.
+MAGIC_PREFIXES = [
+    ("89504E47", "png"),
+    ("FFD8FF", "jpeg"),
+    ("47494638", "gif"),
+]
+
+
+def detect_format(bin_col) -> "F.Column":
+    """Best-effort container format from magic bytes: png/jpeg/gif by
+    leading signature, webp by RIFF header + 'WEBP' at bytes 9-12,
+    else 'unknown'.  The triage step a media-ingest pipeline runs before
+    routing bytes to format-specific decoders — hex-prefix compares on
+    the binary column, whole-stage-codegen friendly, zero shuffle."""
+    c = bin_col if not isinstance(bin_col, str) else F.col(bin_col)
+    h = F.hex(c)
+    out = F.when(
+        h.startswith("52494646") & (F.substring(h, 17, 8) == F.lit("57454250")),
+        F.lit("webp"),
+    )
+    for prefix, name in MAGIC_PREFIXES:
+        out = out.when(h.startswith(prefix), F.lit(name))
+    return out.otherwise(F.lit("unknown"))

@@ -75,3 +75,42 @@ def robust_scale(
         )
         .drop("__med", "__p25", "__p75")
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    out_col: str = "w_median",
+) -> DataFrame:
+    """Exact weighted (lower) median per group: the smallest value whose
+    cumulative weight reaches half the total — volume-weighted midpoints
+    (what share of QUANTITY trades below this price?) rather than
+    row-weighted ones.  Definition: min v with 2·cumw(v) >= totw, the
+    discrete lower weighted median; no interpolation, so the result is
+    always an observed value and fully engine-portable.
+
+    Exactness: weights must be integer-valued (cast to long); cumulative
+    and total weights are exact long window sums.  Within a run of equal
+    values the cumulative sum is tie-order dependent, but only the
+    threshold-crossing VALUE is emitted, which is invariant under any
+    permutation of equal values.
+
+    Scale shape: one shuffle on ``group_cols``; the running sum and the
+    per-group total share the same window family (one sort); the final
+    min is a partial-aggregated groupBy.
+    """
+    w_ord = W.partitionBy(*group_cols).orderBy(value_col)
+    cumw = F.sum(F.col(weight_col).cast("long")).over(
+        w_ord.rowsBetween(W.unboundedPreceding, 0)
+    )
+    totw = F.sum(F.col(weight_col).cast("long")).over(
+        W.partitionBy(*group_cols)
+    )
+    return (
+        df.select(*group_cols, F.col(value_col), cumw.alias("__cw"), totw.alias("__tw"))
+        .where(F.col("__cw") * 2 >= F.col("__tw"))
+        .groupBy(*group_cols)
+        .agg(F.min(value_col).alias(out_col))
+    )

@@ -4870,3 +4870,107 @@ SELECT digit, n, CAST(n AS DOUBLE) / tot AS obs_share,
        CAST(n AS DOUBLE) / tot - {_BF_CASE} AS dev
 FROM c, t
 """
+
+# --- round-2i -------------------------------------------------------------
+
+ORACLES["q_binary_format"] = """
+WITH b AS (
+  SELECT doc_id,
+         unhex(CASE doc_id % 5
+                 WHEN 0 THEN '89504E47'
+                 WHEN 1 THEN 'FFD8FFE0'
+                 WHEN 2 THEN '47494638'
+                 WHEN 3 THEN '52494646AABBCCDD57454250'
+                 ELSE '00112233'
+               END || substr(md5(text), 1, 16)) AS media
+  FROM documents
+), d AS (
+  SELECT media,
+         CASE WHEN hex(media) LIKE '52494646%'
+                   AND substr(hex(media), 17, 8) = '57454250' THEN 'webp'
+              WHEN hex(media) LIKE '89504E47%' THEN 'png'
+              WHEN hex(media) LIKE 'FFD8FF%' THEN 'jpeg'
+              WHEN hex(media) LIKE '47494638%' THEN 'gif'
+              ELSE 'unknown' END AS format
+  FROM b
+)
+SELECT format, COUNT(*) AS n,
+       CAST(SUM(octet_length(media)) AS BIGINT) AS total_bytes
+FROM d GROUP BY format
+"""
+
+# k-core: the identical top-3 kNN edge set, then 3 unrolled peel rounds
+# at k=4 (graph.kcore runs the same peels as a Python loop).
+_KCORE_PEEL = """
+d{r} AS (SELECT src, COUNT(*) AS deg FROM e{p} GROUP BY src),
+k{r} AS (SELECT src FROM d{r} WHERE deg >= 4),
+e{r} AS (
+  SELECT e.src, e.dst FROM e{p} e
+  JOIN k{r} a ON e.src = a.src
+  JOIN k{r} b ON e.dst = b.src
+)
+"""
+ORACLES["q_kcore"] = (
+    """
+WITH ub AS (
+  SELECT DISTINCT user_id AS u, date_trunc('hour', ts) AS h, event_type AS t
+  FROM events
+), ed AS (
+  SELECT a.u AS id_a, b.u AS id_b
+  FROM ub a JOIN ub b ON a.h = b.h AND a.t = b.t AND a.u < b.u
+  GROUP BY a.u, b.u
+  HAVING COUNT(*) >= 2
+), e0 AS (
+  SELECT id_a AS src, id_b AS dst FROM ed
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM ed
+),
+"""
+    + ",".join(_KCORE_PEEL.format(r=i, p=i - 1) for i in (1, 2, 3))
+    + """
+SELECT src AS node, COUNT(*) AS degree FROM e3 GROUP BY src
+"""
+)
+
+ORACLES["q_weighted_median"] = """
+WITH t AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+), c AS (
+  SELECT l_returnflag, price_cents,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price_cents
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+  FROM t
+)
+SELECT l_returnflag, CAST(MIN(price_cents) AS BIGINT) AS w_median
+FROM c WHERE cw * 2 >= tw GROUP BY l_returnflag
+"""
+
+ORACLES["q_interval_coverage"] = """
+WITH iv AS (
+  SELECT user_id,
+         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s,
+         CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+           + ABS(CAST(ROUND(value * 100) AS BIGINT)) % 3600 + 60 AS e
+  FROM events
+), m AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+  FROM iv
+), i AS (
+  SELECT user_id, s, e,
+         CAST(SUM(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS isl
+  FROM m
+), g AS (
+  SELECT user_id, isl, MAX(e) - MIN(s) AS cov FROM i GROUP BY user_id, isl
+)
+SELECT user_id, CAST(SUM(cov) AS BIGINT) AS covered, COUNT(*) AS n_islands
+FROM g GROUP BY user_id
+"""

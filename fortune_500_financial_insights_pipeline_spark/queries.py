@@ -3623,3 +3623,108 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
     )
     return benford_digit_audit(o, "cents")
+
+
+@q("q_binary_format")
+def q_binary_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal format triage (operators/multimodal.detect_format):
+    detect png/jpeg/gif/webp/unknown from MAGIC BYTES of a binary media
+    column and report per-format counts + byte totals — the routing step
+    before format-specific decoders, and unlike the decode path it needs
+    no media library, so the real operator is oracle-checked end to end.
+    The fixture synthesizes deterministic binaries (documents' md5 bytes
+    behind a per-doc magic prefix); production bytes arrive via
+    read_media_dir. Hex-prefix algebra, zero shuffle before the 5-group
+    aggregate."""
+    from fortune_500_financial_insights_pipeline_spark.operators.multimodal import detect_format
+
+    d = load_table(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 5
+    prefix = (
+        F.when(m == 0, F.lit("89504E47"))
+        .when(m == 1, F.lit("FFD8FFE0"))
+        .when(m == 2, F.lit("47494638"))
+        .when(m == 3, F.lit("52494646AABBCCDD57454250"))
+        .otherwise(F.lit("00112233"))
+    )
+    media = F.unhex(F.concat(prefix, F.substring(F.md5("text"), 1, 16)))
+    return (
+        d.select(detect_format(media).alias("format"), F.length(media).alias("__nb"))
+        .groupBy("format")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__nb").alias("total_bytes"),
+        )
+    )
+
+
+@q("q_kcore")
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the user co-activity graph (operators/graph.kcore):
+    users are linked when they act in >= 2 shared (hour, event_type)
+    buckets — the co-occurrence projection every interaction graph
+    starts from — then degree < 4 nodes peel for 3 rounds. The
+    dense-region filter fringe users fall out of before community work.
+    The oracle unrolls the identical 3 peels over the identical edge
+    set, so the surviving (node, degree) frame is hash-exact; the
+    fixture converges inside the budget (a further round removes
+    nothing, by test). Candidate pairs meet in an equi-join on the
+    BUCKET (never user×user), so edge building shuffles bucket-sized
+    groups."""
+    from fortune_500_financial_insights_pipeline_spark.operators.graph import kcore
+
+    e = load_table(spark, sf_dir, "events")
+    ub = e.select(
+        F.col("user_id").alias("u"),
+        F.date_trunc("hour", "ts").alias("h"),
+        F.col("event_type").alias("t"),
+    ).distinct()
+    a = ub.select(F.col("u").alias("id_a"), "h", "t")
+    b = ub.select(F.col("u").alias("id_b"), "h", "t")
+    edges = (
+        a.join(b, ["h", "t"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__shared"))
+        .where(F.col("__shared") >= 2)
+        .select("id_a", "id_b")
+    )
+    return kcore(edges, k=4, rounds=3)
+
+
+@q("q_weighted_median")
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted lower median price per return flag
+    (operators/normalize.weighted_median): the smallest price-cents value
+    at which half the shipped QUANTITY trades at or below — the
+    volume-weighted midpoint row-weighted medians misstate. Exact long
+    cumulative weights; threshold-crossing value is tie-permutation
+    invariant."""
+    from fortune_500_financial_insights_pipeline_spark.operators.normalize import weighted_median
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return weighted_median(li, ["l_returnflag"], "price_cents", "qty")
+
+
+@q("q_interval_coverage")
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-of-intervals coverage per user (operators/intervaljoin.
+    interval_coverage): events become [ts, ts + dur) activity windows
+    (dur derived deterministically from the value column) and
+    overlapping windows merge before summing — actual covered seconds,
+    where SUM(end-start) double-counts every overlap. Gaps-islands on
+    the running prior-end max; exact long arithmetic (timestamps
+    truncated to whole epoch seconds on both engines)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.intervaljoin import (
+        interval_coverage,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    s = F.col("ts").cast("long")
+    dur = F.abs(F.round(F.col("value") * 100).cast("long")) % 3600 + 60
+    iv = e.select("user_id", s.alias("s"), (s + dur).alias("e"))
+    return interval_coverage(iv, "user_id", "s", "e")
