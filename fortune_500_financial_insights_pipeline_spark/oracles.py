@@ -4974,3 +4974,47 @@ WITH iv AS (
 SELECT user_id, CAST(SUM(cov) AS BIGINT) AS covered, COUNT(*) AS n_islands
 FROM g GROUP BY user_id
 """
+
+# --- round-2j -------------------------------------------------------------
+
+ORACLES["q_source_overlap"] = """
+WITH toks AS (SELECT source, string_split(text, ' ') AS l FROM documents),
+spans AS (
+  SELECT DISTINCT source,
+         md5(l[i]||' '||l[i+1]||' '||l[i+2]||' '||l[i+3]||' '||l[i+4]
+             ||' '||l[i+5]||' '||l[i+6]||' '||l[i+7]) AS span_hash
+  FROM (SELECT source, l, unnest(generate_series(1, len(l) - 7)) AS i
+        FROM toks WHERE len(l) >= 8)
+)
+SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS shared_spans
+FROM spans a JOIN spans b ON a.span_hash = b.span_hash AND a.source < b.source
+GROUP BY a.source, b.source
+"""
+
+ORACLES["q_label_centroids"] = """
+WITH comp AS (
+  SELECT label, CAST(pos AS BIGINT) AS pos,
+         CAST(ROUND(CAST(xv AS DOUBLE) * 10000) AS BIGINT) AS x
+  FROM (SELECT label, unnest(range(len(embedding))) AS pos,
+               unnest(embedding) AS xv
+        FROM embeddings)
+), lab AS (
+  SELECT label, pos, CAST(SUM(x) AS BIGINT) AS s FROM comp GROUP BY label, pos
+), gsum AS (
+  SELECT pos, CAST(SUM(s) AS BIGINT) AS g FROM lab GROUP BY pos
+), n AS (
+  SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label
+), dots AS (
+  SELECT lab.label,
+         CAST(SUM(lab.s * gsum.g) AS BIGINT) AS dot,
+         CAST(SUM(lab.s * lab.s) AS BIGINT) AS n2l
+  FROM lab JOIN gsum USING (pos) GROUP BY lab.label
+), n2g AS (
+  SELECT CAST(SUM(g * g) AS BIGINT) AS n2g FROM gsum
+)
+SELECT d.label, n.n,
+       ROUND(CAST(d.dot AS DOUBLE)
+             / (sqrt(CAST(d.n2l AS DOUBLE)) * sqrt(CAST(n2g.n2g AS DOUBLE))),
+             6) AS cos_to_global
+FROM dots d, n2g JOIN n ON d.label = n.label
+"""

@@ -3728,3 +3728,82 @@ def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     dur = F.abs(F.round(F.col("value") * 100).cast("long")) % 3600 + 60
     iv = e.select("user_id", s.alias("s"), (s + dur).alias("e"))
     return interval_coverage(iv, "user_id", "s", "e")
+
+
+@q("q_source_overlap")
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source boilerplate overlap matrix: for every source pair,
+    the number of distinct 8-word span hashes BOTH sources contain — the
+    mixing diagnostic run before weighting sources (q_mix_sources):
+    heavily-overlapping sources double-bill their shared boilerplate
+    under independent per-source caps. Same span construction as
+    q_dup_spans (all post-explode work on the 32-byte md5 key); the pair
+    join runs on distinct (source, hash) rows — source-count-bounded,
+    never doc×doc."""
+    from fortune_500_financial_insights_pipeline_spark.operators.compact import (
+        ensure_min_parallelism,
+    )
+    from fortune_500_financial_insights_pipeline_spark.operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    src = ensure_min_parallelism(
+        d.select("source", tokens(F.col("text")).alias("__tk")), "doc_id"
+    )
+    tk = F.col("__tk")
+    windows = F.transform(
+        F.sequence(F.lit(0), F.size(tk) - 8),
+        lambda i: F.md5(F.array_join(F.slice(tk, i + 1, 8), " ")),
+    )
+    spans = (
+        src.where(F.size(tk) >= 8)
+        .select("source", F.explode(windows).alias("span_hash"))
+        .distinct()
+    )
+    a = spans.select(F.col("source").alias("source_a"), "span_hash")
+    b = spans.select(F.col("source").alias("source_b"), "span_hash")
+    return (
+        a.join(b, "span_hash")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_spans"))
+    )
+
+
+@q("q_label_centroids")
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space QA: per label, member count and the cosine of the
+    label's centroid against the global centroid — the drift/collapse
+    probe (a label whose centroid hugs the global mean carries no
+    signal; one far away is a candidate batch artifact). Cosine of SUM
+    vectors (scale-invariant, so means never need dividing): components
+    fixed-pointed at 1e4, per-(label, dim) exact long sums, global sums
+    derived FROM the label sums (one extra tiny aggregate, no second
+    corpus pass), dot/norms as exact long products — margin vs int64
+    overflow holds to ~60k vectors at this scale; beyond that the
+    production path drops to doubles and forfeits the hash check."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vfix = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * 10000).cast("long")
+    )
+    comp = emb.select(
+        "label", F.posexplode(vfix).alias("pos", "x")
+    )
+    lab = comp.groupBy("label", "pos").agg(F.sum("x").alias("s"))
+    glob = lab.groupBy("pos").agg(F.sum("s").alias("g"))
+    n = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    j = lab.join(glob, "pos")
+    dots = j.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("g")).alias("__dot"),
+        F.sum(F.col("s") * F.col("s")).alias("__n2l"),
+    )
+    n2g = glob.agg(F.sum(F.col("g") * F.col("g")).alias("__n2g"))
+    cos = F.round(
+        F.col("__dot").cast("double")
+        / (F.sqrt(F.col("__n2l").cast("double")) * F.sqrt(F.col("__n2g").cast("double"))),
+        6,
+    )
+    return (
+        dots.crossJoin(F.broadcast(n2g))
+        .join(n, "label")
+        .select("label", "n", cos.alias("cos_to_global"))
+    )
