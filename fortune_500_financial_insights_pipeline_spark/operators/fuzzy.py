@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 
 def blocked_fuzzy_pairs(
@@ -57,3 +58,46 @@ def blocked_fuzzy_pairs(
             F.levenshtein("txt_a", "txt_b").alias("dist"),
         )
     )
+
+
+def golden_record(
+    df: DataFrame,
+    cluster_col: str,
+    recency_col: str,
+    attr_cols: list[str],
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Survivorship: collapse each entity CLUSTER (the output of
+    blocked_fuzzy_pairs + graph.cluster_dedup, or any match step) into
+    one golden record carrying, per attribute, the most recent NON-NULL
+    value — the MDM merge rule ("latest wins, but never let a null
+    overwrite data") that a naive keep-latest row-dedup gets wrong
+    whenever the newest version is partially filled.
+
+    One window family per cluster (ordered by recency, then
+    ``tiebreak_col``): every attribute resolves as
+    last(attr, ignorenulls=True) over the unbounded frame, evaluated on
+    the same sort; the final row per cluster (row_number desc = 1)
+    carries the resolved values plus the member count.  One shuffle on
+    the cluster key; no self-joins, no per-attribute passes.
+    """
+    order = [F.col(recency_col).asc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    )
+    w = W.partitionBy(cluster_col).orderBy(*order)
+    frame = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    resolved = [
+        F.last(F.col(c), ignorenulls=True).over(frame).alias(c) for c in attr_cols
+    ]
+    order_desc = [F.col(recency_col).desc()] + (
+        [F.col(tiebreak_col).desc()] if tiebreak_col else []
+    )
+    rn = F.row_number().over(W.partitionBy(cluster_col).orderBy(*order_desc))
+    n = F.count(F.lit(1)).over(W.partitionBy(cluster_col))
+    out = df.select(
+        F.col(cluster_col),
+        n.alias("n_members"),
+        *resolved,
+        rn.alias("__rn"),
+    )
+    return out.where(F.col("__rn") == 1).drop("__rn")

@@ -343,3 +343,47 @@ def theil_sen_slope(
         F.count(F.lit(1)).alias("n_pairs"),
         F.round(F.expr("percentile(__s, 0.5)"), round_digits).alias("slope_med"),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    scale: int = 100,
+    tiebreak_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """TWAP per key of a piecewise-constant series: each observation's
+    value holds until the NEXT observation, so the mean weights values
+    by holding duration — Σ v_i·(t_{i+1}−t_i) / (t_n−t_0) — not by row
+    count (the row-mean overweights burst periods; TWAP is the execution
+    benchmark the reference's finance domain actually quotes).  The
+    final observation carries no weight (left-closed convention); keys
+    with a single observation drop out (zero total duration).
+
+    Exact: values fixed-pointed at ``scale``, timestamps as epoch-second
+    longs, one lead() per row on a single (key, ts, tiebreaks) sort —
+    pass ``tiebreak_cols`` (e.g. a unique event id) so the sort is total
+    and segment pairing is partition-order independent; the
+    numerator and denominator are exact long sums and the TWAP is one
+    fixed-order double expression.  One shuffle on the key.
+    """
+    w = W.partitionBy(key_col).orderBy(ts_col, *tiebreak_cols)
+    t = F.col(ts_col).cast("long")
+    v = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    nxt = F.lead(t).over(w)
+    seg = df.select(
+        F.col(key_col), v.alias("__v"), (nxt - t).alias("__dur")
+    ).where(F.col("__dur").isNotNull())
+    return (
+        seg.groupBy(key_col)
+        .agg(
+            F.sum(F.col("__v") * F.col("__dur")).alias("__num"),
+            F.sum("__dur").alias("__den"),
+        )
+        .where(F.col("__den") > 0)
+        .select(
+            key_col,
+            (F.col("__num").cast("double") / F.col("__den") / scale).alias("twap"),
+        )
+    )

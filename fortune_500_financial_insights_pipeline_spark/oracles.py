@@ -5018,3 +5018,61 @@ SELECT d.label, n.n,
              6) AS cos_to_global
 FROM dots d, n2g JOIN n ON d.label = n.label
 """
+
+# --- round-2k -------------------------------------------------------------
+
+ORACLES["q_golden_record"] = """
+WITH vs AS (
+  SELECT c_custkey, v,
+         CASE WHEN (c_custkey + v) % 3 = 0 THEN NULL
+              ELSE c_name || '#' || CAST(v AS VARCHAR) END AS name_s,
+         CASE WHEN (c_custkey * v) % 4 = 0 THEN NULL
+              ELSE c_mktsegment || '/' || CAST(v AS VARCHAR) END AS seg_s
+  FROM customer, (SELECT UNNEST([1, 2, 3]) AS v)
+), r AS (
+  SELECT c_custkey,
+         COUNT(*) OVER (PARTITION BY c_custkey) AS n_members,
+         LAST_VALUE(name_s IGNORE NULLS) OVER w AS name_s,
+         LAST_VALUE(seg_s IGNORE NULLS) OVER w AS seg_s,
+         ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY v DESC) AS rn
+  FROM vs
+  WINDOW w AS (PARTITION BY c_custkey ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT c_custkey, n_members, name_s, seg_s FROM r WHERE rn = 1
+"""
+
+ORACLES["q_twap"] = """
+WITH s AS (
+  SELECT user_id, event_id,
+         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+         CAST(ROUND(value * 100) AS BIGINT) AS v,
+         ts
+  FROM events
+), l AS (
+  SELECT user_id, v,
+         LEAD(t) OVER (PARTITION BY user_id ORDER BY ts, event_id) - t AS dur
+  FROM s
+), g AS (
+  SELECT user_id, CAST(SUM(v * dur) AS BIGINT) AS num,
+         CAST(SUM(dur) AS BIGINT) AS den
+  FROM l WHERE dur IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, CAST(num AS DOUBLE) / den / 100 AS twap FROM g WHERE den > 0
+"""
+
+ORACLES["q_transition_matrix"] = """
+WITH p AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_state,
+         event_type AS to_state
+  FROM events
+), c AS (
+  SELECT from_state, to_state, COUNT(*) AS n
+  FROM p WHERE from_state IS NOT NULL GROUP BY from_state, to_state
+), t AS (
+  SELECT from_state, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY from_state
+)
+SELECT c.from_state, c.to_state, c.n, CAST(c.n AS DOUBLE) / t.tot AS p
+FROM c JOIN t USING (from_state)
+"""

@@ -3807,3 +3807,63 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n, "label")
         .select("label", "n", cos.alias("cos_to_global"))
     )
+
+
+@q("q_golden_record")
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship / golden record (operators/fuzzy.golden_record): the
+    fixture synthesizes three customer versions with deterministic
+    per-attribute nulls; the merge must carry, per attribute, the most
+    recent NON-NULL value — the MDM rule keep-latest row dedup
+    (q_dedup_keep_latest) gets wrong whenever the newest version is
+    partially filled. One window family per cluster, every attribute on
+    the same sort."""
+    from fortune_500_financial_insights_pipeline_spark.operators.fuzzy import golden_record
+
+    c = load_table(spark, sf_dir, "customer")
+    versions = c.select(
+        "c_custkey", "c_name", "c_mktsegment",
+        F.explode(F.sequence(F.lit(1), F.lit(3))).alias("v"),
+    ).select(
+        "c_custkey",
+        "v",
+        F.when((F.col("c_custkey") + F.col("v")) % 3 == 0, F.lit(None)).otherwise(
+            F.concat(F.col("c_name"), F.lit("#"), F.col("v").cast("string"))
+        ).alias("name_s"),
+        F.when((F.col("c_custkey") * F.col("v")) % 4 == 0, F.lit(None)).otherwise(
+            F.concat(F.col("c_mktsegment"), F.lit("/"), F.col("v").cast("string"))
+        ).alias("seg_s"),
+    )
+    return golden_record(versions, "c_custkey", "v", ["name_s", "seg_s"])
+
+
+@q("q_twap")
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (operators/timeseries.
+    time_weighted_avg): each event's value holds until the user's next
+    event, so burst periods don't overweight the mean — the TWAP
+    benchmark convention from the reference's finance domain applied to
+    the event stream. Exact long value×duration sums; event_id tiebreak
+    makes the segment pairing total-order deterministic."""
+    from fortune_500_financial_insights_pipeline_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return time_weighted_avg(
+        e, "user_id", "ts", "value", scale=100, tiebreak_cols=("event_id",)
+    )
+
+
+@q("q_transition_matrix")
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transitions between event types
+    (operators/paths.transition_matrix): counts and row-conditional
+    probabilities of consecutive per-user event pairs — the
+    where-do-they-go-next flow statistic. One lag window on the
+    sessionization sort, one partial-agged groupBy, broadcast row
+    totals."""
+    from fortune_500_financial_insights_pipeline_spark.operators.paths import transition_matrix
+
+    e = load_table(spark, sf_dir, "events")
+    return transition_matrix(e, "user_id", ["ts", "event_id"], "event_type")
