@@ -72,6 +72,22 @@ HEADLINE = [
     "q_late_interaction",
     "q_embed_neardup_portable",
     "q_minhash_portable",
+    # round-2f..2k additions
+    "q_snapshot_diff",
+    "q_apply_changes",
+    "q_kcore",
+    "q_source_overlap",
+    "q_seasonal_decompose",
+    "q_golden_record",
+    "q_hard_negatives",
+    "q_column_profile",
+    "q_transition_matrix",
+    "q_interval_coverage",
+    "q_ewma",
+    "q_mutual_knn",
+    "q_zorder",
+    "q_weighted_median",
+    "q_theil_sen",
 ]
 
 # DuckDB oracle wall-clock on the SAME queries at sf0.1, best-of-2, measured
@@ -100,6 +116,12 @@ DUCKDB_BASELINE_SF01: dict[str, float | None] = {
     "q_pq_topk": 0.2028, "q_ivfpq_topk": 0.236,
     "q_ivfpq_residual_topk": 0.6812,
     "q_bpe_train": 0.0967, "q_bpe_segment": 0.3975, "q_ivfpq_rerank": 0.712, "q_late_interaction": 0.0085, "q_embed_neardup_portable": 0.2543, "q_minhash_portable": 0.7615,
+    "q_snapshot_diff": 0.0603, "q_apply_changes": 0.085, "q_kcore": 4.2063,
+    "q_source_overlap": 0.3788, "q_seasonal_decompose": 0.0129,
+    "q_golden_record": 0.0624, "q_hard_negatives": 0.0176,
+    "q_column_profile": 0.01, "q_transition_matrix": 0.0865,
+    "q_interval_coverage": 0.1873, "q_ewma": 0.1201, "q_mutual_knn": 0.0535,
+    "q_zorder": 0.0409, "q_weighted_median": 0.1532, "q_theil_sen": 0.0329,
 }
 
 

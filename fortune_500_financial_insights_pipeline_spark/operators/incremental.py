@@ -73,3 +73,70 @@ def finalize_state(state: DataFrame, keys: list[str]) -> DataFrame:
         F.col("vmax").alias("max_value"),
         F.round(total / F.col("cnt"), 6).alias("avg_value"),
     )
+
+
+def delta_agg_refresh(
+    old_agg: DataFrame,
+    old_rows: DataFrame,
+    new_rows: DataFrame,
+    keys: list[str],
+    group_col: str,
+    count_alias: str = "n",
+    sum_col: str | None = None,
+    sum_alias: str = "s",
+) -> DataFrame:
+    """Refresh a grouped (count, sum) aggregate from a CDC changeset
+    WITHOUT rescanning the table: every touched key contributes its
+    new-side values with weight +1 and its old-side values with weight
+    −1 (inserts have no old side, deletes no new side, updates both — a
+    group-moving update naturally subtracts from the old group and adds
+    to the new one), and the deltas fold into the previous aggregate by
+    one state-sized groupBy.  Groups whose refreshed count reaches zero
+    vanish, exactly as a recompute would drop them.
+
+    ``merge_states``/``grouped_state`` (above) maintain aggregates from
+    append-only batches; this is the UPDATE/DELETE-capable form a CDC
+    feed needs (``operators/cdc.snapshot_diff`` derives the changeset;
+    the refresh law — delta refresh == direct aggregate over the new
+    snapshot — is what the registered oracle asserts).
+
+    Scale shape: the only row-level work is the diff key anti/semi joins
+    on ``keys`` (changeset-sized probes of the two snapshots); the fold
+    itself runs on (old aggregate ∪ delta rows) — state-sized, never
+    history-sized.
+    """
+    from fortune_500_financial_insights_pipeline_spark.operators.cdc import snapshot_diff
+
+    compare = [group_col] + ([sum_col] if sum_col else [])
+    diff = snapshot_diff(old_rows, new_rows, keys, compare)
+    touched = diff.where(F.col("action") != "unchanged").select(*keys)
+    s_new = F.col(sum_col).cast("long") if sum_col else F.lit(0).cast("long")
+    plus = (
+        new_rows.join(touched, keys, "left_semi")
+        .select(F.col(group_col), F.lit(1).cast("long").alias("__dn"), s_new.alias("__ds"))
+    )
+    minus = (
+        old_rows.join(touched, keys, "left_semi")
+        .select(
+            F.col(group_col),
+            F.lit(-1).cast("long").alias("__dn"),
+            (-s_new).alias("__ds"),
+        )
+    )
+    state = old_agg.select(
+        F.col(group_col),
+        F.col(count_alias).cast("long").alias("__dn"),
+        F.col(sum_alias).cast("long").alias("__ds")
+        if sum_col
+        else F.lit(0).cast("long").alias("__ds"),
+    )
+    refreshed = (
+        state.unionByName(plus)
+        .unionByName(minus)
+        .groupBy(group_col)
+        .agg(F.sum("__dn").alias(count_alias), F.sum("__ds").alias(sum_alias))
+        .where(F.col(count_alias) > 0)
+    )
+    if not sum_col:
+        refreshed = refreshed.drop(sum_alias)
+    return refreshed

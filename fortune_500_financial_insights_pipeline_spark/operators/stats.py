@@ -1,0 +1,86 @@
+"""Tabular information / concentration statistics: information gain of a
+categorical predictor, Gini coefficient of a value distribution.
+
+Both are one-or-few-row deliverables computed from exact-count contingency
+frames — the feature-screening and inequality metrics an analytics layer
+derives before modeling ("does order priority predict status at all?",
+"how concentrated is revenue across customers?").
+
+Exactness discipline: every probability is a ratio of exact longs; entropy
+terms p·log2(p) are per-row IEEE expressions (log2 agrees bit-for-bit
+across engines on identical doubles — the char_entropy precedent) and
+cross-row sums run in fixed point (functions/deterministic.dsum), so both
+statistics hash-match a single-threaded oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from fortune_500_financial_insights_pipeline_spark.functions.deterministic import dsum
+
+
+def info_gain(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """One row: (h_y, h_y_given_x, info_gain) in bits — the mutual
+    information between a categorical predictor ``x_col`` and target
+    ``y_col``, computed from the exact (x, y) contingency counts.
+    H(Y) from the y marginals; H(Y|X) = Σ_x p(x)·H(Y|x) folded as
+    Σ_{x,y} (n_xy/N)·log2(n_x/n_xy).  Cell counts bound the reduced
+    frame (|X|·|Y| rows), so the statistic costs one scan + tiny
+    aggregates at any table size."""
+    cells = df.groupBy(x_col, y_col).agg(F.count(F.lit(1)).alias("__nxy"))
+    xtot = cells.groupBy(x_col).agg(F.sum("__nxy").alias("__nx"))
+    ytot = cells.groupBy(y_col).agg(F.sum("__nxy").alias("__ny"))
+    n = cells.agg(F.sum("__nxy").alias("__n"))
+    py = F.col("__ny").cast("double") / F.col("__n")
+    h_y = ytot.crossJoin(F.broadcast(n)).agg(
+        (-dsum(py * F.log2(py))).alias("h_y")
+    )
+    joined = cells.join(F.broadcast(xtot), x_col).crossJoin(F.broadcast(n))
+    term = (F.col("__nxy").cast("double") / F.col("__n")) * F.log2(
+        F.col("__nx").cast("double") / F.col("__nxy")
+    )
+    h_cond = joined.agg(dsum(term).alias("h_y_given_x"))
+    return h_y.crossJoin(h_cond).select(
+        "h_y",
+        "h_y_given_x",
+        (F.col("h_y") - F.col("h_y_given_x")).alias("info_gain"),
+    )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """One row: (n, total, gini) — the Gini concentration coefficient of
+    a non-negative integer value distribution via the sorted-rank
+    formula G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n.  Rank positions come
+    from one global sort over the AGGREGATE-sized value frame (one row
+    per entity — aggregate first), ties broken on ``tiebreak_col`` (the
+    formula is tie-permutation invariant because equal values swap
+    ranks symmetrically... their contribution i·x sums to the same
+    total).  Σ i·x and Σx are exact longs; the final expression is one
+    fixed-order double computation."""
+    w = W.orderBy(value_col, tiebreak_col)
+    ranked = df.select(
+        F.col(value_col).cast("long").alias("__x"),
+        F.row_number().over(w).cast("long").alias("__i"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("total"),
+        F.sum(F.col("__i") * F.col("__x")).alias("__ix"),
+    )
+    n = F.col("n").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("__ix").cast("double") / (n * F.col("total").cast("double"))
+        - (n + 1) / n
+    )
+    return agg.select("n", "total", F.round(gini, 6).alias("gini"))

@@ -5076,3 +5076,67 @@ WITH p AS (
 SELECT c.from_state, c.to_state, c.n, CAST(c.n AS DOUBLE) / t.tot AS p
 FROM c JOIN t USING (from_state)
 """
+
+# --- round-2l -------------------------------------------------------------
+
+# Delta refresh law: refreshed aggregate == direct aggregate over the new
+# snapshot (the oracle IS the recompute the operator avoids).
+ORACLES["q_delta_agg"] = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus AS status_s,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders
+), new AS (
+  SELECT o_orderkey, status_s,
+         CASE WHEN o_orderkey % 13 = 0 THEN price_cents + 1
+              ELSE price_cents END AS price_cents
+  FROM base WHERE o_orderkey % 89 <> 0
+)
+SELECT status_s, COUNT(*) AS n, CAST(SUM(price_cents) AS BIGINT) AS s
+FROM new GROUP BY status_s
+"""
+
+ORACLES["q_info_gain"] = """
+WITH cells AS (
+  SELECT o_orderpriority AS x, o_orderstatus AS y, COUNT(*) AS nxy
+  FROM orders GROUP BY 1, 2
+), xt AS (
+  SELECT x, CAST(SUM(nxy) AS BIGINT) AS nx FROM cells GROUP BY x
+), yt AS (
+  SELECT y, CAST(SUM(nxy) AS BIGINT) AS ny FROM cells GROUP BY y
+), nn AS (
+  SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM cells
+), hy AS (
+  SELECT -(CAST(SUM(CAST(ROUND(((CAST(ny AS DOUBLE) / n)
+             * log2(CAST(ny AS DOUBLE) / n)) * 1000000) AS BIGINT)) AS DOUBLE)
+           / 1000000) AS h_y
+  FROM yt, nn
+), hc AS (
+  SELECT (CAST(SUM(CAST(ROUND(((CAST(nxy AS DOUBLE) / n)
+            * log2(CAST(nx AS DOUBLE) / nxy)) * 1000000) AS BIGINT)) AS DOUBLE)
+          / 1000000) AS h_y_given_x
+  FROM cells JOIN xt USING (x), nn
+)
+SELECT h_y, h_y_given_x, h_y - h_y_given_x AS info_gain FROM hy, hc
+"""
+
+ORACLES["q_gini"] = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS val
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT val AS x,
+         CAST(ROW_NUMBER() OVER (ORDER BY val, o_custkey) AS BIGINT) AS i
+  FROM per_cust
+), agg AS (
+  SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS total,
+         CAST(SUM(i * x) AS BIGINT) AS ix
+  FROM ranked
+)
+SELECT n, total,
+       ROUND(2.0 * CAST(ix AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE), 6) AS gini
+FROM agg
+"""

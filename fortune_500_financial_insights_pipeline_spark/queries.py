@@ -3867,3 +3867,70 @@ def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return transition_matrix(e, "user_id", ["ts", "event_id"], "event_type")
+
+
+@q("q_delta_agg")
+def q_delta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta aggregate refresh (operators/incremental.delta_agg_refresh):
+    maintain the per-status (order count, value sum) aggregate from a
+    CDC changeset — +new/−old contributions fold into the previous
+    aggregate by a state-sized groupBy, never a rescan (the UPDATE/
+    DELETE-capable form of the append-only MV merge). The oracle is the
+    DIRECT aggregate over the new snapshot, so the hash check proves the
+    refresh law, including group-moving updates (keys % 13 bump prices)
+    and vanished groups."""
+    from fortune_500_financial_insights_pipeline_spark.operators.incremental import (
+        delta_agg_refresh,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = o.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status_s"),
+        cents.alias("price_cents"),
+    )
+    old = base.where(F.col("o_orderkey") % 97 != 0)
+    new = base.where(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey",
+        "status_s",
+        F.when(F.col("o_orderkey") % 13 == 0, F.col("price_cents") + 1)
+        .otherwise(F.col("price_cents"))
+        .alias("price_cents"),
+    )
+    old_agg = old.groupBy("status_s").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("price_cents").alias("s")
+    )
+    return delta_agg_refresh(
+        old_agg, old, new, ["o_orderkey"], "status_s",
+        count_alias="n", sum_col="price_cents", sum_alias="s",
+    )
+
+
+@q("q_info_gain")
+def q_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information of order priority → order status
+    (operators/stats.info_gain): the feature-screening statistic (does
+    this categorical predict anything?) from exact contingency counts —
+    entropies via per-row log2 terms folded in fixed point, so the
+    bits hash-match the oracle."""
+    from fortune_500_financial_insights_pipeline_spark.operators.stats import info_gain
+
+    o = load_table(spark, sf_dir, "orders")
+    return info_gain(o, "o_orderpriority", "o_orderstatus")
+
+
+@q("q_gini")
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration
+    (operators/stats.gini_coefficient): sorted-rank formula over the
+    per-customer order-value totals — exact long Σi·x and Σx, one
+    aggregate-sized global sort. The how-concentrated-is-revenue number
+    a dashboard quotes next to the top-N table (q_topk)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.stats import gini_coefficient
+
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("val")
+    )
+    return gini_coefficient(per_cust, "val", "o_custkey")
