@@ -163,3 +163,48 @@ def kcore(
         .agg(F.count(F.lit(1)).alias("degree"))
         .select(F.col("src").alias("node"), "degree")
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 4,
+    src: str = "id_a",
+    dst: str = "id_b",
+    seed_col: str = "id",
+) -> DataFrame:
+    """Multi-source BFS over an undirected graph: (id, hop) with hop the
+    minimum edge distance from any seed, truncated at ``rounds`` — the
+    frontier-expansion primitive behind reachability checks, influence
+    radii, and "within-N-links" joins.
+
+    Each round is ONE equi-join (frontier against the symmetrized edge
+    list, shuffled on the vertex key) plus a min-merge — never a
+    materialized transitive closure.  localCheckpoint between rounds
+    cuts lineage so driver-side analysis stays linear in ``rounds``
+    (see SCALE.md on expression-tree blowup).  Unreached vertices are
+    absent from the output (callers outer-join them back if needed);
+    the unrolled fixed-round recurrence is deterministic, so an oracle
+    can replay it stage by stage.
+    """
+    both = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    both = both.distinct().localCheckpoint(eager=False)
+    labels = seeds.select(F.col(seed_col).alias("id")).distinct().withColumn(
+        "hop", F.lit(0).cast("long")
+    )
+    for _ in range(rounds):
+        expanded = (
+            both.join(labels, both.v == labels.id)
+            .groupBy("u")
+            .agg((F.min("hop") + 1).alias("hop"))
+            .select(F.col("u").alias("id"), "hop")
+        )
+        labels = (
+            labels.unionByName(expanded)
+            .groupBy("id")
+            .agg(F.min("hop").alias("hop"))
+            .localCheckpoint(eager=False)
+        )
+    return labels

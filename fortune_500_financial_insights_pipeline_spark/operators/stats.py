@@ -84,3 +84,47 @@ def gini_coefficient(
         - (n + 1) / n
     )
     return agg.select("n", "total", F.round(gini, 6).alias("gini"))
+
+
+def historical_var_es(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    tiebreak_col: str,
+    q_num: int = 19,
+    q_den: int = 20,
+) -> DataFrame:
+    """Historical Value-at-Risk and Expected Shortfall per group at
+    confidence q = q_num/q_den (default 95%), upper-tail convention:
+    VaR is the order statistic at rank ceil(q·n) of the ascending sort,
+    ES the mean of the tail at-or-above that rank — the two numbers a
+    risk report quotes together (ES answers "how bad is it WHEN the
+    VaR level is breached").
+
+    Exactness: the quantile rank is computed in INTEGER arithmetic
+    (ceil(q·n) = (q_num·n + q_den − 1) div q_den) — no float quantile
+    interpolation to disagree across engines; ties are broken on
+    ``tiebreak_col`` so the order statistic is total-order determined;
+    the tail mean uses the fixed-point exact-sum interior.
+
+    Spark shape: one shuffle on the group key for the ranking window,
+    then a hash re-aggregate — the tail filter is rank-based so no
+    second pass over the data is needed.
+    """
+    from fortune_500_financial_insights_pipeline_spark.functions.deterministic import davg
+
+    w = W.partitionBy(*group_cols).orderBy(value_col, tiebreak_col)
+    cnt = W.partitionBy(*group_cols)
+    ranked = df.select(
+        *group_cols,
+        F.col(value_col).cast("double").alias("__v"),
+        F.row_number().over(w).cast("long").alias("__rk"),
+        F.count(F.lit(1)).over(cnt).cast("long").alias("__n"),
+    )
+    var_rank = ((F.lit(q_num) * F.col("__n") + (q_den - 1)) / F.lit(q_den)).cast("long")
+    tail = ranked.where(F.col("__rk") >= var_rank)
+    return tail.groupBy(*group_cols).agg(
+        F.round(F.min("__v"), 6).alias("var"),
+        F.round(davg("__v"), 6).alias("es"),
+        F.count(F.lit(1)).alias("n_tail"),
+    )

@@ -387,3 +387,36 @@ def time_weighted_avg(
             (F.col("__num").cast("double") / F.col("__den") / scale).alias("twap"),
         )
     )
+
+
+def max_drawdown(
+    daily: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-key maximum drawdown of a price series: the deepest
+    peak-to-trough loss min_t (v_t / max_{s<=t} v_s − 1), plus the peak
+    level itself — the risk statistic a finance dashboard quotes next to
+    the return number (the reference's Tableau layer shows cumulative
+    price charts; drawdown is their worst-case reading).
+
+    Spark shape: ONE shuffle on the key — a running max over the
+    (key, order) window (unbounded-preceding frame, single pass), then a
+    hash re-aggregate per key.  The running max is exact (no float
+    accumulation — max of identically-rounded inputs), and the ratio is
+    one fixed-order double division, so results are bit-identical to a
+    single-threaded oracle.
+    """
+    w = (
+        W.partitionBy(*key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    runmax = F.max(F.col(value_col)).over(w)
+    dd = F.round(F.col(value_col) / runmax - 1, 6)
+    stamped = daily.select(*key_cols, F.col(value_col), dd.alias("__dd"))
+    return stamped.groupBy(*key_cols).agg(
+        F.min("__dd").alias("max_drawdown"),
+        F.round(F.max(value_col), 6).alias("peak"),
+    )

@@ -5140,3 +5140,66 @@ SELECT n, total,
              - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE), 6) AS gini
 FROM agg
 """
+
+
+ORACLES["q_drawdown"] = f"""
+WITH daily AS (
+  SELECT l_suppkey,
+         strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS day,
+         ROUND({_dsum('l_extendedprice')} / COUNT(*), 6) AS close
+  FROM lineitem WHERE l_suppkey <= 20
+  GROUP BY l_suppkey, strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')
+), dd AS (
+  SELECT l_suppkey, close,
+         ROUND(close / MAX(close) OVER (PARTITION BY l_suppkey ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1, 6) AS d
+  FROM daily
+)
+SELECT l_suppkey, MIN(d) AS max_drawdown, ROUND(MAX(close), 6) AS peak
+FROM dd GROUP BY l_suppkey ORDER BY l_suppkey
+"""
+
+ORACLES["q_var_es"] = """
+WITH ranked AS (
+  SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS v,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+  FROM orders
+), tail AS (
+  SELECT * FROM ranked WHERE rk >= (19 * n + 19) // 20
+)
+SELECT o_orderpriority,
+       ROUND(MIN(v), 6) AS var,
+       ROUND((CAST(SUM(CAST(ROUND(v * 1000000) AS BIGINT)) AS DOUBLE) / 1000000)
+             / COUNT(v), 6) AS es,
+       COUNT(*) AS n_tail
+FROM tail GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+_BFS_ROUND = """
+  SELECT id, MIN(hop) AS hop FROM (
+    SELECT id, hop FROM {prev}
+    UNION ALL
+    SELECT b.u AS id, MIN(l.hop) + 1 AS hop
+    FROM bfs_both b JOIN {prev} l ON b.v = l.id GROUP BY b.u
+  ) GROUP BY id
+"""
+
+ORACLES["q_shortest_path"] = f"""
+WITH bfs_edges AS (
+  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS u,
+         CAST(1000000 + o_custkey AS BIGINT) AS v
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), bfs_both AS (
+  SELECT u, v FROM bfs_edges UNION SELECT v AS u, u AS v FROM bfs_edges
+), l0 AS (
+  SELECT DISTINCT CAST(s_suppkey AS BIGINT) AS id, CAST(0 AS BIGINT) AS hop
+  FROM supplier WHERE s_suppkey <= 3
+), l1 AS ({_BFS_ROUND.format(prev='l0')}
+), l2 AS ({_BFS_ROUND.format(prev='l1')}
+), l3 AS ({_BFS_ROUND.format(prev='l2')}
+), l4 AS ({_BFS_ROUND.format(prev='l3')}
+)
+SELECT id, hop FROM l4 ORDER BY id
+"""

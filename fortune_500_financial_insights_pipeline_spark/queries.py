@@ -3934,3 +3934,63 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("val")
     )
     return gini_coefficient(per_cust, "val", "o_custkey")
+
+
+@q("q_drawdown")
+def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per supplier price series (operators/timeseries.
+    max_drawdown): deepest peak-to-trough loss of the daily average
+    price — the worst-case risk number next to the cumulative-return
+    chart the reference's Tableau layer draws. One window pass + one
+    re-aggregate, both shuffling only on the supplier key."""
+    from fortune_500_financial_insights_pipeline_spark.operators.timeseries import max_drawdown
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_suppkey") <= 20)
+    daily = li.groupBy(
+        "l_suppkey", F.date_format("l_shipdate", "yyyy-MM-dd").alias("day")
+    ).agg(F.round(davg("l_extendedprice"), 6).alias("close"))
+    return max_drawdown(daily, ["l_suppkey"], ["day"], "close").orderBy("l_suppkey")
+
+
+@q("q_var_es")
+def q_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical VaR-95 + expected shortfall of order values per
+    priority class (operators/stats.historical_var_es): the order
+    statistic at the integer-exact ceil(0.95·n) rank and the fixed-point
+    mean of the at-or-above tail — quantile risk without float
+    interpolation, so it hash-matches the oracle exactly."""
+    from fortune_500_financial_insights_pipeline_spark.operators.stats import historical_var_es
+
+    o = load_table(spark, sf_dir, "orders")
+    return historical_var_es(
+        o, ["o_orderpriority"], "o_totalprice", "o_orderkey"
+    ).orderBy("o_orderpriority")
+
+
+@q("q_shortest_path")
+def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop counts (operators/graph.bfs_hops) over the
+    supplier↔customer trade graph (same bipartite node space as
+    q_pagerank): minimum link distance from the seed suppliers
+    (s_suppkey ≤ 3) truncated at 4 rounds — the within-N-hops
+    reachability primitive. Each round is one equi-join on the vertex
+    key + a min-merge; the unrolled recurrence replays stage-by-stage
+    as oracle CTEs."""
+    from fortune_500_financial_insights_pipeline_spark.operators.graph import bfs_hops
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("l_suppkey").cast("long").alias("id_a"),
+            (F.lit(1000000) + F.col("o_custkey")).cast("long").alias("id_b"),
+        )
+        .distinct()
+    )
+    seeds = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") <= 3)
+        .select(F.col("s_suppkey").cast("long").alias("id"))
+    )
+    return bfs_hops(edges, seeds, rounds=4).orderBy("id")

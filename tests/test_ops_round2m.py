@@ -1,0 +1,57 @@
+"""Property tests for max_drawdown, historical_var_es, bfs_hops
+(oracle parity at sf0.001 is covered by test_oracle_parity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
+
+
+def test_drawdown_nonpositive_and_peak_is_max(spark, sf_dir):
+    out = QUERIES["q_drawdown"](spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert (out["max_drawdown"] <= 0).all()
+    assert (out["peak"] > 0).all()
+
+
+def test_var_es_tail_consistency(spark, sf_dir):
+    out = QUERIES["q_var_es"](spark, sf_dir).toPandas()
+    assert len(out) > 0
+    # upper-tail convention: ES = mean of values >= VaR, so ES >= VaR
+    assert (out["es"] >= out["var"]).all()
+    assert (out["n_tail"] >= 1).all()
+
+
+def test_bfs_hops_bipartite_parity(spark, sf_dir):
+    """Supplier<->customer graph is bipartite: supplier nodes (< 1e6)
+    sit at even hop distance from supplier seeds, customers at odd."""
+    out = QUERIES["q_shortest_path"](spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert (out["hop"] >= 0).all()
+    supp = out[out["id"] < 1_000_000]
+    cust = out[out["id"] >= 1_000_000]
+    assert (supp["hop"] % 2 == 0).all()
+    assert (cust["hop"] % 2 == 1).all()
+    # seeds themselves are present at hop 0
+    from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+
+    seed_ids = {
+        r["s_suppkey"]
+        for r in load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") <= 3)
+        .collect()
+    }
+    assert set(supp[supp["hop"] == 0]["id"]) == seed_ids
+
+
+def test_bfs_hops_min_semantics(spark):
+    """Hand graph: 1-2, 2-3, 3-4, plus shortcut 1-4 => hop(4) = 1."""
+    from fortune_500_financial_insights_pipeline_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], ["id_a", "id_b"]
+    )
+    seeds = spark.createDataFrame([(1,)], ["id"])
+    got = {r["id"]: r["hop"] for r in bfs_hops(edges, seeds, rounds=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 1}
