@@ -128,3 +128,56 @@ def historical_var_es(
         F.round(davg("__v"), 6).alias("es"),
         F.count(F.lit(1)).alias("n_tail"),
     )
+
+
+def ks_statistic(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    g1,
+    g2,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between the value
+    distributions of two groups: D = max over observed values of
+    |ECDF₁(v) − ECDF₂(v)| — the distribution-drift test a pipeline runs
+    when a new data source lands (same shape as the old one, or not?).
+
+    Exact, not sampled: per-DISTINCT-VALUE group counts come from one
+    hash aggregate (the shuffle is bounded by distinct-value
+    cardinality, not row count), the two running counts are one
+    window pass over that aggregate-sized frame, and the ECDF
+    difference is a fixed-order double expression — bit-identical to a
+    single-threaded oracle. The global window is a deliberate
+    single-partition pass over the distinct-value frame (same budget
+    class as gini_coefficient's global sort); at extreme cardinality
+    pre-bin values first.
+    """
+    two = df.where(F.col(group_col).isin([g1, g2])).select(
+        F.col(group_col).alias("__g"), F.col(value_col).cast("double").alias("__v")
+    )
+    per_val = two.groupBy("__v").agg(
+        F.sum(F.when(F.col("__g") == g1, 1).otherwise(0)).alias("__c1"),
+        F.sum(F.when(F.col("__g") == g2, 1).otherwise(0)).alias("__c2"),
+    )
+    w = W.orderBy("__v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = per_val.select(
+        F.sum("__c1").over(w).cast("long").alias("__r1"),
+        F.sum("__c2").over(w).cast("long").alias("__r2"),
+    )
+    totals = cum.agg(F.max("__r1").alias("n1"), F.max("__r2").alias("n2"))
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max("n1").alias("n1"),
+            F.max("n2").alias("n2"),
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("__r1").cast("double") / F.col("n1")
+                        - F.col("__r2").cast("double") / F.col("n2")
+                    )
+                ),
+                6,
+            ).alias("ks"),
+        )
+    )

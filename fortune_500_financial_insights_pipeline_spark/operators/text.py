@@ -479,3 +479,51 @@ def line_dup_stats(
         nd.alias("n_uniq"),
         ((n - nd).cast("double") / n).alias("dup_line_frac"),
     )
+
+
+def code_detect(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    code_line_frac: float = 0.3,
+):
+    """Heuristic code-vs-prose triage per document: the fraction of lines
+    carrying code signals (braces, semicolons, assignment, leading
+    indent) plus overall symbol density — the cheap first-pass router a
+    corpus pipeline uses to send documents to a code-specific cleaning
+    branch before any expensive classifier runs.
+
+    All signals are built-in HOF/regex expressions (no UDF): one
+    ``filter`` over the split line array and two length counts — exact
+    integer arithmetic, so the fractions are bit-identical cross-engine.
+    Row-local, embarrassingly parallel, no shuffle.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    is_code_line = lambda x: (
+        x.contains("{")
+        | x.contains("}")
+        | x.contains(";")
+        | x.contains("=")
+        | x.startswith("    ")
+        | x.startswith("\t")
+    )
+    n_lines = F.size(lines)
+    n_code = F.size(F.filter(lines, is_code_line))
+    n_sym = F.length(text_col) - F.length(
+        F.regexp_replace(text_col, "[^A-Za-z0-9 ]", "")
+    )
+    frac = F.round(n_code.cast("double") / n_lines, 6)
+    sym_ratio = F.round(
+        F.when(F.length(text_col) > 0, n_sym.cast("double") / F.length(text_col)).otherwise(
+            0.0
+        ),
+        6,
+    )
+    return docs.select(
+        id_col,
+        n_lines.cast("long").alias("n_lines"),
+        n_code.cast("long").alias("n_code_lines"),
+        frac.alias("code_line_frac"),
+        sym_ratio.alias("symbol_ratio"),
+        (frac >= code_line_frac).alias("is_code"),
+    )

@@ -5203,3 +5203,72 @@ WITH bfs_edges AS (
 )
 SELECT id, hop FROM l4 ORDER BY id
 """
+
+
+ORACLES["q_perplexity_bucket"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+nz AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+doc_tok AS (SELECT doc_id, tok, COUNT(*) AS n_dt FROM nz GROUP BY doc_id, tok),
+vocab AS (SELECT tok, CAST(SUM(n_dt) AS BIGINT) AS n_t FROM doc_tok GROUP BY tok),
+total AS (SELECT CAST(SUM(n_t) AS BIGINT) AS n_total FROM vocab),
+scored AS (
+  SELECT doc_id,
+         ROUND((CAST(SUM(CAST(ROUND((n_dt * log2(CAST(n_t AS DOUBLE) / n_total)) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000)
+               / CAST(SUM(n_dt) AS DOUBLE), 6) AS score
+  FROM doc_tok JOIN vocab USING (tok), total
+  GROUP BY doc_id
+),
+bucketed AS (
+  SELECT d.source, s.score,
+         CAST(NTILE(10) OVER (PARTITION BY d.source ORDER BY s.score, s.doc_id) AS INTEGER) AS bucket
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT source, bucket,
+       COUNT(*) AS n_docs,
+       ROUND((CAST(SUM(CAST(ROUND(score * 1000000) AS BIGINT)) AS DOUBLE) / 1000000)
+             / COUNT(score), 6) AS avg_score,
+       ROUND(MIN(score), 6) AS min_score
+FROM bucketed GROUP BY source, bucket
+"""
+
+ORACLES["q_code_detect"] = """
+WITH feats AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(string_split(text, chr(10)),
+                x -> contains(x, '{') OR contains(x, '}') OR contains(x, ';')
+                     OR contains(x, '=') OR starts_with(x, '    ')
+                     OR starts_with(x, chr(9)))) AS BIGINT) AS n_code_lines,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS n_sym
+  FROM documents
+)
+SELECT doc_id, n_lines, n_code_lines,
+       ROUND(CAST(n_code_lines AS DOUBLE) / n_lines, 6) AS code_line_frac,
+       ROUND(CASE WHEN n_chars > 0 THEN CAST(n_sym AS DOUBLE) / n_chars ELSE 0.0 END, 6) AS symbol_ratio,
+       ROUND(CAST(n_code_lines AS DOUBLE) / n_lines, 6) >= 0.3 AS is_code
+FROM feats
+"""
+
+ORACLES["q_ks_test"] = """
+WITH two AS (
+  SELECT event_type AS g, ROUND(CAST(value AS DOUBLE), 6) AS v
+  FROM events WHERE event_type IN ('click', 'purchase')
+), per_val AS (
+  SELECT v,
+         CAST(SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM two GROUP BY v
+), cum AS (
+  SELECT CAST(SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS r1,
+         CAST(SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS r2
+  FROM per_val
+), totals AS (
+  SELECT MAX(r1) AS n1, MAX(r2) AS n2 FROM cum
+)
+SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+       ROUND(MAX(ABS(CAST(r1 AS DOUBLE) / n1 - CAST(r2 AS DOUBLE) / n2)), 6) AS ks
+FROM cum, totals
+"""

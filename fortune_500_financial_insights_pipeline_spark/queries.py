@@ -3994,3 +3994,63 @@ def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s_suppkey").cast("long").alias("id"))
     )
     return bfs_hops(edges, seeds, rounds=4).orderBy("id")
+
+
+@q("q_perplexity_bucket")
+def q_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source decile bucketing of the corpus-LM quality score
+    (q_unigram_logprob's signal): documents ranked by avg token
+    log-probability within their source and cut into ntile(10) buckets —
+    the stratification step before perplexity-thresholded filtering
+    (keep the top-k deciles per source, not a single global cutoff that
+    empties small sources). One extra shuffle on source for the ranking
+    window; bucket stats re-aggregate on (source, bucket)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    doc_tok = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("n_dt"))
+    vocab = doc_tok.groupBy("tok").agg(F.sum("n_dt").alias("n_t"))
+    total = vocab.agg(F.sum("n_t").alias("n_total"))
+    term = F.col("n_dt") * F.log2(F.col("n_t") / F.col("n_total"))
+    scored = (
+        doc_tok.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(F.round(dsum(term) / F.sum("n_dt"), 6).alias("score"))
+    )
+    src = docs.select("doc_id", "source").join(scored, "doc_id")
+    w = W.partitionBy("source").orderBy("score", "doc_id")
+    bucketed = src.select("source", "score", F.ntile(10).over(w).alias("bucket"))
+    return bucketed.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(davg("score"), 6).alias("avg_score"),
+        F.round(F.min("score"), 6).alias("min_score"),
+    )
+
+
+@q("q_code_detect")
+def q_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose triage (operators/text.code_detect): line-level code
+    signals + symbol density route documents to a code-specific branch
+    before expensive classifiers — C4/RefinedWeb pipelines run exactly
+    this class of cheap regex gate first. Row-local, zero shuffle."""
+    from fortune_500_financial_insights_pipeline_spark.operators.text import code_detect
+
+    return code_detect(load_table(spark, sf_dir, "documents"))
+
+
+@q("q_ks_test")
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift statistic
+    (operators/stats.ks_statistic) between the value distributions of
+    two event types — the did-the-distribution-shift check a pipeline
+    runs when a new source lands. Counts aggregate per distinct value
+    first (shuffle bounded by value cardinality), so the window pass is
+    aggregate-sized."""
+    from fortune_500_financial_insights_pipeline_spark.operators.stats import ks_statistic
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value").cast("double"), 6).alias("value")
+    )
+    return ks_statistic(e, "event_type", "value", "click", "purchase")

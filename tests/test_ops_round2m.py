@@ -55,3 +55,47 @@ def test_bfs_hops_min_semantics(spark):
     seeds = spark.createDataFrame([(1,)], ["id"])
     got = {r["id"]: r["hop"] for r in bfs_hops(edges, seeds, rounds=3).collect()}
     assert got == {1: 0, 2: 1, 3: 2, 4: 1}
+
+
+def test_code_detect_hand_rows(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.text import code_detect
+
+    docs = spark.createDataFrame(
+        [
+            ("c1", "int main() {\n  return 0;\n}"),
+            ("p1", "The quick brown fox jumps over the lazy dog"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in code_detect(docs).collect()}
+    assert out["c1"]["is_code"] and out["c1"]["n_code_lines"] == 3
+    assert not out["p1"]["is_code"] and out["p1"]["n_code_lines"] == 0
+
+
+def test_ks_identical_distribution_is_zero(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.stats import ks_statistic
+
+    rows = [("a", float(v)) for v in range(10)] + [("b", float(v)) for v in range(10)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = ks_statistic(df, "g", "v", "a", "b").collect()[0]
+    assert r["ks"] == 0.0 and r["n1"] == 10 and r["n2"] == 10
+
+
+def test_ks_disjoint_distribution_is_one(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.stats import ks_statistic
+
+    rows = [("a", float(v)) for v in range(5)] + [("b", float(v + 100)) for v in range(5)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    assert ks_statistic(df, "g", "v", "a", "b").collect()[0]["ks"] == 1.0
+
+
+def test_perplexity_buckets_cover_sources(spark, sf_dir):
+    from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["q_perplexity_bucket"](spark, sf_dir).toPandas()
+    assert (out["bucket"].between(1, 10)).all()
+    assert (out["n_docs"] >= 1).all()
+    # per source the deciles' min_score is non-decreasing with bucket id
+    for _, grp in out.groupby("source"):
+        g = grp.sort_values("bucket")
+        assert g["min_score"].is_monotonic_increasing
