@@ -181,3 +181,118 @@ def ks_statistic(
             ).alias("ks"),
         )
     )
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact ROC AUC of a score against a binary label via the
+    tie-corrected rank-sum (Mann–Whitney) identity — the quality-filter
+    calibration number a curation pipeline tracks for its fastText-style
+    classifiers (does the score actually rank positives above
+    negatives?).
+
+    INTEGER-exact: per-distinct-score counts come from one hash
+    aggregate; average ranks are kept DOUBLED (2·rank is an integer:
+    2·cum_before + n_tied + 1) so the whole rank sum is an exact long —
+    no float rank arithmetic to drift cross-engine. The only division is
+    the final AUC expression. Shuffle is bounded by distinct-score
+    cardinality; the ordering window runs over that aggregate-sized
+    frame (same budget class as gini_coefficient).
+    """
+    lab = F.col(label_col).cast("long")
+    per_val = df.groupBy(F.col(score_col).alias("__s")).agg(
+        F.sum(lab).alias("__np"),
+        F.count(F.lit(1)).alias("__nt"),
+    )
+    w = W.orderBy("__s").rowsBetween(W.unboundedPreceding, W.currentRow)
+    ranked = per_val.select(
+        "__np",
+        "__nt",
+        (F.sum("__nt").over(w) - F.col("__nt")).alias("__cum_before"),
+    )
+    agg = ranked.agg(
+        F.sum("__np").cast("long").alias("n_pos"),
+        (F.sum("__nt") - F.sum("__np")).cast("long").alias("n_neg"),
+        F.sum(
+            F.col("__np") * (2 * F.col("__cum_before") + F.col("__nt") + 1)
+        ).cast("long").alias("__s2"),
+    )
+    auc = (
+        F.col("__s2").cast("double") - F.col("n_pos").cast("double") * (F.col("n_pos") + 1)
+    ) / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg"))
+    return agg.select("n_pos", "n_neg", F.round(auc, 6).alias("auc"))
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins: probability scores cut into equal-width
+    bins, each reporting mean predicted probability vs observed positive
+    rate — the is-the-classifier-honest readout that pairs with roc_auc
+    (AUC measures ranking, calibration measures the probabilities
+    themselves). One hash aggregate on the bin id; exact integer counts
+    and fixed-point score means."""
+    from fortune_500_financial_insights_pipeline_spark.functions.deterministic import davg
+
+    b = F.least(
+        F.floor(F.col(score_col) * n_bins).cast("int"), F.lit(n_bins - 1)
+    ).alias("bin")
+    lab = F.col(label_col).cast("long")
+    return (
+        df.select(b, F.col(score_col).alias("__s"), lab.alias("__y"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__y").cast("long").alias("n_pos"),
+            F.round(davg("__s"), 6).alias("mean_score"),
+            F.round(F.sum("__y").cast("double") / F.count(F.lit(1)), 6).alias("pos_rate"),
+        )
+    )
+
+
+def chi2_independence(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+) -> DataFrame:
+    """Pearson chi-squared test of independence for two categoricals:
+    Σ (observed − expected)²/expected over the contingency table, with
+    expected = row_total·col_total/n — the screening statistic that
+    complements info_gain (same contingency scan, frequentist scale).
+    Counts are exact longs from one hash aggregate; per-cell terms are
+    fixed-order double expressions folded in fixed point, so the
+    statistic hash-matches a single-threaded oracle. Shuffles are
+    bounded by category cardinalities."""
+    from fortune_500_financial_insights_pipeline_spark.functions.deterministic import dsum
+
+    cells = df.groupBy(
+        F.col(col_x).alias("__x"), F.col(col_y).alias("__y")
+    ).agg(F.count(F.lit(1)).alias("__nxy"))
+    xt = cells.groupBy("__x").agg(F.sum("__nxy").alias("__nx"))
+    yt = cells.groupBy("__y").agg(F.sum("__nxy").alias("__ny"))
+    nn = cells.agg(
+        F.sum("__nxy").alias("__n"),
+        F.countDistinct("__x").alias("__dx"),
+        F.countDistinct("__y").alias("__dy"),
+    )
+    # full cross of observed categories: zero cells still carry an
+    # expected count, so they MUST contribute (0 - exp)^2 / exp
+    j = (
+        xt.crossJoin(F.broadcast(yt))
+        .join(cells, ["__x", "__y"], "left")
+        .withColumn("__nxy", F.coalesce("__nxy", F.lit(0)))
+        .crossJoin(F.broadcast(nn))
+    )
+    exp = F.col("__nx").cast("double") * F.col("__ny") / F.col("__n")
+    term = (F.col("__nxy").cast("double") - exp) * (F.col("__nxy") - exp) / exp
+    return j.agg(
+        F.max("__n").cast("long").alias("n"),
+        ((F.max("__dx") - 1) * (F.max("__dy") - 1)).cast("long").alias("dof"),
+        F.round(dsum(term), 6).alias("chi2"),
+    )

@@ -5272,3 +5272,105 @@ SELECT MAX(n1) AS n1, MAX(n2) AS n2,
        ROUND(MAX(ABS(CAST(r1 AS DOUBLE) / n1 - CAST(r2 AS DOUBLE) / n2)), 6) AS ks
 FROM cum, totals
 """
+
+
+ORACLES["q_auc"] = """
+WITH w AS (
+  SELECT CAST(b AS INTEGER) AS bucket,
+         CAST((b % 21) * 50 - 500 AS BIGINT) AS w_fp
+  FROM range(256) t(b)
+), tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+), f AS (
+  SELECT doc_id,
+         ((instr('0123456789abcdef',
+                 substring(md5(concat('f|', CAST(term AS VARCHAR))), 1, 1)) - 1) * 16
+          + (instr('0123456789abcdef',
+                   substring(md5(concat('f|', CAST(term AS VARCHAR))), 2, 1)) - 1))
+           AS bucket
+  FROM tok WHERE term <> ''
+), s AS (
+  SELECT f.doc_id, CAST(SUM(w.w_fp) AS BIGINT) AS sw, COUNT(*) AS nt
+  FROM f JOIN w ON f.bucket = w.bucket GROUP BY f.doc_id
+), labeled AS (
+  SELECT ROUND(1.0 / (1.0 + EXP(-(0.0 + s.sw / (1000.0 * s.nt)))), 6) AS prob,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM s JOIN documents d USING (doc_id)
+), per_val AS (
+  SELECT prob, CAST(SUM(y) AS BIGINT) AS np, CAST(COUNT(*) AS BIGINT) AS nt
+  FROM labeled GROUP BY prob
+), ranked AS (
+  SELECT np, nt,
+         CAST(SUM(nt) OVER (ORDER BY prob ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) - nt AS BIGINT) AS cumb
+  FROM per_val
+), agg AS (
+  SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+         CAST(SUM(nt) - SUM(np) AS BIGINT) AS n_neg,
+         CAST(SUM(np * (2 * cumb + nt + 1)) AS BIGINT) AS s2
+  FROM ranked
+)
+SELECT n_pos, n_neg,
+       ROUND((CAST(s2 AS DOUBLE) - CAST(n_pos AS DOUBLE) * (n_pos + 1))
+             / (2.0 * n_pos * n_neg), 6) AS auc
+FROM agg
+"""
+
+ORACLES["q_calibration"] = """
+WITH w AS (
+  SELECT CAST(b AS INTEGER) AS bucket,
+         CAST((b % 21) * 50 - 500 AS BIGINT) AS w_fp
+  FROM range(256) t(b)
+), tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+), f AS (
+  SELECT doc_id,
+         ((instr('0123456789abcdef',
+                 substring(md5(concat('f|', CAST(term AS VARCHAR))), 1, 1)) - 1) * 16
+          + (instr('0123456789abcdef',
+                   substring(md5(concat('f|', CAST(term AS VARCHAR))), 2, 1)) - 1))
+           AS bucket
+  FROM tok WHERE term <> ''
+), s AS (
+  SELECT f.doc_id, CAST(SUM(w.w_fp) AS BIGINT) AS sw, COUNT(*) AS nt
+  FROM f JOIN w ON f.bucket = w.bucket GROUP BY f.doc_id
+), labeled AS (
+  SELECT ROUND(1.0 / (1.0 + EXP(-(0.0 + s.sw / (1000.0 * s.nt)))), 6) AS prob,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM s JOIN documents d USING (doc_id)
+)
+SELECT CAST(LEAST(CAST(FLOOR(prob * 10) AS INTEGER), 9) AS INTEGER) AS bin,
+       COUNT(*) AS n,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       ROUND((CAST(SUM(CAST(ROUND(prob * 1000000) AS BIGINT)) AS DOUBLE) / 1000000)
+             / COUNT(prob), 6) AS mean_score,
+       ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS pos_rate
+FROM labeled GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["q_chi2"] = """
+WITH cells AS (
+  SELECT o_orderpriority AS x, o_orderstatus AS y, COUNT(*) AS nxy
+  FROM orders GROUP BY 1, 2
+), xt AS (
+  SELECT x, CAST(SUM(nxy) AS BIGINT) AS nx FROM cells GROUP BY x
+), yt AS (
+  SELECT y, CAST(SUM(nxy) AS BIGINT) AS ny FROM cells GROUP BY y
+), nn AS (
+  SELECT CAST(SUM(nxy) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT x) AS BIGINT) AS dx,
+         CAST(COUNT(DISTINCT y) AS BIGINT) AS dy
+  FROM cells
+), full_cells AS (
+  SELECT xt.x, yt.y, xt.nx, yt.ny FROM xt CROSS JOIN yt
+), j AS (
+  SELECT f.nx, f.ny, CAST(COALESCE(c.nxy, 0) AS BIGINT) AS nxy
+  FROM full_cells f LEFT JOIN cells c ON f.x = c.x AND f.y = c.y
+), terms AS (
+  SELECT nxy, CAST(nx AS DOUBLE) * ny / n AS ex, n, dx, dy FROM j, nn
+)
+SELECT MAX(n) AS n,
+       (MAX(dx) - 1) * (MAX(dy) - 1) AS dof,
+       (CAST(SUM(CAST(ROUND((((CAST(nxy AS DOUBLE) - ex) * (nxy - ex) / ex)) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS chi2
+FROM terms
+"""

@@ -4054,3 +4054,58 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.round(F.col("value").cast("double"), 6).alias("value")
     )
     return ks_statistic(e, "event_type", "value", "click", "purchase")
+
+
+def _scored_labeled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier probs (q_classifier_score's exact model) joined with the
+    binary is-English label — the shared eval frame for AUC/calibration."""
+    from fortune_500_financial_insights_pipeline_spark.operators.text import classifier_score
+
+    d = load_table(spark, sf_dir, "documents")
+    weights = spark.range(256).select(
+        F.col("id").cast("int").alias("bucket"),
+        ((F.col("id") % 21) * 50 - 500).cast("long").alias("w_fp"),
+    )
+    scored = classifier_score(d, weights)
+    return scored.join(
+        d.select("doc_id", (F.col("lang") == "en").cast("long").alias("label")),
+        "doc_id",
+    )
+
+
+@q("q_auc")
+def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected ROC AUC (operators/stats.roc_auc) of the
+    hashed-feature classifier's probability against the is-English
+    label — the ranking-quality number a curation pipeline tracks per
+    classifier snapshot. Doubled-rank integer arithmetic end to end, so
+    the statistic hash-matches the oracle."""
+    from fortune_500_financial_insights_pipeline_spark.operators.stats import roc_auc
+
+    return roc_auc(_scored_labeled_docs(spark, sf_dir), "prob", "label")
+
+
+@q("q_calibration")
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins (operators/stats.calibration_bins) for the
+    same classifier: mean predicted probability vs observed positive rate
+    per equal-width bin — ranking (q_auc) and honesty measured off one
+    shared scored frame."""
+    from fortune_500_financial_insights_pipeline_spark.operators.stats import calibration_bins
+
+    return calibration_bins(
+        _scored_labeled_docs(spark, sf_dir), "prob", "label"
+    ).orderBy("bin")
+
+
+@q("q_chi2")
+def q_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared independence test (operators/stats.
+    chi2_independence) on order priority × status — the frequentist
+    companion to q_info_gain's mutual information over the same
+    contingency scan, zero cells included via the observed-category
+    cross."""
+    from fortune_500_financial_insights_pipeline_spark.operators.stats import chi2_independence
+
+    o = load_table(spark, sf_dir, "orders")
+    return chi2_independence(o, "o_orderpriority", "o_orderstatus")

@@ -99,3 +99,48 @@ def test_perplexity_buckets_cover_sources(spark, sf_dir):
     for _, grp in out.groupby("source"):
         g = grp.sort_values("bucket")
         assert g["min_score"].is_monotonic_increasing
+
+
+def test_roc_auc_perfect_and_reversed(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.stats import roc_auc
+
+    rows = [(0.1, 0), (0.2, 0), (0.8, 1), (0.9, 1)]
+    df = spark.createDataFrame(rows, ["s", "y"])
+    assert roc_auc(df, "s", "y").collect()[0]["auc"] == 1.0
+    rev = spark.createDataFrame([(s, 1 - y) for s, y in rows], ["s", "y"])
+    assert roc_auc(rev, "s", "y").collect()[0]["auc"] == 0.0
+
+
+def test_roc_auc_all_tied_is_half(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.stats import roc_auc
+
+    df = spark.createDataFrame([(0.5, 0), (0.5, 1), (0.5, 0), (0.5, 1)], ["s", "y"])
+    assert roc_auc(df, "s", "y").collect()[0]["auc"] == 0.5
+
+
+def test_chi2_perfectly_balanced_is_zero(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.stats import chi2_independence
+
+    rows = [(x, y) for x in "ab" for y in "cd" for _ in range(5)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    r = chi2_independence(df, "x", "y").collect()[0]
+    assert r["chi2"] == 0.0 and r["dof"] == 1 and r["n"] == 20
+
+
+def test_chi2_includes_zero_cells(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.stats import chi2_independence
+
+    # diagonal-only table: the (a,d)/(b,c) cells are unobserved but must
+    # still contribute their expected counts
+    rows = [("a", "c")] * 5 + [("b", "d")] * 5
+    r = chi2_independence(spark.createDataFrame(rows, ["x", "y"]), "x", "y").collect()[0]
+    assert r["chi2"] == 10.0  # full association, n == chi2 for 2x2
+
+
+def test_calibration_bins_sum_to_total(spark, sf_dir):
+    from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["q_calibration"](spark, sf_dir).toPandas()
+    assert out["n"].sum() > 0
+    assert (out["n_pos"] <= out["n"]).all()
+    assert out["bin"].between(0, 9).all()
