@@ -101,3 +101,43 @@ def golden_record(
         rn.alias("__rn"),
     )
     return out.where(F.col("__rn") == 1).drop("__rn")
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    window: int = 3,
+    max_dist: int = 2,
+):
+    """Sorted-neighborhood entity-resolution blocking: records sort by
+    the name key and each record is compared only against the next
+    ``window − 1`` neighbors — the classic complement to equality
+    blocking (blocked_fuzzy_pairs) that catches near-misses equality
+    blocks split apart (e.g. a typo in the block prefix's last kept
+    character still sorts adjacently).
+
+    Scale shape: the sort window partitions on the FIRST sort-key
+    character, so no single-partition global window; candidates cross a
+    partition boundary only when their keys straddle a first-letter
+    boundary — the standard multi-pass SN tradeoff (run again with a
+    rotated key to close it). Candidates come from ``window − 1``
+    lead() calls over one sorted pass — O(n·window), never a cartesian;
+    the levenshtein gate is a JVM built-in.
+    """
+    cands = df.select(F.col(id_col).alias("id_a"), F.col(name_col).alias("name_a"))
+    w = W.partitionBy(F.substring("name_a", 1, 1)).orderBy("name_a", "id_a")
+    out = None
+    for k in range(1, window):
+        pair = cands.select(
+            "id_a",
+            "name_a",
+            F.lead("id_a", k).over(w).alias("id_b"),
+            F.lead("name_a", k).over(w).alias("name_b"),
+        ).where(F.col("id_b").isNotNull())
+        out = pair if out is None else out.unionByName(pair)
+    return (
+        out.withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

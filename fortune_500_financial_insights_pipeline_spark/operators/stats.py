@@ -296,3 +296,91 @@ def chi2_independence(
         ((F.max("__dx") - 1) * (F.max("__dy") - 1)).cast("long").alias("dof"),
         F.round(dsum(term), 6).alias("chi2"),
     )
+
+
+def woe_iv(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Weight-of-evidence / information-value per equal-width score bin —
+    the credit-scoring readout (how strongly does each score band
+    separate positives from negatives, and how much total signal does
+    the feature carry). Laplace-smoothed (+1 per class per bin) so empty
+    classes never hit ln(0), deterministically on both engines.
+
+    One hash aggregate on the bin id; totals broadcast back; WoE and the
+    IV term are fixed-order double expressions over exact longs."""
+    b = F.least(
+        F.floor(F.col(score_col) * n_bins).cast("int"), F.lit(n_bins - 1)
+    ).alias("bin")
+    lab = F.col(label_col).cast("long")
+    bins = (
+        df.select(b, lab.alias("__y"))
+        .groupBy("bin")
+        .agg(
+            F.sum("__y").cast("long").alias("n_pos"),
+            (F.count(F.lit(1)) - F.sum("__y")).cast("long").alias("n_neg"),
+        )
+    )
+    tot = bins.agg(
+        F.sum(F.col("n_pos") + 1).alias("__tp"),
+        F.sum(F.col("n_neg") + 1).alias("__tn"),
+    )
+    pp = (F.col("n_pos") + 1).cast("double") / F.col("__tp")
+    pn = (F.col("n_neg") + 1).cast("double") / F.col("__tn")
+    woe = F.log(pp / pn)
+    return bins.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_pos",
+        "n_neg",
+        F.round(woe, 6).alias("woe"),
+        F.round((pp - pn) * woe, 6).alias("iv_term"),
+    )
+
+
+def psi(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    g_ref,
+    g_new,
+    n_bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Population stability index between a reference and a new group's
+    value distribution over fixed equal-width bins on [lo, hi):
+    Σ (p_new − p_ref)·ln(p_new/p_ref) — the score-drift alarm risk
+    teams page on (PSI > 0.2 = investigate). Laplace-smoothed (+1 per
+    bin per group) so bins empty on one side stay finite, identically on
+    both engines. Values outside [lo, hi) clamp into the edge bins.
+    One hash aggregate on the bin id; single-row output."""
+    width = (hi - lo) / n_bins
+    b = F.greatest(
+        F.lit(0),
+        F.least(
+            F.floor((F.col(value_col) - lo) / width).cast("int"), F.lit(n_bins - 1)
+        ),
+    )
+    two = df.where(F.col(group_col).isin([g_ref, g_new])).select(
+        b.alias("__b"), F.col(group_col).alias("__g")
+    )
+    bins = two.groupBy("__b").agg(
+        (F.sum(F.when(F.col("__g") == g_ref, 1).otherwise(0)) + 1).alias("__cr"),
+        (F.sum(F.when(F.col("__g") == g_new, 1).otherwise(0)) + 1).alias("__cn"),
+    )
+    tot = bins.agg(F.sum("__cr").alias("__tr"), F.sum("__cn").alias("__tn"))
+    p_ref = F.col("__cr").cast("double") / F.col("__tr")
+    p_new = F.col("__cn").cast("double") / F.col("__tn")
+    from fortune_500_financial_insights_pipeline_spark.functions.deterministic import dsum
+
+    return (
+        bins.crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(dsum((p_new - p_ref) * F.log(p_new / p_ref)), 6).alias("psi"),
+            (F.sum("__cr") - F.count(F.lit(1))).cast("long").alias("n_ref"),
+            (F.sum("__cn") - F.count(F.lit(1))).cast("long").alias("n_new"),
+        )
+    )

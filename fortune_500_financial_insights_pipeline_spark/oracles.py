@@ -5374,3 +5374,79 @@ SELECT MAX(n) AS n,
        (CAST(SUM(CAST(ROUND((((CAST(nxy AS DOUBLE) - ex) * (nxy - ex) / ex)) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS chi2
 FROM terms
 """
+
+
+ORACLES["q_woe_iv"] = """
+WITH w AS (
+  SELECT CAST(b AS INTEGER) AS bucket,
+         CAST((b % 21) * 50 - 500 AS BIGINT) AS w_fp
+  FROM range(256) t(b)
+), tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+), f AS (
+  SELECT doc_id,
+         ((instr('0123456789abcdef',
+                 substring(md5(concat('f|', CAST(term AS VARCHAR))), 1, 1)) - 1) * 16
+          + (instr('0123456789abcdef',
+                   substring(md5(concat('f|', CAST(term AS VARCHAR))), 2, 1)) - 1))
+           AS bucket
+  FROM tok WHERE term <> ''
+), s AS (
+  SELECT f.doc_id, CAST(SUM(w.w_fp) AS BIGINT) AS sw, COUNT(*) AS nt
+  FROM f JOIN w ON f.bucket = w.bucket GROUP BY f.doc_id
+), labeled AS (
+  SELECT ROUND(1.0 / (1.0 + EXP(-(0.0 + s.sw / (1000.0 * s.nt)))), 6) AS prob,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM s JOIN documents d USING (doc_id)
+), bins AS (
+  SELECT CAST(LEAST(CAST(FLOOR(prob * 10) AS INTEGER), 9) AS INTEGER) AS bin,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg
+  FROM labeled GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n_pos + 1) AS BIGINT) AS tp,
+         CAST(SUM(n_neg + 1) AS BIGINT) AS tn
+  FROM bins
+)
+SELECT bin, n_pos, n_neg,
+       ROUND(LN((CAST(n_pos + 1 AS DOUBLE) / tp) / (CAST(n_neg + 1 AS DOUBLE) / tn)), 6) AS woe,
+       ROUND(((CAST(n_pos + 1 AS DOUBLE) / tp) - (CAST(n_neg + 1 AS DOUBLE) / tn))
+             * LN((CAST(n_pos + 1 AS DOUBLE) / tp) / (CAST(n_neg + 1 AS DOUBLE) / tn)), 6) AS iv_term
+FROM bins, tot ORDER BY bin
+"""
+
+ORACLES["q_psi"] = """
+WITH two AS (
+  SELECT GREATEST(0, LEAST(CAST(FLOOR((CAST(value AS DOUBLE) - 0.0) / 50.0) AS INTEGER), 9)) AS b,
+         event_type AS g
+  FROM events WHERE event_type IN ('click', 'purchase')
+), bins AS (
+  SELECT b,
+         CAST(SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) + 1 AS BIGINT) AS cr,
+         CAST(SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) + 1 AS BIGINT) AS cn
+  FROM two GROUP BY b
+), tot AS (
+  SELECT CAST(SUM(cr) AS BIGINT) AS tr, CAST(SUM(cn) AS BIGINT) AS tn FROM bins
+)
+SELECT ROUND(CAST(SUM(CAST(ROUND((((CAST(cn AS DOUBLE) / tn) - (CAST(cr AS DOUBLE) / tr))
+               * LN((CAST(cn AS DOUBLE) / tn) / (CAST(cr AS DOUBLE) / tr))) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS psi,
+       CAST(SUM(cr) - COUNT(*) AS BIGINT) AS n_ref,
+       CAST(SUM(cn) - COUNT(*) AS BIGINT) AS n_new
+FROM bins, tot
+"""
+
+ORACLES["q_sorted_neighborhood"] = """
+WITH s AS (
+  SELECT c_custkey AS id_a, c_name AS name_a,
+         LEAD(c_custkey, 1) OVER w AS id_b1, LEAD(c_name, 1) OVER w AS name_b1,
+         LEAD(c_custkey, 2) OVER w AS id_b2, LEAD(c_name, 2) OVER w AS name_b2
+  FROM customer
+  WINDOW w AS (PARTITION BY substring(c_name, 1, 1) ORDER BY c_name, c_custkey)
+), cand AS (
+  SELECT id_a, name_a, id_b1 AS id_b, name_b1 AS name_b FROM s WHERE id_b1 IS NOT NULL
+  UNION ALL
+  SELECT id_a, name_a, id_b2 AS id_b, name_b2 AS name_b FROM s WHERE id_b2 IS NOT NULL
+)
+SELECT id_a, id_b, CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
+FROM cand WHERE levenshtein(name_a, name_b) <= 2
+"""

@@ -4109,3 +4109,45 @@ def q_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     return chi2_independence(o, "o_orderpriority", "o_orderstatus")
+
+
+@q("q_woe_iv")
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value bands (operators/stats.
+    woe_iv) of the classifier probability vs the is-English label — the
+    credit-scoring-style readout of how much separation each score band
+    carries, Laplace-smoothed so empty bands stay finite. Shares the
+    scored frame with q_auc / q_calibration."""
+    from fortune_500_financial_insights_pipeline_spark.operators.stats import woe_iv
+
+    return woe_iv(_scored_labeled_docs(spark, sf_dir), "prob", "label").orderBy("bin")
+
+
+@q("q_psi")
+def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index (operators/stats.psi) between click and
+    purchase event-value distributions over 10 fixed bins on [0, 500) —
+    the drift alarm a risk/monitoring layer pages on (PSI > 0.2).
+    Laplace-smoothed per bin; single-row output from one bin-keyed
+    aggregate."""
+    from fortune_500_financial_insights_pipeline_spark.operators.stats import psi
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("value")
+    )
+    return psi(e, "event_type", "value", "click", "purchase", n_bins=10, lo=0.0, hi=500.0)
+
+
+@q("q_sorted_neighborhood")
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood ER blocking (operators/fuzzy.
+    sorted_neighborhood_pairs) over customer names: each record compares
+    against its 2 sort-neighbors inside first-letter partitions,
+    levenshtein ≤ 2 — the complement to q_fuzzy_match's equality
+    blocking that survives typos in the block key itself."""
+    from fortune_500_financial_insights_pipeline_spark.operators.fuzzy import (
+        sorted_neighborhood_pairs,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    return sorted_neighborhood_pairs(c, "c_custkey", "c_name", window=3, max_dist=2)

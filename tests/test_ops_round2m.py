@@ -144,3 +144,39 @@ def test_calibration_bins_sum_to_total(spark, sf_dir):
     assert out["n"].sum() > 0
     assert (out["n_pos"] <= out["n"]).all()
     assert out["bin"].between(0, 9).all()
+
+
+def test_psi_identical_groups_is_zero(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.stats import psi
+
+    rows = [("a", float(v % 10) / 10) for v in range(100)] + [
+        ("b", float(v % 10) / 10) for v in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = psi(df, "g", "v", "a", "b", n_bins=10, lo=0.0, hi=1.0).collect()[0]
+    assert r["psi"] == 0.0 and r["n_ref"] == 100 and r["n_new"] == 100
+
+
+def test_woe_iv_symmetric_bins(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.stats import woe_iv
+
+    # bin 0 all-negative, bin 9 all-positive: WoE strictly negative then positive
+    rows = [(0.05, 0)] * 20 + [(0.95, 1)] * 20
+    df = spark.createDataFrame(rows, ["s", "y"])
+    out = {r["bin"]: r for r in woe_iv(df, "s", "y").collect()}
+    assert out[0]["woe"] < 0 < out[9]["woe"]
+    assert out[0]["iv_term"] > 0 and out[9]["iv_term"] > 0
+
+
+def test_sorted_neighborhood_finds_adjacent_typo(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.fuzzy import (
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "smith john"), (2, "smith johm"), (3, "zzz far away")],
+        ["id", "name"],
+    )
+    pairs = sorted_neighborhood_pairs(df, "id", "name", window=3, max_dist=2).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(2, 1)}
+    assert pairs[0]["dist"] == 1
