@@ -420,3 +420,64 @@ def max_drawdown(
         F.min("__dd").alias("max_drawdown"),
         F.round(F.max(value_col), 6).alias("peak"),
     )
+
+
+def pairwise_covariance(
+    returns: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Covariance matrix of per-key return series as relational algebra:
+    series pairs align on the shared time key (inner equi-join on
+    ``time_col``, i ≤ j kept), and each pair's covariance comes from
+    exact fixed-point moment sums over the COMMON observations —
+    cov = Σxy/n − (Σx/n)(Σy/n). The join shuffles on the time key, so
+    pair construction is day-bucket-sized, never an all-rows cartesian;
+    the output is one row per series pair (k² aggregate rows).
+    """
+    a = returns.select(
+        F.col(key_col).alias("ki"), F.col(time_col).alias("__t"),
+        F.col(value_col).alias("__x"),
+    )
+    b = returns.select(
+        F.col(key_col).alias("kj"), F.col(time_col).alias("__t"),
+        F.col(value_col).alias("__y"),
+    )
+    pairs = a.join(b, "__t").where(F.col("ki") <= F.col("kj"))
+    from fortune_500_financial_insights_pipeline_spark.functions.deterministic import dsum
+
+    agg = pairs.groupBy("ki", "kj").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("__x").alias("__sx"),
+        dsum("__y").alias("__sy"),
+        dsum(F.col("__x") * F.col("__y")).alias("__sxy"),
+    )
+    nn = F.col("n").cast("double")
+    cov = F.col("__sxy") / nn - (F.col("__sx") / nn) * (F.col("__sy") / nn)
+    return agg.select("ki", "kj", "n", F.round(cov, 6).alias("cov"))
+
+
+def portfolio_volatility(
+    cov_pairs: DataFrame,
+    n_assets: int,
+) -> DataFrame:
+    """Equal-weight portfolio variance/volatility from the i ≤ j
+    covariance pair frame: σ²_p = Σ_ij w_i w_j cov_ij with w = 1/k and
+    off-diagonal pairs counted twice (the matrix is symmetric but stored
+    triangular). The fold runs in fixed point over the k² pair rows —
+    aggregate-sized, exact. The number a risk dashboard headline quotes
+    from the whole covariance pipeline."""
+    from fortune_500_financial_insights_pipeline_spark.functions.deterministic import dsum
+
+    w2 = 1.0 / (n_assets * n_assets)
+    mult = F.when(F.col("ki") == F.col("kj"), 1.0).otherwise(2.0)
+    agg = cov_pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(dsum(mult * w2 * F.col("cov")), 6).alias("port_var"),
+    )
+    return agg.select(
+        "n_pairs",
+        "port_var",
+        F.round(F.sqrt(F.col("port_var")), 6).alias("port_vol"),
+    )

@@ -5450,3 +5450,108 @@ WITH s AS (
 SELECT id_a, id_b, CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
 FROM cand WHERE levenshtein(name_a, name_b) <= 2
 """
+
+
+ORACLES["q_window_pct"] = """
+SELECT l_orderkey, l_linenumber, l_suppkey,
+       l_extendedprice AS price,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume_dist
+FROM lineitem WHERE l_suppkey <= 10
+WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_extendedprice)
+"""
+
+ORACLES["q_hhi"] = """
+WITH rev AS (
+  SELECT s_nationkey, s_suppkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS r
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY s_nationkey, s_suppkey
+), tot AS (
+  SELECT s_nationkey, CAST(SUM(r) AS BIGINT) AS t FROM rev GROUP BY s_nationkey
+)
+SELECT rev.s_nationkey,
+       COUNT(*) AS n_suppliers,
+       ROUND(CAST(SUM(CAST(ROUND(((CAST(r AS DOUBLE) / t) * (CAST(r AS DOUBLE) / t) * 10000) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS hhi
+FROM rev JOIN tot USING (s_nationkey)
+GROUP BY rev.s_nationkey ORDER BY rev.s_nationkey
+"""
+
+ORACLES["q_prefix_dedup"] = """
+WITH pfx AS (
+  SELECT substring(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 50) AS prefix,
+         doc_id
+  FROM documents
+), grp AS (
+  SELECT prefix, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc
+  FROM pfx GROUP BY prefix HAVING COUNT(*) > 1
+)
+SELECT md5(prefix) AS prefix_hash, n_docs, canonical_doc FROM grp
+"""
+
+
+ORACLES["q_cov_matrix"] = """
+WITH daily AS (
+  SELECT l_suppkey,
+         strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS day,
+         ROUND((CAST(SUM(CAST(ROUND((l_extendedprice) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) / COUNT(*), 6) AS close
+  FROM lineitem WHERE l_suppkey <= 10
+  GROUP BY l_suppkey, strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')
+), rets AS (
+  SELECT l_suppkey, day,
+         ROUND((close / LAG(close) OVER (PARTITION BY l_suppkey ORDER BY day) - 1) * 100, 6) AS ret
+  FROM daily
+), nz AS (
+  SELECT * FROM rets WHERE ret IS NOT NULL
+), pairs AS (
+  SELECT a.l_suppkey AS ki, b.l_suppkey AS kj, a.ret AS x, b.ret AS y
+  FROM nz a JOIN nz b ON a.day = b.day
+  WHERE a.l_suppkey <= b.l_suppkey
+), agg AS (
+  SELECT ki, kj, COUNT(*) AS n,
+         (CAST(SUM(CAST(ROUND(x * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS sx,
+         (CAST(SUM(CAST(ROUND(y * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS sy,
+         (CAST(SUM(CAST(ROUND((x * y) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS sxy
+  FROM pairs GROUP BY ki, kj
+), covs AS (
+  SELECT ki, kj, n,
+         ROUND(sxy / CAST(n AS DOUBLE) - (sx / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)), 6) AS cov
+  FROM agg
+)
+SELECT ki, kj, n, cov FROM covs ORDER BY ki, kj
+"""
+
+ORACLES["q_portfolio_vol"] = """
+WITH daily AS (
+  SELECT l_suppkey,
+         strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS day,
+         ROUND((CAST(SUM(CAST(ROUND((l_extendedprice) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) / COUNT(*), 6) AS close
+  FROM lineitem WHERE l_suppkey <= 10
+  GROUP BY l_suppkey, strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')
+), rets AS (
+  SELECT l_suppkey, day,
+         ROUND((close / LAG(close) OVER (PARTITION BY l_suppkey ORDER BY day) - 1) * 100, 6) AS ret
+  FROM daily
+), nz AS (
+  SELECT * FROM rets WHERE ret IS NOT NULL
+), pairs AS (
+  SELECT a.l_suppkey AS ki, b.l_suppkey AS kj, a.ret AS x, b.ret AS y
+  FROM nz a JOIN nz b ON a.day = b.day
+  WHERE a.l_suppkey <= b.l_suppkey
+), agg AS (
+  SELECT ki, kj, COUNT(*) AS n,
+         (CAST(SUM(CAST(ROUND(x * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS sx,
+         (CAST(SUM(CAST(ROUND(y * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS sy,
+         (CAST(SUM(CAST(ROUND((x * y) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS sxy
+  FROM pairs GROUP BY ki, kj
+), covs AS (
+  SELECT ki, kj, n,
+         ROUND(sxy / CAST(n AS DOUBLE) - (sx / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)), 6) AS cov
+  FROM agg
+), folded AS (
+  SELECT COUNT(*) AS n_pairs,
+         ROUND(CAST(SUM(CAST(ROUND(((CASE WHEN ki = kj THEN 1.0 ELSE 2.0 END) * 0.01 * cov) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS port_var
+  FROM covs
+)
+SELECT n_pairs, port_var, ROUND(SQRT(port_var), 6) AS port_vol FROM folded
+"""

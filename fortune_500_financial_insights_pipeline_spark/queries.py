@@ -4151,3 +4151,112 @@ def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = load_table(spark, sf_dir, "customer")
     return sorted_neighborhood_pairs(c, "c_custkey", "c_name", window=3, max_dist=2)
+
+
+@q("q_window_pct")
+def q_window_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist within supplier partitions (W-family
+    completion): both are RANK-based — ties share a value by definition
+    on every engine, so no tiebreak column is needed for determinism.
+    One shuffle on the partition key serves both functions."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_suppkey") <= 10)
+    w = W.partitionBy("l_suppkey").orderBy("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        F.col("l_extendedprice").alias("price"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+    )
+
+
+@q("q_hhi")
+def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per nation: suppliers'
+    squared revenue shares summed — the market-concentration statistic
+    regulators and the reference's financial-dashboard domain quote
+    (0 = atomized, 10000 = monopoly). Revenue totals are exact cents;
+    shares and the HHI fold are fixed-point deterministic. Two
+    hash aggregates, shuffles keyed on supplier then nation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("__r"))
+    )
+    tot = rev.groupBy("s_nationkey").agg(F.sum("__r").alias("__t"))
+    share = F.col("__r").cast("double") / F.col("__t")
+    return (
+        rev.join(tot, "s_nationkey")
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(dsum(share * share * 10000), 6).alias("hhi"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+@q("q_prefix_dedup")
+def q_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-duplicate groups: documents sharing an identical
+    whitespace-normalized 50-char prefix — the RefinedWeb-style catch
+    for boilerplate openings and mirrored pages that full-document
+    hashing misses once trailing content diverges. One hash aggregate
+    on the prefix; groups of one drop out."""
+    d = load_table(spark, sf_dir, "documents")
+    pfx = F.substring(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), 1, 50
+    )
+    return (
+        d.select(pfx.alias("prefix"), "doc_id")
+        .groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .where(F.col("n_docs") > 1)
+        .select(F.md5("prefix").alias("prefix_hash"), "n_docs", "canonical_doc")
+    )
+
+
+@q("q_cov_matrix")
+def q_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance matrix of supplier daily-return series
+    (operators/timeseries.pairwise_covariance): series pairs align on
+    the shared day via an equi-join (day-bucket-sized, never cartesian)
+    and each pair's covariance folds exact fixed-point moments over the
+    common days. Returns are in percent so the fixed-point interior
+    keeps precision."""
+    from fortune_500_financial_insights_pipeline_spark.operators.timeseries import (
+        pairwise_covariance,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_suppkey") <= 10)
+    daily = li.groupBy(
+        "l_suppkey", F.date_format("l_shipdate", "yyyy-MM-dd").alias("day")
+    ).agg(F.round(davg("l_extendedprice"), 6).alias("close"))
+    w = W.partitionBy("l_suppkey").orderBy("day")
+    rets = daily.select(
+        "l_suppkey",
+        "day",
+        F.round((F.col("close") / F.lag("close").over(w) - 1) * 100, 6).alias("ret"),
+    ).where(F.col("ret").isNotNull())
+    return pairwise_covariance(rets, "l_suppkey", "day", "ret").orderBy("ki", "kj")
+
+
+@q("q_portfolio_vol")
+def q_portfolio_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-weight portfolio volatility (operators/timeseries.
+    portfolio_volatility) folded from q_cov_matrix's covariance pairs —
+    σ²_p = Σ w_i w_j cov_ij with triangular storage doubled off the
+    diagonal. The headline risk number derived entirely in relational
+    algebra from raw prices."""
+    from fortune_500_financial_insights_pipeline_spark.operators.timeseries import (
+        portfolio_volatility,
+    )
+
+    cov = QUERIES["q_cov_matrix"](spark, sf_dir)
+    return portfolio_volatility(cov, n_assets=10)

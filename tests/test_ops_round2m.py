@@ -180,3 +180,44 @@ def test_sorted_neighborhood_finds_adjacent_typo(spark):
     pairs = sorted_neighborhood_pairs(df, "id", "name", window=3, max_dist=2).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(2, 1)}
     assert pairs[0]["dist"] == 1
+
+
+def test_cov_matrix_diagonal_is_variance(spark, sf_dir):
+    from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["q_cov_matrix"](spark, sf_dir).toPandas()
+    diag = out[out["ki"] == out["kj"]]
+    assert len(diag) > 0
+    assert (diag["cov"] >= 0).all()  # variances are non-negative
+    assert (out["ki"] <= out["kj"]).all()  # triangular storage
+
+
+def test_portfolio_vol_bounds(spark, sf_dir):
+    from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
+
+    cov = QUERIES["q_cov_matrix"](spark, sf_dir).toPandas()
+    out = QUERIES["q_portfolio_vol"](spark, sf_dir).toPandas().iloc[0]
+    # portfolio variance is positive and no larger than the max diagonal
+    max_var = cov[cov["ki"] == cov["kj"]]["cov"].max()
+    assert 0 < out["port_var"] <= max_var
+    assert abs(out["port_vol"] ** 2 - out["port_var"]) < 1e-3
+
+
+def test_hhi_monopoly_is_10000(spark):
+    from fortune_500_financial_insights_pipeline_spark.queries import QUERIES  # noqa: F401
+    from pyspark.sql import functions as F  # noqa: F401
+
+    # single supplier in a nation => HHI exactly 10000 by construction
+    # (construct directly on the operator's algebra)
+    df = spark.createDataFrame([(1, 10, 500_00)], ["nat", "supp", "rev"])
+    tot = df.groupBy("nat").agg(F.sum("rev").alias("t"))
+    share = F.col("rev").cast("double") / F.col("t")
+    from fortune_500_financial_insights_pipeline_spark.functions.deterministic import dsum
+
+    got = (
+        df.join(tot, "nat")
+        .groupBy("nat")
+        .agg(F.round(dsum(share * share * 10000), 6).alias("hhi"))
+        .collect()[0]["hhi"]
+    )
+    assert got == 10000.0
