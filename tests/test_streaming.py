@@ -729,3 +729,78 @@ def test_streaming_mv_merge_equals_batch_aggregate(spark, tmp_path):
     mv_merge_batch_fn(["g"], "v", state2)(whole, 0)
     got2 = {tuple(r) for r in read_view(spark, state2, ["g"]).collect()}
     assert got2 == expect
+
+
+def test_streaming_drift_monitor_matches_batch_psi(spark, tmp_path):
+    """The running streamed PSI after the final micro-batch must equal
+    operators/stats.psi on (reference ∪ streamed-so-far) exactly — same
+    union bin set, same Laplace smoothing, same fixed-point fold."""
+    from fortune_500_financial_insights_pipeline_spark.operators.stats import psi
+    from fortune_500_financial_insights_pipeline_spark.streaming.drift import (
+        bin_counts,
+        drift_monitor_stream,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "drift_state")
+    got: dict[str, float] = {}
+
+    def emit(df, batch_id):
+        r = df.collect()[0]
+        got.update({"psi": r.psi, "n_ref": r.n_ref, "n_new": r.n_new})
+
+    ref_rows = spark.createDataFrame(
+        [(float(v % 10) / 10,) for v in range(200)], ["v"]
+    )
+    ref_bins = bin_counts(ref_rows, "v", 10, 0.0, 1.0)
+
+    b1 = spark.createDataFrame([(float(v % 5) / 10,) for v in range(80)], ["v"])
+    b2 = spark.createDataFrame([(float(v % 3) / 10,) for v in range(40)], ["v"])
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("v double").parquet(src)
+    q = (
+        drift_monitor_stream(stream, ref_bins, "v", state, emit, 10, 0.0, 1.0)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    b2.coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    both = (
+        ref_rows.selectExpr("'ref' AS g", "v")
+        .unionByName(b1.unionByName(b2).selectExpr("'new' AS g", "v"))
+    )
+    expect = psi(both, "g", "v", "ref", "new", n_bins=10, lo=0.0, hi=1.0).collect()[0]
+    assert got["psi"] == expect.psi
+    assert got["n_ref"] == expect.n_ref == 200
+    assert got["n_new"] == expect.n_new == 120
+
+
+def test_streaming_drift_monitor_skips_replayed_batch(spark, tmp_path):
+    """Addition is not idempotent: replaying an already-folded batch id
+    through the foreachBatch fn must leave the state untouched."""
+    from fortune_500_financial_insights_pipeline_spark.streaming.drift import (
+        bin_counts,
+        drift_monitor_batch_fn,
+    )
+
+    state = str(tmp_path / "drift_state")
+    import os
+
+    os.makedirs(state, exist_ok=True)
+    seen = []
+
+    def emit(df, batch_id):
+        seen.append(df.collect()[0].n_new)
+
+    ref = bin_counts(
+        spark.createDataFrame([(0.1,), (0.9,)], ["v"]), "v", 10, 0.0, 1.0
+    )
+    fn = drift_monitor_batch_fn(ref, "v", state, emit, 10, 0.0, 1.0)
+    batch = spark.createDataFrame([(0.5,)] * 7, ["v"])
+    fn(batch, 0)
+    fn(batch, 0)  # replay: must be skipped
+    fn(batch, 1)
+    assert seen == [7, 14]
