@@ -88,6 +88,23 @@ HEADLINE = [
     "q_zorder",
     "q_weighted_median",
     "q_theil_sen",
+    # round-2m additions
+    "q_drawdown",
+    "q_var_es",
+    "q_shortest_path",
+    "q_ks_test",
+    "q_code_detect",
+    "q_perplexity_bucket",
+    "q_auc",
+    "q_chi2",
+    "q_woe_iv",
+    "q_psi",
+    "q_sorted_neighborhood",
+    "q_window_pct",
+    "q_hhi",
+    "q_prefix_dedup",
+    "q_cov_matrix",
+    "q_portfolio_vol",
 ]
 
 # DuckDB oracle wall-clock on the SAME queries at sf0.1, best-of-2, measured
@@ -122,6 +139,12 @@ DUCKDB_BASELINE_SF01: dict[str, float | None] = {
     "q_column_profile": 0.01, "q_transition_matrix": 0.0865,
     "q_interval_coverage": 0.1873, "q_ewma": 0.1201, "q_mutual_knn": 0.0535,
     "q_zorder": 0.0409, "q_weighted_median": 0.1532, "q_theil_sen": 0.0329,
+    "q_drawdown": 0.0581, "q_var_es": 0.0497, "q_shortest_path": 0.924,
+    "q_ks_test": 0.022, "q_code_detect": 0.0185,
+    "q_perplexity_bucket": 0.1085, "q_auc": 0.1942, "q_chi2": 0.0347,
+    "q_woe_iv": 0.203, "q_psi": 0.0107, "q_sorted_neighborhood": 0.0499,
+    "q_window_pct": 0.0412, "q_hhi": 0.0451, "q_prefix_dedup": 0.0765,
+    "q_cov_matrix": 0.1682, "q_portfolio_vol": 0.1301,
 }
 
 
