@@ -384,3 +384,53 @@ def psi(
             (F.sum("__cn") - F.count(F.lit(1))).cast("long").alias("n_new"),
         )
     )
+
+
+# Cramer's-rule determinant expressions for the 2-feature OLS normal
+# equations, written ONCE as SQL text and used verbatim by BOTH engines
+# (F.expr here, pasted into the DuckDB oracle) — identical parse, identical
+# IEEE evaluation order, so the coefficients are bit-exact cross-engine.
+OLS2_DET = "(n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2))"
+OLS2_DET0 = "(sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y))"
+OLS2_DET1 = "(n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2))"
+OLS2_DET2 = "(n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2))"
+
+
+def ols2(
+    df: DataFrame,
+    group_cols: list[str],
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+) -> DataFrame:
+    """Two-feature OLS with intercept per group, solved in closed form:
+    one pass accumulates the normal-equation moment sums (all exact
+    fixed-point folds), then Cramer's rule on the 3×3 system yields
+    β₀, β₁, β₂ as pure column expressions — multiple regression as
+    relational algebra, no solver, no collect, no iteration (the
+    multi-feature step up from the regr_* aggregate family).
+
+    The determinant arithmetic is shared SQL text (OLS2_DET*) evaluated
+    by both engines, so results hash-match exactly. One hash aggregate;
+    shuffle carries 9 moments per group."""
+    from fortune_500_financial_insights_pipeline_spark.functions.deterministic import dsum
+
+    x1, x2, yv = F.col(x1_col), F.col(x2_col), F.col(y_col)
+    mom = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(x1).alias("s1"),
+        dsum(x2).alias("s2"),
+        dsum(yv).alias("sy"),
+        dsum(x1 * x1).alias("s11"),
+        dsum(x1 * x2).alias("s12"),
+        dsum(x2 * x2).alias("s22"),
+        dsum(x1 * yv).alias("s1y"),
+        dsum(x2 * yv).alias("s2y"),
+    )
+    return mom.select(
+        *group_cols,
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(F.expr(f"{OLS2_DET0} / {OLS2_DET}"), 6).alias("beta0"),
+        F.round(F.expr(f"{OLS2_DET1} / {OLS2_DET}"), 6).alias("beta1"),
+        F.round(F.expr(f"{OLS2_DET2} / {OLS2_DET}"), 6).alias("beta2"),
+    )

@@ -5555,3 +5555,51 @@ WITH daily AS (
 )
 SELECT n_pairs, port_var, ROUND(SQRT(port_var), 6) AS port_vol FROM folded
 """
+
+
+ORACLES["q_ols_multi"] = """
+WITH mom AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         (CAST(SUM(CAST(ROUND((l_quantity) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS s1,
+         (CAST(SUM(CAST(ROUND((l_discount) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS s2,
+         (CAST(SUM(CAST(ROUND((l_extendedprice) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS sy,
+         (CAST(SUM(CAST(ROUND((l_quantity * l_quantity) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS s11,
+         (CAST(SUM(CAST(ROUND((l_quantity * l_discount) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS s12,
+         (CAST(SUM(CAST(ROUND((l_discount * l_discount) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS s22,
+         (CAST(SUM(CAST(ROUND((l_quantity * l_extendedprice) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS s1y,
+         (CAST(SUM(CAST(ROUND((l_discount * l_extendedprice) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS s2y
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       ROUND((sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y)) / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)), 6) AS beta0,
+       ROUND((n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2)) / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)), 6) AS beta1,
+       ROUND((n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2)) / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)), 6) AS beta2
+FROM mom ORDER BY l_returnflag
+"""
+
+ORACLES["q_scd2_lookup"] = """
+WITH nonp AS (
+  SELECT user_id, ts, event_type FROM events WHERE event_type <> 'purchase'
+), marked AS (
+  SELECT user_id, ts, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM nonp
+), changed AS (
+  SELECT user_id, ts, event_type FROM marked
+  WHERE prev IS NULL OR event_type <> prev
+), hist AS (
+  SELECT user_id, event_type, ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+  FROM changed
+), facts AS (
+  SELECT user_id, ts AS p_ts, value AS amount FROM events WHERE event_type = 'purchase'
+)
+SELECT f.user_id,
+       strftime(f.p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       ROUND(CAST(f.amount AS DOUBLE), 6) AS amount,
+       h.event_type AS state
+FROM facts f JOIN hist h ON f.user_id = h.user_id
+WHERE f.p_ts >= h.valid_from AND (h.valid_to IS NULL OR f.p_ts < h.valid_to)
+"""

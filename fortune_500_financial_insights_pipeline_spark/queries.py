@@ -4260,3 +4260,47 @@ def q_portfolio_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cov = QUERIES["q_cov_matrix"](spark, sf_dir)
     return portfolio_volatility(cov, n_assets=10)
+
+
+@q("q_ols_multi")
+def q_ols_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature OLS per return flag (operators/stats.ols2): price
+    regressed on quantity and discount via closed-form normal equations
+    — the multi-feature step beyond q_regr_agg's regr_* family, still
+    one exact aggregate pass and zero iteration."""
+    from fortune_500_financial_insights_pipeline_spark.operators.stats import ols2
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return ols2(
+        li, ["l_returnflag"], "l_extendedprice", "l_quantity", "l_discount"
+    ).orderBy("l_returnflag")
+
+
+@q("q_scd2_lookup")
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal point-in-time enrichment: each purchase event looks up
+    the SCD2 activity-state episode (operators/scd.scd2 over the user's
+    non-purchase events) covering its timestamp — the dimension-lookup
+    join every warehouse runs against slowly-changing dims. Equi-join on
+    the user key + interval containment; per-user episode counts bound
+    the fan-out, so no interval binning is needed."""
+    from fortune_500_financial_insights_pipeline_spark.operators.scd import scd2
+
+    e = load_table(spark, sf_dir, "events")
+    hist = scd2(
+        e.where(F.col("event_type") != "purchase"), ["user_id"], "ts", ["event_type"]
+    )
+    facts = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("amount")
+    )
+    j = facts.join(hist, "user_id").where(
+        (F.col("p_ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("p_ts") < F.col("valid_to")))
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return j.select(
+        "user_id",
+        F.date_format("p_ts", fmt).alias("purchase_ts"),
+        F.round(F.col("amount").cast("double"), 6).alias("amount"),
+        F.col("event_type").alias("state"),
+    )

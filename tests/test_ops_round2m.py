@@ -221,3 +221,28 @@ def test_hhi_monopoly_is_10000(spark):
         .collect()[0]["hhi"]
     )
     assert got == 10000.0
+
+
+def test_ols2_recovers_exact_plane(spark):
+    """y = 2 + 3*x1 - 4*x2 exactly => betas recovered exactly."""
+    from fortune_500_financial_insights_pipeline_spark.operators.stats import ols2
+
+    rows = [
+        ("g", float(x1), float(x2), 2.0 + 3.0 * x1 - 4.0 * x2)
+        for x1 in range(5)
+        for x2 in range(5)
+    ]
+    df = spark.createDataFrame(rows, ["g", "x1", "x2", "y"])
+    r = ols2(df, ["g"], "y", "x1", "x2").collect()[0]
+    assert (r["beta0"], r["beta1"], r["beta2"]) == (2.0, 3.0, -4.0)
+    assert r["n_rows"] == 25
+
+
+def test_scd2_lookup_unique_episode_per_fact(spark, sf_dir):
+    """SCD2 episodes partition time per user, so every purchase matches
+    at most one episode — the join must not fan out."""
+    from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["q_scd2_lookup"](spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert not out.duplicated(subset=["user_id", "purchase_ts", "amount"]).any()
