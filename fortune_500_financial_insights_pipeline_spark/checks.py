@@ -227,3 +227,37 @@ def benford_digit_audit(df: DataFrame, amount_col: str) -> DataFrame:
         exp_share.alias("exp_share"),
         (obs - exp_share).alias("dev"),
     )
+
+
+def fd_audit(df, fds):
+    """Functional-dependency audit: for each candidate FD X → Y, count
+    determinant keys and keys where Y is NOT unique — the
+    schema-discovery profiling step (Deequ/metanome-style) that
+    validates assumed keys and uncovers denormalization damage before a
+    MERGE or dim build trusts them.
+
+    ``fds`` is a list of (name, det_col, dep_col). One hash aggregate
+    per FD over (det, dep) distinct pairs — shuffles bounded by key
+    cardinality; results union into one tiny report frame."""
+    from pyspark.sql import functions as F
+
+    reports = []
+    for name, det, dep in fds:
+        per_key = (
+            df.select(F.col(det).alias("__k"), F.col(dep).alias("__v"))
+            .groupBy("__k")
+            .agg(F.countDistinct("__v").alias("__nv"))
+        )
+        rep = per_key.agg(
+            F.lit(name).alias("fd"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.when(F.col("__nv") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating_keys"),
+            (F.max("__nv") <= 1).alias("holds"),
+        )
+        reports.append(rep)
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 
 def connected_components(
@@ -208,3 +209,56 @@ def bfs_hops(
             .localCheckpoint(eager=False)
         )
     return labels
+
+
+def hash_guided_walks(
+    edges: DataFrame,
+    seeds: DataFrame,
+    steps: int = 4,
+    src: str = "id_a",
+    dst: str = "id_b",
+    seed_col: str = "id",
+) -> DataFrame:
+    """DeepWalk-style walk corpus with DETERMINISTIC next-hop choice:
+    from each seed, ``steps`` hops where the next node is the neighbor
+    minimizing md5(walk_id | step | neighbor) — a keyed-hash stand-in
+    for the uniform random choice (same marginal behavior on
+    high-entropy ids, but replayable, partition-invariant, and
+    oracle-checkable, the property every sampler in this repo holds).
+    Graph-to-sequence generation is how node-embedding training data
+    gets made; determinism is what lets two runs of a 100 TB pipeline
+    agree.
+
+    Per step: one vertex-keyed equi-join frontier×edges, then a
+    row_number()=1 argmin per walk over the candidate hash — never
+    materializing more than (walks × degree) candidate rows, cut back to
+    one row per walk before the next hop. localCheckpoint per step keeps
+    driver analysis linear in ``steps``.
+
+    Returns (walk_id, step, node) with step 0 = the seed itself.
+    """
+    both = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    both = both.distinct().localCheckpoint(eager=False)
+    cur = seeds.select(
+        F.col(seed_col).alias("walk_id"), F.col(seed_col).alias("node")
+    ).distinct()
+    out = cur.select("walk_id", F.lit(0).alias("step"), "node")
+    for t in range(1, steps + 1):
+        cand = cur.join(both, cur.node == both.u).select(
+            "walk_id",
+            F.col("v").alias("nbr"),
+            F.md5(
+                F.concat_ws("|", F.col("walk_id"), F.lit(str(t)), F.col("v"))
+            ).alias("__h"),
+        )
+        w = W.partitionBy("walk_id").orderBy("__h", "nbr")
+        cur = (
+            cand.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("walk_id", F.col("nbr").alias("node"))
+            .localCheckpoint(eager=False)
+        )
+        out = out.unionByName(cur.select("walk_id", F.lit(t).alias("step"), "node"))
+    return out

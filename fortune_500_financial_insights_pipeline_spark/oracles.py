@@ -5603,3 +5603,88 @@ SELECT f.user_id,
 FROM facts f JOIN hist h ON f.user_id = h.user_id
 WHERE f.p_ts >= h.valid_from AND (h.valid_to IS NULL OR f.p_ts < h.valid_to)
 """
+
+
+ORACLES["q_random_walk"] = """
+WITH walk_edges AS (
+  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS u,
+         CAST(1000000 + o_custkey AS BIGINT) AS v
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), walk_both AS (
+  SELECT u, v FROM walk_edges UNION SELECT v AS u, u AS v FROM walk_edges
+), s0 AS (
+  SELECT DISTINCT CAST(s_suppkey AS BIGINT) AS walk_id,
+         CAST(s_suppkey AS BIGINT) AS node
+  FROM supplier WHERE s_suppkey <= 5
+), s1 AS (
+  SELECT walk_id, 1 AS step, node FROM (
+    SELECT c.walk_id, b.v AS node,
+           ROW_NUMBER() OVER (PARTITION BY c.walk_id
+             ORDER BY md5(concat(CAST(c.walk_id AS VARCHAR), '|', '1', '|', CAST(b.v AS VARCHAR))), b.v) AS rn
+    FROM s0 c JOIN walk_both b ON c.node = b.u
+  ) WHERE rn = 1
+), s2 AS (
+  SELECT walk_id, 2 AS step, node FROM (
+    SELECT c.walk_id, b.v AS node,
+           ROW_NUMBER() OVER (PARTITION BY c.walk_id
+             ORDER BY md5(concat(CAST(c.walk_id AS VARCHAR), '|', '2', '|', CAST(b.v AS VARCHAR))), b.v) AS rn
+    FROM s1 c JOIN walk_both b ON c.node = b.u
+  ) WHERE rn = 1
+), s3 AS (
+  SELECT walk_id, 3 AS step, node FROM (
+    SELECT c.walk_id, b.v AS node,
+           ROW_NUMBER() OVER (PARTITION BY c.walk_id
+             ORDER BY md5(concat(CAST(c.walk_id AS VARCHAR), '|', '3', '|', CAST(b.v AS VARCHAR))), b.v) AS rn
+    FROM s2 c JOIN walk_both b ON c.node = b.u
+  ) WHERE rn = 1
+), s4 AS (
+  SELECT walk_id, 4 AS step, node FROM (
+    SELECT c.walk_id, b.v AS node,
+           ROW_NUMBER() OVER (PARTITION BY c.walk_id
+             ORDER BY md5(concat(CAST(c.walk_id AS VARCHAR), '|', '4', '|', CAST(b.v AS VARCHAR))), b.v) AS rn
+    FROM s3 c JOIN walk_both b ON c.node = b.u
+  ) WHERE rn = 1
+)
+SELECT walk_id, CAST(step AS INTEGER) AS step, node FROM (
+  SELECT walk_id, 0 AS step, node FROM s0
+  UNION ALL SELECT * FROM s1
+  UNION ALL SELECT * FROM s2
+  UNION ALL SELECT * FROM s3
+  UNION ALL SELECT * FROM s4
+) ORDER BY walk_id, step
+"""
+
+ORACLES["q_fd_audit"] = """
+WITH f1 AS (
+  SELECT 'partkey_to_brand' AS fd, COUNT(*) AS n_keys,
+         CAST(SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_keys,
+         MAX(nv) <= 1 AS holds
+  FROM (SELECT p_partkey, COUNT(DISTINCT p_brand) AS nv FROM part GROUP BY p_partkey)
+), f2 AS (
+  SELECT 'brand_to_type' AS fd, COUNT(*) AS n_keys,
+         CAST(SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_keys,
+         MAX(nv) <= 1 AS holds
+  FROM (SELECT p_brand, COUNT(DISTINCT p_type) AS nv FROM part GROUP BY p_brand)
+), f3 AS (
+  SELECT 'type_to_size' AS fd, COUNT(*) AS n_keys,
+         CAST(SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_keys,
+         MAX(nv) <= 1 AS holds
+  FROM (SELECT p_type, COUNT(DISTINCT p_size) AS nv FROM part GROUP BY p_type)
+)
+SELECT * FROM f1 UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3
+ORDER BY fd
+"""
+
+ORACLES["q_mix_temperature"] = """
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS N,
+         (CAST(SUM(CAST(ROUND(SQRT(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS Z
+  FROM per_src
+)
+SELECT source, n_docs,
+       ROUND(SQRT(CAST(n_docs AS DOUBLE)) / Z, 6) AS weight,
+       ROUND(SQRT(CAST(n_docs AS DOUBLE)) / Z * N, 6) AS expected_docs
+FROM per_src, tot ORDER BY source
+"""

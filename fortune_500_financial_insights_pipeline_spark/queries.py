@@ -4304,3 +4304,80 @@ def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("amount").cast("double"), 6).alias("amount"),
         F.col("event_type").alias("state"),
     )
+
+
+@q("q_random_walk")
+def q_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-guided walk corpus (operators/graph.
+    hash_guided_walks) over the supplier↔customer trade graph: 4-hop
+    walks from the seed suppliers with the next hop chosen by keyed-md5
+    argmin — graph-to-sequence training-data generation that replays
+    identically on any partitioning, so the oracle can follow every
+    hop."""
+    from fortune_500_financial_insights_pipeline_spark.operators.graph import hash_guided_walks
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("l_suppkey").cast("long").alias("id_a"),
+            (F.lit(1000000) + F.col("o_custkey")).cast("long").alias("id_b"),
+        )
+        .distinct()
+    )
+    seeds = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") <= 5)
+        .select(F.col("s_suppkey").cast("long").alias("id"))
+    )
+    return hash_guided_walks(edges, seeds, steps=4).orderBy("walk_id", "step")
+
+
+@q("q_fd_audit")
+def q_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit (checks.fd_audit) over part: the PK
+    FD (partkey → brand) must hold; brand → type and type → size are the
+    candidate dependencies a schema-discovery profile tests before a
+    MERGE/dim build trusts an assumed key."""
+    from fortune_500_financial_insights_pipeline_spark.checks import fd_audit
+
+    p = load_table(spark, sf_dir, "part")
+    return fd_audit(
+        p,
+        [
+            ("partkey_to_brand", "p_partkey", "p_brand"),
+            ("brand_to_type", "p_brand", "p_type"),
+            ("type_to_size", "p_type", "p_size"),
+        ],
+    ).orderBy("fd")
+
+
+@q("q_mix_temperature")
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (α = 0.5): sampling weights
+    p_i ∝ (n_i/N)^α — the multilingual/multi-source rebalancing formula
+    (mT5-style) that upweights small sources without drowning large
+    ones. α = 0.5 evaluates as sqrt (correctly-rounded IEEE on every
+    engine — general pow is NOT cross-engine-stable, so the operator
+    pins the exponent). Expected per-epoch doc counts come from the
+    weights; two tiny aggregates."""
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per_src.agg(
+        F.sum("n_docs").alias("__N"),
+        dsum(F.sqrt(F.col("n_docs").cast("double"))).alias("__Z"),
+    )
+    # sqrt(n_i/N)/Σ sqrt(n_j/N) == sqrt(n_i)/Σ sqrt(n_j): fold the exact
+    # integer counts, normalize once (single fixed-order expression)
+    w_col = F.sqrt(F.col("n_docs").cast("double")) / F.col("__Z")
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round(w_col, 6).alias("weight"),
+            F.round(w_col * F.col("__N"), 6).alias("expected_docs"),
+        )
+        .orderBy("source")
+    )

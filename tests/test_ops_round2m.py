@@ -246,3 +246,47 @@ def test_scd2_lookup_unique_episode_per_fact(spark, sf_dir):
     out = QUERIES["q_scd2_lookup"](spark, sf_dir).toPandas()
     assert len(out) > 0
     assert not out.duplicated(subset=["user_id", "purchase_ts", "amount"]).any()
+
+
+def test_hash_guided_walks_deterministic_and_valid(spark, sf_dir):
+    from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
+
+    a = QUERIES["q_random_walk"](spark, sf_dir).toPandas()
+    b = (
+        QUERIES["q_random_walk"](spark, sf_dir)
+        .repartition(7)
+        .toPandas()
+        .sort_values(["walk_id", "step"])
+        .reset_index(drop=True)
+    )
+    a = a.sort_values(["walk_id", "step"]).reset_index(drop=True)
+    assert a.equals(b)  # partition-invariant replay
+    # every walk has steps 0..4 and alternates bipartite sides
+    for _, g in a.groupby("walk_id"):
+        assert list(g["step"]) == [0, 1, 2, 3, 4]
+        sides = (g["node"] >= 1_000_000).tolist()
+        assert sides == [False, True, False, True, False]
+
+
+def test_fd_audit_detects_pk_and_violations(spark, sf_dir):
+    from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
+
+    out = {r["fd"]: r for r in QUERIES["q_fd_audit"](spark, sf_dir).collect()}
+    assert out["partkey_to_brand"]["holds"] is True
+    assert out["partkey_to_brand"]["n_violating_keys"] == 0
+    # n_violating_keys > 0 <=> not holds
+    for r in out.values():
+        assert (r["n_violating_keys"] == 0) == r["holds"]
+
+
+def test_mix_temperature_weights_sum_to_one(spark, sf_dir):
+    from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["q_mix_temperature"](spark, sf_dir).toPandas()
+    assert abs(out["weight"].sum() - 1.0) < 1e-4
+    assert abs(out["expected_docs"].sum() - out["n_docs"].sum()) < 1.0
+    # temperature alpha<1 upweights small sources: weight/share ratio is
+    # decreasing in n_docs
+    out = out.sort_values("n_docs")
+    ratio = out["weight"] / (out["n_docs"] / out["n_docs"].sum())
+    assert ratio.is_monotonic_decreasing or len(out) == 1
