@@ -5688,3 +5688,139 @@ SELECT source, n_docs,
        ROUND(SQRT(CAST(n_docs AS DOUBLE)) / Z * N, 6) AS expected_docs
 FROM per_src, tot ORDER BY source
 """
+
+
+ORACLES["q_tokenizer_fertility"] = """
+WITH w0 AS (
+  SELECT word, COUNT(*) AS cnt
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+v0 AS (SELECT word, cnt, string_split(word, '') AS s FROM w0),
+p1 AS (
+  SELECT lhs, rhs, SUM(cnt) AS c FROM (
+    SELECT cnt, s[i] AS lhs, s[i+1] AS rhs
+    FROM (SELECT cnt, s, UNNEST(range(1, len(s))) AS i FROM v0)
+  ) GROUP BY lhs, rhs
+),
+b1 AS (SELECT lhs, rhs, c FROM p1 ORDER BY c DESC, lhs, rhs LIMIT 1),
+s1 AS (
+  SELECT e.word, e.i
+  FROM (SELECT word, s, UNNEST(range(1, len(s))) AS i FROM v0) e, b1
+  WHERE e.s[e.i] = b1.lhs AND e.s[e.i+1] = b1.rhs
+),
+k1 AS (
+  SELECT word, i FROM (
+    SELECT word, i, MIN(i) OVER (PARTITION BY word, g) AS m
+    FROM (SELECT word, i,
+                 i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS g
+          FROM s1)
+  ) WHERE (i - m) % 2 = 0
+),
+v1 AS (
+  SELECT e.word, ANY_VALUE(e.cnt) AS cnt,
+         list(CASE WHEN ka.i IS NOT NULL THEN e.sym || e.nxt ELSE e.sym END
+              ORDER BY e.idx) AS s
+  FROM (SELECT word, cnt, s[idx] AS sym, s[idx+1] AS nxt, idx
+        FROM (SELECT word, cnt, s, UNNEST(range(1, len(s)+1)) AS idx FROM v0)) e
+  LEFT JOIN k1 ka ON e.word = ka.word AND e.idx = ka.i
+  LEFT JOIN k1 kb ON e.word = kb.word AND e.idx = kb.i + 1
+  WHERE kb.i IS NULL
+  GROUP BY e.word
+),
+p2 AS (
+  SELECT lhs, rhs, SUM(cnt) AS c FROM (
+    SELECT cnt, s[i] AS lhs, s[i+1] AS rhs
+    FROM (SELECT cnt, s, UNNEST(range(1, len(s))) AS i FROM v1)
+  ) GROUP BY lhs, rhs
+),
+b2 AS (SELECT lhs, rhs, c FROM p2 ORDER BY c DESC, lhs, rhs LIMIT 1),
+s2 AS (
+  SELECT e.word, e.i
+  FROM (SELECT word, s, UNNEST(range(1, len(s))) AS i FROM v1) e, b2
+  WHERE e.s[e.i] = b2.lhs AND e.s[e.i+1] = b2.rhs
+),
+k2 AS (
+  SELECT word, i FROM (
+    SELECT word, i, MIN(i) OVER (PARTITION BY word, g) AS m
+    FROM (SELECT word, i,
+                 i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS g
+          FROM s2)
+  ) WHERE (i - m) % 2 = 0
+),
+v2 AS (
+  SELECT e.word, ANY_VALUE(e.cnt) AS cnt,
+         list(CASE WHEN ka.i IS NOT NULL THEN e.sym || e.nxt ELSE e.sym END
+              ORDER BY e.idx) AS s
+  FROM (SELECT word, cnt, s[idx] AS sym, s[idx+1] AS nxt, idx
+        FROM (SELECT word, cnt, s, UNNEST(range(1, len(s)+1)) AS idx FROM v1)) e
+  LEFT JOIN k2 ka ON e.word = ka.word AND e.idx = ka.i
+  LEFT JOIN k2 kb ON e.word = kb.word AND e.idx = kb.i + 1
+  WHERE kb.i IS NULL
+  GROUP BY e.word
+),
+p3 AS (
+  SELECT lhs, rhs, SUM(cnt) AS c FROM (
+    SELECT cnt, s[i] AS lhs, s[i+1] AS rhs
+    FROM (SELECT cnt, s, UNNEST(range(1, len(s))) AS i FROM v2)
+  ) GROUP BY lhs, rhs
+),
+b3 AS (SELECT lhs, rhs, c FROM p3 ORDER BY c DESC, lhs, rhs LIMIT 1),
+s3 AS (
+  SELECT e.word, e.i
+  FROM (SELECT word, s, UNNEST(range(1, len(s))) AS i FROM v2) e, b3
+  WHERE e.s[e.i] = b3.lhs AND e.s[e.i+1] = b3.rhs
+),
+k3 AS (
+  SELECT word, i FROM (
+    SELECT word, i, MIN(i) OVER (PARTITION BY word, g) AS m
+    FROM (SELECT word, i,
+                 i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS g
+          FROM s3)
+  ) WHERE (i - m) % 2 = 0
+),
+v3 AS (
+  SELECT e.word, ANY_VALUE(e.cnt) AS cnt,
+         list(CASE WHEN ka.i IS NOT NULL THEN e.sym || e.nxt ELSE e.sym END
+              ORDER BY e.idx) AS s
+  FROM (SELECT word, cnt, s[idx] AS sym, s[idx+1] AS nxt, idx
+        FROM (SELECT word, cnt, s, UNNEST(range(1, len(s)+1)) AS idx FROM v2)) e
+  LEFT JOIN k3 ka ON e.word = ka.word AND e.idx = ka.i
+  LEFT JOIN k3 kb ON e.word = kb.word AND e.idx = kb.i + 1
+  WHERE kb.i IS NULL
+  GROUP BY e.word
+),
+toks AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+  ) WHERE word <> ''
+), perdoc AS (
+  SELECT t.doc_id,
+         CAST(SUM(len(v.s)) AS BIGINT) AS bpe,
+         CAST(COUNT(*) AS BIGINT) AS ws
+  FROM toks t JOIN v3 v USING (word)
+  GROUP BY t.doc_id
+)
+SELECT d.lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(p.ws) AS BIGINT) AS ws_tokens,
+       CAST(SUM(p.bpe) AS BIGINT) AS bpe_tokens,
+       ROUND(CAST(SUM(p.bpe) AS DOUBLE) / CAST(SUM(p.ws) AS DOUBLE), 6) AS fertility
+FROM perdoc p JOIN documents d USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+ORACLES["q_rendezvous_shard"] = """
+WITH ex AS (
+  SELECT doc_id, s, md5(concat(CAST(doc_id AS VARCHAR), '|', CAST(s AS VARCHAR))) AS h
+  FROM documents, UNNEST(range(0, 9)) t(s)
+), g8 AS (
+  SELECT doc_id, arg_min(s, h) AS shard8 FROM ex WHERE s < 8 GROUP BY doc_id
+), g9 AS (
+  SELECT doc_id, arg_min(s, h) AS shard9 FROM ex GROUP BY doc_id
+)
+SELECT g9.shard9, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN g8.shard8 <> g9.shard9 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+FROM g8 JOIN g9 USING (doc_id)
+GROUP BY g9.shard9 ORDER BY g9.shard9
+"""

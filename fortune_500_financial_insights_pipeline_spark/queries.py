@@ -4381,3 +4381,83 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@q("q_tokenizer_fertility")
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE tokens emitted per
+    whitespace word under the corpus-trained 3-merge model
+    (operators/bpe) — the tokenizer-equity readout multilingual pipelines
+    track (a high-fertility language pays more sequence length for the
+    same text, so it's systematically under-trained at fixed token
+    budgets). Composes bpe_train → bpe_segment → per-lang ratio of exact
+    token counts."""
+    from fortune_500_financial_insights_pipeline_spark.operators.bpe import (
+        bpe_segment,
+        bpe_train,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = [(r["lhs"], r["rhs"]) for r in bpe_train(d, n_merges=3).collect()]
+    bpe_per_doc = (
+        bpe_segment(d, merges)
+        .groupBy("doc_id")
+        .agg(F.sum("n").cast("long").alias("__bpe"))
+    )
+    ws_per_doc = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias("__ws"),
+        )
+    )
+    j = ws_per_doc.join(bpe_per_doc, "doc_id")
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__ws").cast("long").alias("ws_tokens"),
+            F.sum("__bpe").cast("long").alias("bpe_tokens"),
+            F.round(
+                F.sum("__bpe").cast("double") / F.sum("__ws").cast("double"), 6
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
+@q("q_rendezvous_shard")
+def q_rendezvous_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding + rebalance audit:
+    each doc's shard is argmin over shards of md5(doc|shard); growing
+    the ring 8 → 9 shards moves ONLY docs whose new minimum is the new
+    shard — the consistent-hashing property that makes shard scale-out
+    cheap (~1/9 of docs move, none shuffle between old shards). Output
+    per new-ring shard: doc count and how many arrived by moving.
+    All hashing is keyed md5 — deterministic, partition-invariant,
+    oracle-replayable."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    exploded = d.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(8))).alias("s")
+    ).select(
+        "doc_id",
+        "s",
+        F.md5(F.concat_ws("|", F.col("doc_id"), F.col("s"))).alias("__h"),
+    )
+    g8 = (
+        exploded.where(F.col("s") < 8)
+        .groupBy("doc_id")
+        .agg(F.min_by("s", "__h").alias("shard8"))
+    )
+    g9 = exploded.groupBy("doc_id").agg(F.min_by("s", "__h").alias("shard9"))
+    j = g8.join(g9, "doc_id")
+    return (
+        j.groupBy("shard9")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("shard8") != F.col("shard9"), 1).otherwise(0)
+            ).cast("long").alias("n_moved"),
+        )
+        .orderBy("shard9")
+    )

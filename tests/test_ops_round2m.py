@@ -290,3 +290,27 @@ def test_mix_temperature_weights_sum_to_one(spark, sf_dir):
     out = out.sort_values("n_docs")
     ratio = out["weight"] / (out["n_docs"] / out["n_docs"].sum())
     assert ratio.is_monotonic_decreasing or len(out) == 1
+
+
+def test_rendezvous_only_new_shard_receives_moves(spark, sf_dir):
+    from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
+
+    out = {r["shard9"]: r for r in QUERIES["q_rendezvous_shard"](spark, sf_dir).collect()}
+    # consistent-hashing property: docs only ever move TO the new shard
+    for s, r in out.items():
+        if s == 8:
+            assert r["n_moved"] == r["n_docs"] > 0
+        else:
+            assert r["n_moved"] == 0
+    total = sum(r["n_docs"] for r in out.values())
+    assert 0 < out[8]["n_docs"] < total / 4  # ~1/9 of docs
+
+
+def test_tokenizer_fertility_at_least_one(spark, sf_dir):
+    from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["q_tokenizer_fertility"](spark, sf_dir).toPandas()
+    assert len(out) >= 2
+    # every whitespace word yields >= 1 BPE token
+    assert (out["fertility"] >= 1.0).all()
+    assert (out["bpe_tokens"] >= out["ws_tokens"]).all()
