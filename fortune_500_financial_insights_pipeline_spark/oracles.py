@@ -5824,3 +5824,64 @@ SELECT g9.shard9, COUNT(*) AS n_docs,
 FROM g8 JOIN g9 USING (doc_id)
 GROUP BY g9.shard9 ORDER BY g9.shard9
 """
+
+
+ORACLES["q_fifo_pnl"] = """
+WITH li AS (
+  SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
+         CAST(l_quantity AS BIGINT) AS qty,
+         FLOOR(l_extendedprice / l_quantity * 1000000.0) / 1000000.0 AS unit_price
+  FROM lineitem
+), b AS (
+  SELECT l_partkey, unit_price AS b_unit_price,
+         SUM(qty) OVER w - qty AS b_lo, SUM(qty) OVER w AS b_hi
+  FROM li WHERE l_linenumber % 2 = 1
+  WINDOW w AS (PARTITION BY l_partkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), s AS (
+  SELECT l_partkey, unit_price AS s_unit_price,
+         SUM(qty) OVER w - qty AS s_lo, SUM(qty) OVER w AS s_hi
+  FROM li WHERE l_linenumber % 2 = 0
+  WINDOW w AS (PARTITION BY l_partkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), m AS (
+  SELECT b.l_partkey,
+         LEAST(b_hi, s_hi) - GREATEST(b_lo, s_lo) AS matched_qty,
+         b_unit_price, s_unit_price
+  FROM b JOIN s USING (l_partkey)
+  WHERE b_lo < s_hi AND s_lo < b_hi
+)
+SELECT l_partkey,
+       COUNT(*) AS n_matches,
+       CAST(SUM(matched_qty) AS BIGINT) AS matched_qty,
+       ROUND(CAST(SUM(CAST(ROUND((CAST(matched_qty AS DOUBLE) * (s_unit_price - b_unit_price)) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS realized_pnl
+FROM m GROUP BY l_partkey ORDER BY l_partkey
+"""
+
+ORACLES["q_top_paths"] = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_no
+  FROM marked
+), numbered AS (
+  SELECT user_id, sess_no, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, sess_no ORDER BY ts, event_id) AS rn
+  FROM sess
+), paths AS (
+  SELECT user_id, sess_no,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM numbered WHERE rn <= 3
+  GROUP BY user_id, sess_no
+)
+SELECT path, COUNT(*) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path LIMIT 15
+"""

@@ -4461,3 +4461,96 @@ def q_rendezvous_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard9")
     )
+
+
+@q("q_fifo_pnl")
+def q_fifo_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO realized P&L per part (operators/fifo.fifo_match): odd line
+    numbers act as inventory lots, even as consuming fills; the
+    sequential pop-the-oldest-lot allocation is rewritten as
+    running-total interval overlap — one window per side + one keyed
+    join, fully parallel per part. Matched quantities are exact longs;
+    P&L folds unit-price differences in fixed point."""
+    from fortune_500_financial_insights_pipeline_spark.operators.fifo import fifo_match
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        F.col("l_quantity").cast("long").alias("qty"),
+        # floor-based fixed point: ROUND() midpoints can fall either way
+        # across engines on raw quotients; floor of the identical double
+        # cannot
+        (
+            F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 1000000.0)
+            / 1000000.0
+        ).alias("unit_price"),
+    )
+    buys = li.where(F.col("l_linenumber") % 2 == 1)
+    sells = li.where(F.col("l_linenumber") % 2 == 0)
+    m = fifo_match(
+        buys,
+        sells,
+        ["l_partkey"],
+        ["l_shipdate", "l_orderkey", "l_linenumber"],
+        "qty",
+    )
+    pnl = F.col("matched_qty").cast("double") * (
+        F.col("s_unit_price") - F.col("b_unit_price")
+    )
+    return (
+        m.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.sum("matched_qty").cast("long").alias("matched_qty"),
+            F.round(dsum(pnl), 6).alias("realized_pnl"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+@q("q_top_paths")
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session-entry paths: sessionize events per user (30-min gap,
+    the q_gaps_islands idiom), concatenate each session's first three
+    event types, and rank path frequencies — the "how do sessions start"
+    product-analytics readout. Window family shares one (user, ts) sort;
+    the path frame is session-sized before the count shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = F.col("ts").cast("timestamp").cast("long")
+    gap = ts_s - F.lag(ts_s).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(new_sess).over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("sess_no"),
+    )
+    ws = W.partitionBy("user_id", "sess_no").orderBy("ts", "event_id")
+    # collect_list order is partition-dependent; build the path from the
+    # rn-keyed struct sort instead so the string is deterministic
+    path = (
+        sess.withColumn("rn", F.row_number().over(ws))
+        .where(F.col("rn") <= 3)
+        .groupBy("user_id", "sess_no")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        path.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(15)
+    )

@@ -314,3 +314,57 @@ def test_tokenizer_fertility_at_least_one(spark, sf_dir):
     # every whitespace word yields >= 1 BPE token
     assert (out["fertility"] >= 1.0).all()
     assert (out["bpe_tokens"] >= out["ws_tokens"]).all()
+
+
+def test_fifo_match_hand_example(spark):
+    """Buys [5, 3], sells [4, 4] FIFO: lot1->sell1 4, lot1->sell2 1,
+    lot2->sell2 3."""
+    from fortune_500_financial_insights_pipeline_spark.operators.fifo import fifo_match
+
+    buys = spark.createDataFrame(
+        [("p", 1, 5, 10.0), ("p", 2, 3, 12.0)], ["k", "seq", "qty", "price"]
+    )
+    sells = spark.createDataFrame(
+        [("p", 1, 4, 11.0), ("p", 2, 4, 13.0)], ["k", "seq", "qty", "price"]
+    )
+    m = fifo_match(buys, sells, ["k"], ["seq"], "qty").collect()
+    got = sorted((r["b_seq"], r["s_seq"], r["matched_qty"]) for r in m)
+    assert got == [(1, 1, 4), (1, 2, 1), (2, 2, 3)]
+
+
+def test_fifo_conservation(spark, sf_dir):
+    """Total matched quantity == min(total buys, total sells) per part
+    (FIFO allocates until one side is exhausted)."""
+    from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
+    from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_linenumber", F.col("l_quantity").cast("long").alias("qty")
+    )
+    buys = li.where(F.col("l_linenumber") % 2 == 1).groupBy("l_partkey").agg(
+        F.sum("qty").alias("b")
+    )
+    sells = li.where(F.col("l_linenumber") % 2 == 0).groupBy("l_partkey").agg(
+        F.sum("qty").alias("s")
+    )
+    expect = (
+        buys.join(sells, "l_partkey")
+        .select("l_partkey", F.least("b", "s").alias("m"))
+        .toPandas()
+        .set_index("l_partkey")["m"]
+    )
+    got = (
+        QUERIES["q_fifo_pnl"](spark, sf_dir)
+        .toPandas()
+        .set_index("l_partkey")["matched_qty"]
+    )
+    assert got.sort_index().equals(expect.sort_index().astype(got.dtype))
+
+
+def test_top_paths_are_bounded_and_ranked(spark, sf_dir):
+    from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["q_top_paths"](spark, sf_dir).toPandas()
+    assert 0 < len(out) <= 15
+    assert out["n_sessions"].is_monotonic_decreasing
+    assert (out["path"].str.count(">") <= 2).all()
