@@ -5885,3 +5885,52 @@ SELECT path, COUNT(*) AS n_sessions
 FROM paths GROUP BY path
 ORDER BY n_sessions DESC, path LIMIT 15
 """
+
+
+ORACLES["q_wilson_ci"] = """
+WITH agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CASE WHEN n_chars > 200 THEN 1 ELSE 0 END) AS DOUBLE) AS k
+  FROM documents GROUP BY source
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n_docs,
+       CAST(k AS BIGINT) AS n_long,
+       ROUND(k / n, 6) AS rate,
+       ROUND(((k / n + (1.96 * 1.96) / (2.0 * n)) / (1.0 + (1.96 * 1.96) / n))
+             - (1.96 * SQRT((k / n) * (1.0 - k / n) / n + (1.96 * 1.96) / (4.0 * n * n))
+                / (1.0 + (1.96 * 1.96) / n)), 6) AS ci_lo,
+       ROUND(((k / n + (1.96 * 1.96) / (2.0 * n)) / (1.0 + (1.96 * 1.96) / n))
+             + (1.96 * SQRT((k / n) * (1.0 - k / n) / n + (1.96 * 1.96) / (4.0 * n * n))
+                / (1.0 + (1.96 * 1.96) / n)), 6) AS ci_hi
+FROM agg ORDER BY source
+"""
+
+ORACLES["q_mann_kendall"] = """
+WITH daily AS (
+  SELECT l_suppkey,
+         strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS day,
+         ROUND((CAST(SUM(CAST(ROUND((l_extendedprice) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) / COUNT(*), 6) AS close
+  FROM lineitem WHERE l_suppkey <= 10
+  GROUP BY l_suppkey, strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')
+), pairs AS (
+  SELECT a.l_suppkey,
+         CASE WHEN b.close > a.close THEN 1 WHEN b.close < a.close THEN -1 ELSE 0 END AS sgn
+  FROM daily a JOIN daily b ON a.l_suppkey = b.l_suppkey AND a.day < b.day
+)
+SELECT l_suppkey,
+       CAST(SUM(sgn) AS BIGINT) AS s_stat,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(SUM(sgn) AS DOUBLE) / COUNT(*), 6) AS tau
+FROM pairs GROUP BY l_suppkey ORDER BY l_suppkey
+"""
+
+ORACLES["q_vwap"] = """
+SELECT l_suppkey,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+       ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) / 100.0, 6) AS vwap
+FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey
+"""

@@ -4554,3 +4554,88 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(15)
     )
+
+
+@q("q_wilson_ci")
+def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score interval (z = 1.96) per source for the long-doc rate
+    (n_chars > 200) — the small-sample-honest proportion CI a quality
+    dashboard should quote instead of p̂ ± wald (which collapses at 0/1
+    and small n). sqrt is correctly-rounded IEEE on every engine, so the
+    bounds are oracle-exact with no fixed-point gymnastics beyond the
+    count aggregates."""
+    d = load_table(spark, sf_dir, "documents")
+    agg = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(F.when(F.col("n_chars") > 200, 1).otherwise(0))
+        .cast("double")
+        .alias("__k"),
+    )
+    z2 = 1.96 * 1.96
+    p = F.col("__k") / F.col("__n")
+    n = F.col("__n")
+    denom = 1.0 + z2 / n
+    center = (p + z2 / (2.0 * n)) / denom
+    half = F.lit(1.96) * F.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n)) / denom
+    return agg.select(
+        "source",
+        F.col("__n").cast("long").alias("n_docs"),
+        F.col("__k").cast("long").alias("n_long"),
+        F.round(p, 6).alias("rate"),
+        F.round(center - half, 6).alias("ci_lo"),
+        F.round(center + half, 6).alias("ci_hi"),
+    ).orderBy("source")
+
+
+@q("q_mann_kendall")
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend statistic per supplier price series — the
+    rank-based monotonic-trend test that pairs with q_theil_sen's robust
+    slope (same nonparametric family: MK answers IS there a trend,
+    Theil–Sen answers how steep). S = Σ_{i<j} sign(x_j − x_i) over the
+    AGGREGATE-sized daily series (pairs are series×series within key,
+    never raw rows); exact integer S and Kendall tau-a."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_suppkey") <= 10)
+    daily = li.groupBy(
+        "l_suppkey", F.date_format("l_shipdate", "yyyy-MM-dd").alias("day")
+    ).agg(F.round(davg("l_extendedprice"), 6).alias("close"))
+    a = daily.select("l_suppkey", F.col("day").alias("di"), F.col("close").alias("ci"))
+    b = daily.select("l_suppkey", F.col("day").alias("dj"), F.col("close").alias("cj"))
+    pairs = a.join(b, "l_suppkey").where(F.col("di") < F.col("dj"))
+    sgn = F.when(F.col("cj") > F.col("ci"), 1).when(
+        F.col("cj") < F.col("ci"), -1
+    ).otherwise(0)
+    agg = pairs.groupBy("l_suppkey").agg(
+        F.sum(sgn).cast("long").alias("s_stat"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    return agg.select(
+        "l_suppkey",
+        "s_stat",
+        "n_pairs",
+        F.round(F.col("s_stat").cast("double") / F.col("n_pairs"), 6).alias("tau"),
+    ).orderBy("l_suppkey")
+
+
+@q("q_vwap")
+def q_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price per supplier — the execution
+    benchmark quoted next to TWAP (q_twap): Σ price·qty / Σ qty with
+    both folds exact (price in cents, quantity integral), one hash
+    aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    qty = F.col("l_quantity").cast("long")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(cents * qty).alias("__pq"),
+            F.sum(qty).alias("__q"),
+        )
+        .select(
+            "l_suppkey",
+            F.col("__q").alias("total_qty"),
+            F.round(F.col("__pq").cast("double") / F.col("__q") / 100.0, 6).alias("vwap"),
+        )
+        .orderBy("l_suppkey")
+    )

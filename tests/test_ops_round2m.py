@@ -368,3 +368,44 @@ def test_top_paths_are_bounded_and_ranked(spark, sf_dir):
     assert 0 < len(out) <= 15
     assert out["n_sessions"].is_monotonic_decreasing
     assert (out["path"].str.count(">") <= 2).all()
+
+
+def test_wilson_ci_brackets_rate(spark, sf_dir):
+    from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["q_wilson_ci"](spark, sf_dir).toPandas()
+    assert (out["ci_lo"] <= out["rate"]).all()
+    assert (out["rate"] <= out["ci_hi"]).all()
+    assert (out["ci_lo"] >= 0).all() and (out["ci_hi"] <= 1).all()
+
+
+def test_mann_kendall_monotonic_series(spark):
+    """Strictly increasing series => S = n(n-1)/2, tau = 1."""
+    from pyspark.sql import functions as F
+    from fortune_500_financial_insights_pipeline_spark.queries import QUERIES  # noqa: F401
+
+    rows = [(1, f"d{i:02d}", float(i)) for i in range(10)]
+    daily = spark.createDataFrame(rows, ["k", "day", "close"])
+    a = daily.select("k", F.col("day").alias("di"), F.col("close").alias("ci"))
+    b = daily.select("k", F.col("day").alias("dj"), F.col("close").alias("cj"))
+    pairs = a.join(b, "k").where(F.col("di") < F.col("dj"))
+    sgn = F.when(F.col("cj") > F.col("ci"), 1).when(F.col("cj") < F.col("ci"), -1).otherwise(0)
+    r = pairs.groupBy("k").agg(F.sum(sgn).alias("s"), F.count(F.lit(1)).alias("n")).collect()[0]
+    assert r["s"] == 45 and r["n"] == 45
+
+
+def test_vwap_between_min_max_price(spark, sf_dir):
+    from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+    from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit")
+    )
+    bounds = li.groupBy("l_suppkey").agg(
+        F.min("unit").alias("lo"), F.max("unit").alias("hi")
+    ).toPandas().set_index("l_suppkey")
+    out = QUERIES["q_vwap"](spark, sf_dir).toPandas().set_index("l_suppkey")
+    j = out.join(bounds)
+    # VWAP is the qty-weighted mean EXTENDED price per unit, so it sits
+    # within [min unit price, max unit price] per supplier
+    assert (j["vwap"] >= j["lo"] - 1e-6).all() and (j["vwap"] <= j["hi"] + 1e-6).all()
