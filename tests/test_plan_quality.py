@@ -448,3 +448,49 @@ def test_rrf_fusion_legs_stay_bounded(spark, sf_dir):
     assert not re.search(r"windowspecdefinition\((rrf|total_score|sim)#", plan), (
         "rank window lost its query_id partition key"
     )
+
+
+def test_round2m_ops_avoid_cartesian(spark, sf_dir):
+    """Candidate generation in the new pair-producing operators must ride
+    equi-joins (SN blocking, FIFO key join, covariance day join, BFS/walk
+    vertex joins) — a CartesianProduct or BroadcastNestedLoopJoin in any
+    of these is the all-pairs plan that dies at scale."""
+    for name in [
+        "q_sorted_neighborhood",
+        "q_fifo_pnl",
+        "q_cov_matrix",
+        "q_shortest_path",
+        "q_random_walk",
+        "q_mann_kendall",
+    ]:
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_hhi_and_vwap_partial_aggregate(spark, sf_dir):
+    """The per-key revenue folds must combine map-side: the shuffle carries
+    one row per (nation, supplier) / supplier, not per lineitem."""
+    for name in ["q_hhi", "q_vwap"]:
+        plan = plan_of(spark, sf_dir, name)
+        assert "partial_sum" in plan, name
+
+
+def test_auc_and_ks_shuffle_bounded_by_distinct_values(spark, sf_dir):
+    """The rank/ECDF windows must consume the per-distinct-value aggregate,
+    not raw rows: a partial aggregate runs before any window exchange."""
+    for name in ["q_auc", "q_ks_test"]:
+        plan = plan_of(spark, sf_dir, name)
+        assert "partial_" in plan, name
+        # window input comes from the per-distinct-value aggregate — a
+        # HashAggregate sits BELOW the Window in the tree (plan prints
+        # top-down, so the deepest aggregate appears after the Window)
+        assert plan.rindex("HashAggregate") > plan.index("Window"), name
+
+
+def test_scd2_lookup_is_keyed_join(spark, sf_dir):
+    """The temporal lookup must join on the user key (episode containment
+    applied as a post-filter on the keyed join), never range-join raw."""
+    plan = plan_of(spark, sf_dir, "q_scd2_lookup")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
