@@ -5455,8 +5455,8 @@ FROM cand WHERE levenshtein(name_a, name_b) <= 2
 ORACLES["q_window_pct"] = """
 SELECT l_orderkey, l_linenumber, l_suppkey,
        l_extendedprice AS price,
-       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-       ROUND(CUME_DIST() OVER w, 6) AS cume_dist
+       FLOOR(PERCENT_RANK() OVER w * 1000000) / 1000000 AS pct_rank,
+       FLOOR(CUME_DIST() OVER w * 1000000) / 1000000 AS cume_dist
 FROM lineitem WHERE l_suppkey <= 10
 WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_extendedprice)
 """

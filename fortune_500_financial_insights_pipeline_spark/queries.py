@@ -4166,8 +4166,12 @@ def q_window_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         "l_suppkey",
         F.col("l_extendedprice").alias("price"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+        # floor-based fixed point, not ROUND: rank/n quotients land on
+        # exact decimal midpoints (n = 640 at sf0.001) where HALF_UP vs
+        # engine-native rounding diverge; floor of the identical double
+        # cannot
+        (F.floor(F.percent_rank().over(w) * 1000000) / 1000000).alias("pct_rank"),
+        (F.floor(F.cume_dist().over(w) * 1000000) / 1000000).alias("cume_dist"),
     )
 
 
