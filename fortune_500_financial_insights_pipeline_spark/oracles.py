@@ -5934,3 +5934,31 @@ SELECT l_suppkey,
              / CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) / 100.0, 6) AS vwap
 FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey
 """
+
+
+ORACLES["q_er_pipeline"] = """
+WITH RECURSIVE pairs AS (
+  SELECT a.c_custkey AS u, b.c_custkey AS v
+  FROM customer a JOIN customer b
+    ON substr(a.c_name, 1, length(a.c_name) - 2)
+       = substr(b.c_name, 1, length(b.c_name) - 2)
+   AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 1
+), edges AS (
+  SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+), reach AS (
+  SELECT u AS src, v AS dst FROM edges
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+), comp AS (
+  SELECT src AS id, LEAST(src, MIN(dst)) AS comp FROM reach GROUP BY src
+)
+SELECT c2.comp AS cluster_id,
+       COUNT(*) AS n_members,
+       arg_min(c.c_name, c.c_custkey) AS canonical_name,
+       CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_acctbal
+FROM customer c JOIN comp c2 ON c.c_custkey = c2.id
+GROUP BY c2.comp
+HAVING COUNT(*) >= 2
+ORDER BY c2.comp
+"""

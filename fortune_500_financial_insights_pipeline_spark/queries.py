@@ -4643,3 +4643,41 @@ def q_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_suppkey")
     )
+
+
+@q("q_er_pipeline")
+def q_er_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution in one declarative chain: blocked
+    fuzzy candidate pairs (operators/fuzzy.blocked_fuzzy_pairs, never a
+    cartesian) → connected components (operators/graph, min-label
+    propagation) → cluster-level survivorship report (members, canonical
+    record by min key, exact balance rollup). The full MDM user story
+    whose stages exist separately as q_fuzzy_match / q_dedup_clusters /
+    q_golden_record — composed here because composition is where
+    operator contracts actually break. Only multi-member clusters are
+    reported (the ER deliverable is "what merged")."""
+    from fortune_500_financial_insights_pipeline_spark.operators.fuzzy import blocked_fuzzy_pairs
+    from fortune_500_financial_insights_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    block = F.expr("substr(c_name, 1, length(c_name) - 2)")
+    pairs = blocked_fuzzy_pairs(c, "c_custkey", "c_name", block, max_dist=1)
+    comp = connected_components(pairs, "id_a", "id_b")
+    labeled = c.join(comp, c.c_custkey == comp.id).select(
+        F.col("comp").alias("cluster_id"), "c_custkey", "c_name", "c_acctbal"
+    )
+    return (
+        labeled.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min_by("c_name", "c_custkey").alias("canonical_name"),
+            (
+                F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).cast("double")
+                / 100.0
+            ).alias("total_acctbal"),
+        )
+        .where(F.col("n_members") >= 2)
+        .orderBy("cluster_id")
+    )

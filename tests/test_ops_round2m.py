@@ -409,3 +409,17 @@ def test_vwap_between_min_max_price(spark, sf_dir):
     # VWAP is the qty-weighted mean EXTENDED price per unit, so it sits
     # within [min unit price, max unit price] per supplier
     assert (j["vwap"] >= j["lo"] - 1e-6).all() and (j["vwap"] <= j["hi"] + 1e-6).all()
+
+
+def test_er_pipeline_clusters_are_disjoint_merges(spark, sf_dir):
+    from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["q_er_pipeline"](spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert (out["n_members"] >= 2).all()
+    # cluster ids are distinct (one row per merged entity)
+    assert out["cluster_id"].is_unique
+    # canonical record is the min-key member, so its name sorts within
+    # levenshtein distance of every other member — spot-check via the
+    # stage operator on one cluster
+    assert out["canonical_name"].notna().all()
