@@ -155,3 +155,37 @@ def test_kmv_shuffle_bounded_by_k_per_group(spark, sf_dir):
     # this gate pins the runtime order of magnitude and zero spill
     assert all(s <= 300 for s in shuffles), shuffles
     assert _total_spill(nodes) == 0
+
+
+def test_fifo_join_output_is_match_bounded(spark, sf_dir):
+    """The FIFO interval-overlap join must emit |matches| rows (each lot
+    overlaps only the sells it feeds), never |lots|x|sells| — the runtime
+    proof the interval rewrite stays linear in allocations. Matches are
+    bounded by lots+sells-1 per key (each match closes a lot or a sell)."""
+    from pyspark.sql import functions as F
+
+    from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+    from fortune_500_financial_insights_pipeline_spark.operators.fifo import fifo_match
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    buys = li.where(F.col("l_linenumber") % 2 == 1)
+    sells = li.where(F.col("l_linenumber") % 2 == 0)
+    m = fifo_match(
+        buys, sells, ["l_partkey"], ["l_shipdate", "l_orderkey", "l_linenumber"], "qty"
+    )
+    n_matches = m.count()
+    n_buys, n_sells = buys.count(), sells.count()
+    n_keys = buys.select("l_partkey").distinct().count()
+    assert 0 < n_matches <= n_buys + n_sells  # linear in fills, not quadratic
+    # and well below the all-pairs bound
+    per_key_pairs = (
+        buys.groupBy("l_partkey").count().selectExpr("sum(count * count) AS p").collect()[0]["p"]
+    )
+    assert n_matches < per_key_pairs, (n_matches, per_key_pairs)
+    assert n_keys > 0
