@@ -5962,3 +5962,81 @@ GROUP BY c2.comp
 HAVING COUNT(*) >= 2
 ORDER BY c2.comp
 """
+
+
+ORACLES["q_ranking_metrics"] = """
+WITH tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> ''
+  GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), stats AS (
+  SELECT (SELECT SUM(tf) FROM tf) AS total_tf,
+         (SELECT COUNT(*) FROM documents) AS n_docs
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(LN(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * (1.0 - 0.75
+                                 + 0.75 * dl.dl / (s.total_tf * 1.0 / s.n_docs))),
+               6) AS score
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN dfreq ON tf.term = dfreq.term
+  CROSS JOIN stats s
+), queries(query_id, qtext) AS (
+  VALUES (1, 'spark join hash'),
+         (2, 'window agg sort'),
+         (3, 'stream batch merge')
+), qterms AS (
+  SELECT DISTINCT query_id, term
+  FROM (SELECT query_id, UNNEST(string_split(qtext, ' ')) AS term FROM queries)
+  WHERE term <> ''
+), totals AS (
+  SELECT q.query_id, s.doc_id,
+         ROUND(CAST(SUM(CAST(ROUND(s.score * 1000000) AS BIGINT)) AS DOUBLE)
+               / 1000000, 6) AS total_score
+  FROM scored s JOIN qterms q ON s.term = q.term
+  GROUP BY q.query_id, s.doc_id
+), ranked AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT *, ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY total_score DESC, doc_id ASC
+           ) AS rank
+    FROM totals
+  ) WHERE rank <= 10
+), rel_pairs AS (
+  SELECT q.query_id, t.doc_id,
+         CAST(LEAST(SUM(t.tf), 3) AS INTEGER) AS rel
+  FROM qterms q JOIN tf t ON q.term = t.term
+  GROUP BY q.query_id, t.doc_id
+), jj AS (
+  SELECT r.query_id, r.rank, COALESCE(p.rel, 0) AS rel
+  FROM ranked r LEFT JOIN rel_pairs p
+    ON r.query_id = p.query_id AND r.doc_id = p.doc_id
+), ideal AS (
+  SELECT query_id, rel,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, rank ASC) AS irank
+  FROM jj
+), idcg AS (
+  SELECT query_id,
+         (CAST(SUM(CAST(ROUND(((CASE rel WHEN 0 THEN 0.0 WHEN 1 THEN 1.0 WHEN 2 THEN 3.0 ELSE 7.0 END)
+             / log2(CAST(irank AS DOUBLE) + 1.0)) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS idcg
+  FROM ideal GROUP BY query_id
+), dcg AS (
+  SELECT query_id,
+         (CAST(SUM(CAST(ROUND(((CASE rel WHEN 0 THEN 0.0 WHEN 1 THEN 1.0 WHEN 2 THEN 3.0 ELSE 7.0 END)
+             / log2(CAST(rank AS DOUBLE) + 1.0)) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS dcg,
+         MIN(CASE WHEN rel > 0 THEN rank END) AS fr,
+         CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel
+  FROM jj GROUP BY query_id
+)
+SELECT d.query_id, d.n_rel,
+       ROUND(CASE WHEN i.idcg > 0 THEN d.dcg / i.idcg ELSE 0.0 END, 6) AS ndcg10,
+       ROUND(COALESCE(1.0 / CAST(d.fr AS DOUBLE), 0.0), 6) AS mrr
+FROM dcg d JOIN idcg i USING (query_id) ORDER BY d.query_id
+"""

@@ -4681,3 +4681,83 @@ def q_er_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_members") >= 2)
         .orderBy("cluster_id")
     )
+
+
+@q("q_ranking_metrics")
+def q_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 and MRR per query over the BM25 retrieval stack — the
+    ranking-quality scorecard that closes the retrieval family (build
+    index → search → MEASURE). Graded relevance = capped query-term
+    occurrence count; gains use the integer 2^rel−1 map (a literal
+    lookup, not libm pow); log2 discounts per the cross-engine-stable
+    precedent; per-query folds in fixed point. IDCG re-ranks the same
+    retrieved pool, so NDCG = 1 iff the scorer ordered it perfectly."""
+    from fortune_500_financial_insights_pipeline_spark.operators.tfidf import bm25_search
+
+    d = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [
+            (1, "spark join hash"),
+            (2, "window agg sort"),
+            (3, "stream batch merge"),
+        ],
+        "query_id int, qtext string",
+    )
+    ranked = bm25_search(d, queries, k=10).select("query_id", "doc_id", "rank")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    qterms = (
+        queries.select(
+            "query_id", F.explode(F.split("qtext", " ")).alias("term")
+        )
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    rel_pairs = (
+        qterms.join(tf, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.least(F.sum("tf"), F.lit(3)).cast("int").alias("rel"))
+    )
+    j = ranked.join(rel_pairs, ["query_id", "doc_id"], "left").select(
+        "query_id",
+        "rank",
+        F.coalesce("rel", F.lit(0)).alias("rel"),
+    )
+    gain = F.element_at(
+        F.array(F.lit(0.0), F.lit(1.0), F.lit(3.0), F.lit(7.0)), F.col("rel") + 1
+    )
+    disc = F.log2(F.col("rank").cast("double") + 1.0)
+    wi = W.partitionBy("query_id").orderBy(F.col("rel").desc(), "rank")
+    ideal = j.select(
+        "query_id", "rel", F.row_number().over(wi).alias("irank")
+    )
+    igain = F.element_at(
+        F.array(F.lit(0.0), F.lit(1.0), F.lit(3.0), F.lit(7.0)), F.col("rel") + 1
+    )
+    idcg = ideal.groupBy("query_id").agg(
+        dsum(igain / F.log2(F.col("irank").cast("double") + 1.0)).alias("idcg")
+    )
+    dcg = j.groupBy("query_id").agg(
+        dsum(gain / disc).alias("dcg"),
+        F.min(F.when(F.col("rel") > 0, F.col("rank"))).alias("__fr"),
+        F.sum(F.when(F.col("rel") > 0, 1).otherwise(0)).cast("long").alias("n_rel"),
+    )
+    return (
+        dcg.join(idcg, "query_id")
+        .select(
+            "query_id",
+            "n_rel",
+            F.round(
+                F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")).otherwise(0.0),
+                6,
+            ).alias("ndcg10"),
+            F.round(
+                F.coalesce(1.0 / F.col("__fr").cast("double"), F.lit(0.0)), 6
+            ).alias("mrr"),
+        )
+        .orderBy("query_id")
+    )

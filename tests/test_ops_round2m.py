@@ -423,3 +423,15 @@ def test_er_pipeline_clusters_are_disjoint_merges(spark, sf_dir):
     # levenshtein distance of every other member — spot-check via the
     # stage operator on one cluster
     assert out["canonical_name"].notna().all()
+
+
+def test_ranking_metrics_bounds(spark, sf_dir):
+    from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["q_ranking_metrics"](spark, sf_dir).toPandas()
+    assert len(out) == 3
+    assert ((out["ndcg10"] >= 0) & (out["ndcg10"] <= 1.000001)).all()
+    assert ((out["mrr"] >= 0) & (out["mrr"] <= 1)).all()
+    # BM25 ranks term-bearing docs first, so every query with relevant
+    # docs in corpus should have them retrieved
+    assert (out["n_rel"] > 0).any()
