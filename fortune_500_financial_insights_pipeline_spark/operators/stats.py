@@ -434,3 +434,94 @@ def ols2(
         F.round(F.expr(f"{OLS2_DET1} / {OLS2_DET}"), 6).alias("beta1"),
         F.round(F.expr(f"{OLS2_DET2} / {OLS2_DET}"), 6).alias("beta2"),
     )
+
+
+# Shared SQL text for the 2-feature Mahalanobis distance and the 2x2
+# covariance eigenvalues (same cross-engine bit-exactness contract as
+# OLS2_DET*: one string, two engines, identical IEEE evaluation order).
+MAHA_D2 = (
+    "((s22 * (dx1 * dx1) - (2.0 * s12) * (dx1 * dx2) + s11 * (dx2 * dx2))"
+    " / (s11 * s22 - s12 * s12))"
+)
+PCA_DISC = "sqrt((s11 + s22) * (s11 + s22) - 4.0 * (s11 * s22 - s12 * s12))"
+
+
+def _central_moments2(df: DataFrame, group_cols, x1_col, x2_col) -> DataFrame:
+    """(groups, m1, m2, s11, s12, s22): means and population covariance of
+    two features from one exact fixed-point aggregate pass."""
+    from fortune_500_financial_insights_pipeline_spark.functions.deterministic import dsum
+
+    x1, x2 = F.col(x1_col), F.col(x2_col)
+    mom = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        dsum(x1).alias("__s1"),
+        dsum(x2).alias("__s2"),
+        dsum(x1 * x1).alias("__s11"),
+        dsum(x1 * x2).alias("__s12"),
+        dsum(x2 * x2).alias("__s22"),
+    )
+    n = F.col("__n")
+    m1 = F.col("__s1") / n
+    m2 = F.col("__s2") / n
+    return mom.select(
+        *group_cols,
+        m1.alias("m1"),
+        m2.alias("m2"),
+        (F.col("__s11") / n - m1 * m1).alias("s11"),
+        (F.col("__s12") / n - m1 * m2).alias("s12"),
+        (F.col("__s22") / n - m2 * m2).alias("s22"),
+    )
+
+
+def mahalanobis_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    x1_col: str,
+    x2_col: str,
+    tiebreak_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """Top-k multivariate outliers per group by squared Mahalanobis
+    distance over two features — the correlation-aware outlier score
+    (a point can be normal in each marginal yet wildly off the joint
+    trend; Euclidean z-scores miss it). The 2×2 covariance inverse is
+    closed-form, so the whole detector is: one exact moment aggregate,
+    a broadcast join back, one row-local distance expression (shared
+    SQL text, bit-exact cross-engine), and a WindowGroupLimit top-k."""
+    stats = _central_moments2(df, group_cols, x1_col, x2_col)
+    j = df.join(F.broadcast(stats), group_cols).withColumns(
+        {
+            "dx1": F.col(x1_col) - F.col("m1"),
+            "dx2": F.col(x2_col) - F.col("m2"),
+        }
+    )
+    scored = j.withColumn("d2", F.round(F.expr(MAHA_D2), 6))
+    w = W.partitionBy(*group_cols).orderBy(F.col("d2").desc(), *tiebreak_cols)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(*group_cols, *tiebreak_cols, "d2", "rank")
+    )
+
+
+def pca_spectrum2(
+    df: DataFrame,
+    group_cols: list[str],
+    x1_col: str,
+    x2_col: str,
+) -> DataFrame:
+    """Eigenvalues + explained-variance ratio of the 2-feature covariance
+    per group — the PCA spectrum in closed form (the 2×2 characteristic
+    polynomial needs only sqrt, which is correctly-rounded IEEE on every
+    engine; no iterative eigensolver, no collect). The how-redundant-are
+    -these-features screening number."""
+    stats = _central_moments2(df, group_cols, x1_col, x2_col)
+    disc = F.expr(PCA_DISC)
+    lam1 = (F.col("s11") + F.col("s22") + disc) / 2.0
+    lam2 = (F.col("s11") + F.col("s22") - disc) / 2.0
+    return stats.select(
+        *group_cols,
+        F.round(lam1, 6).alias("lambda1"),
+        F.round(lam2, 6).alias("lambda2"),
+        F.round(lam1 / (lam1 + lam2), 6).alias("evr1"),
+    )

@@ -6040,3 +6040,65 @@ SELECT d.query_id, d.n_rel,
        ROUND(COALESCE(1.0 / CAST(d.fr AS DOUBLE), 0.0), 6) AS mrr
 FROM dcg d JOIN idcg i USING (query_id) ORDER BY d.query_id
 """
+
+
+ORACLES["q_mahalanobis"] = """
+WITH mom AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         (CAST(SUM(CAST(ROUND((l_quantity) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS t1,
+         (CAST(SUM(CAST(ROUND(((l_extendedprice / 1000.0)) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS t2,
+         (CAST(SUM(CAST(ROUND((l_quantity * l_quantity) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS t11,
+         (CAST(SUM(CAST(ROUND((l_quantity * (l_extendedprice / 1000.0)) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS t12,
+         (CAST(SUM(CAST(ROUND(((l_extendedprice / 1000.0) * (l_extendedprice / 1000.0)) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS t22
+  FROM lineitem GROUP BY l_returnflag
+), stats AS (
+  SELECT l_returnflag,
+         t1 / n AS m1, t2 / n AS m2,
+         t11 / n - (t1 / n) * (t1 / n) AS s11,
+         t12 / n - (t1 / n) * (t2 / n) AS s12,
+         t22 / n - (t2 / n) * (t2 / n) AS s22
+  FROM mom
+), scored AS (
+  SELECT li.l_returnflag, li.l_orderkey, li.l_linenumber,
+         ROUND(((s22 * ((li.l_quantity - m1) * (li.l_quantity - m1))
+                 - (2.0 * s12) * ((li.l_quantity - m1) * ((li.l_extendedprice / 1000.0) - m2))
+                 + s11 * (((li.l_extendedprice / 1000.0) - m2) * ((li.l_extendedprice / 1000.0) - m2)))
+                / (s11 * s22 - s12 * s12)), 6) AS d2
+  FROM lineitem li JOIN stats USING (l_returnflag)
+)
+SELECT l_returnflag, l_orderkey, l_linenumber, d2, rank
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+             ORDER BY d2 DESC, l_orderkey, l_linenumber) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= 5
+ORDER BY l_returnflag, rank
+"""
+
+ORACLES["q_pca_spectrum"] = """
+WITH mom AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         (CAST(SUM(CAST(ROUND((l_quantity) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS t1,
+         (CAST(SUM(CAST(ROUND((l_discount) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS t2,
+         (CAST(SUM(CAST(ROUND((l_quantity * l_quantity) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS t11,
+         (CAST(SUM(CAST(ROUND((l_quantity * l_discount) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS t12,
+         (CAST(SUM(CAST(ROUND((l_discount * l_discount) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS t22
+  FROM lineitem GROUP BY l_returnflag
+), stats AS (
+  SELECT l_returnflag,
+         t1 / n AS m1, t2 / n AS m2,
+         t11 / n - (t1 / n) * (t1 / n) AS s11,
+         t12 / n - (t1 / n) * (t2 / n) AS s12,
+         t22 / n - (t2 / n) * (t2 / n) AS s22
+  FROM mom
+)
+SELECT l_returnflag,
+       ROUND((s11 + s22 + sqrt((s11 + s22) * (s11 + s22) - 4.0 * (s11 * s22 - s12 * s12))) / 2.0, 6) AS lambda1,
+       ROUND((s11 + s22 - sqrt((s11 + s22) * (s11 + s22) - 4.0 * (s11 * s22 - s12 * s12))) / 2.0, 6) AS lambda2,
+       ROUND(((s11 + s22 + sqrt((s11 + s22) * (s11 + s22) - 4.0 * (s11 * s22 - s12 * s12))) / 2.0)
+             / (((s11 + s22 + sqrt((s11 + s22) * (s11 + s22) - 4.0 * (s11 * s22 - s12 * s12))) / 2.0)
+                + ((s11 + s22 - sqrt((s11 + s22) * (s11 + s22) - 4.0 * (s11 * s22 - s12 * s12))) / 2.0)), 6) AS evr1
+FROM stats ORDER BY l_returnflag
+"""

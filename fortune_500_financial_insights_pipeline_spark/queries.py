@@ -4761,3 +4761,44 @@ def q_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@q("q_mahalanobis")
+def q_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 correlation-aware outliers per return flag by squared
+    Mahalanobis distance over (quantity, extendedprice)
+    (operators/stats.mahalanobis_outliers): the joint-trend outlier
+    screen Euclidean z-scores miss. Closed-form 2×2 inverse — one exact
+    moment pass + broadcast join + WindowGroupLimit."""
+    from fortune_500_financial_insights_pipeline_spark.operators.stats import (
+        mahalanobis_outliers,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        # d2 is invariant to per-feature linear scaling; kilo-price keeps
+        # the fixed-point moment interior (price^2 terms) inside long range
+        "price_k", F.col("l_extendedprice") / 1000.0
+    )
+    return mahalanobis_outliers(
+        li,
+        ["l_returnflag"],
+        "l_quantity",
+        "price_k",
+        ["l_orderkey", "l_linenumber"],
+        k=5,
+    ).orderBy("l_returnflag", "rank")
+
+
+@q("q_pca_spectrum")
+def q_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-feature PCA spectrum per return flag (operators/stats.
+    pca_spectrum2): covariance eigenvalues + explained-variance ratio in
+    closed form (sqrt only — no iterative eigensolver, no collect). The
+    feature-redundancy screen run before anyone ships both columns to a
+    model."""
+    from fortune_500_financial_insights_pipeline_spark.operators.stats import pca_spectrum2
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return pca_spectrum2(
+        li, ["l_returnflag"], "l_quantity", "l_discount"
+    ).orderBy("l_returnflag")

@@ -435,3 +435,28 @@ def test_ranking_metrics_bounds(spark, sf_dir):
     # BM25 ranks term-bearing docs first, so every query with relevant
     # docs in corpus should have them retrieved
     assert (out["n_rel"] > 0).any()
+
+
+def test_mahalanobis_catches_joint_outlier(spark):
+    """A point normal in both marginals but off the joint trend must
+    out-score on-trend points with larger marginal deviations."""
+    from fortune_500_financial_insights_pipeline_spark.operators.stats import (
+        mahalanobis_outliers,
+    )
+
+    # strong positive correlation y ~ x, plus one anti-trend point
+    rows = [("g", i, float(i), float(i) + 0.1 * ((i % 3) - 1)) for i in range(1, 30)]
+    rows.append(("g", 99, 5.0, 25.0))  # x low, y high: joint outlier
+    df = spark.createDataFrame(rows, ["g", "id", "x", "y"])
+    top = mahalanobis_outliers(df, ["g"], "x", "y", ["id"], k=1).collect()[0]
+    assert top["id"] == 99
+
+
+def test_pca_spectrum_identities(spark, sf_dir):
+    """lambda1 + lambda2 == trace == var(x1) + var(x2); lambda1 >= lambda2."""
+    from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["q_pca_spectrum"](spark, sf_dir).toPandas()
+    assert (out["lambda1"] >= out["lambda2"]).all()
+    assert (out["lambda2"] >= -1e-6).all()  # covariance PSD
+    assert ((out["evr1"] >= 0.5) & (out["evr1"] <= 1.0)).all()
