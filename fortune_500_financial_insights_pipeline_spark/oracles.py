@@ -6102,3 +6102,71 @@ SELECT l_returnflag,
                 + ((s11 + s22 - sqrt((s11 + s22) * (s11 + s22) - 4.0 * (s11 * s22 - s12 * s12))) / 2.0)), 6) AS evr1
 FROM stats ORDER BY l_returnflag
 """
+
+
+ORACLES["q_budget_allocation"] = """
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+), tot AS (
+  SELECT (CAST(SUM(CAST(ROUND(SQRT(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS Z,
+         COUNT(*) AS k
+  FROM per_src
+), w AS (
+  SELECT source, n_docs,
+         CAST(ROUND((SQRT(CAST(n_docs AS DOUBLE)) / Z) * 100000 * 1000000) AS BIGINT) AS quota_micro
+  FROM per_src, tot
+), based AS (
+  SELECT source, n_docs,
+         quota_micro // 1000000 AS base,
+         quota_micro % 1000000 AS rem
+  FROM w
+), shortfall AS (
+  SELECT 100000 - CAST(SUM(base) AS BIGINT) AS short FROM based
+), ranked AS (
+  SELECT source, n_docs, base, rem,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+  FROM based
+)
+SELECT source, n_docs,
+       CAST(base + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT) AS allocated
+FROM ranked, shortfall ORDER BY source
+"""
+
+ORACLES["q_column_entropy"] = """
+WITH long AS (
+  SELECT 'o_orderpriority' AS col, o_orderpriority AS val FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', o_orderstatus FROM orders
+  UNION ALL
+  SELECT 'order_year', CAST(year(o_orderdate) AS VARCHAR) FROM orders
+), cells AS (
+  SELECT col, val, COUNT(*) AS n FROM long GROUP BY col, val
+), tot AS (
+  SELECT col, CAST(SUM(n) AS BIGINT) AS t FROM cells GROUP BY col
+)
+SELECT cells.col,
+       COUNT(*) AS n_distinct,
+       ROUND(-(CAST(SUM(CAST(ROUND(((CAST(n AS DOUBLE) / t) * log2(CAST(n AS DOUBLE) / t)) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000), 6) AS entropy_bits
+FROM cells JOIN tot USING (col)
+GROUP BY cells.col ORDER BY cells.col
+"""
+
+ORACLES["q_funnel_windowed"] = """
+WITH first_click AS (
+  SELECT user_id, MIN(ts) AS c_ts FROM events WHERE event_type = 'click' GROUP BY user_id
+), purchases AS (
+  SELECT user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'
+), j AS (
+  SELECT f.user_id,
+         CASE WHEN p.p_ts IS NOT NULL AND p.p_ts >= f.c_ts
+               AND CAST(epoch(p.p_ts) AS BIGINT) <= CAST(epoch(f.c_ts) AS BIGINT) + 7 * 86400
+              THEN 1 ELSE 0 END AS conv
+  FROM first_click f LEFT JOIN purchases p ON f.user_id = p.user_id
+), per_user AS (
+  SELECT user_id, MAX(conv) AS converted FROM j GROUP BY user_id
+)
+SELECT COUNT(*) AS n_clickers,
+       CAST(SUM(converted) AS BIGINT) AS n_converted_7d,
+       ROUND(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6) AS conv_rate_7d
+FROM per_user
+"""

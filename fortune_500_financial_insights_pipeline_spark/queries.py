@@ -4802,3 +4802,119 @@ def q_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_spectrum2(
         li, ["l_returnflag"], "l_quantity", "l_discount"
     ).orderBy("l_returnflag")
+
+
+@q("q_budget_allocation")
+def q_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer token-budget apportionment across sources by the
+    largest-remainder (Hamilton) method: each source gets
+    floor(budget·weight), and the leftover seats go to the largest
+    fractional remainders — the exact-integer allocation a training run
+    needs when "sample 1M docs at these mixing weights" must sum to
+    EXACTLY 1M (naive rounding over- or under-shoots). Weights are the
+    sqrt-temperature mix (q_mix_temperature); everything after the
+    weight is integer arithmetic + one rank window, so the allocation
+    is oracle-exact and partition-invariant."""
+    budget = 100000
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per_src.agg(
+        dsum(F.sqrt(F.col("n_docs").cast("double"))).alias("__Z"),
+        F.count(F.lit(1)).alias("__k"),
+    )
+    w = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        (F.sqrt(F.col("n_docs").cast("double")) / F.col("__Z")).alias("__w"),
+    )
+    # integer quota floor + fractional remainder in MICRO units so the
+    # comparison is on exact longs, not float fractions
+    quota_micro = F.round(F.col("__w") * budget * 1000000).cast("long")
+    based = w.select(
+        "source",
+        "n_docs",
+        (quota_micro / 1000000).cast("long").alias("base"),
+        (quota_micro % 1000000).alias("rem"),
+    )
+    shortfall = based.agg((F.lit(budget) - F.sum("base")).alias("__short"))
+    wr = W.orderBy(F.col("rem").desc(), "source")
+    return (
+        based.crossJoin(F.broadcast(shortfall))
+        .withColumn("rk", F.row_number().over(wr))
+        .select(
+            "source",
+            "n_docs",
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("__short"), 1).otherwise(0)
+            ).cast("long").alias("allocated"),
+        )
+        .orderBy("source")
+    )
+
+
+@q("q_column_entropy")
+def q_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy per categorical column of orders (priority,
+    status, and the derived order-year) — the column-level information
+    profile that extends q_column_profile's counts (a zero-entropy
+    column is dead weight; a full-entropy "category" is probably an id).
+    One stack-unpivot pass, counts bounded by category cardinality,
+    fixed-point entropy fold."""
+    o = load_table(spark, sf_dir, "orders")
+    long = o.select(
+        F.expr(
+            "stack(3, 'o_orderpriority', o_orderpriority,"
+            " 'o_orderstatus', o_orderstatus,"
+            " 'order_year', CAST(year(o_orderdate) AS STRING)) AS (col, val)"
+        )
+    )
+    cells = long.groupBy("col", "val").agg(F.count(F.lit(1)).alias("__n"))
+    tot = cells.groupBy("col").agg(F.sum("__n").alias("__t"))
+    p = F.col("__n").cast("double") / F.col("__t")
+    return (
+        cells.join(tot, "col")
+        .groupBy("col")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round(-dsum(p * F.log2(p)), 6).alias("entropy_bits"),
+        )
+        .orderBy("col")
+    )
+
+
+@q("q_funnel_windowed")
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-boxed conversion funnel: users whose first click converts to
+    a purchase WITHIN 7 DAYS — the bounded-attribution variant of
+    q_funnel (unbounded conversion flatters the metric; every growth
+    dashboard quotes a windowed one). Two tiny per-user aggregates and
+    an integer epoch-second bound."""
+    e = load_table(spark, sf_dir, "events")
+    first_click = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    j = first_click.join(purchases, "user_id", "left").withColumn(
+        "conv",
+        (
+            F.col("p_ts").isNotNull()
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (
+                F.col("p_ts").cast("long")
+                <= F.col("c_ts").cast("long") + 7 * 86400
+            )
+        ).cast("int"),
+    )
+    per_user = j.groupBy("user_id").agg(F.max("conv").alias("converted"))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_clickers"),
+        F.sum("converted").cast("long").alias("n_converted_7d"),
+        F.round(
+            F.sum("converted").cast("double") / F.count(F.lit(1)), 6
+        ).alias("conv_rate_7d"),
+    )

@@ -460,3 +460,48 @@ def test_pca_spectrum_identities(spark, sf_dir):
     assert (out["lambda1"] >= out["lambda2"]).all()
     assert (out["lambda2"] >= -1e-6).all()  # covariance PSD
     assert ((out["evr1"] >= 0.5) & (out["evr1"] <= 1.0)).all()
+
+
+def test_budget_allocation_sums_exactly(spark, sf_dir):
+    from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["q_budget_allocation"](spark, sf_dir).toPandas()
+    assert out["allocated"].sum() == 100000  # Hamilton: exact total
+    assert (out["allocated"] > 0).all()
+
+
+def test_column_entropy_bounds(spark, sf_dir):
+    from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
+    import numpy as np
+
+    out = QUERIES["q_column_entropy"](spark, sf_dir).toPandas()
+    assert len(out) == 3
+    # 0 <= H <= log2(n_distinct)
+    assert (out["entropy_bits"] >= 0).all()
+    assert (out["entropy_bits"] <= np.log2(out["n_distinct"]) + 1e-6).all()
+
+
+def test_funnel_windowed_no_looser_than_unbounded(spark, sf_dir):
+    """The 7-day-windowed conversion count can never exceed the
+    unbounded any-time-after-click conversion count."""
+    from pyspark.sql import functions as F
+    from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+    from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
+
+    e = load_table(spark, sf_dir, "events")
+    fc = e.where(F.col("event_type") == "click").groupBy("user_id").agg(
+        F.min("ts").alias("c_ts")
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    unbounded = (
+        fc.join(p, "user_id")
+        .where(F.col("p_ts") >= F.col("c_ts"))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    row = QUERIES["q_funnel_windowed"](spark, sf_dir).collect()[0]
+    assert 0 < row["n_converted_7d"] <= unbounded
+    assert row["n_clickers"] >= unbounded
