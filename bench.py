@@ -105,6 +105,25 @@ HEADLINE = [
     "q_prefix_dedup",
     "q_cov_matrix",
     "q_portfolio_vol",
+    "q_ols_multi",
+    "q_scd2_lookup",
+    "q_random_walk",
+    "q_fd_audit",
+    "q_mix_temperature",
+    "q_tokenizer_fertility",
+    "q_rendezvous_shard",
+    "q_fifo_pnl",
+    "q_top_paths",
+    "q_er_pipeline",
+    "q_ranking_metrics",
+    "q_mahalanobis",
+    "q_pca_spectrum",
+    "q_budget_allocation",
+    "q_column_entropy",
+    "q_funnel_windowed",
+    "q_wilson_ci",
+    "q_mann_kendall",
+    "q_vwap",
 ]
 
 # DuckDB oracle wall-clock on the SAME queries at sf0.1, best-of-2, measured
@@ -145,6 +164,14 @@ DUCKDB_BASELINE_SF01: dict[str, float | None] = {
     "q_woe_iv": 0.203, "q_psi": 0.0107, "q_sorted_neighborhood": 0.0499,
     "q_window_pct": 0.0412, "q_hhi": 0.0451, "q_prefix_dedup": 0.0765,
     "q_cov_matrix": 0.1682, "q_portfolio_vol": 0.1301,
+    "q_ols_multi": 0.1241, "q_scd2_lookup": 0.1041, "q_random_walk": 0.5703,
+    "q_fd_audit": 0.0118, "q_mix_temperature": 0.0156,
+    "q_tokenizer_fertility": 0.7992, "q_rendezvous_shard": 0.0207,
+    "q_fifo_pnl": 0.1491, "q_top_paths": 0.1114, "q_er_pipeline": 4.862,
+    "q_ranking_metrics": 0.1552, "q_mahalanobis": 0.3387,
+    "q_pca_spectrum": 0.0754, "q_budget_allocation": 0.0071,
+    "q_column_entropy": 0.0208, "q_funnel_windowed": 0.0169,
+    "q_wilson_ci": 0.007, "q_mann_kendall": 0.0466, "q_vwap": 0.0356,
 }
 
 
