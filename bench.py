@@ -21,6 +21,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
 from fortune_500_financial_insights_pipeline_spark.session import get_spark
 
+# Key selection: the original round-1 headline 14 (kept for cross-round
+# continuity), every expensive/scale-shaped operator, and any key whose
+# DuckDB baseline is >= 40 ms at sf0.1. Micro keys whose Spark time is pure
+# per-query scheduling overhead (sub-0.4 s Spark AND sub-40 ms DuckDB) are
+# correctness-gated elsewhere and add bench wall-clock without signal —
+# at 97 keys the run blew past 8 minutes; this list keeps it ~6.
 HEADLINE = [
     "q_groupby_agg",
     "q_csv_scan",
@@ -53,16 +59,11 @@ HEADLINE = [
     "q_skyline",
     "q_rolling_median",
     "q_bloom_semijoin",
-    "q_shard_stats",
     "q_kmv_distinct",
     "q_kmv_overlap",
-    "q_weighted_sample",
     "q_attribution",
-    "q_salted_join",
     "q_histogram_equidepth",
     "q_bm25_search",
-    "q_epoch_shuffle",
-    "q_mv_merge",
     "q_pq_topk",
     "q_ivfpq_topk",
     "q_ivfpq_residual_topk",
@@ -77,9 +78,7 @@ HEADLINE = [
     "q_apply_changes",
     "q_kcore",
     "q_source_overlap",
-    "q_seasonal_decompose",
     "q_golden_record",
-    "q_hard_negatives",
     "q_column_profile",
     "q_transition_matrix",
     "q_interval_coverage",
@@ -92,13 +91,9 @@ HEADLINE = [
     "q_drawdown",
     "q_var_es",
     "q_shortest_path",
-    "q_ks_test",
-    "q_code_detect",
     "q_perplexity_bucket",
     "q_auc",
-    "q_chi2",
     "q_woe_iv",
-    "q_psi",
     "q_sorted_neighborhood",
     "q_window_pct",
     "q_hhi",
@@ -108,22 +103,14 @@ HEADLINE = [
     "q_ols_multi",
     "q_scd2_lookup",
     "q_random_walk",
-    "q_fd_audit",
-    "q_mix_temperature",
     "q_tokenizer_fertility",
-    "q_rendezvous_shard",
     "q_fifo_pnl",
     "q_top_paths",
     "q_er_pipeline",
     "q_ranking_metrics",
     "q_mahalanobis",
     "q_pca_spectrum",
-    "q_budget_allocation",
-    "q_column_entropy",
-    "q_funnel_windowed",
-    "q_wilson_ci",
     "q_mann_kendall",
-    "q_vwap",
 ]
 
 # DuckDB oracle wall-clock on the SAME queries at sf0.1, best-of-2, measured
