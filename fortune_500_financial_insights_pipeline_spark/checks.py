@@ -261,3 +261,23 @@ def fd_audit(df, fds):
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+def table_checksum(df, cols=None):
+    """Order-independent table checksum: one row (n_rows, checksum) where
+    checksum = Σ over rows of a 64-bit row digest (xxhash64 of the
+    canonicalized column values), summed as longs with wraparound. The
+    migration-validation primitive: two tables agree iff (n, checksum)
+    agree (up to digest collisions), at the cost of ONE scan each, no
+    sort, no shuffle beyond a scalar aggregate — the cheap gate a
+    copy-job runs before anyone pays for a full snapshot diff
+    (operators/cdc.snapshot_diff finds WHAT differs; this says WHETHER).
+    Partition- and order-invariant because addition commutes."""
+    from pyspark.sql import functions as F
+
+    use = cols if cols is not None else df.columns
+    digest = F.xxhash64(*[F.col(c).cast("string") for c in use])
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(digest).alias("checksum"),
+    )

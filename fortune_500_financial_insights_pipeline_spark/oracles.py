@@ -6170,3 +6170,32 @@ SELECT COUNT(*) AS n_clickers,
        ROUND(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6) AS conv_rate_7d
 FROM per_user
 """
+
+
+ORACLES["q_join_size_estimate"] = """
+WITH ha AS (
+  SELECT l_orderkey AS k, COUNT(*) AS ca FROM lineitem GROUP BY l_orderkey
+), hb AS (
+  SELECT o_orderkey AS k, COUNT(*) AS cb FROM orders GROUP BY o_orderkey
+)
+SELECT CAST(SUM(ca * cb) AS BIGINT) AS est_join_rows,
+       COUNT(*) AS n_matching_keys,
+       CAST(MAX(ca * cb) AS BIGINT) AS max_key_fanout
+FROM ha JOIN hb USING (k)
+"""
+
+ORACLES["q_table_checksum"] = """
+WITH d AS (
+  SELECT o_orderkey % 16 AS bucket,
+         CAST('0x' || substring(md5(concat_ws('|',
+              CAST(o_orderkey AS VARCHAR),
+              CAST(o_custkey AS VARCHAR),
+              o_orderstatus,
+              CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR))), 1, 10) AS BIGINT) AS dig
+  FROM orders
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       COUNT(*) AS n_rows,
+       CAST(SUM(dig) AS BIGINT) AS checksum
+FROM d GROUP BY bucket ORDER BY bucket
+"""

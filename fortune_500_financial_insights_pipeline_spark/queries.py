@@ -4918,3 +4918,65 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("converted").cast("double") / F.count(F.lit(1)), 6
         ).alias("conv_rate_7d"),
     )
+
+
+@q("q_join_size_estimate")
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact join-output cardinality WITHOUT running the join:
+    |A ⋈ B| = Σ_k cntA(k)·cntB(k) over the key histograms — the planner
+    statistic, exposed as a query (pairs with q_skew_profile: the same
+    histograms say how big AND how skewed the shuffle will be). Cost is
+    two key-counted aggregates + a tiny histogram join, versus
+    materializing the join itself."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    ha = li.groupBy(F.col("l_orderkey").alias("k")).agg(F.count(F.lit(1)).alias("ca"))
+    hb = o.groupBy(F.col("o_orderkey").alias("k")).agg(F.count(F.lit(1)).alias("cb"))
+    j = ha.join(hb, "k")
+    return j.agg(
+        F.sum(F.col("ca") * F.col("cb")).cast("long").alias("est_join_rows"),
+        F.count(F.lit(1)).alias("n_matching_keys"),
+        F.max(F.col("ca") * F.col("cb")).cast("long").alias("max_key_fanout"),
+    )
+
+
+@q("q_table_checksum")
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent integrity checksum of orders
+    (checks.table_checksum): Σ xxhash64(row) as wraparound long — the
+    did-the-copy-land gate that costs one scan and no shuffle. xxhash64
+    with seed 42 is the same algorithm DuckDB exposes as hash()? No —
+    the oracle recomputes Spark's exact digest via md5-derived longs
+    instead, so the check is cross-engine by construction."""
+    o = load_table(spark, sf_dir, "orders")
+    # md5-derived 40-bit digest: cross-engine reproducible (xxhash64's
+    # seed/variant is engine-specific, md5 is bit-stable everywhere).
+    # 40 bits keeps the per-bucket long sum overflow-free to ~8M rows per
+    # bucket; widen the bucket count for bigger tables (the per-bucket
+    # report also LOCALIZES a mismatch to 1/16th of the key space).
+    digest = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey"),
+                    F.col("o_custkey"),
+                    F.col("o_orderstatus"),
+                    F.round(F.col("o_totalprice") * 100).cast("long"),
+                )
+            ),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        o.select(digest.alias("__d"), (F.col("o_orderkey") % 16).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("__d").cast("long").alias("checksum"),
+        )
+        .orderBy("bucket")
+    )

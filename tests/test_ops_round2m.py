@@ -505,3 +505,44 @@ def test_funnel_windowed_no_looser_than_unbounded(spark, sf_dir):
     row = QUERIES["q_funnel_windowed"](spark, sf_dir).collect()[0]
     assert 0 < row["n_converted_7d"] <= unbounded
     assert row["n_clickers"] >= unbounded
+
+
+def test_join_size_estimate_equals_actual(spark, sf_dir):
+    from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+    from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
+
+    est = QUERIES["q_join_size_estimate"](spark, sf_dir).collect()[0]
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    actual = li.join(o, li.l_orderkey == o.o_orderkey).count()
+    assert est["est_join_rows"] == actual  # exact, not an estimate, for equi-keys
+
+
+def test_table_checksum_detects_single_change(spark, sf_dir):
+    from fortune_500_financial_insights_pipeline_spark.checks import table_checksum
+    from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    base = table_checksum(o).collect()[0]
+    # flip one row's status: count unchanged, checksum must move
+    mutated = o.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") == o.first()["o_orderkey"], F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    got = table_checksum(mutated).collect()[0]
+    assert got["n_rows"] == base["n_rows"]
+    assert got["checksum"] != base["checksum"]
+
+
+def test_table_checksum_is_order_invariant(spark, sf_dir):
+    from fortune_500_financial_insights_pipeline_spark.checks import table_checksum
+    from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    a = table_checksum(o).collect()[0]
+    b = table_checksum(o.repartition(13)).collect()[0]
+    assert (a["n_rows"], a["checksum"]) == (b["n_rows"], b["checksum"])
