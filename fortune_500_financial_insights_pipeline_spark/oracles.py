@@ -6199,3 +6199,62 @@ SELECT CAST(bucket AS BIGINT) AS bucket,
        CAST(SUM(dig) AS BIGINT) AS checksum
 FROM d GROUP BY bucket ORDER BY bucket
 """
+
+
+ORACLES["q_funnel_steps"] = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS step_ts FROM events WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS step_ts
+  FROM s1 JOIN events e ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts >= s1.step_ts
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS step_ts
+  FROM s2 JOIN events e ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.step_ts
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM s1) AS n_view,
+       (SELECT COUNT(*) FROM s2) AS n_click,
+       (SELECT COUNT(*) FROM s3) AS n_purchase,
+       ROUND(CAST((SELECT COUNT(*) FROM s2) AS DOUBLE) / (SELECT COUNT(*) FROM s1), 6) AS rate_click,
+       ROUND(CAST((SELECT COUNT(*) FROM s3) AS DOUBLE) / (SELECT COUNT(*) FROM s2), 6) AS rate_purchase
+"""
+
+ORACLES["q_forecast_backtest"] = """
+WITH daily AS (
+  SELECT l_suppkey,
+         strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM lineitem WHERE l_suppkey <= 10
+  GROUP BY l_suppkey, strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')
+), scored AS (
+  SELECT l_suppkey, y,
+         LAG(y, 7) OVER (PARTITION BY l_suppkey ORDER BY day) AS yhat
+  FROM daily
+), nz AS (
+  SELECT l_suppkey, CAST(ABS(y - yhat) AS DOUBLE) AS err,
+         CAST(ABS(y - yhat) AS DOUBLE) * 2.0 / (y + yhat) AS st
+  FROM scored WHERE yhat IS NOT NULL
+)
+SELECT l_suppkey,
+       COUNT(*) AS n_scored,
+       ROUND((CAST(SUM(CAST(ROUND(err * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) / COUNT(err), 6) AS mae,
+       ROUND((CAST(SUM(CAST(ROUND(st * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) / COUNT(st), 6) AS smape
+FROM nz GROUP BY l_suppkey ORDER BY l_suppkey
+"""
+
+ORACLES["q_elasticity"] = """
+WITH j AS (
+  SELECT p.p_brand,
+         LN(CAST(l_quantity AS DOUBLE)) AS ln_q,
+         LN(l_extendedprice / l_quantity) AS ln_p
+  FROM lineitem li JOIN part p ON li.l_partkey = p.p_partkey
+)
+SELECT p_brand,
+       CAST(regr_count(ln_q, ln_p) AS BIGINT) AS n_obs,
+       ROUND(regr_slope(ln_q, ln_p), 6) AS elasticity,
+       ROUND(regr_r2(ln_q, ln_p), 6) AS r2
+FROM j GROUP BY p_brand ORDER BY p_brand
+"""

@@ -4980,3 +4980,91 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@q("q_funnel_steps")
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel view → click → purchase: each step must
+    happen AFTER the user's first completion of the previous step — the
+    classic product funnel report (q_funnel_windowed bounds one pair;
+    this chains steps). Three per-user min aggregates + two
+    ordered-join reductions; one row out."""
+    e = load_table(spark, sf_dir, "events")
+
+    def first_after(df_type: str, prev):
+        ev = e.where(F.col("event_type") == df_type).select(
+            "user_id", F.col("ts").alias("__t")
+        )
+        if prev is None:
+            return ev.groupBy("user_id").agg(F.min("__t").alias("step_ts"))
+        j = prev.join(ev, "user_id").where(F.col("__t") >= F.col("step_ts"))
+        return j.groupBy("user_id").agg(F.min("__t").alias("step_ts"))
+
+    s1 = first_after("view", None)
+    s2 = first_after("click", s1)
+    s3 = first_after("purchase", s2)
+    n1, n2, n3 = s1.count(), s2.count(), s3.count()
+    return spark.createDataFrame(
+        [(n1, n2, n3)], "n_view long, n_click long, n_purchase long"
+    ).select(
+        "n_view",
+        "n_click",
+        "n_purchase",
+        F.round(F.col("n_click") / F.col("n_view"), 6).alias("rate_click"),
+        F.round(F.col("n_purchase") / F.col("n_click"), 6).alias("rate_purchase"),
+    )
+
+
+@q("q_forecast_backtest")
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest per supplier: ŷ_t = y_{t-7} on
+    the daily order-count series, scored with MAE and sMAPE — forecast
+    EVALUATION as relational algebra (the baseline every fancy model
+    must beat, and the backtest harness that proves it). One lag window
+    per key; integer counts so errors are exact."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_suppkey") <= 10)
+    daily = li.groupBy(
+        "l_suppkey", F.date_format("l_shipdate", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    w = W.partitionBy("l_suppkey").orderBy("day")
+    scored = daily.select(
+        "l_suppkey",
+        "y",
+        F.lag("y", 7).over(w).alias("yhat"),
+    ).where(F.col("yhat").isNotNull())
+    err = F.abs(F.col("y") - F.col("yhat")).cast("double")
+    smape_term = err * 2.0 / (F.col("y") + F.col("yhat"))
+    return (
+        scored.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.round(davg(err), 6).alias("mae"),
+            F.round(davg(smape_term), 6).alias("smape"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+@q("q_elasticity")
+def q_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price elasticity per brand: the log-log regression slope of
+    quantity on unit price over part×lineitem — the econometric readout
+    (slope ≈ %Δqty per %Δprice) built on the regr_* aggregate family.
+    ln is per-row IEEE (the established cross-engine precedent); the
+    regr_slope moments fold on identical doubles."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.log(F.col("l_quantity").cast("double")).alias("ln_q"),
+        F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias("ln_p"),
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    return (
+        j.groupBy("p_brand")
+        .agg(
+            F.regr_count("ln_q", "ln_p").alias("n_obs"),
+            F.round(F.regr_slope("ln_q", "ln_p"), 6).alias("elasticity"),
+            F.round(F.regr_r2("ln_q", "ln_p"), 6).alias("r2"),
+        )
+        .orderBy("p_brand")
+    )

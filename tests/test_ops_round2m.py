@@ -546,3 +546,34 @@ def test_table_checksum_is_order_invariant(spark, sf_dir):
     a = table_checksum(o).collect()[0]
     b = table_checksum(o.repartition(13)).collect()[0]
     assert (a["n_rows"], a["checksum"]) == (b["n_rows"], b["checksum"])
+
+
+def test_funnel_steps_monotone(spark, sf_dir):
+    from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
+
+    r = QUERIES["q_funnel_steps"](spark, sf_dir).collect()[0]
+    assert r["n_view"] >= r["n_click"] >= r["n_purchase"] > 0
+    assert 0 < r["rate_click"] <= 1 and 0 < r["rate_purchase"] <= 1
+
+
+def test_forecast_backtest_smape_bounds(spark, sf_dir):
+    from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["q_forecast_backtest"](spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert (out["mae"] >= 0).all()
+    assert ((out["smape"] >= 0) & (out["smape"] <= 2.0)).all()  # sMAPE in [0,2]
+
+
+def test_elasticity_negative_on_synthetic_demand_curve(spark):
+    """qty = price^-2 exactly => log-log slope == -2."""
+    from pyspark.sql import functions as F
+
+    rows = [("b", float(p), float(p) ** -2.0) for p in range(1, 20)]
+    df = spark.createDataFrame(rows, ["brand", "price", "qty"]).select(
+        "brand", F.log("qty").alias("ln_q"), F.log("price").alias("ln_p")
+    )
+    slope = df.groupBy("brand").agg(
+        F.round(F.regr_slope("ln_q", "ln_p"), 6).alias("s")
+    ).collect()[0]["s"]
+    assert abs(slope + 2.0) < 1e-6
