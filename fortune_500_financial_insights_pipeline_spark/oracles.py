@@ -6258,3 +6258,56 @@ SELECT p_brand,
        ROUND(regr_r2(ln_q, ln_p), 6) AS r2
 FROM j GROUP BY p_brand ORDER BY p_brand
 """
+
+
+ORACLES["q_lsh_precision"] = """
+WITH g AS (
+  SELECT doc_id, UNNEST(list_distinct(
+           list_transform(range(1, len(l) - 1),
+                          x -> l[x] || ' ' || l[x+1] || ' ' || l[x+2])
+         )) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+),
+h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(gram), 1, 15))::BIGINT AS u1,
+         ('0x' || substr(md5(gram), 17, 15))::BIGINT % 72057594037927936 AS u2
+  FROM g
+),
+sig AS (
+  SELECT doc_id, t.i, MIN((u1 + t.i * u2) % 1152921504606846976) AS v
+  FROM h CROSS JOIN (SELECT UNNEST(range(0, 16)) AS i) t
+  GROUP BY doc_id, t.i
+),
+bandk AS (
+  SELECT doc_id, CAST(i // 4 AS BIGINT) AS band,
+         string_agg(CAST(v AS VARCHAR), '_' ORDER BY i) AS key
+  FROM sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandk a
+  JOIN bandk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+inter AS (
+  SELECT ga.doc_id AS id_a, gb.doc_id AS id_b, COUNT(*) AS ninter
+  FROM g ga JOIN g gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+  GROUP BY 1, 2
+)
+SELECT COUNT(*) AS n_candidates,
+       CAST(SUM(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       ROUND(CAST(SUM(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS precision,
+       ROUND((CAST(SUM(CAST(ROUND(jac * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) / COUNT(jac), 6) AS avg_jac
+FROM (
+  SELECT c.id_a, c.id_b,
+         ROUND(CAST(COALESCE(i.ninter, 0) AS DOUBLE)
+               / (sa.n + sb.n - COALESCE(i.ninter, 0)), 6) AS jac
+  FROM cand c
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+)
+
+"""

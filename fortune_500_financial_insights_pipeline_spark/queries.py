@@ -5068,3 +5068,31 @@ def q_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@q("q_lsh_precision")
+def q_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding quality readout: over ALL band-collision candidates
+    (no Jaccard floor), how many are true near-dups (jac ≥ 0.5) and what
+    is the candidate precision — the tune-your-bands measurement that
+    q_ranking_metrics is for retrieval (an LSH config is a recall/cost
+    dial; this is the dial's gauge). Composes the oracle-certified
+    portable MinHash pipeline with min_jaccard=0."""
+    from fortune_500_financial_insights_pipeline_spark.operators.minhash import (
+        minhash_neardup_pairs_portable,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_neardup_pairs_portable(
+        d, id_col="doc_id", text_col="text", n_hashes=16, bands=4, min_jaccard=0.0
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.when(F.col("jac") >= 0.5, 1).otherwise(0)).cast("long").alias("n_true"),
+        F.round(
+            F.sum(F.when(F.col("jac") >= 0.5, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("precision"),
+        F.round(davg("jac"), 6).alias("avg_jac"),
+    )
