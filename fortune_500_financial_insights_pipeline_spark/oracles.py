@@ -6311,3 +6311,23 @@ FROM (
 )
 
 """
+
+
+ORACLES["q_byte_entropy"] = """
+WITH hx AS (
+  SELECT doc_id, lower(hex(encode(text))) AS h FROM documents
+  WHERE length(lower(hex(encode(text)))) > 0
+), pairs AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(h, '..')) AS byte FROM hx
+), cells AS (
+  SELECT doc_id, byte, COUNT(*) AS n FROM pairs GROUP BY doc_id, byte
+), tot AS (
+  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS t FROM cells GROUP BY doc_id
+)
+SELECT cells.doc_id,
+       MAX(t) AS n_bytes,
+       COUNT(*) AS n_distinct_bytes,
+       ROUND(-(CAST(SUM(CAST(ROUND(((CAST(n AS DOUBLE) / t) * log2(CAST(n AS DOUBLE) / t)) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000), 6) AS byte_entropy
+FROM cells JOIN tot USING (doc_id)
+GROUP BY cells.doc_id
+"""

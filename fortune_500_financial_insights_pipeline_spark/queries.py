@@ -5096,3 +5096,38 @@ def q_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("precision"),
         F.round(davg("jac"), 6).alias("avg_jac"),
     )
+
+
+@q("q_byte_entropy")
+def q_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-level entropy per document over the utf-8 encoding — the
+    corruption/compression detector for binary media columns (near-8
+    bits/byte ≈ already-compressed or encrypted payload, near-0 ≈
+    zero-filled corruption; q_char_entropy reads characters, this reads
+    the raw bytes a media column actually stores). Bytes are surfaced
+    portably via hex() — bit-identical text on both engines — so the
+    whole histogram+entropy is oracle-exact. Aggregate is bounded by
+    256 byte values per doc."""
+    d = load_table(spark, sf_dir, "documents")
+    hx = d.select(
+        "doc_id", F.lower(F.hex(F.encode(F.col("text"), "utf-8"))).alias("__h")
+    ).where(F.length("__h") > 0)
+    # regexp tokenization is LINEAR in doc bytes; an index-explode with
+    # per-index substring re-scans the string per byte (quadratic — the
+    # first cut measured 20 s at sf0.01)
+    pairs = hx.select(
+        "doc_id",
+        F.explode(F.expr("regexp_extract_all(__h, '..', 0)")).alias("byte"),
+    )
+    cells = pairs.groupBy("doc_id", "byte").agg(F.count(F.lit(1)).alias("__n"))
+    tot = cells.groupBy("doc_id").agg(F.sum("__n").alias("__t"))
+    p = F.col("__n").cast("double") / F.col("__t")
+    return (
+        cells.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("__t").cast("long").alias("n_bytes"),
+            F.count(F.lit(1)).alias("n_distinct_bytes"),
+            F.round(-dsum(p * F.log2(p)), 6).alias("byte_entropy"),
+        )
+    )

@@ -577,3 +577,15 @@ def test_elasticity_negative_on_synthetic_demand_curve(spark):
         F.round(F.regr_slope("ln_q", "ln_p"), 6).alias("s")
     ).collect()[0]["s"]
     assert abs(slope + 2.0) < 1e-6
+
+
+def test_byte_entropy_bounds_and_ascii_vs_cjk(spark, sf_dir):
+    from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["q_byte_entropy"](spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert ((out["byte_entropy"] >= 0) & (out["byte_entropy"] <= 8.0)).all()
+    assert (out["n_distinct_bytes"] <= 256).all()
+    # utf-8 multibyte docs have n_bytes > n_chars; pure-ascii equal — both
+    # classes exist in the fixture (en + zh docs)
+    assert (out["n_bytes"] >= out["n_distinct_bytes"]).all()
