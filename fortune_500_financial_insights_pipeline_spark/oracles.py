@@ -6331,3 +6331,115 @@ SELECT cells.doc_id,
 FROM cells JOIN tot USING (doc_id)
 GROUP BY cells.doc_id
 """
+
+
+ORACLES["q_langid_confusion"] = """
+WITH scored AS (
+  SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS truth,
+         CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                    t -> list_contains(['the','a','of','and','to','in','is','on','for','with'], t)))
+              AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.05
+              THEN 'en' ELSE 'other' END AS pred
+  FROM documents
+)
+SELECT truth, pred, COUNT(*) AS n
+FROM scored GROUP BY truth, pred ORDER BY truth, pred
+"""
+
+ORACLES["q_seasonal_lag"] = """
+WITH daily AS (
+  SELECT l_suppkey,
+         strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM lineitem WHERE l_suppkey <= 10
+  GROUP BY l_suppkey, strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')
+), stats AS (
+  SELECT l_suppkey, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s
+  FROM daily GROUP BY l_suppkey
+), c0 AS (
+  SELECT d.l_suppkey, d.day, st.n * d.x - st.s AS c
+  FROM daily d JOIN stats st USING (l_suppkey)
+), lagged AS (
+  SELECT l_suppkey, c,
+         LAG(c, 1) OVER w AS c1,
+         LAG(c, 2) OVER w AS c2,
+         LAG(c, 3) OVER w AS c3,
+         LAG(c, 4) OVER w AS c4,
+         LAG(c, 5) OVER w AS c5,
+         LAG(c, 6) OVER w AS c6,
+         LAG(c, 7) OVER w AS c7,
+         LAG(c, 8) OVER w AS c8,
+         LAG(c, 9) OVER w AS c9,
+         LAG(c, 10) OVER w AS c10
+  FROM c0
+  WINDOW w AS (PARTITION BY l_suppkey ORDER BY day)
+), agg AS (
+  SELECT l_suppkey,
+         CAST(SUM(c * c) AS BIGINT) AS den,
+         CAST(SUM(c * c1) AS BIGINT) AS num1,
+         CAST(SUM(c * c2) AS BIGINT) AS num2,
+         CAST(SUM(c * c3) AS BIGINT) AS num3,
+         CAST(SUM(c * c4) AS BIGINT) AS num4,
+         CAST(SUM(c * c5) AS BIGINT) AS num5,
+         CAST(SUM(c * c6) AS BIGINT) AS num6,
+         CAST(SUM(c * c7) AS BIGINT) AS num7,
+         CAST(SUM(c * c8) AS BIGINT) AS num8,
+         CAST(SUM(c * c9) AS BIGINT) AS num9,
+         CAST(SUM(c * c10) AS BIGINT) AS num10
+  FROM lagged GROUP BY l_suppkey
+), stacked AS (
+  SELECT l_suppkey, 1 AS lag, num1 AS num, den FROM agg UNION ALL SELECT l_suppkey, 2 AS lag, num2 AS num, den FROM agg UNION ALL SELECT l_suppkey, 3 AS lag, num3 AS num, den FROM agg UNION ALL SELECT l_suppkey, 4 AS lag, num4 AS num, den FROM agg UNION ALL SELECT l_suppkey, 5 AS lag, num5 AS num, den FROM agg UNION ALL SELECT l_suppkey, 6 AS lag, num6 AS num, den FROM agg UNION ALL SELECT l_suppkey, 7 AS lag, num7 AS num, den FROM agg UNION ALL SELECT l_suppkey, 8 AS lag, num8 AS num, den FROM agg UNION ALL SELECT l_suppkey, 9 AS lag, num9 AS num, den FROM agg UNION ALL SELECT l_suppkey, 10 AS lag, num10 AS num, den FROM agg
+), r AS (
+  SELECT l_suppkey, lag, ROUND(CAST(num AS DOUBLE) / den, 6) AS r
+  FROM stacked
+)
+SELECT l_suppkey, CAST(lag AS INTEGER) AS dominant_lag, r
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY r DESC, lag) AS rn
+  FROM r
+) WHERE rn = 1 ORDER BY l_suppkey
+"""
+
+
+ORACLES["q_grid_dbscan"] = """
+WITH RECURSIVE pts AS (
+  SELECT vec_id,
+         CAST(FLOOR(CAST(embedding[1] AS DOUBLE) / 0.04) AS BIGINT) AS cx,
+         CAST(FLOOR(CAST(embedding[2] AS DOUBLE) / 0.04) AS BIGINT) AS cy
+  FROM embeddings
+), cells AS (
+  SELECT cx * 1000000 + cy AS cell_id, cx, cy, COUNT(*) AS n_pts
+  FROM pts GROUP BY cx, cy
+), dense AS (
+  SELECT * FROM cells WHERE n_pts >= 3
+), probes AS (
+  SELECT d.cell_id AS id_a,
+         (d.cx + o.ox) * 1000000 + (d.cy + o.oy) AS nbr
+  FROM dense d, (SELECT UNNEST([-1, 0, 1]) AS ox)ox_t(ox),
+       (SELECT UNNEST([-1, 0, 1]) AS oy) oy_t(oy),
+       LATERAL (SELECT ox_t.ox AS ox, oy_t.oy AS oy) o
+), edges0 AS (
+  SELECT DISTINCT p.id_a, d2.cell_id AS id_b
+  FROM probes p JOIN dense d2 ON p.nbr = d2.cell_id
+  WHERE p.id_a < d2.cell_id
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM edges0
+  UNION SELECT id_b, id_a FROM edges0
+), reach AS (
+  SELECT u AS src, v AS dst FROM edges
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+), comp AS (
+  SELECT src AS id, LEAST(src, MIN(dst)) AS comp FROM reach GROUP BY src
+), labeled AS (
+  SELECT d.cell_id, COALESCE(c.comp, d.cell_id) AS cluster
+  FROM dense d LEFT JOIN comp c ON d.cell_id = c.id
+), assigned AS (
+  SELECT p.vec_id, l.cell_id, l.cluster
+  FROM pts p JOIN labeled l ON p.cx * 1000000 + p.cy = l.cell_id
+)
+SELECT cluster,
+       COUNT(DISTINCT cell_id) AS n_cells,
+       COUNT(*) AS n_points
+FROM assigned GROUP BY cluster ORDER BY cluster
+"""

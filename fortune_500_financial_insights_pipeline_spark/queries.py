@@ -5131,3 +5131,107 @@ def q_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-dsum(p * F.log2(p)), 6).alias("byte_entropy"),
         )
     )
+
+
+@q("q_langid_confusion")
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language-ID (q_lang_id's
+    stopword-ratio rule) against the fixture's true lang label — the
+    classifier-eval readout for the cheapest gate in the curation funnel
+    (before trusting a lang filter at 100 TB, measure where it lies).
+    One row per (truth, prediction) cell with per-cell counts."""
+    d = load_table(spark, sf_dir, "documents")
+    stop = F.array([F.lit(w) for w in
+                    ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]])
+    toks = F.split("text", " ")
+    score = F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast(
+        "double"
+    ) / F.size(toks)
+    pred = F.when(score >= 0.05, "en").otherwise("other")
+    truth = F.when(F.col("lang") == "en", "en").otherwise("other")
+    return (
+        d.select(truth.alias("truth"), pred.alias("pred"))
+        .groupBy("truth", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("truth", "pred")
+    )
+
+
+@q("q_seasonal_lag")
+def q_seasonal_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant seasonality per supplier: the lag k ∈ 1..10 maximizing
+    the exact autocorrelation r_k of the daily order-count series — the
+    detect-the-period step before q_seasonal_decompose fixes one.
+    acf_exact's integer-centering trick (c_t = n·x_t − S), partitioned
+    per supplier: every r_k is a ratio of exact longs; argmax breaks
+    ties on the smaller lag."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_suppkey") <= 10)
+    daily = li.groupBy(
+        "l_suppkey", F.date_format("l_shipdate", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    stats = daily.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    c = daily.join(stats, "l_suppkey").select(
+        "l_suppkey",
+        "day",
+        "n",
+        (F.col("n") * F.col("x") - F.col("s")).alias("c"),
+    )
+    w = W.partitionBy("l_suppkey").orderBy("day")
+    lagged = c.select(
+        "l_suppkey",
+        "c",
+        *[F.lag("c", k).over(w).alias(f"c{k}") for k in range(1, 11)],
+    )
+    agg = lagged.groupBy("l_suppkey").agg(
+        F.sum(F.col("c") * F.col("c")).alias("den"),
+        *[F.sum(F.col("c") * F.col(f"c{k}")).alias(f"num{k}") for k in range(1, 11)],
+    )
+    stacked = agg.select(
+        "l_suppkey",
+        F.expr(
+            "stack(10, "
+            + ", ".join(f"{k}, num{k}" for k in range(1, 11))
+            + ") AS (lag, num)"
+        ),
+        "den",
+    )
+    r = stacked.select(
+        "l_suppkey",
+        "lag",
+        F.round(F.col("num").cast("double") / F.col("den"), 6).alias("r"),
+    )
+    wbest = W.partitionBy("l_suppkey").orderBy(F.col("r").desc(), "lag")
+    return (
+        r.withColumn("rn", F.row_number().over(wbest))
+        .where(F.col("rn") == 1)
+        .select("l_suppkey", F.col("lag").cast("int").alias("dominant_lag"), "r")
+        .orderBy("l_suppkey")
+    )
+
+
+@q("q_grid_dbscan")
+def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid DBSCAN (operators/dbscan.grid_dbscan) over the first two
+    embedding dimensions: eps-sized cells, dense = ≥3 points, adjacent
+    dense cells merge via cell-graph components — density clustering
+    whose joins are all bounded (9 probe keys per dense cell, components
+    on the CELL frame), never point×point. Report per cluster: cells and
+    points; sparse-cell points are the noise remainder."""
+    from fortune_500_financial_insights_pipeline_spark.operators.dbscan import grid_dbscan
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+    )
+    assigned = grid_dbscan(e, "vec_id", "x", "y", eps=0.04, min_pts=3)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.countDistinct("cell_id").alias("n_cells"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+        .orderBy("cluster")
+    )

@@ -589,3 +589,28 @@ def test_byte_entropy_bounds_and_ascii_vs_cjk(spark, sf_dir):
     # utf-8 multibyte docs have n_bytes > n_chars; pure-ascii equal — both
     # classes exist in the fixture (en + zh docs)
     assert (out["n_bytes"] >= out["n_distinct_bytes"]).all()
+
+
+def test_grid_dbscan_hand_clusters(spark):
+    """Two tight blobs far apart + one isolated point: two clusters,
+    isolated point dropped as noise."""
+    from fortune_500_financial_insights_pipeline_spark.operators.dbscan import grid_dbscan
+
+    blob_a = [(i, 0.01 * i, 0.01) for i in range(5)]           # cells near origin
+    blob_b = [(10 + i, 5.0 + 0.01 * i, 5.0) for i in range(5)]  # far away
+    noise = [(99, -9.0, 9.0)]
+    df = spark.createDataFrame(blob_a + blob_b + noise, ["id", "x", "y"])
+    out = grid_dbscan(df, "id", "x", "y", eps=0.5, min_pts=3).toPandas()
+    assert 99 not in set(out["id"])  # noise dropped
+    clusters = out.groupby("cluster")["id"].apply(set).to_dict()
+    assert len(clusters) == 2
+    sets = sorted(clusters.values(), key=lambda s: min(s))
+    assert sets[0] == {0, 1, 2, 3, 4} and sets[1] == {10, 11, 12, 13, 14}
+
+
+def test_grid_dbscan_fixture_structure(spark, sf_dir):
+    from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["q_grid_dbscan"](spark, sf_dir).toPandas()
+    assert len(out) >= 2  # more than one cluster at fixture params
+    assert (out["n_points"] >= 3).all()  # every cluster >= min_pts
