@@ -6443,3 +6443,63 @@ SELECT cluster,
        COUNT(*) AS n_points
 FROM assigned GROUP BY cluster ORDER BY cluster
 """
+
+
+ORACLES["q_basket_triples"] = """
+WITH baskets AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n FROM baskets),
+sup1 AS (
+  SELECT event_type, COUNT(*) / n AS s FROM baskets, nu GROUP BY event_type, n
+), pairs AS (
+  SELECT a.event_type AS t_a, b.event_type AS t_b, COUNT(*) / ANY_VALUE(nu.n) AS s_ab
+  FROM baskets a JOIN baskets b ON a.user_id = b.user_id AND a.event_type < b.event_type, nu
+  GROUP BY a.event_type, b.event_type
+  HAVING COUNT(*) / ANY_VALUE(nu.n) >= 0.05
+), cand AS (
+  SELECT a.event_type AS t_a, b.event_type AS t_b, c.event_type AS t_c
+  FROM baskets a
+  JOIN baskets b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  JOIN pairs p ON p.t_a = a.event_type AND p.t_b = b.event_type
+  JOIN baskets c ON a.user_id = c.user_id AND c.event_type > b.event_type
+), triples AS (
+  SELECT t_a, t_b, t_c, COUNT(*) / ANY_VALUE(nu.n) AS support
+  FROM cand, nu GROUP BY t_a, t_b, t_c
+  HAVING COUNT(*) / ANY_VALUE(nu.n) >= 0.05
+)
+SELECT t.t_a, t.t_b, t.t_c,
+       ROUND(t.support, 6) AS support,
+       ROUND(t.support / (sa.s * sb.s * sc.s), 6) AS lift3
+FROM triples t
+JOIN sup1 sa ON sa.event_type = t.t_a
+JOIN sup1 sb ON sb.event_type = t.t_b
+JOIN sup1 sc ON sc.event_type = t.t_c
+ORDER BY t.t_a, t.t_b, t.t_c
+"""
+
+ORACLES["q_ltv_curve"] = """
+WITH o AS (
+  SELECT o_custkey,
+         date_trunc('month', CAST(o_orderdate AS DATE)) AS om,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), first AS (
+  SELECT o_custkey, MIN(om) AS cohort FROM o GROUP BY o_custkey
+), j AS (
+  SELECT f.cohort,
+         CAST(ROUND(12 * (year(o.om) - year(f.cohort))
+                    + (month(o.om) - month(f.cohort))) AS INTEGER) AS age_months,
+         o.cents, o.o_custkey
+  FROM o JOIN first f USING (o_custkey)
+), per_cell AS (
+  SELECT cohort, age_months,
+         COUNT(DISTINCT o_custkey) AS n_active,
+         CAST(SUM(cents) AS BIGINT) AS rev_cents
+  FROM j GROUP BY cohort, age_months
+)
+SELECT strftime(cohort, '%Y-%m') AS cohort_month,
+       age_months, n_active,
+       CAST(SUM(rev_cents) OVER (PARTITION BY cohort ORDER BY age_months
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS cum_revenue
+FROM per_cell ORDER BY cohort_month, age_months
+"""

@@ -5235,3 +5235,96 @@ def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+@q("q_basket_triples")
+def q_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori level-3: frequent event-type TRIPLES with support and
+    3-way lift, built by extending only the frequent pairs (the Apriori
+    pruning step — candidates never enumerate the full item³ space;
+    q_market_basket is the L2 this grows from). Joins are all on
+    user_id; supports broadcast back."""
+    ev = load_table(spark, sf_dir, "events")
+    baskets = ev.select("user_id", "event_type").distinct()
+    n_users = baskets.select("user_id").distinct().count()
+    min_support = 0.05
+    sup1 = baskets.groupBy("event_type").agg(
+        (F.count(F.lit(1)) / F.lit(float(n_users))).alias("s")
+    )
+    a = baskets.select("user_id", F.col("event_type").alias("t_a"))
+    b = baskets.select("user_id", F.col("event_type").alias("t_b"))
+    c = baskets.select("user_id", F.col("event_type").alias("t_c"))
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("t_a") < F.col("t_b"))
+        .groupBy("t_a", "t_b")
+        .agg((F.count(F.lit(1)) / F.lit(float(n_users))).alias("s_ab"))
+        .where(F.col("s_ab") >= min_support)
+    )
+    # Apriori: extend only frequent pairs; the candidate join is
+    # (frequent pair) x (basket item c > b) per user
+    cand = (
+        a.join(b, "user_id")
+        .where(F.col("t_a") < F.col("t_b"))
+        .join(F.broadcast(pairs.select("t_a", "t_b")), ["t_a", "t_b"], "left_semi")
+        .join(c, "user_id")
+        .where(F.col("t_c") > F.col("t_b"))
+    )
+    triples = cand.groupBy("t_a", "t_b", "t_c").agg(
+        (F.count(F.lit(1)) / F.lit(float(n_users))).alias("support")
+    ).where(F.col("support") >= min_support)
+    s1a = sup1.select(F.col("event_type").alias("t_a"), F.col("s").alias("sa"))
+    s1b = sup1.select(F.col("event_type").alias("t_b"), F.col("s").alias("sb"))
+    s1c = sup1.select(F.col("event_type").alias("t_c"), F.col("s").alias("sc"))
+    return (
+        triples.join(F.broadcast(s1a), "t_a")
+        .join(F.broadcast(s1b), "t_b")
+        .join(F.broadcast(s1c), "t_c")
+        .select(
+            "t_a",
+            "t_b",
+            "t_c",
+            F.round("support", 6).alias("support"),
+            F.round(
+                F.col("support") / (F.col("sa") * F.col("sb") * F.col("sc")), 6
+            ).alias("lift3"),
+        )
+        .orderBy("t_a", "t_b", "t_c")
+    )
+
+
+@q("q_ltv_curve")
+def q_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers grouped by first-order
+    month, cumulative revenue per cohort age in months — the LTV readout
+    the retention matrix (q_retention_cohort) counts users for, here in
+    exact revenue cents with a running cumsum per cohort. Two shuffles
+    (customer-grain first-order, cohort-grain rollup) + one bounded
+    window."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.trunc("o_orderdate", "month").alias("om"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("om").alias("cohort"))
+    j = o.join(first, "o_custkey").select(
+        "cohort",
+        F.round(F.months_between("om", "cohort")).cast("int").alias("age_months"),
+        "cents",
+        "o_custkey",
+    )
+    per_cell = j.groupBy("cohort", "age_months").agg(
+        F.countDistinct("o_custkey").alias("n_active"),
+        F.sum("cents").alias("rev_cents"),
+    )
+    w = (
+        W.partitionBy("cohort")
+        .orderBy("age_months")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return per_cell.select(
+        F.date_format("cohort", "yyyy-MM").alias("cohort_month"),
+        "age_months",
+        "n_active",
+        (F.sum("rev_cents").over(w).cast("double") / 100.0).alias("cum_revenue"),
+    ).orderBy("cohort_month", "age_months")

@@ -614,3 +614,39 @@ def test_grid_dbscan_fixture_structure(spark, sf_dir):
     out = QUERIES["q_grid_dbscan"](spark, sf_dir).toPandas()
     assert len(out) >= 2  # more than one cluster at fixture params
     assert (out["n_points"] >= 3).all()  # every cluster >= min_pts
+
+
+def test_basket_triples_apriori_consistency(spark, sf_dir):
+    """Triple support can never exceed any contained pair's support
+    (anti-monotonicity — the property Apriori pruning relies on)."""
+    from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
+    from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+
+    triples = QUERIES["q_basket_triples"](spark, sf_dir).toPandas()
+    assert len(triples) > 0
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    n = ev.select("user_id").distinct().count()
+    a = ev.selectExpr("user_id", "event_type AS t_a")
+    b = ev.selectExpr("user_id", "event_type AS t_b")
+    pair_sup = {
+        (r["t_a"], r["t_b"]): r["c"] / n
+        for r in a.join(b, "user_id")
+        .where(F.col("t_a") < F.col("t_b"))
+        .groupBy("t_a", "t_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    for _, r in triples.iterrows():
+        for p in [(r["t_a"], r["t_b"]), (r["t_a"], r["t_c"]), (r["t_b"], r["t_c"])]:
+            assert r["support"] <= pair_sup[p] + 1e-9
+
+
+def test_ltv_curve_monotone_per_cohort(spark, sf_dir):
+    from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["q_ltv_curve"](spark, sf_dir).toPandas()
+    assert len(out) > 0
+    for _, grp in out.groupby("cohort_month"):
+        g = grp.sort_values("age_months")
+        assert g["cum_revenue"].is_monotonic_increasing
+        assert (g["age_months"] >= 0).all()
