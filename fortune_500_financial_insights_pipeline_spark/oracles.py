@@ -6503,3 +6503,34 @@ SELECT strftime(cohort, '%Y-%m') AS cohort_month,
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS cum_revenue
 FROM per_cell ORDER BY cohort_month, age_months
 """
+
+
+ORACLES["q_embedding_qa"] = """
+WITH norms AS (
+  SELECT label,
+         ROUND(SQRT(list_aggregate(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6) AS n
+  FROM embeddings
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       ROUND((CAST(SUM(CAST(ROUND(n * 1000000) AS BIGINT)) AS DOUBLE) / 1000000)
+             / COUNT(n), 6) AS avg_norm,
+       ROUND(MIN(n), 6) AS min_norm,
+       ROUND(MAX(n), 6) AS max_norm,
+       CAST(SUM(CASE WHEN n < 0.000001 THEN 1 ELSE 0 END) AS BIGINT) AS n_degenerate
+FROM norms GROUP BY label ORDER BY label
+"""
+
+ORACLES["q_dup_size_dist"] = """
+WITH groups AS (
+  SELECT md5(substring(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 50)) AS fp,
+         COUNT(*) AS sz
+  FROM documents GROUP BY 1
+), tot AS (SELECT CAST(SUM(sz) AS BIGINT) AS t FROM groups)
+SELECT sz AS cluster_size,
+       COUNT(*) AS n_groups,
+       CAST(sz * COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(sz * COUNT(*) AS DOUBLE) / ANY_VALUE(t), 6) AS corpus_share
+FROM groups, tot GROUP BY sz ORDER BY sz
+"""

@@ -5328,3 +5328,67 @@ def q_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_active",
         (F.sum("rev_cents").over(w).cast("double") / 100.0).alias("cum_revenue"),
     ).orderBy("cohort_month", "age_months")
+
+
+@q("q_embedding_qa")
+def q_embedding_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column QA per label: L2-norm statistics and degenerate
+    vector counts — the sanity gate an ANN index build runs first (a
+    silent all-zeros or exploding-norm batch poisons every cosine
+    downstream). Norms fold per-row via a higher-order aggregate (no
+    UDF); group stats use the fixed-point interior."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    norm = F.round(F.sqrt(sq), 6)
+    return (
+        e.select("label", norm.alias("__n"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(davg("__n"), 6).alias("avg_norm"),
+            F.round(F.min("__n"), 6).alias("min_norm"),
+            F.round(F.max("__n"), 6).alias("max_norm"),
+            F.sum(F.when(F.col("__n") < 1e-6, 1).otherwise(0))
+            .cast("long")
+            .alias("n_degenerate"),
+        )
+        .orderBy("label")
+    )
+
+
+@q("q_dup_size_dist")
+def q_dup_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution: how many exact-fingerprint
+    groups exist at each multiplicity, and what share of the corpus each
+    multiplicity band holds — the dataset-card number behind "X% of the
+    corpus is duplicated" (q_dedup_exact removes them; this says how
+    bad it was). Two nested aggregates, both cardinality-bounded."""
+    d = load_table(spark, sf_dir, "documents")
+    # prefix-keyed families (the q_prefix_dedup grouping): whole-document
+    # fingerprints are all-unique on this fixture, prefix families show
+    # the actual multiplicity structure
+    fp = F.md5(
+        F.substring(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), 1, 50)
+    )
+    groups = d.select(fp.alias("fp")).groupBy("fp").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    tot = groups.agg(F.sum("sz").alias("__t"))
+    return (
+        groups.groupBy("sz")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("sz").alias("cluster_size"),
+            "n_groups",
+            (F.col("sz") * F.col("n_groups")).cast("long").alias("n_docs"),
+            F.round(
+                (F.col("sz") * F.col("n_groups")).cast("double") / F.col("__t"), 6
+            ).alias("corpus_share"),
+        )
+        .orderBy("cluster_size")
+    )

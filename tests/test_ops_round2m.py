@@ -650,3 +650,22 @@ def test_ltv_curve_monotone_per_cohort(spark, sf_dir):
         g = grp.sort_values("age_months")
         assert g["cum_revenue"].is_monotonic_increasing
         assert (g["age_months"] >= 0).all()
+
+
+def test_embedding_qa_no_degenerates_in_fixture(spark, sf_dir):
+    from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["q_embedding_qa"](spark, sf_dir).toPandas()
+    assert (out["n_degenerate"] == 0).all()
+    assert (out["min_norm"] > 0).all()
+    assert (out["min_norm"] <= out["avg_norm"]).all()
+    assert (out["avg_norm"] <= out["max_norm"]).all()
+
+
+def test_dup_size_dist_shares_sum_to_one(spark, sf_dir):
+    from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["q_dup_size_dist"](spark, sf_dir).toPandas()
+    assert abs(out["corpus_share"].sum() - 1.0) < 1e-4
+    assert (out["n_docs"] == out["cluster_size"] * out["n_groups"]).all()
+    assert len(out) >= 2  # fixture has multi-member prefix families
