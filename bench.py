@@ -159,6 +159,9 @@ DUCKDB_BASELINE_SF01: dict[str, float | None] = {
     "q_pca_spectrum": 0.0754, "q_budget_allocation": 0.0071,
     "q_column_entropy": 0.0208, "q_funnel_windowed": 0.0169,
     "q_wilson_ci": 0.007, "q_mann_kendall": 0.0466, "q_vwap": 0.0356,
+    "q_lsh_precision": 0.8403, "q_byte_entropy": 0.3326,
+    "q_grid_dbscan": 0.1791, "q_seasonal_lag": 0.1062,
+    "q_basket_triples": 0.9438, "q_ltv_curve": 0.0795,
 }
 
 
