@@ -42,8 +42,6 @@ HEADLINE = [
     "q_union",
     "q_rollup",
     "q_date_extract",
-    # LLM-pipeline extension shapes — the expensive operators whose
-    # regressions SCALE.md used to track by hand (round-1 verdict #5)
     "q_simhash_pairs",
     "q_jaccard_clusters",
     "q_minhash_neardup",
@@ -55,49 +53,26 @@ HEADLINE = [
     "q_bm25",
     "q_mix_sources",
     "q_upsample_sources",
-    # round-2 additions
     "q_skyline",
     "q_rolling_median",
-    "q_bloom_semijoin",
-    "q_kmv_distinct",
-    "q_kmv_overlap",
-    "q_attribution",
-    "q_histogram_equidepth",
     "q_bm25_search",
     "q_pq_topk",
     "q_ivfpq_topk",
     "q_ivfpq_residual_topk",
-    "q_bpe_train",
     "q_bpe_segment",
     "q_ivfpq_rerank",
-    "q_late_interaction",
     "q_embed_neardup_portable",
     "q_minhash_portable",
-    # round-2f..2k additions
-    "q_snapshot_diff",
-    "q_apply_changes",
     "q_kcore",
     "q_source_overlap",
-    "q_golden_record",
-    "q_column_profile",
-    "q_transition_matrix",
     "q_interval_coverage",
     "q_ewma",
     "q_mutual_knn",
-    "q_zorder",
     "q_weighted_median",
-    "q_theil_sen",
-    # round-2m additions
-    "q_drawdown",
-    "q_var_es",
     "q_shortest_path",
     "q_perplexity_bucket",
     "q_auc",
     "q_woe_iv",
-    "q_sorted_neighborhood",
-    "q_window_pct",
-    "q_hhi",
-    "q_prefix_dedup",
     "q_cov_matrix",
     "q_portfolio_vol",
     "q_ols_multi",
@@ -109,8 +84,12 @@ HEADLINE = [
     "q_er_pipeline",
     "q_ranking_metrics",
     "q_mahalanobis",
-    "q_pca_spectrum",
-    "q_mann_kendall",
+    "q_lsh_precision",
+    "q_byte_entropy",
+    "q_grid_dbscan",
+    "q_seasonal_lag",
+    "q_basket_triples",
+    "q_ltv_curve",
 ]
 
 # DuckDB oracle wall-clock on the SAME queries at sf0.1, best-of-2, measured
