@@ -130,3 +130,71 @@ def rrf_fuse(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= topn)
     )
+
+
+def rbo_suffix_weights(p: float = 0.9, depth: int = 10, scale: int = 10**12) -> list[int]:
+    """Fixed-point suffix sums of the truncated RBO weight series.
+
+    ``S[m] = Σ_{d=m..depth} (1-p)·p^(d-1)/d`` scaled to integers, so a
+    common document first present in both lists at depth ``m`` contributes
+    exactly ``S[m]`` to the rank-biased overlap (Webber, Moffat & Zobel,
+    TOIS 2010 — truncated/prefix form). Integer literals are embedded in
+    BOTH engines' plans, so per-query scores are exact long sums — no
+    engine-ordered float folds.
+    """
+    s = [0.0] * (depth + 2)
+    for m in range(depth, 0, -1):
+        s[m] = s[m + 1] + (1.0 - p) * p ** (m - 1) / m
+    return [round(v * scale) for v in s[1 : depth + 1]]
+
+
+def rbo_agreement(
+    leg_a: DataFrame,
+    leg_b: DataFrame,
+    *,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    p: float = 0.9,
+    depth: int = 10,
+) -> DataFrame:
+    """Truncated rank-biased overlap between two per-query top-``depth``
+    rank lists — the retriever-agreement diagnostic next to ``rrf_fuse``
+    (high RBO ⇒ the legs are redundant; low ⇒ fusion adds recall).
+
+    Uses the common-document suffix-sum identity: overlap@d counts the
+    common docs with ``max(rank_a, rank_b) <= d``, so
+    ``RBO = Σ_common S[max(ra, rb)]`` with ``S`` from
+    :func:`rbo_suffix_weights`. One equi-join on (query, doc) between two
+    depth-sized lists + one groupBy on the query — never rescans the
+    corpus, never compares rankings pairwise per depth.
+    """
+    scale = 10**12
+    weights = rbo_suffix_weights(p, depth, scale)
+    warr = F.array(*[F.lit(w) for w in weights])
+    a = leg_a.where(F.col(rank_col) <= depth).select(
+        query_col, id_col, F.col(rank_col).alias("__ra")
+    )
+    b = leg_b.where(F.col(rank_col) <= depth).select(
+        query_col, id_col, F.col(rank_col).alias("__rb")
+    )
+    common = a.join(b, [query_col, id_col]).select(
+        query_col,
+        F.element_at(warr, F.greatest("__ra", "__rb").cast("int")).alias("__w"),
+    )
+    qs = a.select(query_col).distinct()
+    per_q = common.groupBy(query_col).agg(
+        F.count(F.lit(1)).alias("overlap"),
+        F.sum("__w").alias("__wsum"),
+    )
+    return (
+        qs.join(per_q, query_col, "left")
+        .select(
+            query_col,
+            F.coalesce("overlap", F.lit(0)).cast("long").alias("overlap"),
+            F.round(
+                F.coalesce("__wsum", F.lit(0)).cast("double") / F.lit(float(scale)), 9
+            ).alias("rbo"),
+        )
+        .orderBy(query_col)
+    )

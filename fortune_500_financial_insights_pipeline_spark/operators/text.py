@@ -527,3 +527,59 @@ def code_detect(
         sym_ratio.alias("symbol_ratio"),
         (frac >= code_line_frac).alias("is_code"),
     )
+
+
+def ngram_novelty(
+    df: "DataFrame", n: int = 8, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Per-document novel n-gram rate under corpus (id) order: a gram is
+    *novel* to the lowest-id document containing it, so the per-doc share
+    of novel grams traces how fast the corpus stops contributing new
+    content — the marginal-value curve dataset builders read before
+    deciding whether another crawl snapshot is worth ingesting
+    (complement of q_containment, which scores overlap against an
+    EXTERNAL benchmark; this is self-novelty in ingestion order).
+
+    Scale shape: the positioned-window explode is the only
+    volume-carrying stage; everything after rides the 32-byte md5 gram
+    key — a min-aggregate (first containing doc) and one equi-join back.
+    Docs shorter than n tokens carry no grams and are excluded, exactly
+    as the oracle excludes them.
+    """
+    from fortune_500_financial_insights_pipeline_spark.operators.compact import (
+        ensure_min_parallelism,
+    )
+
+    src = ensure_min_parallelism(
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__tk")), id_col
+    )
+    tk = F.col("__tk")
+    gram = F.transform(
+        F.sequence(F.lit(0), F.size(tk) - n),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ", *[F.element_at(tk, (i + j + 1).cast("int")) for j in range(n)]
+            )
+        ),
+    )
+    grams = src.where(F.size(tk) >= n).select(
+        F.col(id_col), F.explode(F.array_distinct(gram)).alias("__g")
+    )
+    first = grams.groupBy("__g").agg(F.min(id_col).alias("__first"))
+    return (
+        grams.join(first, "__g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("__first") == F.col(id_col), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty_rate"),
+        )
+        .orderBy(id_col)
+    )

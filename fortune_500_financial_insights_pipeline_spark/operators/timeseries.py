@@ -481,3 +481,52 @@ def portfolio_volatility(
         "port_var",
         F.round(F.sqrt(F.col("port_var")), 6).alias("port_vol"),
     )
+
+
+def risk_adjusted_returns(
+    daily: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    periods_per_year: int = 252,
+) -> DataFrame:
+    """Per-key annualized Sharpe and Sortino ratios from a daily price
+    series — the risk-adjusted readout a finance dashboard quotes next to
+    max_drawdown (rf = 0: the excess-return baseline is a caller concern).
+
+    Daily simple returns come from one lag window (same single shuffle on
+    the key as ``max_drawdown``), rounded to 6dp so both engines aggregate
+    identical inputs; Σr and Σr² fold in exact fixed point, and the final
+    mean/stddev/ratio arithmetic is a fixed-order double expression shared
+    with the oracle SQL — hash-exact despite the sqrt. Sortino uses the
+    full-count downside deviation sqrt(Σ min(r,0)² / n) (target = 0),
+    the common practitioner form.
+    """
+    from fortune_500_financial_insights_pipeline_spark.functions.deterministic import dsum
+
+    w = W.partitionBy(*key_cols).orderBy(*order_cols)
+    prev = F.lag(F.col(value_col)).over(w)
+    r = F.round(F.col(value_col) / prev - 1, 6)
+    rets = daily.select(*key_cols, r.alias("__r")).where(F.col("__r").isNotNull())
+    neg = F.least(F.col("__r"), F.lit(0.0))
+    agg = rets.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        dsum("__r").alias("__sr"),
+        dsum(F.col("__r") * F.col("__r")).alias("__srr"),
+        dsum(neg * neg).alias("__sdd"),
+    )
+    nn = F.col("n_days").cast("double")
+    mean = F.col("__sr") / nn
+    # sample variance from exact sums: (n·Σr² − (Σr)²) / (n·(n−1))
+    var = (nn * F.col("__srr") - F.col("__sr") * F.col("__sr")) / (nn * (nn - 1))
+    ann = F.sqrt(F.lit(float(periods_per_year)))
+    sharpe = F.when(var > 0, mean / F.sqrt(var) * ann)
+    downside = F.sqrt(F.col("__sdd") / nn)
+    sortino = F.when(F.col("__sdd") > 0, mean / downside * ann)
+    return agg.select(
+        *key_cols,
+        "n_days",
+        F.round(mean, 6).alias("mean_ret"),
+        F.round(sharpe, 6).alias("sharpe"),
+        F.round(sortino, 6).alias("sortino"),
+    )

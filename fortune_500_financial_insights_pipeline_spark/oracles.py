@@ -6534,3 +6534,214 @@ SELECT sz AS cluster_size,
        ROUND(CAST(sz * COUNT(*) AS DOUBLE) / ANY_VALUE(t), 6) AS corpus_share
 FROM groups, tot GROUP BY sz ORDER BY sz
 """
+
+ORACLES["q_ann_recall"] = """
+WITH seeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+         CAST(embedding AS DOUBLE[]) AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4)
+), sims AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS vec, s.cell,
+         ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), s.cvec)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(s.cvec, s.cvec))), 6) AS csim
+  FROM embeddings e CROSS JOIN seeds s
+), corpus_cells AS (
+  SELECT vec_id, vec, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY csim DESC, cell ASC) AS rn
+    FROM sims) WHERE rn = 1
+), query_probes AS (
+  SELECT vec_id AS q_id, vec AS qvec, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY csim DESC, cell ASC) AS rn
+    FROM sims WHERE vec_id < 10) WHERE rn <= 2
+), cand AS (
+  SELECT p.q_id, c.vec_id,
+         ROUND(list_dot_product(c.vec, p.qvec)
+               / (sqrt(list_dot_product(c.vec, c.vec))
+                  * sqrt(list_dot_product(p.qvec, p.qvec))), 6) AS sim
+  FROM query_probes p JOIN corpus_cells c USING (cell)
+  WHERE c.vec_id <> p.q_id
+), approx AS (
+  SELECT q_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                 ORDER BY sim DESC, vec_id ASC) AS rn
+    FROM cand) WHERE rn <= 5
+), q AS (
+  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < 10
+), s2 AS (
+  SELECT q.q_id, e.vec_id,
+         ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(q.qe, q.qe))), 6) AS sim
+  FROM embeddings e, q WHERE e.vec_id <> q.q_id
+), exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                 ORDER BY sim DESC, vec_id ASC) AS rn
+    FROM s2) WHERE rn <= 5
+)
+SELECT e.q_id,
+       CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
+       ROUND(CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*), 6) AS recall
+FROM exact e LEFT JOIN approx a USING (q_id, vec_id)
+GROUP BY e.q_id
+ORDER BY q_id
+"""
+
+
+def _rbo_suffix_weight_literals(p: float = 0.9, depth: int = 10) -> str:
+    # mirrors operators/retrieval.rbo_suffix_weights EXACTLY (same float
+    # expression text -> same doubles -> same integer literals)
+    s = [0.0] * (depth + 2)
+    for m in range(depth, 0, -1):
+        s[m] = s[m + 1] + (1.0 - p) * p ** (m - 1) / m
+    scale = 10**12
+    return ", ".join(str(round(v * scale)) for v in s[1 : depth + 1])
+
+
+ORACLES["q_rbo"] = f"""
+WITH tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> ''
+  GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), stats AS (
+  SELECT (SELECT SUM(tf) FROM tf) AS total_tf,
+         (SELECT COUNT(*) FROM documents) AS n_docs
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(LN(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * (1.0 - 0.75
+                                 + 0.75 * dl.dl / (s.total_tf * 1.0 / s.n_docs))),
+               6) AS score
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN dfreq ON tf.term = dfreq.term
+  CROSS JOIN stats s
+), queries AS (
+  SELECT doc_id AS query_id, text AS qtext FROM documents
+  WHERE doc_id IN (0, 7, 42)
+), qterms AS (
+  SELECT DISTINCT query_id, term
+  FROM (SELECT query_id, UNNEST(string_split(qtext, ' ')) AS term FROM queries)
+  WHERE term <> ''
+), totals AS (
+  SELECT q.query_id, s.doc_id,
+         ROUND(CAST(SUM(CAST(ROUND(s.score * 1000000) AS BIGINT)) AS DOUBLE)
+               / 1000000, 6) AS total_score
+  FROM scored s JOIN qterms q ON s.term = q.term
+  GROUP BY q.query_id, s.doc_id
+), lex_raw AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id, ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY total_score DESC, doc_id ASC
+           ) AS rank
+    FROM totals
+  ) WHERE rank <= 20 AND doc_id <> query_id
+), lex AS (
+  SELECT query_id, doc_id, ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY rank ASC
+         ) AS rank
+  FROM lex_raw
+), qv AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id IN (0, 7, 42)
+), dsims AS (
+  SELECT qv.query_id, e.vec_id AS doc_id,
+         ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), qv.qe)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(qv.qe, qv.qe))), 6) AS sim
+  FROM embeddings e, qv
+  WHERE e.vec_id <> qv.query_id
+), dense AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id, ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY sim DESC, doc_id ASC
+           ) AS rank
+    FROM dsims
+  ) WHERE rank <= 20
+), a AS (SELECT query_id, doc_id, rank AS ra FROM lex WHERE rank <= 10),
+b AS (SELECT query_id, doc_id, rank AS rb FROM dense WHERE rank <= 10),
+common AS (
+  SELECT a.query_id,
+         list_extract([{_rbo_suffix_weight_literals()}],
+                      CAST(GREATEST(ra, rb) AS INTEGER)) AS w
+  FROM a JOIN b USING (query_id, doc_id)
+), per_q AS (
+  SELECT query_id, COUNT(*) AS overlap, SUM(w) AS wsum
+  FROM common GROUP BY query_id
+)
+SELECT q.query_id,
+       CAST(COALESCE(p.overlap, 0) AS BIGINT) AS overlap,
+       ROUND(CAST(COALESCE(p.wsum, 0) AS DOUBLE) / 1000000000000.0, 9) AS rbo
+FROM (SELECT DISTINCT query_id FROM a) q
+LEFT JOIN per_q p USING (query_id)
+ORDER BY query_id
+"""
+
+ORACLES["q_ngram_novelty"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         md5(l[i]||' '||l[i+1]||' '||l[i+2]||' '||l[i+3]||' '||l[i+4]
+             ||' '||l[i+5]||' '||l[i+6]||' '||l[i+7]) AS g
+  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 7)) AS i
+        FROM toks WHERE len(l) >= 8)
+),
+firstdoc AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g)
+SELECT g.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       ROUND(CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS novelty_rate
+FROM grams g JOIN firstdoc f USING (g)
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""
+
+ORACLES["q_sharpe"] = f"""
+WITH daily AS (
+  SELECT l_suppkey,
+         strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS day,
+         ROUND({_dsum('l_extendedprice')} / COUNT(*), 6) AS close
+  FROM lineitem WHERE l_suppkey <= 20
+  GROUP BY l_suppkey, strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')
+), rets AS (
+  SELECT l_suppkey,
+         ROUND(close / LAG(close) OVER (PARTITION BY l_suppkey ORDER BY day)
+               - 1, 6) AS r
+  FROM daily
+), agg AS (
+  SELECT l_suppkey, COUNT(*) AS n_days,
+         {_dsum('r')} AS sr,
+         {_dsum('r * r')} AS srr,
+         {_dsum('LEAST(r, 0.0) * LEAST(r, 0.0)')} AS sdd
+  FROM rets WHERE r IS NOT NULL GROUP BY l_suppkey
+)
+SELECT l_suppkey, n_days,
+       ROUND(sr / CAST(n_days AS DOUBLE), 6) AS mean_ret,
+       ROUND(CASE WHEN (CAST(n_days AS DOUBLE) * srr - sr * sr)
+                       / (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1)) > 0
+                  THEN sr / CAST(n_days AS DOUBLE)
+                       / sqrt((CAST(n_days AS DOUBLE) * srr - sr * sr)
+                              / (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1)))
+                       * sqrt(252.0) END, 6) AS sharpe,
+       ROUND(CASE WHEN sdd > 0
+                  THEN sr / CAST(n_days AS DOUBLE)
+                       / sqrt(sdd / CAST(n_days AS DOUBLE))
+                       * sqrt(252.0) END, 6) AS sortino
+FROM agg ORDER BY l_suppkey
+"""

@@ -5392,3 +5392,110 @@ def q_dup_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+@q("q_ann_recall")
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall gauge: recall@5 of the IVF-routed k-NN join against the
+    exact brute-force top-5, per query vector — the acceptance number an
+    index build publishes before the exact path is switched off (the
+    routing, candidate scoring AND the exact twin are each oracle-exact
+    already; this composes them into the recall readout). Both legs are
+    depth-5 lists for 10 queries, so the compare is list-sized — the
+    corpus is scanned once per leg, never per depth."""
+    from fortune_500_financial_insights_pipeline_spark.operators.similarity import (
+        knn_join,
+        knn_join_ivf,
+        md5_sample_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    queries = emb.where(F.col("vec_id") < 10)
+    centroids = md5_sample_centroids(emb, k=4)
+    approx = knn_join_ivf(queries, emb, centroids, k=5, n_probe=2).select(
+        "q_id", "vec_id"
+    )
+    exact = knn_join(queries, emb, k=5).select("q_id", "vec_id")
+    hits = exact.join(approx, ["q_id", "vec_id"], "left_semi")
+    n_hit = hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    base = exact.groupBy("q_id").agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        base.join(n_hit, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("__n"), 6
+            ).alias("recall"),
+        )
+        .orderBy("q_id")
+    )
+
+
+@q("q_rbo")
+def q_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (p=0.9, depth 10) between the lexical BM25 and
+    dense embedding top-10 lists for three query documents
+    (operators/retrieval.rbo_agreement) — the retriever-agreement
+    diagnostic next to q_rrf_fusion: high RBO means the legs are
+    redundant, low means fusion is buying recall. Contributions are
+    fixed-point suffix-sum literals shared with the oracle, so the score
+    is an exact long sum despite the geometric weights."""
+    from fortune_500_financial_insights_pipeline_spark.operators.retrieval import (
+        rbo_agreement,
+    )
+    from fortune_500_financial_insights_pipeline_spark.operators.similarity import knn_join
+    from fortune_500_financial_insights_pipeline_spark.operators.tfidf import bm25_search
+
+    d = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 7, 42]
+    queries = d.where(F.col("doc_id").isin(qids)).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("qtext")
+    )
+    # lexical leg: self dropped, then re-ranked to a gap-free 1..N list
+    wl = W.partitionBy("query_id").orderBy(F.asc("rank"))
+    lex = (
+        bm25_search(d, queries, k=20)
+        .where(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id", F.row_number().over(wl).alias("rank"))
+    )
+    wd = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    dense = knn_join(emb.where(F.col("vec_id").isin(qids)), emb, k=20).select(
+        F.col("q_id").alias("query_id"),
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(wd).alias("rank"),
+    )
+    return rbo_agreement(lex, dense, p=0.9, depth=10)
+
+
+@q("q_ngram_novelty")
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novel 8-gram rate in corpus (id) order
+    (operators/text.ngram_novelty): the marginal-content curve a dataset
+    builder reads before ingesting another snapshot — q_containment
+    scores overlap against an external benchmark, this is self-novelty.
+    Post-explode work rides the md5 gram key only."""
+    from fortune_500_financial_insights_pipeline_spark.operators.text import ngram_novelty
+
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_novelty(d, n=8)
+
+
+@q("q_sharpe")
+def q_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annualized Sharpe/Sortino per supplier price series
+    (operators/timeseries.risk_adjusted_returns): lag-window daily
+    returns, exact fixed-point Σr/Σr²/Σmin(r,0)² folds, shared-text
+    sqrt expressions — the risk-adjusted readout next to q_drawdown."""
+    from fortune_500_financial_insights_pipeline_spark.operators.timeseries import (
+        risk_adjusted_returns,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_suppkey") <= 20)
+    daily = li.groupBy(
+        "l_suppkey", F.date_format("l_shipdate", "yyyy-MM-dd").alias("day")
+    ).agg(F.round(davg("l_extendedprice"), 6).alias("close"))
+    return risk_adjusted_returns(daily, ["l_suppkey"], ["day"], "close").orderBy(
+        "l_suppkey"
+    )

@@ -1,0 +1,89 @@
+"""Property tests for the round-2q batch: ANN recall gauge, rank-biased
+overlap, n-gram novelty, risk-adjusted returns (oracle parity at sf0.001
+is covered by test_oracle_parity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fortune_500_financial_insights_pipeline_spark.operators.retrieval import (
+    rbo_agreement,
+    rbo_suffix_weights,
+)
+from fortune_500_financial_insights_pipeline_spark.operators.text import ngram_novelty
+from fortune_500_financial_insights_pipeline_spark.operators.timeseries import (
+    risk_adjusted_returns,
+)
+from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
+
+
+def test_rbo_suffix_weights_monotone_and_bounded():
+    w = rbo_suffix_weights(p=0.9, depth=10)
+    assert len(w) == 10
+    # suffix sums decrease with the first-common depth
+    assert all(a > b for a, b in zip(w, w[1:]))
+    # identical lists score Σ S[m] = 1 - p^depth (truncated-RBO ceiling)
+    total = sum(w) / 10**12
+    assert abs(total - (1 - 0.9**10)) < 1e-9
+
+
+def _leg(spark, rows):
+    return spark.createDataFrame(rows, "query_id long, doc_id long, rank int")
+
+
+def test_rbo_identical_lists_hit_ceiling(spark):
+    rows = [(1, d, r) for r, d in enumerate(range(100, 110), start=1)]
+    out = rbo_agreement(_leg(spark, rows), _leg(spark, rows)).collect()
+    assert len(out) == 1
+    assert out[0]["overlap"] == 10
+    assert abs(out[0]["rbo"] - (1 - 0.9**10)) < 1e-6
+
+
+def test_rbo_disjoint_lists_zero(spark):
+    a = [(1, d, r) for r, d in enumerate(range(100, 110), start=1)]
+    b = [(1, d, r) for r, d in enumerate(range(200, 210), start=1)]
+    out = rbo_agreement(_leg(spark, a), _leg(spark, b)).collect()
+    assert out[0]["overlap"] == 0
+    assert out[0]["rbo"] == 0.0
+
+
+def test_ngram_novelty_planted_copy(spark):
+    base = " ".join(f"tok{i}" for i in range(20))
+    other = " ".join(f"alt{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(0, base), (1, other), (2, base)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(df, n=8).collect()}
+    # lowest-id doc owns all its grams; the verbatim copy owns none
+    assert out[0]["novelty_rate"] == 1.0
+    assert out[1]["novelty_rate"] == 1.0
+    assert out[2]["novelty_rate"] == 0.0
+    assert out[2]["n_grams"] == 13  # 20 - 8 + 1 distinct windows
+
+
+def test_risk_adjusted_returns_flat_series_null_sharpe(spark):
+    rows = [("a", f"2024-01-{d:02d}", 100.0) for d in range(1, 11)]
+    df = spark.createDataFrame(rows, "k string, day string, close double")
+    out = risk_adjusted_returns(df, ["k"], ["day"], "close").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_days"] == 9
+    assert r["mean_ret"] == 0.0
+    assert r["sharpe"] is None  # zero variance
+    assert r["sortino"] is None  # no downside
+
+
+def test_risk_adjusted_returns_downside_only_negative(spark):
+    # strictly falling series: sortino defined and negative
+    rows = [("a", f"2024-01-{d:02d}", 100.0 - d) for d in range(1, 11)]
+    df = spark.createDataFrame(rows, "k string, day string, close double")
+    r = risk_adjusted_returns(df, ["k"], ["day"], "close").collect()[0]
+    assert r["mean_ret"] < 0
+    assert r["sortino"] < 0
+
+
+def test_ann_recall_bounds(spark, sf_dir):
+    out = QUERIES["q_ann_recall"](spark, sf_dir).toPandas()
+    assert len(out) == 10
+    assert ((out["recall"] >= 0) & (out["recall"] <= 1)).all()
+    assert (out["n_hit"] <= 5).all()
