@@ -525,3 +525,54 @@ def pca_spectrum2(
         F.round(lam2, 6).alias("lambda2"),
         F.round(lam1 / (lam1 + lam2), 6).alias("evr1"),
     )
+
+
+def hill_tail_index(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 50,
+) -> DataFrame:
+    """Hill estimator of the power-law tail exponent per group:
+    α = k / Σ_{i=1..k} ln(x_(i) / x_(k+1)) over the k largest values —
+    the heavy-tail diagnostic behind skew planning (a shuffle key whose
+    frequency tail has α < 2 has unbounded variance: salting is not
+    optional). Hill 1975; the standard order-statistics estimator.
+
+    One rank window per group (top-(k+1) only — WindowGroupLimit prunes
+    the rest map-side), per-row ln ratios against the (k+1)-th order
+    statistic, fixed-point sum — deterministic under value ties because
+    equal boundary values contribute identical ratios. Groups with fewer
+    than k+1 rows or a zero ratio sum return NULL α, mirrored by the
+    oracle.
+    """
+    from fortune_500_financial_insights_pipeline_spark.functions.deterministic import _fixed
+
+    wr = W.partitionBy(*group_cols).orderBy(F.desc("__x"))
+    wg = W.partitionBy(*group_cols)
+    ranked = (
+        df.select(*group_cols, F.col(value_col).cast("double").alias("__x"))
+        .withColumn("__r", F.row_number().over(wr))
+        .where(F.col("__r") <= k + 1)
+        .withColumn("__xk1", F.max(F.when(F.col("__r") == k + 1, F.col("__x"))).over(wg))
+    )
+    term = F.log(F.col("__x") / F.col("__xk1"))
+    agg = (
+        ranked.where(F.col("__r") <= k)
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            (F.sum(_fixed(term)).cast("double") / 1000000).alias("__s"),
+            F.min("__xk1").alias("__xk1"),
+        )
+    )
+    alpha = F.when(
+        (F.col("__n") == k) & F.col("__xk1").isNotNull() & (F.col("__s") > 0),
+        F.lit(float(k)) / F.col("__s"),
+    )
+    return agg.select(
+        *group_cols,
+        F.lit(k).alias("k"),
+        F.round("__xk1", 6).alias("x_k1"),
+        F.round(alpha, 6).alias("alpha"),
+    )

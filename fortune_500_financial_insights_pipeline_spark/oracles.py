@@ -6745,3 +6745,109 @@ SELECT l_suppkey, n_days,
                        * sqrt(252.0) END, 6) AS sortino
 FROM agg ORDER BY l_suppkey
 """
+
+ORACLES["q_curation_report"] = """
+WITH s1 AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (
+             PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+             ORDER BY doc_id ASC) AS rn
+    FROM documents) WHERE rn = 1
+), s2 AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+      ROUND(
+        LEAST(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4
+        + (CASE WHEN CAST(length(text) AS DOUBLE)
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 3.0
+                 AND CAST(length(text) AS DOUBLE)
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE) <= 10.0
+                THEN 1.0 ELSE 0.5 END) * 0.3
+        + LEAST((CAST(len(list_filter(string_split(text, ' '),
+                    t -> list_contains(['the','a','of','and','to','in','is','on','for','with'], t)))
+                 AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 5.0,
+                1.0) * 0.3, 6) AS quality
+    FROM s1) WHERE quality >= 0.5
+), rep AS (
+  SELECT doc_id, CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS top_gram_frac
+  FROM (SELECT doc_id, gram, COUNT(*) AS cnt
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(l)), x -> l[x] || ' ' || l[x+1])) AS gram
+              FROM (SELECT doc_id, string_split(text, ' ') AS l FROM s2))
+        GROUP BY doc_id, gram)
+  GROUP BY doc_id
+), s3 AS (
+  SELECT s2.doc_id, s2.text FROM s2 LEFT JOIN rep USING (doc_id)
+  WHERE rep.top_gram_frac IS NULL OR rep.top_gram_frac < 0.08
+), entdocs AS (
+  SELECT doc_id, lower(substring(text, 1, 240)) AS t FROM s3
+  WHERE length(lower(substring(text, 1, 240))) > 0
+), entcounts AS (
+  SELECT doc_id, c, COUNT(*) AS n_c
+  FROM (SELECT doc_id, substring(t, CAST(i AS INTEGER), 1) AS c
+        FROM (SELECT doc_id, t, unnest(range(1, length(t) + 1)) AS i FROM entdocs))
+  GROUP BY doc_id, c
+), enttotals AS (
+  SELECT doc_id, SUM(n_c) AS n FROM entcounts GROUP BY doc_id
+), ent AS (
+  SELECT entcounts.doc_id,
+         -(CAST(SUM(CAST(ROUND(((n_c / n) * log2(n_c / n)) * 1000000) AS BIGINT))
+            AS DOUBLE) / 1000000) AS entropy_bits
+  FROM entcounts JOIN enttotals USING (doc_id)
+  GROUP BY entcounts.doc_id
+), s4 AS (
+  SELECT s3.doc_id FROM s3 LEFT JOIN ent USING (doc_id)
+  WHERE ent.entropy_bits IS NULL
+     OR (ent.entropy_bits >= 1.5 AND ent.entropy_bits <= 7.0)
+), counts AS (
+  SELECT 0 AS stage_idx, 'raw' AS stage,
+         (SELECT COUNT(*) FROM documents) AS rows_out
+  UNION ALL SELECT 1, 'exact_dedup', (SELECT COUNT(*) FROM s1)
+  UNION ALL SELECT 2, 'quality_gate', (SELECT COUNT(*) FROM s2)
+  UNION ALL SELECT 3, 'repetition_gate', (SELECT COUNT(*) FROM s3)
+  UNION ALL SELECT 4, 'entropy_band', (SELECT COUNT(*) FROM s4)
+)
+SELECT CAST(stage_idx AS INTEGER) AS stage_idx, stage,
+       CAST(LAG(rows_out) OVER (ORDER BY stage_idx) AS BIGINT) AS rows_in,
+       CAST(rows_out AS BIGINT) AS rows_out,
+       CAST(LAG(rows_out) OVER (ORDER BY stage_idx) - rows_out AS BIGINT) AS dropped
+FROM counts ORDER BY stage_idx
+"""
+
+ORACLES["q_token_percentiles"] = """
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(quantile_cont(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.5), 6)
+         AS p50_tokens,
+       ROUND(quantile_cont(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.9), 6)
+         AS p90_tokens,
+       ROUND(quantile_cont(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.99), 6)
+         AS p99_tokens,
+       CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+ORACLES["q_tail_index"] = """
+WITH ranked AS (
+  SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS x,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC) AS r
+  FROM orders
+), top AS (
+  SELECT o_orderpriority, x, r,
+         MAX(CASE WHEN r = 51 THEN x END)
+           OVER (PARTITION BY o_orderpriority) AS xk1
+  FROM ranked WHERE r <= 51
+), agg AS (
+  SELECT o_orderpriority, COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND((ln(x / xk1)) * 1000000) AS BIGINT)) AS DOUBLE)
+           / 1000000 AS s,
+         MIN(xk1) AS xk1
+  FROM top WHERE r <= 50 GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, CAST(50 AS INTEGER) AS k,
+       ROUND(xk1, 6) AS x_k1,
+       ROUND(CASE WHEN n = 50 AND xk1 IS NOT NULL AND s > 0
+                  THEN 50.0 / s END, 6) AS alpha
+FROM agg ORDER BY o_orderpriority
+"""

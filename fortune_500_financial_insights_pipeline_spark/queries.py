@@ -5499,3 +5499,123 @@ def q_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return risk_adjusted_returns(daily, ["l_suppkey"], ["day"], "close").orderBy(
         "l_suppkey"
     )
+
+
+@q("q_curation_report")
+def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel AS A QUERY: per-stage in/out/dropped counts for
+    raw → exact dedup → quality gate → repetition gate → entropy band —
+    the dataset-card observability row pipelines/training_data.py returns
+    driver-side, here computed relationally so the whole report is
+    oracle-checkable. Every gate is a per-document predicate (dedup rank,
+    round-6 quality_score >= 0.5, top-bigram fraction < 0.08 with
+    gramless docs passing, char entropy in [1.5, 7.0] with unscoreable
+    docs passing), so the sequential funnel collapses to ONE pass of
+    cumulative-AND survival flags + one aggregate — the oracle keeps the
+    literal stage-by-stage CTE chain, proving the fusion is equivalence,
+    not approximation."""
+    from fortune_500_financial_insights_pipeline_spark.operators.text import (
+        char_entropy,
+        quality_score,
+        repetition_stats,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+    rn = F.row_number().over(W.partitionBy(fp).orderBy(F.asc("doc_id")))
+    rep = repetition_stats(d, "doc_id", "text").select("doc_id", "top_gram_frac")
+    ent = char_entropy(d).select("doc_id", "entropy_bits")
+    flags = (
+        d.select("doc_id", "text", (rn == 1).alias("__f1"))
+        .withColumn("__f2", F.round(quality_score("text"), 6) >= 0.5)
+        .join(rep, "doc_id", "left")
+        .join(ent, "doc_id", "left")
+        .select(
+            "__f1",
+            "__f2",
+            (F.col("top_gram_frac").isNull() | (F.col("top_gram_frac") < 0.08)).alias(
+                "__f3"
+            ),
+            (
+                F.col("entropy_bits").isNull()
+                | ((F.col("entropy_bits") >= 1.5) & (F.col("entropy_bits") <= 7.0))
+            ).alias("__f4"),
+        )
+    )
+    one = F.lit(1)
+    agg = flags.agg(
+        F.count(one).alias("c0"),
+        F.sum(F.when(F.col("__f1"), one).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("__f1") & F.col("__f2"), one).otherwise(0)).alias("c2"),
+        F.sum(
+            F.when(F.col("__f1") & F.col("__f2") & F.col("__f3"), one).otherwise(0)
+        ).alias("c3"),
+        F.sum(
+            F.when(
+                F.col("__f1") & F.col("__f2") & F.col("__f3") & F.col("__f4"), one
+            ).otherwise(0)
+        ).alias("c4"),
+    )
+
+    def st(idx: int, name: str, rin, rout):
+        return F.struct(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            rin.cast("long").alias("rows_in"),
+            F.col(rout).cast("long").alias("rows_out"),
+        )
+
+    return (
+        agg.select(
+            F.explode(
+                F.array(
+                    st(0, "raw", F.lit(None), "c0"),
+                    st(1, "exact_dedup", F.col("c0"), "c1"),
+                    st(2, "quality_gate", F.col("c1"), "c2"),
+                    st(3, "repetition_gate", F.col("c2"), "c3"),
+                    st(4, "entropy_band", F.col("c3"), "c4"),
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+        .withColumn("dropped", F.col("rows_in") - F.col("rows_out"))
+        .orderBy("stage_idx")
+    )
+
+
+@q("q_token_percentiles")
+def q_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length planning readout: exact interpolated p50/p90/p99
+    whitespace-token counts per language — the number that sizes context
+    windows and packing bins before tokenization. percentile() is a
+    sort-based exact aggregate per group (matches quantile_cont); groups
+    are language-count-bounded."""
+    d = load_table(spark, sf_dir, "documents")
+    tc = F.size(F.split(F.col("text"), " ")).cast("double")
+    return (
+        d.select("lang", tc.alias("__tc"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.percentile("__tc", F.lit(0.5)), 6).alias("p50_tokens"),
+            F.round(F.percentile("__tc", F.lit(0.9)), 6).alias("p90_tokens"),
+            F.round(F.percentile("__tc", F.lit(0.99)), 6).alias("p99_tokens"),
+            F.max("__tc").cast("long").alias("max_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@q("q_tail_index")
+def q_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill power-law tail exponent of order values per priority class
+    (operators/stats.hill_tail_index, k=50): the heavy-tail diagnostic
+    that decides whether a shuffle key needs salting (α < 2 ⇒ unbounded
+    variance). Top-(k+1) rank window (WindowGroupLimit-pruned), per-row
+    ln ratios vs the (k+1)-th order statistic, fixed-point sum."""
+    from fortune_500_financial_insights_pipeline_spark.operators.stats import hill_tail_index
+
+    o = load_table(spark, sf_dir, "orders")
+    return hill_tail_index(o, ["o_orderpriority"], "o_totalprice", k=50).orderBy(
+        "o_orderpriority"
+    )

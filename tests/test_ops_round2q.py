@@ -87,3 +87,48 @@ def test_ann_recall_bounds(spark, sf_dir):
     assert len(out) == 10
     assert ((out["recall"] >= 0) & (out["recall"] <= 1)).all()
     assert (out["n_hit"] <= 5).all()
+
+
+def test_curation_report_monotone(spark, sf_dir):
+    out = QUERIES["q_curation_report"](spark, sf_dir).toPandas()
+    assert list(out["stage"]) == [
+        "raw", "exact_dedup", "quality_gate", "repetition_gate", "entropy_band",
+    ]
+    # survivors never increase; dropped is the exact difference
+    ro = list(out["rows_out"])
+    assert all(a >= b for a, b in zip(ro, ro[1:]))
+    body = out.iloc[1:]
+    assert (body["dropped"] == body["rows_in"] - body["rows_out"]).all()
+    assert out.iloc[0]["rows_out"] > 0
+
+
+def test_token_percentiles_ordered(spark, sf_dir):
+    out = QUERIES["q_token_percentiles"](spark, sf_dir).toPandas()
+    assert len(out) >= 2
+    assert (out["p50_tokens"] <= out["p90_tokens"]).all()
+    assert (out["p90_tokens"] <= out["p99_tokens"]).all()
+    assert (out["p99_tokens"] <= out["max_tokens"]).all()
+
+
+def test_hill_tail_index_pareto_recovery(spark):
+    """On exact Pareto(α=2) order statistics the Hill estimate lands near 2."""
+    from fortune_500_financial_insights_pipeline_spark.operators.stats import hill_tail_index
+
+    # deterministic Pareto sample via inverse CDF on a fixed grid
+    alpha = 2.0
+    rows = [("g", (1.0 - (i + 0.5) / 4000.0) ** (-1.0 / alpha)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = hill_tail_index(df, ["g"], "x", k=50).collect()
+    assert len(out) == 1
+    assert out[0]["alpha"] is not None
+    assert 1.5 <= out[0]["alpha"] <= 2.6
+
+
+def test_hill_tail_index_small_group_null(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.stats import hill_tail_index
+
+    df = spark.createDataFrame(
+        [("g", float(i)) for i in range(10)], "g string, x double"
+    )
+    out = hill_tail_index(df, ["g"], "x", k=50).collect()
+    assert out[0]["alpha"] is None
