@@ -6851,3 +6851,86 @@ SELECT o_orderpriority, CAST(50 AS INTEGER) AS k,
                   THEN 50.0 / s END, 6) AS alpha
 FROM agg ORDER BY o_orderpriority
 """
+
+ORACLES["q_lsh_recall"] = """
+WITH g AS (
+  SELECT doc_id, UNNEST(list_distinct(
+           list_transform(range(1, len(l) - 1),
+                          x -> l[x] || ' ' || l[x+1] || ' ' || l[x+2])
+         )) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+),
+h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(gram), 1, 15))::BIGINT AS u1,
+         ('0x' || substr(md5(gram), 17, 15))::BIGINT % 72057594037927936 AS u2
+  FROM g
+),
+sig AS (
+  SELECT doc_id, t.i, MIN((u1 + t.i * u2) % 1152921504606846976) AS v
+  FROM h CROSS JOIN (SELECT UNNEST(range(0, 16)) AS i) t
+  GROUP BY doc_id, t.i
+),
+bandk AS (
+  SELECT doc_id, CAST(i // 4 AS BIGINT) AS band,
+         string_agg(CAST(v AS VARCHAR), '_' ORDER BY i) AS key
+  FROM sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandk a
+  JOIN bandk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+inter AS (
+  SELECT ga.doc_id AS id_a, gb.doc_id AS id_b, COUNT(*) AS ninter
+  FROM g ga JOIN g gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter) >= 0.5
+),
+cap AS (
+  SELECT t.id_a, t.id_b FROM truth t
+  JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+)
+SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+       (SELECT COUNT(*) FROM cap) AS n_captured,
+       ROUND(CASE WHEN (SELECT COUNT(*) FROM truth) > 0
+                  THEN CAST((SELECT COUNT(*) FROM cap) AS DOUBLE)
+                       / (SELECT COUNT(*) FROM truth) END, 6) AS recall
+"""
+
+ORACLES["q_item_cooccurrence"] = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_per AS (SELECT l_partkey, COUNT(*) AS n FROM op GROUP BY l_partkey),
+co AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_ab
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey AND a.l_partkey <= 50
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT co.part_a, co.part_b, co.n_ab,
+         ROUND(CAST(co.n_ab AS DOUBLE)
+               / sqrt(CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)), 6) AS cosine
+  FROM co
+  JOIN n_per na ON na.l_partkey = co.part_a
+  JOIN n_per nb ON nb.l_partkey = co.part_b
+)
+SELECT part_a, part_b, CAST(n_ab AS BIGINT) AS n_ab, cosine,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY part_a
+                               ORDER BY cosine DESC, part_b ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+ORDER BY part_a, rank
+"""

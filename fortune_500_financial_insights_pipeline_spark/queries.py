@@ -5619,3 +5619,89 @@ def q_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hill_tail_index(o, ["o_orderpriority"], "o_totalprice", k=50).orderBy(
         "o_orderpriority"
     )
+
+
+@q("q_lsh_recall")
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding RECALL gauge — the other half of q_lsh_precision's
+    dial: of all TRUE near-dup pairs (exact 3-gram Jaccard >= 0.5 via the
+    prefix-filtered set-similarity join, never a cross join), what
+    fraction did 16-hash/4-band MinHash banding surface as candidates?
+    Both legs are oracle-certified pipelines; the compare is
+    pair-list-sized."""
+    from fortune_500_financial_insights_pipeline_spark.operators.minhash import (
+        minhash_neardup_pairs_portable,
+    )
+    from fortune_500_financial_insights_pipeline_spark.operators.setjoin import (
+        jaccard_pairs_exact,
+    )
+    from fortune_500_financial_insights_pipeline_spark.operators.text import word_ngrams
+
+    d = load_table(spark, sf_dir, "documents")
+    truth = jaccard_pairs_exact(
+        d.select("doc_id", word_ngrams(F.col("text"), 3).alias("grams")),
+        threshold=0.5,
+    ).select("id_a", "id_b")
+    cand = minhash_neardup_pairs_portable(
+        d, id_col="doc_id", text_col="text", n_hashes=16, bands=4, min_jaccard=0.0
+    ).select("id_a", "id_b")
+    cap = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    t = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    c = cap.agg(F.count(F.lit(1)).alias("n_captured"))
+    return t.crossJoin(c).select(
+        "n_true",
+        "n_captured",
+        F.round(
+            F.when(
+                F.col("n_true") > 0,
+                F.col("n_captured").cast("double") / F.col("n_true"),
+            ),
+            6,
+        ).alias("recall"),
+    )
+
+
+@q("q_item_cooccurrence")
+def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-to-item co-occurrence cosine ("customers who bought X also
+    bought Y"): parts meeting in the same order, similarity
+    n_ab / sqrt(n_a·n_b) over binary order incidence, top-3 neighbors per
+    watchlist part. The self-join key is the ORDER — fan-out is bounded
+    by order size (≤7 lines in TPC-H shape), never part×part; counts are
+    exact integers, the cosine is one shared-text sqrt expression, and
+    the top-k cut is a WindowGroupLimit rank."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").dropDuplicates(
+        ["l_orderkey", "l_partkey"]
+    )
+    n_per = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    a = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    co = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") != F.col("part_b"))
+        .where(F.col("part_a") <= 50)
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    na = n_per.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("__na"))
+    nb = n_per.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("__nb"))
+    scored = (
+        co.join(na, "part_a")
+        .join(nb, "part_b")
+        .withColumn(
+            "cosine",
+            F.round(
+                F.col("n_ab").cast("double")
+                / F.sqrt(F.col("__na").cast("double") * F.col("__nb").cast("double")),
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy("part_a").orderBy(F.desc("cosine"), F.asc("part_b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("part_a", "part_b", "n_ab", "cosine", "rank")
+        .orderBy("part_a", "rank")
+    )

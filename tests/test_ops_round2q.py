@@ -132,3 +132,19 @@ def test_hill_tail_index_small_group_null(spark):
     )
     out = hill_tail_index(df, ["g"], "x", k=50).collect()
     assert out[0]["alpha"] is None
+
+
+def test_lsh_recall_planted_dups_recovered(spark, sf_dir):
+    """Fixture has planted near-duplicates: truth is non-empty and banding
+    at 16/4 captures a usable share (recall is the dial this measures)."""
+    out = QUERIES["q_lsh_recall"](spark, sf_dir).collect()[0]
+    assert out["n_true"] > 0
+    assert 0 <= out["n_captured"] <= out["n_true"]
+    assert out["recall"] is not None and 0.0 <= out["recall"] <= 1.0
+
+
+def test_item_cooccurrence_symmetric_counts(spark, sf_dir):
+    out = QUERIES["q_item_cooccurrence"](spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert ((out["cosine"] > 0) & (out["cosine"] <= 1.0)).all()
+    assert (out.groupby("part_a")["rank"].max() <= 3).all()
