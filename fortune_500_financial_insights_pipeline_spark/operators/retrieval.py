@@ -23,6 +23,7 @@ groupBy on (query, doc). Nothing touches the corpus twice.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
@@ -198,3 +199,76 @@ def rbo_agreement(
         )
         .orderBy(query_col)
     )
+
+
+def mmr_rerank(
+    cand: DataFrame,
+    pairs: DataFrame,
+    *,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rel_col: str = "rel",
+    pair_a: str = "a",
+    pair_b: str = "b",
+    sim_col: str = "s",
+    m: int = 5,
+    lam: float = 0.7,
+    mu: float = 0.3,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998): greedily pick ``m`` of each query's candidates, each step
+    maximizing ``lam·rel − mu·max_sim_to_already_selected`` — the
+    diversity cut between retrieval and the context window (top-k alone
+    returns five near-copies of the best hit; MMR returns one plus four
+    genuinely different ones).
+
+    The greedy loop is unrolled into ``m`` relational steps (the k-means/
+    PageRank discipline: a sequential algorithm becomes oracle-checkable
+    when each iteration is the same algebra), each an anti-join (remaining
+    candidates) + an equi-join onto the selected set's pairwise sims + one
+    argmax window. Everything is candidate-list-sized — the corpus is
+    never rescanned. ``lam``/``mu`` are SEPARATE literals (not mu=1−lam:
+    Python's 1−0.7 is 0.30000000000000004, which would silently diverge
+    from the oracle's 0.3).
+    """
+    # Lineage cuts are load-bearing: each unrolled step references the
+    # prior selection three times (anti-join, sim join, union), so without
+    # them the plan re-derives cand/pairs O(3^m) times (the BPE chained-HOF
+    # lesson — measured 23 s -> ~2 s at sf0.01 for m=5).
+    cand = cand.localCheckpoint(eager=False)
+    w1 = W.partitionBy(query_col).orderBy(F.desc(rel_col), F.asc(id_col))
+    selected = (
+        cand.withColumn("__rn", F.row_number().over(w1))
+        .where(F.col("__rn") == 1)
+        .select(query_col, id_col, F.lit(1).alias("step"), F.col(rel_col))
+    )
+    psel = pairs.select(
+        F.col(query_col),
+        F.col(pair_a).alias(id_col),
+        F.col(pair_b).alias("__sel_id"),
+        F.col(sim_col).alias("__s"),
+    ).localCheckpoint(eager=False)
+    for k in range(2, m + 1):
+        selected = selected.localCheckpoint(eager=False)
+        sel_ids = selected.select(query_col, id_col)
+        rem = cand.join(sel_ids, [query_col, id_col], "left_anti")
+        scored = (
+            rem.join(psel, [query_col, id_col])
+            .join(
+                sel_ids.withColumnRenamed(id_col, "__sel_id"),
+                [query_col, "__sel_id"],
+            )
+            .groupBy(query_col, id_col, rel_col)
+            .agg(F.max("__s").alias("__ms"))
+            .withColumn(
+                "__mmr", F.lit(lam) * F.col(rel_col) - F.lit(mu) * F.col("__ms")
+            )
+        )
+        wk = W.partitionBy(query_col).orderBy(F.desc("__mmr"), F.asc(id_col))
+        pick = (
+            scored.withColumn("__rn", F.row_number().over(wk))
+            .where(F.col("__rn") == 1)
+            .select(query_col, id_col, F.lit(k).alias("step"), F.col(rel_col))
+        )
+        selected = selected.unionByName(pick)
+    return selected.orderBy(query_col, "step")

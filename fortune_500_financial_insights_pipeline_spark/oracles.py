@@ -6934,3 +6934,58 @@ FROM (
 ) WHERE rank <= 3
 ORDER BY part_a, rank
 """
+
+
+def _mmr_step_sql(k: int) -> str:
+    p = k - 1
+    return f"""score{k} AS (
+  SELECT r.query_id, r.doc_id, r.rel, 0.7 * r.rel - 0.3 * MAX(p.s) AS mmr
+  FROM cand r
+  LEFT JOIN sel{p} x ON x.query_id = r.query_id AND x.doc_id = r.doc_id
+  JOIN pairs p ON p.query_id = r.query_id AND p.a = r.doc_id
+  JOIN sel{p} t ON t.query_id = p.query_id AND t.doc_id = p.b
+  WHERE x.doc_id IS NULL
+  GROUP BY r.query_id, r.doc_id, r.rel
+), pick{k} AS (
+  SELECT query_id, doc_id, {k} AS step, rel FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY mmr DESC, doc_id ASC) AS rn
+    FROM score{k}) WHERE rn = 1
+), sel{k} AS (SELECT * FROM sel{p} UNION ALL SELECT * FROM pick{k})"""
+
+
+ORACLES["q_mmr_rerank"] = f"""
+WITH qv AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id IN (0, 7, 42)
+), s0 AS (
+  SELECT qv.query_id, e.vec_id AS doc_id,
+         ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), qv.qe)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(qv.qe, qv.qe))), 6) AS rel
+  FROM embeddings e, qv WHERE e.vec_id <> qv.query_id
+), cand AS (
+  SELECT query_id, doc_id, rel FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, doc_id ASC) AS rn
+    FROM s0) WHERE rn <= 10
+), vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pairs AS (
+  SELECT c1.query_id, c1.doc_id AS a, c2.doc_id AS b,
+         ROUND(list_dot_product(va.v, vb.v)
+               / (sqrt(list_dot_product(va.v, va.v))
+                  * sqrt(list_dot_product(vb.v, vb.v))), 6) AS s
+  FROM cand c1
+  JOIN cand c2 ON c1.query_id = c2.query_id AND c1.doc_id <> c2.doc_id
+  JOIN vecs va ON va.vec_id = c1.doc_id
+  JOIN vecs vb ON vb.vec_id = c2.doc_id
+), sel1 AS (
+  SELECT query_id, doc_id, 1 AS step, rel FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, doc_id ASC) AS rn
+    FROM cand) WHERE rn = 1
+), {', '.join(_mmr_step_sql(k) for k in range(2, 6))}
+SELECT query_id, doc_id, CAST(step AS INTEGER) AS step, rel
+FROM sel5 ORDER BY query_id, step
+"""

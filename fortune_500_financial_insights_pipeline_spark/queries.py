@@ -5705,3 +5705,44 @@ def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("part_a", "part_b", "n_ab", "cosine", "rank")
         .orderBy("part_a", "rank")
     )
+
+
+@q("q_mmr_rerank")
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified retrieval (operators/retrieval.mmr_rerank,
+    λ=0.7/μ=0.3, m=5 over embedding top-10 candidates for three
+    queries): greedy diversity selection unrolled into five relational
+    steps, every join candidate-list-sized. Relevance and candidate-pair
+    similarities are the already-oracled round-6 cosine; the MMR score is
+    one shared-text expression, so the whole greedy trajectory is
+    hash-checked step by step."""
+    from fortune_500_financial_insights_pipeline_spark.operators.retrieval import mmr_rerank
+    from fortune_500_financial_insights_pipeline_spark.operators.similarity import (
+        cosine_similarity,
+        knn_join,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 7, 42]
+    cand = knn_join(emb.where(F.col("vec_id").isin(qids)), emb, k=10).select(
+        F.col("q_id").alias("query_id"),
+        F.col("vec_id").alias("doc_id"),
+        F.col("sim").alias("rel"),
+    )
+    va = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("__va"))
+    vb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("__vb"))
+    ca = cand.select("query_id", F.col("doc_id").alias("a"))
+    cb = cand.select("query_id", F.col("doc_id").alias("b"))
+    pairs = (
+        ca.join(cb, "query_id")
+        .where(F.col("a") != F.col("b"))
+        .join(va, "a")
+        .join(vb, "b")
+        .select(
+            "query_id",
+            "a",
+            "b",
+            F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 6).alias("s"),
+        )
+    )
+    return mmr_rerank(cand, pairs, m=5, lam=0.7, mu=0.3)

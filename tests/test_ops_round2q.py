@@ -148,3 +148,30 @@ def test_item_cooccurrence_symmetric_counts(spark, sf_dir):
     assert len(out) > 0
     assert ((out["cosine"] > 0) & (out["cosine"] <= 1.0)).all()
     assert (out.groupby("part_a")["rank"].max() <= 3).all()
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    """Candidates: doc 1 (rel .99), doc 2 (rel .98, duplicate of doc 1),
+    doc 3 (rel .60, orthogonal). Pure top-2 returns the duplicate; MMR's
+    second pick must be the diverse doc 3."""
+    from fortune_500_financial_insights_pipeline_spark.operators.retrieval import mmr_rerank
+
+    cand = spark.createDataFrame(
+        [(0, 1, 0.99), (0, 2, 0.98), (0, 3, 0.60)],
+        "query_id long, doc_id long, rel double",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1, 2, 1.0), (0, 2, 1, 1.0),
+         (0, 1, 3, 0.0), (0, 3, 1, 0.0),
+         (0, 2, 3, 0.0), (0, 3, 2, 0.0)],
+        "query_id long, a long, b long, s double",
+    )
+    out = mmr_rerank(cand, pairs, m=3).collect()
+    picks = {r["step"]: r["doc_id"] for r in out}
+    assert picks == {1: 1, 2: 3, 3: 2}
+
+
+def test_mmr_query_selection_sizes(spark, sf_dir):
+    out = QUERIES["q_mmr_rerank"](spark, sf_dir).toPandas()
+    assert len(out) == 15  # 3 queries x 5 steps
+    assert out.groupby("query_id")["doc_id"].nunique().eq(5).all()
