@@ -262,3 +262,49 @@ def hash_guided_walks(
         )
         out = out.unionByName(cur.select("walk_id", F.lit(t).alias("step"), "node"))
     return out
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient of an undirected edge list
+    (Newman 2002): Pearson correlation of endpoint degrees over the
+    DIRECTED edge set (each undirected edge contributes both
+    orientations, the standard symmetrization). Positive = hubs link to
+    hubs (social shape), negative = hubs link to leaves (star/broadcast
+    shape) — the one-number topology readout that decides whether
+    neighborhood sampling will blow up.
+
+    One degree aggregate (node-count-sized), two node-keyed equi-joins to
+    stamp endpoint degrees, exact integer moment sums (degrees are
+    integers — no fixed-point rounding needed), one shared-text Pearson
+    expression."""
+    und = edges.select(
+        F.least("id_a", "id_b").alias("a"), F.greatest("id_a", "id_b").alias("b")
+    ).dropDuplicates(["a", "b"])
+    directed = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = directed.groupBy("a").agg(F.count(F.lit(1)).alias("d")).select(
+        F.col("a").alias("node"), "d"
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("dx"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("dy"))
+    m = (
+        directed.join(da, "a")
+        .join(db, "b")
+        .agg(
+            F.count(F.lit(1)).alias("n_directed_edges"),
+            F.sum("dx").alias("__sx"),
+            F.sum("dy").alias("__sy"),
+            F.sum(F.col("dx") * F.col("dy")).alias("__sxy"),
+            F.sum(F.col("dx") * F.col("dx")).alias("__sxx"),
+            F.sum(F.col("dy") * F.col("dy")).alias("__syy"),
+        )
+    )
+    n = F.col("n_directed_edges").cast("double")
+    num = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    denx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    deny = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    r = F.when((denx > 0) & (deny > 0), num / F.sqrt(denx * deny))
+    return m.select(
+        "n_directed_edges", F.round(r, 6).alias("assortativity")
+    )

@@ -115,3 +115,47 @@ def kmv_overlap(a: DataFrame, b: DataFrame, key_col: str, k: int = 128) -> DataF
         union_est.alias("union_est"),
         F.round(j * union_est, 6).alias("inter_est"),
     )
+
+
+def quantile_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Mergeable bottom-k VALUE sample per group: retain the k rows whose
+    md5(id) hashes smallest (a deterministic uniform sample, same family
+    as kmv_sketch but keeping the VALUE alongside the hash) — the
+    fixed-memory quantile sketch that, unlike t-digest/KLL, is both
+    mergeable (union + re-trim commutes with partitioning) and
+    bit-reproducible across engines, so estimates can sit behind the
+    hash gate. Rank window + <=k filter plans as WindowGroupLimit: every
+    map task forwards at most k rows per group.
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    w = W.partitionBy(*group_cols).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.select(*group_cols, F.col(id_col), F.col(value_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def sketch_quantiles(
+    sample: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    probs: tuple[float, ...] = (0.5, 0.9),
+) -> DataFrame:
+    """Quantile estimates from a quantile_sketch sample: exact interpolated
+    percentiles OF THE SAMPLE (the estimate's only error is sampling error
+    — bounded-rank-error by test, like the HLL/KMV accuracy pins)."""
+    aggs = [F.count(F.lit(1)).alias("n_sample")] + [
+        F.round(F.percentile(F.col(value_col).cast("double"), F.lit(p)), 6).alias(
+            f"est_p{int(p * 100)}"
+        )
+        for p in probs
+    ]
+    return sample.groupBy(*group_cols).agg(*aggs)

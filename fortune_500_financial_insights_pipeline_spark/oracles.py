@@ -6989,3 +6989,53 @@ pairs AS (
 SELECT query_id, doc_id, CAST(step AS INTEGER) AS step, rel
 FROM sel5 ORDER BY query_id, step
 """
+
+ORACLES["q_quantile_sketch"] = """
+WITH sample AS (
+  SELECT o_orderpriority, o_totalprice FROM (
+    SELECT o_orderpriority, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                              ORDER BY md5(CAST(o_orderkey AS VARCHAR)) ASC,
+                                       o_orderkey ASC) AS rn
+    FROM orders
+  ) WHERE rn <= 64
+)
+SELECT o_orderpriority, COUNT(*) AS n_sample,
+       ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5), 6) AS est_p50,
+       ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9), 6) AS est_p90
+FROM sample GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+ORACLES["q_assortativity"] = """
+WITH ub AS (
+  SELECT DISTINCT user_id AS u, date_trunc('hour', ts) AS h, event_type AS t
+  FROM events
+), raw AS (
+  SELECT a.u AS id_a, b.u AS id_b
+  FROM ub a JOIN ub b ON a.h = b.h AND a.t = b.t AND a.u < b.u
+  GROUP BY a.u, b.u HAVING COUNT(*) >= 2
+), und AS (
+  SELECT DISTINCT LEAST(id_a, id_b) AS a, GREATEST(id_a, id_b) AS b FROM raw
+), directed AS (
+  SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und
+), deg AS (
+  SELECT a AS node, COUNT(*) AS d FROM directed GROUP BY a
+), m AS (
+  SELECT COUNT(*) AS n_directed_edges,
+         SUM(da.d) AS sx, SUM(db.d) AS sy,
+         SUM(da.d * db.d) AS sxy,
+         SUM(da.d * da.d) AS sxx,
+         SUM(db.d * db.d) AS syy
+  FROM directed e
+  JOIN deg da ON da.node = e.a
+  JOIN deg db ON db.node = e.b
+)
+SELECT CAST(n_directed_edges AS BIGINT) AS n_directed_edges,
+       ROUND(CASE WHEN CAST(n_directed_edges AS DOUBLE) * sxx - sx * sx > 0
+                   AND CAST(n_directed_edges AS DOUBLE) * syy - sy * sy > 0
+                  THEN (CAST(n_directed_edges AS DOUBLE) * sxy - sx * sy)
+                       / sqrt((CAST(n_directed_edges AS DOUBLE) * sxx - sx * sx)
+                              * (CAST(n_directed_edges AS DOUBLE) * syy - sy * sy))
+             END, 6) AS assortativity
+FROM m
+"""

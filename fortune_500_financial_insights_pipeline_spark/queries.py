@@ -5746,3 +5746,55 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return mmr_rerank(cand, pairs, m=5, lam=0.7, mu=0.3)
+
+
+@q("q_quantile_sketch")
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable bottom-k quantile sketch (operators/kmv.quantile_sketch,
+    k=64): p50/p90 order-value estimates per priority class from a
+    deterministic md5-keyed value sample — the fixed-memory quantile
+    sketch that is bit-reproducible cross-engine (unlike t-digest/KLL),
+    so the ESTIMATE itself is hash-checked; sampling-error bounds and
+    merge==sketch-of-union are pinned by tests. WindowGroupLimit keeps
+    every map task at <=k rows per group."""
+    from fortune_500_financial_insights_pipeline_spark.operators.kmv import (
+        quantile_sketch,
+        sketch_quantiles,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    s = quantile_sketch(o, ["o_orderpriority"], "o_orderkey", "o_totalprice", k=64)
+    return sketch_quantiles(s, ["o_orderpriority"], "o_totalprice").orderBy(
+        "o_orderpriority"
+    )
+
+
+@q("q_assortativity")
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the user co-activity graph (same edge rule
+    as q_kcore: >= 2 shared (hour, event_type) buckets;
+    operators/graph.degree_assortativity) — hubs-link-to-hubs vs
+    hubs-link-to-leaves, the topology number that predicts whether
+    neighborhood expansion explodes. Degrees are exact integers, so the
+    Pearson moments are exact long sums."""
+    from fortune_500_financial_insights_pipeline_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    ub = e.select(
+        F.col("user_id").alias("u"),
+        F.date_trunc("hour", "ts").alias("h"),
+        F.col("event_type").alias("t"),
+    ).distinct()
+    a = ub.select(F.col("u").alias("id_a"), "h", "t")
+    b = ub.select(F.col("u").alias("id_b"), "h", "t")
+    edges = (
+        a.join(b, ["h", "t"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__shared"))
+        .where(F.col("__shared") >= 2)
+        .select("id_a", "id_b")
+    )
+    return degree_assortativity(edges)

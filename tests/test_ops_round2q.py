@@ -175,3 +175,81 @@ def test_mmr_query_selection_sizes(spark, sf_dir):
     out = QUERIES["q_mmr_rerank"](spark, sf_dir).toPandas()
     assert len(out) == 15  # 3 queries x 5 steps
     assert out.groupby("query_id")["doc_id"].nunique().eq(5).all()
+
+
+def test_quantile_sketch_merge_equals_sketch_of_union(spark):
+    """Mergeability: sketch(A ∪ B) == trim(sketch(A) ∪ sketch(B)) — the
+    property that lets per-partition sketches fold associatively."""
+    from fortune_500_financial_insights_pipeline_spark.operators.kmv import quantile_sketch
+
+    rows_a = [("g", i, float(i)) for i in range(0, 500)]
+    rows_b = [("g", i, float(i)) for i in range(500, 1000)]
+    schema = "grp string, id long, v double"
+    a, b = spark.createDataFrame(rows_a, schema), spark.createDataFrame(rows_b, schema)
+    direct = quantile_sketch(a.union(b), ["grp"], "id", "v", k=64).collect()
+    merged = quantile_sketch(
+        quantile_sketch(a, ["grp"], "id", "v", k=64).union(
+            quantile_sketch(b, ["grp"], "id", "v", k=64)
+        ),
+        ["grp"], "id", "v", k=64,
+    ).collect()
+    assert sorted((r["id"], r["v"]) for r in direct) == sorted(
+        (r["id"], r["v"]) for r in merged
+    )
+
+
+def test_quantile_sketch_rank_error_bounded(spark, sf_dir):
+    """Estimate vs exact percentile: the k=64 sample's p50 must land within
+    a loose rank band of the true p50 (3σ of the binomial rank spread)."""
+    import math
+
+    from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+
+    out = {r["o_orderpriority"]: r for r in QUERIES["q_quantile_sketch"](spark, sf_dir).collect()}
+    o = load_table(spark, sf_dir, "orders")
+    exact = {
+        r["o_orderpriority"]: r
+        for r in o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("percentile(CAST(o_totalprice AS DOUBLE), 0.5)").alias("p50"),
+            F.expr("percentile(CAST(o_totalprice AS DOUBLE), array(0.2, 0.8))").alias("band"),
+        )
+        .collect()
+    }
+    for key, e in exact.items():
+        est = out[key]["est_p50"]
+        # 3σ rank tolerance at k=64 is ±0.1875 of rank space: check the
+        # estimate lies within the exact [p20, p80] band — loose but
+        # catches a broken sampler (uniformity or trim bugs) instantly
+        lo, hi = e["band"]
+        assert lo <= est <= hi, f"{key}: est_p50={est} outside [{lo}, {hi}]"
+        assert math.isfinite(est)
+
+
+def test_assortativity_star_is_negative(spark):
+    """A star graph is maximally disassortative: r = -1."""
+    from fortune_500_financial_insights_pipeline_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 8)], "id_a long, id_b long"
+    )
+    out = degree_assortativity(edges).collect()[0]
+    assert out["n_directed_edges"] == 14
+    assert abs(out["assortativity"] - (-1.0)) < 1e-6
+
+
+def test_assortativity_regular_graph_null(spark):
+    """A cycle is degree-regular: zero variance, r undefined (NULL)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    n = 6
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "id_a long, id_b long"
+    )
+    out = degree_assortativity(edges).collect()[0]
+    assert out["assortativity"] is None
