@@ -308,3 +308,51 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     return m.select(
         "n_directed_edges", F.round(r, 6).alias("assortativity")
     )
+
+
+def modularity(edges: DataFrame, communities: DataFrame) -> DataFrame:
+    """Modularity Q of a labeled partition over an undirected edge list
+    (Newman–Girvan): Q = Σ_c (m_c/m − (D_c/2m)²) — how much denser
+    intra-community edges are than a degree-preserving random rewiring.
+    The acceptance number for ANY community assignment (label propagation,
+    connected components, an external clustering) before it drives
+    downstream grouping.
+
+    ``communities``: (node, community). All moments are exact integers —
+    m (edge count), m_c (intra-community edges), D_c (community degree
+    sums) — folded in two node/edge-keyed aggregates; Q itself is one
+    shared-text double expression over exact longs."""
+    und = edges.select(
+        F.least("id_a", "id_b").alias("a"), F.greatest("id_a", "id_b").alias("b")
+    ).dropDuplicates(["a", "b"])
+    ca = communities.select(F.col("node").alias("a"), F.col("community").alias("__ca"))
+    cb = communities.select(F.col("node").alias("b"), F.col("community").alias("__cb"))
+    stamped = und.join(ca, "a").join(cb, "b")
+    m = stamped.agg(F.count(F.lit(1)).alias("m"))
+    intra = (
+        stamped.where(F.col("__ca") == F.col("__cb"))
+        .groupBy(F.col("__ca").alias("community"))
+        .agg(F.count(F.lit(1)).alias("m_c"))
+    )
+    directed = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    dsum = (
+        directed.join(ca, "a")
+        .groupBy(F.col("__ca").alias("community"))
+        .agg(F.count(F.lit(1)).alias("d_c"))
+    )
+    per = (
+        dsum.join(intra, "community", "left")
+        .select(
+            "community",
+            F.coalesce("m_c", F.lit(0)).cast("long").alias("m_c"),
+            F.col("d_c").cast("long").alias("d_c"),
+        )
+        .crossJoin(F.broadcast(m))
+    )
+    mm = F.col("m").cast("double")
+    q_c = F.col("m_c") / mm - (F.col("d_c") / (2.0 * mm)) * (
+        F.col("d_c") / (2.0 * mm)
+    )
+    return per.select(
+        "community", "m_c", "d_c", F.round(q_c, 6).alias("q_contrib")
+    ).orderBy("community")

@@ -7039,3 +7039,84 @@ SELECT CAST(n_directed_edges AS BIGINT) AS n_directed_edges,
              END, 6) AS assortativity
 FROM m
 """
+
+ORACLES["q_modularity"] = """
+WITH ub AS (
+  SELECT DISTINCT user_id AS u, date_trunc('hour', ts) AS h, event_type AS t
+  FROM events
+), raw AS (
+  SELECT a.u AS id_a, b.u AS id_b
+  FROM ub a JOIN ub b ON a.h = b.h AND a.t = b.t AND a.u < b.u
+  GROUP BY a.u, b.u HAVING COUNT(*) >= 2
+), und AS (
+  SELECT DISTINCT LEAST(id_a, id_b) AS a, GREATEST(id_a, id_b) AS b FROM raw
+), comm AS (
+  SELECT user_id AS node, event_type AS community FROM (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY COUNT(*) DESC, event_type ASC) AS rn
+    FROM events GROUP BY user_id, event_type
+  ) WHERE rn = 1
+), stamped AS (
+  SELECT e.a, e.b, ca.community AS cca, cb.community AS ccb
+  FROM und e
+  JOIN comm ca ON ca.node = e.a
+  JOIN comm cb ON cb.node = e.b
+), m AS (SELECT COUNT(*) AS m FROM stamped),
+intra AS (
+  SELECT cca AS community, COUNT(*) AS m_c FROM stamped
+  WHERE cca = ccb GROUP BY cca
+), directed AS (
+  SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und
+), dsum AS (
+  SELECT c.community, COUNT(*) AS d_c
+  FROM directed e JOIN comm c ON c.node = e.a GROUP BY c.community
+)
+SELECT d.community,
+       CAST(COALESCE(i.m_c, 0) AS BIGINT) AS m_c,
+       CAST(d.d_c AS BIGINT) AS d_c,
+       ROUND(COALESCE(i.m_c, 0) / CAST(m.m AS DOUBLE)
+             - (d.d_c / (2.0 * CAST(m.m AS DOUBLE)))
+               * (d.d_c / (2.0 * CAST(m.m AS DOUBLE))), 6) AS q_contrib
+FROM dsum d LEFT JOIN intra i USING (community) CROSS JOIN m
+ORDER BY community
+"""
+
+ORACLES["q_did"] = """
+WITH cells AS (
+  SELECT value,
+         (user_id % 2 = 0) AS t,
+         (ts >= TIMESTAMP '2024-01-16 00:00:00') AS p
+  FROM events
+), agg AS (
+  SELECT
+    SUM(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS n_treat_pre,
+    SUM(CASE WHEN t AND p THEN 1 ELSE 0 END) AS n_treat_post,
+    SUM(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END) AS n_ctrl_pre,
+    SUM(CASE WHEN NOT t AND p THEN 1 ELSE 0 END) AS n_ctrl_post,
+    CAST(SUM(CASE WHEN t AND NOT p
+                  THEN CAST(ROUND(value * 1000000) AS BIGINT) END) AS DOUBLE)
+      / 1000000 AS s_t_pre,
+    CAST(SUM(CASE WHEN t AND p
+                  THEN CAST(ROUND(value * 1000000) AS BIGINT) END) AS DOUBLE)
+      / 1000000 AS s_t_post,
+    CAST(SUM(CASE WHEN NOT t AND NOT p
+                  THEN CAST(ROUND(value * 1000000) AS BIGINT) END) AS DOUBLE)
+      / 1000000 AS s_c_pre,
+    CAST(SUM(CASE WHEN NOT t AND p
+                  THEN CAST(ROUND(value * 1000000) AS BIGINT) END) AS DOUBLE)
+      / 1000000 AS s_c_post
+  FROM cells
+)
+SELECT CAST(n_treat_pre AS BIGINT) AS n_treat_pre,
+       CAST(n_treat_post AS BIGINT) AS n_treat_post,
+       CAST(n_ctrl_pre AS BIGINT) AS n_ctrl_pre,
+       CAST(n_ctrl_post AS BIGINT) AS n_ctrl_post,
+       ROUND(s_t_pre / n_treat_pre, 6) AS mean_treat_pre,
+       ROUND(s_t_post / n_treat_post, 6) AS mean_treat_post,
+       ROUND(s_c_pre / n_ctrl_pre, 6) AS mean_ctrl_pre,
+       ROUND(s_c_post / n_ctrl_post, 6) AS mean_ctrl_post,
+       ROUND((s_t_post / n_treat_post - s_t_pre / n_treat_pre)
+             - (s_c_post / n_ctrl_post - s_c_pre / n_ctrl_pre), 6) AS did_estimate
+FROM agg
+"""

@@ -5798,3 +5798,84 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     )
     return degree_assortativity(edges)
+
+
+@q("q_modularity")
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity decomposition of the co-activity graph under the
+    dominant-event-type community labeling (operators/graph.modularity):
+    per-community m_c/D_c and Q contribution — the acceptance number any
+    clustering must clear before it drives downstream grouping. Edges are
+    q_kcore's bucket-join rule; community = each user's most frequent
+    event type (count desc, type asc tie-break — deterministic)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.graph import modularity
+
+    e = load_table(spark, sf_dir, "events")
+    ub = e.select(
+        F.col("user_id").alias("u"),
+        F.date_trunc("hour", "ts").alias("h"),
+        F.col("event_type").alias("t"),
+    ).distinct()
+    a = ub.select(F.col("u").alias("id_a"), "h", "t")
+    b = ub.select(F.col("u").alias("id_b"), "h", "t")
+    edges = (
+        a.join(b, ["h", "t"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__shared"))
+        .where(F.col("__shared") >= 2)
+        .select("id_a", "id_b")
+    )
+    wdom = W.partitionBy("user_id").orderBy(F.desc("__n"), F.asc("event_type"))
+    comm = (
+        e.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__rn", F.row_number().over(wdom))
+        .where(F.col("__rn") == 1)
+        .select(F.col("user_id").alias("node"), F.col("event_type").alias("community"))
+    )
+    return modularity(edges, comm)
+
+
+@q("q_did")
+def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout: treatment = even user ids,
+    post-period = Jan 16 on; the 2×2 cell means (exact fixed-point
+    interiors) and the DiD interaction estimate in one aggregate — the
+    experiment-analysis shape next to q_ab_test (which tests a single
+    contrast; this removes the pre-period level difference). One scan,
+    one one-row aggregate; the estimate is a fixed-order expression over
+    four exact means."""
+    e = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    treat = F.col("user_id") % 2 == 0
+    post = F.col("ts") >= cut
+    cells = e.select(
+        F.col("value"),
+        treat.alias("__t"),
+        post.alias("__p"),
+    )
+
+    def cell_mean(t: bool, p: bool):
+        cond = (F.col("__t") == t) & (F.col("__p") == p)
+        s = F.sum(F.when(cond, F.round(F.col("value") * 1000000).cast("long"))).cast(
+            "double"
+        ) / 1000000
+        n = F.sum(F.when(cond, 1).otherwise(0))
+        return s / n, n
+
+    m_t_pre, n_t_pre = cell_mean(True, False)
+    m_t_post, n_t_post = cell_mean(True, True)
+    m_c_pre, n_c_pre = cell_mean(False, False)
+    m_c_post, n_c_post = cell_mean(False, True)
+    return cells.agg(
+        n_t_pre.cast("long").alias("n_treat_pre"),
+        n_t_post.cast("long").alias("n_treat_post"),
+        n_c_pre.cast("long").alias("n_ctrl_pre"),
+        n_c_post.cast("long").alias("n_ctrl_post"),
+        F.round(m_t_pre, 6).alias("mean_treat_pre"),
+        F.round(m_t_post, 6).alias("mean_treat_post"),
+        F.round(m_c_pre, 6).alias("mean_ctrl_pre"),
+        F.round(m_c_post, 6).alias("mean_ctrl_post"),
+        F.round((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 6).alias("did_estimate"),
+    )

@@ -253,3 +253,55 @@ def test_assortativity_regular_graph_null(spark):
     )
     out = degree_assortativity(edges).collect()[0]
     assert out["assortativity"] is None
+
+
+def test_modularity_two_cliques_positive(spark):
+    """Two disjoint triangles labeled by their own component: Q = 0.5
+    (maximum for two equal communities with no inter-edges)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.graph import modularity
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12)],
+        "id_a long, id_b long",
+    )
+    comm = spark.createDataFrame(
+        [(0, "x"), (1, "x"), (2, "x"), (10, "y"), (11, "y"), (12, "y")],
+        "node long, community string",
+    )
+    out = modularity(edges, comm).toPandas()
+    assert abs(out["q_contrib"].sum() - 0.5) < 1e-6
+    assert (out["m_c"] == 3).all()
+
+
+def test_modularity_anti_community_negative(spark):
+    """Bipartite edges labeled by side: all edges cross communities, Q < 0."""
+    from fortune_500_financial_insights_pipeline_spark.operators.graph import modularity
+
+    edges = spark.createDataFrame(
+        [(i, 100 + j) for i in range(3) for j in range(3)], "id_a long, id_b long"
+    )
+    comm = spark.createDataFrame(
+        [(i, "l") for i in range(3)] + [(100 + j, "r") for j in range(3)],
+        "node long, community string",
+    )
+    out = modularity(edges, comm).toPandas()
+    assert out["q_contrib"].sum() < 0
+    assert (out["m_c"] == 0).all()
+
+
+def test_did_cells_cover_all_events(spark, sf_dir):
+    out = QUERIES["q_did"](spark, sf_dir).collect()[0]
+    total = (
+        out["n_treat_pre"] + out["n_treat_post"]
+        + out["n_ctrl_pre"] + out["n_ctrl_post"]
+    )
+    from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+
+    assert total == load_table(spark, sf_dir, "events").count()
+    # the DiD identity holds over the reported means
+    expect = round(
+        (out["mean_treat_post"] - out["mean_treat_pre"])
+        - (out["mean_ctrl_post"] - out["mean_ctrl_pre"]),
+        5,
+    )
+    assert abs(out["did_estimate"] - expect) < 1e-4
