@@ -804,3 +804,63 @@ def test_streaming_drift_monitor_skips_replayed_batch(spark, tmp_path):
     fn(batch, 0)  # replay: must be skipped
     fn(batch, 1)
     assert seen == [7, 14]
+
+
+def test_quantile_monitor_stream_equals_batch(spark, tmp_path):
+    """Running streamed p50/p90 after the final micro-batch must equal the
+    batch sketch estimate over all data seen — exactly (the bottom-k value
+    sample is a function of the data, not the batching), and replaying a
+    batch must not change the state (idempotent fold)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.kmv import (
+        quantile_sketch,
+        sketch_quantiles,
+    )
+    from fortune_500_financial_insights_pipeline_spark.streaming.quantile_monitor import (
+        quantile_monitor_batch_fn,
+        quantile_monitor_stream,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "q_state")
+    last: dict[str, tuple] = {}
+
+    def emit(df, batch_id):
+        last.clear()
+        last.update({r.g: (r.n_sample, r.est_p50, r.est_p90) for r in df.collect()})
+
+    b1 = spark.range(0, 400).selectExpr("'a' AS g", "id", "CAST(id AS DOUBLE) AS v")
+    b2 = spark.range(400, 1000).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS g",
+        "id",
+        "CAST(id * 2 AS DOUBLE) AS v",
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("g string, id long, v double").parquet(src)
+    q = (
+        quantile_monitor_stream(stream, ["g"], "id", "v", state, emit, k=64)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    b2.coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    whole = b1.unionByName(b2)
+    expect = {
+        r.g: (r.n_sample, r.est_p50, r.est_p90)
+        for r in sketch_quantiles(
+            quantile_sketch(whole, ["g"], "id", "v", k=64), ["g"], "v"
+        ).collect()
+    }
+    assert last == expect and set(last) == {"a", "b"}, (last, expect)
+
+    # replaying the last batch through the fold leaves the state unchanged
+    captured: dict[str, tuple] = {}
+
+    def emit2(df, batch_id):
+        captured.update({r.g: (r.n_sample, r.est_p50, r.est_p90) for r in df.collect()})
+
+    fn = quantile_monitor_batch_fn(["g"], "id", "v", state, emit2, k=64)
+    fn(b2, 99)
+    assert captured == expect
