@@ -7120,3 +7120,48 @@ SELECT CAST(n_treat_pre AS BIGINT) AS n_treat_pre,
              - (s_c_post / n_ctrl_post - s_c_pre / n_ctrl_pre), 6) AS did_estimate
 FROM agg
 """
+
+ORACLES["q_skipgram_pairs"] = f"""
+WITH walks AS ({ORACLES["q_random_walk"]}),
+p AS (
+  SELECT node,
+         LEAD(node, 1) OVER w AS n1,
+         LEAD(node, 2) OVER w AS n2
+  FROM walks
+  WINDOW w AS (PARTITION BY walk_id ORDER BY step)
+), pairs AS (
+  SELECT node AS center, n1 AS context, 1 AS dist FROM p WHERE n1 IS NOT NULL
+  UNION ALL
+  SELECT n1 AS center, node AS context, 1 AS dist FROM p WHERE n1 IS NOT NULL
+  UNION ALL
+  SELECT node AS center, n2 AS context, 2 AS dist FROM p WHERE n2 IS NOT NULL
+  UNION ALL
+  SELECT n2 AS center, node AS context, 2 AS dist FROM p WHERE n2 IS NOT NULL
+)
+SELECT center, context, CAST(dist AS INTEGER) AS dist, COUNT(*) AS n_pairs
+FROM pairs GROUP BY center, context, dist
+ORDER BY center, context, dist
+"""
+
+ORACLES["q_bootstrap_ci"] = """
+WITH b AS (SELECT UNNEST(range(0, 32)) AS b),
+sampled AS (
+  SELECT o.o_orderpriority, b.b, o.o_totalprice
+  FROM orders o CROSS JOIN b
+  WHERE ('0x' || substr(md5(concat(CAST(b.b AS VARCHAR), '|',
+                                   CAST(o.o_orderkey AS VARCHAR))), 1, 15))::BIGINT
+        / CAST(1152921504606846976 AS DOUBLE) < 0.5
+),
+means AS (
+  SELECT o_orderpriority, b,
+         (CAST(SUM(CAST(ROUND(o_totalprice * 1000000) AS BIGINT)) AS DOUBLE)
+          / 1000000) / COUNT(o_totalprice) AS m
+  FROM sampled GROUP BY o_orderpriority, b
+)
+SELECT o_orderpriority, COUNT(*) AS n_resamples,
+       ROUND((CAST(SUM(CAST(ROUND(m * 1000000) AS BIGINT)) AS DOUBLE) / 1000000)
+             / COUNT(m), 6) AS boot_mean,
+       ROUND(quantile_cont(m, 0.025), 6) AS ci_lo,
+       ROUND(quantile_cont(m, 0.975), 6) AS ci_hi
+FROM means GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""

@@ -5879,3 +5879,92 @@ def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m_c_post, 6).alias("mean_ctrl_post"),
         F.round((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 6).alias("did_estimate"),
     )
+
+
+@q("q_skipgram_pairs")
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram training pairs from the deterministic walk corpus
+    (DeepWalk/node2vec step 2: walks → (center, context) pairs within a
+    ±2 window): two lead() columns over the per-walk step sort, four
+    union legs (both directions, both distances), one pair-count
+    aggregate — the graph-to-sequence-to-pairs hop that feeds embedding
+    training. Reuses q_random_walk's oracle-exact corpus, so the pair
+    set is hash-checked end to end."""
+    walks = QUERIES["q_random_walk"](spark, sf_dir)
+    w = W.partitionBy("walk_id").orderBy("step")
+    p = walks.select(
+        "node",
+        F.lead("node", 1).over(w).alias("__n1"),
+        F.lead("node", 2).over(w).alias("__n2"),
+    )
+    legs = [
+        p.where(F.col("__n1").isNotNull()).select(
+            F.col("node").alias("center"), F.col("__n1").alias("context"),
+            F.lit(1).alias("dist"),
+        ),
+        p.where(F.col("__n1").isNotNull()).select(
+            F.col("__n1").alias("center"), F.col("node").alias("context"),
+            F.lit(1).alias("dist"),
+        ),
+        p.where(F.col("__n2").isNotNull()).select(
+            F.col("node").alias("center"), F.col("__n2").alias("context"),
+            F.lit(2).alias("dist"),
+        ),
+        p.where(F.col("__n2").isNotNull()).select(
+            F.col("__n2").alias("center"), F.col("node").alias("context"),
+            F.lit(2).alias("dist"),
+        ),
+    ]
+    pairs = legs[0].unionByName(legs[1]).unionByName(legs[2]).unionByName(legs[3])
+    return (
+        pairs.groupBy("center", "context", "dist")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("center", "context", "dist")
+    )
+
+
+@q("q_bootstrap_ci")
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bootstrap confidence interval for the mean order
+    value per priority class: B=32 md5-seeded half-subsamples (row in
+    resample b iff u(md5(b|key)) < 0.5 — partition-invariant, so the
+    WHOLE resampling plan is hash-checked, unlike rand()-seeded
+    bootstraps), exact fixed-point subsample means, CI = exact
+    interpolated [2.5%, 97.5%] percentiles of the B means. Cost model:
+    one B-way row explode with map-side partial aggregation — the
+    shuffle carries only (group × B) mean states."""
+    o = load_table(spark, sf_dir, "orders")
+    B = 32
+    b = spark.range(B).select(F.col("id").cast("int").alias("b"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("b").cast("string"),
+                        F.col("o_orderkey").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    sampled = o.crossJoin(F.broadcast(b)).where(u < 0.5)
+    means = sampled.groupBy("o_orderpriority", "b").agg(
+        davg("o_totalprice").alias("__m")
+    )
+    return (
+        means.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_resamples"),
+            F.round(davg("__m"), 6).alias("boot_mean"),
+            F.round(F.percentile("__m", F.lit(0.025)), 6).alias("ci_lo"),
+            F.round(F.percentile("__m", F.lit(0.975)), 6).alias("ci_hi"),
+        )
+        .orderBy("o_orderpriority")
+    )

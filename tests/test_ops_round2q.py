@@ -305,3 +305,24 @@ def test_did_cells_cover_all_events(spark, sf_dir):
         5,
     )
     assert abs(out["did_estimate"] - expect) < 1e-4
+
+
+def test_skipgram_pairs_symmetric(spark, sf_dir):
+    """Every (center, context, dist) pair count equals its mirror — the
+    union construction is symmetric by design."""
+    out = QUERIES["q_skipgram_pairs"](spark, sf_dir).toPandas()
+    assert len(out) > 0
+    counts = {(r.center, r.context, r.dist): r.n_pairs for r in out.itertuples()}
+    for (c, x, d), n in counts.items():
+        assert counts.get((x, c, d)) == n
+
+
+def test_bootstrap_ci_brackets_mean(spark, sf_dir):
+    """CI must bracket the bootstrap mean and have positive width; each
+    group reports all 32 resamples (p=0.5 sampling never empties a
+    resample at fixture scale)."""
+    out = QUERIES["q_bootstrap_ci"](spark, sf_dir).toPandas()
+    assert (out["n_resamples"] == 32).all()
+    assert (out["ci_lo"] <= out["boot_mean"]).all()
+    assert (out["boot_mean"] <= out["ci_hi"]).all()
+    assert (out["ci_hi"] > out["ci_lo"]).all()
