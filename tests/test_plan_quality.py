@@ -494,3 +494,40 @@ def test_scd2_lookup_is_keyed_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_scd2_lookup")
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quantile_sketch_caps_rank_before_shuffle(spark, sf_dir):
+    """Bottom-k value sample: the <=k rank filter must plan as a partial
+    WindowGroupLimit so every map task forwards at most k rows per group."""
+    plan = plan_of(spark, sf_dir, "q_quantile_sketch")
+    assert re.search(r"WindowGroupLimit .*row_number\(\), 64, Partial", plan), plan
+
+
+def test_item_cooccurrence_meets_on_order_key(spark, sf_dir):
+    """Co-occurrence pairs must meet in an equi-join on the order key —
+    never a part×part comparison — and the top-3 cut must cap map-side."""
+    plan = plan_of(spark, sf_dir, "q_item_cooccurrence")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"WindowGroupLimit .*row_number\(\), 3, Partial", plan), plan
+
+
+def test_mmr_joins_stay_equi(spark, sf_dir):
+    """Every unrolled MMR step is an (anti/equi) join on the query key —
+    an all-pairs comparison would show up as a nested-loop operator."""
+    plan = plan_of(spark, sf_dir, "q_mmr_rerank")
+    assert "CartesianProduct" not in plan
+
+
+def test_bootstrap_resample_relation_broadcasts(spark, sf_dir):
+    """The B=32 resample-id relation must broadcast onto the fact scan
+    (tiny side), never shuffle orders B ways."""
+    plan = plan_of(spark, sf_dir, "q_bootstrap_ci")
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast cross of the 32-row side
+    assert "hashpartitioning(o_orderkey" not in plan
+    # subsample means combine map-side before the (group x B) shuffle
+    assert "partial_sum" in plan
+
+
+def test_tail_index_caps_rank_before_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_tail_index")
+    assert re.search(r"WindowGroupLimit .*row_number\(\), 51, Partial", plan), plan
