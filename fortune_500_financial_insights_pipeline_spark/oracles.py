@@ -7165,3 +7165,58 @@ SELECT o_orderpriority, COUNT(*) AS n_resamples,
        ROUND(quantile_cont(m, 0.975), 6) AS ci_hi
 FROM means GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
+
+ORACLES["q_rag_context_pack"] = f"""
+WITH fused AS ({ORACLES["q_rrf_fusion"]}),
+toks AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+  FROM documents
+), packed AS (
+  SELECT f.query_id, f.doc_id, f.rank, t.tokens,
+         SUM(t.tokens) OVER (PARTITION BY f.query_id ORDER BY f.rank
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tokens
+  FROM fused f JOIN toks t USING (doc_id)
+)
+SELECT query_id, doc_id, CAST(rank AS INTEGER) AS rank,
+       CAST(tokens AS BIGINT) AS tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM packed WHERE cum_tokens <= 256
+ORDER BY query_id, rank
+"""
+
+ORACLES["q_interarrival"] = """
+WITH gaps AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) - LAG(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY ts) AS DOUBLE) / 1000000 AS s
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n_gaps,
+       ROUND(quantile_cont(s, 0.5), 6) AS p50_gap_s,
+       ROUND(quantile_cont(s, 0.9), 6) AS p90_gap_s
+FROM gaps WHERE s IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+ORACLES["q_lorenz_deciles"] = f"""
+WITH per_cust AS (
+  SELECT o_custkey, {_dsum('o_totalprice')} AS rev
+  FROM orders GROUP BY o_custkey
+), dec AS (
+  SELECT o_custkey, rev,
+         NTILE(10) OVER (ORDER BY rev ASC, o_custkey ASC) AS decile
+  FROM per_cust
+), per_dec AS (
+  SELECT decile, COUNT(*) AS n_cust,
+         {_dsum('rev')} AS revenue
+  FROM dec GROUP BY decile
+), tot AS (SELECT {_dsum('revenue')} AS t FROM per_dec)
+SELECT CAST(decile AS INTEGER) AS decile, CAST(n_cust AS BIGINT) AS n_cust,
+       ROUND(revenue, 6) AS revenue,
+       ROUND((CAST(SUM(CAST(ROUND(revenue * 1000000) AS BIGINT))
+                     OVER (ORDER BY decile
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) / 1000000) / tot.t, 6) AS cum_share
+FROM per_dec CROSS JOIN tot
+ORDER BY decile
+"""

@@ -5968,3 +5968,95 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@q("q_rag_context_pack")
+def q_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG context assembly: for each query, walk the RRF-fused top-10 in
+    rank order and keep documents while the running whitespace-token
+    total stays within a 256-token budget (greedy prefix — the standard
+    context packer). One running-sum window over ten-row-per-query
+    lists on top of the already-oracled q_rrf_fusion chain: retrieval →
+    fusion → budget cut, hash-checked end to end."""
+    from fortune_500_financial_insights_pipeline_spark.operators import text as TX
+
+    fused = QUERIES["q_rrf_fusion"](spark, sf_dir).select(
+        "query_id", "doc_id", "rank"
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", TX.token_count("text").alias("tokens")
+    )
+    w = (
+        W.partitionBy("query_id")
+        .orderBy("rank")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = (
+        fused.join(d, "doc_id")
+        .withColumn("cum_tokens", F.sum("tokens").over(w).cast("long"))
+        .where(F.col("cum_tokens") <= 256)
+    )
+    return packed.select(
+        "query_id", "doc_id", "rank", F.col("tokens").cast("long").alias("tokens"),
+        "cum_tokens",
+    ).orderBy("query_id", "rank")
+
+
+@q("q_interarrival")
+def q_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution per event type: exact interpolated
+    p50/p90 of per-user gaps (microsecond epoch lag diffs, attributed to
+    the later event) — the number that tunes session timeouts and
+    capacity planning. One lag window on the user key, one percentile
+    aggregate per type."""
+    e = load_table(spark, sf_dir, "events")
+    # epoch microseconds are monotone with ts — same sort, one column
+    w = W.partitionBy("user_id").orderBy("__us")
+    gaps = (
+        e.select("user_id", "event_type", F.unix_micros("ts").alias("__us"))
+        .withColumn("__gap", F.col("__us") - F.lag("__us").over(w))
+        .where(F.col("__gap").isNotNull())
+        .select("event_type", (F.col("__gap").cast("double") / 1000000).alias("__s"))
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.percentile("__s", F.lit(0.5)), 6).alias("p50_gap_s"),
+            F.round(F.percentile("__s", F.lit(0.9)), 6).alias("p90_gap_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q("q_lorenz_deciles")
+def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve points behind q_gini: customers in revenue deciles
+    (deterministic ntile — value asc, custkey tiebreak), per-decile
+    revenue and cumulative share — the 'top 10% of customers hold X% of
+    revenue' dashboard row. Customer totals are exact fixed point; the
+    decile cut is one rank window over the customer-count-sized
+    aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(dsum("o_totalprice").alias("__rev"))
+    wn = W.orderBy(F.asc("__rev"), F.asc("o_custkey"))
+    dec = per_cust.withColumn("decile", F.ntile(10).over(wn))
+    per_dec = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        dsum("__rev").alias("revenue"),
+    )
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    tot = per_dec.agg(dsum("revenue").alias("__t"))
+    return (
+        per_dec.withColumn("__cum", F.sum(F.round(F.col("revenue") * 1000000).cast("long")).over(wc))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_cust",
+            F.round("revenue", 6).alias("revenue"),
+            F.round(
+                (F.col("__cum").cast("double") / 1000000) / F.col("__t"), 6
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )

@@ -326,3 +326,29 @@ def test_bootstrap_ci_brackets_mean(spark, sf_dir):
     assert (out["ci_lo"] <= out["boot_mean"]).all()
     assert (out["boot_mean"] <= out["ci_hi"]).all()
     assert (out["ci_hi"] > out["ci_lo"]).all()
+
+
+def test_rag_context_pack_budget_and_prefix(spark, sf_dir):
+    out = QUERIES["q_rag_context_pack"](spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert (out["cum_tokens"] <= 256).all()
+    # kept ranks form a prefix: 1..n per query, no holes
+    for _, g in out.groupby("query_id"):
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+
+
+def test_interarrival_positive_ordered(spark, sf_dir):
+    out = QUERIES["q_interarrival"](spark, sf_dir).toPandas()
+    assert len(out) == 5
+    assert (out["p50_gap_s"] >= 0).all()
+    assert (out["p50_gap_s"] <= out["p90_gap_s"]).all()
+
+
+def test_lorenz_deciles_monotone_to_one(spark, sf_dir):
+    out = QUERIES["q_lorenz_deciles"](spark, sf_dir).toPandas()
+    assert len(out) == 10
+    cs = list(out.sort_values("decile")["cum_share"])
+    assert all(a <= b for a, b in zip(cs, cs[1:]))
+    assert abs(cs[-1] - 1.0) < 1e-6
+    # Lorenz curve lies under the diagonal (top decile holds > 10%)
+    assert cs[0] < 0.1
