@@ -7220,3 +7220,53 @@ SELECT CAST(decile AS INTEGER) AS decile, CAST(n_cust AS BIGINT) AS n_cust,
 FROM per_dec CROSS JOIN tot
 ORDER BY decile
 """
+
+ORACLES["q_k_anonymity"] = """
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS sz,
+         COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT)) AS l
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+), total AS (SELECT COUNT(*) AS n FROM customer)
+SELECT COUNT(*) AS n_classes,
+       CAST(MIN(sz) AS BIGINT) AS min_class_size,
+       CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_classes_below_k,
+       CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+         AS n_rows_at_risk,
+       ROUND(CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS DOUBLE)
+             / MAX(total.n), 6) AS risk_frac,
+       CAST(MIN(l) AS BIGINT) AS min_l_diversity
+FROM classes CROSS JOIN total
+"""
+
+ORACLES["q_adamic_adar"] = """
+WITH ub AS (
+  SELECT DISTINCT user_id AS u, date_trunc('hour', ts) AS h, event_type AS t
+  FROM events
+), raw AS (
+  SELECT a.u AS id_a, b.u AS id_b
+  FROM ub a JOIN ub b ON a.h = b.h AND a.t = b.t AND a.u < b.u
+  GROUP BY a.u, b.u HAVING COUNT(*) >= 2
+), directed AS (
+  SELECT id_a, id_b FROM raw UNION ALL SELECT id_b, id_a FROM raw
+), deg AS (
+  SELECT id_a AS node, COUNT(*) AS deg FROM directed GROUP BY id_a
+), hop2 AS (
+  SELECT e1.id_a AS pa, e2.id_b AS pb, d.deg
+  FROM directed e1
+  JOIN directed e2 ON e1.id_b = e2.id_a
+  JOIN deg d ON d.node = e1.id_b
+  WHERE e1.id_a < e2.id_b AND d.deg >= 2
+), scored AS (
+  SELECT pa, pb, COUNT(*) AS n_common,
+         ROUND(CAST(SUM(CAST(ROUND((1.0 / ln(CAST(deg AS DOUBLE))) * 1000000)
+                             AS BIGINT)) AS DOUBLE) / 1000000, 6) AS aa
+  FROM hop2 GROUP BY pa, pb
+)
+SELECT s.pa, s.pb, s.n_common, s.aa
+FROM scored s
+LEFT JOIN raw r ON r.id_a = s.pa AND r.id_b = s.pb
+WHERE r.id_a IS NULL
+ORDER BY s.aa DESC, s.pa ASC, s.pb ASC
+LIMIT 20
+"""

@@ -6060,3 +6060,94 @@ def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@q("q_k_anonymity")
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit of the customer table under the
+    quasi-identifier (nation, market segment): equivalence-class sizes,
+    how many classes fall below k=5, the share of rows re-identifiable
+    through them, and the minimum l (distinct account-balance bands per
+    class) — the privacy gate next to PII redaction (q_redact_pii
+    scrubs direct identifiers; this measures indirect linkability).
+    Two cardinality-bounded aggregates, no row-level output."""
+    c = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000).cast("long")
+    classes = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("__sz"),
+        F.countDistinct(band).alias("__l"),
+    )
+    total = c.agg(F.count(F.lit(1)).alias("__n"))
+    return classes.crossJoin(F.broadcast(total)).agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("__sz").cast("long").alias("min_class_size"),
+        F.sum(F.when(F.col("__sz") < 5, 1).otherwise(0)).cast("long").alias(
+            "n_classes_below_k"
+        ),
+        F.sum(F.when(F.col("__sz") < 5, F.col("__sz")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+        F.round(
+            F.sum(F.when(F.col("__sz") < 5, F.col("__sz")).otherwise(0)).cast(
+                "double"
+            )
+            / F.max("__n"),
+            6,
+        ).alias("risk_frac"),
+        F.min("__l").cast("long").alias("min_l_diversity"),
+    )
+
+
+@q("q_adamic_adar")
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction over the co-activity graph: for
+    non-adjacent node pairs meeting through >= 1 shared neighbor, score
+    Σ_z 1/ln(deg z) (rarer mutual friends weigh more), top-20
+    candidates. Two-hop pairs come from one self-join of the directed
+    edge list keyed on the SHARED NEIGHBOR (degree-bounded fan-out,
+    never node×node), adjacency is removed by an anti-join, and the
+    score folds fixed-point per pair. Degree-1 hubs are excluded
+    (ln(1)=0 would divide by zero — and a leaf's only neighbor is the
+    pair itself, never a witness)."""
+    e = load_table(spark, sf_dir, "events")
+    ub = e.select(
+        F.col("user_id").alias("u"),
+        F.date_trunc("hour", "ts").alias("h"),
+        F.col("event_type").alias("t"),
+    ).distinct()
+    a = ub.select(F.col("u").alias("id_a"), "h", "t")
+    b = ub.select(F.col("u").alias("id_b"), "h", "t")
+    edges = (
+        a.join(b, ["h", "t"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__shared"))
+        .where(F.col("__shared") >= 2)
+        .select("id_a", "id_b")
+    )
+    directed = edges.unionByName(
+        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    deg = directed.groupBy(F.col("id_a").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    e1 = directed.select(F.col("id_a").alias("pa"), F.col("id_b").alias("z"))
+    e2 = directed.select(F.col("id_a").alias("z"), F.col("id_b").alias("pb"))
+    hop2 = (
+        e1.join(e2, "z")
+        .where(F.col("pa") < F.col("pb"))
+        .join(deg.select(F.col("node").alias("z"), "deg"), "z")
+        .where(F.col("deg") >= 2)
+    )
+    from fortune_500_financial_insights_pipeline_spark.functions.deterministic import dsum as _ds
+
+    scored = hop2.groupBy("pa", "pb").agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.round(_ds(F.lit(1.0) / F.log(F.col("deg").cast("double"))), 6).alias("aa"),
+    )
+    adj = edges.select(F.col("id_a").alias("pa"), F.col("id_b").alias("pb"))
+    return (
+        scored.join(adj, ["pa", "pb"], "left_anti")
+        .orderBy(F.desc("aa"), F.asc("pa"), F.asc("pb"))
+        .limit(20)
+    )

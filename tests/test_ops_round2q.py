@@ -352,3 +352,21 @@ def test_lorenz_deciles_monotone_to_one(spark, sf_dir):
     assert abs(cs[-1] - 1.0) < 1e-6
     # Lorenz curve lies under the diagonal (top decile holds > 10%)
     assert cs[0] < 0.1
+
+
+def test_k_anonymity_consistency(spark, sf_dir):
+    out = QUERIES["q_k_anonymity"](spark, sf_dir).collect()[0]
+    assert out["n_classes"] > 0
+    assert out["min_class_size"] >= 1
+    assert out["n_classes_below_k"] <= out["n_classes"]
+    assert out["n_rows_at_risk"] >= out["n_classes_below_k"] * 1
+    assert 0.0 <= out["risk_frac"] <= 1.0
+    assert out["min_l_diversity"] >= 1
+
+
+def test_adamic_adar_nonadjacent_and_positive(spark, sf_dir):
+    out = QUERIES["q_adamic_adar"](spark, sf_dir).toPandas()
+    assert 0 < len(out) <= 20
+    assert (out["aa"] > 0).all()
+    assert (out["n_common"] >= 1).all()
+    assert (out["pa"] < out["pb"]).all()
