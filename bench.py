@@ -90,6 +90,12 @@ HEADLINE = [
     "q_seasonal_lag",
     "q_basket_triples",
     "q_ltv_curve",
+    # round-2q..2x additions (flagship composition shapes)
+    "q_curation_report",
+    "q_mmr_rerank",
+    "q_rag_context_pack",
+    "q_skipgram_pairs",
+    "q_adamic_adar",
 ]
 
 # DuckDB oracle wall-clock on the SAME queries at sf0.1, best-of-2, measured
@@ -100,6 +106,12 @@ HEADLINE = [
 # from the ratio on BOTH sides). Reported in the bench line as baseline_sec /
 # vs_baseline so the 2×-of-baseline bound is a checkable number per round.
 DUCKDB_BASELINE_SF01: dict[str, float | None] = {
+    # measured 2026-08-14 (same best-of-2 recipe)
+    "q_curation_report": 0.449,
+    "q_mmr_rerank": 0.851,
+    "q_rag_context_pack": 0.251,
+    "q_skipgram_pairs": 1.282,
+    "q_adamic_adar": 0.114,
     "q_groupby_agg": 0.131, "q_csv_scan": 0.114, "q_join_inner": 0.0198,
     "q_join_broadcast": 0.0267, "q_join_left": 0.0502, "q_window_rank": 0.0713,
     "q_window_cumsum": 0.9003, "q_window_moving_avg": 0.1194, "q_topk": 0.0136,

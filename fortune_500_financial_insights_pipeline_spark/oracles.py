@@ -7240,33 +7240,22 @@ FROM classes CROSS JOIN total
 """
 
 ORACLES["q_adamic_adar"] = """
-WITH ub AS (
-  SELECT DISTINCT user_id AS u, date_trunc('hour', ts) AS h, event_type AS t
-  FROM events
-), raw AS (
-  SELECT a.u AS id_a, b.u AS id_b
-  FROM ub a JOIN ub b ON a.h = b.h AND a.t = b.t AND a.u < b.u
-  GROUP BY a.u, b.u HAVING COUNT(*) >= 2
-), directed AS (
-  SELECT id_a, id_b FROM raw UNION ALL SELECT id_b, id_a FROM raw
-), deg AS (
-  SELECT id_a AS node, COUNT(*) AS deg FROM directed GROUP BY id_a
+WITH sc AS (
+  SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), cdeg AS (
+  SELECT c, COUNT(*) AS deg FROM sc GROUP BY c HAVING COUNT(*) >= 2
 ), hop2 AS (
-  SELECT e1.id_a AS pa, e2.id_b AS pb, d.deg
-  FROM directed e1
-  JOIN directed e2 ON e1.id_b = e2.id_a
-  JOIN deg d ON d.node = e1.id_b
-  WHERE e1.id_a < e2.id_b AND d.deg >= 2
-), scored AS (
-  SELECT pa, pb, COUNT(*) AS n_common,
-         ROUND(CAST(SUM(CAST(ROUND((1.0 / ln(CAST(deg AS DOUBLE))) * 1000000)
-                             AS BIGINT)) AS DOUBLE) / 1000000, 6) AS aa
-  FROM hop2 GROUP BY pa, pb
+  SELECT e1.s AS pa, e2.s AS pb, d.deg
+  FROM sc e1
+  JOIN cdeg d ON d.c = e1.c
+  JOIN sc e2 ON e2.c = e1.c
+  WHERE e1.s <= 100 AND e1.s <> e2.s
 )
-SELECT s.pa, s.pb, s.n_common, s.aa
-FROM scored s
-LEFT JOIN raw r ON r.id_a = s.pa AND r.id_b = s.pb
-WHERE r.id_a IS NULL
-ORDER BY s.aa DESC, s.pa ASC, s.pb ASC
+SELECT pa, pb, COUNT(*) AS n_common,
+       ROUND(CAST(SUM(CAST(ROUND((1.0 / ln(CAST(deg AS DOUBLE))) * 1000000)
+                           AS BIGINT)) AS DOUBLE) / 1000000, 6) AS aa
+FROM hop2 GROUP BY pa, pb
+ORDER BY aa DESC, pa ASC, pb ASC
 LIMIT 20
 """

@@ -364,9 +364,10 @@ def test_k_anonymity_consistency(spark, sf_dir):
     assert out["min_l_diversity"] >= 1
 
 
-def test_adamic_adar_nonadjacent_and_positive(spark, sf_dir):
+def test_adamic_adar_watchlist_and_positive(spark, sf_dir):
     out = QUERIES["q_adamic_adar"](spark, sf_dir).toPandas()
     assert 0 < len(out) <= 20
     assert (out["aa"] > 0).all()
     assert (out["n_common"] >= 1).all()
-    assert (out["pa"] < out["pb"]).all()
+    assert (out["pa"] <= 100).all()  # candidate side is watchlist-bounded
+    assert (out["pa"] != out["pb"]).all()
