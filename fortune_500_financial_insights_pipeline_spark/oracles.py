@@ -7259,3 +7259,72 @@ FROM hop2 GROUP BY pa, pb
 ORDER BY aa DESC, pa ASC, pb ASC
 LIMIT 20
 """
+
+ORACLES["q_cuped"] = """
+WITH per_user AS (
+  SELECT user_id,
+         (CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                        THEN CAST(ROUND(value * 1000000) AS BIGINT)
+                        ELSE 0 END) AS DOUBLE) / 1000000) AS x,
+         (CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                        THEN CAST(ROUND(value * 1000000) AS BIGINT)
+                        ELSE 0 END) AS DOUBLE) / 1000000) AS y
+  FROM events GROUP BY user_id
+), g AS (
+  SELECT x, y, CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t FROM per_user
+), m AS (
+  SELECT COUNT(*) AS n_users,
+         (CAST(SUM(CAST(ROUND(x * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS sx,
+         (CAST(SUM(CAST(ROUND(y * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS sy,
+         (CAST(SUM(CAST(ROUND((x * y) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS sxy,
+         (CAST(SUM(CAST(ROUND((x * x) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS sxx,
+         (CAST(SUM(CAST(ROUND((y * y) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS syy,
+         CAST(SUM(t) AS DOUBLE) AS nt,
+         (CAST(SUM(CASE WHEN t = 1 THEN CAST(ROUND(x * 1000000) AS BIGINT)
+                        ELSE 0 END) AS DOUBLE) / 1000000) AS sxt,
+         (CAST(SUM(CASE WHEN t = 1 THEN CAST(ROUND(y * 1000000) AS BIGINT)
+                        ELSE 0 END) AS DOUBLE) / 1000000) AS syt
+  FROM g
+)
+SELECT CAST(n_users AS BIGINT) AS n_users,
+       ROUND((CAST(n_users AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n_users AS DOUBLE) * sxx - sx * sx), 6) AS theta,
+       ROUND(syt / nt - (sy - syt) / (CAST(n_users AS DOUBLE) - nt), 6)
+         AS effect_raw,
+       ROUND((syt / nt - ((CAST(n_users AS DOUBLE) * sxy - sx * sy)
+                          / (CAST(n_users AS DOUBLE) * sxx - sx * sx)) * (sxt / nt))
+             - ((sy - syt) / (CAST(n_users AS DOUBLE) - nt)
+                - ((CAST(n_users AS DOUBLE) * sxy - sx * sy)
+                   / (CAST(n_users AS DOUBLE) * sxx - sx * sx))
+                  * ((sx - sxt) / (CAST(n_users AS DOUBLE) - nt))), 6)
+         AS effect_cuped,
+       ROUND((CAST(n_users AS DOUBLE) * sxy - sx * sy)
+             * (CAST(n_users AS DOUBLE) * sxy - sx * sy)
+             / ((CAST(n_users AS DOUBLE) * sxx - sx * sx)
+                * (CAST(n_users AS DOUBLE) * syy - sy * sy)), 6) AS var_reduction
+FROM m
+"""
+
+ORACLES["q_hash_collision_qa"] = """
+WITH terms AS (
+  SELECT DISTINCT term FROM (
+    SELECT UNNEST(string_split(text, ' ')) AS term FROM documents
+  ) WHERE term <> ''
+), bucketed AS (
+  SELECT ((instr('0123456789abcdef',
+                 substring(md5(concat('f|', CAST(term AS STRING))), 1, 1)) - 1) * 16
+          + (instr('0123456789abcdef',
+                   substring(md5(concat('f|', CAST(term AS STRING))), 2, 1)) - 1))
+           AS b
+  FROM terms
+), loads AS (
+  SELECT b, COUNT(*) AS load FROM bucketed GROUP BY b
+)
+SELECT CAST(SUM(load) AS BIGINT) AS n_terms,
+       COUNT(*) AS n_buckets_used,
+       CAST(MAX(load) AS BIGINT) AS max_load,
+       ROUND(CAST(SUM(load) AS DOUBLE) / COUNT(*), 6) AS avg_load,
+       ROUND(CAST(MAX(load) AS DOUBLE)
+             / (CAST(SUM(load) AS DOUBLE) / COUNT(*)), 6) AS skew_ratio
+FROM loads
+"""

@@ -6145,3 +6145,89 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("aa"), F.asc("pa"), F.asc("pb"))
         .limit(20)
     )
+
+
+@q("q_cuped")
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al., WSDM
+    2013): per-user pre-period spend (before Jan 16) as the covariate,
+    post-period spend as the metric, user-parity as assignment.
+    θ = cov(X,Y)/var(X) from exact fixed-point moments; the adjusted
+    effect needs only group means (Ȳ_T − θX̄_T) − (Ȳ_C − θX̄_C), and the
+    variance-reduction share is ρ² — all closed-form over one user-level
+    aggregate + one moment fold, no row-level second pass."""
+    e = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    per_user = e.groupBy("user_id").agg(
+        dsum(F.when(F.col("ts") < cut, F.col("value")).otherwise(0.0)).alias("__x"),
+        dsum(F.when(F.col("ts") >= cut, F.col("value")).otherwise(0.0)).alias("__y"),
+    )
+    g = per_user.withColumn("__t", (F.col("user_id") % 2 == 0).cast("int"))
+    m = g.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        dsum("__x").alias("__sx"),
+        dsum("__y").alias("__sy"),
+        dsum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        dsum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        dsum(F.col("__y") * F.col("__y")).alias("__syy"),
+        F.sum("__t").cast("double").alias("__nt"),
+        dsum(F.when(F.col("__t") == 1, F.col("__x")).otherwise(0.0)).alias("__sxt"),
+        dsum(F.when(F.col("__t") == 1, F.col("__y")).otherwise(0.0)).alias("__syt"),
+    )
+    n = F.col("n_users").cast("double")
+    covxy = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    varx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vary = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    theta = covxy / varx
+    nt = F.col("__nt")
+    nc = n - nt
+    xbar_t = F.col("__sxt") / nt
+    ybar_t = F.col("__syt") / nt
+    xbar_c = (F.col("__sx") - F.col("__sxt")) / nc
+    ybar_c = (F.col("__sy") - F.col("__syt")) / nc
+    effect_raw = ybar_t - ybar_c
+    effect_cuped = (ybar_t - theta * xbar_t) - (ybar_c - theta * xbar_c)
+    rho2 = covxy * covxy / (varx * vary)
+    return m.select(
+        "n_users",
+        F.round(theta, 6).alias("theta"),
+        F.round(effect_raw, 6).alias("effect_raw"),
+        F.round(effect_cuped, 6).alias("effect_cuped"),
+        F.round(rho2, 6).alias("var_reduction"),
+    )
+
+
+@q("q_hash_collision_qa")
+def q_hash_collision_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing load audit for the 256-bucket hashed classifier
+    (operators/text.classifier_score): how many buckets the corpus
+    vocabulary actually occupies, the max/avg bucket load and the skew
+    ratio — the collision QA that decides whether the hash width is
+    large enough before anyone trusts hashed-feature scores. Bucket
+    arithmetic is the engine-shared md5-digit expression, so the audit
+    is hash-exact."""
+    from fortune_500_financial_insights_pipeline_spark.operators.text import (
+        _feature_bucket_sql,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    terms = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    bucketed = terms.select(F.expr(_feature_bucket_sql("term")).alias("b"))
+    loads = bucketed.groupBy("b").agg(F.count(F.lit(1)).alias("load"))
+    return loads.agg(
+        F.sum("load").cast("long").alias("n_terms"),
+        F.count(F.lit(1)).alias("n_buckets_used"),
+        F.max("load").cast("long").alias("max_load"),
+        F.round(F.sum("load").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_load"
+        ),
+        F.round(
+            F.max("load").cast("double")
+            / (F.sum("load").cast("double") / F.count(F.lit(1))),
+            6,
+        ).alias("skew_ratio"),
+    )

@@ -371,3 +371,54 @@ def test_adamic_adar_watchlist_and_positive(spark, sf_dir):
     assert (out["n_common"] >= 1).all()
     assert (out["pa"] <= 100).all()  # candidate side is watchlist-bounded
     assert (out["pa"] != out["pb"]).all()
+
+
+def test_cuped_reduces_or_keeps_variance(spark, sf_dir):
+    out = QUERIES["q_cuped"](spark, sf_dir).collect()[0]
+    assert out["n_users"] > 0
+    assert 0.0 <= out["var_reduction"] <= 1.0
+    # CUPED on a synthetic frame with a strong pre/post correlation must
+    # recover theta ~ slope and shrink the effect's covariate component
+    import math
+
+    assert math.isfinite(out["theta"])
+
+
+def test_cuped_recovers_planted_effect(spark):
+    """Y = X + effect·T (+0 noise): CUPED removes the X component exactly,
+    leaving the planted effect; rho^2 is high by construction."""
+    rows = []
+    for uid in range(200):
+        x = float((uid * 37) % 100)
+        t = 1 if uid % 2 == 0 else 0
+        y = x + 5.0 * t
+        rows.append((uid, x, y, t))
+    # feed through the same moment algebra via a temp view + the query's
+    # internal math replicated over a hand-built frame
+    df = spark.createDataFrame(rows, "user_id long, x double, y double, t int")
+    from pyspark.sql import functions as FF
+
+    m = df.agg(
+        FF.count(FF.lit(1)).alias("n"),
+        FF.sum("x").alias("sx"), FF.sum("y").alias("sy"),
+        FF.sum(FF.col("x") * FF.col("y")).alias("sxy"),
+        FF.sum(FF.col("x") * FF.col("x")).alias("sxx"),
+        FF.sum(FF.col("t").cast("double")).alias("nt"),
+        FF.sum(FF.when(FF.col("t") == 1, FF.col("x")).otherwise(0.0)).alias("sxt"),
+        FF.sum(FF.when(FF.col("t") == 1, FF.col("y")).otherwise(0.0)).alias("syt"),
+    ).collect()[0]
+    n = float(m["n"])
+    theta = (n * m["sxy"] - m["sx"] * m["sy"]) / (n * m["sxx"] - m["sx"] * m["sx"])
+    nt, nc = m["nt"], n - m["nt"]
+    eff = (m["syt"] / nt - theta * m["sxt"] / nt) - (
+        (m["sy"] - m["syt"]) / nc - theta * (m["sx"] - m["sxt"]) / nc
+    )
+    assert abs(eff - 5.0) < 0.5  # raw effect is confounded by X; CUPED isn't
+
+
+def test_hash_collision_qa_bounds(spark, sf_dir):
+    out = QUERIES["q_hash_collision_qa"](spark, sf_dir).collect()[0]
+    assert 1 <= out["n_buckets_used"] <= 256
+    assert out["max_load"] >= 1
+    assert out["skew_ratio"] >= 1.0
+    assert out["n_terms"] >= out["n_buckets_used"]
