@@ -7328,3 +7328,87 @@ SELECT CAST(SUM(load) AS BIGINT) AS n_terms,
              / (CAST(SUM(load) AS DOUBLE) / COUNT(*)), 6) AS skew_ratio
 FROM loads
 """
+
+
+def _markov_iter_sql(k: int) -> str:
+    p = k - 1
+    return f"""p{k} AS MATERIALIZED (
+  SELECT st.scenario, st.state,
+         CAST(COALESCE(SUM(CASE WHEN tr.to_state = 'CONV' THEN tr.t6 * 1000000
+                                ELSE (tr.t6 * pp.p) // 1000000 END), 0) AS BIGINT) AS p
+  FROM states st
+  LEFT JOIN strans tr ON tr.scenario = st.scenario AND tr.from_state = st.state
+  LEFT JOIN p{p} pp ON pp.scenario = tr.scenario AND pp.state = tr.to_state
+  GROUP BY st.scenario, st.state
+)"""
+
+
+ORACLES["q_markov_attribution"] = f"""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), firstp AS (
+  SELECT user_id, MIN(rn) AS prn FROM ordered
+  WHERE event_type = 'purchase' GROUP BY user_id
+), j AS (
+  SELECT o.user_id, o.event_type, o.rn, f.prn
+  FROM ordered o LEFT JOIN firstp f USING (user_id)
+), pre AS (
+  SELECT * FROM j WHERE prn IS NULL OR rn < prn
+), internal AS (
+  SELECT COALESCE(LAG(event_type) OVER (PARTITION BY user_id ORDER BY rn),
+                  'START') AS from_state,
+         event_type AS to_state
+  FROM pre
+), users AS (
+  SELECT user_id, MAX(prn) AS prn FROM j GROUP BY user_id
+), lastpre AS (
+  SELECT user_id, MAX(rn) AS mrn FROM pre GROUP BY user_id
+), last_type AS (
+  SELECT p.user_id, p.event_type AS lt
+  FROM pre p JOIN lastpre l ON l.user_id = p.user_id AND p.rn = l.mrn
+), term AS (
+  SELECT COALESCE(lt.lt, 'START') AS from_state,
+         CASE WHEN u.prn IS NOT NULL THEN 'CONV' ELSE 'NULL' END AS to_state
+  FROM users u LEFT JOIN last_type lt USING (user_id)
+), pairs AS (
+  SELECT from_state, to_state FROM internal
+  UNION ALL SELECT from_state, to_state FROM term
+), counts AS (
+  SELECT from_state, to_state, COUNT(*) AS n FROM pairs GROUP BY 1, 2
+), totals AS (
+  SELECT from_state, SUM(n) AS tot FROM counts GROUP BY 1
+), trans AS (
+  SELECT c.from_state, c.to_state,
+         CAST(ROUND(CAST(c.n AS DOUBLE) / t.tot * 1000000) AS BIGINT) AS t6
+  FROM counts c JOIN totals t USING (from_state)
+), scen AS (
+  SELECT UNNEST(['__full__', 'click', 'error', 'signup', 'view']) AS scenario
+), strans AS MATERIALIZED (
+  SELECT s.scenario, t.from_state, t.to_state, t.t6
+  FROM trans t CROSS JOIN scen s
+  WHERE t.from_state <> s.scenario AND t.to_state <> s.scenario
+    AND t.to_state <> 'NULL'
+), states AS MATERIALIZED (
+  SELECT DISTINCT scenario, from_state AS state FROM strans
+), p0 AS (
+  SELECT scenario, state, CAST(0 AS BIGINT) AS p FROM states
+), {', '.join(_markov_iter_sql(k) for k in range(1, 25))},
+startp AS (
+  SELECT scenario, p FROM p24 WHERE state = 'START'
+), fullp AS (
+  SELECT p AS pfull FROM startp WHERE scenario = '__full__'
+), per AS (
+  SELECT s.scenario AS channel, s.p AS pw, f.pfull
+  FROM startp s CROSS JOIN fullp f WHERE s.scenario <> '__full__'
+), tot AS (SELECT SUM(pfull - pw) AS t FROM per)
+SELECT channel,
+       ROUND(CAST(pw AS DOUBLE) / 1000000000000, 6) AS p_conv_without,
+       ROUND(CAST(pfull - pw AS DOUBLE) / pfull, 6) AS removal_effect,
+       ROUND(CASE WHEN tot.t > 0
+                  THEN CAST(pfull - pw AS DOUBLE) / tot.t END, 6)
+         AS attribution_share
+FROM per CROSS JOIN tot
+ORDER BY channel
+"""

@@ -6231,3 +6231,69 @@ def q_hash_collision_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("skew_ratio"),
     )
+
+
+@q("q_markov_attribution")
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (operators/paths.
+    markov_removal_attribution): journeys = per-user event sequences
+    truncated at the first purchase (START → … → CONV/NULL), first-order
+    chain probabilities as 1e6 fixed-point integers, absorption
+    probability from 24 value-iteration steps run on all five scenarios
+    (full + one per removed channel) in ONE union-tagged frame — the
+    multi-touch attribution model that, unlike last-touch, credits
+    assist channels. Every step is integer arithmetic with truncating
+    division, so the whole trajectory (and therefore the credit split)
+    is hash-exact."""
+    from fortune_500_financial_insights_pipeline_spark.operators.paths import (
+        markov_removal_attribution,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    )
+    firstp = (
+        ordered.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("prn"))
+    )
+    j = ordered.join(firstp, "user_id", "left")
+    pre = j.where(F.col("prn").isNull() | (F.col("rn") < F.col("prn")))
+    wj = W.partitionBy("user_id").orderBy("rn")
+    internal = pre.select(
+        F.coalesce(F.lag("event_type").over(wj), F.lit("START")).alias("from_state"),
+        F.col("event_type").alias("to_state"),
+    )
+    users = j.groupBy("user_id").agg(F.max("prn").alias("prn"))
+    lastpre = pre.groupBy("user_id").agg(F.max("rn").alias("mrn"))
+    last_type = (
+        pre.join(lastpre, "user_id")
+        .where(F.col("rn") == F.col("mrn"))
+        .select("user_id", F.col("event_type").alias("__lt"))
+    )
+    term = (
+        users.join(last_type, "user_id", "left")
+        .select(
+            F.coalesce("__lt", F.lit("START")).alias("from_state"),
+            F.when(F.col("prn").isNotNull(), "CONV").otherwise("NULL").alias(
+                "to_state"
+            ),
+        )
+    )
+    pairs = internal.unionByName(term)
+    counts = pairs.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("from_state").agg(F.sum("n").alias("__tot"))
+    trans = counts.join(F.broadcast(totals), "from_state").select(
+        "from_state",
+        "to_state",
+        F.round(F.col("n").cast("double") / F.col("__tot") * 1000000)
+        .cast("long")
+        .alias("t6"),
+    )
+    return markov_removal_attribution(
+        trans, ["click", "error", "signup", "view"], k_iter=24
+    )

@@ -422,3 +422,32 @@ def test_hash_collision_qa_bounds(spark, sf_dir):
     assert out["max_load"] >= 1
     assert out["skew_ratio"] >= 1.0
     assert out["n_terms"] >= out["n_buckets_used"]
+
+
+def test_markov_attribution_shares_sum_to_one(spark, sf_dir):
+    out = QUERIES["q_markov_attribution"](spark, sf_dir).toPandas()
+    assert len(out) == 4
+    assert ((out["removal_effect"] >= 0) & (out["removal_effect"] <= 1)).all()
+    assert abs(out["attribution_share"].sum() - 1.0) < 1e-4
+    assert ((out["p_conv_without"] >= 0) & (out["p_conv_without"] <= 1)).all()
+
+
+def test_markov_attribution_single_channel_chain(spark):
+    """A chain where every conversion runs through one channel: removing
+    it kills all conversions (removal effect 1.0, full credit)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.paths import (
+        markov_removal_attribution,
+    )
+
+    # START -> a (p=1); a -> CONV (p=.5), a -> NULL (p=.5); channel b unused
+    trans = spark.createDataFrame(
+        [("START", "a", 1000000), ("a", "CONV", 500000), ("a", "NULL", 500000),
+         ("START", "b", 0), ("b", "NULL", 1000000)],
+        "from_state string, to_state string, t6 long",
+    )
+    out = {r["channel"]: r for r in markov_removal_attribution(
+        trans, ["a", "b"], k_iter=8).collect()}
+    assert out["a"]["p_conv_without"] == 0.0
+    assert abs(out["a"]["removal_effect"] - 1.0) < 1e-6
+    assert abs(out["a"]["attribution_share"] - 1.0) < 1e-6
+    assert out["b"]["removal_effect"] <= 1e-6
