@@ -7412,3 +7412,52 @@ SELECT channel,
 FROM per CROSS JOIN tot
 ORDER BY channel
 """
+
+ORACLES["q_shapley_attribution"] = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), firstp AS (
+  SELECT user_id, MIN(rn) AS prn FROM ordered
+  WHERE event_type = 'purchase' GROUP BY user_id
+), j AS (
+  SELECT o.user_id, o.event_type, o.rn, f.prn
+  FROM ordered o LEFT JOIN firstp f USING (user_id)
+), per_user AS (
+  SELECT user_id,
+         bit_or(CASE WHEN prn IS NULL OR rn < prn THEN
+                       CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                            WHEN 'signup' THEN 4 WHEN 'view' THEN 8 ELSE 0 END
+                     ELSE 0 END) AS mask,
+         MAX(CASE WHEN prn IS NOT NULL THEN 1 ELSE 0 END) AS conv
+  FROM j GROUP BY user_id
+), vset AS (
+  SELECT mask, COUNT(*) AS n_users, SUM(conv) AS n_conv
+  FROM per_user GROUP BY mask
+), v AS (
+  SELECT m.mask,
+         COALESCE(CAST(ROUND(CAST(n_conv AS DOUBLE) / n_users * 1000000)
+                       AS BIGINT), 0) AS v6
+  FROM (SELECT UNNEST(range(0, 16)) AS mask) m
+  LEFT JOIN vset USING (mask)
+), ch AS (
+  SELECT * FROM (VALUES ('click', 1), ('error', 2), ('signup', 4), ('view', 8))
+    AS t(channel, bit)
+), terms AS (
+  SELECT c.channel,
+         list_extract([250000, 83333, 83333, 250000],
+                      bit_count(v.mask) + 1) * (vw.v6 - v.v6) AS t
+  FROM v CROSS JOIN ch c
+  JOIN v vw ON vw.mask = (v.mask | c.bit)
+  WHERE (v.mask & c.bit) = 0
+), phi AS (
+  SELECT channel, SUM(t) AS phi FROM terms GROUP BY channel
+), tot AS (SELECT SUM(phi) AS t FROM phi)
+SELECT channel,
+       ROUND(CAST(phi AS DOUBLE) / 1000000000000, 6) AS shapley_value,
+       ROUND(CASE WHEN tot.t <> 0 THEN CAST(phi AS DOUBLE) / tot.t END, 6)
+         AS attribution_share
+FROM phi CROSS JOIN tot
+ORDER BY channel
+"""

@@ -6297,3 +6297,105 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markov_removal_attribution(
         trans, ["click", "error", "signup", "view"], k_iter=24
     )
+
+
+@q("q_shapley_attribution")
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value channel attribution (the coalition counterpart to
+    q_markov_attribution): exposure sets are 4-bit masks (bit_or over
+    each user's pre-purchase channels), the coalition value v(S) is the
+    conversion rate of users exposed to EXACTLY S, and
+    φ_i = Σ_{S∌i} w(|S|)·(v(S∪i) − v(S)) with the factorial weights
+    embedded as 1e6 fixed-point literals. The whole computation past the
+    per-user mask aggregate runs on a 16-row coalition frame × 4
+    channels — exact long arithmetic end to end, and the efficiency
+    axiom (Σφ = v(full) − v(∅)) is test-pinned."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    )
+    firstp = (
+        ordered.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("prn"))
+    )
+    j = ordered.join(firstp, "user_id", "left")
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "view", 8)
+        .otherwise(0)
+    )
+    per_user = (
+        j.select(
+            "user_id",
+            F.when(
+                F.col("prn").isNull() | (F.col("rn") < F.col("prn")), bit
+            ).otherwise(0).alias("__b"),
+            F.col("prn").isNotNull().cast("int").alias("__conv"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.expr("bit_or(__b)").alias("mask"),
+            F.max("__conv").alias("conv"),
+        )
+    )
+    vset = per_user.groupBy("mask").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("conv").alias("n_conv"),
+    )
+    allmasks = spark.range(16).select(F.col("id").cast("int").alias("mask"))
+    v = (
+        allmasks.join(vset, "mask", "left")
+        .select(
+            "mask",
+            F.coalesce(
+                F.round(
+                    F.col("n_conv").cast("double")
+                    / F.col("n_users")
+                    * 1000000
+                ).cast("long"),
+                F.lit(0),
+            ).alias("v6"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # factorial weights k!(n-1-k)!/n! for n=4, k=|S| in 0..3, at 1e6 scale
+    wlits = [round(f * 1000000) for f in (1 / 4, 1 / 12, 1 / 12, 1 / 4)]
+    warr = F.array(*[F.lit(x) for x in wlits])
+    ch = spark.createDataFrame(
+        [("click", 1), ("error", 2), ("signup", 4), ("view", 8)],
+        "channel string, bit int",
+    )
+    base = v.crossJoin(F.broadcast(ch)).where(
+        F.expr("(mask & bit) = 0")
+    )
+    vwith = v.select(F.col("mask").alias("__mw"), F.col("v6").alias("__vw"))
+    terms = base.join(
+        vwith, F.expr("(mask | bit)") == F.col("__mw")
+    ).select(
+        "channel",
+        (
+            F.element_at(warr, F.expr("bit_count(mask)") + 1)
+            * (F.col("__vw") - F.col("v6"))
+        ).alias("__t"),
+    )
+    phi = terms.groupBy("channel").agg(F.sum("__t").alias("__phi"))
+    tot = phi.agg(F.sum("__phi").alias("__tot"))
+    return (
+        phi.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            F.round(F.col("__phi").cast("double") / 1e12, 6).alias("shapley_value"),
+            F.round(
+                F.when(
+                    F.col("__tot") != 0,
+                    F.col("__phi").cast("double") / F.col("__tot"),
+                ),
+                6,
+            ).alias("attribution_share"),
+        )
+        .orderBy("channel")
+    )

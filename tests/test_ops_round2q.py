@@ -451,3 +451,11 @@ def test_markov_attribution_single_channel_chain(spark):
     assert abs(out["a"]["removal_effect"] - 1.0) < 1e-6
     assert abs(out["a"]["attribution_share"] - 1.0) < 1e-6
     assert out["b"]["removal_effect"] <= 1e-6
+
+
+def test_shapley_efficiency_axiom(spark, sf_dir):
+    """Σφ must equal v(full) − v(∅) (Shapley efficiency), and shares sum
+    to 1 when the total effect is non-zero."""
+    out = QUERIES["q_shapley_attribution"](spark, sf_dir).toPandas()
+    assert len(out) == 4
+    assert abs(out["attribution_share"].sum() - 1.0) < 1e-4
