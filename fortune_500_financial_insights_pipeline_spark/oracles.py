@@ -7461,3 +7461,38 @@ SELECT channel,
 FROM phi CROSS JOIN tot
 ORDER BY channel
 """
+
+ORACLES["q_eventually_follows"] = """
+WITH spans AS (
+  SELECT user_id, event_type, MIN(rn) AS f, MAX(rn) AS l
+  FROM (SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events)
+  GROUP BY user_id, event_type
+), total AS (SELECT COUNT(DISTINCT user_id) AS n FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       COUNT(*) AS n_journeys,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(total.n), 6) AS support
+FROM spans a
+JOIN spans b ON a.user_id = b.user_id
+CROSS JOIN total
+WHERE a.f < b.l
+GROUP BY a.event_type, b.event_type
+ORDER BY type_a, type_b
+"""
+
+ORACLES["q_transition_latency"] = """
+WITH gaps AS (
+  SELECT LAG(event_type) OVER w AS from_type,
+         event_type AS to_type,
+         CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS DOUBLE) / 1000000 AS s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+)
+SELECT from_type, to_type, COUNT(*) AS n_transitions,
+       ROUND(quantile_cont(s, 0.5), 6) AS p50_s,
+       ROUND(quantile_cont(s, 0.9), 6) AS p90_s
+FROM gaps WHERE from_type IS NOT NULL
+GROUP BY from_type, to_type
+ORDER BY from_type, to_type
+"""

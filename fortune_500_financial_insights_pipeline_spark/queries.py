@@ -6399,3 +6399,76 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@q("q_eventually_follows")
+def q_eventually_follows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process-mining eventually-follows matrix: for each ordered pair of
+    event types (a, b), in how many user journeys does a occur before
+    some later b (first-a position < last-b position) — the causal-order
+    view that q_transition_matrix's directly-follows counts miss (a → x
+    → b never shows under adjacency). Per user the state collapses to
+    ≤5 (type, first_pos, last_pos) rows, so the pair expansion is
+    25-bounded per user — never event×event."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    spans = (
+        e.select("user_id", "event_type", F.row_number().over(w).alias("rn"))
+        .groupBy("user_id", "event_type")
+        .agg(F.min("rn").alias("__first"), F.max("rn").alias("__last"))
+    )
+    a = spans.select(
+        "user_id", F.col("event_type").alias("type_a"), F.col("__first").alias("__fa")
+    )
+    b = spans.select(
+        "user_id", F.col("event_type").alias("type_b"), F.col("__last").alias("__lb")
+    )
+    total = e.agg(F.countDistinct("user_id").alias("__n"))
+    return (
+        a.join(b, "user_id")
+        .where(F.col("__fa") < F.col("__lb"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_journeys"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "type_a",
+            "type_b",
+            "n_journeys",
+            F.round(F.col("n_journeys").cast("double") / F.col("__n"), 6).alias(
+                "support"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@q("q_transition_latency")
+def q_transition_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process-mining performance view: p50/p90 seconds between
+    consecutive events per directly-follows pair (from, to) — where the
+    journey stalls. One lag window (both type and microsecond epoch ride
+    the same sort), exact interpolated percentiles per pair."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("__us", "event_id")
+    src = e.select(
+        "user_id", "event_type", "event_id", F.unix_micros("ts").alias("__us")
+    )
+    gaps = (
+        src.select(
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+            ((F.col("__us") - F.lag("__us").over(w)).cast("double") / 1000000).alias(
+                "__s"
+            ),
+        )
+        .where(F.col("from_type").isNotNull())
+    )
+    return (
+        gaps.groupBy("from_type", "to_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.round(F.percentile("__s", F.lit(0.5)), 6).alias("p50_s"),
+            F.round(F.percentile("__s", F.lit(0.9)), 6).alias("p90_s"),
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -459,3 +459,21 @@ def test_shapley_efficiency_axiom(spark, sf_dir):
     out = QUERIES["q_shapley_attribution"](spark, sf_dir).toPandas()
     assert len(out) == 4
     assert abs(out["attribution_share"].sum() - 1.0) < 1e-4
+
+
+def test_eventually_follows_superset_of_directly_follows(spark, sf_dir):
+    """Every directly-follows pair (adjacent transition) must also appear
+    in the eventually-follows matrix with at least as much support."""
+    ef = QUERIES["q_eventually_follows"](spark, sf_dir).toPandas()
+    tm = QUERIES["q_transition_matrix"](spark, sf_dir).toPandas()
+    ef_pairs = set(zip(ef["type_a"], ef["type_b"]))
+    for a, b in zip(tm["from_state"], tm["to_state"]):
+        assert (a, b) in ef_pairs
+    assert ((ef["support"] > 0) & (ef["support"] <= 1)).all()
+
+
+def test_transition_latency_positive_ordered(spark, sf_dir):
+    out = QUERIES["q_transition_latency"](spark, sf_dir).toPandas()
+    assert len(out) == 25  # 5x5 event types at fixture scale
+    assert (out["p50_s"] >= 0).all()
+    assert (out["p50_s"] <= out["p90_s"]).all()
