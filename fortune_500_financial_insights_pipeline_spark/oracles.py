@@ -7496,3 +7496,46 @@ FROM gaps WHERE from_type IS NOT NULL
 GROUP BY from_type, to_type
 ORDER BY from_type, to_type
 """
+
+ORACLES["q_ivf_balance"] = """
+WITH seeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+         CAST(embedding AS DOUBLE[]) AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)
+), sims AS (
+  SELECT e.vec_id, s.cell,
+         ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), s.cvec)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(s.cvec, s.cvec))), 6) AS csim
+  FROM embeddings e CROSS JOIN seeds s
+), cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY csim DESC, cell ASC) AS rn
+    FROM sims) WHERE rn = 1
+), occ AS (
+  SELECT cell, COUNT(*) AS n_vecs FROM cells GROUP BY cell
+), tot AS (SELECT SUM(n_vecs) AS t FROM occ)
+SELECT CAST(cell AS BIGINT) AS cell, CAST(n_vecs AS BIGINT) AS n_vecs,
+       ROUND(CAST(n_vecs AS DOUBLE) / tot.t, 6) AS share
+FROM occ CROSS JOIN tot
+ORDER BY cell
+"""
+
+ORACLES["q_seasonal_anomalies"] = f"""
+WITH sd AS ({ORACLES["q_seasonal_decompose"]}),
+s1 AS (SELECT quantile_cont(residual, 0.5) AS med FROM sd),
+s2 AS (
+  SELECT quantile_cont(abs(residual - s1.med), 0.5) AS mad, MAX(s1.med) AS med
+  FROM sd CROSS JOIN s1
+)
+SELECT sd.d, sd.value,
+       ROUND(sd.residual, 6) AS residual,
+       ROUND(abs(sd.residual - s2.med), 6) AS deviation,
+       ROUND(3 * s2.mad, 6) AS threshold
+FROM sd CROSS JOIN s2
+WHERE abs(sd.residual - s2.med) > 3 * s2.mad
+ORDER BY sd.d
+"""

@@ -6472,3 +6472,65 @@ def q_transition_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+@q("q_ivf_balance")
+def q_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index health: per-cell occupancy of the 16-cell md5-seeded
+    coarse quantizer (cell sizes and corpus share) — the balance audit an
+    ANN index publishes after every build/append, because one hot cell
+    turns n_probe routing back into a linear scan. Assignment is the
+    oracle-reproducible portable routing (ivf_index_portable); the audit
+    is one cell-count aggregate."""
+    from fortune_500_financial_insights_pipeline_spark.operators.similarity import (
+        ivf_index_portable,
+        md5_sample_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = md5_sample_centroids(emb, k=16)
+    cells = ivf_index_portable(emb, centroids).groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    tot = cells.agg(F.sum("n_vecs").alias("__t"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            "n_vecs",
+            F.round(F.col("n_vecs").cast("double") / F.col("__t"), 6).alias("share"),
+        )
+        .orderBy("cell")
+    )
+
+
+@q("q_seasonal_anomalies")
+def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly flags: days whose decomposition residual
+    (q_seasonal_decompose) sits more than 3 robust deviations (MAD) from
+    the median residual — the STL-residual rule ops dashboards alarm on,
+    composed on the already-oracled decomposition. The stats pass is one
+    two-stage exact-percentile aggregate over the interior-day frame."""
+    sd = QUERIES["q_seasonal_decompose"](spark, sf_dir)
+    s1 = sd.agg(F.percentile("residual", F.lit(0.5)).alias("__med"))
+    s2 = (
+        sd.crossJoin(F.broadcast(s1))
+        .agg(
+            F.percentile(F.abs(F.col("residual") - F.col("__med")), F.lit(0.5)).alias(
+                "__mad"
+            ),
+            F.max("__med").alias("__med"),
+        )
+    )
+    return (
+        sd.crossJoin(F.broadcast(s2))
+        .where(F.abs(F.col("residual") - F.col("__med")) > 3 * F.col("__mad"))
+        .select(
+            "d",
+            "value",
+            F.round("residual", 6).alias("residual"),
+            F.round(F.abs(F.col("residual") - F.col("__med")), 6).alias("deviation"),
+            F.round(3 * F.col("__mad"), 6).alias("threshold"),
+        )
+        .orderBy("d")
+    )

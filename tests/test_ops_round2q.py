@@ -477,3 +477,17 @@ def test_transition_latency_positive_ordered(spark, sf_dir):
     assert len(out) == 25  # 5x5 event types at fixture scale
     assert (out["p50_s"] >= 0).all()
     assert (out["p50_s"] <= out["p90_s"]).all()
+
+
+def test_ivf_balance_covers_corpus(spark, sf_dir):
+    out = QUERIES["q_ivf_balance"](spark, sf_dir).toPandas()
+    assert 1 <= len(out) <= 16
+    assert abs(out["share"].sum() - 1.0) < 1e-4
+    assert (out["n_vecs"] >= 1).all()
+
+
+def test_seasonal_anomalies_exceed_threshold(spark, sf_dir):
+    out = QUERIES["q_seasonal_anomalies"](spark, sf_dir).toPandas()
+    # every flagged day genuinely exceeds its threshold; thresholds positive
+    assert (out["deviation"] > out["threshold"] - 1e-9).all()
+    assert (out["threshold"] > 0).all()
