@@ -7539,3 +7539,62 @@ FROM sd CROSS JOIN s2
 WHERE abs(sd.residual - s2.med) > 3 * s2.mad
 ORDER BY sd.d
 """
+
+ORACLES["q_sax_motifs"] = f"""
+WITH daily AS (
+  SELECT l_suppkey,
+         strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS day,
+         ROUND({_dsum('l_extendedprice')} / COUNT(*), 6) AS close
+  FROM lineitem WHERE l_suppkey <= 10
+  GROUP BY l_suppkey, strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')
+), stats AS (
+  SELECT l_suppkey, COUNT(*) AS n,
+         {_dsum('close')} AS s,
+         {_dsum('close * close')} AS ss
+  FROM daily GROUP BY l_suppkey
+), blocks AS (
+  SELECT d.l_suppkey,
+         (ROW_NUMBER() OVER (PARTITION BY d.l_suppkey ORDER BY d.day) - 1) // 4
+           AS blk,
+         ROUND((d.close - st.s / CAST(st.n AS DOUBLE))
+               / sqrt((CAST(st.n AS DOUBLE) * st.ss - st.s * st.s)
+                      / (CAST(st.n AS DOUBLE) * CAST(st.n AS DOUBLE))), 6) AS z
+  FROM daily d JOIN stats st USING (l_suppkey)
+), paa AS (
+  SELECT l_suppkey, blk,
+         ROUND({_dsum('z')} / COUNT(*), 6) AS p
+  FROM blocks GROUP BY l_suppkey, blk
+), syms AS (
+  SELECT l_suppkey, blk,
+         CASE WHEN p < -0.6745 THEN 'a'
+              WHEN p < 0.0 THEN 'b'
+              WHEN p < 0.6745 THEN 'c'
+              ELSE 'd' END AS sym
+  FROM paa
+), words AS (
+  SELECT l_suppkey,
+         sym || LEAD(sym, 1) OVER w || LEAD(sym, 2) OVER w AS word
+  FROM syms
+  WINDOW w AS (PARTITION BY l_suppkey ORDER BY blk)
+)
+SELECT l_suppkey, word, COUNT(*) AS n_occurrences
+FROM words WHERE word IS NOT NULL
+GROUP BY l_suppkey, word
+HAVING COUNT(*) >= 2
+ORDER BY l_suppkey, word
+"""
+
+ORACLES["q_mixture_kl"] = """
+WITH per AS (
+  SELECT source,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (SELECT SUM(n_tokens) AS t FROM per)
+SELECT source, n_tokens,
+       ROUND(CAST(n_tokens AS DOUBLE) / tot.t, 6) AS share,
+       ROUND(ROUND(CAST(n_tokens AS DOUBLE) / tot.t, 6)
+             * log2(ROUND(CAST(n_tokens AS DOUBLE) / tot.t, 6) / 0.05), 9)
+         AS kl_term
+FROM per CROSS JOIN tot
+ORDER BY source
+"""

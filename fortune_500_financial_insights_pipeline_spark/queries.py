@@ -6534,3 +6534,94 @@ def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@q("q_sax_motifs")
+def q_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX motif mining (Lin et al. 2003) over supplier price series:
+    z-normalize (exact fixed-point moments, shared-text σ), PAA-average
+    4-day blocks, map to a 4-letter alphabet at the N(0,1) quartile
+    breakpoints (±0.6745, 0), slide a 3-symbol word window, and report
+    words recurring ≥2 times within a series — the repeated-shape
+    (motif) detector behind pattern screening. Everything after the
+    daily aggregate runs on block-count-sized frames; symbols are
+    round-6 compares against shared literals, so the discretization is
+    hash-exact."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_suppkey") <= 10)
+    daily = li.groupBy(
+        "l_suppkey", F.date_format("l_shipdate", "yyyy-MM-dd").alias("day")
+    ).agg(F.round(davg("l_extendedprice"), 6).alias("close"))
+    stats = daily.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("__n"),
+        dsum("close").alias("__s"),
+        dsum(F.col("close") * F.col("close")).alias("__ss"),
+    )
+    nn = F.col("__n").cast("double")
+    sigma = F.sqrt((nn * F.col("__ss") - F.col("__s") * F.col("__s")) / (nn * nn))
+    wd = W.partitionBy("l_suppkey").orderBy("day")
+    z = F.round(
+        (F.col("close") - F.col("__s") / nn) / sigma, 6
+    )
+    blocks = (
+        daily.join(F.broadcast(stats), "l_suppkey")
+        .withColumn("__rn", F.row_number().over(wd))
+        .select(
+            "l_suppkey",
+            F.expr("(__rn - 1) div 4").alias("__blk"),
+            z.alias("__z"),
+        )
+        .groupBy("l_suppkey", "__blk")
+        .agg(F.round(davg("__z"), 6).alias("__paa"))
+    )
+    sym = (
+        F.when(F.col("__paa") < -0.6745, "a")
+        .when(F.col("__paa") < 0.0, "b")
+        .when(F.col("__paa") < 0.6745, "c")
+        .otherwise("d")
+    )
+    wb = W.partitionBy("l_suppkey").orderBy("__blk")
+    words = (
+        blocks.select("l_suppkey", "__blk", sym.alias("__sym"))
+        .select(
+            "l_suppkey",
+            F.concat(
+                F.col("__sym"),
+                F.lead("__sym", 1).over(wb),
+                F.lead("__sym", 2).over(wb),
+            ).alias("word"),
+        )
+        .where(F.col("word").isNotNull())
+    )
+    return (
+        words.groupBy("l_suppkey", "word")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .where(F.col("n_occurrences") >= 2)
+        .orderBy("l_suppkey", "word")
+    )
+
+
+@q("q_mixture_kl")
+def q_mixture_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixture divergence report: per-source whitespace-token
+    share vs the uniform 1/20 target, with the per-source KL(p‖q) term
+    p·log2(p/q) — the one-number drift gauge a data-mixing pipeline
+    (q_mix_sources sets the target; this audits the delivered corpus)
+    alarms on. Shares are exact count ratios rounded to 6dp before the
+    log, so every term is hash-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("n_tokens")
+    )
+    tot = per.agg(F.sum("n_tokens").alias("__t"))
+    p = F.round(F.col("n_tokens").cast("double") / F.col("__t"), 6)
+    q_target = F.lit(0.05)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            p.alias("share"),
+            F.round(p * F.log2(p / q_target), 9).alias("kl_term"),
+        )
+        .orderBy("source")
+    )

@@ -491,3 +491,18 @@ def test_seasonal_anomalies_exceed_threshold(spark, sf_dir):
     # every flagged day genuinely exceeds its threshold; thresholds positive
     assert (out["deviation"] > out["threshold"] - 1e-9).all()
     assert (out["threshold"] > 0).all()
+
+
+def test_sax_motifs_recur(spark, sf_dir):
+    out = QUERIES["q_sax_motifs"](spark, sf_dir).toPandas()
+    assert (out["n_occurrences"] >= 2).all()
+    assert out["word"].str.len().eq(3).all()
+    assert out["word"].str.fullmatch("[abcd]{3}").all()
+
+
+def test_mixture_kl_near_uniform_fixture(spark, sf_dir):
+    out = QUERIES["q_mixture_kl"](spark, sf_dir).toPandas()
+    assert len(out) == 20
+    assert abs(out["share"].sum() - 1.0) < 1e-3
+    # uniform-by-construction sources: total KL is small but defined
+    assert out["kl_term"].notna().all()
