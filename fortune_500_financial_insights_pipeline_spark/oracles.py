@@ -7598,3 +7598,73 @@ SELECT source, n_tokens,
 FROM per CROSS JOIN tot
 ORDER BY source
 """
+
+_SCORED_LABELED_CTE = """w AS (
+  SELECT CAST(b AS INTEGER) AS bucket,
+         CAST((b % 21) * 50 - 500 AS BIGINT) AS w_fp
+  FROM range(256) t(b)
+), tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+), f AS (
+  SELECT doc_id,
+         ((instr('0123456789abcdef',
+                 substring(md5(concat('f|', CAST(term AS VARCHAR))), 1, 1)) - 1) * 16
+          + (instr('0123456789abcdef',
+                   substring(md5(concat('f|', CAST(term AS VARCHAR))), 2, 1)) - 1))
+           AS bucket
+  FROM tok WHERE term <> ''
+), s AS (
+  SELECT f.doc_id, CAST(SUM(w.w_fp) AS BIGINT) AS sw, COUNT(*) AS nt
+  FROM f JOIN w ON f.bucket = w.bucket GROUP BY f.doc_id
+), labeled AS (
+  SELECT s.doc_id,
+         ROUND(1.0 / (1.0 + EXP(-(0.0 + s.sw / (1000.0 * s.nt)))), 6) AS prob,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM s JOIN documents d USING (doc_id)
+)"""
+
+ORACLES["q_pr_curve"] = f"""
+WITH {_SCORED_LABELED_CTE},
+thr AS (SELECT UNNEST([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold),
+agg AS (
+  SELECT t.threshold,
+         CAST(SUM(CASE WHEN l.prob >= t.threshold AND l.y = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN l.prob >= t.threshold AND l.y = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN l.prob < t.threshold AND l.y = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS fn
+  FROM labeled l CROSS JOIN thr t
+  GROUP BY t.threshold
+), pr AS (
+  SELECT threshold, tp, fp, fn,
+         ROUND(CASE WHEN tp + fp > 0
+                    THEN CAST(tp AS DOUBLE) / (tp + fp) END, 6) AS precision,
+         ROUND(CASE WHEN tp + fn > 0
+                    THEN CAST(tp AS DOUBLE) / (tp + fn) END, 6) AS recall
+  FROM agg
+)
+SELECT threshold, tp, fp, fn, precision, recall,
+       ROUND(CASE WHEN precision + recall > 0
+                  THEN 2 * precision * recall / (precision + recall) END, 6) AS f1
+FROM pr ORDER BY threshold
+"""
+
+ORACLES["q_lift_deciles"] = f"""
+WITH {_SCORED_LABELED_CTE},
+dec AS (
+  SELECT y, NTILE(10) OVER (ORDER BY prob DESC, doc_id ASC) AS decile
+  FROM labeled
+), per AS (
+  SELECT decile, COUNT(*) AS n_docs, CAST(SUM(y) AS BIGINT) AS n_pos
+  FROM dec GROUP BY decile
+), tot AS (SELECT SUM(n_docs) AS n, SUM(n_pos) AS p FROM per)
+SELECT CAST(decile AS INTEGER) AS decile, n_docs, n_pos,
+       ROUND((CAST(n_pos AS DOUBLE) / n_docs)
+             / (CAST(tot.p AS DOUBLE) / tot.n), 6) AS lift,
+       ROUND(CAST(SUM(n_pos) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / tot.p, 6) AS cum_gain
+FROM per CROSS JOIN tot
+ORDER BY decile
+"""

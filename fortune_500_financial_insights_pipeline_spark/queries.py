@@ -6625,3 +6625,79 @@ def q_mixture_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@q("q_pr_curve")
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 sweep of the hashed-feature classifier at nine
+    thresholds — the operating-point table next to q_auc (which ranks)
+    and q_calibration (which checks honesty): one conditional aggregate
+    per threshold over the shared scored frame, ratios rounded to 6dp
+    before F1 so every cell is hash-exact."""
+    scored = _scored_labeled_docs(spark, sf_dir)
+    thr = spark.createDataFrame(
+        [(t / 10.0,) for t in range(1, 10)], "threshold double"
+    )
+    j = scored.crossJoin(F.broadcast(thr))
+    agg = j.groupBy("threshold").agg(
+        F.sum(F.when((F.col("prob") >= F.col("threshold")) & (F.col("label") == 1), 1).otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when((F.col("prob") >= F.col("threshold")) & (F.col("label") == 0), 1).otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when((F.col("prob") < F.col("threshold")) & (F.col("label") == 1), 1).otherwise(0)).cast("long").alias("fn"),
+    )
+    p6 = F.round(
+        F.when(F.col("tp") + F.col("fp") > 0, F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))),
+        6,
+    )
+    r6 = F.round(
+        F.when(F.col("tp") + F.col("fn") > 0, F.col("tp").cast("double") / (F.col("tp") + F.col("fn"))),
+        6,
+    )
+    out = agg.select("threshold", "tp", "fp", "fn", p6.alias("precision"), r6.alias("recall"))
+    f1 = F.round(
+        F.when(
+            F.col("precision") + F.col("recall") > 0,
+            2 * F.col("precision") * F.col("recall") / (F.col("precision") + F.col("recall")),
+        ),
+        6,
+    )
+    return out.withColumn("f1", f1).orderBy("threshold")
+
+
+@q("q_lift_deciles")
+def q_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model gains table: documents ranked by classifier probability
+    (deterministic doc_id tiebreak), split into ten deciles, per-decile
+    positive rate, lift over the base rate and cumulative gain — the
+    how-deep-do-I-have-to-score readout campaign targeting reads.
+    The global ntile runs over the scored frame (reporting-sized — the
+    q_histogram_equidepth precedent); everything else is exact count
+    ratios."""
+    scored = _scored_labeled_docs(spark, sf_dir)
+    wn = W.orderBy(F.desc("prob"), F.asc("doc_id"))
+    dec = scored.withColumn("decile", F.ntile(10).over(wn))
+    per = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("label").cast("long").alias("n_pos"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("__n"), F.sum("n_pos").alias("__p")
+    )
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("__cum", F.sum("n_pos").over(wc))
+        .select(
+            "decile",
+            "n_docs",
+            "n_pos",
+            F.round(
+                (F.col("n_pos").cast("double") / F.col("n_docs"))
+                / (F.col("__p").cast("double") / F.col("__n")),
+                6,
+            ).alias("lift"),
+            F.round(F.col("__cum").cast("double") / F.col("__p"), 6).alias(
+                "cum_gain"
+            ),
+        )
+        .orderBy("decile")
+    )

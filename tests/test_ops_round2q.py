@@ -506,3 +506,19 @@ def test_mixture_kl_near_uniform_fixture(spark, sf_dir):
     assert abs(out["share"].sum() - 1.0) < 1e-3
     # uniform-by-construction sources: total KL is small but defined
     assert out["kl_term"].notna().all()
+
+
+def test_pr_curve_monotone_recall(spark, sf_dir):
+    out = QUERIES["q_pr_curve"](spark, sf_dir).toPandas().sort_values("threshold")
+    # recall is non-increasing as the threshold rises; counts reconcile
+    rc = out["recall"].tolist()
+    assert all(a >= b - 1e-9 for a, b in zip(rc, rc[1:]))
+    assert ((out["tp"] + out["fn"]).nunique() == 1)  # positives constant
+
+
+def test_lift_deciles_first_above_last(spark, sf_dir):
+    out = QUERIES["q_lift_deciles"](spark, sf_dir).toPandas().sort_values("decile")
+    assert len(out) == 10
+    assert abs(out.iloc[-1]["cum_gain"] - 1.0) < 1e-6
+    # ranked by a real signal: the top decile lifts above the bottom one
+    assert out.iloc[0]["lift"] >= out.iloc[-1]["lift"]
