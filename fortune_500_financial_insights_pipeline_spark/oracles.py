@@ -7668,3 +7668,79 @@ SELECT CAST(decile AS INTEGER) AS decile, n_docs, n_pos,
 FROM per CROSS JOIN tot
 ORDER BY decile
 """
+
+ORACLES["q_abc_analysis"] = f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         {_dsum('l_extendedprice * (1 - l_discount)')} AS rev
+  FROM lineitem GROUP BY l_partkey
+), tot AS (SELECT {_dsum('rev')} AS t FROM per_part),
+cum AS (
+  SELECT rev, t,
+         (CAST(SUM(CAST(ROUND(rev * 1000000) AS BIGINT))
+                 OVER (ORDER BY rev DESC, l_partkey ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) / 1000000) / t AS cshare
+  FROM per_part CROSS JOIN tot
+)
+SELECT CASE WHEN cshare <= 0.80 THEN 'A'
+            WHEN cshare <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class,
+       COUNT(*) AS n_parts,
+       ROUND({_dsum('rev')}, 6) AS revenue,
+       ROUND({_dsum('rev')} / MAX(t), 6) AS revenue_share
+FROM cum
+GROUP BY 1 ORDER BY abc_class
+"""
+
+ORACLES["q_zipf_slope"] = """
+WITH tf AS (
+  SELECT term, COUNT(*) AS freq
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> '' GROUP BY term
+), top AS (
+  SELECT ROUND(log2(CAST(rank AS DOUBLE)), 6) AS x,
+         ROUND(log2(CAST(freq AS DOUBLE)), 6) AS y
+  FROM (SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, term ASC) AS rank
+        FROM tf)
+  WHERE rank <= 100
+), m AS (
+  SELECT COUNT(*) AS n_terms,
+         (CAST(SUM(CAST(ROUND(x * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS sx,
+         (CAST(SUM(CAST(ROUND(y * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS sy,
+         (CAST(SUM(CAST(ROUND((x * y) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS sxy,
+         (CAST(SUM(CAST(ROUND((x * x) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS sxx
+  FROM top
+)
+SELECT CAST(n_terms AS BIGINT) AS n_terms,
+       ROUND((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n_terms AS DOUBLE) * sxx - sx * sx), 6) AS zipf_slope,
+       ROUND(sy / CAST(n_terms AS DOUBLE)
+             - ((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+                / (CAST(n_terms AS DOUBLE) * sxx - sx * sx))
+               * sx / CAST(n_terms AS DOUBLE), 6) AS log2_c
+FROM m
+"""
+
+ORACLES["q_heaps_curve"] = """
+WITH maxid AS (SELECT MAX(doc_id) AS m FROM documents),
+firstdoc AS (
+  SELECT term, MIN(doc_id) AS first_doc
+  FROM (SELECT doc_id,
+               UNNEST(list_distinct(list_transform(range(1, len(l)),
+                                                   x -> l[x] || ' ' || l[x+1]))) AS term
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))
+  WHERE term <> '' GROUP BY term
+), per AS (
+  SELECT LEAST(10, CAST(FLOOR(first_doc * 10 / (maxid.m + 1)) AS INTEGER) + 1)
+           AS checkpoint,
+         COUNT(*) AS new_terms
+  FROM firstdoc CROSS JOIN maxid
+  GROUP BY 1
+)
+SELECT checkpoint, new_terms,
+       CAST(SUM(new_terms) OVER (ORDER BY checkpoint
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS vocab_size
+FROM per ORDER BY checkpoint
+"""

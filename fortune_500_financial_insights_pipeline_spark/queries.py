@@ -6701,3 +6701,125 @@ def q_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@q("q_abc_analysis")
+def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, class A =
+    the prefix holding 80% of cumulative revenue, B = the next 15%, C =
+    the tail — the classic supply-chain prioritization cut. Per-part
+    totals are exact fixed point; the cumulative share rides one rank
+    window over the part-count aggregate (reporting-sized, the
+    q_lorenz_deciles precedent); output is the 3-row class summary."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev")
+    )
+    tot = per_part.agg(dsum("__rev").alias("__t"))
+    wr = W.orderBy(F.desc("__rev"), F.asc("l_partkey")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = (
+        per_part.withColumn(
+            "__cum", F.sum(F.round(F.col("__rev") * 1000000).cast("long")).over(wr)
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__cshare", (F.col("__cum").cast("double") / 1000000) / F.col("__t")
+        )
+    )
+    cls = (
+        F.when(F.col("__cshare") <= 0.80, "A")
+        .when(F.col("__cshare") <= 0.95, "B")
+        .otherwise("C")
+    )
+    return (
+        cum.select(cls.alias("abc_class"), "__rev", "__t")
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(dsum("__rev"), 6).alias("revenue"),
+            F.round(dsum("__rev") / F.max("__t"), 6).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+@q("q_zipf_slope")
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent of the corpus term-frequency distribution: OLS slope
+    of log2(freq) on log2(rank) over the top-100 terms (natural text ≈
+    −1; a badly deduplicated or templated corpus drifts shallower) — the
+    corpus-linguistics screen next to q_heaps_curve. Rank window over
+    the vocabulary aggregate, fixed-point moment sums, closed-form
+    slope."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    wr = W.orderBy(F.desc("freq"), F.asc("term"))
+    top = (
+        tf.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= 100)
+        .select(
+            F.round(F.log2(F.col("rank").cast("double")), 6).alias("__x"),
+            F.round(F.log2(F.col("freq").cast("double")), 6).alias("__y"),
+        )
+    )
+    m = top.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        dsum("__x").alias("__sx"),
+        dsum("__y").alias("__sy"),
+        dsum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        dsum(F.col("__x") * F.col("__x")).alias("__sxx"),
+    )
+    nn = F.col("n_terms").cast("double")
+    slope = (nn * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / (
+        nn * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    )
+    intercept = F.col("__sy") / nn - slope * F.col("__sx") / nn
+    return m.select(
+        "n_terms",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("log2_c"),
+    )
+
+
+@q("q_heaps_curve")
+def q_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth in ingestion (doc id) order: distinct
+    terms seen by each 10%-of-corpus checkpoint — the diminishing-returns
+    curve (with q_ngram_novelty's per-doc view) that says when more of
+    the same source stops buying vocabulary. Each term carries only its
+    FIRST containing doc (one min-aggregate), so the curve is a
+    10-bucket count — the corpus is never re-scanned per checkpoint."""
+    from fortune_500_financial_insights_pipeline_spark.operators.text import word_ngrams
+
+    d = load_table(spark, sf_dir, "documents")
+    maxid = d.agg(F.max("doc_id").alias("__m"))
+    # bigram vocabulary: unigrams saturate within the first documents on
+    # any fixed token pool — the bigram space is what actually grows
+    firstdoc = (
+        d.select("doc_id", F.explode(word_ngrams(F.col("text"), 2)).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("__first"))
+    )
+    decile = F.least(
+        F.lit(10),
+        F.floor(F.col("__first") * 10 / (F.col("__m") + 1)).cast("int") + 1,
+    )
+    per = (
+        firstdoc.crossJoin(F.broadcast(maxid))
+        .select(decile.alias("checkpoint"))
+        .groupBy("checkpoint")
+        .agg(F.count(F.lit(1)).alias("new_terms"))
+    )
+    wc = W.orderBy("checkpoint").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        per.withColumn("vocab_size", F.sum("new_terms").over(wc).cast("long"))
+        .orderBy("checkpoint")
+    )

@@ -522,3 +522,25 @@ def test_lift_deciles_first_above_last(spark, sf_dir):
     assert abs(out.iloc[-1]["cum_gain"] - 1.0) < 1e-6
     # ranked by a real signal: the top decile lifts above the bottom one
     assert out.iloc[0]["lift"] >= out.iloc[-1]["lift"]
+
+
+def test_abc_classes_partition_revenue(spark, sf_dir):
+    out = QUERIES["q_abc_analysis"](spark, sf_dir).toPandas()
+    assert list(out["abc_class"]) == ["A", "B", "C"]
+    assert abs(out["revenue_share"].sum() - 1.0) < 1e-4
+    # A holds the bulk of revenue with a minority of parts
+    a, c = out.iloc[0], out.iloc[2]
+    assert a["revenue_share"] > c["revenue_share"]
+
+
+def test_zipf_slope_negative(spark, sf_dir):
+    out = QUERIES["q_zipf_slope"](spark, sf_dir).collect()[0]
+    assert 10 <= out["n_terms"] <= 100  # sf0.001's vocab is < 100 terms
+    assert out["zipf_slope"] < 0  # frequency falls with rank, always
+
+
+def test_heaps_curve_monotone(spark, sf_dir):
+    out = QUERIES["q_heaps_curve"](spark, sf_dir).toPandas().sort_values("checkpoint")
+    vs = out["vocab_size"].tolist()
+    assert all(a < b for a, b in zip(vs, vs[1:])) or len(vs) == 1
+    assert (out["new_terms"] >= 1).all()
