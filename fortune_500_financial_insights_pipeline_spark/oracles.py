@@ -7744,3 +7744,40 @@ SELECT checkpoint, new_terms,
          AS vocab_size
 FROM per ORDER BY checkpoint
 """
+
+ORACLES["q_kaplan_meier"] = """
+WITH per_user AS (
+  SELECT user_id, MIN(ts) AS first_ts,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS fp,
+         MAX(ts) AS last_ts
+  FROM events GROUP BY user_id
+), users AS (
+  SELECT datediff('day', CAST(first_ts AS DATE),
+                  CAST(COALESCE(fp, last_ts) AS DATE)) AS t,
+         CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END AS event
+  FROM per_user
+), per_t AS (
+  SELECT t, COUNT(*) AS n_at, CAST(SUM(event) AS BIGINT) AS d
+  FROM users GROUP BY t
+), tot AS (SELECT SUM(n_at) AS total FROM per_t),
+at_risk AS (
+  SELECT t, d,
+         CAST(tot.total - COALESCE(SUM(n_at) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_risk
+  FROM per_t CROSS JOIN tot
+)
+SELECT t, n_risk, d,
+       CASE WHEN MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                 OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) = 1
+            THEN 0.0
+            ELSE ROUND(EXP(CAST(SUM(CASE WHEN d < n_risk
+                       THEN CAST(ROUND(LN(1.0 - CAST(d AS DOUBLE) / n_risk)
+                                       * 1000000000) AS BIGINT)
+                       ELSE 0 END) OVER (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / 1000000000), 6) END AS survival
+FROM at_risk WHERE d > 0
+ORDER BY t
+"""

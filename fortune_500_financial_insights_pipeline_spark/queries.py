@@ -6823,3 +6823,67 @@ def q_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         per.withColumn("vocab_size", F.sum("new_terms").over(wc).cast("long"))
         .orderBy("checkpoint")
     )
+
+
+@q("q_kaplan_meier")
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for time-to-first-purchase: per user,
+    duration = days from first event to first purchase (event) or to the
+    last observed event (censored); at each event time the curve steps
+    by (1 − d/n) over the at-risk set. The product is computed as
+    exp(Σ ln(1 − d/n)) with per-term round-9 fixed-point cumulative
+    sums — the only order-sensitive float fold is replaced by an exact
+    long cumsum, so the curve is hash-identical cross-engine. All work
+    after the per-user aggregate runs on the distinct-duration frame
+    (≤ observation-window days)."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min("ts").alias("__first"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("__fp"),
+        F.max("ts").alias("__last"),
+    )
+    dur = F.datediff(
+        F.coalesce(F.col("__fp"), F.col("__last")).cast("date"),
+        F.col("__first").cast("date"),
+    )
+    users = per_user.select(
+        dur.alias("t"), F.col("__fp").isNotNull().cast("int").alias("event")
+    )
+    per_t = users.groupBy("t").agg(
+        F.count(F.lit(1)).alias("__n_at"),
+        F.sum("event").cast("long").alias("d"),
+    )
+    tot = per_t.agg(F.sum("__n_at").alias("__total"))
+    wc = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    at_risk = (
+        per_t.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "n_risk",
+            (F.col("__total") - F.coalesce(F.sum("__n_at").over(wc), F.lit(0)))
+            .cast("long"),
+        )
+        .where(F.col("d") > 0)
+    )
+    # d == n_risk (everyone at risk converts at t) sends the curve to an
+    # exact 0 — handled as a carried flag, never ln(0)
+    term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.round(
+            F.log(1.0 - F.col("d").cast("double") / F.col("n_risk")) * 1e9
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    zflag = F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+    ws = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        at_risk.withColumn("__cum", F.sum(term).over(ws))
+        .withColumn("__z", F.max(zflag).over(ws))
+        .select(
+            "t",
+            "n_risk",
+            "d",
+            F.when(F.col("__z") == 1, 0.0)
+            .otherwise(F.round(F.exp(F.col("__cum").cast("double") / 1e9), 6))
+            .alias("survival"),
+        )
+        .orderBy("t")
+    )

@@ -544,3 +544,13 @@ def test_heaps_curve_monotone(spark, sf_dir):
     vs = out["vocab_size"].tolist()
     assert all(a < b for a, b in zip(vs, vs[1:])) or len(vs) == 1
     assert (out["new_terms"] >= 1).all()
+
+
+def test_kaplan_meier_monotone_nonincreasing(spark, sf_dir):
+    out = QUERIES["q_kaplan_meier"](spark, sf_dir).toPandas().sort_values("t")
+    s = out["survival"].tolist()
+    assert all(a >= b - 1e-9 for a, b in zip(s, s[1:]))
+    assert ((out["survival"] >= 0) & (out["survival"] <= 1)).all()
+    # risk sets shrink over time
+    nr = out["n_risk"].tolist()
+    assert all(a >= b for a, b in zip(nr, nr[1:]))
