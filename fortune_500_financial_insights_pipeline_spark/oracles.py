@@ -7781,3 +7781,62 @@ SELECT t, n_risk, d,
 FROM at_risk WHERE d > 0
 ORDER BY t
 """
+
+ORACLES["q_var_backtest"] = f"""
+WITH daily AS (
+  SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS day,
+         ROUND({_dsum('l_extendedprice')} / COUNT(*), 6) AS close
+  FROM lineitem
+  GROUP BY strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')
+), rets AS (
+  SELECT day, r, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM (
+    SELECT day, ROUND(close / LAG(close) OVER (ORDER BY day) - 1, 6) AS r
+    FROM daily) WHERE r IS NOT NULL
+), ntot AS (SELECT COUNT(*) AS n FROM rets),
+split AS (
+  SELECT rets.*, CASE WHEN rn <= ntot.n // 2 THEN 1 ELSE 2 END AS half
+  FROM rets CROSS JOIN ntot
+), n1 AS (SELECT COUNT(*) AS n1 FROM split WHERE half = 1),
+var AS (
+  SELECT r AS var95 FROM (
+    SELECT r, ROW_NUMBER() OVER (ORDER BY r ASC, day ASC) AS vr
+    FROM split WHERE half = 1) CROSS JOIN n1
+  WHERE vr = (n1.n1 + 19) // 20
+), agg AS (
+  SELECT MAX(var.var95) AS var95, COUNT(*) AS n_test,
+         CAST(SUM(CASE WHEN s.r < var.var95 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_breaches
+  FROM split s CROSS JOIN var WHERE s.half = 2
+)
+SELECT ROUND(var95, 6) AS var95, CAST(n_test AS BIGINT) AS n_test, n_breaches,
+       ROUND(CAST(n_breaches AS DOUBLE) / n_test, 6) AS breach_rate,
+       ROUND(-2 * (
+         (CASE WHEN n_breaches < n_test
+               THEN (CAST(n_test AS DOUBLE) - CAST(n_breaches AS DOUBLE))
+                    * LN((1 - 0.05) / (1 - CAST(n_breaches AS DOUBLE)
+                                           / CAST(n_test AS DOUBLE)))
+               ELSE 0.0 END)
+         + (CASE WHEN n_breaches > 0
+                 THEN CAST(n_breaches AS DOUBLE)
+                      * LN(0.05 / (CAST(n_breaches AS DOUBLE)
+                                   / CAST(n_test AS DOUBLE)))
+                 ELSE 0.0 END)), 6) AS kupiec_lr
+FROM agg
+"""
+
+ORACLES["q_partition_health"] = """
+WITH per AS (
+  SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS month,
+         COUNT(*) AS n_rows,
+         ROUND(CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / COUNT(*), 6) AS null_rate_price,
+         CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+  FROM lineitem
+  GROUP BY strftime(CAST(l_shipdate AS DATE), '%Y-%m')
+)
+SELECT month, n_rows, null_rate_price, n_suppliers,
+       CAST(CASE WHEN LAG(n_rows) OVER (ORDER BY month) IS NOT NULL
+                  AND n_rows < LAG(n_rows) OVER (ORDER BY month) * 0.5
+                 THEN 1 ELSE 0 END AS INTEGER) AS volume_drop
+FROM per ORDER BY month
+"""

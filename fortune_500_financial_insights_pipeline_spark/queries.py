@@ -6887,3 +6887,97 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t")
     )
+
+
+@q("q_var_backtest")
+def q_var_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VaR backtest with Kupiec's proportion-of-failures statistic: fit
+    VaR95 on the first half of the market's daily-return history (exact
+    ceil(0.05·n) order-statistic rank — the q_var_es discipline), count
+    breaches in the held-out second half, and report the POF likelihood
+    ratio −2[(n−x)ln((1−p)/(1−x/n)) + x·ln(p/(x/n))] with zero-count
+    terms handled explicitly — the model-validation gate a risk desk
+    runs before trusting q_var_es's number. Everything past the daily
+    aggregate is day-count-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("day")
+    ).agg(F.round(davg("l_extendedprice"), 6).alias("close"))
+    wd = W.orderBy("day")
+    rets = (
+        daily.withColumn("__r", F.round(F.col("close") / F.lag("close").over(wd) - 1, 6))
+        .where(F.col("__r").isNotNull())
+        .withColumn("__rn", F.row_number().over(wd))
+    )
+    ntot = rets.agg(F.count(F.lit(1)).alias("__n"))
+    split = rets.crossJoin(F.broadcast(ntot)).withColumn(
+        "__half", F.when(F.col("__rn") <= F.expr("__n div 2"), 1).otherwise(2)
+    )
+    train = split.where(F.col("__half") == 1)
+    n1 = train.agg(F.count(F.lit(1)).alias("__n1"))
+    wv = W.orderBy(F.asc("__r"), F.asc("day"))
+    var = (
+        train.withColumn("__vr", F.row_number().over(wv))
+        .crossJoin(F.broadcast(n1))
+        .where(F.col("__vr") == F.expr("(__n1 + 19) div 20"))  # integer-exact ceil(0.05 n)
+        .select(F.col("__r").alias("var95"))
+    )
+    test = split.where(F.col("__half") == 2)
+    agg = test.crossJoin(F.broadcast(var)).agg(
+        F.max("var95").alias("var95"),
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum(F.when(F.col("__r") < F.col("var95"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_breaches"),
+    )
+    n = F.col("n_test").cast("double")
+    x = F.col("n_breaches").cast("double")
+    p = F.lit(0.05)
+    term1 = F.when(
+        F.col("n_breaches") < F.col("n_test"),
+        (n - x) * F.log((1 - p) / (1 - x / n)),
+    ).otherwise(F.lit(0.0))
+    term2 = F.when(
+        F.col("n_breaches") > 0, x * F.log(p / (x / n))
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        F.round("var95", 6).alias("var95"),
+        "n_test",
+        "n_breaches",
+        F.round(x / n, 6).alias("breach_rate"),
+        F.round(-2 * (term1 + term2), 6).alias("kupiec_lr"),
+    )
+
+
+@q("q_partition_health")
+def q_partition_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition data-quality trend: for each ship month, row count,
+    required-column null rates, distinct-supplier coverage, and a
+    volume-drop flag vs the previous month (> 50% fall = the
+    broken-upstream signature) — the freshness/completeness panel every
+    landing table publishes (the reference reloads wholesale and would
+    never notice a half-empty month). One scan, month-count-sized
+    output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.sum(F.when(F.col("l_extendedprice").isNull(), 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("null_rate_price"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )
+    wm = W.orderBy("month")
+    prev = F.lag("n_rows").over(wm)
+    return (
+        per.withColumn(
+            "volume_drop",
+            (prev.isNotNull() & (F.col("n_rows") < prev * 0.5)).cast("int"),
+        )
+        .orderBy("month")
+    )

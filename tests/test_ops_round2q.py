@@ -554,3 +554,18 @@ def test_kaplan_meier_monotone_nonincreasing(spark, sf_dir):
     # risk sets shrink over time
     nr = out["n_risk"].tolist()
     assert all(a >= b for a, b in zip(nr, nr[1:]))
+
+
+def test_var_backtest_sane(spark, sf_dir):
+    out = QUERIES["q_var_backtest"](spark, sf_dir).collect()[0]
+    assert out["n_test"] > 0
+    assert 0 <= out["n_breaches"] <= out["n_test"]
+    assert out["kupiec_lr"] >= -1e-9  # LR statistic is non-negative
+    assert out["var95"] < 0  # 5% lower tail of returns is a loss
+
+
+def test_partition_health_covers_months(spark, sf_dir):
+    out = QUERIES["q_partition_health"](spark, sf_dir).toPandas()
+    assert len(out) > 12
+    assert (out["null_rate_price"] == 0.0).all()  # fixture has no nulls
+    assert out["volume_drop"].isin([0, 1]).all()
