@@ -7840,3 +7840,35 @@ SELECT month, n_rows, null_rate_price, n_suppliers,
                  THEN 1 ELSE 0 END AS INTEGER) AS volume_drop
 FROM per ORDER BY month
 """
+
+
+def _als_iter_sql(k: int) -> str:
+    p = k - 1
+    return f"""u{k} AS MATERIALIZED (
+  SELECT r.c,
+         ROUND((CAST(SUM(CAST(ROUND((r.r * v.v) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000)
+               / (CAST(SUM(CAST(ROUND((v.v * v.v) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000),
+               6) AS u
+  FROM ratings r JOIN v{p} v USING (p) GROUP BY r.c
+), v{k} AS MATERIALIZED (
+  SELECT r.p,
+         ROUND((CAST(SUM(CAST(ROUND((r.r * u.u) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000)
+               / (CAST(SUM(CAST(ROUND((u.u * u.u) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000),
+               6) AS v
+  FROM ratings r JOIN u{k} u USING (c) GROUP BY r.p
+)"""
+
+
+ORACLES["q_als_rank1"] = f"""
+WITH ratings AS MATERIALIZED (
+  SELECT l_suppkey AS c, l_partkey AS p,
+         ROUND({_dsum('CAST(l_quantity AS DOUBLE)')}, 6) AS r
+  FROM lineitem WHERE l_partkey <= 200
+  GROUP BY l_suppkey, l_partkey
+), v0 AS (
+  SELECT DISTINCT p, 1.0 AS v FROM ratings
+), {', '.join(_als_iter_sql(k) for k in range(1, 4))}
+SELECT p, v FROM v3
+ORDER BY v DESC, p ASC
+LIMIT 20
+"""

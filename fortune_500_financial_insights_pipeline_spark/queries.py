@@ -6981,3 +6981,57 @@ def q_partition_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@q("q_als_rank1")
+def q_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-1 ALS matrix factorization in relational algebra: quantity
+    ratings r(cust, part) factor into u(cust)·v(part) by three
+    alternating closed-form solves — u_c = Σ r·v / Σ v², then
+    v_p = Σ r·u / Σ u² — each ONE groupBy + equi-join per side (the
+    iterative-algorithm discipline of kmeans/PageRank applied to
+    recommender factorization; rank-1 keeps the per-key solve
+    closed-form, so no driver-side linear algebra). Factors are round-6
+    fixed-point at every step, making the whole trajectory — and the
+    final item-factor ranking — hash-exact. Output: top-20 parts by
+    learned factor (the 'most preference-loaded items' view)."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_partkey") <= 200)
+    r = (
+        li.select(
+            F.col("l_suppkey").alias("c"),
+            F.col("l_partkey").alias("p"),
+            F.col("l_quantity").cast("double").alias("r"),
+        )
+        .groupBy("c", "p")
+        .agg(F.round(dsum("r"), 6).alias("r"))
+        # the ratings frame feeds both solve directions every iteration —
+        # materialize once
+        .localCheckpoint(eager=False)
+    )
+    v = r.select("p").distinct().withColumn("v", F.lit(1.0))
+    for _ in range(3):
+        ju = r.join(v, "p")
+        u = (
+            ju.groupBy("c")
+            .agg(
+                (
+                    dsum(F.col("r") * F.col("v"))
+                    / dsum(F.col("v") * F.col("v"))
+                ).alias("__u")
+            )
+            .select("c", F.round("__u", 6).alias("u"))
+            .localCheckpoint(eager=False)
+        )
+        jv = r.join(u, "c")
+        v = (
+            jv.groupBy("p")
+            .agg(
+                (
+                    dsum(F.col("r") * F.col("u"))
+                    / dsum(F.col("u") * F.col("u"))
+                ).alias("__v")
+            )
+            .select("p", F.round("__v", 6).alias("v"))
+            .localCheckpoint(eager=False)
+        )
+    return v.orderBy(F.desc("v"), F.asc("p")).limit(20)

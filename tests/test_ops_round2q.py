@@ -569,3 +569,13 @@ def test_partition_health_covers_months(spark, sf_dir):
     assert len(out) > 12
     assert (out["null_rate_price"] == 0.0).all()  # fixture has no nulls
     assert out["volume_drop"].isin([0, 1]).all()
+
+
+def test_als_rank1_factors_positive_on_positive_ratings(spark, sf_dir):
+    """All quantities are positive, so rank-1 factors stay positive and
+    the ranking is a real preference signal (not sign-flipped noise)."""
+    out = QUERIES["q_als_rank1"](spark, sf_dir).toPandas()
+    assert 0 < len(out) <= 20
+    assert (out["v"] > 0).all()
+    vs = out["v"].tolist()
+    assert all(a >= b for a, b in zip(vs, vs[1:]))
