@@ -104,3 +104,73 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 or i == max_iter - 1:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    *,
+    damping: float = 0.85,
+    max_iter: int = 10,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Personalized PageRank: the same bit-exact integer recurrence as
+    :func:`pagerank`, but rank mass teleports back to the SEED set
+    instead of uniformly — the relevance-to-these-nodes ranking behind
+    related-entity panels and seed-expanded audience building. Seeds
+    start with full rank, everything else at 0; each round is one join +
+    one groupBy, ``DIV``-exact, so the oracle unrolls identically."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seed_n = seeds.select(F.col(seed_col).alias("node")).distinct()
+    nodes = (
+        nodes.join(seed_n.withColumn("__s", F.lit(1)), "node", "left")
+        .select("node", F.coalesce("__s", F.lit(0)).alias("is_seed"))
+        .localCheckpoint()
+    )
+    w_deg = Window.partitionBy("src")
+    e = e.select("src", "dst", F.count("*").over(w_deg).alias("out_deg")).localCheckpoint()
+
+    DENOM = 1000
+    d_num = int(round(damping * DENOM))
+    tp_val = (DENOM - d_num) * RANK_SCALE // DENOM
+    teleport = F.when(F.col("is_seed") == 1, F.lit(tp_val)).otherwise(0).cast("long")
+    damped = (
+        f"(in_sum DIV {DENOM}) * {d_num}"
+        f" + ((in_sum % {DENOM}) * {d_num}) DIV {DENOM}"
+    )
+    ranks = nodes.select(
+        "node",
+        F.when(F.col("is_seed") == 1, F.lit(RANK_SCALE)).otherwise(0)
+        .cast("long")
+        .alias("rank_fp"),
+    )
+    for i in range(max_iter):
+        contribs = (
+            e.join(ranks, e.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_fp DIV out_deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                "is_seed",
+                F.coalesce("in_sum", F.lit(0).cast("long")).alias("in_sum"),
+            )
+            .select("node", (teleport + F.expr(damped)).alias("rank_fp"))
+        )
+        if (i + 1) % checkpoint_every == 0 or i == max_iter - 1:
+            ranks = ranks.localCheckpoint()
+    return ranks

@@ -7872,3 +7872,56 @@ SELECT p, v FROM v3
 ORDER BY v DESC, p ASC
 LIMIT 20
 """
+
+
+def _ppr_oracle(iters: int = 10, d_num: int = 850, denom: int = 1000,
+                scale: int = 1_000_000_000) -> str:
+    """q_ppr's integer recurrence unrolled (the _pagerank_oracle shape with
+    a seed-concentrated teleport and seed-only initialization)."""
+    teleport = (denom - d_num) * scale // denom
+    parts = [f"""
+WITH base AS (
+  SELECT DISTINCT l_suppkey AS s, o_custkey + 1000000 AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), edges AS (
+  SELECT s AS src, c AS dst FROM base
+  UNION
+  SELECT c AS src, s AS dst FROM base
+), seedset AS (
+  SELECT DISTINCT CAST(s_suppkey AS BIGINT) AS node FROM supplier
+  WHERE s_suppkey <= 5
+), nodes AS (
+  SELECT n.node, CASE WHEN sd.node IS NOT NULL THEN 1 ELSE 0 END AS is_seed
+  FROM (SELECT src AS node FROM edges UNION SELECT dst FROM edges) n
+  LEFT JOIN seedset sd ON sd.node = n.node
+), deg AS (
+  SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src
+), r0 AS (
+  SELECT node, CAST(CASE WHEN is_seed = 1 THEN {scale} ELSE 0 END AS BIGINT)
+           AS rank_fp
+  FROM nodes
+)"""]
+    for k in range(1, iters + 1):
+        parts.append(f""", r{k} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(CASE WHEN n.is_seed = 1 THEN {teleport} ELSE 0 END
+              + (COALESCE(s.in_sum, 0) // {denom}) * {d_num}
+              + ((COALESCE(s.in_sum, 0) % {denom}) * {d_num}) // {denom}
+              AS BIGINT) AS rank_fp
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(SUM(r.rank_fp // d.out_deg) AS BIGINT) AS in_sum
+    FROM edges e
+    JOIN r{k - 1} r ON e.src = r.node
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) s ON n.node = s.node
+)""")
+    parts.append(
+        f"\nSELECT node, rank_fp FROM r{iters} "
+        "ORDER BY rank_fp DESC, node ASC LIMIT 20"
+    )
+    return "".join(parts)
+
+
+ORACLES["q_ppr"] = _ppr_oracle()

@@ -7035,3 +7035,38 @@ def q_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     return v.orderBy(F.desc("v"), F.asc("p")).limit(20)
+
+
+@q("q_ppr")
+def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the 5 seed suppliers over the bipartite
+    trade graph (operators/pagerank.personalized_pagerank, 10 rounds,
+    damping 0.85): the relevance-to-these-entities ranking behind
+    related-supplier panels and seed-expanded audiences — global
+    PageRank (q_pagerank) answers 'important overall', this answers
+    'important to THESE'. Same bit-exact integer recurrence; top-20
+    nodes by rank."""
+    from fortune_500_financial_insights_pipeline_spark.operators.pagerank import (
+        personalized_pagerank,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("s"),
+            (F.col("o_custkey") + 1000000).alias("c"),
+        )
+        .distinct()
+    )
+    edges = base.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionByName(
+        base.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    )
+    seeds = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") <= 5)
+        .select(F.col("s_suppkey").cast("long").alias("node"))
+    )
+    ranks = personalized_pagerank(edges, seeds)
+    return ranks.orderBy(F.desc("rank_fp"), F.asc("node")).limit(20)

@@ -579,3 +579,22 @@ def test_als_rank1_factors_positive_on_positive_ratings(spark, sf_dir):
     assert (out["v"] > 0).all()
     vs = out["v"].tolist()
     assert all(a >= b for a, b in zip(vs, vs[1:]))
+
+
+def test_ppr_seeds_rank_highest(spark, sf_dir):
+    """Teleport concentrates on the seeds, so the 5 seed suppliers must
+    dominate the top of the personalized ranking."""
+    from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+
+    out = QUERIES["q_ppr"](spark, sf_dir).toPandas()
+    assert len(out) == 20
+    seeds = {
+        r["s_suppkey"]
+        for r in load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") <= 5)
+        .select("s_suppkey")
+        .collect()
+    }
+    top = set(out.head(len(seeds))["node"])
+    assert top == seeds
+    assert (out["rank_fp"] > 0).all()
