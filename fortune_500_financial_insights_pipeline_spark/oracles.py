@@ -7925,3 +7925,64 @@ WITH base AS (
 
 
 ORACLES["q_ppr"] = _ppr_oracle()
+
+ORACLES["q_reconciliation"] = f"""
+WITH lines AS (
+  SELECT l_orderkey AS o_orderkey,
+         ROUND({_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}, 6)
+           AS line_total
+  FROM lineitem GROUP BY l_orderkey
+), j AS (
+  SELECT o.o_orderkey,
+         ROUND(o.o_totalprice, 6) AS header_total,
+         COALESCE(l.line_total, 0.0) AS line_total
+  FROM orders o LEFT JOIN lines l USING (o_orderkey)
+)
+SELECT o_orderkey, header_total, line_total,
+       ROUND(header_total - line_total, 6) AS diff,
+       ABS(ROUND(header_total - line_total, 6)) AS abs_diff
+FROM j
+ORDER BY abs_diff DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+ORACLES["q_burrows_delta"] = """
+WITH toks AS (
+  SELECT source, term FROM (
+    SELECT source, UNNEST(string_split(text, ' ')) AS term FROM documents
+  ) WHERE term <> ''
+), top AS (
+  SELECT term FROM (
+    SELECT term, COUNT(*) AS f FROM toks GROUP BY term
+    ORDER BY f DESC, term ASC LIMIT 30
+  )
+), per_src_tot AS (
+  SELECT source, COUNT(*) AS tot FROM toks GROUP BY source
+), freq AS (
+  SELECT t.source, t.term,
+         ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(p.tot), 9) AS rf
+  FROM toks t
+  JOIN top USING (term)
+  JOIN per_src_tot p ON p.source = t.source
+  GROUP BY t.source, t.term
+), stats AS (
+  SELECT term, COUNT(*) AS k,
+         CAST(SUM(CAST(ROUND(rf * 1000000000) AS BIGINT)) AS DOUBLE) / 1000000000 AS s,
+         CAST(SUM(CAST(ROUND(rf * rf * 1000000000) AS BIGINT)) AS DOUBLE) / 1000000000 AS ss
+  FROM freq GROUP BY term
+), z AS (
+  SELECT f.source, f.term,
+         ROUND((f.rf - st.s / CAST(st.k AS DOUBLE))
+               / sqrt((CAST(st.k AS DOUBLE) * st.ss - st.s * st.s)
+                      / (CAST(st.k AS DOUBLE) * CAST(st.k AS DOUBLE))), 6) AS z
+  FROM freq f JOIN stats st USING (term)
+  WHERE sqrt((CAST(st.k AS DOUBLE) * st.ss - st.s * st.s)
+             / (CAST(st.k AS DOUBLE) * CAST(st.k AS DOUBLE))) > 0
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       ROUND((CAST(SUM(CAST(ROUND(ABS(a.z - b.z) * 1000000) AS BIGINT)) AS DOUBLE)
+              / 1000000) / COUNT(*), 6) AS delta
+FROM z a JOIN z b ON a.term = b.term AND a.source < b.source
+GROUP BY a.source, b.source
+ORDER BY src_a, src_b
+"""

@@ -7070,3 +7070,102 @@ def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = personalized_pagerank(edges, seeds)
     return ranks.orderBy(F.desc("rank_fp"), F.asc("node")).limit(20)
+
+
+@q("q_reconciliation")
+def q_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way match reconciliation: every order's header total vs the
+    sum of its lines (extendedprice·(1−discount)·(1+tax)), the
+    finance-ops control that catches partial loads and double-posts
+    before the close. Exact fixed-point line sums; the report is the
+    top-20 absolute discrepancies plus per-order diffs — at fixture
+    scale TPC-H headers are generated FROM the lines, so genuine
+    discrepancies are the interesting rows. One join on the order key,
+    TakeOrdered cut."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.round(
+            dsum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ),
+            6,
+        ).alias("line_total")
+    )
+    j = o.join(lines, "o_orderkey", "left").select(
+        "o_orderkey",
+        F.round("o_totalprice", 6).alias("header_total"),
+        F.coalesce("line_total", F.lit(0.0)).alias("line_total"),
+    )
+    diff = F.round(F.col("header_total") - F.col("line_total"), 6)
+    return (
+        j.withColumn("diff", diff)
+        .withColumn("abs_diff", F.abs(diff))
+        .orderBy(F.desc("abs_diff"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@q("q_burrows_delta")
+def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometry between sources: relative frequencies
+    of the 30 most common corpus terms per source, z-scored across
+    sources (population σ from exact fixed-point moments), and
+    Δ(a, b) = mean |z_a − z_b| for every source pair — the authorship/
+    provenance distance that flags a relabeled crawl slice. Everything
+    past the term count runs on (30 terms × 20 sources)-sized frames;
+    the pair join is keyed on the TERM."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    ).where(F.col("term") != "")
+    top = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("__f"))
+        .orderBy(F.desc("__f"), F.asc("term"))
+        .limit(30)
+        .select("term")
+    )
+    per_src_tot = toks.groupBy("source").agg(F.count(F.lit(1)).alias("__tot"))
+    freq = (
+        toks.join(F.broadcast(top), "term")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .join(per_src_tot, "source")
+        .select(
+            "source",
+            "term",
+            F.round(F.col("__n").cast("double") / F.col("__tot"), 9).alias("__rf"),
+        )
+    )
+    stats = freq.groupBy("term").agg(
+        F.count(F.lit(1)).alias("__k"),
+        (F.sum(F.round(F.col("__rf") * 1000000000).cast("long")).cast("double") / 1e9).alias("__s"),
+        (F.sum(F.round(F.col("__rf") * F.col("__rf") * 1000000000).cast("long")).cast("double") / 1e9).alias("__ss"),
+    )
+    kk = F.col("__k").cast("double")
+    sigma = F.sqrt((kk * F.col("__ss") - F.col("__s") * F.col("__s")) / (kk * kk))
+    # a term with zero cross-source variance carries no style signal (and
+    # would divide by zero) — drop it on both engines
+    z = (
+        freq.join(F.broadcast(stats), "term")
+        .where(sigma > 0)
+        .select(
+            "source",
+            "term",
+            F.round((F.col("__rf") - F.col("__s") / kk) / sigma, 6).alias("__z"),
+        )
+    )
+    a = z.select(F.col("source").alias("src_a"), "term", F.col("__z").alias("__za"))
+    b = z.select(F.col("source").alias("src_b"), "term", F.col("__z").alias("__zb"))
+    return (
+        a.join(b, "term")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.round(davg(F.abs(F.col("__za") - F.col("__zb"))), 6).alias("delta")
+        )
+        .orderBy("src_a", "src_b")
+    )

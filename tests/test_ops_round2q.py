@@ -598,3 +598,19 @@ def test_ppr_seeds_rank_highest(spark, sf_dir):
     top = set(out.head(len(seeds))["node"])
     assert top == seeds
     assert (out["rank_fp"] > 0).all()
+
+
+def test_reconciliation_header_equals_lines_shape(spark, sf_dir):
+    out = QUERIES["q_reconciliation"](spark, sf_dir).toPandas()
+    assert len(out) == 20
+    # the report surfaces the LARGEST discrepancies first
+    ad = out["abs_diff"].tolist()
+    assert all(a >= b for a, b in zip(ad, ad[1:]))
+    assert (out["line_total"] >= 0).all()
+
+
+def test_burrows_delta_symmetric_pairs_positive(spark, sf_dir):
+    out = QUERIES["q_burrows_delta"](spark, sf_dir).toPandas()
+    assert len(out) == 190  # C(20, 2) source pairs
+    assert (out["delta"] >= 0).all()
+    assert (out["src_a"] < out["src_b"]).all()
