@@ -174,3 +174,56 @@ def personalized_pagerank(
         if (i + 1) % checkpoint_every == 0 or i == max_iter - 1:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_iter: int = 8,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999): alternate
+    a(n) = Σ_{(h,n)} h(h) and h(n) = Σ_{(n,a)} a(a), max-normalizing and
+    rounding to 6dp each half-step — max-normalization replaces the
+    L2 norm so every step stays a deterministic division by a single
+    broadcast scalar (no order-sensitive sqrt-of-sum), making the whole
+    trajectory oracle-checkable like pagerank's. Returns
+    (role, node, score): 'hub' rows for sources, 'authority' rows for
+    destinations. Each half-step is one equi-join + groupBy + one-row
+    max broadcast."""
+    from fortune_500_financial_insights_pipeline_spark.functions.deterministic import dsum
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct().localCheckpoint(eager=False)
+    hubs = e.select(F.col("src").alias("node")).distinct().withColumn(
+        "h", F.lit(1.0)
+    ).localCheckpoint(eager=False)
+    auth = None
+    for _ in range(max_iter):
+        araw = (
+            e.join(hubs.select(F.col("node").alias("src"), "h"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(dsum("h").alias("__a"))
+        )
+        amax = araw.agg(F.max("__a").alias("__m"))
+        auth = (
+            araw.crossJoin(F.broadcast(amax))
+            .select("node", F.round(F.col("__a") / F.col("__m"), 6).alias("a"))
+            .localCheckpoint(eager=False)
+        )
+        hraw = (
+            e.join(auth.select(F.col("node").alias("dst"), "a"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(dsum("a").alias("__h"))
+        )
+        hmax = hraw.agg(F.max("__h").alias("__m"))
+        hubs = (
+            hraw.crossJoin(F.broadcast(hmax))
+            .select("node", F.round(F.col("__h") / F.col("__m"), 6).alias("h"))
+            .localCheckpoint(eager=False)
+        )
+    return hubs.select(
+        F.lit("hub").alias("role"), "node", F.col("h").alias("score")
+    ).unionByName(
+        auth.select(F.lit("authority").alias("role"), "node", F.col("a").alias("score"))
+    )

@@ -7986,3 +7986,42 @@ FROM z a JOIN z b ON a.term = b.term AND a.source < b.source
 GROUP BY a.source, b.source
 ORDER BY src_a, src_b
 """
+
+
+def _hits_iter_sql(k: int) -> str:
+    p = k - 1
+    return f"""araw{k} AS MATERIALIZED (
+  SELECT e.dst AS node,
+         CAST(SUM(CAST(ROUND(h.h * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS a
+  FROM edges e JOIN h{p} h ON h.node = e.src GROUP BY e.dst
+), a{k} AS MATERIALIZED (
+  SELECT node, ROUND(a / (SELECT MAX(a) FROM araw{k}), 6) AS a FROM araw{k}
+), hraw{k} AS MATERIALIZED (
+  SELECT e.src AS node,
+         CAST(SUM(CAST(ROUND(a.a * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS h
+  FROM edges e JOIN a{k} a ON a.node = e.dst GROUP BY e.src
+), h{k} AS MATERIALIZED (
+  SELECT node, ROUND(h / (SELECT MAX(h) FROM hraw{k}), 6) AS h FROM hraw{k}
+)"""
+
+
+ORACLES["q_hits"] = f"""
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+         CAST(o_custkey + 1000000 AS BIGINT) AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), h0 AS (
+  SELECT DISTINCT src AS node, 1.0 AS h FROM edges
+), {', '.join(_hits_iter_sql(k) for k in range(1, 9))},
+scored AS (
+  SELECT 'hub' AS role, node, h AS score FROM h8
+  UNION ALL
+  SELECT 'authority' AS role, node, a AS score FROM a8
+)
+SELECT role, node, score, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY role
+                               ORDER BY score DESC, node ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+ORDER BY role, rank
+"""

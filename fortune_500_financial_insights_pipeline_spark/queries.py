@@ -7169,3 +7169,33 @@ def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+@q("q_hits")
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS over the directed supplier→customer trade graph
+    (operators/pagerank.hits, 8 rounds): hub scores rank suppliers by
+    how much authoritative demand they feed, authority scores rank
+    customers by how much hub supply they draw — the two-sided
+    centrality PageRank's single score conflates. Max-normalized
+    round-6 half-steps make the trajectory hash-exact; output is the
+    top-10 of each role."""
+    from fortune_500_financial_insights_pipeline_spark.operators.pagerank import hits
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("l_suppkey").cast("long").alias("src"),
+            (F.col("o_custkey") + 1000000).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    scored = hits(edges)
+    w = W.partitionBy("role").orderBy(F.desc("score"), F.asc("node"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .orderBy("role", "rank")
+    )

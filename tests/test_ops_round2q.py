@@ -614,3 +614,13 @@ def test_burrows_delta_symmetric_pairs_positive(spark, sf_dir):
     assert len(out) == 190  # C(20, 2) source pairs
     assert (out["delta"] >= 0).all()
     assert (out["src_a"] < out["src_b"]).all()
+
+
+def test_hits_scores_normalized(spark, sf_dir):
+    out = QUERIES["q_hits"](spark, sf_dir).toPandas()
+    assert set(out["role"]) == {"hub", "authority"}
+    assert ((out["score"] > 0) & (out["score"] <= 1.0)).all()
+    # the max-normalized leader of each role scores exactly 1.0
+    for role, g in out.groupby("role"):
+        assert abs(g["score"].max() - 1.0) < 1e-9
+        assert len(g) == 10
