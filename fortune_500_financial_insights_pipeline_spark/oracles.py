@@ -8025,3 +8025,52 @@ SELECT role, node, score, CAST(rank AS INTEGER) AS rank FROM (
 ) WHERE rank <= 10
 ORDER BY role, rank
 """
+
+ORACLES["q_lead_lag_corr"] = f"""
+WITH series AS (
+  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS d,
+         ROUND({_dsum('l_extendedprice')} / COUNT(*), 6) AS close
+  FROM lineitem WHERE l_suppkey IN (1, 2)
+  GROUP BY l_suppkey, CAST(l_shipdate AS DATE)
+), a AS (SELECT d, close AS x FROM series WHERE l_suppkey = 1),
+b AS (SELECT d AS db, close AS y FROM series WHERE l_suppkey = 2),
+lags AS (SELECT CAST(UNNEST(range(-5, 6)) AS INTEGER) AS lag),
+j AS (
+  SELECT l.lag, a.x, b.y
+  FROM a CROSS JOIN lags l
+  JOIN b ON a.d + TO_DAYS(l.lag) = b.db
+), m AS (
+  SELECT lag, COUNT(*) AS n_days,
+         {_dsum('x')} AS sx, {_dsum('y')} AS sy,
+         {_dsum('x * y')} AS sxy, {_dsum('x * x')} AS sxx,
+         {_dsum('y * y')} AS syy
+  FROM j GROUP BY lag
+)
+SELECT lag, CAST(n_days AS BIGINT) AS n_days,
+       ROUND(CASE WHEN CAST(n_days AS DOUBLE) * sxx - sx * sx > 0
+                   AND CAST(n_days AS DOUBLE) * syy - sy * sy > 0
+                  THEN (CAST(n_days AS DOUBLE) * sxy - sx * sy)
+                       / sqrt((CAST(n_days AS DOUBLE) * sxx - sx * sx)
+                              * (CAST(n_days AS DOUBLE) * syy - sy * sy))
+             END, 6) AS ccf
+FROM m ORDER BY lag
+"""
+
+ORACLES["q_control_chart"] = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n_errors
+  FROM events WHERE event_type = 'error'
+  GROUP BY CAST(ts AS DATE)
+), stats AS (
+  SELECT CAST(SUM(n_errors) AS DOUBLE) / COUNT(*) AS mu FROM daily
+)
+SELECT strftime(d, '%Y-%m-%d') AS day, n_errors,
+       ROUND(stats.mu, 6) AS center,
+       ROUND(stats.mu + 3 * sqrt(stats.mu), 6) AS ucl,
+       ROUND(GREATEST(stats.mu - 3 * sqrt(stats.mu), 0.0), 6) AS lcl,
+       CAST(CASE WHEN n_errors > ROUND(stats.mu + 3 * sqrt(stats.mu), 6)
+                   OR n_errors < ROUND(GREATEST(stats.mu - 3 * sqrt(stats.mu), 0.0), 6)
+                 THEN 1 ELSE 0 END AS INTEGER) AS out_of_control
+FROM daily CROSS JOIN stats
+ORDER BY day
+"""

@@ -7199,3 +7199,78 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 10)
         .orderBy("role", "rank")
     )
+
+
+@q("q_lead_lag_corr")
+def q_lead_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between two supplier price series at
+    lags −5..+5 days: the leading-indicator probe (a peak off lag 0
+    says one series anticipates the other) that q_pairwise_corr's
+    contemporaneous matrix can't see. One day-keyed equi-join per lag
+    via a broadcast lag relation + date_add — never a self cross join;
+    exact fixed-point Pearson moments per lag."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_suppkey").isin(1, 2))
+    series = li.groupBy(
+        "l_suppkey", F.col("l_shipdate").cast("date").alias("d")
+    ).agg(F.round(davg("l_extendedprice"), 6).alias("close"))
+    a = series.where(F.col("l_suppkey") == 1).select(
+        "d", F.col("close").alias("__x")
+    )
+    b = series.where(F.col("l_suppkey") == 2).select(
+        F.col("d").alias("__db"), F.col("close").alias("__y")
+    )
+    lags = spark.range(-5, 6).select(F.col("id").cast("int").alias("lag"))
+    j = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.expr("date_add(d, lag)") == F.col("__db"))
+    )
+    m = j.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        dsum("__x").alias("__sx"),
+        dsum("__y").alias("__sy"),
+        dsum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        dsum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        dsum(F.col("__y") * F.col("__y")).alias("__syy"),
+    )
+    nn = F.col("n_days").cast("double")
+    num = nn * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    dx = nn * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    dy = nn * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    r = F.when((dx > 0) & (dy > 0), num / F.sqrt(dx * dy))
+    return m.select("lag", "n_days", F.round(r, 6).alias("ccf")).orderBy("lag")
+
+
+@q("q_control_chart")
+def q_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPC c-chart over daily error-event counts: center line = mean
+    daily count, UCL/LCL = mean ± 3·√mean (Poisson limits), each day
+    flagged in/out of control — the ops monitoring rule (a point above
+    UCL = investigate; q_seasonal_anomalies models structure, this is
+    the assumption-light floor). Exact fixed-point mean, shared-text
+    sqrt, day-count-sized output."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.where(F.col("event_type") == "error")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+    stats = daily.agg(
+        (F.sum("n_errors").cast("double") / F.count(F.lit(1))).alias("__mu")
+    )
+    mu = F.col("__mu")
+    ucl = F.round(mu + 3 * F.sqrt(mu), 6)
+    lcl = F.round(F.greatest(mu - 3 * F.sqrt(mu), F.lit(0.0)), 6)
+    return (
+        daily.crossJoin(F.broadcast(stats))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n_errors",
+            F.round(mu, 6).alias("center"),
+            ucl.alias("ucl"),
+            lcl.alias("lcl"),
+            (
+                (F.col("n_errors") > ucl) | (F.col("n_errors") < lcl)
+            ).cast("int").alias("out_of_control"),
+        )
+        .orderBy("day")
+    )

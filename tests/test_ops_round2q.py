@@ -624,3 +624,25 @@ def test_hits_scores_normalized(spark, sf_dir):
     for role, g in out.groupby("role"):
         assert abs(g["score"].max() - 1.0) < 1e-9
         assert len(g) == 10
+
+
+def test_lead_lag_corr_full_lag_range(spark, sf_dir):
+    out = QUERIES["q_lead_lag_corr"](spark, sf_dir).toPandas()
+    assert list(out["lag"]) == list(range(-5, 6))
+    defined = out["ccf"].dropna()
+    assert ((defined >= -1.0) & (defined <= 1.0)).all()
+
+
+def test_control_chart_limits_bracket_center(spark, sf_dir):
+    out = QUERIES["q_control_chart"](spark, sf_dir).toPandas()
+    assert len(out) == 30  # one month of days
+    assert (out["lcl"] <= out["center"]).all()
+    assert (out["center"] <= out["ucl"]).all()
+    flagged = out[out["out_of_control"] == 1]
+    ok = out[out["out_of_control"] == 0]
+    assert ((ok["n_errors"] <= ok["ucl"]) & (ok["n_errors"] >= ok["lcl"])).all()
+    if len(flagged):
+        assert (
+            (flagged["n_errors"] > flagged["ucl"])
+            | (flagged["n_errors"] < flagged["lcl"])
+        ).all()
