@@ -8074,3 +8074,70 @@ SELECT strftime(d, '%Y-%m-%d') AS day, n_errors,
 FROM daily CROSS JOIN stats
 ORDER BY day
 """
+
+ORACLES["q_simpsons_check"] = f"""
+WITH src AS (
+  SELECT l_returnflag, l_quantity, l_extendedprice / 1000.0 AS price_k
+  FROM lineitem
+), per AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         {_dsum('l_quantity')} AS sx, {_dsum('price_k')} AS sy,
+         {_dsum('l_quantity * price_k')} AS sxy,
+         {_dsum('l_quantity * l_quantity')} AS sxx,
+         {_dsum('price_k * price_k')} AS syy
+  FROM src GROUP BY l_returnflag
+), pooled AS (
+  SELECT COUNT(*) AS n,
+         {_dsum('l_quantity')} AS sx, {_dsum('price_k')} AS sy,
+         {_dsum('l_quantity * price_k')} AS sxy,
+         {_dsum('l_quantity * l_quantity')} AS sxx,
+         {_dsum('price_k * price_k')} AS syy
+  FROM src
+), rs AS (
+  SELECT l_returnflag,
+         ROUND(CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+                     AND CAST(n AS DOUBLE) * syy - sy * sy > 0
+                    THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                         / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                                * (CAST(n AS DOUBLE) * syy - sy * sy))
+               END, 6) AS r_stratum
+  FROM per
+), rp AS (
+  SELECT ROUND(CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+                     AND CAST(n AS DOUBLE) * syy - sy * sy > 0
+                    THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                         / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                                * (CAST(n AS DOUBLE) * syy - sy * sy))
+               END, 6) AS r_pooled
+  FROM pooled
+)
+SELECT rs.l_returnflag, rs.r_stratum, rp.r_pooled,
+       CAST(CASE WHEN SIGN(rs.r_stratum) <> SIGN(rp.r_pooled)
+                 THEN 1 ELSE 0 END AS INTEGER) AS sign_flip
+FROM rs CROSS JOIN rp
+ORDER BY rs.l_returnflag
+"""
+
+ORACLES["q_ab_srm"] = """
+WITH per AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n_a, n_b,
+       ROUND((n_a - CAST(n_a + n_b AS DOUBLE) / 2)
+             * (n_a - CAST(n_a + n_b AS DOUBLE) / 2)
+             / (CAST(n_a + n_b AS DOUBLE) / 2)
+             + (n_b - CAST(n_a + n_b AS DOUBLE) / 2)
+               * (n_b - CAST(n_a + n_b AS DOUBLE) / 2)
+               / (CAST(n_a + n_b AS DOUBLE) / 2), 6) AS chi2,
+       CAST(CASE WHEN (n_a - CAST(n_a + n_b AS DOUBLE) / 2)
+                      * (n_a - CAST(n_a + n_b AS DOUBLE) / 2)
+                      / (CAST(n_a + n_b AS DOUBLE) / 2)
+                      + (n_b - CAST(n_a + n_b AS DOUBLE) / 2)
+                        * (n_b - CAST(n_a + n_b AS DOUBLE) / 2)
+                        / (CAST(n_a + n_b AS DOUBLE) / 2) > 3.841
+                 THEN 1 ELSE 0 END AS INTEGER) AS srm_flag
+FROM per ORDER BY event_type
+"""

@@ -7274,3 +7274,87 @@ def q_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@q("q_simpsons_check")
+def q_simpsons_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit: the pooled quantity↔price correlation vs
+    the same correlation within each return-flag stratum — a sign flip
+    (pooled positive, every stratum negative, or vice versa) means the
+    stratum is a confounder and any pooled readout is misleading. One
+    moment aggregate per stratum + one pooled, exact fixed point; the
+    output row carries the pooled r, each stratum r, and the flip
+    flag."""
+    # kilo-scaled price keeps the fixed-point moment interior (price²
+    # terms) inside long range — r is invariant to per-feature scaling
+    # (the q_mahalanobis lesson)
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "price_k", F.col("l_extendedprice") / 1000.0
+    )
+
+    def moments(df, keys):
+        return df.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("l_quantity").alias("sx"),
+            dsum("price_k").alias("sy"),
+            dsum(F.col("l_quantity") * F.col("price_k")).alias("sxy"),
+            dsum(F.col("l_quantity") * F.col("l_quantity")).alias("sxx"),
+            dsum(F.col("price_k") * F.col("price_k")).alias("syy"),
+        )
+
+    def corr_col():
+        nn = F.col("n").cast("double")
+        num = nn * F.col("sxy") - F.col("sx") * F.col("sy")
+        dx = nn * F.col("sxx") - F.col("sx") * F.col("sx")
+        dy = nn * F.col("syy") - F.col("sy") * F.col("sy")
+        return F.round(F.when((dx > 0) & (dy > 0), num / F.sqrt(dx * dy)), 6)
+
+    per = moments(li, ["l_returnflag"]).select(
+        "l_returnflag", corr_col().alias("r_stratum")
+    )
+    pooled = moments(li.withColumn("__g", F.lit(1)), ["__g"]).select(
+        corr_col().alias("r_pooled")
+    )
+    return (
+        per.crossJoin(F.broadcast(pooled))
+        .select(
+            "l_returnflag",
+            "r_stratum",
+            "r_pooled",
+            (
+                F.signum("r_stratum") != F.signum("r_pooled")
+            ).cast("int").alias("sign_flip"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@q("q_ab_srm")
+def q_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail: χ² goodness-of-fit of the
+    user-parity assignment against the intended 50/50 split, per event
+    type — the first thing a trustworthy experiment platform checks
+    before reading any metric (a skewed split invalidates q_ab_test's
+    contrast). Exact counts, shared-text χ² expression; χ² > 3.841
+    (95%, 1 dof) raises the flag."""
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("event_type").agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("user_id") % 2 != 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    n = (F.col("n_a") + F.col("n_b")).cast("double")
+    ex = n / 2
+    chi2 = (F.col("n_a") - ex) * (F.col("n_a") - ex) / ex + (
+        F.col("n_b") - ex
+    ) * (F.col("n_b") - ex) / ex
+    return per.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > 3.841).cast("int").alias("srm_flag"),
+    ).orderBy("event_type")

@@ -646,3 +646,18 @@ def test_control_chart_limits_bracket_center(spark, sf_dir):
             (flagged["n_errors"] > flagged["ucl"])
             | (flagged["n_errors"] < flagged["lcl"])
         ).all()
+
+
+def test_simpsons_check_reports_all_strata(spark, sf_dir):
+    out = QUERIES["q_simpsons_check"](spark, sf_dir).toPandas()
+    assert len(out) == 3  # return flags A/N/R
+    assert out["r_pooled"].nunique() == 1
+    assert out["sign_flip"].isin([0, 1]).all()
+
+
+def test_ab_srm_parity_split_balanced(spark, sf_dir):
+    out = QUERIES["q_ab_srm"](spark, sf_dir).toPandas()
+    assert len(out) == 5
+    assert (out["chi2"] >= 0).all()
+    # flags agree with the 3.841 cut
+    assert ((out["chi2"] > 3.841) == (out["srm_flag"] == 1)).all()
