@@ -8141,3 +8141,30 @@ SELECT event_type, n_a, n_b,
                  THEN 1 ELSE 0 END AS INTEGER) AS srm_flag
 FROM per ORDER BY event_type
 """
+
+ORACLES["q_pvm_bridge"] = f"""
+WITH per AS (
+  SELECT l_partkey, CAST(year(CAST(l_shipdate AS DATE)) AS INTEGER) AS y,
+         ROUND({_dsum('l_quantity')}, 6) AS q,
+         ROUND({_dsum('l_extendedprice')}, 6) AS rev
+  FROM lineitem
+  WHERE year(CAST(l_shipdate AS DATE)) IN (1996, 1997)
+  GROUP BY l_partkey, year(CAST(l_shipdate AS DATE))
+), pp AS (
+  SELECT l_partkey, y, q, rev, ROUND(rev / q, 6) AS p FROM per
+), a AS (SELECT l_partkey, q AS q0, p AS p0, rev AS r0 FROM pp WHERE y = 1996),
+b AS (SELECT l_partkey, q AS q1, p AS p1, rev AS r1 FROM pp WHERE y = 1997),
+j AS (SELECT * FROM a FULL OUTER JOIN b USING (l_partkey))
+SELECT
+  ROUND({_dsum('COALESCE(r0, 0.0)')}, 6) AS rev_1996,
+  ROUND({_dsum('COALESCE(r1, 0.0)')}, 6) AS rev_1997,
+  ROUND({_dsum('CASE WHEN q0 IS NOT NULL AND q1 IS NOT NULL THEN (q1 - q0) * p0 ELSE 0.0 END')}, 6)
+    AS volume_effect,
+  ROUND({_dsum('CASE WHEN q0 IS NOT NULL AND q1 IS NOT NULL THEN (p1 - p0) * q0 ELSE 0.0 END')}, 6)
+    AS price_effect,
+  ROUND({_dsum('CASE WHEN q0 IS NOT NULL AND q1 IS NOT NULL THEN (q1 - q0) * (p1 - p0) ELSE 0.0 END')}, 6)
+    AS mix_effect,
+  ROUND({_dsum('CASE WHEN q0 IS NULL THEN r1 ELSE 0.0 END')}, 6) AS new_parts,
+  ROUND({_dsum('CASE WHEN q1 IS NULL THEN r0 ELSE 0.0 END')}, 6) AS discontinued
+FROM j
+"""

@@ -7358,3 +7358,51 @@ def q_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("chi2"),
         (chi2 > 3.841).cast("int").alias("srm_flag"),
     ).orderBy("event_type")
+
+
+@q("q_pvm_bridge")
+def q_pvm_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume-mix revenue bridge between 1996 and 1997 (the FP&A
+    waterfall a CFO deck opens with): per part, volume effect
+    (Δq·p96), price effect (Δp·q96), the Δq·Δp interaction, plus
+    new-part and discontinued-part buckets — and the identity
+    ΔRev = vol + price + mix + new − discontinued holds EXACTLY because
+    every term is the same fixed-point arithmetic (test-pinned). One
+    scan, one part-keyed full-outer self-alignment, one-row output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    yr = F.year("l_shipdate")
+    per = (
+        li.where(yr.isin(1996, 1997))
+        .groupBy("l_partkey", yr.alias("__y"))
+        .agg(
+            F.round(dsum("l_quantity"), 6).alias("__q"),
+            F.round(dsum("l_extendedprice"), 6).alias("__rev"),
+        )
+        .withColumn("__p", F.round(F.col("__rev") / F.col("__q"), 6))
+    )
+    a = per.where(F.col("__y") == 1996).select(
+        "l_partkey", F.col("__q").alias("q0"), F.col("__p").alias("p0"),
+        F.col("__rev").alias("r0"),
+    )
+    b = per.where(F.col("__y") == 1997).select(
+        "l_partkey", F.col("__q").alias("q1"), F.col("__p").alias("p1"),
+        F.col("__rev").alias("r1"),
+    )
+    j = a.join(b, "l_partkey", "full")
+    both = F.col("q0").isNotNull() & F.col("q1").isNotNull()
+    vol = F.when(both, (F.col("q1") - F.col("q0")) * F.col("p0")).otherwise(0.0)
+    price = F.when(both, (F.col("p1") - F.col("p0")) * F.col("q0")).otherwise(0.0)
+    mix = F.when(
+        both, (F.col("q1") - F.col("q0")) * (F.col("p1") - F.col("p0"))
+    ).otherwise(0.0)
+    new = F.when(F.col("q0").isNull(), F.col("r1")).otherwise(0.0)
+    disc = F.when(F.col("q1").isNull(), F.col("r0")).otherwise(0.0)
+    return j.agg(
+        F.round(dsum(F.coalesce("r0", F.lit(0.0))), 6).alias("rev_1996"),
+        F.round(dsum(F.coalesce("r1", F.lit(0.0))), 6).alias("rev_1997"),
+        F.round(dsum(vol), 6).alias("volume_effect"),
+        F.round(dsum(price), 6).alias("price_effect"),
+        F.round(dsum(mix), 6).alias("mix_effect"),
+        F.round(dsum(new), 6).alias("new_parts"),
+        F.round(dsum(disc), 6).alias("discontinued"),
+    )

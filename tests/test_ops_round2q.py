@@ -661,3 +661,15 @@ def test_ab_srm_parity_split_balanced(spark, sf_dir):
     assert (out["chi2"] >= 0).all()
     # flags agree with the 3.841 cut
     assert ((out["chi2"] > 3.841) == (out["srm_flag"] == 1)).all()
+
+
+def test_pvm_bridge_identity(spark, sf_dir):
+    """ΔRev must decompose exactly: vol + price + mix + new − disc."""
+    r = QUERIES["q_pvm_bridge"](spark, sf_dir).collect()[0]
+    delta = r["rev_1997"] - r["rev_1996"]
+    recon = (
+        r["volume_effect"] + r["price_effect"] + r["mix_effect"]
+        + r["new_parts"] - r["discontinued"]
+    )
+    assert abs(delta - recon) < 1e-2  # round-6 terms over thousands of parts
+    assert r["rev_1996"] > 0 and r["rev_1997"] > 0
