@@ -8168,3 +8168,18 @@ SELECT
   ROUND({_dsum('CASE WHEN q1 IS NULL THEN r0 ELSE 0.0 END')}, 6) AS discontinued
 FROM j
 """
+
+ORACLES["q_fulfillment_lag"] = """
+WITH j AS (
+  SELECT o.o_orderpriority,
+         CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS DOUBLE) AS lag
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority, COUNT(*) AS n_lines,
+       ROUND(quantile_cont(lag, 0.5), 6) AS p50_days,
+       ROUND(quantile_cont(lag, 0.9), 6) AS p90_days,
+       ROUND(CAST(SUM(CASE WHEN lag <= 30 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS within_30d_rate
+FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""

@@ -7406,3 +7406,36 @@ def q_pvm_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dsum(new), 6).alias("new_parts"),
         F.round(dsum(disc), 6).alias("discontinued"),
     )
+
+
+@q("q_fulfillment_lag")
+def q_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lead time per priority class: exact interpolated
+    p50/p90 lag days and the within-30-days service level — the
+    fulfillment KPI a priority tier is supposed to buy (if URGENT's p90
+    matches LOW's, the tiering is theater). One key join, one percentile
+    aggregate per class."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lag = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    ).cast("double")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority", lag.alias("__lag")
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.percentile("__lag", F.lit(0.5)), 6).alias("p50_days"),
+            F.round(F.percentile("__lag", F.lit(0.9)), 6).alias("p90_days"),
+            F.round(
+                F.sum(F.when(F.col("__lag") <= 30, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("within_30d_rate"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -673,3 +673,10 @@ def test_pvm_bridge_identity(spark, sf_dir):
     )
     assert abs(delta - recon) < 1e-2  # round-6 terms over thousands of parts
     assert r["rev_1996"] > 0 and r["rev_1997"] > 0
+
+
+def test_fulfillment_lag_ordered_percentiles(spark, sf_dir):
+    out = QUERIES["q_fulfillment_lag"](spark, sf_dir).toPandas()
+    assert len(out) == 5
+    assert (out["p50_days"] <= out["p90_days"]).all()
+    assert ((out["within_30d_rate"] >= 0) & (out["within_30d_rate"] <= 1)).all()
