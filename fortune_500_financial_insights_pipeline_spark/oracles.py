@@ -8183,3 +8183,61 @@ SELECT o_orderpriority, COUNT(*) AS n_lines,
              / COUNT(*), 6) AS within_30d_rate
 FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
+
+_ISO_DIM = 64
+_ISO_COMPS = ",\n         ".join(
+    f"SUM(CAST(ROUND(CAST(embedding[{i+1}] AS DOUBLE) * 10000) AS BIGINT)) AS c{i}"
+    for i in range(_ISO_DIM)
+)
+_ISO_MEANSQ = " + ".join(
+    f"(CAST(c{i} AS DOUBLE) / 10000 / n_vecs) * (CAST(c{i} AS DOUBLE) / 10000 / n_vecs)"
+    for i in range(_ISO_DIM)
+)
+
+ORACLES["q_embedding_isotropy"] = f"""
+WITH agg AS (
+  SELECT COUNT(*) AS n_vecs,
+         ROUND((CAST(SUM(CAST(ROUND(sqrt(list_dot_product(
+                    CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                  * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) / COUNT(*), 6)
+           AS avg_norm,
+         {_ISO_COMPS}
+  FROM embeddings
+), m AS (
+  SELECT CAST(n_vecs AS BIGINT) AS n_vecs, avg_norm,
+         ROUND(sqrt({_ISO_MEANSQ}), 6) AS norm_of_mean
+  FROM agg
+)
+SELECT n_vecs, avg_norm, norm_of_mean,
+       ROUND(norm_of_mean / avg_norm, 6) AS anisotropy_ratio
+FROM m
+"""
+
+ORACLES["q_ingestion_drift"] = """
+WITH maxid AS (SELECT MAX(doc_id) AS m FROM documents),
+feats AS (
+  SELECT LEAST(10, CAST(FLOOR(doc_id * 10 / (maxid.m + 1)) AS INTEGER) + 1)
+           AS cohort,
+         ROUND(
+           LEAST(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4
+           + (CASE WHEN CAST(length(text) AS DOUBLE)
+                        / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 3.0
+                    AND CAST(length(text) AS DOUBLE)
+                        / CAST(len(string_split(text, ' ')) AS DOUBLE) <= 10.0
+                   THEN 1.0 ELSE 0.5 END) * 0.3
+           + LEAST((CAST(len(list_filter(string_split(text, ' '),
+                       t -> list_contains(['the','a','of','and','to','in','is','on','for','with'], t)))
+                    AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 5.0,
+                   1.0) * 0.3, 6) AS q,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en,
+         CAST(length(text) AS DOUBLE) AS len
+  FROM documents CROSS JOIN maxid
+)
+SELECT cohort, COUNT(*) AS n_docs,
+       ROUND((CAST(SUM(CAST(ROUND(q * 1000000) AS BIGINT)) AS DOUBLE) / 1000000)
+             / COUNT(q), 6) AS avg_quality,
+       ROUND(CAST(SUM(en) AS DOUBLE) / COUNT(*), 6) AS en_share,
+       ROUND((CAST(SUM(CAST(ROUND(len * 1000000) AS BIGINT)) AS DOUBLE) / 1000000)
+             / COUNT(len), 6) AS avg_chars
+FROM feats GROUP BY cohort ORDER BY cohort
+"""

@@ -7439,3 +7439,82 @@ def q_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@q("q_ingestion_drift")
+def q_ingestion_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-cohort drift: per doc-id decile (≈ arrival order), mean
+    quality score, English share and mean length — the is-the-newest-
+    crawl-worse trend a curation pipeline reviews before admitting a new
+    snapshot (q_mixture_kl audits sources; this audits TIME). Decile =
+    integer id band, so the cohort cut is a map-side expression."""
+    d = load_table(spark, sf_dir, "documents")
+    from fortune_500_financial_insights_pipeline_spark.operators.text import quality_score
+
+    maxid = d.agg(F.max("doc_id").alias("__m"))
+    dec = F.least(
+        F.lit(10), F.floor(F.col("doc_id") * 10 / (F.col("__m") + 1)).cast("int") + 1
+    )
+    return (
+        d.crossJoin(F.broadcast(maxid))
+        .select(
+            dec.alias("cohort"),
+            F.round(quality_score("text"), 6).alias("__q"),
+            (F.col("lang") == "en").cast("int").alias("__en"),
+            F.length("text").cast("double").alias("__len"),
+        )
+        .groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(davg("__q"), 6).alias("avg_quality"),
+            F.round(
+                F.sum("__en").cast("double") / F.count(F.lit(1)), 6
+            ).alias("en_share"),
+            F.round(davg("__len"), 6).alias("avg_chars"),
+        )
+        .orderBy("cohort")
+    )
+
+
+@q("q_embedding_isotropy")
+def q_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding isotropy diagnostic: ‖mean vector‖ vs the mean vector
+    norm — a ratio near 0 means directions are spread (healthy for
+    cosine retrieval), near 1 means the space has collapsed onto a
+    dominant direction (the anisotropy failure that silently ruins
+    ANN recall). Component sums are exact 1e4 fixed-point longs (the
+    q_label_centroids discipline); one aggregate over a HOF fold, no
+    shuffle beyond it."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").head()[0])
+    comp_sums = [
+        F.sum(
+            F.round(F.element_at("embedding", i + 1).cast("double") * 10000).cast(
+                "long"
+            )
+        ).alias(f"__c{i}")
+        for i in range(dim)
+    ]
+    sq = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    agg = emb.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(davg(F.sqrt(sq)), 6).alias("avg_norm"),
+        *comp_sums,
+    )
+    mean_norm_sq = None
+    for i in range(dim):
+        t = (F.col(f"__c{i}").cast("double") / 10000 / F.col("n_vecs")) * (
+            F.col(f"__c{i}").cast("double") / 10000 / F.col("n_vecs")
+        )
+        mean_norm_sq = t if mean_norm_sq is None else mean_norm_sq + t
+    norm_of_mean = F.round(F.sqrt(mean_norm_sq), 6)
+    return agg.select(
+        "n_vecs",
+        "avg_norm",
+        norm_of_mean.alias("norm_of_mean"),
+        F.round(norm_of_mean / F.col("avg_norm"), 6).alias("anisotropy_ratio"),
+    )

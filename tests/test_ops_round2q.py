@@ -680,3 +680,18 @@ def test_fulfillment_lag_ordered_percentiles(spark, sf_dir):
     assert len(out) == 5
     assert (out["p50_days"] <= out["p90_days"]).all()
     assert ((out["within_30d_rate"] >= 0) & (out["within_30d_rate"] <= 1)).all()
+
+
+def test_ingestion_drift_covers_cohorts(spark, sf_dir):
+    out = QUERIES["q_ingestion_drift"](spark, sf_dir).toPandas()
+    assert len(out) == 10
+    assert ((out["avg_quality"] >= 0) & (out["avg_quality"] <= 1)).all()
+    assert ((out["en_share"] >= 0) & (out["en_share"] <= 1)).all()
+
+
+def test_embedding_isotropy_bounds(spark, sf_dir):
+    r = QUERIES["q_embedding_isotropy"](spark, sf_dir).collect()[0]
+    assert r["n_vecs"] > 0
+    # the mean vector can never be longer than the average norm
+    assert 0 <= r["anisotropy_ratio"] <= 1.0 + 1e-9
+    assert r["avg_norm"] > 0
