@@ -8241,3 +8241,69 @@ SELECT cohort, COUNT(*) AS n_docs,
              / COUNT(len), 6) AS avg_chars
 FROM feats GROUP BY cohort ORDER BY cohort
 """
+
+ORACLES["q_exposure_fairness"] = """
+WITH tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> ''
+  GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), stats AS (
+  SELECT (SELECT SUM(tf) FROM tf) AS total_tf,
+         (SELECT COUNT(*) FROM documents) AS n_docs
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(LN(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * (1.0 - 0.75
+                                 + 0.75 * dl.dl / (s.total_tf * 1.0 / s.n_docs))),
+               6) AS score
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN dfreq ON tf.term = dfreq.term
+  CROSS JOIN stats s
+), queries AS (
+  SELECT doc_id AS query_id, text AS qtext FROM documents
+  WHERE doc_id IN (0, 7, 42)
+), qterms AS (
+  SELECT DISTINCT query_id, term
+  FROM (SELECT query_id, UNNEST(string_split(qtext, ' ')) AS term FROM queries)
+  WHERE term <> ''
+), totals AS (
+  SELECT q.query_id, s.doc_id,
+         ROUND(CAST(SUM(CAST(ROUND(s.score * 1000000) AS BIGINT)) AS DOUBLE)
+               / 1000000, 6) AS total_score
+  FROM scored s JOIN qterms q ON s.term = q.term
+  GROUP BY q.query_id, s.doc_id
+), hits AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id, ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY total_score DESC, doc_id ASC
+           ) AS rank
+    FROM totals
+  ) WHERE rank <= 20
+), labeled AS (
+  SELECT d.lang, ROUND(1.0 / log2(CAST(h.rank AS DOUBLE) + 1.0), 6) AS w
+  FROM hits h JOIN documents d USING (doc_id)
+), per AS (
+  SELECT lang, COUNT(*) AS n_results,
+         (CAST(SUM(CAST(ROUND(w * 1000000) AS BIGINT)) AS DOUBLE) / 1000000)
+           AS expo
+  FROM labeled GROUP BY lang
+), tot AS (
+  SELECT SUM(n_results) AS nt,
+         (CAST(SUM(CAST(ROUND(expo * 1000000) AS BIGINT)) AS DOUBLE) / 1000000)
+           AS et
+  FROM per
+)
+SELECT lang, n_results,
+       ROUND(expo, 6) AS exposure,
+       ROUND(CAST(n_results AS DOUBLE) / tot.nt, 6) AS result_share,
+       ROUND(expo / tot.et, 6) AS exposure_share
+FROM per CROSS JOIN tot
+ORDER BY lang
+"""

@@ -7518,3 +7518,47 @@ def q_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm_of_mean.alias("norm_of_mean"),
         F.round(norm_of_mean / F.col("avg_norm"), 6).alias("anisotropy_ratio"),
     )
+
+
+@q("q_exposure_fairness")
+def q_exposure_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exposure-based ranking fairness (Singh & Joachims, KDD 2018):
+    over the BM25 top-20 lists for three queries, each language group's
+    share of total exposure Σ 1/log2(rank+1) vs its share of retrieved
+    results — a group whose exposure share lags its result share is
+    systematically ranked low. Position weights are per-row shared-text
+    expressions; sums are fixed point. List-sized compute on top of the
+    already-oracled retrieval leg."""
+    from fortune_500_financial_insights_pipeline_spark.operators.tfidf import bm25_search
+
+    d = load_table(spark, sf_dir, "documents")
+    qids = [0, 7, 42]
+    queries = d.where(F.col("doc_id").isin(qids)).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("qtext")
+    )
+    hits = bm25_search(d, queries, k=20).select("query_id", "doc_id", "rank")
+    w = F.round(1.0 / F.log2(F.col("rank").cast("double") + 1.0), 6)
+    labeled = hits.join(d.select("doc_id", "lang"), "doc_id").select(
+        "lang", w.alias("__w")
+    )
+    per = labeled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_results"),
+        dsum("__w").alias("__exp"),
+    )
+    tot = per.agg(
+        F.sum("n_results").alias("__nt"),
+        dsum("__exp").alias("__et"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_results",
+            F.round(F.col("__exp"), 6).alias("exposure"),
+            F.round(
+                F.col("n_results").cast("double") / F.col("__nt"), 6
+            ).alias("result_share"),
+            F.round(F.col("__exp") / F.col("__et"), 6).alias("exposure_share"),
+        )
+        .orderBy("lang")
+    )

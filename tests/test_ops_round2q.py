@@ -695,3 +695,10 @@ def test_embedding_isotropy_bounds(spark, sf_dir):
     # the mean vector can never be longer than the average norm
     assert 0 <= r["anisotropy_ratio"] <= 1.0 + 1e-9
     assert r["avg_norm"] > 0
+
+
+def test_exposure_fairness_shares_sum_to_one(spark, sf_dir):
+    out = QUERIES["q_exposure_fairness"](spark, sf_dir).toPandas()
+    assert abs(out["result_share"].sum() - 1.0) < 1e-3
+    assert abs(out["exposure_share"].sum() - 1.0) < 1e-3
+    assert (out["exposure"] > 0).all()
