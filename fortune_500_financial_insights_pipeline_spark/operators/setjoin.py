@@ -37,6 +37,7 @@ def jaccard_pairs_exact(
     id_col: str = "doc_id",
     gram_col: str = "grams",
     threshold: float = 0.8,
+    return_similarity: bool = False,
 ) -> DataFrame:
     """(id_a, id_b) with id_a < id_b and Jaccard(grams_a, grams_b) >= t.
 
@@ -125,7 +126,12 @@ def jaccard_pairs_exact(
 
     inter = F.size(F.array_intersect("ga", "gb")).cast("double")
     union = F.size(F.array_union("ga", "gb")).cast("double")
-    return pairs.where(inter / union >= threshold).select("id_a", "id_b")
+    kept = pairs.where(inter / union >= threshold)
+    if return_similarity:
+        return kept.select(
+            "id_a", "id_b", F.round(inter / union, 6).alias("jac")
+        )
+    return kept.select("id_a", "id_b")
 
 
 def containment_scores(

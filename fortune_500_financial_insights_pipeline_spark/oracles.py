@@ -8307,3 +8307,34 @@ SELECT lang, n_results,
 FROM per CROSS JOIN tot
 ORDER BY lang
 """
+
+ORACLES["q_dedup_threshold_curve"] = """
+WITH g AS (
+  SELECT doc_id, UNNEST(list_distinct(
+           list_transform(range(1, len(l) - 1),
+                          x -> l[x] || ' ' || l[x+1] || ' ' || l[x+2])
+         )) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+), sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+inter AS (
+  SELECT ga.doc_id AS id_a, gb.doc_id AS id_b, COUNT(*) AS ninter
+  FROM g ga JOIN g gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT ROUND(CAST(i.ninter AS DOUBLE)
+               / (sa.n + sb.n - i.ninter), 6) AS jac
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter) >= 0.3
+), per AS (
+  SELECT LEAST(9, CAST(FLOOR(jac * 10) AS INTEGER)) AS band,
+         COUNT(*) AS n_pairs
+  FROM pairs GROUP BY 1
+)
+SELECT CAST(band AS DOUBLE) / 10 AS threshold, n_pairs,
+       CAST(SUM(n_pairs) OVER (ORDER BY band DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_pairs_at_or_above
+FROM per ORDER BY threshold
+"""

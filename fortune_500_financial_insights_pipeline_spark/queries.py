@@ -7562,3 +7562,38 @@ def q_exposure_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@q("q_dedup_threshold_curve")
+def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold-tuning curve: exact 3-gram Jaccard pairs at >= 0.3
+    (ONE prefix-filtered set-similarity pass — the thresholds are then
+    just filters over the pair list), bucketed into similarity bands
+    with cumulative pairs-at-or-above — the how-aggressive-can-I-dedup
+    readout that picks min_jaccard before q_jaccard_clusters runs.
+    Bands are floor(jac·10)/10 on round-6 values, shared text."""
+    from fortune_500_financial_insights_pipeline_spark.operators.setjoin import (
+        jaccard_pairs_exact,
+    )
+    from fortune_500_financial_insights_pipeline_spark.operators.text import word_ngrams
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs_exact(
+        d.select("doc_id", word_ngrams(F.col("text"), 3).alias("grams")),
+        threshold=0.3,
+        return_similarity=True,
+    )
+    band = F.least(F.lit(9), F.floor(F.col("jac") * 10).cast("int"))
+    per = pairs.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    wc = W.orderBy(F.desc("band")).rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        per.withColumn("cum_pairs_at_or_above", F.sum("n_pairs").over(wc).cast("long"))
+        .select(
+            (F.col("band").cast("double") / 10).alias("threshold"),
+            "n_pairs",
+            "cum_pairs_at_or_above",
+        )
+        .orderBy("threshold")
+    )

@@ -702,3 +702,13 @@ def test_exposure_fairness_shares_sum_to_one(spark, sf_dir):
     assert abs(out["result_share"].sum() - 1.0) < 1e-3
     assert abs(out["exposure_share"].sum() - 1.0) < 1e-3
     assert (out["exposure"] > 0).all()
+
+
+def test_dedup_threshold_curve_monotone(spark, sf_dir):
+    out = QUERIES["q_dedup_threshold_curve"](spark, sf_dir).toPandas()
+    assert len(out) >= 1
+    s = out.sort_values("threshold")
+    # cumulative counts fall (weakly) as the threshold rises
+    c = s["cum_pairs_at_or_above"].tolist()
+    assert all(a >= b for a, b in zip(c, c[1:]))
+    assert (s["threshold"] >= 0.3).all()
