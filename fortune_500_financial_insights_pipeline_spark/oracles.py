@@ -8338,3 +8338,57 @@ SELECT CAST(band AS DOUBLE) / 10 AS threshold, n_pairs,
          AS cum_pairs_at_or_above
 FROM per ORDER BY threshold
 """
+
+ORACLES["q_fk_orphans"] = """
+WITH e1 AS (
+  SELECT 'lineitem->orders' AS fk_edge, COUNT(*) AS n_child_rows,
+         CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_orphans
+  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+    ON l.l_orderkey = o.o_orderkey
+), e2 AS (
+  SELECT 'lineitem->part', COUNT(*),
+         CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+    ON l.l_partkey = p.p_partkey
+), e3 AS (
+  SELECT 'lineitem->supplier', COUNT(*),
+         CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem l LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s
+    ON l.l_suppkey = s.s_suppkey
+), e4 AS (
+  SELECT 'orders->customer', COUNT(*),
+         CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+    ON o.o_custkey = c.c_custkey
+), e5 AS (
+  SELECT 'customer->nation', COUNT(*),
+         CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+    ON c.c_nationkey = n.n_nationkey
+), e6 AS (
+  SELECT 'nation->region', COUNT(*),
+         CAST(SUM(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM nation n LEFT JOIN (SELECT DISTINCT r_regionkey FROM region) r
+    ON n.n_regionkey = r.r_regionkey
+), u AS (
+  SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3
+  UNION ALL SELECT * FROM e4 UNION ALL SELECT * FROM e5 UNION ALL SELECT * FROM e6
+)
+SELECT fk_edge, n_child_rows, n_orphans,
+       ROUND(CAST(n_orphans AS DOUBLE) / n_child_rows, 6) AS orphan_rate
+FROM u ORDER BY fk_edge
+"""
+
+ORACLES["q_duplicate_payments"] = """
+SELECT o_custkey, ROUND(o_totalprice, 2) AS amount,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+       COUNT(*) AS n_orders,
+       CAST(MIN(o_orderkey) AS BIGINT) AS first_orderkey,
+       CAST(MAX(o_orderkey) AS BIGINT) AS last_orderkey
+FROM orders
+GROUP BY o_custkey, ROUND(o_totalprice, 2),
+         strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')
+HAVING COUNT(*) >= 2
+ORDER BY o_custkey, amount, order_date
+"""

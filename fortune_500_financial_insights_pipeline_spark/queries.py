@@ -7597,3 +7597,75 @@ def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+@q("q_fk_orphans")
+def q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: for each
+    declared FK edge (lineitem→orders/part/supplier, orders→customer,
+    customer→nation, nation→region), child rows whose key finds no
+    parent — the orphan scan every warehouse load gate runs (the
+    reference trusts BigQuery autodetect and would ship orphans
+    silently). Six anti-join counts, one row per edge."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+
+    def edge(name, child, ckey, parent, pkey):
+        total = child.select(F.col(ckey).alias("__k"))
+        orphans = total.join(
+            parent.select(F.col(pkey).alias("__k")).distinct(), "__k", "left_anti"
+        )
+        t = total.agg(F.count(F.lit(1)).alias("n_child_rows"))
+        oo = orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+        return (
+            t.crossJoin(oo)
+            .select(
+                F.lit(name).alias("fk_edge"),
+                "n_child_rows",
+                "n_orphans",
+                F.round(
+                    F.col("n_orphans").cast("double") / F.col("n_child_rows"), 6
+                ).alias("orphan_rate"),
+            )
+        )
+
+    edges = [
+        edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+        edge("lineitem->part", li, "l_partkey", p, "p_partkey"),
+        edge("lineitem->supplier", li, "l_suppkey", s, "s_suppkey"),
+        edge("orders->customer", o, "o_custkey", c, "c_custkey"),
+        edge("customer->nation", c, "c_nationkey", n, "n_nationkey"),
+        edge("nation->region", n, "n_regionkey", r, "r_regionkey"),
+    ]
+    out = edges[0]
+    for e2 in edges[1:]:
+        out = out.unionByName(e2)
+    return out.orderBy("fk_edge")
+
+
+@q("q_duplicate_payments")
+def q_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment screen: orders sharing (customer, total, date) —
+    the classic AP audit for double-posted invoices (exact dedup catches
+    byte-identical rows; this catches re-keyed ones). One groupBy on the
+    candidate key, groups of >= 2 reported with their order-id span."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("amount"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_orderkey").alias("first_orderkey"),
+            F.max("o_orderkey").alias("last_orderkey"),
+        )
+        .where(F.col("n_orders") >= 2)
+        .orderBy("o_custkey", "amount", "order_date")
+    )

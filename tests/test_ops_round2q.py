@@ -712,3 +712,38 @@ def test_dedup_threshold_curve_monotone(spark, sf_dir):
     c = s["cum_pairs_at_or_above"].tolist()
     assert all(a >= b for a, b in zip(c, c[1:]))
     assert (s["threshold"] >= 0.3).all()
+
+
+def test_fk_orphans_clean_fixture(spark, sf_dir):
+    out = QUERIES["q_fk_orphans"](spark, sf_dir).toPandas()
+    assert len(out) == 6
+    # synthetic star schema is referentially intact
+    assert (out["n_orphans"] == 0).all()
+    assert (out["orphan_rate"] == 0.0).all()
+    assert (out["n_child_rows"] > 0).all()
+
+
+def test_duplicate_payments_detects_planted(spark, sf_dir):
+    """Fixture is clean (the query returns its true zero); the grouping
+    rule itself must flag a planted re-keyed double-post."""
+    out = QUERIES["q_duplicate_payments"](spark, sf_dir)
+    assert out.columns == [
+        "o_custkey", "amount", "order_date", "n_orders",
+        "first_orderkey", "last_orderkey",
+    ]
+    planted = spark.createDataFrame(
+        [(1, 7, 99.5, "1995-01-01"), (2, 7, 99.5, "1995-01-01"),
+         (3, 8, 50.0, "1995-01-02")],
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate string",
+    )
+    dup = (
+        planted.groupBy(
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("amount"),
+            F.col("o_orderdate").alias("order_date"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
+        .collect()
+    )
+    assert len(dup) == 1 and dup[0]["n_orders"] == 2
