@@ -8392,3 +8392,47 @@ GROUP BY o_custkey, ROUND(o_totalprice, 2),
 HAVING COUNT(*) >= 2
 ORDER BY o_custkey, amount, order_date
 """
+
+ORACLES["q_seasonality_index"] = f"""
+WITH daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS d,
+         ROUND({_dsum('l_extendedprice')}, 6) AS rev
+  FROM lineitem GROUP BY CAST(l_shipdate AS DATE)
+), per_m AS (
+  SELECT CAST(month(d) AS INTEGER) AS month, COUNT(*) AS n_days,
+         ROUND({_dsum('rev')} / COUNT(*), 6) AS avg_daily_rev
+  FROM daily GROUP BY month(d)
+), overall AS (
+  SELECT ROUND({_dsum('rev')} / COUNT(*), 6) AS o FROM daily
+)
+SELECT month, n_days, avg_daily_rev,
+       ROUND(avg_daily_rev / overall.o, 6) AS "index"
+FROM per_m CROSS JOIN overall
+ORDER BY month
+"""
+
+ORACLES["q_price_dispersion"] = f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         ROUND({_dsum('l_quantity')}, 6) AS q,
+         ROUND({_dsum('l_extendedprice')}, 6) AS rev
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), pu AS (
+  SELECT l_partkey, l_suppkey, q, rev, ROUND(rev / q, 6) AS unit FROM ps
+), per_part AS (
+  SELECT l_partkey, COUNT(*) AS n_suppliers,
+         ROUND({_dsum('q')}, 6) AS volume,
+         ROUND({_dsum('rev')}, 6) AS trev,
+         ROUND(MIN(unit), 6) AS min_unit_price
+  FROM pu GROUP BY l_partkey
+)
+SELECT l_partkey, n_suppliers, volume,
+       ROUND(trev / volume, 6) AS mean_unit_price,
+       min_unit_price,
+       ROUND((ROUND(trev / volume, 6) - min_unit_price) * volume, 6)
+         AS savings_potential
+FROM per_part
+WHERE n_suppliers >= 2
+ORDER BY savings_potential DESC, l_partkey ASC
+LIMIT 20
+"""

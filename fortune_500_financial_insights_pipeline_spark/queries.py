@@ -7669,3 +7669,67 @@ def q_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_orders") >= 2)
         .orderBy("o_custkey", "amount", "order_date")
     )
+
+
+@q("q_seasonality_index")
+def q_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month seasonality index: each month's average daily
+    revenue over the all-months average (index > 1 = seasonal high) —
+    the retail planning number q_seasonal_decompose's weekly phase view
+    doesn't give. Exact fixed-point interiors; 12-row output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").cast("date").alias("d")).agg(
+        F.round(dsum("l_extendedprice"), 6).alias("__rev")
+    )
+    per_m = daily.groupBy(F.month("d").alias("month")).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(davg("__rev"), 6).alias("avg_daily_rev"),
+    )
+    overall = daily.agg(F.round(davg("__rev"), 6).alias("__o"))
+    return (
+        per_m.crossJoin(F.broadcast(overall))
+        .select(
+            "month",
+            "n_days",
+            "avg_daily_rev",
+            F.round(F.col("avg_daily_rev") / F.col("__o"), 6).alias("index"),
+        )
+        .orderBy("month")
+    )
+
+
+@q("q_price_dispersion")
+def q_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Procurement price-dispersion screen: per part, the spread of unit
+    prices across suppliers (weighted mean vs minimum supplier mean) and
+    the savings potential = (mean − min)·volume — the same-part-priced-
+    differently opportunity list a sourcing team works top-down. Two
+    stacked aggregates (part×supplier, then part), TakeOrdered top-20."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(dsum("l_quantity"), 6).alias("__q"),
+        F.round(dsum("l_extendedprice"), 6).alias("__rev"),
+    ).withColumn("__unit", F.round(F.col("__rev") / F.col("__q"), 6))
+    per_part = ps.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.round(dsum("__q"), 6).alias("volume"),
+        F.round(dsum("__rev"), 6).alias("__trev"),
+        F.round(F.min("__unit"), 6).alias("min_unit_price"),
+    )
+    mean_unit = F.round(F.col("__trev") / F.col("volume"), 6)
+    savings = F.round(
+        (mean_unit - F.col("min_unit_price")) * F.col("volume"), 6
+    )
+    return (
+        per_part.where(F.col("n_suppliers") >= 2)
+        .select(
+            "l_partkey",
+            "n_suppliers",
+            "volume",
+            mean_unit.alias("mean_unit_price"),
+            "min_unit_price",
+            savings.alias("savings_potential"),
+        )
+        .orderBy(F.desc("savings_potential"), F.asc("l_partkey"))
+        .limit(20)
+    )

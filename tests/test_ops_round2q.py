@@ -747,3 +747,19 @@ def test_duplicate_payments_detects_planted(spark, sf_dir):
         .collect()
     )
     assert len(dup) == 1 and dup[0]["n_orders"] == 2
+
+
+def test_seasonality_index_averages_to_one(spark, sf_dir):
+    out = QUERIES["q_seasonality_index"](spark, sf_dir).toPandas()
+    assert len(out) == 12
+    # day-weighted mean of the index is ~1 by construction
+    w = (out["index"] * out["n_days"]).sum() / out["n_days"].sum()
+    assert abs(w - 1.0) < 0.01
+
+
+def test_price_dispersion_savings_nonnegative(spark, sf_dir):
+    out = QUERIES["q_price_dispersion"](spark, sf_dir).toPandas()
+    assert 0 < len(out) <= 20
+    assert (out["savings_potential"] >= 0).all()
+    assert (out["min_unit_price"] <= out["mean_unit_price"] + 1e-6).all()
+    assert (out["n_suppliers"] >= 2).all()
