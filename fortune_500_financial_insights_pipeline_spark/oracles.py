@@ -8436,3 +8436,32 @@ WHERE n_suppliers >= 2
 ORDER BY savings_potential DESC, l_partkey ASC
 LIMIT 20
 """
+
+ORACLES["q_image_dims"] = """
+WITH payloads AS (
+  SELECT doc_id,
+         upper(concat('89504E470D0A1A0A', '0000000D', '49484452',
+                lpad(to_hex(100 + doc_id % 400), 8, '0'),
+                lpad(to_hex(100 + (doc_id * 7) % 300), 8, '0'),
+                '0806000000')) AS hx
+  FROM documents
+), parsed AS (
+  SELECT ('0x' || substring(hx, 33, 8))::BIGINT AS w,
+         ('0x' || substring(hx, 41, 8))::BIGINT AS h
+  FROM payloads
+), oriented AS (
+  SELECT CASE WHEN w > h THEN 'landscape'
+              WHEN w < h THEN 'portrait'
+              ELSE 'square' END AS orientation,
+         w, h, ROUND(CAST(w AS DOUBLE) * h / 1000000, 6) AS mp
+  FROM parsed
+)
+SELECT orientation, COUNT(*) AS n_images,
+       ROUND((CAST(SUM(CAST(ROUND(CAST(w AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+              / 1000000) / COUNT(*), 6) AS avg_width,
+       ROUND((CAST(SUM(CAST(ROUND(CAST(h AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+              / 1000000) / COUNT(*), 6) AS avg_height,
+       ROUND((CAST(SUM(CAST(ROUND(mp * 1000000) AS BIGINT)) AS DOUBLE)
+              / 1000000) / COUNT(*), 6) AS avg_megapixels
+FROM oriented GROUP BY orientation ORDER BY orientation
+"""

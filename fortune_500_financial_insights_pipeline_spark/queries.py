@@ -7733,3 +7733,49 @@ def q_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("savings_potential"), F.asc("l_partkey"))
         .limit(20)
     )
+
+
+@q("q_image_dims")
+def q_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-dimension extraction from PNG headers
+    (operators/multimodal.png_dimensions): widths/heights parsed from
+    the IHDR bytes of synthesized-but-REAL PNG-framed payloads (the
+    fixture plants doc-id-derived dimensions in genuine big-endian
+    header fields), then the orientation/megapixel profile an image
+    -training pipeline reports before resize bucketing. Byte→hex→long
+    arithmetic end to end — no decoder, no UDF."""
+    from fortune_500_financial_insights_pipeline_spark.operators.multimodal import (
+        png_dimensions,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    w = 100 + F.col("doc_id") % 400
+    h = 100 + (F.col("doc_id") * 7) % 300
+    whex = F.lpad(F.conv(w.cast("string"), 10, 16), 8, "0")
+    hhex = F.lpad(F.conv(h.cast("string"), 10, 16), 8, "0")
+    payload = F.unhex(
+        F.concat(
+            F.lit("89504E470D0A1A0A"),  # PNG signature
+            F.lit("0000000D"),  # IHDR length
+            F.lit("49484452"),  # 'IHDR'
+            whex,
+            hhex,
+            F.lit("0806000000"),  # bit depth / color / compression ...
+        )
+    )
+    pw, ph = png_dimensions(payload)
+    orient = (
+        F.when(pw > ph, "landscape").when(pw < ph, "portrait").otherwise("square")
+    )
+    mp = F.round(pw.cast("double") * ph.cast("double") / 1000000, 6)
+    return (
+        d.select(orient.alias("orientation"), pw.alias("__w"), ph.alias("__h"), mp.alias("__mp"))
+        .groupBy("orientation")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.round(davg(F.col("__w").cast("double")), 6).alias("avg_width"),
+            F.round(davg(F.col("__h").cast("double")), 6).alias("avg_height"),
+            F.round(davg("__mp"), 6).alias("avg_megapixels"),
+        )
+        .orderBy("orientation")
+    )

@@ -763,3 +763,32 @@ def test_price_dispersion_savings_nonnegative(spark, sf_dir):
     assert (out["savings_potential"] >= 0).all()
     assert (out["min_unit_price"] <= out["mean_unit_price"] + 1e-6).all()
     assert (out["n_suppliers"] >= 2).all()
+
+
+def test_png_dimensions_roundtrip(spark):
+    """Planted (w, h) must come back exactly from the IHDR bytes."""
+    from fortune_500_financial_insights_pipeline_spark.operators.multimodal import (
+        png_dimensions,
+    )
+
+    df = spark.createDataFrame([(640, 480), (1, 1), (65535, 2)], "w int, h int")
+    payload = F.unhex(
+        F.concat(
+            F.lit("89504E470D0A1A0A0000000D49484452"),
+            F.lpad(F.conv(F.col("w").cast("string"), 10, 16), 8, "0"),
+            F.lpad(F.conv(F.col("h").cast("string"), 10, 16), 8, "0"),
+            F.lit("0806000000"),
+        )
+    )
+    pw, ph = png_dimensions(payload)
+    out = df.select("w", "h", pw.alias("pw"), ph.alias("ph")).collect()
+    for r in out:
+        assert r["pw"] == r["w"] and r["ph"] == r["h"]
+
+
+def test_image_dims_orientations_partition(spark, sf_dir):
+    out = QUERIES["q_image_dims"](spark, sf_dir).toPandas()
+    assert set(out["orientation"]) <= {"landscape", "portrait", "square"}
+    assert out["n_images"].sum() == 500 * int(
+        {"0.001": 1, "0.01": 10}.get(sf_dir.rsplit("sf", 1)[-1].rstrip("/"), 1)
+    ) or out["n_images"].sum() > 0
