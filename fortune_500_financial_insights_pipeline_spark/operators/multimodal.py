@@ -220,3 +220,25 @@ def png_dimensions(media: Column) -> tuple[Column, Column]:
     width = F.conv(F.substring(hx, 33, 8), 16, 10).cast("long")
     height = F.conv(F.substring(hx, 41, 8), 16, 10).cast("long")
     return width, height
+
+
+def _le32(hx: Column, pos: int) -> Column:
+    """Little-endian 32-bit field at 1-based hex offset ``pos`` — byte
+    order reversed by substring recombination, then one conv()."""
+    b = lambda i: F.substring(hx, pos + 2 * i, 2)  # noqa: E731
+    return F.conv(F.concat(b(3), b(2), b(1), b(0)), 16, 10).cast("long")
+
+
+def wav_meta(media: Column) -> tuple[Column, Column, Column]:
+    """(sample_rate, channels, data_bytes) from a canonical RIFF/WAVE
+    header — little-endian byte-level parsing with no audio library
+    (png_dimensions' big-endian discipline, mirrored for RIFF's byte
+    order). Canonical layout offsets: channels at byte 22, sample rate
+    at 24, data-chunk size at 40."""
+    hx = F.hex(media)
+    channels = F.conv(
+        F.concat(F.substring(hx, 47, 2), F.substring(hx, 45, 2)), 16, 10
+    ).cast("long")
+    rate = _le32(hx, 49)
+    data_bytes = _le32(hx, 81)
+    return rate, channels, data_bytes

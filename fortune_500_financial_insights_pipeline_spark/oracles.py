@@ -8465,3 +8465,35 @@ SELECT orientation, COUNT(*) AS n_images,
               / 1000000) / COUNT(*), 6) AS avg_megapixels
 FROM oriented GROUP BY orientation ORDER BY orientation
 """
+
+ORACLES["q_audio_meta"] = """
+WITH params AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN 8000
+              WHEN doc_id % 4 = 1 THEN 16000
+              WHEN doc_id % 4 = 2 THEN 44100
+              ELSE 48000 END AS sr,
+         1 + doc_id % 2 AS ch,
+         1 + doc_id % 30 AS secs
+  FROM documents
+), payloads AS (
+  -- the oracle parses the same canonical header fields; building and
+  -- re-reading little-endian hex is an identity on (sr, ch, bytes), so
+  -- the parse is mirrored arithmetically
+  SELECT sr AS sample_rate, ch,
+         CAST(sr * 2 * ch * secs AS BIGINT) AS data_bytes
+  FROM params
+), parsed AS (
+  SELECT sample_rate, ch,
+         ROUND(CAST(data_bytes AS DOUBLE)
+               / CAST(sample_rate * 2 * ch AS DOUBLE), 6) AS s
+  FROM payloads
+)
+SELECT CAST(sample_rate AS BIGINT) AS sample_rate, COUNT(*) AS n_files,
+       ROUND((CAST(SUM(CAST(ROUND(s * 1000000) AS BIGINT)) AS DOUBLE) / 1000000)
+             / 3600, 6) AS total_hours,
+       ROUND(quantile_cont(s, 0.5), 6) AS p50_seconds,
+       ROUND(CAST(SUM(CASE WHEN ch = 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS stereo_share
+FROM parsed GROUP BY sample_rate ORDER BY sample_rate
+"""

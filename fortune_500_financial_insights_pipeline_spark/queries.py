@@ -7779,3 +7779,64 @@ def q_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("orientation")
     )
+
+
+@q("q_audio_meta")
+def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio metadata extraction from WAV headers (operators/multimodal
+    .wav_meta): sample rate, channel count and exact duration
+    (data bytes / byte rate) parsed from little-endian RIFF fields of
+    synthesized-but-REAL canonical headers — then the per-sample-rate
+    hours/duration profile a speech-data pipeline reports before
+    resampling. Byte→hex→long arithmetic, no decoder, no UDF."""
+    from fortune_500_financial_insights_pipeline_spark.operators.multimodal import wav_meta
+
+    d = load_table(spark, sf_dir, "documents")
+    sr = (
+        F.when(F.col("doc_id") % 4 == 0, 8000)
+        .when(F.col("doc_id") % 4 == 1, 16000)
+        .when(F.col("doc_id") % 4 == 2, 44100)
+        .otherwise(48000)
+    )
+    ch = (1 + F.col("doc_id") % 2).cast("int")
+    secs = 1 + F.col("doc_id") % 30
+    data_bytes = (sr * 2 * ch * secs).cast("long")
+
+    def le32(col):
+        h = F.lpad(F.conv(col.cast("string"), 10, 16), 8, "0")
+        return F.concat(
+            F.substring(h, 7, 2), F.substring(h, 5, 2),
+            F.substring(h, 3, 2), F.substring(h, 1, 2),
+        )
+
+    def le16(col):
+        h = F.lpad(F.conv(col.cast("string"), 10, 16), 4, "0")
+        return F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))
+
+    payload = F.unhex(
+        F.concat(
+            F.lit("52494646"), le32(data_bytes + 36), F.lit("57415645"),
+            F.lit("666D7420"), F.lit("10000000"), F.lit("0100"),
+            le16(ch), le32(sr), le32(sr * 2 * ch), le16(ch * 2),
+            F.lit("1000"), F.lit("64617461"), le32(data_bytes),
+        )
+    )
+    prate, pch, pbytes = wav_meta(payload)
+    dur = F.round(
+        pbytes.cast("double") / (prate * 2 * pch).cast("double"), 6
+    )
+    return (
+        d.select(prate.alias("sample_rate"), pch.alias("__ch"), dur.alias("__s"))
+        .groupBy("sample_rate")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.round(dsum("__s") / 3600, 6).alias("total_hours"),
+            F.round(F.percentile("__s", F.lit(0.5)), 6).alias("p50_seconds"),
+            F.round(
+                F.sum(F.when(F.col("__ch") == 2, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("stereo_share"),
+        )
+        .orderBy("sample_rate")
+    )

@@ -792,3 +792,33 @@ def test_image_dims_orientations_partition(spark, sf_dir):
     assert out["n_images"].sum() == 500 * int(
         {"0.001": 1, "0.01": 10}.get(sf_dir.rsplit("sf", 1)[-1].rstrip("/"), 1)
     ) or out["n_images"].sum() > 0
+
+
+def test_wav_meta_roundtrip(spark):
+    """Planted (rate, channels, bytes) must come back exactly from real
+    little-endian RIFF header bytes."""
+    from fortune_500_financial_insights_pipeline_spark.operators.multimodal import wav_meta
+    import struct
+
+    rows = [(44100, 2, 44100 * 4 * 3), (8000, 1, 8000 * 2 * 10)]
+    payloads = []
+    for sr, ch, nb in rows:
+        hdr = (
+            b"RIFF" + struct.pack("<I", nb + 36) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + struct.pack("<H", 1)
+            + struct.pack("<H", ch) + struct.pack("<I", sr)
+            + struct.pack("<I", sr * 2 * ch) + struct.pack("<H", ch * 2)
+            + struct.pack("<H", 16) + b"data" + struct.pack("<I", nb)
+        )
+        payloads.append((sr, ch, nb, bytearray(hdr)))
+    df = spark.createDataFrame(payloads, "sr int, ch int, nb long, media binary")
+    r, c, b = wav_meta(F.col("media"))
+    for row in df.select("sr", "ch", "nb", r.alias("pr"), c.alias("pc"), b.alias("pb")).collect():
+        assert (row["pr"], row["pc"], row["pb"]) == (row["sr"], row["ch"], row["nb"])
+
+
+def test_audio_meta_profile(spark, sf_dir):
+    out = QUERIES["q_audio_meta"](spark, sf_dir).toPandas()
+    assert set(out["sample_rate"]) == {8000, 16000, 44100, 48000}
+    assert (out["total_hours"] > 0).all()
+    assert ((out["stereo_share"] >= 0) & (out["stereo_share"] <= 1)).all()
