@@ -242,3 +242,23 @@ def wav_meta(media: Column) -> tuple[Column, Column, Column]:
     rate = _le32(hx, 49)
     data_bytes = _le32(hx, 81)
     return rate, channels, data_bytes
+
+
+def mp4_meta(media: Column) -> tuple[Column, Column, Column]:
+    """(brand, timescale, duration_ticks) from a canonical MP4 layout
+    (16-byte ftyp box followed by moov/mvhd v0): major brand at byte 9,
+    mvhd timescale/duration big-endian at bytes 45/49 — video metadata
+    without a demuxer, completing the image (png_dimensions) / audio
+    (wav_meta) / video byte-parsing triad. Seconds = duration_ticks /
+    timescale, computed by the caller."""
+    hx = F.hex(media)
+    brand_hex = F.substring(hx, 17, 8)
+    brand = (
+        F.when(brand_hex == "69736F6D", "isom")
+        .when(brand_hex == "6D703432", "mp42")
+        .when(brand_hex == "71742020", "qt")
+        .otherwise("other")
+    )
+    timescale = F.conv(F.substring(hx, 89, 8), 16, 10).cast("long")
+    duration = F.conv(F.substring(hx, 97, 8), 16, 10).cast("long")
+    return brand, timescale, duration

@@ -8497,3 +8497,23 @@ SELECT CAST(sample_rate AS BIGINT) AS sample_rate, COUNT(*) AS n_files,
              / COUNT(*), 6) AS stereo_share
 FROM parsed GROUP BY sample_rate ORDER BY sample_rate
 """
+
+ORACLES["q_video_meta"] = """
+WITH params AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'isom'
+              WHEN doc_id % 3 = 1 THEN 'mp42'
+              ELSE 'qt' END AS brand,
+         600 AS ts,
+         CAST(600 * (5 + doc_id % 120) AS BIGINT) AS ticks
+  FROM documents
+), parsed AS (
+  SELECT brand, ROUND(CAST(ticks AS DOUBLE) / CAST(ts AS DOUBLE), 6) AS s
+  FROM params
+)
+SELECT brand, COUNT(*) AS n_clips,
+       ROUND((CAST(SUM(CAST(ROUND(s * 1000000) AS BIGINT)) AS DOUBLE) / 1000000)
+             / 3600, 6) AS total_hours,
+       ROUND(quantile_cont(s, 0.5), 6) AS p50_seconds
+FROM parsed GROUP BY brand ORDER BY brand
+"""

@@ -7840,3 +7840,49 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sample_rate")
     )
+
+
+@q("q_video_meta")
+def q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video metadata from MP4 ftyp/mvhd boxes (operators/multimodal
+    .mp4_meta): major brand plus big-endian timescale/duration parsed
+    from canonical synthesized headers — per-brand clip counts, total
+    hours and p50 clip seconds, the video-corpus profile before
+    frame-sampling budgets are set. Completes the byte-level
+    image/audio/video metadata triad; no demuxer, no UDF."""
+    from fortune_500_financial_insights_pipeline_spark.operators.multimodal import mp4_meta
+
+    d = load_table(spark, sf_dir, "documents")
+    brand_hex = (
+        F.when(F.col("doc_id") % 3 == 0, "69736F6D")
+        .when(F.col("doc_id") % 3 == 1, "6D703432")
+        .otherwise("71742020")
+    )
+    timescale = F.lit(600)
+    ticks = (600 * (5 + F.col("doc_id") % 120)).cast("long")  # 5..124 s clips
+
+    def be32(col):
+        return F.lpad(F.conv(col.cast("string"), 10, 16), 8, "0")
+
+    payload = F.unhex(
+        F.concat(
+            F.lit("00000010"), F.lit("66747970"), brand_hex, F.lit("00000000"),
+            F.lit("00000074"), F.lit("6D6F6F76"),
+            F.lit("0000006C"), F.lit("6D766864"),
+            F.lit("00000000"),  # version/flags
+            F.lit("00000000"), F.lit("00000000"),  # ctime/mtime
+            be32(timescale), be32(ticks),
+        )
+    )
+    brand, ts, dur = mp4_meta(payload)
+    secs = F.round(dur.cast("double") / ts.cast("double"), 6)
+    return (
+        d.select(brand.alias("brand"), secs.alias("__s"))
+        .groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.round(dsum("__s") / 3600, 6).alias("total_hours"),
+            F.round(F.percentile("__s", F.lit(0.5)), 6).alias("p50_seconds"),
+        )
+        .orderBy("brand")
+    )

@@ -822,3 +822,35 @@ def test_audio_meta_profile(spark, sf_dir):
     assert set(out["sample_rate"]) == {8000, 16000, 44100, 48000}
     assert (out["total_hours"] > 0).all()
     assert ((out["stereo_share"] >= 0) & (out["stereo_share"] <= 1)).all()
+
+
+def test_mp4_meta_roundtrip(spark):
+    """Planted (brand, timescale, ticks) recovered from real box bytes."""
+    import struct
+
+    from fortune_500_financial_insights_pipeline_spark.operators.multimodal import mp4_meta
+
+    def clip(brand, ts, ticks):
+        ftyp = struct.pack(">I", 16) + b"ftyp" + brand + struct.pack(">I", 0)
+        mvhd = (
+            struct.pack(">I", 0x6C) + b"mvhd" + b"\x00" * 4
+            + struct.pack(">I", 0) + struct.pack(">I", 0)
+            + struct.pack(">I", ts) + struct.pack(">I", ticks)
+        )
+        moov = struct.pack(">I", 0x74) + b"moov" + mvhd
+        return bytearray(ftyp + moov)
+
+    rows = [("isom", 600, 3000), ("mp42", 90000, 90000 * 7)]
+    df = spark.createDataFrame(
+        [(b, t, k, clip(b.encode().ljust(4), t, k)) for b, t, k in rows],
+        "brand string, ts long, ticks long, media binary",
+    )
+    br, ts, dur = mp4_meta(F.col("media"))
+    for r in df.select("brand", "ts", "ticks", br.alias("pb"), ts.alias("pt"), dur.alias("pd")).collect():
+        assert (r["pb"], r["pt"], r["pd"]) == (r["brand"], r["ts"], r["ticks"])
+
+
+def test_video_meta_profile(spark, sf_dir):
+    out = QUERIES["q_video_meta"](spark, sf_dir).toPandas()
+    assert set(out["brand"]) == {"isom", "mp42", "qt"}
+    assert (out["total_hours"] > 0).all()
