@@ -8517,3 +8517,41 @@ SELECT brand, COUNT(*) AS n_clips,
        ROUND(quantile_cont(s, 0.5), 6) AS p50_seconds
 FROM parsed GROUP BY brand ORDER BY brand
 """
+
+ORACLES["q_script_mismatch"] = """
+WITH feats AS (
+  SELECT lang,
+         ROUND((CAST(length(text) AS DOUBLE)
+                - CAST(length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g'))
+                       AS DOUBLE))
+               / CAST(length(text) AS DOUBLE), 6) AS a
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND((CAST(SUM(CAST(ROUND(a * 1000000) AS BIGINT)) AS DOUBLE) / 1000000)
+             / COUNT(a), 6) AS avg_ascii_share,
+       CAST(SUM(CASE WHEN a >= 0.999999 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pure_ascii
+FROM feats GROUP BY lang ORDER BY lang
+"""
+
+ORACLES["q_below_list_price"] = f"""
+WITH j AS (
+  SELECT p.p_brand,
+         CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) / l.l_quantity
+                    * 1000000 + 0.5) AS BIGINT) AS u6,
+         CAST(FLOOR(p.p_retailprice * 1000000 + 0.5) AS BIGINT) AS l6,
+         l.l_quantity AS q
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+)
+SELECT p_brand, COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN u6 < l6 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_below_list,
+       ROUND(CAST(SUM(CASE WHEN u6 < l6 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS below_list_rate,
+       ROUND(CAST(SUM(CASE WHEN u6 < l6
+                      THEN (l6 - u6) * CAST(q AS BIGINT)
+                      ELSE 0 END) AS DOUBLE) / 1000000, 6)
+         AS revenue_leakage
+FROM j GROUP BY p_brand ORDER BY p_brand
+"""

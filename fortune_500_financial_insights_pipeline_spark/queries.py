@@ -7886,3 +7886,80 @@ def q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+@q("q_script_mismatch")
+def q_script_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-label vs script QA: per language tag, the ASCII character
+    share and how many docs are pure-ASCII — a 'zh' corpus that is 100%
+    ASCII is mislabeled (the label-vs-content check q_langid_confusion
+    runs against the classifier; this runs against the raw script).
+    Non-ASCII counting is one portable regexp_replace length diff."""
+    d = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text").cast("double")
+    n_non_ascii = F.length(
+        F.regexp_replace(F.col("text"), r"[\x00-\x7F]", "")
+    ).cast("double")
+    ascii_share = F.round((n_chars - n_non_ascii) / n_chars, 6)
+    return (
+        d.select("lang", ascii_share.alias("__a"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(davg("__a"), 6).alias("avg_ascii_share"),
+            F.sum(F.when(F.col("__a") >= 0.999999, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pure_ascii"),
+        )
+        .orderBy("lang")
+    )
+
+
+@q("q_below_list_price")
+def q_below_list_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-leakage analysis: per brand, the share of lines whose
+    effective unit price (extendedprice·(1−discount)/quantity) falls
+    below the part's list price, and the revenue leakage
+    Σ (list − unit)·qty over those lines — the discount-discipline
+    readout revenue management works from. One broadcast-joinable part
+    dim, exact fixed-point leakage sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", F.col("p_retailprice").alias("__list")
+    )
+    # FLOOR-based micro-unit fixed point (the q_window_pct lesson): the
+    # raw unit price lands exactly on .5 micro-unit midpoints for many
+    # rows, where Spark's decimal HALF_UP and DuckDB's binary rounding
+    # disagree — floor(x·1e6 + 0.5) is pure IEEE arithmetic and therefore
+    # bit-identical on both engines
+    unit6 = F.floor(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        / F.col("l_quantity")
+        * 1000000
+        + 0.5
+    ).cast("long")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_brand",
+        unit6.alias("__u6"),
+        F.floor(F.col("__list") * 1000000 + 0.5).cast("long").alias("__l6"),
+        F.col("l_quantity").alias("__q"),
+    )
+    below = F.col("__u6") < F.col("__l6")
+    leak_u = F.when(
+        below, (F.col("__l6") - F.col("__u6")) * F.col("__q").cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        j.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(below.cast("int")).cast("long").alias("n_below_list"),
+            F.round(
+                F.sum(below.cast("int")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("below_list_rate"),
+            F.round(F.sum(leak_u).cast("double") / 1000000, 6).alias(
+                "revenue_leakage"
+            ),
+        )
+        .orderBy("p_brand")
+    )

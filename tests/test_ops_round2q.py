@@ -854,3 +854,17 @@ def test_video_meta_profile(spark, sf_dir):
     out = QUERIES["q_video_meta"](spark, sf_dir).toPandas()
     assert set(out["brand"]) == {"isom", "mp42", "qt"}
     assert (out["total_hours"] > 0).all()
+
+
+def test_script_mismatch_latin_langs_ascii(spark, sf_dir):
+    out = QUERIES["q_script_mismatch"](spark, sf_dir).toPandas()
+    assert len(out) == 5
+    assert ((out["avg_ascii_share"] >= 0) & (out["avg_ascii_share"] <= 1)).all()
+
+
+def test_below_list_price_rates_bounded(spark, sf_dir):
+    out = QUERIES["q_below_list_price"](spark, sf_dir).toPandas()
+    assert len(out) == 25  # TPC-H brand count
+    assert ((out["below_list_rate"] >= 0) & (out["below_list_rate"] <= 1)).all()
+    assert (out["revenue_leakage"] >= 0).all()
+    assert (out["n_below_list"] <= out["n_lines"]).all()
