@@ -8555,3 +8555,63 @@ SELECT p_brand, COUNT(*) AS n_lines,
          AS revenue_leakage
 FROM j GROUP BY p_brand ORDER BY p_brand
 """
+
+ORACLES["q_lsh_s_curve"] = """
+WITH g AS (
+  SELECT doc_id, UNNEST(list_distinct(
+           list_transform(range(1, len(l) - 1),
+                          x -> l[x] || ' ' || l[x+1] || ' ' || l[x+2])
+         )) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+),
+h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(gram), 1, 15))::BIGINT AS u1,
+         ('0x' || substr(md5(gram), 17, 15))::BIGINT % 72057594037927936 AS u2
+  FROM g
+),
+sig AS (
+  SELECT doc_id, t.i, MIN((u1 + t.i * u2) % 1152921504606846976) AS v
+  FROM h CROSS JOIN (SELECT UNNEST(range(0, 16)) AS i) t
+  GROUP BY doc_id, t.i
+),
+bandk AS (
+  SELECT doc_id, CAST(i // 4 AS BIGINT) AS band,
+         string_agg(CAST(v AS VARCHAR), '_' ORDER BY i) AS key
+  FROM sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandk a
+  JOIN bandk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+inter AS (
+  SELECT ga.doc_id AS id_a, gb.doc_id AS id_b, COUNT(*) AS ninter
+  FROM g ga JOIN g gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT i.id_a, i.id_b,
+         ROUND(CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter), 6) AS jac
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter) >= 0.3
+),
+j AS (
+  SELECT t.jac, CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM truth t LEFT JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+),
+per AS (
+  SELECT LEAST(9, CAST(FLOOR(jac * 10) AS INTEGER)) AS band,
+         COUNT(*) AS n_true,
+         CAST(SUM(hit) AS BIGINT) AS n_caught
+  FROM j GROUP BY 1
+)
+SELECT CAST(band AS DOUBLE) / 10 AS jac_band, n_true, n_caught,
+       ROUND(CAST(n_caught AS DOUBLE) / n_true, 6) AS observed_rate,
+       list_extract([2.5e-05, 0.002023, 0.015534, 0.058687, 0.154209, 0.318779, 0.544575, 0.78163, 0.947798, 0.998816], band + 1) AS theoretical_rate
+FROM per ORDER BY jac_band
+"""

@@ -7963,3 +7963,54 @@ def q_below_list_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@q("q_lsh_s_curve")
+def q_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH banding S-curve, measured: per true-Jaccard band (exact
+    pairs ≥ 0.3 from the set-similarity join), the observed capture rate
+    of 16-hash/4-band MinHash banding next to the theoretical
+    1 − (1 − j^r)^b at the band midpoint (embedded as shared literals) —
+    the gauge that closes the loop on q_lsh_precision/q_lsh_recall: if
+    observed tracks theory, the hash family is behaving; if not, the
+    banding is broken, not the corpus."""
+    from fortune_500_financial_insights_pipeline_spark.operators.minhash import (
+        minhash_neardup_pairs_portable,
+    )
+    from fortune_500_financial_insights_pipeline_spark.operators.setjoin import (
+        jaccard_pairs_exact,
+    )
+    from fortune_500_financial_insights_pipeline_spark.operators.text import word_ngrams
+
+    d = load_table(spark, sf_dir, "documents")
+    truth = jaccard_pairs_exact(
+        d.select("doc_id", word_ngrams(F.col("text"), 3).alias("grams")),
+        threshold=0.3,
+        return_similarity=True,
+    )
+    cand = minhash_neardup_pairs_portable(
+        d, id_col="doc_id", text_col="text", n_hashes=16, bands=4, min_jaccard=0.0
+    ).select("id_a", "id_b", F.lit(1).alias("__hit"))
+    j = truth.join(cand, ["id_a", "id_b"], "left")
+    band = F.least(F.lit(9), F.floor(F.col("jac") * 10).cast("int"))
+    # theoretical capture 1-(1-j^4)^4 at band midpoints, Python-computed
+    theo = [
+        round(1 - (1 - ((b + 0.5) / 10) ** 4) ** 4, 6) for b in range(10)
+    ]
+    tarr = F.array(*[F.lit(t) for t in theo])
+    per = (
+        j.groupBy(band.alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_caught"),
+        )
+    )
+    return per.select(
+        (F.col("band").cast("double") / 10).alias("jac_band"),
+        "n_true",
+        "n_caught",
+        F.round(F.col("n_caught").cast("double") / F.col("n_true"), 6).alias(
+            "observed_rate"
+        ),
+        F.element_at(tarr, F.col("band") + 1).alias("theoretical_rate"),
+    ).orderBy("jac_band")

@@ -868,3 +868,12 @@ def test_below_list_price_rates_bounded(spark, sf_dir):
     assert ((out["below_list_rate"] >= 0) & (out["below_list_rate"] <= 1)).all()
     assert (out["revenue_leakage"] >= 0).all()
     assert (out["n_below_list"] <= out["n_lines"]).all()
+
+
+def test_lsh_s_curve_monotone_theory(spark, sf_dir):
+    out = QUERIES["q_lsh_s_curve"](spark, sf_dir).toPandas().sort_values("jac_band")
+    # theoretical capture rises with similarity; observed stays in [0,1]
+    t = out["theoretical_rate"].tolist()
+    assert all(a <= b for a, b in zip(t, t[1:]))
+    assert ((out["observed_rate"] >= 0) & (out["observed_rate"] <= 1)).all()
+    assert (out["n_caught"] <= out["n_true"]).all()
