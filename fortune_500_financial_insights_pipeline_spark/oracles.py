@@ -8615,3 +8615,32 @@ SELECT CAST(band AS DOUBLE) / 10 AS jac_band, n_true, n_caught,
        list_extract([2.5e-05, 0.002023, 0.015534, 0.058687, 0.154209, 0.318779, 0.544575, 0.78163, 0.947798, 0.998816], band + 1) AS theoretical_rate
 FROM per ORDER BY jac_band
 """
+
+ORACLES["q_window_distinct"] = """
+WITH ranked AS (
+  SELECT l_suppkey,
+         len(list_distinct(array_agg(l_partkey) OVER w)) AS distinct_parts_20,
+         ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                            ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn,
+         COUNT(*) OVER (PARTITION BY l_suppkey) AS mx
+  FROM lineitem
+  WHERE l_suppkey <= 10
+  WINDOW w AS (PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT l_suppkey, CAST(rn AS BIGINT) AS seq,
+       CAST(distinct_parts_20 AS BIGINT) AS distinct_parts_20
+FROM ranked WHERE rn > mx - 5
+ORDER BY l_suppkey, seq
+"""
+
+ORACLES["q_grouping_id"] = """
+SELECT r_name, n_name, COUNT(*) AS n_cust,
+       CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS level_id
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY level_id, r_name, n_name
+"""

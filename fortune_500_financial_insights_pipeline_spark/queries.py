@@ -8014,3 +8014,61 @@ def q_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.element_at(tarr, F.col("band") + 1).alias("theoretical_rate"),
     ).orderBy("jac_band")
+
+
+@q("q_window_distinct")
+def q_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding distinct count — the window aggregate Spark has no native
+    form for (COUNT(DISTINCT) OVER is unsupported): per supplier, the
+    distinct parts shipped in the trailing 20 rows, via
+    size(array_distinct(collect_list)) over the bounded frame. Correct
+    exactly BECAUSE the frame is bounded (20 values per row — never a
+    whole-partition array); the unbounded form belongs to KMV. Reported
+    at each supplier's last 5 rows to keep output stable."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_suppkey") <= 10)
+    w = W.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    wf = w.rowsBetween(-19, 0)
+    ranked = (
+        li.select("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "l_partkey")
+        .withColumn(
+            "distinct_parts_20",
+            F.size(F.array_distinct(F.collect_list("l_partkey").over(wf))),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__mx", F.max("__rn").over(W.partitionBy("l_suppkey")))
+    )
+    return (
+        ranked.where(F.col("__rn") > F.col("__mx") - 5)
+        .select(
+            "l_suppkey",
+            F.col("__rn").cast("long").alias("seq"),
+            F.col("distinct_parts_20").cast("long").alias("distinct_parts_20"),
+        )
+        .orderBy("l_suppkey", "seq")
+    )
+
+
+@q("q_grouping_id")
+def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING_ID level labels: the subtotal-level
+    discriminator that lets one result frame serve detail rows,
+    per-region subtotals and the grand total without NULL ambiguity
+    (a NULL group key from data vs from rollup are different things —
+    grouping_id tells them apart). Completes the A4 grouping-sets
+    surface."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.grouping_id().cast("long").alias("level_id"),
+        )
+        .orderBy("level_id", "r_name", "n_name")
+    )

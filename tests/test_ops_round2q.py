@@ -877,3 +877,18 @@ def test_lsh_s_curve_monotone_theory(spark, sf_dir):
     assert all(a <= b for a, b in zip(t, t[1:]))
     assert ((out["observed_rate"] >= 0) & (out["observed_rate"] <= 1)).all()
     assert (out["n_caught"] <= out["n_true"]).all()
+
+
+def test_window_distinct_bounded(spark, sf_dir):
+    out = QUERIES["q_window_distinct"](spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert ((out["distinct_parts_20"] >= 1) & (out["distinct_parts_20"] <= 20)).all()
+
+
+def test_grouping_id_levels(spark, sf_dir):
+    out = QUERIES["q_grouping_id"](spark, sf_dir).toPandas()
+    # detail rows (0), per-region subtotals (1), grand total (3)
+    assert set(out["level_id"]) == {0, 1, 3}
+    grand = out[out["level_id"] == 3]
+    assert len(grand) == 1
+    assert grand.iloc[0]["n_cust"] == out[out["level_id"] == 0]["n_cust"].sum()
