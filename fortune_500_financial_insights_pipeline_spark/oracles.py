@@ -8644,3 +8644,56 @@ JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP (r_name, n_name)
 ORDER BY level_id, r_name, n_name
 """
+
+ORACLES["q_collocations"] = """
+WITH toks AS (SELECT string_split(text, ' ') AS l FROM documents),
+uni AS (
+  SELECT w, COUNT(*) AS uf
+  FROM (SELECT UNNEST(l) AS w FROM toks) WHERE w <> ''
+  GROUP BY w
+), n_uni AS (SELECT SUM(uf) AS nu FROM uni),
+bi AS (
+  SELECT g, COUNT(*) AS bf
+  FROM (SELECT UNNEST(list_transform(range(1, len(l)),
+                                     x -> l[x] || ' ' || l[x+1])) AS g
+        FROM toks)
+  GROUP BY g HAVING COUNT(*) >= 5
+), n_bi AS (SELECT SUM(bf) AS nb FROM bi),
+scored AS (
+  SELECT b.g AS bigram, b.bf AS n_pair,
+         ROUND(log2((CAST(b.bf AS DOUBLE) / n_bi.nb)
+                    / ((CAST(u1.uf AS DOUBLE) / n_uni.nu)
+                       * (CAST(u2.uf AS DOUBLE) / n_uni.nu))), 6) AS pmi
+  FROM bi b
+  JOIN uni u1 ON u1.w = string_split(b.g, ' ')[1]
+  JOIN uni u2 ON u2.w = string_split(b.g, ' ')[2]
+  CROSS JOIN n_bi CROSS JOIN n_uni
+)
+SELECT bigram, n_pair, pmi FROM scored
+ORDER BY pmi DESC, bigram ASC
+LIMIT 20
+"""
+
+ORACLES["q_overdispersion"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), m AS (
+  SELECT event_type, COUNT(*) AS n_days,
+         SUM(n) AS s, SUM(n * n) AS ss
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+       ROUND(CAST(s AS DOUBLE) / n_days, 6) AS mean_daily,
+       ROUND(CAST(ss AS DOUBLE) / n_days
+             - (CAST(s AS DOUBLE) / n_days) * (CAST(s AS DOUBLE) / n_days), 6)
+         AS var_daily,
+       ROUND((CAST(ss AS DOUBLE) / n_days
+              - (CAST(s AS DOUBLE) / n_days) * (CAST(s AS DOUBLE) / n_days))
+             / (CAST(s AS DOUBLE) / n_days), 6) AS fano,
+       CAST(CASE WHEN (CAST(ss AS DOUBLE) / n_days
+                       - (CAST(s AS DOUBLE) / n_days) * (CAST(s AS DOUBLE) / n_days))
+                      / (CAST(s AS DOUBLE) / n_days) > 1.5
+                 THEN 1 ELSE 0 END AS INTEGER) AS overdispersed
+FROM m ORDER BY event_type
+"""

@@ -8072,3 +8072,88 @@ def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level_id", "r_name", "n_name")
     )
+
+
+@q("q_collocations")
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information: bigrams with
+    PMI = log2(p(ab) / (p(a)·p(b))) over corpus counts (min bigram count
+    5 — PMI's rare-pair pathology cut), top-20 — the multiword-
+    expression detector a tokenizer-merge or phrase-index build starts
+    from. Exact count ratios into one shared-text log2; vocabulary-sized
+    frames after the gram count."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.split("text", " ").alias("__tk"))
+    uni = (
+        toks.select(F.explode("__tk").alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("uf"))
+    )
+    n_uni = uni.agg(F.sum("uf").alias("__nu"))
+    from fortune_500_financial_insights_pipeline_spark.operators.text import word_ngrams_all
+
+    bi = (
+        d.select(F.explode(word_ngrams_all(F.col("text"), 2)).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("bf"))
+        .where(F.col("bf") >= 5)
+    )
+    n_bi = bi.agg(F.sum("bf").alias("__nb"))
+    w1 = F.element_at(F.split("g", " "), 1)
+    w2 = F.element_at(F.split("g", " "), 2)
+    ua = uni.select(F.col("w").alias("__w1"), F.col("uf").alias("__f1"))
+    ub = uni.select(F.col("w").alias("__w2"), F.col("uf").alias("__f2"))
+    scored = (
+        bi.withColumn("__w1", w1)
+        .withColumn("__w2", w2)
+        .join(ua, "__w1")
+        .join(ub, "__w2")
+        .crossJoin(F.broadcast(n_bi))
+        .crossJoin(F.broadcast(n_uni))
+        .select(
+            F.col("g").alias("bigram"),
+            F.col("bf").alias("n_pair"),
+            F.round(
+                F.log2(
+                    (F.col("bf").cast("double") / F.col("__nb"))
+                    / (
+                        (F.col("__f1").cast("double") / F.col("__nu"))
+                        * (F.col("__f2").cast("double") / F.col("__nu"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("bigram")).limit(20)
+
+
+@q("q_overdispersion")
+def q_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdispersion check behind q_control_chart: the Fano factor
+    (variance/mean of daily counts) per event type — Poisson traffic has
+    Fano ≈ 1, bursty arrivals >> 1, and c-chart limits are only valid
+    in the first regime. Exact integer daily counts, population variance
+    from exact moments."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n").alias("__s"),
+        F.sum(F.col("n") * F.col("n")).alias("__ss"),
+    )
+    nn = F.col("n_days").cast("double")
+    mean = F.col("__s").cast("double") / nn
+    var = F.col("__ss").cast("double") / nn - mean * mean
+    fano = var / mean
+    return m.select(
+        "event_type",
+        "n_days",
+        F.round(mean, 6).alias("mean_daily"),
+        F.round(var, 6).alias("var_daily"),
+        F.round(fano, 6).alias("fano"),
+        (fano > 1.5).cast("int").alias("overdispersed"),
+    ).orderBy("event_type")

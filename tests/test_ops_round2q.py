@@ -892,3 +892,19 @@ def test_grouping_id_levels(spark, sf_dir):
     grand = out[out["level_id"] == 3]
     assert len(grand) == 1
     assert grand.iloc[0]["n_cust"] == out[out["level_id"] == 0]["n_cust"].sum()
+
+
+def test_collocations_min_count_and_finite(spark, sf_dir):
+    import math
+
+    out = QUERIES["q_collocations"](spark, sf_dir).toPandas()
+    assert 0 < len(out) <= 20
+    assert (out["n_pair"] >= 5).all()
+    assert out["pmi"].map(math.isfinite).all()
+
+
+def test_overdispersion_fano_positive(spark, sf_dir):
+    out = QUERIES["q_overdispersion"](spark, sf_dir).toPandas()
+    assert len(out) == 5
+    assert (out["fano"] > 0).all()
+    assert (out["mean_daily"] > 0).all()
