@@ -8697,3 +8697,21 @@ SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
                  THEN 1 ELSE 0 END AS INTEGER) AS overdispersed
 FROM m ORDER BY event_type
 """
+
+ORACLES["q_dp_release"] = """
+WITH per AS (
+  SELECT c_nationkey, COUNT(*) AS true_count
+  FROM customer GROUP BY c_nationkey
+), noised AS (
+  SELECT c_nationkey, true_count,
+         ('0x' || substr(md5(concat('dp|', CAST(c_nationkey AS VARCHAR))), 1, 15))::BIGINT
+           / CAST(1152921504606846976 AS DOUBLE) - 0.5 AS centered
+  FROM per
+)
+SELECT c_nationkey, true_count,
+       ROUND(-1.0 * SIGN(centered) * LN(1.0 - 2.0 * ABS(centered)), 6) AS noise,
+       ROUND(true_count
+             + ROUND(-1.0 * SIGN(centered) * LN(1.0 - 2.0 * ABS(centered)), 6), 6)
+         AS released_count
+FROM noised ORDER BY c_nationkey
+"""

@@ -8157,3 +8157,34 @@ def q_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(fano, 6).alias("fano"),
         (fano > 1.5).cast("int").alias("overdispersed"),
     ).orderBy("event_type")
+
+
+@q("q_dp_release")
+def q_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism DP release of per-nation customer counts
+    (ε = 1, sensitivity 1): noise = −b·sign(u−½)·ln(1−2|u−½|) via the
+    inverse CDF over an md5-derived uniform — the release MECHANISM as
+    a relational program. The md5 seed makes the draw reproducible so
+    the oracle can check the arithmetic end to end; a production release
+    swaps in a real RNG (a seeded release is NOT private — this is the
+    mechanism testbed, exactly like multimodal's stubbed decode). Also
+    reports the true count so tests can pin the noise-scale contract."""
+    c = load_table(spark, sf_dir, "customer")
+    per = c.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("true_count"))
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dp|"), F.col("c_nationkey").cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    b = F.lit(1.0)  # sensitivity / epsilon
+    centered = u - 0.5
+    noise = -b * F.signum(centered) * F.log(1.0 - 2.0 * F.abs(centered))
+    return per.select(
+        "c_nationkey",
+        "true_count",
+        F.round(noise, 6).alias("noise"),
+        F.round(F.col("true_count") + F.round(noise, 6), 6).alias("released_count"),
+    ).orderBy("c_nationkey")

@@ -908,3 +908,13 @@ def test_overdispersion_fano_positive(spark, sf_dir):
     assert len(out) == 5
     assert (out["fano"] > 0).all()
     assert (out["mean_daily"] > 0).all()
+
+
+def test_dp_release_noise_scale(spark, sf_dir):
+    """Laplace(b=1) noise: median |noise| should be near ln(2) ≈ 0.69,
+    and every release differs from truth by exactly its noise."""
+    out = QUERIES["q_dp_release"](spark, sf_dir).toPandas()
+    assert len(out) == 25
+    assert (abs(out["released_count"] - out["true_count"] - out["noise"]) < 1e-6).all()
+    med = out["noise"].abs().median()
+    assert 0.1 < med < 2.5  # loose band around ln(2) for 25 draws
