@@ -8715,3 +8715,48 @@ SELECT c_nationkey, true_count,
          AS released_count
 FROM noised ORDER BY c_nationkey
 """
+
+ORACLES["q_decision_stump"] = """
+WITH o AS (
+  SELECT o_totalprice AS x,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+  FROM orders
+), thr AS (
+  SELECT ROUND(UNNEST(quantile_cont(x, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                        0.6, 0.7, 0.8, 0.9])), 6) AS threshold
+  FROM o
+), per AS (
+  SELECT t.threshold,
+         CAST(SUM(CASE WHEN o.x <= t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_l,
+         CAST(SUM(CASE WHEN o.x <= t.threshold AND o.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS p_l,
+         CAST(SUM(CASE WHEN o.x > t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_r,
+         CAST(SUM(CASE WHEN o.x > t.threshold AND o.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS p_r
+  FROM o CROSS JOIN thr t
+  GROUP BY t.threshold
+), scored AS (
+  SELECT threshold, n_l, n_r,
+         ROUND(1.0 - (CAST(p_l + p_r AS DOUBLE) / (n_l + n_r))
+                     * (CAST(p_l + p_r AS DOUBLE) / (n_l + n_r))
+                   - (1.0 - CAST(p_l + p_r AS DOUBLE) / (n_l + n_r))
+                     * (1.0 - CAST(p_l + p_r AS DOUBLE) / (n_l + n_r)), 6)
+           AS gini_parent,
+         ROUND((1.0 - (CAST(p_l + p_r AS DOUBLE) / (n_l + n_r))
+                      * (CAST(p_l + p_r AS DOUBLE) / (n_l + n_r))
+                    - (1.0 - CAST(p_l + p_r AS DOUBLE) / (n_l + n_r))
+                      * (1.0 - CAST(p_l + p_r AS DOUBLE) / (n_l + n_r)))
+               - (CAST(n_l AS DOUBLE) / (n_l + n_r)
+                  * (1.0 - (CAST(p_l AS DOUBLE) / n_l) * (CAST(p_l AS DOUBLE) / n_l)
+                         - (1.0 - CAST(p_l AS DOUBLE) / n_l)
+                           * (1.0 - CAST(p_l AS DOUBLE) / n_l))
+                  + CAST(n_r AS DOUBLE) / (n_l + n_r)
+                    * (1.0 - (CAST(p_r AS DOUBLE) / n_r) * (CAST(p_r AS DOUBLE) / n_r)
+                           - (1.0 - CAST(p_r AS DOUBLE) / n_r)
+                             * (1.0 - CAST(p_r AS DOUBLE) / n_r))), 9)
+           AS gini_gain
+  FROM per WHERE n_l > 0 AND n_r > 0
+)
+SELECT threshold, n_l, n_r, gini_parent, gini_gain
+FROM scored
+ORDER BY gini_gain DESC, threshold ASC
+LIMIT 1
+"""

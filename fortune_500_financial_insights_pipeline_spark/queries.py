@@ -8188,3 +8188,65 @@ def q_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(noise, 6).alias("noise"),
         F.round(F.col("true_count") + F.round(noise, 6), 6).alias("released_count"),
     ).orderBy("c_nationkey")
+
+
+@q("q_decision_stump")
+def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A decision stump trained relationally: candidate thresholds = the
+    exact deciles of order value, split quality = Gini impurity
+    reduction against the is-urgent label, winner by gain — the
+    one-node tree that seeds boosting and, more importantly here, shows
+    model TRAINING as one conditional aggregate + an argmax (no driver
+    loop: all 9 candidate splits are evaluated in a single pass over a
+    broadcast threshold relation)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("__x"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("__y"),
+    )
+    thr = (
+        o.agg(
+            F.percentile("__x", F.array(*[F.lit(i / 10) for i in range(1, 10)])).alias(
+                "__t"
+            )
+        )
+        .select(F.explode("__t").alias("threshold"))
+        .select(F.round("threshold", 6).alias("threshold"))
+    )
+    j = o.crossJoin(F.broadcast(thr))
+    per = j.groupBy("threshold").agg(
+        F.sum(F.when(F.col("__x") <= F.col("threshold"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_l"),
+        F.sum(F.when((F.col("__x") <= F.col("threshold")) & (F.col("__y") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("p_l"),
+        F.sum(F.when(F.col("__x") > F.col("threshold"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_r"),
+        F.sum(F.when((F.col("__x") > F.col("threshold")) & (F.col("__y") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("p_r"),
+    )
+    n = (F.col("n_l") + F.col("n_r")).cast("double")
+    p = (F.col("p_l") + F.col("p_r")).cast("double") / n
+    gini_parent = 1.0 - p * p - (1.0 - p) * (1.0 - p)
+    pl = F.col("p_l").cast("double") / F.col("n_l")
+    pr = F.col("p_r").cast("double") / F.col("n_r")
+    gini_l = 1.0 - pl * pl - (1.0 - pl) * (1.0 - pl)
+    gini_r = 1.0 - pr * pr - (1.0 - pr) * (1.0 - pr)
+    gain = gini_parent - (
+        F.col("n_l").cast("double") / n * gini_l
+        + F.col("n_r").cast("double") / n * gini_r
+    )
+    return (
+        per.where((F.col("n_l") > 0) & (F.col("n_r") > 0))
+        .select(
+            "threshold",
+            "n_l",
+            "n_r",
+            F.round(gini_parent, 6).alias("gini_parent"),
+            F.round(gain, 9).alias("gini_gain"),
+        )
+        .orderBy(F.desc("gini_gain"), F.asc("threshold"))
+        .limit(1)
+    )

@@ -918,3 +918,10 @@ def test_dp_release_noise_scale(spark, sf_dir):
     assert (abs(out["released_count"] - out["true_count"] - out["noise"]) < 1e-6).all()
     med = out["noise"].abs().median()
     assert 0.1 < med < 2.5  # loose band around ln(2) for 25 draws
+
+
+def test_decision_stump_positive_gain(spark, sf_dir):
+    r = QUERIES["q_decision_stump"](spark, sf_dir).collect()[0]
+    assert r["gini_gain"] >= 0
+    assert r["n_l"] > 0 and r["n_r"] > 0
+    assert 0 <= r["gini_parent"] <= 0.5
