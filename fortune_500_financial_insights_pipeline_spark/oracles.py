@@ -8760,3 +8760,62 @@ FROM scored
 ORDER BY gini_gain DESC, threshold ASC
 LIMIT 1
 """
+
+ORACLES["q_naive_bayes"] = """
+WITH train AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+test AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+ttok AS (
+  SELECT lang, term FROM (
+    SELECT lang, UNNEST(string_split(text, ' ')) AS term FROM train
+  ) WHERE term <> ''
+), cnt AS (
+  SELECT lang, term, COUNT(*) AS c FROM ttok GROUP BY lang, term
+), tot AS (
+  SELECT lang, SUM(c) AS tot FROM cnt GROUP BY lang
+), vocab AS (SELECT COUNT(DISTINCT term) AS v FROM ttok),
+prior AS (
+  SELECT lang,
+         CAST(ROUND(LN(CAST(nd AS DOUBLE) / n) * 1000000000) AS BIGINT)
+           AS logprior
+  FROM (SELECT lang, COUNT(*) AS nd FROM train GROUP BY lang)
+  CROSS JOIN (SELECT COUNT(*) AS n FROM train)
+), lstats AS (
+  SELECT tot.lang, tot.tot, vocab.v,
+         CAST(ROUND(LN(1.0 / CAST(tot.tot + vocab.v AS DOUBLE)) * 1000000000)
+              AS BIGINT) AS fl
+  FROM tot CROSS JOIN vocab
+), ll AS (
+  SELECT c.lang, c.term,
+         CAST(ROUND(LN(CAST(c.c + 1 AS DOUBLE)
+                       / CAST(s.tot + s.v AS DOUBLE)) * 1000000000)
+              AS BIGINT) AS ll
+  FROM cnt c JOIN lstats s ON s.lang = c.lang
+), ttest AS (
+  SELECT doc_id, true_lang, term FROM (
+    SELECT doc_id, lang AS true_lang,
+           UNNEST(string_split(text, ' ')) AS term
+    FROM test
+  ) WHERE term <> ''
+), cand AS (
+  SELECT t.doc_id, t.true_lang, t.term, s.lang AS cl, s.fl
+  FROM ttest t CROSS JOIN lstats s
+), scored AS (
+  SELECT c.doc_id, c.true_lang, c.cl,
+         CAST(SUM(COALESCE(l.ll, c.fl)) AS BIGINT) AS s
+  FROM cand c
+  LEFT JOIN ll l ON l.lang = c.cl AND l.term = c.term
+  GROUP BY c.doc_id, c.true_lang, c.cl
+), with_prior AS (
+  SELECT s.doc_id, s.true_lang, s.cl, s.s + p.logprior AS score
+  FROM scored s JOIN prior p ON p.lang = s.cl
+), pred AS (
+  SELECT true_lang, cl AS pred_lang FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, cl ASC) AS rn
+    FROM with_prior
+  ) WHERE rn = 1
+)
+SELECT true_lang, pred_lang, COUNT(*) AS n_docs
+FROM pred GROUP BY true_lang, pred_lang
+ORDER BY true_lang, pred_lang
+"""

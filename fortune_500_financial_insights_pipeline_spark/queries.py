@@ -8250,3 +8250,93 @@ def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("gini_gain"), F.asc("threshold"))
         .limit(1)
     )
+
+
+@q("q_naive_bayes")
+def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes trained AND scored relationally: fit
+    Laplace-smoothed per-language term log-likelihoods on even doc ids,
+    classify the odd ids, return the confusion matrix — the full ML
+    train/predict loop as joins and aggregates (q_decision_stump trains
+    one split; this trains a real classifier). Log terms are round-9
+    per-row; per-(doc, lang) scores fold as EXACT LONG sums (1e9 fixed
+    point), so the argmax — and therefore every prediction — is integer
+    arithmetic the oracle replays bit for bit. Unseen terms hit the
+    smoothed floor via a left join + per-language coalesce."""
+    d = load_table(spark, sf_dir, "documents")
+    train = d.where(F.col("doc_id") % 2 == 0)
+    test = d.where(F.col("doc_id") % 2 == 1)
+    ttok = train.select(
+        "lang", F.explode(F.split("text", " ")).alias("term")
+    ).where(F.col("term") != "")
+    cnt = ttok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("__c"))
+    tot = cnt.groupBy("lang").agg(F.sum("__c").alias("__tot"))
+    vocab = ttok.select("term").distinct().agg(F.count(F.lit(1)).alias("__v"))
+    prior = (
+        train.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .crossJoin(F.broadcast(train.agg(F.count(F.lit(1)).alias("__n"))))
+        .select(
+            "lang",
+            F.round(
+                F.log(F.col("__nd").cast("double") / F.col("__n")) * 1e9
+            ).cast("long").alias("__logprior"),
+        )
+    )
+    lstats = (
+        tot.crossJoin(F.broadcast(vocab))
+        .select(
+            "lang",
+            "__tot",
+            "__v",
+            F.round(
+                F.log(1.0 / (F.col("__tot") + F.col("__v")).cast("double")) * 1e9
+            ).cast("long").alias("__floor"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ll = (
+        cnt.join(lstats, "lang")
+        .select(
+            "lang",
+            "term",
+            F.round(
+                F.log(
+                    (F.col("__c") + 1).cast("double")
+                    / (F.col("__tot") + F.col("__v")).cast("double")
+                )
+                * 1e9
+            ).cast("long").alias("__ll"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ttest = test.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.explode(F.split("text", " ")).alias("term"),
+    ).where(F.col("term") != "")
+    cand = ttest.crossJoin(
+        F.broadcast(lstats.select(F.col("lang").alias("__cl"), "__floor"))
+    )
+    scored = (
+        cand.join(
+            ll.select(F.col("lang").alias("__cl"), "term", "__ll"),
+            ["__cl", "term"],
+            "left",
+        )
+        .groupBy("doc_id", "true_lang", "__cl")
+        .agg(F.sum(F.coalesce("__ll", F.col("__floor"))).alias("__s"))
+        .join(prior.select(F.col("lang").alias("__cl"), "__logprior"), "__cl")
+        .withColumn("__score", F.col("__s") + F.col("__logprior"))
+    )
+    wd = W.partitionBy("doc_id").orderBy(F.desc("__score"), F.asc("__cl"))
+    pred = (
+        scored.withColumn("__rn", F.row_number().over(wd))
+        .where(F.col("__rn") == 1)
+        .select("true_lang", F.col("__cl").alias("pred_lang"))
+    )
+    return (
+        pred.groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )

@@ -925,3 +925,12 @@ def test_decision_stump_positive_gain(spark, sf_dir):
     assert r["gini_gain"] >= 0
     assert r["n_l"] > 0 and r["n_r"] > 0
     assert 0 <= r["gini_parent"] <= 0.5
+
+
+def test_naive_bayes_beats_chance(spark, sf_dir):
+    out = QUERIES["q_naive_bayes"](spark, sf_dir).toPandas()
+    total = out["n_docs"].sum()
+    correct = out[out["true_lang"] == out["pred_lang"]]["n_docs"].sum()
+    # 5 balanced-ish classes: the trained classifier must beat 1/5 chance
+    assert correct / total > 0.2
+    assert total > 0
