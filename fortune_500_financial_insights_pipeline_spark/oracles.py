@@ -8819,3 +8819,45 @@ SELECT true_lang, pred_lang, COUNT(*) AS n_docs
 FROM pred GROUP BY true_lang, pred_lang
 ORDER BY true_lang, pred_lang
 """
+
+
+def _logreg_iter_sql(k: int) -> str:
+    p = k - 1
+    return f"""g{k} AS MATERIALIZED (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND((o.y - 1.0 / (1.0 + EXP(-(CAST(w.w0 AS DOUBLE) / 1000000000
+                 + CAST(w.w1 AS DOUBLE) / 1000000000 * o.x))))
+                 * 1000000000) AS BIGINT)) AS BIGINT) AS s0,
+         CAST(SUM(CAST(ROUND((o.y - 1.0 / (1.0 + EXP(-(CAST(w.w0 AS DOUBLE) / 1000000000
+                 + CAST(w.w1 AS DOUBLE) / 1000000000 * o.x)))) * o.x
+                 * 1000000000) AS BIGINT)) AS BIGINT) AS s1,
+         MAX(w.w0) AS w0, MAX(w.w1) AS w1
+  FROM odata o CROSS JOIN w{p} w
+), w{k} AS MATERIALIZED (
+  SELECT CAST(w0 + CAST(ROUND(1.0 * s0 / n) AS BIGINT) AS BIGINT) AS w0,
+         CAST(w1 + CAST(ROUND(1.0 * s1 / n) AS BIGINT) AS BIGINT) AS w1
+  FROM g{k}
+)"""
+
+
+ORACLES["q_logreg_gd"] = f"""
+WITH odata AS MATERIALIZED (
+  SELECT o_totalprice / 100000 AS x,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+  FROM orders
+), w0_init AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1),
+w0 AS (SELECT * FROM w0_init),
+{', '.join(_logreg_iter_sql(k) for k in range(1, 9))}
+SELECT ROUND(CAST(MAX(w.w0) AS DOUBLE) / 1000000000, 6) AS w0,
+       ROUND(CAST(MAX(w.w1) AS DOUBLE) / 1000000000, 6) AS w1,
+       ROUND(-(CAST(SUM(CAST(ROUND((o.y * LN(1.0 / (1.0 + EXP(-(CAST(w.w0 AS DOUBLE) / 1000000000
+               + CAST(w.w1 AS DOUBLE) / 1000000000 * o.x))))
+               + (1 - o.y) * LN(1.0 - 1.0 / (1.0 + EXP(-(CAST(w.w0 AS DOUBLE) / 1000000000
+               + CAST(w.w1 AS DOUBLE) / 1000000000 * o.x)))))
+               * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) / COUNT(*), 6)
+         AS log_loss,
+       ROUND(CAST(SUM(CASE WHEN (CASE WHEN 1.0 / (1.0 + EXP(-(CAST(w.w0 AS DOUBLE) / 1000000000
+               + CAST(w.w1 AS DOUBLE) / 1000000000 * o.x))) >= 0.5 THEN 1 ELSE 0 END) = o.y
+               THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS accuracy
+FROM odata o CROSS JOIN w8 w
+"""

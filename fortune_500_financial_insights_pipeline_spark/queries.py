@@ -8340,3 +8340,66 @@ def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("true_lang", "pred_lang")
     )
+
+
+@q("q_logreg_gd")
+def q_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression trained by 8 unrolled gradient-descent steps —
+    the third rung of the relational-ML ladder (stump → Naive Bayes →
+    an ITERATIVE trained model): weights live in a one-row broadcast
+    relation at 1e9 fixed point, each step is one scan computing
+    σ(w·x) per row and folding the gradient in exact fixed point, so
+    the whole training trajectory is integer-reproducible and the
+    oracle replays it as unrolled CTE stages (the kmeans/markov/ALS
+    discipline). Features: bias + scaled order value; label: is-urgent.
+    Output: final weights + training log-loss and accuracy."""
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice") / 100000).alias("__x"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("__y"),
+    ).localCheckpoint(eager=False)
+    S = 1_000_000_000
+    w = spark.createDataFrame([(0, 0)], "w0 long, w1 long")
+    eta = 1.0
+    for _ in range(8):
+        j = o.crossJoin(F.broadcast(w))
+        z = (
+            F.col("w0").cast("double") / S
+            + F.col("w1").cast("double") / S * F.col("__x")
+        )
+        p = 1.0 / (1.0 + F.exp(-z))
+        g0 = F.round((F.col("__y") - p) * S).cast("long")
+        g1 = F.round((F.col("__y") - p) * F.col("__x") * S).cast("long")
+        grad = j.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(g0).alias("__g0"),
+            F.sum(g1).alias("__g1"),
+            F.max("w0").alias("w0"),
+            F.max("w1").alias("w1"),
+        )
+        w = grad.select(
+            (F.col("w0") + F.round(F.lit(eta) * F.col("__g0") / F.col("__n")).cast("long")).alias("w0"),
+            (F.col("w1") + F.round(F.lit(eta) * F.col("__g1") / F.col("__n")).cast("long")).alias("w1"),
+        ).localCheckpoint(eager=False)
+    j = o.crossJoin(F.broadcast(w))
+    z = (
+        F.col("w0").cast("double") / S
+        + F.col("w1").cast("double") / S * F.col("__x")
+    )
+    p = 1.0 / (1.0 + F.exp(-z))
+    ll_term = F.round(
+        (
+            F.col("__y") * F.log(p) + (1 - F.col("__y")) * F.log(1.0 - p)
+        )
+        * 1000000
+    ).cast("long")
+    correct = ((p >= 0.5).cast("int") == F.col("__y")).cast("int")
+    return j.agg(
+        F.round(F.max("w0").cast("double") / S, 6).alias("w0"),
+        F.round(F.max("w1").cast("double") / S, 6).alias("w1"),
+        F.round(
+            -(F.sum(ll_term).cast("double") / 1000000) / F.count(F.lit(1)), 6
+        ).alias("log_loss"),
+        F.round(F.sum(correct).cast("double") / F.count(F.lit(1)), 6).alias(
+            "accuracy"
+        ),
+    )

@@ -934,3 +934,13 @@ def test_naive_bayes_beats_chance(spark, sf_dir):
     # 5 balanced-ish classes: the trained classifier must beat 1/5 chance
     assert correct / total > 0.2
     assert total > 0
+
+
+def test_logreg_gd_trains(spark, sf_dir):
+    import math
+
+    r = QUERIES["q_logreg_gd"](spark, sf_dir).collect()[0]
+    assert math.isfinite(r["w0"]) and math.isfinite(r["w1"])
+    # trained loss beats the w=0 starting loss ln(2)
+    assert r["log_loss"] < math.log(2)
+    assert 0.0 <= r["accuracy"] <= 1.0
