@@ -8861,3 +8861,126 @@ SELECT ROUND(CAST(MAX(w.w0) AS DOUBLE) / 1000000000, 6) AS w0,
                THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS accuracy
 FROM odata o CROSS JOIN w8 w
 """
+
+ORACLES["q_silhouette"] = """
+WITH v AS (
+  SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+         CAST(ROUND(CAST(xv AS DOUBLE) * 1000000) AS BIGINT) AS x
+  FROM (SELECT vec_id,
+               unnest(range(len(embedding))) AS pos,
+               unnest(embedding) AS xv
+        FROM embeddings)
+),
+init AS (
+  SELECT vec_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS BIGINT) AS cell
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8
+),
+c0 AS (SELECT i.cell, v.pos, v.x AS c FROM init i JOIN v USING (vec_id)),
+d0 AS (
+  SELECT v.vec_id, c.cell, SUM((v.x - c.c) * (v.x - c.c)) AS dist
+  FROM v JOIN c0 c USING (pos) GROUP BY v.vec_id, c.cell
+),
+a0 AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+    FROM d0
+  ) WHERE rn = 1
+),
+s0 AS (
+  SELECT a.cell, v.pos, CAST(SUM(v.x) AS BIGINT) AS s, COUNT(*) AS n
+  FROM a0 a JOIN v USING (vec_id) GROUP BY a.cell, v.pos
+),
+c1 AS (SELECT cell, pos, CAST((s - s % n) / n AS BIGINT) AS c FROM s0),
+d1 AS (
+  SELECT v.vec_id, c.cell, SUM((v.x - c.c) * (v.x - c.c)) AS dist
+  FROM v JOIN c1 c USING (pos) GROUP BY v.vec_id, c.cell
+),
+a1 AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+    FROM d1
+  ) WHERE rn = 1
+),
+s1 AS (
+  SELECT a.cell, v.pos, CAST(SUM(v.x) AS BIGINT) AS s, COUNT(*) AS n
+  FROM a1 a JOIN v USING (vec_id) GROUP BY a.cell, v.pos
+),
+cent AS (
+  SELECT cell,
+         list(CAST(CAST((s - s % n) / n AS BIGINT) AS DOUBLE) / 1000000.0
+              ORDER BY pos) AS cvec
+  FROM s1 GROUP BY cell
+),
+e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+),
+route2 AS (
+  SELECT e.vec_id, c.cell,
+         ROUND(list_dot_product(e.vec, c.cvec)
+               / (sqrt(list_dot_product(e.vec, e.vec))
+                  * sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS csim,
+         list_dot_product(e.vec, c.cvec)
+           / (sqrt(list_dot_product(e.vec, e.vec))
+              * sqrt(list_dot_product(c.cvec, c.cvec))) AS craw
+  FROM e CROSS JOIN cent c
+),
+ranked AS (
+  SELECT vec_id, cell, craw,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY csim DESC, cell ASC) AS rn
+  FROM route2
+),
+ab AS (
+  SELECT o.vec_id, o.cell AS cluster,
+         ROUND(1.0 - o.craw, 6) AS a,
+         ROUND(1.0 - t.craw, 6) AS b
+  FROM (SELECT * FROM ranked WHERE rn = 1) o
+  JOIN (SELECT * FROM ranked WHERE rn = 2) t USING (vec_id)
+),
+scored AS (
+  SELECT cluster,
+         ROUND((b - a) / GREATEST(a, b), 6) AS s
+  FROM ab
+)
+SELECT CAST(cluster AS BIGINT) AS cluster, COUNT(*) AS n_vecs,
+       ROUND((CAST(SUM(CAST(ROUND(s * 1000000) AS BIGINT)) AS DOUBLE) / 1000000)
+             / COUNT(s), 6) AS avg_silhouette
+FROM scored GROUP BY cluster ORDER BY cluster
+"""
+
+ORACLES["q_knn_classifier"] = """
+WITH q AS (
+  SELECT vec_id AS q_id, label AS true_label, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < 50
+), c AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ce
+  FROM embeddings WHERE vec_id >= 50
+), s AS (
+  SELECT q.q_id, q.true_label, c.label,
+         ROUND(list_dot_product(c.ce, q.qe)
+               / (sqrt(list_dot_product(c.ce, c.ce))
+                  * sqrt(list_dot_product(q.qe, q.qe))), 6) AS sim,
+         c.vec_id
+  FROM c, q
+), nn AS (
+  SELECT q_id, true_label, label FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                 ORDER BY sim DESC, vec_id ASC) AS rn
+    FROM s) WHERE rn <= 5
+), votes AS (
+  SELECT q_id, MAX(true_label) AS true_label, label AS pred_label,
+         COUNT(*) AS v
+  FROM nn GROUP BY q_id, label
+), pred AS (
+  SELECT true_label, pred_label FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                 ORDER BY v DESC, pred_label ASC) AS rn
+    FROM votes) WHERE rn = 1
+)
+SELECT true_label, pred_label, COUNT(*) AS n_vecs
+FROM pred GROUP BY true_label, pred_label
+ORDER BY true_label, pred_label
+"""

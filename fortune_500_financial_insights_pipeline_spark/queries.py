@@ -8403,3 +8403,106 @@ def q_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "accuracy"
         ),
     )
+
+
+@q("q_knn_classifier")
+def q_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification (k=5 cosine neighbors, majority vote with
+    count-desc/label-asc tie-break) for the first 50 vectors against the
+    rest of the corpus — the non-parametric rung of the relational-ML
+    ladder, composed from the oracle-exact knn_join. Votes, the argmax
+    and the confusion matrix are all integer arithmetic."""
+    from fortune_500_financial_insights_pipeline_spark.operators.similarity import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    queries = emb.where(F.col("vec_id") < 50)
+    corpus = emb.where(F.col("vec_id") >= 50)
+    nn = knn_join(queries, corpus, k=5).select("q_id", "label")
+    votes = nn.groupBy("q_id", F.col("label").alias("pred_label")).agg(
+        F.count(F.lit(1)).alias("__v")
+    )
+    wv = W.partitionBy("q_id").orderBy(F.desc("__v"), F.asc("pred_label"))
+    pred = (
+        votes.withColumn("__rn", F.row_number().over(wv))
+        .where(F.col("__rn") == 1)
+        .select("q_id", "pred_label")
+    )
+    truth = queries.select(F.col("vec_id").alias("q_id"), F.col("label").alias("true_label"))
+    return (
+        truth.join(pred, "q_id")
+        .groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .orderBy("true_label", "pred_label")
+    )
+
+
+@q("q_silhouette")
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette per cluster (centroid form: a = distance to
+    own centroid, b = distance to the nearest OTHER centroid,
+    s = (b−a)/max(a,b)) over the trained 8-cell quantizer — the
+    clustering-quality number that says whether q_kmeans' cells are
+    real structure or arbitrary bins, at O(n·k) instead of the full
+    silhouette's O(n²). Distances are round-6 cosine-space (1−cos);
+    per-cluster means fold fixed point."""
+    from fortune_500_financial_insights_pipeline_spark.operators.kmeans import kmeans_centroids
+    from fortune_500_financial_insights_pipeline_spark.operators.similarity import (
+        ivf_index_portable,
+        probe_cells_col,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = kmeans_centroids(emb, k=8, n_iter=2)
+    # two nearest cells per vector, via the same portable round-6 routing
+    probes = emb.select(
+        "vec_id",
+        probe_cells_col("embedding", centroids, 2).alias("__cells"),
+        *[
+            F.round(
+                1.0
+                - F.aggregate(
+                    F.zip_with(
+                        "embedding",
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda a, b: a.cast("double") * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                / (
+                    F.sqrt(
+                        F.aggregate(
+                            F.zip_with(
+                                "embedding",
+                                F.col("embedding"),
+                                lambda a, b: a.cast("double") * b.cast("double"),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, v: acc + v,
+                        )
+                    )
+                    * F.lit(__import__("math").sqrt(sum(x * x for x in c)))
+                ),
+                6,
+            ).alias(f"__d{i}")
+            for i, c in enumerate(centroids)
+        ],
+    )
+    darr = F.array(*[F.col(f"__d{i}") for i in range(len(centroids))])
+    own = F.element_at("__cells", 1)
+    other = F.element_at("__cells", 2)
+    a = F.element_at(darr, own + 1)
+    b = F.element_at(darr, other + 1)
+    s = F.round((b - a) / F.greatest(a, b), 6)
+    per = probes.select(own.alias("cluster"), s.alias("__s"))
+    return (
+        per.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(davg("__s"), 6).alias("avg_silhouette"),
+        )
+        .select(F.col("cluster").cast("long").alias("cluster"), "n_vecs", "avg_silhouette")
+        .orderBy("cluster")
+    )

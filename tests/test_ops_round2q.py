@@ -944,3 +944,16 @@ def test_logreg_gd_trains(spark, sf_dir):
     # trained loss beats the w=0 starting loss ln(2)
     assert r["log_loss"] < math.log(2)
     assert 0.0 <= r["accuracy"] <= 1.0
+
+
+def test_knn_classifier_confusion_totals(spark, sf_dir):
+    out = QUERIES["q_knn_classifier"](spark, sf_dir).toPandas()
+    assert out["n_vecs"].sum() == 50
+    assert (out["n_vecs"] >= 1).all()
+
+
+def test_silhouette_in_range(spark, sf_dir):
+    out = QUERIES["q_silhouette"](spark, sf_dir).toPandas()
+    assert 1 <= len(out) <= 8
+    assert ((out["avg_silhouette"] >= -1.0) & (out["avg_silhouette"] <= 1.0)).all()
+    assert out["n_vecs"].sum() > 0
