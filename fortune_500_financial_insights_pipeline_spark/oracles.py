@@ -8984,3 +8984,43 @@ SELECT true_label, pred_label, COUNT(*) AS n_vecs
 FROM pred GROUP BY true_label, pred_label
 ORDER BY true_label, pred_label
 """
+
+ORACLES["q_bytes_per_token"] = """
+WITH feats AS (
+  SELECT lang,
+         CAST(octet_length(encode(text)) AS DOUBLE) AS b,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS t,
+         CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
+              AS DOUBLE) AS p
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND((CAST(SUM(CAST(ROUND(b * 1000000) AS BIGINT)) AS DOUBLE) / 1000000)
+             / (CAST(SUM(CAST(ROUND(t * 1000000) AS BIGINT)) AS DOUBLE) / 1000000), 6)
+         AS bytes_per_ws_token,
+       ROUND((CAST(SUM(CAST(ROUND(b * 1000000) AS BIGINT)) AS DOUBLE) / 1000000)
+             / (CAST(SUM(CAST(ROUND(p * 1000000) AS BIGINT)) AS DOUBLE) / 1000000), 6)
+         AS bytes_per_bpe_token
+FROM feats GROUP BY lang ORDER BY lang
+"""
+
+ORACLES["q_vocab_overlap_langs"] = """
+WITH lt AS (
+  SELECT DISTINCT lang, t FROM (
+    SELECT lang, UNNEST(list_distinct(string_split(text, ' '))) AS t
+    FROM documents
+  ) WHERE t <> ''
+), sizes AS (SELECT lang, COUNT(*) AS n FROM lt GROUP BY lang),
+inter AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS n_shared
+  FROM lt a JOIN lt b ON a.t = b.t AND a.lang < b.lang
+  GROUP BY a.lang, b.lang
+)
+SELECT i.lang_a, i.lang_b, i.n_shared,
+       ROUND(CAST(i.n_shared AS DOUBLE)
+             / (sa.n + sb.n - i.n_shared), 6) AS vocab_jaccard
+FROM inter i
+JOIN sizes sa ON sa.lang = i.lang_a
+JOIN sizes sb ON sb.lang = i.lang_b
+ORDER BY lang_a, lang_b
+"""

@@ -8506,3 +8506,71 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("cluster").cast("long").alias("cluster"), "n_vecs", "avg_silhouette")
         .orderBy("cluster")
     )
+
+
+@q("q_bytes_per_token")
+def q_bytes_per_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bytes-per-token by language: UTF-8 octet length over whitespace
+    and BPE-ish token counts — the compression/budget planning number
+    (CJK text costs ~3 bytes per character; a token budget priced in
+    bytes misallocates across scripts). One scan, per-lang exact
+    ratios."""
+    from fortune_500_financial_insights_pipeline_spark.operators.text import BPE_PATTERN
+
+    d = load_table(spark, sf_dir, "documents")
+    nb = F.octet_length("text").cast("double")
+    nt = F.size(F.split(F.col("text"), " ")).cast("double")
+    nbpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0)).cast(
+        "double"
+    )
+    return (
+        d.select("lang", nb.alias("__b"), nt.alias("__t"), nbpe.alias("__p"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(dsum("__b") / dsum("__t"), 6).alias("bytes_per_ws_token"),
+            F.round(dsum("__b") / dsum("__p"), 6).alias("bytes_per_bpe_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+@q("q_vocab_overlap_langs")
+def q_vocab_overlap_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-language vocabulary overlap: Jaccard of distinct term sets
+    for every language pair — high overlap between supposedly different
+    languages flags code-switching or mislabeled slices (the vocabulary
+    view of q_script_mismatch). Pairs meet through a term-keyed join of
+    (lang, term) sets — vocabulary-sized, never doc×doc."""
+    d = load_table(spark, sf_dir, "documents")
+    lt = (
+        d.select("lang", F.explode(F.array_distinct(F.split("text", " "))).alias("t"))
+        .where(F.col("t") != "")
+        .distinct()
+    )
+    sizes = lt.groupBy("lang").agg(F.count(F.lit(1)).alias("__n"))
+    a = lt.select(F.col("lang").alias("lang_a"), "t")
+    b = lt.select(F.col("lang").alias("lang_b"), "t")
+    inter = (
+        a.join(b, "t")
+        .where(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("lang").alias("lang_a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col("lang").alias("lang_b"), F.col("__n").alias("__nb"))
+    return (
+        inter.join(sa, "lang_a")
+        .join(sb, "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("__na") + F.col("__nb") - F.col("n_shared")),
+                6,
+            ).alias("vocab_jaccard"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )

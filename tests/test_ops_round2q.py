@@ -957,3 +957,17 @@ def test_silhouette_in_range(spark, sf_dir):
     assert 1 <= len(out) <= 8
     assert ((out["avg_silhouette"] >= -1.0) & (out["avg_silhouette"] <= 1.0)).all()
     assert out["n_vecs"].sum() > 0
+
+
+def test_bytes_per_token_at_least_one(spark, sf_dir):
+    out = QUERIES["q_bytes_per_token"](spark, sf_dir).toPandas()
+    assert len(out) == 5
+    # a whitespace token is at least 1 byte + separator amortization
+    assert (out["bytes_per_ws_token"] > 1.0).all()
+    assert (out["bytes_per_bpe_token"] > 0).all()
+
+
+def test_vocab_overlap_pairs_complete(spark, sf_dir):
+    out = QUERIES["q_vocab_overlap_langs"](spark, sf_dir).toPandas()
+    assert len(out) == 10  # C(5,2)
+    assert ((out["vocab_jaccard"] >= 0) & (out["vocab_jaccard"] <= 1)).all()
