@@ -9024,3 +9024,44 @@ JOIN sizes sa ON sa.lang = i.lang_a
 JOIN sizes sb ON sb.lang = i.lang_b
 ORDER BY lang_a, lang_b
 """
+
+ORACLES["q_topk_stability"] = """
+WITH pf AS (
+  SELECT l_partkey,
+         CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 2))::BIGINT % 10
+              AS INTEGER) AS f,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000)
+                       AS BIGINT)) AS BIGINT) AS rev_u
+  FROM lineitem
+  GROUP BY l_partkey,
+           CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 2))::BIGINT % 10
+                AS INTEGER)
+), tot AS (
+  SELECT l_partkey, CAST(SUM(rev_u) AS BIGINT) AS tot_u FROM pf GROUP BY l_partkey
+), folds AS (SELECT CAST(UNNEST(range(0, 10)) AS INTEGER) AS lo),
+variants AS (
+  SELECT t.l_partkey, fo.lo,
+         t.tot_u - COALESCE(p.rev_u, 0) AS lo_rev
+  FROM tot t CROSS JOIN folds fo
+  LEFT JOIN pf p ON p.l_partkey = t.l_partkey AND p.f = fo.lo
+), in_top AS (
+  SELECT l_partkey, COUNT(*) AS n_variants_top20 FROM (
+    SELECT l_partkey, lo,
+           ROW_NUMBER() OVER (PARTITION BY lo
+                              ORDER BY lo_rev DESC, l_partkey ASC) AS rn
+    FROM variants
+  ) WHERE rn <= 20 GROUP BY l_partkey
+), full_top AS (
+  SELECT l_partkey, CAST(rn AS INTEGER) AS full_rank,
+         ROUND(CAST(tot_u AS DOUBLE) / 1000000, 6) AS revenue
+  FROM (SELECT l_partkey, tot_u,
+               ROW_NUMBER() OVER (ORDER BY tot_u DESC, l_partkey ASC) AS rn
+        FROM tot)
+  WHERE rn <= 20
+)
+SELECT f.l_partkey, f.full_rank, f.revenue,
+       CAST(COALESCE(i.n_variants_top20, 0) AS BIGINT) AS n_variants_top20,
+       ROUND(CAST(COALESCE(i.n_variants_top20, 0) AS DOUBLE) / 10, 6) AS stability
+FROM full_top f LEFT JOIN in_top i USING (l_partkey)
+ORDER BY full_rank
+"""

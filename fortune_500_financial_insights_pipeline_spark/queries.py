@@ -8574,3 +8574,78 @@ def q_vocab_overlap_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_a", "lang_b")
     )
+
+
+@q("q_topk_stability")
+def q_topk_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jackknife stability of the top-20 parts-by-revenue ranking: orders
+    are split into 10 md5 folds, the ranking is recomputed leaving each
+    fold out (all 10 variants from ONE per-(part, fold) aggregate — no
+    re-scan per variant), and each full-data top-20 part reports how
+    many leave-one-fold-out variants still rank it top-20 — the
+    is-this-leaderboard-real check before anyone acts on it. Fold
+    revenue at exact fixed point; 10 rank windows over part-count
+    frames."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    fold = F.conv(
+        F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 2), 16, 10
+    ).cast("int") % 10
+    pf = (
+        li.groupBy("l_partkey", fold.alias("__f"))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000000
+                ).cast("long")
+            ).alias("__rev_u")
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = pf.groupBy("l_partkey").agg(F.sum("__rev_u").alias("__tot_u"))
+    folds = spark.range(10).select(F.col("id").cast("int").alias("__lo"))
+    variants = (
+        tot.crossJoin(F.broadcast(folds))
+        .join(
+            pf.select("l_partkey", F.col("__f").alias("__lo"), "__rev_u"),
+            ["l_partkey", "__lo"],
+            "left",
+        )
+        .select(
+            "l_partkey",
+            "__lo",
+            (F.col("__tot_u") - F.coalesce("__rev_u", F.lit(0))).alias("__lo_rev"),
+        )
+    )
+    wv = W.partitionBy("__lo").orderBy(F.desc("__lo_rev"), F.asc("l_partkey"))
+    in_top = (
+        variants.withColumn("__rn", F.row_number().over(wv))
+        .where(F.col("__rn") <= 20)
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_variants_top20"))
+    )
+    wf = W.orderBy(F.desc("__tot_u"), F.asc("l_partkey"))
+    full_top = (
+        tot.withColumn("__rn", F.row_number().over(wf))
+        .where(F.col("__rn") <= 20)
+        .select(
+            "l_partkey",
+            F.col("__rn").cast("int").alias("full_rank"),
+            F.round(F.col("__tot_u").cast("double") / 1000000, 6).alias("revenue"),
+        )
+    )
+    return (
+        full_top.join(in_top, "l_partkey", "left")
+        .select(
+            "l_partkey",
+            "full_rank",
+            "revenue",
+            F.coalesce("n_variants_top20", F.lit(0)).cast("long").alias(
+                "n_variants_top20"
+            ),
+            F.round(
+                F.coalesce("n_variants_top20", F.lit(0)).cast("double") / 10, 6
+            ).alias("stability"),
+        )
+        .orderBy("full_rank")
+    )

@@ -971,3 +971,11 @@ def test_vocab_overlap_pairs_complete(spark, sf_dir):
     out = QUERIES["q_vocab_overlap_langs"](spark, sf_dir).toPandas()
     assert len(out) == 10  # C(5,2)
     assert ((out["vocab_jaccard"] >= 0) & (out["vocab_jaccard"] <= 1)).all()
+
+
+def test_topk_stability_rank1_stable(spark, sf_dir):
+    out = QUERIES["q_topk_stability"](spark, sf_dir).toPandas()
+    assert len(out) == 20
+    assert ((out["stability"] >= 0) & (out["stability"] <= 1)).all()
+    # the clear leader survives every leave-one-fold-out variant
+    assert out.iloc[0]["stability"] == 1.0
