@@ -9065,3 +9065,59 @@ SELECT f.l_partkey, f.full_rank, f.revenue,
 FROM full_top f LEFT JOIN in_top i USING (l_partkey)
 ORDER BY full_rank
 """
+
+ORACLES["q_runs_test"] = f"""
+WITH daily AS (
+  SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS day,
+         ROUND({_dsum('l_extendedprice')} / COUNT(*), 6) AS close
+  FROM lineitem
+  GROUP BY strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')
+), rets AS (
+  SELECT day, r, CASE WHEN r > 0 THEN 1 ELSE 0 END AS s FROM (
+    SELECT day, ROUND(close / LAG(close) OVER (ORDER BY day) - 1, 6) AS r
+    FROM daily
+  ) WHERE r IS NOT NULL AND r <> 0
+), runs AS (
+  SELECT s,
+         CASE WHEN LAG(s) OVER (ORDER BY day) IS NULL
+                OR LAG(s) OVER (ORDER BY day) <> s THEN 1 ELSE 0 END AS new_run
+  FROM rets
+), agg AS (
+  SELECT CAST(SUM(s) AS BIGINT) AS n_pos,
+         CAST(SUM(1 - s) AS BIGINT) AS n_neg,
+         CAST(SUM(new_run) AS BIGINT) AS n_runs
+  FROM runs
+)
+SELECT n_pos, n_neg, n_runs,
+       ROUND(2.0 * n_pos * n_neg / (n_pos + n_neg) + 1.0, 6) AS expected_runs,
+       ROUND((CAST(n_runs AS DOUBLE) - (2.0 * n_pos * n_neg / (n_pos + n_neg) + 1.0))
+             / sqrt((2.0 * n_pos * n_neg / (n_pos + n_neg) + 1.0 - 1.0)
+                    * (2.0 * n_pos * n_neg / (n_pos + n_neg) + 1.0 - 2.0)
+                    / (CAST(n_pos + n_neg AS DOUBLE) - 1.0)), 6) AS z_score
+FROM agg
+"""
+
+ORACLES["q_amihud"] = f"""
+WITH daily AS (
+  SELECT l_suppkey, strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS day,
+         ROUND({_dsum('l_extendedprice')} / COUNT(*), 6) AS close,
+         ROUND({_dsum('l_quantity')}, 6) AS vol
+  FROM lineitem WHERE l_suppkey <= 20
+  GROUP BY l_suppkey, strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')
+), rets AS (
+  SELECT l_suppkey,
+         ROUND(ABS(r) / vol * 1000000, 6) AS illiq
+  FROM (
+    SELECT l_suppkey, vol,
+           ROUND(close / LAG(close) OVER (PARTITION BY l_suppkey ORDER BY day)
+                 - 1, 6) AS r
+    FROM daily
+  ) WHERE r IS NOT NULL AND vol > 0
+)
+SELECT l_suppkey, COUNT(*) AS n_days,
+       ROUND((CAST(SUM(CAST(ROUND(illiq * 1000000) AS BIGINT)) AS DOUBLE) / 1000000)
+             / COUNT(illiq), 6) AS amihud_illiq
+FROM rets GROUP BY l_suppkey
+ORDER BY amihud_illiq DESC, l_suppkey ASC
+LIMIT 10
+"""

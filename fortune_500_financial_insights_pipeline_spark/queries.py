@@ -8649,3 +8649,83 @@ def q_topk_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("full_rank")
     )
+
+
+@q("q_runs_test")
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on the sign sequence of daily market
+    returns: observed sign runs vs the 2·n⁺·n⁻/n + 1 expectation and
+    its closed-form variance — the randomness check that catches
+    autocorrelated (momentum/mean-reverting) series before anyone
+    trusts an i.i.d. assumption. One lag window for signs + runs, exact
+    integer counts, shared-text z expression."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("day")
+    ).agg(F.round(davg("l_extendedprice"), 6).alias("close"))
+    wd = W.orderBy("day")
+    rets = (
+        daily.withColumn(
+            "__r", F.round(F.col("close") / F.lag("close").over(wd) - 1, 6)
+        )
+        .where(F.col("__r").isNotNull() & (F.col("__r") != 0))
+        .withColumn("__s", (F.col("__r") > 0).cast("int"))
+    )
+    runs = rets.withColumn(
+        "__new_run",
+        (F.lag("__s").over(wd).isNull() | (F.lag("__s").over(wd) != F.col("__s")))
+        .cast("int"),
+    )
+    agg = runs.agg(
+        F.sum("__s").cast("long").alias("n_pos"),
+        F.sum(1 - F.col("__s")).cast("long").alias("n_neg"),
+        F.sum("__new_run").cast("long").alias("n_runs"),
+    )
+    np_, nn, n = (
+        F.col("n_pos").cast("double"),
+        F.col("n_neg").cast("double"),
+        (F.col("n_pos") + F.col("n_neg")).cast("double"),
+    )
+    mu = 2.0 * np_ * nn / n + 1.0
+    var = (mu - 1.0) * (mu - 2.0) / (n - 1.0)
+    z = (F.col("n_runs").cast("double") - mu) / F.sqrt(var)
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "n_runs",
+        F.round(mu, 6).alias("expected_runs"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+@q("q_amihud")
+def q_amihud(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amihud illiquidity (2002): mean |daily return| per unit of daily
+    volume, scaled 1e6, per supplier — the price-impact-per-volume
+    measure behind liquidity screens, from the same daily frame the
+    other indicators share. Exact fixed-point folds; top-10 most
+    illiquid."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_suppkey") <= 20)
+    daily = li.groupBy(
+        "l_suppkey", F.date_format("l_shipdate", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.round(davg("l_extendedprice"), 6).alias("close"),
+        F.round(dsum("l_quantity"), 6).alias("vol"),
+    )
+    wd = W.partitionBy("l_suppkey").orderBy("day")
+    rets = (
+        daily.withColumn(
+            "__r", F.round(F.col("close") / F.lag("close").over(wd) - 1, 6)
+        )
+        .where(F.col("__r").isNotNull() & (F.col("vol") > 0))
+        .withColumn("__illiq", F.round(F.abs("__r") / F.col("vol") * 1000000, 6))
+    )
+    return (
+        rets.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(davg("__illiq"), 6).alias("amihud_illiq"),
+        )
+        .orderBy(F.desc("amihud_illiq"), F.asc("l_suppkey"))
+        .limit(10)
+    )

@@ -979,3 +979,19 @@ def test_topk_stability_rank1_stable(spark, sf_dir):
     assert ((out["stability"] >= 0) & (out["stability"] <= 1)).all()
     # the clear leader survives every leave-one-fold-out variant
     assert out.iloc[0]["stability"] == 1.0
+
+
+def test_runs_test_consistency(spark, sf_dir):
+    r = QUERIES["q_runs_test"](spark, sf_dir).collect()[0]
+    n = r["n_pos"] + r["n_neg"]
+    assert 1 <= r["n_runs"] <= n
+    assert 1.0 <= r["expected_runs"] <= n
+    import math
+
+    assert math.isfinite(r["z_score"])
+
+
+def test_amihud_positive(spark, sf_dir):
+    out = QUERIES["q_amihud"](spark, sf_dir).toPandas()
+    assert len(out) == 10
+    assert (out["amihud_illiq"] >= 0).all()
