@@ -9121,3 +9121,40 @@ FROM rets GROUP BY l_suppkey
 ORDER BY amihud_illiq DESC, l_suppkey ASC
 LIMIT 10
 """
+
+ORACLES["q_cohens_d"] = """
+WITH agg AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS na,
+         (CAST(SUM(CASE WHEN user_id % 2 = 0
+                        THEN CAST(ROUND(value * 1000000) AS BIGINT)
+                        ELSE 0 END) AS DOUBLE) / 1000000) AS sa,
+         (CAST(SUM(CASE WHEN user_id % 2 = 0
+                        THEN CAST(ROUND(value * value * 1000000) AS BIGINT)
+                        ELSE 0 END) AS DOUBLE) / 1000000) AS ssa,
+         CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS nb,
+         (CAST(SUM(CASE WHEN user_id % 2 = 1
+                        THEN CAST(ROUND(value * 1000000) AS BIGINT)
+                        ELSE 0 END) AS DOUBLE) / 1000000) AS sb,
+         (CAST(SUM(CASE WHEN user_id % 2 = 1
+                        THEN CAST(ROUND(value * value * 1000000) AS BIGINT)
+                        ELSE 0 END) AS DOUBLE) / 1000000) AS ssb
+  FROM events GROUP BY event_type
+), c AS (
+  SELECT event_type,
+         sa / na - sb / nb AS mean_diff,
+         (sa / na - sb / nb)
+           / sqrt(((na - 1) * ((ssa - sa * sa / na) / (na - 1))
+                   + (nb - 1) * ((ssb - sb * sb / nb) / (nb - 1)))
+                  / (na + nb - 2)) AS d
+  FROM agg
+)
+SELECT event_type,
+       ROUND(mean_diff, 6) AS mean_diff,
+       ROUND(d, 6) AS cohens_d,
+       CASE WHEN ABS(d) < 0.2 THEN 'negligible'
+            WHEN ABS(d) < 0.5 THEN 'small'
+            WHEN ABS(d) < 0.8 THEN 'medium'
+            ELSE 'large' END AS effect_band
+FROM c ORDER BY event_type
+"""

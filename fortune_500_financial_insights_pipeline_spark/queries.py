@@ -8729,3 +8729,47 @@ def q_amihud(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("amihud_illiq"), F.asc("l_suppkey"))
         .limit(10)
     )
+
+
+@q("q_cohens_d")
+def q_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d effect size per event type for the user-parity split —
+    the practical-significance number next to q_ab_test's t statistic
+    (a tiny d can be 'significant' at scale and still not matter):
+    (mean_a − mean_b) / pooled SD from the same exact fixed-point
+    moments, with the conventional small/medium/large band label."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.withColumn("grp", (F.col("user_id") % 2).cast("int"))
+    agg = g.groupBy("event_type").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("double").alias("na"),
+        dsum(F.when(F.col("grp") == 0, F.col("value")).otherwise(0.0)).alias("sa"),
+        dsum(
+            F.when(F.col("grp") == 0, F.col("value") * F.col("value")).otherwise(0.0)
+        ).alias("ssa"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("double").alias("nb"),
+        dsum(F.when(F.col("grp") == 1, F.col("value")).otherwise(0.0)).alias("sb"),
+        dsum(
+            F.when(F.col("grp") == 1, F.col("value") * F.col("value")).otherwise(0.0)
+        ).alias("ssb"),
+    )
+    ma = F.col("sa") / F.col("na")
+    mb = F.col("sb") / F.col("nb")
+    va = (F.col("ssa") - F.col("sa") * F.col("sa") / F.col("na")) / (F.col("na") - 1)
+    vb = (F.col("ssb") - F.col("sb") * F.col("sb") / F.col("nb")) / (F.col("nb") - 1)
+    pooled = F.sqrt(
+        ((F.col("na") - 1) * va + (F.col("nb") - 1) * vb)
+        / (F.col("na") + F.col("nb") - 2)
+    )
+    d = (ma - mb) / pooled
+    band = (
+        F.when(F.abs(d) < 0.2, "negligible")
+        .when(F.abs(d) < 0.5, "small")
+        .when(F.abs(d) < 0.8, "medium")
+        .otherwise("large")
+    )
+    return agg.select(
+        "event_type",
+        F.round(ma - mb, 6).alias("mean_diff"),
+        F.round(d, 6).alias("cohens_d"),
+        band.alias("effect_band"),
+    ).orderBy("event_type")

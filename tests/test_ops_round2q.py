@@ -995,3 +995,15 @@ def test_amihud_positive(spark, sf_dir):
     out = QUERIES["q_amihud"](spark, sf_dir).toPandas()
     assert len(out) == 10
     assert (out["amihud_illiq"] >= 0).all()
+
+
+def test_cohens_d_bands_match_values(spark, sf_dir):
+    out = QUERIES["q_cohens_d"](spark, sf_dir).toPandas()
+    assert len(out) == 5
+    for _, r in out.iterrows():
+        d = abs(r["cohens_d"])
+        expect = (
+            "negligible" if d < 0.2 else "small" if d < 0.5
+            else "medium" if d < 0.8 else "large"
+        )
+        assert r["effect_band"] == expect
