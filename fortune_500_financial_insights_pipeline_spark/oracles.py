@@ -9158,3 +9158,29 @@ SELECT event_type,
             ELSE 'large' END AS effect_band
 FROM c ORDER BY event_type
 """
+
+ORACLES["q_price_stickiness"] = f"""
+WITH pm AS (
+  SELECT l_partkey, strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS m,
+         ROUND(ROUND({_dsum('l_extendedprice')}, 6)
+               / ROUND({_dsum('l_quantity')}, 6), 6) AS unit
+  FROM lineitem GROUP BY l_partkey, strftime(CAST(l_shipdate AS DATE), '%Y-%m')
+), ch AS (
+  SELECT l_partkey,
+         CASE WHEN ABS(unit / prev - 1) > 0.01 THEN 1 ELSE 0 END AS moved
+  FROM (
+    SELECT l_partkey, unit,
+           LAG(unit) OVER (PARTITION BY l_partkey ORDER BY m) AS prev
+    FROM pm
+  ) WHERE prev IS NOT NULL
+), per_part AS (
+  SELECT l_partkey, COUNT(*) AS n_mo, SUM(moved) AS n_ch
+  FROM ch GROUP BY l_partkey
+)
+SELECT p.p_brand, COUNT(*) AS n_parts,
+       ROUND(CAST(SUM(n_ch) AS DOUBLE) / SUM(n_mo), 6) AS change_frequency,
+       ROUND(CAST(SUM(CASE WHEN n_ch = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS sticky_share
+FROM per_part pp JOIN part p ON pp.l_partkey = p.p_partkey
+GROUP BY p.p_brand ORDER BY p.p_brand
+"""

@@ -8773,3 +8773,53 @@ def q_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(d, 6).alias("cohens_d"),
         band.alias("effect_band"),
     ).orderBy("event_type")
+
+
+@q("q_price_stickiness")
+def q_price_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-stickiness profile (menu-cost economics): per part, monthly
+    mean unit prices and the share of month-over-month moves larger than
+    1% — summarized per brand as the average change frequency and the
+    share of fully sticky parts. Two stacked aggregates + one lag
+    window on the (part, month) frame; exact fixed-point interiors."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pm = (
+        li.groupBy(
+            "l_partkey", F.date_format("l_shipdate", "yyyy-MM").alias("__m")
+        )
+        .agg(
+            F.round(dsum("l_extendedprice"), 6).alias("__rev"),
+            F.round(dsum("l_quantity"), 6).alias("__q"),
+        )
+        .withColumn("__unit", F.round(F.col("__rev") / F.col("__q"), 6))
+    )
+    wm = W.partitionBy("l_partkey").orderBy("__m")
+    ch = (
+        pm.withColumn("__prev", F.lag("__unit").over(wm))
+        .where(F.col("__prev").isNotNull())
+        .withColumn(
+            "__moved",
+            (F.abs(F.col("__unit") / F.col("__prev") - 1) > 0.01).cast("int"),
+        )
+    )
+    per_part = ch.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("__n_mo"),
+        F.sum("__moved").alias("__n_ch"),
+    )
+    return (
+        per_part.join(F.broadcast(p), per_part.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(
+                F.sum("__n_ch").cast("double") / F.sum("__n_mo"), 6
+            ).alias("change_frequency"),
+            F.round(
+                F.sum(F.when(F.col("__n_ch") == 0, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("sticky_share"),
+        )
+        .orderBy("p_brand")
+    )

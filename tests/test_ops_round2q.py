@@ -1007,3 +1007,10 @@ def test_cohens_d_bands_match_values(spark, sf_dir):
             else "medium" if d < 0.8 else "large"
         )
         assert r["effect_band"] == expect
+
+
+def test_price_stickiness_bounded(spark, sf_dir):
+    out = QUERIES["q_price_stickiness"](spark, sf_dir).toPandas()
+    assert len(out) == 25
+    assert ((out["change_frequency"] >= 0) & (out["change_frequency"] <= 1)).all()
+    assert ((out["sticky_share"] >= 0) & (out["sticky_share"] <= 1)).all()
