@@ -9184,3 +9184,55 @@ SELECT p.p_brand, COUNT(*) AS n_parts,
 FROM per_part pp JOIN part p ON pp.l_partkey = p.p_partkey
 GROUP BY p.p_brand ORDER BY p.p_brand
 """
+
+ORACLES["q_forecast_horizons"] = f"""
+WITH daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS d,
+         ROUND({_dsum('l_extendedprice')}, 6) AS rev
+  FROM lineitem GROUP BY CAST(l_shipdate AS DATE)
+), hs AS (SELECT CAST(UNNEST(range(1, 8)) AS INTEGER) AS h),
+j AS (
+  SELECT hs.h,
+         ROUND(ABS(b.rev - p.rev), 6) AS ae,
+         ROUND(2.0 * ABS(b.rev - p.rev) / (ABS(b.rev) + ABS(p.rev)), 6) AS sm
+  FROM daily b CROSS JOIN hs
+  JOIN daily p ON b.d - TO_DAYS(hs.h) = p.d
+)
+SELECT h, COUNT(*) AS n_days,
+       ROUND((CAST(SUM(CAST(ROUND(ae * 1000000) AS BIGINT)) AS DOUBLE) / 1000000)
+             / COUNT(ae), 6) AS mae,
+       ROUND((CAST(SUM(CAST(ROUND(sm * 1000000) AS BIGINT)) AS DOUBLE) / 1000000)
+             / COUNT(sm), 6) AS smape
+FROM j GROUP BY h ORDER BY h
+"""
+
+ORACLES["q_demand_classes"] = f"""
+WITH per_day AS (
+  SELECT l_partkey, CAST(l_shipdate AS DATE) AS d,
+         ROUND({_dsum('l_quantity')}, 6) AS q
+  FROM lineitem GROUP BY l_partkey, CAST(l_shipdate AS DATE)
+), per_part AS (
+  SELECT l_partkey, COUNT(*) AS nd,
+         CAST(datediff('day', MIN(d), MAX(d)) + 1 AS DOUBLE) AS span,
+         {_dsum('q')} AS s,
+         {_dsum('q * q')} AS ss
+  FROM per_day GROUP BY l_partkey
+), scored AS (
+  SELECT span / nd AS adi,
+         (ss / nd - (s / nd) * (s / nd)) / ((s / nd) * (s / nd)) AS cv2
+  FROM per_part WHERE nd >= 2
+), labeled AS (
+  SELECT CASE WHEN adi < 1.32 AND cv2 < 0.49 THEN 'smooth'
+              WHEN adi >= 1.32 AND cv2 < 0.49 THEN 'intermittent'
+              WHEN adi < 1.32 AND cv2 >= 0.49 THEN 'erratic'
+              ELSE 'lumpy' END AS demand_class,
+         adi, cv2
+  FROM scored
+)
+SELECT demand_class, COUNT(*) AS n_parts,
+       ROUND((CAST(SUM(CAST(ROUND(adi * 1000000) AS BIGINT)) AS DOUBLE) / 1000000)
+             / COUNT(adi), 6) AS avg_adi,
+       ROUND((CAST(SUM(CAST(ROUND(cv2 * 1000000) AS BIGINT)) AS DOUBLE) / 1000000)
+             / COUNT(cv2), 6) AS avg_cv2
+FROM labeled GROUP BY demand_class ORDER BY demand_class
+"""

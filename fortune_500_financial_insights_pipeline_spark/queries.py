@@ -8823,3 +8823,81 @@ def q_price_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@q("q_forecast_horizons")
+def q_forecast_horizons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-quality degradation by horizon: the persistence forecast
+    ŷ_h = y_{t−h} scored at horizons 1..7 days (MAE + sMAPE per h) —
+    the how-far-ahead-can-we-see curve that sets reorder lead times
+    (q_forecast_backtest scores ONE seasonal-naive model; this sweeps
+    the horizon). One broadcast horizon relation + a date-shifted
+    self-join on the daily aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").cast("date").alias("d")).agg(
+        F.round(dsum("l_extendedprice"), 6).alias("rev")
+    ).localCheckpoint(eager=False)
+    hs = spark.range(1, 8).select(F.col("id").cast("int").alias("h"))
+    base = daily.crossJoin(F.broadcast(hs))
+    past = daily.select(F.col("d").alias("__dp"), F.col("rev").alias("__yhat"))
+    j = base.join(past, F.expr("date_sub(d, h)") == F.col("__dp"))
+    ae = F.round(F.abs(F.col("rev") - F.col("__yhat")), 6)
+    sm = F.round(
+        2.0
+        * F.abs(F.col("rev") - F.col("__yhat"))
+        / (F.abs(F.col("rev")) + F.abs(F.col("__yhat"))),
+        6,
+    )
+    return (
+        j.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(davg(ae), 6).alias("mae"),
+            F.round(davg(sm), 6).alias("smape"),
+        )
+        .orderBy("h")
+    )
+
+
+@q("q_demand_classes")
+def q_demand_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syntetos–Boylan demand classification per part: ADI (average
+    inter-demand interval in days) × CV² (squared coefficient of
+    variation of demand sizes) → smooth / intermittent / erratic /
+    lumpy quadrants at the standard 1.32/0.49 cutoffs — the
+    classification that decides which forecasting family a part gets.
+    Per-part exact folds, 4-row class summary."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_day = li.groupBy("l_partkey", F.col("l_shipdate").cast("date").alias("d")).agg(
+        F.round(dsum("l_quantity"), 6).alias("__q")
+    )
+    per_part = per_day.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("__nd"),
+        (
+            F.datediff(F.max("d"), F.min("d")) + 1
+        ).cast("double").alias("__span"),
+        dsum("__q").alias("__s"),
+        dsum(F.col("__q") * F.col("__q")).alias("__ss"),
+    )
+    nd = F.col("__nd").cast("double")
+    adi = F.col("__span") / nd
+    mean = F.col("__s") / nd
+    var = F.col("__ss") / nd - mean * mean
+    cv2 = var / (mean * mean)
+    cls = (
+        F.when((adi < 1.32) & (cv2 < 0.49), "smooth")
+        .when((adi >= 1.32) & (cv2 < 0.49), "intermittent")
+        .when((adi < 1.32) & (cv2 >= 0.49), "erratic")
+        .otherwise("lumpy")
+    )
+    return (
+        per_part.where(F.col("__nd") >= 2)
+        .select(cls.alias("demand_class"), adi.alias("__adi"), cv2.alias("__cv2"))
+        .groupBy("demand_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(davg("__adi"), 6).alias("avg_adi"),
+            F.round(davg("__cv2"), 6).alias("avg_cv2"),
+        )
+        .orderBy("demand_class")
+    )

@@ -1014,3 +1014,17 @@ def test_price_stickiness_bounded(spark, sf_dir):
     assert len(out) == 25
     assert ((out["change_frequency"] >= 0) & (out["change_frequency"] <= 1)).all()
     assert ((out["sticky_share"] >= 0) & (out["sticky_share"] <= 1)).all()
+
+
+def test_forecast_horizons_degrade(spark, sf_dir):
+    out = QUERIES["q_forecast_horizons"](spark, sf_dir).toPandas().sort_values("h")
+    assert list(out["h"]) == list(range(1, 8))
+    assert (out["mae"] > 0).all()
+    assert ((out["smape"] >= 0) & (out["smape"] <= 2)).all()
+
+
+def test_demand_classes_partition(spark, sf_dir):
+    out = QUERIES["q_demand_classes"](spark, sf_dir).toPandas()
+    assert set(out["demand_class"]) <= {"smooth", "intermittent", "erratic", "lumpy"}
+    assert (out["n_parts"] > 0).all()
+    assert (out["avg_adi"] >= 1.0).all()
