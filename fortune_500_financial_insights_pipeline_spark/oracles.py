@@ -9236,3 +9236,50 @@ SELECT demand_class, COUNT(*) AS n_parts,
              / COUNT(cv2), 6) AS avg_cv2
 FROM labeled GROUP BY demand_class ORDER BY demand_class
 """
+
+ORACLES["q_ljung_box"] = """
+WITH acf AS (
+WITH 
+daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n
+  FROM orders GROUP BY 1
+)
+,
+stats AS (SELECT COUNT(*) AS nn, CAST(SUM(CAST(n AS BIGINT)) AS BIGINT) AS s
+          FROM daily),
+c AS (
+  SELECT d, CAST(nn * CAST(n AS BIGINT) - s AS BIGINT) AS c
+  FROM daily, stats
+),
+lagged AS (
+  SELECT c, LAG(c, 1) OVER w AS c1, LAG(c, 2) OVER w AS c2, LAG(c, 3) OVER w AS c3, LAG(c, 4) OVER w AS c4, LAG(c, 5) OVER w AS c5, LAG(c, 6) OVER w AS c6, LAG(c, 7) OVER w AS c7
+  FROM c WINDOW w AS (ORDER BY d)
+),
+sums AS (
+  SELECT CAST(SUM(c * c) AS BIGINT) AS den,
+         CAST(SUM(c * c1) AS BIGINT) AS num1, CAST(SUM(c * c2) AS BIGINT) AS num2, CAST(SUM(c * c3) AS BIGINT) AS num3, CAST(SUM(c * c4) AS BIGINT) AS num4, CAST(SUM(c * c5) AS BIGINT) AS num5, CAST(SUM(c * c6) AS BIGINT) AS num6, CAST(SUM(c * c7) AS BIGINT) AS num7
+  FROM lagged
+)
+SELECT 1 AS lag_k, CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE) AS acf FROM sums UNION ALL SELECT 2 AS lag_k, CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE) AS acf FROM sums UNION ALL SELECT 3 AS lag_k, CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE) AS acf FROM sums UNION ALL SELECT 4 AS lag_k, CAST(num4 AS DOUBLE) / CAST(den AS DOUBLE) AS acf FROM sums UNION ALL SELECT 5 AS lag_k, CAST(num5 AS DOUBLE) / CAST(den AS DOUBLE) AS acf FROM sums UNION ALL SELECT 6 AS lag_k, CAST(num6 AS DOUBLE) / CAST(den AS DOUBLE) AS acf FROM sums UNION ALL SELECT 7 AS lag_k, CAST(num7 AS DOUBLE) / CAST(den AS DOUBLE) AS acf FROM sums
+),
+nrow AS (
+  SELECT COUNT(*) AS n FROM (
+    SELECT CAST(o_orderdate AS DATE) AS d FROM orders GROUP BY CAST(o_orderdate AS DATE)
+  )
+), terms AS (
+  SELECT nrow.n, acf.lag_k,
+         CAST(ROUND(acf.acf * acf.acf
+                    / (CAST(nrow.n AS DOUBLE) - acf.lag_k) * 1000000000000)
+              AS BIGINT) AS t
+  FROM acf CROSS JOIN nrow
+), agg AS (
+  SELECT MAX(n) AS n, CAST(SUM(t) AS BIGINT) AS t, COUNT(*) AS m FROM terms
+)
+SELECT CAST(n AS BIGINT) AS n_obs, CAST(m AS INTEGER) AS n_lags,
+       ROUND(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2)
+             * (CAST(t AS DOUBLE) / 1000000000000), 6) AS q_stat,
+       CAST(CASE WHEN ROUND(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2)
+                            * (CAST(t AS DOUBLE) / 1000000000000), 6) > 14.0671
+                 THEN 1 ELSE 0 END AS INTEGER) AS reject_whiteness_5pct
+FROM agg
+"""

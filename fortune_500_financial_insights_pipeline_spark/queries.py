@@ -8901,3 +8901,36 @@ def q_demand_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("demand_class")
     )
+
+
+@q("q_ljung_box")
+def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau whiteness test over the oracled ACF:
+    Q = n(n+2)·Σ r_k²/(n−k) over q_acf's 7 lags — is there ANY
+    autocorrelation worth modeling, asked once, instead of eyeballing
+    q_acf lag by lag. The lag sum folds fixed point (1e12) so the
+    reduction is order-free; reject at the χ²₀.₉₅(7) = 14.0671
+    literal."""
+    acf = QUERIES["q_acf"](spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    nrow = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("__c")
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    j = acf.crossJoin(F.broadcast(nrow))
+    nn = F.col("__n").cast("double")
+    term = F.round(
+        F.col("acf") * F.col("acf") / (nn - F.col("lag_k")) * 1e12
+    ).cast("long")
+    agg = j.agg(
+        F.max("__n").alias("__n"),
+        F.sum(term).alias("__t"),
+        F.count(F.lit(1)).alias("__m"),
+    )
+    n2 = F.col("__n").cast("double")
+    q_stat = F.round(n2 * (n2 + 2) * (F.col("__t").cast("double") / 1e12), 6)
+    return agg.select(
+        F.col("__n").cast("long").alias("n_obs"),
+        F.col("__m").cast("int").alias("n_lags"),
+        q_stat.alias("q_stat"),
+        (q_stat > 14.0671).cast("int").alias("reject_whiteness_5pct"),
+    )

@@ -1028,3 +1028,10 @@ def test_demand_classes_partition(spark, sf_dir):
     assert set(out["demand_class"]) <= {"smooth", "intermittent", "erratic", "lumpy"}
     assert (out["n_parts"] > 0).all()
     assert (out["avg_adi"] >= 1.0).all()
+
+
+def test_ljung_box_positive(spark, sf_dir):
+    r = QUERIES["q_ljung_box"](spark, sf_dir).collect()[0]
+    assert r["q_stat"] >= 0
+    assert r["n_lags"] == 7
+    assert r["reject_whiteness_5pct"] in (0, 1)
