@@ -9283,3 +9283,58 @@ SELECT CAST(n AS BIGINT) AS n_obs, CAST(m AS INTEGER) AS n_lags,
                  THEN 1 ELSE 0 END AS INTEGER) AS reject_whiteness_5pct
 FROM agg
 """
+
+ORACLES["q_hurst"] = f"""
+WITH daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS d,
+         ROUND({_dsum('l_extendedprice / 1000.0')}, 6) AS rev
+  FROM lineitem GROUP BY CAST(l_shipdate AS DATE)
+), base AS (
+  SELECT rev, CAST(ROUND(rev * 1000000) AS BIGINT) AS x6,
+         ROW_NUMBER() OVER (ORDER BY d) AS rn, d
+  FROM daily
+), sizes AS (SELECT CAST(UNNEST([16, 32, 64]) AS INTEGER) AS size),
+tagged AS (
+  SELECT b.*, s.size, (b.rn - 1) // s.size AS blk
+  FROM base b CROSS JOIN sizes s
+), blocked AS (
+  SELECT size, blk, rev, x6,
+         COUNT(*) OVER wb AS n,
+         CAST(SUM(x6) OVER wb AS BIGINT) AS bsum,
+         CAST(SUM(x6) OVER wo AS BIGINT) AS cum,
+         ROW_NUMBER() OVER (PARTITION BY size, blk ORDER BY rn) AS t
+  FROM tagged
+  WINDOW wb AS (PARTITION BY size, blk),
+         wo AS (PARTITION BY size, blk ORDER BY rn
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), full_blocks AS (
+  SELECT size, blk, rev, x6,
+         CAST(size AS BIGINT) * cum - CAST(t AS BIGINT) * bsum AS dev
+  FROM blocked WHERE n = size
+), per_block AS (
+  SELECT size, blk,
+         CAST(MAX(dev) - MIN(dev) AS DOUBLE) AS rraw,
+         CAST(SUM(x6) AS BIGINT) AS s6,
+         {_dsum('rev * rev')} AS ssd
+  FROM full_blocks GROUP BY size, blk
+), rs AS (
+  SELECT size,
+         ROUND((rraw / (CAST(size AS DOUBLE) * 1000000.0))
+               / sqrt(ssd / CAST(size AS DOUBLE)
+                      - (CAST(s6 AS DOUBLE) / 1000000.0 / CAST(size AS DOUBLE))
+                        * (CAST(s6 AS DOUBLE) / 1000000.0 / CAST(size AS DOUBLE))),
+               6) AS r
+  FROM per_block
+), per_size AS (
+  SELECT size,
+         ROUND((CAST(SUM(CAST(ROUND(r * 1000000) AS BIGINT)) AS DOUBLE) / 1000000)
+               / COUNT(r), 6) AS avg_rs
+  FROM rs WHERE r IS NOT NULL GROUP BY size
+)
+SELECT MAX(CASE WHEN size = 16 THEN avg_rs END) AS rs_16,
+       MAX(CASE WHEN size = 32 THEN avg_rs END) AS rs_32,
+       MAX(CASE WHEN size = 64 THEN avg_rs END) AS rs_64,
+       ROUND((log2(MAX(CASE WHEN size = 64 THEN avg_rs END))
+              - log2(MAX(CASE WHEN size = 16 THEN avg_rs END))) / 2.0, 6) AS hurst
+FROM per_size
+"""

@@ -8934,3 +8934,73 @@ def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_stat.alias("q_stat"),
         (q_stat > 14.0671).cast("int").alias("reject_whiteness_5pct"),
     )
+
+
+@q("q_hurst")
+def q_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled-range analysis over dyadic blocks
+    (16/32/64 days) of the daily-revenue series: per full block,
+    R = range of cumulative deviations (computed as the EXACT long
+    D_t = n·cumsum − t·blocksum, so no fractional mean ever enters the
+    scan), S = population std from exact moments, H = the closed-form
+    slope (log2 RS₆₄ − log2 RS₁₆)/2 — trending (H>0.5) vs
+    mean-reverting (H<0.5), the long-memory number next to q_acf's
+    short-lag view. One day-count-sized frame × 3 block sizes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # kilo-scaled series: R/S is scale-invariant and rev² at full scale
+    # overflows the 1e6 fixed-point long interior (the q_simpsons_check
+    # lesson, again caught by the hash gate)
+    daily = li.groupBy(F.col("l_shipdate").cast("date").alias("d")).agg(
+        F.round(dsum(F.col("l_extendedprice") / 1000.0), 6).alias("rev")
+    )
+    wg = W.orderBy("d")
+    base = daily.withColumn("__rn", F.row_number().over(wg)).withColumn(
+        "__x6", F.round(F.col("rev") * 1000000).cast("long")
+    )
+    sizes = spark.createDataFrame([(16,), (32,), (64,)], "size int")
+    tagged = base.crossJoin(F.broadcast(sizes)).withColumn(
+        "__blk", F.expr("(__rn - 1) div size")
+    )
+    wb = W.partitionBy("size", "__blk")
+    wo = wb.orderBy("__rn").rowsBetween(W.unboundedPreceding, W.currentRow)
+    blocked = (
+        tagged.withColumn("__n", F.count(F.lit(1)).over(wb))
+        .where(F.col("__n") == F.col("size"))
+        .withColumn("__bsum", F.sum("__x6").over(wb))
+        .withColumn("__cum", F.sum("__x6").over(wo))
+        .withColumn("__t", F.row_number().over(wb.orderBy("__rn")))
+        .withColumn(
+            "__dev",
+            F.col("size").cast("long") * F.col("__cum")
+            - F.col("__t").cast("long") * F.col("__bsum"),
+        )
+    )
+    per_block = blocked.groupBy("size", "__blk").agg(
+        (F.max("__dev") - F.min("__dev")).cast("double").alias("__rraw"),
+        F.first("size").alias("__sz"),
+        F.sum("__x6").alias("__s6"),
+        dsum(F.col("rev") * F.col("rev")).alias("__ssd"),
+    )
+    nn = F.col("__sz").cast("double")
+    r = F.col("__rraw") / (nn * 1e6)
+    mean = F.col("__s6").cast("double") / 1e6 / nn
+    var = F.col("__ssd") / nn - mean * mean
+    rs = F.round(r / F.sqrt(var), 6)
+    per_size = (
+        per_block.select(F.col("__sz").alias("size"), rs.alias("__rs"))
+        .where(F.col("__rs").isNotNull())
+        .groupBy("size")
+        .agg(
+            F.count(F.lit(1)).alias("__nb"),
+            F.round(davg("__rs"), 6).alias("__avg_rs"),
+        )
+    )
+    piv = per_size.groupBy().pivot("size", [16, 32, 64]).agg(F.max("__avg_rs"))
+    return piv.select(
+        F.col("16").alias("rs_16"),
+        F.col("32").alias("rs_32"),
+        F.col("64").alias("rs_64"),
+        F.round(
+            (F.log2(F.col("64")) - F.log2(F.col("16"))) / 2.0, 6
+        ).alias("hurst"),
+    )

@@ -1035,3 +1035,11 @@ def test_ljung_box_positive(spark, sf_dir):
     assert r["q_stat"] >= 0
     assert r["n_lags"] == 7
     assert r["reject_whiteness_5pct"] in (0, 1)
+
+
+def test_hurst_in_physical_range(spark, sf_dir):
+    r = QUERIES["q_hurst"](spark, sf_dir).collect()[0]
+    assert r["rs_16"] > 0 and r["rs_32"] > 0 and r["rs_64"] > 0
+    # R/S grows with block size; H lands in (0, 1)
+    assert r["rs_64"] > r["rs_16"]
+    assert 0.0 < r["hurst"] < 1.0
