@@ -9338,3 +9338,19 @@ SELECT MAX(CASE WHEN size = 16 THEN avg_rs END) AS rs_16,
               - log2(MAX(CASE WHEN size = 16 THEN avg_rs END))) / 2.0, 6) AS hurst
 FROM per_size
 """
+
+ORACLES["q_load_heatmap"] = """
+WITH per AS (
+  SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+         CAST(hour(ts) AS INTEGER) AS hour,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+), tot AS (SELECT SUM(n_events) AS t, COUNT(*) AS cells FROM per)
+SELECT dow, hour, n_events,
+       ROUND(CAST(n_events AS DOUBLE) / tot.t, 6) AS share,
+       CAST(CASE WHEN CAST(n_events AS DOUBLE) / tot.t
+                      > 2.0 / CAST(tot.cells AS DOUBLE)
+                 THEN 1 ELSE 0 END AS INTEGER) AS peak
+FROM per CROSS JOIN tot
+ORDER BY dow, hour
+"""

@@ -9004,3 +9004,35 @@ def q_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.log2(F.col("64")) - F.log2(F.col("16"))) / 2.0, 6
         ).alias("hurst"),
     )
+
+
+@q("q_load_heatmap")
+def q_load_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly load heatmap: event counts per (day-of-week, hour) cell
+    with share-of-total and peak flags (> 2× the uniform cell share) —
+    the capacity-planning grid behind autoscaling schedules. DOW uses
+    the cross-engine-explicit mapping q_calendar_features established;
+    one scan, 168-cell output."""
+    e = load_table(spark, sf_dir, "events")
+    dow = F.dayofweek("ts").cast("int")  # 1=Sunday .. 7=Saturday
+    hr = F.hour("ts").cast("int")
+    per = e.groupBy(dow.alias("dow"), hr.alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    tot = per.agg(F.sum("n_events").alias("__t"), F.count(F.lit(1)).alias("__cells"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "hour",
+            "n_events",
+            F.round(F.col("n_events").cast("double") / F.col("__t"), 6).alias(
+                "share"
+            ),
+            (
+                F.col("n_events").cast("double") / F.col("__t")
+                > 2.0 / F.col("__cells").cast("double")
+            ).cast("int").alias("peak"),
+        )
+        .orderBy("dow", "hour")
+    )

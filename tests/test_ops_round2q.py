@@ -1043,3 +1043,10 @@ def test_hurst_in_physical_range(spark, sf_dir):
     # R/S grows with block size; H lands in (0, 1)
     assert r["rs_64"] > r["rs_16"]
     assert 0.0 < r["hurst"] < 1.0
+
+
+def test_load_heatmap_covers_week(spark, sf_dir):
+    out = QUERIES["q_load_heatmap"](spark, sf_dir).toPandas()
+    assert out["dow"].between(1, 7).all()
+    assert out["hour"].between(0, 23).all()
+    assert abs(out["share"].sum() - 1.0) < 1e-3
