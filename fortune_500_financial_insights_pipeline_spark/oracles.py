@@ -9354,3 +9354,18 @@ SELECT dow, hour, n_events,
 FROM per CROSS JOIN tot
 ORDER BY dow, hour
 """
+
+ORACLES["q_discount_curve"] = f"""
+WITH per AS (
+  SELECT LEAST(5, CAST(FLOOR((l_quantity - 1) / 10) AS INTEGER) + 1) AS qty_band,
+         COUNT(*) AS n_lines,
+         ROUND({_dsum('l_discount')} / COUNT(*), 6) AS avg_discount,
+         ROUND(quantile_cont(l_discount, 0.9), 6) AS p90_discount,
+         ROUND({_dsum('l_extendedprice * (1 - l_discount)')}, 6) AS rev
+  FROM lineitem GROUP BY 1
+), tot AS (SELECT ROUND({_dsum('rev')}, 6) AS t FROM per)
+SELECT qty_band, n_lines, avg_discount, p90_discount,
+       ROUND(rev / tot.t, 6) AS revenue_share
+FROM per CROSS JOIN tot
+ORDER BY qty_band
+"""

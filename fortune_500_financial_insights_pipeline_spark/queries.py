@@ -9036,3 +9036,35 @@ def q_load_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hour")
     )
+
+
+@q("q_discount_curve")
+def q_discount_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-discount policy curve: mean and p90 discount per quantity
+    band (1-10, 11-20, ...) plus each band's revenue share — does bigger
+    volume actually buy a deeper discount, and how much revenue rides
+    each band. One scan, five-band output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # explicit FLOOR: DuckDB CAST(double AS INTEGER) rounds-to-nearest,
+    # Spark cast truncates — floor is the shared semantic
+    band = F.least(F.lit(5), F.floor((F.col("l_quantity") - 1) / 10).cast("int") + 1)
+    per = li.groupBy(band.alias("qty_band")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(davg("l_discount"), 6).alias("avg_discount"),
+        F.round(F.percentile("l_discount", F.lit(0.9)), 6).alias("p90_discount"),
+        F.round(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias(
+            "__rev"
+        ),
+    )
+    tot = per.agg(F.round(dsum("__rev"), 6).alias("__t"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "qty_band",
+            "n_lines",
+            "avg_discount",
+            "p90_discount",
+            F.round(F.col("__rev") / F.col("__t"), 6).alias("revenue_share"),
+        )
+        .orderBy("qty_band")
+    )

@@ -1050,3 +1050,10 @@ def test_load_heatmap_covers_week(spark, sf_dir):
     assert out["dow"].between(1, 7).all()
     assert out["hour"].between(0, 23).all()
     assert abs(out["share"].sum() - 1.0) < 1e-3
+
+
+def test_discount_curve_shares_sum(spark, sf_dir):
+    out = QUERIES["q_discount_curve"](spark, sf_dir).toPandas()
+    assert len(out) == 5
+    assert abs(out["revenue_share"].sum() - 1.0) < 1e-3
+    assert ((out["avg_discount"] >= 0) & (out["avg_discount"] <= 0.2)).all()
