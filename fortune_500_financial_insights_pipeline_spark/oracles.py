@@ -9369,3 +9369,70 @@ SELECT qty_band, n_lines, avg_discount, p90_discount,
 FROM per CROSS JOIN tot
 ORDER BY qty_band
 """
+
+ORACLES["q_seasonal_strength"] = """
+WITH sd AS (
+WITH 
+daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n
+  FROM orders GROUP BY 1
+)
+,
+base AS (
+  SELECT d, CAST(n AS BIGINT) AS v,
+         CAST(SUM(CAST(n AS BIGINT)) OVER w AS BIGINT) AS ts,
+         COUNT(*) OVER w AS tc,
+         (ROW_NUMBER() OVER (ORDER BY d) - 1) % 7 AS ph
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+interior AS (
+  SELECT *, v * 7 - ts AS dt FROM base WHERE tc = 7
+),
+seas AS (
+  SELECT ph,
+         CAST(ROUND(CAST(SUM(dt) AS DOUBLE) / COUNT(*) / 7 * 1000000)
+              AS BIGINT) AS s6
+  FROM interior GROUP BY ph
+),
+tot AS (SELECT CAST(SUM(s6) AS BIGINT) AS tot6 FROM seas),
+seas_c AS (SELECT ph, s6 * 7 - tot6 AS sc6p FROM seas, tot)
+SELECT i.d, i.v AS value,
+       CAST(i.ts AS DOUBLE) / 7 AS trend,
+       CAST(s.sc6p AS DOUBLE) / (7 * 1000000.0) AS seasonal,
+       CAST(i.v AS DOUBLE) - CAST(i.ts AS DOUBLE) / 7
+         - CAST(s.sc6p AS DOUBLE) / (7 * 1000000.0) AS residual
+FROM interior i JOIN seas_c s USING (ph)
+),
+comp AS (
+  SELECT ROUND(seasonal + residual, 6) AS sr,
+         ROUND(trend + residual, 6) AS tr,
+         ROUND(residual, 6) AS r
+  FROM sd
+), m AS (
+  SELECT COUNT(*) AS n_days,
+         (CAST(SUM(CAST(ROUND(r * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS s_r,
+         (CAST(SUM(CAST(ROUND(r * r * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS ss_r,
+         (CAST(SUM(CAST(ROUND(sr * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS s_sr,
+         (CAST(SUM(CAST(ROUND(sr * sr * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS ss_sr,
+         (CAST(SUM(CAST(ROUND(tr * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS s_tr,
+         (CAST(SUM(CAST(ROUND(tr * tr * 1000000) AS BIGINT)) AS DOUBLE) / 1000000) AS ss_tr
+  FROM comp
+)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+       ROUND(GREATEST(0.0, 1.0 - (ss_r / CAST(n_days AS DOUBLE)
+                                  - (s_r / CAST(n_days AS DOUBLE))
+                                    * (s_r / CAST(n_days AS DOUBLE)))
+                               / (ss_sr / CAST(n_days AS DOUBLE)
+                                  - (s_sr / CAST(n_days AS DOUBLE))
+                                    * (s_sr / CAST(n_days AS DOUBLE)))), 6)
+         AS seasonal_strength,
+       ROUND(GREATEST(0.0, 1.0 - (ss_r / CAST(n_days AS DOUBLE)
+                                  - (s_r / CAST(n_days AS DOUBLE))
+                                    * (s_r / CAST(n_days AS DOUBLE)))
+                               / (ss_tr / CAST(n_days AS DOUBLE)
+                                  - (s_tr / CAST(n_days AS DOUBLE))
+                                    * (s_tr / CAST(n_days AS DOUBLE)))), 6)
+         AS trend_strength
+FROM m
+"""

@@ -9068,3 +9068,44 @@ def q_discount_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qty_band")
     )
+
+
+@q("q_seasonal_strength")
+def q_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-strength summary over the oracled decomposition:
+    F_s = max(0, 1 − var(residual)/var(seasonal+residual)) (Hyndman's
+    STL-strength statistic) plus the same for trend — ONE number per
+    component saying whether q_seasonal_decompose's weekly structure is
+    load-bearing or noise. Variances from exact fixed-point moments over
+    the interior-day frame."""
+    sd = QUERIES["q_seasonal_decompose"](spark, sf_dir)
+    comp = sd.select(
+        F.round(F.col("seasonal") + F.col("residual"), 6).alias("__sr"),
+        F.round(F.col("trend") + F.col("residual"), 6).alias("__tr"),
+        F.round("residual", 6).alias("__r"),
+    )
+    m = comp.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        dsum("__r").alias("__s_r"),
+        dsum(F.col("__r") * F.col("__r")).alias("__ss_r"),
+        dsum("__sr").alias("__s_sr"),
+        dsum(F.col("__sr") * F.col("__sr")).alias("__ss_sr"),
+        dsum("__tr").alias("__s_tr"),
+        dsum(F.col("__tr") * F.col("__tr")).alias("__ss_tr"),
+    )
+    nn = F.col("n_days").cast("double")
+
+    def var(s, ss):
+        return F.col(ss) / nn - (F.col(s) / nn) * (F.col(s) / nn)
+
+    fs = F.greatest(
+        F.lit(0.0), 1.0 - var("__s_r", "__ss_r") / var("__s_sr", "__ss_sr")
+    )
+    ft = F.greatest(
+        F.lit(0.0), 1.0 - var("__s_r", "__ss_r") / var("__s_tr", "__ss_tr")
+    )
+    return m.select(
+        "n_days",
+        F.round(fs, 6).alias("seasonal_strength"),
+        F.round(ft, 6).alias("trend_strength"),
+    )

@@ -1057,3 +1057,10 @@ def test_discount_curve_shares_sum(spark, sf_dir):
     assert len(out) == 5
     assert abs(out["revenue_share"].sum() - 1.0) < 1e-3
     assert ((out["avg_discount"] >= 0) & (out["avg_discount"] <= 0.2)).all()
+
+
+def test_seasonal_strength_bounded(spark, sf_dir):
+    r = QUERIES["q_seasonal_strength"](spark, sf_dir).collect()[0]
+    assert 0.0 <= r["seasonal_strength"] <= 1.0
+    assert 0.0 <= r["trend_strength"] <= 1.0
+    assert r["n_days"] > 0
