@@ -9436,3 +9436,20 @@ SELECT CAST(n_days AS BIGINT) AS n_days,
          AS trend_strength
 FROM m
 """
+
+ORACLES["q_streaks"] = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), islands AS (
+  SELECT user_id,
+         datediff('day', DATE '2024-01-01', d)
+           - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+  FROM days
+), streaks AS (
+  SELECT user_id, grp, COUNT(*) AS len FROM islands GROUP BY user_id, grp
+), longest AS (
+  SELECT user_id, MAX(len) AS mx FROM streaks GROUP BY user_id
+)
+SELECT CAST(mx AS BIGINT) AS streak_days, COUNT(*) AS n_users
+FROM longest GROUP BY mx ORDER BY streak_days
+"""

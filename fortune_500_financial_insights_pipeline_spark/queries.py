@@ -9109,3 +9109,32 @@ def q_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(fs, 6).alias("seasonal_strength"),
         F.round(ft, 6).alias("trend_strength"),
     )
+
+
+@q("q_streaks")
+def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-streak distribution: each user's LONGEST run of
+    consecutive active days (gaps-islands on the per-user day frame),
+    histogrammed — the engagement-depth number behind habit metrics
+    (DAU counts can't tell one 7-day streak from seven scattered days).
+    Per-user day counts bound every stage."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    streaks = (
+        days.withColumn(
+            "__grp",
+            F.datediff(F.col("d"), F.lit("2024-01-01").cast("date"))
+            - F.row_number().over(w),
+        )
+        .groupBy("user_id", "__grp")
+        .agg(F.count(F.lit(1)).alias("__len"))
+    )
+    longest = streaks.groupBy("user_id").agg(F.max("__len").alias("__max"))
+    return (
+        longest.groupBy(F.col("__max").alias("streak_days"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("streak_days")
+    )

@@ -1064,3 +1064,9 @@ def test_seasonal_strength_bounded(spark, sf_dir):
     assert 0.0 <= r["seasonal_strength"] <= 1.0
     assert 0.0 <= r["trend_strength"] <= 1.0
     assert r["n_days"] > 0
+
+
+def test_streaks_distribution(spark, sf_dir):
+    out = QUERIES["q_streaks"](spark, sf_dir).toPandas()
+    assert (out["streak_days"] >= 1).all()
+    assert out["n_users"].sum() > 0
