@@ -9453,3 +9453,28 @@ WITH days AS (
 SELECT CAST(mx AS BIGINT) AS streak_days, COUNT(*) AS n_users
 FROM longest GROUP BY mx ORDER BY streak_days
 """
+
+ORACLES["q_return_rates"] = f"""
+WITH j AS (
+  SELECT p.p_brand, l.l_returnflag, l.l_extendedprice
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), per AS (
+  SELECT p_brand, COUNT(*) AS n_lines,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_returned,
+         ROUND({_dsum("CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0.0 END")}, 6)
+           AS ret_rev,
+         ROUND({_dsum('l_extendedprice')}, 6) AS rev
+  FROM j GROUP BY p_brand
+), tot AS (
+  SELECT CAST(SUM(n_returned) AS DOUBLE) / SUM(n_lines) AS base FROM per
+)
+SELECT p_brand, n_lines,
+       ROUND(CAST(n_returned AS DOUBLE) / n_lines, 6) AS return_rate,
+       ROUND(ret_rev / rev, 6) AS returned_rev_share,
+       ROUND(tot.base, 6) AS base_rate,
+       CAST(CASE WHEN CAST(n_returned AS DOUBLE) / n_lines > tot.base * 1.2
+                 THEN 1 ELSE 0 END AS INTEGER) AS escalate
+FROM per CROSS JOIN tot
+ORDER BY p_brand
+"""

@@ -9138,3 +9138,41 @@ def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("streak_days")
     )
+
+
+@q("q_return_rates")
+def q_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate league table: per brand, the share of lines (and of
+    revenue) flagged returned, against the corpus-wide rate and a
+    flag for brands > 1.2× it — the quality-escalation list a retail
+    ops review walks. One broadcast part join, exact ratios."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    ret = (F.col("l_returnflag") == "R").cast("int")
+    per = j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(ret).cast("long").alias("n_returned"),
+        F.round(dsum(F.when(ret == 1, F.col("l_extendedprice")).otherwise(0.0)), 6).alias(
+            "__ret_rev"
+        ),
+        F.round(dsum("l_extendedprice"), 6).alias("__rev"),
+    )
+    tot = per.agg(
+        (F.sum("n_returned").cast("double") / F.sum("n_lines")).alias("__base")
+    )
+    rate = F.col("n_returned").cast("double") / F.col("n_lines")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "p_brand",
+            "n_lines",
+            F.round(rate, 6).alias("return_rate"),
+            F.round(F.col("__ret_rev") / F.col("__rev"), 6).alias(
+                "returned_rev_share"
+            ),
+            F.round(F.col("__base"), 6).alias("base_rate"),
+            (rate > F.col("__base") * 1.2).cast("int").alias("escalate"),
+        )
+        .orderBy("p_brand")
+    )

@@ -1070,3 +1070,13 @@ def test_streaks_distribution(spark, sf_dir):
     out = QUERIES["q_streaks"](spark, sf_dir).toPandas()
     assert (out["streak_days"] >= 1).all()
     assert out["n_users"].sum() > 0
+
+
+def test_return_rates_consistent(spark, sf_dir):
+    out = QUERIES["q_return_rates"](spark, sf_dir).toPandas()
+    assert len(out) == 25
+    assert ((out["return_rate"] >= 0) & (out["return_rate"] <= 1)).all()
+    assert out["base_rate"].nunique() == 1
+    flagged = out[out["escalate"] == 1]
+    if len(flagged):
+        assert (flagged["return_rate"] > flagged["base_rate"] * 1.2 - 1e-9).all()
