@@ -9478,3 +9478,27 @@ SELECT p_brand, n_lines,
 FROM per CROSS JOIN tot
 ORDER BY p_brand
 """
+
+ORACLES["q_segment_migration"] = f"""
+WITH a AS (
+  SELECT o_custkey,
+         CASE NTILE(3) OVER (ORDER BY rev ASC, o_custkey ASC)
+           WHEN 1 THEN 'low' WHEN 2 THEN 'mid' ELSE 'high' END AS seg
+  FROM (SELECT o_custkey, {_dsum('o_totalprice')} AS rev
+        FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1996
+        GROUP BY o_custkey)
+), b AS (
+  SELECT o_custkey,
+         CASE NTILE(3) OVER (ORDER BY rev ASC, o_custkey ASC)
+           WHEN 1 THEN 'low' WHEN 2 THEN 'mid' ELSE 'high' END AS seg
+  FROM (SELECT o_custkey, {_dsum('o_totalprice')} AS rev
+        FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1997
+        GROUP BY o_custkey)
+)
+SELECT COALESCE(a.seg, 'new') AS from_seg,
+       COALESCE(b.seg, 'churned') AS to_seg,
+       COUNT(*) AS n_customers
+FROM a FULL OUTER JOIN b USING (o_custkey)
+GROUP BY 1, 2
+ORDER BY from_seg, to_seg
+"""

@@ -9176,3 +9176,43 @@ def q_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@q("q_segment_migration")
+def q_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value-segment migration 1996 → 1997: deterministic
+    revenue terciles (ntile with custkey tiebreak) per year, full-outer
+    aligned into a migration matrix with 'new' and 'churned' wings — the
+    lifecycle flow behind retention planning (q_retention_cohort counts
+    presence; this tracks VALUE movement). Year frames are
+    customer-count-sized."""
+    o = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+
+    def seg(year):
+        per = (
+            o.where(yr == year)
+            .groupBy("o_custkey")
+            .agg(dsum("o_totalprice").alias("__rev"))
+        )
+        wn = W.orderBy(F.asc("__rev"), F.asc("o_custkey"))
+        t = per.withColumn("__t", F.ntile(3).over(wn))
+        return t.select(
+            "o_custkey",
+            F.when(F.col("__t") == 1, "low")
+            .when(F.col("__t") == 2, "mid")
+            .otherwise("high")
+            .alias("seg"),
+        )
+
+    a = seg(1996).select("o_custkey", F.col("seg").alias("seg_1996"))
+    b = seg(1997).select("o_custkey", F.col("seg").alias("seg_1997"))
+    j = a.join(b, "o_custkey", "full")
+    return (
+        j.groupBy(
+            F.coalesce("seg_1996", F.lit("new")).alias("from_seg"),
+            F.coalesce("seg_1997", F.lit("churned")).alias("to_seg"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("from_seg", "to_seg")
+    )

@@ -1080,3 +1080,12 @@ def test_return_rates_consistent(spark, sf_dir):
     flagged = out[out["escalate"] == 1]
     if len(flagged):
         assert (flagged["return_rate"] > flagged["base_rate"] * 1.2 - 1e-9).all()
+
+
+def test_segment_migration_matrix(spark, sf_dir):
+    out = QUERIES["q_segment_migration"](spark, sf_dir).toPandas()
+    assert set(out["from_seg"]) <= {"low", "mid", "high", "new"}
+    assert set(out["to_seg"]) <= {"low", "mid", "high", "churned"}
+    # 'new' customers can't also be 'churned'
+    assert not ((out["from_seg"] == "new") & (out["to_seg"] == "churned")).any()
+    assert (out["n_customers"] > 0).all()
