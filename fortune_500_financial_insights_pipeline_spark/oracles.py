@@ -9502,3 +9502,25 @@ FROM a FULL OUTER JOIN b USING (o_custkey)
 GROUP BY 1, 2
 ORDER BY from_seg, to_seg
 """
+
+ORACLES["q_ar_aging"] = f"""
+WITH book AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS a FROM orders),
+open_o AS (
+  SELECT o.o_totalprice,
+         datediff('day', CAST(o.o_orderdate AS DATE), book.a) AS age
+  FROM orders o CROSS JOIN book
+  WHERE o.o_orderstatus = 'O'
+), per AS (
+  SELECT CASE WHEN age <= 30 THEN '0-30'
+              WHEN age <= 60 THEN '31-60'
+              WHEN age <= 90 THEN '61-90'
+              ELSE '90+' END AS age_bucket,
+         COUNT(*) AS n_orders,
+         ROUND({_dsum('o_totalprice')}, 6) AS open_value
+  FROM open_o GROUP BY 1
+), tot AS (SELECT ROUND({_dsum('open_value')}, 6) AS t FROM per)
+SELECT age_bucket, n_orders, open_value,
+       ROUND(open_value / tot.t, 6) AS value_share
+FROM per CROSS JOIN tot
+ORDER BY age_bucket
+"""

@@ -9216,3 +9216,38 @@ def q_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("from_seg", "to_seg")
     )
+
+
+@q("q_ar_aging")
+def q_ar_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order aging report: orders still open ('O') bucketed by days
+    outstanding relative to the book's as-of date (max order date) into
+    the classic 0-30 / 31-60 / 61-90 / 90+ bands, with order counts and
+    value at risk — the AR-style aging every finance close produces.
+    As-of derives from the data (one broadcast scalar), buckets are
+    integer day arithmetic."""
+    o = load_table(spark, sf_dir, "orders")
+    asof = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("__asof"))
+    open_o = o.where(F.col("o_orderstatus") == "O").crossJoin(F.broadcast(asof))
+    age = F.datediff(F.col("__asof"), F.col("o_orderdate").cast("date"))
+    bucket = (
+        F.when(age <= 30, "0-30")
+        .when(age <= 60, "31-60")
+        .when(age <= 90, "61-90")
+        .otherwise("90+")
+    )
+    per = open_o.groupBy(bucket.alias("age_bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(dsum("o_totalprice"), 6).alias("open_value"),
+    )
+    tot = per.agg(F.round(dsum("open_value"), 6).alias("__t"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "age_bucket",
+            "n_orders",
+            "open_value",
+            F.round(F.col("open_value") / F.col("__t"), 6).alias("value_share"),
+        )
+        .orderBy("age_bucket")
+    )

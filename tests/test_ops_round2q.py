@@ -1089,3 +1089,10 @@ def test_segment_migration_matrix(spark, sf_dir):
     # 'new' customers can't also be 'churned'
     assert not ((out["from_seg"] == "new") & (out["to_seg"] == "churned")).any()
     assert (out["n_customers"] > 0).all()
+
+
+def test_ar_aging_shares(spark, sf_dir):
+    out = QUERIES["q_ar_aging"](spark, sf_dir).toPandas()
+    assert set(out["age_bucket"]) <= {"0-30", "31-60", "61-90", "90+"}
+    assert abs(out["value_share"].sum() - 1.0) < 1e-3
+    assert (out["open_value"] > 0).all()
