@@ -9524,3 +9524,28 @@ SELECT age_bucket, n_orders, open_value,
 FROM per CROSS JOIN tot
 ORDER BY age_bucket
 """
+
+ORACLES["q_share_shift"] = f"""
+WITH j AS (
+  SELECT n.n_name, o.o_totalprice,
+         year(CAST(o.o_orderdate AS DATE)) AS y
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE year(CAST(o.o_orderdate AS DATE)) IN (1996, 1997)
+), per AS (
+  SELECT n_name,
+         ROUND({_dsum("CASE WHEN y = 1996 THEN o_totalprice ELSE 0.0 END")}, 6) AS r96,
+         ROUND({_dsum("CASE WHEN y = 1997 THEN o_totalprice ELSE 0.0 END")}, 6) AS r97
+  FROM j GROUP BY n_name
+), tot AS (
+  SELECT ROUND({_dsum('r96')}, 6) AS t96, ROUND({_dsum('r97')}, 6) AS t97 FROM per
+)
+SELECT n_name,
+       ROUND(r96 / tot.t96, 6) AS share_1996,
+       ROUND(r97 / tot.t97, 6) AS share_1997,
+       ROUND((ROUND(r97 / tot.t97, 6) - ROUND(r96 / tot.t96, 6)) * 100, 6)
+         AS pp_change
+FROM per CROSS JOIN tot
+ORDER BY n_name
+"""

@@ -9251,3 +9251,41 @@ def q_ar_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("age_bucket")
     )
+
+
+@q("q_share_shift")
+def q_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-share shift by customer nation, 1996 → 1997: each nation's
+    revenue share in both years and the percentage-point swing — the
+    who-is-winning table every regional review opens with. Two
+    conditional fixed-point sums in ONE scan (no per-year rescan),
+    broadcast nation names."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    yr = F.year("o_orderdate")
+    j = (
+        o.where(yr.isin(1996, 1997))
+        .join(F.broadcast(c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)),
+              o.o_custkey == F.col("c_custkey"))
+    )
+    per = j.groupBy("n_name").agg(
+        F.round(dsum(F.when(yr == 1996, F.col("o_totalprice")).otherwise(0.0)), 6).alias("__r96"),
+        F.round(dsum(F.when(yr == 1997, F.col("o_totalprice")).otherwise(0.0)), 6).alias("__r97"),
+    )
+    tot = per.agg(
+        F.round(dsum("__r96"), 6).alias("__t96"),
+        F.round(dsum("__r97"), 6).alias("__t97"),
+    )
+    s96 = F.round(F.col("__r96") / F.col("__t96"), 6)
+    s97 = F.round(F.col("__r97") / F.col("__t97"), 6)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "n_name",
+            s96.alias("share_1996"),
+            s97.alias("share_1997"),
+            F.round((s97 - s96) * 100, 6).alias("pp_change"),
+        )
+        .orderBy("n_name")
+    )

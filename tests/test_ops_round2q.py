@@ -1096,3 +1096,11 @@ def test_ar_aging_shares(spark, sf_dir):
     assert set(out["age_bucket"]) <= {"0-30", "31-60", "61-90", "90+"}
     assert abs(out["value_share"].sum() - 1.0) < 1e-3
     assert (out["open_value"] > 0).all()
+
+
+def test_share_shift_sums(spark, sf_dir):
+    out = QUERIES["q_share_shift"](spark, sf_dir).toPandas()
+    assert len(out) == 25
+    assert abs(out["share_1996"].sum() - 1.0) < 1e-3
+    assert abs(out["share_1997"].sum() - 1.0) < 1e-3
+    assert abs(out["pp_change"].sum()) < 0.1  # shares are zero-sum
