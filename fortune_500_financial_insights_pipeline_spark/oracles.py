@@ -9549,3 +9549,33 @@ SELECT n_name,
 FROM per CROSS JOIN tot
 ORDER BY n_name
 """
+
+ORACLES["q_coverage_gaps"] = f"""
+WITH nr AS (
+  SELECT n.n_nationkey, r.r_name
+  FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+), flows AS (
+  SELECT sup.r_name AS supp_region, cus.r_name AS cust_region,
+         ROUND({_dsum('l.l_extendedprice')}, 6) AS v
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nr sup ON s.s_nationkey = sup.n_nationkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nr cus ON c.c_nationkey = cus.n_nationkey
+  GROUP BY sup.r_name, cus.r_name
+), cells AS (
+  SELECT a.r_name AS supp_region, b.r_name AS cust_region
+  FROM region a CROSS JOIN region b
+), tot AS (SELECT ROUND({_dsum('v')}, 6) AS t FROM flows)
+SELECT c.supp_region, c.cust_region,
+       ROUND(COALESCE(f.v, 0.0), 6) AS trade_value,
+       ROUND(COALESCE(f.v, 0.0) / tot.t, 6) AS flow_share,
+       CAST(CASE WHEN COALESCE(f.v, 0.0) = 0.0 THEN 1 ELSE 0 END AS INTEGER)
+         AS white_space
+FROM cells c
+LEFT JOIN flows f ON f.supp_region = c.supp_region
+                 AND f.cust_region = c.cust_region
+CROSS JOIN tot
+ORDER BY c.supp_region, c.cust_region
+"""

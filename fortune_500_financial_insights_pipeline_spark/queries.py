@@ -9289,3 +9289,55 @@ def q_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@q("q_coverage_gaps")
+def q_coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-region × customer-region coverage matrix with ZERO cells
+    restored (the q_chi2 lesson: a missing cell and an empty cell are
+    different facts): trade value and flow share per region pair, plus
+    the white-space flag — the assortment/expansion gap map. Dimension
+    joins broadcast; the cell cross is 5×5."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "r_name"
+    )
+    sup = s.join(F.broadcast(nr), s.s_nationkey == nr.n_nationkey).select(
+        "s_suppkey", F.col("r_name").alias("supp_region")
+    )
+    cus = c.join(F.broadcast(nr), c.c_nationkey == nr.n_nationkey).select(
+        "c_custkey", F.col("r_name").alias("cust_region")
+    )
+    flows = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .join(F.broadcast(cus), o.o_custkey == cus.c_custkey)
+        .groupBy("supp_region", "cust_region")
+        .agg(F.round(dsum("l_extendedprice"), 6).alias("__v"))
+    )
+    regions = r.select(F.col("r_name"))
+    cells = regions.select(F.col("r_name").alias("supp_region")).crossJoin(
+        regions.select(F.col("r_name").alias("cust_region"))
+    )
+    tot = flows.agg(F.round(dsum("__v"), 6).alias("__t"))
+    return (
+        cells.join(flows, ["supp_region", "cust_region"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "supp_region",
+            "cust_region",
+            F.round(F.coalesce("__v", F.lit(0.0)), 6).alias("trade_value"),
+            F.round(F.coalesce("__v", F.lit(0.0)) / F.col("__t"), 6).alias(
+                "flow_share"
+            ),
+            (F.coalesce("__v", F.lit(0.0)) == 0.0).cast("int").alias("white_space"),
+        )
+        .orderBy("supp_region", "cust_region")
+    )

@@ -1104,3 +1104,11 @@ def test_share_shift_sums(spark, sf_dir):
     assert abs(out["share_1996"].sum() - 1.0) < 1e-3
     assert abs(out["share_1997"].sum() - 1.0) < 1e-3
     assert abs(out["pp_change"].sum()) < 0.1  # shares are zero-sum
+
+
+def test_coverage_gaps_full_grid(spark, sf_dir):
+    out = QUERIES["q_coverage_gaps"](spark, sf_dir).toPandas()
+    assert len(out) == 25  # 5x5 region grid, zero cells included
+    assert abs(out["flow_share"].sum() - 1.0) < 1e-3
+    ws = out[out["white_space"] == 1]
+    assert (ws["trade_value"] == 0.0).all()
