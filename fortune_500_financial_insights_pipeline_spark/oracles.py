@@ -9579,3 +9579,23 @@ LEFT JOIN flows f ON f.supp_region = c.supp_region
 CROSS JOIN tot
 ORDER BY c.supp_region, c.cust_region
 """
+
+ORACLES["q_readability"] = """
+WITH scored AS (
+  SELECT lang,
+         ROUND(206.835
+               - 1.015 * (CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS DOUBLE)
+                          / CAST(GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))
+                                 AS DOUBLE))
+               - 84.6 * (CAST(GREATEST(1, len(regexp_extract_all(text, '[aeiouyAEIOUY]+')))
+                              AS DOUBLE)
+                         / CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS DOUBLE)),
+               6) AS f
+  FROM documents
+  WHERE len(regexp_extract_all(text, '[A-Za-z]+')) > 0
+)
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND((CAST(SUM(CAST(ROUND(f * 1000000) AS BIGINT)) AS DOUBLE) / 1000000)
+             / COUNT(f), 6) AS avg_flesch
+FROM scored GROUP BY lang ORDER BY lang
+"""

@@ -9341,3 +9341,37 @@ def q_coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("supp_region", "cust_region")
     )
+
+
+@q("q_readability")
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per language: 206.835 − 1.015·(words/sentences)
+    − 84.6·(syllables/words), with sentences and vowel-group 'syllables'
+    counted by the SAME regexps on both engines (the heuristic syllable
+    counter every readability library actually ships) — the
+    text-complexity screen next to q_quality_score's length bands.
+    Per-doc round-6 scores, fixed-point language means."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+"), 0)).cast(
+        "double"
+    )
+    sents = F.greatest(
+        F.lit(1),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0)),
+    ).cast("double")
+    sylls = F.greatest(
+        F.lit(1),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[aeiouyAEIOUY]+"), 0)),
+    ).cast("double")
+    flesch = F.round(
+        206.835 - 1.015 * (words / sents) - 84.6 * (sylls / words), 6
+    )
+    scored = d.where(words > 0).select("lang", flesch.alias("__f"))
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(davg("__f"), 6).alias("avg_flesch"),
+        )
+        .orderBy("lang")
+    )

@@ -1112,3 +1112,11 @@ def test_coverage_gaps_full_grid(spark, sf_dir):
     assert abs(out["flow_share"].sum() - 1.0) < 1e-3
     ws = out[out["white_space"] == 1]
     assert (ws["trade_value"] == 0.0).all()
+
+
+def test_readability_finite(spark, sf_dir):
+    import math
+
+    out = QUERIES["q_readability"](spark, sf_dir).toPandas()
+    assert len(out) >= 1
+    assert out["avg_flesch"].map(math.isfinite).all()
