@@ -9599,3 +9599,18 @@ SELECT lang, COUNT(*) AS n_docs,
              / COUNT(f), 6) AS avg_flesch
 FROM scored GROUP BY lang ORDER BY lang
 """
+
+ORACLES["q_event_id_audit"] = """
+WITH per_id AS (
+  SELECT event_id, COUNT(*) AS n, COUNT(DISTINCT user_id) AS nu
+  FROM events GROUP BY event_id
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n_events,
+       COUNT(*) AS n_distinct_ids,
+       CAST(SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) AS n_replayed,
+       ROUND(CAST(SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS DOUBLE)
+             / SUM(n), 6) AS replay_rate,
+       CAST(SUM(CASE WHEN nu > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_ids_multi_user
+FROM per_id
+"""

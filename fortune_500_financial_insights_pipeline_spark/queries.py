@@ -9375,3 +9375,34 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@q("q_event_id_audit")
+def q_event_id_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ingestion audit on the event stream's id column:
+    duplicate-id rate (replayed deliveries) and ids spanning multiple
+    users (id-collision / generator bugs) — the two invariants an
+    at-least-once pipeline must reconcile before events feed counts.
+    Two id-keyed aggregates, one-row report."""
+    e = load_table(spark, sf_dir, "events")
+    per_id = e.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.countDistinct("user_id").alias("__nu"),
+    )
+    return per_id.agg(
+        F.sum("__n").cast("long").alias("n_events"),
+        F.count(F.lit(1)).alias("n_distinct_ids"),
+        F.sum(F.when(F.col("__n") > 1, F.col("__n") - 1).otherwise(0))
+        .cast("long")
+        .alias("n_replayed"),
+        F.round(
+            F.sum(F.when(F.col("__n") > 1, F.col("__n") - 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum("__n"),
+            6,
+        ).alias("replay_rate"),
+        F.sum(F.when(F.col("__nu") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_ids_multi_user"),
+    )

@@ -1120,3 +1120,10 @@ def test_readability_finite(spark, sf_dir):
     out = QUERIES["q_readability"](spark, sf_dir).toPandas()
     assert len(out) >= 1
     assert out["avg_flesch"].map(math.isfinite).all()
+
+
+def test_event_id_audit_invariants(spark, sf_dir):
+    r = QUERIES["q_event_id_audit"](spark, sf_dir).collect()[0]
+    assert r["n_events"] >= r["n_distinct_ids"]
+    assert r["n_replayed"] == r["n_events"] - r["n_distinct_ids"]
+    assert 0.0 <= r["replay_rate"] <= 1.0
