@@ -9614,3 +9614,36 @@ SELECT CAST(SUM(n) AS BIGINT) AS n_events,
          AS n_ids_multi_user
 FROM per_id
 """
+
+ORACLES["q_sma_cross"] = f"""
+WITH daily AS (
+  SELECT l_suppkey, strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS day,
+         ROUND({_dsum('l_extendedprice')} / COUNT(*), 6) AS close
+  FROM lineitem WHERE l_suppkey <= 10
+  GROUP BY l_suppkey, strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')
+), framed AS (
+  SELECT l_suppkey, day,
+         SIGN(ROUND(CAST(SUM(CAST(ROUND(close * 1000000) AS BIGINT)) OVER w5
+                         AS DOUBLE) / 1000000 / 5
+                    - CAST(SUM(CAST(ROUND(close * 1000000) AS BIGINT)) OVER w20
+                           AS DOUBLE) / 1000000 / 20, 6)) AS sgn,
+         COUNT(*) OVER w5 AS n5, COUNT(*) OVER w20 AS n20
+  FROM daily
+  WINDOW w5 AS (PARTITION BY l_suppkey ORDER BY day
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         w20 AS (PARTITION BY l_suppkey ORDER BY day
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+), gated AS (
+  SELECT l_suppkey, day, sgn,
+         LAG(sgn) OVER (PARTITION BY l_suppkey ORDER BY day) AS prev
+  FROM framed WHERE n5 = 5 AND n20 = 20
+)
+SELECT l_suppkey,
+       CAST(SUM(CASE WHEN sgn > prev THEN 1 ELSE 0 END) AS BIGINT)
+         AS golden_crosses,
+       CAST(SUM(CASE WHEN sgn < prev THEN 1 ELSE 0 END) AS BIGINT)
+         AS death_crosses
+FROM gated
+WHERE prev IS NOT NULL AND prev <> sgn
+GROUP BY l_suppkey ORDER BY l_suppkey
+"""

@@ -9406,3 +9406,52 @@ def q_event_id_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_ids_multi_user"),
     )
+
+
+@q("q_sma_cross")
+def q_sma_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average crossover signals: 5-day vs 20-day SMA per supplier
+    series, counting golden (fast crosses above) and death (below)
+    crosses — the signal generator the indicator family (RSI/Bollinger/
+    EWMA) feeds. Full-window SMAs only (count-gated frames), sign from
+    the round-6 spread, crosses via one lag — all inside the single
+    per-key window family."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_suppkey") <= 10)
+    daily = li.groupBy(
+        "l_suppkey", F.date_format("l_shipdate", "yyyy-MM-dd").alias("day")
+    ).agg(F.round(davg("l_extendedprice"), 6).alias("close"))
+    w = W.partitionBy("l_suppkey").orderBy("day")
+    w5 = w.rowsBetween(-4, 0)
+    w20 = w.rowsBetween(-19, 0)
+    c6 = F.round(F.col("close") * 1000000).cast("long")
+    framed = (
+        daily.withColumn("__s5", F.sum(c6).over(w5))
+        .withColumn("__n5", F.count(F.lit(1)).over(w5))
+        .withColumn("__s20", F.sum(c6).over(w20))
+        .withColumn("__n20", F.count(F.lit(1)).over(w20))
+        .where((F.col("__n5") == 5) & (F.col("__n20") == 20))
+        .withColumn(
+            "__spread",
+            F.round(
+                F.col("__s5").cast("double") / 1e6 / 5
+                - F.col("__s20").cast("double") / 1e6 / 20,
+                6,
+            ),
+        )
+        .withColumn("__sign", F.signum("__spread"))
+    )
+    crossed = framed.withColumn("__prev", F.lag("__sign").over(w)).where(
+        F.col("__prev").isNotNull() & (F.col("__prev") != F.col("__sign"))
+    )
+    return (
+        crossed.groupBy("l_suppkey")
+        .agg(
+            F.sum(F.when(F.col("__sign") > F.col("__prev"), 1).otherwise(0))
+            .cast("long")
+            .alias("golden_crosses"),
+            F.sum(F.when(F.col("__sign") < F.col("__prev"), 1).otherwise(0))
+            .cast("long")
+            .alias("death_crosses"),
+        )
+        .orderBy("l_suppkey")
+    )

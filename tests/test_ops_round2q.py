@@ -1127,3 +1127,10 @@ def test_event_id_audit_invariants(spark, sf_dir):
     assert r["n_events"] >= r["n_distinct_ids"]
     assert r["n_replayed"] == r["n_events"] - r["n_distinct_ids"]
     assert 0.0 <= r["replay_rate"] <= 1.0
+
+
+def test_sma_cross_counts_balanced(spark, sf_dir):
+    out = QUERIES["q_sma_cross"](spark, sf_dir).toPandas()
+    assert len(out) > 0
+    # crosses alternate, so per-series counts differ by at most 1
+    assert (abs(out["golden_crosses"] - out["death_crosses"]) <= 1).all()
