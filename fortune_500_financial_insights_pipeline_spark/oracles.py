@@ -9647,3 +9647,120 @@ FROM gated
 WHERE prev IS NOT NULL AND prev <> sgn
 GROUP BY l_suppkey ORDER BY l_suppkey
 """
+
+ORACLES["q_health_summary"] = """
+WITH cc AS (
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n_errors
+  FROM events WHERE event_type = 'error'
+  GROUP BY CAST(ts AS DATE)
+), stats AS (
+  SELECT CAST(SUM(n_errors) AS DOUBLE) / COUNT(*) AS mu FROM daily
+)
+SELECT strftime(d, '%Y-%m-%d') AS day, n_errors,
+       ROUND(stats.mu, 6) AS center,
+       ROUND(stats.mu + 3 * sqrt(stats.mu), 6) AS ucl,
+       ROUND(GREATEST(stats.mu - 3 * sqrt(stats.mu), 0.0), 6) AS lcl,
+       CAST(CASE WHEN n_errors > ROUND(stats.mu + 3 * sqrt(stats.mu), 6)
+                   OR n_errors < ROUND(GREATEST(stats.mu - 3 * sqrt(stats.mu), 0.0), 6)
+                 THEN 1 ELSE 0 END AS INTEGER) AS out_of_control
+FROM daily CROSS JOIN stats
+ORDER BY day
+),
+ph AS (
+WITH per AS (
+  SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS month,
+         COUNT(*) AS n_rows,
+         ROUND(CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / COUNT(*), 6) AS null_rate_price,
+         CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+  FROM lineitem
+  GROUP BY strftime(CAST(l_shipdate AS DATE), '%Y-%m')
+)
+SELECT month, n_rows, null_rate_price, n_suppliers,
+       CAST(CASE WHEN LAG(n_rows) OVER (ORDER BY month) IS NOT NULL
+                  AND n_rows < LAG(n_rows) OVER (ORDER BY month) * 0.5
+                 THEN 1 ELSE 0 END AS INTEGER) AS volume_drop
+FROM per ORDER BY month
+),
+srm AS (
+WITH per AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n_a, n_b,
+       ROUND((n_a - CAST(n_a + n_b AS DOUBLE) / 2)
+             * (n_a - CAST(n_a + n_b AS DOUBLE) / 2)
+             / (CAST(n_a + n_b AS DOUBLE) / 2)
+             + (n_b - CAST(n_a + n_b AS DOUBLE) / 2)
+               * (n_b - CAST(n_a + n_b AS DOUBLE) / 2)
+               / (CAST(n_a + n_b AS DOUBLE) / 2), 6) AS chi2,
+       CAST(CASE WHEN (n_a - CAST(n_a + n_b AS DOUBLE) / 2)
+                      * (n_a - CAST(n_a + n_b AS DOUBLE) / 2)
+                      / (CAST(n_a + n_b AS DOUBLE) / 2)
+                      + (n_b - CAST(n_a + n_b AS DOUBLE) / 2)
+                        * (n_b - CAST(n_a + n_b AS DOUBLE) / 2)
+                        / (CAST(n_a + n_b AS DOUBLE) / 2) > 3.841
+                 THEN 1 ELSE 0 END AS INTEGER) AS srm_flag
+FROM per ORDER BY event_type
+),
+fk AS (
+WITH e1 AS (
+  SELECT 'lineitem->orders' AS fk_edge, COUNT(*) AS n_child_rows,
+         CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_orphans
+  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+    ON l.l_orderkey = o.o_orderkey
+), e2 AS (
+  SELECT 'lineitem->part', COUNT(*),
+         CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+    ON l.l_partkey = p.p_partkey
+), e3 AS (
+  SELECT 'lineitem->supplier', COUNT(*),
+         CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem l LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s
+    ON l.l_suppkey = s.s_suppkey
+), e4 AS (
+  SELECT 'orders->customer', COUNT(*),
+         CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+    ON o.o_custkey = c.c_custkey
+), e5 AS (
+  SELECT 'customer->nation', COUNT(*),
+         CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+    ON c.c_nationkey = n.n_nationkey
+), e6 AS (
+  SELECT 'nation->region', COUNT(*),
+         CAST(SUM(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM nation n LEFT JOIN (SELECT DISTINCT r_regionkey FROM region) r
+    ON n.n_regionkey = r.r_regionkey
+), u AS (
+  SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3
+  UNION ALL SELECT * FROM e4 UNION ALL SELECT * FROM e5 UNION ALL SELECT * FROM e6
+)
+SELECT fk_edge, n_child_rows, n_orphans,
+       ROUND(CAST(n_orphans AS DOUBLE) / n_child_rows, 6) AS orphan_rate
+FROM u ORDER BY fk_edge
+),
+u AS (
+  SELECT 'error_control_chart' AS check_name,
+         CAST(SUM(out_of_control) AS BIGINT) AS n_triggered,
+         COUNT(*) AS n_checked
+  FROM cc
+  UNION ALL
+  SELECT 'volume_drops', CAST(SUM(volume_drop) AS BIGINT), COUNT(*) FROM ph
+  UNION ALL
+  SELECT 'srm', CAST(SUM(srm_flag) AS BIGINT), COUNT(*) FROM srm
+  UNION ALL
+  SELECT 'fk_orphans',
+         CAST(SUM(CASE WHEN n_orphans > 0 THEN 1 ELSE 0 END) AS BIGINT),
+         COUNT(*)
+  FROM fk
+)
+SELECT check_name AS "check", n_triggered, n_checked
+FROM u ORDER BY check_name
+"""

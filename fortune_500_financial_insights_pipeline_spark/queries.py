@@ -9455,3 +9455,36 @@ def q_sma_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_suppkey")
     )
+
+
+@q("q_health_summary")
+def q_health_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The morning health check as ONE query: triggered-alert counts from
+    four already-oracled monitors — error-rate control-chart breaches,
+    month-over-month volume drops, experiment sample-ratio mismatches,
+    and FK orphans — unioned into a single pane (composition over the
+    registry itself: each leg IS the registered query, re-aggregated to
+    its alert count)."""
+
+    def leg(name, df, cond_col):
+        return df.agg(
+            F.sum(F.col(cond_col)).cast("long").alias("n_triggered"),
+            F.count(F.lit(1)).alias("n_checked"),
+        ).select(F.lit(name).alias("check"), "n_triggered", "n_checked")
+
+    legs = [
+        leg("error_control_chart", QUERIES["q_control_chart"](spark, sf_dir), "out_of_control"),
+        leg("volume_drops", QUERIES["q_partition_health"](spark, sf_dir), "volume_drop"),
+        leg("srm", QUERIES["q_ab_srm"](spark, sf_dir), "srm_flag"),
+        leg(
+            "fk_orphans",
+            QUERIES["q_fk_orphans"](spark, sf_dir).withColumn(
+                "__bad", (F.col("n_orphans") > 0).cast("int")
+            ),
+            "__bad",
+        ),
+    ]
+    out = legs[0]
+    for l2 in legs[1:]:
+        out = out.unionByName(l2)
+    return out.orderBy("check")

@@ -1134,3 +1134,13 @@ def test_sma_cross_counts_balanced(spark, sf_dir):
     assert len(out) > 0
     # crosses alternate, so per-series counts differ by at most 1
     assert (abs(out["golden_crosses"] - out["death_crosses"]) <= 1).all()
+
+
+def test_health_summary_all_checks_present(spark, sf_dir):
+    out = QUERIES["q_health_summary"](spark, sf_dir).toPandas()
+    assert set(out["check"]) == {
+        "error_control_chart", "volume_drops", "srm", "fk_orphans",
+    }
+    assert (out["n_triggered"] <= out["n_checked"]).all()
+    # clean synthetic star schema: no orphans fire
+    assert out.set_index("check").loc["fk_orphans", "n_triggered"] == 0
