@@ -9764,3 +9764,27 @@ u AS (
 SELECT check_name AS "check", n_triggered, n_checked
 FROM u ORDER BY check_name
 """
+
+ORACLES["q_grubbs"] = f"""
+WITH m AS (
+  SELECT o_orderpriority, COUNT(*) AS n,
+         {_dsum('o_totalprice')} AS s,
+         {_dsum('o_totalprice * o_totalprice / 1000000')} AS ssm,
+         ROUND(MAX(o_totalprice), 6) AS mx,
+         ROUND(MIN(o_totalprice), 6) AS mn
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+       ROUND(s / CAST(n AS DOUBLE), 6) AS mean_value,
+       ROUND(GREATEST(mx - s / CAST(n AS DOUBLE), s / CAST(n AS DOUBLE) - mn)
+             / sqrt((ssm * 1000000) / CAST(n AS DOUBLE)
+                    - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE))), 6)
+         AS grubbs_g,
+       CAST(CASE WHEN GREATEST(mx - s / CAST(n AS DOUBLE),
+                               s / CAST(n AS DOUBLE) - mn)
+                      / sqrt((ssm * 1000000) / CAST(n AS DOUBLE)
+                             - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)))
+                      > 4.0
+                 THEN 1 ELSE 0 END AS INTEGER) AS flag_outlier
+FROM m ORDER BY o_orderpriority
+"""

@@ -9488,3 +9488,32 @@ def q_health_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     for l2 in legs[1:]:
         out = out.unionByName(l2)
     return out.orderBy("check")
+
+
+@q("q_grubbs")
+def q_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' single-outlier statistic per priority class:
+    G = max|x − x̄| / s over order values, with the flag at the
+    conventional G > 4 screening cut (exact critical values need the t
+    quantile; 4.0 is the large-n screening literal) — the one-number
+    is-the-extreme-real check before q_mad_outliers' full robust pass.
+    Exact moments, one extra max fold."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice").alias("__s"),
+        dsum(F.col("o_totalprice") * F.col("o_totalprice") / 1000000).alias("__ssm"),
+        F.round(F.max("o_totalprice"), 6).alias("__mx"),
+        F.round(F.min("o_totalprice"), 6).alias("__mn"),
+    )
+    nn = F.col("n").cast("double")
+    mean = F.col("__s") / nn
+    var = (F.col("__ssm") * 1000000) / nn - mean * mean
+    g = F.greatest(F.col("__mx") - mean, mean - F.col("__mn")) / F.sqrt(var)
+    return m.select(
+        "o_orderpriority",
+        "n",
+        F.round(mean, 6).alias("mean_value"),
+        F.round(g, 6).alias("grubbs_g"),
+        (g > 4.0).cast("int").alias("flag_outlier"),
+    ).orderBy("o_orderpriority")

@@ -1144,3 +1144,9 @@ def test_health_summary_all_checks_present(spark, sf_dir):
     assert (out["n_triggered"] <= out["n_checked"]).all()
     # clean synthetic star schema: no orphans fire
     assert out.set_index("check").loc["fk_orphans", "n_triggered"] == 0
+
+
+def test_grubbs_positive(spark, sf_dir):
+    out = QUERIES["q_grubbs"](spark, sf_dir).toPandas()
+    assert len(out) == 5
+    assert (out["grubbs_g"] > 0).all()
