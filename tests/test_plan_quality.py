@@ -531,3 +531,23 @@ def test_bootstrap_resample_relation_broadcasts(spark, sf_dir):
 def test_tail_index_caps_rank_before_shuffle(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_tail_index")
     assert re.search(r"WindowGroupLimit .*row_number\(\), 51, Partial", plan), plan
+
+
+def test_topk_stability_caps_variant_ranks(spark, sf_dir):
+    """All ten leave-one-fold-out rankings must cap map-side."""
+    plan = plan_of(spark, sf_dir, "q_topk_stability")
+    assert re.search(r"WindowGroupLimit .*row_number\(\), 20, Partial", plan), plan
+
+
+def test_naive_bayes_scoring_broadcasts_language_stats(spark, sf_dir):
+    """The per-language floor/prior relations must broadcast onto the
+    token stream — the corpus never shuffles by language."""
+    plan = plan_of(spark, sf_dir, "q_naive_bayes")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_adamic_adar_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_adamic_adar")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-20 never global-sorts
