@@ -9788,3 +9788,32 @@ SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
                  THEN 1 ELSE 0 END AS INTEGER) AS flag_outlier
 FROM m ORDER BY o_orderpriority
 """
+
+ORACLES["q_ridge_path"] = f"""
+WITH mom AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         {_dsum('l_quantity')} AS s1,
+         {_dsum('l_discount')} AS s2,
+         {_dsum('l_extendedprice / 1000.0')} AS sy,
+         {_dsum('l_quantity * l_quantity')} AS s11,
+         {_dsum('l_quantity * l_discount')} AS s12,
+         {_dsum('l_discount * l_discount')} AS s22,
+         {_dsum('l_quantity * (l_extendedprice / 1000.0)')} AS s1y,
+         {_dsum('l_discount * (l_extendedprice / 1000.0)')} AS s2y
+  FROM lineitem
+), cov AS (
+  SELECT s11 / n - (s1 / n) * (s1 / n) AS c11,
+         s12 / n - (s1 / n) * (s2 / n) AS c12,
+         s22 / n - (s2 / n) * (s2 / n) AS c22,
+         s1y / n - (s1 / n) * (sy / n) AS c1y,
+         s2y / n - (s2 / n) * (sy / n) AS c2y
+  FROM mom
+), lams AS (SELECT UNNEST([0.0, 1.0, 10.0, 100.0]) AS lam)
+SELECT lam,
+       ROUND(((c22 + lam) * c1y - c12 * c2y)
+             / ((c11 + lam) * (c22 + lam) - c12 * c12), 6) AS w_quantity,
+       ROUND(((c11 + lam) * c2y - c12 * c1y)
+             / ((c11 + lam) * (c22 + lam) - c12 * c12), 6) AS w_discount
+FROM cov CROSS JOIN lams
+ORDER BY lam
+"""

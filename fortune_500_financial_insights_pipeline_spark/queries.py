@@ -9517,3 +9517,43 @@ def q_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(g, 6).alias("grubbs_g"),
         (g > 4.0).cast("int").alias("flag_outlier"),
     ).orderBy("o_orderpriority")
+
+
+@q("q_ridge_path")
+def q_ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge-regression shrinkage path in closed form: price regressed on
+    centered (quantity, discount) at λ ∈ {0, 1, 10, 100} — the 2×2
+    (C + λI)⁻¹ c_xy solve as shared-text column expressions over ONE
+    exact moment pass crossed with a broadcast λ relation (the
+    regularized step past q_ols_multi; coefficients shrink monotonically
+    toward 0, test-pinned). No solver, no iteration."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x1, x2, yv = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice") / 1000.0
+    mom = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(x1).alias("s1"),
+        dsum(x2).alias("s2"),
+        dsum(yv).alias("sy"),
+        dsum(x1 * x1).alias("s11"),
+        dsum(x1 * x2).alias("s12"),
+        dsum(x2 * x2).alias("s22"),
+        dsum(x1 * yv).alias("s1y"),
+        dsum(x2 * yv).alias("s2y"),
+    )
+    cov = mom.select(
+        F.expr("s11 / n - (s1 / n) * (s1 / n)").alias("c11"),
+        F.expr("s12 / n - (s1 / n) * (s2 / n)").alias("c12"),
+        F.expr("s22 / n - (s2 / n) * (s2 / n)").alias("c22"),
+        F.expr("s1y / n - (s1 / n) * (sy / n)").alias("c1y"),
+        F.expr("s2y / n - (s2 / n) * (sy / n)").alias("c2y"),
+    )
+    lams = spark.createDataFrame(
+        [(0.0,), (1.0,), (10.0,), (100.0,)], "lam double"
+    )
+    j = cov.crossJoin(F.broadcast(lams))
+    det = "((c11 + lam) * (c22 + lam) - c12 * c12)"
+    return j.select(
+        "lam",
+        F.round(F.expr(f"((c22 + lam) * c1y - c12 * c2y) / {det}"), 6).alias("w_quantity"),
+        F.round(F.expr(f"((c11 + lam) * c2y - c12 * c1y) / {det}"), 6).alias("w_discount"),
+    ).orderBy("lam")

@@ -1150,3 +1150,12 @@ def test_grubbs_positive(spark, sf_dir):
     out = QUERIES["q_grubbs"](spark, sf_dir).toPandas()
     assert len(out) == 5
     assert (out["grubbs_g"] > 0).all()
+
+
+def test_ridge_path_shrinks(spark, sf_dir):
+    out = QUERIES["q_ridge_path"](spark, sf_dir).toPandas().sort_values("lam")
+    assert len(out) == 4
+    wq = out["w_quantity"].abs().tolist()
+    assert all(a >= b - 1e-9 for a, b in zip(wq, wq[1:]))  # monotone shrinkage
+    # λ=0 reproduces the unregularized centered solution (non-trivial)
+    assert abs(out.iloc[0]["w_quantity"]) > 0
