@@ -9817,3 +9817,49 @@ SELECT lam,
 FROM cov CROSS JOIN lams
 ORDER BY lam
 """
+
+ORACLES["q_psm_att"] = """
+WITH per AS (
+  SELECT user_id,
+         ROUND(CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                        THEN CAST(ROUND(value * 1000000) AS BIGINT)
+                        ELSE 0 END) AS DOUBLE) / 1000000, 6) AS x,
+         ROUND(CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                        THEN CAST(ROUND(value * 1000000) AS BIGINT)
+                        ELSE 0 END) AS DOUBLE) / 1000000, 6) AS y
+  FROM events GROUP BY user_id
+), treated AS (
+  SELECT user_id AS t_id, x AS xt, y AS yt FROM per WHERE user_id % 2 = 0
+), control AS (
+  SELECT user_id AS c_id, x AS xc, y AS yc FROM per WHERE user_id % 2 <> 0
+), tb AS (
+  SELECT t_id, xt, yt,
+         UNNEST([CAST(FLOOR(xt / 50.0) AS BIGINT) - 1,
+                 CAST(FLOOR(xt / 50.0) AS BIGINT),
+                 CAST(FLOOR(xt / 50.0) AS BIGINT) + 1]) AS band
+  FROM treated
+), cb AS (
+  SELECT c_id, xc, yc, CAST(FLOOR(xc / 50.0) AS BIGINT) AS band FROM control
+), cand AS (
+  SELECT tb.t_id, tb.xt, tb.yt, cb.c_id, cb.xc, cb.yc
+  FROM tb JOIN cb USING (band)
+  WHERE ABS(cb.xc - tb.xt) <= 50.0
+), matched AS (
+  SELECT t_id, yt, yc FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY t_id
+                                 ORDER BY ABS(xc - xt) ASC, c_id ASC) AS rn
+    FROM cand
+  ) WHERE rn = 1
+), nt AS (SELECT COUNT(*) AS n_treated FROM treated),
+magg AS (
+  SELECT COUNT(*) AS n_matched,
+         ROUND((CAST(SUM(CAST(ROUND(ROUND(yt - yc, 6) * 1000000) AS BIGINT))
+                     AS DOUBLE) / 1000000) / COUNT(*), 6) AS att
+  FROM matched
+)
+SELECT CAST(nt.n_treated AS BIGINT) AS n_treated,
+       CAST(magg.n_matched AS BIGINT) AS n_matched,
+       ROUND(CAST(magg.n_matched AS DOUBLE) / nt.n_treated, 6) AS match_rate,
+       magg.att
+FROM magg CROSS JOIN nt
+"""

@@ -9557,3 +9557,63 @@ def q_ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(f"((c22 + lam) * c1y - c12 * c2y) / {det}"), 6).alias("w_quantity"),
         F.round(F.expr(f"((c11 + lam) * c2y - c12 * c1y) / {det}"), 6).alias("w_discount"),
     ).orderBy("lam")
+
+
+@q("q_psm_att")
+def q_psm_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor caliper matching on pre-period spend: each
+    treated (even-id) user matches the control user with the closest
+    pre-spend within a one-band (±50) caliper — candidates meet through a ±1
+    integer spend-BAND join (never treated×control), nearest resolved by
+    one rank window — and the matched-pair ATT estimates the effect with
+    the pre-period level removed (the matching member of the causal set:
+    q_did differences it out, q_cuped regresses it out, this MATCHES it
+    out). Exact fixed-point means; deterministic tie-breaks."""
+    e = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    per = e.groupBy("user_id").agg(
+        F.round(dsum(F.when(F.col("ts") < cut, F.col("value")).otherwise(0.0)), 6).alias("x"),
+        F.round(dsum(F.when(F.col("ts") >= cut, F.col("value")).otherwise(0.0)), 6).alias("y"),
+    )
+    treated = per.where(F.col("user_id") % 2 == 0).select(
+        F.col("user_id").alias("t_id"), F.col("x").alias("xt"), F.col("y").alias("yt")
+    )
+    control = per.where(F.col("user_id") % 2 != 0).select(
+        F.col("user_id").alias("c_id"), F.col("x").alias("xc"), F.col("y").alias("yc")
+    )
+    band_w = 50.0  # spend-scale band; caliper = one band width
+    tb = treated.withColumn(
+        "__band", F.explode(F.array(
+            F.floor(F.col("xt") / band_w).cast("long") - 1,
+            F.floor(F.col("xt") / band_w).cast("long"),
+            F.floor(F.col("xt") / band_w).cast("long") + 1,
+        ))
+    )
+    cb = control.withColumn("__band", F.floor(F.col("xc") / band_w).cast("long"))
+    cand = tb.join(cb, "__band").where(
+        F.abs(F.col("xc") - F.col("xt")) <= band_w
+    )
+    wn = W.partitionBy("t_id").orderBy(
+        F.abs(F.col("xc") - F.col("xt")).asc(), F.asc("c_id")
+    )
+    matched = (
+        cand.withColumn("__rn", F.row_number().over(wn))
+        .where(F.col("__rn") == 1)
+        .select("t_id", "yt", "yc")
+    )
+    nt = treated.agg(F.count(F.lit(1)).alias("n_treated"))
+    return (
+        matched.agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.round(davg(F.round(F.col("yt") - F.col("yc"), 6)), 6).alias("att"),
+        )
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "n_treated",
+            "n_matched",
+            F.round(
+                F.col("n_matched").cast("double") / F.col("n_treated"), 6
+            ).alias("match_rate"),
+            "att",
+        )
+    )

@@ -1159,3 +1159,12 @@ def test_ridge_path_shrinks(spark, sf_dir):
     assert all(a >= b - 1e-9 for a, b in zip(wq, wq[1:]))  # monotone shrinkage
     # λ=0 reproduces the unregularized centered solution (non-trivial)
     assert abs(out.iloc[0]["w_quantity"]) > 0
+
+
+def test_psm_att_bounds(spark, sf_dir):
+    r = QUERIES["q_psm_att"](spark, sf_dir).collect()[0]
+    assert 0 < r["n_matched"] <= r["n_treated"]
+    assert 0.0 < r["match_rate"] <= 1.0
+    import math
+
+    assert math.isfinite(r["att"])
