@@ -9863,3 +9863,73 @@ SELECT CAST(nt.n_treated AS BIGINT) AS n_treated,
        magg.att
 FROM magg CROSS JOIN nt
 """
+
+ORACLES["q_gate_overlap"] = """
+WITH rep AS (
+  SELECT doc_id, CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS frac
+  FROM (SELECT doc_id, gram, COUNT(*) AS cnt
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(l)), x -> l[x] || ' ' || l[x+1])) AS gram
+              FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))
+        GROUP BY doc_id, gram)
+  GROUP BY doc_id
+), entdocs AS (
+  SELECT doc_id, lower(substring(text, 1, 240)) AS t FROM documents
+  WHERE length(lower(substring(text, 1, 240))) > 0
+), entcounts AS (
+  SELECT doc_id, c, COUNT(*) AS n_c
+  FROM (SELECT doc_id, substring(t, CAST(i AS INTEGER), 1) AS c
+        FROM (SELECT doc_id, t, unnest(range(1, length(t) + 1)) AS i FROM entdocs))
+  GROUP BY doc_id, c
+), enttotals AS (
+  SELECT doc_id, SUM(n_c) AS n FROM entcounts GROUP BY doc_id
+), ent AS (
+  SELECT entcounts.doc_id,
+         -(CAST(SUM(CAST(ROUND(((n_c / n) * log2(n_c / n)) * 1000000) AS BIGINT))
+            AS DOUBLE) / 1000000) AS eb
+  FROM entcounts JOIN enttotals USING (doc_id)
+  GROUP BY entcounts.doc_id
+), flags AS (
+  SELECT
+    CASE WHEN ROUND(
+        LEAST(CAST(length(d.text) AS DOUBLE) / 200.0, 1.0) * 0.4
+        + (CASE WHEN CAST(length(d.text) AS DOUBLE)
+                     / CAST(len(string_split(d.text, ' ')) AS DOUBLE) >= 3.0
+                 AND CAST(length(d.text) AS DOUBLE)
+                     / CAST(len(string_split(d.text, ' ')) AS DOUBLE) <= 10.0
+                THEN 1.0 ELSE 0.5 END) * 0.3
+        + LEAST((CAST(len(list_filter(string_split(d.text, ' '),
+                    t -> list_contains(['the','a','of','and','to','in','is','on','for','with'], t)))
+                 AS DOUBLE) / CAST(len(string_split(d.text, ' ')) AS DOUBLE)) * 5.0,
+                1.0) * 0.3, 6) < 0.5 THEN 1 ELSE 0 END AS fq,
+    CASE WHEN r.frac IS NOT NULL AND r.frac >= 0.08 THEN 1 ELSE 0 END AS fr,
+    CASE WHEN e.eb IS NOT NULL AND (e.eb < 1.5 OR e.eb > 7.0) THEN 1 ELSE 0 END AS fe
+  FROM documents d
+  LEFT JOIN rep r USING (doc_id)
+  LEFT JOIN ent e USING (doc_id)
+), agg AS (
+  SELECT CAST(SUM(fq) AS BIGINT) AS q, CAST(SUM(fr) AS BIGINT) AS r,
+         CAST(SUM(fe) AS BIGINT) AS e,
+         CAST(SUM(fq * fr) AS BIGINT) AS qr,
+         CAST(SUM(fq * fe) AS BIGINT) AS qe,
+         CAST(SUM(fr * fe) AS BIGINT) AS re
+  FROM flags
+)
+SELECT 'quality' AS gate_a, 'repetition' AS gate_b, q AS n_fail_a, r AS n_fail_b,
+       qr AS n_both,
+       ROUND(CASE WHEN q + r - qr > 0
+                  THEN CAST(qr AS DOUBLE) / (q + r - qr) ELSE 0.0 END, 6)
+         AS fail_jaccard
+FROM agg
+UNION ALL
+SELECT 'quality', 'entropy', q, e, qe,
+       ROUND(CASE WHEN q + e - qe > 0
+                  THEN CAST(qe AS DOUBLE) / (q + e - qe) ELSE 0.0 END, 6)
+FROM agg
+UNION ALL
+SELECT 'repetition', 'entropy', r, e, re,
+       ROUND(CASE WHEN r + e - re > 0
+                  THEN CAST(re AS DOUBLE) / (r + e - re) ELSE 0.0 END, 6)
+FROM agg
+ORDER BY gate_a, gate_b
+"""

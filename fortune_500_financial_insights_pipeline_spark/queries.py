@@ -9617,3 +9617,74 @@ def q_psm_att(spark: SparkSession, sf_dir: str) -> DataFrame:
             "att",
         )
     )
+
+
+@q("q_gate_overlap")
+def q_gate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-gate overlap matrix: for each pair of independent gates
+    (quality, repetition, entropy), how many documents BOTH would drop
+    and the failure-set Jaccard — high overlap means a gate is paying
+    rent another already covers (the gates-redundancy diagnostic behind
+    q_curation_report's sequential counts). One pass of per-doc flags,
+    3×3 conditional sums."""
+    from fortune_500_financial_insights_pipeline_spark.operators.text import (
+        char_entropy,
+        quality_score,
+        repetition_stats,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rep = repetition_stats(d, "doc_id", "text").select("doc_id", "top_gram_frac")
+    ent = char_entropy(d).select("doc_id", "entropy_bits")
+    flags = (
+        d.withColumn("__fq", (F.round(quality_score("text"), 6) < 0.5).cast("int"))
+        .join(rep, "doc_id", "left")
+        .join(ent, "doc_id", "left")
+        .select(
+            "__fq",
+            (F.col("top_gram_frac").isNotNull() & (F.col("top_gram_frac") >= 0.08))
+            .cast("int")
+            .alias("__fr"),
+            (
+                F.col("entropy_bits").isNotNull()
+                & ((F.col("entropy_bits") < 1.5) | (F.col("entropy_bits") > 7.0))
+            )
+            .cast("int")
+            .alias("__fe"),
+        )
+    )
+    agg = flags.agg(
+        F.sum("__fq").cast("long").alias("q"),
+        F.sum("__fr").cast("long").alias("r"),
+        F.sum("__fe").cast("long").alias("e"),
+        F.sum(F.col("__fq") * F.col("__fr")).cast("long").alias("qr"),
+        F.sum(F.col("__fq") * F.col("__fe")).cast("long").alias("qe"),
+        F.sum(F.col("__fr") * F.col("__fe")).cast("long").alias("re"),
+    )
+    pairs = [
+        ("quality", "repetition", "q", "r", "qr"),
+        ("quality", "entropy", "q", "e", "qe"),
+        ("repetition", "entropy", "r", "e", "re"),
+    ]
+    legs = [
+        agg.select(
+            F.lit(a).alias("gate_a"),
+            F.lit(b).alias("gate_b"),
+            F.col(ca).alias("n_fail_a"),
+            F.col(cb).alias("n_fail_b"),
+            F.col(ci).alias("n_both"),
+            F.round(
+                F.when(
+                    F.col(ca) + F.col(cb) - F.col(ci) > 0,
+                    F.col(ci).cast("double")
+                    / (F.col(ca) + F.col(cb) - F.col(ci)),
+                ).otherwise(0.0),
+                6,
+            ).alias("fail_jaccard"),
+        )
+        for a, b, ca, cb, ci in pairs
+    ]
+    out = legs[0]
+    for l2 in legs[1:]:
+        out = out.unionByName(l2)
+    return out.orderBy("gate_a", "gate_b")

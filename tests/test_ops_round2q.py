@@ -1168,3 +1168,10 @@ def test_psm_att_bounds(spark, sf_dir):
     import math
 
     assert math.isfinite(r["att"])
+
+
+def test_gate_overlap_bounds(spark, sf_dir):
+    out = QUERIES["q_gate_overlap"](spark, sf_dir).toPandas()
+    assert len(out) == 3
+    assert (out["n_both"] <= out[["n_fail_a", "n_fail_b"]].min(axis=1)).all()
+    assert ((out["fail_jaccard"] >= 0) & (out["fail_jaccard"] <= 1)).all()
