@@ -576,3 +576,214 @@ def hill_tail_index(
         F.round("__xk1", 6).alias("x_k1"),
         F.round(alpha, 6).alias("alpha"),
     )
+
+
+def anova_oneway(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
+    """One-way ANOVA F test: does the mean of ``value_col`` differ across
+    ``group_col`` levels?  SS_between / SS_within from ONE grouped moment
+    pass (n, Σx, Σx² per group) plus a tiny k-row reduce — no second scan
+    of the data.  The frequentist mean-difference screen beside q_ab_test
+    (two groups) and q_chi2 (categoricals).
+
+    Exactness: per-group sums use the fixed-point interior; the k-row
+    final fold rounds each group's SS term to 1e-6 before summing, so the
+    statistic is order-free and hash-matches a single-threaded oracle.
+    Caller should pre-scale the value column so x² stays inside the
+    fixed-point ceiling (micro-units × rows < 2⁶³)."""
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("__ng"),
+        dsum(value_col).alias("__sg"),
+        dsum(F.col(value_col) * F.col(value_col)).alias("__ssg"),
+    )
+    tot = g.agg(
+        F.sum("__ng").alias("__n"),
+        F.round(F.sum(F.round(F.col("__sg") * 1000000).cast("long")).cast("double") / 1000000, 6).alias("__s"),
+        F.count(F.lit(1)).alias("__k"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    ng = F.col("__ng").cast("double")
+    mg = F.col("__sg") / ng
+    grand = F.col("__s") / F.col("__n").cast("double")
+    between_term = ng * (mg - grand) * (mg - grand)
+    within_term = F.col("__ssg") - F.col("__sg") * F.col("__sg") / ng
+    red = j.groupBy().agg(
+        F.max("__n").cast("long").alias("n"),
+        F.max("__k").cast("long").alias("k"),
+        dsum(between_term).alias("ss_between"),
+        dsum(within_term).alias("ss_within"),
+    )
+    msb = F.col("ss_between") / (F.col("k") - 1).cast("double")
+    msw = F.col("ss_within") / (F.col("n") - F.col("k")).cast("double")
+    return red.select(
+        "n",
+        "k",
+        F.round("ss_between", 6).alias("ss_between"),
+        F.round("ss_within", 6).alias("ss_within"),
+        F.round(msb / msw, 6).alias("f_stat"),
+    )
+
+
+def spearman_by_group(
+    df: DataFrame, col_a: str, col_b: str, group_col: str
+) -> DataFrame:
+    """Spearman rank correlation of two numeric columns inside each group,
+    tie-aware, with an EXACT integer interior: the tie-averaged rank is
+    kept doubled (2·avg_rank = 2·min_rank + tie_count − 1, always an
+    integer) and centered by its exact mean (n+1), so every cross moment
+    is a plain long sum — no float accumulation anywhere before the final
+    ratio.  ρ = Σc_a·c_b / (√Σc_a²·√Σc_b²).
+
+    Scale: two rank windows per group (one sort each); |c| ≤ n keeps the
+    products inside int64 up to ~10⁶ rows per group — beyond that, swap
+    the sums to DECIMAL(38,0).  For 100 TB use bucketed range-ranking
+    instead of a single per-group window."""
+    wa = W.partitionBy(group_col).orderBy(F.col(col_a).asc())
+    wb = W.partitionBy(group_col).orderBy(F.col(col_b).asc())
+    ta = W.partitionBy(group_col, col_a)
+    tb = W.partitionBy(group_col, col_b)
+    wn = W.partitionBy(group_col)
+    r = df.select(
+        F.col(group_col).alias("grp"),
+        (2 * F.rank().over(wa) + F.count(F.lit(1)).over(ta) - 1).cast("long").alias("__ra"),
+        (2 * F.rank().over(wb) + F.count(F.lit(1)).over(tb) - 1).cast("long").alias("__rb"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+    c = r.select(
+        "grp",
+        (F.col("__ra") - (F.col("__n") + 1)).alias("__ca"),
+        (F.col("__rb") - (F.col("__n") + 1)).alias("__cb"),
+    )
+    agg = c.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__ca") * F.col("__cb")).alias("__sab"),
+        F.sum(F.col("__ca") * F.col("__ca")).alias("__saa"),
+        F.sum(F.col("__cb") * F.col("__cb")).alias("__sbb"),
+    )
+    rho = F.col("__sab").cast("double") / (
+        F.sqrt(F.col("__saa").cast("double")) * F.sqrt(F.col("__sbb").cast("double"))
+    )
+    return agg.select(
+        "grp",
+        "n",
+        F.round(
+            F.when((F.col("__saa") > 0) & (F.col("__sbb") > 0), rho), 6
+        ).alias("spearman_rho"),
+    )
+
+
+def kruskal_wallis(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
+    """Kruskal–Wallis H test (rank one-way ANOVA): do the distributions of
+    ``value_col`` differ across groups, without normality assumptions?
+    Ranks are global (one sort), tie-averaged via the doubled-rank trick
+    (2·avg_rank is an integer), group rank-sums are exact longs, and the
+    tie-correction Σ(t³−t)/(n³−n) is an exact long fold — the only doubles
+    are the closed-form H at the end.  Squaring the doubled rank-sum is
+    done in DOUBLE (values < 2⁵³ for n < ~3·10⁶) to dodge int64 overflow.
+
+    Scale: the global rank window is the cost — at 100 TB replace with
+    range-partitioned ranking (sampled splits + per-partition offsets)."""
+    wv = W.orderBy(F.col(value_col).asc())
+    tv = W.partitionBy(value_col)
+    r = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).alias("__v"),
+        (2 * F.rank().over(wv) + F.count(F.lit(1)).over(tv) - 1).cast("long").alias("__r2"),
+    )
+    gsum = r.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("__ng"), F.sum("__r2").alias("__rs2")
+    )
+    ties = (
+        df.groupBy(F.col(value_col).alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__t"))
+        .agg(F.sum(F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")).alias("__tie"))
+    )
+    tot = gsum.agg(F.sum("__ng").alias("__n"), F.count(F.lit(1)).alias("__k"))
+    # per-group H contribution, folded in fixed point so the k-row sum is
+    # order-free: 12·(R2_g)²/(4·n_g·n·(n+1)) with R2_g = doubled rank-sum
+    j = gsum.crossJoin(F.broadcast(tot))
+    nd = F.col("__n").cast("double")
+    term = (
+        12.0
+        * F.col("__rs2").cast("double")
+        * F.col("__rs2").cast("double")
+        / (4.0 * F.col("__ng").cast("double") * nd * (nd + 1.0))
+    )
+    red = (
+        j.agg(
+            F.max("__n").cast("long").alias("n"),
+            F.max("__k").cast("long").alias("k"),
+            dsum(term).alias("__hsum"),
+        )
+        .crossJoin(F.broadcast(ties))
+    )
+    n = F.col("n").cast("double")
+    h = F.col("__hsum") - 3.0 * (n + 1.0)
+    corr = 1.0 - F.col("__tie").cast("double") / (n * n * n - n)
+    return red.select(
+        "n",
+        "k",
+        F.round(h, 6).alias("h_stat"),
+        F.round(h / corr, 6).alias("h_corrected"),
+        (h / corr > 9.488).cast("int").alias("flag_reject"),
+    )
+
+
+def cramers_v(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
+    """Cramér's V association strength for two categoricals: the [0,1]
+    rescaling of the chi-squared statistic (V = √(χ²/(n·(min(r,c)−1)))) —
+    the effect-size companion to q_chi2's significance screen, same
+    contingency scan, zero cells restored so expected counts are honest."""
+    cells = df.groupBy(
+        F.col(col_x).alias("__x"), F.col(col_y).alias("__y")
+    ).agg(F.count(F.lit(1)).alias("__nxy"))
+    xt = cells.groupBy("__x").agg(F.sum("__nxy").alias("__nx"))
+    yt = cells.groupBy("__y").agg(F.sum("__nxy").alias("__ny"))
+    nn = cells.agg(
+        F.sum("__nxy").alias("__n"),
+        F.countDistinct("__x").alias("__dx"),
+        F.countDistinct("__y").alias("__dy"),
+    )
+    j = (
+        xt.crossJoin(F.broadcast(yt))
+        .join(cells, ["__x", "__y"], "left")
+        .withColumn("__nxy", F.coalesce("__nxy", F.lit(0)))
+        .crossJoin(F.broadcast(nn))
+    )
+    exp = F.col("__nx").cast("double") * F.col("__ny") / F.col("__n")
+    term = (F.col("__nxy").cast("double") - exp) * (F.col("__nxy") - exp) / exp
+    red = j.agg(
+        F.max("__n").cast("long").alias("n"),
+        F.least(F.max("__dx"), F.max("__dy")).cast("long").alias("min_dim"),
+        F.round(dsum(term), 6).alias("chi2"),
+    )
+    return red.select(
+        "n",
+        "chi2",
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n").cast("double") * (F.col("min_dim") - 1).cast("double"))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+def brown_forsythe(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
+    """Brown–Forsythe test (Levene with group medians): are the group
+    VARIANCES equal?  z = |x − median(group)| rounded to 1e-6, then the
+    one-way ANOVA F on z — the variance-homogeneity gate you run before
+    trusting a pooled-variance t test / ANOVA.  The per-group median is a
+    broadcast k-row relation; both engines interpolate the even-n median
+    identically in double."""
+    med = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.median(value_col).alias("__med")
+    )
+    z = (
+        df.join(F.broadcast(med), df[group_col] == med["grp"])
+        .select(
+            F.col("grp"),
+            F.round(F.abs(F.col(value_col) - F.col("__med")), 6).alias("__z"),
+        )
+    )
+    return anova_oneway(z, "__z", "grp")

@@ -9933,3 +9933,157 @@ SELECT 'repetition', 'entropy', r, e, re,
 FROM agg
 ORDER BY gate_a, gate_b
 """
+
+
+ORACLES["q_anova"] = f"""
+WITH g AS (
+  SELECT o_orderpriority AS grp, COUNT(*) AS ng,
+         {_dsum('o_totalprice / 1000.0')} AS sg,
+         {_dsum('(o_totalprice / 1000.0) * (o_totalprice / 1000.0)')} AS ssg
+  FROM orders GROUP BY o_orderpriority
+), tot AS (
+  SELECT SUM(ng) AS n,
+         ROUND(CAST(SUM(CAST(ROUND(sg * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS s,
+         COUNT(*) AS k
+  FROM g
+), terms AS (
+  SELECT CAST(ng AS DOUBLE)
+           * (sg / CAST(ng AS DOUBLE) - s / CAST(n AS DOUBLE))
+           * (sg / CAST(ng AS DOUBLE) - s / CAST(n AS DOUBLE)) AS bt,
+         ssg - sg * sg / CAST(ng AS DOUBLE) AS wt,
+         n, k
+  FROM g CROSS JOIN tot
+), red AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n, CAST(MAX(k) AS BIGINT) AS k,
+         {_dsum('bt')} AS ssb, {_dsum('wt')} AS ssw
+  FROM terms
+)
+SELECT n, k, ROUND(ssb, 6) AS ss_between, ROUND(ssw, 6) AS ss_within,
+       ROUND((ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE)), 6) AS f_stat
+FROM red
+"""
+
+ORACLES["q_spearman"] = """
+WITH r AS (
+  SELECT l_returnflag AS grp,
+         CAST(2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity ASC)
+              + COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1 AS BIGINT) AS ra,
+         CAST(2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice ASC)
+              + COUNT(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1 AS BIGINT) AS rb,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS nn
+  FROM lineitem
+), c AS (
+  SELECT grp, ra - (nn + 1) AS ca, rb - (nn + 1) AS cb FROM r
+), agg AS (
+  SELECT grp, COUNT(*) AS n,
+         SUM(ca * cb) AS sab, SUM(ca * ca) AS saa, SUM(cb * cb) AS sbb
+  FROM c GROUP BY grp
+)
+SELECT grp, CAST(n AS BIGINT) AS n,
+       ROUND(CASE WHEN saa > 0 AND sbb > 0
+             THEN CAST(sab AS DOUBLE) / (sqrt(CAST(saa AS DOUBLE)) * sqrt(CAST(sbb AS DOUBLE)))
+             END, 6) AS spearman_rho
+FROM agg ORDER BY grp
+"""
+
+ORACLES["q_kruskal_wallis"] = f"""
+WITH r AS (
+  SELECT o_orderpriority AS grp,
+         CAST(2 * RANK() OVER (ORDER BY o_totalprice ASC)
+              + COUNT(*) OVER (PARTITION BY o_totalprice) - 1 AS BIGINT) AS r2
+  FROM orders
+), gsum AS (
+  SELECT grp, COUNT(*) AS ng, SUM(r2) AS rs2 FROM r GROUP BY grp
+), ties AS (
+  SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie
+  FROM (SELECT COUNT(*) AS t FROM orders GROUP BY o_totalprice)
+), tot AS (
+  SELECT SUM(ng) AS n, COUNT(*) AS k FROM gsum
+), terms AS (
+  SELECT 12.0 * CAST(rs2 AS DOUBLE) * CAST(rs2 AS DOUBLE)
+           / (4.0 * CAST(ng AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) AS term,
+         n, k
+  FROM gsum CROSS JOIN tot
+), red AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n, CAST(MAX(k) AS BIGINT) AS k,
+         {_dsum('term')} AS hsum
+  FROM terms
+)
+SELECT n, k,
+       ROUND(hsum - 3.0 * (CAST(n AS DOUBLE) + 1.0), 6) AS h_stat,
+       ROUND((hsum - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+             / (1.0 - CAST(tie AS DOUBLE)
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))), 6)
+         AS h_corrected,
+       CAST(CASE WHEN (hsum - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+                      / (1.0 - CAST(tie AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
+                      > 9.488
+                 THEN 1 ELSE 0 END AS INTEGER) AS flag_reject
+FROM red CROSS JOIN ties
+"""
+
+ORACLES["q_cramers_v"] = """
+WITH cells AS (
+  SELECT o_orderpriority AS x, o_orderstatus AS y, COUNT(*) AS nxy
+  FROM orders GROUP BY 1, 2
+), xt AS (
+  SELECT x, CAST(SUM(nxy) AS BIGINT) AS nx FROM cells GROUP BY x
+), yt AS (
+  SELECT y, CAST(SUM(nxy) AS BIGINT) AS ny FROM cells GROUP BY y
+), nn AS (
+  SELECT CAST(SUM(nxy) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT x) AS BIGINT) AS dx,
+         CAST(COUNT(DISTINCT y) AS BIGINT) AS dy
+  FROM cells
+), j AS (
+  SELECT f.nx, f.ny, CAST(COALESCE(c.nxy, 0) AS BIGINT) AS nxy
+  FROM (SELECT xt.x, yt.y, xt.nx, yt.ny FROM xt CROSS JOIN yt) f
+  LEFT JOIN cells c ON f.x = c.x AND f.y = c.y
+), terms AS (
+  SELECT nxy, CAST(nx AS DOUBLE) * ny / n AS ex, n, dx, dy FROM j, nn
+), red AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n,
+         CAST(LEAST(MAX(dx), MAX(dy)) AS BIGINT) AS min_dim,
+         ROUND((CAST(SUM(CAST(ROUND((((CAST(nxy AS DOUBLE) - ex) * (nxy - ex) / ex)) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000), 6) AS chi2
+  FROM terms
+)
+SELECT n, chi2,
+       ROUND(sqrt(chi2 / (CAST(n AS DOUBLE) * CAST(min_dim - 1 AS DOUBLE))), 6) AS cramers_v
+FROM red
+"""
+
+ORACLES["q_levene"] = f"""
+WITH med AS (
+  SELECT o_orderstatus AS grp, MEDIAN(o_totalprice / 1000.0) AS med
+  FROM orders GROUP BY o_orderstatus
+), z AS (
+  SELECT o.o_orderstatus AS grp,
+         ROUND(ABS(o.o_totalprice / 1000.0 - m.med), 6) AS zv
+  FROM orders o JOIN med m ON o.o_orderstatus = m.grp
+), g AS (
+  SELECT grp, COUNT(*) AS ng,
+         {_dsum('zv')} AS sg,
+         {_dsum('zv * zv')} AS ssg
+  FROM z GROUP BY grp
+), tot AS (
+  SELECT SUM(ng) AS n,
+         ROUND(CAST(SUM(CAST(ROUND(sg * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS s,
+         COUNT(*) AS k
+  FROM g
+), terms AS (
+  SELECT CAST(ng AS DOUBLE)
+           * (sg / CAST(ng AS DOUBLE) - s / CAST(n AS DOUBLE))
+           * (sg / CAST(ng AS DOUBLE) - s / CAST(n AS DOUBLE)) AS bt,
+         ssg - sg * sg / CAST(ng AS DOUBLE) AS wt,
+         n, k
+  FROM g CROSS JOIN tot
+), red AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n, CAST(MAX(k) AS BIGINT) AS k,
+         {_dsum('bt')} AS ssb, {_dsum('wt')} AS ssw
+  FROM terms
+)
+SELECT n, k, ROUND(ssb, 6) AS ss_between, ROUND(ssw, 6) AS ss_within,
+       ROUND((ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE)), 6) AS f_stat
+FROM red
+"""

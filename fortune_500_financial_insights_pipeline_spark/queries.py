@@ -9688,3 +9688,71 @@ def q_gate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     for l2 in legs[1:]:
         out = out.unionByName(l2)
     return out.orderBy("gate_a", "gate_b")
+
+
+@q("q_anova")
+def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F (operators/stats.anova_oneway) of order value
+    (kilo-scaled so x² stays inside the fixed-point ceiling) across the 5
+    order priorities — the k-group generalization of q_ab_test's t test,
+    one grouped moment pass + a k-row reduce."""
+    from fortune_500_financial_insights_pipeline_spark.operators.stats import anova_oneway
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", (F.col("o_totalprice") / 1000.0).alias("val")
+    )
+    return anova_oneway(o, "val", "o_orderpriority")
+
+
+@q("q_spearman")
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (operators/stats.spearman_by_group) of
+    quantity vs extended price inside each return flag — the tie-aware,
+    outlier-robust monotonic-association number next to q_stats_corr's
+    Pearson. Exact integer rank interior (doubled tie-averaged ranks,
+    centered by their exact mean n+1)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.stats import spearman_by_group
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return spearman_by_group(
+        li, "l_quantity", "l_extendedprice", "l_returnflag"
+    ).orderBy("grp")
+
+
+@q("q_kruskal_wallis")
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H (operators/stats.kruskal_wallis) of order value
+    across the 5 priorities — the distribution-free sibling of q_anova
+    (same question, no normality assumption); χ²₀.₉₅ cut at 4 dof. Exact
+    long rank-sums; tie correction from an exact t³−t fold."""
+    from fortune_500_financial_insights_pipeline_spark.operators.stats import kruskal_wallis
+
+    o = load_table(spark, sf_dir, "orders")
+    return kruskal_wallis(o, "o_totalprice", "o_orderpriority")
+
+
+@q("q_cramers_v")
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V (operators/stats.cramers_v) for priority × status — the
+    [0,1] effect-size rescaling of q_chi2 (significance says IS there
+    association; V says HOW MUCH), same zero-cell-restored contingency
+    scan."""
+    from fortune_500_financial_insights_pipeline_spark.operators.stats import cramers_v
+
+    o = load_table(spark, sf_dir, "orders")
+    return cramers_v(o, "o_orderpriority", "o_orderstatus")
+
+
+@q("q_levene")
+def q_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe variance-homogeneity test (operators/stats.
+    brown_forsythe): |x − group median| pushed through the one-way ANOVA
+    F, order value by order status — the equal-variances gate you check
+    before trusting q_anova / pooled-variance t tests. Median relation is
+    k rows, broadcast."""
+    from fortune_500_financial_insights_pipeline_spark.operators.stats import brown_forsythe
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", (F.col("o_totalprice") / 1000.0).alias("val")
+    )
+    return brown_forsythe(o, "val", "o_orderstatus")
