@@ -530,3 +530,111 @@ def risk_adjusted_returns(
         F.round(sharpe, 6).alias("sharpe"),
         F.round(sortino, 6).alias("sortino"),
     )
+
+
+def binary_changepoint(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    min_seg: int = 5,
+) -> DataFrame:
+    """Single change-point per series by binary segmentation: the split t
+    maximizing the between-segment sum-of-squares gain
+    S₁²/n₁ + S₂²/n₂ − S²/n (the first step of the classic binary-seg /
+    CUSUM-of-squares family; q_cusum finds level EXCURSIONS, this finds
+    the structural BREAK).  One pass of exact fixed-point prefix sums per
+    series, one rank to pick the argmax — no per-candidate rescans.
+    Ties break to the earliest split.  Splits with fewer than ``min_seg``
+    points on either side are ignored.
+
+    Scale: per-series window prefix sums — one shuffle on the group key;
+    series length is the per-partition cost, not the corpus."""
+    from fortune_500_financial_insights_pipeline_spark.functions.deterministic import dsum_w
+
+    wo = W.partitionBy(*group_cols).orderBy(order_col)
+    wall = W.partitionBy(*group_cols)
+    p = df.select(
+        *group_cols,
+        F.col(order_col).alias("__o"),
+        F.row_number().over(wo).alias("__rn"),
+        dsum_w(value_col, wo.rowsBetween(W.unboundedPreceding, 0)).alias("__s1"),
+        F.count(F.lit(1)).over(wall).alias("__n"),
+        dsum_w(value_col, wall.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)).alias("__s"),
+    )
+    n1 = F.col("__rn").cast("double")
+    n2 = (F.col("__n") - F.col("__rn")).cast("double")
+    s1, s = F.col("__s1"), F.col("__s")
+    s2 = s - s1
+    gain = s1 * s1 / n1 + s2 * s2 / n2 - s * s / F.col("__n").cast("double")
+    cand = p.where(
+        (F.col("__rn") >= min_seg) & (F.col("__rn") <= F.col("__n") - min_seg)
+    ).withColumn("__gain", gain)
+    wr = W.partitionBy(*group_cols).orderBy(F.desc("__gain"), F.asc("__o"))
+    return (
+        cand.withColumn("__rk", F.row_number().over(wr))
+        .where(F.col("__rk") == 1)
+        .select(
+            *group_cols,
+            F.col("__o").alias("break_after"),
+            F.col("__rn").cast("long").alias("n_before"),
+            (F.col("__n") - F.col("__rn")).cast("long").alias("n_after"),
+            F.round(s1 / n1, 6).alias("mean_before"),
+            F.round(s2 / n2, 6).alias("mean_after"),
+            F.round(F.col("__gain"), 6).alias("ss_gain"),
+        )
+    )
+
+
+def holt_linear(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    horizon: int = 3,
+) -> DataFrame:
+    """Holt's linear-trend exponential smoothing per series, as an exact
+    array fold: level/trend start at (x₀, x₁−x₀) and every update rounds
+    to 1e-6 — l' = R(αx + (1−α)(l+b)), b' = R(β(l'−l) + (1−β)b) — so the
+    recursion is reproducible bit-for-bit against a single-threaded
+    recursive-CTE oracle (the same trick as the packing/k-means folds).
+    Returns the final state and the h-step-ahead forecast l + h·b.
+
+    Scale: one collect_list per series (state is 2 doubles; the array is
+    the series, so this is for bounded-length series — for unbounded
+    streams the streaming twin keeps (l, b) in applyInPandasWithState)."""
+    arr = (
+        df.groupBy(*group_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(value_col).alias("x")))
+            ).alias("__sv")
+        )
+        .withColumn("__xs", F.expr("transform(__sv, s -> s.x)"))
+        .where(F.size("__xs") >= 2)
+    )
+    a, b = float(alpha), float(beta)
+    fold = F.expr(
+        f"""aggregate(
+              slice(__xs, 3, size(__xs) - 2),
+              named_struct('l', CAST(__xs[0] AS DOUBLE),
+                           'b', CAST(round((__xs[1] - __xs[0]) * 1000000) AS DOUBLE) / 1000000,
+                           'n', 2),
+              (acc, x) -> named_struct(
+                  'l', CAST(round(({a} * x + (1 - {a}) * (acc.l + acc.b)) * 1000000) AS DOUBLE) / 1000000,
+                  'b', CAST(round(({b} * ((CAST(round(({a} * x + (1 - {a}) * (acc.l + acc.b)) * 1000000) AS DOUBLE) / 1000000) - acc.l) + (1 - {b}) * acc.b) * 1000000) AS DOUBLE) / 1000000,
+                  'n', acc.n + 1))"""
+    )
+    # seed state consumes __xs[0], __xs[1]; the fold starts at element 3 (1-based
+    # slice) exactly like the oracle CTE starting its recursion at rn = 3
+    out = arr.withColumn("__st", fold)
+    lvl, tr = F.col("__st.l"), F.col("__st.b")
+    return out.select(
+        *group_cols,
+        F.col("__st.n").cast("long").alias("n_obs"),
+        F.round(lvl, 6).alias("level"),
+        F.round(tr, 6).alias("trend"),
+        F.round(lvl + float(horizon) * tr, 6).alias(f"forecast_h{horizon}"),
+    )

@@ -10087,3 +10087,124 @@ SELECT n, k, ROUND(ssb, 6) AS ss_between, ROUND(ssw, 6) AS ss_within,
        ROUND((ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE)), 6) AS f_stat
 FROM red
 """
+
+
+ORACLES["q_changepoint"] = f"""
+WITH daily AS (
+  SELECT l_suppkey, strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS day,
+         ROUND({_dsum('l_extendedprice / 1000.0')}, 6) AS close
+  FROM lineitem WHERE l_suppkey <= 20
+  GROUP BY l_suppkey, strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')
+), p AS (
+  SELECT l_suppkey, day AS o,
+         ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY day) AS rn,
+         CAST(SUM(CAST(ROUND(close * 1000000) AS BIGINT))
+              OVER (PARTITION BY l_suppkey ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE) / 1000000 AS s1,
+         COUNT(*) OVER (PARTITION BY l_suppkey) AS n,
+         CAST(SUM(CAST(ROUND(close * 1000000) AS BIGINT))
+              OVER (PARTITION BY l_suppkey) AS DOUBLE) / 1000000 AS s
+  FROM daily
+), cand AS (
+  SELECT l_suppkey, o, rn, n, s1, s,
+         s1 * s1 / CAST(rn AS DOUBLE)
+           + (s - s1) * (s - s1) / CAST(n - rn AS DOUBLE)
+           - s * s / CAST(n AS DOUBLE) AS gain
+  FROM p WHERE rn >= 5 AND rn <= n - 5
+), best AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                               ORDER BY gain DESC, o ASC) AS rk
+  FROM cand
+)
+SELECT l_suppkey, o AS break_after,
+       CAST(rn AS BIGINT) AS n_before, CAST(n - rn AS BIGINT) AS n_after,
+       ROUND(s1 / CAST(rn AS DOUBLE), 6) AS mean_before,
+       ROUND((s - s1) / CAST(n - rn AS DOUBLE), 6) AS mean_after,
+       ROUND(gain, 6) AS ss_gain
+FROM best WHERE rk = 1 ORDER BY l_suppkey
+"""
+
+ORACLES["q_holt"] = """
+WITH RECURSIVE monthly AS (
+  SELECT o_orderpriority AS g, strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+         CAST(COUNT(*) AS DOUBLE) AS x
+  FROM orders GROUP BY 1, 2
+), s AS (
+  SELECT g, x, ROW_NUMBER() OVER (PARTITION BY g ORDER BY month) AS rn FROM monthly
+), nmax AS (
+  SELECT g, MAX(rn) AS n FROM s GROUP BY g
+), r(g, rn, l, b) AS (
+  SELECT s0.g, 2, s0.x,
+         CAST(ROUND((s1.x - s0.x) * 1000000) AS DOUBLE) / 1000000
+  FROM s s0 JOIN s s1 ON s0.g = s1.g AND s0.rn = 1 AND s1.rn = 2
+  UNION ALL
+  SELECT r.g, r.rn + 1,
+         CAST(ROUND((0.5 * s.x + (1 - 0.5) * (r.l + r.b)) * 1000000) AS DOUBLE) / 1000000,
+         CAST(ROUND((0.25 * ((CAST(ROUND((0.5 * s.x + (1 - 0.5) * (r.l + r.b)) * 1000000) AS DOUBLE) / 1000000) - r.l) + (1 - 0.25) * r.b) * 1000000) AS DOUBLE) / 1000000
+  FROM r JOIN s ON s.g = r.g AND s.rn = r.rn + 1
+)
+SELECT r.g AS o_orderpriority, CAST(r.rn AS BIGINT) AS n_obs,
+       ROUND(r.l, 6) AS level, ROUND(r.b, 6) AS trend,
+       ROUND(r.l + 3.0 * r.b, 6) AS forecast_h3
+FROM r JOIN nmax ON r.g = nmax.g AND r.rn = nmax.n
+ORDER BY r.g
+"""
+
+ORACLES["q_theil_u"] = f"""
+WITH daily AS (
+  SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS day,
+         ROUND({_dsum('l_extendedprice / 1000.0')}, 6) AS y
+  FROM lineitem GROUP BY strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')
+), lagged AS (
+  SELECT y,
+         LAG(y, 1) OVER (ORDER BY day) AS l1,
+         LAG(y, 7) OVER (ORDER BY day) AS l7
+  FROM daily
+), e AS (
+  SELECT ROUND(y - l1, 6) AS e1, ROUND(y - l7, 6) AS e7
+  FROM lagged WHERE l7 IS NOT NULL
+), agg AS (
+  SELECT COUNT(*) AS n, {_dsum('e1 * e1')} AS s1, {_dsum('e7 * e7')} AS s7
+  FROM e
+)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(sqrt(s1 / CAST(n AS DOUBLE)), 6) AS rmse_naive,
+       ROUND(sqrt(s7 / CAST(n AS DOUBLE)), 6) AS rmse_weekly,
+       ROUND(sqrt(s7 / CAST(n AS DOUBLE)) / sqrt(s1 / CAST(n AS DOUBLE)), 6) AS theil_u
+FROM agg
+"""
+
+ORACLES["q_nelson_aalen"] = """
+WITH per_user AS (
+  SELECT user_id, MIN(ts) AS first_ts,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS fp,
+         MAX(ts) AS last_ts
+  FROM events GROUP BY user_id
+), users AS (
+  SELECT datediff('day', CAST(first_ts AS DATE),
+                  CAST(COALESCE(fp, last_ts) AS DATE)) AS t,
+         CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END AS event
+  FROM per_user
+), per_t AS (
+  SELECT t, COUNT(*) AS n_at, CAST(SUM(event) AS BIGINT) AS d
+  FROM users GROUP BY t
+), tot AS (SELECT SUM(n_at) AS total FROM per_t),
+at_risk AS (
+  SELECT t, d,
+         CAST(tot.total - COALESCE(SUM(n_at) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_risk
+  FROM per_t CROSS JOIN tot
+), cum AS (
+  SELECT t, n_risk, d,
+         CAST(SUM(CAST(ROUND(CAST(d AS DOUBLE) / n_risk * 1000000000) AS BIGINT))
+              OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE) / 1000000000 AS h
+  FROM at_risk
+)
+SELECT t, n_risk, d,
+       ROUND(h, 6) AS cum_hazard,
+       ROUND(EXP(-h), 6) AS survival_breslow
+FROM cum WHERE d > 0 ORDER BY t
+"""

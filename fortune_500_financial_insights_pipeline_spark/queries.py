@@ -9756,3 +9756,121 @@ def q_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus", (F.col("o_totalprice") / 1000.0).alias("val")
     )
     return brown_forsythe(o, "val", "o_orderstatus")
+
+
+@q("q_changepoint")
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation change-point (operators/timeseries.
+    binary_changepoint) over each supplier's kilo-scaled daily revenue —
+    WHERE did the level break, where q_cusum only says that it drifted.
+    Prefix-sum gains, one argmax rank, earliest-split ties."""
+    from fortune_500_financial_insights_pipeline_spark.operators.timeseries import (
+        binary_changepoint,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_suppkey") <= 20)
+    daily = li.groupBy(
+        "l_suppkey", F.date_format("l_shipdate", "yyyy-MM-dd").alias("day")
+    ).agg(F.round(dsum(F.col("l_extendedprice") / 1000.0), 6).alias("close"))
+    return binary_changepoint(daily, ["l_suppkey"], "day", "close").orderBy("l_suppkey")
+
+
+@q("q_holt")
+def q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing (operators/timeseries.holt_linear,
+    α=0.5 β=0.25) of monthly order counts per priority, 3 months ahead —
+    the trend-aware forecaster between q_ewma (no trend) and
+    q_forecast_backtest (model-free persistence). Exact per-step-rounded
+    fold; oracle is the same recursion as a recursive CTE."""
+    from fortune_500_financial_insights_pipeline_spark.operators.timeseries import holt_linear
+
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        "o_orderpriority", F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n_orders"))
+    return holt_linear(
+        monthly, ["o_orderpriority"], "month", "n_orders", alpha=0.5, beta=0.25, horizon=3
+    ).orderBy("o_orderpriority")
+
+
+@q("q_theil_u")
+def q_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's U forecast-skill ratio on the kilo-scaled daily revenue
+    series: RMSE(7-back seasonal naive) / RMSE(1-back naive) over the
+    rows where both lags exist — U < 1 means weekly structure genuinely
+    predicts (the one-number justification for q_seasonal_lag's pick).
+    Errors rounded to 1e-6, squared-error sums in fixed point."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.date_format("l_shipdate", "yyyy-MM-dd").alias("day")).agg(
+        F.round(dsum(F.col("l_extendedprice") / 1000.0), 6).alias("y")
+    )
+    wd = W.orderBy("day")
+    lagged = daily.select(
+        "y",
+        F.lag("y", 1).over(wd).alias("__l1"),
+        F.lag("y", 7).over(wd).alias("__l7"),
+    ).where(F.col("__l7").isNotNull())
+    e1 = F.round(F.col("y") - F.col("__l1"), 6)
+    e7 = F.round(F.col("y") - F.col("__l7"), 6)
+    agg = lagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(e1 * e1).alias("__s1"),
+        dsum(e7 * e7).alias("__s7"),
+    )
+    nd = F.col("n").cast("double")
+    return agg.select(
+        "n",
+        F.round(F.sqrt(F.col("__s1") / nd), 6).alias("rmse_naive"),
+        F.round(F.sqrt(F.col("__s7") / nd), 6).alias("rmse_weekly"),
+        F.round(F.sqrt(F.col("__s7") / nd) / F.sqrt(F.col("__s1") / nd), 6).alias("theil_u"),
+    )
+
+
+@q("q_nelson_aalen")
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative hazard over the same time-to-first-purchase
+    frame as q_kaplan_meier: H(t) = Σ d/n_risk as an exact round-9
+    fixed-point cumsum, plus the Breslow survival exp(−H) — the hazard
+    VIEW of the curve KM shows as survival (and the numerically stabler
+    estimator under small risk sets)."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min("ts").alias("__first"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("__fp"),
+        F.max("ts").alias("__last"),
+    )
+    dur = F.datediff(
+        F.coalesce(F.col("__fp"), F.col("__last")).cast("date"),
+        F.col("__first").cast("date"),
+    )
+    users = per_user.select(
+        dur.alias("t"), F.col("__fp").isNotNull().cast("int").alias("event")
+    )
+    per_t = users.groupBy("t").agg(
+        F.count(F.lit(1)).alias("__n_at"),
+        F.sum("event").cast("long").alias("d"),
+    )
+    tot = per_t.agg(F.sum("__n_at").alias("__total"))
+    wc = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    wcum = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    at_risk = (
+        per_t.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "n_risk",
+            (F.col("__total") - F.coalesce(F.sum("__n_at").over(wc), F.lit(0))).cast("long"),
+        )
+    )
+    hterm = F.round(F.col("d").cast("double") / F.col("n_risk") * 1000000000).cast("long")
+    cum = F.sum(hterm).over(wcum).cast("double") / 1000000000
+    return (
+        at_risk.withColumn("__h", cum)
+        .where(F.col("d") > 0)
+        .select(
+            "t",
+            "n_risk",
+            "d",
+            F.round("__h", 6).alias("cum_hazard"),
+            F.round(F.exp(-F.col("__h")), 6).alias("survival_breslow"),
+        )
+        .orderBy("t")
+    )
