@@ -10208,3 +10208,92 @@ SELECT t, n_risk, d,
        ROUND(EXP(-h), 6) AS survival_breslow
 FROM cum WHERE d > 0 ORDER BY t
 """
+
+
+ORACLES["q_erasure_scope"] = """
+WITH seeds AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+), ho AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM seeds)
+), hl AS (
+  SELECT 1 AS x FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM ho)
+), u AS (
+  SELECT 'customer' AS table_name,
+         (SELECT COUNT(*) FROM seeds) AS n_rows_affected,
+         (SELECT COUNT(*) FROM customer) AS n_rows_total
+  UNION ALL
+  SELECT 'orders', (SELECT COUNT(*) FROM ho), (SELECT COUNT(*) FROM orders)
+  UNION ALL
+  SELECT 'lineitem', (SELECT COUNT(*) FROM hl), (SELECT COUNT(*) FROM lineitem)
+)
+SELECT table_name,
+       CAST(n_rows_affected AS BIGINT) AS n_rows_affected,
+       CAST(n_rows_total AS BIGINT) AS n_rows_total,
+       ROUND(CAST(n_rows_affected AS DOUBLE) / n_rows_total, 6) AS affected_share
+FROM u ORDER BY table_name
+"""
+
+ORACLES["q_retention_sweep"] = """
+WITH u AS (
+  SELECT 'orders' AS table_name, COUNT(*) AS n_rows,
+         CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1997-08-01' THEN 1 ELSE 0 END) AS BIGINT) AS n_expired,
+         ROUND(CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1997-08-01' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS expired_share,
+         strftime(MIN(o_orderdate), '%Y-%m-%d') AS oldest_row
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem', COUNT(*),
+         CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1997-08-01' THEN 1 ELSE 0 END) AS BIGINT),
+         ROUND(CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1997-08-01' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6),
+         strftime(MIN(l_shipdate), '%Y-%m-%d')
+  FROM lineitem
+  UNION ALL
+  SELECT 'events', COUNT(*),
+         CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-17' THEN 1 ELSE 0 END) AS BIGINT),
+         ROUND(CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-17' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6),
+         strftime(MIN(ts), '%Y-%m-%d')
+  FROM events
+)
+SELECT table_name, CAST(n_rows AS BIGINT) AS n_rows, n_expired, expired_share, oldest_row
+FROM u ORDER BY table_name
+"""
+
+ORACLES["q_obrien_fleming"] = """
+WITH looks(look, cut_ts, obf_boundary) AS (
+  VALUES (1, TIMESTAMP '2024-01-02', 4.333),
+         (2, TIMESTAMP '2024-01-04', 2.963),
+         (3, TIMESTAMP '2024-01-06', 2.359),
+         (4, TIMESTAMP '2024-01-08', 2.014)
+), j AS (
+  SELECT l.look, l.obf_boundary, e.user_id,
+         CASE WHEN e.user_id % 2 = 0 THEN 1 ELSE 0 END AS arm,
+         CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+  FROM events e CROSS JOIN looks l
+  WHERE e.ts < l.cut_ts
+), pu AS (
+  SELECT look, obf_boundary, user_id, arm, MAX(conv) AS conv
+  FROM j GROUP BY 1, 2, 3, 4
+), g AS (
+  SELECT look, obf_boundary,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+         CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS x_t,
+         CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS x_c
+  FROM pu GROUP BY 1, 2
+)
+SELECT CAST(look AS INTEGER) AS look, n_t, n_c,
+       ROUND(CAST(x_t AS DOUBLE) / n_t, 6) AS conv_t,
+       ROUND(CAST(x_c AS DOUBLE) / n_c, 6) AS conv_c,
+       ROUND((CAST(x_t AS DOUBLE) / n_t - CAST(x_c AS DOUBLE) / n_c)
+             / sqrt((CAST(x_t + x_c AS DOUBLE) / (n_t + n_c))
+                    * (1.0 - CAST(x_t + x_c AS DOUBLE) / (n_t + n_c))
+                    * (1.0 / n_t + 1.0 / n_c)), 6) AS z_stat,
+       obf_boundary,
+       CAST(CASE WHEN ABS((CAST(x_t AS DOUBLE) / n_t - CAST(x_c AS DOUBLE) / n_c)
+             / sqrt((CAST(x_t + x_c AS DOUBLE) / (n_t + n_c))
+                    * (1.0 - CAST(x_t + x_c AS DOUBLE) / (n_t + n_c))
+                    * (1.0 / n_t + 1.0 / n_c))) > obf_boundary
+                 THEN 1 ELSE 0 END AS INTEGER) AS crossed
+FROM g ORDER BY look
+"""

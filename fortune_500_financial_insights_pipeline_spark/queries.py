@@ -9874,3 +9874,129 @@ def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t")
     )
+
+
+@q("q_erasure_scope")
+def q_erasure_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure impact report: for a deletion request covering a
+    seed set of customers (every 97th key — the batch a DSR queue would
+    hand over), count the cascade through the FK graph — customer rows,
+    their orders, and those orders' lineitems — with each table's share.
+    The seed set joins as a broadcast semi-join at every hop (at 100 TB:
+    a bloom-filter semi-join), so no fact table ever shuffles."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    seeds = c.where(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    hit_orders = o.join(
+        F.broadcast(seeds), o["o_custkey"] == seeds["c_custkey"], "left_semi"
+    )
+    hit_li = li.join(
+        F.broadcast(hit_orders.select("o_orderkey")),
+        li["l_orderkey"] == F.col("o_orderkey"),
+        "left_semi",
+    )
+    def leg(name, hits, total_df):
+        n = hits.agg(F.count(F.lit(1)).alias("n_rows_affected"))
+        t = total_df.agg(F.count(F.lit(1)).alias("__t"))
+        return n.crossJoin(F.broadcast(t)).select(
+            F.lit(name).alias("table_name"),
+            F.col("n_rows_affected").cast("long"),
+            F.col("__t").cast("long").alias("n_rows_total"),
+            F.round(
+                F.col("n_rows_affected").cast("double") / F.col("__t"), 6
+            ).alias("affected_share"),
+        )
+    out = (
+        leg("customer", seeds, c)
+        .unionByName(leg("orders", hit_orders, o))
+        .unionByName(leg("lineitem", hit_li, li))
+    )
+    return out.orderBy("table_name")
+
+
+@q("q_retention_sweep")
+def q_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-policy sweep: rows past each table's documented horizon
+    (orders/lineitem: keep 4 years from the book's 2001-08-01 as-of date,
+    cutoff 1997-08-01; events: keep 14 days from the stream's last day) —
+    the expired-row counts, shares, and the oldest surviving timestamp a
+    purge job would report before deleting. One aggregate per table,
+    literal cutoffs, no row-level output."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = load_table(spark, sf_dir, "events")
+    def leg(name, df, ts_col, cutoff):
+        cut = F.lit(cutoff).cast("timestamp")
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((F.col(ts_col) < cut).cast("long")).alias("n_expired"),
+            F.round(
+                F.sum((F.col(ts_col) < cut).cast("long")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("expired_share"),
+            F.date_format(F.min(ts_col), "yyyy-MM-dd").alias("oldest_row"),
+        )
+    return (
+        leg("orders", o, "o_orderdate", "1997-08-01 00:00:00")
+        .unionByName(leg("lineitem", li, "l_shipdate", "1997-08-01 00:00:00"))
+        .unionByName(leg("events", e, "ts", "2024-01-17 00:00:00"))
+        .orderBy("table_name")
+    )
+
+
+@q("q_obrien_fleming")
+def q_obrien_fleming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential interim monitoring with O'Brien-Fleming spending:
+    the purchase-conversion z statistic (even- vs odd-id users) at four
+    cumulative two-day looks over the launch week, each compared against
+    its OBF boundary (4.333/2.963/2.359/2.014 — the classic 4-look
+    table) — peeking made legal, where q_ab_test reads the experiment
+    only once at the end. Looks sit inside the pre-saturation window
+    (conversion hits 1.0 by mid-month, where z degenerates). Exact
+    counts per look from one conditional-aggregate scan crossed with a
+    broadcast look relation; z in closed form."""
+    e = load_table(spark, sf_dir, "events")
+    looks = spark.createDataFrame(
+        [
+            (1, "2024-01-02 00:00:00", 4.333),
+            (2, "2024-01-04 00:00:00", 2.963),
+            (3, "2024-01-06 00:00:00", 2.359),
+            (4, "2024-01-08 00:00:00", 2.014),
+        ],
+        "look int, cut_ts string, obf_boundary double",
+    )
+    j = e.crossJoin(F.broadcast(looks)).where(
+        F.col("ts") < F.col("cut_ts").cast("timestamp")
+    )
+    arm = (F.col("user_id") % 2 == 0).cast("int")
+    conv = (F.col("event_type") == "purchase").cast("long")
+    per_user = j.groupBy("look", "obf_boundary", "user_id", arm.alias("__arm")).agg(
+        F.max(conv).alias("__conv")
+    )
+    g = per_user.groupBy("look", "obf_boundary").agg(
+        F.sum(F.when(F.col("__arm") == 1, 1).otherwise(0)).cast("long").alias("n_t"),
+        F.sum(F.when(F.col("__arm") == 0, 1).otherwise(0)).cast("long").alias("n_c"),
+        F.sum(F.when(F.col("__arm") == 1, F.col("__conv")).otherwise(0)).cast("long").alias("x_t"),
+        F.sum(F.when(F.col("__arm") == 0, F.col("__conv")).otherwise(0)).cast("long").alias("x_c"),
+    )
+    pt = F.col("x_t").cast("double") / F.col("n_t")
+    pc = F.col("x_c").cast("double") / F.col("n_c")
+    pp = (F.col("x_t") + F.col("x_c")).cast("double") / (F.col("n_t") + F.col("n_c"))
+    z = (pt - pc) / F.sqrt(
+        pp * (1.0 - pp) * (1.0 / F.col("n_t") + 1.0 / F.col("n_c"))
+    )
+    return g.select(
+        "look",
+        "n_t",
+        "n_c",
+        F.round(pt, 6).alias("conv_t"),
+        F.round(pc, 6).alias("conv_c"),
+        F.round(z, 6).alias("z_stat"),
+        "obf_boundary",
+        # when/otherwise mirrors SQL CASE: a null z (degenerate pooled
+        # variance) reads as not-crossed, not null
+        F.when(F.abs(z) > F.col("obf_boundary"), 1).otherwise(0).cast("int").alias("crossed"),
+    ).orderBy("look")
