@@ -10297,3 +10297,108 @@ SELECT CAST(look AS INTEGER) AS look, n_t, n_c,
                  THEN 1 ELSE 0 END AS INTEGER) AS crossed
 FROM g ORDER BY look
 """
+
+
+ORACLES["q_f1_multiclass"] = f"""
+WITH cm AS ({ORACLES["q_naive_bayes"]}),
+t AS (
+  SELECT true_lang AS cls, CAST(SUM(n_docs) AS BIGINT) AS n_true,
+         CAST(SUM(CASE WHEN pred_lang = true_lang THEN n_docs ELSE 0 END) AS BIGINT) AS tp_t
+  FROM cm GROUP BY true_lang
+), p AS (
+  SELECT pred_lang AS cls, CAST(SUM(n_docs) AS BIGINT) AS n_pred FROM cm GROUP BY pred_lang
+), per AS (
+  SELECT COALESCE(t.cls, p.cls) AS cls,
+         COALESCE(tp_t, 0) AS tp,
+         COALESCE(n_pred, 0) - COALESCE(tp_t, 0) AS fp,
+         COALESCE(n_true, 0) - COALESCE(tp_t, 0) AS fn
+  FROM t FULL JOIN p ON t.cls = p.cls
+), rows_ AS (
+  SELECT cls, tp, fp, fn,
+         ROUND(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END, 6) AS precision,
+         ROUND(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END, 6) AS recall,
+         ROUND(CASE WHEN tp > 0 THEN 2.0 * CAST(tp AS DOUBLE) / (2.0 * tp + fp + fn) ELSE 0.0 END, 6) AS f1
+  FROM per
+), summ AS (
+  SELECT CAST(SUM(tp) AS BIGINT) AS tp, CAST(SUM(fp) AS BIGINT) AS fp,
+         CAST(SUM(fn) AS BIGINT) AS fn,
+         {_dsum('precision')} / COUNT(*) AS mp,
+         {_dsum('recall')} / COUNT(*) AS mr,
+         {_dsum('f1')} / COUNT(*) AS mf,
+         CAST(SUM(tp) AS DOUBLE) / (SUM(tp) + SUM(fn)) AS acc
+  FROM rows_
+)
+SELECT * FROM (
+  SELECT cls, tp, fp, fn, precision, recall, f1 FROM rows_
+  UNION ALL
+  SELECT '__macro', tp, fp, fn, ROUND(mp, 6), ROUND(mr, 6), ROUND(mf, 6) FROM summ
+  UNION ALL
+  SELECT '__micro', tp, fp, fn, ROUND(acc, 6), ROUND(acc, 6), ROUND(acc, 6) FROM summ
+) ORDER BY cls
+"""
+
+ORACLES["q_mcc"] = """
+WITH scored AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS true_en,
+         CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                    t -> list_contains(['the','a','of','and','to','in','is','on','for','with'], t)))
+              AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.05
+              THEN 1 ELSE 0 END AS pred_en
+  FROM documents
+), g AS (
+  SELECT CAST(SUM(CASE WHEN pred_en = 1 AND true_en = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN pred_en = 1 AND true_en = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN pred_en = 0 AND true_en = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(SUM(CASE WHEN pred_en = 0 AND true_en = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM scored
+)
+SELECT tp, fp, fn, tn,
+       ROUND((CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+              - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+             / sqrt((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+                    * (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+                    * (CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE))
+                    * (CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE))), 6) AS mcc,
+       ROUND((CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+              + CAST(tn AS DOUBLE) / (CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE))) / 2.0, 6)
+         AS balanced_accuracy,
+       ROUND((CAST(tp AS DOUBLE) + CAST(tn AS DOUBLE))
+             / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)
+                + CAST(fn AS DOUBLE) + CAST(tn AS DOUBLE)), 6) AS accuracy
+FROM g
+"""
+
+ORACLES["q_cohen_kappa"] = """
+WITH scored AS (
+  SELECT CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                    t -> list_contains(['the','a','of','and','to','in','is','on','for','with'], t)))
+              AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.05
+              THEN 1 ELSE 0 END AS ra,
+         CASE WHEN CAST(length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) AS DOUBLE)
+                   / NULLIF(length(text), 0) >= 0.99
+              THEN 1 ELSE 0 END AS rb
+  FROM documents
+), g AS (
+  SELECT CAST(SUM(CASE WHEN ra = 1 AND rb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+         CAST(SUM(CASE WHEN ra = 1 AND rb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         CAST(SUM(CASE WHEN ra = 0 AND rb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+         CAST(SUM(CASE WHEN ra = 0 AND rb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+  FROM scored
+)
+SELECT n11, n10, n01, n00,
+       ROUND(CAST(n11 + n00 AS DOUBLE) / CAST(n11 + n10 + n01 + n00 AS DOUBLE), 6) AS p_observed,
+       ROUND((CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+              + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))
+             / (CAST(n11 + n10 + n01 + n00 AS DOUBLE)
+                * CAST(n11 + n10 + n01 + n00 AS DOUBLE)), 6) AS p_expected,
+       ROUND((CAST(n11 + n00 AS DOUBLE) / CAST(n11 + n10 + n01 + n00 AS DOUBLE)
+              - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                 + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))
+                / (CAST(n11 + n10 + n01 + n00 AS DOUBLE)
+                   * CAST(n11 + n10 + n01 + n00 AS DOUBLE)))
+             / (1.0 - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                       + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))
+                      / (CAST(n11 + n10 + n01 + n00 AS DOUBLE)
+                         * CAST(n11 + n10 + n01 + n00 AS DOUBLE))), 6) AS kappa
+FROM g
+"""

@@ -10000,3 +10000,144 @@ def q_obrien_fleming(spark: SparkSession, sf_dir: str) -> DataFrame:
         # variance) reads as not-crossed, not null
         F.when(F.abs(z) > F.col("obf_boundary"), 1).otherwise(0).cast("int").alias("crossed"),
     ).orderBy("look")
+
+
+@q("q_f1_multiclass")
+def q_f1_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 over q_naive_bayes's confusion
+    matrix, plus the macro (unweighted class mean) and micro (= accuracy
+    for single-label) summary rows — the metric layer every trained
+    classifier in the registry reports through. Composition over the
+    already-oracled confusion; zero-support conventions follow the
+    zero-division=0 standard. Per-class F1 values fold fixed-point so
+    the macro mean is order-free."""
+    cm = QUERIES["q_naive_bayes"](spark, sf_dir)
+    t = cm.groupBy(F.col("true_lang").alias("cls")).agg(
+        F.sum("n_docs").alias("__n_true"),
+        F.sum(F.when(F.col("pred_lang") == F.col("true_lang"), F.col("n_docs")).otherwise(0)).alias("__tp_t"),
+    )
+    p = cm.groupBy(F.col("pred_lang").alias("cls")).agg(
+        F.sum("n_docs").alias("__n_pred")
+    )
+    per = (
+        t.join(p, "cls", "full")
+        .select(
+            "cls",
+            F.coalesce("__tp_t", F.lit(0)).cast("long").alias("tp"),
+            (F.coalesce("__n_pred", F.lit(0)) - F.coalesce("__tp_t", F.lit(0))).cast("long").alias("fp"),
+            (F.coalesce("__n_true", F.lit(0)) - F.coalesce("__tp_t", F.lit(0))).cast("long").alias("fn"),
+        )
+    )
+    prec = F.when(F.col("tp") + F.col("fp") > 0,
+                  F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))).otherwise(0.0)
+    rec = F.when(F.col("tp") + F.col("fn") > 0,
+                 F.col("tp").cast("double") / (F.col("tp") + F.col("fn"))).otherwise(0.0)
+    f1 = F.when(F.col("tp") > 0,
+                2.0 * F.col("tp").cast("double")
+                / (2.0 * F.col("tp") + F.col("fp") + F.col("fn"))).otherwise(0.0)
+    rows = per.select(
+        "cls", "tp", "fp", "fn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+    summ = rows.agg(
+        F.sum("tp").cast("long").alias("tp"),
+        F.sum("fp").cast("long").alias("fp"),
+        F.sum("fn").cast("long").alias("fn"),
+        davg("precision").alias("__mp"),
+        davg("recall").alias("__mr"),
+        davg("f1").alias("__mf"),
+        (F.sum("tp").cast("double") / (F.sum("tp") + F.sum("fn"))).alias("__acc"),
+    )
+    macro = summ.select(
+        F.lit("__macro").alias("cls"), "tp", "fp", "fn",
+        F.round("__mp", 6).alias("precision"),
+        F.round("__mr", 6).alias("recall"),
+        F.round("__mf", 6).alias("f1"),
+    )
+    micro = summ.select(
+        F.lit("__micro").alias("cls"), "tp", "fp", "fn",
+        F.round("__acc", 6).alias("precision"),
+        F.round("__acc", 6).alias("recall"),
+        F.round("__acc", 6).alias("f1"),
+    )
+    return rows.unionByName(macro).unionByName(micro).orderBy("cls")
+
+
+@q("q_mcc")
+def q_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation of the heuristic language-ID rule against the
+    true label (en vs other) — the single balanced number for a skewed
+    binary gate, where q_langid_confusion shows the raw cells. Exact
+    long cell counts from one scan; MCC/balanced-accuracy in closed form
+    (each factor cast to double BEFORE multiplying so the product never
+    leaves IEEE range at corpus scale)."""
+    d = load_table(spark, sf_dir, "documents")
+    stop = F.array([F.lit(w) for w in
+                    ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]])
+    toks = F.split("text", " ")
+    score = F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast(
+        "double"
+    ) / F.size(toks)
+    pred_en = (score >= 0.05).cast("int")
+    true_en = (F.col("lang") == "en").cast("int")
+    g = d.agg(
+        F.sum(((pred_en == 1) & (true_en == 1)).cast("long")).alias("tp"),
+        F.sum(((pred_en == 1) & (true_en == 0)).cast("long")).alias("fp"),
+        F.sum(((pred_en == 0) & (true_en == 1)).cast("long")).alias("fn"),
+        F.sum(((pred_en == 0) & (true_en == 0)).cast("long")).alias("tn"),
+    )
+    tp, fp = F.col("tp").cast("double"), F.col("fp").cast("double")
+    fn, tn = F.col("fn").cast("double"), F.col("tn").cast("double")
+    mcc = (tp * tn - fp * fn) / F.sqrt(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    )
+    bacc = (tp / (tp + fn) + tn / (tn + fp)) / 2.0
+    acc = (tp + tn) / (tp + fp + fn + tn)
+    return g.select(
+        "tp", "fp", "fn", "tn",
+        F.round(mcc, 6).alias("mcc"),
+        F.round(bacc, 6).alias("balanced_accuracy"),
+        F.round(acc, 6).alias("accuracy"),
+    )
+
+
+@q("q_cohen_kappa")
+def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two independent cheap language raters — the
+    stopword-ratio rule and an ASCII-share rule — chance-corrected
+    agreement (po − pe)/(1 − pe): do the funnel's redundant gates
+    actually measure the same thing, beyond what class skew forces?
+    Exact 2×2 counts from one scan; marginals in closed form."""
+    d = load_table(spark, sf_dir, "documents")
+    stop = F.array([F.lit(w) for w in
+                    ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]])
+    toks = F.split("text", " ")
+    score = F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast(
+        "double"
+    ) / F.size(toks)
+    rater_a = (score >= 0.05).cast("int")
+    ascii_share = F.length(
+        F.regexp_replace(F.col("text"), "[^\\x00-\\x7F]", "")
+    ).cast("double") / F.nullif(F.length("text"), F.lit(0))
+    rater_b = F.when(ascii_share >= 0.99, 1).otherwise(0)
+    g = d.agg(
+        F.sum(((rater_a == 1) & (rater_b == 1)).cast("long")).alias("n11"),
+        F.sum(((rater_a == 1) & (rater_b == 0)).cast("long")).alias("n10"),
+        F.sum(((rater_a == 0) & (rater_b == 1)).cast("long")).alias("n01"),
+        F.sum(((rater_a == 0) & (rater_b == 0)).cast("long")).alias("n00"),
+    )
+    n = (F.col("n11") + F.col("n10") + F.col("n01") + F.col("n00")).cast("double")
+    po = (F.col("n11") + F.col("n00")).cast("double") / n
+    pe = (
+        (F.col("n11") + F.col("n10")).cast("double") * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")).cast("double") * (F.col("n10") + F.col("n00"))
+    ) / (n * n)
+    kappa = (po - pe) / (1.0 - pe)
+    return g.select(
+        "n11", "n10", "n01", "n00",
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_expected"),
+        F.round(kappa, 6).alias("kappa"),
+    )
