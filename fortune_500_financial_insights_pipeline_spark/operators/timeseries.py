@@ -638,3 +638,56 @@ def holt_linear(
         F.round(tr, 6).alias("trend"),
         F.round(lvl + float(horizon) * tr, 6).alias(f"forecast_h{horizon}"),
     )
+
+
+def croston(
+    df: DataFrame,
+    group_cols: list[str],
+    day_col: str,
+    size_col: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Croston's intermittent-demand method per series: separate EWMAs of
+    the nonzero demand SIZES and the INTER-DEMAND intervals, forecast
+    rate = z/p per day — the estimator q_demand_classes routes lumpy/
+    intermittent parts to (smooth ones go to q_ewma/q_holt).  Exact
+    per-step-rounded folds (init z=x₁, p=i₂; updates from the 3rd
+    event), so a recursive-CTE oracle replays it bit for bit.  Input
+    rows are the demand OCCURRENCES (zero days absent by construction).
+
+    Scale: one collect_list per series of (day, size) pairs — the
+    occurrence list of an intermittent item is small by definition."""
+    arr = (
+        df.groupBy(*group_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(day_col).alias("d"), F.col(size_col).alias("x")))
+            ).alias("__sv")
+        )
+        .where(F.size("__sv") >= 2)
+    )
+    a = float(alpha)
+    # guard: sequence(3, 2) DESCENDS in Spark (default step -1), so a
+    # 2-event series must fold over an empty array, not [3, 2]
+    fold = F.expr(
+        f"""aggregate(
+              CASE WHEN size(__sv) < 3 THEN CAST(array() AS array<int>)
+                   ELSE sequence(3, size(__sv)) END,
+              named_struct(
+                'z', CAST(element_at(__sv, 1).x AS DOUBLE),
+                'p', CAST(datediff(to_date(element_at(__sv, 2).d),
+                                   to_date(element_at(__sv, 1).d)) AS DOUBLE)),
+              (acc, t) -> named_struct(
+                'z', CAST(round(({a} * element_at(__sv, t).x + (1 - {a}) * acc.z) * 1000000) AS DOUBLE) / 1000000,
+                'p', CAST(round(({a} * datediff(to_date(element_at(__sv, t).d),
+                                                to_date(element_at(__sv, t - 1).d))
+                                 + (1 - {a}) * acc.p) * 1000000) AS DOUBLE) / 1000000))"""
+    )
+    out = arr.withColumn("__st", fold)
+    return out.select(
+        *group_cols,
+        F.size("__sv").cast("long").alias("n_events"),
+        F.round(F.col("__st.z"), 6).alias("size_est"),
+        F.round(F.col("__st.p"), 6).alias("interval_est"),
+        F.round(F.col("__st.z") / F.col("__st.p"), 6).alias("demand_rate"),
+    )

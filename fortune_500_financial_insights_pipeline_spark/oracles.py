@@ -10402,3 +10402,88 @@ SELECT n11, n10, n01, n00,
                          * CAST(n11 + n10 + n01 + n00 AS DOUBLE))), 6) AS kappa
 FROM g
 """
+
+
+ORACLES["q_inventory_policy"] = f"""
+WITH daily AS (
+  SELECT p.p_brand, strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS day,
+         ROUND({_dsum('l_quantity')}, 6) AS qty
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand, strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')
+), stats AS (
+  SELECT p_brand, COUNT(*) AS n_days,
+         {_dsum('qty')} AS s, {_dsum('qty * qty')} AS ss
+  FROM daily GROUP BY p_brand
+), price AS (
+  SELECT p_brand, {_dsum('p_retailprice')} / COUNT(p_retailprice) AS price
+  FROM part GROUP BY p_brand
+)
+SELECT stats.p_brand, CAST(n_days AS BIGINT) AS n_days,
+       ROUND(s / CAST(n_days AS DOUBLE), 6) AS mean_daily_demand,
+       ROUND(sqrt(ss / CAST(n_days AS DOUBLE)
+                  - (s / CAST(n_days AS DOUBLE)) * (s / CAST(n_days AS DOUBLE))), 6)
+         AS sd_daily_demand,
+       ROUND(1.645 * sqrt(ss / CAST(n_days AS DOUBLE)
+                          - (s / CAST(n_days AS DOUBLE)) * (s / CAST(n_days AS DOUBLE)))
+             * sqrt(7.0), 6) AS safety_stock,
+       ROUND(s / CAST(n_days AS DOUBLE) * 7.0
+             + 1.645 * sqrt(ss / CAST(n_days AS DOUBLE)
+                            - (s / CAST(n_days AS DOUBLE)) * (s / CAST(n_days AS DOUBLE)))
+               * sqrt(7.0), 6) AS reorder_point,
+       ROUND(sqrt(2.0 * s * 100.0 / (0.2 * price)), 6) AS eoq
+FROM stats JOIN price ON stats.p_brand = price.p_brand
+ORDER BY stats.p_brand
+"""
+
+ORACLES["q_croston"] = f"""
+WITH RECURSIVE occ AS (
+  SELECT l_partkey, strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS day,
+         ROUND({_dsum('l_quantity')}, 6) AS size_v
+  FROM lineitem WHERE l_partkey <= 40
+  GROUP BY l_partkey, strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')
+), s AS (
+  SELECT l_partkey, day, size_v,
+         ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY day) AS rn
+  FROM occ
+), nmax AS (
+  SELECT l_partkey, MAX(rn) AS n FROM s GROUP BY l_partkey
+), r(k, rn, z, p) AS (
+  SELECT s1.l_partkey, 2, CAST(s1.size_v AS DOUBLE),
+         CAST(datediff('day', CAST(s1.day AS DATE), CAST(s2.day AS DATE)) AS DOUBLE)
+  FROM s s1 JOIN s s2 ON s1.l_partkey = s2.l_partkey AND s1.rn = 1 AND s2.rn = 2
+  UNION ALL
+  SELECT r.k, r.rn + 1,
+         CAST(ROUND((0.1 * sc.size_v + (1 - 0.1) * r.z) * 1000000) AS DOUBLE) / 1000000,
+         CAST(ROUND((0.1 * datediff('day', CAST(sp.day AS DATE), CAST(sc.day AS DATE))
+                     + (1 - 0.1) * r.p) * 1000000) AS DOUBLE) / 1000000
+  FROM r
+  JOIN s sc ON sc.l_partkey = r.k AND sc.rn = r.rn + 1
+  JOIN s sp ON sp.l_partkey = r.k AND sp.rn = r.rn
+)
+SELECT r.k AS l_partkey, CAST(nmax.n AS BIGINT) AS n_events,
+       ROUND(r.z, 6) AS size_est, ROUND(r.p, 6) AS interval_est,
+       ROUND(r.z / r.p, 6) AS demand_rate
+FROM r JOIN nmax ON r.k = nmax.l_partkey AND r.rn = nmax.n
+ORDER BY l_partkey
+"""
+
+ORACLES["q_newsvendor"] = f"""
+WITH daily AS (
+  SELECT p.p_brand, strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS day,
+         ROUND({_dsum('l_quantity')}, 6) AS qty
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand, strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')
+), qv AS (
+  SELECT p_brand, ROUND(quantile_cont(qty, 0.8), 6) AS stock_level
+  FROM daily GROUP BY p_brand
+), j AS (
+  SELECT d.p_brand, d.qty, q.stock_level
+  FROM daily d JOIN qv q ON d.p_brand = q.p_brand
+)
+SELECT p_brand, COUNT(*) AS n_days, MAX(stock_level) AS stock_level,
+       ROUND(CAST(SUM(CASE WHEN qty > stock_level THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS stockout_share,
+       ROUND({_dsum('GREATEST(ROUND(qty - stock_level, 6), 0.0)')} / COUNT(*), 6)
+         AS mean_unmet_demand
+FROM j GROUP BY p_brand ORDER BY p_brand
+"""

@@ -10141,3 +10141,99 @@ def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pe, 6).alias("p_expected"),
         F.round(kappa, 6).alias("kappa"),
     )
+
+
+@q("q_inventory_policy")
+def q_inventory_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand inventory policy from one demand scan: daily-demand
+    moments (over observed demand days) → reorder point μL + zσ√L and
+    safety stock at z=1.645 (95% cycle service, 7-day lead), plus EOQ
+    √(2DS/H) with order cost S=100 and holding cost H = 20% of the
+    brand's mean retail price — the planning numbers q_abc_analysis
+    ranks and q_demand_classes routes. Part dim joins broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    daily = (
+        li.join(F.broadcast(p.select("p_partkey", "p_brand")),
+                li["l_partkey"] == F.col("p_partkey"))
+        .groupBy("p_brand", F.date_format("l_shipdate", "yyyy-MM-dd").alias("day"))
+        .agg(F.round(dsum("l_quantity"), 6).alias("qty"))
+    )
+    stats = daily.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        dsum("qty").alias("__s"),
+        dsum(F.col("qty") * F.col("qty")).alias("__ss"),
+    )
+    price = p.groupBy("p_brand").agg(davg("p_retailprice").alias("__price"))
+    j = stats.join(F.broadcast(price), "p_brand")
+    nd = F.col("n_days").cast("double")
+    mu = F.col("__s") / nd
+    sigma = F.sqrt(F.col("__ss") / nd - mu * mu)
+    lead = 7.0
+    z = 1.645
+    safety = z * sigma * F.sqrt(F.lit(lead))
+    rop = mu * lead + safety
+    eoq = F.sqrt(2.0 * F.col("__s") * 100.0 / (0.2 * F.col("__price")))
+    return j.select(
+        "p_brand",
+        "n_days",
+        F.round(mu, 6).alias("mean_daily_demand"),
+        F.round(sigma, 6).alias("sd_daily_demand"),
+        F.round(safety, 6).alias("safety_stock"),
+        F.round(rop, 6).alias("reorder_point"),
+        F.round(eoq, 6).alias("eoq"),
+    ).orderBy("p_brand")
+
+
+@q("q_croston")
+def q_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston intermittent-demand estimates (operators/timeseries.
+    croston, α=0.1) for the first 41 part keys — size/interval EWMAs and
+    the per-day demand rate for exactly the lumpy series q_demand_classes
+    flags (20-40 demand events across 7 years). Exact per-step-rounded
+    folds vs a recursive-CTE oracle."""
+    from fortune_500_financial_insights_pipeline_spark.operators.timeseries import croston
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_partkey") <= 40)
+    occ = li.groupBy(
+        "l_partkey", F.date_format("l_shipdate", "yyyy-MM-dd").alias("day")
+    ).agg(F.round(dsum("l_quantity"), 6).alias("size"))
+    return croston(occ, ["l_partkey"], "day", "size", alpha=0.1).orderBy("l_partkey")
+
+
+@q("q_newsvendor")
+def q_newsvendor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor stocking level per brand: with underage cost 40 and
+    overage cost 10 the critical ratio is 0.8, so stock the 0.8 quantile
+    of daily demand — plus the realized stockout share and the mean
+    unmet demand at that level (the second scan every planner runs to
+    sanity-check the quantile). Interpolated quantile matches
+    quantile_cont cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    daily = (
+        li.join(F.broadcast(p.select("p_partkey", "p_brand")),
+                li["l_partkey"] == F.col("p_partkey"))
+        .groupBy("p_brand", F.date_format("l_shipdate", "yyyy-MM-dd").alias("day"))
+        .agg(F.round(dsum("l_quantity"), 6).alias("qty"))
+    )
+    qv = daily.groupBy("p_brand").agg(
+        F.round(F.percentile("qty", F.lit(0.8)), 6).alias("stock_level")
+    )
+    j = daily.join(F.broadcast(qv), "p_brand")
+    out = j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.max("stock_level").alias("stock_level"),
+        F.round(
+            F.sum((F.col("qty") > F.col("stock_level")).cast("long")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("stockout_share"),
+        F.round(
+            davg(F.greatest(F.round(F.col("qty") - F.col("stock_level"), 6), F.lit(0.0))),
+            6,
+        ).alias("mean_unmet_demand"),
+    )
+    return out.select(
+        "p_brand", "n_days", "stock_level", "stockout_share", "mean_unmet_demand"
+    ).orderBy("p_brand")
