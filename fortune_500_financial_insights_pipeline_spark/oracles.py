@@ -10487,3 +10487,110 @@ SELECT p_brand, COUNT(*) AS n_days, MAX(stock_level) AS stock_level,
          AS mean_unmet_demand
 FROM j GROUP BY p_brand ORDER BY p_brand
 """
+
+
+ORACLES["q_pairs_trading"] = f"""
+WITH daily AS (
+  SELECT l_suppkey, strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS day,
+         ROUND({_dsum('l_extendedprice / 1000.0')} / COUNT(*), 6) AS px
+  FROM lineitem WHERE l_suppkey IN (1, 2)
+  GROUP BY l_suppkey, strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')
+), pairs AS (
+  SELECT a.day, a.px AS x, b.px AS y
+  FROM daily a JOIN daily b ON a.day = b.day
+  WHERE a.l_suppkey = 1 AND b.l_suppkey = 2
+), mom AS (
+  SELECT COUNT(*) AS n_days,
+         {_dsum('x')} AS sx, {_dsum('y')} AS sy,
+         {_dsum('x * x')} AS sxx, {_dsum('x * y')} AS sxy
+  FROM pairs
+), fit AS (
+  SELECT n_days,
+         ROUND((sxy - sx * sy / CAST(n_days AS DOUBLE))
+               / (sxx - sx * sx / CAST(n_days AS DOUBLE)), 6) AS beta,
+         ROUND(sy / CAST(n_days AS DOUBLE)
+               - (sxy - sx * sy / CAST(n_days AS DOUBLE))
+                 / (sxx - sx * sx / CAST(n_days AS DOUBLE))
+                 * (sx / CAST(n_days AS DOUBLE)), 6) AS alpha
+  FROM mom
+), spr AS (
+  SELECT day, n_days, beta, alpha,
+         ROUND(y - (alpha + beta * x), 6) AS s
+  FROM pairs CROSS JOIN fit
+), lagged AS (
+  SELECT n_days, beta, alpha, s, LAG(s) OVER (ORDER BY day) AS sl FROM spr
+), ar AS (
+  SELECT n_days, beta, alpha,
+         {_dsum('sl * ROUND(s - sl, 6)')} AS num,
+         {_dsum('sl * sl')} AS den
+  FROM lagged WHERE sl IS NOT NULL GROUP BY n_days, beta, alpha
+)
+SELECT CAST(n_days AS BIGINT) AS n_days, beta, alpha,
+       ROUND(num / den, 6) AS phi,
+       ROUND(CASE WHEN num / den > -1.0 AND num / den < 0.0
+                  THEN -LN(2.0) / LN(1.0 + num / den) END, 6) AS half_life_days
+FROM ar
+"""
+
+ORACLES["q_weekday_effect"] = f"""
+WITH daily AS (
+  SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS day,
+         ROUND({_dsum('l_extendedprice / 1000.0')}, 6) AS rev
+  FROM lineitem GROUP BY strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')
+), named AS (
+  SELECT strftime(CAST(day AS DATE), '%A') AS grp, rev FROM daily
+), g AS (
+  SELECT grp, COUNT(*) AS ng,
+         {_dsum('rev')} AS sg, {_dsum('rev * rev')} AS ssg
+  FROM named GROUP BY grp
+), tot AS (
+  SELECT SUM(ng) AS n,
+         ROUND(CAST(SUM(CAST(ROUND(sg * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS s,
+         COUNT(*) AS k
+  FROM g
+), terms AS (
+  SELECT CAST(ng AS DOUBLE)
+           * (sg / CAST(ng AS DOUBLE) - s / CAST(n AS DOUBLE))
+           * (sg / CAST(ng AS DOUBLE) - s / CAST(n AS DOUBLE)) AS bt,
+         ssg - sg * sg / CAST(ng AS DOUBLE) AS wt,
+         n, k
+  FROM g CROSS JOIN tot
+), red AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n, CAST(MAX(k) AS BIGINT) AS k,
+         {_dsum('bt')} AS ssb, {_dsum('wt')} AS ssw
+  FROM terms
+)
+SELECT n, k, ROUND(ssb, 6) AS ss_between, ROUND(ssw, 6) AS ss_within,
+       ROUND((ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE)), 6) AS f_stat
+FROM red
+"""
+
+ORACLES["q_fellegi_sunter"] = """
+WITH n_tot AS (
+  SELECT COUNT(*) AS n FROM customer
+), u_nat AS (
+  SELECT SUM(CAST(f AS DOUBLE) * f) / (CAST(MAX(n) AS DOUBLE) * MAX(n)) AS u_nation
+  FROM (SELECT COUNT(*) AS f FROM customer GROUP BY c_nationkey) CROSS JOIN n_tot
+), u_seg AS (
+  SELECT SUM(CAST(f AS DOUBLE) * f) / (CAST(MAX(n) AS DOUBLE) * MAX(n)) AS u_segment
+  FROM (SELECT COUNT(*) AS f FROM customer GROUP BY c_mktsegment) CROSS JOIN n_tot
+), pairs AS (
+  SELECT a.c_nationkey AS n1, a.c_mktsegment AS s1,
+         b.c_nationkey AS n2, b.c_mktsegment AS s2
+  FROM customer a JOIN customer b
+    ON CAST(FLOOR(a.c_acctbal / 100) AS BIGINT) = CAST(FLOOR(b.c_acctbal / 100) AS BIGINT)
+   AND a.c_custkey < b.c_custkey
+), pat AS (
+  SELECT CASE WHEN n1 = n2 THEN 1 ELSE 0 END AS nation_agree,
+         CASE WHEN s1 = s2 THEN 1 ELSE 0 END AS segment_agree,
+         COUNT(*) AS n_pairs
+  FROM pairs GROUP BY 1, 2
+)
+SELECT nation_agree, segment_agree, CAST(n_pairs AS BIGINT) AS n_pairs,
+       ROUND((CASE WHEN nation_agree = 1 THEN log2(0.95 / u_nation)
+                   ELSE log2((1.0 - 0.95) / (1.0 - u_nation)) END)
+             + (CASE WHEN segment_agree = 1 THEN log2(0.95 / u_segment)
+                     ELSE log2((1.0 - 0.95) / (1.0 - u_segment)) END), 6) AS fs_score
+FROM pat CROSS JOIN u_nat CROSS JOIN u_seg
+ORDER BY nation_agree, segment_agree
+"""

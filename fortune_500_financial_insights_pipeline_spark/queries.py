@@ -10237,3 +10237,132 @@ def q_newsvendor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "p_brand", "n_days", "stock_level", "stockout_share", "mean_unmet_demand"
     ).orderBy("p_brand")
+
+
+@q("q_pairs_trading")
+def q_pairs_trading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs-trading statistics for two supplier price series: OLS hedge
+    ratio (y on x with intercept), the residual spread, its AR(1)
+    mean-reversion coefficient φ (Δs on lagged s, no intercept — the
+    spread is centered by construction) and the implied half-life
+    −ln2/ln(1+φ) — the stat-arb readout built entirely from exact
+    moments (the cointegration-style sibling of q_rolling_beta).
+    Half-life is null unless φ ∈ (−1, 0) (i.e. the spread actually
+    mean-reverts)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.where(F.col("l_suppkey").isin(1, 2)).groupBy(
+        "l_suppkey", F.date_format("l_shipdate", "yyyy-MM-dd").alias("day")
+    ).agg(F.round(davg(F.col("l_extendedprice") / 1000.0), 6).alias("px"))
+    a = daily.where(F.col("l_suppkey") == 1).select("day", F.col("px").alias("x"))
+    b = daily.where(F.col("l_suppkey") == 2).select("day", F.col("px").alias("y"))
+    pairs = a.join(b, "day")
+    mom = pairs.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        dsum("x").alias("__sx"),
+        dsum("y").alias("__sy"),
+        dsum(F.col("x") * F.col("x")).alias("__sxx"),
+        dsum(F.col("x") * F.col("y")).alias("__sxy"),
+    )
+    nd = F.col("n_days").cast("double")
+    beta = (F.col("__sxy") - F.col("__sx") * F.col("__sy") / nd) / (
+        F.col("__sxx") - F.col("__sx") * F.col("__sx") / nd
+    )
+    alpha = F.col("__sy") / nd - beta * (F.col("__sx") / nd)
+    fit = pairs.crossJoin(F.broadcast(mom.select("n_days",
+        F.round(beta, 6).alias("beta"), F.round(alpha, 6).alias("alpha"))))
+    spr = fit.select(
+        "day", "n_days", "beta", "alpha",
+        F.round(F.col("y") - (F.col("alpha") + F.col("beta") * F.col("x")), 6).alias("s"),
+    )
+    wd = W.orderBy("day")
+    lagged = spr.select(
+        "n_days", "beta", "alpha", "s",
+        F.lag("s", 1).over(wd).alias("__sl"),
+    ).where(F.col("__sl").isNotNull())
+    ar = lagged.groupBy("n_days", "beta", "alpha").agg(
+        dsum(F.col("__sl") * F.round(F.col("s") - F.col("__sl"), 6)).alias("__num"),
+        dsum(F.col("__sl") * F.col("__sl")).alias("__den"),
+    )
+    phi = F.col("__num") / F.col("__den")
+    half = F.when(
+        (phi > -1.0) & (phi < 0.0), -F.log(F.lit(2.0)) / F.log(1.0 + phi)
+    )
+    return ar.select(
+        "n_days", "beta", "alpha",
+        F.round(phi, 6).alias("phi"),
+        F.round(half, 6).alias("half_life_days"),
+    )
+
+
+@q("q_weekday_effect")
+def q_weekday_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week effect test: one-way ANOVA F (operators/stats.
+    anova_oneway) of kilo-scaled daily revenue across weekday names —
+    is the weekly seasonality q_seasonal_decompose extracts statistically
+    real? Weekday via locale-stable full day names (identical strings
+    cross-engine, dodging the Sun=0-vs-1 dow trap)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.stats import anova_oneway
+
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.date_format("l_shipdate", "yyyy-MM-dd").alias("day")).agg(
+        F.round(dsum(F.col("l_extendedprice") / 1000.0), 6).alias("rev")
+    )
+    named = daily.select(
+        F.date_format(F.to_date("day"), "EEEE").alias("weekday"), "rev"
+    )
+    return anova_oneway(named, "rev", "weekday")
+
+
+@q("q_fellegi_sunter")
+def q_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter linkage scores by agreement pattern: candidate
+    customer pairs block on the account-balance century band, then each
+    (nation-agrees, segment-agrees) pattern gets the classic log2(m/u) /
+    log2((1−m)/(1−u)) weight sum — u estimated from the data as the
+    chance-agreement probability Σf²/n², m the literal 0.95 reliability.
+    The probabilistic-ER scoring layer over the blocking families
+    (q_sorted_neighborhood / q_fuzzy_match find candidates; this says
+    how much evidence each agreement carries). Pair counts are exact;
+    weights are closed-form from one frequency scan."""
+    c = load_table(spark, sf_dir, "customer")
+    n_tot = c.agg(F.count(F.lit(1)).alias("__n"))
+    u_nat = (
+        c.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("__f"))
+        .crossJoin(F.broadcast(n_tot))
+        .agg(
+            (F.sum(F.col("__f").cast("double") * F.col("__f"))
+             / (F.max("__n").cast("double") * F.max("__n"))).alias("u_nation")
+        )
+    )
+    u_seg = (
+        c.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("__f"))
+        .crossJoin(F.broadcast(n_tot))
+        .agg(
+            (F.sum(F.col("__f").cast("double") * F.col("__f"))
+             / (F.max("__n").cast("double") * F.max("__n"))).alias("u_segment")
+        )
+    )
+    band = F.floor(F.col("c_acctbal") / 100).cast("long")
+    l = c.select(F.col("c_custkey").alias("k1"), F.col("c_nationkey").alias("n1"),
+                 F.col("c_mktsegment").alias("s1"), band.alias("__b"))
+    r = c.select(F.col("c_custkey").alias("k2"), F.col("c_nationkey").alias("n2"),
+                 F.col("c_mktsegment").alias("s2"), band.alias("__b"))
+    pairs = l.join(r, "__b").where(F.col("k1") < F.col("k2"))
+    pat = pairs.groupBy(
+        (F.col("n1") == F.col("n2")).cast("int").alias("nation_agree"),
+        (F.col("s1") == F.col("s2")).cast("int").alias("segment_agree"),
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+    m = 0.95
+    j = pat.crossJoin(F.broadcast(u_nat)).crossJoin(F.broadcast(u_seg))
+    w_nat = F.when(
+        F.col("nation_agree") == 1, F.log2(F.lit(m) / F.col("u_nation"))
+    ).otherwise(F.log2((1.0 - F.lit(m)) / (1.0 - F.col("u_nation"))))
+    w_seg = F.when(
+        F.col("segment_agree") == 1, F.log2(F.lit(m) / F.col("u_segment"))
+    ).otherwise(F.log2((1.0 - F.lit(m)) / (1.0 - F.col("u_segment"))))
+    return j.select(
+        "nation_agree",
+        "segment_agree",
+        "n_pairs",
+        F.round(w_nat + w_seg, 6).alias("fs_score"),
+    ).orderBy("nation_agree", "segment_agree")
