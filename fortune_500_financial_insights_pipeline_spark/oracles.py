@@ -10594,3 +10594,75 @@ SELECT nation_agree, segment_agree, CAST(n_pairs AS BIGINT) AS n_pairs,
 FROM pat CROSS JOIN u_nat CROSS JOIN u_seg
 ORDER BY nation_agree, segment_agree
 """
+
+
+ORACLES["q_session_stats"] = """
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         COALESCE(CASE WHEN CAST(FLOOR(date_part('epoch', ts)) AS BIGINT)
+                            - LAG(CAST(FLOOR(date_part('epoch', ts)) AS BIGINT))
+                              OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            > 1800
+                       THEN 1 ELSE 0 END, 1) AS newsess
+  FROM events
+), sid AS (
+  SELECT user_id, ts,
+         SUM(newsess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM s
+), per_sess AS (
+  SELECT user_id, sid, COUNT(*) AS n_ev,
+         MAX(CAST(FLOOR(date_part('epoch', ts)) AS BIGINT))
+           - MIN(CAST(FLOOR(date_part('epoch', ts)) AS BIGINT)) AS dur
+  FROM sid GROUP BY user_id, sid
+)
+SELECT COUNT(*) AS n_sessions,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT user_id), 6) AS sessions_per_user,
+       ROUND(CAST(SUM(n_ev) AS DOUBLE) / COUNT(*), 6) AS mean_events,
+       ROUND(CAST(SUM(dur) AS DOUBLE) / COUNT(*), 6) AS mean_duration_s,
+       ROUND(quantile_cont(CAST(dur AS DOUBLE), 0.5), 6) AS median_duration_s,
+       ROUND(CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+         AS bounce_share
+FROM per_sess
+"""
+
+ORACLES["q_stickiness"] = """
+WITH ud AS (
+  SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, user_id FROM events
+), days AS (
+  SELECT DISTINCT day FROM ud
+), dau AS (
+  SELECT day, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY day
+), wau AS (
+  SELECT d.day AS asof_day, COUNT(DISTINCT u.user_id) AS wau
+  FROM days d JOIN ud u
+    ON u.day <= d.day
+   AND CAST(u.day AS DATE) >= CAST(d.day AS DATE) - INTERVAL 6 DAY
+  GROUP BY d.day
+)
+SELECT dau.day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+       ROUND(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+FROM dau JOIN wau ON dau.day = wau.asof_day
+ORDER BY dau.day
+"""
+
+ORACLES["q_feature_adoption"] = """
+WITH first_any AS (
+  SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+), first_ft AS (
+  SELECT user_id, event_type, MIN(ts) AS ft FROM events GROUP BY user_id, event_type
+), tot AS (
+  SELECT COUNT(*) AS n_users FROM first_any
+), j AS (
+  SELECT f.event_type,
+         datediff('day', CAST(a.first_ts AS DATE), CAST(f.ft AS DATE)) AS lag_days,
+         CASE WHEN f.ft < TIMESTAMP '2024-01-08' THEN 1 ELSE 0 END AS week1,
+         n_users
+  FROM first_ft f JOIN first_any a ON f.user_id = a.user_id CROSS JOIN tot
+)
+SELECT event_type, COUNT(*) AS n_adopters,
+       CAST(SUM(week1) AS BIGINT) AS n_week1,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(n_users), 6) AS adoption_share,
+       ROUND(quantile_cont(CAST(lag_days AS DOUBLE), 0.5), 6) AS median_days_to_adopt
+FROM j GROUP BY event_type ORDER BY event_type
+"""

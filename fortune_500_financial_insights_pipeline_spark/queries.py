@@ -10366,3 +10366,107 @@ def q_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         F.round(w_nat + w_seg, 6).alias("fs_score"),
     ).orderBy("nation_agree", "segment_agree")
+
+
+@q("q_session_stats")
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-quality summary over 30-minute-gap sessionization: session
+    counts, sessions per user, mean events and duration per session,
+    median duration, and the bounce share (single-event sessions) — the
+    product-analytics header row; q_top_paths walks the same sessions'
+    CONTENT, this measures their SHAPE. One lag + running-sum pass
+    builds session ids; everything after aggregates session-level rows."""
+    e = load_table(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    newsess = (
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(wu) > 1800
+    ).cast("int")
+    sess = e.select(
+        "user_id", "ts", "event_id",
+        F.coalesce(newsess, F.lit(1)).alias("__new"),
+    ).withColumn(
+        "__sid", F.sum("__new").over(wu.rowsBetween(W.unboundedPreceding, 0))
+    )
+    per_sess = sess.groupBy("user_id", "__sid").agg(
+        F.count(F.lit(1)).alias("__n_ev"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias("__dur"),
+    )
+    return per_sess.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.countDistinct("user_id"), 6
+        ).alias("sessions_per_user"),
+        F.round(F.sum("__n_ev").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_events"
+        ),
+        F.round(F.sum("__dur").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_duration_s"
+        ),
+        F.round(F.percentile("__dur", F.lit(0.5)), 6).alias("median_duration_s"),
+        F.round(
+            F.sum((F.col("__n_ev") == 1).cast("long")).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("bounce_share"),
+    )
+
+
+@q("q_stickiness")
+def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day-WAU stickiness per day: how much of the
+    weekly audience shows up daily — the engagement-depth ratio next to
+    q_cumulative_users (growth) and q_streaks (consecutive days). The
+    distinct (user, day) grid joins to a day spine over a ±6-day band
+    (band join, never user×day cross), so the rolling distinct count is
+    exact without a sliding-window distinct."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    ).distinct()
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    band = days.select(F.col("day").alias("asof_day")).join(
+        ud,
+        (F.col("day") <= F.col("asof_day"))
+        & (F.to_date("day") >= F.date_sub(F.to_date("asof_day"), 6)),
+    )
+    wau = band.groupBy("asof_day").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, dau["day"] == wau["asof_day"])
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+@q("q_feature_adoption")
+def q_feature_adoption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-adoption curve per event type: users who first touched the
+    feature in week 1 vs ever, adoption share of the full user base, and
+    median days-to-adoption from each user's first event — which features
+    spread and how fast (q_funnel orders steps; this compares features).
+    One per-(user, type) first-touch aggregate feeds everything."""
+    e = load_table(spark, sf_dir, "events")
+    first_any = e.groupBy("user_id").agg(F.min("ts").alias("__first"))
+    first_ft = e.groupBy("user_id", "event_type").agg(F.min("ts").alias("__ft"))
+    tot = first_any.agg(F.count(F.lit(1)).alias("__n_users"))
+    j = first_ft.join(first_any, "user_id").crossJoin(F.broadcast(tot))
+    lag_days = F.datediff(F.col("__ft").cast("date"), F.col("__first").cast("date"))
+    week1 = F.col("__ft") < F.lit("2024-01-08 00:00:00").cast("timestamp")
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_adopters"),
+            F.sum(week1.cast("long")).alias("n_week1"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.max("__n_users"), 6
+            ).alias("adoption_share"),
+            F.round(F.percentile(lag_days, F.lit(0.5)), 6).alias(
+                "median_days_to_adopt"
+            ),
+        )
+        .orderBy("event_type")
+    )
