@@ -10666,3 +10666,86 @@ SELECT event_type, COUNT(*) AS n_adopters,
        ROUND(quantile_cont(CAST(lag_days AS DOUBLE), 0.5), 6) AS median_days_to_adopt
 FROM j GROUP BY event_type ORDER BY event_type
 """
+
+
+ORACLES["q_jarque_bera"] = f"""
+WITH g AS (
+  SELECT o_orderpriority AS grp, COUNT(*) AS n,
+         {_dsum('o_totalprice / 10000.0')} AS s1,
+         {_dsum('(o_totalprice / 10000.0) * (o_totalprice / 10000.0)')} AS s2,
+         {_dsum('(o_totalprice / 10000.0) * (o_totalprice / 10000.0) * (o_totalprice / 10000.0)')} AS s3,
+         {_dsum('(o_totalprice / 10000.0) * (o_totalprice / 10000.0) * (o_totalprice / 10000.0) * (o_totalprice / 10000.0)')} AS s4
+  FROM orders GROUP BY o_orderpriority
+), m AS (
+  SELECT grp, CAST(n AS BIGINT) AS n,
+         s2 / n - (s1 / n) * (s1 / n) AS m2,
+         s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+         s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+           - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+  FROM g
+)
+, r AS (
+  SELECT grp, n,
+         ROUND(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+         ROUND(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis
+  FROM m
+)
+SELECT grp, n, skewness, excess_kurtosis,
+       CAST(ROUND(n / 6.0 * (skewness * skewness
+             + excess_kurtosis * excess_kurtosis / 4.0) * 1000000) AS DOUBLE)
+         / 1000000 AS jb_stat,
+       CAST(CASE WHEN n / 6.0 * (skewness * skewness
+                 + excess_kurtosis * excess_kurtosis / 4.0) > 5.991
+            THEN 1 ELSE 0 END AS INTEGER) AS flag_nonnormal
+FROM r ORDER BY grp
+"""
+
+ORACLES["q_qq_normal"] = f"""
+WITH base AS (
+  SELECT o_totalprice / 10000.0 AS x FROM orders
+), mom AS (
+  SELECT COUNT(*) AS n, {_dsum('x')} AS s1, {_dsum('x * x')} AS s2 FROM base
+), decs AS (
+  SELECT UNNEST(generate_series(0, 8)) AS pos,
+         UNNEST(quantile_cont(x, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]))
+           AS sample_q
+  FROM base
+), zs(pos, p, normal_z) AS (
+  VALUES (0, 0.1, -1.281552), (1, 0.2, -0.841621), (2, 0.3, -0.524401),
+         (3, 0.4, -0.253347), (4, 0.5, 0.0), (5, 0.6, 0.253347),
+         (6, 0.7, 0.524401), (7, 0.8, 0.841621), (8, 0.9, 1.281552)
+)
+SELECT zs.p,
+       ROUND(sample_q, 6) AS sample_q,
+       ROUND((sample_q - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS sample_z,
+       zs.normal_z,
+       ROUND((sample_q - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)) - zs.normal_z, 6) AS gap
+FROM decs JOIN zs ON decs.pos = zs.pos CROSS JOIN mom
+ORDER BY zs.p
+"""
+
+ORACLES["q_iqr_fences"] = """
+WITH qs AS (
+  SELECT o_orderpriority AS grp,
+         ROUND(quantile_cont(o_totalprice, 0.25), 6) AS q1,
+         ROUND(quantile_cont(o_totalprice, 0.75), 6) AS q3
+  FROM orders GROUP BY o_orderpriority
+), fence AS (
+  SELECT grp, q1, q3, ROUND(q3 - q1, 6) AS iqr,
+         ROUND(q1 - 1.5 * ROUND(q3 - q1, 6), 6) AS lo_inner,
+         ROUND(q3 + 1.5 * ROUND(q3 - q1, 6), 6) AS hi_inner,
+         ROUND(q1 - 3.0 * ROUND(q3 - q1, 6), 6) AS lo_outer,
+         ROUND(q3 + 3.0 * ROUND(q3 - q1, 6), 6) AS hi_outer
+  FROM qs
+)
+SELECT grp, COUNT(*) AS n, q1, q3, iqr, lo_inner, hi_inner,
+       CAST(SUM(CASE WHEN o_totalprice < lo_inner OR o_totalprice > hi_inner
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(SUM(CASE WHEN o_totalprice < lo_outer OR o_totalprice > hi_outer
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+       ROUND(CAST(SUM(CASE WHEN o_totalprice < lo_inner OR o_totalprice > hi_inner
+                      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS outlier_share
+FROM orders o JOIN fence f ON o.o_orderpriority = f.grp
+GROUP BY grp, q1, q3, iqr, lo_inner, hi_inner
+ORDER BY grp
+"""

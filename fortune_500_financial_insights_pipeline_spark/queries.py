@@ -10470,3 +10470,140 @@ def q_feature_adoption(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@q("q_jarque_bera")
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test per order priority: skewness and excess
+    kurtosis from one exact 4-moment pass (values scaled to 1e-4 so the
+    4th power stays inside the fixed-point ceiling), JB = n/6·(S² + K²/4)
+    against the χ²(2) 5% literal 5.991 — the is-it-even-normal gate in
+    front of every z/t-based screen (q_grubbs, q_ab_test). The moment →
+    statistic algebra is SHARED EXPRESSION TEXT with the oracle, so the
+    doubles agree bit for bit."""
+    o = load_table(spark, sf_dir, "orders")
+    xv = F.col("o_totalprice") / 10000.0
+    g = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(xv).alias("s1"),
+        dsum(xv * xv).alias("s2"),
+        dsum(xv * xv * xv).alias("s3"),
+        dsum(xv * xv * xv * xv).alias("s4"),
+    )
+    stat = g.selectExpr(
+        "grp",
+        "CAST(n AS BIGINT) AS n",
+        "s2 / n - (s1 / n) * (s1 / n) AS m2",
+        "s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3",
+        "s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n) * (s2 / n)"
+        " - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4",
+    ).selectExpr(
+        "grp",
+        "n",
+        "ROUND(m3 / (m2 * sqrt(m2)), 6) AS skewness",
+        "ROUND(m4 / (m2 * m2) - 3.0D, 6) AS excess_kurtosis",
+    ).selectExpr(
+        # JB recomposed from the ROUNDED components (stable anchors), with
+        # D-suffixed literals: in Spark SQL text `6.0` is a DECIMAL, so
+        # `n / 6.0` silently routes through decimal division and diverges
+        # from DuckDB's double math at the 1e-7 level
+        "grp",
+        "n",
+        "skewness",
+        "excess_kurtosis",
+        "CAST(round(n / 6.0D * (skewness * skewness"
+        " + excess_kurtosis * excess_kurtosis / 4.0D) * 1000000) AS DOUBLE)"
+        " / 1000000 AS jb_stat",
+        "CAST(CASE WHEN n / 6.0D * (skewness * skewness"
+        " + excess_kurtosis * excess_kurtosis / 4.0D) > 5.991D"
+        " THEN 1 ELSE 0 END AS INT) AS flag_nonnormal",
+    )
+    return stat.orderBy("grp")
+
+
+@q("q_qq_normal")
+def q_qq_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-Q-against-normal decile table for order values: empirical deciles
+    standardized by the exact moments vs the literal standard-normal
+    deciles (±1.281552 … 0) — WHERE the distribution bends away from
+    normal, where q_jarque_bera only scores THAT it does. One percentile
+    pass + one moment pass, 9 output rows."""
+    o = load_table(spark, sf_dir, "orders")
+    xv = (F.col("o_totalprice") / 10000.0).alias("x")
+    base = o.select(xv)
+    mom = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        dsum("x").alias("__s1"),
+        dsum(F.col("x") * F.col("x")).alias("__s2"),
+    )
+    decs = base.agg(
+        F.percentile("x", F.array(*[F.lit(i / 10.0) for i in range(1, 10)])).alias("__q")
+    ).select(F.posexplode("__q").alias("pos", "sample_q"))
+    zs = spark.createDataFrame(
+        [
+            (0, 0.1, -1.281552), (1, 0.2, -0.841621), (2, 0.3, -0.524401),
+            (3, 0.4, -0.253347), (4, 0.5, 0.0), (5, 0.6, 0.253347),
+            (6, 0.7, 0.524401), (7, 0.8, 0.841621), (8, 0.9, 1.281552),
+        ],
+        "pos int, p double, normal_z double",
+    )
+    j = decs.join(F.broadcast(zs), "pos").crossJoin(F.broadcast(mom))
+    mu = F.col("__s1") / F.col("__n")
+    sd = F.sqrt(F.col("__s2") / F.col("__n") - mu * mu)
+    sample_z = (F.col("sample_q") - mu) / sd
+    return j.select(
+        "p",
+        F.round("sample_q", 6).alias("sample_q"),
+        F.round(sample_z, 6).alias("sample_z"),
+        "normal_z",
+        F.round(sample_z - F.col("normal_z"), 6).alias("gap"),
+    ).orderBy("p")
+
+
+@q("q_iqr_fences")
+def q_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey boxplot fences per order priority: Q1/Q3, the 1.5-IQR inner
+    and 3-IQR outer fences, and how many rows fall outside each — the
+    nonparametric outlier screen beside q_mad_outliers (median-based) and
+    q_grubbs (normal-based). Quantile pass then one re-scan against the
+    broadcast fence relation."""
+    o = load_table(spark, sf_dir, "orders")
+    qs = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 6).alias("q1"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 6).alias("q3"),
+    )
+    f = qs.select(
+        "grp", "q1", "q3",
+        F.round(F.col("q3") - F.col("q1"), 6).alias("iqr"),
+    )
+    fence = f.select(
+        "grp", "q1", "q3", "iqr",
+        F.round(F.col("q1") - 1.5 * F.col("iqr"), 6).alias("lo_inner"),
+        F.round(F.col("q3") + 1.5 * F.col("iqr"), 6).alias("hi_inner"),
+        F.round(F.col("q1") - 3.0 * F.col("iqr"), 6).alias("lo_outer"),
+        F.round(F.col("q3") + 3.0 * F.col("iqr"), 6).alias("hi_outer"),
+    )
+    j = o.join(
+        F.broadcast(fence), o["o_orderpriority"] == fence["grp"]
+    )
+    x = F.col("o_totalprice")
+    return (
+        j.groupBy("grp", "q1", "q3", "iqr", "lo_inner", "hi_inner")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(((x < F.col("lo_inner")) | (x > F.col("hi_inner"))).cast("long")).alias(
+                "n_outliers"
+            ),
+            F.sum(((x < F.col("lo_outer")) | (x > F.col("hi_outer"))).cast("long")).alias(
+                "n_extreme"
+            ),
+        )
+        .select(
+            "grp", "n", "q1", "q3", "iqr", "lo_inner", "hi_inner",
+            "n_outliers", "n_extreme",
+            F.round(F.col("n_outliers").cast("double") / F.col("n"), 6).alias(
+                "outlier_share"
+            ),
+        )
+        .orderBy("grp")
+    )
