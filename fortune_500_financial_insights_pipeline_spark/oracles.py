@@ -10749,3 +10749,70 @@ FROM orders o JOIN fence f ON o.o_orderpriority = f.grp
 GROUP BY grp, q1, q3, iqr, lo_inner, hi_inner
 ORDER BY grp
 """
+
+
+ORACLES["q_error_budget"] = """
+WITH anchor AS (
+  SELECT MAX(ts) AS asof_ts FROM events
+), wins(win, days, burn_alert_at) AS (
+  VALUES ('1d', 1, 14.4), ('3d', 3, 6.0), ('7d', 7, 3.0)
+), j AS (
+  SELECT w.win, w.burn_alert_at, e.event_type
+  FROM events e CROSS JOIN anchor CROSS JOIN wins w
+  WHERE e.ts >= anchor.asof_ts - w.days * INTERVAL 1 DAY
+), g AS (
+  SELECT win, burn_alert_at, COUNT(*) AS n_events,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+  FROM j GROUP BY win, burn_alert_at
+)
+SELECT win, n_events, n_errors,
+       ROUND(CAST(n_errors AS DOUBLE) / n_events, 6) AS error_share,
+       ROUND(CAST(n_errors AS DOUBLE) / n_events / CAST(0.005 AS DOUBLE), 6) AS burn_rate,
+       CAST(CASE WHEN CAST(n_errors AS DOUBLE) / n_events / CAST(0.005 AS DOUBLE)
+                      > burn_alert_at
+                 THEN 1 ELSE 0 END AS INTEGER) AS alert
+FROM g ORDER BY win
+"""
+
+ORACLES["q_apdex"] = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN value <= 150.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_satisfied,
+       CAST(SUM(CASE WHEN value > 150.0 AND value <= 600.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tolerating,
+       ROUND((CAST(SUM(CASE WHEN value <= 150.0 THEN 1 ELSE 0 END) AS DOUBLE)
+              + CAST(SUM(CASE WHEN value > 150.0 AND value <= 600.0 THEN 1 ELSE 0 END) AS DOUBLE) / 2.0)
+             / COUNT(*), 6) AS apdex
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+ORACLES["q_incident_stats"] = """
+WITH err AS (
+  SELECT ts, event_id, CAST(FLOOR(date_part('epoch', ts)) AS BIGINT) AS sec
+  FROM events WHERE event_type = 'error'
+), marked AS (
+  SELECT ts, sec,
+         COALESCE(CASE WHEN sec - LAG(sec) OVER (ORDER BY ts, event_id) > 600
+                       THEN 1 ELSE 0 END, 1) AS newinc,
+         event_id
+  FROM err
+), iid AS (
+  SELECT sec,
+         SUM(newinc) OVER (ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iid
+  FROM marked
+), per_inc AS (
+  SELECT iid, COUNT(*) AS n_err, MIN(sec) AS start_s,
+         MAX(sec) - MIN(sec) AS dur
+  FROM iid GROUP BY iid
+), gaps AS (
+  SELECT n_err, dur,
+         start_s - LAG(start_s) OVER (ORDER BY iid) AS tbi
+  FROM per_inc
+)
+SELECT COUNT(*) AS n_incidents,
+       ROUND(CAST(SUM(dur) AS DOUBLE) / COUNT(*), 6) AS mean_duration_s,
+       ROUND(quantile_cont(CAST(dur AS DOUBLE), 0.5), 6) AS median_duration_s,
+       CAST(MAX(n_err) AS BIGINT) AS max_burst_errors,
+       ROUND(CAST(SUM(tbi) AS DOUBLE) / COUNT(tbi), 6) AS mean_time_between_s
+FROM gaps
+"""

@@ -10607,3 +10607,104 @@ def q_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+@q("q_error_budget")
+def q_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn rate as of the stream's last event: error
+    share over trailing 1/3/7-day windows against a 99.5% success SLO,
+    burn = share / (1 − SLO), alerting at the window's literal multiple
+    (Google-SRE-style multiwindow multiburn: 14.4×/6×/3×) — the paging
+    policy q_control_chart's static limits can't express. One scan
+    joined to a broadcast window relation anchored on max(ts)."""
+    e = load_table(spark, sf_dir, "events")
+    asof = e.agg(F.max("ts").alias("__asof"))
+    wins = spark.createDataFrame(
+        [("1d", 1, 14.4), ("3d", 3, 6.0), ("7d", 7, 3.0)],
+        "win string, days int, burn_alert_at double",
+    )
+    j = (
+        e.crossJoin(F.broadcast(asof))
+        .crossJoin(F.broadcast(wins))
+        .where(
+            F.col("ts")
+            >= F.col("__asof") - F.col("days") * F.expr("INTERVAL 1 DAY")
+        )
+    )
+    g = j.groupBy("win", "days", "burn_alert_at").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("n_errors"),
+    )
+    share = F.col("n_errors").cast("double") / F.col("n_events")
+    # 0.005 literal (not 1.0-0.995: python folds that to 0.00499..893
+    # while DuckDB's decimal arithmetic folds it to exactly 0.005)
+    burn = share / F.lit(0.005)
+    return g.select(
+        "win",
+        "n_events",
+        "n_errors",
+        F.round(share, 6).alias("error_share"),
+        F.round(burn, 6).alias("burn_rate"),
+        F.when(burn > F.col("burn_alert_at"), 1).otherwise(0).cast("int").alias("alert"),
+    ).orderBy("win")
+
+
+@q("q_apdex")
+def q_apdex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apdex score per event type, reading the event value as a latency
+    proxy: satisfied ≤ 150, tolerating ≤ 600, Apdex = (sat + tol/2)/n —
+    the single user-experience number ops dashboards trend, beside
+    q_error_budget's reliability view. One conditional aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    sat = (F.col("value") <= 150.0).cast("long")
+    tol = ((F.col("value") > 150.0) & (F.col("value") <= 600.0)).cast("long")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(sat).alias("n_satisfied"),
+        F.sum(tol).alias("n_tolerating"),
+    )
+    apdex = (
+        F.col("n_satisfied").cast("double")
+        + F.col("n_tolerating").cast("double") / 2.0
+    ) / F.col("n")
+    return g.select(
+        "event_type", "n", "n_satisfied", "n_tolerating",
+        F.round(apdex, 6).alias("apdex"),
+    ).orderBy("event_type")
+
+
+@q("q_incident_stats")
+def q_incident_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incident summary from the error stream: consecutive errors within
+    a 10-minute gap form one incident (global gaps-islands), then MTTR-
+    style numbers — incident count, mean/median duration, largest error
+    burst, and mean time between incident starts — the ops twin of
+    q_session_stats' engagement sessions. One lag + cumsum pass."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_type") == "error")
+    wo = W.orderBy("ts", "event_id")
+    sec = F.col("ts").cast("long")
+    newinc = (sec - F.lag(sec).over(wo) > 600).cast("int")
+    marked = e.select(
+        "ts", "event_id", F.coalesce(newinc, F.lit(1)).alias("__new")
+    ).withColumn("__iid", F.sum("__new").over(wo.rowsBetween(W.unboundedPreceding, 0)))
+    per_inc = marked.groupBy("__iid").agg(
+        F.count(F.lit(1)).alias("__n_err"),
+        F.min(F.col("ts").cast("long")).alias("__start"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias("__dur"),
+    )
+    wi = W.orderBy("__iid")
+    gaps = per_inc.select(
+        "__n_err", "__dur",
+        (F.col("__start") - F.lag("__start").over(wi)).alias("__tbi"),
+    )
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_incidents"),
+        F.round(F.sum("__dur").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_duration_s"
+        ),
+        F.round(F.percentile("__dur", F.lit(0.5)), 6).alias("median_duration_s"),
+        F.max("__n_err").cast("long").alias("max_burst_errors"),
+        F.round(
+            F.sum("__tbi").cast("double") / F.count("__tbi"), 6
+        ).alias("mean_time_between_s"),
+    )
