@@ -520,4 +520,35 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 GROUP BY ALL
 """,
+    # aggregate FILTER clause + count_if — the modern conditional-agg
+    # shorthand both dialects share (SUM FILTER over an empty set is NULL
+    # in both). Note: postfix IGNORE NULLS is NOT shared (DuckDB rejects
+    # it), so that idiom stays on the DataFrame surface (q_gap_fill).
+    "q_sql_filter_clause": """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) FILTER (WHERE o_totalprice > 200000.0) AS BIGINT) AS n_large,
+       CAST(count_if(o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
+       (CAST(SUM(CAST(ROUND((o_totalprice) * 1000000) AS BIGINT))
+             FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) / 1000000)
+         AS urgent_value
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    # TRY_CAST error-tolerant parsing — the dirty-ingestion idiom: a mixed
+    # numeric/word column parses to NULL instead of failing the job; both
+    # engines round-trip double->varchar->double losslessly.
+    "q_sql_try_cast": """
+SELECT CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unparseable,
+       CAST(COUNT(v) AS BIGINT) AS n_parsed,
+       (CAST(SUM(CAST(ROUND((COALESCE(v, 0.0)) * 1000000) AS BIGINT)) AS DOUBLE)
+        / 1000000) AS parsed_total
+FROM (
+  SELECT TRY_CAST(CASE WHEN p_partkey % 3 = 0
+                       THEN CAST(p_retailprice AS STRING)
+                       ELSE p_type END AS DOUBLE) AS v
+  FROM part
+)
+""",
 }
