@@ -10816,3 +10816,111 @@ SELECT COUNT(*) AS n_incidents,
        ROUND(CAST(SUM(tbi) AS DOUBLE) / COUNT(tbi), 6) AS mean_time_between_s
 FROM gaps
 """
+
+
+ORACLES["q_price_index"] = f"""
+WITH per AS (
+  SELECT l_partkey, year(l_shipdate) AS y,
+         ROUND({_dsum('l_extendedprice / l_quantity')} / COUNT(*), 6) AS p,
+         ROUND({_dsum('l_quantity')}, 6) AS q
+  FROM lineitem WHERE year(l_shipdate) IN (1995, 2000)
+  GROUP BY l_partkey, year(l_shipdate)
+), j AS (
+  SELECT b.p AS p0, b.q AS q0, c.p AS p1, c.q AS q1
+  FROM per b JOIN per c
+    ON b.l_partkey = c.l_partkey AND b.y = 1995 AND c.y = 2000
+), agg AS (
+  SELECT COUNT(*) AS n_parts,
+         {_dsum('p1 * q0 / 1000.0')} AS l_num,
+         {_dsum('p0 * q0 / 1000.0')} AS l_den,
+         {_dsum('p1 * q1 / 1000.0')} AS p_num,
+         {_dsum('p0 * q1 / 1000.0')} AS p_den
+  FROM j
+)
+SELECT CAST(n_parts AS BIGINT) AS n_parts,
+       ROUND(l_num / l_den, 6) AS laspeyres,
+       ROUND(p_num / p_den, 6) AS paasche,
+       ROUND(sqrt((l_num / l_den) * (p_num / p_den)), 6) AS fisher
+FROM agg
+"""
+
+ORACLES["q_bass_diffusion"] = """
+WITH first_s AS (
+  SELECT user_id, MIN(strftime(ts, '%Y-%m-%d')) AS day
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), daily AS (
+  SELECT day, COUNT(*) AS n_t FROM first_s GROUP BY day
+), cc AS (
+  SELECT day, CAST(n_t AS BIGINT) AS y,
+         CAST(COALESCE(SUM(n_t) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c
+  FROM daily
+), mom AS (
+  SELECT COUNT(*) AS n,
+         SUM(c) AS m1, SUM(c * c) AS m2, SUM(c * c * c) AS m3,
+         SUM(c * c * c * c) AS m4,
+         SUM(y) AS sy, SUM(y * c) AS sy1, SUM(y * c * c) AS sy2
+  FROM cc
+), dets AS (
+  SELECT CAST(n AS BIGINT) AS n_days,
+         CAST(n AS DOUBLE) * (CAST(m2 AS DOUBLE) * m4 - CAST(m3 AS DOUBLE) * m3)
+           - CAST(m1 AS DOUBLE) * (CAST(m1 AS DOUBLE) * m4 - CAST(m3 AS DOUBLE) * m2)
+           + CAST(m2 AS DOUBLE) * (CAST(m1 AS DOUBLE) * m3 - CAST(m2 AS DOUBLE) * m2) AS det,
+         CAST(sy AS DOUBLE) * (CAST(m2 AS DOUBLE) * m4 - CAST(m3 AS DOUBLE) * m3)
+           - CAST(m1 AS DOUBLE) * (CAST(sy1 AS DOUBLE) * m4 - CAST(m3 AS DOUBLE) * sy2)
+           + CAST(m2 AS DOUBLE) * (CAST(sy1 AS DOUBLE) * m3 - CAST(m2 AS DOUBLE) * sy2) AS det_a,
+         CAST(n AS DOUBLE) * (CAST(sy1 AS DOUBLE) * m4 - CAST(m3 AS DOUBLE) * sy2)
+           - CAST(sy AS DOUBLE) * (CAST(m1 AS DOUBLE) * m4 - CAST(m3 AS DOUBLE) * m2)
+           + CAST(m2 AS DOUBLE) * (CAST(m1 AS DOUBLE) * sy2 - CAST(sy1 AS DOUBLE) * m2) AS det_b,
+         CAST(n AS DOUBLE) * (CAST(m2 AS DOUBLE) * sy2 - CAST(sy1 AS DOUBLE) * m3)
+           - CAST(m1 AS DOUBLE) * (CAST(m1 AS DOUBLE) * sy2 - CAST(sy1 AS DOUBLE) * m2)
+           + CAST(sy AS DOUBLE) * (CAST(m1 AS DOUBLE) * m3 - CAST(m2 AS DOUBLE) * m2) AS det_c
+  FROM mom
+), coefs AS (
+  SELECT n_days,
+         ROUND(det_a / det, 6) AS coef_a,
+         ROUND(det_b / det, 6) AS coef_b,
+         ROUND(det_c / det, 6) AS coef_c
+  FROM dets
+), msz AS (
+  SELECT n_days, coef_a, coef_b, coef_c,
+         CASE WHEN coef_c < 0.0 AND coef_b * coef_b - 4.0 * coef_c * coef_a >= 0.0
+              THEN ROUND((-coef_b - sqrt(coef_b * coef_b - 4.0 * coef_c * coef_a))
+                         / (2.0 * coef_c), 6) END AS market_size
+  FROM coefs
+)
+SELECT n_days, coef_a, coef_b, coef_c, market_size,
+       CASE WHEN market_size IS NOT NULL AND market_size > 0.0
+            THEN ROUND(coef_a / market_size, 6) END AS p_innovation,
+       CASE WHEN market_size IS NOT NULL
+            THEN ROUND(-coef_c * market_size, 6) END AS q_imitation
+FROM msz
+"""
+
+ORACLES["q_ols_inference"] = f"""
+WITH mom AS (
+  SELECT COUNT(*) AS n,
+         {_dsum('l_quantity')} AS sx,
+         {_dsum('l_extendedprice / 1000.0')} AS sy,
+         {_dsum('l_quantity * l_quantity')} AS sxx,
+         {_dsum('l_quantity * (l_extendedprice / 1000.0)')} AS sxy,
+         {_dsum('(l_extendedprice / 1000.0) * (l_extendedprice / 1000.0)')} AS syy
+  FROM lineitem
+), c AS (
+  SELECT CAST(n AS BIGINT) AS n,
+         sxx - sx * sx / n AS cxx,
+         sxy - sx * sy / n AS cxy,
+         syy - sy * sy / n AS cyy,
+         sx, sy
+  FROM mom
+)
+SELECT n,
+       ROUND(cxy / cxx, 6) AS beta,
+       ROUND(sy / n - cxy / cxx * (sx / n), 6) AS alpha,
+       ROUND(sqrt((cyy - cxy * cxy / cxx) / (n - 2) / cxx), 6) AS se_beta,
+       ROUND((cxy / cxx) / sqrt((cyy - cxy * cxy / cxx) / (n - 2) / cxx), 6) AS t_beta,
+       ROUND(1.0 - (cyy - cxy * cxy / cxx) / cyy, 6) AS r2,
+       CAST(CASE WHEN abs((cxy / cxx) / sqrt((cyy - cxy * cxy / cxx) / (n - 2) / cxx))
+                      > 1.96 THEN 1 ELSE 0 END AS INTEGER) AS significant
+FROM c
+"""

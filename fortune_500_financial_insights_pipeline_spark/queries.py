@@ -10708,3 +10708,157 @@ def q_incident_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("__tbi").cast("double") / F.count("__tbi"), 6
         ).alias("mean_time_between_s"),
     )
+
+
+@q("q_price_index")
+def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres / Paasche / Fisher price indices between fiscal 1995
+    (base) and 2000 over the common part basket: per-part unit prices
+    and quantities from one year-partitioned scan, index numerators as
+    fixed-point folds over the joined basket — the inflation readout
+    q_price_dispersion (cross-section) and q_price_stickiness (menu
+    costs) don't give. Fisher = √(L·P) closes the bias gap between the
+    base-weighted and current-weighted views."""
+    li = load_table(spark, sf_dir, "lineitem")
+    yr = F.year("l_shipdate")
+    per = (
+        li.where(yr.isin(1995, 2000))
+        .groupBy("l_partkey", yr.alias("__y"))
+        .agg(
+            F.round(davg(F.col("l_extendedprice") / F.col("l_quantity")), 6).alias("p"),
+            F.round(dsum("l_quantity"), 6).alias("q"),
+        )
+    )
+    base = per.where(F.col("__y") == 1995).select(
+        "l_partkey", F.col("p").alias("p0"), F.col("q").alias("q0")
+    )
+    curr = per.where(F.col("__y") == 2000).select(
+        "l_partkey", F.col("p").alias("p1"), F.col("q").alias("q1")
+    )
+    j = base.join(curr, "l_partkey")
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        dsum(F.col("p1") * F.col("q0") / 1000.0).alias("__l_num"),
+        dsum(F.col("p0") * F.col("q0") / 1000.0).alias("__l_den"),
+        dsum(F.col("p1") * F.col("q1") / 1000.0).alias("__p_num"),
+        dsum(F.col("p0") * F.col("q1") / 1000.0).alias("__p_den"),
+    )
+    lasp = F.col("__l_num") / F.col("__l_den")
+    paas = F.col("__p_num") / F.col("__p_den")
+    return agg.select(
+        "n_parts",
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+    )
+
+
+@q("q_bass_diffusion")
+def q_bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bass diffusion model fit in closed form: daily first-signup counts
+    regressed on cumulative adopters, n_t = a + b·C + c·C² solved by
+    Cramer's rule over one exact moment pass (the 3×3 generalization of
+    q_ridge_path's 2×2 solve), then (p, q, M) recovered from the
+    quadratic cM² + bM + a = 0 — innovation/imitation coefficients and
+    market size from pure relational algebra. Moments are exact longs
+    (C ≤ users, tiny powers)."""
+    e = load_table(spark, sf_dir, "events")
+    first = e.where(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min(F.date_format("ts", "yyyy-MM-dd")).alias("day")
+    )
+    daily = first.groupBy("day").agg(F.count(F.lit(1)).alias("n_t"))
+    wd = W.orderBy("day")
+    wc = W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+    cc = daily.select(
+        "day",
+        F.col("n_t").cast("long").alias("y"),
+        F.coalesce(F.sum("n_t").over(wc), F.lit(0)).cast("long").alias("c"),
+    )
+    mom = cc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("m1"),
+        F.sum(F.col("c") * F.col("c")).alias("m2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c")).alias("m3"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") * F.col("c")).alias("m4"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("c")).alias("sy1"),
+        F.sum(F.col("y") * F.col("c") * F.col("c")).alias("sy2"),
+    )
+    sol = mom.selectExpr(
+        "CAST(n AS BIGINT) AS n_days",
+        # Cramer's rule on the normal equations [n m1 m2; m1 m2 m3; m2 m3 m4]
+        "CAST(n AS DOUBLE) * (CAST(m2 AS DOUBLE) * m4 - CAST(m3 AS DOUBLE) * m3)"
+        " - CAST(m1 AS DOUBLE) * (CAST(m1 AS DOUBLE) * m4 - CAST(m3 AS DOUBLE) * m2)"
+        " + CAST(m2 AS DOUBLE) * (CAST(m1 AS DOUBLE) * m3 - CAST(m2 AS DOUBLE) * m2) AS det",
+        "CAST(sy AS DOUBLE) * (CAST(m2 AS DOUBLE) * m4 - CAST(m3 AS DOUBLE) * m3)"
+        " - CAST(m1 AS DOUBLE) * (CAST(sy1 AS DOUBLE) * m4 - CAST(m3 AS DOUBLE) * sy2)"
+        " + CAST(m2 AS DOUBLE) * (CAST(sy1 AS DOUBLE) * m3 - CAST(m2 AS DOUBLE) * sy2) AS det_a",
+        "CAST(n AS DOUBLE) * (CAST(sy1 AS DOUBLE) * m4 - CAST(m3 AS DOUBLE) * sy2)"
+        " - CAST(sy AS DOUBLE) * (CAST(m1 AS DOUBLE) * m4 - CAST(m3 AS DOUBLE) * m2)"
+        " + CAST(m2 AS DOUBLE) * (CAST(m1 AS DOUBLE) * sy2 - CAST(sy1 AS DOUBLE) * m2) AS det_b",
+        "CAST(n AS DOUBLE) * (CAST(m2 AS DOUBLE) * sy2 - CAST(sy1 AS DOUBLE) * m3)"
+        " - CAST(m1 AS DOUBLE) * (CAST(m1 AS DOUBLE) * sy2 - CAST(sy1 AS DOUBLE) * m2)"
+        " + CAST(sy AS DOUBLE) * (CAST(m1 AS DOUBLE) * m3 - CAST(m2 AS DOUBLE) * m2) AS det_c",
+    ).selectExpr(
+        "n_days",
+        "ROUND(det_a / det, 6) AS coef_a",
+        "ROUND(det_b / det, 6) AS coef_b",
+        "ROUND(det_c / det, 6) AS coef_c",
+    ).selectExpr(
+        "n_days",
+        "coef_a",
+        "coef_b",
+        "coef_c",
+        # M solves cM² + bM + a = 0; the adoption-curve root is the one
+        # with the negative sqrt branch over a negative c
+        "CASE WHEN coef_c < 0.0D AND coef_b * coef_b - 4.0D * coef_c * coef_a >= 0.0D"
+        " THEN ROUND((-coef_b - sqrt(coef_b * coef_b - 4.0D * coef_c * coef_a))"
+        " / (2.0D * coef_c), 6) END AS market_size",
+    ).selectExpr(
+        "n_days",
+        "coef_a",
+        "coef_b",
+        "coef_c",
+        "market_size",
+        "CASE WHEN market_size IS NOT NULL AND market_size > 0.0D"
+        " THEN ROUND(coef_a / market_size, 6) END AS p_innovation",
+        "CASE WHEN market_size IS NOT NULL"
+        " THEN ROUND(-coef_c * market_size, 6) END AS q_imitation",
+    )
+    return sol
+
+
+@q("q_ols_inference")
+def q_ols_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple OLS with the full inference block: slope/intercept PLUS the
+    slope's standard error, t statistic, and R² from one exact moment
+    pass — q_ols_multi and q_rolling_beta stop at point estimates; this
+    is the is-the-effect-real layer (|t| > 1.96 flag). Price (kilo) on
+    quantity over lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, yv = F.col("l_quantity"), F.col("l_extendedprice") / 1000.0
+    mom = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(x).alias("sx"),
+        dsum(yv).alias("sy"),
+        dsum(x * x).alias("sxx"),
+        dsum(x * yv).alias("sxy"),
+        dsum(yv * yv).alias("syy"),
+    )
+    out = mom.selectExpr(
+        "CAST(n AS BIGINT) AS n",
+        "sxx - sx * sx / n AS cxx",
+        "sxy - sx * sy / n AS cxy",
+        "syy - sy * sy / n AS cyy",
+        "sx", "sy",
+    ).selectExpr(
+        "n",
+        "ROUND(cxy / cxx, 6) AS beta",
+        "ROUND(sy / n - cxy / cxx * (sx / n), 6) AS alpha",
+        "ROUND(sqrt((cyy - cxy * cxy / cxx) / (n - 2) / cxx), 6) AS se_beta",
+        "ROUND((cxy / cxx) / sqrt((cyy - cxy * cxy / cxx) / (n - 2) / cxx), 6) AS t_beta",
+        "ROUND(1.0D - (cyy - cxy * cxy / cxx) / cyy, 6) AS r2",
+        "CAST(CASE WHEN abs((cxy / cxx) / sqrt((cyy - cxy * cxy / cxx) / (n - 2) / cxx))"
+        " > 1.96D THEN 1 ELSE 0 END AS INT) AS significant",
+    )
+    return out
