@@ -787,3 +787,133 @@ def brown_forsythe(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
         )
     )
     return anova_oneway(z, "__z", "grp")
+
+
+def anova_twoway(df: DataFrame, value_col: str, factor_a: str, factor_b: str) -> DataFrame:
+    """Two-way ANOVA with interaction from ONE cell-level moment pass:
+    SS_A / SS_B / SS_AB / SS_within for value ~ A + B + A:B, F for each
+    effect against the within mean square — does the priority effect
+    DEPEND on the status (the question two one-way passes can't ask).
+    Unbalanced cells use the textbook unweighted decomposition
+    (SS_AB = SS_cells − SS_A − SS_B), the standard screening convention.
+
+    Exactness: cell sums are fixed-point; every marginal fold re-rounds
+    to 1e-6 before summing (k-row folds over ≤ a·b rows), so the table
+    hash-matches a single-threaded oracle. One shuffle on (A, B)."""
+    cells = df.groupBy(
+        F.col(factor_a).alias("fa"), F.col(factor_b).alias("fb")
+    ).agg(
+        F.count(F.lit(1)).alias("n_ab"),
+        dsum(value_col).alias("s_ab"),
+        dsum(F.col(value_col) * F.col(value_col)).alias("ss_ab"),
+    )
+    fsum = lambda c: (F.sum(F.round(F.col(c) * 1000000).cast("long")).cast("double") / 1000000)
+    tot = cells.agg(
+        F.sum("n_ab").alias("n"),
+        fsum("s_ab").alias("s"),
+        fsum("ss_ab").alias("ssq"),
+        F.countDistinct("fa").alias("ka"),
+        F.countDistinct("fb").alias("kb"),
+    )
+    ma = cells.groupBy("fa").agg(F.sum("n_ab").alias("n_a"), fsum("s_ab").alias("s_a"))
+    mb = cells.groupBy("fb").agg(F.sum("n_ab").alias("n_b"), fsum("s_ab").alias("s_b"))
+    grand = F.col("s") / F.col("n").cast("double")
+    ssa = (
+        ma.crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("n_a").cast("double")
+             * (F.col("s_a") / F.col("n_a") - grand)
+             * (F.col("s_a") / F.col("n_a") - grand)).alias("t")
+        )
+        .agg(dsum("t").alias("ss_a"))
+    )
+    ssb = (
+        mb.crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("n_b").cast("double")
+             * (F.col("s_b") / F.col("n_b") - grand)
+             * (F.col("s_b") / F.col("n_b") - grand)).alias("t")
+        )
+        .agg(dsum("t").alias("ss_b"))
+    )
+    sscells = (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("n_ab").cast("double")
+             * (F.col("s_ab") / F.col("n_ab") - grand)
+             * (F.col("s_ab") / F.col("n_ab") - grand)).alias("t")
+        )
+        .agg(dsum("t").alias("ss_cells"))
+    )
+    j = (
+        tot.crossJoin(F.broadcast(ssa))
+        .crossJoin(F.broadcast(ssb))
+        .crossJoin(F.broadcast(sscells))
+    )
+    sst = F.col("ssq") - F.col("s") * F.col("s") / F.col("n").cast("double")
+    ss_ab_i = F.col("ss_cells") - F.col("ss_a") - F.col("ss_b")
+    ssw = sst - F.col("ss_cells")
+    df_a = (F.col("ka") - 1).cast("double")
+    df_b = (F.col("kb") - 1).cast("double")
+    df_i = df_a * df_b
+    df_w = (F.col("n") - F.col("ka") * F.col("kb")).cast("double")
+    msw = ssw / df_w
+    return j.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("ka").cast("long").alias("levels_a"),
+        F.col("kb").cast("long").alias("levels_b"),
+        F.round("ss_a", 6).alias("ss_a"),
+        F.round("ss_b", 6).alias("ss_b"),
+        F.round(ss_ab_i, 6).alias("ss_interaction"),
+        F.round(ssw, 6).alias("ss_within"),
+        F.round(F.col("ss_a") / df_a / msw, 6).alias("f_a"),
+        F.round(F.col("ss_b") / df_b / msw, 6).alias("f_b"),
+        F.round(ss_ab_i / df_i / msw, 6).alias("f_interaction"),
+    )
+
+
+def tukey_hsd(df: DataFrame, value_col: str, group_col: str, q_crit: float = 3.86) -> DataFrame:
+    """Tukey-Kramer post-hoc pairwise comparisons after a one-way ANOVA:
+    every group pair's mean difference and studentized-range statistic
+    |Δ| / √(MSW/2 · (1/nᵢ + 1/nⱼ)), flagged at the literal critical value
+    (default 3.86 ≈ q₀.₀₅ for 5 groups, large df) — WHICH means differ,
+    where q_anova only says SOME do. Group relation is k rows; the pair
+    join is k², driver-free."""
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("ng"),
+        dsum(value_col).alias("sg"),
+        dsum(F.col(value_col) * F.col(value_col)).alias("ssg"),
+    )
+    fsum = lambda c: (F.sum(F.round(F.col(c) * 1000000).cast("long")).cast("double") / 1000000)
+    tot = g.agg(
+        F.sum("ng").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        fsum("ssg").alias("ssq_t"),
+    )
+    within = (
+        g.select(
+            (F.col("ssg") - F.col("sg") * F.col("sg") / F.col("ng").cast("double")).alias("t")
+        )
+        .agg(dsum("t").alias("ssw"))
+    )
+    msw_rel = tot.crossJoin(F.broadcast(within)).select(
+        "n", "k",
+        (F.col("ssw") / (F.col("n") - F.col("k")).cast("double")).alias("msw"),
+    )
+    a = g.select(F.col("grp").alias("grp_a"), F.col("ng").alias("na"), (F.col("sg") / F.col("ng").cast("double")).alias("m_a"))
+    b = g.select(F.col("grp").alias("grp_b"), F.col("ng").alias("nb"), (F.col("sg") / F.col("ng").cast("double")).alias("m_b"))
+    pairs = a.crossJoin(b).where(F.col("grp_a") < F.col("grp_b")).crossJoin(
+        F.broadcast(msw_rel)
+    )
+    diff = F.col("m_a") - F.col("m_b")
+    se = F.sqrt(
+        F.col("msw") / 2.0 * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+    )
+    qstat = F.abs(diff) / se
+    return pairs.select(
+        "grp_a",
+        "grp_b",
+        F.round(diff, 6).alias("mean_diff"),
+        F.round(qstat, 6).alias("q_stat"),
+        F.when(qstat > F.lit(float(q_crit)), 1).otherwise(0).cast("int").alias("significant"),
+    ).orderBy("grp_a", "grp_b")

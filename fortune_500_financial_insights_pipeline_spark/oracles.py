@@ -10924,3 +10924,81 @@ SELECT n,
                       > 1.96 THEN 1 ELSE 0 END AS INTEGER) AS significant
 FROM c
 """
+
+
+ORACLES["q_two_way_anova"] = f"""
+WITH cells AS (
+  SELECT o_orderpriority AS fa, o_orderstatus AS fb, COUNT(*) AS n_ab,
+         {_dsum('o_totalprice / 1000.0')} AS s_ab,
+         {_dsum('(o_totalprice / 1000.0) * (o_totalprice / 1000.0)')} AS ss_ab
+  FROM orders GROUP BY o_orderpriority, o_orderstatus
+), tot AS (
+  SELECT SUM(n_ab) AS n,
+         CAST(SUM(CAST(ROUND(s_ab * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS s,
+         CAST(SUM(CAST(ROUND(ss_ab * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS ssq,
+         COUNT(DISTINCT fa) AS ka, COUNT(DISTINCT fb) AS kb
+  FROM cells
+), ma AS (
+  SELECT fa, SUM(n_ab) AS n_a,
+         CAST(SUM(CAST(ROUND(s_ab * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS s_a
+  FROM cells GROUP BY fa
+), mb AS (
+  SELECT fb, SUM(n_ab) AS n_b,
+         CAST(SUM(CAST(ROUND(s_ab * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS s_b
+  FROM cells GROUP BY fb
+), ssa AS (
+  SELECT {_dsum('CAST(n_a AS DOUBLE) * (s_a / n_a - s / CAST(n AS DOUBLE)) * (s_a / n_a - s / CAST(n AS DOUBLE))')} AS ss_a
+  FROM ma CROSS JOIN tot
+), ssb AS (
+  SELECT {_dsum('CAST(n_b AS DOUBLE) * (s_b / n_b - s / CAST(n AS DOUBLE)) * (s_b / n_b - s / CAST(n AS DOUBLE))')} AS ss_b
+  FROM mb CROSS JOIN tot
+), ssc AS (
+  SELECT {_dsum('CAST(n_ab AS DOUBLE) * (s_ab / n_ab - s / CAST(n AS DOUBLE)) * (s_ab / n_ab - s / CAST(n AS DOUBLE))')} AS ss_cells
+  FROM cells CROSS JOIN tot
+), j AS (
+  SELECT tot.*, ss_a, ss_b, ss_cells FROM tot CROSS JOIN ssa CROSS JOIN ssb CROSS JOIN ssc
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(ka AS BIGINT) AS levels_a, CAST(kb AS BIGINT) AS levels_b,
+       ROUND(ss_a, 6) AS ss_a,
+       ROUND(ss_b, 6) AS ss_b,
+       ROUND(ss_cells - ss_a - ss_b, 6) AS ss_interaction,
+       ROUND(ssq - s * s / CAST(n AS DOUBLE) - ss_cells, 6) AS ss_within,
+       ROUND(ss_a / CAST(ka - 1 AS DOUBLE)
+             / ((ssq - s * s / CAST(n AS DOUBLE) - ss_cells) / CAST(n - ka * kb AS DOUBLE)), 6) AS f_a,
+       ROUND(ss_b / CAST(kb - 1 AS DOUBLE)
+             / ((ssq - s * s / CAST(n AS DOUBLE) - ss_cells) / CAST(n - ka * kb AS DOUBLE)), 6) AS f_b,
+       ROUND((ss_cells - ss_a - ss_b) / (CAST(ka - 1 AS DOUBLE) * CAST(kb - 1 AS DOUBLE))
+             / ((ssq - s * s / CAST(n AS DOUBLE) - ss_cells) / CAST(n - ka * kb AS DOUBLE)), 6) AS f_interaction
+FROM j
+"""
+
+ORACLES["q_tukey_hsd"] = f"""
+WITH g AS (
+  SELECT o_orderpriority AS grp, COUNT(*) AS ng,
+         {_dsum('o_totalprice / 1000.0')} AS sg,
+         {_dsum('(o_totalprice / 1000.0) * (o_totalprice / 1000.0)')} AS ssg
+  FROM orders GROUP BY o_orderpriority
+), tot AS (
+  SELECT SUM(ng) AS n, COUNT(*) AS k FROM g
+), within AS (
+  SELECT {_dsum('ssg - sg * sg / CAST(ng AS DOUBLE)')} AS ssw FROM g
+), msw_rel AS (
+  SELECT n, k, ssw / CAST(n - k AS DOUBLE) AS msw
+  FROM tot CROSS JOIN within
+), pairs AS (
+  SELECT a.grp AS grp_a, b.grp AS grp_b,
+         a.ng AS na, b.ng AS nb,
+         a.sg / CAST(a.ng AS DOUBLE) AS m_a,
+         b.sg / CAST(b.ng AS DOUBLE) AS m_b,
+         msw
+  FROM g a CROSS JOIN g b CROSS JOIN msw_rel
+  WHERE a.grp < b.grp
+)
+SELECT grp_a, grp_b,
+       ROUND(m_a - m_b, 6) AS mean_diff,
+       ROUND(ABS(m_a - m_b) / sqrt(msw / 2.0 * (1.0 / na + 1.0 / nb)), 6) AS q_stat,
+       CAST(CASE WHEN ABS(m_a - m_b) / sqrt(msw / 2.0 * (1.0 / na + 1.0 / nb)) > 3.86
+                 THEN 1 ELSE 0 END AS INTEGER) AS significant
+FROM pairs ORDER BY grp_a, grp_b
+"""

@@ -10862,3 +10862,34 @@ def q_ols_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         " > 1.96D THEN 1 ELSE 0 END AS INT) AS significant",
     )
     return out
+
+
+@q("q_two_way_anova")
+def q_two_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way ANOVA with interaction (operators/stats.anova_twoway):
+    order value (kilo) ~ priority × status — main effects AND whether the
+    priority effect depends on the status, which two one-way q_anova
+    passes cannot ask. One cell-level moment pass; unweighted unbalanced
+    decomposition documented in the operator."""
+    from fortune_500_financial_insights_pipeline_spark.operators.stats import anova_twoway
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus",
+        (F.col("o_totalprice") / 1000.0).alias("val"),
+    )
+    return anova_twoway(o, "val", "o_orderpriority", "o_orderstatus")
+
+
+@q("q_tukey_hsd")
+def q_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-Kramer post-hoc pairwise table (operators/stats.tukey_hsd)
+    over the same priority groups as q_anova: WHICH priorities differ in
+    mean order value, studentized-range statistic per pair against the
+    k=5 large-df literal 3.86 — the follow-up every significant ANOVA
+    demands."""
+    from fortune_500_financial_insights_pipeline_spark.operators.stats import tukey_hsd
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", (F.col("o_totalprice") / 1000.0).alias("val")
+    )
+    return tukey_hsd(o, "val", "o_orderpriority")
