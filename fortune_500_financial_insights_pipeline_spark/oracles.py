@@ -11002,3 +11002,110 @@ SELECT grp_a, grp_b,
                  THEN 1 ELSE 0 END AS INTEGER) AS significant
 FROM pairs ORDER BY grp_a, grp_b
 """
+
+
+ORACLES["q_huber_regression"] = f"""
+WITH li AS (
+  SELECT l_quantity AS x, l_extendedprice / 1000.0 AS y FROM lineitem
+), mom AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         {_dsum('x')} AS sx, {_dsum('y')} AS sy,
+         {_dsum('x * x')} AS sxx, {_dsum('x * y')} AS sxy
+  FROM li
+), ab0 AS (
+  SELECT ROUND((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS b,
+         ROUND(sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n) * (sx / n), 6) AS a
+  FROM mom
+), w1 AS (
+  SELECT {_dsum('w')} AS sw, {_dsum('w * x')} AS swx, {_dsum('w * y')} AS swy,
+         {_dsum('w * x * x')} AS swxx, {_dsum('w * x * y')} AS swxy
+  FROM (SELECT x, y, CASE WHEN ABS(y - (a + b * x)) <= 50.0 THEN 1.0
+                          ELSE 50.0 / ABS(y - (a + b * x)) END AS w
+        FROM li CROSS JOIN ab0)
+), ab1 AS (
+  SELECT ROUND((swxy - swx * swy / sw) / (swxx - swx * swx / sw), 6) AS b,
+         ROUND(swy / sw - (swxy - swx * swy / sw) / (swxx - swx * swx / sw) * (swx / sw), 6) AS a
+  FROM w1
+), w2 AS (
+  SELECT {_dsum('w')} AS sw, {_dsum('w * x')} AS swx, {_dsum('w * y')} AS swy,
+         {_dsum('w * x * x')} AS swxx, {_dsum('w * x * y')} AS swxy
+  FROM (SELECT x, y, CASE WHEN ABS(y - (a + b * x)) <= 50.0 THEN 1.0
+                          ELSE 50.0 / ABS(y - (a + b * x)) END AS w
+        FROM li CROSS JOIN ab1)
+), ab2 AS (
+  SELECT ROUND((swxy - swx * swy / sw) / (swxx - swx * swx / sw), 6) AS b,
+         ROUND(swy / sw - (swxy - swx * swy / sw) / (swxx - swx * swx / sw) * (swx / sw), 6) AS a
+  FROM w2
+), w3 AS (
+  SELECT {_dsum('w')} AS sw, {_dsum('w * x')} AS swx, {_dsum('w * y')} AS swy,
+         {_dsum('w * x * x')} AS swxx, {_dsum('w * x * y')} AS swxy
+  FROM (SELECT x, y, CASE WHEN ABS(y - (a + b * x)) <= 50.0 THEN 1.0
+                          ELSE 50.0 / ABS(y - (a + b * x)) END AS w
+        FROM li CROSS JOIN ab2)
+), ab3 AS (
+  SELECT ROUND((swxy - swx * swy / sw) / (swxx - swx * swx / sw), 6) AS b,
+         ROUND(swy / sw - (swxy - swx * swy / sw) / (swxx - swx * swx / sw) * (swx / sw), 6) AS a
+  FROM w3
+)
+SELECT COUNT(*) AS n, b AS slope, a AS intercept,
+       CAST(SUM(CASE WHEN ABS(y - (a + b * x)) > 50.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_downweighted
+FROM li CROSS JOIN ab3 GROUP BY a, b
+"""
+
+ORACLES["q_trimmed_mean"] = f"""
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rk,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+SELECT o_orderpriority, CAST(MAX(n) AS BIGINT) AS n,
+       ROUND({_dsum('o_totalprice')} / COUNT(o_totalprice), 6) AS mean_raw,
+       ROUND(CAST(SUM(CASE WHEN rk > CAST(FLOOR(n / 10) AS BIGINT)
+                            AND rk <= n - CAST(FLOOR(n / 10) AS BIGINT)
+                           THEN CAST(ROUND(o_totalprice * 1000000) AS BIGINT)
+                           ELSE 0 END) AS DOUBLE) / 1000000
+             / SUM(CASE WHEN rk > CAST(FLOOR(n / 10) AS BIGINT)
+                         AND rk <= n - CAST(FLOOR(n / 10) AS BIGINT)
+                        THEN 1 ELSE 0 END), 6) AS mean_trimmed,
+       ROUND(ROUND({_dsum('o_totalprice')} / COUNT(o_totalprice), 6)
+             - ROUND(CAST(SUM(CASE WHEN rk > CAST(FLOOR(n / 10) AS BIGINT)
+                                    AND rk <= n - CAST(FLOOR(n / 10) AS BIGINT)
+                                   THEN CAST(ROUND(o_totalprice * 1000000) AS BIGINT)
+                                   ELSE 0 END) AS DOUBLE) / 1000000
+                   / SUM(CASE WHEN rk > CAST(FLOOR(n / 10) AS BIGINT)
+                               AND rk <= n - CAST(FLOOR(n / 10) AS BIGINT)
+                              THEN 1 ELSE 0 END), 6), 6) AS tail_pull
+FROM ranked GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+ORACLES["q_business_days"] = """
+WITH first_ship AS (
+  SELECT l_orderkey, MIN(l_shipdate) AS ship FROM lineitem GROUP BY l_orderkey
+), base AS (
+  SELECT o_orderpriority,
+         datediff('day', CAST(o_orderdate AS DATE), CAST(ship AS DATE)) AS days,
+         isodow(CAST(o_orderdate AS DATE)) - 1 AS mon0
+  FROM orders o JOIN first_ship f ON o.o_orderkey = f.l_orderkey
+), combos AS (
+  SELECT DISTINCT days % 7 AS r, mon0 FROM base
+), offs AS (
+  SELECT UNNEST(generate_series(0, 6)) AS i
+), ext AS (
+  SELECT r, mon0, COUNT(*) AS extra
+  FROM combos CROSS JOIN offs
+  WHERE i < r AND (mon0 + i) % 7 <= 4
+  GROUP BY r, mon0
+), bd AS (
+  SELECT o_orderpriority,
+         CAST(5 * FLOOR(days / 7) + COALESCE(extra, 0) AS BIGINT) AS bdays
+  FROM (SELECT *, days % 7 AS r FROM base) b
+  LEFT JOIN ext USING (r, mon0)
+)
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(bdays) AS DOUBLE) / COUNT(*), 6) AS mean_business_days,
+       CAST(MAX(bdays) AS BIGINT) AS max_business_days
+FROM bd GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""

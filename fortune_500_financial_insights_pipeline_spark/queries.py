@@ -10893,3 +10893,150 @@ def q_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority", (F.col("o_totalprice") / 1000.0).alias("val")
     )
     return tukey_hsd(o, "val", "o_orderpriority")
+
+
+@q("q_huber_regression")
+def q_huber_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber robust regression by 3 unrolled IRLS steps: start at OLS,
+    then reweight each row by min(1, k/|resid|) (k = 50 kilo-units, the
+    fixed robustness knob) and re-solve weighted least squares — the
+    outlier-resistant line between q_ols_inference (L2, outlier-owned)
+    and q_theil_sen (rank-based, no weights). Every step's (a, b) is
+    rounded to 1e-6 and broadcast back as a one-row relation, so the
+    whole trajectory is reproducible and the oracle replays it as
+    unrolled CTE stages (the logreg/kmeans discipline). Weighted moments
+    use the fixed-point interior."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x"),
+        (F.col("l_extendedprice") / 1000.0).alias("y"),
+    ).localCheckpoint(eager=False)
+    mom = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum("x").alias("sx"), dsum("y").alias("sy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    ab = mom.selectExpr(
+        "ROUND((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS b",
+        "ROUND(sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n) * (sx / n), 6) AS a",
+    )
+    k = 50.0
+    for _ in range(3):
+        j = li.crossJoin(F.broadcast(ab))
+        r = F.col("y") - (F.col("a") + F.col("b") * F.col("x"))
+        w = F.when(F.abs(r) <= k, 1.0).otherwise(F.lit(k) / F.abs(r))
+        wm = j.agg(
+            dsum(w).alias("sw"),
+            dsum(w * F.col("x")).alias("swx"),
+            dsum(w * F.col("y")).alias("swy"),
+            dsum(w * F.col("x") * F.col("x")).alias("swxx"),
+            dsum(w * F.col("x") * F.col("y")).alias("swxy"),
+        )
+        ab = wm.selectExpr(
+            "ROUND((swxy - swx * swy / sw) / (swxx - swx * swx / sw), 6) AS b",
+            "ROUND(swy / sw - (swxy - swx * swy / sw) / (swxx - swx * swx / sw) * (swx / sw), 6) AS a",
+        )
+    final = li.crossJoin(F.broadcast(ab))
+    rr = F.col("y") - (F.col("a") + F.col("b") * F.col("x"))
+    return final.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.abs(rr) > k).cast("long")).alias("n_downweighted"),
+    ).select(
+        "n",
+        F.col("b").alias("slope"),
+        F.col("a").alias("intercept"),
+        "n_downweighted",
+    )
+
+
+@q("q_trimmed_mean")
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% two-sided trimmed mean of order value per priority next to the
+    raw mean — how much of each group's average is carried by its tails.
+    Trim bounds are INTEGER ranks (floor(n/10) off each end, total-order
+    ties on the key), so the trimmed set is exactly determined; both
+    means use the fixed-point interior."""
+    o = load_table(spark, sf_dir, "orders")
+    wr = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wn = W.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(wr).alias("__rk"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+    cut = F.floor(F.col("__n") / 10).cast("long")
+    agg = ranked.groupBy("o_orderpriority").agg(
+        F.max("__n").cast("long").alias("n"),
+        F.round(davg("o_totalprice"), 6).alias("mean_raw"),
+        F.round(
+            F.sum(
+                F.when(
+                    (F.col("__rk") > cut) & (F.col("__rk") <= F.col("__n") - cut),
+                    F.round(F.col("o_totalprice") * 1000000).cast("long"),
+                ).otherwise(F.lit(0))
+            ).cast("double")
+            / 1000000
+            / F.sum(
+                ((F.col("__rk") > cut) & (F.col("__rk") <= F.col("__n") - cut)).cast("long")
+            ),
+            6,
+        ).alias("mean_trimmed"),
+    )
+    return agg.select(
+        "o_orderpriority", "n", "mean_raw", "mean_trimmed",
+        F.round(F.col("mean_raw") - F.col("mean_trimmed"), 6).alias("tail_pull"),
+    ).orderBy("o_orderpriority")
+
+
+@q("q_business_days")
+def q_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-first-shipment lag in BUSINESS days per priority: full
+    weeks contribute 5 days, the remainder counts via a broadcast 0..6
+    offset relation against the order's Monday-based start dow — exact
+    integer calendar arithmetic (the engines' dow encodings differ, so
+    each maps to Mon=0 explicitly). The SLA number q_fulfillment_lag
+    reports in calendar days, restated the way ops actually commits.
+    The lag is SIGNED: synthetic fixtures can ship before the order
+    date, and both engines apply the same dividend-signed %."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    first_ship = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("__ship"))
+    j = o.join(first_ship, o["o_orderkey"] == F.col("l_orderkey"))
+    base = j.select(
+        "o_orderpriority",
+        F.datediff(F.col("__ship").cast("date"), F.col("o_orderdate").cast("date")).alias("days"),
+        ((F.dayofweek("o_orderdate") + 5) % 7).alias("mon0"),
+    )
+    offs = spark.createDataFrame([(i,) for i in range(7)], "i int")
+    # remainder-day lookup: extra business days for each (days%7, start-dow)
+    # combo — at most 49 rows, computed once and broadcast (never per-order)
+    combos = base.select((F.col("days") % 7).alias("r"), "mon0").distinct()
+    ext = (
+        combos.crossJoin(F.broadcast(offs))
+        .where(F.col("i") < F.col("r"))
+        .where((F.col("mon0") + F.col("i")) % 7 <= 4)
+        .groupBy("r", "mon0")
+        .agg(F.count(F.lit(1)).alias("__extra"))
+    )
+    bd = (
+        base.withColumn("r", F.col("days") % 7)
+        .join(F.broadcast(ext), ["r", "mon0"], "left")
+        .select(
+            "o_orderpriority",
+            (
+                5 * F.floor(F.col("days") / 7) + F.coalesce("__extra", F.lit(0))
+            ).cast("long").alias("bdays"),
+        )
+    )
+    return (
+        bd.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("bdays").cast("double") / F.count(F.lit(1)), 6).alias(
+                "mean_business_days"
+            ),
+            F.max("bdays").alias("max_business_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
