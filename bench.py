@@ -166,8 +166,14 @@ def main() -> None:
     # first-call JIT + whole-stage-codegen compilation (~6s once per JVM,
     # ~0.2s once per query shape — fixed costs that vanish at scale)
     failed: dict[str, str] = {}
+    # heavy keys with no DuckDB baseline (excluded from the vs_baseline
+    # ratio) get ONE timed pass, no warmup/repeats: q_jaccard_clusters
+    # alone is ~28 s/pass at sf0.1 — 4 passes of it bought 112 s of wall
+    # clock for zero ratio signal and pushed the whole bench against the
+    # driver's timeout budget
+    single_pass = {"q_jaccard_clusters", "q_minhash_neardup"}
     for name in HEADLINE:
-        if name in QUERIES:
+        if name in QUERIES and name not in single_pass:
             try:
                 QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             except Exception as e:  # noqa: BLE001 — one broken query must not
@@ -183,8 +189,13 @@ def main() -> None:
     # measured vs_baseline noise dropped from [0.76, 1.74] to a stable
     # band. The min is the engine's steady-state cost, which is what a
     # cluster-sizing decision needs.
-    runnable = [n for n in HEADLINE if n in QUERIES and n not in failed]
-    for _ in range(3):
+    runnable = [
+        n for n in HEADLINE if n in QUERIES and n not in failed and n not in single_pass
+    ]
+    # 2 interleaved passes (was 3): the min-of-2 still discards a single
+    # random stall, and the saved pass keeps total wall clock ~7 min even
+    # with the post-round-2 key list
+    for _ in range(2):
         for name in runnable:
             df = QUERIES[name](spark, sf_dir)
             t0 = time.perf_counter()
@@ -200,6 +211,17 @@ def main() -> None:
             # on a 1.1 s query without this, flat 1.1 s with it).
             del df
             gc.collect()
+    for name in sorted(single_pass):
+        if name in QUERIES:
+            try:
+                df = QUERIES[name](spark, sf_dir)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                timings[name] = time.perf_counter() - t0
+                del df
+                gc.collect()
+            except Exception as e:  # noqa: BLE001
+                failed[name] = type(e).__name__
     timings = {k: round(v, 4) for k, v in timings.items()}
 
     total = round(sum(timings.values()), 4)
