@@ -11109,3 +11109,141 @@ SELECT o_orderpriority, COUNT(*) AS n_orders,
        CAST(MAX(bdays) AS BIGINT) AS max_business_days
 FROM bd GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
+
+
+ORACLES["q_optimal_price"] = f"""
+WITH daily AS (
+  SELECT p.p_brand, strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS day,
+         ROUND({_dsum('l_extendedprice / l_quantity / 1000.0')} / COUNT(*), 6) AS price,
+         ROUND({_dsum('l_quantity')}, 6) AS qty
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand, strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')
+), mom AS (
+  SELECT p_brand, COUNT(*) AS n_days,
+         {_dsum('price')} AS sp, {_dsum('qty')} AS sq,
+         {_dsum('price * price')} AS spp, {_dsum('price * qty')} AS spq
+  FROM daily GROUP BY p_brand
+), fit AS (
+  SELECT p_brand, CAST(n_days AS BIGINT) AS n_days,
+         (spq - sp * sq / n_days) / (spp - sp * sp / n_days) AS s,
+         sq / n_days - (spq - sp * sq / n_days) / (spp - sp * sp / n_days)
+           * (sp / n_days) AS a,
+         sp / n_days AS mean_price
+  FROM mom
+), rfit AS (
+  SELECT p_brand, n_days,
+         ROUND(s, 6) AS demand_slope,
+         ROUND(a, 6) AS demand_intercept,
+         ROUND(mean_price, 6) AS mean_price
+  FROM fit
+)
+SELECT p_brand, n_days, demand_slope, demand_intercept, mean_price,
+       ROUND(0.6 * mean_price, 6) AS unit_cost,
+       CASE WHEN demand_slope < 0.0 THEN ROUND((demand_slope * (0.6 * mean_price)
+            - demand_intercept) / (2.0 * demand_slope), 6) END AS optimal_price,
+       CASE WHEN demand_slope < 0.0 THEN ROUND((demand_slope * (0.6 * mean_price)
+            - demand_intercept) / (2.0 * demand_slope) - mean_price, 6) END AS price_gap
+FROM rfit ORDER BY p_brand
+"""
+
+ORACLES["q_concurrency_profile"] = """
+WITH s AS (
+  SELECT user_id, ts, event_id, CAST(FLOOR(date_part('epoch', ts)) AS BIGINT) AS sec,
+         COALESCE(CASE WHEN CAST(FLOOR(date_part('epoch', ts)) AS BIGINT)
+                            - LAG(CAST(FLOOR(date_part('epoch', ts)) AS BIGINT))
+                              OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            > 1800
+                       THEN 1 ELSE 0 END, 1) AS newsess
+  FROM events
+), sid AS (
+  SELECT user_id, sec,
+         SUM(newsess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM s
+), sess AS (
+  SELECT user_id, sid, MIN(sec) AS st, MAX(sec) + 1 AS en
+  FROM sid GROUP BY user_id, sid
+), bounds AS (
+  SELECT st AS at, 1 AS d FROM sess
+  UNION ALL
+  SELECT en AS at, -1 AS d FROM sess
+), run AS (
+  SELECT SUM(d) OVER (ORDER BY at, d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+  FROM bounds
+), peak AS (
+  SELECT CAST(MAX(conc) AS BIGINT) AS peak_concurrent FROM run
+), stats AS (
+  SELECT COUNT(*) AS n_sessions, CAST(SUM(en - st) AS BIGINT) AS busy,
+         MIN(st) AS t0, MAX(en) AS t1
+  FROM sess
+)
+SELECT n_sessions, peak_concurrent,
+       ROUND(CAST(n_sessions AS DOUBLE) / CAST(t1 - t0 AS DOUBLE) * 3600.0, 6)
+         AS arrivals_per_hour,
+       ROUND(CAST(busy AS DOUBLE) / n_sessions, 6) AS mean_session_s,
+       ROUND(CAST(busy AS DOUBLE) / CAST(t1 - t0 AS DOUBLE), 6) AS mean_concurrent,
+       ROUND((CAST(busy AS DOUBLE) / CAST(t1 - t0 AS DOUBLE))
+             / ((CAST(n_sessions AS DOUBLE) / CAST(t1 - t0 AS DOUBLE))
+                * (CAST(busy AS DOUBLE) / n_sessions)), 6) AS littles_ratio
+FROM stats CROSS JOIN peak
+"""
+
+ORACLES["q_forecast_combo"] = f"""
+WITH daily AS (
+  SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS day,
+         ROUND({_dsum('l_extendedprice / 1000.0')}, 6) AS y
+  FROM lineitem GROUP BY strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')
+), base AS (
+  SELECT day, y,
+         LAG(y, 1) OVER (ORDER BY day) AS l1,
+         LAG(y, 7) OVER (ORDER BY day) AS l7,
+         ROUND(y - LAG(y, 1) OVER (ORDER BY day), 6) AS step,
+         ROW_NUMBER() OVER (ORDER BY day) AS rn,
+         COUNT(*) OVER () AS n
+  FROM daily
+), tstep AS (
+  SELECT ROUND({_dsum('step')} / COUNT(step), 6) AS drift_step
+  FROM base WHERE rn <= n - 28
+), scored AS (
+  SELECT rn, n, y, l1, l7, ROUND(l1 + drift_step, 6) AS fdrift
+  FROM base CROSS JOIN tstep WHERE l7 IS NOT NULL
+), wts AS (
+  SELECT
+    ROUND(CAST(SUM(CASE WHEN rn > n - 28 AND rn <= n - 14
+                THEN CAST(ROUND(ABS(y - l1) * 1000000) AS BIGINT) ELSE 0 END) AS DOUBLE)
+          / 1000000 / SUM(CASE WHEN rn > n - 28 AND rn <= n - 14 THEN 1 ELSE 0 END), 6) AS v1,
+    ROUND(CAST(SUM(CASE WHEN rn > n - 28 AND rn <= n - 14
+                THEN CAST(ROUND(ABS(y - l7) * 1000000) AS BIGINT) ELSE 0 END) AS DOUBLE)
+          / 1000000 / SUM(CASE WHEN rn > n - 28 AND rn <= n - 14 THEN 1 ELSE 0 END), 6) AS v7,
+    ROUND(CAST(SUM(CASE WHEN rn > n - 28 AND rn <= n - 14
+                THEN CAST(ROUND(ABS(y - fdrift) * 1000000) AS BIGINT) ELSE 0 END) AS DOUBLE)
+          / 1000000 / SUM(CASE WHEN rn > n - 28 AND rn <= n - 14 THEN 1 ELSE 0 END), 6) AS vd
+  FROM scored
+), combo AS (
+  SELECT rn, n, y, l1, l7, fdrift, v1, v7, vd,
+         ROUND((l1 / v1 + l7 / v7 + fdrift / vd)
+               / (1.0 / v1 + 1.0 / v7 + 1.0 / vd), 6) AS fcombo
+  FROM scored CROSS JOIN wts
+), res AS (
+  SELECT
+    ROUND(CAST(SUM(CASE WHEN rn > n - 14 AND rn <= n - 0
+                THEN CAST(ROUND(ABS(y - l1) * 1000000) AS BIGINT) ELSE 0 END) AS DOUBLE)
+          / 1000000 / SUM(CASE WHEN rn > n - 14 AND rn <= n - 0 THEN 1 ELSE 0 END), 6) AS naive,
+    ROUND(CAST(SUM(CASE WHEN rn > n - 14 AND rn <= n - 0
+                THEN CAST(ROUND(ABS(y - l7) * 1000000) AS BIGINT) ELSE 0 END) AS DOUBLE)
+          / 1000000 / SUM(CASE WHEN rn > n - 14 AND rn <= n - 0 THEN 1 ELSE 0 END), 6) AS weekly,
+    ROUND(CAST(SUM(CASE WHEN rn > n - 14 AND rn <= n - 0
+                THEN CAST(ROUND(ABS(y - fdrift) * 1000000) AS BIGINT) ELSE 0 END) AS DOUBLE)
+          / 1000000 / SUM(CASE WHEN rn > n - 14 AND rn <= n - 0 THEN 1 ELSE 0 END), 6) AS drift,
+    ROUND(CAST(SUM(CASE WHEN rn > n - 14 AND rn <= n - 0
+                THEN CAST(ROUND(ABS(y - fcombo) * 1000000) AS BIGINT) ELSE 0 END) AS DOUBLE)
+          / 1000000 / SUM(CASE WHEN rn > n - 14 AND rn <= n - 0 THEN 1 ELSE 0 END), 6) AS combo
+  FROM combo
+)
+SELECT 'combo' AS model, combo AS test_mae FROM res
+UNION ALL SELECT 'drift', drift FROM res
+UNION ALL SELECT 'naive', naive FROM res
+UNION ALL SELECT 'weekly', weekly FROM res
+ORDER BY model
+"""

@@ -11040,3 +11040,172 @@ def q_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@q("q_optimal_price")
+def q_optimal_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monopoly price point per brand from a linear demand fit: daily
+    quantity regressed on the daily mean unit price (exact moments), then
+    p* = (s·c − a)/(2s) against a unit cost of 60% of the observed mean
+    price — the prescription built on top of q_elasticity's description.
+    Null when the fitted demand slope isn't downward (no interior
+    optimum); gap vs the current mean price says which way to move."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    daily = (
+        li.join(F.broadcast(p.select("p_partkey", "p_brand")),
+                li["l_partkey"] == F.col("p_partkey"))
+        .groupBy("p_brand", F.date_format("l_shipdate", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.round(davg(F.col("l_extendedprice") / F.col("l_quantity") / 1000.0), 6).alias("price"),
+            F.round(dsum("l_quantity"), 6).alias("qty"),
+        )
+    )
+    mom = daily.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        dsum("price").alias("sp"),
+        dsum("qty").alias("sq"),
+        dsum(F.col("price") * F.col("price")).alias("spp"),
+        dsum(F.col("price") * F.col("qty")).alias("spq"),
+    )
+    out = mom.selectExpr(
+        "p_brand",
+        "CAST(n_days AS BIGINT) AS n_days",
+        "(spq - sp * sq / n_days) / (spp - sp * sp / n_days) AS s",
+        "sq / n_days - (spq - sp * sq / n_days) / (spp - sp * sp / n_days) * (sp / n_days) AS a",
+        "sp / n_days AS mean_price",
+    ).selectExpr(
+        "p_brand",
+        "n_days",
+        "ROUND(s, 6) AS demand_slope",
+        "ROUND(a, 6) AS demand_intercept",
+        "ROUND(mean_price, 6) AS mean_price",
+    ).selectExpr(
+        # optimal price recomposed from the ROUNDED fit (the jb_stat
+        # lesson): the deep moment expression drifts 1 ulp cross-engine
+        # right at a rounding boundary; round-6 anchors are stable
+        "p_brand",
+        "n_days",
+        "demand_slope",
+        "demand_intercept",
+        "mean_price",
+        "ROUND(0.6D * mean_price, 6) AS unit_cost",
+        "CASE WHEN demand_slope < 0.0D THEN ROUND((demand_slope * (0.6D * mean_price)"
+        " - demand_intercept) / (2.0D * demand_slope), 6) END AS optimal_price",
+        "CASE WHEN demand_slope < 0.0D THEN ROUND((demand_slope * (0.6D * mean_price)"
+        " - demand_intercept) / (2.0D * demand_slope) - mean_price, 6) END AS price_gap",
+    )
+    return out.orderBy("p_brand")
+
+
+@q("q_concurrency_profile")
+def q_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrency profile of the 30-min-gap sessions: peak simultaneous
+    sessions from a +1/−1 boundary sweep (ends sort before starts at the
+    same second — half-open intervals), plus arrival rate λ, mean session
+    duration W, time-weighted mean concurrency, and the Little's-law
+    ratio L/(λW) as the internal-consistency check (≈1 up to rounding) —
+    the capacity-planning readout over q_session_stats' shape summary."""
+    e = load_table(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("long")
+    newsess = (sec - F.lag(sec).over(wu) > 1800).cast("int")
+    sess = (
+        e.select("user_id", "ts", "event_id",
+                 F.coalesce(newsess, F.lit(1)).alias("__new"))
+        .withColumn("__sid", F.sum("__new").over(wu.rowsBetween(W.unboundedPreceding, 0)))
+        .groupBy("user_id", "__sid")
+        .agg(
+            F.min(F.col("ts").cast("long")).alias("s"),
+            (F.max(F.col("ts").cast("long")) + 1).alias("t"),
+        )
+    )
+    bounds = sess.select(F.col("s").alias("at"), F.lit(1).alias("d")).unionByName(
+        sess.select(F.col("t").alias("at"), F.lit(-1).alias("d"))
+    )
+    wb = W.orderBy("at", "d")  # d=-1 sorts before +1: end-then-start at ties
+    run = bounds.withColumn(
+        "conc", F.sum("d").over(wb.rowsBetween(W.unboundedPreceding, 0))
+    )
+    peak = run.agg(F.max("conc").cast("long").alias("peak_concurrent"))
+    stats = sess.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.col("t") - F.col("s")).alias("__busy"),
+        F.min("s").alias("__t0"),
+        F.max("t").alias("__t1"),
+    )
+    j = stats.crossJoin(F.broadcast(peak))
+    horizon = (F.col("__t1") - F.col("__t0")).cast("double")
+    lam = F.col("n_sessions").cast("double") / horizon
+    wmean = F.col("__busy").cast("double") / F.col("n_sessions")
+    lmean = F.col("__busy").cast("double") / horizon
+    return j.select(
+        "n_sessions",
+        "peak_concurrent",
+        F.round(lam * 3600.0, 6).alias("arrivals_per_hour"),
+        F.round(wmean, 6).alias("mean_session_s"),
+        F.round(lmean, 6).alias("mean_concurrent"),
+        F.round(lmean / (lam * wmean), 6).alias("littles_ratio"),
+    )
+
+
+@q("q_forecast_combo")
+def q_forecast_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-combination scoreboard on the kilo-scaled daily revenue
+    series: naive (lag-1), weekly (lag-7), and drift (lag-1 + mean train
+    step) forecasters scored by MAE on the last 14 observed days, plus
+    the inverse-validation-MAE weighted ensemble — the does-the-blend-
+    beat-its-members table (weights from the 14 days before the test
+    window, so the combo is honestly out-of-sample). All errors rounded
+    to 1e-6 and folded in fixed point."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.date_format("l_shipdate", "yyyy-MM-dd").alias("day")).agg(
+        F.round(dsum(F.col("l_extendedprice") / 1000.0), 6).alias("y")
+    )
+    wd = W.orderBy("day")
+    base = daily.select(
+        "day", "y",
+        F.lag("y", 1).over(wd).alias("l1"),
+        F.lag("y", 7).over(wd).alias("l7"),
+        F.round(F.col("y") - F.lag("y", 1).over(wd), 6).alias("step"),
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    train_step = base.where(F.col("rn") <= F.col("n") - 28).agg(
+        F.round(davg("step"), 6).alias("drift_step")
+    )
+    scored = base.crossJoin(F.broadcast(train_step)).select(
+        "rn", "n", "y", "l1", "l7",
+        F.round(F.col("l1") + F.col("drift_step"), 6).alias("fdrift"),
+    ).where(F.col("l7").isNotNull())
+    def mae(pred, lo, hi):
+        inwin = (F.col("rn") > F.col("n") - hi) & (F.col("rn") <= F.col("n") - lo)
+        err = F.when(inwin, F.round(F.abs(F.col("y") - pred) * 1000000).cast("long")).otherwise(F.lit(0))
+        cnt = F.sum(inwin.cast("long"))
+        return (F.sum(err).cast("double") / 1000000 / cnt)
+    wts = scored.agg(
+        F.round(mae(F.col("l1"), 14, 28), 6).alias("v1"),
+        F.round(mae(F.col("l7"), 14, 28), 6).alias("v7"),
+        F.round(mae(F.col("fdrift"), 14, 28), 6).alias("vd"),
+    )
+    combo = scored.crossJoin(F.broadcast(wts)).select(
+        "rn", "n", "y", "l1", "l7", "fdrift", "v1", "v7", "vd",
+        F.round(
+            (F.col("l1") / F.col("v1") + F.col("l7") / F.col("v7") + F.col("fdrift") / F.col("vd"))
+            / (1.0 / F.col("v1") + 1.0 / F.col("v7") + 1.0 / F.col("vd")),
+            6,
+        ).alias("fcombo"),
+    )
+    res = combo.agg(
+        F.round(mae(F.col("l1"), 0, 14), 6).alias("naive"),
+        F.round(mae(F.col("l7"), 0, 14), 6).alias("weekly"),
+        F.round(mae(F.col("fdrift"), 0, 14), 6).alias("drift"),
+        F.round(mae(F.col("fcombo"), 0, 14), 6).alias("combo"),
+        F.max("v1").alias("w_naive_val"),
+        F.max("v7").alias("w_weekly_val"),
+        F.max("vd").alias("w_drift_val"),
+    )
+    return res.selectExpr(
+        "stack(4, 'combo', combo, 'drift', drift, 'naive', naive, 'weekly', weekly)"
+        " AS (model, test_mae)"
+    ).orderBy("model")
