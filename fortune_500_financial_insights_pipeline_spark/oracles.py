@@ -11247,3 +11247,92 @@ UNION ALL SELECT 'naive', naive FROM res
 UNION ALL SELECT 'weekly', weekly FROM res
 ORDER BY model
 """
+
+
+ORACLES["q_permutation_test"] = f"""
+WITH per_user AS (
+  SELECT user_id, ROUND({_dsum('value')}, 6) AS spend
+  FROM events GROUP BY user_id
+), obs AS (
+  SELECT ROUND(ABS(
+           ROUND({_dsum('CASE WHEN user_id % 2 = 0 THEN spend END')}
+                 / COUNT(CASE WHEN user_id % 2 = 0 THEN spend END), 6)
+           - ROUND({_dsum('CASE WHEN user_id % 2 <> 0 THEN spend END')}
+                   / COUNT(CASE WHEN user_id % 2 <> 0 THEN spend END), 6)), 6) AS obs_diff
+  FROM per_user
+), perms AS (
+  SELECT CAST(UNNEST(generate_series(1, 200)) AS INTEGER) AS i
+), fan AS (
+  SELECT u.user_id, u.spend, p.i,
+         CASE WHEN substring(md5(concat_ws(':', u.user_id, p.i)), 32, 1)
+                   IN ('0', '2', '4', '6', '8', 'a', 'c', 'e')
+              THEN 0 ELSE 1 END AS arm
+  FROM per_user u CROSS JOIN perms p
+), pd AS (
+  SELECT i,
+         ROUND(ABS(
+           ROUND({_dsum('CASE WHEN arm = 1 THEN spend END')}
+                 / COUNT(CASE WHEN arm = 1 THEN spend END), 6)
+           - ROUND({_dsum('CASE WHEN arm = 0 THEN spend END')}
+                   / COUNT(CASE WHEN arm = 0 THEN spend END), 6)), 6) AS pdiff
+  FROM fan GROUP BY i
+)
+SELECT MAX(obs_diff) AS obs_diff,
+       COUNT(*) AS n_perms,
+       CAST(SUM(CASE WHEN pdiff >= obs_diff THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+       ROUND(CAST(SUM(CASE WHEN pdiff >= obs_diff THEN 1 ELSE 0 END) + 1 AS DOUBLE)
+             / (COUNT(*) + 1), 6) AS p_value
+FROM pd CROSS JOIN obs
+"""
+
+ORACLES["q_reach_curve"] = """
+WITH uc AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), solo AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS solo_reach FROM uc GROUP BY event_type
+), ranked AS (
+  SELECT event_type, solo_reach,
+         ROW_NUMBER() OVER (ORDER BY solo_reach DESC, event_type ASC) AS rk
+  FROM solo
+), first_t AS (
+  SELECT u.user_id, MIN(r.rk) AS first_rk
+  FROM uc u JOIN ranked r ON u.event_type = r.event_type
+  GROUP BY u.user_id
+), inc AS (
+  SELECT first_rk, COUNT(*) AS incremental_reach FROM first_t GROUP BY first_rk
+), tot AS (
+  SELECT COUNT(*) AS n_users FROM first_t
+)
+SELECT CAST(r.rk AS BIGINT) AS rk, r.event_type,
+       CAST(r.solo_reach AS BIGINT) AS solo_reach,
+       CAST(COALESCE(i.incremental_reach, 0) AS BIGINT) AS incremental_reach,
+       CAST(SUM(COALESCE(i.incremental_reach, 0))
+            OVER (ORDER BY r.rk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cumulative_reach,
+       ROUND(CAST(SUM(COALESCE(i.incremental_reach, 0))
+                  OVER (ORDER BY r.rk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) / t.n_users, 6) AS cumulative_share
+FROM ranked r LEFT JOIN inc i ON r.rk = i.first_rk CROSS JOIN tot t
+ORDER BY rk
+"""
+
+ORACLES["q_round_number_bias"] = """
+WITH base AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) % 100 AS c FROM orders
+), pats(pattern, cval) AS (
+  VALUES ('c00', 0), ('c50', 50), ('c99', 99)
+), g AS (
+  SELECT pattern, COUNT(*) AS n,
+         CAST(SUM(CASE WHEN c = cval THEN 1 ELSE 0 END) AS BIGINT) AS n_obs
+  FROM base CROSS JOIN pats GROUP BY pattern
+)
+SELECT pattern, n_obs,
+       ROUND(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS obs_share,
+       CAST(0.01 AS DOUBLE) AS expected_share,
+       ROUND((CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE) - 0.01)
+             / sqrt(0.01 * (1.0 - 0.01) / CAST(n AS DOUBLE)), 6) AS z_stat,
+       CAST(CASE WHEN ABS((CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE) - 0.01)
+                          / sqrt(0.01 * (1.0 - 0.01) / CAST(n AS DOUBLE))) > 3.0
+                 THEN 1 ELSE 0 END AS INTEGER) AS flag
+FROM g ORDER BY pattern
+"""

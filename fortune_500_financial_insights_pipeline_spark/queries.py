@@ -11209,3 +11209,122 @@ def q_forecast_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(4, 'combo', combo, 'drift', drift, 'naive', naive, 'weekly', weekly)"
         " AS (model, test_mae)"
     ).orderBy("model")
+
+
+@q("q_permutation_test")
+def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test for the A/B spend difference: 200 SEEDED pseudo-
+    permutations reassign each user's arm via md5(user_id:i) (the same
+    engine-shared hash discipline as q_det_sample — never an engine-local
+    hash), the null distribution is the permuted |mean diff|, and
+    p = (1 + #{perm ≥ obs}) / (1 + 200) — distribution-free inference
+    beside q_ab_test's normal theory and q_bootstrap_ci's resampling.
+    One users×permutations broadcast fan-out, exact fixed-point means."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.round(dsum("value"), 6).alias("spend")
+    )
+    obs = per_user.agg(
+        F.round(
+            davg(F.when(F.col("user_id") % 2 == 0, F.col("spend"))), 6
+        ).alias("__m1"),
+        F.round(
+            davg(F.when(F.col("user_id") % 2 != 0, F.col("spend"))), 6
+        ).alias("__m0"),
+    ).select(
+        F.round(F.abs(F.col("__m1") - F.col("__m0")), 6).alias("obs_diff")
+    )
+    perms = spark.range(1, 201).select(F.col("id").cast("int").alias("i"))
+    fan = per_user.crossJoin(F.broadcast(perms))
+    # arm = parity of the hash's last hex digit — string-level so both
+    # engines share it verbatim (DuckDB has no conv(hex, 16, 10))
+    h = F.substring(F.md5(F.concat_ws(":", F.col("user_id"), F.col("i"))), 32, 1)
+    arm = F.when(h.isin("0", "2", "4", "6", "8", "a", "c", "e"), 0).otherwise(1)
+    pd_ = fan.groupBy("i").agg(
+        F.round(davg(F.when(arm == 1, F.col("spend"))), 6).alias("__p1"),
+        F.round(davg(F.when(arm == 0, F.col("spend"))), 6).alias("__p0"),
+    ).select("i", F.round(F.abs(F.col("__p1") - F.col("__p0")), 6).alias("pdiff"))
+    j = pd_.crossJoin(F.broadcast(obs))
+    return j.agg(
+        F.max("obs_diff").alias("obs_diff"),
+        F.count(F.lit(1)).alias("n_perms"),
+        F.sum((F.col("pdiff") >= F.col("obs_diff")).cast("long")).alias("n_ge"),
+        F.round(
+            (F.sum((F.col("pdiff") >= F.col("obs_diff")).cast("long")) + 1).cast("double")
+            / (F.count(F.lit(1)) + 1),
+            6,
+        ).alias("p_value"),
+    )
+
+
+@q("q_reach_curve")
+def q_reach_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Channel reach curve: event types ordered by solo reach, each user
+    credited to their FIRST channel in that order, cumulative distinct
+    reach and share per step — the diminishing-returns table a media
+    planner reads before adding the next channel (q_attribution splits
+    credit; this sizes coverage). Two bounded aggregates + one broadcast
+    rank relation."""
+    e = load_table(spark, sf_dir, "events")
+    uc = e.select("user_id", "event_type").distinct()
+    solo = uc.groupBy("event_type").agg(F.countDistinct("user_id").alias("solo_reach"))
+    wr = W.orderBy(F.desc("solo_reach"), F.asc("event_type"))
+    ranked = solo.withColumn("rk", F.row_number().over(wr))
+    first = (
+        uc.join(F.broadcast(ranked.select("event_type", "rk")), "event_type")
+        .groupBy("user_id")
+        .agg(F.min("rk").alias("first_rk"))
+    )
+    inc = first.groupBy("first_rk").agg(F.count(F.lit(1)).alias("incremental_reach"))
+    tot = first.agg(F.count(F.lit(1)).alias("__n_users"))
+    wc = W.orderBy("rk").rowsBetween(W.unboundedPreceding, 0)
+    out = (
+        ranked.join(inc, ranked["rk"] == inc["first_rk"], "left")
+        .withColumn("incremental_reach", F.coalesce("incremental_reach", F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rk",
+            "event_type",
+            F.col("solo_reach").cast("long").alias("solo_reach"),
+            F.col("incremental_reach").cast("long").alias("incremental_reach"),
+            F.sum("incremental_reach").over(wc).cast("long").alias("cumulative_reach"),
+            F.round(
+                F.sum("incremental_reach").over(wc).cast("double") / F.col("__n_users"),
+                6,
+            ).alias("cumulative_share"),
+        )
+    )
+    return out.orderBy("rk")
+
+
+@q("q_round_number_bias")
+def q_round_number_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-number forensics on order cents: observed share of .00 / .50
+    / .99 endings vs the 1% uniform expectation, with the one-proportion
+    z statistic per pattern — the psychological-pricing / fabrication
+    screen beside q_benford's leading-digit law. Cents are exact
+    integers (two-decimal money: ROUND(x·100) is lossless) from one
+    conditional scan."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = (F.round(F.col("o_totalprice") * 100).cast("long") % 100).alias("__c")
+    base = o.select(cents)
+    pats = spark.createDataFrame(
+        [("c00", 0), ("c50", 50), ("c99", 99)], "pattern string, cval int"
+    )
+    j = base.crossJoin(F.broadcast(pats))
+    g = j.groupBy("pattern").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("__c") == F.col("cval")).cast("long")).alias("n_obs"),
+    )
+    p0 = 0.01
+    nd = F.col("n").cast("double")
+    share = F.col("n_obs").cast("double") / nd
+    z = (share - F.lit(p0)) / F.sqrt(F.lit(p0) * (1.0 - F.lit(p0)) / nd)
+    return g.select(
+        "pattern",
+        F.col("n_obs"),
+        F.round(share, 6).alias("obs_share"),
+        F.lit(p0).alias("expected_share"),
+        F.round(z, 6).alias("z_stat"),
+        F.when(F.abs(z) > 3.0, 1).otherwise(0).cast("int").alias("flag"),
+    ).orderBy("pattern")
