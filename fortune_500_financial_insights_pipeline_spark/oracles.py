@@ -11336,3 +11336,44 @@ SELECT pattern, n_obs,
                  THEN 1 ELSE 0 END AS INTEGER) AS flag
 FROM g ORDER BY pattern
 """
+
+
+ORACLES["q_burstiness"] = """
+WITH td AS (
+  SELECT term, doc_id, COUNT(*) AS c
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> '' GROUP BY term, doc_id
+), per_term AS (
+  SELECT term, COUNT(*) AS df,
+         CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+         CAST(SUM(c) AS BIGINT) AS tf_total
+  FROM td GROUP BY term
+)
+SELECT term, CAST(df AS BIGINT) AS df, df2, tf_total,
+       ROUND(CAST(df2 AS DOUBLE) / df, 6) AS burstiness
+FROM per_term WHERE df >= 50
+ORDER BY burstiness DESC, term ASC LIMIT 20
+"""
+
+ORACLES["q_entropy_rate"] = f"""
+WITH toks AS (
+  SELECT lang, doc_id, string_split(text, ' ') AS t FROM documents
+), pairs AS (
+  SELECT lang, t[k] AS w1, t[k + 1] AS w2
+  FROM (SELECT lang, t, UNNEST(generate_series(1, len(t) - 1)) AS k FROM toks)
+  WHERE t[k] <> '' AND t[k + 1] <> ''
+), big AS (
+  SELECT lang, w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY lang, w1, w2
+), uni AS (
+  SELECT lang, w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM big GROUP BY lang, w1
+), tot AS (
+  SELECT lang, CAST(SUM(c12) AS BIGINT) AS n FROM big GROUP BY lang
+)
+SELECT b.lang, CAST(MAX(n) AS BIGINT) AS n_bigrams,
+       ROUND({_dsum('-(CAST(c12 AS DOUBLE) / n) * log2(CAST(c12 AS DOUBLE) / c1)')}, 6)
+         AS entropy_rate_bits
+FROM big b
+JOIN uni u ON b.lang = u.lang AND b.w1 = u.w1
+JOIN tot t2 ON b.lang = t2.lang
+GROUP BY b.lang ORDER BY b.lang
+"""

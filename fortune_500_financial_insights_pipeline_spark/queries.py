@@ -11328,3 +11328,69 @@ def q_round_number_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z_stat"),
         F.when(F.abs(z) > 3.0, 1).otherwise(0).cast("int").alias("flag"),
     ).orderBy("pattern")
+
+
+@q("q_burstiness")
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale term burstiness: for every common term (df ≥ 50), the
+    probability a document that mentions it mentions it AGAIN —
+    P(tf ≥ 2 | tf ≥ 1) = df₂/df — separating topical words (bursty) from
+    function words (flat), the per-term view beside q_overdispersion's
+    corpus-level Fano factor. One (term, doc) count aggregate; top 20 by
+    burstiness with deterministic ties."""
+    d = load_table(spark, sf_dir, "documents")
+    td = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    per_term = td.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum((F.col("__c") >= 2).cast("long")).alias("df2"),
+        F.sum("__c").alias("tf_total"),
+    )
+    out = per_term.where(F.col("df") >= 50).select(
+        "term",
+        F.col("df").cast("long").alias("df"),
+        F.col("df2").cast("long").alias("df2"),
+        F.col("tf_total").cast("long").alias("tf_total"),
+        F.round(F.col("df2").cast("double") / F.col("df"), 6).alias("burstiness"),
+    )
+    return out.orderBy(F.desc("burstiness"), F.asc("term")).limit(20)
+
+
+@q("q_entropy_rate")
+def q_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram entropy rate per language: H(next | prev) =
+    −Σ p(w1,w2) · log2(c12/c1) over within-document adjacent token pairs —
+    how predictable each language's token stream is (the conditional
+    step past q_char_entropy / q_unigram_logprob; the number that sets a
+    compression/perplexity floor). Exact bigram counts; per-row IEEE
+    log2 with fixed-point folds."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("lang", "doc_id", F.split("text", " ").alias("t"))
+    pairs = toks.select(
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, size(t) - 1), k -> struct(t[k - 1] AS w1, t[k] AS w2))")
+        ).alias("p"),
+    ).select("lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")).where(
+        (F.col("w1") != "") & (F.col("w2") != "")
+    )
+    big = pairs.groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = big.groupBy("lang", "w1").agg(F.sum("c12").alias("c1"))
+    tot = big.groupBy("lang").agg(F.sum("c12").alias("n"))
+    j = big.join(uni, ["lang", "w1"]).join(F.broadcast(tot), "lang")
+    term = (
+        -(F.col("c12").cast("double") / F.col("n"))
+        * F.log2(F.col("c12").cast("double") / F.col("c1"))
+    )
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.max("n").cast("long").alias("n_bigrams"),
+            F.round(dsum(term), 6).alias("entropy_rate_bits"),
+        )
+        .orderBy("lang")
+    )
