@@ -151,3 +151,58 @@ def running_totals_tws(stream: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+SESSION_SCHEMA = "user_id long, session_start long, session_end long, n_events long"
+_SESS_STATE_SCHEMA = "start long, last long, n long"
+
+
+def streaming_sessions(stream: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Streaming twin of the batch 30-min-gap sessionization behind
+    q_session_stats: per-user open-session state (start, last-event,
+    count) carries across micro-batches via ``applyInPandasWithState``;
+    a finalized session row is emitted the moment an arrival lands more
+    than ``gap_s`` after the open session's last event — so a session
+    spanning a micro-batch boundary is NEVER split, which is exactly
+    what a per-batch groupBy cannot guarantee.  The still-open session
+    stays in state (production closes stragglers with a state timeout;
+    the contract here emits closed sessions only).  State is three
+    scalars per user."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        start, last, n = state.get if state.exists else (None, None, 0)
+        closed: list[tuple[int, int, int]] = []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["sec", "event_id"])
+        for sec in rows["sec"]:
+            sec = int(sec)
+            if start is None:
+                start, last, n = sec, sec, 1
+            elif sec - last > gap_s:
+                closed.append((start, last, n))
+                start, last, n = sec, sec, 1
+            else:
+                last, n = sec, n + 1
+        state.update((start, last, n))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed),
+                    "session_start": [c[0] for c in closed],
+                    "session_end": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    prepared = stream.selectExpr(
+        "user_id", "CAST(ts AS LONG) AS sec", "event_id"
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        update,
+        SESSION_SCHEMA,
+        _SESS_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -864,3 +864,60 @@ def test_quantile_monitor_stream_equals_batch(spark, tmp_path):
     fn = quantile_monitor_batch_fn(["g"], "id", "v", state, emit2, k=64)
     fn(b2, 99)
     assert captured == expect
+
+
+def test_streaming_sessions_never_split_across_batches(spark, events_dir, tmp_path):
+    """streaming_sessions: a session spanning a micro-batch boundary must
+    come out as ONE finalized session (the per-batch-groupBy failure mode),
+    and every finalized session must match the batch gaps-islands result."""
+    from fortune_500_financial_insights_pipeline_spark.streaming.stateful import streaming_sessions
+
+    src = str(tmp_path / "sess_src")
+    batch_df = spark.read.parquet(events_dir)
+    # one user's events, time-ordered, split MID-STREAM so open sessions
+    # cross the batch boundary
+    rows = (
+        batch_df.filter(F.col("user_id") == 1)
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    assert len(rows) >= 6
+    half = len(rows) // 2
+    spark.createDataFrame(rows[:half], batch_df.schema).write.parquet(src)
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(src)
+    q = (
+        streaming_sessions(stream)
+        .writeStream.format("memory")
+        .queryName("stream_sessions")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows[half:], batch_df.schema).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        got = {
+            (r.session_start, r.session_end, r.n_events)
+            for r in spark.sql("SELECT * FROM stream_sessions").collect()
+        }
+    finally:
+        q.stop()
+
+    # batch truth: gaps-islands over the SAME rows; the last (still-open)
+    # session is withheld by the streaming contract
+    secs = sorted((int(r.ts.timestamp()), r.event_id) for r in rows)
+    sessions = []
+    start = last = secs[0][0]
+    n = 1
+    for sec, _ in secs[1:]:
+        if sec - last > 1800:
+            sessions.append((start, last, n))
+            start, last, n = sec, sec, 1
+        else:
+            last, n = sec, n + 1
+    expected_closed = set(sessions)  # open tail excluded
+    assert got == expected_closed
+    assert len(expected_closed) >= 1
