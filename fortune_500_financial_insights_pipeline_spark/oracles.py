@@ -11377,3 +11377,77 @@ JOIN uni u ON b.lang = u.lang AND b.w1 = u.w1
 JOIN tot t2 ON b.lang = t2.lang
 GROUP BY b.lang ORDER BY b.lang
 """
+
+
+ORACLES["q_growth_accounting"] = """
+WITH a AS (
+  SELECT DISTINCT user_id,
+         strftime(date_trunc('week', ts), '%Y-%m-%d') AS w
+  FROM events
+), first_w AS (
+  SELECT user_id, MIN(w) AS first_w FROM a GROUP BY user_id
+), prv AS (
+  SELECT user_id,
+         strftime(CAST(w AS DATE) + INTERVAL 7 DAY, '%Y-%m-%d') AS w,
+         1 AS was
+  FROM a
+), cur AS (
+  SELECT user_id, w, 1 AS iscur FROM a
+), j AS (
+  SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+         COALESCE(c.w, p.w) AS w,
+         c.iscur, p.was
+  FROM cur c FULL JOIN prv p ON c.user_id = p.user_id AND c.w = p.w
+), cls AS (
+  SELECT j.w,
+         CASE WHEN j.iscur IS NULL THEN 'churned'
+              WHEN j.w = f.first_w THEN 'new'
+              WHEN j.was IS NOT NULL THEN 'retained'
+              ELSE 'resurrected' END AS cls
+  FROM j JOIN first_w f ON j.user_id = f.user_id
+), weeks AS (
+  SELECT DISTINCT w FROM a
+)
+SELECT c.w,
+       CAST(SUM(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(SUM(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+       CAST(SUM(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+       CAST(SUM(CASE WHEN cls = 'churned' THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+       CASE WHEN SUM(CASE WHEN cls = 'churned' THEN 1 ELSE 0 END) > 0
+            THEN ROUND(CAST(SUM(CASE WHEN cls = 'new' THEN 1 ELSE 0 END)
+                            + SUM(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS DOUBLE)
+                       / SUM(CASE WHEN cls = 'churned' THEN 1 ELSE 0 END), 6) END
+         AS quick_ratio
+FROM cls c JOIN weeks ON c.w = weeks.w
+GROUP BY c.w ORDER BY c.w
+"""
+
+ORACLES["q_gumbel_maxima"] = f"""
+WITH daily AS (
+  SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS day,
+         ROUND({_dsum('l_extendedprice / 1000.0')}, 6) AS y
+  FROM lineitem GROUP BY strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')
+), weekly AS (
+  SELECT strftime(date_trunc('week', CAST(day AS DATE)), '%Y-%m-%d') AS w,
+         MAX(y) AS m
+  FROM daily GROUP BY strftime(date_trunc('week', CAST(day AS DATE)), '%Y-%m-%d')
+), mom AS (
+  SELECT COUNT(*) AS n_weeks, {_dsum('m')} AS s, {_dsum('m * m')} AS ss,
+         MAX(m) AS max_observed
+  FROM weekly
+), fit AS (
+  SELECT CAST(n_weeks AS BIGINT) AS n_weeks, max_observed,
+         s / n_weeks AS mean_m,
+         sqrt(ss / n_weeks - (s / n_weeks) * (s / n_weeks)) AS sd_m
+  FROM mom
+), anchored AS (
+  SELECT n_weeks, max_observed,
+         ROUND(sd_m * sqrt(6.0) / 3.141592653589793, 6) AS scale_beta,
+         ROUND(mean_m - 0.5772156649015329 * (sd_m * sqrt(6.0) / 3.141592653589793), 6)
+           AS loc_mu
+  FROM fit
+)
+SELECT n_weeks, max_observed, loc_mu, scale_beta,
+       ROUND(loc_mu - scale_beta * ln(-ln(1.0 - 1.0 / 52.0)), 6) AS return_level_52w
+FROM anchored
+"""

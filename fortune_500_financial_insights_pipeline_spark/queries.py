@@ -11394,3 +11394,101 @@ def q_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@q("q_growth_accounting")
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting: every active user classifies as new
+    (first-ever week), retained (also active the prior week) or
+    resurrected (returned after a gap), churn counts the prior week's
+    users who went silent, and the quick ratio (new + resurrected) /
+    churned says whether the audience is structurally growing — the
+    operator view behind q_new_vs_returning's daily split and
+    q_retention_cohort's triangle. ISO-Monday weeks (both engines
+    date_trunc to Monday); one full outer join of the weekly activity
+    grid against its +7-day shift."""
+    e = load_table(spark, sf_dir, "events")
+    a = e.select(
+        "user_id",
+        F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd").alias("w"),
+    ).distinct()
+    first = a.groupBy("user_id").agg(F.min("w").alias("first_w"))
+    prv = a.select(
+        "user_id",
+        F.date_format(F.date_add(F.to_date("w"), 7), "yyyy-MM-dd").alias("w"),
+        F.lit(1).alias("__was"),
+    )
+    cur = a.withColumn("__is", F.lit(1))
+    j = cur.join(prv, ["user_id", "w"], "full").join(F.broadcast(first), "user_id")
+    cls = j.select(
+        "w",
+        F.when(F.col("__is").isNull(), "churned")
+        .when(F.col("w") == F.col("first_w"), "new")
+        .when(F.col("__was").isNotNull(), "retained")
+        .otherwise("resurrected")
+        .alias("cls"),
+    )
+    weeks = a.select("w").distinct()
+    g = (
+        cls.join(weeks, "w")
+        .groupBy("w")
+        .agg(
+            F.sum((F.col("cls") == "new").cast("long")).alias("n_new"),
+            F.sum((F.col("cls") == "retained").cast("long")).alias("n_retained"),
+            F.sum((F.col("cls") == "resurrected").cast("long")).alias("n_resurrected"),
+            F.sum((F.col("cls") == "churned").cast("long")).alias("n_churned"),
+        )
+    )
+    qr = F.when(
+        F.col("n_churned") > 0,
+        F.round(
+            (F.col("n_new") + F.col("n_resurrected")).cast("double") / F.col("n_churned"), 6
+        ),
+    )
+    return g.select(
+        "w", "n_new", "n_retained", "n_resurrected", "n_churned",
+        qr.alias("quick_ratio"),
+    ).orderBy("w")
+
+
+@q("q_gumbel_maxima")
+def q_gumbel_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value analysis by block maxima: weekly maxima of the
+    kilo-scaled daily revenue, Gumbel fit by method of moments
+    (β = σ√6/π, μ = m̄ − γβ with the Euler-Mascheroni literal), and the
+    52-week return level μ − β·ln(−ln(1 − 1/52)) — the how-bad-can-a-
+    peak-week-get number beside q_var_es's tail quantiles and
+    q_tail_index's Hill slope. Exact block-max moments, closed form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.date_format("l_shipdate", "yyyy-MM-dd").alias("day")).agg(
+        F.round(dsum(F.col("l_extendedprice") / 1000.0), 6).alias("y")
+    )
+    weekly = daily.groupBy(
+        F.date_format(F.date_trunc("week", F.to_date("day")), "yyyy-MM-dd").alias("w")
+    ).agg(F.max("y").alias("m"))
+    mom = weekly.agg(
+        F.count(F.lit(1)).alias("n_weeks"),
+        dsum("m").alias("__s"),
+        dsum(F.col("m") * F.col("m")).alias("__ss"),
+        F.max("m").alias("max_observed"),
+    )
+    out = mom.selectExpr(
+        "CAST(n_weeks AS BIGINT) AS n_weeks",
+        "max_observed",
+        "__s / n_weeks AS mean_m",
+        "sqrt(__ss / n_weeks - (__s / n_weeks) * (__s / n_weeks)) AS sd_m",
+    ).selectExpr(
+        "n_weeks",
+        "max_observed",
+        "ROUND(sd_m * sqrt(6.0D) / 3.141592653589793D, 6) AS scale_beta",
+        "ROUND(mean_m - 0.5772156649015329D * (sd_m * sqrt(6.0D) / 3.141592653589793D), 6)"
+        " AS loc_mu",
+    ).selectExpr(
+        "n_weeks",
+        "max_observed",
+        "loc_mu",
+        "scale_beta",
+        # recomposed from rounded anchors (boundary-ulp discipline)
+        "ROUND(loc_mu - scale_beta * ln(-ln(1.0D - 1.0D / 52.0D)), 6) AS return_level_52w",
+    )
+    return out
