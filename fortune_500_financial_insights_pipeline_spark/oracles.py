@@ -11451,3 +11451,69 @@ SELECT n_weeks, max_observed, loc_mu, scale_beta,
        ROUND(loc_mu - scale_beta * ln(-ln(1.0 - 1.0 / 52.0)), 6) AS return_level_52w
 FROM anchored
 """
+
+
+ORACLES["q_fixed_effects"] = f"""
+WITH panel AS (
+  SELECT l_suppkey AS ent, strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS t,
+         ROUND({_dsum('l_extendedprice / l_quantity / 1000.0')} / COUNT(*), 6) AS y,
+         ROUND({_dsum('l_quantity / 100.0')}, 6) AS x
+  FROM lineitem WHERE l_suppkey <= 30
+  GROUP BY l_suppkey, strftime(CAST(l_shipdate AS DATE), '%Y-%m')
+), ent_m AS (
+  SELECT ent, ROUND({_dsum('y')} / COUNT(y), 6) AS ye,
+         ROUND({_dsum('x')} / COUNT(x), 6) AS xe
+  FROM panel GROUP BY ent
+), t_m AS (
+  SELECT t, ROUND({_dsum('y')} / COUNT(y), 6) AS yt,
+         ROUND({_dsum('x')} / COUNT(x), 6) AS xt
+  FROM panel GROUP BY t
+), g_m AS (
+  SELECT ROUND({_dsum('y')} / COUNT(y), 6) AS yg,
+         ROUND({_dsum('x')} / COUNT(x), 6) AS xg
+  FROM panel
+), d AS (
+  SELECT ROUND(p.y - e.ye - tm.yt + g.yg, 6) AS yd,
+         ROUND(p.x - e.xe - tm.xt + g.xg, 6) AS xd,
+         p.ent, p.t
+  FROM panel p
+  JOIN ent_m e ON p.ent = e.ent
+  JOIN t_m tm ON p.t = tm.t
+  CROSS JOIN g_m g
+), mom AS (
+  SELECT COUNT(*) AS n_obs,
+         COUNT(DISTINCT ent) AS n_entities,
+         COUNT(DISTINCT t) AS n_periods,
+         {_dsum('xd * yd')} AS sxy, {_dsum('xd * xd')} AS sxx,
+         {_dsum('yd * yd')} AS syy
+  FROM d
+)
+SELECT CAST(n_obs AS BIGINT) AS n_obs,
+       CAST(n_entities AS BIGINT) AS n_entities,
+       CAST(n_periods AS BIGINT) AS n_periods,
+       ROUND(sxy / sxx, 6) AS beta_within,
+       ROUND(sxy * sxy / (sxx * syy), 6) AS r2_within
+FROM mom
+"""
+
+ORACLES["q_sourcing_risk"] = f"""
+WITH per_part AS (
+  SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS ns,
+         {_dsum('l_extendedprice / 1000.0')} AS spend
+  FROM lineitem GROUP BY l_partkey
+), tot AS (
+  SELECT ROUND(CAST(SUM(CAST(ROUND(spend * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS t
+  FROM per_part
+), g AS (
+  SELECT CASE WHEN ns = 1 THEN '1_single'
+              WHEN ns = 2 THEN '2_dual'
+              ELSE '3_plus' END AS sourcing,
+         COUNT(*) AS n_parts,
+         ROUND(CAST(SUM(CAST(ROUND(spend * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 6)
+           AS spend_k
+  FROM per_part GROUP BY 1
+)
+SELECT sourcing, CAST(n_parts AS BIGINT) AS n_parts, spend_k,
+       ROUND(spend_k / t, 6) AS spend_share
+FROM g CROSS JOIN tot ORDER BY sourcing
+"""

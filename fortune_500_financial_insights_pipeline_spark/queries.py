@@ -11492,3 +11492,97 @@ def q_gumbel_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND(loc_mu - scale_beta * ln(-ln(1.0D - 1.0D / 52.0D)), 6) AS return_level_52w",
     )
     return out
+
+
+@q("q_fixed_effects")
+def q_fixed_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way fixed-effects panel regression: monthly supplier panel of
+    unit price (kilo) on quantity (hecto), both within-transformed
+    (x − x̄_entity − x̄_time + x̄) before the slope — supplier- and
+    month-level confounders cancel, the panel-data step past
+    q_ols_inference's pooled fit and q_did's two groups × two periods.
+    Entity/time/grand means are ROUNDED anchors broadcast back; the
+    final slope is one fixed-point moment fold."""
+    li = load_table(spark, sf_dir, "lineitem")
+    panel = li.where(F.col("l_suppkey") <= 30).groupBy(
+        F.col("l_suppkey").alias("ent"),
+        F.date_format("l_shipdate", "yyyy-MM").alias("t"),
+    ).agg(
+        F.round(davg(F.col("l_extendedprice") / F.col("l_quantity") / 1000.0), 6).alias("y"),
+        F.round(dsum(F.col("l_quantity") / 100.0), 6).alias("x"),
+    )
+    ent_m = panel.groupBy("ent").agg(
+        F.round(davg("y"), 6).alias("ye"), F.round(davg("x"), 6).alias("xe")
+    )
+    t_m = panel.groupBy("t").agg(
+        F.round(davg("y"), 6).alias("yt"), F.round(davg("x"), 6).alias("xt")
+    )
+    g_m = panel.agg(
+        F.round(davg("y"), 6).alias("yg"), F.round(davg("x"), 6).alias("xg")
+    )
+    j = (
+        panel.join(F.broadcast(ent_m), "ent")
+        .join(F.broadcast(t_m), "t")
+        .crossJoin(F.broadcast(g_m))
+    )
+    yd = F.round(F.col("y") - F.col("ye") - F.col("yt") + F.col("yg"), 6)
+    xd = F.round(F.col("x") - F.col("xe") - F.col("xt") + F.col("xg"), 6)
+    mom = j.agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.countDistinct("ent").alias("n_entities"),
+        F.countDistinct("t").alias("n_periods"),
+        dsum(xd * yd).alias("__sxy"),
+        dsum(xd * xd).alias("__sxx"),
+        dsum(yd * yd).alias("__syy"),
+    )
+    beta = F.col("__sxy") / F.col("__sxx")
+    r2w = F.col("__sxy") * F.col("__sxy") / (F.col("__sxx") * F.col("__syy"))
+    return mom.select(
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.col("n_entities").cast("long").alias("n_entities"),
+        F.col("n_periods").cast("long").alias("n_periods"),
+        F.round(beta, 6).alias("beta_within"),
+        F.round(r2w, 6).alias("r2_within"),
+    )
+
+
+@q("q_sourcing_risk")
+def q_sourcing_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-sourcing risk report: parts bucketed by distinct supplier
+    count (1 / 2 / 3+), with part counts and the spend share flowing
+    through each bucket — the procurement continuity metric (how much
+    revenue rides on parts with no second source). One part-level
+    aggregate; spend in fixed point."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").alias("__ns"),
+        dsum(F.col("l_extendedprice") / 1000.0).alias("__spend"),
+    )
+    bucket = (
+        F.when(F.col("__ns") == 1, "1_single")
+        .when(F.col("__ns") == 2, "2_dual")
+        .otherwise("3_plus")
+    )
+    tot = per_part.agg(
+        F.round(
+            F.sum(F.round(F.col("__spend") * 1000000).cast("long")).cast("double") / 1000000,
+            6,
+        ).alias("__t")
+    )
+    g = per_part.groupBy(bucket.alias("sourcing")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(
+            F.sum(F.round(F.col("__spend") * 1000000).cast("long")).cast("double") / 1000000,
+            6,
+        ).alias("spend_k"),
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "sourcing",
+            "n_parts",
+            "spend_k",
+            F.round(F.col("spend_k") / F.col("__t"), 6).alias("spend_share"),
+        )
+        .orderBy("sourcing")
+    )
