@@ -11517,3 +11517,104 @@ SELECT sourcing, CAST(n_parts AS BIGINT) AS n_parts, spend_k,
        ROUND(spend_k / t, 6) AS spend_share
 FROM g CROSS JOIN tot ORDER BY sourcing
 """
+
+
+ORACLES["q_wilcoxon"] = f"""
+WITH per AS (
+  SELECT user_id,
+         ROUND({_dsum("CASE WHEN ts < TIMESTAMP '2024-01-16' THEN value ELSE 0.0 END")}, 6) AS pre,
+         ROUND({_dsum("CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN value ELSE 0.0 END")}, 6) AS post
+  FROM events GROUP BY user_id
+), d AS (
+  SELECT ROUND(post - pre, 6) AS d FROM per WHERE ROUND(post - pre, 6) <> 0.0
+), ranked AS (
+  SELECT d,
+         CAST(2 * RANK() OVER (ORDER BY ABS(d))
+              + COUNT(*) OVER (PARTITION BY ABS(d)) - 1 AS BIGINT) AS r2
+  FROM d
+), agg AS (
+  SELECT COUNT(*) AS n_pairs,
+         CAST(SUM(CASE WHEN d > 0 THEN r2 ELSE 0 END) AS BIGINT) AS w2
+  FROM ranked
+)
+SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+       ROUND(CAST(w2 AS DOUBLE) / 2.0, 6) AS w_plus,
+       ROUND((CAST(w2 AS DOUBLE) / 2.0 - CAST(n_pairs AS DOUBLE) * (n_pairs + 1) / 4.0)
+             / sqrt(CAST(n_pairs AS DOUBLE) * (n_pairs + 1) * (2 * n_pairs + 1) / 24.0), 6)
+         AS z_stat,
+       CAST(CASE WHEN ABS((CAST(w2 AS DOUBLE) / 2.0
+                           - CAST(n_pairs AS DOUBLE) * (n_pairs + 1) / 4.0)
+                 / sqrt(CAST(n_pairs AS DOUBLE) * (n_pairs + 1) * (2 * n_pairs + 1) / 24.0))
+                 > 1.96 THEN 1 ELSE 0 END AS INTEGER) AS significant
+FROM agg
+"""
+
+ORACLES["q_friedman"] = f"""
+WITH cell AS (
+  SELECT user_id, event_type, ROUND({_dsum('value')}, 6) AS v
+  FROM events GROUP BY user_id, event_type
+), full_b AS (
+  SELECT user_id FROM cell GROUP BY user_id HAVING COUNT(*) = 5
+), c AS (
+  SELECT cell.* FROM cell JOIN full_b USING (user_id)
+), ranked AS (
+  SELECT user_id, event_type,
+         CAST(2 * RANK() OVER (PARTITION BY user_id ORDER BY v, event_type)
+              + COUNT(*) OVER (PARTITION BY user_id, v) - 1 AS BIGINT) AS r2
+  FROM c
+), rj AS (
+  SELECT event_type, CAST(SUM(r2) AS BIGINT) AS rs2, COUNT(*) AS n FROM ranked
+  GROUP BY event_type
+), srj AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n_blocks,
+         {_dsum('CAST(rs2 AS DOUBLE) * rs2 / 4.0 / 1000.0')} AS sr_k
+  FROM rj
+)
+SELECT n_blocks, CAST(5 AS BIGINT) AS k,
+       ROUND(12.0 * (sr_k * 1000.0) / (n_blocks * 5 * (5 + 1))
+             - 3.0 * n_blocks * (5 + 1), 6) AS chi2_f,
+       CAST(CASE WHEN 12.0 * (sr_k * 1000.0) / (n_blocks * 5 * (5 + 1))
+                      - 3.0 * n_blocks * (5 + 1) > 9.488
+                 THEN 1 ELSE 0 END AS INTEGER) AS flag_reject
+FROM srj
+"""
+
+ORACLES["q_icc"] = f"""
+WITH g AS (
+  SELECT o_orderpriority AS grp, COUNT(*) AS ng,
+         {_dsum('o_totalprice / 1000.0')} AS sg,
+         {_dsum('(o_totalprice / 1000.0) * (o_totalprice / 1000.0)')} AS ssg
+  FROM orders GROUP BY o_orderpriority
+), tot AS (
+  SELECT SUM(ng) AS n,
+         ROUND(CAST(SUM(CAST(ROUND(sg * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS s,
+         COUNT(*) AS k
+  FROM g
+), terms AS (
+  SELECT CAST(ng AS DOUBLE)
+           * (sg / CAST(ng AS DOUBLE) - s / CAST(n AS DOUBLE))
+           * (sg / CAST(ng AS DOUBLE) - s / CAST(n AS DOUBLE)) AS bt,
+         ssg - sg * sg / CAST(ng AS DOUBLE) AS wt,
+         n, k
+  FROM g CROSS JOIN tot
+), red AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n, CAST(MAX(k) AS BIGINT) AS k,
+         {_dsum('bt')} AS ssb, {_dsum('wt')} AS ssw
+  FROM terms
+), sizes AS (
+  SELECT SUM(ng) AS bn, SUM(ng * ng) AS sn2, COUNT(*) AS bk FROM g
+), j AS (
+  SELECT n, k,
+         ssb / (k - 1) AS msb,
+         ssw / (n - k) AS msw,
+         (CAST(bn AS DOUBLE) - CAST(sn2 AS DOUBLE) / bn) / (CAST(bk AS DOUBLE) - 1.0)
+           AS n0
+  FROM red CROSS JOIN sizes
+)
+SELECT n, k,
+       ROUND(msb, 6) AS msb,
+       ROUND(msw, 6) AS msw,
+       ROUND(n0, 6) AS n0,
+       ROUND((msb - msw) / (msb + (n0 - 1.0) * msw), 6) AS icc1
+FROM j
+"""

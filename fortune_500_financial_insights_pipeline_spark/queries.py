@@ -11586,3 +11586,129 @@ def q_sourcing_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sourcing")
     )
+
+
+@q("q_wilcoxon")
+def q_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on PAIRED per-user spend (pre vs post
+    the mid-month cut): nonzero differences rank by |d| with the
+    doubled tie-averaged ranks (exact integers), W⁺ folds as a long,
+    z = (W⁺ − n(n+1)/4)/√(n(n+1)(2n+1)/24) — the paired-design member
+    of the rank family (q_kruskal_wallis compares groups; this compares
+    each user to THEMSELF, killing between-user variance)."""
+    e = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    per = e.groupBy("user_id").agg(
+        F.round(dsum(F.when(F.col("ts") < cut, F.col("value")).otherwise(0.0)), 6).alias("pre"),
+        F.round(dsum(F.when(F.col("ts") >= cut, F.col("value")).otherwise(0.0)), 6).alias("post"),
+    )
+    d = per.select(
+        F.round(F.col("post") - F.col("pre"), 6).alias("d")
+    ).where(F.col("d") != 0.0)
+    ad = d.select("d", F.abs(F.col("d")).alias("ad"))
+    wr = W.orderBy("ad")
+    tr = W.partitionBy("ad")
+    ranked = ad.select(
+        "d",
+        (2 * F.rank().over(wr) + F.count(F.lit(1)).over(tr) - 1).cast("long").alias("r2"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("d") > 0, F.col("r2")).otherwise(F.lit(0))).alias("__w2"),
+    )
+    out = agg.selectExpr(
+        "CAST(n_pairs AS BIGINT) AS n_pairs",
+        "CAST(__w2 AS DOUBLE) / 2.0D AS w_plus",
+        "n_pairs * (n_pairs + 1) / 4.0D AS mu_w",
+        "sqrt(n_pairs * (n_pairs + 1) * (2 * n_pairs + 1) / 24.0D) AS sd_w",
+    ).selectExpr(
+        "n_pairs",
+        "ROUND(w_plus, 6) AS w_plus",
+        "ROUND((w_plus - mu_w) / sd_w, 6) AS z_stat",
+        "CAST(CASE WHEN abs((w_plus - mu_w) / sd_w) > 1.96D THEN 1 ELSE 0 END AS INT)"
+        " AS significant",
+    )
+    return out
+
+
+@q("q_friedman")
+def q_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test over complete blocks: each user (block) ranks the 5
+    event types by their spend, χ²_F = 12/(nk(k+1))·ΣR_j² − 3n(k+1) from
+    exact doubled-rank sums — repeated-measures ANOVA's rank-based
+    sibling (the between-user level differences that inflate q_anova
+    cancel inside each block). Only complete blocks (all 5 types) enter;
+    tie-averaged ranks via the doubled-rank trick."""
+    e = load_table(spark, sf_dir, "events")
+    cell = e.groupBy("user_id", "event_type").agg(
+        F.round(dsum("value"), 6).alias("v")
+    )
+    k = 5
+    full = cell.groupBy("user_id").agg(F.count(F.lit(1)).alias("__kt")).where(
+        F.col("__kt") == k
+    )
+    c = cell.join(full.select("user_id"), "user_id")
+    wr = W.partitionBy("user_id").orderBy("v", "event_type")
+    tr = W.partitionBy("user_id", "v")
+    ranked = c.select(
+        "user_id",
+        "event_type",
+        (2 * F.rank().over(wr) + F.count(F.lit(1)).over(tr) - 1).cast("long").alias("r2"),
+    )
+    rj = ranked.groupBy("event_type").agg(
+        F.sum("r2").alias("__rs2"), F.count(F.lit(1)).alias("__n")
+    )
+    tot = rj.agg(F.max("__n").alias("n_blocks"))
+    srj = rj.crossJoin(F.broadcast(tot)).agg(
+        F.max("n_blocks").cast("long").alias("n_blocks"),
+        dsum(
+            F.col("__rs2").cast("double") * F.col("__rs2") / 4.0 / 1000.0
+        ).alias("__sr_k"),
+    )
+    out = srj.selectExpr(
+        "n_blocks",
+        f"CAST({k} AS BIGINT) AS k",
+        f"ROUND(12.0D * (__sr_k * 1000.0D) / (n_blocks * {k} * ({k} + 1))"
+        f" - 3.0D * n_blocks * ({k} + 1), 6) AS chi2_f",
+        f"CAST(CASE WHEN 12.0D * (__sr_k * 1000.0D) / (n_blocks * {k} * ({k} + 1))"
+        f" - 3.0D * n_blocks * ({k} + 1) > 9.488D THEN 1 ELSE 0 END AS INT) AS flag_reject",
+    )
+    return out
+
+
+@q("q_icc")
+def q_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intraclass correlation ICC(1) of order value within priority
+    classes: (MSB − MSW)/(MSB + (n₀−1)·MSW) with the unbalanced-design
+    n₀ = (N − Σnᵢ²/N)/(k−1) — how much of the variance lives BETWEEN
+    classes (the reliability/clustering readout that says whether the
+    grouping matters at all, feeding the design-effect for q_ab_test
+    sample sizing). Pure composition over q_anova's exact moments."""
+    from fortune_500_financial_insights_pipeline_spark.operators.stats import anova_oneway
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", (F.col("o_totalprice") / 1000.0).alias("val")
+    )
+    base = anova_oneway(o, "val", "o_orderpriority")
+    sizes = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("__ng")).agg(
+        F.sum("__ng").alias("__N"),
+        F.sum(F.col("__ng") * F.col("__ng")).alias("__sn2"),
+        F.count(F.lit(1)).alias("__k"),
+    )
+    j = base.crossJoin(F.broadcast(sizes))
+    out = j.selectExpr(
+        "n",
+        "k",
+        "ss_between / (k - 1) AS msb",
+        "ss_within / (n - k) AS msw",
+        "(CAST(__N AS DOUBLE) - CAST(__sn2 AS DOUBLE) / __N) / (CAST(__k AS DOUBLE) - 1.0D)"
+        " AS n0",
+    ).selectExpr(
+        "n",
+        "k",
+        "ROUND(msb, 6) AS msb",
+        "ROUND(msw, 6) AS msw",
+        "ROUND(n0, 6) AS n0",
+        "ROUND((msb - msw) / (msb + (n0 - 1.0D) * msw), 6) AS icc1",
+    )
+    return out
