@@ -11618,3 +11618,95 @@ SELECT n, k,
        ROUND((msb - msw) / (msb + (n0 - 1.0) * msw), 6) AS icc1
 FROM j
 """
+
+
+ORACLES["q_raking"] = """
+WITH pop_n AS (
+  SELECT c_nationkey AS nk, COUNT(*) AS pn FROM customer GROUP BY c_nationkey
+), pop_s AS (
+  SELECT c_mktsegment AS sg, COUNT(*) AS ps FROM customer GROUP BY c_mktsegment
+), c0 AS (
+  SELECT c_nationkey AS nk, c_mktsegment AS sg, COUNT(*) AS sc, 1.0 AS w
+  FROM customer WHERE c_custkey % 3 = 0 GROUP BY c_nationkey, c_mktsegment
+), m1 AS (
+  SELECT nk, CAST(SUM(CAST(ROUND(sc * w * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS m
+  FROM c0 GROUP BY nk
+), c1 AS (
+  SELECT c0.nk, c0.sg, c0.sc, ROUND(c0.w * (pn / m), 6) AS w
+  FROM c0 JOIN m1 ON c0.nk = m1.nk JOIN pop_n p ON c0.nk = p.nk
+), m2 AS (
+  SELECT sg, CAST(SUM(CAST(ROUND(sc * w * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS m
+  FROM c1 GROUP BY sg
+), c2 AS (
+  SELECT c1.nk, c1.sg, c1.sc, ROUND(c1.w * (ps / m), 6) AS w
+  FROM c1 JOIN m2 ON c1.sg = m2.sg JOIN pop_s p ON c1.sg = p.sg
+), m3 AS (
+  SELECT nk, CAST(SUM(CAST(ROUND(sc * w * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS m
+  FROM c2 GROUP BY nk
+), c3 AS (
+  SELECT c2.nk, c2.sg, c2.sc, ROUND(c2.w * (pn / m), 6) AS w
+  FROM c2 JOIN m3 ON c2.nk = m3.nk JOIN pop_n p ON c2.nk = p.nk
+), m4 AS (
+  SELECT sg, CAST(SUM(CAST(ROUND(sc * w * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS m
+  FROM c3 GROUP BY sg
+), c4 AS (
+  SELECT c3.nk, c3.sg, c3.sc, ROUND(c3.w * (ps / m), 6) AS w
+  FROM c3 JOIN m4 ON c3.sg = m4.sg JOIN pop_s p ON c3.sg = p.sg
+), seg_fit AS (
+  SELECT sg, CAST(SUM(CAST(ROUND(sc * w * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS rw
+  FROM c4 GROUP BY sg
+), nat_err AS (
+  SELECT ROUND(MAX(ABS(rw - pn) / pn), 6) AS max_nation_rel_err
+  FROM (
+    SELECT n.nk,
+           CAST(SUM(CAST(ROUND(sc * w * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS rw,
+           MAX(pn) AS pn
+    FROM c4 JOIN pop_n n ON c4.nk = n.nk GROUP BY n.nk
+  )
+)
+SELECT s.sg AS segment, CAST(p.ps AS BIGINT) AS pop_n,
+       ROUND(s.rw, 6) AS raked_weight,
+       ROUND(ABS(s.rw - p.ps) / p.ps, 6) AS segment_rel_err,
+       max_nation_rel_err
+FROM seg_fit s JOIN pop_s p ON s.sg = p.sg CROSS JOIN nat_err
+ORDER BY segment
+"""
+
+ORACLES["q_hotelling"] = f"""
+WITH per AS (
+  SELECT user_id,
+         ROUND({_dsum("CASE WHEN ts < TIMESTAMP '2024-01-16' THEN value ELSE 0.0 END")}, 6) AS x,
+         ROUND({_dsum("CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN value ELSE 0.0 END")}, 6) AS y,
+         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS g
+  FROM events GROUP BY user_id
+), mom AS (
+  SELECT g, COUNT(*) AS n,
+         {_dsum('x')} AS sx, {_dsum('y')} AS sy,
+         {_dsum('x * x')} AS sxx, {_dsum('x * y')} AS sxy, {_dsum('y * y')} AS syy
+  FROM per GROUP BY g
+), j AS (
+  SELECT a.n AS n1, a.sx AS sx1, a.sy AS sy1, a.sxx AS sxx1, a.sxy AS sxy1, a.syy AS syy1,
+         b.n AS n0, b.sx AS sx0, b.sy AS sy0, b.sxx AS sxx0, b.sxy AS sxy0, b.syy AS syy0
+  FROM mom a CROSS JOIN mom b
+  WHERE a.g = 1 AND b.g = 0
+), c AS (
+  SELECT CAST(n1 AS BIGINT) AS n_treat, CAST(n0 AS BIGINT) AS n_control,
+         sx1 / n1 - sx0 / n0 AS dx,
+         sy1 / n1 - sy0 / n0 AS dy,
+         ((sxx1 - sx1 * sx1 / n1) + (sxx0 - sx0 * sx0 / n0)) / (n1 + n0 - 2) AS cxx,
+         ((sxy1 - sx1 * sy1 / n1) + (sxy0 - sx0 * sy0 / n0)) / (n1 + n0 - 2) AS cxy,
+         ((syy1 - sy1 * sy1 / n1) + (syy0 - sy0 * sy0 / n0)) / (n1 + n0 - 2) AS cyy
+  FROM j
+), t AS (
+  SELECT n_treat, n_control,
+         ROUND(dx, 6) AS diff_pre, ROUND(dy, 6) AS diff_post,
+         CAST(n_treat AS DOUBLE) * n_control / (n_treat + n_control)
+           * (dx * (cyy * dx - cxy * dy) + dy * (cxx * dy - cxy * dx))
+           / (cxx * cyy - cxy * cxy) AS t2_raw
+  FROM c
+)
+SELECT n_treat, n_control, diff_pre, diff_post,
+       ROUND(t2_raw, 6) AS t2,
+       CAST(CASE WHEN t2_raw > 5.991 THEN 1 ELSE 0 END AS INTEGER) AS flag_reject
+FROM t
+"""

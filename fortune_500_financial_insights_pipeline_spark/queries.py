@@ -11712,3 +11712,134 @@ def q_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND((msb - msw) / (msb + (n0 - 1.0D) * msw), 6) AS icc1",
     )
     return out
+
+
+@q("q_raking")
+def q_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey raking (iterative proportional fitting): a 1-in-3 customer
+    sample gets cell weights adjusted over two nation/segment sweeps so
+    the weighted margins match the full population — the
+    post-stratification step survey statistics runs before any weighted
+    estimate (q_weighted_sample draws; this CALIBRATES). Weights live on
+    the ≤125 (nation, segment) cells, every step re-rounds to 1e-6, and
+    the readout is the per-segment margin fit plus the worst remaining
+    nation-margin error."""
+    c = load_table(spark, sf_dir, "customer")
+    pop_n = c.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("pn")
+    )
+    pop_s = c.groupBy(F.col("c_mktsegment").alias("sg")).agg(
+        F.count(F.lit(1)).alias("ps")
+    )
+    cells = (
+        c.where(F.col("c_custkey") % 3 == 0)
+        .groupBy(F.col("c_nationkey").alias("nk"), F.col("c_mktsegment").alias("sg"))
+        .agg(F.count(F.lit(1)).alias("sc"))
+        .withColumn("w", F.lit(1.0))
+    )
+    for dim in ("nk", "sg", "nk", "sg"):
+        pop = pop_n if dim == "nk" else pop_s
+        tgt = "pn" if dim == "nk" else "ps"
+        marg = cells.groupBy(dim).agg(
+            (F.sum(F.round(F.col("sc") * F.col("w") * 1000000).cast("long")).cast("double")
+             / 1000000).alias("__m")
+        )
+        cells = (
+            cells.join(F.broadcast(marg), dim)
+            .join(F.broadcast(pop), dim)
+            .withColumn(
+                "w",
+                F.round(F.col("w") * (F.col(tgt) / F.col("__m")), 6),
+            )
+            .select("nk", "sg", "sc", "w")
+        )
+    seg_fit = (
+        cells.groupBy("sg")
+        .agg(
+            (F.sum(F.round(F.col("sc") * F.col("w") * 1000000).cast("long")).cast("double")
+             / 1000000).alias("__rw")
+        )
+        .join(F.broadcast(pop_s), "sg")
+    )
+    nat_err = (
+        cells.groupBy("nk")
+        .agg(
+            (F.sum(F.round(F.col("sc") * F.col("w") * 1000000).cast("long")).cast("double")
+             / 1000000).alias("__rw")
+        )
+        .join(F.broadcast(pop_n), "nk")
+        .agg(
+            F.round(
+                F.max(F.abs(F.col("__rw") - F.col("pn")) / F.col("pn")), 6
+            ).alias("max_nation_rel_err")
+        )
+    )
+    return (
+        seg_fit.crossJoin(F.broadcast(nat_err))
+        .select(
+            F.col("sg").alias("segment"),
+            F.col("ps").cast("long").alias("pop_n"),
+            F.round("__rw", 6).alias("raked_weight"),
+            F.round(F.abs(F.col("__rw") - F.col("ps")) / F.col("ps"), 6).alias(
+                "segment_rel_err"
+            ),
+            "max_nation_rel_err",
+        )
+        .orderBy("segment")
+    )
+
+
+@q("q_hotelling")
+def q_hotelling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hotelling's T² two-sample test on the (pre, post) spend vector:
+    even- vs odd-id users compared on BOTH coordinates at once through
+    the pooled 2×2 covariance inverse (closed form) — the multivariate
+    step past q_ab_test (one metric) that respects the pre/post
+    correlation instead of running two dependent t tests. Exact moments;
+    χ²(2) large-sample cut 5.991."""
+    e = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    per = e.groupBy("user_id").agg(
+        F.round(dsum(F.when(F.col("ts") < cut, F.col("value")).otherwise(0.0)), 6).alias("x"),
+        F.round(dsum(F.when(F.col("ts") >= cut, F.col("value")).otherwise(0.0)), 6).alias("y"),
+    ).withColumn("g", (F.col("user_id") % 2 == 0).cast("int"))
+    mom = per.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("x").alias("sx"),
+        dsum("y").alias("sy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    a = mom.where(F.col("g") == 1).select(
+        *[F.col(c).alias(c + "1") for c in ("n", "sx", "sy", "sxx", "sxy", "syy")]
+    )
+    b = mom.where(F.col("g") == 0).select(
+        *[F.col(c).alias(c + "0") for c in ("n", "sx", "sy", "sxx", "sxy", "syy")]
+    )
+    j = a.crossJoin(F.broadcast(b))
+    out = j.selectExpr(
+        "CAST(n1 AS BIGINT) AS n_treat",
+        "CAST(n0 AS BIGINT) AS n_control",
+        "sx1 / n1 - sx0 / n0 AS dx",
+        "sy1 / n1 - sy0 / n0 AS dy",
+        "((sxx1 - sx1 * sx1 / n1) + (sxx0 - sx0 * sx0 / n0)) / (n1 + n0 - 2) AS cxx",
+        "((sxy1 - sx1 * sy1 / n1) + (sxy0 - sx0 * sy0 / n0)) / (n1 + n0 - 2) AS cxy",
+        "((syy1 - sy1 * sy1 / n1) + (syy0 - sy0 * sy0 / n0)) / (n1 + n0 - 2) AS cyy",
+    ).selectExpr(
+        "n_treat",
+        "n_control",
+        "ROUND(dx, 6) AS diff_pre",
+        "ROUND(dy, 6) AS diff_post",
+        "CAST(n_treat AS DOUBLE) * n_control / (n_treat + n_control)"
+        " * (dx * (cyy * dx - cxy * dy) + dy * (cxx * dy - cxy * dx))"
+        " / (cxx * cyy - cxy * cxy) AS t2_raw",
+    ).selectExpr(
+        "n_treat",
+        "n_control",
+        "diff_pre",
+        "diff_post",
+        "ROUND(t2_raw, 6) AS t2",
+        "CAST(CASE WHEN t2_raw > 5.991D THEN 1 ELSE 0 END AS INT) AS flag_reject",
+    )
+    return out
