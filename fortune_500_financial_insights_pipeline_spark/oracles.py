@@ -11710,3 +11710,65 @@ SELECT n_treat, n_control, diff_pre, diff_post,
        CAST(CASE WHEN t2_raw > 5.991 THEN 1 ELSE 0 END AS INTEGER) AS flag_reject
 FROM t
 """
+
+
+ORACLES["q_disparate_impact"] = """
+WITH rates AS (
+  SELECT c.c_nationkey AS nation, COUNT(*) AS n_lines,
+         CAST(SUM(CASE WHEN l.l_discount >= 0.08 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_favorable,
+         ROUND(CAST(SUM(CASE WHEN l.l_discount >= 0.08 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*), 6) AS rate
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_nationkey
+), ref AS (
+  SELECT rate AS ref_rate, nation AS ref_nation
+  FROM rates ORDER BY rate DESC, nation ASC LIMIT 1
+)
+SELECT nation, CAST(n_lines AS BIGINT) AS n_lines, n_favorable, rate, ref_nation,
+       ROUND(rate / ref_rate, 6) AS impact_ratio,
+       CAST(CASE WHEN rate / ref_rate < 0.8 THEN 1 ELSE 0 END AS INTEGER)
+         AS flag_disparate
+FROM rates CROSS JOIN ref ORDER BY nation
+"""
+
+ORACLES["q_empirical_bayes"] = f"""
+WITH g AS (
+  SELECT p.p_brand, COUNT(*) AS ng,
+         {_dsum('l_extendedprice / 1000.0')} AS sg,
+         {_dsum('(l_extendedprice / 1000.0) * (l_extendedprice / 1000.0)')} AS ssg
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand
+), tot AS (
+  SELECT SUM(ng) AS n,
+         CAST(SUM(CAST(ROUND(sg * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS s,
+         COUNT(*) AS k,
+         SUM(ng * ng) AS sn2
+  FROM g
+), within AS (
+  SELECT {_dsum('ssg - sg * sg / CAST(ng AS DOUBLE)')} AS ssw FROM g
+), between_ AS (
+  SELECT {_dsum('CAST(ng AS DOUBLE) * (sg / ng - s / n) * (sg / ng - s / n)')} AS ssb
+  FROM g CROSS JOIN tot
+), comp AS (
+  SELECT ROUND(s / n, 6) AS grand_mean,
+         ROUND(ssw / (n - k), 6) AS s2_within,
+         ROUND(CASE WHEN (ssb / (k - 1) - ssw / (n - k))
+                         / ((n - CAST(sn2 AS DOUBLE) / n) / (k - 1)) > 0.0
+                    THEN (ssb / (k - 1) - ssw / (n - k))
+                         / ((n - CAST(sn2 AS DOUBLE) / n) / (k - 1))
+                    ELSE 0.0 END, 6) AS tau2
+  FROM tot CROSS JOIN within CROSS JOIN between_
+), out_ AS (
+  SELECT p_brand, CAST(ng AS BIGINT) AS n_lines,
+         ROUND(sg / ng, 6) AS raw_mean,
+         grand_mean,
+         ROUND((s2_within / ng) / (tau2 + s2_within / ng), 6) AS shrink_b
+  FROM g CROSS JOIN comp
+)
+SELECT p_brand, n_lines, raw_mean, grand_mean, shrink_b,
+       ROUND(grand_mean + (1.0 - shrink_b) * (raw_mean - grand_mean), 6) AS eb_mean
+FROM out_ ORDER BY p_brand
+"""

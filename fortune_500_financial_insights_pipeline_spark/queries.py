@@ -11843,3 +11843,115 @@ def q_hotelling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(CASE WHEN t2_raw > 5.991D THEN 1 ELSE 0 END AS INT) AS flag_reject",
     )
     return out
+
+
+@q("q_disparate_impact")
+def q_disparate_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four-fifths-rule screen: the favorable-outcome rate (deep
+    discount, ≥ 8%) per customer nation vs the best-treated nation's
+    rate — any group under 80% of the reference flags for disparate
+    impact (the compliance screen beside q_exposure_fairness's ranking
+    view). Exact rates from one scan; reference picked deterministically
+    (max rate, key tiebreak)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = (
+        li.join(o.select("o_orderkey", "o_custkey"),
+                li["l_orderkey"] == F.col("o_orderkey"))
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+    )
+    rates = j.groupBy(F.col("c_nationkey").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum((F.col("l_discount") >= 0.08).cast("long")).alias("n_favorable"),
+    ).withColumn(
+        "rate",
+        F.round(F.col("n_favorable").cast("double") / F.col("n_lines"), 6),
+    )
+    ref = rates.orderBy(F.desc("rate"), F.asc("nation")).limit(1).select(
+        F.col("rate").alias("ref_rate"), F.col("nation").alias("ref_nation")
+    )
+    out = rates.crossJoin(F.broadcast(ref)).select(
+        "nation",
+        "n_lines",
+        "n_favorable",
+        "rate",
+        "ref_nation",
+        F.round(F.col("rate") / F.col("ref_rate"), 6).alias("impact_ratio"),
+        F.when(F.col("rate") / F.col("ref_rate") < 0.8, 1).otherwise(0)
+        .cast("int").alias("flag_disparate"),
+    )
+    return out.orderBy("nation")
+
+
+@q("q_empirical_bayes")
+def q_empirical_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-brand mean order-line value: each
+    brand's raw mean pulls toward the grand mean by B = (σ²/nᵢ)/(τ² +
+    σ²/nᵢ), with the variance components (within σ², between τ² =
+    (MSB−MSW)/n₀) estimated from the one-way ANOVA decomposition — the
+    leaderboard that stops small-n brands from topping the table on
+    noise (the estimation twin of q_topk_stability's diagnosis). All
+    components from exact moments; shrinkage per brand in closed form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p.select("p_partkey", "p_brand")),
+                li["l_partkey"] == F.col("p_partkey"))
+    val = (F.col("l_extendedprice") / 1000.0)
+    g = j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("ng"),
+        dsum(val).alias("sg"),
+        dsum(val * val).alias("ssg"),
+    )
+    fsum = lambda c: (F.sum(F.round(F.col(c) * 1000000).cast("long")).cast("double") / 1000000)
+    tot = g.agg(
+        F.sum("ng").alias("n"),
+        fsum("sg").alias("s"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("ng") * F.col("ng")).alias("sn2"),
+    )
+    within = g.select(
+        (F.col("ssg") - F.col("sg") * F.col("sg") / F.col("ng").cast("double")).alias("t")
+    ).agg(dsum("t").alias("ssw"))
+    between = (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("ng").cast("double")
+             * (F.col("sg") / F.col("ng") - F.col("s") / F.col("n"))
+             * (F.col("sg") / F.col("ng") - F.col("s") / F.col("n"))).alias("t")
+        )
+        .agg(dsum("t").alias("ssb"))
+    )
+    comp = (
+        tot.crossJoin(F.broadcast(within))
+        .crossJoin(F.broadcast(between))
+        .selectExpr(
+            "s / n AS grand",
+            "ssw / (n - k) AS s2_within",
+            "(n - CAST(sn2 AS DOUBLE) / n) / (k - 1) AS n0",
+            "ssb / (k - 1) AS msb",
+            "ssw / (n - k) AS msw",
+        )
+        .selectExpr(
+            "ROUND(grand, 6) AS grand_mean",
+            "ROUND(s2_within, 6) AS s2_within",
+            "ROUND(CASE WHEN (msb - msw) / n0 > 0.0D THEN (msb - msw) / n0 ELSE 0.0D END, 6)"
+            " AS tau2",
+        )
+    )
+    out = g.crossJoin(F.broadcast(comp)).selectExpr(
+        "p_brand",
+        "CAST(ng AS BIGINT) AS n_lines",
+        "ROUND(sg / ng, 6) AS raw_mean",
+        "grand_mean",
+        "ROUND((s2_within / ng) / (tau2 + s2_within / ng), 6) AS shrink_b",
+    ).selectExpr(
+        "p_brand",
+        "n_lines",
+        "raw_mean",
+        "grand_mean",
+        "shrink_b",
+        "ROUND(grand_mean + (1.0D - shrink_b) * (raw_mean - grand_mean), 6) AS eb_mean",
+    )
+    return out.orderBy("p_brand")
