@@ -11772,3 +11772,78 @@ SELECT p_brand, n_lines, raw_mean, grand_mean, shrink_b,
        ROUND(grand_mean + (1.0 - shrink_b) * (raw_mean - grand_mean), 6) AS eb_mean
 FROM out_ ORDER BY p_brand
 """
+
+
+ORACLES["q_tail_dependence"] = f"""
+WITH daily AS (
+  SELECT l_suppkey, strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS day,
+         ROUND({_dsum('l_extendedprice / 1000.0')} / COUNT(*), 6) AS px
+  FROM lineitem WHERE l_suppkey IN (1, 2)
+  GROUP BY l_suppkey, strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')
+), pairs AS (
+  SELECT a.day, a.px AS x, b.px AS y
+  FROM daily a JOIN daily b ON a.day = b.day
+  WHERE a.l_suppkey = 1 AND b.l_suppkey = 2
+), th AS (
+  SELECT ROUND(quantile_cont(x, 0.9), 6) AS tx_hi,
+         ROUND(quantile_cont(y, 0.9), 6) AS ty_hi,
+         ROUND(quantile_cont(x, 0.1), 6) AS tx_lo,
+         ROUND(quantile_cont(y, 0.1), 6) AS ty_lo
+  FROM pairs
+), g AS (
+  SELECT COUNT(*) AS n_days,
+         CAST(SUM(CASE WHEN x >= tx_hi THEN 1 ELSE 0 END) AS BIGINT) AS nx_hi,
+         CAST(SUM(CASE WHEN x >= tx_hi AND y >= ty_hi THEN 1 ELSE 0 END) AS BIGINT) AS nj_hi,
+         CAST(SUM(CASE WHEN x <= tx_lo THEN 1 ELSE 0 END) AS BIGINT) AS nx_lo,
+         CAST(SUM(CASE WHEN x <= tx_lo AND y <= ty_lo THEN 1 ELSE 0 END) AS BIGINT) AS nj_lo
+  FROM pairs CROSS JOIN th
+)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+       nx_hi AS n_upper_x, nj_hi AS n_joint_upper,
+       ROUND(CAST(nj_hi AS DOUBLE) / nx_hi, 6) AS lambda_upper,
+       ROUND(CAST(nj_lo AS DOUBLE) / nx_lo, 6) AS lambda_lower,
+       CAST(0.1 AS DOUBLE) AS independence_baseline
+FROM g
+"""
+
+ORACLES["q_nested_anova"] = f"""
+WITH j AS (
+  SELECT n.n_regionkey AS rg, c.c_nationkey AS nt, o.o_totalprice / 1000.0 AS val
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+), nat AS (
+  SELECT rg, nt, COUNT(*) AS nn,
+         {_dsum('val')} AS sn, {_dsum('val * val')} AS ssn
+  FROM j GROUP BY rg, nt
+), reg AS (
+  SELECT rg, SUM(nn) AS nr,
+         CAST(SUM(CAST(ROUND(sn * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS sr,
+         COUNT(*) AS kn_r
+  FROM nat GROUP BY rg
+), tot AS (
+  SELECT SUM(nr) AS n,
+         CAST(SUM(CAST(ROUND(sr * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS s,
+         COUNT(*) AS kr, SUM(kn_r) AS kn
+  FROM reg
+), ss_r AS (
+  SELECT {_dsum('CAST(nr AS DOUBLE) * (sr / nr - s / n) * (sr / nr - s / n)')} AS ss_region
+  FROM reg CROSS JOIN tot
+), ss_n AS (
+  SELECT {_dsum('CAST(nn AS DOUBLE) * (sn / nn - sr / nr) * (sn / nn - sr / nr)')} AS ss_nation
+  FROM nat JOIN reg ON nat.rg = reg.rg
+), sq AS (
+  SELECT CAST(SUM(CAST(ROUND(ssn * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS ssq
+  FROM nat
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(kr AS BIGINT) AS k_regions,
+       CAST(kn AS BIGINT) AS k_nations,
+       ROUND(ss_region, 6) AS ss_region,
+       ROUND(ss_nation, 6) AS ss_nation,
+       ROUND(ssq - s * s / n - ss_region - ss_nation, 6) AS ss_within,
+       ROUND((ss_region / (kr - 1)) / (ss_nation / (kn - kr)), 6) AS f_region,
+       ROUND((ss_nation / (kn - kr))
+             / ((ssq - s * s / n - ss_region - ss_nation) / (n - kn)), 6) AS f_nation
+FROM tot CROSS JOIN ss_r CROSS JOIN ss_n CROSS JOIN sq
+"""

@@ -11955,3 +11955,118 @@ def q_empirical_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND(grand_mean + (1.0D - shrink_b) * (raw_mean - grand_mean), 6) AS eb_mean",
     )
     return out.orderBy("p_brand")
+
+
+@q("q_tail_dependence")
+def q_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical tail dependence between the two supplier price series:
+    λ_U = P(y exceeds its 90% quantile | x exceeds its own) and the
+    mirrored λ_L at the 10% tail — do extremes co-occur, the dependence
+    question Pearson/Spearman miss entirely (they average over the
+    middle). Interpolated per-series quantile thresholds, exact joint
+    counts; independence baseline is the marginal tail mass 0.1."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.where(F.col("l_suppkey").isin(1, 2)).groupBy(
+        "l_suppkey", F.date_format("l_shipdate", "yyyy-MM-dd").alias("day")
+    ).agg(F.round(davg(F.col("l_extendedprice") / 1000.0), 6).alias("px"))
+    a = daily.where(F.col("l_suppkey") == 1).select("day", F.col("px").alias("x"))
+    b = daily.where(F.col("l_suppkey") == 2).select("day", F.col("px").alias("y"))
+    pairs = a.join(b, "day")
+    th = pairs.agg(
+        F.round(F.percentile("x", F.lit(0.9)), 6).alias("tx_hi"),
+        F.round(F.percentile("y", F.lit(0.9)), 6).alias("ty_hi"),
+        F.round(F.percentile("x", F.lit(0.1)), 6).alias("tx_lo"),
+        F.round(F.percentile("y", F.lit(0.1)), 6).alias("ty_lo"),
+    )
+    j = pairs.crossJoin(F.broadcast(th))
+    g = j.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum((F.col("x") >= F.col("tx_hi")).cast("long")).alias("__nx_hi"),
+        F.sum(((F.col("x") >= F.col("tx_hi")) & (F.col("y") >= F.col("ty_hi"))).cast("long")).alias("__nj_hi"),
+        F.sum((F.col("x") <= F.col("tx_lo")).cast("long")).alias("__nx_lo"),
+        F.sum(((F.col("x") <= F.col("tx_lo")) & (F.col("y") <= F.col("ty_lo"))).cast("long")).alias("__nj_lo"),
+    )
+    return g.select(
+        "n_days",
+        F.col("__nx_hi").alias("n_upper_x"),
+        F.col("__nj_hi").alias("n_joint_upper"),
+        F.round(F.col("__nj_hi").cast("double") / F.col("__nx_hi"), 6).alias("lambda_upper"),
+        F.round(F.col("__nj_lo").cast("double") / F.col("__nx_lo"), 6).alias("lambda_lower"),
+        F.lit(0.1).alias("independence_baseline"),
+    )
+
+
+@q("q_nested_anova")
+def q_nested_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested (hierarchical) ANOVA: order value decomposed as region +
+    nation-WITHIN-region + residual — the variance ladder for a nested
+    design (region/nation is not a crossed grid, so q_two_way_anova's
+    interaction is the wrong model). F_region tests against the nation
+    mean square (the correct nested denominator), F_nation against the
+    within. Exact nation-level moments; region sums are fixed-point
+    folds of nation sums."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    j = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               o["o_custkey"] == F.col("c_custkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_regionkey").alias("rg"),
+            F.col("c_nationkey").alias("nt"),
+            (F.col("o_totalprice") / 1000.0).alias("val"),
+        )
+    )
+    nat = j.groupBy("rg", "nt").agg(
+        F.count(F.lit(1)).alias("nn"),
+        dsum("val").alias("sn"),
+        dsum(F.col("val") * F.col("val")).alias("ssn"),
+    )
+    fsum = lambda c_: (F.sum(F.round(F.col(c_) * 1000000).cast("long")).cast("double") / 1000000)
+    reg = nat.groupBy("rg").agg(
+        F.sum("nn").alias("nr"), fsum("sn").alias("sr"), F.count(F.lit(1)).alias("kn_r")
+    )
+    tot = reg.agg(
+        F.sum("nr").alias("n"),
+        fsum("sr").alias("s"),
+        F.count(F.lit(1)).alias("kr"),
+        F.sum("kn_r").alias("kn"),
+    )
+    ss_region = (
+        reg.crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("nr").cast("double")
+             * (F.col("sr") / F.col("nr") - F.col("s") / F.col("n"))
+             * (F.col("sr") / F.col("nr") - F.col("s") / F.col("n"))).alias("t")
+        )
+        .agg(dsum("t").alias("ss_region"))
+    )
+    ss_nation = (
+        nat.join(F.broadcast(reg.select("rg", "nr", "sr")), "rg")
+        .select(
+            (F.col("nn").cast("double")
+             * (F.col("sn") / F.col("nn") - F.col("sr") / F.col("nr"))
+             * (F.col("sn") / F.col("nn") - F.col("sr") / F.col("nr"))).alias("t")
+        )
+        .agg(dsum("t").alias("ss_nation"))
+    )
+    ssq = nat.agg(fsum("ssn").alias("ssq"))
+    out = (
+        tot.crossJoin(F.broadcast(ss_region))
+        .crossJoin(F.broadcast(ss_nation))
+        .crossJoin(F.broadcast(ssq))
+        .selectExpr(
+            "CAST(n AS BIGINT) AS n",
+            "CAST(kr AS BIGINT) AS k_regions",
+            "CAST(kn AS BIGINT) AS k_nations",
+            "ROUND(ss_region, 6) AS ss_region",
+            "ROUND(ss_nation, 6) AS ss_nation",
+            "ROUND(ssq - s * s / n - ss_region - ss_nation, 6) AS ss_within",
+            "ROUND((ss_region / (kr - 1)) / (ss_nation / (kn - kr)), 6) AS f_region",
+            "ROUND((ss_nation / (kn - kr))"
+            " / ((ssq - s * s / n - ss_region - ss_nation) / (n - kn)), 6) AS f_nation",
+        )
+    )
+    return out
