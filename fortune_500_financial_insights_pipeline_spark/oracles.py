@@ -11847,3 +11847,74 @@ SELECT CAST(n AS BIGINT) AS n,
              / ((ssq - s * s / n - ss_region - ss_nation) / (n - kn)), 6) AS f_nation
 FROM tot CROSS JOIN ss_r CROSS JOIN ss_n CROSS JOIN sq
 """
+
+
+import math as _math
+
+_LLR_YES = round(_math.log(0.95 / 0.85) * 1e9)
+_LLR_NO = round(_math.log(0.05 / 0.15) * 1e9)
+_LLR_BOUND = round(_math.log(19.0) * 1e9)
+
+ORACLES["q_sprt"] = f"""
+WITH per AS (
+  SELECT user_id, MIN(ts) AS first_ts,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+), walk AS (
+  SELECT user_id, conv,
+         ROW_NUMBER() OVER (ORDER BY first_ts, user_id) AS rn,
+         SUM(CASE WHEN conv = 1 THEN CAST({_LLR_YES} AS BIGINT)
+                  ELSE CAST({_LLR_NO} AS BIGINT) END)
+           OVER (ORDER BY first_ts, user_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS llr9
+  FROM per
+), firstx AS (
+  SELECT rn AS crossed_at,
+         ROUND(CAST(llr9 AS DOUBLE) / 1e9, 6) AS llr_at_cross,
+         CASE WHEN llr9 >= {_LLR_BOUND} THEN 'accept_h1' ELSE 'accept_h0' END AS decision
+  FROM walk
+  WHERE llr9 >= {_LLR_BOUND} OR llr9 <= -{_LLR_BOUND}
+  ORDER BY rn LIMIT 1
+), tot AS (
+  SELECT COUNT(*) AS n_users,
+         ROUND(CAST(MAX(llr9) AS DOUBLE) / 1e9, 6) AS max_llr,
+         ROUND(CAST(MIN(llr9) AS DOUBLE) / 1e9, 6) AS min_llr
+  FROM walk
+)
+SELECT CAST(n_users AS BIGINT) AS n_users, max_llr, min_llr,
+       CAST(crossed_at AS BIGINT) AS crossed_at,
+       llr_at_cross,
+       COALESCE(decision, 'continue') AS decision
+FROM tot LEFT JOIN firstx ON TRUE
+"""
+
+ORACLES["q_oaxaca"] = f"""
+WITH per AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS any_p,
+         ROUND({_dsum("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END")}, 6)
+           AS pspend,
+         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS g
+  FROM events GROUP BY user_id
+), mom AS (
+  SELECT g, COUNT(*) AS n, CAST(SUM(any_p) AS BIGINT) AS np,
+         {_dsum('CASE WHEN any_p = 1 THEN pspend END')} AS sp
+  FROM per GROUP BY g
+), j AS (
+  SELECT a.n AS n1, a.np AS np1, a.sp AS sp1,
+         b.n AS n0, b.np AS np0, b.sp AS sp0
+  FROM mom a CROSS JOIN mom b WHERE a.g = 1 AND b.g = 0
+), c AS (
+  SELECT CAST(n1 AS BIGINT) AS n_treat, CAST(n0 AS BIGINT) AS n_control,
+         CAST(np1 AS DOUBLE) / n1 AS p1, CAST(np0 AS DOUBLE) / n0 AS p0,
+         sp1 / np1 AS s1, sp0 / np0 AS s0
+  FROM j
+)
+SELECT n_treat, n_control,
+       ROUND(p1 - p0, 6) AS participation_gap,
+       ROUND(s1 - s0, 6) AS severity_gap,
+       ROUND(p1 * s1 - p0 * s0, 6) AS total_gap,
+       ROUND((p1 - p0) * ((s1 + s0) / 2.0), 6) AS gap_from_participation,
+       ROUND(((p1 + p0) / 2.0) * (s1 - s0), 6) AS gap_from_severity
+FROM c
+"""

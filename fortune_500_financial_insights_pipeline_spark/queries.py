@@ -12070,3 +12070,103 @@ def q_nested_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+@q("q_sprt")
+def q_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's SPRT over the user stream: users ordered by first-event
+    time contribute conversion log-likelihood-ratio steps for H₁ p=0.95
+    vs H₀ p=0.85, the cumulative LLR walks until it crosses ±ln(19)
+    (α=β=0.05) — FULLY sequential monitoring, the continuous sibling of
+    q_obrien_fleming's scheduled looks (decide after EVERY user, still
+    error-controlled). Round-9 per-step LLR keeps the walk exact; first
+    crossing found by one rank over the crossing rows."""
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(
+        F.min("ts").alias("__first"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv"),
+    )
+    import math as _math
+
+    llr_yes = round(_math.log(0.95 / 0.85) * 1e9)
+    llr_no = round(_math.log(0.05 / 0.15) * 1e9)
+    bound = round(_math.log(19.0) * 1e9)
+    wo = W.orderBy("__first", "user_id")
+    walk = per.select(
+        "user_id",
+        "conv",
+        F.row_number().over(wo).alias("rn"),
+        F.sum(
+            F.when(F.col("conv") == 1, F.lit(llr_yes)).otherwise(F.lit(llr_no))
+        ).over(wo.rowsBetween(W.unboundedPreceding, 0)).alias("__llr9"),
+    )
+    crossed = walk.where(
+        (F.col("__llr9") >= bound) | (F.col("__llr9") <= -bound)
+    )
+    firstx = (
+        crossed.orderBy("rn").limit(1)
+        .select(
+            F.col("rn").alias("crossed_at"),
+            F.round(F.col("__llr9").cast("double") / 1e9, 6).alias("llr_at_cross"),
+            F.when(F.col("__llr9") >= bound, "accept_h1")
+            .otherwise("accept_h0")
+            .alias("decision"),
+        )
+    )
+    tot = walk.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.max("__llr9").cast("double") / 1e9, 6).alias("max_llr"),
+        F.round(F.min("__llr9").cast("double") / 1e9, 6).alias("min_llr"),
+    )
+    return tot.join(firstx, F.lit(True), "left").select(
+        "n_users", "max_llr", "min_llr",
+        F.col("crossed_at").cast("long").alias("crossed_at"),
+        "llr_at_cross",
+        F.coalesce("decision", F.lit("continue")).alias("decision"),
+    )
+
+
+@q("q_oaxaca")
+def q_oaxaca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oaxaca-Blinder two-fold decomposition of the even-vs-odd user
+    spend gap: total gap = (participation gap)·mean severity +
+    mean participation·(severity gap) — is the difference about WHO
+    purchases or HOW MUCH purchasers spend (the hurdle-model question
+    q_ab_test's single mean hides). Exact counts and fixed-point means;
+    reference weights are the pooled averages (symmetric two-fold)."""
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("any_p"),
+        F.round(
+            dsum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)),
+            6,
+        ).alias("pspend"),
+    ).withColumn("g", (F.col("user_id") % 2 == 0).cast("int"))
+    mom = per.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("any_p").alias("np"),
+        dsum(F.when(F.col("any_p") == 1, F.col("pspend"))).alias("sp"),
+    )
+    a = mom.where(F.col("g") == 1).select(
+        F.col("n").alias("n1"), F.col("np").alias("np1"), F.col("sp").alias("sp1")
+    )
+    b = mom.where(F.col("g") == 0).select(
+        F.col("n").alias("n0"), F.col("np").alias("np0"), F.col("sp").alias("sp0")
+    )
+    out = a.crossJoin(F.broadcast(b)).selectExpr(
+        "CAST(n1 AS BIGINT) AS n_treat",
+        "CAST(n0 AS BIGINT) AS n_control",
+        "CAST(np1 AS DOUBLE) / n1 AS p1",
+        "CAST(np0 AS DOUBLE) / n0 AS p0",
+        "sp1 / np1 AS s1",
+        "sp0 / np0 AS s0",
+    ).selectExpr(
+        "n_treat",
+        "n_control",
+        "ROUND(p1 - p0, 6) AS participation_gap",
+        "ROUND(s1 - s0, 6) AS severity_gap",
+        "ROUND(p1 * s1 - p0 * s0, 6) AS total_gap",
+        "ROUND((p1 - p0) * ((s1 + s0) / 2.0D), 6) AS gap_from_participation",
+        "ROUND(((p1 + p0) / 2.0D) * (s1 - s0), 6) AS gap_from_severity",
+    )
+    return out
