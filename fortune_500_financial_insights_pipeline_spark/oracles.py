@@ -11918,3 +11918,65 @@ SELECT n_treat, n_control,
        ROUND(((p1 + p0) / 2.0) * (s1 - s0), 6) AS gap_from_severity
 FROM c
 """
+
+
+ORACLES["q_weibull_fit"] = f"""
+WITH per_user AS (
+  SELECT user_id, MIN(ts) AS first_ts,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+  FROM events GROUP BY user_id
+), dur AS (
+  SELECT CAST(FLOOR(date_part('epoch', fp)) AS BIGINT)
+           - CAST(FLOOR(date_part('epoch', first_ts)) AS BIGINT) AS t_s,
+         user_id
+  FROM per_user WHERE fp IS NOT NULL
+), pos AS (
+  SELECT t_s, ROW_NUMBER() OVER (ORDER BY t_s, user_id) AS i,
+         COUNT(*) OVER () AS n
+  FROM dur WHERE t_s > 0
+), xy AS (
+  SELECT ln(CAST(t_s AS DOUBLE)) AS x,
+         ln(-ln(1.0 - (i - 0.3) / (n + 0.4))) AS y,
+         n
+  FROM pos
+), mom AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n_events,
+         {_dsum('x')} AS sx, {_dsum('y')} AS sy,
+         {_dsum('x * x')} AS sxx, {_dsum('x * y')} AS sxy
+  FROM xy
+), fit AS (
+  SELECT n_events,
+         (sxy - sx * sy / n_events) / (sxx - sx * sx / n_events) AS k_raw,
+         sy / n_events - (sxy - sx * sy / n_events) / (sxx - sx * sx / n_events)
+           * (sx / n_events) AS b_raw
+  FROM mom
+)
+SELECT n_events,
+       ROUND(k_raw, 6) AS shape_k,
+       ROUND(exp(-b_raw / k_raw), 6) AS scale_lambda_s,
+       CAST(CASE WHEN k_raw < 1.0 THEN 1 ELSE 0 END AS INTEGER) AS decreasing_hazard
+FROM fit
+"""
+
+ORACLES["q_nbinom_fit"] = """
+WITH per AS (
+  SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id
+), mom AS (
+  SELECT COUNT(*) AS n_users, CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS ss
+  FROM per
+), fit AS (
+  SELECT CAST(n_users AS BIGINT) AS n_users,
+         CAST(s AS DOUBLE) / n_users AS m,
+         CAST(ss AS DOUBLE) / n_users - (CAST(s AS DOUBLE) / n_users)
+           * (CAST(s AS DOUBLE) / n_users) AS v
+  FROM mom
+)
+SELECT n_users,
+       ROUND(m, 6) AS mean_count,
+       ROUND(v, 6) AS var_count,
+       ROUND(v / m, 6) AS fano,
+       CASE WHEN v > m THEN ROUND(m / v, 6) END AS p_hat,
+       CASE WHEN v > m THEN ROUND(m * m / (v - m), 6) END AS r_hat
+FROM fit
+"""

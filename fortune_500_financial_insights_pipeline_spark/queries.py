@@ -12170,3 +12170,86 @@ def q_oaxaca(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND(((p1 + p0) / 2.0D) * (s1 - s0), 6) AS gap_from_severity",
     )
     return out
+
+
+@q("q_weibull_fit")
+def q_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull fit of time-to-first-purchase by median-rank regression:
+    uncensored durations rank up, F̂ᵢ = (i − 0.3)/(n + 0.4) (Bernard's
+    approximation), and OLS of ln(−ln(1 − F̂)) on ln(t) gives shape k
+    (slope) and scale λ = exp(−intercept/k) — the parametric layer over
+    q_kaplan_meier/q_nelson_aalen's nonparametric curves (k < 1 means
+    conversion hazard FALLS with time: convert-early-or-never). Exact
+    integer ranks; per-row IEEE ln with fixed-point moment folds."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min("ts").alias("__first"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("__fp"),
+    )
+    dur = per_user.where(F.col("__fp").isNotNull()).select(
+        (
+            F.col("__fp").cast("long") - F.col("__first").cast("long")
+        ).alias("t_s"),
+        F.col("user_id"),
+    ).where(F.col("t_s") > 0)
+    wr = W.orderBy("t_s", "user_id")
+    ranked = dur.select(
+        "t_s",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    xy = ranked.selectExpr(
+        "ln(CAST(t_s AS DOUBLE)) AS x",
+        "ln(-ln(1.0D - (i - 0.3D) / (n + 0.4D))) AS y",
+        "n",
+    )
+    mom = xy.agg(
+        F.max("n").cast("long").alias("n_events"),
+        dsum("x").alias("sx"),
+        dsum("y").alias("sy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    out = mom.selectExpr(
+        "n_events",
+        "(sxy - sx * sy / n_events) / (sxx - sx * sx / n_events) AS k_raw",
+        "sy / n_events - (sxy - sx * sy / n_events) / (sxx - sx * sx / n_events)"
+        " * (sx / n_events) AS b_raw",
+    ).selectExpr(
+        "n_events",
+        "ROUND(k_raw, 6) AS shape_k",
+        "ROUND(exp(-b_raw / k_raw), 6) AS scale_lambda_s",
+        "CAST(CASE WHEN k_raw < 1.0D THEN 1 ELSE 0 END AS INT) AS decreasing_hazard",
+    )
+    return out
+
+
+@q("q_nbinom_fit")
+def q_nbinom_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-binomial fit of per-user event counts by method of
+    moments: p = m/v, r = m²/(v − m) when overdispersed (v > m) — the
+    parametric answer to q_overdispersion's Fano flag (WHICH NB explains
+    the clumping), feeding expected-count tails for capacity planning.
+    Exact count moments; null parameters when the data is actually
+    Poisson-or-under."""
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    mom = per.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    out = mom.selectExpr(
+        "CAST(n_users AS BIGINT) AS n_users",
+        "CAST(s AS DOUBLE) / n_users AS m",
+        "CAST(ss AS DOUBLE) / n_users - (CAST(s AS DOUBLE) / n_users)"
+        " * (CAST(s AS DOUBLE) / n_users) AS v",
+    ).selectExpr(
+        "n_users",
+        "ROUND(m, 6) AS mean_count",
+        "ROUND(v, 6) AS var_count",
+        "ROUND(v / m, 6) AS fano",
+        "CASE WHEN v > m THEN ROUND(m / v, 6) END AS p_hat",
+        "CASE WHEN v > m THEN ROUND(m * m / (v - m), 6) END AS r_hat",
+    )
+    return out
