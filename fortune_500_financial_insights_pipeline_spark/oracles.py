@@ -11980,3 +11980,59 @@ SELECT n_users,
        CASE WHEN v > m THEN ROUND(m * m / (v - m), 6) END AS r_hat
 FROM fit
 """
+
+
+ORACLES["q_capture_recapture"] = """
+WITH per AS (
+  SELECT user_id,
+         MAX(CASE WHEN ts < TIMESTAMP '2024-01-08' THEN 1 ELSE 0 END) AS in1,
+         MAX(CASE WHEN ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+                  THEN 1 ELSE 0 END) AS in2
+  FROM events GROUP BY user_id
+), g AS (
+  SELECT CAST(SUM(in1) AS BIGINT) AS n1,
+         CAST(SUM(in2) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN in1 + in2 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS m,
+         COUNT(*) AS n_observed_total
+  FROM per
+)
+SELECT n1, n2, m, CAST(n_observed_total AS BIGINT) AS n_observed_total,
+       ROUND(CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m + 1) - 1.0, 6) AS n_hat_chapman,
+       ROUND(CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m + 1) - 1.0 - n_observed_total, 6)
+         AS est_unseen
+FROM g
+"""
+
+ORACLES["q_german_tank"] = """
+WITH samp AS (
+  SELECT COUNT(*) AS k, CAST(MAX(o_orderkey) AS BIGINT) AS max_seen
+  FROM orders WHERE o_orderkey % 50 = 7
+), truth AS (
+  SELECT CAST(MAX(o_orderkey) AS BIGINT) AS true_max FROM orders
+)
+SELECT CAST(k AS BIGINT) AS k, max_seen, true_max,
+       ROUND(CAST(max_seen AS DOUBLE) * (1.0 + 1.0 / k) - 1.0, 6) AS n_hat,
+       ROUND(ABS(CAST(max_seen AS DOUBLE) * (1.0 + 1.0 / k) - 1.0 - true_max)
+             / true_max, 6) AS rel_err
+FROM samp CROSS JOIN truth
+"""
+
+ORACLES["q_missing_mass"] = """
+WITH tf AS (
+  SELECT lang, term, COUNT(*) AS c
+  FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> '' GROUP BY lang, term
+), g AS (
+  SELECT lang, COUNT(*) AS vocab,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+         CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_doubletons
+  FROM tf GROUP BY lang
+)
+SELECT lang, CAST(vocab AS BIGINT) AS vocab, n_tokens, n_singletons,
+       ROUND(CAST(n_singletons AS DOUBLE) / n_tokens, 6) AS missing_mass_p0,
+       CASE WHEN n_doubletons > 0
+            THEN ROUND(CAST(n_singletons AS DOUBLE) * n_singletons
+                       / (2.0 * n_doubletons), 6) END AS chao1_unseen_vocab
+FROM g ORDER BY lang
+"""

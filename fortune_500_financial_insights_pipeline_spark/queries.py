@@ -12253,3 +12253,102 @@ def q_nbinom_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CASE WHEN v > m THEN ROUND(m * m / (v - m), 6) END AS r_hat",
     )
     return out
+
+
+@q("q_capture_recapture")
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lincoln-Petersen / Chapman population estimate: week-1 actives are
+    the marked sample, week-2 actives the recapture, and the overlap
+    sizes the estimate N̂ = (n₁+1)(n₂+1)/(m+1) − 1 — the
+    how-many-users-exist-that-we-never-saw estimator (the same algebra
+    that sizes hidden duplicate populations from two dedup passes).
+    Exact set sizes from one scan."""
+    e = load_table(spark, sf_dir, "events")
+    w1 = F.lit("2024-01-08 00:00:00").cast("timestamp")
+    w2 = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    per = e.groupBy("user_id").agg(
+        F.max((F.col("ts") < w1).cast("int")).alias("in1"),
+        F.max(((F.col("ts") >= w1) & (F.col("ts") < w2)).cast("int")).alias("in2"),
+    )
+    g = per.agg(
+        F.sum("in1").cast("long").alias("n1"),
+        F.sum("in2").cast("long").alias("n2"),
+        F.sum((F.col("in1") + F.col("in2") == 2).cast("long")).alias("m"),
+        F.count(F.lit(1)).alias("n_observed_total"),
+    )
+    nhat = (
+        (F.col("n1") + 1).cast("double") * (F.col("n2") + 1) / (F.col("m") + 1) - 1.0
+    )
+    return g.select(
+        "n1", "n2", "m", "n_observed_total",
+        F.round(nhat, 6).alias("n_hat_chapman"),
+        F.round(nhat - F.col("n_observed_total"), 6).alias("est_unseen"),
+    )
+
+
+@q("q_german_tank")
+def q_german_tank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """German-tank (serial-number) estimator over the order keys seen in
+    a 1-in-50 audit sample: N̂ = max·(1 + 1/k) − 1 with the UMVU gap
+    logic — estimate the true key-space size from a sample's maximum,
+    the sequence-cardinality trick for estimating table sizes from
+    partial scans. Exact sample max/count; truth column included since
+    the fixture knows it."""
+    o = load_table(spark, sf_dir, "orders")
+    samp = o.where(F.col("o_orderkey") % 50 == 7).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.max("o_orderkey").alias("max_seen"),
+    )
+    truth = o.agg(F.max("o_orderkey").alias("true_max"))
+    j = samp.crossJoin(F.broadcast(truth))
+    nhat = (
+        F.col("max_seen").cast("double")
+        * (1.0 + 1.0 / F.col("k"))
+        - 1.0
+    )
+    return j.select(
+        "k", "max_seen", "true_max",
+        F.round(nhat, 6).alias("n_hat"),
+        F.round(
+            F.abs(nhat - F.col("true_max")) / F.col("true_max"), 6
+        ).alias("rel_err"),
+    )
+
+
+@q("q_missing_mass")
+def q_missing_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing missing mass per language: P₀ = n₁/N (singleton share
+    of token occurrences) estimates how much probability the corpus has
+    NEVER seen — the smoothing/coverage number behind every language
+    model's OOV budget (q_heaps_curve grows vocabulary; this prices the
+    unseen remainder). Exact term-frequency histogram from one scan."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    g = tf.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum((F.col("c") == 1).cast("long")).alias("n_singletons"),
+        F.sum((F.col("c") == 2).cast("long")).alias("n_doubletons"),
+    )
+    return g.select(
+        "lang",
+        F.col("vocab").cast("long").alias("vocab"),
+        "n_tokens",
+        "n_singletons",
+        F.round(
+            F.col("n_singletons").cast("double") / F.col("n_tokens"), 6
+        ).alias("missing_mass_p0"),
+        F.when(
+            F.col("n_doubletons") > 0,
+            F.round(
+                F.col("n_singletons").cast("double") * F.col("n_singletons")
+                / (2.0 * F.col("n_doubletons")),
+                6,
+            ),
+        ).alias("chao1_unseen_vocab"),
+    ).orderBy("lang")
