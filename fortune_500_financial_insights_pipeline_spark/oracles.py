@@ -12036,3 +12036,67 @@ SELECT lang, CAST(vocab AS BIGINT) AS vocab, n_tokens, n_singletons,
                        / (2.0 * n_doubletons), 6) END AS chao1_unseen_vocab
 FROM g ORDER BY lang
 """
+
+
+ORACLES["q_kendall_w"] = f"""
+WITH g AS (
+  SELECT p.p_brand,
+         {_dsum('l_extendedprice')} AS rev,
+         {_dsum('l_quantity')} AS qty,
+         COUNT(DISTINCT l_orderkey) AS n_ord
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand
+), ranked AS (
+  SELECT p_brand,
+         ROW_NUMBER() OVER (ORDER BY rev DESC, p_brand ASC) AS r1,
+         ROW_NUMBER() OVER (ORDER BY qty DESC, p_brand ASC) AS r2,
+         ROW_NUMBER() OVER (ORDER BY n_ord DESC, p_brand ASC) AS r3
+  FROM g
+), sums AS (
+  SELECT p_brand, CAST(r1 + r2 + r3 AS BIGINT) AS rs FROM ranked
+), agg AS (
+  SELECT COUNT(*) AS n, CAST(SUM(rs) AS BIGINT) AS srs,
+         CAST(SUM(rs * rs) AS BIGINT) AS srs2
+  FROM sums
+), dev AS (
+  SELECT CAST(n AS BIGINT) AS n_items, CAST(3 AS BIGINT) AS k_rankings,
+         CAST(srs2 AS DOUBLE) - CAST(srs AS DOUBLE) * srs / n AS s_dev,
+         n
+  FROM agg
+)
+SELECT n_items, k_rankings,
+       ROUND(12.0 * s_dev / (3 * 3 * n_items
+             * (CAST(n_items AS DOUBLE) * n_items - 1)), 6) AS kendall_w
+FROM dev
+"""
+
+ORACLES["q_chi2_residuals"] = """
+WITH cells AS (
+  SELECT o_orderpriority AS x, o_orderstatus AS y, COUNT(*) AS nxy
+  FROM orders GROUP BY 1, 2
+), xt AS (
+  SELECT x, CAST(SUM(nxy) AS BIGINT) AS nx FROM cells GROUP BY x
+), yt AS (
+  SELECT y, CAST(SUM(nxy) AS BIGINT) AS ny FROM cells GROUP BY y
+), nn AS (
+  SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM cells
+), full_c AS (
+  SELECT xt.x, yt.y, xt.nx, yt.ny,
+         CAST(COALESCE(c.nxy, 0) AS BIGINT) AS nxy
+  FROM xt CROSS JOIN yt
+  LEFT JOIN cells c ON xt.x = c.x AND yt.y = c.y
+)
+SELECT x, y, nxy AS observed,
+       ROUND(CAST(nx AS DOUBLE) * ny / n, 6) AS expected,
+       ROUND((CAST(nxy AS DOUBLE) - CAST(nx AS DOUBLE) * ny / n)
+             / sqrt(CAST(nx AS DOUBLE) * ny / n
+                    * (1.0 - CAST(nx AS DOUBLE) / n)
+                    * (1.0 - CAST(ny AS DOUBLE) / n)), 6) AS std_residual,
+       CAST(CASE WHEN ABS((CAST(nxy AS DOUBLE) - CAST(nx AS DOUBLE) * ny / n)
+                 / sqrt(CAST(nx AS DOUBLE) * ny / n
+                        * (1.0 - CAST(nx AS DOUBLE) / n)
+                        * (1.0 - CAST(ny AS DOUBLE) / n))) > 2.0
+                 THEN 1 ELSE 0 END AS INTEGER) AS flag_cell
+FROM full_c CROSS JOIN nn
+ORDER BY x, y
+"""

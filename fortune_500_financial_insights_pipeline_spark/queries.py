@@ -12352,3 +12352,85 @@ def q_missing_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("chao1_unseen_vocab"),
     ).orderBy("lang")
+
+
+@q("q_kendall_w")
+def q_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's W concordance across three brand leaderboards (revenue,
+    volume, order count): do the metrics agree on who's on top?
+    W = 12·S/(k²·n·(n²−1)) over exact integer ranks (each metric's
+    brand ranking, key tiebreak), S the sum of squared deviations of
+    rank sums from their mean — the multi-judge agreement number
+    (q_rbo compares two lists; this scores k of them jointly)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p.select("p_partkey", "p_brand")),
+                li["l_partkey"] == F.col("p_partkey"))
+    g = j.groupBy("p_brand").agg(
+        dsum("l_extendedprice").alias("rev"),
+        dsum("l_quantity").alias("qty"),
+        F.countDistinct("l_orderkey").alias("n_ord"),
+    )
+    ranked = g.select(
+        "p_brand",
+        F.row_number().over(W.orderBy(F.desc("rev"), F.asc("p_brand"))).alias("r1"),
+        F.row_number().over(W.orderBy(F.desc("qty"), F.asc("p_brand"))).alias("r2"),
+        F.row_number().over(W.orderBy(F.desc("n_ord"), F.asc("p_brand"))).alias("r3"),
+    )
+    sums = ranked.select(
+        "p_brand", (F.col("r1") + F.col("r2") + F.col("r3")).cast("long").alias("rs")
+    )
+    k = 3
+    agg = sums.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rs").alias("__srs"),
+        F.sum(F.col("rs") * F.col("rs")).alias("__srs2"),
+    )
+    out = agg.selectExpr(
+        "CAST(n AS BIGINT) AS n_items",
+        f"CAST({k} AS BIGINT) AS k_rankings",
+        # S = Σrs² − (Σrs)²/n, all exact longs into double
+        "CAST(__srs2 AS DOUBLE) - CAST(__srs AS DOUBLE) * __srs / n AS s_dev",
+    ).selectExpr(
+        "n_items",
+        "k_rankings",
+        f"ROUND(12.0D * s_dev / ({k} * {k} * n_items"
+        " * (CAST(n_items AS DOUBLE) * n_items - 1)), 6) AS kendall_w",
+    )
+    return out
+
+
+@q("q_chi2_residuals")
+def q_chi2_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized residuals for the priority × status contingency: per
+    cell (O − E)/√(E·(1−rowshare)·(1−colshare)) with |resid| > 2 flags —
+    WHICH cells drive q_chi2's significance (the post-hoc diagnosis,
+    exactly as q_tukey_hsd follows q_anova). Zero cells restored so
+    every (row, col) combination reports."""
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("x"), F.col("o_orderstatus").alias("y")
+    ).agg(F.count(F.lit(1)).alias("nxy"))
+    xt = cells.groupBy("x").agg(F.sum("nxy").alias("nx"))
+    yt = cells.groupBy("y").agg(F.sum("nxy").alias("ny"))
+    nn = cells.agg(F.sum("nxy").alias("n"))
+    full = (
+        xt.crossJoin(F.broadcast(yt))
+        .join(cells, ["x", "y"], "left")
+        .withColumn("nxy", F.coalesce("nxy", F.lit(0)))
+        .crossJoin(F.broadcast(nn))
+    )
+    e = F.col("nx").cast("double") * F.col("ny") / F.col("n")
+    resid = (F.col("nxy").cast("double") - e) / F.sqrt(
+        e
+        * (1.0 - F.col("nx").cast("double") / F.col("n"))
+        * (1.0 - F.col("ny").cast("double") / F.col("n"))
+    )
+    return full.select(
+        "x",
+        "y",
+        F.col("nxy").cast("long").alias("observed"),
+        F.round(e, 6).alias("expected"),
+        F.round(resid, 6).alias("std_residual"),
+        F.when(F.abs(resid) > 2.0, 1).otherwise(0).cast("int").alias("flag_cell"),
+    ).orderBy("x", "y")
