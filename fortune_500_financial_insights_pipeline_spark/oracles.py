@@ -12100,3 +12100,95 @@ SELECT x, y, nxy AS observed,
 FROM full_c CROSS JOIN nn
 ORDER BY x, y
 """
+
+
+ORACLES["q_cronbach_alpha"] = f"""
+WITH per AS (
+  SELECT user_id,
+         ROUND({_dsum("CASE WHEN event_type = 'click' THEN value ELSE 0.0 END")}, 6) AS v_click,
+         ROUND({_dsum("CASE WHEN event_type = 'error' THEN value ELSE 0.0 END")}, 6) AS v_error,
+         ROUND({_dsum("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END")}, 6) AS v_purchase,
+         ROUND({_dsum("CASE WHEN event_type = 'signup' THEN value ELSE 0.0 END")}, 6) AS v_signup,
+         ROUND({_dsum("CASE WHEN event_type = 'view' THEN value ELSE 0.0 END")}, 6) AS v_view
+  FROM events GROUP BY user_id
+), per2 AS (
+  SELECT *, ROUND(v_click + v_error + v_purchase + v_signup + v_view, 6) AS v_total
+  FROM per
+), mom AS (
+  SELECT COUNT(*) AS n_users,
+         {_dsum('v_click')} AS s_v_click, {_dsum('v_click * v_click')} AS ss_v_click,
+         {_dsum('v_error')} AS s_v_error, {_dsum('v_error * v_error')} AS ss_v_error,
+         {_dsum('v_purchase')} AS s_v_purchase, {_dsum('v_purchase * v_purchase')} AS ss_v_purchase,
+         {_dsum('v_signup')} AS s_v_signup, {_dsum('v_signup * v_signup')} AS ss_v_signup,
+         {_dsum('v_view')} AS s_v_view, {_dsum('v_view * v_view')} AS ss_v_view,
+         {_dsum('v_total')} AS s_v_total, {_dsum('v_total * v_total')} AS ss_v_total
+  FROM per2
+), c AS (
+  SELECT CAST(n_users AS BIGINT) AS n_users, CAST(5 AS BIGINT) AS k_items,
+         (ss_v_click / n_users - (s_v_click / n_users) * (s_v_click / n_users))
+         + (ss_v_error / n_users - (s_v_error / n_users) * (s_v_error / n_users))
+         + (ss_v_purchase / n_users - (s_v_purchase / n_users) * (s_v_purchase / n_users))
+         + (ss_v_signup / n_users - (s_v_signup / n_users) * (s_v_signup / n_users))
+         + (ss_v_view / n_users - (s_v_view / n_users) * (s_v_view / n_users))
+           AS sum_item_var,
+         ss_v_total / n_users - (s_v_total / n_users) * (s_v_total / n_users)
+           AS total_var
+  FROM mom
+)
+SELECT n_users, k_items,
+       ROUND(sum_item_var, 6) AS sum_item_var,
+       ROUND(total_var, 6) AS total_var,
+       ROUND(5.0 / 4.0 * (1.0 - sum_item_var / total_var), 6) AS alpha
+FROM c
+"""
+
+ORACLES["q_kpss"] = f"""
+WITH daily AS (
+  SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS day,
+         ROUND({_dsum('l_extendedprice / 1000.0')}, 6) AS y
+  FROM lineitem GROUP BY strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')
+), mu AS (
+  SELECT ROUND({_dsum('y')} / COUNT(y), 6) AS mu FROM daily
+), e AS (
+  SELECT day, ROUND(y - mu, 6) AS e FROM daily CROSS JOIN mu
+), base AS (
+  SELECT day, e,
+         CAST(SUM(CAST(ROUND(e * 1000000) AS BIGINT))
+              OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE) / 1000000 AS s,
+         LAG(e, 1) OVER (ORDER BY day) AS l1,
+         LAG(e, 2) OVER (ORDER BY day) AS l2,
+         LAG(e, 3) OVER (ORDER BY day) AS l3,
+         LAG(e, 4) OVER (ORDER BY day) AS l4,
+         LAG(e, 5) OVER (ORDER BY day) AS l5,
+         LAG(e, 6) OVER (ORDER BY day) AS l6,
+         LAG(e, 7) OVER (ORDER BY day) AS l7
+  FROM e
+), gam AS (
+  SELECT COUNT(*) AS n,
+         {_dsum('(s / 1000.0) * (s / 1000.0)')} AS ss_k,
+         {_dsum('e * e')} AS g0,
+         {_dsum('e * COALESCE(l1, 0.0)')} AS g1,
+         {_dsum('e * COALESCE(l2, 0.0)')} AS g2,
+         {_dsum('e * COALESCE(l3, 0.0)')} AS g3,
+         {_dsum('e * COALESCE(l4, 0.0)')} AS g4,
+         {_dsum('e * COALESCE(l5, 0.0)')} AS g5,
+         {_dsum('e * COALESCE(l6, 0.0)')} AS g6,
+         {_dsum('e * COALESCE(l7, 0.0)')} AS g7
+  FROM base
+), fin AS (
+  SELECT CAST(n AS BIGINT) AS n_days,
+         ss_k * 1000000.0 AS ss,
+         g0 / n + 2.0 * (1.0 - 1 / 8.0) * (g1 / n) + 2.0 * (1.0 - 2 / 8.0) * (g2 / n)
+              + 2.0 * (1.0 - 3 / 8.0) * (g3 / n) + 2.0 * (1.0 - 4 / 8.0) * (g4 / n)
+              + 2.0 * (1.0 - 5 / 8.0) * (g5 / n) + 2.0 * (1.0 - 6 / 8.0) * (g6 / n)
+              + 2.0 * (1.0 - 7 / 8.0) * (g7 / n) AS s2_lr
+  FROM gam
+)
+SELECT n_days,
+       ROUND(s2_lr, 6) AS longrun_var,
+       ROUND(ss / (CAST(n_days AS DOUBLE) * n_days) / s2_lr, 6) AS kpss_stat,
+       CAST(CASE WHEN ss / (CAST(n_days AS DOUBLE) * n_days) / s2_lr > 0.463
+            THEN 1 ELSE 0 END AS INTEGER) AS flag_nonstationary
+FROM fin
+"""

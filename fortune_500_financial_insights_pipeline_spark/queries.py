@@ -12434,3 +12434,102 @@ def q_chi2_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(resid, 6).alias("std_residual"),
         F.when(F.abs(resid) > 2.0, 1).otherwise(0).cast("int").alias("flag_cell"),
     ).orderBy("x", "y")
+
+
+@q("q_cronbach_alpha")
+def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha over the five per-user event-type spends as scale
+    items: α = k/(k−1)·(1 − Σσᵢ²/σ²_total) — do the "items" measure one
+    underlying engagement trait (the internal-consistency companion to
+    q_icc's group reliability). Item and total variances from one exact
+    moment pass over the user × item grid (missing items are true
+    zeros)."""
+    e = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    per = e.groupBy("user_id").agg(
+        *[
+            F.round(
+                dsum(F.when(F.col("event_type") == t, F.col("value")).otherwise(0.0)), 6
+            ).alias(f"v_{t}")
+            for t in types
+        ]
+    )
+    tot_expr = None
+    for t in types:
+        c = F.col(f"v_{t}")
+        tot_expr = c if tot_expr is None else tot_expr + c
+    per = per.withColumn("v_total", F.round(tot_expr, 6))
+    aggs = [F.count(F.lit(1)).alias("n_users")]
+    for c in [f"v_{t}" for t in types] + ["v_total"]:
+        aggs.append(dsum(c).alias(f"s_{c}"))
+        aggs.append(dsum(F.col(c) * F.col(c)).alias(f"ss_{c}"))
+    mom = per.agg(*aggs)
+    var_parts = " + ".join(
+        f"(ss_v_{t} / n_users - (s_v_{t} / n_users) * (s_v_{t} / n_users))"
+        for t in types
+    )
+    out = mom.selectExpr(
+        "CAST(n_users AS BIGINT) AS n_users",
+        "CAST(5 AS BIGINT) AS k_items",
+        f"{var_parts} AS sum_item_var",
+        "ss_v_total / n_users - (s_v_total / n_users) * (s_v_total / n_users)"
+        " AS total_var",
+    ).selectExpr(
+        "n_users",
+        "k_items",
+        "ROUND(sum_item_var, 6) AS sum_item_var",
+        "ROUND(total_var, 6) AS total_var",
+        "ROUND(5.0D / 4.0D * (1.0D - sum_item_var / total_var), 6) AS alpha",
+    )
+    return out
+
+
+@q("q_kpss")
+def q_kpss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS level-stationarity test on the kilo-scaled daily revenue:
+    partial sums of demeaned values against a Bartlett long-run variance
+    (lags 1..7, weights 1 − j/8), statistic Σ S_t²/(n²·σ̂²_lr) vs the 5%
+    literal 0.463 — the null here is STATIONARY (opposite orientation to
+    unit-root tests), closing the trend-diagnosis trio with q_hurst and
+    q_mann_kendall. Partial sums are exact fixed-point cumsums; the S²
+    fold runs kilo²-scaled to stay inside the ceiling."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.date_format("l_shipdate", "yyyy-MM-dd").alias("day")).agg(
+        F.round(dsum(F.col("l_extendedprice") / 1000.0), 6).alias("y")
+    )
+    mu = daily.agg(F.round(davg("y"), 6).alias("__mu"))
+    wd = W.orderBy("day")
+    e = daily.crossJoin(F.broadcast(mu)).select(
+        "day",
+        F.round(F.col("y") - F.col("__mu"), 6).alias("e"),
+    )
+    from fortune_500_financial_insights_pipeline_spark.functions.deterministic import dsum_w
+
+    base = e.select(
+        "day",
+        "e",
+        dsum_w("e", wd.rowsBetween(W.unboundedPreceding, 0)).alias("s"),
+        *[F.lag("e", j).over(wd).alias(f"l{j}") for j in range(1, 8)],
+    )
+    gam = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum((F.col("s") / 1000.0) * (F.col("s") / 1000.0)).alias("__ss_k"),
+        dsum(F.col("e") * F.col("e")).alias("g0"),
+        *[
+            dsum(F.col("e") * F.coalesce(F.col(f"l{j}"), F.lit(0.0))).alias(f"g{j}")
+            for j in range(1, 8)
+        ],
+    )
+    lr = " + ".join(f"2.0D * (1.0D - {j} / 8.0D) * (g{j} / n)" for j in range(1, 8))
+    out = gam.selectExpr(
+        "CAST(n AS BIGINT) AS n_days",
+        "__ss_k * 1000000.0D AS ss",
+        f"g0 / n + {lr} AS s2_lr",
+    ).selectExpr(
+        "n_days",
+        "ROUND(s2_lr, 6) AS longrun_var",
+        "ROUND(ss / (CAST(n_days AS DOUBLE) * n_days) / s2_lr, 6) AS kpss_stat",
+        "CAST(CASE WHEN ss / (CAST(n_days AS DOUBLE) * n_days) / s2_lr > 0.463D"
+        " THEN 1 ELSE 0 END AS INT) AS flag_nonstationary",
+    )
+    return out
