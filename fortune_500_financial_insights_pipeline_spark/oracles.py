@@ -12192,3 +12192,73 @@ SELECT n_days,
             THEN 1 ELSE 0 END AS INTEGER) AS flag_nonstationary
 FROM fin
 """
+
+
+ORACLES["q_brier_decomposition"] = f"""
+WITH {_SCORED_LABELED_CTE},
+binned AS (
+  SELECT LEAST(CAST(FLOOR(prob * 10) AS INTEGER), 9) AS bin,
+         COUNT(*) AS nk,
+         {_dsum('prob')} AS sp,
+         CAST(SUM(y) AS BIGINT) AS sy
+  FROM labeled GROUP BY 1
+), tot AS (
+  SELECT COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS ny,
+         {_dsum('(prob - y) * (prob - y)')} AS bs
+  FROM labeled
+), parts AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n,
+         ROUND(MAX(bs / n), 6) AS brier,
+         ROUND({_dsum('nk * (sp / nk - CAST(sy AS DOUBLE) / nk) * (sp / nk - CAST(sy AS DOUBLE) / nk)')}
+               / MAX(n), 6) AS reliability,
+         ROUND({_dsum('nk * (CAST(sy AS DOUBLE) / nk - CAST(ny AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / nk - CAST(ny AS DOUBLE) / n)')}
+               / MAX(n), 6) AS resolution,
+         ROUND(MAX(CAST(ny AS DOUBLE) / n * (1.0 - CAST(ny AS DOUBLE) / n)), 6)
+           AS uncertainty,
+         ROUND({_dsum('nk * ABS(sp / nk - CAST(sy AS DOUBLE) / nk)')} / MAX(n), 6) AS ece
+  FROM binned CROSS JOIN tot
+)
+SELECT n, brier, reliability, resolution, uncertainty, ece,
+       ROUND(brier - (reliability - resolution + uncertainty), 6) AS decomposition_gap
+FROM parts
+"""
+
+ORACLES["q_qini"] = """
+WITH per AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-08' THEN 1 ELSE 0 END) AS BIGINT)
+           AS score,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS resp,
+         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treated
+  FROM events GROUP BY user_id
+), dec AS (
+  SELECT treated, resp,
+         NTILE(10) OVER (ORDER BY score DESC, user_id ASC) AS decile
+  FROM per
+), g AS (
+  SELECT decile,
+         CAST(SUM(treated) AS BIGINT) AS nt,
+         CAST(SUM(1 - treated) AS BIGINT) AS nc,
+         CAST(SUM(treated * resp) AS BIGINT) AS rt,
+         CAST(SUM((1 - treated) * resp) AS BIGINT) AS rc
+  FROM dec GROUP BY decile
+), cum AS (
+  SELECT decile,
+         CAST(SUM(nt) OVER w AS BIGINT) AS cum_nt,
+         CAST(SUM(nc) OVER w AS BIGINT) AS cum_nc,
+         CAST(SUM(rt) OVER w AS BIGINT) AS cum_rt,
+         CAST(SUM(rc) OVER w AS BIGINT) AS cum_rc
+  FROM g
+  WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), last AS (
+  SELECT CAST(cum_rt AS DOUBLE) - CAST(cum_rc AS DOUBLE) * cum_nt / cum_nc AS total_qini
+  FROM cum ORDER BY decile DESC LIMIT 1
+)
+SELECT CAST(decile AS INTEGER) AS decile, cum_nt, cum_nc,
+       ROUND(CAST(cum_rt AS DOUBLE) - CAST(cum_rc AS DOUBLE) * cum_nt / cum_nc, 6) AS qini,
+       ROUND(total_qini * decile / 10.0, 6) AS random_baseline,
+       ROUND((CAST(cum_rt AS DOUBLE) - CAST(cum_rc AS DOUBLE) * cum_nt / cum_nc)
+             - total_qini * decile / 10.0, 6) AS qini_above_random
+FROM cum CROSS JOIN last
+ORDER BY decile
+"""

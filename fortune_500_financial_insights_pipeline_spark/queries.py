@@ -12533,3 +12533,107 @@ def q_kpss(spark: SparkSession, sf_dir: str) -> DataFrame:
         " THEN 1 ELSE 0 END AS INT) AS flag_nonstationary",
     )
     return out
+
+
+@q("q_brier_decomposition")
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the classifier's Brier score over 10
+    probability bins: BS alongside reliability (calibration error),
+    resolution (useful separation), uncertainty ȳ(1−ȳ), and the expected
+    calibration error Σnₖ|p̄ₖ−ȳₖ|/n — WHY the score is what it is, where
+    q_calibration only plots the bins and q_auc only ranks. One binned
+    aggregate over the shared scored frame; bin terms fold fixed-point."""
+    lab = _scored_labeled_docs(spark, sf_dir)
+    b = F.least(F.floor(F.col("prob") * 10).cast("int"), F.lit(9))
+    binned = lab.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("nk"),
+        dsum("prob").alias("sp"),
+        F.sum("label").cast("long").alias("sy"),
+    )
+    tot = lab.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("label").cast("long").alias("ny"),
+        dsum(
+            (F.col("prob") - F.col("label")) * (F.col("prob") - F.col("label"))
+        ).alias("__bs"),
+    )
+    j = binned.crossJoin(F.broadcast(tot))
+    pk = F.col("sp") / F.col("nk")
+    yk = F.col("sy").cast("double") / F.col("nk")
+    yb = F.col("ny").cast("double") / F.col("n")
+    parts = j.agg(
+        F.max("n").cast("long").alias("n"),
+        F.round(F.max(F.col("__bs") / F.col("n")), 6).alias("brier"),
+        F.round(dsum(F.col("nk") * (pk - yk) * (pk - yk)) / F.max("n"), 6).alias(
+            "reliability"
+        ),
+        F.round(dsum(F.col("nk") * (yk - yb) * (yk - yb)) / F.max("n"), 6).alias(
+            "resolution"
+        ),
+        F.round(F.max(yb * (1.0 - yb)), 6).alias("uncertainty"),
+        F.round(dsum(F.col("nk") * F.abs(pk - yk)) / F.max("n"), 6).alias("ece"),
+    )
+    return parts.selectExpr(
+        "n", "brier", "reliability", "resolution", "uncertainty", "ece",
+        # within-bin probability variance makes the binned identity
+        # approximate; the gap quantifies it
+        "ROUND(brier - (reliability - resolution + uncertainty), 6) AS decomposition_gap",
+    )
+
+
+@q("q_qini")
+def q_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini curve for uplift targeting: users ranked by week-1 activity
+    (the targeting score), treated = even ids, and per score-decile the
+    cumulative incremental responders qini = cumRespₜ − cumResp_c ·
+    (cumNₜ/cumN_c) against the proportional random baseline — does the
+    score find the persuadables (the causal-EVAL artifact beside
+    q_psm_att's estimate). Exact counts; ntile with key tiebreak."""
+    e = load_table(spark, sf_dir, "events")
+    w1 = F.lit("2024-01-08 00:00:00").cast("timestamp")
+    per = e.groupBy("user_id").agg(
+        F.sum((F.col("ts") < w1).cast("long")).alias("score"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("resp"),
+    ).withColumn("treated", (F.col("user_id") % 2 == 0).cast("int"))
+    dec = per.select(
+        "treated", "resp",
+        F.ntile(10).over(W.orderBy(F.desc("score"), F.asc("user_id"))).alias("decile"),
+    )
+    g = dec.groupBy("decile").agg(
+        F.sum("treated").cast("long").alias("nt"),
+        F.sum(F.lit(1) - F.col("treated")).cast("long").alias("nc"),
+        F.sum(F.col("treated") * F.col("resp")).cast("long").alias("rt"),
+        F.sum((F.lit(1) - F.col("treated")) * F.col("resp")).cast("long").alias("rc"),
+    )
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    cum = g.select(
+        "decile",
+        F.sum("nt").over(wc).cast("long").alias("cum_nt"),
+        F.sum("nc").over(wc).cast("long").alias("cum_nc"),
+        F.sum("rt").over(wc).cast("long").alias("cum_rt"),
+        F.sum("rc").over(wc).cast("long").alias("cum_rc"),
+    )
+    qini = (
+        F.col("cum_rt").cast("double")
+        - F.col("cum_rc").cast("double") * F.col("cum_nt") / F.col("cum_nc")
+    )
+    last = cum.orderBy(F.desc("decile")).limit(1).select(
+        (
+            F.col("cum_rt").cast("double")
+            - F.col("cum_rc").cast("double") * F.col("cum_nt") / F.col("cum_nc")
+        ).alias("__total_qini")
+    )
+    return (
+        cum.crossJoin(F.broadcast(last))
+        .select(
+            "decile", "cum_nt", "cum_nc",
+            F.round(qini, 6).alias("qini"),
+            F.round(F.col("__total_qini") * F.col("decile") / 10.0, 6).alias(
+                "random_baseline"
+            ),
+            F.round(
+                qini - F.col("__total_qini") * F.col("decile") / 10.0, 6
+            ).alias("qini_above_random"),
+        )
+        .orderBy("decile")
+    )
