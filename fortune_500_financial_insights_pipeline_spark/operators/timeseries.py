@@ -691,3 +691,78 @@ def croston(
         F.round(F.col("__st.p"), 6).alias("interval_est"),
         F.round(F.col("__st.z") / F.col("__st.p"), 6).alias("demand_rate"),
     )
+
+
+def holt_winters_additive(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    period: int = 7,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+) -> DataFrame:
+    """Additive Holt-Winters (level + trend + rotating seasonal queue) as
+    ONE exact array fold: the seasonal state is a ``period``-long queue
+    (head = the index due NOW), every update rounds to 1e-6, so the
+    triple recursion l/b/s is replayable bit-for-bit by a recursive-CTE
+    oracle carrying a LIST column.  Init: l₀ = mean of cycle 1, b₀ =
+    (mean cycle 2 − mean cycle 1)/period, s = first-cycle deviations;
+    the fold starts at t = period+1.  Returns final state + the 1-step
+    forecast l + b + s_head.
+
+    Scale note: the fold is a single-series reduction — at 100 TB this
+    runs per KEY after a groupBy (state = period+2 doubles), exactly the
+    shape applyInPandasWithState keeps for the streaming twin."""
+    arr = df.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(value_col).alias("x")))
+        ).alias("__sv")
+    ).withColumn("__xs", F.expr("transform(__sv, s -> s.x)")).where(
+        F.size("__xs") >= 2 * period + 1
+    )
+    a, b_, g, m = float(alpha), float(beta), float(gamma), int(period)
+    # cycle means from EXACT integer micro-unit sums (a float fold's
+    # addition order would differ cross-engine at the last ulp)
+    init = (
+        f"CAST(round(CAST(aggregate(slice(__xs, 1, {m}), CAST(0 AS BIGINT),"
+        f" (acc, v) -> acc + CAST(round(v * 1000000) AS BIGINT)) AS DOUBLE)"
+        f" / {m}) AS DOUBLE) / 1000000"
+    )
+    init2 = (
+        f"CAST(round(CAST(aggregate(slice(__xs, {m + 1}, {m}), CAST(0 AS BIGINT),"
+        f" (acc, v) -> acc + CAST(round(v * 1000000) AS BIGINT)) AS DOUBLE)"
+        f" / {m}) AS DOUBLE) / 1000000"
+    )
+    fold = F.expr(
+        f"""aggregate(
+              sequence({m} + 1, size(__xs)),
+              named_struct(
+                'l', {init},
+                'b', CAST(round(({init2} - {init}) / {m} * 1000000) AS DOUBLE) / 1000000,
+                's', transform(slice(__xs, 1, {m}),
+                               v -> CAST(round((v - {init}) * 1000000) AS DOUBLE) / 1000000),
+                'n', {m}),
+              (acc, t) -> named_struct(
+                'l', CAST(round(({a} * (element_at(__xs, t) - element_at(acc.s, 1))
+                                 + (1 - {a}) * (acc.l + acc.b)) * 1000000) AS DOUBLE) / 1000000,
+                'b', CAST(round(({b_} * ((CAST(round(({a} * (element_at(__xs, t) - element_at(acc.s, 1))
+                                 + (1 - {a}) * (acc.l + acc.b)) * 1000000) AS DOUBLE) / 1000000) - acc.l)
+                                 + (1 - {b_}) * acc.b) * 1000000) AS DOUBLE) / 1000000,
+                's', concat(slice(acc.s, 2, {m} - 1),
+                            array(CAST(round(({g} * (element_at(__xs, t)
+                                 - (CAST(round(({a} * (element_at(__xs, t) - element_at(acc.s, 1))
+                                 + (1 - {a}) * (acc.l + acc.b)) * 1000000) AS DOUBLE) / 1000000))
+                                 + (1 - {g}) * element_at(acc.s, 1)) * 1000000) AS DOUBLE) / 1000000)),
+                'n', acc.n + 1))"""
+    )
+    out = arr.withColumn("__st", fold)
+    return out.select(
+        F.col("__st.n").cast("long").alias("n_obs"),
+        F.round(F.col("__st.l"), 6).alias("level"),
+        F.round(F.col("__st.b"), 6).alias("trend"),
+        F.round(F.expr("element_at(__st.s, 1)"), 6).alias("season_next"),
+        F.round(
+            F.col("__st.l") + F.col("__st.b") + F.expr("element_at(__st.s, 1)"), 6
+        ).alias("forecast_next"),
+    )

@@ -12262,3 +12262,49 @@ SELECT CAST(decile AS INTEGER) AS decile, cum_nt, cum_nc,
 FROM cum CROSS JOIN last
 ORDER BY decile
 """
+
+
+ORACLES["q_holt_winters"] = f"""
+WITH RECURSIVE daily AS (
+  SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS day,
+         ROUND({_dsum('l_extendedprice / 1000.0')}, 6) AS y
+  FROM lineitem WHERE year(l_shipdate) = 1998
+  GROUP BY strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')
+), s0 AS (
+  SELECT day, y, ROW_NUMBER() OVER (ORDER BY day) AS rn, COUNT(*) OVER () AS n
+  FROM daily
+), init AS (
+  SELECT CAST(ROUND(CAST((SELECT SUM(CAST(ROUND(y * 1000000) AS BIGINT))
+                          FROM s0 WHERE rn <= 7) AS DOUBLE) / 7) AS DOUBLE) / 1000000 AS l0,
+         CAST(ROUND((CAST(ROUND(CAST((SELECT SUM(CAST(ROUND(y * 1000000) AS BIGINT))
+                                      FROM s0 WHERE rn > 7 AND rn <= 14) AS DOUBLE) / 7)
+                          AS DOUBLE) / 1000000
+                     - CAST(ROUND(CAST((SELECT SUM(CAST(ROUND(y * 1000000) AS BIGINT))
+                                        FROM s0 WHERE rn <= 7) AS DOUBLE) / 7)
+                            AS DOUBLE) / 1000000) / 7 * 1000000) AS DOUBLE) / 1000000 AS b0
+), r(rn, l, b, s) AS (
+  SELECT 7, l0, b0,
+         (SELECT list(CAST(ROUND((y - init.l0) * 1000000) AS DOUBLE) / 1000000
+                      ORDER BY rn)
+          FROM s0 WHERE rn <= 7)
+  FROM init
+  UNION ALL
+  SELECT r.rn + 1,
+         CAST(ROUND((0.3 * (d.y - r.s[1]) + (1 - 0.3) * (r.l + r.b)) * 1000000)
+              AS DOUBLE) / 1000000,
+         CAST(ROUND((0.1 * ((CAST(ROUND((0.3 * (d.y - r.s[1]) + (1 - 0.3) * (r.l + r.b))
+                                        * 1000000) AS DOUBLE) / 1000000) - r.l)
+                     + (1 - 0.1) * r.b) * 1000000) AS DOUBLE) / 1000000,
+         r.s[2:7] || [CAST(ROUND((0.2 * (d.y
+                      - (CAST(ROUND((0.3 * (d.y - r.s[1]) + (1 - 0.3) * (r.l + r.b))
+                                    * 1000000) AS DOUBLE) / 1000000))
+                      + (1 - 0.2) * r.s[1]) * 1000000) AS DOUBLE) / 1000000]
+  FROM r JOIN s0 d ON d.rn = r.rn + 1
+)
+SELECT CAST(r.rn AS BIGINT) AS n_obs,
+       ROUND(r.l, 6) AS level,
+       ROUND(r.b, 6) AS trend,
+       ROUND(r.s[1], 6) AS season_next,
+       ROUND(r.l + r.b + r.s[1], 6) AS forecast_next
+FROM r JOIN (SELECT MAX(rn) AS mx FROM s0) t ON r.rn = t.mx
+"""

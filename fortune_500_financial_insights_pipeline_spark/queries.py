@@ -12637,3 +12637,25 @@ def q_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@q("q_holt_winters")
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (operators/timeseries.holt_winters_additive,
+    α=0.3 β=0.1 γ=0.2, weekly period) on the kilo-scaled daily revenue:
+    level + trend + a rotating 7-slot seasonal queue folded exactly
+    (per-step round-6, exact-integer init means), next-day forecast
+    l + b + s_head — the full seasonal smoother completing the q_ewma →
+    q_holt ladder, with the oracle replaying the triple recursion as a
+    recursive CTE carrying a LIST column."""
+    from fortune_500_financial_insights_pipeline_spark.operators.timeseries import (
+        holt_winters_additive,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.year("l_shipdate") == 1998)
+    daily = li.groupBy(F.date_format("l_shipdate", "yyyy-MM-dd").alias("day")).agg(
+        F.round(dsum(F.col("l_extendedprice") / 1000.0), 6).alias("y")
+    )
+    # one fiscal year (<= 365 fold steps) keeps the recursive-CTE oracle
+    # inside the driver's per-query budget
+    return holt_winters_additive(daily, "day", "y", period=7, alpha=0.3, beta=0.1, gamma=0.2)
