@@ -12308,3 +12308,79 @@ SELECT CAST(r.rn AS BIGINT) AS n_obs,
        ROUND(r.l + r.b + r.s[1], 6) AS forecast_next
 FROM r JOIN (SELECT MAX(rn) AS mx FROM s0) t ON r.rn = t.mx
 """
+
+
+ORACLES["q_mcnemar"] = """
+WITH scored AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS truth,
+         CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                    t -> list_contains(['the','a','of','and','to','in','is','on','for','with'], t)))
+              AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.05
+              THEN 1 ELSE 0 END AS ra,
+         CASE WHEN CAST(length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) AS DOUBLE)
+                   / NULLIF(length(text), 0) >= 0.99
+              THEN 1 ELSE 0 END AS rb
+  FROM documents
+), ok AS (
+  SELECT CASE WHEN ra = truth THEN 1 ELSE 0 END AS ok_a,
+         CASE WHEN rb = truth THEN 1 ELSE 0 END AS ok_b
+  FROM scored
+), g AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CASE WHEN ok_a = 1 AND ok_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN ok_a = 0 AND ok_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN ok_a = 1 AND ok_b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS both_right
+  FROM ok
+)
+SELECT CAST(n AS BIGINT) AS n, both_right, b, c,
+       ROUND((CAST(ABS(b - c) AS DOUBLE) - 1.0) * (CAST(ABS(b - c) AS DOUBLE) - 1.0)
+             / CAST(b + c AS DOUBLE), 6) AS mcnemar_chi2,
+       CAST(CASE WHEN (CAST(ABS(b - c) AS DOUBLE) - 1.0)
+                      * (CAST(ABS(b - c) AS DOUBLE) - 1.0)
+                      / CAST(b + c AS DOUBLE) > 3.841
+                 THEN 1 ELSE 0 END AS INTEGER) AS flag_different
+FROM g
+"""
+
+ORACLES["q_cochran_q"] = """
+WITH med AS (
+  SELECT ROUND(quantile_cont(CAST(length(text) AS DOUBLE), 0.5), 6) AS med
+  FROM documents
+), scored AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS truth,
+         CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                    t -> list_contains(['the','a','of','and','to','in','is','on','for','with'], t)))
+              AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.05
+              THEN 1 ELSE 0 END AS ra,
+         CASE WHEN CAST(length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) AS DOUBLE)
+                   / NULLIF(length(text), 0) >= 0.99
+              THEN 1 ELSE 0 END AS rb,
+         CASE WHEN CAST(length(text) AS DOUBLE) >= med THEN 1 ELSE 0 END AS rc
+  FROM documents CROSS JOIN med
+), x AS (
+  SELECT CAST(CASE WHEN ra = truth THEN 1 ELSE 0 END AS BIGINT) AS x1,
+         CAST(CASE WHEN rb = truth THEN 1 ELSE 0 END AS BIGINT) AS x2,
+         CAST(CASE WHEN rc = truth THEN 1 ELSE 0 END AS BIGINT) AS x3
+  FROM scored
+), g AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x1) AS BIGINT) AS g1, CAST(SUM(x2) AS BIGINT) AS g2,
+         CAST(SUM(x3) AS BIGINT) AS g3,
+         CAST(SUM(x1 + x2 + x3) AS BIGINT) AS t,
+         CAST(SUM((x1 + x2 + x3) * (x1 + x2 + x3)) AS BIGINT) AS l2
+  FROM x
+), q AS (
+  SELECT CAST(n AS BIGINT) AS n_docs, g1 AS right_stopword, g2 AS right_ascii,
+         g3 AS right_length,
+         3.0 * 2.0 * ((CAST(g1 AS DOUBLE) - CAST(t AS DOUBLE) / 3) * (CAST(g1 AS DOUBLE) - CAST(t AS DOUBLE) / 3)
+           + (CAST(g2 AS DOUBLE) - CAST(t AS DOUBLE) / 3) * (CAST(g2 AS DOUBLE) - CAST(t AS DOUBLE) / 3)
+           + (CAST(g3 AS DOUBLE) - CAST(t AS DOUBLE) / 3) * (CAST(g3 AS DOUBLE) - CAST(t AS DOUBLE) / 3))
+           / (3.0 * t - l2) AS q_raw
+  FROM g
+)
+SELECT n_docs, right_stopword, right_ascii, right_length,
+       ROUND(q_raw, 6) AS cochran_q,
+       CAST(CASE WHEN q_raw > 5.991 THEN 1 ELSE 0 END AS INTEGER) AS flag_differ
+FROM q
+"""

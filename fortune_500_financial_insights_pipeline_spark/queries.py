@@ -12659,3 +12659,97 @@ def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one fiscal year (<= 365 fold steps) keeps the recursive-CTE oracle
     # inside the driver's per-query budget
     return holt_winters_additive(daily, "day", "y", period=7, alpha=0.3, beta=0.1, gamma=0.2)
+
+
+@q("q_mcnemar")
+def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test comparing the stopword and ASCII language
+    raters against the truth ON THE SAME documents: only the discordant
+    cells matter (b = stopword right / ascii wrong, c = the reverse),
+    χ² = (|b−c|−1)²/(b+c) with continuity correction — the is-one-
+    classifier-actually-better test that unpaired accuracy comparison
+    gets wrong (q_cohen_kappa asks if they agree; this asks who wins).
+    Exact counts from one scan."""
+    d = load_table(spark, sf_dir, "documents")
+    stop = F.array([F.lit(w) for w in
+                    ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]])
+    toks = F.split("text", " ")
+    score = F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast(
+        "double"
+    ) / F.size(toks)
+    rater_a = (score >= 0.05).cast("int")
+    ascii_share = F.length(
+        F.regexp_replace(F.col("text"), "[^\\x00-\\x7F]", "")
+    ).cast("double") / F.nullif(F.length("text"), F.lit(0))
+    rater_b = F.when(ascii_share >= 0.99, 1).otherwise(0)
+    truth = (F.col("lang") == "en").cast("int")
+    ok_a = (rater_a == truth).cast("int")
+    ok_b = (rater_b == truth).cast("int")
+    g = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(((ok_a == 1) & (ok_b == 0)).cast("long")).alias("b"),
+        F.sum(((ok_a == 0) & (ok_b == 1)).cast("long")).alias("c"),
+        F.sum(((ok_a == 1) & (ok_b == 1)).cast("long")).alias("both_right"),
+    )
+    chi = (F.abs(F.col("b") - F.col("c")).cast("double") - 1.0) * (
+        F.abs(F.col("b") - F.col("c")).cast("double") - 1.0
+    ) / (F.col("b") + F.col("c")).cast("double")
+    return g.select(
+        "n", "both_right", "b", "c",
+        F.round(chi, 6).alias("mcnemar_chi2"),
+        F.when(chi > 3.841, 1).otherwise(0).cast("int").alias("flag_different"),
+    )
+
+
+@q("q_cochran_q")
+def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q across THREE binary raters (stopword, ASCII share,
+    length-over-median rule) scored right/wrong per document: Q =
+    k(k−1)·Σ(G_j − T/k)² / (k·T − ΣL²) — do ANY of the k classifiers
+    differ, the k-rater gate before pairwise q_mcnemar follow-ups
+    (exactly the ANOVA → Tukey discipline, binary edition). Exact
+    integer column/row totals; χ²(2) cut 5.991."""
+    d = load_table(spark, sf_dir, "documents")
+    stop = F.array([F.lit(w) for w in
+                    ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]])
+    toks = F.split("text", " ")
+    score = F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast(
+        "double"
+    ) / F.size(toks)
+    rater_a = (score >= 0.05).cast("int")
+    ascii_share = F.length(
+        F.regexp_replace(F.col("text"), "[^\\x00-\\x7F]", "")
+    ).cast("double") / F.nullif(F.length("text"), F.lit(0))
+    rater_b = F.when(ascii_share >= 0.99, 1).otherwise(0)
+    med = d.agg(F.round(F.percentile(F.length("text"), F.lit(0.5)), 6).alias("__med"))
+    base = d.crossJoin(F.broadcast(med))
+    rater_c = (F.length("text").cast("double") >= F.col("__med")).cast("int")
+    truth = (F.col("lang") == "en").cast("int")
+    scored = base.select(
+        (rater_a == truth).cast("long").alias("x1"),
+        (rater_b == truth).cast("long").alias("x2"),
+        (rater_c == truth).cast("long").alias("x3"),
+    ).withColumn("li", F.col("x1") + F.col("x2") + F.col("x3"))
+    g = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("g1"),
+        F.sum("x2").alias("g2"),
+        F.sum("x3").alias("g3"),
+        F.sum("li").alias("t"),
+        F.sum(F.col("li") * F.col("li")).alias("l2"),
+    )
+    out = g.selectExpr(
+        "CAST(n AS BIGINT) AS n_docs",
+        "CAST(g1 AS BIGINT) AS right_stopword",
+        "CAST(g2 AS BIGINT) AS right_ascii",
+        "CAST(g3 AS BIGINT) AS right_length",
+        "3.0D * 2.0D * ((CAST(g1 AS DOUBLE) - CAST(t AS DOUBLE) / 3) * (CAST(g1 AS DOUBLE) - CAST(t AS DOUBLE) / 3)"
+        " + (CAST(g2 AS DOUBLE) - CAST(t AS DOUBLE) / 3) * (CAST(g2 AS DOUBLE) - CAST(t AS DOUBLE) / 3)"
+        " + (CAST(g3 AS DOUBLE) - CAST(t AS DOUBLE) / 3) * (CAST(g3 AS DOUBLE) - CAST(t AS DOUBLE) / 3))"
+        " / (3.0D * t - l2) AS q_raw",
+    ).selectExpr(
+        "n_docs", "right_stopword", "right_ascii", "right_length",
+        "ROUND(q_raw, 6) AS cochran_q",
+        "CAST(CASE WHEN q_raw > 5.991D THEN 1 ELSE 0 END AS INT) AS flag_differ",
+    )
+    return out
