@@ -12384,3 +12384,55 @@ SELECT n_docs, right_stopword, right_ascii, right_length,
        CAST(CASE WHEN q_raw > 5.991 THEN 1 ELSE 0 END AS INTEGER) AS flag_differ
 FROM q
 """
+
+
+ORACLES["q_partition_pruning_gain"] = """
+WITH monthly AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS m, COUNT(*) AS n_rows
+  FROM orders GROUP BY strftime(o_orderdate, '%Y-%m')
+), preds(pred, lo, hi) AS (
+  VALUES ('one_week', TIMESTAMP '1997-03-10', TIMESTAMP '1997-03-17'),
+         ('one_quarter', TIMESTAMP '1996-01-01', TIMESTAMP '1996-04-01'),
+         ('two_years', TIMESTAMP '1995-01-01', TIMESTAMP '1997-01-01')
+), tot AS (
+  SELECT COUNT(*) AS full_n FROM orders
+), scanned AS (
+  SELECT pred, CAST(SUM(n_rows) AS BIGINT) AS rows_scanned
+  FROM monthly CROSS JOIN preds
+  WHERE m >= strftime(lo, '%Y-%m') AND m <= strftime(hi, '%Y-%m')
+  GROUP BY pred
+), exact AS (
+  SELECT pred, COUNT(*) AS rows_selected
+  FROM orders CROSS JOIN preds
+  WHERE o_orderdate >= lo AND o_orderdate < hi
+  GROUP BY pred
+)
+SELECT s.pred, s.rows_scanned, CAST(e.rows_selected AS BIGINT) AS rows_selected,
+       CAST(t.full_n AS BIGINT) AS rows_full_scan,
+       ROUND(CAST(s.rows_scanned AS DOUBLE) / t.full_n, 6) AS scan_fraction,
+       ROUND(CAST(e.rows_selected AS DOUBLE) / s.rows_scanned, 6) AS scan_precision
+FROM scanned s JOIN exact e ON s.pred = e.pred CROSS JOIN tot t
+ORDER BY s.pred
+"""
+
+ORACLES["q_bloom_sizing"] = """
+WITH base AS (
+  SELECT 'orders.o_custkey' AS key_col,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct FROM orders
+  UNION ALL
+  SELECT 'lineitem.l_orderkey', CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT 'lineitem.l_partkey', CAST(COUNT(DISTINCT l_partkey) AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT 'customer.c_custkey', CAST(COUNT(DISTINCT c_custkey) AS BIGINT) FROM customer
+), m AS (
+  SELECT key_col, n_distinct,
+         -(CAST(n_distinct AS DOUBLE) * ln(0.01)) / (ln(2.0) * ln(2.0)) AS m_bits_raw
+  FROM base
+)
+SELECT key_col, n_distinct,
+       CAST(ceil(m_bits_raw) AS BIGINT) AS m_bits,
+       ROUND(ln(2.0) * m_bits_raw / n_distinct, 6) AS k_hashes,
+       ROUND(m_bits_raw / 8.0 / 1048576.0, 6) AS mib
+FROM m ORDER BY key_col
+"""

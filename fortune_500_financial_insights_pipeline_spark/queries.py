@@ -12753,3 +12753,94 @@ def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(CASE WHEN q_raw > 5.991D THEN 1 ELSE 0 END AS INT) AS flag_differ",
     )
     return out
+
+
+@q("q_partition_pruning_gain")
+def q_partition_pruning_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-layout planning: for three representative date-range
+    predicates, the rows a month-partitioned layout would scan (whole
+    months touching the range) vs the rows actually selected vs a full
+    scan — the pruning-gain table that justifies (or kills) a partition
+    key before anyone rewrites 100 TB (q_zorder plans clustering WITHIN
+    files; this plans the directory layout). One month-level stats
+    aggregate joined to a broadcast predicate relation."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("m")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    preds = spark.createDataFrame(
+        [
+            ("one_week", "1997-03-10 00:00:00", "1997-03-17 00:00:00"),
+            ("one_quarter", "1996-01-01 00:00:00", "1996-04-01 00:00:00"),
+            ("two_years", "1995-01-01 00:00:00", "1997-01-01 00:00:00"),
+        ],
+        "pred string, lo string, hi string",
+    )
+    tot = o.agg(F.count(F.lit(1)).alias("__full"))
+    pm = monthly.crossJoin(F.broadcast(preds)).where(
+        (F.col("m") >= F.date_format(F.col("lo").cast("timestamp"), "yyyy-MM"))
+        & (F.col("m") <= F.date_format(F.col("hi").cast("timestamp"), "yyyy-MM"))
+    )
+    scanned = pm.groupBy("pred").agg(F.sum("n_rows").cast("long").alias("rows_scanned"))
+    exact = (
+        o.crossJoin(F.broadcast(preds))
+        .where(
+            (F.col("o_orderdate") >= F.col("lo").cast("timestamp"))
+            & (F.col("o_orderdate") < F.col("hi").cast("timestamp"))
+        )
+        .groupBy("pred")
+        .agg(F.count(F.lit(1)).alias("rows_selected"))
+    )
+    return (
+        scanned.join(exact, "pred")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "pred",
+            "rows_scanned",
+            "rows_selected",
+            F.col("__full").cast("long").alias("rows_full_scan"),
+            F.round(
+                F.col("rows_scanned").cast("double") / F.col("__full"), 6
+            ).alias("scan_fraction"),
+            F.round(
+                F.col("rows_selected").cast("double") / F.col("rows_scanned"), 6
+            ).alias("scan_precision"),
+        )
+        .orderBy("pred")
+    )
+
+
+@q("q_bloom_sizing")
+def q_bloom_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter sizing plan for the join keys a semi-join pushdown
+    would build (q_bloom_semijoin USES one; this SIZES them): per key
+    column, exact distinct cardinality → optimal bits m = −n·ln(p)/ln2²
+    and hash count k = ln2·m/n at 1% target fpp, with the MiB cost —
+    the planning table that decides whether the filter fits an
+    executor broadcast. One distinct-count pass per key."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    def leg(name, df, col):
+        return df.agg(
+            F.lit(name).alias("key_col"),
+            F.countDistinct(col).cast("long").alias("n_distinct"),
+        )
+    base = (
+        leg("orders.o_custkey", o, "o_custkey")
+        .unionByName(leg("lineitem.l_orderkey", li, "l_orderkey"))
+        .unionByName(leg("lineitem.l_partkey", li, "l_partkey"))
+        .unionByName(leg("customer.c_custkey", c, "c_custkey"))
+    )
+    out = base.selectExpr(
+        "key_col",
+        "n_distinct",
+        "-(CAST(n_distinct AS DOUBLE) * ln(0.01D)) / (ln(2.0D) * ln(2.0D)) AS m_bits_raw",
+    ).selectExpr(
+        "key_col",
+        "n_distinct",
+        "CAST(ceil(m_bits_raw) AS BIGINT) AS m_bits",
+        "ROUND(ln(2.0D) * m_bits_raw / n_distinct, 6) AS k_hashes",
+        "ROUND(m_bits_raw / 8.0D / 1048576.0D, 6) AS mib",
+    )
+    return out.orderBy("key_col")
