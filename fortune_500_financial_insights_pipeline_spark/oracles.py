@@ -12436,3 +12436,55 @@ SELECT key_col, n_distinct,
        ROUND(m_bits_raw / 8.0 / 1048576.0, 6) AS mib
 FROM m ORDER BY key_col
 """
+
+
+ORACLES["q_wasserstein"] = f"""
+WITH two AS (
+  SELECT event_type AS g, ROUND(value, 6) AS v
+  FROM events WHERE event_type IN ('click', 'purchase')
+), per_val AS (
+  SELECT v,
+         CAST(SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM two GROUP BY v
+), cum AS (
+  SELECT v,
+         CAST(SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS r1,
+         CAST(SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS r2,
+         LEAD(v) OVER (ORDER BY v) AS v_next
+  FROM per_val
+), tot AS (
+  SELECT MAX(r1) AS n1, MAX(r2) AS n2 FROM cum
+), j AS (
+  SELECT ABS(CAST(r1 AS DOUBLE) / n1 - CAST(r2 AS DOUBLE) / n2)
+           * ROUND(v_next - v, 6) AS term,
+         n1, n2
+  FROM cum CROSS JOIN tot WHERE v_next IS NOT NULL
+)
+SELECT CAST(MAX(n1) AS BIGINT) AS n_click,
+       CAST(MAX(n2) AS BIGINT) AS n_purchase,
+       ROUND({_dsum('term')}, 6) AS wasserstein_1
+FROM j
+"""
+
+ORACLES["q_tv_distance"] = f"""
+WITH g AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN strftime(ts, '%A') IN ('Saturday', 'Sunday')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_wk,
+         CAST(SUM(CASE WHEN strftime(ts, '%A') IN ('Saturday', 'Sunday')
+                  THEN 0 ELSE 1 END) AS BIGINT) AS n_wd
+  FROM events GROUP BY event_type
+), tot AS (
+  SELECT CAST(SUM(n_wk) AS BIGINT) AS tk, CAST(SUM(n_wd) AS BIGINT) AS td FROM g
+), j AS (
+  SELECT ABS(CAST(n_wk AS DOUBLE) / tk - CAST(n_wd AS DOUBLE) / td) AS diff, tk, td
+  FROM g CROSS JOIN tot
+)
+SELECT CAST(MAX(tk) AS BIGINT) AS n_weekend,
+       CAST(MAX(td) AS BIGINT) AS n_weekday,
+       ROUND({_dsum('diff')} / 2.0, 6) AS tv_distance
+FROM j
+"""

@@ -12844,3 +12844,69 @@ def q_bloom_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND(m_bits_raw / 8.0D / 1048576.0D, 6) AS mib",
     )
     return out.orderBy("key_col")
+
+
+@q("q_wasserstein")
+def q_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein (earth-mover) distance between the click and
+    purchase value distributions: W₁ = Σ |ECDF₁ − ECDF₂| · Δv over the
+    merged sorted support — the INTEGRAL drift metric where q_ks_test
+    takes the supremum (KS sees the worst point; W₁ prices the whole
+    move). Per-value counts bound the shuffle; cumulative ranks exact;
+    gap terms fold fixed-point."""
+    e = load_table(spark, sf_dir, "events")
+    two = e.where(F.col("event_type").isin("click", "purchase")).select(
+        F.col("event_type").alias("g"), F.round(F.col("value"), 6).alias("v")
+    )
+    per_val = two.groupBy("v").agg(
+        F.sum((F.col("g") == "click").cast("long")).alias("c1"),
+        F.sum((F.col("g") == "purchase").cast("long")).alias("c2"),
+    )
+    wv = W.orderBy("v")
+    cum = per_val.select(
+        "v",
+        F.sum("c1").over(wv.rowsBetween(W.unboundedPreceding, 0)).alias("r1"),
+        F.sum("c2").over(wv.rowsBetween(W.unboundedPreceding, 0)).alias("r2"),
+        F.lead("v").over(wv).alias("v_next"),
+    )
+    tot = cum.agg(F.max("r1").alias("n1"), F.max("r2").alias("n2"))
+    j = cum.crossJoin(F.broadcast(tot)).where(F.col("v_next").isNotNull())
+    term = (
+        F.abs(
+            F.col("r1").cast("double") / F.col("n1")
+            - F.col("r2").cast("double") / F.col("n2")
+        )
+        * F.round(F.col("v_next") - F.col("v"), 6)
+    )
+    return j.agg(
+        F.max("n1").cast("long").alias("n_click"),
+        F.max("n2").cast("long").alias("n_purchase"),
+        F.round(dsum(term), 6).alias("wasserstein_1"),
+    )
+
+
+@q("q_tv_distance")
+def q_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-variation distance between the weekday and weekend event-type
+    mixes: TV = ½ Σ |p − q| over the 5 types — the worst-case
+    probability-mass shift (the L1 sibling of q_mixture_kl and q_psi's
+    binned drift). Exact counts; locale-stable day names feed the
+    weekend split."""
+    e = load_table(spark, sf_dir, "events")
+    dn = F.date_format("ts", "EEEE")
+    wknd = dn.isin("Saturday", "Sunday").cast("int")
+    g = e.groupBy("event_type").agg(
+        F.sum(wknd).cast("long").alias("n_wk"),
+        F.sum(1 - wknd).cast("long").alias("n_wd"),
+    )
+    tot = g.agg(F.sum("n_wk").alias("__tk"), F.sum("n_wd").alias("__td"))
+    j = g.crossJoin(F.broadcast(tot))
+    diff = F.abs(
+        F.col("n_wk").cast("double") / F.col("__tk")
+        - F.col("n_wd").cast("double") / F.col("__td")
+    )
+    return j.agg(
+        F.max("__tk").cast("long").alias("n_weekend"),
+        F.max("__td").cast("long").alias("n_weekday"),
+        F.round(dsum(diff) / 2.0, 6).alias("tv_distance"),
+    )
