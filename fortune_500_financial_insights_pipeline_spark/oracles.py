@@ -12488,3 +12488,61 @@ SELECT CAST(MAX(tk) AS BIGINT) AS n_weekend,
        ROUND({_dsum('diff')} / 2.0, 6) AS tv_distance
 FROM j
 """
+
+
+ORACLES["q_partial_corr"] = f"""
+WITH mom AS (
+  SELECT COUNT(*) AS n,
+         {_dsum('l_quantity')} AS sx,
+         {_dsum('l_extendedprice / 1000.0')} AS sy,
+         {_dsum('l_extendedprice / l_quantity / 1000.0')} AS sz,
+         {_dsum('l_quantity * l_quantity')} AS sxx,
+         {_dsum('(l_extendedprice / 1000.0) * (l_extendedprice / 1000.0)')} AS syy,
+         {_dsum('(l_extendedprice / l_quantity / 1000.0) * (l_extendedprice / l_quantity / 1000.0)')} AS szz,
+         {_dsum('l_quantity * (l_extendedprice / 1000.0)')} AS sxy,
+         {_dsum('l_quantity * (l_extendedprice / l_quantity / 1000.0)')} AS sxz,
+         {_dsum('(l_extendedprice / 1000.0) * (l_extendedprice / l_quantity / 1000.0)')} AS syz
+  FROM lineitem
+), r AS (
+  SELECT CAST(n AS BIGINT) AS n,
+         ROUND((sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS r_xy,
+         ROUND((sxz - sx * sz / n) / sqrt((sxx - sx * sx / n) * (szz - sz * sz / n)), 6) AS r_xz,
+         ROUND((syz - sy * sz / n) / sqrt((syy - sy * sy / n) * (szz - sz * sz / n)), 6) AS r_yz
+  FROM mom
+)
+SELECT n, r_xy, r_xz, r_yz,
+       ROUND((r_xy - r_xz * r_yz)
+             / sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)), 6)
+         AS partial_r_xy_given_z
+FROM r
+"""
+
+ORACLES["q_vif"] = f"""
+WITH mom AS (
+  SELECT COUNT(*) AS n,
+         {_dsum('l_quantity')} AS sa,
+         {_dsum('l_discount')} AS sb,
+         {_dsum('l_extendedprice / l_quantity / 1000.0')} AS sc,
+         {_dsum('l_quantity * l_quantity')} AS saa,
+         {_dsum('l_discount * l_discount')} AS sbb,
+         {_dsum('(l_extendedprice / l_quantity / 1000.0) * (l_extendedprice / l_quantity / 1000.0)')} AS scc,
+         {_dsum('l_quantity * l_discount')} AS sab,
+         {_dsum('l_quantity * (l_extendedprice / l_quantity / 1000.0)')} AS sac,
+         {_dsum('l_discount * (l_extendedprice / l_quantity / 1000.0)')} AS sbc
+  FROM lineitem
+), r AS (
+  SELECT CAST(n AS BIGINT) AS n,
+         ROUND((sab - sa * sb / n) / sqrt((saa - sa * sa / n) * (sbb - sb * sb / n)), 6) AS r12,
+         ROUND((sac - sa * sc / n) / sqrt((saa - sa * sa / n) * (scc - sc * sc / n)), 6) AS r13,
+         ROUND((sbc - sb * sc / n) / sqrt((sbb - sb * sb / n) * (scc - sc * sc / n)), 6) AS r23
+  FROM mom
+)
+SELECT n, r12, r13, r23,
+       ROUND(1.0 / ((1.0 + 2.0 * r12 * r13 * r23 - r12 * r12 - r13 * r13 - r23 * r23)
+             / (1.0 - r23 * r23)), 6) AS vif_quantity,
+       ROUND(1.0 / ((1.0 + 2.0 * r12 * r13 * r23 - r12 * r12 - r13 * r13 - r23 * r23)
+             / (1.0 - r13 * r13)), 6) AS vif_discount,
+       ROUND(1.0 / ((1.0 + 2.0 * r12 * r13 * r23 - r12 * r12 - r13 * r13 - r23 * r23)
+             / (1.0 - r12 * r12)), 6) AS vif_unit_price
+FROM r
+"""

@@ -12910,3 +12910,70 @@ def q_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("__td").cast("long").alias("n_weekday"),
         F.round(dsum(diff) / 2.0, 6).alias("tv_distance"),
     )
+
+
+@q("q_partial_corr")
+def q_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation of quantity and line revenue CONTROLLING for
+    unit price: r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) from
+    the three pairwise Pearson correlations in one exact moment pass —
+    does the raw q_stats_corr relationship survive once the confounder
+    is held fixed (the three-variable step q_fixed_effects generalizes).
+    Correlations recomposed from round-6 anchors."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    yv = F.col("l_extendedprice") / 1000.0
+    z = F.col("l_extendedprice") / F.col("l_quantity") / 1000.0
+    mom = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(x).alias("sx"), dsum(yv).alias("sy"), dsum(z).alias("sz"),
+        dsum(x * x).alias("sxx"), dsum(yv * yv).alias("syy"), dsum(z * z).alias("szz"),
+        dsum(x * yv).alias("sxy"), dsum(x * z).alias("sxz"), dsum(yv * z).alias("syz"),
+    )
+    r = mom.selectExpr(
+        "CAST(n AS BIGINT) AS n",
+        "ROUND((sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS r_xy",
+        "ROUND((sxz - sx * sz / n) / sqrt((sxx - sx * sx / n) * (szz - sz * sz / n)), 6) AS r_xz",
+        "ROUND((syz - sy * sz / n) / sqrt((syy - sy * sy / n) * (szz - sz * sz / n)), 6) AS r_yz",
+    )
+    return r.selectExpr(
+        "n", "r_xy", "r_xz", "r_yz",
+        "ROUND((r_xy - r_xz * r_yz)"
+        " / sqrt((1.0D - r_xz * r_xz) * (1.0D - r_yz * r_yz)), 6) AS partial_r_xy_given_z",
+    )
+
+
+@q("q_vif")
+def q_vif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance inflation factors for the three line-level regressors
+    (quantity, discount, unit price): VIFᵢ = 1/(1 − Rᵢ²) with each Rᵢ²
+    from the closed-form inverse of the 3×3 correlation matrix
+    (Rᵢ² = 1 − 1/(R⁻¹)ᵢᵢ · ... = 1 − det(R)/cofactorᵢᵢ) — the
+    multicollinearity screen you run before trusting q_ols_multi's
+    coefficients. One moment pass; correlations as round-6 anchors."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = F.col("l_quantity")
+    b = F.col("l_discount")
+    c = F.col("l_extendedprice") / F.col("l_quantity") / 1000.0
+    mom = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(a).alias("sa"), dsum(b).alias("sb"), dsum(c).alias("sc"),
+        dsum(a * a).alias("saa"), dsum(b * b).alias("sbb"), dsum(c * c).alias("scc"),
+        dsum(a * b).alias("sab"), dsum(a * c).alias("sac"), dsum(b * c).alias("sbc"),
+    )
+    r = mom.selectExpr(
+        "CAST(n AS BIGINT) AS n",
+        "ROUND((sab - sa * sb / n) / sqrt((saa - sa * sa / n) * (sbb - sb * sb / n)), 6) AS r12",
+        "ROUND((sac - sa * sc / n) / sqrt((saa - sa * sa / n) * (scc - sc * sc / n)), 6) AS r13",
+        "ROUND((sbc - sb * sc / n) / sqrt((sbb - sb * sb / n) * (scc - sc * sc / n)), 6) AS r23",
+    )
+    # det(R) for the 3x3 correlation matrix; R_i^2 = 1 - det(R) / M_ii
+    return r.selectExpr(
+        "n", "r12", "r13", "r23",
+        "ROUND(1.0D / ((1.0D + 2.0D * r12 * r13 * r23 - r12 * r12 - r13 * r13 - r23 * r23)"
+        " / (1.0D - r23 * r23)), 6) AS vif_quantity",
+        "ROUND(1.0D / ((1.0D + 2.0D * r12 * r13 * r23 - r12 * r12 - r13 * r13 - r23 * r23)"
+        " / (1.0D - r13 * r13)), 6) AS vif_discount",
+        "ROUND(1.0D / ((1.0D + 2.0D * r12 * r13 * r23 - r12 * r12 - r13 * r13 - r23 * r23)"
+        " / (1.0D - r12 * r12)), 6) AS vif_unit_price",
+    )
