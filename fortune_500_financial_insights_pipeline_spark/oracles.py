@@ -12546,3 +12546,47 @@ SELECT n, r12, r13, r23,
              / (1.0 - r12 * r12)), 6) AS vif_unit_price
 FROM r
 """
+
+
+ORACLES["q_mde"] = f"""
+WITH per AS (
+  SELECT user_id, ROUND({_dsum('value')}, 6) AS spend FROM events GROUP BY user_id
+), mom AS (
+  SELECT COUNT(*) AS n_users, {_dsum('spend')} AS s, {_dsum('spend * spend')} AS ss
+  FROM per
+), c AS (
+  SELECT CAST(n_users AS BIGINT) AS n_users,
+         s / n_users AS mu,
+         ss / n_users - (s / n_users) * (s / n_users) AS var_
+  FROM mom
+)
+SELECT n_users,
+       ROUND(mu, 6) AS mean_spend,
+       ROUND(sqrt(var_), 6) AS sd_spend,
+       ROUND((1.96 + 0.8416) * sqrt(2.0 * var_ / (n_users / 2.0)), 6) AS mde_abs,
+       ROUND((1.96 + 0.8416) * sqrt(2.0 * var_ / (n_users / 2.0)) / mu, 6)
+         AS mde_relative,
+       CAST(ceil(2.0 * var_ * (1.96 + 0.8416) * (1.96 + 0.8416)
+            / ((0.05 * mu) * (0.05 * mu))) AS BIGINT) AS n_per_arm_for_5pct
+FROM c
+"""
+
+ORACLES["q_session_gap_sweep"] = """
+WITH base AS (
+  SELECT user_id,
+         CAST(FLOOR(date_part('epoch', ts)) AS BIGINT)
+           - LAG(CAST(FLOOR(date_part('epoch', ts)) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+  FROM events
+), gaps(sweep, thr) AS (
+  VALUES ('10min', 600), ('30min', 1800), ('60min', 3600)
+), starts AS (
+  SELECT sweep, thr, COUNT(*) AS n_events,
+         CAST(SUM(CASE WHEN gap_s IS NULL OR gap_s > thr THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_sessions
+  FROM base CROSS JOIN gaps GROUP BY sweep, thr
+)
+SELECT sweep, n_sessions,
+       ROUND(CAST(n_events AS DOUBLE) / n_sessions, 6) AS mean_events_per_session
+FROM starts ORDER BY sweep
+"""

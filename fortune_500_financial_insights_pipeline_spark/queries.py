@@ -12977,3 +12977,70 @@ def q_vif(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND(1.0D / ((1.0D + 2.0D * r12 * r13 * r23 - r12 * r12 - r13 * r13 - r23 * r23)"
         " / (1.0D - r12 * r12)), 6) AS vif_unit_price",
     )
+
+
+@q("q_mde")
+def q_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment-design planner from the live data: the observed per-user
+    spend variance prices (a) the minimum detectable effect of the
+    CURRENT sample at 80% power / 5% α — MDE = (z_α/2+z_β)·√(2σ²/n) —
+    and (b) the per-arm n needed to detect a 5% lift of the mean —
+    n = 2σ²(z_α/2+z_β)²/Δ². The before-you-run numbers q_ab_test
+    assumes someone computed. Exact moments; z literals 1.96/0.8416."""
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(F.round(dsum("value"), 6).alias("spend"))
+    mom = per.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        dsum("spend").alias("s"),
+        dsum(F.col("spend") * F.col("spend")).alias("ss"),
+    )
+    out = mom.selectExpr(
+        "CAST(n_users AS BIGINT) AS n_users",
+        "s / n_users AS mu",
+        "ss / n_users - (s / n_users) * (s / n_users) AS var_",
+    ).selectExpr(
+        "n_users",
+        "ROUND(mu, 6) AS mean_spend",
+        "ROUND(sqrt(var_), 6) AS sd_spend",
+        # per-arm n = current users / 2
+        "ROUND((1.96D + 0.8416D) * sqrt(2.0D * var_ / (n_users / 2.0D)), 6) AS mde_abs",
+        "ROUND((1.96D + 0.8416D) * sqrt(2.0D * var_ / (n_users / 2.0D)) / mu, 6)"
+        " AS mde_relative",
+        "CAST(ceil(2.0D * var_ * (1.96D + 0.8416D) * (1.96D + 0.8416D)"
+        " / ((0.05D * mu) * (0.05D * mu))) AS BIGINT) AS n_per_arm_for_5pct",
+    )
+    return out
+
+
+@q("q_session_gap_sweep")
+def q_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization parameter sensitivity: session counts, mean length
+    and bounce share at 10/30/60-minute gap thresholds from ONE lag pass
+    (the gap threshold only moves a comparison, so all three sweeps
+    share the same sorted scan) — the robustness table that says whether
+    q_session_stats' headline numbers are an artifact of the 30-minute
+    convention."""
+    e = load_table(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("long")
+    gap = (sec - F.lag(sec).over(wu)).alias("gap_s")
+    base = e.select("user_id", gap)
+    gaps = spark.createDataFrame(
+        [("10min", 600), ("30min", 1800), ("60min", 3600)],
+        "sweep string, thr int",
+    )
+    j = base.crossJoin(F.broadcast(gaps))
+    # a session starts where gap is null (first event) or exceeds thr
+    starts = j.groupBy("sweep", "thr").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            (F.col("gap_s").isNull() | (F.col("gap_s") > F.col("thr"))).cast("long")
+        ).alias("n_sessions"),
+    )
+    return starts.select(
+        "sweep",
+        "n_sessions",
+        F.round(
+            F.col("n_events").cast("double") / F.col("n_sessions"), 6
+        ).alias("mean_events_per_session"),
+    ).orderBy("sweep")
