@@ -12590,3 +12590,30 @@ SELECT sweep, n_sessions,
        ROUND(CAST(n_events AS DOUBLE) / n_sessions, 6) AS mean_events_per_session
 FROM starts ORDER BY sweep
 """
+
+
+ORACLES["q_process_capability"] = f"""
+WITH first_ship AS (
+  SELECT l_orderkey, MIN(l_shipdate) AS ship FROM lineitem GROUP BY l_orderkey
+), lag_d AS (
+  SELECT CAST(datediff('day', CAST(o_orderdate AS DATE), CAST(ship AS DATE)) AS DOUBLE) AS d
+  FROM orders o JOIN first_ship f ON o.o_orderkey = f.l_orderkey
+), mom AS (
+  SELECT COUNT(*) AS n, {_dsum('d')} AS s, {_dsum('d * d')} AS ss,
+         CAST(SUM(CASE WHEN d < 1.0 OR d > 120.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oos
+  FROM lag_d
+), c AS (
+  SELECT CAST(n AS BIGINT) AS n_orders, n_oos AS n_out_of_spec,
+         s / n AS mu, sqrt(ss / n - (s / n) * (s / n)) AS sd
+  FROM mom
+)
+SELECT n_orders, n_out_of_spec,
+       ROUND(mu, 6) AS mean_lag_days,
+       ROUND(sd, 6) AS sd_lag_days,
+       ROUND((120.0 - 1.0) / (6.0 * sd), 6) AS cp,
+       ROUND(least(120.0 - mu, mu - 1.0) / (3.0 * sd), 6) AS cpk,
+       ROUND(CAST(n_out_of_spec AS DOUBLE) / n_orders, 6) AS oos_share,
+       ROUND((sd * sd + (mu - 60.0) * (mu - 60.0)) / (60.0 * 60.0), 6)
+         AS taguchi_loss_ratio
+FROM c
+"""

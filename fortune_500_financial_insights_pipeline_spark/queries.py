@@ -13044,3 +13044,47 @@ def q_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events").cast("double") / F.col("n_sessions"), 6
         ).alias("mean_events_per_session"),
     ).orderBy("sweep")
+
+
+@q("q_process_capability")
+def q_process_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process-capability report for order fulfilment lag (order → first
+    ship, days) against a 1..120-day spec window: Cp = (USL−LSL)/6σ,
+    Cpk = min(USL−μ, μ−LSL)/3σ, the out-of-spec share, and the Taguchi
+    quadratic loss (σ² + (μ−T)²)/T² around the 60-day target — the SPC
+    capability layer above q_control_chart's stability view. One moment
+    pass + one spec-violation count."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    first_ship = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("__ship"))
+    lag = (
+        o.join(first_ship, o["o_orderkey"] == F.col("l_orderkey"))
+        .select(
+            F.datediff(F.col("__ship").cast("date"), F.col("o_orderdate").cast("date"))
+            .cast("double")
+            .alias("d")
+        )
+    )
+    mom = lag.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("d").alias("s"),
+        dsum(F.col("d") * F.col("d")).alias("ss"),
+        F.sum(((F.col("d") < 1.0) | (F.col("d") > 120.0)).cast("long")).alias("n_oos"),
+    )
+    out = mom.selectExpr(
+        "CAST(n AS BIGINT) AS n_orders",
+        "CAST(n_oos AS BIGINT) AS n_out_of_spec",
+        "s / n AS mu",
+        "sqrt(ss / n - (s / n) * (s / n)) AS sd",
+    ).selectExpr(
+        "n_orders",
+        "n_out_of_spec",
+        "ROUND(mu, 6) AS mean_lag_days",
+        "ROUND(sd, 6) AS sd_lag_days",
+        "ROUND((120.0D - 1.0D) / (6.0D * sd), 6) AS cp",
+        "ROUND(least(120.0D - mu, mu - 1.0D) / (3.0D * sd), 6) AS cpk",
+        "ROUND(CAST(n_out_of_spec AS DOUBLE) / n_orders, 6) AS oos_share",
+        "ROUND((sd * sd + (mu - 60.0D) * (mu - 60.0D)) / (60.0D * 60.0D), 6)"
+        " AS taguchi_loss_ratio",
+    )
+    return out
