@@ -167,18 +167,12 @@ def main() -> None:
     # ~0.2s once per query shape — fixed costs that vanish at scale)
     failed: dict[str, str] = {}
     # heavy keys with no DuckDB baseline (excluded from the vs_baseline
-    # ratio) get ONE timed pass, no warmup/repeats: q_jaccard_clusters
-    # alone is ~28 s/pass at sf0.1 — 4 passes of it bought 112 s of wall
-    # clock for zero ratio signal and pushed the whole bench against the
-    # driver's timeout budget
+    # ratio) get ONE timed pass: q_jaccard_clusters alone is ~28 s/pass
+    # at sf0.1. No separate warmup pass either — with min-of-2 interleaved
+    # passes, pass 1 absorbs JIT/codegen and pass 2 supplies the
+    # steady-state minimum, so a dedicated warmup only burned ~1/3 of the
+    # wall clock against the driver's timeout budget.
     single_pass = {"q_jaccard_clusters", "q_minhash_neardup"}
-    for name in HEADLINE:
-        if name in QUERIES and name not in single_pass:
-            try:
-                QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            except Exception as e:  # noqa: BLE001 — one broken query must not
-                # cost the whole benchmark line; record and keep timing the rest
-                failed[name] = type(e).__name__
 
     timings: dict[str, float] = {}
     # best-of-3 INTERLEAVED passes (outer loop = pass, inner = queries):
@@ -190,17 +184,23 @@ def main() -> None:
     # band. The min is the engine's steady-state cost, which is what a
     # cluster-sizing decision needs.
     runnable = [
-        n for n in HEADLINE if n in QUERIES and n not in failed and n not in single_pass
+        n for n in HEADLINE if n in QUERIES and n not in single_pass
     ]
-    # 2 interleaved passes (was 3): the min-of-2 still discards a single
-    # random stall, and the saved pass keeps total wall clock ~7 min even
-    # with the post-round-2 key list
+    # 2 interleaved passes: the min-of-2 still discards a single random
+    # stall; pass 1 doubles as the JIT warmup
     for _ in range(2):
         for name in runnable:
-            df = QUERIES[name](spark, sf_dir)
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            elapsed = time.perf_counter() - t0
+            if name in failed:
+                continue
+            try:
+                df = QUERIES[name](spark, sf_dir)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                elapsed = time.perf_counter() - t0
+            except Exception as e:  # noqa: BLE001 — one broken query must not
+                # cost the whole benchmark line; record and keep timing the rest
+                failed[name] = type(e).__name__
+                continue
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
             # Release driver-side DataFrame/RDD handles promptly: queries
