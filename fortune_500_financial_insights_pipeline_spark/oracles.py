@@ -12617,3 +12617,85 @@ SELECT n_orders, n_out_of_spec,
          AS taguchi_loss_ratio
 FROM c
 """
+
+
+ORACLES["q_backlog_curve"] = """
+WITH done AS (
+  SELECT l_orderkey, MAX(l_shipdate) AS done_ts FROM lineitem GROUP BY l_orderkey
+), placed AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS m, 1 AS d FROM orders
+), closed AS (
+  SELECT strftime(done_ts, '%Y-%m') AS m, -1 AS d
+  FROM orders o JOIN done ON o.o_orderkey = done.l_orderkey
+), monthly AS (
+  SELECT m,
+         CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_placed,
+         CAST(SUM(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_closed
+  FROM (SELECT * FROM placed UNION ALL SELECT * FROM closed)
+  GROUP BY m
+)
+SELECT m, n_placed, n_closed,
+       CAST(SUM(n_placed - n_closed)
+            OVER (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS open_backlog
+FROM monthly ORDER BY m
+"""
+
+ORACLES["q_topsis"] = f"""
+WITH base AS (
+  SELECT l.l_suppkey, l.l_extendedprice, l.l_returnflag, l.l_shipdate, o.o_orderdate
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), crit AS (
+  SELECT l_suppkey,
+         ROUND({_dsum('l_extendedprice / 1000.0')}, 6) AS rev,
+         ROUND(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*), 6) AS ret_rate,
+         ROUND(CAST(SUM(datediff('day', CAST(o_orderdate AS DATE),
+                                 CAST(l_shipdate AS DATE))) AS DOUBLE)
+               / COUNT(*), 6) AS lag
+  FROM base GROUP BY l_suppkey
+), rng AS (
+  SELECT MAX(rev) AS rev_hi, MIN(rev) AS rev_lo,
+         MAX(ret_rate) AS rr_hi, MIN(ret_rate) AS rr_lo,
+         MAX(lag) AS lag_hi, MIN(lag) AS lag_lo,
+         COUNT(*) AS n_sup
+  FROM crit
+), nz AS (
+  SELECT l_suppkey,
+         ROUND((rev - rev_lo) / (rev_hi - rev_lo), 6) AS c1,
+         ROUND((rr_hi - ret_rate) / (rr_hi - rr_lo), 6) AS c2,
+         ROUND((lag_hi - lag) / (lag_hi - lag_lo), 6) AS c3,
+         n_sup
+  FROM crit CROSS JOIN rng
+), sums AS (
+  SELECT {_dsum('c1')} AS s_c1, {_dsum('c2')} AS s_c2, {_dsum('c3')} AS s_c3,
+         MAX(n_sup) AS n_sup
+  FROM nz
+), ent AS (
+  SELECT MAX(nz.n_sup) AS n_sup,
+         ROUND(-{_dsum('CASE WHEN c1 > 0 THEN (c1 / s_c1) * ln(c1 / s_c1) ELSE 0.0 END')}
+               / ln(CAST(MAX(nz.n_sup) AS DOUBLE)), 6) AS e_c1,
+         ROUND(-{_dsum('CASE WHEN c2 > 0 THEN (c2 / s_c2) * ln(c2 / s_c2) ELSE 0.0 END')}
+               / ln(CAST(MAX(nz.n_sup) AS DOUBLE)), 6) AS e_c2,
+         ROUND(-{_dsum('CASE WHEN c3 > 0 THEN (c3 / s_c3) * ln(c3 / s_c3) ELSE 0.0 END')}
+               / ln(CAST(MAX(nz.n_sup) AS DOUBLE)), 6) AS e_c3
+  FROM nz CROSS JOIN sums
+), w AS (
+  SELECT n_sup,
+         ROUND((1.0 - e_c1) / ((1.0 - e_c1) + (1.0 - e_c2) + (1.0 - e_c3)), 6) AS w1,
+         ROUND((1.0 - e_c2) / ((1.0 - e_c1) + (1.0 - e_c2) + (1.0 - e_c3)), 6) AS w2,
+         ROUND((1.0 - e_c3) / ((1.0 - e_c1) + (1.0 - e_c2) + (1.0 - e_c3)), 6) AS w3
+  FROM ent
+), scored AS (
+  SELECT l_suppkey,
+         ROUND(sqrt(w1 * w1 * (1.0 - c1) * (1.0 - c1)
+                    + w2 * w2 * (1.0 - c2) * (1.0 - c2)
+                    + w3 * w3 * (1.0 - c3) * (1.0 - c3)), 6) AS d_ideal,
+         ROUND(sqrt(w1 * w1 * c1 * c1 + w2 * w2 * c2 * c2 + w3 * w3 * c3 * c3), 6)
+           AS d_anti
+  FROM nz CROSS JOIN w
+)
+SELECT l_suppkey, d_ideal, d_anti,
+       ROUND(d_anti / (d_ideal + d_anti), 6) AS closeness
+FROM scored ORDER BY closeness DESC, l_suppkey ASC LIMIT 10
+"""

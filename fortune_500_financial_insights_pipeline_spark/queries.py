@@ -13088,3 +13088,137 @@ def q_process_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS taguchi_loss_ratio",
     )
     return out
+
+
+@q("q_backlog_curve")
+def q_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog as a monthly TIME SERIES: +1 at order placement,
+    −1 at the order's last shipment, running sum sampled at month ends —
+    the operations curve behind q_ar_aging's single as-of snapshot
+    (backlog building or draining?). Boundary events are two tiny frames;
+    the sweep is one cumulative sum over months."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    done = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("__done"))
+    placed = o.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("m"), F.lit(1).alias("d")
+    )
+    closed = (
+        o.join(done, o["o_orderkey"] == F.col("l_orderkey"))
+        .select(F.date_format("__done", "yyyy-MM").alias("m"), F.lit(-1).alias("d"))
+    )
+    monthly = placed.unionByName(closed).groupBy("m").agg(
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).cast("long").alias("n_placed"),
+        F.sum(F.when(F.col("d") == -1, 1).otherwise(0)).cast("long").alias("n_closed"),
+    )
+    wm = W.orderBy("m").rowsBetween(W.unboundedPreceding, 0)
+    return monthly.select(
+        "m",
+        "n_placed",
+        "n_closed",
+        F.sum(F.col("n_placed") - F.col("n_closed")).over(wm).cast("long").alias(
+            "open_backlog"
+        ),
+    ).orderBy("m")
+
+
+@q("q_topsis")
+def q_topsis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOPSIS multi-criteria supplier ranking with entropy weights: three
+    criteria (revenue ↑, return rate ↓, mean ship lag ↓) min-max
+    normalized, weighted by the entropy-information method (criteria
+    that actually discriminate get weight), and each supplier scored by
+    closeness to the ideal/anti-ideal points — the defensible composite
+    ranking that replaces ad-hoc weighted scores (q_kendall_w measures
+    how much rankings disagree; this builds the consensus one). Exact
+    criterion aggregates; normalized values and distances from round-6
+    anchors; top 10."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    base = li.join(
+        F.broadcast(o.select("o_orderkey", "o_orderdate")),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    )
+    crit = base.groupBy("l_suppkey").agg(
+        F.round(dsum(F.col("l_extendedprice") / 1000.0), 6).alias("rev"),
+        F.round(
+            F.sum((F.col("l_returnflag") == "R").cast("long")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("ret_rate"),
+        F.round(
+            F.sum(
+                F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("lag"),
+    )
+    rng = crit.agg(
+        F.max("rev").alias("rev_hi"), F.min("rev").alias("rev_lo"),
+        F.max("ret_rate").alias("rr_hi"), F.min("ret_rate").alias("rr_lo"),
+        F.max("lag").alias("lag_hi"), F.min("lag").alias("lag_lo"),
+        F.count(F.lit(1)).alias("n_sup"),
+    )
+    nz = crit.crossJoin(F.broadcast(rng)).select(
+        "l_suppkey",
+        # benefit criterion normalizes up, cost criteria invert
+        F.round((F.col("rev") - F.col("rev_lo")) / (F.col("rev_hi") - F.col("rev_lo")), 6).alias("c1"),
+        F.round((F.col("rr_hi") - F.col("ret_rate")) / (F.col("rr_hi") - F.col("rr_lo")), 6).alias("c2"),
+        F.round((F.col("lag_hi") - F.col("lag")) / (F.col("lag_hi") - F.col("lag_lo")), 6).alias("c3"),
+        "n_sup",
+    )
+    # entropy weights: e_j = -sum(p ln p)/ln(n); w ~ (1 - e_j)
+    sums = nz.agg(
+        *[dsum(c).alias(f"s_{c}") for c in ("c1", "c2", "c3")],
+    )
+    ent = nz.crossJoin(F.broadcast(sums)).agg(
+        F.max("n_sup").alias("n_sup"),
+        *[
+            F.round(
+                -dsum(
+                    F.when(
+                        F.col(c) > 0,
+                        (F.col(c) / F.col(f"s_{c}")) * F.log(F.col(c) / F.col(f"s_{c}")),
+                    ).otherwise(0.0)
+                )
+                / F.log(F.max("n_sup").cast("double")),
+                6,
+            ).alias(f"e_{c}")
+            for c in ("c1", "c2", "c3")
+        ],
+    )
+    w = ent.selectExpr(
+        "n_sup",
+        "ROUND((1.0D - e_c1) / ((1.0D - e_c1) + (1.0D - e_c2) + (1.0D - e_c3)), 6) AS w1",
+        "ROUND((1.0D - e_c2) / ((1.0D - e_c1) + (1.0D - e_c2) + (1.0D - e_c3)), 6) AS w2",
+        "ROUND((1.0D - e_c3) / ((1.0D - e_c1) + (1.0D - e_c2) + (1.0D - e_c3)), 6) AS w3",
+    )
+    scored = nz.crossJoin(F.broadcast(w)).select(
+        "l_suppkey",
+        F.round(
+            F.sqrt(
+                F.col("w1") * F.col("w1") * (1.0 - F.col("c1")) * (1.0 - F.col("c1"))
+                + F.col("w2") * F.col("w2") * (1.0 - F.col("c2")) * (1.0 - F.col("c2"))
+                + F.col("w3") * F.col("w3") * (1.0 - F.col("c3")) * (1.0 - F.col("c3"))
+            ),
+            6,
+        ).alias("d_ideal"),
+        F.round(
+            F.sqrt(
+                F.col("w1") * F.col("w1") * F.col("c1") * F.col("c1")
+                + F.col("w2") * F.col("w2") * F.col("c2") * F.col("c2")
+                + F.col("w3") * F.col("w3") * F.col("c3") * F.col("c3")
+            ),
+            6,
+        ).alias("d_anti"),
+    )
+    out = scored.select(
+        "l_suppkey",
+        "d_ideal",
+        "d_anti",
+        F.round(
+            F.col("d_anti") / (F.col("d_ideal") + F.col("d_anti")), 6
+        ).alias("closeness"),
+    )
+    return out.orderBy(F.desc("closeness"), F.asc("l_suppkey")).limit(10)
