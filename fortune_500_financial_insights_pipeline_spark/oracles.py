@@ -12699,3 +12699,63 @@ SELECT l_suppkey, d_ideal, d_anti,
        ROUND(d_anti / (d_ideal + d_anti), 6) AS closeness
 FROM scored ORDER BY closeness DESC, l_suppkey ASC LIMIT 10
 """
+
+
+ORACLES["q_wallet_share"] = f"""
+WITH j AS (
+  SELECT o.o_custkey, p.p_brand, l.l_extendedprice
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+), cb AS (
+  SELECT o_custkey, p_brand,
+         ROUND({_dsum('l_extendedprice / 1000.0')}, 6) AS spend
+  FROM j GROUP BY o_custkey, p_brand
+), tot AS (
+  SELECT o_custkey,
+         ROUND(CAST(SUM(CAST(ROUND(spend * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 6)
+           AS total,
+         MAX(spend) AS top_spend
+  FROM cb GROUP BY o_custkey
+), share AS (
+  SELECT ROUND(top_spend / total, 6) AS sow FROM tot
+)
+SELECT COUNT(*) AS n_customers,
+       ROUND({_dsum('sow')} / COUNT(sow), 6) AS mean_share_of_wallet,
+       ROUND(quantile_cont(sow, 0.5), 6) AS median_share_of_wallet,
+       CAST(SUM(CASE WHEN sow >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_majority_loyal,
+       ROUND(CAST(SUM(CASE WHEN sow >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+         AS majority_loyal_share
+FROM share
+"""
+
+ORACLES["q_month_end_effect"] = f"""
+WITH base AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS m,
+         CAST(l_shipdate AS DATE) AS d,
+         l_extendedprice / 1000.0 AS v,
+         CASE WHEN datediff('day', CAST(l_shipdate AS DATE),
+                            last_day(CAST(l_shipdate AS DATE))) < 3
+              THEN 1 ELSE 0 END AS is_tail,
+         day(last_day(CAST(l_shipdate AS DATE))) AS dim
+  FROM lineitem
+), per_m AS (
+  SELECT m, dim,
+         ROUND({_dsum('v')}, 6) AS rev,
+         ROUND({_dsum('CASE WHEN is_tail = 1 THEN v ELSE 0.0 END')}, 6) AS rev_tail
+  FROM base GROUP BY m, dim
+), scored AS (
+  SELECT m,
+         ROUND(ROUND(rev_tail / rev, 6) / ROUND(3.0 / dim, 6), 6) AS lift
+  FROM per_m
+), worst AS (
+  SELECT m AS worst_month, lift AS worst_lift
+  FROM scored ORDER BY lift DESC, m ASC LIMIT 1
+)
+SELECT COUNT(*) AS n_months,
+       ROUND({_dsum('lift')} / COUNT(lift), 6) AS mean_lift,
+       CAST(SUM(CASE WHEN lift > 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_months_flagged,
+       worst_month, worst_lift
+FROM scored CROSS JOIN worst
+GROUP BY worst_month, worst_lift
+"""

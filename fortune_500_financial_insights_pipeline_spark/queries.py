@@ -13222,3 +13222,92 @@ def q_topsis(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("closeness"),
     )
     return out.orderBy(F.desc("closeness"), F.asc("l_suppkey")).limit(10)
+
+
+@q("q_wallet_share")
+def q_wallet_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-wallet concentration: per customer, the spend share of
+    their TOP brand (rank window over the customer × brand spend grid),
+    rolled into deciles-of-loyalty counts plus the overall mean — are
+    customers single-brand loyal or spread (the per-entity concentration
+    view q_hhi takes market-wide). Two bounded aggregates + one rank."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    j = (
+        li.join(F.broadcast(o.select("o_orderkey", "o_custkey")),
+                li["l_orderkey"] == F.col("o_orderkey"))
+        .join(F.broadcast(p.select("p_partkey", "p_brand")),
+              li["l_partkey"] == F.col("p_partkey"))
+    )
+    cb = j.groupBy("o_custkey", "p_brand").agg(
+        F.round(dsum(F.col("l_extendedprice") / 1000.0), 6).alias("spend")
+    )
+    tot = cb.groupBy("o_custkey").agg(
+        F.round(
+            F.sum(F.round(F.col("spend") * 1000000).cast("long")).cast("double") / 1000000,
+            6,
+        ).alias("total"),
+        F.max("spend").alias("top_spend"),
+    )
+    share = tot.select(
+        F.round(F.col("top_spend") / F.col("total"), 6).alias("sow")
+    )
+    g = share.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(davg("sow"), 6).alias("mean_share_of_wallet"),
+        F.sum((F.col("sow") >= 0.5).cast("long")).alias("n_majority_loyal"),
+        F.round(F.percentile("sow", F.lit(0.5)), 6).alias("median_share_of_wallet"),
+    )
+    return g.select(
+        "n_customers",
+        "mean_share_of_wallet",
+        "median_share_of_wallet",
+        "n_majority_loyal",
+        F.round(
+            F.col("n_majority_loyal").cast("double") / F.col("n_customers"), 6
+        ).alias("majority_loyal_share"),
+    )
+
+
+@q("q_month_end_effect")
+def q_month_end_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-end hockey stick: the revenue share landing in each month's
+    last 3 days vs the uniform expectation (3/days-in-month) — the
+    sandbagging/quota-gaming forensic a sales-ops review runs (q_benford
+    checks digits; this checks TIMING). Exact per-month shares; output
+    is the distribution summary plus the worst month."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.date_format("l_shipdate", "yyyy-MM").alias("m"),
+        F.col("l_shipdate").cast("date").alias("d"),
+        (F.col("l_extendedprice") / 1000.0).alias("v"),
+    ).withColumn(
+        "is_tail",
+        (
+            F.datediff(F.last_day("d"), F.col("d")) < 3
+        ).cast("int"),
+    ).withColumn("dim", F.dayofmonth(F.last_day("d")))
+    per_m = base.groupBy("m", "dim").agg(
+        F.round(dsum("v"), 6).alias("rev"),
+        F.round(dsum(F.when(F.col("is_tail") == 1, F.col("v")).otherwise(0.0)), 6).alias(
+            "rev_tail"
+        ),
+    )
+    scored = per_m.select(
+        "m",
+        F.round(F.col("rev_tail") / F.col("rev"), 6).alias("tail_share"),
+        F.round(3.0 / F.col("dim"), 6).alias("uniform_share"),
+    ).select(
+        "m", "tail_share", "uniform_share",
+        F.round(F.col("tail_share") / F.col("uniform_share"), 6).alias("lift"),
+    )
+    worst = scored.orderBy(F.desc("lift"), F.asc("m")).limit(1).select(
+        F.col("m").alias("worst_month"), F.col("lift").alias("worst_lift")
+    )
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.round(davg("lift"), 6).alias("mean_lift"),
+        F.sum((F.col("lift") > 2.0).cast("long")).alias("n_months_flagged"),
+    )
+    return agg.crossJoin(F.broadcast(worst))
