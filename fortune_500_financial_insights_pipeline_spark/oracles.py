@@ -12759,3 +12759,52 @@ SELECT COUNT(*) AS n_months,
 FROM scored CROSS JOIN worst
 GROUP BY worst_month, worst_lift
 """
+
+
+ORACLES["q_profit_curve"] = f"""
+WITH {_SCORED_LABELED_CTE},
+thr AS (
+  SELECT UNNEST([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold
+), g AS (
+  SELECT t.threshold,
+         CAST(SUM(CASE WHEN l.prob >= t.threshold AND l.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN l.prob >= t.threshold AND l.y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN l.prob < t.threshold AND l.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM labeled l CROSS JOIN thr t GROUP BY t.threshold
+), scored AS (
+  SELECT threshold, tp, fp, fn,
+         CAST(10 * tp - fp - 5 * fn AS BIGINT) AS profit
+  FROM g
+), best AS (
+  SELECT threshold AS best_t FROM scored ORDER BY profit DESC, threshold ASC LIMIT 1
+)
+SELECT threshold, tp, fp, fn, profit,
+       CAST(CASE WHEN threshold = best_t THEN 1 ELSE 0 END AS INTEGER) AS is_best
+FROM scored CROSS JOIN best ORDER BY threshold
+"""
+
+ORACLES["q_youden"] = f"""
+WITH {_SCORED_LABELED_CTE},
+thr AS (
+  SELECT UNNEST([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold
+), g AS (
+  SELECT t.threshold,
+         CAST(SUM(CASE WHEN l.prob >= t.threshold AND l.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN l.prob >= t.threshold AND l.y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN l.prob < t.threshold AND l.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(SUM(CASE WHEN l.prob < t.threshold AND l.y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM labeled l CROSS JOIN thr t GROUP BY t.threshold
+), scored AS (
+  SELECT threshold,
+         ROUND(CAST(tp AS DOUBLE) / (tp + fn), 6) AS sensitivity,
+         ROUND(CAST(tn AS DOUBLE) / (tn + fp), 6) AS specificity,
+         ROUND(CAST(tp AS DOUBLE) / (tp + fn) + CAST(tn AS DOUBLE) / (tn + fp) - 1.0, 6)
+           AS youden_j
+  FROM g
+), best AS (
+  SELECT threshold AS best_t FROM scored ORDER BY youden_j DESC, threshold ASC LIMIT 1
+)
+SELECT threshold, sensitivity, specificity, youden_j,
+       CAST(CASE WHEN threshold = best_t THEN 1 ELSE 0 END AS INTEGER) AS is_best
+FROM scored CROSS JOIN best ORDER BY threshold
+"""

@@ -13311,3 +13311,75 @@ def q_month_end_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("lift") > 2.0).cast("long")).alias("n_months_flagged"),
     )
     return agg.crossJoin(F.broadcast(worst))
+
+
+@q("q_profit_curve")
+def q_profit_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected-profit threshold sweep for the classifier gate: at each
+    cut, profit = 10·TP − 1·FP − 5·FN (keep-value, review-cost,
+    miss-cost literals) — the cost-sensitive layer that picks the
+    OPERATING POINT q_pr_curve only describes. One scan against a
+    broadcast threshold relation; the argmax row flags the recommended
+    cut."""
+    lab = _scored_labeled_docs(spark, sf_dir)
+    thr = spark.createDataFrame(
+        [(i / 10.0,) for i in range(1, 10)], "threshold double"
+    )
+    j = lab.crossJoin(F.broadcast(thr))
+    g = j.groupBy("threshold").agg(
+        F.sum(((F.col("prob") >= F.col("threshold")) & (F.col("label") == 1)).cast("long")).alias("tp"),
+        F.sum(((F.col("prob") >= F.col("threshold")) & (F.col("label") == 0)).cast("long")).alias("fp"),
+        F.sum(((F.col("prob") < F.col("threshold")) & (F.col("label") == 1)).cast("long")).alias("fn"),
+    )
+    profit = (10 * F.col("tp") - F.col("fp") - 5 * F.col("fn")).cast("long")
+    scored = g.select("threshold", "tp", "fp", "fn", profit.alias("profit"))
+    best = scored.orderBy(F.desc("profit"), F.asc("threshold")).limit(1).select(
+        F.col("threshold").alias("__best")
+    )
+    return (
+        scored.crossJoin(F.broadcast(best))
+        .select(
+            "threshold", "tp", "fp", "fn", "profit",
+            (F.col("threshold") == F.col("__best")).cast("int").alias("is_best"),
+        )
+        .orderBy("threshold")
+    )
+
+
+@q("q_youden")
+def q_youden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Youden's J optimal cut for the classifier: J = sensitivity +
+    specificity − 1 per threshold, argmax = the cost-agnostic operating
+    point (q_profit_curve prices errors; this balances them) — plus the
+    J value itself as the skill-above-chance summary at the chosen cut.
+    Same one-scan sweep."""
+    lab = _scored_labeled_docs(spark, sf_dir)
+    thr = spark.createDataFrame(
+        [(i / 10.0,) for i in range(1, 10)], "threshold double"
+    )
+    j = lab.crossJoin(F.broadcast(thr))
+    g = j.groupBy("threshold").agg(
+        F.sum(((F.col("prob") >= F.col("threshold")) & (F.col("label") == 1)).cast("long")).alias("tp"),
+        F.sum(((F.col("prob") >= F.col("threshold")) & (F.col("label") == 0)).cast("long")).alias("fp"),
+        F.sum(((F.col("prob") < F.col("threshold")) & (F.col("label") == 1)).cast("long")).alias("fn"),
+        F.sum(((F.col("prob") < F.col("threshold")) & (F.col("label") == 0)).cast("long")).alias("tn"),
+    )
+    sens = F.col("tp").cast("double") / (F.col("tp") + F.col("fn"))
+    spec = F.col("tn").cast("double") / (F.col("tn") + F.col("fp"))
+    scored = g.select(
+        "threshold",
+        F.round(sens, 6).alias("sensitivity"),
+        F.round(spec, 6).alias("specificity"),
+        F.round(sens + spec - 1.0, 6).alias("youden_j"),
+    )
+    best = scored.orderBy(F.desc("youden_j"), F.asc("threshold")).limit(1).select(
+        F.col("threshold").alias("__best")
+    )
+    return (
+        scored.crossJoin(F.broadcast(best))
+        .select(
+            "threshold", "sensitivity", "specificity", "youden_j",
+            (F.col("threshold") == F.col("__best")).cast("int").alias("is_best"),
+        )
+        .orderBy("threshold")
+    )
