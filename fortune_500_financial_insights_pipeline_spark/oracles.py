@@ -12808,3 +12808,63 @@ SELECT threshold, sensitivity, specificity, youden_j,
        CAST(CASE WHEN threshold = best_t THEN 1 ELSE 0 END AS INTEGER) AS is_best
 FROM scored CROSS JOIN best ORDER BY threshold
 """
+
+
+ORACLES["q_effective_n"] = f"""
+WITH daily AS (
+  SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS day,
+         ROUND({_dsum('l_extendedprice / 1000.0')}, 6) AS y
+  FROM lineitem GROUP BY strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')
+), base AS (
+  SELECT y, LAG(y) OVER (ORDER BY day) AS yl FROM daily
+), mom AS (
+  SELECT COUNT(*) AS n,
+         {_dsum('CASE WHEN yl IS NOT NULL THEN y END')} AS sa,
+         {_dsum('yl')} AS sb,
+         {_dsum('y * yl')} AS sab,
+         {_dsum('CASE WHEN yl IS NOT NULL THEN y * y END')} AS saa,
+         {_dsum('yl * yl')} AS sbb,
+         COUNT(yl) AS m
+  FROM base
+), r1 AS (
+  SELECT CAST(n AS BIGINT) AS n_days,
+         ROUND((sab - sa * sb / m) / sqrt((saa - sa * sa / m) * (sbb - sb * sb / m)), 6)
+           AS rho1
+  FROM mom
+)
+SELECT n_days, rho1,
+       ROUND(n_days * (1.0 - rho1) / (1.0 + rho1), 6) AS n_effective,
+       ROUND(n_days * (1.0 - rho1) / (1.0 + rho1) / n_days, 6) AS efficiency
+FROM r1
+"""
+
+ORACLES["q_mood_median"] = f"""
+WITH med AS (
+  SELECT ROUND(quantile_cont(o_totalprice, 0.5), 6) AS med FROM orders
+), flagged AS (
+  SELECT o_orderpriority AS grp,
+         CASE WHEN o_totalprice > med THEN 1 ELSE 0 END AS above
+  FROM orders CROSS JOIN med
+), cells AS (
+  SELECT grp, COUNT(*) AS ng, CAST(SUM(above) AS BIGINT) AS na
+  FROM flagged GROUP BY grp
+), tot AS (
+  SELECT SUM(ng) AS n, CAST(SUM(na) AS BIGINT) AS ta, COUNT(*) AS k FROM cells
+), terms AS (
+  SELECT (CAST(na AS DOUBLE) - CAST(ng AS DOUBLE) * (CAST(ta AS DOUBLE) / n))
+           * (na - CAST(ng AS DOUBLE) * (CAST(ta AS DOUBLE) / n))
+           / (CAST(ng AS DOUBLE) * (CAST(ta AS DOUBLE) / n))
+         + (CAST(ng - na AS DOUBLE) - CAST(ng AS DOUBLE) * (1.0 - CAST(ta AS DOUBLE) / n))
+           * ((ng - na) - CAST(ng AS DOUBLE) * (1.0 - CAST(ta AS DOUBLE) / n))
+           / (CAST(ng AS DOUBLE) * (1.0 - CAST(ta AS DOUBLE) / n)) AS term,
+         n, k
+  FROM cells CROSS JOIN tot
+), red AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n, CAST(MAX(k) AS BIGINT) AS k,
+         ROUND({_dsum('term')}, 6) AS chi2
+  FROM terms
+)
+SELECT n, k, chi2,
+       CAST(CASE WHEN chi2 > 9.488 THEN 1 ELSE 0 END AS INTEGER) AS flag_reject
+FROM red
+"""

@@ -13383,3 +13383,82 @@ def q_youden(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+@q("q_effective_n")
+def q_effective_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation-effective sample size of the daily revenue series:
+    n_eff = n·(1−ρ₁)/(1+ρ₁) from the lag-1 autocorrelation — how many
+    INDEPENDENT observations the series is actually worth (the inference
+    deflator that turns q_acf's diagnosis into a corrected standard
+    error; q_mde without this overstates power on autocorrelated
+    metrics). Exact moments; ρ from round-6 anchors."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.date_format("l_shipdate", "yyyy-MM-dd").alias("day")).agg(
+        F.round(dsum(F.col("l_extendedprice") / 1000.0), 6).alias("y")
+    )
+    wd = W.orderBy("day")
+    base = daily.select("y", F.lag("y").over(wd).alias("yl"))
+    mom = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("y").alias("sy"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+        dsum(F.when(F.col("yl").isNotNull(), F.col("y"))).alias("sa"),
+        dsum("yl").alias("sb"),
+        dsum(F.col("y") * F.col("yl")).alias("sab"),
+        dsum(F.when(F.col("yl").isNotNull(), F.col("y") * F.col("y"))).alias("saa"),
+        dsum(F.col("yl") * F.col("yl")).alias("sbb"),
+        F.count("yl").alias("m"),
+    )
+    r1 = mom.selectExpr(
+        "CAST(n AS BIGINT) AS n_days",
+        "ROUND((sab - sa * sb / m) / sqrt((saa - sa * sa / m) * (sbb - sb * sb / m)), 6)"
+        " AS rho1",
+    )
+    return r1.selectExpr(
+        "n_days",
+        "rho1",
+        "ROUND(n_days * (1.0D - rho1) / (1.0D + rho1), 6) AS n_effective",
+        "ROUND(n_days * (1.0D - rho1) / (1.0D + rho1) / n_days, 6) AS efficiency",
+    )
+
+
+@q("q_mood_median")
+def q_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across order priorities: counts above the GRAND
+    median per group fed through the chi-squared independence machinery —
+    the coarsest (most outlier-proof) location test, the triage before
+    q_kruskal_wallis's rank precision. Exact counts; grand median
+    interpolated identically cross-engine."""
+    o = load_table(spark, sf_dir, "orders")
+    med = o.agg(F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("__med"))
+    flagged = o.crossJoin(F.broadcast(med)).select(
+        F.col("o_orderpriority").alias("grp"),
+        (F.col("o_totalprice") > F.col("__med")).cast("int").alias("above"),
+    )
+    cells = flagged.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("above").cast("long").alias("na"),
+    )
+    tot = cells.agg(
+        F.sum("ng").alias("n"), F.sum("na").alias("ta"), F.count(F.lit(1)).alias("k")
+    )
+    j = cells.crossJoin(F.broadcast(tot))
+    pa = F.col("ta").cast("double") / F.col("n")
+    ea = F.col("ng").cast("double") * pa
+    eb = F.col("ng").cast("double") * (1.0 - pa)
+    term = (
+        (F.col("na").cast("double") - ea) * (F.col("na") - ea) / ea
+        + ((F.col("ng") - F.col("na")).cast("double") - eb)
+        * ((F.col("ng") - F.col("na")) - eb)
+        / eb
+    )
+    red = j.agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("k").cast("long").alias("k"),
+        F.round(dsum(term), 6).alias("chi2"),
+    )
+    return red.selectExpr(
+        "n", "k", "chi2",
+        "CAST(CASE WHEN chi2 > 9.488D THEN 1 ELSE 0 END AS INT) AS flag_reject",
+    )
