@@ -12868,3 +12868,53 @@ SELECT n, k, chi2,
        CAST(CASE WHEN chi2 > 9.488 THEN 1 ELSE 0 END AS INTEGER) AS flag_reject
 FROM red
 """
+
+
+ORACLES["q_logrank"] = f"""
+WITH per_user AS (
+  SELECT user_id, MIN(ts) AS first_ts,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS fp,
+         MAX(ts) AS last_ts
+  FROM events GROUP BY user_id
+), users AS (
+  SELECT datediff('day', CAST(first_ts AS DATE),
+                  CAST(COALESCE(fp, last_ts) AS DATE)) AS t,
+         CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END AS event,
+         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS g
+  FROM per_user
+), per_t AS (
+  SELECT t,
+         CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+         CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a0,
+         CAST(SUM(CASE WHEN g = 1 AND event = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+         CAST(SUM(CASE WHEN g = 0 AND event = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d0
+  FROM users GROUP BY t
+), tot AS (
+  SELECT CAST(SUM(a1) AS BIGINT) AS t1, CAST(SUM(a0) AS BIGINT) AS t0 FROM per_t
+), risk AS (
+  SELECT t, d1, d0,
+         CAST(t1 - COALESCE(SUM(a1) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n1,
+         CAST(t0 - COALESCE(SUM(a0) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n0
+  FROM per_t CROSS JOIN tot
+), r2 AS (
+  SELECT t, d1, d0, n1, n0, n1 + n0 AS nt, d1 + d0 AS dt
+  FROM risk
+), f AS (
+  SELECT * FROM r2 WHERE dt > 0 AND nt > 1
+), agg AS (
+  SELECT CAST(SUM(d1) AS BIGINT) AS observed_g1,
+         ROUND({_dsum('CAST(dt AS DOUBLE) * n1 / nt')}, 6) AS expected_g1,
+         ROUND({_dsum('CAST(dt AS DOUBLE) * (CAST(n1 AS DOUBLE) / nt) * (1.0 - CAST(n1 AS DOUBLE) / nt) * CAST(nt - dt AS DOUBLE) / CAST(nt - 1 AS DOUBLE)')}, 6)
+           AS variance,
+         COUNT(*) AS n_event_times
+  FROM f
+)
+SELECT CAST(n_event_times AS BIGINT) AS n_event_times, observed_g1, expected_g1,
+       ROUND((observed_g1 - expected_g1) * (observed_g1 - expected_g1) / variance, 6)
+         AS logrank_chi2,
+       CAST(CASE WHEN (observed_g1 - expected_g1) * (observed_g1 - expected_g1)
+                      / variance > 3.841 THEN 1 ELSE 0 END AS INTEGER) AS flag_differ
+FROM agg
+"""

@@ -13462,3 +13462,67 @@ def q_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n", "k", "chi2",
         "CAST(CASE WHEN chi2 > 9.488D THEN 1 ELSE 0 END AS INT) AS flag_reject",
     )
+
+
+@q("q_logrank")
+def q_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test comparing time-to-first-purchase between even- and
+    odd-id users: at every event time the observed group-1 events are
+    compared to the expectation under a shared hazard (E = d·n₁/n, the
+    hypergeometric variance V), χ² = (ΣO − ΣE)²/ΣV — the DO-the-curves-
+    differ test completing the survival family (q_kaplan_meier draws
+    them, q_nelson_aalen integrates hazard, q_weibull_fit parametrizes).
+    Exact risk-set counts from cumulative windows; fixed-point folds."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min("ts").alias("__first"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("__fp"),
+        F.max("ts").alias("__last"),
+    )
+    dur = F.datediff(
+        F.coalesce(F.col("__fp"), F.col("__last")).cast("date"),
+        F.col("__first").cast("date"),
+    )
+    users = per_user.select(
+        dur.alias("t"),
+        F.col("__fp").isNotNull().cast("int").alias("event"),
+        (F.col("user_id") % 2 == 0).cast("int").alias("g"),
+    )
+    per_t = users.groupBy("t").agg(
+        F.sum((F.col("g") == 1).cast("long")).alias("a1"),
+        F.sum((F.col("g") == 0).cast("long")).alias("a0"),
+        F.sum(((F.col("g") == 1) & (F.col("event") == 1)).cast("long")).alias("d1"),
+        F.sum(((F.col("g") == 0) & (F.col("event") == 1)).cast("long")).alias("d0"),
+    )
+    tot = per_t.agg(F.sum("a1").alias("__t1"), F.sum("a0").alias("__t0"))
+    wc = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    risk = per_t.crossJoin(F.broadcast(tot)).select(
+        "t", "d1", "d0",
+        (F.col("__t1") - F.coalesce(F.sum("a1").over(wc), F.lit(0))).cast("long").alias("n1"),
+        (F.col("__t0") - F.coalesce(F.sum("a0").over(wc), F.lit(0))).cast("long").alias("n0"),
+    ).withColumn("nt", F.col("n1") + F.col("n0")).withColumn(
+        "dt", F.col("d1") + F.col("d0")
+    ).where((F.col("dt") > 0) & (F.col("nt") > 1))
+    e1 = F.col("dt").cast("double") * F.col("n1") / F.col("nt")
+    v = (
+        F.col("dt").cast("double")
+        * (F.col("n1").cast("double") / F.col("nt"))
+        * (1.0 - F.col("n1").cast("double") / F.col("nt"))
+        * (F.col("nt") - F.col("dt")).cast("double")
+        / (F.col("nt") - 1).cast("double")
+    )
+    agg = risk.agg(
+        F.sum("d1").cast("long").alias("observed_g1"),
+        F.round(dsum(e1), 6).alias("expected_g1"),
+        F.round(dsum(v), 6).alias("variance"),
+        F.count(F.lit(1)).alias("n_event_times"),
+    )
+    return agg.selectExpr(
+        "n_event_times",
+        "observed_g1",
+        "expected_g1",
+        "ROUND((observed_g1 - expected_g1) * (observed_g1 - expected_g1) / variance, 6)"
+        " AS logrank_chi2",
+        "CAST(CASE WHEN (observed_g1 - expected_g1) * (observed_g1 - expected_g1)"
+        " / variance > 3.841D THEN 1 ELSE 0 END AS INT) AS flag_differ",
+    )
