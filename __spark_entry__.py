@@ -5,13 +5,20 @@
 SURVEY.md §2 for the driver's DuckDB-oracle comparison at sf0.01.
 
 The driver's correctness run checks queries in registration order and may
-truncate (round 1 recorded exactly the first 50 keys).  To get every key a
-driver CORRECTNESS row across rounds, ``queries()`` orders the registry so
+truncate (rounds 1-2 recorded exactly the first 50 keys).  To get every key
+a driver CORRECTNESS row across rounds, ``queries()`` orders the registry so
 keys with no green row in any prior ``CORRECTNESS_r*.json`` come first:
 
-1. never-verified keys that have a DuckDB oracle (hash-checkable),
-2. never-verified keys without an oracle (rows-only check),
-3. previously-green keys, oldest verification first.
+1. never-verified flagship LLM-data-pipeline keys (explicit list — the
+   dedup / ANN / tokenizer / retrieval surface the build brief grades
+   hardest), in curated order,
+2. other never-verified LLM-pipeline-family keys (pattern-matched),
+   cheapest-measured first,
+3. remaining never-verified oracle-backed keys, cheapest first,
+4. never-verified SQL-surface keys (``q_sql_*`` — TPC-H shapes last, per
+   round-2 verdict), cheapest first,
+5. never-verified keys without an oracle (rows-only check),
+6. previously-green keys, oldest verification first.
 
 The ordering is derived from the CORRECTNESS files the driver itself wrote,
 so it self-maintains: each new round the freshly-verified keys rotate to the
@@ -84,18 +91,91 @@ def _measured_cost() -> dict[str, float]:
         return {}
 
 
+# Flagship LLM-data-pipeline keys (SURVEY §2.11): the round-2 verdict asks
+# that these earn a hard driver row before anything else.  Curated order —
+# dedup families first, then ANN/retrieval, then tokenizer/text-quality.
+_FLAGSHIP_LLM = [
+    "q_minhash_portable",
+    "q_semdedup",
+    "q_embed_neardup_portable",
+    "q_simhash_portable",
+    "q_simhash_pairs",
+    "q_dedup_exact",
+    "q_dup_spans",
+    "q_strip_dup_spans",
+    "q_ngram_jaccard",
+    "q_prefix_dedup",
+    "q_containment",
+    "q_bm25_search",
+    "q_tfidf",
+    "q_bm25",
+    "q_cosine_topk",
+    "q_ivf_topk",
+    "q_pq_topk",
+    "q_ivfpq_topk",
+    "q_ivfpq_residual_topk",
+    "q_ivfpq_rerank",
+    "q_late_interaction",
+    "q_knn_join",
+    "q_knn_join_ivf",
+    "q_mmr_rerank",
+    "q_rrf_fusion",
+    "q_bpe_train",
+    "q_bpe_segment",
+    "q_token_count",
+    "q_text_stats",
+    "q_quality_score",
+    "q_chunk_docs",
+    "q_dsir_select",
+    "q_decontaminate",
+    "q_curation_report",
+    "q_redact_pii",
+    "q_winnow",
+    "q_cdc_chunks",
+    "q_quality_gate",
+    "q_mix_sources",
+    "q_upsample_sources",
+]
+
+# Pattern net for the broader LLM-pipeline family (dedup / similarity /
+# text-analysis / sampling / multimodal) — checked after the flagships but
+# before analytics extras and the SQL surface.
+_LLM_FAMILY_RE = re.compile(
+    r"dedup|dup_|_dup|minhash|simhash|jaccard|lsh|semdedup|embed|cosine|knn"
+    r"|ivf|_pq_|quantiz|kmeans|silhouette|q_ann_|late_interaction|mmr|rrf"
+    r"|tfidf|bm25|bpe|token|ngram|unigram|bigram|skipgram|lang|entropy"
+    r"|perplexity|readability|code_detect|collocation|zipf|heaps|vocab"
+    r"|dsir|phrase|rag_|decontaminate|redact|repetition|quality|chunk"
+    r"|winnow|fingerprint|sample|shard|split|epoch|mix_|upsample|source_cap"
+    r"|pack_|rendezvous|binary|image|audio|video|curation|dataset_card"
+    r"|hard_negatives|random_projection|label_centroids|mutual"
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     verified = _verified_rounds()
     cost = _measured_cost()
+    flagship_rank = {k: i for i, k in enumerate(_FLAGSHIP_LLM)}
 
     def rank(key: str) -> tuple[int, float]:
         if key not in verified:
-            # Unverified: oracle-backed first (hash-checkable), rows-only
-            # after; within each group cheapest-measured first (unmeasured
-            # keys sort last via +inf, stable by registration order).
+            # Unverified keys front-load the driver's truncated check.
+            # Flagship LLM keys first (curated order), then the broader LLM
+            # family, then other oracle-backed keys, then the SQL surface,
+            # then rows-only keys; within each pattern tier cheapest-measured
+            # first (unmeasured keys sort last via +inf, stable by
+            # registration order).
             c = cost.get(key, float("inf"))
-            return (0, c) if key in ORACLES else (1, c)
-        return (2, float(verified[key]))
+            if key not in ORACLES:
+                return (4, c)
+            if key in flagship_rank:
+                return (0, float(flagship_rank[key]))
+            if key.startswith("q_sql_"):
+                return (3, c)
+            if _LLM_FAMILY_RE.search(key):
+                return (1, c)
+            return (2, c)
+        return (5, float(verified[key]))
 
     ordered = sorted(QUERIES, key=lambda k: (rank(k), list(QUERIES).index(k)))
     return {k: QUERIES[k] for k in ordered}
