@@ -272,11 +272,19 @@ def table_checksum(df, cols=None):
     sort, no shuffle beyond a scalar aggregate — the cheap gate a
     copy-job runs before anyone pays for a full snapshot diff
     (operators/cdc.snapshot_diff finds WHAT differs; this says WHETHER).
-    Partition- and order-invariant because addition commutes."""
+    Partition- and order-invariant because addition commutes.
+
+    NULLs are canonicalized to a sentinel BEFORE hashing: xxhash64 skips
+    NULL inputs entirely, so without the coalesce, rows differing only in
+    WHICH nullable column holds a value — ('a', NULL) vs (NULL, 'a') —
+    would collide systematically. The per-column position is part of the
+    digest because argument order is."""
     from pyspark.sql import functions as F
 
     use = cols if cols is not None else df.columns
-    digest = F.xxhash64(*[F.col(c).cast("string") for c in use])
+    digest = F.xxhash64(
+        *[F.coalesce(F.col(c).cast("string"), F.lit("<null>")) for c in use]
+    )
     return df.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(digest).alias("checksum"),

@@ -40,9 +40,27 @@ def grid_dbscan(
     is the min packed cell id of the connected dense-cell component."""
     cx = F.floor(F.col(x_col) / eps).cast("long")
     cy = F.floor(F.col(y_col) / eps).cast("long")
+    bound = CELL_STRIDE // 2
+    # cx*STRIDE+cy is injective only while |cx|,|cy| < STRIDE/2; beyond
+    # that distant cells would silently collide into one cell_id and merge
+    # unrelated clusters, so violations fail loudly instead.  The guard is
+    # a single branch per row with a constant message — cheap enough for
+    # the scan stage.
+    guard = F.when(
+        (F.abs(cx) < bound) & (F.abs(cy) < bound),
+        cx * CELL_STRIDE + cy,
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "grid_dbscan cell index out of packing range "
+                f"(|cx|,|cy| must be < {bound}): eps is too small for the "
+                "coordinate span — raise eps or use a wider CELL_STRIDE"
+            )
+        ).cast("long")
+    )
     pts = points.select(
         F.col(id_col).alias("id"),
-        (cx * CELL_STRIDE + cy).alias("cell_id"),
+        guard.alias("cell_id"),
         cx.alias("cx"),
         cy.alias("cy"),
     )

@@ -34,7 +34,13 @@ def connected_components(
 
     ``edges`` is undirected pair data (each pair listed once is enough).
     Vertices only appear if they touch an edge — callers union isolated
-    ids back in if needed (dedup does: see cluster_dedup)."""
+    ids back in if needed (dedup does: see cluster_dedup).
+
+    Convergence is CHECKED, not assumed: if the propagation still changes
+    labels after ``max_iter`` rounds the result would be silently wrong
+    (partially merged components), so this raises instead — long-chain
+    graphs at scale should raise ``max_iter`` (rounds needed = graph
+    diameter) or pre-contract with large-star/small-star."""
     both = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
@@ -44,6 +50,7 @@ def connected_components(
         .distinct()
         .withColumn("comp", F.col("id"))
     )
+    n_changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             both.join(labels, both.v == labels.id)
@@ -57,11 +64,19 @@ def connected_components(
                 F.least(F.col("comp"), F.coalesce("n_comp", F.col("comp"))).alias("comp"),
                 (F.col("n_comp") < F.col("comp")).alias("_changed"),
             )
+            .localCheckpoint()  # one materialization; the change-count scan below reuses its blocks
         )
         n_changed = updated.filter(F.col("_changed")).count()
-        labels = updated.drop("_changed").localCheckpoint()
+        labels = updated.drop("_changed")
         if n_changed == 0:
             break
+    if n_changed > 0:
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} "
+            f"rounds ({n_changed} labels still changing); raise max_iter to "
+            "at least the graph diameter — returning here would yield "
+            "partially-merged (wrong) component labels"
+        )
     return labels
 
 

@@ -54,13 +54,47 @@ def _fake_decode(media: bytes) -> tuple[int, int, list[float]]:
     return width, height, feature
 
 
+def _real_decode(media: bytes) -> tuple[int, int, list[float]]:
+    """Real decoder: PIL open + an 8-dim feature (mean grayscale intensity
+    over 8 vertical strips, normalized to [0,1]) — deterministic given the
+    payload, same output shape as the fake path."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(media)).convert("L")
+    width, height = img.size
+    px = img.load()
+    strips = 8
+    feature = []
+    for s in range(strips):
+        x0 = s * width // strips
+        x1 = max(x0 + 1, (s + 1) * width // strips)
+        total = 0
+        n = 0
+        for x in range(x0, x1):
+            for y in range(height):
+                total += px[x, y]
+                n += 1
+        feature.append(total / n / 255.0 if n else 0.0)
+    return width, height, feature
+
+
 def decode_image(media: bytes, fake: bool = False):
-    if not fake:
+    """Decode seam: ``fake=True`` is the deterministic stub; ``fake=False``
+    uses PIL when importable and raises NotImplementedError otherwise, so an
+    environment that grows PIL activates real decode with zero code change
+    (tests/test_multimodal_real.py exercises it conditionally)."""
+    if fake:
+        return _fake_decode(media)
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as exc:
         raise NotImplementedError(
-            "real media decoding requires PIL/ffmpeg, not present in this "
+            "real media decoding requires PIL, not present in this "
             "container; pass fake=True for the deterministic stub"
-        )
-    return _fake_decode(media)
+        ) from exc
+    return _real_decode(media)
 
 
 def extract_features(media_df: DataFrame, fake: bool = True) -> DataFrame:
@@ -160,12 +194,25 @@ def resize_images(media_df: DataFrame, target_w: int = 64, target_h: int = 64,
                    "resized": [], "n_bytes_out": []}
             for doc_id, mtype, media in zip(pdf["doc_id"], pdf["media_type"], pdf["media"]):
                 if not fake:
-                    raise NotImplementedError("real resize needs PIL")
-                n = target_w * target_h
-                seed = hashlib.sha256(
-                    media + target_w.to_bytes(2, "big") + target_h.to_bytes(2, "big")
-                ).digest()
-                bitmap = (seed * (n // len(seed) + 1))[:n]
+                    # real path: PIL decode -> resample -> re-encode PNG;
+                    # raises NotImplementedError when PIL is absent so the
+                    # seam activates on environment upgrade, no code change
+                    try:
+                        import io
+
+                        from PIL import Image
+                    except ImportError as exc:
+                        raise NotImplementedError("real resize needs PIL") from exc
+                    img = Image.open(io.BytesIO(media)).resize((target_w, target_h))
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    bitmap = buf.getvalue()
+                else:
+                    n = target_w * target_h
+                    seed = hashlib.sha256(
+                        media + target_w.to_bytes(2, "big") + target_h.to_bytes(2, "big")
+                    ).digest()
+                    bitmap = (seed * (n // len(seed) + 1))[:n]
                 out["doc_id"].append(doc_id)
                 out["media_type"].append(mtype)
                 out["target_w"].append(target_w)

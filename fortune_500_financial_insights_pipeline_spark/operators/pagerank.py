@@ -20,7 +20,13 @@ and re-joined each round, lineage cut with localCheckpoint so the plan
 stays O(1) deep. Fixed iteration count (no convergence collect) keeps
 every round's job identical — at 100 TB you want 10 predictable
 shuffle rounds, not a driver round-trip deciding a data-dependent 11th.
-Dangling mass (sinks) goes to teleport, the standard large-graph choice.
+Dangling mass (sinks) is DROPPED, not redistributed: a sink's rank
+contributes nothing the next round, the teleport term stays constant, so
+on graphs with sinks the ranks are a deterministic lower bound and do NOT
+sum to ~n_nodes * RANK_SCALE. Rank ORDER is what downstream curation
+consumes, and dropping preserves it for the oracle-replayable integer
+recurrence; redistribution (summing sink mass per round) would add one
+scalar aggregate per iteration if calibrated totals are ever needed.
 """
 
 from __future__ import annotations
@@ -42,9 +48,11 @@ def pagerank(
     checkpoint_every: int = 1,
 ) -> DataFrame:
     """(node, rank_fp) over the directed ``edges``; rank_fp is the
-    fixed-point long rank (divide by RANK_SCALE for the float value;
-    ranks over all nodes sum to ~RANK_SCALE * n_nodes * (leaked mass
-    aside)). Every node appearing as src or dst is a vertex.
+    fixed-point long rank (divide by RANK_SCALE for the float value).
+    On sink-free graphs ranks sum to ~RANK_SCALE * n_nodes (floor-division
+    leakage aside); with sinks the dangling mass is dropped each round, so
+    totals are a lower bound (see module docstring). Every node appearing
+    as src or dst is a vertex.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
 

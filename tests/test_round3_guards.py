@@ -1,0 +1,65 @@
+"""Round-3 hardening: loud-failure guards and null-safe checksums
+(advisor items on graph.py, dbscan.py, checks.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fortune_500_financial_insights_pipeline_spark.checks import table_checksum
+from fortune_500_financial_insights_pipeline_spark.operators.dbscan import grid_dbscan
+from fortune_500_financial_insights_pipeline_spark.operators.graph import (
+    connected_components,
+)
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    # a 6-node chain needs ~5 label-propagation rounds; max_iter=2 must
+    # fail loudly, never return partially-merged components
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2).collect()
+    # with enough rounds the same chain converges to one component
+    got = connected_components(edges, max_iter=10)
+    assert {r.comp for r in got.collect()} == {0}
+
+
+def test_grid_dbscan_rejects_out_of_range_cells(spark):
+    # eps tiny vs coordinate span -> |cx| >= CELL_STRIDE/2 -> loud error,
+    # not silently-collided cell ids
+    pts = spark.createDataFrame(
+        [(1, 1.0e9, 0.0), (2, 1.0e9, 0.0), (3, 1.0e9 + 0.1, 0.0)],
+        ["id", "x", "y"],
+    )
+    with pytest.raises(Exception, match="packing range"):
+        grid_dbscan(pts, "id", "x", "y", eps=1.0, min_pts=2).collect()
+
+
+def test_grid_dbscan_in_range_unchanged(spark):
+    pts = spark.createDataFrame(
+        [(i, float(i % 3) * 0.1, 0.0) for i in range(12)], ["id", "x", "y"]
+    )
+    out = grid_dbscan(pts, "id", "x", "y", eps=1.0, min_pts=2)
+    # all points land in one dense cell -> one cluster, nobody dropped
+    rows = out.collect()
+    assert len(rows) == 12 and len({r.cluster for r in rows}) == 1
+
+
+def test_table_checksum_distinguishes_null_transposition(spark):
+    a = spark.createDataFrame([("a", None)], "x string, y string")
+    b = spark.createDataFrame([(None, "a")], "x string, y string")
+    ca = table_checksum(a).head()
+    cb = table_checksum(b).head()
+    assert ca.n_rows == cb.n_rows == 1
+    assert ca.checksum != cb.checksum
+
+
+def test_table_checksum_order_and_null_stable(spark):
+    df = spark.createDataFrame(
+        [("a", None), (None, "b"), ("c", "d")], "x string, y string"
+    )
+    c1 = table_checksum(df).head()
+    c2 = table_checksum(df.orderBy(F.desc("x")).repartition(7)).head()
+    assert (c1.n_rows, c1.checksum) == (c2.n_rows, c2.checksum)
