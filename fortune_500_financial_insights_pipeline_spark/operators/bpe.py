@@ -92,16 +92,38 @@ def _merge_once(syms: Column, lhs: str, rhs: str) -> Column:
 
 
 def bpe_train(
-    docs: DataFrame, *, n_merges: int, text_col: str = "text"
+    docs: DataFrame,
+    *,
+    n_merges: int,
+    text_col: str = "text",
+    batch_size: int = 1,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges; returns the merge table
     (step, lhs, rhs, pair_count) — the artifact a tokenizer ships.
 
-    Driver traffic is one (lhs, rhs, count) row per iteration; the
-    vocabulary frame is persisted between iterations so each merge is
-    applied once, not replayed through lineage."""
+    ``batch_size=1`` is exact sequential BPE (one merge per pair-count
+    snapshot — the oracle-replayed form).  ``batch_size=m`` selects the
+    top-m SYMBOL-DISJOINT pairs per snapshot and applies them together:
+    because disjoint pairs cannot create, destroy, or share adjacency
+    sites with each other, their snapshot counts are exactly what
+    sequential application would have seen — the standard batching trick
+    that takes a 32k-merge production tokenizer from 32k driver
+    round-trips to ~hundreds.  The one divergence from strict-sequential
+    BPE: a pair CREATED by an earlier in-batch merge (e.g. ('ab', 'c')
+    right after ('a','b')) can't be picked until the next snapshot, so a
+    batched run may order merges slightly differently; vocabularies of
+    real corpora are insensitive to this (same trade fast BPE trainers
+    make).
+
+    Driver traffic is one top-(4·batch) collect per iteration; the
+    vocabulary frame is checkpointed between iterations so each batch is
+    applied once, not replayed through lineage.  Pass ``stats={}`` to get
+    ``stats['iterations']`` (snapshot jobs run) back."""
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
+    if batch_size < 1:
+        raise ValueError("batch_size must be >= 1")
     spark = docs.sparkSession
     words = (
         word_frequencies(docs, text_col=text_col)
@@ -109,8 +131,9 @@ def bpe_train(
         .persist()
     )
     merges: list[tuple[int, str, str, int]] = []
+    iterations = 0
     try:
-        for step in range(1, n_merges + 1):
+        while len(merges) < n_merges:
             pairs = (
                 words.select(
                     "cnt",
@@ -125,26 +148,45 @@ def bpe_train(
                 .groupBy("lhs", "rhs")
                 .agg(F.sum("cnt").alias("pair_count"))
             )
-            best = pairs.orderBy(
-                F.desc("pair_count"), F.asc("lhs"), F.asc("rhs")
-            ).head()
-            if best is None:
-                break  # vocabulary fully merged — nothing adjacent remains
-            merges.append(
-                (step, str(best["lhs"]), str(best["rhs"]), int(best["pair_count"]))
+            want = min(batch_size, n_merges - len(merges))
+            # over-fetch 4× so disjointness filtering still fills the batch
+            top = (
+                pairs.orderBy(F.desc("pair_count"), F.asc("lhs"), F.asc("rhs"))
+                .limit(max(want * 4, 8))
+                .collect()
             )
-            # localCheckpoint (not persist): each iteration's plan must
-            # START from the materialized vocabulary, not re-analyze the
-            # whole merge chain — _merge_once nests its input tree ~8×,
-            # so an uncut 3-deep chain costs minutes of driver analysis
-            # (measured in bpe_segment before the same fix).
-            nxt = words.withColumn(
-                "s", _merge_once(F.col("s"), best["lhs"], best["rhs"])
-            ).localCheckpoint()
+            iterations += 1
+            if not top:
+                break  # vocabulary fully merged — nothing adjacent remains
+            # greedy symbol-disjoint selection in snapshot rank order
+            used: set[str] = set()
+            batch: list[tuple[str, str, int]] = []
+            for r in top:
+                lhs, rhs = str(r["lhs"]), str(r["rhs"])
+                if lhs in used or rhs in used:
+                    continue
+                batch.append((lhs, rhs, int(r["pair_count"])))
+                used.update((lhs, rhs))
+                if len(batch) >= want:
+                    break
+            nxt = words
+            for lhs, rhs, cnt in batch:
+                merges.append((len(merges) + 1, lhs, rhs, cnt))
+                # lazy checkpoint per stage: keeps each merge's expression
+                # tree one level deep (_merge_once nests its input ~8×, so
+                # an uncut chain costs exponential driver analysis —
+                # measured in bpe_segment before the same fix); blocks
+                # materialize together on the next snapshot job
+                nxt = nxt.withColumn(
+                    "s", _merge_once(F.col("s"), lhs, rhs)
+                ).localCheckpoint(eager=False)
+            nxt = nxt.localCheckpoint()
             words.unpersist()
             words = nxt
     finally:
         words.unpersist()
+    if stats is not None:
+        stats["iterations"] = iterations
     return spark.createDataFrame(
         merges, "step int, lhs string, rhs string, pair_count bigint"
     )

@@ -98,3 +98,45 @@ def test_registered_bpe_queries_run(spark, sf_dir):
     seg = QUERIES["q_bpe_segment"](spark, sf_dir)
     assert seg.columns == ["doc_id", "token", "n"]
     assert seg.count() > 0
+
+
+def test_batched_train_matches_sequential_when_batch_is_one(spark):
+    docs = spark.createDataFrame(
+        [(1, "abab abab cd"), (2, "abab cd cd ef ef")], "doc_id long, text string"
+    )
+    seq = [tuple(r) for r in bpe_train(docs, n_merges=4).collect()]
+    b1 = [tuple(r) for r in bpe_train(docs, n_merges=4, batch_size=1).collect()]
+    assert seq == b1
+
+
+def test_batched_train_selects_symbol_disjoint_pairs(spark):
+    # dominant pairs (a,b) and (b,c) share 'b' -> must land in different
+    # batches; (a,b) and (x,y) are disjoint -> same batch is legal
+    docs = spark.createDataFrame(
+        [(1, "abc abc abc xy xy")], "doc_id long, text string"
+    )
+    stats: dict = {}
+    merges = bpe_train(docs, n_merges=3, batch_size=3, stats=stats).collect()
+    got = [(r.lhs, r.rhs) for r in merges]
+    # snapshot 1: (a,b) cnt 3 wins; (b,c) cnt 3 shares 'b' -> skipped;
+    # (x,y) cnt 2 disjoint -> batched. snapshot 2: (ab,c)
+    assert got == [("a", "b"), ("x", "y"), ("ab", "c")]
+    assert stats["iterations"] == 2
+    # steps stay sequential across batches
+    assert [r.step for r in merges] == [1, 2, 3]
+
+
+def test_batched_train_64_merges_in_bounded_iterations(spark):
+    # 64 two-char words over 128 DISTINCT symbols -> 64 fully
+    # symbol-disjoint dominant pairs; a 16-wide batch must learn all 64
+    # merges in ~4 snapshots, not 64
+    words = [chr(0x100 + 2 * i) + chr(0x100 + 2 * i + 1) for i in range(64)]
+    text = " ".join(w for w in words for _ in range(2))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    stats: dict = {}
+    merges = bpe_train(docs, n_merges=64, batch_size=16, stats=stats).collect()
+    assert len(merges) == 64
+    assert stats["iterations"] <= 6  # ceil(64/16) + slack, never 64
+    assert sorted((r.lhs + r.rhs) for r in merges) == sorted(words)
+    # every snapshot count is the true pre-batch pair frequency (2 each)
+    assert all(r.pair_count == 2 for r in merges)
