@@ -63,94 +63,81 @@ def markov_removal_attribution(
 
     ``trans``: (from_state, to_state, t6) — row-normalized transition
     probabilities as integers at ``scale`` (CONV/NULL absorbing).
-    Absorption probabilities come from ``k_iter`` value-iteration steps
-    run on ALL scenarios at once (the full chain + one per removed
-    channel, union-tagged into a single (scenario, from, to) frame), so
-    each step is ONE equi-join + groupBy over a states×channels-sized
-    frame — the kmeans/PageRank unroll discipline, with per-iteration
-    integer truncation (long `div`) so both engines compute the
-    identical trajectory. p is exact long arithmetic at ``pscale``
-    throughout; products stay under 2^63 because Σ row probs ≤ scale.
-    Per-step localCheckpoints keep plan analysis linear in k.
+
+    Scale shape: the corpus-sized work is building ``trans`` (the caller's
+    one window + aggregate pass); the chain itself is CHANNEL-BOUNDED —
+    (channels+2)² rows — so the ``k_iter`` value-iteration steps run
+    DRIVER-SIDE on the collected matrix in exact Python longs (the same
+    integer recurrence the DuckDB oracle unrolls as CTE stages:
+    per-iteration truncating division, products under 2^63 because
+    Σ row probs ≤ scale).  The earlier all-relational form paid
+    k_iter × (2 joins + groupBy) of pure scheduling overhead on a
+    ~150-row frame — 24 shuffle rounds for a matrix that fits in one
+    collect; this is the kmeans discipline (collect the k·dim moments,
+    not the corpus) taken to its endpoint, since here the WHOLE state
+    space is driver-sized.  Rounding of the three output ratios
+    replicates Spark's ROUND(double, 6) exactly (HALF_UP on the shortest
+    decimal repr), so results are bit-identical to the relational form.
     """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def round6(x: float):
+        if x != x:  # NaN passes through like Spark round()
+            return x
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        )
+
     spark = trans.sparkSession
-    scen = spark.createDataFrame(
-        [("__full__",)] + [(c,) for c in channels], "scenario string"
-    )
-    strans = (
-        trans.crossJoin(F.broadcast(scen))
-        .where(
-            (F.col("from_state") != F.col("scenario"))
-            & (F.col("to_state") != F.col("scenario"))
-            & (F.col("to_state") != "NULL")
-        )
-        .select("scenario", "from_state", "to_state", "t6")
-        .localCheckpoint(eager=False)
-    )
-    states = strans.select("scenario", F.col("from_state").alias("state")).distinct()
-    p = states.withColumn("p", F.lit(0).cast("long")).localCheckpoint(eager=False)
-    for _ in range(k_iter):
-        joined = (
-            states.join(
-                strans,
-                (states["scenario"] == strans["scenario"])
-                & (states["state"] == strans["from_state"]),
-                "left",
+    base = [
+        (r["from_state"], r["to_state"], int(r["t6"]))
+        for r in trans.collect()
+    ]
+    kconv = pscale // scale
+    pconv: dict[str, int] = {}
+    for scen in ["__full__", *channels]:
+        edges = [
+            (f, t, w)
+            for (f, t, w) in base
+            if f != scen and t != scen and t != "NULL"
+        ]
+        out: dict[str, list[tuple[str, int]]] = {}
+        for f, t, w in edges:
+            out.setdefault(f, []).append((t, w))
+        p = {st: 0 for st in out}
+        for _ in range(k_iter):
+            nxt = {}
+            for st, dests in out.items():
+                total = 0
+                for t, w in dests:
+                    if t == "CONV":
+                        total += w * kconv
+                    elif t in p:
+                        # SQL: (t6 * p) div scale — truncating long division;
+                        # a to-state with no outgoing edges joins NULL and is
+                        # excluded from the sum, mirrored by the `elif`
+                        total += (w * p[t]) // scale
+                nxt[st] = total
+            p = nxt
+        pconv[scen] = p.get("START", 0)
+
+    pfull = pconv["__full__"]
+    drops = {c: pfull - pconv[c] for c in channels}
+    tot = sum(drops.values())
+    rows = []
+    for c in sorted(channels):
+        removal = (drops[c] / pfull) if pfull != 0 else float("nan")
+        share = (drops[c] / tot) if tot > 0 else None
+        rows.append(
+            (
+                c,
+                round6(pconv[c] / pscale),
+                round6(removal),
+                round6(share) if share is not None else None,
             )
-            .select(states["scenario"], states["state"], "to_state", "t6")
-            .join(
-                p.select(
-                    F.col("scenario").alias("__ps"),
-                    F.col("state").alias("__pt"),
-                    F.col("p").alias("__pp"),
-                ),
-                (F.col("scenario") == F.col("__ps"))
-                & (F.col("to_state") == F.col("__pt")),
-                "left",
-            )
         )
-        contrib = F.when(
-            F.col("to_state") == "CONV", F.col("t6") * F.lit(pscale // scale)
-        ).otherwise(F.expr(f"(t6 * __pp) div {scale}"))
-        p = (
-            joined.groupBy("scenario", "state")
-            .agg(F.coalesce(F.sum(contrib), F.lit(0)).cast("long").alias("p"))
-            .localCheckpoint(eager=False)
-        )
-    start = p.where(F.col("state") == "START").select(
-        "scenario", F.col("p").alias("__pconv")
-    )
-    full = start.where(F.col("scenario") == "__full__").select(
-        F.col("__pconv").alias("__pfull")
-    )
-    per = (
-        start.where(F.col("scenario") != "__full__")
-        .crossJoin(F.broadcast(full))
-        .select(
-            F.col("scenario").alias("channel"),
-            F.round(F.col("__pconv").cast("double") / pscale, 6).alias(
-                "p_conv_without"
-            ),
-            (F.col("__pfull") - F.col("__pconv")).alias("__drop_int"),
-            F.col("__pfull"),
-        )
-    )
-    tot = per.agg(F.sum("__drop_int").alias("__tot"))
-    return (
-        per.crossJoin(F.broadcast(tot))
-        .select(
-            "channel",
-            "p_conv_without",
-            F.round(F.col("__drop_int").cast("double") / F.col("__pfull"), 6).alias(
-                "removal_effect"
-            ),
-            F.round(
-                F.when(
-                    F.col("__tot") > 0,
-                    F.col("__drop_int").cast("double") / F.col("__tot"),
-                ),
-                6,
-            ).alias("attribution_share"),
-        )
-        .orderBy("channel")
+    return spark.createDataFrame(
+        rows,
+        "channel string, p_conv_without double, removal_effect double, "
+        "attribution_share double",
     )

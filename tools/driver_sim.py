@@ -14,6 +14,7 @@ Default checks only keys with no green row in any CORRECTNESS_r*.json.
 from __future__ import annotations
 
 import argparse
+import gc
 import json
 import os
 import sys
@@ -59,7 +60,13 @@ def main() -> int:
         t0 = time.monotonic()
         row: dict = {}
         try:
-            sdf = qs[k](spark, SF_DIR).toPandas()
+            df = qs[k](spark, SF_DIR)
+            sdf = df.toPandas()
+            # drop the DataFrame and force gc so localCheckpoint blocks
+            # unpin between keys (bench.py's long-session mitigation —
+            # stacked pinned blocks inflate later keys' times several-fold)
+            del df
+            gc.collect()
             t_spark = time.monotonic() - t0
             if k in oracles:
                 t1 = time.monotonic()
