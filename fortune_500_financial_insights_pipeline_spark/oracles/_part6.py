@@ -1,0 +1,696 @@
+"""Oracle SQL, part 6/6 (file-order split from the single-file
+oracles.py in round 3 — same entries, same insertion order)."""
+
+from __future__ import annotations
+
+
+from fortune_500_financial_insights_pipeline_spark.oracles._core import (  # noqa: F401
+    ORACLES,
+    _SCORED_LABELED_CTE,
+    _dsum,
+)
+
+
+ORACLES["q_qini"] = """
+WITH per AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-08' THEN 1 ELSE 0 END) AS BIGINT)
+           AS score,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS resp,
+         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treated
+  FROM events GROUP BY user_id
+), dec AS (
+  SELECT treated, resp,
+         NTILE(10) OVER (ORDER BY score DESC, user_id ASC) AS decile
+  FROM per
+), g AS (
+  SELECT decile,
+         CAST(SUM(treated) AS BIGINT) AS nt,
+         CAST(SUM(1 - treated) AS BIGINT) AS nc,
+         CAST(SUM(treated * resp) AS BIGINT) AS rt,
+         CAST(SUM((1 - treated) * resp) AS BIGINT) AS rc
+  FROM dec GROUP BY decile
+), cum AS (
+  SELECT decile,
+         CAST(SUM(nt) OVER w AS BIGINT) AS cum_nt,
+         CAST(SUM(nc) OVER w AS BIGINT) AS cum_nc,
+         CAST(SUM(rt) OVER w AS BIGINT) AS cum_rt,
+         CAST(SUM(rc) OVER w AS BIGINT) AS cum_rc
+  FROM g
+  WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), last AS (
+  SELECT CAST(cum_rt AS DOUBLE) - CAST(cum_rc AS DOUBLE) * cum_nt / cum_nc AS total_qini
+  FROM cum ORDER BY decile DESC LIMIT 1
+)
+SELECT CAST(decile AS INTEGER) AS decile, cum_nt, cum_nc,
+       ROUND(CAST(cum_rt AS DOUBLE) - CAST(cum_rc AS DOUBLE) * cum_nt / cum_nc, 6) AS qini,
+       ROUND(total_qini * decile / 10.0, 6) AS random_baseline,
+       ROUND((CAST(cum_rt AS DOUBLE) - CAST(cum_rc AS DOUBLE) * cum_nt / cum_nc)
+             - total_qini * decile / 10.0, 6) AS qini_above_random
+FROM cum CROSS JOIN last
+ORDER BY decile
+"""
+
+ORACLES["q_holt_winters"] = f"""
+WITH RECURSIVE daily AS (
+  SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS day,
+         ROUND({_dsum('l_extendedprice / 1000.0')}, 6) AS y
+  FROM lineitem WHERE year(l_shipdate) = 1998
+  GROUP BY strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')
+), s0 AS (
+  SELECT day, y, ROW_NUMBER() OVER (ORDER BY day) AS rn, COUNT(*) OVER () AS n
+  FROM daily
+), init AS (
+  SELECT CAST(ROUND(CAST((SELECT SUM(CAST(ROUND(y * 1000000) AS BIGINT))
+                          FROM s0 WHERE rn <= 7) AS DOUBLE) / 7) AS DOUBLE) / 1000000 AS l0,
+         CAST(ROUND((CAST(ROUND(CAST((SELECT SUM(CAST(ROUND(y * 1000000) AS BIGINT))
+                                      FROM s0 WHERE rn > 7 AND rn <= 14) AS DOUBLE) / 7)
+                          AS DOUBLE) / 1000000
+                     - CAST(ROUND(CAST((SELECT SUM(CAST(ROUND(y * 1000000) AS BIGINT))
+                                        FROM s0 WHERE rn <= 7) AS DOUBLE) / 7)
+                            AS DOUBLE) / 1000000) / 7 * 1000000) AS DOUBLE) / 1000000 AS b0
+), r(rn, l, b, s) AS (
+  SELECT 7, l0, b0,
+         (SELECT list(CAST(ROUND((y - init.l0) * 1000000) AS DOUBLE) / 1000000
+                      ORDER BY rn)
+          FROM s0 WHERE rn <= 7)
+  FROM init
+  UNION ALL
+  SELECT r.rn + 1,
+         CAST(ROUND((0.3 * (d.y - r.s[1]) + (1 - 0.3) * (r.l + r.b)) * 1000000)
+              AS DOUBLE) / 1000000,
+         CAST(ROUND((0.1 * ((CAST(ROUND((0.3 * (d.y - r.s[1]) + (1 - 0.3) * (r.l + r.b))
+                                        * 1000000) AS DOUBLE) / 1000000) - r.l)
+                     + (1 - 0.1) * r.b) * 1000000) AS DOUBLE) / 1000000,
+         r.s[2:7] || [CAST(ROUND((0.2 * (d.y
+                      - (CAST(ROUND((0.3 * (d.y - r.s[1]) + (1 - 0.3) * (r.l + r.b))
+                                    * 1000000) AS DOUBLE) / 1000000))
+                      + (1 - 0.2) * r.s[1]) * 1000000) AS DOUBLE) / 1000000]
+  FROM r JOIN s0 d ON d.rn = r.rn + 1
+)
+SELECT CAST(r.rn AS BIGINT) AS n_obs,
+       ROUND(r.l, 6) AS level,
+       ROUND(r.b, 6) AS trend,
+       ROUND(r.s[1], 6) AS season_next,
+       ROUND(r.l + r.b + r.s[1], 6) AS forecast_next
+FROM r JOIN (SELECT MAX(rn) AS mx FROM s0) t ON r.rn = t.mx
+"""
+
+ORACLES["q_mcnemar"] = """
+WITH scored AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS truth,
+         CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                    t -> list_contains(['the','a','of','and','to','in','is','on','for','with'], t)))
+              AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.05
+              THEN 1 ELSE 0 END AS ra,
+         CASE WHEN CAST(length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) AS DOUBLE)
+                   / NULLIF(length(text), 0) >= 0.99
+              THEN 1 ELSE 0 END AS rb
+  FROM documents
+), ok AS (
+  SELECT CASE WHEN ra = truth THEN 1 ELSE 0 END AS ok_a,
+         CASE WHEN rb = truth THEN 1 ELSE 0 END AS ok_b
+  FROM scored
+), g AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CASE WHEN ok_a = 1 AND ok_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN ok_a = 0 AND ok_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN ok_a = 1 AND ok_b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS both_right
+  FROM ok
+)
+SELECT CAST(n AS BIGINT) AS n, both_right, b, c,
+       ROUND((CAST(ABS(b - c) AS DOUBLE) - 1.0) * (CAST(ABS(b - c) AS DOUBLE) - 1.0)
+             / CAST(b + c AS DOUBLE), 6) AS mcnemar_chi2,
+       CAST(CASE WHEN (CAST(ABS(b - c) AS DOUBLE) - 1.0)
+                      * (CAST(ABS(b - c) AS DOUBLE) - 1.0)
+                      / CAST(b + c AS DOUBLE) > 3.841
+                 THEN 1 ELSE 0 END AS INTEGER) AS flag_different
+FROM g
+"""
+
+ORACLES["q_cochran_q"] = """
+WITH med AS (
+  SELECT ROUND(quantile_cont(CAST(length(text) AS DOUBLE), 0.5), 6) AS med
+  FROM documents
+), scored AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS truth,
+         CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                    t -> list_contains(['the','a','of','and','to','in','is','on','for','with'], t)))
+              AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.05
+              THEN 1 ELSE 0 END AS ra,
+         CASE WHEN CAST(length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) AS DOUBLE)
+                   / NULLIF(length(text), 0) >= 0.99
+              THEN 1 ELSE 0 END AS rb,
+         CASE WHEN CAST(length(text) AS DOUBLE) >= med THEN 1 ELSE 0 END AS rc
+  FROM documents CROSS JOIN med
+), x AS (
+  SELECT CAST(CASE WHEN ra = truth THEN 1 ELSE 0 END AS BIGINT) AS x1,
+         CAST(CASE WHEN rb = truth THEN 1 ELSE 0 END AS BIGINT) AS x2,
+         CAST(CASE WHEN rc = truth THEN 1 ELSE 0 END AS BIGINT) AS x3
+  FROM scored
+), g AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x1) AS BIGINT) AS g1, CAST(SUM(x2) AS BIGINT) AS g2,
+         CAST(SUM(x3) AS BIGINT) AS g3,
+         CAST(SUM(x1 + x2 + x3) AS BIGINT) AS t,
+         CAST(SUM((x1 + x2 + x3) * (x1 + x2 + x3)) AS BIGINT) AS l2
+  FROM x
+), q AS (
+  SELECT CAST(n AS BIGINT) AS n_docs, g1 AS right_stopword, g2 AS right_ascii,
+         g3 AS right_length,
+         3.0 * 2.0 * ((CAST(g1 AS DOUBLE) - CAST(t AS DOUBLE) / 3) * (CAST(g1 AS DOUBLE) - CAST(t AS DOUBLE) / 3)
+           + (CAST(g2 AS DOUBLE) - CAST(t AS DOUBLE) / 3) * (CAST(g2 AS DOUBLE) - CAST(t AS DOUBLE) / 3)
+           + (CAST(g3 AS DOUBLE) - CAST(t AS DOUBLE) / 3) * (CAST(g3 AS DOUBLE) - CAST(t AS DOUBLE) / 3))
+           / (3.0 * t - l2) AS q_raw
+  FROM g
+)
+SELECT n_docs, right_stopword, right_ascii, right_length,
+       ROUND(q_raw, 6) AS cochran_q,
+       CAST(CASE WHEN q_raw > 5.991 THEN 1 ELSE 0 END AS INTEGER) AS flag_differ
+FROM q
+"""
+
+ORACLES["q_partition_pruning_gain"] = """
+WITH monthly AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS m, COUNT(*) AS n_rows
+  FROM orders GROUP BY strftime(o_orderdate, '%Y-%m')
+), preds(pred, lo, hi) AS (
+  VALUES ('one_week', TIMESTAMP '1997-03-10', TIMESTAMP '1997-03-17'),
+         ('one_quarter', TIMESTAMP '1996-01-01', TIMESTAMP '1996-04-01'),
+         ('two_years', TIMESTAMP '1995-01-01', TIMESTAMP '1997-01-01')
+), tot AS (
+  SELECT COUNT(*) AS full_n FROM orders
+), scanned AS (
+  SELECT pred, CAST(SUM(n_rows) AS BIGINT) AS rows_scanned
+  FROM monthly CROSS JOIN preds
+  WHERE m >= strftime(lo, '%Y-%m') AND m <= strftime(hi, '%Y-%m')
+  GROUP BY pred
+), exact AS (
+  SELECT pred, COUNT(*) AS rows_selected
+  FROM orders CROSS JOIN preds
+  WHERE o_orderdate >= lo AND o_orderdate < hi
+  GROUP BY pred
+)
+SELECT s.pred, s.rows_scanned, CAST(e.rows_selected AS BIGINT) AS rows_selected,
+       CAST(t.full_n AS BIGINT) AS rows_full_scan,
+       ROUND(CAST(s.rows_scanned AS DOUBLE) / t.full_n, 6) AS scan_fraction,
+       ROUND(CAST(e.rows_selected AS DOUBLE) / s.rows_scanned, 6) AS scan_precision
+FROM scanned s JOIN exact e ON s.pred = e.pred CROSS JOIN tot t
+ORDER BY s.pred
+"""
+
+ORACLES["q_bloom_sizing"] = """
+WITH base AS (
+  SELECT 'orders.o_custkey' AS key_col,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct FROM orders
+  UNION ALL
+  SELECT 'lineitem.l_orderkey', CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT 'lineitem.l_partkey', CAST(COUNT(DISTINCT l_partkey) AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT 'customer.c_custkey', CAST(COUNT(DISTINCT c_custkey) AS BIGINT) FROM customer
+), m AS (
+  SELECT key_col, n_distinct,
+         -(CAST(n_distinct AS DOUBLE) * ln(0.01)) / (ln(2.0) * ln(2.0)) AS m_bits_raw
+  FROM base
+)
+SELECT key_col, n_distinct,
+       CAST(ceil(m_bits_raw) AS BIGINT) AS m_bits,
+       ROUND(ln(2.0) * m_bits_raw / n_distinct, 6) AS k_hashes,
+       ROUND(m_bits_raw / 8.0 / 1048576.0, 6) AS mib
+FROM m ORDER BY key_col
+"""
+
+ORACLES["q_wasserstein"] = f"""
+WITH two AS (
+  SELECT event_type AS g, ROUND(value, 6) AS v
+  FROM events WHERE event_type IN ('click', 'purchase')
+), per_val AS (
+  SELECT v,
+         CAST(SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM two GROUP BY v
+), cum AS (
+  SELECT v,
+         CAST(SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS r1,
+         CAST(SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS r2,
+         LEAD(v) OVER (ORDER BY v) AS v_next
+  FROM per_val
+), tot AS (
+  SELECT MAX(r1) AS n1, MAX(r2) AS n2 FROM cum
+), j AS (
+  SELECT ABS(CAST(r1 AS DOUBLE) / n1 - CAST(r2 AS DOUBLE) / n2)
+           * ROUND(v_next - v, 6) AS term,
+         n1, n2
+  FROM cum CROSS JOIN tot WHERE v_next IS NOT NULL
+)
+SELECT CAST(MAX(n1) AS BIGINT) AS n_click,
+       CAST(MAX(n2) AS BIGINT) AS n_purchase,
+       ROUND({_dsum('term')}, 6) AS wasserstein_1
+FROM j
+"""
+
+ORACLES["q_tv_distance"] = f"""
+WITH g AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN strftime(ts, '%A') IN ('Saturday', 'Sunday')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_wk,
+         CAST(SUM(CASE WHEN strftime(ts, '%A') IN ('Saturday', 'Sunday')
+                  THEN 0 ELSE 1 END) AS BIGINT) AS n_wd
+  FROM events GROUP BY event_type
+), tot AS (
+  SELECT CAST(SUM(n_wk) AS BIGINT) AS tk, CAST(SUM(n_wd) AS BIGINT) AS td FROM g
+), j AS (
+  SELECT ABS(CAST(n_wk AS DOUBLE) / tk - CAST(n_wd AS DOUBLE) / td) AS diff, tk, td
+  FROM g CROSS JOIN tot
+)
+SELECT CAST(MAX(tk) AS BIGINT) AS n_weekend,
+       CAST(MAX(td) AS BIGINT) AS n_weekday,
+       ROUND({_dsum('diff')} / 2.0, 6) AS tv_distance
+FROM j
+"""
+
+ORACLES["q_partial_corr"] = f"""
+WITH mom AS (
+  SELECT COUNT(*) AS n,
+         {_dsum('l_quantity')} AS sx,
+         {_dsum('l_extendedprice / 1000.0')} AS sy,
+         {_dsum('l_extendedprice / l_quantity / 1000.0')} AS sz,
+         {_dsum('l_quantity * l_quantity')} AS sxx,
+         {_dsum('(l_extendedprice / 1000.0) * (l_extendedprice / 1000.0)')} AS syy,
+         {_dsum('(l_extendedprice / l_quantity / 1000.0) * (l_extendedprice / l_quantity / 1000.0)')} AS szz,
+         {_dsum('l_quantity * (l_extendedprice / 1000.0)')} AS sxy,
+         {_dsum('l_quantity * (l_extendedprice / l_quantity / 1000.0)')} AS sxz,
+         {_dsum('(l_extendedprice / 1000.0) * (l_extendedprice / l_quantity / 1000.0)')} AS syz
+  FROM lineitem
+), r AS (
+  SELECT CAST(n AS BIGINT) AS n,
+         ROUND((sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS r_xy,
+         ROUND((sxz - sx * sz / n) / sqrt((sxx - sx * sx / n) * (szz - sz * sz / n)), 6) AS r_xz,
+         ROUND((syz - sy * sz / n) / sqrt((syy - sy * sy / n) * (szz - sz * sz / n)), 6) AS r_yz
+  FROM mom
+)
+SELECT n, r_xy, r_xz, r_yz,
+       ROUND((r_xy - r_xz * r_yz)
+             / sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)), 6)
+         AS partial_r_xy_given_z
+FROM r
+"""
+
+ORACLES["q_vif"] = f"""
+WITH mom AS (
+  SELECT COUNT(*) AS n,
+         {_dsum('l_quantity')} AS sa,
+         {_dsum('l_discount')} AS sb,
+         {_dsum('l_extendedprice / l_quantity / 1000.0')} AS sc,
+         {_dsum('l_quantity * l_quantity')} AS saa,
+         {_dsum('l_discount * l_discount')} AS sbb,
+         {_dsum('(l_extendedprice / l_quantity / 1000.0) * (l_extendedprice / l_quantity / 1000.0)')} AS scc,
+         {_dsum('l_quantity * l_discount')} AS sab,
+         {_dsum('l_quantity * (l_extendedprice / l_quantity / 1000.0)')} AS sac,
+         {_dsum('l_discount * (l_extendedprice / l_quantity / 1000.0)')} AS sbc
+  FROM lineitem
+), r AS (
+  SELECT CAST(n AS BIGINT) AS n,
+         ROUND((sab - sa * sb / n) / sqrt((saa - sa * sa / n) * (sbb - sb * sb / n)), 6) AS r12,
+         ROUND((sac - sa * sc / n) / sqrt((saa - sa * sa / n) * (scc - sc * sc / n)), 6) AS r13,
+         ROUND((sbc - sb * sc / n) / sqrt((sbb - sb * sb / n) * (scc - sc * sc / n)), 6) AS r23
+  FROM mom
+)
+SELECT n, r12, r13, r23,
+       ROUND(1.0 / ((1.0 + 2.0 * r12 * r13 * r23 - r12 * r12 - r13 * r13 - r23 * r23)
+             / (1.0 - r23 * r23)), 6) AS vif_quantity,
+       ROUND(1.0 / ((1.0 + 2.0 * r12 * r13 * r23 - r12 * r12 - r13 * r13 - r23 * r23)
+             / (1.0 - r13 * r13)), 6) AS vif_discount,
+       ROUND(1.0 / ((1.0 + 2.0 * r12 * r13 * r23 - r12 * r12 - r13 * r13 - r23 * r23)
+             / (1.0 - r12 * r12)), 6) AS vif_unit_price
+FROM r
+"""
+
+ORACLES["q_mde"] = f"""
+WITH per AS (
+  SELECT user_id, ROUND({_dsum('value')}, 6) AS spend FROM events GROUP BY user_id
+), mom AS (
+  SELECT COUNT(*) AS n_users, {_dsum('spend')} AS s, {_dsum('spend * spend')} AS ss
+  FROM per
+), c AS (
+  SELECT CAST(n_users AS BIGINT) AS n_users,
+         s / n_users AS mu,
+         ss / n_users - (s / n_users) * (s / n_users) AS var_
+  FROM mom
+)
+SELECT n_users,
+       ROUND(mu, 6) AS mean_spend,
+       ROUND(sqrt(var_), 6) AS sd_spend,
+       ROUND((1.96 + 0.8416) * sqrt(2.0 * var_ / (n_users / 2.0)), 6) AS mde_abs,
+       ROUND((1.96 + 0.8416) * sqrt(2.0 * var_ / (n_users / 2.0)) / mu, 6)
+         AS mde_relative,
+       CAST(ceil(2.0 * var_ * (1.96 + 0.8416) * (1.96 + 0.8416)
+            / ((0.05 * mu) * (0.05 * mu))) AS BIGINT) AS n_per_arm_for_5pct
+FROM c
+"""
+
+ORACLES["q_session_gap_sweep"] = """
+WITH base AS (
+  SELECT user_id,
+         CAST(FLOOR(date_part('epoch', ts)) AS BIGINT)
+           - LAG(CAST(FLOOR(date_part('epoch', ts)) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+  FROM events
+), gaps(sweep, thr) AS (
+  VALUES ('10min', 600), ('30min', 1800), ('60min', 3600)
+), starts AS (
+  SELECT sweep, thr, COUNT(*) AS n_events,
+         CAST(SUM(CASE WHEN gap_s IS NULL OR gap_s > thr THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_sessions
+  FROM base CROSS JOIN gaps GROUP BY sweep, thr
+)
+SELECT sweep, n_sessions,
+       ROUND(CAST(n_events AS DOUBLE) / n_sessions, 6) AS mean_events_per_session
+FROM starts ORDER BY sweep
+"""
+
+ORACLES["q_process_capability"] = f"""
+WITH first_ship AS (
+  SELECT l_orderkey, MIN(l_shipdate) AS ship FROM lineitem GROUP BY l_orderkey
+), lag_d AS (
+  SELECT CAST(datediff('day', CAST(o_orderdate AS DATE), CAST(ship AS DATE)) AS DOUBLE) AS d
+  FROM orders o JOIN first_ship f ON o.o_orderkey = f.l_orderkey
+), mom AS (
+  SELECT COUNT(*) AS n, {_dsum('d')} AS s, {_dsum('d * d')} AS ss,
+         CAST(SUM(CASE WHEN d < 1.0 OR d > 120.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oos
+  FROM lag_d
+), c AS (
+  SELECT CAST(n AS BIGINT) AS n_orders, n_oos AS n_out_of_spec,
+         s / n AS mu, sqrt(ss / n - (s / n) * (s / n)) AS sd
+  FROM mom
+)
+SELECT n_orders, n_out_of_spec,
+       ROUND(mu, 6) AS mean_lag_days,
+       ROUND(sd, 6) AS sd_lag_days,
+       ROUND((120.0 - 1.0) / (6.0 * sd), 6) AS cp,
+       ROUND(least(120.0 - mu, mu - 1.0) / (3.0 * sd), 6) AS cpk,
+       ROUND(CAST(n_out_of_spec AS DOUBLE) / n_orders, 6) AS oos_share,
+       ROUND((sd * sd + (mu - 60.0) * (mu - 60.0)) / (60.0 * 60.0), 6)
+         AS taguchi_loss_ratio
+FROM c
+"""
+
+ORACLES["q_backlog_curve"] = """
+WITH done AS (
+  SELECT l_orderkey, MAX(l_shipdate) AS done_ts FROM lineitem GROUP BY l_orderkey
+), placed AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS m, 1 AS d FROM orders
+), closed AS (
+  SELECT strftime(done_ts, '%Y-%m') AS m, -1 AS d
+  FROM orders o JOIN done ON o.o_orderkey = done.l_orderkey
+), monthly AS (
+  SELECT m,
+         CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_placed,
+         CAST(SUM(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_closed
+  FROM (SELECT * FROM placed UNION ALL SELECT * FROM closed)
+  GROUP BY m
+)
+SELECT m, n_placed, n_closed,
+       CAST(SUM(n_placed - n_closed)
+            OVER (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS open_backlog
+FROM monthly ORDER BY m
+"""
+
+ORACLES["q_topsis"] = f"""
+WITH base AS (
+  SELECT l.l_suppkey, l.l_extendedprice, l.l_returnflag, l.l_shipdate, o.o_orderdate
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), crit AS (
+  SELECT l_suppkey,
+         ROUND({_dsum('l_extendedprice / 1000.0')}, 6) AS rev,
+         ROUND(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*), 6) AS ret_rate,
+         ROUND(CAST(SUM(datediff('day', CAST(o_orderdate AS DATE),
+                                 CAST(l_shipdate AS DATE))) AS DOUBLE)
+               / COUNT(*), 6) AS lag
+  FROM base GROUP BY l_suppkey
+), rng AS (
+  SELECT MAX(rev) AS rev_hi, MIN(rev) AS rev_lo,
+         MAX(ret_rate) AS rr_hi, MIN(ret_rate) AS rr_lo,
+         MAX(lag) AS lag_hi, MIN(lag) AS lag_lo,
+         COUNT(*) AS n_sup
+  FROM crit
+), nz AS (
+  SELECT l_suppkey,
+         ROUND((rev - rev_lo) / (rev_hi - rev_lo), 6) AS c1,
+         ROUND((rr_hi - ret_rate) / (rr_hi - rr_lo), 6) AS c2,
+         ROUND((lag_hi - lag) / (lag_hi - lag_lo), 6) AS c3,
+         n_sup
+  FROM crit CROSS JOIN rng
+), sums AS (
+  SELECT {_dsum('c1')} AS s_c1, {_dsum('c2')} AS s_c2, {_dsum('c3')} AS s_c3,
+         MAX(n_sup) AS n_sup
+  FROM nz
+), ent AS (
+  SELECT MAX(nz.n_sup) AS n_sup,
+         ROUND(-{_dsum('CASE WHEN c1 > 0 THEN (c1 / s_c1) * ln(c1 / s_c1) ELSE 0.0 END')}
+               / ln(CAST(MAX(nz.n_sup) AS DOUBLE)), 6) AS e_c1,
+         ROUND(-{_dsum('CASE WHEN c2 > 0 THEN (c2 / s_c2) * ln(c2 / s_c2) ELSE 0.0 END')}
+               / ln(CAST(MAX(nz.n_sup) AS DOUBLE)), 6) AS e_c2,
+         ROUND(-{_dsum('CASE WHEN c3 > 0 THEN (c3 / s_c3) * ln(c3 / s_c3) ELSE 0.0 END')}
+               / ln(CAST(MAX(nz.n_sup) AS DOUBLE)), 6) AS e_c3
+  FROM nz CROSS JOIN sums
+), w AS (
+  SELECT n_sup,
+         ROUND((1.0 - e_c1) / ((1.0 - e_c1) + (1.0 - e_c2) + (1.0 - e_c3)), 6) AS w1,
+         ROUND((1.0 - e_c2) / ((1.0 - e_c1) + (1.0 - e_c2) + (1.0 - e_c3)), 6) AS w2,
+         ROUND((1.0 - e_c3) / ((1.0 - e_c1) + (1.0 - e_c2) + (1.0 - e_c3)), 6) AS w3
+  FROM ent
+), scored AS (
+  SELECT l_suppkey,
+         ROUND(sqrt(w1 * w1 * (1.0 - c1) * (1.0 - c1)
+                    + w2 * w2 * (1.0 - c2) * (1.0 - c2)
+                    + w3 * w3 * (1.0 - c3) * (1.0 - c3)), 6) AS d_ideal,
+         ROUND(sqrt(w1 * w1 * c1 * c1 + w2 * w2 * c2 * c2 + w3 * w3 * c3 * c3), 6)
+           AS d_anti
+  FROM nz CROSS JOIN w
+)
+SELECT l_suppkey, d_ideal, d_anti,
+       ROUND(d_anti / (d_ideal + d_anti), 6) AS closeness
+FROM scored ORDER BY closeness DESC, l_suppkey ASC LIMIT 10
+"""
+
+ORACLES["q_wallet_share"] = f"""
+WITH j AS (
+  SELECT o.o_custkey, p.p_brand, l.l_extendedprice
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+), cb AS (
+  SELECT o_custkey, p_brand,
+         ROUND({_dsum('l_extendedprice / 1000.0')}, 6) AS spend
+  FROM j GROUP BY o_custkey, p_brand
+), tot AS (
+  SELECT o_custkey,
+         ROUND(CAST(SUM(CAST(ROUND(spend * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 6)
+           AS total,
+         MAX(spend) AS top_spend
+  FROM cb GROUP BY o_custkey
+), share AS (
+  SELECT ROUND(top_spend / total, 6) AS sow FROM tot
+)
+SELECT COUNT(*) AS n_customers,
+       ROUND({_dsum('sow')} / COUNT(sow), 6) AS mean_share_of_wallet,
+       ROUND(quantile_cont(sow, 0.5), 6) AS median_share_of_wallet,
+       CAST(SUM(CASE WHEN sow >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_majority_loyal,
+       ROUND(CAST(SUM(CASE WHEN sow >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+         AS majority_loyal_share
+FROM share
+"""
+
+ORACLES["q_month_end_effect"] = f"""
+WITH base AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS m,
+         CAST(l_shipdate AS DATE) AS d,
+         l_extendedprice / 1000.0 AS v,
+         CASE WHEN datediff('day', CAST(l_shipdate AS DATE),
+                            last_day(CAST(l_shipdate AS DATE))) < 3
+              THEN 1 ELSE 0 END AS is_tail,
+         day(last_day(CAST(l_shipdate AS DATE))) AS dim
+  FROM lineitem
+), per_m AS (
+  SELECT m, dim,
+         ROUND({_dsum('v')}, 6) AS rev,
+         ROUND({_dsum('CASE WHEN is_tail = 1 THEN v ELSE 0.0 END')}, 6) AS rev_tail
+  FROM base GROUP BY m, dim
+), scored AS (
+  SELECT m,
+         ROUND(ROUND(rev_tail / rev, 6) / ROUND(3.0 / dim, 6), 6) AS lift
+  FROM per_m
+), worst AS (
+  SELECT m AS worst_month, lift AS worst_lift
+  FROM scored ORDER BY lift DESC, m ASC LIMIT 1
+)
+SELECT COUNT(*) AS n_months,
+       ROUND({_dsum('lift')} / COUNT(lift), 6) AS mean_lift,
+       CAST(SUM(CASE WHEN lift > 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_months_flagged,
+       worst_month, worst_lift
+FROM scored CROSS JOIN worst
+GROUP BY worst_month, worst_lift
+"""
+
+ORACLES["q_profit_curve"] = f"""
+WITH {_SCORED_LABELED_CTE},
+thr AS (
+  SELECT UNNEST([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold
+), g AS (
+  SELECT t.threshold,
+         CAST(SUM(CASE WHEN l.prob >= t.threshold AND l.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN l.prob >= t.threshold AND l.y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN l.prob < t.threshold AND l.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM labeled l CROSS JOIN thr t GROUP BY t.threshold
+), scored AS (
+  SELECT threshold, tp, fp, fn,
+         CAST(10 * tp - fp - 5 * fn AS BIGINT) AS profit
+  FROM g
+), best AS (
+  SELECT threshold AS best_t FROM scored ORDER BY profit DESC, threshold ASC LIMIT 1
+)
+SELECT threshold, tp, fp, fn, profit,
+       CAST(CASE WHEN threshold = best_t THEN 1 ELSE 0 END AS INTEGER) AS is_best
+FROM scored CROSS JOIN best ORDER BY threshold
+"""
+
+ORACLES["q_youden"] = f"""
+WITH {_SCORED_LABELED_CTE},
+thr AS (
+  SELECT UNNEST([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold
+), g AS (
+  SELECT t.threshold,
+         CAST(SUM(CASE WHEN l.prob >= t.threshold AND l.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN l.prob >= t.threshold AND l.y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN l.prob < t.threshold AND l.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(SUM(CASE WHEN l.prob < t.threshold AND l.y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM labeled l CROSS JOIN thr t GROUP BY t.threshold
+), scored AS (
+  SELECT threshold,
+         ROUND(CAST(tp AS DOUBLE) / (tp + fn), 6) AS sensitivity,
+         ROUND(CAST(tn AS DOUBLE) / (tn + fp), 6) AS specificity,
+         ROUND(CAST(tp AS DOUBLE) / (tp + fn) + CAST(tn AS DOUBLE) / (tn + fp) - 1.0, 6)
+           AS youden_j
+  FROM g
+), best AS (
+  SELECT threshold AS best_t FROM scored ORDER BY youden_j DESC, threshold ASC LIMIT 1
+)
+SELECT threshold, sensitivity, specificity, youden_j,
+       CAST(CASE WHEN threshold = best_t THEN 1 ELSE 0 END AS INTEGER) AS is_best
+FROM scored CROSS JOIN best ORDER BY threshold
+"""
+
+ORACLES["q_effective_n"] = f"""
+WITH daily AS (
+  SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS day,
+         ROUND({_dsum('l_extendedprice / 1000.0')}, 6) AS y
+  FROM lineitem GROUP BY strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')
+), base AS (
+  SELECT y, LAG(y) OVER (ORDER BY day) AS yl FROM daily
+), mom AS (
+  SELECT COUNT(*) AS n,
+         {_dsum('CASE WHEN yl IS NOT NULL THEN y END')} AS sa,
+         {_dsum('yl')} AS sb,
+         {_dsum('y * yl')} AS sab,
+         {_dsum('CASE WHEN yl IS NOT NULL THEN y * y END')} AS saa,
+         {_dsum('yl * yl')} AS sbb,
+         COUNT(yl) AS m
+  FROM base
+), r1 AS (
+  SELECT CAST(n AS BIGINT) AS n_days,
+         ROUND((sab - sa * sb / m) / sqrt((saa - sa * sa / m) * (sbb - sb * sb / m)), 6)
+           AS rho1
+  FROM mom
+)
+SELECT n_days, rho1,
+       ROUND(n_days * (1.0 - rho1) / (1.0 + rho1), 6) AS n_effective,
+       ROUND(n_days * (1.0 - rho1) / (1.0 + rho1) / n_days, 6) AS efficiency
+FROM r1
+"""
+
+ORACLES["q_mood_median"] = f"""
+WITH med AS (
+  SELECT ROUND(quantile_cont(o_totalprice, 0.5), 6) AS med FROM orders
+), flagged AS (
+  SELECT o_orderpriority AS grp,
+         CASE WHEN o_totalprice > med THEN 1 ELSE 0 END AS above
+  FROM orders CROSS JOIN med
+), cells AS (
+  SELECT grp, COUNT(*) AS ng, CAST(SUM(above) AS BIGINT) AS na
+  FROM flagged GROUP BY grp
+), tot AS (
+  SELECT SUM(ng) AS n, CAST(SUM(na) AS BIGINT) AS ta, COUNT(*) AS k FROM cells
+), terms AS (
+  SELECT (CAST(na AS DOUBLE) - CAST(ng AS DOUBLE) * (CAST(ta AS DOUBLE) / n))
+           * (na - CAST(ng AS DOUBLE) * (CAST(ta AS DOUBLE) / n))
+           / (CAST(ng AS DOUBLE) * (CAST(ta AS DOUBLE) / n))
+         + (CAST(ng - na AS DOUBLE) - CAST(ng AS DOUBLE) * (1.0 - CAST(ta AS DOUBLE) / n))
+           * ((ng - na) - CAST(ng AS DOUBLE) * (1.0 - CAST(ta AS DOUBLE) / n))
+           / (CAST(ng AS DOUBLE) * (1.0 - CAST(ta AS DOUBLE) / n)) AS term,
+         n, k
+  FROM cells CROSS JOIN tot
+), red AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n, CAST(MAX(k) AS BIGINT) AS k,
+         ROUND({_dsum('term')}, 6) AS chi2
+  FROM terms
+)
+SELECT n, k, chi2,
+       CAST(CASE WHEN chi2 > 9.488 THEN 1 ELSE 0 END AS INTEGER) AS flag_reject
+FROM red
+"""
+
+ORACLES["q_logrank"] = f"""
+WITH per_user AS (
+  SELECT user_id, MIN(ts) AS first_ts,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS fp,
+         MAX(ts) AS last_ts
+  FROM events GROUP BY user_id
+), users AS (
+  SELECT datediff('day', CAST(first_ts AS DATE),
+                  CAST(COALESCE(fp, last_ts) AS DATE)) AS t,
+         CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END AS event,
+         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS g
+  FROM per_user
+), per_t AS (
+  SELECT t,
+         CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+         CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a0,
+         CAST(SUM(CASE WHEN g = 1 AND event = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+         CAST(SUM(CASE WHEN g = 0 AND event = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d0
+  FROM users GROUP BY t
+), tot AS (
+  SELECT CAST(SUM(a1) AS BIGINT) AS t1, CAST(SUM(a0) AS BIGINT) AS t0 FROM per_t
+), risk AS (
+  SELECT t, d1, d0,
+         CAST(t1 - COALESCE(SUM(a1) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n1,
+         CAST(t0 - COALESCE(SUM(a0) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n0
+  FROM per_t CROSS JOIN tot
+), r2 AS (
+  SELECT t, d1, d0, n1, n0, n1 + n0 AS nt, d1 + d0 AS dt
+  FROM risk
+), f AS (
+  SELECT * FROM r2 WHERE dt > 0 AND nt > 1
+), agg AS (
+  SELECT CAST(SUM(d1) AS BIGINT) AS observed_g1,
+         ROUND({_dsum('CAST(dt AS DOUBLE) * n1 / nt')}, 6) AS expected_g1,
+         ROUND({_dsum('CAST(dt AS DOUBLE) * (CAST(n1 AS DOUBLE) / nt) * (1.0 - CAST(n1 AS DOUBLE) / nt) * CAST(nt - dt AS DOUBLE) / CAST(nt - 1 AS DOUBLE)')}, 6)
+           AS variance,
+         COUNT(*) AS n_event_times
+  FROM f
+)
+SELECT CAST(n_event_times AS BIGINT) AS n_event_times, observed_g1, expected_g1,
+       ROUND((observed_g1 - expected_g1) * (observed_g1 - expected_g1) / variance, 6)
+         AS logrank_chi2,
+       CAST(CASE WHEN (observed_g1 - expected_g1) * (observed_g1 - expected_g1)
+                      / variance > 3.841 THEN 1 ELSE 0 END AS INTEGER) AS flag_differ
+FROM agg
+"""

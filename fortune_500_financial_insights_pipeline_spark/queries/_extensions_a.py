@@ -1,0 +1,2546 @@
+"""Round-2 extensions A: CDC diff, layout, distribution transforms, diagnostics.
+
+Split from the single-file registry in round 3 — same functions, same
+registration order, registered into the shared QUERIES dict on import."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+from fortune_500_financial_insights_pipeline_spark.functions.deterministic import davg, dsum, dsum_w
+
+from fortune_500_financial_insights_pipeline_spark.queries._core import (  # noqa: F401
+    QUERIES,
+    _scored_labeled_docs,
+    q,
+)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 batch F: CDC diff, layout, distribution transforms, diagnostics
+# ---------------------------------------------------------------------------
+
+
+@q("q_snapshot_diff")
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CDC between two deterministic snapshots of orders
+    (operators/cdc.snapshot_diff): old = orders minus keys % 97 == 0,
+    new = orders minus keys % 89 == 0 with totalprice bumped one cent on
+    keys % 13 == 0 — classify insert/delete/update per key (unchanged
+    rows are filtered: the change SET is the deliverable a merge
+    consumes). Compared columns are pre-stringified portably (status
+    string + price in integer cents) so the md5 change digest is
+    engine-identical. The reference reloads raw layers wholesale per DAG
+    run (dags/ re-land every tick); this derives the incremental form."""
+    from fortune_500_financial_insights_pipeline_spark.operators.cdc import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = o.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status_s"),
+        cents.alias("price_cents"),
+    )
+    old = base.where(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey", "status_s", F.col("price_cents").cast("string").alias("price_s")
+    )
+    new = base.where(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey",
+        "status_s",
+        F.when(F.col("o_orderkey") % 13 == 0, F.col("price_cents") + 1)
+        .otherwise(F.col("price_cents"))
+        .cast("string")
+        .alias("price_s"),
+    )
+    diff = snapshot_diff(old, new, ["o_orderkey"], ["status_s", "price_s"])
+    return diff.where(F.col("action") != "unchanged").select(
+        "o_orderkey", "action"
+    )
+
+@q("q_zorder")
+def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit (operators/zorder.with_zvalue): Morton-
+    interleave 8-bit normalized (o_custkey, o_orderdate-as-epoch-day)
+    and report, per 256-wide z-range (the would-be file), row count and
+    the min/max envelope of BOTH dimensions — the statistics a reader
+    prunes on. The oracle replays the interleave bit-by-bit, certifying
+    the layout key itself, not just the plumbing. Multi-dim clustering is
+    the lake-layout step OSS Spark leaves to table services."""
+    from fortune_500_financial_insights_pipeline_spark.operators.zorder import with_zvalue
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")).alias("epoch_day"),
+    )
+    z = with_zvalue(o, ["o_custkey", "epoch_day"], bits=8, out_col="zval")
+    return (
+        z.groupBy((F.col("zval") / 256).cast("long").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_custkey").alias("min_cust"),
+            F.max("o_custkey").alias("max_cust"),
+            F.min("epoch_day").alias("min_day"),
+            F.max("epoch_day").alias("max_day"),
+        )
+    )
+
+@q("q_ewma")
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finite-horizon EWMA smoothing (operators/timeseries.ewma_finite)
+    of each supplier's daily average price — the monitoring smoother the
+    reference's Tableau layer approximates with moving averages, in the
+    bounded-lag exact form (a=0.5 → power-of-two weights; 10 lags).
+    Oracle mirrors the identical lag-by-lag IEEE expression."""
+    from fortune_500_financial_insights_pipeline_spark.operators.timeseries import ewma_finite
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_suppkey") <= 20)
+    daily = li.groupBy(
+        "l_suppkey", F.date_format("l_shipdate", "yyyy-MM-dd").alias("day")
+    ).agg(davg("l_extendedprice").alias("close"))
+    sm = ewma_finite(daily, ["l_suppkey"], ["day"], "close", alpha=0.5, horizon=10)
+    return sm.select(
+        "l_suppkey", "day", F.round("close", 6).alias("close"),
+        F.round("ewma", 6).alias("ewma"),
+    )
+
+@q("q_quantile_norm")
+def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across sources (operators/normalize.
+    quantile_normalize): per-source quality scores are forced onto a
+    common empirical distribution before corpus mixing — the alignment
+    step that stops one source's generous scorer from dominating a
+    score-thresholded blend. Value = doc length; groups = source."""
+    from fortune_500_financial_insights_pipeline_spark.operators.normalize import (
+        quantile_normalize,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    out = quantile_normalize(
+        d.select("doc_id", "source", F.col("n_chars").cast("double").alias("v")),
+        "source", "v", order_tiebreak=["doc_id"],
+    )
+    return out.select("doc_id", "source", "v", F.round("qnorm", 6).alias("qnorm"))
+
+@q("q_robust_scale")
+def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/IQR robust scaling per event type (operators/normalize.
+    robust_scale): heavy-tailed `value` series centered and spread
+    without letting outliers set the scale — exact interpolated
+    percentiles, identical in both engines."""
+    from fortune_500_financial_insights_pipeline_spark.operators.normalize import robust_scale
+
+    e = load_table(spark, sf_dir, "events")
+    out = robust_scale(
+        e.select("event_id", "event_type", "value"), "event_type", "value"
+    )
+    return out.select(
+        "event_id", "event_type", F.round("value", 6).alias("value"),
+        F.round("scaled", 6).alias("scaled"),
+    )
+
+@q("q_skew_profile")
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic (operators/skew.key_skew_profile) on
+    lineitem.l_orderkey — the one-row profile (distinct keys, hottest
+    key's multiplier over the mean, top-10 share) that decides between
+    AQE skew-split and explicit salting before a big join lands."""
+    from fortune_500_financial_insights_pipeline_spark.operators.skew import key_skew_profile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = key_skew_profile(li, "l_orderkey", top_n=10)
+    return p.select(
+        "n_rows", "n_keys", "max_freq",
+        F.round("skew_ratio", 6).alias("skew_ratio"),
+        "top1_share", "topn_share",
+    )
+
+@q("q_mutual_knn")
+def q_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal k-NN pairs over embeddings (operators/similarity.
+    mutual_knn_pairs): high-precision near-dup edges — (a,b) each in the
+    other's exact cosine top-5 — the edge filter semantic clustering
+    builds on. Restricted to vec_id < 300 so the oracle's quadratic
+    replay stays cheap; the Spark path is the broadcast-kNN + edge-list
+    semi-join that scales past it."""
+    from fortune_500_financial_insights_pipeline_spark.operators.similarity import (
+        mutual_knn_pairs,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    return mutual_knn_pairs(e, k=5).orderBy("id_a", "id_b")
+
+@q("q_apply_changes")
+def q_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE round trip (operators/cdc.apply_changeset): build the same
+    old/new order snapshots q_snapshot_diff uses, derive the changeset
+    (diff actions joined to the new-side payload), apply it to OLD — the
+    result must BE the new snapshot, row for row, which is exactly what
+    the oracle asserts (its SQL is just the new-snapshot expression).
+    This proves the incremental-load path reconstructs the wholesale
+    reload the reference's DAGs perform (dags/ re-land raw layers every
+    tick), at changeset cost instead of table cost."""
+    from fortune_500_financial_insights_pipeline_spark.operators.cdc import (
+        apply_changeset,
+        snapshot_diff,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = o.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status_s"),
+        cents.alias("price_cents"),
+    )
+    old = base.where(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey", "status_s", F.col("price_cents").cast("string").alias("price_s")
+    )
+    new = base.where(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey",
+        "status_s",
+        F.when(F.col("o_orderkey") % 13 == 0, F.col("price_cents") + 1)
+        .otherwise(F.col("price_cents"))
+        .cast("string")
+        .alias("price_s"),
+    )
+    diff = snapshot_diff(old, new, ["o_orderkey"], ["status_s", "price_s"])
+    changeset = diff.select("o_orderkey", "action").join(
+        new, "o_orderkey", "left"
+    )
+    return apply_changeset(old, changeset, ["o_orderkey"], ["status_s", "price_s"])
+
+@q("q_column_profile")
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style one-pass dataset profile (checks.profile_columns) over
+    customer: per column, row/non-null/distinct counts, null fraction and
+    stringified min/max — the per-snapshot stats sheet completeness and
+    cardinality-drift gates diff. acctbal is pre-cast to integer cents so
+    no double ever needs a cross-engine string form. One scan for all
+    five columns (multi count-distinct plans via Expand)."""
+    from fortune_500_financial_insights_pipeline_spark.checks import profile_columns
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+    )
+    return profile_columns(
+        c, ["c_custkey", "c_name", "c_nationkey", "c_mktsegment", "acctbal_cents"]
+    )
+
+@q("q_seasonal_decompose")
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the daily order-count series
+    (operators/timeseries.seasonal_decompose, period 7): centered
+    moving-average trend, zero-centered per-phase seasonal, residual —
+    interior days only. The series frame is aggregate-sized (one row per
+    order date), so the decomposition's global sort never touches raw
+    rows. Exact by construction: integer window sums, 6dp-fixed-point
+    phase means centered in integer space, one deterministic division
+    per emitted double."""
+    from fortune_500_financial_insights_pipeline_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return seasonal_decompose(daily, "d", "n", period=7)
+
+@q("q_acf")
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation r_1..r_7 of the daily order-count series
+    (operators/timeseries.acf_exact) — the periodicity probe run before
+    committing to a seasonal period. n-scaled integer centering makes
+    numerator and denominator exact long sums; each r_k is one
+    deterministic double division, so the whole curve hash-matches the
+    oracle."""
+    from fortune_500_financial_insights_pipeline_spark.operators.timeseries import acf_exact
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return acf_exact(daily, "d", "n", max_lag=7)
+
+@q("q_cusum")
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift scan over the daily order-count series
+    (operators/timeseries.cusum_peaks): top-5 |running centered sum|
+    days — where the series most likely changed level (feed drift /
+    source-volume shifts the reference's wholesale reloads would never
+    notice). Integer-exact end to end; ties break on the day."""
+    from fortune_500_financial_insights_pipeline_spark.operators.timeseries import cusum_peaks
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return cusum_peaks(daily, "d", "n", top_n=5)
+
+@q("q_random_projection")
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss shortlist probe (operators/rproj.rp_knn):
+    project the 64-dim embeddings to 8 exact-integer components with the
+    shared ±1 Achlioptas sign matrix (functions/planes — the oracle
+    generates the identical matrix) and rank the top-20 neighbours of
+    vec_id 0 by exact projected squared-L2. The projection is a map-side
+    HOF fold (zero shuffle) and the ranking a TakeOrdered — the
+    dimensionality-reduction leg a 100 TB duplicate-triage pass runs
+    before exact scoring."""
+    from fortune_500_financial_insights_pipeline_spark.operators.rproj import rp_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return rp_knn(emb, query_id=0, dim=64, m=8, k=20)
+
+@q("q_hard_negatives")
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.hard_negatives): for
+    each of the first 10 vectors, the 5 most-cosine-similar vectors with
+    a DIFFERENT label — the near-miss negatives a contrastive trainer
+    batches because random negatives are too easy. Same broadcast-query
+    staged-norm plan as q_knn_join with the label predicate on the pair
+    filter; round-6 similarities keep the ranking oracle-exact."""
+    from fortune_500_financial_insights_pipeline_spark.operators.similarity import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, n_queries=10, k=5)
+
+@q("q_line_dedup")
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-line fraction (operators/text.
+    line_dup_stats) — the Gopher/C4 self-repetition rule: a doc
+    repeating its own sentence units is boilerplate even if no other doc
+    shares them (the cross-doc detector q_dup_spans can't see it). Pure
+    map-side array algebra, zero shuffle."""
+    from fortune_500_financial_insights_pipeline_spark.operators.text import line_dup_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return line_dup_stats(d)
+
+@q("q_containment")
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark containment scores (operators/setjoin.containment_scores):
+    |B ∩ A| / |B| of each benchmark doc's distinct word-bigrams in each
+    corpus doc — the normalized decontamination score ranked and audited
+    after q_decontaminate's cheap shared-gram gate (GPT-3 appendix C
+    measures eval contamination this way). Candidates meet on the GRAM
+    (broadcast benchmark side), never pairwise."""
+    from fortune_500_financial_insights_pipeline_spark.operators import text as TX
+    from fortune_500_financial_insights_pipeline_spark.operators.setjoin import containment_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(TX.word_ngrams("text", 2)).alias("gram")
+    ).distinct()
+    bench = grams.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("bench_id"), "gram"
+    )
+    return containment_scores(
+        grams.where(F.col("doc_id") >= 5), bench, min_containment=0.05
+    )
+
+@q("q_theil_sen")
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of the 1998 daily order-count series
+    (operators/timeseries.theil_sen_slope): median of all pairwise
+    slopes — outlier days can't drag it the way they drag the OLS family
+    (q_regr_agg). The pair expansion runs on the aggregate-sized series
+    frame only."""
+    from fortune_500_financial_insights_pipeline_spark.operators.timeseries import theil_sen_slope
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("d") >= F.lit("1998-01-01").cast("date"))
+        .select(
+            F.datediff("d", F.lit("1998-01-01").cast("date")).alias("t"), "n"
+        )
+    )
+    return theil_sen_slope(daily, "t", "n")
+
+@q("q_benford")
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals (checks.
+    benford_digit_audit) — the fraud/mis-scaling screen a financial
+    feed gets on landing: naturally-occurring prices follow log-uniform
+    first digits. Expected shares are Python-computed literals embedded
+    identically in the Spark plan and the oracle, so no cross-engine
+    libm log10 enters the query."""
+    from fortune_500_financial_insights_pipeline_spark.checks import benford_digit_audit
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    return benford_digit_audit(o, "cents")
+
+@q("q_binary_format")
+def q_binary_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal format triage (operators/multimodal.detect_format):
+    detect png/jpeg/gif/webp/unknown from MAGIC BYTES of a binary media
+    column and report per-format counts + byte totals — the routing step
+    before format-specific decoders, and unlike the decode path it needs
+    no media library, so the real operator is oracle-checked end to end.
+    The fixture synthesizes deterministic binaries (documents' md5 bytes
+    behind a per-doc magic prefix); production bytes arrive via
+    read_media_dir. Hex-prefix algebra, zero shuffle before the 5-group
+    aggregate."""
+    from fortune_500_financial_insights_pipeline_spark.operators.multimodal import detect_format
+
+    d = load_table(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 5
+    prefix = (
+        F.when(m == 0, F.lit("89504E47"))
+        .when(m == 1, F.lit("FFD8FFE0"))
+        .when(m == 2, F.lit("47494638"))
+        .when(m == 3, F.lit("52494646AABBCCDD57454250"))
+        .otherwise(F.lit("00112233"))
+    )
+    media = F.unhex(F.concat(prefix, F.substring(F.md5("text"), 1, 16)))
+    return (
+        d.select(detect_format(media).alias("format"), F.length(media).alias("__nb"))
+        .groupBy("format")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__nb").alias("total_bytes"),
+        )
+    )
+
+@q("q_kcore")
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the user co-activity graph (operators/graph.kcore):
+    users are linked when they act in >= 2 shared (hour, event_type)
+    buckets — the co-occurrence projection every interaction graph
+    starts from — then degree < 4 nodes peel for 3 rounds. The
+    dense-region filter fringe users fall out of before community work.
+    The oracle unrolls the identical 3 peels over the identical edge
+    set, so the surviving (node, degree) frame is hash-exact; the
+    fixture converges inside the budget (a further round removes
+    nothing, by test). Candidate pairs meet in an equi-join on the
+    BUCKET (never user×user), so edge building shuffles bucket-sized
+    groups."""
+    from fortune_500_financial_insights_pipeline_spark.operators.graph import kcore
+
+    e = load_table(spark, sf_dir, "events")
+    ub = e.select(
+        F.col("user_id").alias("u"),
+        F.date_trunc("hour", "ts").alias("h"),
+        F.col("event_type").alias("t"),
+    ).distinct()
+    a = ub.select(F.col("u").alias("id_a"), "h", "t")
+    b = ub.select(F.col("u").alias("id_b"), "h", "t")
+    edges = (
+        a.join(b, ["h", "t"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__shared"))
+        .where(F.col("__shared") >= 2)
+        .select("id_a", "id_b")
+    )
+    return kcore(edges, k=4, rounds=3)
+
+@q("q_weighted_median")
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted lower median price per return flag
+    (operators/normalize.weighted_median): the smallest price-cents value
+    at which half the shipped QUANTITY trades at or below — the
+    volume-weighted midpoint row-weighted medians misstate. Exact long
+    cumulative weights; threshold-crossing value is tie-permutation
+    invariant."""
+    from fortune_500_financial_insights_pipeline_spark.operators.normalize import weighted_median
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return weighted_median(li, ["l_returnflag"], "price_cents", "qty")
+
+@q("q_interval_coverage")
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-of-intervals coverage per user (operators/intervaljoin.
+    interval_coverage): events become [ts, ts + dur) activity windows
+    (dur derived deterministically from the value column) and
+    overlapping windows merge before summing — actual covered seconds,
+    where SUM(end-start) double-counts every overlap. Gaps-islands on
+    the running prior-end max; exact long arithmetic (timestamps
+    truncated to whole epoch seconds on both engines)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.intervaljoin import (
+        interval_coverage,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    s = F.col("ts").cast("long")
+    dur = F.abs(F.round(F.col("value") * 100).cast("long")) % 3600 + 60
+    iv = e.select("user_id", s.alias("s"), (s + dur).alias("e"))
+    return interval_coverage(iv, "user_id", "s", "e")
+
+@q("q_source_overlap")
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source boilerplate overlap matrix: for every source pair,
+    the number of distinct 8-word span hashes BOTH sources contain — the
+    mixing diagnostic run before weighting sources (q_mix_sources):
+    heavily-overlapping sources double-bill their shared boilerplate
+    under independent per-source caps. Same span construction as
+    q_dup_spans (all post-explode work on the 32-byte md5 key); the pair
+    join runs on distinct (source, hash) rows — source-count-bounded,
+    never doc×doc."""
+    from fortune_500_financial_insights_pipeline_spark.operators.compact import (
+        ensure_min_parallelism,
+    )
+    from fortune_500_financial_insights_pipeline_spark.operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    src = ensure_min_parallelism(
+        d.select("source", tokens(F.col("text")).alias("__tk")), "doc_id"
+    )
+    tk = F.col("__tk")
+    windows = F.transform(
+        F.sequence(F.lit(0), F.size(tk) - 8),
+        lambda i: F.md5(F.array_join(F.slice(tk, i + 1, 8), " ")),
+    )
+    spans = (
+        src.where(F.size(tk) >= 8)
+        .select("source", F.explode(windows).alias("span_hash"))
+        .distinct()
+    )
+    a = spans.select(F.col("source").alias("source_a"), "span_hash")
+    b = spans.select(F.col("source").alias("source_b"), "span_hash")
+    return (
+        a.join(b, "span_hash")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_spans"))
+    )
+
+@q("q_label_centroids")
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space QA: per label, member count and the cosine of the
+    label's centroid against the global centroid — the drift/collapse
+    probe (a label whose centroid hugs the global mean carries no
+    signal; one far away is a candidate batch artifact). Cosine of SUM
+    vectors (scale-invariant, so means never need dividing): components
+    fixed-pointed at 1e4, per-(label, dim) exact long sums, global sums
+    derived FROM the label sums (one extra tiny aggregate, no second
+    corpus pass), dot/norms as exact long products — margin vs int64
+    overflow holds to ~60k vectors at this scale; beyond that the
+    production path drops to doubles and forfeits the hash check."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vfix = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * 10000).cast("long")
+    )
+    comp = emb.select(
+        "label", F.posexplode(vfix).alias("pos", "x")
+    )
+    lab = comp.groupBy("label", "pos").agg(F.sum("x").alias("s"))
+    glob = lab.groupBy("pos").agg(F.sum("s").alias("g"))
+    n = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    j = lab.join(glob, "pos")
+    dots = j.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("g")).alias("__dot"),
+        F.sum(F.col("s") * F.col("s")).alias("__n2l"),
+    )
+    n2g = glob.agg(F.sum(F.col("g") * F.col("g")).alias("__n2g"))
+    cos = F.round(
+        F.col("__dot").cast("double")
+        / (F.sqrt(F.col("__n2l").cast("double")) * F.sqrt(F.col("__n2g").cast("double"))),
+        6,
+    )
+    return (
+        dots.crossJoin(F.broadcast(n2g))
+        .join(n, "label")
+        .select("label", "n", cos.alias("cos_to_global"))
+    )
+
+@q("q_golden_record")
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship / golden record (operators/fuzzy.golden_record): the
+    fixture synthesizes three customer versions with deterministic
+    per-attribute nulls; the merge must carry, per attribute, the most
+    recent NON-NULL value — the MDM rule keep-latest row dedup
+    (q_dedup_keep_latest) gets wrong whenever the newest version is
+    partially filled. One window family per cluster, every attribute on
+    the same sort."""
+    from fortune_500_financial_insights_pipeline_spark.operators.fuzzy import golden_record
+
+    c = load_table(spark, sf_dir, "customer")
+    versions = c.select(
+        "c_custkey", "c_name", "c_mktsegment",
+        F.explode(F.sequence(F.lit(1), F.lit(3))).alias("v"),
+    ).select(
+        "c_custkey",
+        "v",
+        F.when((F.col("c_custkey") + F.col("v")) % 3 == 0, F.lit(None)).otherwise(
+            F.concat(F.col("c_name"), F.lit("#"), F.col("v").cast("string"))
+        ).alias("name_s"),
+        F.when((F.col("c_custkey") * F.col("v")) % 4 == 0, F.lit(None)).otherwise(
+            F.concat(F.col("c_mktsegment"), F.lit("/"), F.col("v").cast("string"))
+        ).alias("seg_s"),
+    )
+    return golden_record(versions, "c_custkey", "v", ["name_s", "seg_s"])
+
+@q("q_twap")
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (operators/timeseries.
+    time_weighted_avg): each event's value holds until the user's next
+    event, so burst periods don't overweight the mean — the TWAP
+    benchmark convention from the reference's finance domain applied to
+    the event stream. Exact long value×duration sums; event_id tiebreak
+    makes the segment pairing total-order deterministic."""
+    from fortune_500_financial_insights_pipeline_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return time_weighted_avg(
+        e, "user_id", "ts", "value", scale=100, tiebreak_cols=("event_id",)
+    )
+
+@q("q_transition_matrix")
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transitions between event types
+    (operators/paths.transition_matrix): counts and row-conditional
+    probabilities of consecutive per-user event pairs — the
+    where-do-they-go-next flow statistic. One lag window on the
+    sessionization sort, one partial-agged groupBy, broadcast row
+    totals."""
+    from fortune_500_financial_insights_pipeline_spark.operators.paths import transition_matrix
+
+    e = load_table(spark, sf_dir, "events")
+    return transition_matrix(e, "user_id", ["ts", "event_id"], "event_type")
+
+@q("q_delta_agg")
+def q_delta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta aggregate refresh (operators/incremental.delta_agg_refresh):
+    maintain the per-status (order count, value sum) aggregate from a
+    CDC changeset — +new/−old contributions fold into the previous
+    aggregate by a state-sized groupBy, never a rescan (the UPDATE/
+    DELETE-capable form of the append-only MV merge). The oracle is the
+    DIRECT aggregate over the new snapshot, so the hash check proves the
+    refresh law, including group-moving updates (keys % 13 bump prices)
+    and vanished groups."""
+    from fortune_500_financial_insights_pipeline_spark.operators.incremental import (
+        delta_agg_refresh,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = o.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status_s"),
+        cents.alias("price_cents"),
+    )
+    old = base.where(F.col("o_orderkey") % 97 != 0)
+    new = base.where(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey",
+        "status_s",
+        F.when(F.col("o_orderkey") % 13 == 0, F.col("price_cents") + 1)
+        .otherwise(F.col("price_cents"))
+        .alias("price_cents"),
+    )
+    old_agg = old.groupBy("status_s").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("price_cents").alias("s")
+    )
+    return delta_agg_refresh(
+        old_agg, old, new, ["o_orderkey"], "status_s",
+        count_alias="n", sum_col="price_cents", sum_alias="s",
+    )
+
+@q("q_info_gain")
+def q_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information of order priority → order status
+    (operators/stats.info_gain): the feature-screening statistic (does
+    this categorical predict anything?) from exact contingency counts —
+    entropies via per-row log2 terms folded in fixed point, so the
+    bits hash-match the oracle."""
+    from fortune_500_financial_insights_pipeline_spark.operators.stats import info_gain
+
+    o = load_table(spark, sf_dir, "orders")
+    return info_gain(o, "o_orderpriority", "o_orderstatus")
+
+@q("q_gini")
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration
+    (operators/stats.gini_coefficient): sorted-rank formula over the
+    per-customer order-value totals — exact long Σi·x and Σx, one
+    aggregate-sized global sort. The how-concentrated-is-revenue number
+    a dashboard quotes next to the top-N table (q_topk)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.stats import gini_coefficient
+
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("val")
+    )
+    return gini_coefficient(per_cust, "val", "o_custkey")
+
+@q("q_drawdown")
+def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per supplier price series (operators/timeseries.
+    max_drawdown): deepest peak-to-trough loss of the daily average
+    price — the worst-case risk number next to the cumulative-return
+    chart the reference's Tableau layer draws. One window pass + one
+    re-aggregate, both shuffling only on the supplier key."""
+    from fortune_500_financial_insights_pipeline_spark.operators.timeseries import max_drawdown
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_suppkey") <= 20)
+    daily = li.groupBy(
+        "l_suppkey", F.date_format("l_shipdate", "yyyy-MM-dd").alias("day")
+    ).agg(F.round(davg("l_extendedprice"), 6).alias("close"))
+    return max_drawdown(daily, ["l_suppkey"], ["day"], "close").orderBy("l_suppkey")
+
+@q("q_var_es")
+def q_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical VaR-95 + expected shortfall of order values per
+    priority class (operators/stats.historical_var_es): the order
+    statistic at the integer-exact ceil(0.95·n) rank and the fixed-point
+    mean of the at-or-above tail — quantile risk without float
+    interpolation, so it hash-matches the oracle exactly."""
+    from fortune_500_financial_insights_pipeline_spark.operators.stats import historical_var_es
+
+    o = load_table(spark, sf_dir, "orders")
+    return historical_var_es(
+        o, ["o_orderpriority"], "o_totalprice", "o_orderkey"
+    ).orderBy("o_orderpriority")
+
+@q("q_shortest_path")
+def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop counts (operators/graph.bfs_hops) over the
+    supplier↔customer trade graph (same bipartite node space as
+    q_pagerank): minimum link distance from the seed suppliers
+    (s_suppkey ≤ 3) truncated at 4 rounds — the within-N-hops
+    reachability primitive. Each round is one equi-join on the vertex
+    key + a min-merge; the unrolled recurrence replays stage-by-stage
+    as oracle CTEs."""
+    from fortune_500_financial_insights_pipeline_spark.operators.graph import bfs_hops
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("l_suppkey").cast("long").alias("id_a"),
+            (F.lit(1000000) + F.col("o_custkey")).cast("long").alias("id_b"),
+        )
+        .distinct()
+    )
+    seeds = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") <= 3)
+        .select(F.col("s_suppkey").cast("long").alias("id"))
+    )
+    return bfs_hops(edges, seeds, rounds=4).orderBy("id")
+
+@q("q_perplexity_bucket")
+def q_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source decile bucketing of the corpus-LM quality score
+    (q_unigram_logprob's signal): documents ranked by avg token
+    log-probability within their source and cut into ntile(10) buckets —
+    the stratification step before perplexity-thresholded filtering
+    (keep the top-k deciles per source, not a single global cutoff that
+    empties small sources). One extra shuffle on source for the ranking
+    window; bucket stats re-aggregate on (source, bucket)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    doc_tok = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("n_dt"))
+    vocab = doc_tok.groupBy("tok").agg(F.sum("n_dt").alias("n_t"))
+    total = vocab.agg(F.sum("n_t").alias("n_total"))
+    term = F.col("n_dt") * F.log2(F.col("n_t") / F.col("n_total"))
+    scored = (
+        doc_tok.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(F.round(dsum(term) / F.sum("n_dt"), 6).alias("score"))
+    )
+    src = docs.select("doc_id", "source").join(scored, "doc_id")
+    w = W.partitionBy("source").orderBy("score", "doc_id")
+    bucketed = src.select("source", "score", F.ntile(10).over(w).alias("bucket"))
+    return bucketed.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(davg("score"), 6).alias("avg_score"),
+        F.round(F.min("score"), 6).alias("min_score"),
+    )
+
+@q("q_code_detect")
+def q_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose triage (operators/text.code_detect): line-level code
+    signals + symbol density route documents to a code-specific branch
+    before expensive classifiers — C4/RefinedWeb pipelines run exactly
+    this class of cheap regex gate first. Row-local, zero shuffle."""
+    from fortune_500_financial_insights_pipeline_spark.operators.text import code_detect
+
+    return code_detect(load_table(spark, sf_dir, "documents"))
+
+@q("q_ks_test")
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift statistic
+    (operators/stats.ks_statistic) between the value distributions of
+    two event types — the did-the-distribution-shift check a pipeline
+    runs when a new source lands. Counts aggregate per distinct value
+    first (shuffle bounded by value cardinality), so the window pass is
+    aggregate-sized."""
+    from fortune_500_financial_insights_pipeline_spark.operators.stats import ks_statistic
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value").cast("double"), 6).alias("value")
+    )
+    return ks_statistic(e, "event_type", "value", "click", "purchase")
+
+@q("q_auc")
+def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected ROC AUC (operators/stats.roc_auc) of the
+    hashed-feature classifier's probability against the is-English
+    label — the ranking-quality number a curation pipeline tracks per
+    classifier snapshot. Doubled-rank integer arithmetic end to end, so
+    the statistic hash-matches the oracle."""
+    from fortune_500_financial_insights_pipeline_spark.operators.stats import roc_auc
+
+    return roc_auc(_scored_labeled_docs(spark, sf_dir), "prob", "label")
+
+@q("q_calibration")
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins (operators/stats.calibration_bins) for the
+    same classifier: mean predicted probability vs observed positive rate
+    per equal-width bin — ranking (q_auc) and honesty measured off one
+    shared scored frame."""
+    from fortune_500_financial_insights_pipeline_spark.operators.stats import calibration_bins
+
+    return calibration_bins(
+        _scored_labeled_docs(spark, sf_dir), "prob", "label"
+    ).orderBy("bin")
+
+@q("q_chi2")
+def q_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared independence test (operators/stats.
+    chi2_independence) on order priority × status — the frequentist
+    companion to q_info_gain's mutual information over the same
+    contingency scan, zero cells included via the observed-category
+    cross."""
+    from fortune_500_financial_insights_pipeline_spark.operators.stats import chi2_independence
+
+    o = load_table(spark, sf_dir, "orders")
+    return chi2_independence(o, "o_orderpriority", "o_orderstatus")
+
+@q("q_woe_iv")
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value bands (operators/stats.
+    woe_iv) of the classifier probability vs the is-English label — the
+    credit-scoring-style readout of how much separation each score band
+    carries, Laplace-smoothed so empty bands stay finite. Shares the
+    scored frame with q_auc / q_calibration."""
+    from fortune_500_financial_insights_pipeline_spark.operators.stats import woe_iv
+
+    return woe_iv(_scored_labeled_docs(spark, sf_dir), "prob", "label").orderBy("bin")
+
+@q("q_psi")
+def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index (operators/stats.psi) between click and
+    purchase event-value distributions over 10 fixed bins on [0, 500) —
+    the drift alarm a risk/monitoring layer pages on (PSI > 0.2).
+    Laplace-smoothed per bin; single-row output from one bin-keyed
+    aggregate."""
+    from fortune_500_financial_insights_pipeline_spark.operators.stats import psi
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("value")
+    )
+    return psi(e, "event_type", "value", "click", "purchase", n_bins=10, lo=0.0, hi=500.0)
+
+@q("q_sorted_neighborhood")
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood ER blocking (operators/fuzzy.
+    sorted_neighborhood_pairs) over customer names: each record compares
+    against its 2 sort-neighbors inside first-letter partitions,
+    levenshtein ≤ 2 — the complement to q_fuzzy_match's equality
+    blocking that survives typos in the block key itself."""
+    from fortune_500_financial_insights_pipeline_spark.operators.fuzzy import (
+        sorted_neighborhood_pairs,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    return sorted_neighborhood_pairs(c, "c_custkey", "c_name", window=3, max_dist=2)
+
+@q("q_window_pct")
+def q_window_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist within supplier partitions (W-family
+    completion): both are RANK-based — ties share a value by definition
+    on every engine, so no tiebreak column is needed for determinism.
+    One shuffle on the partition key serves both functions."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_suppkey") <= 10)
+    w = W.partitionBy("l_suppkey").orderBy("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        F.col("l_extendedprice").alias("price"),
+        # floor-based fixed point, not ROUND: rank/n quotients land on
+        # exact decimal midpoints (n = 640 at sf0.001) where HALF_UP vs
+        # engine-native rounding diverge; floor of the identical double
+        # cannot
+        (F.floor(F.percent_rank().over(w) * 1000000) / 1000000).alias("pct_rank"),
+        (F.floor(F.cume_dist().over(w) * 1000000) / 1000000).alias("cume_dist"),
+    )
+
+@q("q_hhi")
+def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per nation: suppliers'
+    squared revenue shares summed — the market-concentration statistic
+    regulators and the reference's financial-dashboard domain quote
+    (0 = atomized, 10000 = monopoly). Revenue totals are exact cents;
+    shares and the HHI fold are fixed-point deterministic. Two
+    hash aggregates, shuffles keyed on supplier then nation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("__r"))
+    )
+    tot = rev.groupBy("s_nationkey").agg(F.sum("__r").alias("__t"))
+    share = F.col("__r").cast("double") / F.col("__t")
+    return (
+        rev.join(tot, "s_nationkey")
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(dsum(share * share * 10000), 6).alias("hhi"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+@q("q_prefix_dedup")
+def q_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-duplicate groups: documents sharing an identical
+    whitespace-normalized 50-char prefix — the RefinedWeb-style catch
+    for boilerplate openings and mirrored pages that full-document
+    hashing misses once trailing content diverges. One hash aggregate
+    on the prefix; groups of one drop out."""
+    d = load_table(spark, sf_dir, "documents")
+    pfx = F.substring(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), 1, 50
+    )
+    return (
+        d.select(pfx.alias("prefix"), "doc_id")
+        .groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .where(F.col("n_docs") > 1)
+        .select(F.md5("prefix").alias("prefix_hash"), "n_docs", "canonical_doc")
+    )
+
+@q("q_cov_matrix")
+def q_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance matrix of supplier daily-return series
+    (operators/timeseries.pairwise_covariance): series pairs align on
+    the shared day via an equi-join (day-bucket-sized, never cartesian)
+    and each pair's covariance folds exact fixed-point moments over the
+    common days. Returns are in percent so the fixed-point interior
+    keeps precision."""
+    from fortune_500_financial_insights_pipeline_spark.operators.timeseries import (
+        pairwise_covariance,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_suppkey") <= 10)
+    daily = li.groupBy(
+        "l_suppkey", F.date_format("l_shipdate", "yyyy-MM-dd").alias("day")
+    ).agg(F.round(davg("l_extendedprice"), 6).alias("close"))
+    w = W.partitionBy("l_suppkey").orderBy("day")
+    rets = daily.select(
+        "l_suppkey",
+        "day",
+        F.round((F.col("close") / F.lag("close").over(w) - 1) * 100, 6).alias("ret"),
+    ).where(F.col("ret").isNotNull())
+    return pairwise_covariance(rets, "l_suppkey", "day", "ret").orderBy("ki", "kj")
+
+@q("q_portfolio_vol")
+def q_portfolio_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-weight portfolio volatility (operators/timeseries.
+    portfolio_volatility) folded from q_cov_matrix's covariance pairs —
+    σ²_p = Σ w_i w_j cov_ij with triangular storage doubled off the
+    diagonal. The headline risk number derived entirely in relational
+    algebra from raw prices."""
+    from fortune_500_financial_insights_pipeline_spark.operators.timeseries import (
+        portfolio_volatility,
+    )
+
+    cov = QUERIES["q_cov_matrix"](spark, sf_dir)
+    return portfolio_volatility(cov, n_assets=10)
+
+@q("q_ols_multi")
+def q_ols_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature OLS per return flag (operators/stats.ols2): price
+    regressed on quantity and discount via closed-form normal equations
+    — the multi-feature step beyond q_regr_agg's regr_* family, still
+    one exact aggregate pass and zero iteration."""
+    from fortune_500_financial_insights_pipeline_spark.operators.stats import ols2
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return ols2(
+        li, ["l_returnflag"], "l_extendedprice", "l_quantity", "l_discount"
+    ).orderBy("l_returnflag")
+
+@q("q_scd2_lookup")
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal point-in-time enrichment: each purchase event looks up
+    the SCD2 activity-state episode (operators/scd.scd2 over the user's
+    non-purchase events) covering its timestamp — the dimension-lookup
+    join every warehouse runs against slowly-changing dims. Equi-join on
+    the user key + interval containment; per-user episode counts bound
+    the fan-out, so no interval binning is needed."""
+    from fortune_500_financial_insights_pipeline_spark.operators.scd import scd2
+
+    e = load_table(spark, sf_dir, "events")
+    hist = scd2(
+        e.where(F.col("event_type") != "purchase"), ["user_id"], "ts", ["event_type"]
+    )
+    facts = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("amount")
+    )
+    j = facts.join(hist, "user_id").where(
+        (F.col("p_ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("p_ts") < F.col("valid_to")))
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return j.select(
+        "user_id",
+        F.date_format("p_ts", fmt).alias("purchase_ts"),
+        F.round(F.col("amount").cast("double"), 6).alias("amount"),
+        F.col("event_type").alias("state"),
+    )
+
+@q("q_random_walk")
+def q_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-guided walk corpus (operators/graph.
+    hash_guided_walks) over the supplier↔customer trade graph: 4-hop
+    walks from the seed suppliers with the next hop chosen by keyed-md5
+    argmin — graph-to-sequence training-data generation that replays
+    identically on any partitioning, so the oracle can follow every
+    hop."""
+    from fortune_500_financial_insights_pipeline_spark.operators.graph import hash_guided_walks
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("l_suppkey").cast("long").alias("id_a"),
+            (F.lit(1000000) + F.col("o_custkey")).cast("long").alias("id_b"),
+        )
+        .distinct()
+    )
+    seeds = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") <= 5)
+        .select(F.col("s_suppkey").cast("long").alias("id"))
+    )
+    return hash_guided_walks(edges, seeds, steps=4).orderBy("walk_id", "step")
+
+@q("q_fd_audit")
+def q_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit (checks.fd_audit) over part: the PK
+    FD (partkey → brand) must hold; brand → type and type → size are the
+    candidate dependencies a schema-discovery profile tests before a
+    MERGE/dim build trusts an assumed key."""
+    from fortune_500_financial_insights_pipeline_spark.checks import fd_audit
+
+    p = load_table(spark, sf_dir, "part")
+    return fd_audit(
+        p,
+        [
+            ("partkey_to_brand", "p_partkey", "p_brand"),
+            ("brand_to_type", "p_brand", "p_type"),
+            ("type_to_size", "p_type", "p_size"),
+        ],
+    ).orderBy("fd")
+
+@q("q_mix_temperature")
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (α = 0.5): sampling weights
+    p_i ∝ (n_i/N)^α — the multilingual/multi-source rebalancing formula
+    (mT5-style) that upweights small sources without drowning large
+    ones. α = 0.5 evaluates as sqrt (correctly-rounded IEEE on every
+    engine — general pow is NOT cross-engine-stable, so the operator
+    pins the exponent). Expected per-epoch doc counts come from the
+    weights; two tiny aggregates."""
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per_src.agg(
+        F.sum("n_docs").alias("__N"),
+        dsum(F.sqrt(F.col("n_docs").cast("double"))).alias("__Z"),
+    )
+    # sqrt(n_i/N)/Σ sqrt(n_j/N) == sqrt(n_i)/Σ sqrt(n_j): fold the exact
+    # integer counts, normalize once (single fixed-order expression)
+    w_col = F.sqrt(F.col("n_docs").cast("double")) / F.col("__Z")
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round(w_col, 6).alias("weight"),
+            F.round(w_col * F.col("__N"), 6).alias("expected_docs"),
+        )
+        .orderBy("source")
+    )
+
+@q("q_tokenizer_fertility")
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE tokens emitted per
+    whitespace word under the corpus-trained 3-merge model
+    (operators/bpe) — the tokenizer-equity readout multilingual pipelines
+    track (a high-fertility language pays more sequence length for the
+    same text, so it's systematically under-trained at fixed token
+    budgets). Composes bpe_train → bpe_segment → per-lang ratio of exact
+    token counts."""
+    from fortune_500_financial_insights_pipeline_spark.operators.bpe import (
+        bpe_segment,
+        bpe_train,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = [(r["lhs"], r["rhs"]) for r in bpe_train(d, n_merges=3).collect()]
+    bpe_per_doc = (
+        bpe_segment(d, merges)
+        .groupBy("doc_id")
+        .agg(F.sum("n").cast("long").alias("__bpe"))
+    )
+    ws_per_doc = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias("__ws"),
+        )
+    )
+    j = ws_per_doc.join(bpe_per_doc, "doc_id")
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__ws").cast("long").alias("ws_tokens"),
+            F.sum("__bpe").cast("long").alias("bpe_tokens"),
+            F.round(
+                F.sum("__bpe").cast("double") / F.sum("__ws").cast("double"), 6
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+@q("q_rendezvous_shard")
+def q_rendezvous_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding + rebalance audit:
+    each doc's shard is argmin over shards of md5(doc|shard); growing
+    the ring 8 → 9 shards moves ONLY docs whose new minimum is the new
+    shard — the consistent-hashing property that makes shard scale-out
+    cheap (~1/9 of docs move, none shuffle between old shards). Output
+    per new-ring shard: doc count and how many arrived by moving.
+    All hashing is keyed md5 — deterministic, partition-invariant,
+    oracle-replayable."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    exploded = d.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(8))).alias("s")
+    ).select(
+        "doc_id",
+        "s",
+        F.md5(F.concat_ws("|", F.col("doc_id"), F.col("s"))).alias("__h"),
+    )
+    g8 = (
+        exploded.where(F.col("s") < 8)
+        .groupBy("doc_id")
+        .agg(F.min_by("s", "__h").alias("shard8"))
+    )
+    g9 = exploded.groupBy("doc_id").agg(F.min_by("s", "__h").alias("shard9"))
+    j = g8.join(g9, "doc_id")
+    return (
+        j.groupBy("shard9")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("shard8") != F.col("shard9"), 1).otherwise(0)
+            ).cast("long").alias("n_moved"),
+        )
+        .orderBy("shard9")
+    )
+
+@q("q_fifo_pnl")
+def q_fifo_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO realized P&L per part (operators/fifo.fifo_match): odd line
+    numbers act as inventory lots, even as consuming fills; the
+    sequential pop-the-oldest-lot allocation is rewritten as
+    running-total interval overlap — one window per side + one keyed
+    join, fully parallel per part. Matched quantities are exact longs;
+    P&L folds unit-price differences in fixed point."""
+    from fortune_500_financial_insights_pipeline_spark.operators.fifo import fifo_match
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        F.col("l_quantity").cast("long").alias("qty"),
+        # floor-based fixed point: ROUND() midpoints can fall either way
+        # across engines on raw quotients; floor of the identical double
+        # cannot
+        (
+            F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 1000000.0)
+            / 1000000.0
+        ).alias("unit_price"),
+    )
+    buys = li.where(F.col("l_linenumber") % 2 == 1)
+    sells = li.where(F.col("l_linenumber") % 2 == 0)
+    m = fifo_match(
+        buys,
+        sells,
+        ["l_partkey"],
+        ["l_shipdate", "l_orderkey", "l_linenumber"],
+        "qty",
+    )
+    pnl = F.col("matched_qty").cast("double") * (
+        F.col("s_unit_price") - F.col("b_unit_price")
+    )
+    return (
+        m.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.sum("matched_qty").cast("long").alias("matched_qty"),
+            F.round(dsum(pnl), 6).alias("realized_pnl"),
+        )
+        .orderBy("l_partkey")
+    )
+
+@q("q_top_paths")
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session-entry paths: sessionize events per user (30-min gap,
+    the q_gaps_islands idiom), concatenate each session's first three
+    event types, and rank path frequencies — the "how do sessions start"
+    product-analytics readout. Window family shares one (user, ts) sort;
+    the path frame is session-sized before the count shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = F.col("ts").cast("timestamp").cast("long")
+    gap = ts_s - F.lag(ts_s).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(new_sess).over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("sess_no"),
+    )
+    ws = W.partitionBy("user_id", "sess_no").orderBy("ts", "event_id")
+    # collect_list order is partition-dependent; build the path from the
+    # rn-keyed struct sort instead so the string is deterministic
+    path = (
+        sess.withColumn("rn", F.row_number().over(ws))
+        .where(F.col("rn") <= 3)
+        .groupBy("user_id", "sess_no")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        path.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(15)
+    )
+
+@q("q_wilson_ci")
+def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score interval (z = 1.96) per source for the long-doc rate
+    (n_chars > 200) — the small-sample-honest proportion CI a quality
+    dashboard should quote instead of p̂ ± wald (which collapses at 0/1
+    and small n). sqrt is correctly-rounded IEEE on every engine, so the
+    bounds are oracle-exact with no fixed-point gymnastics beyond the
+    count aggregates."""
+    d = load_table(spark, sf_dir, "documents")
+    agg = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(F.when(F.col("n_chars") > 200, 1).otherwise(0))
+        .cast("double")
+        .alias("__k"),
+    )
+    z2 = 1.96 * 1.96
+    p = F.col("__k") / F.col("__n")
+    n = F.col("__n")
+    denom = 1.0 + z2 / n
+    center = (p + z2 / (2.0 * n)) / denom
+    half = F.lit(1.96) * F.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n)) / denom
+    return agg.select(
+        "source",
+        F.col("__n").cast("long").alias("n_docs"),
+        F.col("__k").cast("long").alias("n_long"),
+        F.round(p, 6).alias("rate"),
+        F.round(center - half, 6).alias("ci_lo"),
+        F.round(center + half, 6).alias("ci_hi"),
+    ).orderBy("source")
+
+@q("q_mann_kendall")
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend statistic per supplier price series — the
+    rank-based monotonic-trend test that pairs with q_theil_sen's robust
+    slope (same nonparametric family: MK answers IS there a trend,
+    Theil–Sen answers how steep). S = Σ_{i<j} sign(x_j − x_i) over the
+    AGGREGATE-sized daily series (pairs are series×series within key,
+    never raw rows); exact integer S and Kendall tau-a."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_suppkey") <= 10)
+    daily = li.groupBy(
+        "l_suppkey", F.date_format("l_shipdate", "yyyy-MM-dd").alias("day")
+    ).agg(F.round(davg("l_extendedprice"), 6).alias("close"))
+    a = daily.select("l_suppkey", F.col("day").alias("di"), F.col("close").alias("ci"))
+    b = daily.select("l_suppkey", F.col("day").alias("dj"), F.col("close").alias("cj"))
+    pairs = a.join(b, "l_suppkey").where(F.col("di") < F.col("dj"))
+    sgn = F.when(F.col("cj") > F.col("ci"), 1).when(
+        F.col("cj") < F.col("ci"), -1
+    ).otherwise(0)
+    agg = pairs.groupBy("l_suppkey").agg(
+        F.sum(sgn).cast("long").alias("s_stat"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    return agg.select(
+        "l_suppkey",
+        "s_stat",
+        "n_pairs",
+        F.round(F.col("s_stat").cast("double") / F.col("n_pairs"), 6).alias("tau"),
+    ).orderBy("l_suppkey")
+
+@q("q_vwap")
+def q_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price per supplier — the execution
+    benchmark quoted next to TWAP (q_twap): Σ price·qty / Σ qty with
+    both folds exact (price in cents, quantity integral), one hash
+    aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    qty = F.col("l_quantity").cast("long")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(cents * qty).alias("__pq"),
+            F.sum(qty).alias("__q"),
+        )
+        .select(
+            "l_suppkey",
+            F.col("__q").alias("total_qty"),
+            F.round(F.col("__pq").cast("double") / F.col("__q") / 100.0, 6).alias("vwap"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+@q("q_er_pipeline")
+def q_er_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution in one declarative chain: blocked
+    fuzzy candidate pairs (operators/fuzzy.blocked_fuzzy_pairs, never a
+    cartesian) → connected components (operators/graph, min-label
+    propagation) → cluster-level survivorship report (members, canonical
+    record by min key, exact balance rollup). The full MDM user story
+    whose stages exist separately as q_fuzzy_match / q_dedup_clusters /
+    q_golden_record — composed here because composition is where
+    operator contracts actually break. Only multi-member clusters are
+    reported (the ER deliverable is "what merged")."""
+    from fortune_500_financial_insights_pipeline_spark.operators.fuzzy import blocked_fuzzy_pairs
+    from fortune_500_financial_insights_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    block = F.expr("substr(c_name, 1, length(c_name) - 2)")
+    pairs = blocked_fuzzy_pairs(c, "c_custkey", "c_name", block, max_dist=1)
+    comp = connected_components(pairs, "id_a", "id_b")
+    labeled = c.join(comp, c.c_custkey == comp.id).select(
+        F.col("comp").alias("cluster_id"), "c_custkey", "c_name", "c_acctbal"
+    )
+    return (
+        labeled.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min_by("c_name", "c_custkey").alias("canonical_name"),
+            (
+                F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).cast("double")
+                / 100.0
+            ).alias("total_acctbal"),
+        )
+        .where(F.col("n_members") >= 2)
+        .orderBy("cluster_id")
+    )
+
+@q("q_ranking_metrics")
+def q_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 and MRR per query over the BM25 retrieval stack — the
+    ranking-quality scorecard that closes the retrieval family (build
+    index → search → MEASURE). Graded relevance = capped query-term
+    occurrence count; gains use the integer 2^rel−1 map (a literal
+    lookup, not libm pow); log2 discounts per the cross-engine-stable
+    precedent; per-query folds in fixed point. IDCG re-ranks the same
+    retrieved pool, so NDCG = 1 iff the scorer ordered it perfectly."""
+    from fortune_500_financial_insights_pipeline_spark.operators.tfidf import bm25_search
+
+    d = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [
+            (1, "spark join hash"),
+            (2, "window agg sort"),
+            (3, "stream batch merge"),
+        ],
+        "query_id int, qtext string",
+    )
+    ranked = bm25_search(d, queries, k=10).select("query_id", "doc_id", "rank")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    qterms = (
+        queries.select(
+            "query_id", F.explode(F.split("qtext", " ")).alias("term")
+        )
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    rel_pairs = (
+        qterms.join(tf, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.least(F.sum("tf"), F.lit(3)).cast("int").alias("rel"))
+    )
+    j = ranked.join(rel_pairs, ["query_id", "doc_id"], "left").select(
+        "query_id",
+        "rank",
+        F.coalesce("rel", F.lit(0)).alias("rel"),
+    )
+    gain = F.element_at(
+        F.array(F.lit(0.0), F.lit(1.0), F.lit(3.0), F.lit(7.0)), F.col("rel") + 1
+    )
+    disc = F.log2(F.col("rank").cast("double") + 1.0)
+    wi = W.partitionBy("query_id").orderBy(F.col("rel").desc(), "rank")
+    ideal = j.select(
+        "query_id", "rel", F.row_number().over(wi).alias("irank")
+    )
+    igain = F.element_at(
+        F.array(F.lit(0.0), F.lit(1.0), F.lit(3.0), F.lit(7.0)), F.col("rel") + 1
+    )
+    idcg = ideal.groupBy("query_id").agg(
+        dsum(igain / F.log2(F.col("irank").cast("double") + 1.0)).alias("idcg")
+    )
+    dcg = j.groupBy("query_id").agg(
+        dsum(gain / disc).alias("dcg"),
+        F.min(F.when(F.col("rel") > 0, F.col("rank"))).alias("__fr"),
+        F.sum(F.when(F.col("rel") > 0, 1).otherwise(0)).cast("long").alias("n_rel"),
+    )
+    return (
+        dcg.join(idcg, "query_id")
+        .select(
+            "query_id",
+            "n_rel",
+            F.round(
+                F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")).otherwise(0.0),
+                6,
+            ).alias("ndcg10"),
+            F.round(
+                F.coalesce(1.0 / F.col("__fr").cast("double"), F.lit(0.0)), 6
+            ).alias("mrr"),
+        )
+        .orderBy("query_id")
+    )
+
+@q("q_mahalanobis")
+def q_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 correlation-aware outliers per return flag by squared
+    Mahalanobis distance over (quantity, extendedprice)
+    (operators/stats.mahalanobis_outliers): the joint-trend outlier
+    screen Euclidean z-scores miss. Closed-form 2×2 inverse — one exact
+    moment pass + broadcast join + WindowGroupLimit."""
+    from fortune_500_financial_insights_pipeline_spark.operators.stats import (
+        mahalanobis_outliers,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        # d2 is invariant to per-feature linear scaling; kilo-price keeps
+        # the fixed-point moment interior (price^2 terms) inside long range
+        "price_k", F.col("l_extendedprice") / 1000.0
+    )
+    return mahalanobis_outliers(
+        li,
+        ["l_returnflag"],
+        "l_quantity",
+        "price_k",
+        ["l_orderkey", "l_linenumber"],
+        k=5,
+    ).orderBy("l_returnflag", "rank")
+
+@q("q_pca_spectrum")
+def q_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-feature PCA spectrum per return flag (operators/stats.
+    pca_spectrum2): covariance eigenvalues + explained-variance ratio in
+    closed form (sqrt only — no iterative eigensolver, no collect). The
+    feature-redundancy screen run before anyone ships both columns to a
+    model."""
+    from fortune_500_financial_insights_pipeline_spark.operators.stats import pca_spectrum2
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return pca_spectrum2(
+        li, ["l_returnflag"], "l_quantity", "l_discount"
+    ).orderBy("l_returnflag")
+
+@q("q_budget_allocation")
+def q_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer token-budget apportionment across sources by the
+    largest-remainder (Hamilton) method: each source gets
+    floor(budget·weight), and the leftover seats go to the largest
+    fractional remainders — the exact-integer allocation a training run
+    needs when "sample 1M docs at these mixing weights" must sum to
+    EXACTLY 1M (naive rounding over- or under-shoots). Weights are the
+    sqrt-temperature mix (q_mix_temperature); everything after the
+    weight is integer arithmetic + one rank window, so the allocation
+    is oracle-exact and partition-invariant."""
+    budget = 100000
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per_src.agg(
+        dsum(F.sqrt(F.col("n_docs").cast("double"))).alias("__Z"),
+        F.count(F.lit(1)).alias("__k"),
+    )
+    w = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        (F.sqrt(F.col("n_docs").cast("double")) / F.col("__Z")).alias("__w"),
+    )
+    # integer quota floor + fractional remainder in MICRO units so the
+    # comparison is on exact longs, not float fractions
+    quota_micro = F.round(F.col("__w") * budget * 1000000).cast("long")
+    based = w.select(
+        "source",
+        "n_docs",
+        (quota_micro / 1000000).cast("long").alias("base"),
+        (quota_micro % 1000000).alias("rem"),
+    )
+    shortfall = based.agg((F.lit(budget) - F.sum("base")).alias("__short"))
+    wr = W.orderBy(F.col("rem").desc(), "source")
+    return (
+        based.crossJoin(F.broadcast(shortfall))
+        .withColumn("rk", F.row_number().over(wr))
+        .select(
+            "source",
+            "n_docs",
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("__short"), 1).otherwise(0)
+            ).cast("long").alias("allocated"),
+        )
+        .orderBy("source")
+    )
+
+@q("q_column_entropy")
+def q_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy per categorical column of orders (priority,
+    status, and the derived order-year) — the column-level information
+    profile that extends q_column_profile's counts (a zero-entropy
+    column is dead weight; a full-entropy "category" is probably an id).
+    One stack-unpivot pass, counts bounded by category cardinality,
+    fixed-point entropy fold."""
+    o = load_table(spark, sf_dir, "orders")
+    long = o.select(
+        F.expr(
+            "stack(3, 'o_orderpriority', o_orderpriority,"
+            " 'o_orderstatus', o_orderstatus,"
+            " 'order_year', CAST(year(o_orderdate) AS STRING)) AS (col, val)"
+        )
+    )
+    cells = long.groupBy("col", "val").agg(F.count(F.lit(1)).alias("__n"))
+    tot = cells.groupBy("col").agg(F.sum("__n").alias("__t"))
+    p = F.col("__n").cast("double") / F.col("__t")
+    return (
+        cells.join(tot, "col")
+        .groupBy("col")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round(-dsum(p * F.log2(p)), 6).alias("entropy_bits"),
+        )
+        .orderBy("col")
+    )
+
+@q("q_funnel_windowed")
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-boxed conversion funnel: users whose first click converts to
+    a purchase WITHIN 7 DAYS — the bounded-attribution variant of
+    q_funnel (unbounded conversion flatters the metric; every growth
+    dashboard quotes a windowed one). Two tiny per-user aggregates and
+    an integer epoch-second bound."""
+    e = load_table(spark, sf_dir, "events")
+    first_click = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    j = first_click.join(purchases, "user_id", "left").withColumn(
+        "conv",
+        (
+            F.col("p_ts").isNotNull()
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (
+                F.col("p_ts").cast("long")
+                <= F.col("c_ts").cast("long") + 7 * 86400
+            )
+        ).cast("int"),
+    )
+    per_user = j.groupBy("user_id").agg(F.max("conv").alias("converted"))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_clickers"),
+        F.sum("converted").cast("long").alias("n_converted_7d"),
+        F.round(
+            F.sum("converted").cast("double") / F.count(F.lit(1)), 6
+        ).alias("conv_rate_7d"),
+    )
+
+@q("q_join_size_estimate")
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact join-output cardinality WITHOUT running the join:
+    |A ⋈ B| = Σ_k cntA(k)·cntB(k) over the key histograms — the planner
+    statistic, exposed as a query (pairs with q_skew_profile: the same
+    histograms say how big AND how skewed the shuffle will be). Cost is
+    two key-counted aggregates + a tiny histogram join, versus
+    materializing the join itself."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    ha = li.groupBy(F.col("l_orderkey").alias("k")).agg(F.count(F.lit(1)).alias("ca"))
+    hb = o.groupBy(F.col("o_orderkey").alias("k")).agg(F.count(F.lit(1)).alias("cb"))
+    j = ha.join(hb, "k")
+    return j.agg(
+        F.sum(F.col("ca") * F.col("cb")).cast("long").alias("est_join_rows"),
+        F.count(F.lit(1)).alias("n_matching_keys"),
+        F.max(F.col("ca") * F.col("cb")).cast("long").alias("max_key_fanout"),
+    )
+
+@q("q_table_checksum")
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent integrity checksum of orders
+    (checks.table_checksum): Σ xxhash64(row) as wraparound long — the
+    did-the-copy-land gate that costs one scan and no shuffle. xxhash64
+    with seed 42 is the same algorithm DuckDB exposes as hash()? No —
+    the oracle recomputes Spark's exact digest via md5-derived longs
+    instead, so the check is cross-engine by construction."""
+    o = load_table(spark, sf_dir, "orders")
+    # md5-derived 40-bit digest: cross-engine reproducible (xxhash64's
+    # seed/variant is engine-specific, md5 is bit-stable everywhere).
+    # 40 bits keeps the per-bucket long sum overflow-free to ~8M rows per
+    # bucket; widen the bucket count for bigger tables (the per-bucket
+    # report also LOCALIZES a mismatch to 1/16th of the key space).
+    digest = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey"),
+                    F.col("o_custkey"),
+                    F.col("o_orderstatus"),
+                    F.round(F.col("o_totalprice") * 100).cast("long"),
+                )
+            ),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        o.select(digest.alias("__d"), (F.col("o_orderkey") % 16).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("__d").cast("long").alias("checksum"),
+        )
+        .orderBy("bucket")
+    )
+
+@q("q_funnel_steps")
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel view → click → purchase: each step must
+    happen AFTER the user's first completion of the previous step — the
+    classic product funnel report (q_funnel_windowed bounds one pair;
+    this chains steps). Three per-user min aggregates + two
+    ordered-join reductions; one row out."""
+    e = load_table(spark, sf_dir, "events")
+
+    def first_after(df_type: str, prev):
+        ev = e.where(F.col("event_type") == df_type).select(
+            "user_id", F.col("ts").alias("__t")
+        )
+        if prev is None:
+            return ev.groupBy("user_id").agg(F.min("__t").alias("step_ts"))
+        j = prev.join(ev, "user_id").where(F.col("__t") >= F.col("step_ts"))
+        return j.groupBy("user_id").agg(F.min("__t").alias("step_ts"))
+
+    s1 = first_after("view", None)
+    s2 = first_after("click", s1)
+    s3 = first_after("purchase", s2)
+    n1, n2, n3 = s1.count(), s2.count(), s3.count()
+    return spark.createDataFrame(
+        [(n1, n2, n3)], "n_view long, n_click long, n_purchase long"
+    ).select(
+        "n_view",
+        "n_click",
+        "n_purchase",
+        F.round(F.col("n_click") / F.col("n_view"), 6).alias("rate_click"),
+        F.round(F.col("n_purchase") / F.col("n_click"), 6).alias("rate_purchase"),
+    )
+
+@q("q_forecast_backtest")
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest per supplier: ŷ_t = y_{t-7} on
+    the daily order-count series, scored with MAE and sMAPE — forecast
+    EVALUATION as relational algebra (the baseline every fancy model
+    must beat, and the backtest harness that proves it). One lag window
+    per key; integer counts so errors are exact."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_suppkey") <= 10)
+    daily = li.groupBy(
+        "l_suppkey", F.date_format("l_shipdate", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    w = W.partitionBy("l_suppkey").orderBy("day")
+    scored = daily.select(
+        "l_suppkey",
+        "y",
+        F.lag("y", 7).over(w).alias("yhat"),
+    ).where(F.col("yhat").isNotNull())
+    err = F.abs(F.col("y") - F.col("yhat")).cast("double")
+    smape_term = err * 2.0 / (F.col("y") + F.col("yhat"))
+    return (
+        scored.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.round(davg(err), 6).alias("mae"),
+            F.round(davg(smape_term), 6).alias("smape"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+@q("q_elasticity")
+def q_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price elasticity per brand: the log-log regression slope of
+    quantity on unit price over part×lineitem — the econometric readout
+    (slope ≈ %Δqty per %Δprice) built on the regr_* aggregate family.
+    ln is per-row IEEE (the established cross-engine precedent); the
+    regr_slope moments fold on identical doubles."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.log(F.col("l_quantity").cast("double")).alias("ln_q"),
+        F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias("ln_p"),
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    return (
+        j.groupBy("p_brand")
+        .agg(
+            F.regr_count("ln_q", "ln_p").alias("n_obs"),
+            F.round(F.regr_slope("ln_q", "ln_p"), 6).alias("elasticity"),
+            F.round(F.regr_r2("ln_q", "ln_p"), 6).alias("r2"),
+        )
+        .orderBy("p_brand")
+    )
+
+@q("q_lsh_precision")
+def q_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding quality readout: over ALL band-collision candidates
+    (no Jaccard floor), how many are true near-dups (jac ≥ 0.5) and what
+    is the candidate precision — the tune-your-bands measurement that
+    q_ranking_metrics is for retrieval (an LSH config is a recall/cost
+    dial; this is the dial's gauge). Composes the oracle-certified
+    portable MinHash pipeline with min_jaccard=0."""
+    from fortune_500_financial_insights_pipeline_spark.operators.minhash import (
+        minhash_neardup_pairs_portable,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_neardup_pairs_portable(
+        d, id_col="doc_id", text_col="text", n_hashes=16, bands=4, min_jaccard=0.0
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.when(F.col("jac") >= 0.5, 1).otherwise(0)).cast("long").alias("n_true"),
+        F.round(
+            F.sum(F.when(F.col("jac") >= 0.5, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("precision"),
+        F.round(davg("jac"), 6).alias("avg_jac"),
+    )
+
+@q("q_byte_entropy")
+def q_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-level entropy per document over the utf-8 encoding — the
+    corruption/compression detector for binary media columns (near-8
+    bits/byte ≈ already-compressed or encrypted payload, near-0 ≈
+    zero-filled corruption; q_char_entropy reads characters, this reads
+    the raw bytes a media column actually stores). Bytes are surfaced
+    portably via hex() — bit-identical text on both engines — so the
+    whole histogram+entropy is oracle-exact. Aggregate is bounded by
+    256 byte values per doc."""
+    d = load_table(spark, sf_dir, "documents")
+    hx = d.select(
+        "doc_id", F.lower(F.hex(F.encode(F.col("text"), "utf-8"))).alias("__h")
+    ).where(F.length("__h") > 0)
+    # regexp tokenization is LINEAR in doc bytes; an index-explode with
+    # per-index substring re-scans the string per byte (quadratic — the
+    # first cut measured 20 s at sf0.01)
+    pairs = hx.select(
+        "doc_id",
+        F.explode(F.expr("regexp_extract_all(__h, '..', 0)")).alias("byte"),
+    )
+    cells = pairs.groupBy("doc_id", "byte").agg(F.count(F.lit(1)).alias("__n"))
+    tot = cells.groupBy("doc_id").agg(F.sum("__n").alias("__t"))
+    p = F.col("__n").cast("double") / F.col("__t")
+    return (
+        cells.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("__t").cast("long").alias("n_bytes"),
+            F.count(F.lit(1)).alias("n_distinct_bytes"),
+            F.round(-dsum(p * F.log2(p)), 6).alias("byte_entropy"),
+        )
+    )
+
+@q("q_langid_confusion")
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language-ID (q_lang_id's
+    stopword-ratio rule) against the fixture's true lang label — the
+    classifier-eval readout for the cheapest gate in the curation funnel
+    (before trusting a lang filter at 100 TB, measure where it lies).
+    One row per (truth, prediction) cell with per-cell counts."""
+    d = load_table(spark, sf_dir, "documents")
+    stop = F.array([F.lit(w) for w in
+                    ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]])
+    toks = F.split("text", " ")
+    score = F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast(
+        "double"
+    ) / F.size(toks)
+    pred = F.when(score >= 0.05, "en").otherwise("other")
+    truth = F.when(F.col("lang") == "en", "en").otherwise("other")
+    return (
+        d.select(truth.alias("truth"), pred.alias("pred"))
+        .groupBy("truth", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("truth", "pred")
+    )
+
+@q("q_seasonal_lag")
+def q_seasonal_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant seasonality per supplier: the lag k ∈ 1..10 maximizing
+    the exact autocorrelation r_k of the daily order-count series — the
+    detect-the-period step before q_seasonal_decompose fixes one.
+    acf_exact's integer-centering trick (c_t = n·x_t − S), partitioned
+    per supplier: every r_k is a ratio of exact longs; argmax breaks
+    ties on the smaller lag."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_suppkey") <= 10)
+    daily = li.groupBy(
+        "l_suppkey", F.date_format("l_shipdate", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    stats = daily.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    c = daily.join(stats, "l_suppkey").select(
+        "l_suppkey",
+        "day",
+        "n",
+        (F.col("n") * F.col("x") - F.col("s")).alias("c"),
+    )
+    w = W.partitionBy("l_suppkey").orderBy("day")
+    lagged = c.select(
+        "l_suppkey",
+        "c",
+        *[F.lag("c", k).over(w).alias(f"c{k}") for k in range(1, 11)],
+    )
+    agg = lagged.groupBy("l_suppkey").agg(
+        F.sum(F.col("c") * F.col("c")).alias("den"),
+        *[F.sum(F.col("c") * F.col(f"c{k}")).alias(f"num{k}") for k in range(1, 11)],
+    )
+    stacked = agg.select(
+        "l_suppkey",
+        F.expr(
+            "stack(10, "
+            + ", ".join(f"{k}, num{k}" for k in range(1, 11))
+            + ") AS (lag, num)"
+        ),
+        "den",
+    )
+    r = stacked.select(
+        "l_suppkey",
+        "lag",
+        F.round(F.col("num").cast("double") / F.col("den"), 6).alias("r"),
+    )
+    wbest = W.partitionBy("l_suppkey").orderBy(F.col("r").desc(), "lag")
+    return (
+        r.withColumn("rn", F.row_number().over(wbest))
+        .where(F.col("rn") == 1)
+        .select("l_suppkey", F.col("lag").cast("int").alias("dominant_lag"), "r")
+        .orderBy("l_suppkey")
+    )
+
+@q("q_grid_dbscan")
+def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid DBSCAN (operators/dbscan.grid_dbscan) over the first two
+    embedding dimensions: eps-sized cells, dense = ≥3 points, adjacent
+    dense cells merge via cell-graph components — density clustering
+    whose joins are all bounded (9 probe keys per dense cell, components
+    on the CELL frame), never point×point. Report per cluster: cells and
+    points; sparse-cell points are the noise remainder."""
+    from fortune_500_financial_insights_pipeline_spark.operators.dbscan import grid_dbscan
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+    )
+    assigned = grid_dbscan(e, "vec_id", "x", "y", eps=0.04, min_pts=3)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.countDistinct("cell_id").alias("n_cells"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+        .orderBy("cluster")
+    )
+
+@q("q_basket_triples")
+def q_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori level-3: frequent event-type TRIPLES with support and
+    3-way lift, built by extending only the frequent pairs (the Apriori
+    pruning step — candidates never enumerate the full item³ space;
+    q_market_basket is the L2 this grows from). Joins are all on
+    user_id; supports broadcast back."""
+    ev = load_table(spark, sf_dir, "events")
+    baskets = ev.select("user_id", "event_type").distinct()
+    n_users = baskets.select("user_id").distinct().count()
+    min_support = 0.05
+    sup1 = baskets.groupBy("event_type").agg(
+        (F.count(F.lit(1)) / F.lit(float(n_users))).alias("s")
+    )
+    a = baskets.select("user_id", F.col("event_type").alias("t_a"))
+    b = baskets.select("user_id", F.col("event_type").alias("t_b"))
+    c = baskets.select("user_id", F.col("event_type").alias("t_c"))
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("t_a") < F.col("t_b"))
+        .groupBy("t_a", "t_b")
+        .agg((F.count(F.lit(1)) / F.lit(float(n_users))).alias("s_ab"))
+        .where(F.col("s_ab") >= min_support)
+    )
+    # Apriori: extend only frequent pairs; the candidate join is
+    # (frequent pair) x (basket item c > b) per user
+    cand = (
+        a.join(b, "user_id")
+        .where(F.col("t_a") < F.col("t_b"))
+        .join(F.broadcast(pairs.select("t_a", "t_b")), ["t_a", "t_b"], "left_semi")
+        .join(c, "user_id")
+        .where(F.col("t_c") > F.col("t_b"))
+    )
+    triples = cand.groupBy("t_a", "t_b", "t_c").agg(
+        (F.count(F.lit(1)) / F.lit(float(n_users))).alias("support")
+    ).where(F.col("support") >= min_support)
+    s1a = sup1.select(F.col("event_type").alias("t_a"), F.col("s").alias("sa"))
+    s1b = sup1.select(F.col("event_type").alias("t_b"), F.col("s").alias("sb"))
+    s1c = sup1.select(F.col("event_type").alias("t_c"), F.col("s").alias("sc"))
+    return (
+        triples.join(F.broadcast(s1a), "t_a")
+        .join(F.broadcast(s1b), "t_b")
+        .join(F.broadcast(s1c), "t_c")
+        .select(
+            "t_a",
+            "t_b",
+            "t_c",
+            F.round("support", 6).alias("support"),
+            F.round(
+                F.col("support") / (F.col("sa") * F.col("sb") * F.col("sc")), 6
+            ).alias("lift3"),
+        )
+        .orderBy("t_a", "t_b", "t_c")
+    )
+
+@q("q_ltv_curve")
+def q_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers grouped by first-order
+    month, cumulative revenue per cohort age in months — the LTV readout
+    the retention matrix (q_retention_cohort) counts users for, here in
+    exact revenue cents with a running cumsum per cohort. Two shuffles
+    (customer-grain first-order, cohort-grain rollup) + one bounded
+    window."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.trunc("o_orderdate", "month").alias("om"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("om").alias("cohort"))
+    j = o.join(first, "o_custkey").select(
+        "cohort",
+        F.round(F.months_between("om", "cohort")).cast("int").alias("age_months"),
+        "cents",
+        "o_custkey",
+    )
+    per_cell = j.groupBy("cohort", "age_months").agg(
+        F.countDistinct("o_custkey").alias("n_active"),
+        F.sum("cents").alias("rev_cents"),
+    )
+    w = (
+        W.partitionBy("cohort")
+        .orderBy("age_months")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return per_cell.select(
+        F.date_format("cohort", "yyyy-MM").alias("cohort_month"),
+        "age_months",
+        "n_active",
+        (F.sum("rev_cents").over(w).cast("double") / 100.0).alias("cum_revenue"),
+    ).orderBy("cohort_month", "age_months")
+
+@q("q_embedding_qa")
+def q_embedding_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column QA per label: L2-norm statistics and degenerate
+    vector counts — the sanity gate an ANN index build runs first (a
+    silent all-zeros or exploding-norm batch poisons every cosine
+    downstream). Norms fold per-row via a higher-order aggregate (no
+    UDF); group stats use the fixed-point interior."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    norm = F.round(F.sqrt(sq), 6)
+    return (
+        e.select("label", norm.alias("__n"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(davg("__n"), 6).alias("avg_norm"),
+            F.round(F.min("__n"), 6).alias("min_norm"),
+            F.round(F.max("__n"), 6).alias("max_norm"),
+            F.sum(F.when(F.col("__n") < 1e-6, 1).otherwise(0))
+            .cast("long")
+            .alias("n_degenerate"),
+        )
+        .orderBy("label")
+    )
+
+@q("q_dup_size_dist")
+def q_dup_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution: how many exact-fingerprint
+    groups exist at each multiplicity, and what share of the corpus each
+    multiplicity band holds — the dataset-card number behind "X% of the
+    corpus is duplicated" (q_dedup_exact removes them; this says how
+    bad it was). Two nested aggregates, both cardinality-bounded."""
+    d = load_table(spark, sf_dir, "documents")
+    # prefix-keyed families (the q_prefix_dedup grouping): whole-document
+    # fingerprints are all-unique on this fixture, prefix families show
+    # the actual multiplicity structure
+    fp = F.md5(
+        F.substring(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), 1, 50)
+    )
+    groups = d.select(fp.alias("fp")).groupBy("fp").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    tot = groups.agg(F.sum("sz").alias("__t"))
+    return (
+        groups.groupBy("sz")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("sz").alias("cluster_size"),
+            "n_groups",
+            (F.col("sz") * F.col("n_groups")).cast("long").alias("n_docs"),
+            F.round(
+                (F.col("sz") * F.col("n_groups")).cast("double") / F.col("__t"), 6
+            ).alias("corpus_share"),
+        )
+        .orderBy("cluster_size")
+    )
+
+@q("q_ann_recall")
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall gauge: recall@5 of the IVF-routed k-NN join against the
+    exact brute-force top-5, per query vector — the acceptance number an
+    index build publishes before the exact path is switched off (the
+    routing, candidate scoring AND the exact twin are each oracle-exact
+    already; this composes them into the recall readout). Both legs are
+    depth-5 lists for 10 queries, so the compare is list-sized — the
+    corpus is scanned once per leg, never per depth."""
+    from fortune_500_financial_insights_pipeline_spark.operators.similarity import (
+        knn_join,
+        knn_join_ivf,
+        md5_sample_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    queries = emb.where(F.col("vec_id") < 10)
+    centroids = md5_sample_centroids(emb, k=4)
+    approx = knn_join_ivf(queries, emb, centroids, k=5, n_probe=2).select(
+        "q_id", "vec_id"
+    )
+    exact = knn_join(queries, emb, k=5).select("q_id", "vec_id")
+    hits = exact.join(approx, ["q_id", "vec_id"], "left_semi")
+    n_hit = hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    base = exact.groupBy("q_id").agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        base.join(n_hit, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("__n"), 6
+            ).alias("recall"),
+        )
+        .orderBy("q_id")
+    )
+
+@q("q_rbo")
+def q_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (p=0.9, depth 10) between the lexical BM25 and
+    dense embedding top-10 lists for three query documents
+    (operators/retrieval.rbo_agreement) — the retriever-agreement
+    diagnostic next to q_rrf_fusion: high RBO means the legs are
+    redundant, low means fusion is buying recall. Contributions are
+    fixed-point suffix-sum literals shared with the oracle, so the score
+    is an exact long sum despite the geometric weights."""
+    from fortune_500_financial_insights_pipeline_spark.operators.retrieval import (
+        rbo_agreement,
+    )
+    from fortune_500_financial_insights_pipeline_spark.operators.similarity import knn_join
+    from fortune_500_financial_insights_pipeline_spark.operators.tfidf import bm25_search
+
+    d = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 7, 42]
+    queries = d.where(F.col("doc_id").isin(qids)).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("qtext")
+    )
+    # lexical leg: self dropped, then re-ranked to a gap-free 1..N list
+    wl = W.partitionBy("query_id").orderBy(F.asc("rank"))
+    lex = (
+        bm25_search(d, queries, k=20)
+        .where(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id", F.row_number().over(wl).alias("rank"))
+    )
+    wd = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    dense = knn_join(emb.where(F.col("vec_id").isin(qids)), emb, k=20).select(
+        F.col("q_id").alias("query_id"),
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(wd).alias("rank"),
+    )
+    return rbo_agreement(lex, dense, p=0.9, depth=10)
+
+@q("q_ngram_novelty")
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novel 8-gram rate in corpus (id) order
+    (operators/text.ngram_novelty): the marginal-content curve a dataset
+    builder reads before ingesting another snapshot — q_containment
+    scores overlap against an external benchmark, this is self-novelty.
+    Post-explode work rides the md5 gram key only."""
+    from fortune_500_financial_insights_pipeline_spark.operators.text import ngram_novelty
+
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_novelty(d, n=8)
+
+@q("q_sharpe")
+def q_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annualized Sharpe/Sortino per supplier price series
+    (operators/timeseries.risk_adjusted_returns): lag-window daily
+    returns, exact fixed-point Σr/Σr²/Σmin(r,0)² folds, shared-text
+    sqrt expressions — the risk-adjusted readout next to q_drawdown."""
+    from fortune_500_financial_insights_pipeline_spark.operators.timeseries import (
+        risk_adjusted_returns,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_suppkey") <= 20)
+    daily = li.groupBy(
+        "l_suppkey", F.date_format("l_shipdate", "yyyy-MM-dd").alias("day")
+    ).agg(F.round(davg("l_extendedprice"), 6).alias("close"))
+    return risk_adjusted_returns(daily, ["l_suppkey"], ["day"], "close").orderBy(
+        "l_suppkey"
+    )
+
+@q("q_curation_report")
+def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel AS A QUERY: per-stage in/out/dropped counts for
+    raw → exact dedup → quality gate → repetition gate → entropy band —
+    the dataset-card observability row pipelines/training_data.py returns
+    driver-side, here computed relationally so the whole report is
+    oracle-checkable. Every gate is a per-document predicate (dedup rank,
+    round-6 quality_score >= 0.5, top-bigram fraction < 0.08 with
+    gramless docs passing, char entropy in [1.5, 7.0] with unscoreable
+    docs passing), so the sequential funnel collapses to ONE pass of
+    cumulative-AND survival flags + one aggregate — the oracle keeps the
+    literal stage-by-stage CTE chain, proving the fusion is equivalence,
+    not approximation."""
+    from fortune_500_financial_insights_pipeline_spark.operators.text import (
+        char_entropy,
+        quality_score,
+        repetition_stats,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+    rn = F.row_number().over(W.partitionBy(fp).orderBy(F.asc("doc_id")))
+    rep = repetition_stats(d, "doc_id", "text").select("doc_id", "top_gram_frac")
+    ent = char_entropy(d).select("doc_id", "entropy_bits")
+    flags = (
+        d.select("doc_id", "text", (rn == 1).alias("__f1"))
+        .withColumn("__f2", F.round(quality_score("text"), 6) >= 0.5)
+        .join(rep, "doc_id", "left")
+        .join(ent, "doc_id", "left")
+        .select(
+            "__f1",
+            "__f2",
+            (F.col("top_gram_frac").isNull() | (F.col("top_gram_frac") < 0.08)).alias(
+                "__f3"
+            ),
+            (
+                F.col("entropy_bits").isNull()
+                | ((F.col("entropy_bits") >= 1.5) & (F.col("entropy_bits") <= 7.0))
+            ).alias("__f4"),
+        )
+    )
+    one = F.lit(1)
+    agg = flags.agg(
+        F.count(one).alias("c0"),
+        F.sum(F.when(F.col("__f1"), one).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("__f1") & F.col("__f2"), one).otherwise(0)).alias("c2"),
+        F.sum(
+            F.when(F.col("__f1") & F.col("__f2") & F.col("__f3"), one).otherwise(0)
+        ).alias("c3"),
+        F.sum(
+            F.when(
+                F.col("__f1") & F.col("__f2") & F.col("__f3") & F.col("__f4"), one
+            ).otherwise(0)
+        ).alias("c4"),
+    )
+
+    def st(idx: int, name: str, rin, rout):
+        return F.struct(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            rin.cast("long").alias("rows_in"),
+            F.col(rout).cast("long").alias("rows_out"),
+        )
+
+    return (
+        agg.select(
+            F.explode(
+                F.array(
+                    st(0, "raw", F.lit(None), "c0"),
+                    st(1, "exact_dedup", F.col("c0"), "c1"),
+                    st(2, "quality_gate", F.col("c1"), "c2"),
+                    st(3, "repetition_gate", F.col("c2"), "c3"),
+                    st(4, "entropy_band", F.col("c3"), "c4"),
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+        .withColumn("dropped", F.col("rows_in") - F.col("rows_out"))
+        .orderBy("stage_idx")
+    )
+
+@q("q_token_percentiles")
+def q_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length planning readout: exact interpolated p50/p90/p99
+    whitespace-token counts per language — the number that sizes context
+    windows and packing bins before tokenization. percentile() is a
+    sort-based exact aggregate per group (matches quantile_cont); groups
+    are language-count-bounded."""
+    d = load_table(spark, sf_dir, "documents")
+    tc = F.size(F.split(F.col("text"), " ")).cast("double")
+    return (
+        d.select("lang", tc.alias("__tc"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.percentile("__tc", F.lit(0.5)), 6).alias("p50_tokens"),
+            F.round(F.percentile("__tc", F.lit(0.9)), 6).alias("p90_tokens"),
+            F.round(F.percentile("__tc", F.lit(0.99)), 6).alias("p99_tokens"),
+            F.max("__tc").cast("long").alias("max_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+@q("q_tail_index")
+def q_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill power-law tail exponent of order values per priority class
+    (operators/stats.hill_tail_index, k=50): the heavy-tail diagnostic
+    that decides whether a shuffle key needs salting (α < 2 ⇒ unbounded
+    variance). Top-(k+1) rank window (WindowGroupLimit-pruned), per-row
+    ln ratios vs the (k+1)-th order statistic, fixed-point sum."""
+    from fortune_500_financial_insights_pipeline_spark.operators.stats import hill_tail_index
+
+    o = load_table(spark, sf_dir, "orders")
+    return hill_tail_index(o, ["o_orderpriority"], "o_totalprice", k=50).orderBy(
+        "o_orderpriority"
+    )
+
+@q("q_lsh_recall")
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding RECALL gauge — the other half of q_lsh_precision's
+    dial: of all TRUE near-dup pairs (exact 3-gram Jaccard >= 0.5 via the
+    prefix-filtered set-similarity join, never a cross join), what
+    fraction did 16-hash/4-band MinHash banding surface as candidates?
+    Both legs are oracle-certified pipelines; the compare is
+    pair-list-sized."""
+    from fortune_500_financial_insights_pipeline_spark.operators.minhash import (
+        minhash_neardup_pairs_portable,
+    )
+    from fortune_500_financial_insights_pipeline_spark.operators.setjoin import (
+        jaccard_pairs_exact,
+    )
+    from fortune_500_financial_insights_pipeline_spark.operators.text import word_ngrams
+
+    d = load_table(spark, sf_dir, "documents")
+    truth = jaccard_pairs_exact(
+        d.select("doc_id", word_ngrams(F.col("text"), 3).alias("grams")),
+        threshold=0.5,
+    ).select("id_a", "id_b")
+    cand = minhash_neardup_pairs_portable(
+        d, id_col="doc_id", text_col="text", n_hashes=16, bands=4, min_jaccard=0.0
+    ).select("id_a", "id_b")
+    cap = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    t = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    c = cap.agg(F.count(F.lit(1)).alias("n_captured"))
+    return t.crossJoin(c).select(
+        "n_true",
+        "n_captured",
+        F.round(
+            F.when(
+                F.col("n_true") > 0,
+                F.col("n_captured").cast("double") / F.col("n_true"),
+            ),
+            6,
+        ).alias("recall"),
+    )
+
+@q("q_item_cooccurrence")
+def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-to-item co-occurrence cosine ("customers who bought X also
+    bought Y"): parts meeting in the same order, similarity
+    n_ab / sqrt(n_a·n_b) over binary order incidence, top-3 neighbors per
+    watchlist part. The self-join key is the ORDER — fan-out is bounded
+    by order size (≤7 lines in TPC-H shape), never part×part; counts are
+    exact integers, the cosine is one shared-text sqrt expression, and
+    the top-k cut is a WindowGroupLimit rank."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").dropDuplicates(
+        ["l_orderkey", "l_partkey"]
+    )
+    n_per = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    a = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    co = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") != F.col("part_b"))
+        .where(F.col("part_a") <= 50)
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    na = n_per.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("__na"))
+    nb = n_per.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("__nb"))
+    scored = (
+        co.join(na, "part_a")
+        .join(nb, "part_b")
+        .withColumn(
+            "cosine",
+            F.round(
+                F.col("n_ab").cast("double")
+                / F.sqrt(F.col("__na").cast("double") * F.col("__nb").cast("double")),
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy("part_a").orderBy(F.desc("cosine"), F.asc("part_b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("part_a", "part_b", "n_ab", "cosine", "rank")
+        .orderBy("part_a", "rank")
+    )
+
+@q("q_mmr_rerank")
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified retrieval (operators/retrieval.mmr_rerank,
+    λ=0.7/μ=0.3, m=5 over embedding top-10 candidates for three
+    queries): greedy diversity selection unrolled into five relational
+    steps, every join candidate-list-sized. Relevance and candidate-pair
+    similarities are the already-oracled round-6 cosine; the MMR score is
+    one shared-text expression, so the whole greedy trajectory is
+    hash-checked step by step."""
+    from fortune_500_financial_insights_pipeline_spark.operators.retrieval import mmr_rerank
+    from fortune_500_financial_insights_pipeline_spark.operators.similarity import (
+        cosine_similarity,
+        knn_join,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 7, 42]
+    cand = knn_join(emb.where(F.col("vec_id").isin(qids)), emb, k=10).select(
+        F.col("q_id").alias("query_id"),
+        F.col("vec_id").alias("doc_id"),
+        F.col("sim").alias("rel"),
+    )
+    va = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("__va"))
+    vb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("__vb"))
+    ca = cand.select("query_id", F.col("doc_id").alias("a"))
+    cb = cand.select("query_id", F.col("doc_id").alias("b"))
+    pairs = (
+        ca.join(cb, "query_id")
+        .where(F.col("a") != F.col("b"))
+        .join(va, "a")
+        .join(vb, "b")
+        .select(
+            "query_id",
+            "a",
+            "b",
+            F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 6).alias("s"),
+        )
+    )
+    return mmr_rerank(cand, pairs, m=5, lam=0.7, mu=0.3)
+
+@q("q_quantile_sketch")
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable bottom-k quantile sketch (operators/kmv.quantile_sketch,
+    k=64): p50/p90 order-value estimates per priority class from a
+    deterministic md5-keyed value sample — the fixed-memory quantile
+    sketch that is bit-reproducible cross-engine (unlike t-digest/KLL),
+    so the ESTIMATE itself is hash-checked; sampling-error bounds and
+    merge==sketch-of-union are pinned by tests. WindowGroupLimit keeps
+    every map task at <=k rows per group."""
+    from fortune_500_financial_insights_pipeline_spark.operators.kmv import (
+        quantile_sketch,
+        sketch_quantiles,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    s = quantile_sketch(o, ["o_orderpriority"], "o_orderkey", "o_totalprice", k=64)
+    return sketch_quantiles(s, ["o_orderpriority"], "o_totalprice").orderBy(
+        "o_orderpriority"
+    )
+
+@q("q_assortativity")
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the user co-activity graph (same edge rule
+    as q_kcore: >= 2 shared (hour, event_type) buckets;
+    operators/graph.degree_assortativity) — hubs-link-to-hubs vs
+    hubs-link-to-leaves, the topology number that predicts whether
+    neighborhood expansion explodes. Degrees are exact integers, so the
+    Pearson moments are exact long sums."""
+    from fortune_500_financial_insights_pipeline_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    ub = e.select(
+        F.col("user_id").alias("u"),
+        F.date_trunc("hour", "ts").alias("h"),
+        F.col("event_type").alias("t"),
+    ).distinct()
+    a = ub.select(F.col("u").alias("id_a"), "h", "t")
+    b = ub.select(F.col("u").alias("id_b"), "h", "t")
+    edges = (
+        a.join(b, ["h", "t"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__shared"))
+        .where(F.col("__shared") >= 2)
+        .select("id_a", "id_b")
+    )
+    return degree_assortativity(edges)
+
+@q("q_modularity")
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity decomposition of the co-activity graph under the
+    dominant-event-type community labeling (operators/graph.modularity):
+    per-community m_c/D_c and Q contribution — the acceptance number any
+    clustering must clear before it drives downstream grouping. Edges are
+    q_kcore's bucket-join rule; community = each user's most frequent
+    event type (count desc, type asc tie-break — deterministic)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.graph import modularity
+
+    e = load_table(spark, sf_dir, "events")
+    ub = e.select(
+        F.col("user_id").alias("u"),
+        F.date_trunc("hour", "ts").alias("h"),
+        F.col("event_type").alias("t"),
+    ).distinct()
+    a = ub.select(F.col("u").alias("id_a"), "h", "t")
+    b = ub.select(F.col("u").alias("id_b"), "h", "t")
+    edges = (
+        a.join(b, ["h", "t"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__shared"))
+        .where(F.col("__shared") >= 2)
+        .select("id_a", "id_b")
+    )
+    wdom = W.partitionBy("user_id").orderBy(F.desc("__n"), F.asc("event_type"))
+    comm = (
+        e.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__rn", F.row_number().over(wdom))
+        .where(F.col("__rn") == 1)
+        .select(F.col("user_id").alias("node"), F.col("event_type").alias("community"))
+    )
+    return modularity(edges, comm)
+
+@q("q_did")
+def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout: treatment = even user ids,
+    post-period = Jan 16 on; the 2×2 cell means (exact fixed-point
+    interiors) and the DiD interaction estimate in one aggregate — the
+    experiment-analysis shape next to q_ab_test (which tests a single
+    contrast; this removes the pre-period level difference). One scan,
+    one one-row aggregate; the estimate is a fixed-order expression over
+    four exact means."""
+    e = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    treat = F.col("user_id") % 2 == 0
+    post = F.col("ts") >= cut
+    cells = e.select(
+        F.col("value"),
+        treat.alias("__t"),
+        post.alias("__p"),
+    )
+
+    def cell_mean(t: bool, p: bool):
+        cond = (F.col("__t") == t) & (F.col("__p") == p)
+        s = F.sum(F.when(cond, F.round(F.col("value") * 1000000).cast("long"))).cast(
+            "double"
+        ) / 1000000
+        n = F.sum(F.when(cond, 1).otherwise(0))
+        return s / n, n
+
+    m_t_pre, n_t_pre = cell_mean(True, False)
+    m_t_post, n_t_post = cell_mean(True, True)
+    m_c_pre, n_c_pre = cell_mean(False, False)
+    m_c_post, n_c_post = cell_mean(False, True)
+    return cells.agg(
+        n_t_pre.cast("long").alias("n_treat_pre"),
+        n_t_post.cast("long").alias("n_treat_post"),
+        n_c_pre.cast("long").alias("n_ctrl_pre"),
+        n_c_post.cast("long").alias("n_ctrl_post"),
+        F.round(m_t_pre, 6).alias("mean_treat_pre"),
+        F.round(m_t_post, 6).alias("mean_treat_post"),
+        F.round(m_c_pre, 6).alias("mean_ctrl_pre"),
+        F.round(m_c_post, 6).alias("mean_ctrl_post"),
+        F.round((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 6).alias("did_estimate"),
+    )

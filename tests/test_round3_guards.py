@@ -63,3 +63,49 @@ def test_table_checksum_order_and_null_stable(spark):
     c1 = table_checksum(df).head()
     c2 = table_checksum(df.orderBy(F.desc("x")).repartition(7)).head()
     assert (c1.n_rows, c1.checksum) == (c2.n_rows, c2.checksum)
+
+
+def test_star_cc_matches_propagation_on_random_graph(spark):
+    import random
+
+    rnd = random.Random(7)
+    edges = [(rnd.randrange(60), rnd.randrange(60)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    from fortune_500_financial_insights_pipeline_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    prop = {r.id: r.comp for r in connected_components(df, max_iter=60).collect()}
+    star = {r.id: r.comp for r in connected_components_star(df).collect()}
+    assert star == prop
+
+
+def test_star_cc_handles_long_chain_in_log_rounds(spark):
+    # a 120-node chain needs ~119 propagation rounds but only O(log n)
+    # star rounds — max_iter=12 must suffice
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], ["id_a", "id_b"]
+    )
+    from fortune_500_financial_insights_pipeline_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    got = connected_components_star(edges, max_iter=12).collect()
+    assert len(got) == 121
+    assert {r.comp for r in got} == {0}
+
+
+def test_star_cc_two_components_and_empty(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {r.id: r.comp for r in connected_components_star(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components_star(empty).count() == 0
