@@ -97,7 +97,13 @@ def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fortune_500_financial_insights_pipeline_spark.operators.sampling import mix_sources
 
     d = load_table(spark, sf_dir, "documents")
-    sources = sorted(r[0] for r in d.select("source").distinct().collect())
+    # driver-side weight table is SOURCE-cardinality-sized (datasets, not
+    # rows) — cap it so a mis-keyed column fails loudly instead of pulling
+    # an unbounded distinct to the driver
+    rows = d.select("source").distinct().limit(10001).collect()
+    if len(rows) > 10000:
+        raise ValueError("source cardinality exceeds the 10k driver-side weight-table cap")
+    sources = sorted(r[0] for r in rows)
     weights = {s: 1 + (i % 3) for i, s in enumerate(sources)}
     kept = mix_sources(d, weights, budget_fraction=0.4)
     return kept.groupBy("source").agg(
@@ -132,7 +138,13 @@ def q_upsample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
-    sources = sorted(r[0] for r in d.select("source").distinct().collect())
+    # driver-side weight table is SOURCE-cardinality-sized (datasets, not
+    # rows) — cap it so a mis-keyed column fails loudly instead of pulling
+    # an unbounded distinct to the driver
+    rows = d.select("source").distinct().limit(10001).collect()
+    if len(rows) > 10000:
+        raise ValueError("source cardinality exceeds the 10k driver-side weight-table cap")
+    sources = sorted(r[0] for r in rows)
     factors = {s: [1.0, 1.5, 2.5][i % 3] for i, s in enumerate(sources)}
     up = upsample_sources(d, factors)
     return up.groupBy("source").agg(
