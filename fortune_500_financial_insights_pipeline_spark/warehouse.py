@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fortune_500_financial_insights_pipeline_spark.warehouse_schemas import WAREHOUSE_SCHEMAS
@@ -262,3 +262,79 @@ def incremental_agg_refresh(
     merged = merged.localCheckpoint()
     merged.write.mode("overwrite").parquet(agg_path)
     return spark.read.parquet(agg_path)
+
+
+# --- write-audit-publish (WAP) -----------------------------------------------
+
+
+def wap_publish(
+    df: DataFrame,
+    base_path: str,
+    table: str,
+    audits: "list[tuple[str, Column]] | None" = None,
+    max_violations: int = 0,
+) -> str:
+    """Atomic write-audit-publish: stage → audit → swap.
+
+    The lakehouse loading discipline the reference's direct BQ
+    WRITE_TRUNCATE loads lack (a half-written or constraint-violating load
+    is immediately live there): here the frame is written to a staging
+    directory, the data-quality audits run against the STAGED files (what
+    readers would actually see, not the logical plan), and only a fully
+    green audit flips the `current` symlink-style pointer — readers resolve
+    through `wap_current`, so they observe either the old version or the
+    new one, never a partial write, and a failed audit leaves the previous
+    version live with the quarantined staging dir kept for inspection.
+
+    ``audits``: (name, aggregate Column) pairs in checks.py's violation-
+    count convention (0 = pass), e.g. ``not_null("Ticker")``,
+    ``unique_key("Ticker", "Date")``. Each version lands under
+    ``<base>/<table>/v=<n>``; the pointer file holds the live version
+    number and is replaced atomically (single rename) — the same
+    swap discipline as streaming/bloom_dedup's filter state.
+
+    Returns the published version directory. Raises ValueError (table
+    stays on the old version) when any audit exceeds ``max_violations``.
+    """
+    from fortune_500_financial_insights_pipeline_spark.checks import run_checks
+
+    root = os.path.join(base_path, table)
+    os.makedirs(root, exist_ok=True)
+    existing = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(root)
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+    ]
+    version = max(existing, default=0) + 1
+    stage = os.path.join(root, f"v={version}")
+    df.write.mode("errorifexists").parquet(stage)
+
+    if audits:
+        staged = df.sparkSession.read.parquet(stage)
+        results = run_checks(staged, *audits)
+        bad = [r for r in results if r.violations > max_violations]
+        if bad:
+            raise ValueError(
+                "wap_publish audit failed; previous version stays live; "
+                "staged files kept for inspection at "
+                f"{stage}: "
+                + ", ".join(f"{r.name}={r.violations}" for r in bad)
+            )
+
+    pointer = os.path.join(root, "_CURRENT")
+    tmp = pointer + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, pointer)  # atomic on POSIX
+    return stage
+
+
+def wap_current(spark: SparkSession, base_path: str, table: str) -> DataFrame:
+    """Read the LIVE version of a WAP-published table (the version the
+    `_CURRENT` pointer names). Staged-but-unpublished versions are
+    invisible here by construction."""
+    root = os.path.join(base_path, table)
+    pointer = os.path.join(root, "_CURRENT")
+    with open(pointer) as f:
+        version = int(f.read().strip())
+    return spark.read.parquet(os.path.join(root, f"v={version}"))
