@@ -289,3 +289,35 @@ def table_checksum(df, cols=None):
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(digest).alias("checksum"),
     )
+
+
+def table_checksum_md5(df, cols, bucket, n_buckets=16):
+    """Cross-engine-PORTABLE order-independent checksum — the digest the
+    oracle-verified q_table_checksum runs (``table_checksum`` above is the
+    cheaper JVM-only xxhash64 form; xxhash64's seed/variant is
+    engine-specific, md5 is bit-stable everywhere).
+
+    Per bucket: (n_rows, Σ 40-bit md5-derived digest) — 40 bits keeps the
+    per-bucket long sum overflow-free to ~8M rows/bucket (widen
+    ``n_buckets`` for bigger tables; per-bucket rows also LOCALIZE a
+    mismatch to 1/n of the key space). NULLs are coalesced to a sentinel
+    BEFORE concat so rows differing only in which nullable column holds a
+    value cannot collide (concat_ws silently skips nulls otherwise).
+
+    ``bucket``: integer Column assigning rows to buckets (e.g. a key
+    modulo ``n_buckets``)."""
+    from pyspark.sql import functions as F
+
+    safe = [F.coalesce(F.col(c).cast("string"), F.lit("<null>")) for c in cols]
+    digest = F.conv(
+        F.substring(F.md5(F.concat_ws("|", *safe)), 1, 10), 16, 10
+    ).cast("long")
+    return (
+        df.select(digest.alias("__d"), (bucket % n_buckets).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("__d").cast("long").alias("checksum"),
+        )
+        .orderBy("bucket")
+    )

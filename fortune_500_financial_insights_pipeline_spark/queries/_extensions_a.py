@@ -1634,42 +1634,22 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("q_table_checksum")
 def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-independent integrity checksum of orders
-    (checks.table_checksum): Σ xxhash64(row) as wraparound long — the
-    did-the-copy-land gate that costs one scan and no shuffle. xxhash64
-    with seed 42 is the same algorithm DuckDB exposes as hash()? No —
-    the oracle recomputes Spark's exact digest via md5-derived longs
-    instead, so the check is cross-engine by construction."""
-    o = load_table(spark, sf_dir, "orders")
-    # md5-derived 40-bit digest: cross-engine reproducible (xxhash64's
-    # seed/variant is engine-specific, md5 is bit-stable everywhere).
-    # 40 bits keeps the per-bucket long sum overflow-free to ~8M rows per
-    # bucket; widen the bucket count for bigger tables (the per-bucket
-    # report also LOCALIZES a mismatch to 1/16th of the key space).
-    digest = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.col("o_orderkey"),
-                    F.col("o_custkey"),
-                    F.col("o_orderstatus"),
-                    F.round(F.col("o_totalprice") * 100).cast("long"),
-                )
-            ),
-            1,
-            10,
-        ),
-        16,
-        10,
-    ).cast("long")
-    return (
-        o.select(digest.alias("__d"), (F.col("o_orderkey") % 16).alias("bucket"))
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum("__d").cast("long").alias("checksum"),
-        )
-        .orderBy("bucket")
+    (checks.table_checksum_md5): per-bucket Σ of a 40-bit md5-derived
+    digest as wraparound longs — the did-the-copy-land gate that costs one
+    scan and no wide shuffle. md5 (not xxhash64) because the digest must be
+    bit-stable across engines for the oracle to recompute it; NULLs
+    coalesce to a sentinel before concat so null-transposed rows cannot
+    collide (r3 advisor fix, mirrored in the oracle)."""
+    from fortune_500_financial_insights_pipeline_spark.checks import table_checksum_md5
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "price_c", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+    return table_checksum_md5(
+        o,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "price_c"],
+        bucket=F.col("o_orderkey"),
+        n_buckets=16,
     )
 
 @q("q_funnel_steps")

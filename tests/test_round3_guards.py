@@ -109,3 +109,21 @@ def test_star_cc_two_components_and_empty(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
     empty = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components_star(empty).count() == 0
+
+
+def test_table_checksum_md5_null_transposition(spark):
+    from fortune_500_financial_insights_pipeline_spark.checks import table_checksum_md5
+
+    a = spark.createDataFrame([(1, "a", None)], "k long, x string, y string")
+    b = spark.createDataFrame([(1, None, "a")], "k long, x string, y string")
+    ca = table_checksum_md5(a, ["x", "y"], bucket=F.col("k")).head()
+    cb = table_checksum_md5(b, ["x", "y"], bucket=F.col("k")).head()
+    assert ca.checksum != cb.checksum
+    # identical tables agree regardless of partitioning/order
+    big = spark.createDataFrame(
+        [(i, f"v{i}", None if i % 3 == 0 else f"w{i}") for i in range(100)],
+        "k long, x string, y string",
+    )
+    c1 = {(r.bucket, r.n_rows, r.checksum) for r in table_checksum_md5(big, ["x", "y"], F.col("k")).collect()}
+    c2 = {(r.bucket, r.n_rows, r.checksum) for r in table_checksum_md5(big.repartition(13), ["x", "y"], F.col("k")).collect()}
+    assert c1 == c2
