@@ -34,10 +34,16 @@ def grid_dbscan(
     y_col: str,
     eps: float,
     min_pts: int,
+    cc_fn=None,
 ) -> DataFrame:
     """(id, cell_id, cluster) for points in dense cells; sparse-cell
     points are omitted (noise — callers outer-join them back). cluster
-    is the min packed cell id of the connected dense-cell component."""
+    is the min packed cell id of the connected dense-cell component.
+
+    ``cc_fn`` selects the connected-components implementation over the
+    dense-cell graph (default: min-label propagation; pass
+    graph.connected_components_star for the O(log n)-round form — both
+    converge to min-id labels, so results are identical)."""
     cx = F.floor(F.col(x_col) / eps).cast("long")
     cy = F.floor(F.col(y_col) / eps).cast("long")
     bound = CELL_STRIDE // 2
@@ -93,7 +99,7 @@ def grid_dbscan(
         .select("id_a", "id_b")
         .distinct()
     )
-    comp = connected_components(edges, "id_a", "id_b")
+    comp = (cc_fn or connected_components)(edges, "id_a", "id_b")
     labeled_cells = (
         dense.join(comp, dense.cell_id == comp.id, "left")
         .select(

@@ -694,3 +694,9 @@ SELECT CAST(n_event_times AS BIGINT) AS n_event_times, observed_g1, expected_g1,
                       / variance > 3.841 THEN 1 ELSE 0 END AS INTEGER) AS flag_differ
 FROM agg
 """
+
+
+# Star-CC certification twin: identical output contract to q_grid_dbscan
+# (both component algorithms converge to min-id labels), so the oracle is
+# the same recursive-CTE replay.
+ORACLES["q_grid_dbscan_star"] = ORACLES["q_grid_dbscan"]

@@ -1899,6 +1899,38 @@ def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cluster")
     )
 
+@q("q_grid_dbscan_star")
+def q_grid_dbscan_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_grid_dbscan with the dense-cell components computed by
+    large-star/small-star contraction (graph.connected_components_star,
+    O(log n) rounds, diameter-independent) instead of min-label
+    propagation. Both converge to min-id component labels, so the output
+    — and therefore the ORACLE — is identical: this key is the hash-exact
+    certification of the star algorithm itself against DuckDB's
+    recursive-CTE replay."""
+    from fortune_500_financial_insights_pipeline_spark.operators.dbscan import grid_dbscan
+    from fortune_500_financial_insights_pipeline_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+    )
+    assigned = grid_dbscan(
+        e, "vec_id", "x", "y", eps=0.04, min_pts=3,
+        cc_fn=connected_components_star,
+    )
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.countDistinct("cell_id").alias("n_cells"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+        .orderBy("cluster")
+    )
+
 @q("q_basket_triples")
 def q_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apriori level-3: frequent event-type TRIPLES with support and
