@@ -21,7 +21,43 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql import Window as W
+
+
+def _cc_local_union_find(e: DataFrame) -> DataFrame:
+    """Bounded driver-side finish: union-find with union-by-min over a
+    collected edge list. Because every union keeps the SMALLER root as
+    the tree root, the root of each tree is exactly the minimum vertex id
+    of its component — the same label the distributed propagation
+    converges to, so the two paths are interchangeable (pinned by test).
+    Memory is bounded by the caller's edge-count threshold (two ids per
+    edge), the same class as the repo's other bounded collect sites."""
+    rows = e.collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        u, v = r[0], r[1]
+        ru, rv = find(u), find(v)
+        parent.setdefault(ru, ru)
+        parent.setdefault(rv, rv)
+        if ru != rv:
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    labels = [(x, find(x)) for x in parent]
+    id_type = e.schema[0].dataType
+    schema = T.StructType(
+        [T.StructField("id", id_type), T.StructField("comp", id_type)]
+    )
+    return e.sparkSession.createDataFrame(labels, schema)
 
 
 def connected_components(
@@ -29,6 +65,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    local_finish_edges: int = 200_000,
 ) -> DataFrame:
     """(vertex id, component) with component = min vertex id reachable.
 
@@ -36,15 +73,32 @@ def connected_components(
     Vertices only appear if they touch an edge — callers union isolated
     ids back in if needed (dedup does: see cluster_dedup).
 
-    Convergence is CHECKED, not assumed: if the propagation still changes
-    labels after ``max_iter`` rounds the result would be silently wrong
-    (partially merged components), so this raises instead — long-chain
-    graphs at scale should raise ``max_iter`` (rounds needed = graph
-    diameter) or use :func:`connected_components_star` (O(log n) rounds,
+    Two-phase execution, the standard shape for CC at scale (Kiveris et
+    al. run distributed rounds only until the frame is small, then finish
+    locally): the deduplicated edge list is counted once, and when it is
+    at most ``local_finish_edges`` (a few MB of driver memory — candidate
+    graphs from bucketed near-dup pair generation are tiny relative to
+    the corpus) the labels come from a driver-side union-find with
+    union-by-min, which produces the IDENTICAL min-id labels without
+    paying O(diameter) shuffle rounds. Above the threshold — or with
+    ``local_finish_edges=0`` — the distributed min-label propagation
+    runs unchanged. Both paths are pinned equal by test.
+
+    Convergence of the distributed loop is CHECKED, not assumed: if the
+    propagation still changes labels after ``max_iter`` rounds the result
+    would be silently wrong (partially merged components), so this raises
+    instead — long-chain graphs at scale should raise ``max_iter``
+    (rounds needed = graph diameter) or use
+    :func:`connected_components_star` (O(log n) rounds,
     diameter-independent)."""
-    both = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .localCheckpoint()
     )
+    if local_finish_edges and e.count() <= local_finish_edges:
+        return _cc_local_union_find(e)
+    both = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     both = both.distinct().localCheckpoint()
     labels = (
         both.select(F.col("u").alias("id"))
@@ -124,13 +178,17 @@ def connected_components_star(
         mins = both.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
+        # lazy checkpoints: the round's ONE action (the stability probe
+        # below) materializes both half-steps and pins their blocks, so a
+        # round costs one job instead of three — the half-step plans still
+        # never stack across rounds
         e = (
             both.join(mins, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # ---- small-star: orient high→low, attach the whole closed
         # low-neighborhood (including u) to its minimum
@@ -146,7 +204,7 @@ def connected_components_star(
             )
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # ---- stability: (n_edges, wraparound hash-sum) — order-invariant
         sig_row = e.agg(
@@ -165,12 +223,22 @@ def connected_components_star(
             "O(log n), so this indicates a pathological input)"
         )
     # fixpoint edges are (member -> component min) stars; roots appear
-    # only on the v side, so union them back as their own component
+    # only on the v side, so union them back as their own component.
+    # Vertices whose ONLY edge is a self-loop were filtered out of `e`
+    # up front — union them back as singletons so vertex coverage matches
+    # connected_components (which labels them with their own id), keeping
+    # the two implementations interchangeable on any input.
     members = e.select(F.col("u").alias("id"), F.col("v").alias("comp"))
     roots = e.select(F.col("v").alias("id")).distinct().withColumn(
         "comp", F.col("id")
     )
-    return members.unionByName(roots).groupBy("id").agg(
+    self_loops = (
+        edges.where(F.col(src) == F.col(dst))
+        .select(F.col(src).alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+    )
+    return members.unionByName(roots).unionByName(self_loops).groupBy("id").agg(
         F.min("comp").alias("comp")
     )
 

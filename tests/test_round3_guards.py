@@ -16,14 +16,56 @@ from fortune_500_financial_insights_pipeline_spark.operators.graph import (
 def test_connected_components_raises_on_nonconvergence(spark):
     # a 6-node chain needs ~5 label-propagation rounds; max_iter=2 must
     # fail loudly, never return partially-merged components
+    # (local_finish_edges=0 forces the distributed loop under test)
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(6)], ["id_a", "id_b"]
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=2).collect()
+        connected_components(edges, max_iter=2, local_finish_edges=0).collect()
     # with enough rounds the same chain converges to one component
-    got = connected_components(edges, max_iter=10)
+    got = connected_components(edges, max_iter=10, local_finish_edges=0)
     assert {r.comp for r in got.collect()} == {0}
+
+
+def test_connected_components_local_finish_matches_distributed(spark):
+    """The bounded union-find finish and the distributed propagation
+    produce identical min-id labels (on a graph with chains, islands,
+    and a self-loop), and string ids survive the local path."""
+    import random
+
+    rnd = random.Random(11)
+    edge_list = [(rnd.randrange(40), rnd.randrange(40)) for _ in range(55)]
+    edge_list.append((39, 39))  # self-loop vertex
+    edges = spark.createDataFrame(edge_list, ["id_a", "id_b"])
+    local = {r.id: r.comp for r in connected_components(edges).collect()}
+    dist = {
+        r.id: r.comp
+        for r in connected_components(
+            edges, max_iter=60, local_finish_edges=0
+        ).collect()
+    }
+    assert local == dist
+    s_edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], ["id_a", "id_b"]
+    )
+    got = {r.id: r.comp for r in connected_components(s_edges).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_star_cc_self_loop_singleton(spark):
+    """A vertex whose only edge is a self-loop is labeled with its own id
+    by BOTH implementations (the round-3 advisor divergence)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame([(1, 2), (7, 7)], ["id_a", "id_b"])
+    star = {r.id: r.comp for r in connected_components_star(df).collect()}
+    prop = {
+        r.id: r.comp
+        for r in connected_components(df, local_finish_edges=0).collect()
+    }
+    assert star == prop == {1: 1, 2: 1, 7: 7}
 
 
 def test_grid_dbscan_rejects_out_of_range_cells(spark):
