@@ -300,15 +300,29 @@ def table_checksum_md5(df, cols, bucket, n_buckets=16):
     Per bucket: (n_rows, Σ 40-bit md5-derived digest) — 40 bits keeps the
     per-bucket long sum overflow-free to ~8M rows/bucket (widen
     ``n_buckets`` for bigger tables; per-bucket rows also LOCALIZE a
-    mismatch to 1/n of the key space). NULLs are coalesced to a sentinel
-    BEFORE concat so rows differing only in which nullable column holds a
-    value cannot collide (concat_ws silently skips nulls otherwise).
+    mismatch to 1/n of the key space).
+
+    Each value is LENGTH-FRAMED before joining — ``len:value`` with NULL
+    as the bare token ``n`` — so the pre-hash string parses back to
+    exactly one column tuple: a separator occurring INSIDE a value
+    (('a|b','c') vs ('a','b|c')) cannot realign columns, a genuine string
+    equal to a null sentinel cannot impersonate NULL, and rows differing
+    only in which nullable column holds a value cannot collide
+    (concat_ws would silently skip nulls otherwise). This is the r4
+    advisor hardening on top of r3's null canonicalization; the oracle
+    mirrors the framing byte for byte.
 
     ``bucket``: integer Column assigning rows to buckets (e.g. a key
     modulo ``n_buckets``)."""
     from pyspark.sql import functions as F
 
-    safe = [F.coalesce(F.col(c).cast("string"), F.lit("<null>")) for c in cols]
+    def _framed(c):
+        s = F.col(c).cast("string")
+        return F.when(s.isNull(), F.lit("n")).otherwise(
+            F.concat(F.length(s).cast("string"), F.lit(":"), s)
+        )
+
+    safe = [_framed(c) for c in cols]
     digest = F.conv(
         F.substring(F.md5(F.concat_ws("|", *safe)), 1, 10), 16, 10
     ).cast("long")

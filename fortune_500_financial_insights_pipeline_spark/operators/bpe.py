@@ -91,6 +91,37 @@ def _merge_once(syms: Column, lhs: str, rhs: str) -> Column:
     return rebuilt
 
 
+def _select_disjoint_batch(
+    candidates: list[tuple[str, str, int]], want: int
+) -> list[tuple[str, str, int]]:
+    """Greedy selection of up to ``want`` candidates in rank order whose
+    symbol NEIGHBORHOODS are fully disjoint — PRODUCT-aware: a candidate
+    is rejected when its lhs/rhs equals the concatenation an
+    already-selected pair produces (it would consume tokens created
+    inside this same batch), or when its own concatenation equals a
+    symbol an already-selected pair consumes or produces (its product
+    would have fed an earlier-ranked merge). With products fenced off,
+    merges in a batch cannot create, destroy, or share adjacency sites
+    with each other in ANY order of application, so the snapshot
+    pair_counts and selection ranks are exactly the sequential
+    (batch_size=1) semantics."""
+    used: set[str] = set()
+    produced: set[str] = set()
+    batch: list[tuple[str, str, int]] = []
+    for lhs, rhs, cnt in candidates:
+        concat = lhs + rhs
+        if lhs in used or rhs in used or concat in used:
+            continue
+        if lhs in produced or rhs in produced or concat in produced:
+            continue
+        batch.append((lhs, rhs, cnt))
+        used.update((lhs, rhs))
+        produced.add(concat)
+        if len(batch) >= want:
+            break
+    return batch
+
+
 def bpe_train(
     docs: DataFrame,
     *,
@@ -104,7 +135,10 @@ def bpe_train(
 
     ``batch_size=1`` is exact sequential BPE (one merge per pair-count
     snapshot — the oracle-replayed form).  ``batch_size=m`` selects the
-    top-m SYMBOL-DISJOINT pairs per snapshot and applies them together:
+    top-m SYMBOL-DISJOINT pairs per snapshot (product-aware: a pair whose
+    lhs/rhs collides with another selected pair's concatenation — or vice
+    versa — is deferred to the next snapshot, see
+    :func:`_select_disjoint_batch`) and applies them together:
     because disjoint pairs cannot create, destroy, or share adjacency
     sites with each other, their snapshot counts are exactly what
     sequential application would have seen — the standard batching trick
@@ -158,17 +192,10 @@ def bpe_train(
             iterations += 1
             if not top:
                 break  # vocabulary fully merged — nothing adjacent remains
-            # greedy symbol-disjoint selection in snapshot rank order
-            used: set[str] = set()
-            batch: list[tuple[str, str, int]] = []
-            for r in top:
-                lhs, rhs = str(r["lhs"]), str(r["rhs"])
-                if lhs in used or rhs in used:
-                    continue
-                batch.append((lhs, rhs, int(r["pair_count"])))
-                used.update((lhs, rhs))
-                if len(batch) >= want:
-                    break
+            batch = _select_disjoint_batch(
+                [(str(r["lhs"]), str(r["rhs"]), int(r["pair_count"])) for r in top],
+                want,
+            )
             nxt = words
             for lhs, rhs, cnt in batch:
                 merges.append((len(merges) + 1, lhs, rhs, cnt))

@@ -1295,10 +1295,10 @@ ORACLES["q_table_checksum"] = """
 WITH d AS (
   SELECT o_orderkey % 16 AS bucket,
          CAST('0x' || substring(md5(concat_ws('|',
-              COALESCE(CAST(o_orderkey AS VARCHAR), '<null>'),
-              COALESCE(CAST(o_custkey AS VARCHAR), '<null>'),
-              COALESCE(o_orderstatus, '<null>'),
-              COALESCE(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), '<null>'))), 1, 10) AS BIGINT) AS dig
+              CASE WHEN o_orderkey IS NULL THEN 'n' ELSE length(CAST(o_orderkey AS VARCHAR)) || ':' || CAST(o_orderkey AS VARCHAR) END,
+              CASE WHEN o_custkey IS NULL THEN 'n' ELSE length(CAST(o_custkey AS VARCHAR)) || ':' || CAST(o_custkey AS VARCHAR) END,
+              CASE WHEN o_orderstatus IS NULL THEN 'n' ELSE length(o_orderstatus) || ':' || o_orderstatus END,
+              CASE WHEN o_totalprice IS NULL THEN 'n' ELSE length(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR)) || ':' || CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR) END)), 1, 10) AS BIGINT) AS dig
   FROM orders
 )
 SELECT CAST(bucket AS BIGINT) AS bucket,

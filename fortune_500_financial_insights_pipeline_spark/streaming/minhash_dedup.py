@@ -20,11 +20,19 @@ HARD-bounded regardless of stream length, atomically swapped per batch
 at-least-once state update + always-positive probes keep the no-shared-
 bucket guarantee across restarts.
 
-In-batch rule (before the cross-batch probe): within one micro-batch the
-minimum doc id in each bucket survives — deterministic, one bucket groupBy
-+ semi-join, no transitive closure (chain A~B~C in ONE batch keeps A and
-may keep C if A,C share no bucket — the same non-closure batch near-dup
-pipelines accept before a periodic cluster-dedup compaction).
+In-batch rule (before the cross-batch probe): within one micro-batch a
+doc survives only if it is the minimum id in EVERY bucket it occupies —
+minima are computed against the RAW batch bucket occupancy, not against
+the surviving set. So in a chain A~B~C (A<B<C, A·B and B·C each sharing a
+bucket, A·C sharing none) B loses to A and C loses to B, and C is dropped
+even though B itself was dropped — one deterministic bucket groupBy +
+anti-join, no iteration to a survivor fixpoint. This over-suppresses
+relative to a sequential arrival of the same docs (which would have kept
+C) but only ever in the safe direction — a fresh doc is dropped, a
+duplicate is never re-emitted — and it is the semantics a replayed
+backfill reproduces exactly. The false-drop rate this and Bloom
+collisions introduce is measurable offline: see
+:func:`reconcile_neardup_report`.
 
 Signature discipline is minhash_neardup_pairs': grams exploded to rows,
 per-seed min in ONE hash aggregate (codegen path, map-side partial agg →
@@ -142,6 +150,113 @@ def minhash_dedup_batch_fn(
         _swap_state(merged, state_dir)
 
     return process
+
+
+def reconcile_neardup_report(
+    corpus: DataFrame,
+    emitted_ids: DataFrame,
+    id_col: str,
+    text_col: str,
+    state_dir: str | None = None,
+    min_jaccard: float = 0.2,
+    n_hashes: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+) -> DataFrame:
+    """Periodic batch reconciliation for the online near-dup deduper: one
+    row quantifying how much the stream's recall-oriented shortcuts
+    (bucket-collision-only decisions, raw-minima in-batch suppression,
+    Bloom false positives) actually cost on the corpus seen so far.
+
+    A dropped doc's suppression is JUSTIFIED when the emitted corpus
+    contains a verified near-duplicate of it — exact n-gram Jaccard >=
+    ``min_jaccard`` via the batch pipeline
+    (operators/minhash.minhash_neardup_pairs: banded candidates, never
+    O(n²)). Everything else the stream dropped is a FALSE DROP: a bucket
+    collision without real similarity, an in-batch chain whose middle
+    link was itself suppressed (the over-suppression case documented
+    above), or a Bloom false positive. Note the deliberately strict
+    definition: a doc whose only true near-dup was itself dropped counts
+    as false — the emitted corpus lost that content, whatever the
+    mechanism.
+
+    Also reports Bloom saturation from ``state_dir`` (fill ratio and the
+    implied per-doc false-positive probability ``1-(1-fill^k)^bands``) so
+    operators see filter exhaustion BEFORE the false-drop rate climbs.
+    Run it from a scheduled batch job over the stream's input archive and
+    its emitted sink; both sides are ordinary tables.
+
+    Returns one row: (n_corpus, n_emitted, n_dropped, n_true_drops,
+    n_false_drops, false_drop_rate, bloom_fill_ratio,
+    bloom_est_fp_per_doc).
+    """
+    from fortune_500_financial_insights_pipeline_spark.operators.minhash import (
+        minhash_neardup_pairs,
+    )
+
+    spark = corpus.sparkSession
+    docs = corpus.dropDuplicates([id_col]).localCheckpoint(eager=False)
+    emitted = (
+        emitted_ids.select(F.col(emitted_ids.columns[0]).alias("_eid"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    pairs = minhash_neardup_pairs(
+        docs, id_col, text_col,
+        n_hashes=n_hashes, bands=bands, min_jaccard=min_jaccard, ngram=ngram,
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("_x"), F.col("id_b").alias("_y")
+    ).unionByName(pairs.select(F.col("id_b").alias("_x"), F.col("id_a").alias("_y")))
+    dropped = docs.join(
+        emitted, docs[id_col] == F.col("_eid"), "left_anti"
+    ).select(F.col(id_col).alias("_did"))
+    justified = (
+        dropped.join(sym, dropped._did == sym._x)
+        .join(emitted, sym._y == F.col("_eid"), "left_semi")
+        .select("_did")
+        .distinct()
+    )
+    counts = (
+        docs.agg(F.count(F.lit(1)).alias("n_corpus"))
+        .crossJoin(emitted.agg(F.count(F.lit(1)).alias("n_emitted")))
+        .crossJoin(dropped.agg(F.count(F.lit(1)).alias("n_dropped")))
+        .crossJoin(justified.agg(F.count(F.lit(1)).alias("n_true_drops")))
+    )
+    if state_dir is not None:
+        fill = (
+            _load_state(spark, state_dir)
+            .agg(F.coalesce(F.sum(F.bit_count("bits")), F.lit(0)).alias("_set"))
+            .select((F.col("_set") / F.lit(float(m_bits))).alias("bloom_fill_ratio"))
+        )
+    else:
+        fill = spark.range(1).select(F.lit(None).cast("double").alias("bloom_fill_ratio"))
+    fp_per_probe = F.pow(F.col("bloom_fill_ratio"), F.lit(float(k)))
+    return (
+        counts.crossJoin(fill)
+        .withColumn("n_false_drops", F.col("n_dropped") - F.col("n_true_drops"))
+        .select(
+            "n_corpus",
+            "n_emitted",
+            "n_dropped",
+            "n_true_drops",
+            "n_false_drops",
+            F.round(
+                F.when(
+                    F.col("n_dropped") > 0,
+                    F.col("n_false_drops") / F.col("n_dropped"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("false_drop_rate"),
+            F.round("bloom_fill_ratio", 6).alias("bloom_fill_ratio"),
+            F.round(
+                F.lit(1.0) - F.pow(F.lit(1.0) - fp_per_probe, F.lit(float(bands))),
+                6,
+            ).alias("bloom_est_fp_per_doc"),
+        )
+    )
 
 
 def minhash_dedup_stream(

@@ -140,3 +140,29 @@ def test_batched_train_64_merges_in_bounded_iterations(spark):
     assert sorted((r.lhs + r.rhs) for r in merges) == sorted(words)
     # every snapshot count is the true pre-batch pair frequency (2 each)
     assert all(r.pair_count == 2 for r in merges)
+
+
+def test_select_disjoint_batch_fences_products():
+    """Round-4 advisor fix: a candidate whose lhs/rhs equals the
+    concatenation of an already-selected pair (or whose concatenation
+    equals a symbol an earlier-selected pair touches) is deferred —
+    otherwise one in-batch merge consumes tokens another creates and the
+    recorded counts diverge from sequential semantics."""
+    from fortune_500_financial_insights_pipeline_spark.operators.bpe import _select_disjoint_batch
+
+    # ('ab','c') consumes the product of ('a','b') -> must be deferred
+    got = _select_disjoint_batch([("a", "b", 9), ("ab", "c", 8), ("x", "y", 7)], 3)
+    assert got == [("a", "b", 9), ("x", "y", 7)]
+    # vice versa: ('a','b') produces 'ab', which ('ab','c') (ranked
+    # higher) consumes -> the later one is deferred
+    got = _select_disjoint_batch([("ab", "c", 9), ("a", "b", 8), ("x", "y", 7)], 3)
+    assert got == [("ab", "c", 9), ("x", "y", 7)]
+    # product collides with a consumed symbol: ('a','bc') after ('abc','d')
+    got = _select_disjoint_batch([("abc", "d", 9), ("a", "bc", 8)], 2)
+    assert got == [("abc", "d", 9)]
+    # identical products fence each other: ('a','bc') vs ('ab','c')
+    got = _select_disjoint_batch([("a", "bc", 9), ("ab", "c", 8)], 2)
+    assert got == [("a", "bc", 9)]
+    # plain symbol sharing still rejected
+    got = _select_disjoint_batch([("a", "b", 9), ("b", "c", 8)], 2)
+    assert got == [("a", "b", 9)]

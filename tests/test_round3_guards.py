@@ -161,6 +161,26 @@ def test_table_checksum_md5_null_transposition(spark):
     ca = table_checksum_md5(a, ["x", "y"], bucket=F.col("k")).head()
     cb = table_checksum_md5(b, ["x", "y"], bucket=F.col("k")).head()
     assert ca.checksum != cb.checksum
+
+
+def test_table_checksum_md5_separator_and_sentinel_safe(spark):
+    """Round-4 advisor fix: length-framing makes the pre-hash string
+    unambiguous — a '|' inside a value cannot realign columns, and a
+    literal string equal to the old null sentinel cannot impersonate
+    NULL."""
+    from fortune_500_financial_insights_pipeline_spark.checks import table_checksum_md5
+
+    a = spark.createDataFrame([(1, "a|b", "c")], "k long, x string, y string")
+    b = spark.createDataFrame([(1, "a", "b|c")], "k long, x string, y string")
+    ca = table_checksum_md5(a, ["x", "y"], bucket=F.col("k")).head()
+    cb = table_checksum_md5(b, ["x", "y"], bucket=F.col("k")).head()
+    assert ca.checksum != cb.checksum
+    # value framing: '1:a|3:b|c' cannot equal '3:a|b|1:c' style strings
+    c = spark.createDataFrame([(1, "<null>", "z")], "k long, x string, y string")
+    d = spark.createDataFrame([(1, None, "z")], "k long, x string, y string")
+    cc = table_checksum_md5(c, ["x", "y"], bucket=F.col("k")).head()
+    cd = table_checksum_md5(d, ["x", "y"], bucket=F.col("k")).head()
+    assert cc.checksum != cd.checksum
     # identical tables agree regardless of partitioning/order
     big = spark.createDataFrame(
         [(i, f"v{i}", None if i % 3 == 0 else f"w{i}") for i in range(100)],

@@ -121,3 +121,65 @@ def test_in_batch_min_id_survivor(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert sorted(emitted) == [5, 9]
+
+
+def test_reconcile_neardup_report(spark, tmp_path):
+    """Round-4: the offline reconciliation measures what the online
+    shortcuts cost — justified drops (a verified near-dup IS in the
+    emitted corpus) vs false drops (nothing similar survived), plus
+    Bloom saturation from the persisted state."""
+    from fortune_500_financial_insights_pipeline_spark.streaming.minhash_dedup import (
+        reconcile_neardup_report,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    emitted: list[int] = []
+
+    def emit(df, batch_id):
+        emitted.extend(r.doc_id for r in df.collect())
+
+    doc4 = (
+        "an entirely separate passage describing watermark semantics and "
+        "stateful aggregation checkpoints inside structured streaming "
+        "pipelines recovering deterministically after coordinator restarts"
+    )
+    _write(spark, src, [(1, BASE), (3, OTHER)], "overwrite")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        minhash_dedup_stream(stream, "doc_id", "text", state, emit, m_bits=1 << 14)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    _write(spark, src, [(2, VARIANT), (4, doc4)], "append")
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(emitted) == [1, 3, 4]
+
+    corpus = spark.createDataFrame(
+        [(1, BASE), (2, VARIANT), (3, OTHER), (4, doc4)],
+        "doc_id long, text string",
+    )
+    emitted_df = spark.createDataFrame([(i,) for i in emitted], "doc_id long")
+    rep = reconcile_neardup_report(
+        corpus, emitted_df, "doc_id", "text", state_dir=state, m_bits=1 << 14
+    ).head()
+    assert (rep.n_corpus, rep.n_emitted, rep.n_dropped) == (4, 3, 1)
+    assert rep.n_true_drops == 1 and rep.n_false_drops == 0
+    assert rep.false_drop_rate == 0.0
+    assert 0.0 < rep.bloom_fill_ratio < 0.5
+    assert 0.0 <= rep.bloom_est_fp_per_doc < 0.1
+
+    # strict direction: if doc 2's only near-dup (doc 1) had itself been
+    # dropped, BOTH count as false drops — the emitted corpus lost the
+    # content regardless of mechanism
+    rep2 = reconcile_neardup_report(
+        corpus,
+        spark.createDataFrame([(3,), (4,)], "doc_id long"),
+        "doc_id",
+        "text",
+    ).head()
+    assert (rep2.n_dropped, rep2.n_true_drops, rep2.n_false_drops) == (2, 0, 2)
+    assert rep2.false_drop_rate == 1.0
+    assert rep2.bloom_fill_ratio is None
