@@ -57,3 +57,33 @@ def write_open_close(df: DataFrame, path: str) -> None:
         .mode("overwrite")
         .parquet(path)
     )
+
+
+def publish_open_close(
+    df: DataFrame, base_path: str, dedup: bool = False
+) -> str:
+    """Write-audit-publish form of the final load (warehouse.wap_publish):
+    the standardized frame stages under ``<base>/openclose/v=<n>`` with the
+    same year-partitioned, (Ticker, Date)-clustered layout as
+    :func:`write_open_close`, the DDL constraint audits run against the
+    STAGED files (NOT NULL Ticker/Date always; UNIQUE(Ticker, Date) —
+    code/sql/DDLs:14 — only in dedup mode, since parity mode deliberately
+    keeps the reference's raw-union duplicates), and only a green audit
+    flips the live pointer — a failed load leaves the previous version
+    live, which the reference's direct WRITE_TRUNCATE load cannot
+    guarantee. Read the live version via ``warehouse.wap_current(spark,
+    base_path, 'openclose')``."""
+    from fortune_500_financial_insights_pipeline_spark.checks import not_null, unique_key
+    from fortune_500_financial_insights_pipeline_spark.warehouse import wap_publish
+
+    audits = [not_null("Ticker", "Date")]
+    if dedup:
+        audits.append(unique_key("Ticker", "Date"))
+    return wap_publish(
+        df,
+        base_path,
+        "openclose",
+        audits=audits,
+        partition_by=["year"],
+        sort_within=["Ticker", "Date"],
+    )

@@ -75,3 +75,22 @@ def to_warehouse_columns(df: DataFrame) -> DataFrame:
 
 def write_statements(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").parquet(path)
+
+
+def publish_statements(df: DataFrame, base_path: str, table: str) -> str:
+    """Write-audit-publish form of the statement load
+    (warehouse.wap_publish): the wide frame stages under
+    ``<base>/<table>/v=<n>``, the DDL key constraints (NOT NULL + UNIQUE
+    on (Ticker, Date) — one statement row per company-period,
+    code/sql/DDLs' QUARTERLY/BALANCESHEET5Y/CASHFLOW5Y key) run against
+    the staged files, and only a green audit flips the live pointer; a
+    failed load leaves the previous version live."""
+    from fortune_500_financial_insights_pipeline_spark.checks import not_null, unique_key
+    from fortune_500_financial_insights_pipeline_spark.warehouse import wap_publish
+
+    return wap_publish(
+        df,
+        base_path,
+        table,
+        audits=[not_null("Ticker", "Date"), unique_key("Ticker", "Date")],
+    )

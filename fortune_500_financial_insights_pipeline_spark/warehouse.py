@@ -273,6 +273,8 @@ def wap_publish(
     table: str,
     audits: "list[tuple[str, Column]] | None" = None,
     max_violations: int = 0,
+    partition_by: "list[str] | None" = None,
+    sort_within: "list[str] | None" = None,
 ) -> str:
     """Atomic write-audit-publish: stage → audit → swap.
 
@@ -293,6 +295,18 @@ def wap_publish(
     number and is replaced atomically (single rename) — the same
     swap discipline as streaming/bloom_dedup's filter state.
 
+    Concurrency: version numbers are ALLOCATED by atomic ``os.mkdir`` of
+    the stage directory itself — of two racing publishers exactly one
+    claims ``v=n`` and the other moves on to ``v=n+1``, so no publisher
+    ever writes into another's staging dir (a crashed claim leaves an
+    empty dir that later allocations simply skip past; it is never
+    published because its pointer flip never ran). The pointer flip is
+    forward-only (a slower publisher of an older version does not regress
+    a newer live version). These guarantees rely on POSIX directory
+    semantics — i.e. Spark writing to a local/NFS filesystem; on an
+    object store, version allocation belongs in a catalog service
+    (Iceberg/Delta solve exactly this), not in listings.
+
     Returns the published version directory. Raises ValueError (table
     stays on the old version) when any audit exceeds ``max_violations``.
     """
@@ -305,9 +319,25 @@ def wap_publish(
         for d in os.listdir(root)
         if d.startswith("v=") and d.split("=", 1)[1].isdigit()
     ]
-    version = max(existing, default=0) + 1
-    stage = os.path.join(root, f"v={version}")
-    df.write.mode("errorifexists").parquet(stage)
+    version = max(existing, default=0)
+    while True:
+        version += 1
+        stage = os.path.join(root, f"v={version}")
+        try:
+            os.mkdir(stage)  # atomic claim: exactly one publisher wins v=n
+            break
+        except FileExistsError:
+            continue
+    # the claim created the (empty) dir, so write with overwrite INTO the
+    # directory this process exclusively owns — no other publisher can
+    # hold the same version. partition_by / sort_within let pipelines keep
+    # their physical layout (hive partitions, clustered sort) while still
+    # getting the stage->audit->flip discipline.
+    out = df.sortWithinPartitions(*sort_within) if sort_within else df
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(stage)
 
     if audits:
         staged = df.sparkSession.read.parquet(stage)
@@ -322,10 +352,21 @@ def wap_publish(
             )
 
     pointer = os.path.join(root, "_CURRENT")
-    tmp = pointer + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, pointer)  # atomic on POSIX
+    # forward-only flip: a publisher that lost the race and finished after
+    # a NEWER version went live must not regress the pointer (the
+    # read-compare-replace window is not fully serialized without a lock
+    # file, but regression requires the newer publisher to complete
+    # entirely inside it — and a same-version rewrite is idempotent)
+    try:
+        with open(pointer) as f:
+            live = int(f.read().strip())
+    except (OSError, ValueError):
+        live = 0
+    if version > live:
+        tmp = pointer + f".tmp.{version}"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, pointer)  # atomic on POSIX
     return stage
 
 

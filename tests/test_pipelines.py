@@ -493,3 +493,59 @@ def test_curation_sample_is_partition_invariant(spark, sf_dir):
     ka = sorted((r.doc_id, r.chunk_index) for r in a.collect())
     kb = sorted((r.doc_id, r.chunk_index) for r in b.collect())
     assert ka == kb
+
+
+def test_publish_open_close_wap_failed_audit_keeps_previous(spark, ohlcv_dirs, tmp_path):
+    """Round-4: the final open_close load goes stage -> audit -> flip; a
+    constraint-violating load leaves the PREVIOUS version live."""
+    import pytest as _pytest
+
+    from fortune_500_financial_insights_pipeline_spark.pipelines.open_close import publish_open_close
+    from fortune_500_financial_insights_pipeline_spark.warehouse import wap_current
+
+    kaggle_glob, api_glob = ohlcv_dirs
+    base = str(tmp_path / "wh")
+    good = open_close(spark, kaggle_glob, api_glob, dedup=True)
+    stage = publish_open_close(good, base, dedup=True)
+    assert "v=1" in stage
+    live1 = wap_current(spark, base, "openclose")
+    n1 = live1.count()
+    assert n1 > 0
+    # year-partitioned physical layout survives the WAP stage
+    import os
+
+    assert any(d.startswith("year=") for d in os.listdir(stage))
+    # a load violating NOT NULL Ticker must fail and not go live
+    bad = good.withColumn(
+        "Ticker", F.when(F.col("Source") == "API", None).otherwise(F.col("Ticker"))
+    )
+    with _pytest.raises(ValueError, match="audit failed"):
+        publish_open_close(bad, base, dedup=True)
+    assert wap_current(spark, base, "openclose").count() == n1
+    # parity mode (raw-union duplicates) publishes without the UNIQUE audit
+    raw = open_close(spark, kaggle_glob, api_glob, dedup=False)
+    publish_open_close(raw, base, dedup=False)
+    assert wap_current(spark, base, "openclose").count() == raw.count()
+
+
+def test_publish_statements_wap(spark, tmp_path):
+    from fortune_500_financial_insights_pipeline_spark.pipelines.tabular import (
+        publish_statements,
+        statements_wide,
+    )
+    from fortune_500_financial_insights_pipeline_spark.warehouse import wap_current
+
+    d = tmp_path / "stmts"
+    d.mkdir()
+    (d / "AAPL.csv").write_text(STATEMENT_CSV + "\n")
+    wide = statements_wide(spark, {"AAPL": str(d / "AAPL.csv")}, INTEREST)
+    base = str(tmp_path / "wh")
+    publish_statements(wide, base, "quarterly")
+    assert wap_current(spark, base, "quarterly").count() == wide.count()
+    # duplicated (Ticker, Date) rows violate the DDL key -> stays on v1
+    import pytest as _pytest
+
+    dup = wide.unionByName(wide)
+    with _pytest.raises(ValueError, match="audit failed"):
+        publish_statements(dup, base, "quarterly")
+    assert wap_current(spark, base, "quarterly").count() == wide.count()

@@ -58,3 +58,40 @@ def test_republish_advances_version_atomically(spark, tmp_path):
     assert os.path.isdir(os.path.join(base, "t", "v=1"))
     with open(os.path.join(base, "t", "_CURRENT")) as f:
         assert f.read().strip() == "2"
+
+
+def test_wap_version_claim_skips_foreign_claims(spark, tmp_path):
+    """Round-4 advisor fix: version allocation is an atomic mkdir claim —
+    a directory another (possibly crashed) publisher already claimed is
+    skipped, never written into, and never silently published."""
+    import os
+
+    base = str(tmp_path)
+    df = spark.createDataFrame([(1,)], "x long")
+    wap_publish(df, base, "t")  # v=1 live
+    # simulate a concurrent publisher's claim on v=2
+    os.mkdir(os.path.join(base, "t", "v=2"))
+    stage = wap_publish(df, base, "t")
+    assert stage.endswith("v=3")
+    assert wap_current(spark, base, "t").count() == 1
+    # the foreign claim stayed empty and unpublished
+    assert os.listdir(os.path.join(base, "t", "v=2")) == []
+
+
+def test_wap_pointer_is_forward_only(spark, tmp_path):
+    """A slow publisher finishing after a newer version went live must
+    not regress the _CURRENT pointer."""
+    import os
+
+    base = str(tmp_path)
+    df1 = spark.createDataFrame([(1,)], "x long")
+    wap_publish(df1, base, "t")
+    ptr = os.path.join(base, "t", "_CURRENT")
+    # pretend a newer publisher already flipped to version 9 (its staging
+    # dir lives elsewhere in this simulation — only the pointer matters)
+    with open(ptr, "w") as f:
+        f.write("9")
+    stage = wap_publish(df1, base, "t")  # claims v=2 — BELOW the live 9
+    assert stage.endswith("v=2")
+    with open(ptr) as f:
+        assert int(f.read().strip()) == 9, "pointer must never regress"
