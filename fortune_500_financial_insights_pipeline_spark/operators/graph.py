@@ -140,6 +140,7 @@ def connected_components_star(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(vertex id, component) with component = min reachable vertex id —
     same contract as :func:`connected_components`, computed with
@@ -171,7 +172,9 @@ def connected_components_star(
     )
     prev_sig = None
     converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # ---- large-star: for each u, attach strictly-larger neighbors to
         # the min of the closed neighborhood
         both = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -222,6 +225,8 @@ def connected_components_star(
             f"{max_iter} rounds — raise max_iter (rounds needed is "
             "O(log n), so this indicates a pathological input)"
         )
+    if stats is not None:
+        stats["rounds"] = rounds
     # fixpoint edges are (member -> component min) stars; roots appear
     # only on the v side, so union them back as their own component.
     # Vertices whose ONLY edge is a self-loop were filtered out of `e`

@@ -551,3 +551,23 @@ def test_adamic_adar_no_cartesian(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_adamic_adar")
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan  # top-20 never global-sorts
+
+
+def test_star_cc_round_count_is_logarithmic(spark):
+    """SCALE.md round-4 gate: large-star/small-star must converge on a
+    2048-node chain (diameter 2047) in O(log n) rounds — propagation
+    would need ~2047. A regression to linear rounds makes the 100 TB
+    unknown-topology path unusable."""
+    from pyspark.sql import functions as F
+
+    from fortune_500_financial_insights_pipeline_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    chain = spark.range(2048).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    stats: dict = {}
+    out = connected_components_star(chain, max_iter=20, stats=stats)
+    assert out.select("comp").distinct().count() == 1
+    assert stats["rounds"] <= 14, stats
