@@ -38,12 +38,20 @@ def jaccard_pairs_exact(
     gram_col: str = "grams",
     threshold: float = 0.8,
     return_similarity: bool = False,
+    return_counts: bool = False,
 ) -> DataFrame:
     """(id_a, id_b) with id_a < id_b and Jaccard(grams_a, grams_b) >= t.
 
     ``grams`` is one row per record with a distinct-token array column.
     Output is identical to the brute-force cross-join filter — prefix
     filtering only prunes candidate GENERATION, never results.
+
+    ``return_counts`` adds the exact integer (n_i, n_u) intersection/union
+    sizes instead of the rounded similarity — the lossless form: any
+    stricter threshold is then a plain ``n_i/n_u >= t`` filter over this
+    result (identical to rebuilding at t, since prefix filtering never
+    loses pairs), which is what the per-process pair memo in
+    queries/_core.py relies on.
     """
     recs = grams.select(F.col(id_col).alias("_id"), F.col(gram_col).alias("_g"))
 
@@ -127,6 +135,13 @@ def jaccard_pairs_exact(
     inter = F.size(F.array_intersect("ga", "gb")).cast("double")
     union = F.size(F.array_union("ga", "gb")).cast("double")
     kept = pairs.where(inter / union >= threshold)
+    if return_counts:
+        return kept.select(
+            "id_a",
+            "id_b",
+            inter.cast("long").alias("n_i"),
+            union.cast("long").alias("n_u"),
+        )
     if return_similarity:
         return kept.select(
             "id_a", "id_b", F.round(inter / union, 6).alias("jac")

@@ -136,15 +136,17 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     mutually-similar triples, the density signal LSH-based dedup uses to
     distinguish a tight duplicate cluster from a chain of borderline pairs.
     Edges come from the prefix-filtered exact set-similarity join
-    (operators/setjoin.py); triple enumeration is two equi-joins on
-    canonicalized (u < v) edges."""
-    from fortune_500_financial_insights_pipeline_spark.operators import text as TX
+    (operators/setjoin.py) via the per-process pair memo
+    (_core.doc_jaccard_pairs — shared with q_jaccard_clusters); triple
+    enumeration is two equi-joins on canonicalized (u < v) edges."""
     from fortune_500_financial_insights_pipeline_spark.operators.graph import triangle_counts
-    from fortune_500_financial_insights_pipeline_spark.operators.setjoin import jaccard_pairs_exact
+    from fortune_500_financial_insights_pipeline_spark.queries._core import (
+        doc_jaccard_pairs,
+    )
 
-    d = load_table(spark, sf_dir, "documents")
-    grams = d.select("doc_id", TX.word_ngrams("text", 2).alias("grams"))
-    pairs = jaccard_pairs_exact(grams, "doc_id", "grams", 0.8)
+    pairs = doc_jaccard_pairs(spark, sf_dir, ngram=2, floor=0.8).select(
+        "id_a", "id_b"
+    )
     return triangle_counts(pairs).select(
         F.col("id").alias("doc_id"), "n_triangles"
     )

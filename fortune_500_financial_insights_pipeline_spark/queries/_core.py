@@ -41,6 +41,66 @@ def _memo_trained(key: tuple, build: Callable[[], object]):
         _TRAINED_MEMO[key] = build()
     return _TRAINED_MEMO[key]
 
+
+def doc_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, ngram: int, floor: float
+) -> DataFrame:
+    """Memoized exact ngram-Jaccard pair list over `documents` at >=
+    ``floor``, as integer (n_i, n_u) intersection/union counts — the
+    ANN-artifact memo pattern (r3) extended to the dedup-truth family.
+
+    Prefix filtering is LOSSLESS, so the floor build filtered to any
+    stricter t is bit-identical to rebuilding at t; callers apply
+    ``n_i/n_u >= t`` (the same long→double division the inline form used)
+    and/or ``ROUND(n_i/n_u, 6)`` for the similarity column. The five
+    threshold-sweep keys (lsh recall/precision/s-curve, dedup threshold
+    curve, jaccard clusters/triangles) each paid this identical
+    deterministic pass per process; now the first caller pays it once.
+    Pair lists are near-dup-sized (thousands of rows), not corpus-sized —
+    bounded driver memory like every memoized artifact here."""
+    from fortune_500_financial_insights_pipeline_spark.operators.setjoin import (
+        jaccard_pairs_exact,
+    )
+    from fortune_500_financial_insights_pipeline_spark.operators.text import word_ngrams
+
+    def build():
+        d = load_table(spark, sf_dir, "documents")
+        pairs = jaccard_pairs_exact(
+            d.select("doc_id", word_ngrams(F.col("text"), ngram).alias("grams")),
+            threshold=floor,
+            return_counts=True,
+        )
+        return [
+            (r["id_a"], r["id_b"], r["n_i"], r["n_u"]) for r in pairs.collect()
+        ]
+
+    rows = _memo_trained(("doc_jacc_pairs", sf_dir, ngram, floor), build)
+    return spark.createDataFrame(
+        rows, "id_a long, id_b long, n_i long, n_u long"
+    )
+
+
+def doc_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized 16-hash/4-band portable-MinHash candidate list over
+    `documents` with exact verified jac (min_jaccard=0.0 — i.e. EVERY
+    band collision), shared by the LSH quality gauges
+    (precision/recall/s-curve). Same determinism argument as
+    doc_jaccard_pairs."""
+    from fortune_500_financial_insights_pipeline_spark.operators.minhash import (
+        minhash_neardup_pairs_portable,
+    )
+
+    def build():
+        d = load_table(spark, sf_dir, "documents")
+        pairs = minhash_neardup_pairs_portable(
+            d, id_col="doc_id", text_col="text",
+            n_hashes=16, bands=4, min_jaccard=0.0,
+        )
+        return [(r["id_a"], r["id_b"], r["jac"]) for r in pairs.collect()]
+
+    rows = _memo_trained(("doc_lsh_cand_16_4", sf_dir), build)
+    return spark.createDataFrame(rows, "id_a long, id_b long, jac double")
+
 def _qvec_probe(emb: DataFrame, centroids, n_probe: int = 2):
     """(query vector, probed cells) for vec_id=0 in ONE head() job —
     routing through the same Spark round-6 expression the oracle mirrors

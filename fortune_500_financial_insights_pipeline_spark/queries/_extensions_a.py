@@ -1744,15 +1744,13 @@ def q_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the candidate precision — the tune-your-bands measurement that
     q_ranking_metrics is for retrieval (an LSH config is a recall/cost
     dial; this is the dial's gauge). Composes the oracle-certified
-    portable MinHash pipeline with min_jaccard=0."""
-    from fortune_500_financial_insights_pipeline_spark.operators.minhash import (
-        minhash_neardup_pairs_portable,
+    portable MinHash pipeline with min_jaccard=0, via the per-process
+    candidate memo (_core.doc_lsh_candidates)."""
+    from fortune_500_financial_insights_pipeline_spark.queries._core import (
+        doc_lsh_candidates,
     )
 
-    d = load_table(spark, sf_dir, "documents")
-    pairs = minhash_neardup_pairs_portable(
-        d, id_col="doc_id", text_col="text", n_hashes=16, bands=4, min_jaccard=0.0
-    )
+    pairs = doc_lsh_candidates(spark, sf_dir)
     return pairs.agg(
         F.count(F.lit(1)).alias("n_candidates"),
         F.sum(F.when(F.col("jac") >= 0.5, 1).otherwise(0)).cast("long").alias("n_true"),
@@ -2311,23 +2309,20 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix-filtered set-similarity join, never a cross join), what
     fraction did 16-hash/4-band MinHash banding surface as candidates?
     Both legs are oracle-certified pipelines; the compare is
-    pair-list-sized."""
-    from fortune_500_financial_insights_pipeline_spark.operators.minhash import (
-        minhash_neardup_pairs_portable,
+    pair-list-sized. Both legs come from the per-process pair memo
+    (_core.doc_jaccard_pairs / doc_lsh_candidates — lossless floor-0.3
+    build filtered to 0.5, identical to a direct 0.5 build)."""
+    from fortune_500_financial_insights_pipeline_spark.queries._core import (
+        doc_jaccard_pairs,
+        doc_lsh_candidates,
     )
-    from fortune_500_financial_insights_pipeline_spark.operators.setjoin import (
-        jaccard_pairs_exact,
-    )
-    from fortune_500_financial_insights_pipeline_spark.operators.text import word_ngrams
 
-    d = load_table(spark, sf_dir, "documents")
-    truth = jaccard_pairs_exact(
-        d.select("doc_id", word_ngrams(F.col("text"), 3).alias("grams")),
-        threshold=0.5,
-    ).select("id_a", "id_b")
-    cand = minhash_neardup_pairs_portable(
-        d, id_col="doc_id", text_col="text", n_hashes=16, bands=4, min_jaccard=0.0
-    ).select("id_a", "id_b")
+    truth = (
+        doc_jaccard_pairs(spark, sf_dir, ngram=3, floor=0.3)
+        .where(F.col("n_i") / F.col("n_u") >= 0.5)
+        .select("id_a", "id_b")
+    )
+    cand = doc_lsh_candidates(spark, sf_dir).select("id_a", "id_b")
     cap = truth.join(cand, ["id_a", "id_b"], "left_semi")
     t = truth.agg(F.count(F.lit(1)).alias("n_true"))
     c = cap.agg(F.count(F.lit(1)).alias("n_captured"))

@@ -1671,17 +1671,14 @@ def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     just filters over the pair list), bucketed into similarity bands
     with cumulative pairs-at-or-above — the how-aggressive-can-I-dedup
     readout that picks min_jaccard before q_jaccard_clusters runs.
-    Bands are floor(jac·10)/10 on round-6 values, shared text."""
-    from fortune_500_financial_insights_pipeline_spark.operators.setjoin import (
-        jaccard_pairs_exact,
+    Bands are floor(jac·10)/10 on round-6 values, shared text. Pairs come
+    from the per-process memo (_core.doc_jaccard_pairs)."""
+    from fortune_500_financial_insights_pipeline_spark.queries._core import (
+        doc_jaccard_pairs,
     )
-    from fortune_500_financial_insights_pipeline_spark.operators.text import word_ngrams
 
-    d = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs_exact(
-        d.select("doc_id", word_ngrams(F.col("text"), 3).alias("grams")),
-        threshold=0.3,
-        return_similarity=True,
+    pairs = doc_jaccard_pairs(spark, sf_dir, ngram=3, floor=0.3).select(
+        "id_a", "id_b", F.round(F.col("n_i") / F.col("n_u"), 6).alias("jac")
     )
     band = F.least(F.lit(9), F.floor(F.col("jac") * 10).cast("int"))
     per = pairs.groupBy(band.alias("band")).agg(
@@ -2063,24 +2060,20 @@ def q_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 − (1 − j^r)^b at the band midpoint (embedded as shared literals) —
     the gauge that closes the loop on q_lsh_precision/q_lsh_recall: if
     observed tracks theory, the hash family is behaving; if not, the
-    banding is broken, not the corpus."""
-    from fortune_500_financial_insights_pipeline_spark.operators.minhash import (
-        minhash_neardup_pairs_portable,
+    banding is broken, not the corpus. Both legs come from the
+    per-process pair memo (_core.doc_jaccard_pairs/doc_lsh_candidates;
+    jac = ROUND(n_i/n_u, 6) is the identical rounded double)."""
+    from fortune_500_financial_insights_pipeline_spark.queries._core import (
+        doc_jaccard_pairs,
+        doc_lsh_candidates,
     )
-    from fortune_500_financial_insights_pipeline_spark.operators.setjoin import (
-        jaccard_pairs_exact,
-    )
-    from fortune_500_financial_insights_pipeline_spark.operators.text import word_ngrams
 
-    d = load_table(spark, sf_dir, "documents")
-    truth = jaccard_pairs_exact(
-        d.select("doc_id", word_ngrams(F.col("text"), 3).alias("grams")),
-        threshold=0.3,
-        return_similarity=True,
+    truth = doc_jaccard_pairs(spark, sf_dir, ngram=3, floor=0.3).select(
+        "id_a", "id_b", F.round(F.col("n_i") / F.col("n_u"), 6).alias("jac")
     )
-    cand = minhash_neardup_pairs_portable(
-        d, id_col="doc_id", text_col="text", n_hashes=16, bands=4, min_jaccard=0.0
-    ).select("id_a", "id_b", F.lit(1).alias("__hit"))
+    cand = doc_lsh_candidates(spark, sf_dir).select(
+        "id_a", "id_b", F.lit(1).alias("__hit")
+    )
     j = truth.join(cand, ["id_a", "id_b"], "left")
     band = F.least(F.lit(9), F.floor(F.col("jac") * 10).cast("int"))
     # theoretical capture 1-(1-j^4)^4 at band midpoints, Python-computed

@@ -246,14 +246,17 @@ def q_jaccard_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/setjoin.py — AllPairs/PPJoin candidates from an equi-join
     on rare prefix tokens, identical output to the O(n²) scan); minhash
     LSH banding (q_minhash_neardup) remains the probabilistic path when
-    even exact candidates are too many."""
-    from fortune_500_financial_insights_pipeline_spark.operators import text as TX
+    even exact candidates are too many. Pairs come from the per-process
+    memo (_core.doc_jaccard_pairs, shared with q_triangles)."""
     from fortune_500_financial_insights_pipeline_spark.operators.graph import cluster_dedup
-    from fortune_500_financial_insights_pipeline_spark.operators.setjoin import jaccard_pairs_exact
+    from fortune_500_financial_insights_pipeline_spark.queries._core import (
+        doc_jaccard_pairs,
+    )
 
     d = load_table(spark, sf_dir, "documents")
-    grams = d.select("doc_id", TX.word_ngrams("text", 2).alias("grams"))
-    pairs = jaccard_pairs_exact(grams, "doc_id", "grams", 0.8)
+    pairs = doc_jaccard_pairs(spark, sf_dir, ngram=2, floor=0.8).select(
+        "id_a", "id_b"
+    )
     return cluster_dedup(d, pairs, "doc_id").select("doc_id")
 
 @q("q_simhash")
