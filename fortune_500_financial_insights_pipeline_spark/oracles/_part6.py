@@ -700,3 +700,83 @@ FROM agg
 # (both component algorithms converge to min-id labels), so the oracle is
 # the same recursive-CTE replay.
 ORACLES["q_grid_dbscan_star"] = ORACLES["q_grid_dbscan"]
+
+
+# Round 4: reconciliation of a dedup decision — bigram-0.8 cluster-dedup
+# survivors (q_jaccard_clusters' exact CTE chain) audited against the
+# exact trigram-Jaccard >= 0.5 truth (q_lsh_recall's pair CTE): a dropped
+# doc is a TRUE drop iff a verified near-dup of it survived.
+ORACLES["q_neardup_reconcile"] = """
+WITH RECURSIVE g2 AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(l)),
+                                      x -> l[x] || ' ' || l[x+1])) AS grams
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+), ex2 AS (
+  SELECT doc_id, UNNEST(grams) AS gram FROM g2
+), sizes2 AS (
+  SELECT doc_id, len(grams) AS n FROM g2
+), inter2 AS (
+  SELECT a.doc_id AS u, b.doc_id AS v, COUNT(*) AS c
+  FROM ex2 a JOIN ex2 b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs2 AS (
+  SELECT i.u, i.v
+  FROM inter2 i
+  JOIN sizes2 su ON i.u = su.doc_id
+  JOIN sizes2 sv ON i.v = sv.doc_id
+  WHERE CAST(i.c AS DOUBLE) / (su.n + sv.n - i.c) >= 0.8
+), edges AS (
+  SELECT u, v FROM pairs2 UNION SELECT v, u FROM pairs2
+), reach AS (
+  SELECT u AS src, v AS dst FROM edges
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+), comp AS (
+  SELECT src AS id, LEAST(src, MIN(dst)) AS comp FROM reach GROUP BY src
+), survivors AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id NOT IN (SELECT id FROM comp)
+     OR doc_id IN (SELECT id FROM comp WHERE id = comp)
+), g3 AS (
+  SELECT doc_id, UNNEST(list_distinct(
+           list_transform(range(1, len(l) - 1),
+                          x -> l[x] || ' ' || l[x+1] || ' ' || l[x+2])
+         )) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+), sizes3 AS (SELECT doc_id, COUNT(*) AS n FROM g3 GROUP BY doc_id),
+inter3 AS (
+  SELECT ga.doc_id AS id_a, gb.doc_id AS id_b, COUNT(*) AS ninter
+  FROM g3 ga JOIN g3 gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+  GROUP BY 1, 2
+), truth AS (
+  SELECT i.id_a, i.id_b
+  FROM inter3 i
+  JOIN sizes3 sa ON sa.doc_id = i.id_a
+  JOIN sizes3 sb ON sb.doc_id = i.id_b
+  WHERE CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter) >= 0.5
+), truth_sym AS (
+  SELECT id_a AS x, id_b AS y FROM truth
+  UNION ALL
+  SELECT id_b AS x, id_a AS y FROM truth
+), dropped AS (
+  SELECT DISTINCT doc_id FROM documents
+  WHERE doc_id NOT IN (SELECT doc_id FROM survivors)
+), justified AS (
+  SELECT DISTINCT d.doc_id
+  FROM dropped d
+  JOIN truth_sym t ON t.x = d.doc_id
+  WHERE t.y IN (SELECT doc_id FROM survivors)
+)
+SELECT (SELECT COUNT(DISTINCT doc_id) FROM documents) AS n_corpus,
+       (SELECT COUNT(*) FROM survivors) AS n_emitted,
+       (SELECT COUNT(*) FROM dropped) AS n_dropped,
+       (SELECT COUNT(*) FROM justified) AS n_true_drops,
+       (SELECT COUNT(*) FROM dropped) - (SELECT COUNT(*) FROM justified)
+         AS n_false_drops,
+       ROUND(CASE WHEN (SELECT COUNT(*) FROM dropped) > 0
+                  THEN CAST((SELECT COUNT(*) FROM dropped)
+                            - (SELECT COUNT(*) FROM justified) AS DOUBLE)
+                       / (SELECT COUNT(*) FROM dropped)
+                  ELSE 0.0 END, 6) AS false_drop_rate
+"""

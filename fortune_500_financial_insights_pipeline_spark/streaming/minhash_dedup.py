@@ -164,11 +164,18 @@ def reconcile_neardup_report(
     ngram: int = 3,
     m_bits: int = 1 << 20,
     k: int = 3,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Periodic batch reconciliation for the online near-dup deduper: one
     row quantifying how much the stream's recall-oriented shortcuts
     (bucket-collision-only decisions, raw-minima in-batch suppression,
     Bloom false positives) actually cost on the corpus seen so far.
+
+    ``pairs`` optionally supplies the verified near-dup pair list
+    (id_a, id_b) directly — pass the EXACT prefix-filtered set-similarity
+    join (operators/setjoin.jaccard_pairs_exact) for a banding-free,
+    engine-portable truth (what the oracle-certified q_neardup_reconcile
+    key does); default None builds the banded MinHash pipeline below.
 
     A dropped doc's suppression is JUSTIFIED when the emitted corpus
     contains a verified near-duplicate of it — exact n-gram Jaccard >=
@@ -203,10 +210,11 @@ def reconcile_neardup_report(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    pairs = minhash_neardup_pairs(
-        docs, id_col, text_col,
-        n_hashes=n_hashes, bands=bands, min_jaccard=min_jaccard, ngram=ngram,
-    )
+    if pairs is None:
+        pairs = minhash_neardup_pairs(
+            docs, id_col, text_col,
+            n_hashes=n_hashes, bands=bands, min_jaccard=min_jaccard, ngram=ngram,
+        )
     sym = pairs.select(
         F.col("id_a").alias("_x"), F.col("id_b").alias("_y")
     ).unionByName(pairs.select(F.col("id_b").alias("_x"), F.col("id_a").alias("_y")))
