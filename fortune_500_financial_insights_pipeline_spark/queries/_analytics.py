@@ -1186,24 +1186,27 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     count / deterministic argmax / leftmost-greedy merge. The oracle
     replays the full training trajectory relationally (gaps-islands parity
     handles overlapping 'aaa' runs), so the learned vocabulary itself is
-    hash-checked, not just row counts."""
-    from fortune_500_financial_insights_pipeline_spark.operators.bpe import bpe_train
+    hash-checked, not just row counts. Table comes from the per-process
+    model memo (_core.bpe_merges_3, shared with q_bpe_segment and
+    q_tokenizer_fertility)."""
+    from fortune_500_financial_insights_pipeline_spark.queries._core import bpe_merges_3
 
-    d = load_table(spark, sf_dir, "documents")
-    return bpe_train(d, n_merges=3)
+    return spark.createDataFrame(
+        bpe_merges_3(spark, sf_dir),
+        "step int, lhs string, rhs string, pair_count bigint",
+    )
 
 @q("q_bpe_segment")
 def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize docs 0-49 with the 3 learned merges (operators/bpe
     .bpe_segment) — per-document BPE token counts, the encode half of the
-    tokenizer lifecycle, applied as chained map-side HOF projections."""
-    from fortune_500_financial_insights_pipeline_spark.operators.bpe import (
-        bpe_segment,
-        bpe_train,
-    )
+    tokenizer lifecycle, applied as chained map-side HOF projections.
+    Merges come from the per-process model memo (_core.bpe_merges_3)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.bpe import bpe_segment
+    from fortune_500_financial_insights_pipeline_spark.queries._core import bpe_merges_3
 
     d = load_table(spark, sf_dir, "documents")
-    merges = [(r["lhs"], r["rhs"]) for r in bpe_train(d, n_merges=3).collect()]
+    merges = [(lhs, rhs) for _, lhs, rhs, _ in bpe_merges_3(spark, sf_dir)]
     return bpe_segment(d.filter(F.col("doc_id") < 50), merges)
 
 @q("q_ivfpq_rerank")

@@ -80,6 +80,60 @@ def doc_jaccard_pairs(
     )
 
 
+def walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized deterministic 4-hop hash-guided walk corpus over the
+    supplier↔customer trade graph (operators/graph.hash_guided_walks,
+    seeds = suppliers 1-5): 25 rows built by 4 iterative frontier joins —
+    the construction, not the data, is the cost, and q_random_walk +
+    q_skipgram_pairs both need the identical corpus. Keyed-md5 next-hop
+    choice is partition-invariant, so the collected rows are the exact
+    distributed result."""
+    from fortune_500_financial_insights_pipeline_spark.operators.graph import (
+        hash_guided_walks,
+    )
+
+    def build():
+        li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
+        o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        edges = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .select(
+                F.col("l_suppkey").cast("long").alias("id_a"),
+                (F.lit(1000000) + F.col("o_custkey")).cast("long").alias("id_b"),
+            )
+            .distinct()
+        )
+        seeds = (
+            load_table(spark, sf_dir, "supplier")
+            .where(F.col("s_suppkey") <= 5)
+            .select(F.col("s_suppkey").cast("long").alias("id"))
+        )
+        out = hash_guided_walks(edges, seeds, steps=4)
+        return [(r["walk_id"], r["step"], r["node"]) for r in out.collect()]
+
+    rows = _memo_trained(("walk_corpus_4", sf_dir), build)
+    return spark.createDataFrame(rows, "walk_id long, step int, node long")
+
+
+def bpe_merges_3(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """Memoized corpus-trained 3-merge BPE table over `documents`
+    (operators/bpe.bpe_train, sequential batch_size=1 — the
+    oracle-replayed form): (step, lhs, rhs, pair_count) rows. Three keys
+    (q_bpe_train, q_bpe_segment, q_tokenizer_fertility) train the
+    identical deterministic model per process; the table is merge-count
+    sized."""
+    from fortune_500_financial_insights_pipeline_spark.operators.bpe import bpe_train
+
+    def build():
+        d = load_table(spark, sf_dir, "documents")
+        return [
+            (r["step"], r["lhs"], r["rhs"], r["pair_count"])
+            for r in bpe_train(d, n_merges=3).collect()
+        ]
+
+    return _memo_trained(("bpe_merges_3", sf_dir), build)
+
+
 def doc_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memoized 16-hash/4-band portable-MinHash candidate list over
     `documents` with exact verified jac (min_jaccard=0.0 — i.e. EVERY

@@ -1026,25 +1026,11 @@ def q_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     walks from the seed suppliers with the next hop chosen by keyed-md5
     argmin — graph-to-sequence training-data generation that replays
     identically on any partitioning, so the oracle can follow every
-    hop."""
-    from fortune_500_financial_insights_pipeline_spark.operators.graph import hash_guided_walks
+    hop. Corpus comes from the per-process memo (_core.walk_corpus,
+    shared with q_skipgram_pairs)."""
+    from fortune_500_financial_insights_pipeline_spark.queries._core import walk_corpus
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    edges = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
-            F.col("l_suppkey").cast("long").alias("id_a"),
-            (F.lit(1000000) + F.col("o_custkey")).cast("long").alias("id_b"),
-        )
-        .distinct()
-    )
-    seeds = (
-        load_table(spark, sf_dir, "supplier")
-        .where(F.col("s_suppkey") <= 5)
-        .select(F.col("s_suppkey").cast("long").alias("id"))
-    )
-    return hash_guided_walks(edges, seeds, steps=4).orderBy("walk_id", "step")
+    return walk_corpus(spark, sf_dir).orderBy("walk_id", "step")
 
 @q("q_fd_audit")
 def q_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1101,14 +1087,13 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     track (a high-fertility language pays more sequence length for the
     same text, so it's systematically under-trained at fixed token
     budgets). Composes bpe_train → bpe_segment → per-lang ratio of exact
-    token counts."""
-    from fortune_500_financial_insights_pipeline_spark.operators.bpe import (
-        bpe_segment,
-        bpe_train,
-    )
+    token counts. Merges come from the per-process model memo
+    (_core.bpe_merges_3)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.bpe import bpe_segment
+    from fortune_500_financial_insights_pipeline_spark.queries._core import bpe_merges_3
 
     d = load_table(spark, sf_dir, "documents")
-    merges = [(r["lhs"], r["rhs"]) for r in bpe_train(d, n_merges=3).collect()]
+    merges = [(lhs, rhs) for _, lhs, rhs, _ in bpe_merges_3(spark, sf_dir)]
     bpe_per_doc = (
         bpe_segment(d, merges)
         .groupBy("doc_id")

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import random
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -72,3 +73,28 @@ def test_hits_local_twin_bit_equal(spark):
     }
     assert fast == slow
     assert max(v for (role, _), v in fast.items() if role == "hub") == 1.0
+
+
+@pytest.mark.parametrize("seed", [2, 13, 29, 47])
+def test_cc_three_way_equivalence_random_graphs(spark, seed):
+    """union-find local finish == distributed min-label propagation ==
+    large-star/small-star, on random graphs WITH self-loops and multiple
+    components — the full interchangeability contract all three
+    implementations now share."""
+    from fortune_500_financial_insights_pipeline_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rnd = random.Random(seed)
+    n = rnd.randrange(20, 60)
+    edges = [(rnd.randrange(n), rnd.randrange(n)) for _ in range(n + 10)]
+    edges.append((n + 5, n + 5))  # isolated self-loop vertex
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    local = {r.id: r.comp for r in connected_components(df).collect()}
+    prop = {
+        r.id: r.comp
+        for r in connected_components(df, max_iter=80, local_finish_edges=0).collect()
+    }
+    star = {r.id: r.comp for r in connected_components_star(df).collect()}
+    assert local == prop == star
