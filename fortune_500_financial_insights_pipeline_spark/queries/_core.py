@@ -42,6 +42,13 @@ def _memo_trained(key: tuple, build: Callable[[], object]):
     return _TRAINED_MEMO[key]
 
 
+# Pair-list memo ceiling: above this many rows the memo is SKIPPED and the
+# distributed frame returned as-is — a degenerate corpus (boilerplate
+# floods) can make near-dup pair counts quadratic, and a memo must never
+# turn that into unbounded driver memory. 2M rows ≈ tens of MB collected.
+_PAIR_MEMO_CAP = 2_000_000
+
+
 def doc_jaccard_pairs(
     spark: SparkSession, sf_dir: str, ngram: int, floor: float
 ) -> DataFrame:
@@ -63,20 +70,21 @@ def doc_jaccard_pairs(
     )
     from fortune_500_financial_insights_pipeline_spark.operators.text import word_ngrams
 
-    def build():
+    key = ("doc_jacc_pairs", sf_dir, ngram, floor)
+    if key not in _TRAINED_MEMO:
         d = load_table(spark, sf_dir, "documents")
         pairs = jaccard_pairs_exact(
             d.select("doc_id", word_ngrams(F.col("text"), ngram).alias("grams")),
             threshold=floor,
             return_counts=True,
-        )
-        return [
+        ).localCheckpoint(eager=False)
+        if pairs.count() > _PAIR_MEMO_CAP:
+            return pairs  # degenerate corpus: stay distributed, skip the memo
+        _TRAINED_MEMO[key] = [
             (r["id_a"], r["id_b"], r["n_i"], r["n_u"]) for r in pairs.collect()
         ]
-
-    rows = _memo_trained(("doc_jacc_pairs", sf_dir, ngram, floor), build)
     return spark.createDataFrame(
-        rows, "id_a long, id_b long, n_i long, n_u long"
+        _TRAINED_MEMO[key], "id_a long, id_b long, n_i long, n_u long"
     )
 
 
@@ -144,16 +152,21 @@ def doc_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_neardup_pairs_portable,
     )
 
-    def build():
+    key = ("doc_lsh_cand_16_4", sf_dir)
+    if key not in _TRAINED_MEMO:
         d = load_table(spark, sf_dir, "documents")
         pairs = minhash_neardup_pairs_portable(
             d, id_col="doc_id", text_col="text",
             n_hashes=16, bands=4, min_jaccard=0.0,
-        )
-        return [(r["id_a"], r["id_b"], r["jac"]) for r in pairs.collect()]
-
-    rows = _memo_trained(("doc_lsh_cand_16_4", sf_dir), build)
-    return spark.createDataFrame(rows, "id_a long, id_b long, jac double")
+        ).localCheckpoint(eager=False)
+        if pairs.count() > _PAIR_MEMO_CAP:
+            return pairs  # degenerate corpus: stay distributed, skip the memo
+        _TRAINED_MEMO[key] = [
+            (r["id_a"], r["id_b"], r["jac"]) for r in pairs.collect()
+        ]
+    return spark.createDataFrame(
+        _TRAINED_MEMO[key], "id_a long, id_b long, jac double"
+    )
 
 def _qvec_probe(emb: DataFrame, centroids, n_probe: int = 2):
     """(query vector, probed cells) for vec_id=0 in ONE head() job —
