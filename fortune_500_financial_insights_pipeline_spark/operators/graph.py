@@ -25,15 +25,13 @@ from pyspark.sql import types as T
 from pyspark.sql import Window as W
 
 
-def _cc_local_union_find(e: DataFrame) -> DataFrame:
-    """Bounded driver-side finish: union-find with union-by-min over a
-    collected edge list. Because every union keeps the SMALLER root as
-    the tree root, the root of each tree is exactly the minimum vertex id
-    of its component — the same label the distributed propagation
-    converges to, so the two paths are interchangeable (pinned by test).
-    Memory is bounded by the caller's edge-count threshold (two ids per
-    edge), the same class as the repo's other bounded collect sites."""
-    rows = e.collect()
+def union_find_min_labels(pairs) -> dict:
+    """Pure union-find with union-by-min over an iterable of (u, v)
+    pairs: {vertex: min reachable vertex id}. Because every union keeps
+    the SMALLER root as the tree root, the root of each tree is exactly
+    the minimum vertex id of its component — the same label min-label
+    propagation converges to. Separated from the DataFrame wrapper so the
+    invariant is property-testable without a session."""
     parent: dict = {}
 
     def find(x):
@@ -44,20 +42,27 @@ def _cc_local_union_find(e: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for r in rows:
-        u, v = r[0], r[1]
+    for u, v in pairs:
         ru, rv = find(u), find(v)
         parent.setdefault(ru, ru)
         parent.setdefault(rv, rv)
         if ru != rv:
             lo, hi = (ru, rv) if ru < rv else (rv, ru)
             parent[hi] = lo
-    labels = [(x, find(x)) for x in parent]
+    return {x: find(x) for x in parent}
+
+
+def _cc_local_union_find(e: DataFrame) -> DataFrame:
+    """Bounded driver-side finish over a collected edge list (see
+    union_find_min_labels for the labeling invariant). Memory is bounded
+    by the caller's edge-count threshold (two ids per edge), the same
+    class as the repo's other bounded collect sites."""
+    labels = union_find_min_labels((r[0], r[1]) for r in e.collect())
     id_type = e.schema[0].dataType
     schema = T.StructType(
         [T.StructField("id", id_type), T.StructField("comp", id_type)]
     )
-    return e.sparkSession.createDataFrame(labels, schema)
+    return e.sparkSession.createDataFrame(sorted(labels.items()), schema)
 
 
 def connected_components(
