@@ -75,16 +75,6 @@ def bucket_pairs(
     return out.select(*cols).dropDuplicates(["id_a", "id_b"])
 
 
-def minhash_signature(grams: Column, n_hashes: int) -> Column:
-    """Array of n minhash values: min over shingles of xxhash64(shingle, seed)."""
-    return F.array(
-        *[
-            F.array_min(F.transform(grams, lambda g: F.xxhash64(g, F.lit(seed))))
-            for seed in range(n_hashes)
-        ]
-    )
-
-
 def minhash_neardup_pairs(
     df: DataFrame,
     id_col: str,

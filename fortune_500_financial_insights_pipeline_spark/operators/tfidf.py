@@ -124,15 +124,74 @@ def tfidf_from_tf(tf: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def cosine_prep(tfidf_df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
-    """L2-normalize tfidf weights per document → (doc_id, term, weight);
-    dot products of these are cosine similarities (document-vector form
-    for a sparse similarity join on `term`)."""
-    norm = tfidf_df.groupBy(id_col).agg(
-        F.sqrt(F.sum(F.col("tfidf") * F.col("tfidf"))).alias("l2")
+def sparse_cosine_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_sim: float = 0.3,
+    max_df_ratio: float = 0.5,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Sparse TF-IDF cosine similarity pairs: (id_a, id_b, cos_sim) with
+    id_a < id_b and cos_sim >= ``min_sim`` — the LEXICAL-vector member of
+    the near-dup family (exact n-gram Jaccard catches verbatim overlap,
+    dense embedding cosine catches semantics; TF-IDF cosine catches
+    shared *vocabulary emphasis*, the classic IR document similarity).
+
+    Deterministic by the repo's fixed-point discipline: round-6 tfidf
+    weights scale to 1e4 fixed-point longs, so per-document norms and
+    per-pair dot products are EXACT integer sums under any partitioning
+    (headroom: wf <= ~6e6 per term keeps a 300-term document's moment sum
+    below 1e16 << 2^63; the final long→double casts round half-even
+    identically in every IEEE engine). The cosine itself is one
+    fixed-text double expression, rounded to 6dp, and the threshold
+    filter runs on the ROUNDED value so both engines keep identical
+    pair sets.
+
+    Scale shape: candidates meet on `term` — an equi-join whose fan-out
+    is bounded by two guards: zero-weight terms drop out (a term in every
+    document has idf 0), and ``max_df_ratio`` drops near-ubiquitous terms
+    outright (df > ratio·N — standard IR stopword cut; such terms carry
+    almost no tfidf weight but would each fan out O(df²) join rows). No
+    O(n²) path: the join is vocabulary-keyed, pairs sharing several terms
+    collapse in one (id_a, id_b) partial-aggregated groupBy."""
+    w = tfidf(docs, id_col=id_col, text_col=text_col)
+    n = docs.select(F.count("*").alias("n_docs"))
+    dfreq = w.groupBy("term").agg(F.count("*").alias("df"))
+    wf = (
+        w.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .where(F.col("df") <= max_df_ratio * F.col("n_docs"))
+        .select(
+            F.col(id_col),
+            "term",
+            F.round(F.col("tfidf") * scale).cast("long").alias("wf"),
+        )
+        .where(F.col("wf") != 0)
+        .localCheckpoint(eager=False)  # three consumers: norms + both join legs
     )
-    return tfidf_df.join(norm, id_col).select(
-        id_col, "term", (F.col("tfidf") / F.col("l2")).alias("weight")
+    norms = wf.groupBy(id_col).agg(F.sum(F.col("wf") * F.col("wf")).alias("n2"))
+    a = wf.select(F.col(id_col).alias("id_a"), "term", F.col("wf").alias("wa"))
+    b = wf.select(F.col(id_col).alias("id_b"), "term", F.col("wf").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("n2").alias("n2a"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("n2").alias("n2b"))
+    cos = F.round(
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("n2a").cast("double")) * F.sqrt(F.col("n2b").cast("double"))),
+        6,
+    )
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= min_sim)
     )
 
 

@@ -780,3 +780,45 @@ SELECT (SELECT COUNT(DISTINCT doc_id) FROM documents) AS n_corpus,
                        / (SELECT COUNT(*) FROM dropped)
                   ELSE 0.0 END, 6) AS false_drop_rate
 """
+
+
+# Round 4: sparse TF-IDF cosine pairs — the exact fixed-point replay of
+# operators/tfidf.sparse_cosine_pairs (1e4-scaled round-6 tfidf weights,
+# integer norms/dots, fixed-text cosine expression, threshold on the
+# ROUNDED value).
+ORACLES["q_sparse_cosine_pairs"] = """
+WITH tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> ''
+  GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(ROUND(ROUND(tf.tf * LN((1.0 + n.n_docs) / (1.0 + dfreq.df)), 6) * 10000) AS BIGINT) AS wf
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+  WHERE dfreq.df <= 0.5 * n.n_docs
+), wnz AS (
+  SELECT * FROM w WHERE wf <> 0
+), norms AS (
+  SELECT doc_id, SUM(wf * wf) AS n2 FROM wnz GROUP BY doc_id
+), dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.wf * b.wf) AS dot
+  FROM wnz a JOIN wnz b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, cos_sim
+FROM (
+  SELECT d.id_a, d.id_b,
+         ROUND(CAST(d.dot AS DOUBLE)
+               / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))), 6)
+           AS cos_sim
+  FROM dots d
+  JOIN norms na ON na.doc_id = d.id_a
+  JOIN norms nb ON nb.doc_id = d.id_b
+)
+WHERE cos_sim >= 0.3
+ORDER BY id_a, id_b
+"""

@@ -51,3 +51,21 @@ def q_neardup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_false_drops",
         "false_drop_rate",
     )
+
+
+@q("q_sparse_cosine_pairs")
+def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine near-dup pairs over documents
+    (operators/tfidf.sparse_cosine_pairs, min_sim=0.3): the
+    LEXICAL-vector member of the dedup family — exact n-gram Jaccard
+    catches verbatim overlap, dense embedding cosine catches semantics,
+    TF-IDF cosine catches shared vocabulary emphasis. Vocabulary-keyed
+    candidate join with zero-weight and max-df skew guards; 1e4
+    fixed-point norms/dots so the oracle replays every integer."""
+    from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+    from fortune_500_financial_insights_pipeline_spark.operators.tfidf import (
+        sparse_cosine_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return sparse_cosine_pairs(d, min_sim=0.3).orderBy("id_a", "id_b")

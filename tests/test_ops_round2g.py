@@ -103,3 +103,34 @@ def test_rp_projection_is_exact_integer_and_finds_duplicates(spark):
     got = rp_knn(df, query_id=0, dim=4, m=8, k=3).collect()
     assert [(r["vec_id"], r["pdist"]) for r in got[:2]] == [(0, 0), (1, 0)]
     assert got[2]["vec_id"] == 2 and got[2]["pdist"] > 0
+
+
+def test_sparse_cosine_pairs_planted(spark):
+    """Two vocabulary-similar docs score high; an unrelated doc pairs with
+    neither; ubiquitous terms (idf 0) and near-ubiquitous terms (max_df
+    cut) never create candidates on their own."""
+    from fortune_500_financial_insights_pipeline_spark.operators.tfidf import (
+        sparse_cosine_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta alpha beta"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "zeta eta theta iota kappa"),
+            (4, "alpha zeta unrelatedterm anotherone somethingelse"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in sparse_cosine_pairs(docs, min_sim=0.3).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] > 0.5
+    assert all(3 not in pair or pair == (1, 2) for pair in got), got
+    # partition-invariance of the fixed-point pipeline
+    got2 = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in sparse_cosine_pairs(docs.repartition(7), min_sim=0.3).collect()
+    }
+    assert got == got2
