@@ -571,3 +571,13 @@ def test_star_cc_round_count_is_logarithmic(spark):
     out = connected_components_star(chain, max_iter=20, stats=stats)
     assert out.select("comp").distinct().count() == 1
     assert stats["rounds"] <= 14, stats
+
+
+def test_sparse_cosine_candidates_are_keyed_joins(spark, sf_dir):
+    """q_sparse_cosine_pairs (round 4): candidate generation must be a
+    vocabulary-keyed equi-join — never a cartesian/nested-loop document
+    pairing — and the norm re-attachments must be id-keyed joins."""
+    plan = plan_of(spark, sf_dir, "q_sparse_cosine_pairs")
+    assert "CartesianProduct" not in plan
+    joins = plan.count("HashJoin") + plan.count("SortMergeJoin")
+    assert joins >= 3, plan  # term join + two norm joins at minimum
