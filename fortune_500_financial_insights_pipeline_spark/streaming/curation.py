@@ -21,6 +21,14 @@ So the streaming funnel is: content-hash dedup → fixed-threshold quality
 gate → PII redaction → chunk explosion. Everything after the dedup is
 append-mode compatible and shuffle-free; the dedup is the only stateful
 operator and its state key (md5 digest) is uniformly distributed — no skew.
+
+Near-dup suppression on the stream (minhash_dedup.minhash_dedup_stream)
+is recall-oriented by construction — bucket collisions decide, chains
+over-suppress in the safe direction. The funnel's MEASUREMENT loop for
+that cost is minhash_dedup.reconcile_neardup_report (oracle-certified as
+q_neardup_reconcile): run it periodically over the stream's input archive
+and emitted sink to get the false-drop rate and Bloom saturation BEFORE
+filter exhaustion shows up as corpus loss.
 """
 
 from __future__ import annotations
