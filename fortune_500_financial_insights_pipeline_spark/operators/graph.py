@@ -55,9 +55,12 @@ def union_find_min_labels(pairs) -> dict:
 def _cc_local_union_find(e: DataFrame) -> DataFrame:
     """Bounded driver-side finish over a collected edge list (see
     union_find_min_labels for the labeling invariant). Memory is bounded
-    by the caller's edge-count threshold (two ids per edge), the same
-    class as the repo's other bounded collect sites."""
-    labels = union_find_min_labels((r[0], r[1]) for r in e.collect())
+    by the caller's edge-count threshold (two ids per edge, transferred
+    via Arrow as primitive columns — not Row objects), the same class as
+    the repo's other bounded collect sites."""
+    labels = union_find_min_labels(
+        (u, v) for u, v in e.toPandas().values.tolist()
+    )
     id_type = e.schema[0].dataType
     schema = T.StructType(
         [T.StructField("id", id_type), T.StructField("comp", id_type)]

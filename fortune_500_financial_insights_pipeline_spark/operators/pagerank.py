@@ -51,15 +51,19 @@ LOCAL_EDGE_THRESHOLD = 500_000
 
 
 def _collect_edges_if_small(e: DataFrame, threshold: int):
-    """One bounded size probe on a checkpointed frame: returns the
-    collected rows when the graph is under ``threshold`` edges, else
-    None. The count() reuses the checkpoint blocks the loop needs
-    anyway, so the probe costs one cheap job, not a recompute."""
+    """One bounded size probe on a checkpointed frame: returns the edge
+    list as plain-python (u, v) pairs when the graph is under
+    ``threshold`` edges, else None. The count() reuses the checkpoint
+    blocks the loop needs anyway, so the probe costs one cheap job; the
+    transfer itself goes through Arrow (toPandas) — two primitive
+    columns, ~16 bytes/edge — instead of driver-side Row objects, which
+    cost ~50× that and would make the threshold a memory hazard rather
+    than a footnote."""
     if not threshold:
         return None
     if e.count() > threshold:
         return None
-    return e.collect()
+    return e.toPandas().values.tolist()
 
 
 def _rank_recurrence_local(
