@@ -168,10 +168,10 @@ def main() -> None:
     failed: dict[str, str] = {}
     # heavy keys with no DuckDB baseline (excluded from the vs_baseline
     # ratio) get ONE timed pass: q_jaccard_clusters alone is ~28 s/pass
-    # at sf0.1. No separate warmup pass either — with min-of-2 interleaved
-    # passes, pass 1 absorbs JIT/codegen and pass 2 supplies the
-    # steady-state minimum, so a dedicated warmup only burned ~1/3 of the
-    # wall clock against the driver's timeout budget.
+    # at sf0.1. No separate warmup pass either — with interleaved passes,
+    # pass 1 absorbs JIT/codegen and the later passes supply the
+    # steady-state minimum, so a dedicated warmup only burned wall clock
+    # against the driver's timeout budget.
     single_pass = {"q_jaccard_clusters", "q_minhash_neardup"}
 
     timings: dict[str, float] = {}
@@ -186,9 +186,16 @@ def main() -> None:
     runnable = [
         n for n in HEADLINE if n in QUERIES and n not in single_pass
     ]
-    # 2 interleaved passes: the min-of-2 still discards a single random
-    # stall; pass 1 doubles as the JIT warmup
-    for _ in range(2):
+    # 3 interleaved passes (raised from 2 in round 5): pass 1 doubles as
+    # the JIT warmup, and the round-5 instrumented A/B (tools/bench_ab.py,
+    # BASELINE.md "Round-5 ratio-drift root cause") caught a host-level
+    # ~80 s stall landing INSIDE one pass across six consecutive keys —
+    # with only two passes, warmup poisons pass 1 and a stall poisons
+    # pass 2, leaving no clean sample (that is the whole r4 1.157→1.258
+    # "drift": same code measured 1.07–1.12 steady-state, JVM GC ruled
+    # out at ~0.5 s/pass). Min-of-3 always has a stall-free, warm pass;
+    # the extra pass costs ~60 s against a ~10-minute budget.
+    for _ in range(3):
         for name in runnable:
             if name in failed:
                 continue

@@ -61,7 +61,12 @@ def _cc_local_union_find(e: DataFrame) -> DataFrame:
     labels = union_find_min_labels(
         (u, v) for u, v in e.toPandas().values.tolist()
     )
-    id_type = e.schema[0].dataType
+    # id type must match what the distributed path would produce: its
+    # first step unions e with the column-swapped frame, which widens
+    # mixed src/dst types (int ∪ long → long). Take the type from the
+    # same (lazy, zero-job) union instead of blindly trusting column 0.
+    swapped = e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    id_type = e.unionByName(swapped).schema[0].dataType
     schema = T.StructType(
         [T.StructField("id", id_type), T.StructField("comp", id_type)]
     )
@@ -101,6 +106,10 @@ def connected_components(
     diameter-independent)."""
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        # a NULL endpoint is not a vertex: dropped identically on BOTH
+        # paths, so the local union-find never sees pandas' NaN-coerced
+        # float ids and the distributed loop never carries a null label
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
         .distinct()
         .localCheckpoint()
     )

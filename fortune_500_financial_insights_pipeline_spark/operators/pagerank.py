@@ -81,6 +81,12 @@ def _rank_recurrence_local(
     seeds only); without, uniform pagerank."""
     import numpy as np
 
+    if not rows:  # degenerate empty graph: match the distributed loop's
+        # empty (node, rank_fp) frame instead of crashing in numpy
+        schema = T.StructType(
+            [T.StructField("node", node_type), T.StructField("rank_fp", T.LongType())]
+        )
+        return spark.createDataFrame([], schema)
     srcs = [r[0] for r in rows]
     dsts = [r[1] for r in rows]
     nodes = sorted(set(srcs) | set(dsts))
@@ -125,6 +131,17 @@ def _hits_local(spark, rows, node_type, max_iter: int) -> DataFrame:
     from decimal import ROUND_HALF_UP, Decimal
 
     import numpy as np
+
+    if not rows:  # empty edge list: araw.max() would raise on a zero-size
+        # array; the distributed loop returns an empty frame, so match it
+        schema = T.StructType(
+            [
+                T.StructField("role", T.StringType(), False),
+                T.StructField("node", node_type),
+                T.StructField("score", T.DoubleType()),
+            ]
+        )
+        return spark.createDataFrame([], schema)
 
     def rint(x: float) -> int:  # Spark ROUND(double) -> long
         return int(Decimal(repr(x)).quantize(Decimal("1"), rounding=ROUND_HALF_UP))

@@ -822,3 +822,15 @@ FROM (
 WHERE cos_sim >= 0.3
 ORDER BY id_a, id_b
 """
+
+
+# round-5 entries -----------------------------------------------------------
+
+from fortune_500_financial_insights_pipeline_spark.oracles._core import (  # noqa: E402
+    _pagerank_oracle,
+)
+
+# q_pagerank_dist: the same unrolled integer recurrence as q_pagerank but
+# 3 rounds — the Spark side runs with local_threshold_edges=0, so this row
+# hashes the DISTRIBUTED shuffle loop, not the driver-side twin.
+ORACLES["q_pagerank_dist"] = _pagerank_oracle(iters=3)

@@ -45,7 +45,10 @@ def _memo_trained(key: tuple, build: Callable[[], object]):
 # Pair-list memo ceiling: above this many rows the memo is SKIPPED and the
 # distributed frame returned as-is — a degenerate corpus (boilerplate
 # floods) can make near-dup pair counts quadratic, and a memo must never
-# turn that into unbounded driver memory. 2M rows ≈ tens of MB collected.
+# turn that into unbounded driver memory. Transfers go through Arrow
+# (toPandas) and the memo keeps the numpy-backed pandas frame, so the
+# footprint at the cap really is primitive-column sized (2M rows × four
+# int64 ≈ 64 MB) — not the ~50×-larger Row-object/tuple form.
 _PAIR_MEMO_CAP = 2_000_000
 
 
@@ -80,9 +83,7 @@ def doc_jaccard_pairs(
         ).localCheckpoint(eager=False)
         if pairs.count() > _PAIR_MEMO_CAP:
             return pairs  # degenerate corpus: stay distributed, skip the memo
-        _TRAINED_MEMO[key] = [
-            (r["id_a"], r["id_b"], r["n_i"], r["n_u"]) for r in pairs.collect()
-        ]
+        _TRAINED_MEMO[key] = pairs.toPandas()  # Arrow: 4 primitive columns
     return spark.createDataFrame(
         _TRAINED_MEMO[key], "id_a long, id_b long, n_i long, n_u long"
     )
@@ -161,9 +162,7 @@ def doc_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=False)
         if pairs.count() > _PAIR_MEMO_CAP:
             return pairs  # degenerate corpus: stay distributed, skip the memo
-        _TRAINED_MEMO[key] = [
-            (r["id_a"], r["id_b"], r["jac"]) for r in pairs.collect()
-        ]
+        _TRAINED_MEMO[key] = pairs.toPandas()  # Arrow: 3 primitive columns
     return spark.createDataFrame(
         _TRAINED_MEMO[key], "id_a long, id_b long, jac double"
     )

@@ -328,13 +328,17 @@ def wap_publish(
             break
         except FileExistsError:
             continue
-    # the claim created the (empty) dir, so write with overwrite INTO the
-    # directory this process exclusively owns — no other publisher can
-    # hold the same version. partition_by / sort_within let pipelines keep
-    # their physical layout (hive partitions, clustered sort) while still
-    # getting the stage->audit->flip discipline.
+    # the claim created the (empty) dir, so write with APPEND into the
+    # directory this process exclusively owns. mode("overwrite") would
+    # delete-and-recreate the claim dir, and during that delete window a
+    # racing publisher could re-list, see v=n gone, and mkdir the same
+    # version — two publishers sharing one staging dir. Appending into an
+    # empty directory produces identical output while the claim dir
+    # stays alive for the whole write. partition_by / sort_within let
+    # pipelines keep their physical layout (hive partitions, clustered
+    # sort) while still getting the stage->audit->flip discipline.
     out = df.sortWithinPartitions(*sort_within) if sort_within else df
-    writer = out.write.mode("overwrite")
+    writer = out.write.mode("append")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(stage)

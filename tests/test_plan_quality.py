@@ -581,3 +581,26 @@ def test_sparse_cosine_candidates_are_keyed_joins(spark, sf_dir):
     assert "CartesianProduct" not in plan
     joins = plan.count("HashJoin") + plan.count("SortMergeJoin")
     assert joins >= 3, plan  # term join + two norm joins at minimum
+
+
+def test_pagerank_dist_runs_the_shuffle_loop(spark, sf_dir, monkeypatch):
+    """q_pagerank_dist exists to keep a driver hash row on the DISTRIBUTED
+    recurrence (q_pagerank certifies the driver-side twin at fixture
+    scale). Both paths end behind a checkpoint scan, so plan strings can't
+    tell them apart — spy on the twin instead: the dist key must never
+    call _rank_recurrence_local, and q_pagerank at fixture scale must
+    (the pair keeps both paths exercised)."""
+    from fortune_500_financial_insights_pipeline_spark.operators import pagerank as pr
+
+    calls: list[str] = []
+    real = pr._rank_recurrence_local
+
+    def spy(*a, **kw):
+        calls.append("local")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(pr, "_rank_recurrence_local", spy)
+    QUERIES["q_pagerank_dist"](spark, sf_dir).collect()
+    assert calls == [], "dist key took the driver-side twin"
+    QUERIES["q_pagerank"](spark, sf_dir).collect()
+    assert calls == ["local"], "fixture-scale q_pagerank should engage the twin"

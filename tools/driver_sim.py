@@ -54,6 +54,19 @@ def main() -> int:
     spark = get_spark(
         app_name="driver-sim", master=f"local[{args.cpus}]", shuffle_partitions=args.cpus
     )
+    # Session warmup, recorded SEPARATELY: the first Spark job of any JVM
+    # pays ~3-8 s of JIT + codegen + parquet-footer caching that belongs to
+    # the session, not to whichever key happens to run first (r4's committed
+    # record attributed 9.66 s to q_pagerank that way). One tiny
+    # scan+shuffle+collect exercises the paths, and the cost lands on its
+    # own "warmup_s" line so per-key numbers are comparable across runs.
+    t_w = time.monotonic()
+    spark.read.parquet(os.path.join(SF_DIR, "nation.parquet")).groupBy(
+        "n_regionkey"
+    ).count().collect()
+    warmup_s = round(time.monotonic() - t_w, 2)
+    print(f"[warmup] {warmup_s}s (session JIT/codegen, not attributed to any key)",
+          flush=True)
     results: dict[str, dict] = {}
     t_all = time.monotonic()
     for i, k in enumerate(keys):
@@ -109,7 +122,11 @@ def main() -> int:
         pass
     merged.update(results)
     with open(out, "w") as f:
-        json.dump({"total_s": round(total, 1), "results": merged}, f, indent=1)
+        json.dump(
+            {"total_s": round(total, 1), "warmup_s": warmup_s, "results": merged},
+            f,
+            indent=1,
+        )
     return 1 if fails else 0
 
 
