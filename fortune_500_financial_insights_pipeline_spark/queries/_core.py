@@ -198,3 +198,21 @@ def _scored_labeled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", (F.col("lang") == "en").cast("long").alias("label")),
         "doc_id",
     )
+
+
+# Canonical shared-memo builds, in one place so tools/driver_sim.py can
+# pre-pay them as explicitly-recorded "memo build" lines (the same
+# bookkeeping split as its session-warmup line): the first consumer key of
+# a build otherwise absorbs the whole deterministic construction in its
+# per-key time, which mis-ranks the cost ordering the sim exists to feed.
+# Each entry is (name, thunk(spark, sf_dir)) running the build to
+# completion; all are memoized above, so consumer keys then pay only their
+# marginal work. Production analogue: shared artifacts are built by a
+# scheduled job, not billed to whichever query arrives first.
+MEMO_BUILDS: "list[tuple[str, Callable[[SparkSession, str], object]]]" = [
+    ("doc_jaccard_pairs(3,0.3)", lambda s, d: doc_jaccard_pairs(s, d, 3, 0.3).count()),
+    ("doc_jaccard_pairs(2,0.8)", lambda s, d: doc_jaccard_pairs(s, d, 2, 0.8).count()),
+    ("doc_lsh_candidates", lambda s, d: doc_lsh_candidates(s, d).count()),
+    ("bpe_merges_3", lambda s, d: bpe_merges_3(s, d)),
+    ("walk_corpus", lambda s, d: walk_corpus(s, d).count()),
+]

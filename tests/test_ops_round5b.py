@@ -100,3 +100,43 @@ def test_pair_memo_cap_falls_back_to_distributed(spark, monkeypatch):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "LocalTableScan" not in plan
     assert ("doc_jacc_pairs", "/root/testdata/sf0.001", 3, 0.3) not in _core._TRAINED_MEMO
+
+
+def test_jaccard_pairs_prefix_unique_token_cut_is_lossless(spark):
+    """Round-5 setjoin change: prefix rows whose token appears exactly once
+    in the corpus are dropped before the self-join (they cannot match).
+    Verify against the brute-force O(n²) definition on a randomized corpus
+    engineered to stress the cut: heavy unique-token prefixes, shared
+    rare tokens at varying positions, identical docs, and a doc whose
+    every token is corpus-unique."""
+    import itertools
+    import random
+
+    from fortune_500_financial_insights_pipeline_spark.operators.setjoin import (
+        jaccard_pairs_exact,
+    )
+
+    rnd = random.Random(11)
+    shared = [f"s{i}" for i in range(12)]
+    docs = []
+    for i in range(40):
+        uniq = [f"u{i}_{j}" for j in range(rnd.randrange(1, 8))]
+        take = rnd.sample(shared, rnd.randrange(0, 9))
+        toks = sorted(set(uniq + take))
+        rnd.shuffle(toks)
+        docs.append((i, toks))
+    docs.append((100, ["s0", "s1", "s2"]))
+    docs.append((101, ["s0", "s1", "s2"]))  # identical pair
+    docs.append((102, ["only", "unique", "tokens"]))  # joins to nothing
+    df = spark.createDataFrame(docs, "doc_id long, grams array<string>")
+    for t in (0.3, 0.6, 0.8):
+        got = {
+            (r.id_a, r.id_b)
+            for r in jaccard_pairs_exact(df, "doc_id", "grams", t).collect()
+        }
+        want = set()
+        for (ia, ga), (ib, gb) in itertools.combinations(docs, 2):
+            a, b = set(ga), set(gb)
+            if len(a & b) / len(a | b) >= t:
+                want.add((min(ia, ib), max(ia, ib)))
+        assert got == want, (t, got ^ want)

@@ -31,6 +31,12 @@ def main() -> int:
     ap.add_argument("--only", type=str, default="")
     ap.add_argument("--all", action="store_true")
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    ap.add_argument(
+        "--prebuild-memos",
+        action="store_true",
+        help="pre-pay the shared memo builds as recorded lines (default on "
+        "with --all / default key selection, off for --only)",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
@@ -67,6 +73,22 @@ def main() -> int:
     warmup_s = round(time.monotonic() - t_w, 2)
     print(f"[warmup] {warmup_s}s (session JIT/codegen, not attributed to any key)",
           flush=True)
+    # Shared memo builds, also recorded as their own lines: deterministic
+    # artifacts (pair lists, BPE merges, the walk corpus) are built once
+    # per process and reused by whole key families — billing the build to
+    # whichever consumer key happens to run first mis-ranks the cost
+    # ordering this sim feeds (__spark_entry__ sorts unverified keys
+    # cheapest-first). Production analogue: artifact jobs are scheduled,
+    # not billed to the first query. Skipped for --only unless asked.
+    memo_builds: dict[str, float] = {}
+    if args.prebuild_memos or not args.only:
+        from fortune_500_financial_insights_pipeline_spark.queries._core import MEMO_BUILDS
+
+        for mname, thunk in MEMO_BUILDS:
+            t_m = time.monotonic()
+            thunk(spark, SF_DIR)
+            memo_builds[mname] = round(time.monotonic() - t_m, 2)
+            print(f"[memo] {mname} {memo_builds[mname]}s", flush=True)
     results: dict[str, dict] = {}
     t_all = time.monotonic()
     for i, k in enumerate(keys):
@@ -123,7 +145,12 @@ def main() -> int:
     merged.update(results)
     with open(out, "w") as f:
         json.dump(
-            {"total_s": round(total, 1), "warmup_s": warmup_s, "results": merged},
+            {
+                "total_s": round(total, 1),
+                "warmup_s": warmup_s,
+                "memo_builds_s": memo_builds,
+                "results": merged,
+            },
             f,
             indent=1,
         )
