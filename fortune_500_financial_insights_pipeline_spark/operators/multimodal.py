@@ -2,13 +2,21 @@
 with typed metadata (SURVEY.md §2.11).
 
 The Spark-side contract is real and tested — schema, Arrow batch shape,
-partition-preserving mapInPandas — while the actual media decode is stubbed:
-this container has no image/audio libraries, so ``decode_image`` raises
-NotImplementedError unless ``fake=True``, in which case a deterministic fake
-"decoder" derives metadata/features from the bytes alone. Swapping in a real
-decoder (PIL/torchaudio) changes only the inner function body; the Spark
-plumbing (mapInPandas over Arrow record batches, binary in / struct out) is
-exactly what production would run.
+partition-preserving mapInPandas. Decode status by format (round 5):
+
+* PNG pixels and WAV-PCM audio samples decode FOR REAL with no media
+  library — operators/media_codec.py implements the full public specs
+  (zlib-inflate + the five PNG scanline filters; RIFF chunk walk + PCM)
+  in stdlib+numpy, so ``decode_image`` on a PNG payload and
+  ``decode_audio`` on a WAV payload return actual pixels/samples in this
+  container, unconditionally tested.
+* JPEG stills and MP4/H.264 video frames still need a codec stack
+  (PIL/ffmpeg — absent here, installs disallowed): those paths keep the
+  live conditional-import seam and the deterministic ``fake=True`` stub.
+
+Swapping in PIL/ffmpeg changes only the inner function body; the Spark
+plumbing (mapInPandas over Arrow record batches, binary in / struct out)
+is exactly what production would run.
 """
 
 from __future__ import annotations
@@ -80,21 +88,132 @@ def _real_decode(media: bytes) -> tuple[int, int, list[float]]:
     return width, height, feature
 
 
+def _pure_decode(media: bytes) -> tuple[int, int, list[float]]:
+    """Real PNG decode with no media library (operators/media_codec):
+    pixels → integer BT.601 luma → mean over 8 vertical strips, /255 —
+    the same feature shape as the PIL path, with the luma formula pinned
+    by media_codec.png_luma's docstring (PIL's own "L" conversion may
+    round differently; this path DEFINES the no-PIL behavior)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.media_codec import (
+        png_decode,
+        png_luma,
+    )
+
+    img = png_decode(media)
+    height, width = img.shape[0], img.shape[1]
+    luma = png_luma(img)
+    strips = 8
+    feature = []
+    for s in range(strips):
+        x0 = s * width // strips
+        x1 = max(x0 + 1, (s + 1) * width // strips)
+        block = luma[:, x0:x1]
+        feature.append(float(block.mean()) / 255.0 if block.size else 0.0)
+    return width, height, feature
+
+
 def decode_image(media: bytes, fake: bool = False):
-    """Decode seam: ``fake=True`` is the deterministic stub; ``fake=False``
-    uses PIL when importable and raises NotImplementedError otherwise, so an
-    environment that grows PIL activates real decode with zero code change
-    (tests/test_multimodal_real.py exercises it conditionally)."""
+    """Decode seam: ``fake=True`` is the deterministic stub. ``fake=False``
+    prefers PIL when importable (every raster format); without PIL, PNG
+    payloads decode FOR REAL via the pure stdlib+numpy codec
+    (media_codec.png_decode — unconditionally tested in this container),
+    and only non-PNG formats raise NotImplementedError
+    (tests/test_multimodal_real.py exercises the PIL path conditionally)."""
     if fake:
         return _fake_decode(media)
     try:
         import PIL.Image  # noqa: F401
     except ImportError as exc:
+        from fortune_500_financial_insights_pipeline_spark.operators.media_codec import (
+            PNG_SIGNATURE,
+        )
+
+        if media[:8] == PNG_SIGNATURE:
+            return _pure_decode(media)
         raise NotImplementedError(
-            "real media decoding requires PIL, not present in this "
-            "container; pass fake=True for the deterministic stub"
+            "real decode of non-PNG stills requires PIL (absent in this "
+            "container); PNG decodes without it, or pass fake=True for "
+            "the deterministic stub"
         ) from exc
     return _real_decode(media)
+
+
+def decode_audio(media: bytes, fake: bool = False) -> tuple[int, int, "object"]:
+    """Audio decode seam: WAV-PCM payloads decode FOR REAL
+    (media_codec.wav_decode, stdlib+numpy) → (sample_rate, n_channels,
+    float64 samples in [-1, 1)). ``fake=True`` derives a deterministic
+    pseudo-signal from the payload hash (same shape) for non-WAV bytes
+    or shape-only tests; real non-WAV (mp3/aac) would need ffmpeg."""
+    if fake:
+        digest = hashlib.sha256(media).digest()
+        import numpy as np
+
+        rate = 8000
+        samples = (
+            np.frombuffer((digest * 32)[:1024], dtype=np.uint8).astype(np.float64)
+            - 128.0
+        ) / 128.0
+        return rate, 1, samples.reshape(-1, 1)
+    from fortune_500_financial_insights_pipeline_spark.operators.media_codec import (
+        wav_decode,
+    )
+
+    return wav_decode(media)
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id long, sample_rate int, n_channels int, n_frames long, "
+    "duration_s double, rms double, zero_cross_rate double, "
+    "energy_envelope array<double>"
+)
+
+
+def extract_audio_features(media_df: DataFrame, fake: bool = False) -> DataFrame:
+    """mapInPandas audio feature extraction over binary WAV payloads —
+    REAL sample decode by default (no audio library needed for PCM WAV):
+    duration, RMS, zero-crossing rate, and an 8-bin mean-|x| energy
+    envelope per document, computed on the decoded float samples
+    (channel-averaged). Arrow-batched, partition-preserving, binary in /
+    struct out — the audio twin of extract_features."""
+    import numpy as np
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "sample_rate": [], "n_channels": [],
+                "n_frames": [], "duration_s": [], "rms": [],
+                "zero_cross_rate": [], "energy_envelope": [],
+            }
+            for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+                rate, n_ch, samples = decode_audio(media, fake=fake)
+                mono = samples.mean(axis=1)
+                n = len(mono)
+                rms = float(np.sqrt((mono * mono).mean())) if n else 0.0
+                zcr = (
+                    float((np.signbit(mono[1:]) != np.signbit(mono[:-1])).mean())
+                    if n > 1
+                    else 0.0
+                )
+                bins = 8
+                env = [
+                    float(np.abs(mono[b * n // bins : max(b * n // bins + 1, (b + 1) * n // bins)]).mean())
+                    if n
+                    else 0.0
+                    for b in range(bins)
+                ]
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(n_ch)
+                out["n_frames"].append(n)
+                out["duration_s"].append(n / rate if rate else 0.0)
+                out["rms"].append(rms)
+                out["zero_cross_rate"].append(zcr)
+                out["energy_envelope"].append(env)
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "media").mapInPandas(
+        decode_batches, schema=AUDIO_FEATURE_SCHEMA
+    )
 
 
 def extract_features(media_df: DataFrame, fake: bool = True) -> DataFrame:
@@ -139,7 +258,12 @@ def sample_frames(media_df: DataFrame, fps: float = 1.0, duration_s: float = 4.0
             for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
                 for i in range(n_frames):
                     if not fake:
-                        raise NotImplementedError("real frame decode needs ffmpeg")
+                        # the one genuinely library-bound decode left:
+                        # MP4/H.264 entropy decoding is a codec stack, not
+                        # a spec-walk — PNG/WAV decode for real (media_codec)
+                        raise NotImplementedError(
+                            "real MP4/H.264 frame decode needs ffmpeg"
+                        )
                     frame = hashlib.sha256(media + i.to_bytes(4, "big")).digest()
                     out["doc_id"].append(doc_id)
                     out["frame_idx"].append(i)
@@ -194,19 +318,35 @@ def resize_images(media_df: DataFrame, target_w: int = 64, target_h: int = 64,
                    "resized": [], "n_bytes_out": []}
             for doc_id, mtype, media in zip(pdf["doc_id"], pdf["media_type"], pdf["media"]):
                 if not fake:
-                    # real path: PIL decode -> resample -> re-encode PNG;
-                    # raises NotImplementedError when PIL is absent so the
-                    # seam activates on environment upgrade, no code change
+                    # real path: PIL when importable (any raster format);
+                    # without PIL, PNG payloads resize FOR REAL via the
+                    # pure codec (decode -> nearest-neighbor -> re-encode)
                     try:
                         import io
 
                         from PIL import Image
+
+                        img = Image.open(io.BytesIO(media)).resize(
+                            (target_w, target_h)
+                        )
+                        buf = io.BytesIO()
+                        img.save(buf, format="PNG")
+                        bitmap = buf.getvalue()
                     except ImportError as exc:
-                        raise NotImplementedError("real resize needs PIL") from exc
-                    img = Image.open(io.BytesIO(media)).resize((target_w, target_h))
-                    buf = io.BytesIO()
-                    img.save(buf, format="PNG")
-                    bitmap = buf.getvalue()
+                        from fortune_500_financial_insights_pipeline_spark.operators.media_codec import (
+                            PNG_SIGNATURE,
+                            png_decode,
+                            png_encode,
+                            resize_nearest,
+                        )
+
+                        if media[:8] != PNG_SIGNATURE:
+                            raise NotImplementedError(
+                                "real resize of non-PNG stills needs PIL"
+                            ) from exc
+                        bitmap = png_encode(
+                            resize_nearest(png_decode(media), target_w, target_h)
+                        )
                 else:
                     n = target_w * target_h
                     seed = hashlib.sha256(

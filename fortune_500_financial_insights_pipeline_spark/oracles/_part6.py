@@ -834,3 +834,59 @@ from fortune_500_financial_insights_pipeline_spark.oracles._core import (  # noq
 # 3 rounds — the Spark side runs with local_threshold_edges=0, so this row
 # hashes the DISTRIBUTED shuffle loop, not the driver-side twin.
 ORACLES["q_pagerank_dist"] = _pagerank_oracle(iters=3)
+
+# q_wav_decode_roundtrip: the generating formula computed directly — the
+# Spark side containerizes the same int16 signal to RIFF bytes and decodes
+# it back through the pure-stdlib codec; matching hashes prove the decode.
+ORACLES["q_wav_decode_roundtrip"] = """
+WITH ids AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 40),
+s AS (
+  SELECT doc_id,
+         unnest(range(0, CAST(64 + doc_id % 17 AS BIGINT))) AS i
+  FROM ids
+), pcm AS (
+  SELECT doc_id, i,
+         ((doc_id * 7919 + i * 104729) % 65536) - 32768 AS v
+  FROM s
+), flagged AS (
+  SELECT doc_id, i, v,
+         CASE WHEN (v < 0) <> (LAG(v) OVER (PARTITION BY doc_id ORDER BY i) < 0)
+              THEN 1 ELSE 0 END AS zc
+  FROM pcm
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(v) AS BIGINT) AS sum_pcm,
+       CAST(MIN(v) AS BIGINT) AS min_pcm,
+       CAST(MAX(v) AS BIGINT) AS max_pcm,
+       CAST(SUM(zc) AS BIGINT) AS n_zero_cross
+FROM flagged
+GROUP BY doc_id
+"""
+
+# q_png_decode_roundtrip: pixel formula replayed in SQL, incl. the pinned
+# BT.601 floor-division luma; Spark decodes genuine deflated PNG bytes.
+ORACLES["q_png_decode_roundtrip"] = """
+WITH ids AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 30),
+dims AS (
+  SELECT doc_id,
+         CAST(8 + doc_id % 5 AS BIGINT) AS w,
+         CAST(4 + doc_id % 3 AS BIGINT) AS h
+  FROM ids
+), px AS (
+  SELECT doc_id, w, h, y.y, x.x,
+         (doc_id * 31 + y.y * 17 + x.x * 7 + 0) % 256 AS r,
+         (doc_id * 31 + y.y * 17 + x.x * 7 + 3) % 256 AS g,
+         (doc_id * 31 + y.y * 17 + x.x * 7 + 6) % 256 AS b
+  FROM dims,
+       LATERAL (SELECT unnest(range(0, h)) AS y) y,
+       LATERAL (SELECT unnest(range(0, w)) AS x) x
+)
+SELECT doc_id,
+       CAST(MAX(w) AS INTEGER) AS width,
+       CAST(MAX(h) AS INTEGER) AS height,
+       CAST(SUM(r + g + b) AS BIGINT) AS sum_pixels,
+       CAST(SUM((299 * r + 587 * g + 114 * b) // 1000) AS BIGINT) AS sum_luma
+FROM px
+GROUP BY doc_id
+"""

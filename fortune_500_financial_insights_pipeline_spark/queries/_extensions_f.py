@@ -40,3 +40,107 @@ def q_pagerank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.select(F.col("c").alias("src"), F.col("s").alias("dst"))
     )
     return pagerank(edges, damping=0.85, max_iter=3, local_threshold_edges=0)
+
+
+@q("q_wav_decode_roundtrip")
+def q_wav_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV-PCM decode certified cross-engine: per document (doc_id <
+    40), a deterministic int16 signal pcm_i = ((doc_id·7919 + i·104729)
+    mod 65536) − 32768 over n = 64 + doc_id mod 17 frames is CONTAINERIZED
+    to RIFF/WAVE bytes and decoded back through the pure-stdlib codec
+    (operators/media_codec.wav_decode — actual byte-level chunk walk +
+    PCM sample decode, no audio library), then reduced to integer stats.
+    The oracle computes the same stats straight from the generating
+    formula, never touching bytes — a hash match proves the decoder
+    returns the exact samples that went in. mapInPandas, Arrow-batched,
+    partition-preserving."""
+    import numpy as np
+    import pandas as pd
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 40)
+        .select("doc_id")
+        .distinct()
+    )
+
+    def stats(batches):
+        from fortune_500_financial_insights_pipeline_spark.operators.media_codec import (
+            wav_decode,
+            wav_encode_pcm16,
+        )
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_frames": [], "sum_pcm": [], "min_pcm": [],
+                   "max_pcm": [], "n_zero_cross": []}
+            for doc_id in pdf["doc_id"]:
+                n = 64 + int(doc_id) % 17
+                i = np.arange(n, dtype=np.int64)
+                pcm = ((int(doc_id) * 7919 + i * 104729) % 65536) - 32768
+                _, _, samples = wav_decode(
+                    wav_encode_pcm16(pcm.astype(np.int16), 8000)
+                )
+                rec = np.round(samples[:, 0] * 32768.0).astype(np.int64)
+                neg = rec < 0
+                out["doc_id"].append(int(doc_id))
+                out["n_frames"].append(len(rec))
+                out["sum_pcm"].append(int(rec.sum()))
+                out["min_pcm"].append(int(rec.min()))
+                out["max_pcm"].append(int(rec.max()))
+                out["n_zero_cross"].append(int((neg[1:] != neg[:-1]).sum()))
+            yield pd.DataFrame(out)
+
+    return ids.mapInPandas(
+        stats,
+        schema="doc_id long, n_frames long, sum_pcm long, min_pcm long, "
+        "max_pcm long, n_zero_cross long",
+    )
+
+
+@q("q_png_decode_roundtrip")
+def q_png_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG pixel decode certified cross-engine: per document (doc_id
+    < 30), a (4 + doc_id mod 3) × (8 + doc_id mod 5) RGB image with
+    pixel(y, x, c) = (doc_id·31 + y·17 + x·7 + c·3) mod 256 is encoded to
+    a genuine PNG (zlib deflate, filter-0 scanlines) and decoded back
+    through the pure codec (media_codec.png_decode — chunk walk, inflate,
+    scanline unfilter), then reduced to integer stats incl. the pinned
+    BT.601 floor-division luma. The oracle replays the pixel formula in
+    SQL; a hash match proves the decoder reproduced every byte."""
+    import numpy as np
+    import pandas as pd
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 30)
+        .select("doc_id")
+        .distinct()
+    )
+
+    def stats(batches):
+        from fortune_500_financial_insights_pipeline_spark.operators.media_codec import (
+            png_decode,
+            png_encode,
+            png_luma,
+        )
+
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "sum_pixels": [],
+                   "sum_luma": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                h, w = 4 + d % 3, 8 + d % 5
+                y, x, c = np.ogrid[0:h, 0:w, 0:3]
+                img = ((d * 31 + y * 17 + x * 7 + c * 3) % 256).astype(np.uint8)
+                dec = png_decode(png_encode(img))
+                out["doc_id"].append(d)
+                out["width"].append(dec.shape[1])
+                out["height"].append(dec.shape[0])
+                out["sum_pixels"].append(int(dec.astype(np.int64).sum()))
+                out["sum_luma"].append(int(png_luma(dec).sum()))
+            yield pd.DataFrame(out)
+
+    return ids.mapInPandas(
+        stats,
+        schema="doc_id long, width int, height int, sum_pixels long, sum_luma long",
+    )
