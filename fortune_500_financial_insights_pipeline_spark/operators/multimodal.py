@@ -89,17 +89,28 @@ def _real_decode(media: bytes) -> tuple[int, int, list[float]]:
 
 
 def _pure_decode(media: bytes) -> tuple[int, int, list[float]]:
-    """Real PNG decode with no media library (operators/media_codec):
-    pixels → integer BT.601 luma → mean over 8 vertical strips, /255 —
-    the same feature shape as the PIL path, with the luma formula pinned
-    by media_codec.png_luma's docstring (PIL's own "L" conversion may
-    round differently; this path DEFINES the no-PIL behavior)."""
+    """Real PNG/JPEG decode with no media library (operators/media_codec +
+    operators/jpeg_codec): pixels → integer BT.601 luma → mean over 8
+    vertical strips, /255 — the same feature shape as the PIL path, with
+    the luma formula pinned by media_codec.png_luma's docstring (PIL's
+    own "L" conversion may round differently; this path DEFINES the
+    no-PIL behavior)."""
     from fortune_500_financial_insights_pipeline_spark.operators.media_codec import (
+        PNG_SIGNATURE,
         png_decode,
         png_luma,
     )
 
-    img = png_decode(media)
+    if media[:2] == b"\xff\xd8":
+        from fortune_500_financial_insights_pipeline_spark.operators.jpeg_codec import (
+            jpeg_decode,
+        )
+
+        img = jpeg_decode(media)
+    elif media[:8] == PNG_SIGNATURE:
+        img = png_decode(media)
+    else:
+        raise ValueError("unrecognized still-image payload")
     height, width = img.shape[0], img.shape[1]
     luma = png_luma(img)
     strips = 8
@@ -128,12 +139,12 @@ def decode_image(media: bytes, fake: bool = False):
             PNG_SIGNATURE,
         )
 
-        if media[:8] == PNG_SIGNATURE:
-            return _pure_decode(media)
+        if media[:8] == PNG_SIGNATURE or media[:2] == b"\xff\xd8":
+            return _pure_decode(media)  # PNG + baseline JPEG: real, no PIL
         raise NotImplementedError(
-            "real decode of non-PNG stills requires PIL (absent in this "
-            "container); PNG decodes without it, or pass fake=True for "
-            "the deterministic stub"
+            "real decode of non-PNG/JPEG stills requires PIL (absent in "
+            "this container); PNG and baseline JPEG decode without it, or "
+            "pass fake=True for the deterministic stub"
         ) from exc
     return _real_decode(media)
 
@@ -340,12 +351,20 @@ def resize_images(media_df: DataFrame, target_w: int = 64, target_h: int = 64,
                             resize_nearest,
                         )
 
-                        if media[:8] != PNG_SIGNATURE:
+                        if media[:8] == PNG_SIGNATURE:
+                            src = png_decode(media)
+                        elif media[:2] == b"\xff\xd8":
+                            from fortune_500_financial_insights_pipeline_spark.operators.jpeg_codec import (
+                                jpeg_decode,
+                            )
+
+                            src = jpeg_decode(media)
+                        else:
                             raise NotImplementedError(
-                                "real resize of non-PNG stills needs PIL"
+                                "real resize of non-PNG/JPEG stills needs PIL"
                             ) from exc
                         bitmap = png_encode(
-                            resize_nearest(png_decode(media), target_w, target_h)
+                            resize_nearest(src, target_w, target_h)
                         )
                 else:
                     n = target_w * target_h

@@ -890,3 +890,30 @@ SELECT doc_id,
 FROM px
 GROUP BY doc_id
 """
+
+# q_jpeg_decode_roundtrip: constant-block grayscale pixel formula replayed
+# directly (each 8x8 block contributes 64 copies of its value); the Spark
+# side round-trips genuine Huffman-coded baseline JPEG bytes.
+ORACLES["q_jpeg_decode_roundtrip"] = """
+WITH ids AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 24),
+dims AS (
+  SELECT doc_id,
+         CAST(16 + 8 * (doc_id % 2) AS BIGINT) AS w,
+         CAST(16 AS BIGINT) AS h
+  FROM ids
+), blocks AS (
+  SELECT doc_id, w, h, by.by, bx.bx,
+         (doc_id * 37 + by.by * 11 + bx.bx * 5) % 256 AS v
+  FROM dims,
+       LATERAL (SELECT unnest(range(0, h // 8)) AS by) by,
+       LATERAL (SELECT unnest(range(0, w // 8)) AS bx) bx
+)
+SELECT doc_id,
+       CAST(MAX(w) AS INTEGER) AS width,
+       CAST(MAX(h) AS INTEGER) AS height,
+       CAST(SUM(v * 64) AS BIGINT) AS sum_pixels,
+       CAST(MIN(v) AS BIGINT) AS min_pixel,
+       CAST(MAX(v) AS BIGINT) AS max_pixel
+FROM blocks
+GROUP BY doc_id
+"""

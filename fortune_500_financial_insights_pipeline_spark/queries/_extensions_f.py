@@ -144,3 +144,60 @@ def q_png_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats,
         schema="doc_id long, width int, height int, sum_pixels long, sum_luma long",
     )
+
+
+@q("q_jpeg_decode_roundtrip")
+def q_jpeg_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode certified cross-engine: per document
+    (doc_id < 24), a grayscale image of constant 8×8 blocks — block
+    (by, bx) holds v = (doc_id·37 + by·11 + bx·5) mod 256, width
+    16 + 8·(doc_id mod 2), height 16 — is Huffman-encoded to a genuine
+    baseline JPEG (all-ones quantization) and decoded back through the
+    pure codec (operators/jpeg_codec: marker walk, canonical Huffman,
+    dequantize, IDCT). Constant blocks make the DCT↔IDCT roundtrip exact
+    after rounding (only the DC coefficient is nonzero), so integer stats
+    over the decoded pixels equal the generating formula, which is what
+    the oracle computes — a hash match proves the entropy decode and the
+    transform recover every sample."""
+    import numpy as np
+    import pandas as pd
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 24)
+        .select("doc_id")
+        .distinct()
+    )
+
+    def stats(batches):
+        from fortune_500_financial_insights_pipeline_spark.operators.jpeg_codec import (
+            jpeg_decode,
+            jpeg_encode_baseline,
+        )
+
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "sum_pixels": [],
+                   "min_pixel": [], "max_pixel": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 16 + 8 * (d % 2), 16
+                img = np.zeros((h, w), np.uint8)
+                for by in range(h // 8):
+                    for bx in range(w // 8):
+                        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                            d * 37 + by * 11 + bx * 5
+                        ) % 256
+                dec = jpeg_decode(jpeg_encode_baseline(img))[:, :, 0]
+                out["doc_id"].append(d)
+                out["width"].append(dec.shape[1])
+                out["height"].append(dec.shape[0])
+                out["sum_pixels"].append(int(dec.astype(np.int64).sum()))
+                out["min_pixel"].append(int(dec.min()))
+                out["max_pixel"].append(int(dec.max()))
+            yield pd.DataFrame(out)
+
+    return ids.mapInPandas(
+        stats,
+        schema="doc_id long, width int, height int, sum_pixels long, "
+        "min_pixel long, max_pixel long",
+    )
