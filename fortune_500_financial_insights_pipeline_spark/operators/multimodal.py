@@ -4,15 +4,20 @@ with typed metadata (SURVEY.md §2.11).
 The Spark-side contract is real and tested — schema, Arrow batch shape,
 partition-preserving mapInPandas. Decode status by format (round 5):
 
-* PNG pixels and WAV-PCM audio samples decode FOR REAL with no media
-  library — operators/media_codec.py implements the full public specs
-  (zlib-inflate + the five PNG scanline filters; RIFF chunk walk + PCM)
-  in stdlib+numpy, so ``decode_image`` on a PNG payload and
-  ``decode_audio`` on a WAV payload return actual pixels/samples in this
+* PNG pixels, baseline-JPEG pixels, and WAV-PCM audio samples decode FOR
+  REAL with no media library — operators/media_codec.py (PNG: zlib
+  inflate + the five scanline filters; WAV: RIFF chunk walk + PCM) and
+  operators/jpeg_codec.py (ITU T.81 baseline: canonical Huffman,
+  dequantize, IDCT, chroma upsampling) in stdlib+numpy — so
+  ``decode_image``/``decode_audio`` return actual pixels/samples in this
   container, unconditionally tested.
-* JPEG stills and MP4/H.264 video frames still need a codec stack
-  (PIL/ffmpeg — absent here, installs disallowed): those paths keep the
-  live conditional-import seam and the deterministic ``fake=True`` stub.
+* MP4 frame SAMPLING is container-real: ``sample_video_frames`` walks
+  the ISO BMFF sample tables (operators/mp4_index) and slices each
+  encoded frame's bytes + timestamp out of mdat — the data-plane work.
+* Only H.264 pixel decode of those sliced bytes (and progressive JPEG)
+  still needs a codec stack (ffmpeg/PIL — absent here, installs
+  disallowed): that path keeps the live conditional-import seam and the
+  deterministic ``fake=True`` stub.
 
 Swapping in PIL/ffmpeg changes only the inner function body; the Spark
 plumbing (mapInPandas over Arrow record batches, binary in / struct out)
@@ -468,3 +473,41 @@ def mp4_meta(media: Column) -> tuple[Column, Column, Column]:
     timescale = F.conv(F.substring(hx, 89, 8), 16, 10).cast("long")
     duration = F.conv(F.substring(hx, 97, 8), 16, 10).cast("long")
     return brand, timescale, duration
+
+
+VIDEO_FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, frame_ts double, n_bytes int, frame binary"
+)
+
+
+def sample_video_frames(media_df: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL container-level video frame sampling (round 5): walk each MP4
+    payload's sample tables (operators/mp4_index — stts/stsz/stsc/stco,
+    pure ISO BMFF spec, no media library) and emit every ``every_n``-th
+    encoded frame as (frame_idx, dts seconds, byte size, frame bytes).
+    This is the data-plane a curation pipeline runs at 100 TB: the
+    container walk and byte slicing happen Arrow-batched on executors
+    (1→N rows inside the batch, no shuffle), and the sliced bytes go to
+    the decoder pool — H.264 pixel decode of those bytes is the one
+    stage still behind the ffmpeg seam (sample_frames' stub)."""
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from fortune_500_financial_insights_pipeline_spark.operators.mp4_index import (
+            mp4_extract_samples,
+        )
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_ts": [], "n_bytes": [],
+                   "frame": []}
+            for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+                for idx, ts, frame in mp4_extract_samples(bytes(media), every_n):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_ts"].append(ts)
+                    out["n_bytes"].append(len(frame))
+                    out["frame"].append(frame)
+            yield pd.DataFrame(out)
+
+    return media_df.select("doc_id", "media").mapInPandas(
+        expand, schema=VIDEO_FRAME_SCHEMA
+    )

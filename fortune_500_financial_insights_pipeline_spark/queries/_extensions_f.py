@@ -201,3 +201,61 @@ def q_jpeg_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, width int, height int, sum_pixels long, "
         "min_pixel long, max_pixel long",
     )
+
+
+@q("q_mp4_frame_index_roundtrip")
+def q_mp4_frame_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4 sample-table indexing certified cross-engine: per document
+    (doc_id < 20), a one-track ISO BMFF file is synthesized with
+    n = 6 + doc_id mod 5 samples — sample i is (doc_id + i) mod 256
+    repeated 10 + (doc_id·13 + i·7) mod 50 times, with stts duration
+    100 + 10·((doc_id + i) mod 4) at timescale 1000, chunked 2 samples
+    per stco chunk — then indexed back through the pure container walk
+    (operators/mp4_index: stts/stsz/stsc/stco) and the frame BYTES sliced
+    from mdat. sum_first_byte comes off the sliced payloads, so a hash
+    match proves the chunk-offset arithmetic points at the right bytes,
+    not just that the tables parse. The oracle replays the generating
+    formulas (cumulative stts sum as a window)."""
+    import pandas as pd
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 20)
+        .select("doc_id")
+        .distinct()
+    )
+
+    def stats(batches):
+        from fortune_500_financial_insights_pipeline_spark.operators.mp4_index import (
+            mp4_build_minimal,
+            mp4_extract_samples,
+        )
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_samples": [], "sum_bytes": [],
+                   "sum_first_byte": [], "sum_ts_units": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 6 + d % 5
+                samples = [
+                    bytes([(d + i) % 256]) * (10 + (d * 13 + i * 7) % 50)
+                    for i in range(n)
+                ]
+                durs = [100 + 10 * ((d + i) % 4) for i in range(n)]
+                data = mp4_build_minimal(samples, durs, timescale=1000,
+                                         samples_per_chunk=2)
+                ext = mp4_extract_samples(data, every_n=1)
+                out["doc_id"].append(d)
+                out["n_samples"].append(len(ext))
+                out["sum_bytes"].append(sum(len(fr) for _, _, fr in ext))
+                out["sum_first_byte"].append(sum(fr[0] for _, _, fr in ext))
+                out["sum_ts_units"].append(
+                    sum(int(round(ts * 1000)) for _, ts, _ in ext)
+                )
+            yield pd.DataFrame(out)
+
+    return ids.mapInPandas(
+        stats,
+        schema="doc_id long, n_samples long, sum_bytes long, "
+        "sum_first_byte long, sum_ts_units long",
+    )
