@@ -173,7 +173,10 @@ def test_decode_image_real_png_without_pil():
     assert feat == [59 / 255.0] * 8
 
 
-def test_decode_image_non_png_still_raises_without_pil():
+def test_decode_image_unknown_format_raises_without_pil():
+    """Formats outside the pure codecs (PNG + baseline JPEG) still raise
+    NotImplementedError without PIL; corrupt bytes of a SUPPORTED format
+    raise ValueError from the real decoder instead (it genuinely tried)."""
     from fortune_500_financial_insights_pipeline_spark.operators.multimodal import (
         decode_image,
     )
@@ -185,7 +188,9 @@ def test_decode_image_non_png_still_raises_without_pil():
     except ImportError:
         pass
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0 fake jpeg bytes", fake=False)
+        decode_image(b"GIF89a not actually decodable here", fake=False)
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0 corrupt jpeg bytes", fake=False)
 
 
 def test_extract_audio_features_real_wav_in_spark(spark):
