@@ -883,7 +883,12 @@ def test_streaming_sessions_never_split_across_batches(spark, events_dir, tmp_pa
     )
     assert len(rows) >= 6
     half = len(rows) // 2
-    spark.createDataFrame(rows[:half], batch_df.schema).write.parquet(src)
+    # ONE part file per half: a multi-file append can be LISTED partially
+    # by the file source under load, splitting a half across two
+    # micro-batches with part-file (not time) ordering — out-of-order
+    # delivery this operator's in-order contract doesn't cover, and not
+    # what this test is about (observed as a rare full-suite flake)
+    spark.createDataFrame(rows[:half], batch_df.schema).coalesce(1).write.parquet(src)
 
     stream = spark.readStream.schema(batch_df.schema).parquet(src)
     q = (
@@ -895,7 +900,7 @@ def test_streaming_sessions_never_split_across_batches(spark, events_dir, tmp_pa
     )
     try:
         q.processAllAvailable()
-        spark.createDataFrame(rows[half:], batch_df.schema).write.mode(
+        spark.createDataFrame(rows[half:], batch_df.schema).coalesce(1).write.mode(
             "append"
         ).parquet(src)
         q.processAllAvailable()
