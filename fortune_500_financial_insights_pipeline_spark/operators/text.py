@@ -583,3 +583,159 @@ def ngram_novelty(
         )
         .orderBy(id_col)
     )
+
+
+# Gopher rule thresholds (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", table A1) — the
+# published heuristic filter suite for web-scale corpus curation. The
+# stopword set below is the paper's 8-word existence list, distinct from
+# EN_STOPWORDS (the 10-word ratio list used by the language-ID heuristic).
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 15,
+    max_words: int = 100_000,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Per-document Gopher quality-rule flags, INTEGER-EXACT by
+    construction: every threshold of the published rule suite is a
+    rational bound, so each comparison is cross-multiplied into pure
+    integer arithmetic (3 <= mean word length <= 10 becomes
+    3·n_words <= sum_word_len <= 10·n_words) — no float ever enters a
+    pass/fail decision, which is what makes the flags bit-identical
+    across engines and therefore oracle-hashable.
+
+    Rules (r_* columns, True = pass):
+      r_word_count   word count in [min_words, max_words]
+      r_mean_word_len  mean word length in [3, 10] chars
+      r_symbol_ratio   (# count + '...' count) <= 0.1 * words
+      r_bullet         lines starting with a bullet <= 90%
+      r_ellipsis       lines ending with '...' <= 30%
+      r_alpha_words    >= 80% of words contain an alphabetic char
+      r_stopwords      >= 2 distinct words from the existence list
+                       (default: the paper's 8-word GOPHER_STOPWORDS)
+      pass_all         AND of the seven
+
+    Plan shape: one projection over the text column — split / filter /
+    aggregate HOFs, all codegen'd JVM expressions, zero shuffle, no UDF.
+    Embarrassingly parallel at any scale; the downstream aggregate (the
+    caller's groupBy) is the only exchange."""
+    c = F.col(text_col)
+    toks = F.split(c, " ")
+    n_words = F.size(toks).cast("long")
+    sum_wl = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    n_hash = F.length(c) - F.length(F.expr(f"replace({text_col}, '#', '')"))
+    n_ellipsis = (
+        F.length(c) - F.length(F.expr(f"replace({text_col}, '...', '')"))
+    ) / 3
+    n_sym = (n_hash + n_ellipsis).cast("long")
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda x: x.startswith("- ") | x.startswith("* ") | x.startswith("•"),
+        )
+    ).cast("long")
+    n_ell_lines = F.size(F.filter(lines, lambda x: x.endswith("..."))).cast("long")
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("long")
+    sw = F.array(*[F.lit(s) for s in (stopwords or GOPHER_STOPWORDS)])
+    n_stop_distinct = F.size(F.array_intersect(F.array_distinct(toks), sw))
+    return df.select(
+        F.col(id_col),
+        ((n_words >= min_words) & (n_words <= max_words)).alias("r_word_count"),
+        ((3 * n_words <= sum_wl) & (sum_wl <= 10 * n_words)).alias("r_mean_word_len"),
+        (10 * n_sym <= n_words).alias("r_symbol_ratio"),
+        (10 * n_bullet <= 9 * n_lines).alias("r_bullet"),
+        (10 * n_ell_lines <= 3 * n_lines).alias("r_ellipsis"),
+        (10 * n_alpha >= 8 * n_words).alias("r_alpha_words"),
+        (n_stop_distinct >= 2).alias("r_stopwords"),
+    ).withColumn(
+        "pass_all",
+        F.col("r_word_count")
+        & F.col("r_mean_word_len")
+        & F.col("r_symbol_ratio")
+        & F.col("r_bullet")
+        & F.col("r_ellipsis")
+        & F.col("r_alpha_words")
+        & F.col("r_stopwords"),
+    )
+
+
+def boilerplate_units(
+    units: DataFrame,
+    id_col: str = "doc_id",
+    unit_col: str = "unit_key",
+    min_docs: int = 3,
+) -> DataFrame:
+    """CROSS-corpus boilerplate detection core (the CCNet/RefinedWeb
+    paragraph-hash rule): a unit whose key appears in >= ``min_docs``
+    DISTINCT documents is boilerplate (nav chrome, cookie banners,
+    license footers), regardless of within-doc repetition. Works over
+    ANY (doc, unit-key) frame — separator lines (boilerplate_lines),
+    CDC chunks (edit-stable units for unstructured text), real
+    paragraphs. Returns per-document ``n_units`` / ``n_boiler``
+    (occurrence-counted) / ``boiler_frac``.
+
+    Scale shape: two hash aggregations + one key equi-join, linear in
+    total unit count; the hottest key's frequency is bounded by the
+    DISTINCT-doc count (countDistinct, not count), so a doc repeating
+    one unit a million times cannot skew the boilerplate table. Keys
+    should be digests (md5), never raw text — uniform, shuffle-friendly."""
+    # one (unit, doc) pre-aggregation feeds BOTH the frequency table and
+    # the per-doc rollup — the branches share its shuffle exchange
+    # (ReusedExchange), so the upstream unit build (explode, CDC windows)
+    # runs exactly once; ndocs is then a plain COUNT over already-distinct
+    # (unit, doc) rows, no two-phase countDistinct needed
+    occ = units.groupBy(unit_col, id_col).agg(F.count(F.lit(1)).alias("__occ"))
+    freq = occ.groupBy(unit_col).agg(F.count(F.lit(1)).alias("__ndocs"))
+    per_doc = (
+        occ.join(freq, unit_col)
+        .groupBy(id_col)
+        .agg(
+            F.sum("__occ").cast("long").alias("n_units"),
+            F.sum(F.when(F.col("__ndocs") >= min_docs, F.col("__occ")).otherwise(0))
+            .cast("long")
+            .alias("n_boiler"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_units",
+        "n_boiler",
+        F.round(F.col("n_boiler").cast("double") / F.col("n_units"), 6).alias(
+            "boiler_frac"
+        ),
+    )
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 3,
+    sep_regex: str = "\\. ",
+) -> DataFrame:
+    """``boilerplate_units`` over separator-split lines: normalize
+    (lower/trim), drop empties, key each line by md5, then apply the
+    cross-doc frequency rule. Use '\\n' for line-structured corpora;
+    for unstructured single-paragraph text, CDC chunks
+    (operators/chunking.cdc_chunks) are the edit-stable unit — compose
+    them with ``boilerplate_units`` directly (q_boilerplate_chunks)."""
+    norm = lambda x: F.lower(F.trim(x))
+    lines = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), sep_regex)).alias("__raw"),
+        )
+        .select(F.col(id_col), norm(F.col("__raw")).alias("__line"))
+        .where(F.length("__line") > 0)
+        .select(F.col(id_col), F.md5("__line").alias("__lk"))
+    )
+    return boilerplate_units(lines, id_col=id_col, unit_col="__lk", min_docs=min_docs)

@@ -946,3 +946,150 @@ SELECT doc_id,
 FROM ts
 GROUP BY doc_id
 """
+
+# q_gopher_rules: every rule threshold replayed as the same cross-multiplied
+# integer comparison (no float enters a pass/fail decision on either side);
+# stopword existence uses the repo's 10-word EN list (see the query note).
+ORACLES["q_gopher_rules"] = """
+WITH feats AS (
+  SELECT lang,
+    len(string_split(text, ' ')) AS n_words,
+    list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS sum_wl,
+    length(text) - length(replace(text, '#', '')) AS n_hash,
+    (length(text) - length(replace(text, '...', ''))) // 3 AS n_ell,
+    len(string_split(text, chr(10))) AS n_lines,
+    len(list_filter(string_split(text, chr(10)),
+        x -> starts_with(x, '- ') OR starts_with(x, '* ')
+             OR starts_with(x, '•'))) AS n_bullet,
+    len(list_filter(string_split(text, chr(10)),
+        x -> ends_with(x, '...'))) AS n_ell_lines,
+    len(list_filter(string_split(text, ' '),
+        t -> regexp_matches(t, '[A-Za-z]'))) AS n_alpha,
+    len(list_intersect(list_distinct(string_split(text, ' ')),
+        ['the','a','of','and','to','in','is','on','for','with'])) AS n_stop
+  FROM documents
+), flags AS (
+  SELECT lang,
+    (n_words >= 15 AND n_words <= 100000) AS r1,
+    (3 * n_words <= sum_wl AND sum_wl <= 10 * n_words) AS r2,
+    (10 * (n_hash + n_ell) <= n_words) AS r3,
+    (10 * n_bullet <= 9 * n_lines) AS r4,
+    (10 * n_ell_lines <= 3 * n_lines) AS r5,
+    (10 * n_alpha >= 8 * n_words) AS r6,
+    (n_stop >= 2) AS r7
+  FROM feats
+)
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN r1 THEN 0 ELSE 1 END) AS BIGINT) AS fail_word_count,
+  CAST(SUM(CASE WHEN r2 THEN 0 ELSE 1 END) AS BIGINT) AS fail_mean_word_len,
+  CAST(SUM(CASE WHEN r3 THEN 0 ELSE 1 END) AS BIGINT) AS fail_symbol_ratio,
+  CAST(SUM(CASE WHEN r4 THEN 0 ELSE 1 END) AS BIGINT) AS fail_bullet,
+  CAST(SUM(CASE WHEN r5 THEN 0 ELSE 1 END) AS BIGINT) AS fail_ellipsis,
+  CAST(SUM(CASE WHEN r6 THEN 0 ELSE 1 END) AS BIGINT) AS fail_alpha_words,
+  CAST(SUM(CASE WHEN r7 THEN 0 ELSE 1 END) AS BIGINT) AS fail_stopwords,
+  CAST(SUM(CASE WHEN r1 AND r2 AND r3 AND r4 AND r5 AND r6 AND r7
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+FROM flags
+GROUP BY lang
+"""
+
+# q_boilerplate_chunks: the q_cdc_chunks CTE chain rebuilt verbatim (same
+# LBFS boundary rule, same md5 chunk hash), then the CCNet cross-doc
+# frequency rule — COUNT(DISTINCT doc_id) >= 2 marks a chunk boilerplate.
+ORACLES["q_boilerplate_chunks"] = """
+WITH t AS (
+  SELECT doc_id, i - 1 AS pos, l[i] AS tok
+  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))
+), g AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN pos >= 2
+               AND ('0x' || substr(md5(concat_ws(' ',
+                     LAG(tok, 2) OVER w, LAG(tok, 1) OVER w, tok)),
+                     1, 15))::BIGINT % 16 = 0
+              THEN 1 ELSE 0 END AS b
+  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), c AS (
+  SELECT doc_id, pos, tok,
+         COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS chunk_id
+  FROM g
+), ch AS (
+  SELECT doc_id, chunk_id,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+  FROM c GROUP BY doc_id, chunk_id
+), freq AS (
+  SELECT chunk_hash, COUNT(DISTINCT doc_id) AS ndocs FROM ch GROUP BY chunk_hash
+), per AS (
+  SELECT doc_id, COUNT(*) AS n_units,
+         SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS n_boiler
+  FROM ch JOIN freq USING (chunk_hash) GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_units AS BIGINT) AS n_units,
+       CAST(n_boiler AS BIGINT) AS n_boiler,
+       ROUND(CAST(n_boiler AS DOUBLE) / n_units, 6) AS boiler_frac
+FROM per
+"""
+
+# q_resize_roundtrip: pixel formula composed with the integer nearest-
+# neighbor index map (src = (i*src_dim)//target) replayed in SQL; the Spark
+# side pushes genuine PNG bytes through decode -> resample -> re-encode.
+ORACLES["q_resize_roundtrip"] = """
+WITH ids AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 30),
+dims AS (
+  SELECT doc_id,
+         CAST(5 + doc_id % 4 AS BIGINT) AS h,
+         CAST(7 + doc_id % 5 AS BIGINT) AS w
+  FROM ids
+), px AS (
+  SELECT doc_id,
+         (y2.y2 * h) // 3 AS sy,
+         (x2.x2 * w) // 5 AS sx,
+         (doc_id * 13 + ((y2.y2 * h) // 3) * 11 + ((x2.x2 * w) // 5) * 7 + 0)
+           % 256 AS r,
+         (doc_id * 13 + ((y2.y2 * h) // 3) * 11 + ((x2.x2 * w) // 5) * 7 + 5)
+           % 256 AS g,
+         (doc_id * 13 + ((y2.y2 * h) // 3) * 11 + ((x2.x2 * w) // 5) * 7 + 10)
+           % 256 AS b
+  FROM dims,
+       LATERAL (SELECT unnest(range(0, 3)) AS y2) y2,
+       LATERAL (SELECT unnest(range(0, 5)) AS x2) x2
+)
+SELECT doc_id,
+       CAST(5 AS INTEGER) AS width,
+       CAST(3 AS INTEGER) AS height,
+       CAST(SUM(r + g + b) AS BIGINT) AS sum_pixels,
+       CAST(SUM((299 * r + 587 * g + 114 * b) // 1000) AS BIGINT) AS sum_luma
+FROM px
+GROUP BY doc_id
+"""
+
+# q_audio_features: duration / RMS / zero-crossing rate computed straight
+# from the generating PCM formula; Spark decodes genuine RIFF/WAVE bytes
+# through the production operator. Floats round-6 (association-only delta).
+ORACLES["q_audio_features"] = """
+WITH ids AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 40),
+dims AS (SELECT doc_id, CAST(48 + doc_id % 23 AS BIGINT) AS n FROM ids),
+s AS (
+  SELECT doc_id, n, i.i,
+         ((doc_id * 6151 + i.i * 95789) % 65536) - 32768 AS p
+  FROM dims, LATERAL (SELECT unnest(range(0, n)) AS i) i
+), lagged AS (
+  SELECT doc_id, n, i, p,
+         LAG(p) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM s
+)
+SELECT doc_id,
+       CAST(16000 AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST(MAX(n) AS BIGINT) AS n_frames,
+       ROUND(CAST(MAX(n) AS DOUBLE) / 16000.0, 6) AS duration_s,
+       ROUND(sqrt(SUM((p / 32768.0) * (p / 32768.0)) / MAX(n)), 6) AS rms,
+       ROUND(CAST(SUM(CASE WHEN prev IS NOT NULL
+                            AND ((p < 0) != (prev < 0)) THEN 1 ELSE 0 END)
+                  AS DOUBLE) / (MAX(n) - 1), 6) AS zero_cross_rate
+FROM lagged
+GROUP BY doc_id
+"""

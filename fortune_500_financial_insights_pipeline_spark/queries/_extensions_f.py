@@ -259,3 +259,199 @@ def q_mp4_frame_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, n_samples long, sum_bytes long, "
         "sum_first_byte long, sum_ts_units long",
     )
+
+
+@q("q_gopher_rules")
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher quality-rule suite (Rae et al. 2021) as a
+    per-language audit: one projection computes the seven integer-exact
+    rule flags per document (operators/text.gopher_rules — every rational
+    threshold cross-multiplied into pure integer compares, no float in
+    any decision), one aggregate counts failures per rule and survivors.
+    Distinct from q_quality_score (a composite score) and
+    q_curation_report (a sequential funnel): this is the per-rule
+    breakdown a corpus curator reads to see WHICH rule bites. Zero
+    shuffle until the final per-lang aggregate."""
+    from fortune_500_financial_insights_pipeline_spark.operators.text import (
+        EN_STOPWORDS,
+        gopher_rules,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    # the synthetic fixture vocabulary carries only 'the'/'a' from the
+    # paper's 8-word existence list, so the repo's 10-word EN_STOPWORDS
+    # list keeps the rule discriminating (the operator defaults to the
+    # published GOPHER_STOPWORDS for real corpora)
+    flags = gopher_rules(d, stopwords=EN_STOPWORDS).join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    zero, one = F.lit(0), F.lit(1)
+    fail = lambda c: F.sum(F.when(F.col(c), zero).otherwise(one)).cast("long")
+    return flags.groupBy("lang").agg(
+        F.count(one).alias("n_docs"),
+        fail("r_word_count").alias("fail_word_count"),
+        fail("r_mean_word_len").alias("fail_mean_word_len"),
+        fail("r_symbol_ratio").alias("fail_symbol_ratio"),
+        fail("r_bullet").alias("fail_bullet"),
+        fail("r_ellipsis").alias("fail_ellipsis"),
+        fail("r_alpha_words").alias("fail_alpha_words"),
+        fail("r_stopwords").alias("fail_stopwords"),
+        F.sum(F.when(F.col("pass_all"), one).otherwise(zero))
+        .cast("long")
+        .alias("n_pass_all"),
+    )
+
+
+@q("q_boilerplate_chunks")
+def q_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus boilerplate removal readout, CCNet/RefinedWeb
+    paragraph-hash rule over EDIT-STABLE units: content-defined chunks
+    (operators/chunking.cdc_chunks, k=3 divisor=16 — the unit of choice
+    for unstructured text with no line separators) keyed by chunk_hash,
+    then the cross-doc frequency rule (operators/text.boilerplate_units,
+    min_docs=2): a chunk appearing verbatim in 2+ distinct documents is
+    template/boilerplate material. Complements q_line_dedup (within-doc
+    self-repetition) and q_dup_spans (fixed 8-gram spans): CDC units
+    survive insertions that shift every fixed window. Per-document
+    n_units / n_boiler / boiler_frac. Explode + one window family for
+    chunking, then two md5-keyed hash aggs + one equi-join — linear,
+    skew bounded by countDistinct."""
+    from fortune_500_financial_insights_pipeline_spark.operators.chunking import cdc_chunks
+    from fortune_500_financial_insights_pipeline_spark.operators.text import (
+        boilerplate_units,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    units = cdc_chunks(d, k=3, divisor=16).select("doc_id", "chunk_hash")
+    return boilerplate_units(units, unit_col="chunk_hash", min_docs=2)
+
+
+@q("q_resize_roundtrip")
+def q_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-resize certified cross-engine, end to end through the
+    production operator: per document (doc_id < 30), an (5 + d mod 4) ×
+    (7 + d mod 5) RGB image with pixel(y, x, c) = (d·13 + y·11 + x·7 +
+    c·5) mod 256 is PNG-encoded, pushed through
+    multimodal.resize_images(fake=False) — genuine decode → nearest-
+    neighbor resample (src index = (i·src)//target) → re-encode, no
+    media library — and the RESIZED PNG bytes are decoded back to
+    integer stats. The oracle replays the pixel formula composed with
+    the same integer index mapping, never touching bytes: a hash match
+    proves the full decode→resample→re-encode chain is sample-exact.
+    Three Arrow-batched mapInPandas stages, partition-preserving, no
+    shuffle anywhere."""
+    import numpy as np
+    import pandas as pd
+
+    from fortune_500_financial_insights_pipeline_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 30)
+        .select("doc_id")
+        .distinct()
+    )
+
+    def build(batches):
+        from fortune_500_financial_insights_pipeline_spark.operators.media_codec import (
+            png_encode,
+        )
+
+        for pdf in batches:
+            out = {"doc_id": [], "media_type": [], "media": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                h, w = 5 + d % 4, 7 + d % 5
+                y, x, c = np.ogrid[0:h, 0:w, 0:3]
+                img = ((d * 13 + y * 11 + x * 7 + c * 5) % 256).astype(np.uint8)
+                out["doc_id"].append(d)
+                out["media_type"].append("png")
+                out["media"].append(png_encode(img))
+            yield pd.DataFrame(out)
+
+    media = ids.mapInPandas(
+        build, schema="doc_id long, media_type string, media binary"
+    )
+    resized = resize_images(media, target_w=5, target_h=3, fake=False)
+
+    def stats(batches):
+        from fortune_500_financial_insights_pipeline_spark.operators.media_codec import (
+            png_decode,
+            png_luma,
+        )
+
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "sum_pixels": [],
+                   "sum_luma": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["resized"]):
+                dec = png_decode(bytes(payload))
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(dec.shape[1])
+                out["height"].append(dec.shape[0])
+                out["sum_pixels"].append(int(dec.astype(np.int64).sum()))
+                out["sum_luma"].append(int(png_luma(dec).sum()))
+            yield pd.DataFrame(out)
+
+    return resized.mapInPandas(
+        stats,
+        schema="doc_id long, width int, height int, sum_pixels long, sum_luma long",
+    )
+
+
+@q("q_audio_features")
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature extraction certified cross-engine through the
+    production operator: per document (doc_id < 40), a deterministic
+    int16 signal pcm_i = ((d·6151 + i·95789) mod 65536) − 32768 over
+    n = 48 + d mod 23 frames at 16 kHz is containerized to RIFF/WAVE
+    bytes and pushed through multimodal.extract_audio_features(
+    fake=False) — genuine byte-level PCM decode, then duration / RMS /
+    zero-crossing rate on the decoded float samples. The oracle computes
+    the same features straight from the generating formula (sum of
+    squares → sqrt, sign-flip count over the lagged series), never
+    touching bytes. Floats are round-6: the only cross-engine delta is
+    summation association, O(1 ulp), eleven orders below the rounding
+    step. Arrow-batched mapInPandas, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from fortune_500_financial_insights_pipeline_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 40)
+        .select("doc_id")
+        .distinct()
+    )
+
+    def build(batches):
+        from fortune_500_financial_insights_pipeline_spark.operators.media_codec import (
+            wav_encode_pcm16,
+        )
+
+        for pdf in batches:
+            out = {"doc_id": [], "media": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 48 + d % 23
+                i = np.arange(n, dtype=np.int64)
+                pcm = ((d * 6151 + i * 95789) % 65536) - 32768
+                out["doc_id"].append(d)
+                out["media"].append(wav_encode_pcm16(pcm.astype(np.int16), 16000))
+            yield pd.DataFrame(out)
+
+    media = ids.mapInPandas(build, schema="doc_id long, media binary")
+    feats = extract_audio_features(media, fake=False)
+    return feats.select(
+        "doc_id",
+        "sample_rate",
+        "n_channels",
+        "n_frames",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+        F.round("zero_cross_rate", 6).alias("zero_cross_rate"),
+    )

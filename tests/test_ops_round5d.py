@@ -1,164 +1,186 @@
-"""Round-5 baseline-JPEG codec tests (operators/jpeg_codec — pure numpy,
-ITU-T T.81). The encoder is the roundtrip partner (4:4:4, Annex-K
-tables); 4:2:0 subsampling and restart markers — which the encoder does
-NOT emit — are exercised via hand-crafted streams built directly from
-the canonical Huffman construction, so those decoder paths are verified
-against spec arithmetic, not against the encoder."""
+"""Round-5d operators: Gopher quality-rule suite, cross-corpus
+boilerplate-unit detection (CCNet paragraph-hash rule over CDC chunks),
+and the two real-media feature keys (resize roundtrip, audio features).
+
+Rule tests craft one violation per rule so every flag is shown to flip
+independently; the boilerplate tests pin the countDistinct semantics
+(within-doc repetition alone is NOT boilerplate) and the plan-quality
+test pins the single-build property (ReusedExchange) the operator's
+scale story depends on."""
 
 from __future__ import annotations
 
-import struct
-
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
-from fortune_500_financial_insights_pipeline_spark.operators.jpeg_codec import (
-    _AC_LUM_BITS,
-    _AC_LUM_VALS,
-    _DC_LUM_BITS,
-    _DC_LUM_VALS,
-    _BitWriter,
-    _canonical_codes,
-    _magnitude,
-    jpeg_decode,
-    jpeg_encode_baseline,
+from fortune_500_financial_insights_pipeline_spark.operators.text import (
+    EN_STOPWORDS,
+    GOPHER_STOPWORDS,
+    boilerplate_lines,
+    boilerplate_units,
+    gopher_rules,
+)
+
+PASSING = (
+    "the cat sat on the mat and then the dog came to sit with the cat "
+    "for a while and that was all they did have done today with the sun"
 )
 
 
-def test_jpeg_gray_constant_and_gradient_exact():
-    img = np.full((8, 8), 77, np.uint8)
-    out = jpeg_decode(jpeg_encode_baseline(img))
-    assert out.shape == (8, 8, 1)
-    assert (out[:, :, 0] == 77).all()
-    grad = (np.arange(16)[:, None] * 7 + np.arange(24)[None, :] * 3).astype(np.uint8)
-    out = jpeg_decode(jpeg_encode_baseline(grad))
-    assert np.array_equal(out[:, :, 0], grad)
+def _flags(spark, text, **kw):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    return gopher_rules(df, **kw).collect()[0]
 
 
-def test_jpeg_rgb_roundtrip_within_color_rounding():
-    rng = np.random.default_rng(3)
-    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
-    out = jpeg_decode(jpeg_encode_baseline(img))
-    assert out.shape == (16, 16, 3)
-    # all-ones quant: the only loss is DCT rounding + YCbCr<->RGB rounding
-    assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+def test_gopher_all_rules_pass_on_clean_text(spark):
+    r = _flags(spark, PASSING)
+    assert r["pass_all"], r.asDict()
 
 
-def test_jpeg_odd_dimensions_crop_back():
-    rng = np.random.default_rng(5)
-    img = rng.integers(0, 256, (10, 13), dtype=np.uint8)
-    out = jpeg_decode(jpeg_encode_baseline(img))
-    assert out.shape == (10, 13, 1)
-    assert np.abs(out[:, :, 0].astype(int) - img.astype(int)).max() <= 2
+def test_gopher_word_count_rule(spark):
+    assert not _flags(spark, "too few words here")["r_word_count"]
+    assert _flags(spark, PASSING)["r_word_count"]
 
 
-def _seg(marker: int, payload: bytes) -> bytes:
-    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+def test_gopher_mean_word_len_rule(spark):
+    shorts = " ".join(["a b"] * 20)
+    assert not _flags(spark, shorts)["r_mean_word_len"]
+    longs = " ".join(["pneumonoultramicroscopic"] * 20)
+    assert not _flags(spark, longs)["r_mean_word_len"]
 
 
-def _dc_only_block(bw, dc_codes, diff):
-    t, bits = _magnitude(diff)
-    code, ln = dc_codes[t]
-    bw.write(code, ln)
-    if t:
-        bw.write(bits, t)
-    # EOB ends the AC run
-    ac_codes = _canonical_codes(_AC_LUM_BITS, _AC_LUM_VALS)
-    code, ln = ac_codes[0x00]
-    bw.write(code, ln)
+def test_gopher_symbol_ratio_rule(spark):
+    hashy = PASSING + " " + "#" * 10
+    assert not _flags(spark, hashy)["r_symbol_ratio"]
+    dots = PASSING + " " + "... " * 10
+    assert not _flags(spark, dots)["r_symbol_ratio"]
 
 
-def _headers_420(h, w):
-    quant = bytes([0x00]) + bytes([1] * 64)
-    sof = struct.pack(">BHHB", 8, h, w, 3) + bytes(
-        [1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]
-    )  # Y 2x2, Cb 1x1, Cr 1x1
-    dht_dc = bytes([0x00]) + bytes(_DC_LUM_BITS[1:]) + bytes(_DC_LUM_VALS)
-    dht_ac = bytes([0x10]) + bytes(_AC_LUM_BITS[1:]) + bytes(_AC_LUM_VALS)
-    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
-    return (
-        b"\xff\xd8"
-        + _seg(0xDB, quant)
-        + _seg(0xC0, sof)
-        + _seg(0xC4, dht_dc)
-        + _seg(0xC4, dht_ac)
-        + _seg(0xDA, sos)
+def test_gopher_bullet_and_ellipsis_line_rules(spark):
+    bullets = "\n".join(["- item " + PASSING] * 10)
+    assert not _flags(spark, bullets)["r_bullet"]
+    ells = "\n".join([PASSING + "..."] * 10)
+    assert not _flags(spark, ells)["r_ellipsis"]
+    assert _flags(spark, PASSING)["r_bullet"]
+    assert _flags(spark, PASSING)["r_ellipsis"]
+
+
+def test_gopher_alpha_words_rule(spark):
+    nums = PASSING + " " + " ".join(str(i) for i in range(40))
+    assert not _flags(spark, nums)["r_alpha_words"]
+
+
+def test_gopher_stopword_rule_and_custom_list(spark):
+    no_stop = " ".join(["flux qux zap"] * 10)
+    assert not _flags(spark, no_stop)["r_stopwords"]
+    # custom list: same text passes when its own words count as stopwords
+    assert _flags(spark, no_stop, stopwords=["flux", "qux"])["r_stopwords"]
+    assert len(GOPHER_STOPWORDS) == 8 and len(EN_STOPWORDS) == 10
+
+
+def test_gopher_integer_exactness_boundary(spark):
+    # exactly mean word length 3.0 must PASS (3*n <= sum <= 10*n inclusive)
+    text = " ".join(["abc"] * 20)
+    assert _flags(spark, text)["r_mean_word_len"]
+
+
+def test_boilerplate_units_counts_distinct_docs_not_occurrences(spark):
+    # unit u1 appears 5x in doc 1 only -> NOT boilerplate (min_docs=2);
+    # unit u2 appears once in each of docs 1..3 -> boilerplate
+    rows = [(1, "u1")] * 5 + [(1, "u2"), (2, "u2"), (3, "u2"), (2, "u3")]
+    units = spark.createDataFrame(rows, "doc_id long, unit_key string")
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_units(units, min_docs=2).collect()
+    }
+    assert out[1]["n_units"] == 6 and out[1]["n_boiler"] == 1
+    assert out[2]["n_units"] == 2 and out[2]["n_boiler"] == 1
+    assert out[3]["n_units"] == 1 and out[3]["n_boiler"] == 1
+    assert out[2]["boiler_frac"] == 0.5
+
+
+def test_boilerplate_lines_separator_corpus(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one. COMMON FOOTER. another unique"),
+            (2, "different text. common footer.  "),
+            (3, "third doc. Common Footer. tail"),
+        ],
+        "doc_id long, text string",
     )
+    out = {r["doc_id"]: r for r in boilerplate_lines(docs, min_docs=3).collect()}
+    # normalization (lower/trim) unifies the footer across all three docs
+    assert all(out[d]["n_boiler"] == 1 for d in (1, 2, 3))
+    assert out[1]["n_units"] == 3 and out[2]["n_units"] == 2
 
 
-def test_jpeg_420_subsampled_dc_only_stream():
-    """Hand-crafted one-MCU 4:2:0 stream: four Y blocks with distinct DC
-    values and neutral chroma. Expect each 8×8 quadrant of the 16×16
-    output to be its block's constant gray value (chroma upsampled 2×2)."""
-    dc_codes = _canonical_codes(_DC_LUM_BITS, _DC_LUM_VALS)
-    bw = _BitWriter()
-    # Y DCs: values v*8 quantize to F00 = 8v -> pixel v+128; diffs chain
-    vals = [-96, -32, 16, 64]  # -> gray 32, 96, 144, 192
-    prev = 0
-    for v in vals:
-        _dc_only_block(bw, dc_codes, v * 8 - prev)
-        prev = v * 8
-    _dc_only_block(bw, dc_codes, 0)  # Cb = 0 (neutral)
-    _dc_only_block(bw, dc_codes, 0)  # Cr = 0
-    bw.flush()
-    data = _headers_420(16, 16) + bytes(bw.out) + b"\xff\xd9"
-    out = jpeg_decode(data)
-    assert out.shape == (16, 16, 3)
-    grays = {32: out[:8, :8], 96: out[:8, 8:], 144: out[8:, :8], 192: out[8:, 8:]}
-    for g, quad in grays.items():
-        assert (quad == g).all(), (g, np.unique(quad))
+def test_boilerplate_chunks_plan_reuses_one_build(spark):
+    """The (unit, doc) pre-agg exchange must be shared by the frequency
+    branch and the per-doc branch — without ReusedExchange the CDC chain
+    (explode + window family) runs twice, which doubles the dominant
+    cost at any scale."""
+    from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
+
+    df = QUERIES["q_boilerplate_chunks"](spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan or "ReusedQueryStage" in plan
+    assert "CartesianProduct" not in plan
 
 
-def test_jpeg_restart_markers_reset_dc_prediction():
-    """DRI=1 grayscale, two MCUs, RST0 between them: the second block's DC
-    diff is relative to a RESET predictor, so a decoder that fails to
-    reset would produce the wrong constant."""
-    quant = bytes([0x00]) + bytes([1] * 64)
-    sof = struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0])
-    dht_dc = bytes([0x00]) + bytes(_DC_LUM_BITS[1:]) + bytes(_DC_LUM_VALS)
-    dht_ac = bytes([0x10]) + bytes(_AC_LUM_BITS[1:]) + bytes(_AC_LUM_VALS)
-    sos = bytes([1, 1, 0x00, 0, 63, 0])
-    dc_codes = _canonical_codes(_DC_LUM_BITS, _DC_LUM_VALS)
-    bw1 = _BitWriter()
-    _dc_only_block(bw1, dc_codes, 40 * 8)  # first block: gray 168
-    bw1.flush()
-    bw2 = _BitWriter()
-    _dc_only_block(bw2, dc_codes, -60 * 8)  # after reset: gray 68 (not 168-60·8/8)
-    bw2.flush()
-    data = (
-        b"\xff\xd8"
-        + _seg(0xDB, quant)
-        + _seg(0xC0, sof)
-        + _seg(0xC4, dht_dc)
-        + _seg(0xC4, dht_ac)
-        + _seg(0xDD, struct.pack(">H", 1))
-        + _seg(0xDA, sos)
-        + bytes(bw1.out)
-        + b"\xff\xd0"
-        + bytes(bw2.out)
-        + b"\xff\xd9"
-    )
-    out = jpeg_decode(data)
-    assert out.shape == (8, 16, 1)
-    assert (out[:, :8, 0] == 168).all()
-    assert (out[:, 8:, 0] == 68).all()
+def test_boilerplate_chunks_has_cross_doc_signal(spark):
+    from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
+
+    df = QUERIES["q_boilerplate_chunks"](spark, "/root/testdata/sf0.001")
+    tot = df.agg(F.sum("n_boiler").alias("b"), F.sum("n_units").alias("u")).collect()[0]
+    assert tot["b"] > 0, "fixture near-dups must share CDC chunks"
+    assert tot["b"] < tot["u"]
 
 
-def test_jpeg_rejects_progressive_and_garbage():
-    with pytest.raises(ValueError):
-        jpeg_decode(b"not a jpeg")
-    # SOF2 (progressive) must be named unsupported, not mis-decoded
-    data = b"\xff\xd8" + _seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
-    with pytest.raises(ValueError, match="baseline"):
-        jpeg_decode(data + b"\xff\xd9")
+def test_resize_roundtrip_matches_formula(spark):
+    """End-to-end operator chain equals the pixel formula composed with
+    the integer nearest-neighbor map — checked here in numpy, the same
+    arithmetic the DuckDB oracle replays in SQL."""
+    from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
+
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["q_resize_roundtrip"](spark, "/root/testdata/sf0.001")
+        .where(F.col("doc_id") < 6)
+        .collect()
+    }
+    for d in range(6):
+        h, w = 5 + d % 4, 7 + d % 5
+        y, x, c = np.ogrid[0:h, 0:w, 0:3]
+        img = (d * 13 + y * 11 + x * 7 + c * 5) % 256
+        ys = (np.arange(3) * h) // 3
+        xs = (np.arange(5) * w) // 5
+        res = img[ys][:, xs]
+        assert rows[d]["width"] == 5 and rows[d]["height"] == 3
+        assert rows[d]["sum_pixels"] == int(res.sum())
 
 
-def test_decode_image_jpeg_without_pil():
-    from fortune_500_financial_insights_pipeline_spark.operators.multimodal import (
-        decode_image,
-    )
+def test_audio_features_real_decode_values(spark):
+    from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
 
-    img = np.full((8, 16), 100, np.uint8)
-    w, h, feat = decode_image(jpeg_encode_baseline(img), fake=False)
-    assert (w, h) == (16, 8)
-    assert feat == [100 / 255.0] * 8
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["q_audio_features"](spark, "/root/testdata/sf0.001")
+        .where(F.col("doc_id") < 4)
+        .collect()
+    }
+    for d in range(4):
+        n = 48 + d % 23
+        i = np.arange(n, dtype=np.int64)
+        pcm = ((d * 6151 + i * 95789) % 65536) - 32768
+        mono = pcm / 32768.0
+        assert rows[d]["n_frames"] == n
+        assert rows[d]["sample_rate"] == 16000
+        assert rows[d]["rms"] == pytest.approx(
+            float(np.sqrt((mono * mono).mean())), abs=1e-6
+        )
+        flips = int((np.signbit(mono[1:]) != np.signbit(mono[:-1])).sum())
+        assert rows[d]["zero_cross_rate"] == pytest.approx(
+            flips / (n - 1), abs=1e-6
+        )
