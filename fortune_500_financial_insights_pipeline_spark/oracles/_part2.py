@@ -2227,7 +2227,7 @@ seas AS (
 ),
 tot AS (SELECT CAST(SUM(s6) AS BIGINT) AS tot6 FROM seas),
 seas_c AS (SELECT ph, s6 * 7 - tot6 AS sc6p FROM seas, tot)
-SELECT i.d, i.v AS value,
+SELECT strftime(i.d, '%Y-%m-%d') AS d, i.v AS value,
        CAST(i.ts AS DOUBLE) / 7 AS trend,
        CAST(s.sc6p AS DOUBLE) / (7 * 1000000.0) AS seasonal,
        CAST(i.v AS DOUBLE) - CAST(i.ts AS DOUBLE) / 7
@@ -2272,7 +2272,8 @@ cus AS (
             AS cusum
   FROM c
 )
-SELECT d, cusum FROM cus ORDER BY ABS(cusum) DESC, d ASC LIMIT 5
+SELECT strftime(d, '%Y-%m-%d') AS d, cusum
+FROM cus ORDER BY ABS(cusum) DESC, d ASC LIMIT 5
 """
 
 ORACLES["q_random_projection"] = f"""

@@ -252,7 +252,10 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    return seasonal_decompose(daily, "d", "n", period=7)
+    # day emitted as a yyyy-MM-dd string, the q_date_arith convention
+    return seasonal_decompose(daily, "d", "n", period=7).withColumn(
+        "d", F.date_format("d", "yyyy-MM-dd")
+    )
 
 @q("q_acf")
 def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -276,14 +279,19 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/timeseries.cusum_peaks): top-5 |running centered sum|
     days — where the series most likely changed level (feed drift /
     source-volume shifts the reference's wholesale reloads would never
-    notice). Integer-exact end to end; ties break on the day."""
+    notice). Integer-exact end to end; ties break on the day. The day
+    is emitted as a yyyy-MM-dd string (the q_date_arith convention —
+    DATE-typed outputs materialize as datetime.date vs the oracle's
+    datetime64, an engine-portability hazard strings do not have)."""
     from fortune_500_financial_insights_pipeline_spark.operators.timeseries import cusum_peaks
 
     o = load_table(spark, sf_dir, "orders")
     daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    return cusum_peaks(daily, "d", "n", top_n=5)
+    return cusum_peaks(daily, "d", "n", top_n=5).withColumn(
+        "d", F.date_format("d", "yyyy-MM-dd")
+    )
 
 @q("q_random_projection")
 def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
