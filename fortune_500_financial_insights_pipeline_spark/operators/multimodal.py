@@ -94,8 +94,9 @@ def _real_decode(media: bytes) -> tuple[int, int, list[float]]:
 
 
 def _pure_decode(media: bytes) -> tuple[int, int, list[float]]:
-    """Real PNG/JPEG decode with no media library (operators/media_codec +
-    operators/jpeg_codec): pixels → integer BT.601 luma → mean over 8
+    """Real PNG/JPEG/GIF decode with no media library (operators/media_codec
+    + operators/jpeg_codec + operators/gif_codec): pixels → integer BT.601
+    luma → mean over 8
     vertical strips, /255 — the same feature shape as the PIL path, with
     the luma formula pinned by media_codec.png_luma's docstring (PIL's
     own "L" conversion may round differently; this path DEFINES the
@@ -114,6 +115,12 @@ def _pure_decode(media: bytes) -> tuple[int, int, list[float]]:
         img = jpeg_decode(media)
     elif media[:8] == PNG_SIGNATURE:
         img = png_decode(media)
+    elif media[:6] in (b"GIF87a", b"GIF89a"):
+        from fortune_500_financial_insights_pipeline_spark.operators.gif_codec import (
+            gif_decode,
+        )
+
+        img = gif_decode(media)
     else:
         raise ValueError("unrecognized still-image payload")
     height, width = img.shape[0], img.shape[1]
@@ -130,10 +137,11 @@ def _pure_decode(media: bytes) -> tuple[int, int, list[float]]:
 
 def decode_image(media: bytes, fake: bool = False):
     """Decode seam: ``fake=True`` is the deterministic stub. ``fake=False``
-    prefers PIL when importable (every raster format); without PIL, PNG
-    payloads decode FOR REAL via the pure stdlib+numpy codec
-    (media_codec.png_decode — unconditionally tested in this container),
-    and only non-PNG formats raise NotImplementedError
+    prefers PIL when importable (every raster format); without PIL, PNG,
+    baseline-JPEG and GIF payloads decode FOR REAL via the pure
+    stdlib+numpy codecs (media_codec / jpeg_codec / gif_codec —
+    unconditionally tested in this container), and only other formats
+    raise NotImplementedError
     (tests/test_multimodal_real.py exercises the PIL path conditionally)."""
     if fake:
         return _fake_decode(media)
@@ -144,12 +152,16 @@ def decode_image(media: bytes, fake: bool = False):
             PNG_SIGNATURE,
         )
 
-        if media[:8] == PNG_SIGNATURE or media[:2] == b"\xff\xd8":
-            return _pure_decode(media)  # PNG + baseline JPEG: real, no PIL
+        if (
+            media[:8] == PNG_SIGNATURE
+            or media[:2] == b"\xff\xd8"
+            or media[:6] in (b"GIF87a", b"GIF89a")
+        ):
+            return _pure_decode(media)  # PNG/baseline JPEG/GIF: real, no PIL
         raise NotImplementedError(
-            "real decode of non-PNG/JPEG stills requires PIL (absent in "
-            "this container); PNG and baseline JPEG decode without it, or "
-            "pass fake=True for the deterministic stub"
+            "real decode of non-PNG/JPEG/GIF stills requires PIL (absent in "
+            "this container); PNG, baseline JPEG and GIF decode without it, "
+            "or pass fake=True for the deterministic stub"
         ) from exc
     return _real_decode(media)
 
@@ -364,9 +376,15 @@ def resize_images(media_df: DataFrame, target_w: int = 64, target_h: int = 64,
                             )
 
                             src = jpeg_decode(media)
+                        elif media[:6] in (b"GIF87a", b"GIF89a"):
+                            from fortune_500_financial_insights_pipeline_spark.operators.gif_codec import (
+                                gif_decode,
+                            )
+
+                            src = gif_decode(media)
                         else:
                             raise NotImplementedError(
-                                "real resize of non-PNG/JPEG stills needs PIL"
+                                "real resize of non-PNG/JPEG/GIF stills needs PIL"
                             ) from exc
                         bitmap = png_encode(
                             resize_nearest(src, target_w, target_h)

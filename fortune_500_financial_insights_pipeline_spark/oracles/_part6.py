@@ -1093,3 +1093,32 @@ SELECT doc_id,
 FROM lagged
 GROUP BY doc_id
 """
+
+# q_gif_decode_roundtrip: the palette-index pixel formula replayed in SQL
+# (incl. BT.601 floor luma); the Spark side round-trips genuine GIF87a
+# bytes through real variable-width LZW.
+ORACLES["q_gif_decode_roundtrip"] = """
+WITH ids AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 30),
+dims AS (
+  SELECT doc_id,
+         CAST(6 + doc_id % 3 AS BIGINT) AS h,
+         CAST(9 + doc_id % 4 AS BIGINT) AS w,
+         CAST(4 + doc_id % 5 AS BIGINT) AS ncol
+  FROM ids
+), px AS (
+  SELECT doc_id, w, h,
+         (doc_id * 11 + ((doc_id + y.y * 3 + x.x) % ncol) * 29 + 0) % 256 AS r,
+         (doc_id * 11 + ((doc_id + y.y * 3 + x.x) % ncol) * 29 + 17) % 256 AS g,
+         (doc_id * 11 + ((doc_id + y.y * 3 + x.x) % ncol) * 29 + 34) % 256 AS b
+  FROM dims,
+       LATERAL (SELECT unnest(range(0, h)) AS y) y,
+       LATERAL (SELECT unnest(range(0, w)) AS x) x
+)
+SELECT doc_id,
+       CAST(MAX(w) AS INTEGER) AS width,
+       CAST(MAX(h) AS INTEGER) AS height,
+       CAST(SUM(r + g + b) AS BIGINT) AS sum_pixels,
+       CAST(SUM((299 * r + 587 * g + 114 * b) // 1000) AS BIGINT) AS sum_luma
+FROM px
+GROUP BY doc_id
+"""

@@ -455,3 +455,61 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rms", 6).alias("rms"),
         F.round("zero_cross_rate", 6).alias("zero_cross_rate"),
     )
+
+
+@q("q_gif_decode_roundtrip")
+def q_gif_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode certified cross-engine: per document (doc_id < 30),
+    a (6 + d mod 3) × (9 + d mod 4) paletted image — index(y, x) =
+    (d + y·3 + x) mod ncol with ncol = 4 + d mod 5, color of index i =
+    ((d·11 + i·29 + c·17) mod 256) per channel c — is encoded to genuine
+    GIF87a bytes (global palette + REAL variable-width LZW,
+    operators/gif_codec) and decoded back through the pure codec (chunk
+    walk, sub-block assembly, LZW with CLEAR/EOI/KwKwK), then reduced to
+    integer stats incl. the pinned BT.601 floor-division luma. The oracle
+    replays the pixel formula in SQL; a hash match proves the entropy
+    decode recovered every index. mapInPandas, Arrow-batched, no
+    shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 30)
+        .select("doc_id")
+        .distinct()
+    )
+
+    def stats(batches):
+        from fortune_500_financial_insights_pipeline_spark.operators.gif_codec import (
+            gif_decode,
+            gif_encode,
+        )
+        from fortune_500_financial_insights_pipeline_spark.operators.media_codec import (
+            png_luma,
+        )
+
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "sum_pixels": [],
+                   "sum_luma": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                h, w, ncol = 6 + d % 3, 9 + d % 4, 4 + d % 5
+                y, x = np.ogrid[0:h, 0:w]
+                idx = (d + y * 3 + x) % ncol
+                c = np.arange(3)
+                img = ((d * 11 + idx[..., None] * 29 + c * 17) % 256).astype(
+                    np.uint8
+                )
+                dec = gif_decode(gif_encode(img))
+                out["doc_id"].append(d)
+                out["width"].append(dec.shape[1])
+                out["height"].append(dec.shape[0])
+                out["sum_pixels"].append(int(dec.astype(np.int64).sum()))
+                out["sum_luma"].append(int(png_luma(dec).sum()))
+            yield pd.DataFrame(out)
+
+    return ids.mapInPandas(
+        stats,
+        schema="doc_id long, width int, height int, sum_pixels long, sum_luma long",
+    )

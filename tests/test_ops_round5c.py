@@ -174,9 +174,10 @@ def test_decode_image_real_png_without_pil():
 
 
 def test_decode_image_unknown_format_raises_without_pil():
-    """Formats outside the pure codecs (PNG + baseline JPEG) still raise
-    NotImplementedError without PIL; corrupt bytes of a SUPPORTED format
-    raise ValueError from the real decoder instead (it genuinely tried)."""
+    """Formats outside the pure codecs (PNG + baseline JPEG + GIF) still
+    raise NotImplementedError without PIL; corrupt bytes of a SUPPORTED
+    format raise ValueError from the real decoder instead (it genuinely
+    tried)."""
     from fortune_500_financial_insights_pipeline_spark.operators.multimodal import (
         decode_image,
     )
@@ -188,7 +189,10 @@ def test_decode_image_unknown_format_raises_without_pil():
     except ImportError:
         pass
     with pytest.raises(NotImplementedError):
-        decode_image(b"GIF89a not actually decodable here", fake=False)
+        decode_image(b"BM bitmap is not among the pure codecs", fake=False)
+    # GIF is now a real codec: corrupt GIF bytes fail INSIDE the decoder
+    with pytest.raises(ValueError):
+        decode_image(b"GIF89a corrupt container follows", fake=False)
     with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 corrupt jpeg bytes", fake=False)
 

@@ -1,76 +1,162 @@
-"""Round-5 MP4 sample-table indexing tests (operators/mp4_index): the
-builder and parser meet only at the ISO BMFF byte format, so round-trips
-verify the spec walk — offsets must slice the exact payload bytes back
-out of mdat, timestamps must be stts cumulative sums over the media
-timescale, and multi-sample chunks must resolve through stsc/stco."""
+"""GIF codec (operators/gif_codec): real variable-width LZW + container
+walk, decodable with no media library.
+
+The hand-built-stream tests construct GIF containers and LZW bit streams
+FORWARD in the test with an independent bit-writer — the decoder is
+checked against the spec's wire format, not against its own encoder."""
 
 from __future__ import annotations
+
+import struct
 
 import numpy as np
 import pytest
 
-from fortune_500_financial_insights_pipeline_spark.operators.mp4_index import (
-    mp4_build_minimal,
-    mp4_extract_samples,
-    mp4_sample_index,
+from fortune_500_financial_insights_pipeline_spark.operators.gif_codec import (
+    gif_decode,
+    gif_dimensions,
+    gif_encode,
+    lzw_decode,
+    lzw_encode,
 )
 
 
-def _fixture(n=9, spc=4):
-    samples = [bytes([(3 * i + 1) % 256]) * (5 + 7 * i % 23) for i in range(n)]
-    durations = [100 + 50 * (i % 3) for i in range(n)]
-    return samples, durations, mp4_build_minimal(
-        samples, durations, timescale=1000, samples_per_chunk=spc
+def _pack_codes(codes_widths: list[tuple[int, int]]) -> bytes:
+    """Independent LSB-first bit packer (forward direction, test-local)."""
+    acc = nacc = 0
+    out = bytearray()
+    for code, width in codes_widths:
+        acc |= code << nacc
+        nacc += width
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+    if nacc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_decode_hand_built_stream():
+    # min_code_size=2: CLEAR=4, EOI=5, roots 0..3, width starts at 3.
+    # Stream: CLEAR, 0, 1, 2, 2, EOI -> pixels [0, 1, 2, 2]. After the
+    # third pixel the table holds 8 entries (6=[0,1], 7=[1,2]), so the
+    # remaining codes are read at width 4 per the spec.
+    data = _pack_codes([(4, 3), (0, 3), (1, 3), (2, 3), (2, 4), (5, 4)])
+    assert lzw_decode(data, 2) == [0, 1, 2, 2]
+
+
+def test_lzw_decode_kwkwk_case():
+    # CLEAR, 0, 6, EOI with min=2: code 6 == next free slot -> KwKwK,
+    # emits prev + prev[0] = [0, 0]
+    data = _pack_codes([(4, 3), (0, 3), (6, 3), (5, 3)])
+    assert lzw_decode(data, 2) == [0, 0, 0]
+
+
+def test_lzw_decode_width_growth():
+    # fill the table to 2**3 entries, then the NEXT code must be read at
+    # width 4 — alternate roots so every phrase is new: after k phrases
+    # table size is 6 + k; width grows to 4 once size hits 8
+    codes = [(4, 3), (0, 3), (1, 3), (2, 3)]  # table: 6,7 added -> size 8
+    codes += [(3, 4), (5, 4)]  # next reads at width 4; EOI=5
+    data = _pack_codes(codes)
+    assert lzw_decode(data, 2) == [0, 1, 2, 3]
+
+
+def test_lzw_roundtrip_properties():
+    rnd = np.random.default_rng(11)
+    for n, nsym in [(1, 1), (7, 2), (300, 4), (5000, 130), (60000, 256)]:
+        seq = rnd.integers(0, nsym, size=n).tolist()
+        mcs = max(2, int(np.ceil(np.log2(max(nsym, 2)))))
+        assert lzw_decode(lzw_encode(seq, mcs), mcs) == seq
+
+
+def test_gif_decode_hand_built_container_with_extension_and_local_palette():
+    # GIF89a, 2x2 screen, NO global palette; a graphic-control extension
+    # (must be skipped); image with a LOCAL 4-color palette
+    pal = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+    # width grows to 4 after the table reaches 8 entries (see above)
+    lzw = _pack_codes([(4, 3), (0, 3), (1, 3), (2, 3), (3, 4), (5, 4)])
+    data = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", 2, 2, 0x00, 0, 0)
+        + b"\x21\xf9" + bytes([4, 0, 0, 0, 0]) + b"\x00"  # GCE + terminator
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, 0x81)  # local, 4 colors
+        + pal
+        + bytes([2])  # min code size
+        + bytes([len(lzw)]) + lzw + b"\x00"
+        + b"\x3b"
     )
+    img = gif_decode(data)
+    assert img.shape == (2, 2, 3)
+    assert img[0, 0].tolist() == [10, 20, 30]
+    assert img[1, 1].tolist() == [100, 110, 120]
+    assert gif_dimensions(data) == (2, 2)
 
 
-def test_mp4_index_recovers_every_sample_exactly():
-    samples, durations, data = _fixture()
-    idx = mp4_sample_index(data)
-    assert len(idx) == len(samples)
-    running = 0
-    for (i, ts, off, size), payload, dur in zip(idx, samples, durations):
-        assert size == len(payload)
-        assert data[off : off + size] == payload  # stco/stsc offsets are real
-        assert ts == pytest.approx(running / 1000.0)
-        running += dur
+def test_gif_roundtrip_palette_sizes():
+    rnd = np.random.default_rng(5)
+    for ncol in (1, 2, 3, 16, 200, 256):
+        pal = rnd.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+        idx = rnd.integers(0, ncol, size=(9, 13))
+        img = pal[idx]
+        dec = gif_decode(gif_encode(img))
+        assert (dec == img).all(), ncol
 
 
-def test_mp4_extract_every_n():
-    samples, _durations, data = _fixture(n=10, spc=3)
-    ext = mp4_extract_samples(data, every_n=3)
-    assert [i for i, _, _ in ext] == [0, 3, 6, 9]
-    for i, _ts, frame in ext:
-        assert frame == samples[i]
+def test_gif_encode_rejects_bad_inputs():
+    with pytest.raises(ValueError, match="expects"):
+        gif_encode(np.zeros((4, 4), np.uint8))
+    rnd = np.random.default_rng(1)
+    # >256 distinct colors
+    img = rnd.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    while len(np.unique(img.reshape(-1, 3), axis=0)) <= 256:
+        img = rnd.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="caps at 256"):
+        gif_encode(img)
 
 
-def test_mp4_single_chunk_and_uneven_tail():
-    # n not divisible by samples_per_chunk: the last chunk is short
-    samples, _d, data = _fixture(n=7, spc=4)
-    idx = mp4_sample_index(data)
-    assert [i for i, *_ in idx] == list(range(7))
-    assert data[idx[6][2] : idx[6][2] + idx[6][3]] == samples[6]
+def test_gif_decode_rejects_interlaced_and_non_gif():
+    with pytest.raises(ValueError, match="not a GIF"):
+        gif_decode(b"PNG such not")
+    img = np.zeros((2, 2, 3), np.uint8)
+    data = bytearray(gif_encode(img))
+    # flip the interlace bit in the image descriptor flags byte
+    idesc = data.index(0x2C, 13)
+    data[idesc + 9] |= 0x40
+    with pytest.raises(ValueError, match="interlaced"):
+        gif_decode(bytes(data))
 
 
-def test_mp4_rejects_garbage():
-    with pytest.raises(ValueError):
-        mp4_sample_index(b"definitely not an mp4 container")
-
-
-def test_sample_video_frames_in_spark(spark):
+def test_decode_image_seam_handles_gif_without_pil(spark):
     from fortune_500_financial_insights_pipeline_spark.operators.multimodal import (
-        sample_video_frames,
+        decode_image,
     )
 
-    samples, durations, data = _fixture(n=6, spc=2)
+    img = np.zeros((6, 9, 3), np.uint8)
+    img[:, :, 1] = (np.arange(9, dtype=np.uint8) * 7)[None, :]
+    w, h, feat = decode_image(gif_encode(img))
+    assert (w, h) == (9, 6)
+    assert len(feat) == 8 and feat[0] < feat[-1]
+
+
+def test_resize_seam_handles_gif_without_pil(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.media_codec import (
+        png_decode,
+    )
+    from fortune_500_financial_insights_pipeline_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    rnd = np.random.default_rng(9)
+    pal = rnd.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    img = pal[rnd.integers(0, 8, size=(10, 14))]
     df = spark.createDataFrame(
-        [(9, bytearray(data))], "doc_id long, media binary"
+        [(1, "gif", bytearray(gif_encode(img)))],
+        "doc_id long, media_type string, media binary",
     )
-    rows = sorted(
-        sample_video_frames(df, every_n=2).collect(), key=lambda r: r.frame_idx
-    )
-    assert [r.frame_idx for r in rows] == [0, 2, 4]
-    for r in rows:
-        assert bytes(r.frame) == samples[r.frame_idx]
-        assert r.n_bytes == len(samples[r.frame_idx])
-    assert rows[1].frame_ts == pytest.approx((durations[0] + durations[1]) / 1000.0)
+    row = resize_images(df, target_w=7, target_h=5, fake=False).collect()[0]
+    out = png_decode(bytes(row["resized"]))
+    ys = (np.arange(5) * 10) // 5
+    xs = (np.arange(7) * 14) // 7
+    assert (out == img[ys][:, xs]).all()
