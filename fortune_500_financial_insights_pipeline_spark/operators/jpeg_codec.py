@@ -3,8 +3,10 @@
 Decoder: baseline sequential DCT (SOF0), 8-bit samples, Huffman entropy
 coding (DHT), single interleaved scan, 4:4:4 / 4:2:0 / 4:2:2 chroma
 subsampling, restart markers, JFIF YCbCr→RGB. That covers the classic
-baseline JPEG; progressive (SOF2) and arithmetic coding raise ValueError
-with the reason.
+baseline JPEG. Progressive (SOF2) dispatches to
+operators/jpeg_progressive (round-5: spectral selection + successive
+approximation, fully decoded); arithmetic coding and the lossless/
+hierarchical SOF variants raise ValueError with the reason.
 
 Encoder: minimal 4:4:4 baseline encoder (level shift → float DCT →
 quantize → Annex-K Huffman) — exists so tests can roundtrip without any
@@ -192,8 +194,14 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("unsupported JPEG: not baseline sequential (SOF0)")
+        elif marker == 0xC2:  # progressive: hand the whole stream over
+            from fortune_500_financial_insights_pipeline_spark.operators.jpeg_progressive import (
+                jpeg_decode_progressive,
+            )
+
+            return jpeg_decode_progressive(data)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("unsupported JPEG: not baseline/progressive DCT")
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):

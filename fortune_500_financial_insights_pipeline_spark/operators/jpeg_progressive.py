@@ -1,0 +1,569 @@
+"""Progressive JPEG (ITU-T T.81 Annex G, SOF2) — pure numpy, round 5.
+
+Closes the last still-image gap the baseline codec left: multi-scan
+decoding with BOTH progressive dimensions of the spec —
+
+* spectral selection: each AC scan carries one zig-zag band [Ss, Se] of
+  exactly one component; DC scans (Ss=0) may interleave components;
+* successive approximation: a first pass (Ah=0) delivers coefficients at
+  reduced precision (point transform << Al), refinement passes (Ah>0)
+  append one magnitude bit each — newly-nonzero coefficients arrive as
+  run-coded (r, 1) symbols with a sign bit, previously-nonzero ones as
+  positional correction bits, and EOBRUN folds whole all-zero bands
+  across blocks.
+
+The decoder accumulates dequantization-ready coefficients per block
+across every scan and renders (IDCT, upsample, YCbCr→RGB) once at EOI —
+the coefficient-store architecture every progressive decoder uses. The
+encoder is the roundtrip partner: 4:4:4, Annex-K Huffman tables, a
+standard scan script (DC first at Al=1 → per-component AC band splits at
+Al=1 → DC refinement → per-component AC refinements), real EOBRUN
+accumulation and refinement-bit buffering, so round-trips exercise the
+genuine wire format including the correction-bit interleaving order
+(symbol, sign, then buffered history bits — the ordering is pinned by
+hand-built-stream tests on the decode side).
+
+Shared primitives (bit I/O, canonical Huffman, DCT basis, zig-zag,
+Annex-K tables) come from operators/jpeg_codec; jpeg_codec.jpeg_decode
+dispatches SOF2 frames here, so multimodal.decode_image gets progressive
+support with no seam change."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from fortune_500_financial_insights_pipeline_spark.operators.jpeg_codec import (
+    _DC_LUM_BITS,
+    _DC_LUM_VALS,
+    _BitReader,
+    _BitWriter,
+    _HuffDecoder,
+    _ZIGZAG,
+    _canonical_codes,
+    _dct2,
+    _extend,
+    _idct2,
+    _magnitude,
+)
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+def _comp_block_grid(frame, comp):
+    """Non-interleaved block grid of one component: ceil(comp_size/8)."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    cw = -(-frame["w"] * comp["h"] // hmax)
+    ch = -(-frame["h"] * comp["v"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _decode_dc_scan(frame, scan, store, reader, ri, ah, al, dc_tables):
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    if len(scan) == 1:
+        c = scan[0]
+        rows, cols = _comp_block_grid(frame, c)
+        units = [(c, by, bx) for by in range(rows) for bx in range(cols)]
+        groups = [[u] for u in units]  # MCU = 1 block, non-interleaved
+    else:
+        mcux = -(-frame["w"] // (8 * hmax))
+        mcuy = -(-frame["h"] // (8 * vmax))
+        groups = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                g = []
+                for c in scan:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            g.append((c, my * c["v"] + by, mx * c["h"] + bx))
+                groups.append(g)
+    pred = {c["id"]: 0 for c in scan}
+    for i, group in enumerate(groups):
+        if ri and i and i % ri == 0:
+            marker = reader.align_to_marker()
+            if not (0xD0 <= marker <= 0xD7):
+                raise ValueError("corrupt JPEG: bad restart marker")
+            pred = {c["id"]: 0 for c in scan}
+        for c, by, bx in group:
+            block = store[c["id"]][by][bx]
+            if ah == 0:
+                t = dc_tables[c["dc"]].decode(reader)
+                pred[c["id"]] += _extend(reader.receive(t), t)
+                block[0] = pred[c["id"]] << al
+            elif reader.bit():
+                block[0] |= 1 << al
+
+
+def _decode_ac_scan(frame, comp, store, reader, ri, ss, se, ah, al, ac_tables):
+    rows, cols = _comp_block_grid(frame, comp)
+    ac = ac_tables[comp["ac"]]
+    eobrun = 0
+    n = 0
+    for by in range(rows):
+        for bx in range(cols):
+            if ri and n and n % ri == 0:
+                marker = reader.align_to_marker()
+                if not (0xD0 <= marker <= 0xD7):
+                    raise ValueError("corrupt JPEG: bad restart marker")
+                eobrun = 0
+            n += 1
+            block = store[comp["id"]][by][bx]
+            if ah == 0:
+                eobrun = _ac_first(block, reader, ac, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine(block, reader, ac, ss, se, al, eobrun)
+
+
+def _ac_first(block, reader, ac, ss, se, al, eobrun) -> int:
+    if eobrun:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = ac.decode(reader)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.receive(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("corrupt JPEG: AC band overrun")
+        block[_ZIGZAG[k]] = _extend(reader.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(block, reader, ac, ss, se, al, eobrun) -> int:
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = ac.decode(reader)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                # ZRL: s stays 0, walk 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("corrupt JPEG: refinement size != 1")
+                val = p1 if reader.bit() else m1
+            while k <= se:
+                zi = _ZIGZAG[k]
+                if block[zi] != 0:
+                    if reader.bit() and (block[zi] & p1) == 0:
+                        block[zi] += p1 if block[zi] > 0 else m1
+                else:
+                    if r == 0:
+                        if s:
+                            block[zi] = val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eobrun:
+        # EOB covers the rest of this band: correction bits only
+        while k <= se:
+            zi = _ZIGZAG[k]
+            if block[zi] != 0 and reader.bit() and (block[zi] & p1) == 0:
+                block[zi] += p1 if block[zi] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Position of the next non-RST, non-stuffing marker at/after pos."""
+    while pos + 1 < len(data):
+        if data[pos] == 0xFF and data[pos + 1] != 0x00 and not (
+            0xD0 <= data[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    return len(data)
+
+
+def jpeg_decode_progressive(data: bytes) -> np.ndarray:
+    """Decode a progressive (SOF2) JPEG to (H, W, 3) RGB (or (H, W, 1)
+    grayscale) uint8 — full multi-scan walk, coefficient store, single
+    render at EOI."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, _HuffDecoder] = {}
+    ac_tables: dict[int, _HuffDecoder] = {}
+    frame = None
+    store: dict[int, list[list[np.ndarray]]] = {}
+    restart_interval = 0
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("corrupt JPEG: expected marker")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                if pq != 0:
+                    raise ValueError("unsupported JPEG: 16-bit quant table")
+                tbl = np.zeros(64, np.int64)
+                tbl[_ZIGZAG] = np.frombuffer(seg[p : p + 64], np.uint8)
+                qt[tq] = tbl.reshape(8, 8)
+                p += 64
+        elif marker == 0xC2:
+            _prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for c in comps:
+                store[c["id"]] = [
+                    [np.zeros(64, np.int64) for _ in range(mcux * c["h"])]
+                    for _ in range(mcuy * c["v"])
+                ]
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError("jpeg_decode_progressive expects SOF2")
+        elif marker == 0xC4:
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = [0] + list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nv])
+                (dc_tables if tc == 0 else ac_tables)[th] = _HuffDecoder(bits, vals)
+                p += 17 + nv
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("corrupt JPEG: SOS before SOF2")
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                scan.append({**comp, "dc": tdta >> 4, "ac": tdta & 0xF})
+            ss, se, a = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = a >> 4, a & 0xF
+            reader = _BitReader(data, pos + seglen)
+            if ss == 0:
+                if se != 0:
+                    raise ValueError("corrupt JPEG: DC scan with Se != 0")
+                _decode_dc_scan(frame, scan, store, reader, restart_interval,
+                                ah, al, dc_tables)
+            else:
+                if ns != 1:
+                    raise ValueError("corrupt JPEG: interleaved AC scan")
+                _decode_ac_scan(frame, scan[0], store, reader,
+                                restart_interval, ss, se, ah, al, ac_tables)
+            pos = _next_marker(data, reader.pos)
+            continue
+        pos += seglen
+    if frame is None:
+        raise ValueError("corrupt JPEG: no SOF2 frame")
+    return _render(frame, store, qt)
+
+
+def _render(frame, store, qt) -> np.ndarray:
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    out = []
+    for c in frame["comps"]:
+        blocks = store[c["id"]]
+        rows, cols = len(blocks), len(blocks[0])
+        plane = np.zeros((rows * 8, cols * 8), np.float64)
+        q = qt[c["tq"]]
+        for by in range(rows):
+            for bx in range(cols):
+                dq = blocks[by][bx].reshape(8, 8) * q
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _idct2(
+                    dq.astype(np.float64)
+                )
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        out.append(plane[: frame["h"], : frame["w"]])
+    if len(out) == 1:
+        return np.clip(np.round(out[0] + 128.0), 0, 255).astype(np.uint8)[:, :, None]
+    y, cb, cr = out[0] + 128.0, out[1], out[2]
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Encoder (roundtrip partner): 4:4:4, SA + spectral script
+# ---------------------------------------------------------------------------
+
+# Progressive AC scans need EOBn symbols (0x10..0xE0) that baseline's
+# Annex-K table does not define, so the encoder carries its own flat
+# canonical table: every symbol it can emit — EOB0..EOB14, ZRL, and
+# (r<<4)|s for r 0..15, s 1..10 — at code length 8. 176 codes of 256
+# satisfy Kraft with room to spare and the all-ones code is never
+# assigned, so the DHT is spec-valid; compression is sacrificed for
+# simplicity (this encoder exists to exercise the decoder's wire format,
+# not to win size benchmarks).
+_PROG_AC_VALS = (
+    [r << 4 for r in range(15)]          # EOB0..EOB14
+    + [0xF0]                             # ZRL
+    + [(r << 4) | sz for r in range(16) for sz in range(1, 11)]
+)
+_PROG_AC_BITS = [0] * 8 + [len(_PROG_AC_VALS)] + [0] * 8
+
+
+class _RefineWriter:
+    """AC scan emitter handling EOBRUN accumulation and (for refinement)
+    the buffered-correction-bit protocol: history bits buffered, flushed
+    after the next ZRL / newly-nonzero symbol / EOB flush — the stream
+    order the decoder's positional walk consumes."""
+
+    def __init__(self, bw: _BitWriter, ac_codes) -> None:
+        self.bw = bw
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.be: list[int] = []  # correction bits awaiting the EOB flush
+
+    def sym(self, s: int) -> None:
+        code, ln = self.ac[s]
+        self.bw.write(code, ln)
+
+    def flush_eob(self) -> None:
+        if self.eobrun:
+            r = self.eobrun.bit_length() - 1
+            self.sym(r << 4)
+            if r:
+                self.bw.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for b in self.be:
+            self.bw.write(b, 1)
+        self.be = []
+
+
+def _encode_ac_first(w: _RefineWriter, block: np.ndarray, ss, se, al) -> None:
+    """``block`` is in NATURAL order (the decoder's convention); band
+    positions are zig-zag indices ss..se."""
+    band = [int(block[_ZIGZAG[k]]) >> al if int(block[_ZIGZAG[k]]) >= 0
+            else -((-int(block[_ZIGZAG[k]])) >> al)
+            for k in range(ss, se + 1)]
+    if not any(band):
+        w.eobrun += 1
+        if w.eobrun == 0x7FFF:
+            w.flush_eob()
+        return
+    w.flush_eob()
+    run = 0
+    last = max(i for i, v in enumerate(band) if v)
+    for i, v in enumerate(band):
+        if i > last:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            w.sym(0xF0)
+            run -= 16
+        t, bits = _magnitude(v)
+        w.sym((run << 4) | t)
+        w.bw.write(bits, t)
+        run = 0
+    if last < len(band) - 1:
+        w.eobrun += 1
+        if w.eobrun == 0x7FFF:
+            w.flush_eob()
+
+
+def _encode_ac_refine(w: _RefineWriter, block: np.ndarray, ss, se, al) -> None:
+    """``block`` in NATURAL order, like _encode_ac_first."""
+    vals = [int(block[_ZIGZAG[k]]) >> al if int(block[_ZIGZAG[k]]) >= 0
+            else -((-int(block[_ZIGZAG[k]])) >> al)
+            for k in range(ss, se + 1)]
+    mags = [abs(v) for v in vals]
+    new = [i for i, m in enumerate(mags) if m == 1]
+    eobpos = new[-1] if new else -1
+    if eobpos < 0:
+        # no newly-nonzero coefficient: whole band folds into EOBRUN,
+        # history correction bits ride the BE buffer
+        w.eobrun += 1
+        w.be.extend(m & 1 for m in mags if m > 1)
+        if w.eobrun == 0x7FFF:
+            w.flush_eob()
+        return
+    w.flush_eob()
+    run = 0
+    br: list[int] = []
+    for i, m in enumerate(mags):
+        if m == 0:
+            run += 1
+            continue
+        # ZRLs are emitted lazily at the next nonzero coefficient, and
+        # only while a newly-nonzero one is still ahead (i <= eobpos) —
+        # past it, zeros and history bits fold into the EOB instead
+        while run > 15 and i <= eobpos:
+            w.sym(0xF0)
+            run -= 16
+            for b in br:
+                w.bw.write(b, 1)
+            br = []
+        if m > 1:
+            br.append(m & 1)
+            continue
+        w.sym((run << 4) | 1)
+        w.bw.write(1 if vals[i] > 0 else 0, 1)
+        for b in br:
+            w.bw.write(b, 1)
+        br = []
+        run = 0
+    if run or br:
+        w.eobrun += 1
+        w.be.extend(br)
+        if w.eobrun == 0x7FFF:
+            w.flush_eob()
+
+
+def jpeg_encode_progressive(
+    img: np.ndarray, quant: "np.ndarray | None" = None, al: int = 1
+) -> bytes:
+    """Encode (H, W) grayscale or (H, W, 3) RGB as a progressive 4:4:4
+    JPEG: DC-first at Al=``al`` + per-component AC band splits (1–5,
+    6–63) at Al=``al``, then DC and AC refinement scans down to Al=0 —
+    both progressive dimensions of Annex G on the wire."""
+    arr = np.asarray(img)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nc = arr.shape
+    if quant is None:
+        quant = np.ones((8, 8), np.int64)
+    quant = np.asarray(quant, np.int64)
+    if nc == 3:
+        rf, gf, bf = (arr[:, :, i].astype(np.float64) for i in range(3))
+        comps = [
+            0.299 * rf + 0.587 * gf + 0.114 * bf - 128.0,
+            -0.168736 * rf - 0.331264 * gf + 0.5 * bf,
+            0.5 * rf - 0.418688 * gf - 0.081312 * bf,
+        ]
+    else:
+        comps = [arr[:, :, 0].astype(np.float64) - 128.0]
+    hb, wb = -(-h // 8), -(-w // 8)
+    # coefficient planes, zig-zag order per block
+    coefs = [np.zeros((hb, wb, 64), np.int64) for _ in comps]
+    for ci, plane in enumerate(comps):
+        for by in range(hb):
+            for bx in range(wb):
+                block = np.zeros((8, 8), np.float64)
+                tile = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                block[: tile.shape[0], : tile.shape[1]] = tile
+                if tile.shape[0] < 8:
+                    block[tile.shape[0] :, : tile.shape[1]] = tile[-1:, :]
+                if tile.shape[1] < 8:
+                    block[:, tile.shape[1] :] = block[
+                        :, tile.shape[1] - 1 : tile.shape[1]
+                    ]
+                # NATURAL order throughout (the decoder's store layout);
+                # the scan coders apply the zig-zag mapping themselves
+                coefs[ci][by, bx] = np.round(_dct2(block) / quant).astype(
+                    np.int64
+                ).reshape(64)
+    dc_codes = _canonical_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_codes = _canonical_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def sos_header(comp_ids: list[int], ss, se, ah, a_l) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | a_l]))
+
+    scans = bytearray()
+    # scan 1: DC first, interleaved, point transform << al
+    bw = _BitWriter()
+    pred = [0] * len(comps)
+    for by in range(hb):
+        for bx in range(wb):
+            for ci in range(len(comps)):
+                # DC point transform is an ARITHMETIC shift (T.81 G.1.2.1)
+                # — floor semantics, so refinement bits reconstruct
+                # negatives exactly via two's complement
+                v = int(coefs[ci][by, bx, 0]) >> al
+                diff = v - pred[ci]
+                pred[ci] = v
+                t, bits = _magnitude(diff)
+                code, ln = dc_codes[t]
+                bw.write(code, ln)
+                if t:
+                    bw.write(bits, t)
+    bw.flush()
+    scans += sos_header([i + 1 for i in range(len(comps))], 0, 0, 0, al)
+    scans += bytes(bw.out)
+    # per-component AC first scans, two spectral bands
+    for ci in range(len(comps)):
+        for ss, se in ((1, 5), (6, 63)):
+            bw = _BitWriter()
+            wr = _RefineWriter(bw, ac_codes)
+            for by in range(hb):
+                for bx in range(wb):
+                    _encode_ac_first(wr, coefs[ci][by, bx], ss, se, al)
+            wr.flush_eob()
+            bw.flush()
+            scans += sos_header([ci + 1], ss, se, 0, al)
+            scans += bytes(bw.out)
+    # refinement passes al-1 .. 0
+    for lvl in range(al - 1, -1, -1):
+        bw = _BitWriter()
+        for by in range(hb):
+            for bx in range(wb):
+                for ci in range(len(comps)):
+                    bw.write((int(coefs[ci][by, bx, 0]) >> lvl) & 1, 1)
+        bw.flush()
+        scans += sos_header([i + 1 for i in range(len(comps))], 0, 0, lvl + 1, lvl)
+        scans += bytes(bw.out)
+        for ci in range(len(comps)):
+            for ss, se in ((1, 5), (6, 63)):
+                bw = _BitWriter()
+                wr = _RefineWriter(bw, ac_codes)
+                for by in range(hb):
+                    for bx in range(wb):
+                        _encode_ac_refine(wr, coefs[ci][by, bx], ss, se, lvl)
+                wr.flush_eob()
+                bw.flush()
+                scans += sos_header([ci + 1], ss, se, lvl + 1, lvl)
+                scans += bytes(bw.out)
+    qz = quant.reshape(64)[_ZIGZAG]
+    dqt = seg(0xDB, bytes([0x00]) + bytes(int(v) for v in qz))
+    sof = seg(
+        0xC2,
+        struct.pack(">BHHB", 8, h, w, len(comps))
+        + b"".join(bytes([i + 1, 0x11, 0]) for i in range(len(comps))),
+    )
+    dht_dc = seg(0xC4, bytes([0x00]) + bytes(_DC_LUM_BITS[1:]) + bytes(_DC_LUM_VALS))
+    dht_ac = seg(
+        0xC4, bytes([0x10]) + bytes(_PROG_AC_BITS[1:]) + bytes(_PROG_AC_VALS)
+    )
+    return b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + bytes(scans) + b"\xff\xd9"

@@ -1122,3 +1122,30 @@ SELECT doc_id,
 FROM px
 GROUP BY doc_id
 """
+
+# q_jpeg_progressive_roundtrip: constant-block grayscale formula replayed
+# directly; the Spark side round-trips a genuine multi-scan SOF2 stream
+# (successive approximation + spectral selection).
+ORACLES["q_jpeg_progressive_roundtrip"] = """
+WITH ids AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 24),
+dims AS (
+  SELECT doc_id,
+         CAST(16 + 8 * (doc_id % 3) AS BIGINT) AS w,
+         CAST(24 AS BIGINT) AS h
+  FROM ids
+), blocks AS (
+  SELECT doc_id, w, h, by.by, bx.bx,
+         (doc_id * 43 + by.by * 13 + bx.bx * 7) % 256 AS v
+  FROM dims,
+       LATERAL (SELECT unnest(range(0, h // 8)) AS by) by,
+       LATERAL (SELECT unnest(range(0, w // 8)) AS bx) bx
+)
+SELECT doc_id,
+       CAST(MAX(w) AS INTEGER) AS width,
+       CAST(MAX(h) AS INTEGER) AS height,
+       CAST(SUM(v * 64) AS BIGINT) AS sum_pixels,
+       CAST(MIN(v) AS INTEGER) AS min_pixel,
+       CAST(MAX(v) AS INTEGER) AS max_pixel
+FROM blocks
+GROUP BY doc_id
+"""

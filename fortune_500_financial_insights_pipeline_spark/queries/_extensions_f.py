@@ -513,3 +513,63 @@ def q_gif_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats,
         schema="doc_id long, width int, height int, sum_pixels long, sum_luma long",
     )
+
+
+@q("q_jpeg_progressive_roundtrip")
+def q_jpeg_progressive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive-JPEG decode certified cross-engine: per document
+    (doc_id < 24), a grayscale image of constant 8×8 blocks — block
+    (by, bx) holds v = (d·43 + by·13 + bx·7) mod 256, width
+    16 + 8·(d mod 3), height 24 — is encoded as a genuine SOF2 stream
+    (operators/jpeg_progressive: DC-first at Al=1, spectral-split AC
+    scans, DC + AC refinement passes with EOBRUN and buffered correction
+    bits) and decoded back through the multi-scan coefficient-store
+    decoder, entered via jpeg_codec.jpeg_decode's SOF2 dispatch. Constant
+    blocks make the DCT↔IDCT roundtrip exact after rounding, so integer
+    stats over the decoded pixels equal the generating formula — which is
+    what the oracle computes. A hash match proves the successive-
+    approximation reassembly recovered every sample."""
+    import numpy as np
+    import pandas as pd
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 24)
+        .select("doc_id")
+        .distinct()
+    )
+
+    def stats(batches):
+        from fortune_500_financial_insights_pipeline_spark.operators.jpeg_codec import (
+            jpeg_decode,
+        )
+        from fortune_500_financial_insights_pipeline_spark.operators.jpeg_progressive import (
+            jpeg_encode_progressive,
+        )
+
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "sum_pixels": [],
+                   "min_pixel": [], "max_pixel": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 16 + 8 * (d % 3), 24
+                img = np.zeros((h, w), np.uint8)
+                for by in range(h // 8):
+                    for bx in range(w // 8):
+                        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                            d * 43 + by * 13 + bx * 7
+                        ) % 256
+                dec = jpeg_decode(jpeg_encode_progressive(img))[:, :, 0]
+                out["doc_id"].append(d)
+                out["width"].append(dec.shape[1])
+                out["height"].append(dec.shape[0])
+                out["sum_pixels"].append(int(dec.astype(np.int64).sum()))
+                out["min_pixel"].append(int(dec.min()))
+                out["max_pixel"].append(int(dec.max()))
+            yield pd.DataFrame(out)
+
+    return ids.mapInPandas(
+        stats,
+        schema="doc_id long, width int, height int, sum_pixels long, "
+        "min_pixel int, max_pixel int",
+    )
