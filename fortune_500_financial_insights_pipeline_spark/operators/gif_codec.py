@@ -263,3 +263,135 @@ def gif_encode(img: np.ndarray) -> bytes:
     out += _sub_blocks(lzw_encode(inv, min_code))
     out += b"\x3b"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Animation (GIF89a): the one video-like format fully decodable here
+# ---------------------------------------------------------------------------
+
+
+def gif_decode_frames(data: bytes) -> list[tuple[int, np.ndarray]]:
+    """Decode ALL frames of a (possibly animated) GIF as
+    [(delay_cs, (H, W, 3) canvas), ...] — real frame COMPOSITION, not
+    just extraction: each image block draws at its (left, top) offset
+    over the running canvas, honoring the graphic-control extension's
+    delay, transparency index, and disposal methods 0/1 (leave) and 2
+    (restore background, cleared to color 0). This is the genuinely
+    decodable member of the video family: the MP4 path
+    (operators/mp4_index) walks the sample table and slices encoded
+    H.264 frames; here every frame's pixels are recovered for real."""
+    if data[:6] not in GIF_MAGICS:
+        raise ValueError("not a GIF payload")
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gpal = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gpal = np.frombuffer(data[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+    canvas = np.zeros((sh, sw, 3), np.uint8)
+    if gpal is not None:
+        canvas[:] = gpal[0]
+    frames: list[tuple[int, np.ndarray]] = []
+    delay = 0
+    transparent = -1
+    disposal = 0
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            label = data[pos]
+            pos += 1
+            if label == 0xF9:  # graphic control
+                ln = data[pos]
+                gflags = data[pos + 1]
+                (delay,) = struct.unpack("<H", data[pos + 2 : pos + 4])
+                transparent = data[pos + 4] if gflags & 0x01 else -1
+                disposal = (gflags >> 2) & 0x07
+                pos += 1 + ln
+            else:
+                while data[pos]:
+                    pos += 1 + data[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        lx, ty, w, h, iflags = struct.unpack("<HHHHB", data[pos : pos + 9])
+        pos += 9
+        if iflags & 0x40:
+            raise ValueError("interlaced GIF not supported")
+        pal = gpal
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            pal = np.frombuffer(data[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image has no color table")
+        min_code = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while data[pos]:
+            ln = data[pos]
+            lzw += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = np.asarray(lzw_decode(bytes(lzw), min_code)[: w * h], np.int64)
+        if idx.size < w * h:
+            raise ValueError("GIF LZW underrun")
+        idx = idx.reshape(h, w)
+        region = canvas[ty : ty + h, lx : lx + w]
+        px = pal[idx]
+        if transparent >= 0:
+            mask = idx != transparent
+            region[mask] = px[mask]
+        else:
+            region[:] = px
+        frames.append((delay, canvas.copy()))
+        if disposal == 2:  # restore to background
+            canvas[ty : ty + h, lx : lx + w] = (
+                gpal[0] if gpal is not None else 0
+            )
+        delay, transparent, disposal = 0, -1, 0
+    if not frames:
+        raise ValueError("GIF contains no image block")
+    return frames
+
+
+def gif_encode_animation(
+    frames: "list[np.ndarray]", delays_cs: "list[int]", loop: int = 0
+) -> bytes:
+    """Encode full-canvas RGB frames (shared <=256-color palette across
+    all frames) as an animated GIF89a: NETSCAPE loop extension + one
+    graphic-control extension (delay, disposal=1) per frame, each frame
+    LZW-compressed for real."""
+    if len(frames) != len(delays_cs) or not frames:
+        raise ValueError("frames/delays length mismatch or empty")
+    h, w = frames[0].shape[:2]
+    stack = np.concatenate([np.asarray(f, np.uint8).reshape(-1, 3) for f in frames])
+    pal, inv = np.unique(stack, axis=0, return_inverse=True)
+    if len(pal) > 256:
+        raise ValueError(f"{len(pal)} distinct colors across frames; GIF caps at 256")
+    size_bits = 1
+    while (2 << size_bits - 1) < max(len(pal), 2):
+        size_bits += 1
+    n_slots = 2 << (size_bits - 1)
+    table = np.zeros((n_slots, 3), np.uint8)
+    table[: len(pal)] = pal
+    min_code = max(size_bits, 2)
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | (size_bits - 1), 0, 0)
+    out += table.tobytes()
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01" + struct.pack("<H", loop) + b"\x00"
+    per = w * h
+    for i, delay in enumerate(delays_cs):
+        if frames[i].shape[:2] != (h, w):
+            raise ValueError("all frames must share the canvas size")
+        out += b"\x21\xf9" + bytes([4, 0x04]) + struct.pack("<H", delay) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(min_code)
+        out += _sub_blocks(lzw_encode(inv[i * per : (i + 1) * per], min_code))
+    out += b"\x3b"
+    return bytes(out)

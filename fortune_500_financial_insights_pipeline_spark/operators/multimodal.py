@@ -273,10 +273,15 @@ FRAME_SCHEMA = (
 def sample_frames(media_df: DataFrame, fps: float = 1.0, duration_s: float = 4.0,
                   fake: bool = True) -> DataFrame:
     """Video frame sampling: the 1→N mapInPandas shape (one media row out as
-    ceil(duration*fps) frame rows). A real decoder would seek the container;
-    the stub derives per-frame bytes deterministically from (payload, idx).
-    Partition-preserving — the explode happens inside the Arrow batch, so
-    row multiplication costs no shuffle."""
+    N frame rows). With ``fake=False``, animated-GIF payloads decode FOR
+    REAL (operators/gif_codec.gif_decode_frames — full frame composition:
+    offsets, transparency, disposal; ``frame_ts`` from the stream's own
+    delay fields, ``feature`` = the same 8-strip luma profile as
+    decode_image); MP4/H.264 stays behind the ffmpeg seam (its container
+    walk lives in operators/mp4_index). The stub path derives per-frame
+    bytes deterministically from (payload, idx). Partition-preserving —
+    the explode happens inside the Arrow batch, so row multiplication
+    costs no shuffle."""
 
     n_frames = max(1, int(duration_s * fps))
 
@@ -284,6 +289,31 @@ def sample_frames(media_df: DataFrame, fps: float = 1.0, duration_s: float = 4.0
         for pdf in batches:
             out = {"doc_id": [], "frame_idx": [], "frame_ts": [], "n_bytes": [], "feature": []}
             for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+                media = bytes(media)
+                if not fake and media[:6] in (b"GIF87a", b"GIF89a"):
+                    from fortune_500_financial_insights_pipeline_spark.operators.gif_codec import (
+                        gif_decode_frames,
+                    )
+                    from fortune_500_financial_insights_pipeline_spark.operators.media_codec import (
+                        png_luma,
+                    )
+
+                    ts = 0.0
+                    for i, (delay_cs, img) in enumerate(gif_decode_frames(media)):
+                        luma = png_luma(img)
+                        width = luma.shape[1]
+                        feat = []
+                        for sidx in range(8):
+                            x0 = sidx * width // 8
+                            x1 = max(x0 + 1, (sidx + 1) * width // 8)
+                            feat.append(float(luma[:, x0:x1].mean()) / 255.0)
+                        out["doc_id"].append(doc_id)
+                        out["frame_idx"].append(i)
+                        out["frame_ts"].append(ts)
+                        out["n_bytes"].append(int(img.nbytes))
+                        out["feature"].append(feat)
+                        ts += delay_cs / 100.0
+                    continue
                 for i in range(n_frames):
                     if not fake:
                         # the one genuinely library-bound decode left:

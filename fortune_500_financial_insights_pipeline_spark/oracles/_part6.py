@@ -1149,3 +1149,53 @@ SELECT doc_id,
 FROM blocks
 GROUP BY doc_id
 """
+
+# q_gif_frames_roundtrip: palette formula + cumulative-delay clock + strip
+# geometry replayed in SQL; the Spark side composes genuine animated-GIF
+# frames through the production sample_frames operator.
+ORACLES["q_gif_frames_roundtrip"] = """
+WITH ids AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 20),
+dims AS (
+  SELECT doc_id,
+         CAST(6 + doc_id % 3 AS BIGINT) AS h,
+         CAST(8 + doc_id % 4 AS BIGINT) AS w,
+         CAST(3 + doc_id % 4 AS BIGINT) AS ncol,
+         CAST(2 + doc_id % 4 AS BIGINT) AS n
+  FROM ids
+), frames AS (
+  SELECT doc_id, h, w, ncol, f.f,
+         CAST(5 + (doc_id + f.f) % 6 AS BIGINT) AS delay_cs
+  FROM dims, LATERAL (SELECT unnest(range(0, n)) AS f) f
+), clock AS (
+  SELECT doc_id, h, w, ncol, f, delay_cs,
+         COALESCE(SUM(delay_cs) OVER (PARTITION BY doc_id ORDER BY f
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS ts_cs
+  FROM frames
+), strips AS (
+  SELECT doc_id, h, w, ncol, f, ts_cs, s.s,
+         (s.s * w) // 8 AS x0,
+         GREATEST((s.s * w) // 8 + 1, ((s.s + 1) * w) // 8) AS x1
+  FROM clock, LATERAL (SELECT unnest(range(0, 8)) AS s) s
+), px AS (
+  SELECT doc_id, f, ts_cs, h, w, s, x0, x1,
+         ((doc_id * 7 + ((doc_id + f * 5 + y.y * 2 + x.x) % ncol) * 31 + 0)
+            % 256) AS r,
+         ((doc_id * 7 + ((doc_id + f * 5 + y.y * 2 + x.x) % ncol) * 31 + 13)
+            % 256) AS g,
+         ((doc_id * 7 + ((doc_id + f * 5 + y.y * 2 + x.x) % ncol) * 31 + 26)
+            % 256) AS b
+  FROM strips,
+       LATERAL (SELECT unnest(range(0, h)) AS y) y,
+       LATERAL (SELECT unnest(range(x0, x1)) AS x) x
+)
+SELECT doc_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       ROUND(CAST(MAX(ts_cs) AS DOUBLE) / 100.0, 6) AS ts,
+       CAST(MAX(h * w * 3) AS INTEGER) AS n_bytes,
+       CAST(s AS INTEGER) AS strip,
+       ROUND((CAST(SUM((299 * r + 587 * g + 114 * b) // 1000) AS DOUBLE)
+              / COUNT(*)) / 255.0, 6) AS lum
+FROM px
+GROUP BY doc_id, f, s
+"""

@@ -573,3 +573,77 @@ def q_jpeg_progressive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, width int, height int, sum_pixels long, "
         "min_pixel int, max_pixel int",
     )
+
+
+@q("q_gif_frames_roundtrip")
+def q_gif_frames_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-family frame sampling certified cross-engine: per
+    document (doc_id < 20), an ANIMATED GIF of n = 2 + d mod 4 full-canvas
+    frames — palette index(y, x, f) = (d + f·5 + y·2 + x) mod ncol with
+    ncol = 3 + d mod 4, palette color(i, c) = (d·7 + i·31 + c·13) mod 256,
+    per-frame delay 5 + (d + f) mod 6 centiseconds — is encoded with the
+    real LZW animation writer and pushed through the PRODUCTION operator
+    multimodal.sample_frames(fake=False): genuine multi-frame composition
+    (gif_codec.gif_decode_frames), timestamps from the stream's own
+    graphic-control delays, and the 8-strip luma profile computed on the
+    decoded pixels. Output is one row per (frame, strip); the oracle
+    replays the palette formula, the cumulative-delay clock, and the
+    strip geometry (x0 = s·w//8, x1 = max(x0+1, (s+1)·w//8)) in SQL — a
+    hash match proves every frame's pixels were recovered exactly.
+    mapInPandas 1→N inside the Arrow batch, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from fortune_500_financial_insights_pipeline_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 20)
+        .select("doc_id")
+        .distinct()
+    )
+
+    def build(batches):
+        from fortune_500_financial_insights_pipeline_spark.operators.gif_codec import (
+            gif_encode_animation,
+        )
+
+        for pdf in batches:
+            out = {"doc_id": [], "media": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                h, w, ncol = 6 + d % 3, 8 + d % 4, 3 + d % 4
+                n = 2 + d % 4
+                y, x = np.ogrid[0:h, 0:w]
+                c = np.arange(3)
+                frames = []
+                for f in range(n):
+                    idx = (d + f * 5 + y * 2 + x) % ncol
+                    frames.append(
+                        ((d * 7 + idx[..., None] * 31 + c * 13) % 256).astype(
+                            np.uint8
+                        )
+                    )
+                delays = [5 + (d + f) % 6 for f in range(n)]
+                out["doc_id"].append(d)
+                out["media"].append(gif_encode_animation(frames, delays))
+            yield pd.DataFrame(out)
+
+    media = ids.mapInPandas(build, schema="doc_id long, media binary")
+    frames = sample_frames(media, fake=False)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.round("frame_ts", 6).alias("ts"),
+        "n_bytes",
+        F.posexplode("feature").alias("strip", "lum_raw"),
+    ).select(
+        "doc_id",
+        "frame_idx",
+        "ts",
+        "n_bytes",
+        "strip",
+        F.round("lum_raw", 6).alias("lum"),
+    )
