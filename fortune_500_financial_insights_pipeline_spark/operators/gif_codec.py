@@ -5,10 +5,10 @@ GIF (GIF87a/GIF89a, the complete public specification): header → logical
 screen descriptor → global color table → extension blocks skipped →
 image descriptor (+ optional local color table) → sub-block-assembled
 LZW stream → variable-width LZW decode (CLEAR/EOI codes, 12-bit cap,
-KwKwK case) → palette lookup → (H, W, 3) uint8 array. Non-interlaced,
-single image frame (the first frame of an animation decodes; later
-frames are ignored — frame-sampling composition belongs to the video
-path). The encoder writes GIF87a with a global palette (the image's
+KwKwK case) → palette lookup → (H, W, 3) uint8 array, with the 4-pass
+interlace row permutation undone when flagged. ``gif_decode`` returns
+the first frame; ``gif_decode_frames`` composes EVERY frame of an
+animation (offsets, transparency, disposal) — the video path. The encoder writes GIF87a with a global palette (the image's
 unique colors, lexicographically sorted, power-of-two padded) and a REAL
 LZW compressor (dictionary growth, width escalation, 4096-entry reset) —
 so round-trips exercise genuine variable-width entropy coding, not a
@@ -28,6 +28,20 @@ import numpy as np
 
 GIF_MAGICS = (b"GIF87a", b"GIF89a")
 _MAX_CODE_WIDTH = 12
+
+
+def _interlace_rows(h: int) -> list[int]:
+    """GIF 4-pass interlace row order: pass 1 every 8th row from 0,
+    pass 2 every 8th from 4, pass 3 every 4th from 2, pass 4 odd rows.
+    Returns the source-row index for each transmitted row, so
+    ``img[rows] = decoded`` de-interlaces and ``decoded = img[rows]``
+    interlaces — one permutation, both directions."""
+    return (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -198,8 +212,6 @@ def gif_decode(data: bytes) -> np.ndarray:
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
         _lx, _ty, w, h, iflags = struct.unpack("<HHHHB", data[pos : pos + 9])
         pos += 9
-        if iflags & 0x40:
-            raise ValueError("interlaced GIF not supported")
         pal = palette
         if iflags & 0x80:
             n = 2 << (iflags & 0x07)
@@ -219,6 +231,10 @@ def gif_decode(data: bytes) -> np.ndarray:
         if len(idx) < w * h:
             raise ValueError(f"GIF LZW underrun: {len(idx)} < {w * h}")
         arr = np.asarray(idx[: w * h], np.int64).reshape(h, w)
+        if iflags & 0x40:  # 4-pass interlace: undo the row permutation
+            out = np.empty_like(arr)
+            out[_interlace_rows(h)] = arr
+            arr = out
         if arr.max(initial=0) >= len(pal):
             raise ValueError("GIF index beyond palette")
         return pal[arr]
@@ -234,11 +250,12 @@ def gif_dimensions(data: bytes) -> tuple[int, int]:
     return sw, sh
 
 
-def gif_encode(img: np.ndarray) -> bytes:
+def gif_encode(img: np.ndarray, interlace: bool = False) -> bytes:
     """Encode an (H, W, 3) uint8 array with <= 256 distinct colors as
     GIF87a: global palette = the image's unique colors in lexicographic
     order (deterministic — oracles can replay it), power-of-two padded;
-    pixel indices LZW-compressed for real."""
+    pixel indices LZW-compressed for real. ``interlace=True`` transmits
+    rows in the 4-pass order (the decoder undoes it)."""
     img = np.asarray(img, np.uint8)
     if img.ndim != 3 or img.shape[2] != 3:
         raise ValueError("gif_encode expects (H, W, 3) uint8")
@@ -258,9 +275,12 @@ def gif_encode(img: np.ndarray) -> bytes:
     out += b"GIF87a"
     out += struct.pack("<HHBBB", w, h, 0x80 | (size_bits - 1), 0, 0)
     out += table.tobytes()
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
     out.append(min_code)
-    out += _sub_blocks(lzw_encode(inv, min_code))
+    seq = inv.reshape(h, w)
+    if interlace:
+        seq = seq[_interlace_rows(h)]
+    out += _sub_blocks(lzw_encode(seq.reshape(-1), min_code))
     out += b"\x3b"
     return bytes(out)
 
@@ -320,8 +340,6 @@ def gif_decode_frames(data: bytes) -> list[tuple[int, np.ndarray]]:
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
         lx, ty, w, h, iflags = struct.unpack("<HHHHB", data[pos : pos + 9])
         pos += 9
-        if iflags & 0x40:
-            raise ValueError("interlaced GIF not supported")
         pal = gpal
         if iflags & 0x80:
             n = 2 << (iflags & 0x07)
@@ -341,6 +359,10 @@ def gif_decode_frames(data: bytes) -> list[tuple[int, np.ndarray]]:
         if idx.size < w * h:
             raise ValueError("GIF LZW underrun")
         idx = idx.reshape(h, w)
+        if iflags & 0x40:
+            out = np.empty_like(idx)
+            out[_interlace_rows(h)] = idx
+            idx = out
         region = canvas[ty : ty + h, lx : lx + w]
         px = pal[idx]
         if transparent >= 0:

@@ -11,7 +11,8 @@ coding, H.264 video).
 PNG (RFC 2083): signature → chunk walk → IHDR geometry → concatenated
 IDAT zlib inflate → per-scanline unfilter (the five standard filters:
 None/Sub/Up/Average/Paeth) → (H, W, C) uint8 array; 8-bit depth,
-non-interlaced, grayscale/RGB/palette/RGBA. The encoder (filter-0 rows +
+sequential AND Adam7-interlaced (seven independently-filtered
+sub-images reassembled by pass geometry), grayscale/RGB/palette/RGBA. The encoder (filter-0 rows +
 zlib) exists so resize can re-encode and tests can round-trip — the
 decoder handles ALL filters, so round-trip tests that pre-filter rows
 exercise the inverse transform, not a shared code path.
@@ -36,55 +37,19 @@ PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}  # gray, rgb, palette, rgba
 
+# Adam7 pass geometry: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
-def png_decode(data: bytes) -> np.ndarray:
-    """Decode a PNG payload to an (H, W, C) uint8 array (C = 1/3/4;
-    palette images come back expanded to RGB). Supports bit depth 8,
-    non-interlaced — the overwhelmingly common case and the one our
-    encoder emits; anything else raises ValueError with the reason."""
-    if data[:8] != PNG_SIGNATURE:
-        raise ValueError("not a PNG: bad signature")
-    pos = 8
-    width = height = None
-    bit_depth = color_type = interlace = None
-    palette = None
-    idat = bytearray()
-    while pos + 8 <= len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        ctype = data[pos + 4 : pos + 8]
-        chunk = data[pos + 8 : pos + 8 + length]
-        if len(chunk) < length:
-            raise ValueError("corrupt PNG: truncated chunk")
-        pos += 12 + length  # length + type + payload + crc
-        if ctype == b"IHDR":
-            width, height, bit_depth, color_type, _comp, _filt, interlace = (
-                struct.unpack(">IIBBBBB", chunk)
-            )
-        elif ctype == b"PLTE":
-            palette = np.frombuffer(chunk, np.uint8).reshape(-1, 3)
-        elif ctype == b"IDAT":
-            idat += chunk
-        elif ctype == b"IEND":
-            break
-    if width is None:
-        raise ValueError("not a PNG: missing IHDR")
-    if bit_depth != 8:
-        raise ValueError(f"unsupported PNG bit depth {bit_depth} (only 8)")
-    if interlace != 0:
-        raise ValueError("unsupported PNG: Adam7 interlace")
-    if color_type not in _PNG_CHANNELS:
-        raise ValueError(f"unsupported PNG color type {color_type}")
-    ch = _PNG_CHANNELS[color_type]
-    stride = width * ch
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error as exc:
-        raise ValueError(f"corrupt PNG: bad deflate stream ({exc})") from exc
-    if len(raw) != (stride + 1) * height:
-        raise ValueError("corrupt PNG: inflated size mismatch")
+
+def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo the five per-scanline PNG filters over one (sub-)image whose
+    serialized form is ``height`` rows of 1 filter byte + ``stride``
+    bytes. Returns (height, stride) uint16 (values already & 0xFF)."""
     out = np.empty((height, stride), np.uint16)
     prev = np.zeros(stride, np.uint16)
-    bpp = ch  # bytes per pixel at depth 8
     for y in range(height):
         f = raw[y * (stride + 1)]
         line = np.frombuffer(
@@ -122,7 +87,75 @@ def png_decode(data: bytes) -> np.ndarray:
             raise ValueError(f"corrupt PNG: unknown filter {f}")
         out[y] = cur
         prev = cur
-    img = out.astype(np.uint8).reshape(height, width, ch)
+    return out
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Decode a PNG payload to an (H, W, C) uint8 array (C = 1/3/4;
+    palette images come back expanded to RGB). Supports bit depth 8,
+    non-interlaced — the overwhelmingly common case and the one our
+    encoder emits; anything else raises ValueError with the reason."""
+    if data[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    width = height = None
+    bit_depth = color_type = interlace = None
+    palette = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        if len(chunk) < length:
+            raise ValueError("corrupt PNG: truncated chunk")
+        pos += 12 + length  # length + type + payload + crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", chunk)
+            )
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(chunk, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += chunk
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("not a PNG: missing IHDR")
+    if bit_depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {bit_depth} (only 8)")
+    if interlace not in (0, 1):
+        raise ValueError(f"unsupported PNG interlace method {interlace}")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    ch = _PNG_CHANNELS[color_type]
+    stride = width * ch
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG: bad deflate stream ({exc})") from exc
+    if interlace == 1:  # Adam7: seven independently-filtered sub-images
+        out = np.empty((height, width, ch), np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (width - x0 + dx - 1) // dx
+            hp = (height - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            sp = wp * ch
+            need = (sp + 1) * hp
+            if off + need > len(raw):
+                raise ValueError("corrupt PNG: Adam7 pass truncated")
+            sub = _unfilter(raw[off : off + need], hp, sp, ch)
+            off += need
+            out[y0::dy, x0::dx] = sub.astype(np.uint8).reshape(hp, wp, ch)
+        if off != len(raw):
+            raise ValueError("corrupt PNG: Adam7 size mismatch")
+        img = out
+    else:
+        if len(raw) != (stride + 1) * height:
+            raise ValueError("corrupt PNG: inflated size mismatch")
+        out = _unfilter(raw, height, stride, ch)
+        img = out.astype(np.uint8).reshape(height, width, ch)
     if color_type == 3:
         if palette is None:
             raise ValueError("corrupt PNG: palette image without PLTE")
@@ -130,9 +163,10 @@ def png_decode(data: bytes) -> np.ndarray:
     return img
 
 
-def png_encode(img: np.ndarray) -> bytes:
+def png_encode(img: np.ndarray, interlace: bool = False) -> bytes:
     """Encode an (H, W) or (H, W, C) uint8 array as a minimal valid PNG
-    (filter 0 on every row, one IDAT). Gray (C=1), RGB (C=3), RGBA (C=4)."""
+    (filter 0 on every row, one IDAT). Gray (C=1), RGB (C=3), RGBA (C=4).
+    ``interlace=True`` serializes the seven Adam7 sub-images."""
     arr = np.asarray(img, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
@@ -147,8 +181,19 @@ def png_encode(img: np.ndarray) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    rows = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0)
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = arr[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts.append(
+                b"".join(b"\x00" + sub[y].tobytes() for y in range(sub.shape[0]))
+            )
+        rows = b"".join(parts)
+    else:
+        rows = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
     return (
         PNG_SIGNATURE
         + chunk(b"IHDR", ihdr)

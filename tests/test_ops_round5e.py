@@ -116,16 +116,33 @@ def test_gif_encode_rejects_bad_inputs():
         gif_encode(img)
 
 
-def test_gif_decode_rejects_interlaced_and_non_gif():
+def test_gif_decode_rejects_non_gif():
     with pytest.raises(ValueError, match="not a GIF"):
         gif_decode(b"PNG such not")
-    img = np.zeros((2, 2, 3), np.uint8)
+
+
+def test_gif_interlace_roundtrip_and_permutation():
+    from fortune_500_financial_insights_pipeline_spark.operators.gif_codec import (
+        _interlace_rows,
+    )
+
+    # the spec's 4-pass row order for h=10
+    assert _interlace_rows(10) == [0, 8, 4, 2, 6, 1, 3, 5, 7, 9]
+    rnd = np.random.default_rng(12)
+    for h, w in [(1, 3), (2, 5), (7, 4), (23, 9)]:
+        pal = rnd.integers(0, 256, size=(16, 3), dtype=np.uint8)
+        img = pal[rnd.integers(0, 16, size=(h, w))]
+        assert (gif_decode(gif_encode(img, interlace=True)) == img).all()
+    # flipping the interlace bit on sequential data de-permutes the rows:
+    # decode(out[rows] = arr) is the inverse of the transmit permutation
+    img = pal[rnd.integers(0, 16, size=(10, 4))]
     data = bytearray(gif_encode(img))
-    # flip the interlace bit in the image descriptor flags byte
     idesc = data.index(0x2C, 13)
     data[idesc + 9] |= 0x40
-    with pytest.raises(ValueError, match="interlaced"):
-        gif_decode(bytes(data))
+    got = gif_decode(bytes(data))
+    inv = np.empty((10, 4, 3), np.uint8)
+    inv[_interlace_rows(10)] = img
+    assert (got == inv).all()
 
 
 def test_decode_image_seam_handles_gif_without_pil(spark):
@@ -245,3 +262,72 @@ def test_sample_frames_real_gif_through_spark(spark):
     assert [round(r["frame_ts"], 6) for r in rows] == [0.0, 0.1, 0.35]
     assert all(r["n_bytes"] == 9 * 16 * 3 for r in rows)
     assert all(len(r["feature"]) == 8 for r in rows)
+
+
+def test_png_adam7_roundtrip_all_color_types():
+    from fortune_500_financial_insights_pipeline_spark.operators.media_codec import (
+        png_decode,
+        png_encode,
+    )
+
+    rnd = np.random.default_rng(3)
+    # edge shapes: passes with zero rows/cols must be skipped correctly
+    for shape in [(1, 1, 3), (2, 3, 3), (7, 7, 1), (8, 8, 4), (13, 9, 3),
+                  (29, 31, 3), (5, 1, 1), (1, 9, 3)]:
+        img = rnd.integers(0, 256, size=shape, dtype=np.uint8)
+        dec = png_decode(png_encode(img, interlace=True))
+        assert dec.shape == img.shape and (dec == img).all(), shape
+
+
+def test_png_adam7_filtered_subimages_forward_built():
+    """Adam7 stream with NON-zero filters built forward in the test: each
+    sub-image's rows use filter 2 (Up) — the decoder must unfilter each
+    pass independently (prev resets per pass)."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from fortune_500_financial_insights_pipeline_spark.operators.media_codec import (
+        _ADAM7,
+        PNG_SIGNATURE,
+        png_decode,
+    )
+
+    rnd = np.random.default_rng(6)
+    h, w = 10, 11
+    img = rnd.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+    def chunk(ctype, payload):
+        return (_struct.pack(">I", len(payload)) + ctype + payload
+                + _struct.pack(">I", _zlib.crc32(ctype + payload) & 0xFFFFFFFF))
+
+    parts = []
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx].astype(np.int16)
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        prev = np.zeros(sub.shape[1] * 3, np.int16)
+        for y in range(sub.shape[0]):
+            line = sub[y].reshape(-1)
+            filt = (line - prev) % 256  # forward filter 2 (Up)
+            parts.append(b"\x02" + filt.astype(np.uint8).tobytes())
+            prev = line
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+    data = (PNG_SIGNATURE + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _zlib.compress(b"".join(parts)))
+            + chunk(b"IEND", b""))
+    assert (png_decode(data) == img).all()
+
+
+def test_png_adam7_truncated_pass_rejected():
+    from fortune_500_financial_insights_pipeline_spark.operators.media_codec import (
+        png_decode,
+        png_encode,
+    )
+
+    rnd = np.random.default_rng(7)
+    img = rnd.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    data = bytearray(png_encode(img, interlace=True))
+    # truncating the deflate payload corrupts either the stream or a pass
+    i = bytes(data).index(b"IDAT")
+    with pytest.raises(ValueError):
+        png_decode(bytes(data[: i + 40]) )
