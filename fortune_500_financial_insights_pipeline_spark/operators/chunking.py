@@ -66,6 +66,7 @@ def cdc_chunks(
     text_col: str = "text",
     k: int = 3,
     divisor: int = 16,
+    keep_text: bool = False,
 ) -> DataFrame:
     """Content-defined chunking: chunk boundaries fall AFTER any token
     whose k-token rolling window hash is ≡ 0 (mod ``divisor``) — the
@@ -108,8 +109,14 @@ def cdc_chunks(
             F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]
         ),
     )
-    return chunked.groupBy(id_col, "chunk_id").agg(
+    aggs = [
         F.min("pos").alias("chunk_start"),
         F.count(F.lit(1)).alias("n_tokens"),
         F.md5(ordered_text).alias("chunk_hash"),
-    )
+    ]
+    if keep_text:
+        # the removal path (boilerplate strip) needs the chunk text back
+        # to reconstruct cleaned documents; default off — hashes travel
+        # lighter through the dedup-only shuffles
+        aggs.append(ordered_text.alias("chunk_text"))
+    return chunked.groupBy(id_col, "chunk_id").agg(*aggs)

@@ -1199,3 +1199,43 @@ SELECT doc_id,
 FROM px
 GROUP BY doc_id, f, s
 """
+
+# q_boilerplate_strip: the CDC CTE chain with chunk text kept, the cross-doc
+# frequency rule, and the cleaned-document reassembly replayed in SQL — the
+# md5 over the reconstructed text certifies removal byte-for-byte.
+ORACLES["q_boilerplate_strip"] = """
+WITH t AS (
+  SELECT doc_id, i - 1 AS pos, l[i] AS tok
+  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))
+), g AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN pos >= 2
+               AND ('0x' || substr(md5(concat_ws(' ',
+                     LAG(tok, 2) OVER w, LAG(tok, 1) OVER w, tok)),
+                     1, 15))::BIGINT % 16 = 0
+              THEN 1 ELSE 0 END AS b
+  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), c AS (
+  SELECT doc_id, pos, tok,
+         COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS chunk_id
+  FROM g
+), ch AS (
+  SELECT doc_id, chunk_id, COUNT(*) AS n_tokens,
+         string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+  FROM c GROUP BY doc_id, chunk_id
+), freq AS (
+  SELECT chunk_hash, COUNT(DISTINCT doc_id) AS ndocs FROM ch GROUP BY chunk_hash
+), kept AS (
+  SELECT ch.* FROM ch JOIN freq USING (chunk_hash) WHERE ndocs < 2
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_kept_chunks,
+       CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
+       md5(string_agg(chunk_text, ' ' ORDER BY chunk_id)) AS kept_md5
+FROM kept
+GROUP BY doc_id
+"""

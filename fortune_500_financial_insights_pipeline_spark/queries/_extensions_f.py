@@ -647,3 +647,37 @@ def q_gif_frames_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "strip",
         F.round("lum_raw", 6).alias("lum"),
     )
+
+
+@q("q_boilerplate_strip")
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate REMOVAL, not just the readout (q_boilerplate_chunks):
+    CDC-chunk every document, mark chunks whose hash appears in >= 2
+    distinct documents as boilerplate, and RECONSTRUCT each document from
+    its surviving chunks in chunk order — per doc: surviving chunk count,
+    surviving token count, and the md5 of the cleaned text (so the hash
+    row certifies the reconstruction byte-for-byte, not only the
+    counts). Documents whose every chunk is boilerplate drop out, like
+    any curation filter. Plan: one chunk build, hash-keyed frequency
+    join, per-doc ordered array_sort reassembly — no window over raw
+    text, no driver collect."""
+    from fortune_500_financial_insights_pipeline_spark.operators.chunking import cdc_chunks
+
+    d = load_table(spark, sf_dir, "documents")
+    ch = cdc_chunks(d, k=3, divisor=16, keep_text=True)
+    freq = ch.groupBy("chunk_hash").agg(
+        F.countDistinct("doc_id").alias("__ndocs")
+    )
+    kept = ch.join(freq, "chunk_hash").where(F.col("__ndocs") < 2)
+    cleaned = F.concat_ws(
+        " ",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text"))),
+            lambda s: s["chunk_text"],
+        ),
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept_chunks"),
+        F.sum("n_tokens").cast("long").alias("kept_tokens"),
+        F.md5(cleaned).alias("kept_md5"),
+    )

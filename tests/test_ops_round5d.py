@@ -184,3 +184,27 @@ def test_audio_features_real_decode_values(spark):
         assert rows[d]["zero_cross_rate"] == pytest.approx(
             flips / (n - 1), abs=1e-6
         )
+
+
+def test_boilerplate_strip_removes_template_keeps_tail(spark):
+    """Planted template chunks vanish from the reconstructed text; each
+    doc's unique tail survives verbatim (order preserved)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.chunking import (
+        cdc_chunks,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, PASSING + " " + " ".join(f"tail{i}word{j}" for j in range(30)))
+         for i in (1, 2, 3)],
+        "doc_id long, text string",
+    )
+    ch = cdc_chunks(docs, k=3, divisor=16, keep_text=True)
+    freq = ch.groupBy("chunk_hash").agg(F.countDistinct("doc_id").alias("nd"))
+    kept = ch.join(freq, "chunk_hash").where(F.col("nd") < 2)
+    rows = kept.orderBy("doc_id", "chunk_id").collect()
+    assert rows, "unique tails must survive"
+    for r in rows:
+        assert f"tail{r['doc_id']}word" in r["chunk_text"]
+    # the shared-template-only chunks are gone
+    assert all("the cat sat" not in r["chunk_text"][:40] or
+               f"tail{r['doc_id']}" in r["chunk_text"] for r in rows)
