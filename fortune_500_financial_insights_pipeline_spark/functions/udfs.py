@@ -42,3 +42,24 @@ def make_nearest_cell_udf(centroids):
         return pd.Series(np.argmax(m_norm @ c_norm.T, axis=1).astype("int32"))
 
     return nearest_cell
+
+
+@pandas_udf("string")
+def nfc_normalize(s: pd.Series) -> pd.Series:
+    """Unicode NFC normalization (UAX #15), Arrow-vectorized — the first
+    cleaning pass of any multilingual corpus build: decomposed sequences
+    (e + U+0301) collapse to their canonical precomposed forms so exact
+    dedup, hashing, and tokenization see one spelling. Matches DuckDB's
+    ``nfc_normalize`` (both implement the Unicode standard), which is
+    what lets q_unicode_clean hash-certify it cross-engine."""
+    return s.str.normalize("NFC")
+
+
+@pandas_udf("string")
+def strip_accents(s: pd.Series) -> pd.Series:
+    """Accent folding: NFD-decompose, drop combining diacritical marks
+    (U+0300–U+036F) — the aggressive fold used for fuzzy matching and
+    search keys. Semantics match DuckDB's ``strip_accents``."""
+    return s.str.normalize("NFD").str.replace(
+        r"[̀-ͯ]", "", regex=True
+    )

@@ -1239,3 +1239,29 @@ SELECT doc_id,
 FROM kept
 GROUP BY doc_id
 """
+
+# q_unicode_clean: the synthetic decomposed string rebuilt in SQL, then
+# DuckDB's OWN nfc_normalize / strip_accents — two independent Unicode
+# implementations must agree byte-for-byte for the md5s to match.
+ORACLES["q_unicode_clean"] = """
+WITH ids AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 60),
+dims AS (SELECT doc_id, CAST(20 + doc_id % 10 AS BIGINT) AS n FROM ids),
+chars AS (
+  SELECT doc_id, i.i,
+         substr('aeiouxyz', CAST((doc_id + i.i) % 8 AS INTEGER) + 1, 1)
+         || CASE WHEN (doc_id + i.i) % 3 = 0 THEN chr(769) ELSE '' END
+         || CASE WHEN (doc_id + i.i) % 5 = 0 THEN chr(771) ELSE '' END
+           AS piece
+  FROM dims, LATERAL (SELECT unnest(range(0, n)) AS i) i
+), built AS (
+  SELECT doc_id, string_agg(piece, '' ORDER BY i) AS raw
+  FROM chars GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(length(raw) AS INTEGER) AS raw_len,
+       CAST(length(nfc_normalize(raw)) AS INTEGER) AS nfc_len,
+       md5(nfc_normalize(raw)) AS nfc_md5,
+       CAST(length(strip_accents(raw)) AS INTEGER) AS stripped_len,
+       md5(strip_accents(raw)) AS stripped_md5
+FROM built
+"""

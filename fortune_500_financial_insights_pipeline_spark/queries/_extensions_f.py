@@ -681,3 +681,59 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("kept_tokens"),
         F.md5(cleaned).alias("kept_md5"),
     )
+
+
+@q("q_unicode_clean")
+def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode text cleaning certified cross-engine: per document
+    (doc_id < 60), a synthetic multilingual string — char i of
+    n = 20 + d mod 10 is base[(d + i) mod 8] from 'aeiouxyz', followed by
+    a combining acute (U+0301) when (d + i) mod 3 = 0 and a combining
+    tilde (U+0303) when (d + i) mod 5 = 0 — is pushed through the REAL
+    cleaning pandas UDFs (functions/udfs.nfc_normalize — UAX #15 NFC —
+    and strip_accents). The oracle builds the identical string in SQL and
+    applies DuckDB's own nfc_normalize / strip_accents: a hash match over
+    lengths + md5 digests proves both engines agree on the Unicode
+    normalization itself, byte-for-byte in UTF-8. Arrow-batched,
+    map-only."""
+    import pandas as pd
+
+    from fortune_500_financial_insights_pipeline_spark.functions.udfs import (
+        nfc_normalize,
+        strip_accents,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 60)
+        .select("doc_id")
+        .distinct()
+    )
+
+    def build(batches):
+        base = "aeiouxyz"
+        for pdf in batches:
+            out = {"doc_id": [], "raw": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 20 + d % 10
+                parts = []
+                for i in range(n):
+                    parts.append(base[(d + i) % 8])
+                    if (d + i) % 3 == 0:
+                        parts.append("́")
+                    if (d + i) % 5 == 0:
+                        parts.append("̃")
+                out["doc_id"].append(d)
+                out["raw"].append("".join(parts))
+            yield pd.DataFrame(out)
+
+    raw = ids.mapInPandas(build, schema="doc_id long, raw string")
+    return raw.select(
+        "doc_id",
+        F.length("raw").alias("raw_len"),
+        F.length(nfc_normalize("raw")).alias("nfc_len"),
+        F.md5(nfc_normalize("raw")).alias("nfc_md5"),
+        F.length(strip_accents("raw")).alias("stripped_len"),
+        F.md5(strip_accents("raw")).alias("stripped_md5"),
+    )

@@ -208,3 +208,22 @@ def test_boilerplate_strip_removes_template_keeps_tail(spark):
     # the shared-template-only chunks are gone
     assert all("the cat sat" not in r["chunk_text"][:40] or
                f"tail{r['doc_id']}" in r["chunk_text"] for r in rows)
+
+
+def test_unicode_udfs_nfc_and_strip(spark):
+    from fortune_500_financial_insights_pipeline_spark.functions.udfs import (
+        nfc_normalize,
+        strip_accents,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "éãx́ plain")], "id long, s string"
+    )
+    r = df.select(
+        F.length("s").alias("raw"),
+        nfc_normalize("s").alias("nfc"),
+        strip_accents("s").alias("flat"),
+    ).collect()[0]
+    assert r["raw"] == 12  # 3 base + 3 marks + ' plain'
+    assert r["nfc"] == "éãx́ plain"  # é ã compose; x́ cannot
+    assert r["flat"] == "eax plain"
