@@ -739,3 +739,154 @@ def boilerplate_lines(
         .select(F.col(id_col), F.md5("__line").alias("__lk"))
     )
     return boilerplate_units(lines, id_col=id_col, unit_col="__lk", min_docs=min_docs)
+
+
+# Gopher repetition-filter thresholds (Rae et al. 2021, table A1): the
+# fraction of character mass allowed in the top n-gram (n = 2, 3, 4) and
+# in duplicated n-grams (n = 5..10).
+GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def gopher_repetition(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The full Gopher repetition-filter suite (Rae et al. 2021 A1.1) per
+    document: for n = 2..4 the character mass of the heaviest n-gram
+    (max over grams of occurrences × gram length — the deterministic
+    max-mass form of the paper's "most frequent n-gram" rule, immune to
+    count ties), and for n = 5..10 the fraction of characters covered by
+    any n-gram occurring twice or more (token positions covered by a
+    duplicated gram, counted once, weighted by token length). Each
+    fraction divides exact integer character sums and is rounded to 6dp,
+    so the flags and fractions hash cross-engine; ``pass_all`` ANDs the
+    nine thresholds.
+
+    Plan shape: ONE positioned explode and ONE window pass computing all
+    nine lead depths (the window functions share the per-doc sort), then
+    TALL n-tagged gram frames built inside the projection (explode of an
+    inline struct array — no per-n window, no per-n scan), two hash
+    aggregation families keyed by (n, doc, gram), the coverage
+    semi-join + position explode once over the tall frame, and one
+    conditional-sum rollup per doc — four shuffles total for all nine
+    metrics. Skew bound: the hottest (n, doc, gram) cell is capped by
+    the longest document, same as every gram pipeline in this repo."""
+    from pyspark.sql import Window as W
+
+    top_ns = sorted(GOPHER_TOP_NGRAM_MAX)
+    dup_ns = sorted(GOPHER_DUP_NGRAM_MAX)
+    max_n = max(dup_ns + top_ns)
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("__pos", "__tok"),
+    )
+    total = toks.groupBy(id_col).agg(
+        F.sum(F.length("__tok")).cast("long").alias("__total_chars")
+    )
+    wo = W.partitionBy(id_col).orderBy("__pos")
+    led = toks.select(
+        F.col(id_col),
+        "__pos",
+        "__tok",
+        *[F.lead("__tok", j).over(wo).alias(f"__l{j}") for j in range(1, max_n)],
+    )
+
+    def gram_struct(n: int):
+        parts = ["__tok"] + [f"__l{j}" for j in range(1, n)]
+        return F.struct(
+            F.lit(n).alias("n"),
+            F.concat_ws(" ", *parts).alias("gram"),
+            F.col(f"__l{n - 1}").isNotNull().alias("valid"),
+        )
+
+    def tall(ns: list[int]):
+        return (
+            led.select(
+                F.col(id_col),
+                "__pos",
+                F.explode(F.array(*[gram_struct(n) for n in ns])).alias("__g"),
+            )
+            .where(F.col("__g.valid"))
+            .select(
+                F.col(id_col),
+                "__pos",
+                F.col("__g.n").alias("__n"),
+                F.col("__g.gram").alias("__gram"),
+            )
+        )
+
+    tmass = (
+        tall(top_ns)
+        .groupBy("__n", id_col, "__gram")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .groupBy("__n", id_col)
+        .agg(
+            F.max(
+                F.col("__cnt") * (F.length("__gram") - (F.col("__n") - 1))
+            ).cast("long").alias("__mass")
+        )
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.sum(F.when(F.col("__n") == n, F.col("__mass")))
+                .cast("long")
+                .alias(f"__top{n}_mass")
+                for n in top_ns
+            ]
+        )
+    )
+    dgrams = tall(dup_ns)
+    dups = (
+        dgrams.groupBy("__n", id_col, "__gram")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .where(F.col("__cnt") >= 2)
+        .select("__n", id_col, "__gram")
+    )
+    dcov = (
+        dgrams.join(dups, ["__n", id_col, "__gram"], "left_semi")
+        .select(
+            "__n",
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("__pos"), F.col("__pos") + F.col("__n") - 1)
+            ).alias("__pos"),
+        )
+        .distinct()
+        .join(toks, [id_col, "__pos"])
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("__n") == n, F.length("__tok")).otherwise(0)
+                )
+                .cast("long")
+                .alias(f"__dup{n}_chars")
+                for n in dup_ns
+            ]
+        )
+    )
+    out = total.join(tmass, id_col, "left").join(dcov, id_col, "left")
+    cols = [F.col(id_col)]
+    passes = []
+    for n, thr in sorted(GOPHER_TOP_NGRAM_MAX.items()):
+        frac = F.round(
+            F.coalesce(F.col(f"__top{n}_mass"), F.lit(0)).cast("double")
+            / F.col("__total_chars"),
+            6,
+        )
+        flag = frac <= thr
+        cols += [frac.alias(f"top{n}_frac"), flag.alias(f"r_top{n}")]
+        passes.append(flag)
+    for n, thr in sorted(GOPHER_DUP_NGRAM_MAX.items()):
+        frac = F.round(
+            F.coalesce(F.col(f"__dup{n}_chars"), F.lit(0)).cast("double")
+            / F.col("__total_chars"),
+            6,
+        )
+        flag = frac <= thr
+        cols += [frac.alias(f"dup{n}_frac"), flag.alias(f"r_dup{n}")]
+        passes.append(flag)
+    acc = passes[0]
+    for p in passes[1:]:
+        acc = acc & p
+    return out.select(*cols, acc.alias("pass_all"))

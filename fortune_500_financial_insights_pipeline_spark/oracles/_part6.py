@@ -1265,3 +1265,79 @@ SELECT doc_id,
        md5(strip_accents(raw)) AS stripped_md5
 FROM built
 """
+
+
+def _gopher_repetition_sql() -> str:
+    """Mirror of operators/text.gopher_repetition + the per-lang rollup:
+    the nine CTE families are generated per n so the SQL stays in exact
+    lockstep with the operator's thresholds and arithmetic."""
+    top_thr = {2: 0.20, 3: 0.18, 4: 0.16}
+    dup_thr = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+    ctes = ["""toks AS (
+  SELECT doc_id, i - 1 AS pos, l[i] AS tok
+  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)))""",
+            """tot AS (
+  SELECT doc_id, SUM(length(tok)) AS total_chars FROM toks GROUP BY doc_id)"""]
+    for n in sorted(set(top_thr) | set(dup_thr)):
+        leads = ", ".join(
+            f"LEAD(tok, {j}) OVER w AS l{j}" for j in range(1, n)
+        )
+        parts = ", ".join(["tok"] + [f"l{j}" for j in range(1, n)])
+        ctes.append(f"""g{n} AS (
+  SELECT doc_id, pos, concat_ws(' ', {parts}) AS gram
+  FROM (SELECT doc_id, pos, tok, {leads}
+        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+  WHERE l{n - 1} IS NOT NULL)""")
+    for n in sorted(top_thr):
+        ctes.append(f"""top{n} AS (
+  SELECT doc_id, MAX(cnt * (length(gram) - {n - 1})) AS mass
+  FROM (SELECT doc_id, gram, COUNT(*) AS cnt FROM g{n} GROUP BY doc_id, gram)
+  GROUP BY doc_id)""")
+    for n in sorted(dup_thr):
+        ctes.append(f"""dup{n} AS (
+  SELECT doc_id, gram FROM g{n} GROUP BY doc_id, gram HAVING COUNT(*) >= 2)""")
+        ctes.append(f"""cov{n} AS (
+  SELECT c.doc_id AS doc_id, SUM(length(toks.tok)) AS chars
+  FROM (SELECT DISTINCT gg.doc_id, p.p
+        FROM g{n} gg JOIN dup{n} USING (doc_id, gram),
+             LATERAL (SELECT unnest(range(gg.pos, gg.pos + {n})) AS p) p) c
+       JOIN toks ON toks.doc_id = c.doc_id AND toks.pos = c.p
+  GROUP BY c.doc_id)""")
+    frac_cols = []
+    flag_exprs = []
+    joins = []
+    for n, thr in sorted(top_thr.items()):
+        joins.append(f"LEFT JOIN top{n} USING (doc_id)")
+        frac_cols.append(
+            f"ROUND(CAST(COALESCE(top{n}.mass, 0) AS DOUBLE) / total_chars, 6)"
+            f" <= {thr} AS r_top{n}"
+        )
+        flag_exprs.append(f"r_top{n}")
+    for n, thr in sorted(dup_thr.items()):
+        joins.append(f"LEFT JOIN cov{n} USING (doc_id)")
+        frac_cols.append(
+            f"ROUND(CAST(COALESCE(cov{n}.chars, 0) AS DOUBLE) / total_chars, 6)"
+            f" <= {thr} AS r_dup{n}"
+        )
+        flag_exprs.append(f"r_dup{n}")
+    fails = ",\n  ".join(
+        f"CAST(SUM(CASE WHEN {f} THEN 0 ELSE 1 END) AS BIGINT) AS fail_{f[2:]}"
+        for f in flag_exprs
+    )
+    allpass = " AND ".join(flag_exprs)
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+flags AS (
+  SELECT tot.doc_id, {", ".join(frac_cols)}
+  FROM tot {" ".join(joins)}
+)
+SELECT d.lang, COUNT(*) AS n_docs,
+  {fails},
+  CAST(SUM(CASE WHEN {allpass} THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+FROM flags JOIN documents d USING (doc_id)
+GROUP BY d.lang"""
+    )
+
+
+ORACLES["q_gopher_repetition"] = _gopher_repetition_sql()

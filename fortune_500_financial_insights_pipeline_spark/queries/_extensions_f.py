@@ -737,3 +737,35 @@ def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(strip_accents("raw")).alias("stripped_len"),
         F.md5(strip_accents("raw")).alias("stripped_md5"),
     )
+
+
+@q("q_gopher_repetition")
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher repetition-filter suite (Rae et al. 2021 A1.1) as
+    a per-language audit: nine per-doc fractions (top-{2,3,4}-gram char
+    mass, duplicated-{5..10}-gram char coverage — operators/text
+    .gopher_repetition, exact integer char sums, round-6 ratios) rolled
+    into per-rule failure counts and survivors. Completes the named rule
+    family next to q_gopher_rules (the document-shape rules) and
+    q_repetition_filter (the top-bigram single rule)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.text import (
+        GOPHER_DUP_NGRAM_MAX,
+        GOPHER_TOP_NGRAM_MAX,
+        gopher_repetition,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    flags = gopher_repetition(d).join(d.select("doc_id", "lang"), "doc_id")
+    zero, one = F.lit(0), F.lit(1)
+    fail = lambda c: F.sum(F.when(F.col(c), zero).otherwise(one)).cast("long")
+    aggs = [F.count(one).alias("n_docs")]
+    for n in sorted(GOPHER_TOP_NGRAM_MAX):
+        aggs.append(fail(f"r_top{n}").alias(f"fail_top{n}"))
+    for n in sorted(GOPHER_DUP_NGRAM_MAX):
+        aggs.append(fail(f"r_dup{n}").alias(f"fail_dup{n}"))
+    aggs.append(
+        F.sum(F.when(F.col("pass_all"), one).otherwise(zero))
+        .cast("long")
+        .alias("n_pass_all")
+    )
+    return flags.groupBy("lang").agg(*aggs)

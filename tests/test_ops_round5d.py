@@ -227,3 +227,41 @@ def test_unicode_udfs_nfc_and_strip(spark):
     assert r["raw"] == 12  # 3 base + 3 marks + ' plain'
     assert r["nfc"] == "éãx́ plain"  # é ã compose; x́ cannot
     assert r["flat"] == "eax plain"
+
+
+def test_gopher_repetition_flags_and_fractions(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.text import (
+        gopher_repetition,
+    )
+
+    # doc 1: 'alpha beta gamma delta epsil' x4 -> massive dup 5-grams and
+    # heavy top-2-gram mass; doc 2: 30 unique words -> everything passes
+    doc1 = " ".join(["alpha beta gamma delta epsil"] * 4)
+    doc2 = " ".join(f"w{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, doc1), (2, doc2)], "doc_id long, text string"
+    )
+    r = {x["doc_id"]: x for x in gopher_repetition(df).collect()}
+    assert r[2]["pass_all"] and r[2]["dup5_frac"] == 0.0
+    assert not r[1]["pass_all"]
+    assert r[1]["dup5_frac"] > 0.9 and not r[1]["r_dup5"]
+    assert not r[1]["r_top2"]
+    # dup coverage counts positions once: fraction can never exceed 1
+    for n in (5, 6, 7, 8, 9, 10):
+        assert 0.0 <= r[1][f"dup{n}_frac"] <= 1.0
+
+
+def test_gopher_repetition_boundary_exact(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.text import (
+        gopher_repetition,
+    )
+
+    # 10 distinct 4-char words, every 2-gram unique: top-2-gram mass =
+    # 1 occurrence x 8 token chars (joining space excluded) / 40 = 0.2 —
+    # exactly AT the 0.20 threshold, which passes (<=); dup rules clean
+    doc = " ".join(f"ab{i:02d}" for i in range(10))
+    r = gopher_repetition(
+        spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    ).collect()[0]
+    assert r["top2_frac"] == 0.2 and r["r_top2"]
+    assert r["dup5_frac"] == 0.0 and r["r_dup5"]
