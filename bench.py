@@ -96,6 +96,13 @@ HEADLINE = [
     "q_rag_context_pack",
     "q_skipgram_pairs",
     "q_adamic_adar",
+    # round-5 curation additions (DuckDB pins measured 2026-08-16,
+    # same best-of-2 recipe)
+    "q_boilerplate_chunks",
+    "q_boilerplate_strip",
+    "q_gopher_rules",
+    "q_gopher_repetition",
+    "q_unicode_clean",
 ]
 
 # DuckDB oracle wall-clock on the SAME queries at sf0.1, best-of-2, measured
@@ -106,6 +113,12 @@ HEADLINE = [
 # from the ratio on BOTH sides). Reported in the bench line as baseline_sec /
 # vs_baseline so the 2×-of-baseline bound is a checkable number per round.
 DUCKDB_BASELINE_SF01: dict[str, float | None] = {
+    # measured 2026-08-16 (same best-of-2 recipe)
+    "q_boilerplate_chunks": 0.4412,
+    "q_boilerplate_strip": 0.4747,
+    "q_gopher_rules": 0.3671,
+    "q_gopher_repetition": 0.743,
+    "q_unicode_clean": 0.0117,
     # measured 2026-08-14 (same best-of-2 recipe)
     "q_curation_report": 0.449,
     "q_mmr_rerank": 0.851,
