@@ -556,3 +556,58 @@ def modularity(edges: DataFrame, communities: DataFrame) -> DataFrame:
     return per.select(
         "community", "m_c", "d_c", F.round(q_c, 6).alias("q_contrib")
     ).orderBy("community")
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) for community
+    detection, made DETERMINISTIC: labels start as node ids; each round
+    every node adopts the most frequent label among its neighbors with
+    ties broken toward the SMALLEST label, for a FIXED number of rounds —
+    the two classic nondeterminism sources (random tie-break, sweep
+    order) are removed, so the result is a pure function of the edge set
+    and the oracle can replay each round as an unrolled CTE. The edge set
+    is symmetrized and de-duplicated (simple undirected graph) so both
+    engines count each neighbor once.
+
+    Plan per round: one edge⋈labels hash join (labels is node-sized) +
+    two hash aggregations — the (node, label) count partial-aggregates
+    map-side, and the per-node argmax is a max over a (count, -label)
+    struct, not a window, so no per-node sort ever materializes.
+    Isolated nodes (none in a symmetrized edge list) and nodes whose
+    neighborhood is empty keep their label via the left join."""
+    sym = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
+        )
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    labels = sym.select(F.col("s").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(rounds):
+        nb = sym.join(labels, sym["s"] == labels["node"]).select(
+            F.col("d").alias("node"), "label"
+        )
+        cnt = nb.groupBy("node", "label").agg(F.count(F.lit(1)).alias("__c"))
+        best = (
+            cnt.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("__c").alias("c"), (-F.col("label")).alias("nl")
+                    )
+                ).alias("__m")
+            )
+            .select("node", (-F.col("__m.nl")).alias("__new"))
+        )
+        labels = labels.join(best, "node", "left").select(
+            "node", F.coalesce("__new", "label").alias("label")
+        )
+    return labels

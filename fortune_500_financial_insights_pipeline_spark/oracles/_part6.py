@@ -1341,3 +1341,38 @@ GROUP BY d.lang"""
 
 
 ORACLES["q_gopher_repetition"] = _gopher_repetition_sql()
+
+
+def _label_propagation_sql(rounds: int = 3) -> str:
+    """Unrolled-round mirror of operators/graph.label_propagation on the
+    q_pagerank edge set: per round, neighbor-label counts then the
+    (count DESC, label ASC) argmax via ROW_NUMBER."""
+    ctes = ["""base AS (
+  SELECT DISTINCT l.l_suppkey AS s, o.o_custkey + 1000000 AS c
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)""",
+            """sym AS (
+  SELECT s AS src, c AS dst FROM base
+  UNION
+  SELECT c AS src, s AS dst FROM base)""",
+            """l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym)"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""c{r} AS (
+  SELECT e.dst AS node, l.label, COUNT(*) AS c
+  FROM sym e JOIN l{r - 1} l ON e.src = l.node
+  GROUP BY e.dst, l.label)""")
+        ctes.append(f"""b{r} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY c DESC, label ASC) AS rn
+    FROM c{r}) WHERE rn = 1)""")
+        ctes.append(f"""l{r} AS (
+  SELECT p.node, COALESCE(b{r}.label, p.label) AS label
+  FROM l{r - 1} p LEFT JOIN b{r} USING (node))""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, label AS community FROM l{rounds}"
+    )
+
+
+ORACLES["q_label_propagation"] = _label_propagation_sql(3)

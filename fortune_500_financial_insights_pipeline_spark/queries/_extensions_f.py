@@ -769,3 +769,33 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_pass_all")
     )
     return flags.groupBy("lang").agg(*aggs)
+
+
+@q("q_label_propagation")
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan et al. 2007)
+    over the supplier–customer co-purchase graph (the q_pagerank edge
+    set): 3 fixed rounds, most-frequent-neighbor label with smallest-
+    label tie-break — the classic community detector with its two
+    nondeterminism sources (random ties, sweep order) removed so the
+    oracle replays each round as an unrolled CTE. Completes the graph
+    family next to components/pagerank/HITS/k-core/triangles. Per round:
+    one node-keyed hash join + two hash aggs, argmax via a (count,
+    -label) struct max — no window, no per-node sort."""
+    from fortune_500_financial_insights_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + 1000000).alias("dst"),
+        )
+        .distinct()
+    )
+    return label_propagation(base, rounds=3).select(
+        "node", F.col("label").alias("community")
+    )

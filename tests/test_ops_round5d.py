@@ -265,3 +265,34 @@ def test_gopher_repetition_boundary_exact(spark):
     ).collect()[0]
     assert r["top2_frac"] == 0.2 and r["r_top2"]
     assert r["dup5_frac"] == 0.0 and r["r_dup5"]
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two triangles joined by one bridge edge: after enough rounds each
+    triangle converges to its min node id; determinism pinned by rerun."""
+    from fortune_500_financial_insights_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)],
+        "src long, dst long",
+    )
+    out = {r["node"]: r["label"] for r in label_propagation(edges, rounds=4).collect()}
+    assert out[1] == out[2] == 1
+    assert out[11] == out[12]
+    again = {
+        r["node"]: r["label"] for r in label_propagation(edges, rounds=4).collect()
+    }
+    assert out == again
+
+
+def test_label_propagation_tie_breaks_to_smallest(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # node 5 has neighbors 1 and 2 (one edge each): tie -> label 1
+    edges = spark.createDataFrame([(1, 5), (2, 5)], "src long, dst long")
+    out = {r["node"]: r["label"] for r in label_propagation(edges, rounds=1).collect()}
+    assert out[5] == 1
