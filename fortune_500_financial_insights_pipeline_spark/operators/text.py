@@ -624,15 +624,43 @@ def gopher_rules(
     aggregate HOFs, all codegen'd JVM expressions, zero shuffle, no UDF.
     Embarrassingly parallel at any scale; the downstream aggregate (the
     caller's groupBy) is the only exchange."""
-    c = F.col(text_col)
+    flags = gopher_flag_columns(
+        F.col(text_col), min_words=min_words, max_words=max_words,
+        stopwords=stopwords,
+    )
+    return df.select(
+        F.col(id_col), *[expr.alias(name) for name, expr in flags.items()]
+    ).withColumn(
+        "pass_all",
+        F.lit(True)
+        & F.col("r_word_count")
+        & F.col("r_mean_word_len")
+        & F.col("r_symbol_ratio")
+        & F.col("r_bullet")
+        & F.col("r_ellipsis")
+        & F.col("r_alpha_words")
+        & F.col("r_stopwords"),
+    )
+
+
+def gopher_flag_columns(
+    c: Column,
+    min_words: int = 15,
+    max_words: int = 100_000,
+    stopwords: list[str] | None = None,
+) -> "dict[str, Column]":
+    """The seven Gopher rule flags as PURE column expressions over a text
+    column — exposed separately so stateless consumers (the streaming
+    curation gate) can filter inline without the id-keyed join
+    ``gopher_rules``'s frame output would force (a stream self-join)."""
     toks = F.split(c, " ")
     n_words = F.size(toks).cast("long")
     sum_wl = F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
     )
-    n_hash = F.length(c) - F.length(F.expr(f"replace({text_col}, '#', '')"))
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
     n_ellipsis = (
-        F.length(c) - F.length(F.expr(f"replace({text_col}, '...', '')"))
+        F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))
     ) / 3
     n_sym = (n_hash + n_ellipsis).cast("long")
     lines = F.split(c, "\n")
@@ -647,25 +675,15 @@ def gopher_rules(
     n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("long")
     sw = F.array(*[F.lit(s) for s in (stopwords or GOPHER_STOPWORDS)])
     n_stop_distinct = F.size(F.array_intersect(F.array_distinct(toks), sw))
-    return df.select(
-        F.col(id_col),
-        ((n_words >= min_words) & (n_words <= max_words)).alias("r_word_count"),
-        ((3 * n_words <= sum_wl) & (sum_wl <= 10 * n_words)).alias("r_mean_word_len"),
-        (10 * n_sym <= n_words).alias("r_symbol_ratio"),
-        (10 * n_bullet <= 9 * n_lines).alias("r_bullet"),
-        (10 * n_ell_lines <= 3 * n_lines).alias("r_ellipsis"),
-        (10 * n_alpha >= 8 * n_words).alias("r_alpha_words"),
-        (n_stop_distinct >= 2).alias("r_stopwords"),
-    ).withColumn(
-        "pass_all",
-        F.col("r_word_count")
-        & F.col("r_mean_word_len")
-        & F.col("r_symbol_ratio")
-        & F.col("r_bullet")
-        & F.col("r_ellipsis")
-        & F.col("r_alpha_words")
-        & F.col("r_stopwords"),
-    )
+    return {
+        "r_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "r_mean_word_len": (3 * n_words <= sum_wl) & (sum_wl <= 10 * n_words),
+        "r_symbol_ratio": 10 * n_sym <= n_words,
+        "r_bullet": 10 * n_bullet <= 9 * n_lines,
+        "r_ellipsis": 10 * n_ell_lines <= 3 * n_lines,
+        "r_alpha_words": 10 * n_alpha >= 8 * n_words,
+        "r_stopwords": n_stop_distinct >= 2,
+    }
 
 
 def boilerplate_units(

@@ -16,6 +16,10 @@ dual:
 |                              | corpus via foreachBatch                      |
 | quality/entropy percentiles  | fixed thresholds (percentiles are corpus     |
 |                              | statistics; recompute offline, feed as conf) |
+| Gopher rule suite            | stateless per-row flags (text.gopher_rules)  |
+|                              | — streams unchanged, ``gopher_gate=True``    |
+| cross-doc boilerplate        | streaming/boilerplate.py: Bloom-cascade over |
+| (text.boilerplate_units)     | CDC chunk hashes, bounded state, never-miss  |
 
 So the streaming funnel is: content-hash dedup → fixed-threshold quality
 gate → PII redaction → chunk explosion. Everything after the dedup is
@@ -49,6 +53,7 @@ def streaming_curate(
     chunk_tokens: int = 32,
     overlap: int = 8,
     watermark: tuple[str, str] | None = None,
+    gopher_gate: bool = False,
 ) -> DataFrame:
     """Curated chunk stream from a raw document stream.
 
@@ -69,6 +74,17 @@ def streaming_curate(
         deduped = df.dropDuplicates(["fingerprint"])
 
     gated = deduped.where(F.round(TX.quality_score(text_col), 6) >= min_quality)
+    if gopher_gate:
+        # the published rule suite is integer-exact per-row flags — pure
+        # column expressions (text.gopher_flag_columns), so the gate is a
+        # stateless inline filter: no join, no state, stream-safe
+        flags = TX.gopher_flag_columns(
+            F.col(text_col), stopwords=TX.EN_STOPWORDS
+        )
+        cond = F.lit(True)
+        for expr in flags.values():
+            cond = cond & expr
+        gated = gated.where(cond)
     redacted = gated.withColumn(text_col, TX.redact_pii(text_col))
     keep = [c for c in redacted.columns if c not in (id_col, text_col)]
     return chunk_documents(

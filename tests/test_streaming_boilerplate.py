@@ -193,3 +193,56 @@ def test_final_state_matches_batch_operator_on_fixture(spark, tmp_path):
     )
     assert rep["n_true"] == n_true_batch == rep["n_flagged"]
     assert n_true_batch > 0
+
+
+def test_streaming_curate_gopher_gate_matches_batch(spark, tmp_path):
+    """The optional Gopher gate is a stateless inline filter: the chunk
+    stream with gopher_gate=True equals the batch composition (same
+    dedup, quality gate, rule flags, chunking) over the same documents."""
+    from fortune_500_financial_insights_pipeline_spark.operators import text as TX
+    from fortune_500_financial_insights_pipeline_spark.operators.chunking import (
+        chunk_documents,
+    )
+    from fortune_500_financial_insights_pipeline_spark.streaming.curation import (
+        streaming_curate,
+    )
+    from pyspark.sql import functions as F
+
+    docs = [
+        (1, _doc(1)),                          # passes everything
+        (2, "# " * 40),                        # fails symbol ratio
+        (3, "the a " + "word " * 20),          # depends on rules
+        (4, _doc(1)),                          # exact dup of 1 (normalized)
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    got = []
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        streaming_curate(stream, min_quality=0.0, gopher_gate=True)
+        .writeStream.foreachBatch(lambda df, b: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    batch_docs = spark.createDataFrame(docs, "doc_id long, text string")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    dedup = batch_docs.withColumn("fp", F.md5(norm)).dropDuplicates(["fp"])
+    flags = TX.gopher_flag_columns(F.col("text"), stopwords=TX.EN_STOPWORDS)
+    cond = F.lit(True)
+    for e in flags.values():
+        cond = cond & e
+    gated = dedup.where(cond).withColumn("text", TX.redact_pii("text"))
+    want = chunk_documents(
+        gated, id_col="doc_id", text_col="text", chunk_tokens=32, overlap=8,
+        keep_cols=[c for c in gated.columns if c not in ("doc_id", "text")],
+    ).collect()
+    key = lambda r: (r["doc_id"], r["chunk_index"])
+    assert sorted((key(r) for r in got)) == sorted(key(r) for r in want)
+    assert any(r["doc_id"] == 1 for r in got)
+    assert not any(r["doc_id"] == 2 for r in got)
