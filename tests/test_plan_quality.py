@@ -604,3 +604,34 @@ def test_pagerank_dist_runs_the_shuffle_loop(spark, sf_dir, monkeypatch):
     assert calls == [], "dist key took the driver-side twin"
     QUERIES["q_pagerank"](spark, sf_dir).collect()
     assert calls == ["local"], "fixture-scale q_pagerank should engage the twin"
+
+
+def test_gopher_repetition_fused_window_pass(spark, sf_dir):
+    """The nine lead depths must FUSE into one WindowExec per consumer
+    branch (same partition/sort → Spark computes all leads in one pass):
+    three consumer branches (top-gram mass, dup detection, dup coverage)
+    means at most 3 Window nodes. The guarded-against regression is the
+    per-n formulation — 9+ window families, ~2x the cold wall-clock
+    (SCALE.md round-5)."""
+    df = QUERIES["q_gopher_repetition"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_windows = sum(
+        1 for line in plan.splitlines() if line.lstrip("+:- ").startswith("Window [")
+    )
+    assert 1 <= n_windows <= 3, n_windows
+    # and each fuses all nine depths: lead(tok, 9) appears in a Window line
+    assert any(
+        "lead" in line and "9" in line
+        for line in plan.splitlines()
+        if "Window [" in line
+    ) or "lead(__tok" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_label_propagation_no_cartesian_no_window(spark, sf_dir):
+    """The per-round argmax is a (count, -label) struct max — a hash
+    aggregate, never a per-node sort window; joins stay keyed."""
+    df = QUERIES["q_label_propagation"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
