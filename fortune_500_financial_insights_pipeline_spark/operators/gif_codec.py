@@ -172,6 +172,22 @@ def lzw_encode(indices: "np.ndarray | list[int]", min_code_size: int) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+def _truncation_guard(fn):
+    """Translate the IndexError/struct.error a truncated container raises
+    mid-walk into the ValueError discipline the PNG/JPEG decoders follow
+    (callers catch ValueError as "corrupt payload", not IndexError)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(data: bytes, *a, **kw):
+        try:
+            return fn(data, *a, **kw)
+        except (IndexError, struct.error) as exc:
+            raise ValueError(f"truncated GIF payload ({exc})") from exc
+
+    return wrapped
+
+
 def _sub_blocks(payload: bytes) -> bytes:
     """Frame a raw stream into <=255-byte GIF sub-blocks + terminator."""
     out = bytearray()
@@ -183,6 +199,7 @@ def _sub_blocks(payload: bytes) -> bytes:
     return bytes(out)
 
 
+@_truncation_guard
 def gif_decode(data: bytes) -> np.ndarray:
     """Decode GIF bytes to an (H, W, 3) uint8 array (first image frame,
     non-interlaced). Walks the real container: screen descriptor, global
@@ -241,6 +258,7 @@ def gif_decode(data: bytes) -> np.ndarray:
     raise ValueError("GIF contains no image block")
 
 
+@_truncation_guard
 def gif_dimensions(data: bytes) -> tuple[int, int]:
     """(width, height) from the logical screen descriptor — header-only,
     no entropy decode (the metadata twin of png_dimensions)."""
@@ -290,6 +308,7 @@ def gif_encode(img: np.ndarray, interlace: bool = False) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+@_truncation_guard
 def gif_decode_frames(data: bytes) -> list[tuple[int, np.ndarray]]:
     """Decode ALL frames of a (possibly animated) GIF as
     [(delay_cs, (H, W, 3) canvas), ...] — real frame COMPOSITION, not

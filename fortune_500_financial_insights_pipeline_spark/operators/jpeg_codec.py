@@ -159,6 +159,13 @@ def _extend(v: int, t: int) -> int:
 def jpeg_decode(data: bytes) -> np.ndarray:
     """Decode a baseline JPEG to (H, W, 3) RGB uint8 (grayscale comes
     back replicated? no — (H, W, 1) for single-component scans)."""
+    try:
+        return _decode_baseline(data)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"truncated JPEG payload ({exc})") from exc
+
+
+def _decode_baseline(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     pos = 2

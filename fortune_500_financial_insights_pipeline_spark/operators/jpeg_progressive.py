@@ -200,6 +200,14 @@ def jpeg_decode_progressive(data: bytes) -> np.ndarray:
     """Decode a progressive (SOF2) JPEG to (H, W, 3) RGB (or (H, W, 1)
     grayscale) uint8 — full multi-scan walk, coefficient store, single
     render at EOI."""
+    try:
+        return _decode_progressive(data)
+    except (IndexError, struct.error) as exc:
+        # truncated container: surface the PNG/JPEG ValueError discipline
+        raise ValueError(f"truncated JPEG payload ({exc})") from exc
+
+
+def _decode_progressive(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     pos = 2

@@ -331,3 +331,32 @@ def test_png_adam7_truncated_pass_rejected():
     i = bytes(data).index(b"IDAT")
     with pytest.raises(ValueError):
         png_decode(bytes(data[: i + 40]) )
+
+
+def test_truncated_payloads_raise_valueerror_not_indexerror():
+    """Corrupt/truncated containers must surface the ValueError
+    discipline decode_image's callers rely on — never IndexError or
+    struct.error escaping from mid-walk."""
+    from fortune_500_financial_insights_pipeline_spark.operators.jpeg_codec import (
+        jpeg_decode,
+        jpeg_encode_baseline,
+    )
+    from fortune_500_financial_insights_pipeline_spark.operators.jpeg_progressive import (
+        jpeg_decode_progressive,
+        jpeg_encode_progressive,
+    )
+
+    rnd = np.random.default_rng(2)
+    img = rnd.integers(0, 256, size=(8, 12, 3), dtype=np.uint8)
+    cases = [
+        (gif_encode(img), gif_decode),
+        (jpeg_encode_baseline(img), jpeg_decode),
+        (jpeg_encode_progressive(img), jpeg_decode_progressive),
+    ]
+    for data, dec in cases:
+        for cut in (5, 11, 31, len(data) // 2, len(data) - 2):
+            try:
+                dec(data[:cut])
+            except ValueError:
+                pass  # the contract
+            # anything else (IndexError, struct.error) fails the test
