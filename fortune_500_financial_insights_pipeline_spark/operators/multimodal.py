@@ -94,8 +94,8 @@ def _real_decode(media: bytes) -> tuple[int, int, list[float]]:
 
 
 def _pure_decode(media: bytes) -> tuple[int, int, list[float]]:
-    """Real PNG/JPEG/GIF decode with no media library (operators/media_codec
-    + operators/jpeg_codec + operators/gif_codec): pixels → integer BT.601
+    """Real PNG/JPEG/GIF/BMP decode with no media library (media_codec +
+    jpeg_codec + gif_codec + bmp_codec): pixels → integer BT.601
     luma → mean over 8
     vertical strips, /255 — the same feature shape as the PIL path, with
     the luma formula pinned by media_codec.png_luma's docstring (PIL's
@@ -121,6 +121,12 @@ def _pure_decode(media: bytes) -> tuple[int, int, list[float]]:
         )
 
         img = gif_decode(media)
+    elif media[:2] == b"BM":
+        from fortune_500_financial_insights_pipeline_spark.operators.bmp_codec import (
+            bmp_decode,
+        )
+
+        img = bmp_decode(media)
     else:
         raise ValueError("unrecognized still-image payload")
     height, width = img.shape[0], img.shape[1]
@@ -156,12 +162,13 @@ def decode_image(media: bytes, fake: bool = False):
             media[:8] == PNG_SIGNATURE
             or media[:2] == b"\xff\xd8"
             or media[:6] in (b"GIF87a", b"GIF89a")
+            or media[:2] == b"BM"
         ):
-            return _pure_decode(media)  # PNG/baseline JPEG/GIF: real, no PIL
+            return _pure_decode(media)  # PNG/JPEG/GIF/BMP: real, no PIL
         raise NotImplementedError(
-            "real decode of non-PNG/JPEG/GIF stills requires PIL (absent in "
-            "this container); PNG, baseline JPEG and GIF decode without it, "
-            "or pass fake=True for the deterministic stub"
+            "real decode of non-PNG/JPEG/GIF/BMP stills requires PIL (absent "
+            "in this container); those four decode without it, or pass "
+            "fake=True for the deterministic stub"
         ) from exc
     return _real_decode(media)
 
@@ -412,9 +419,16 @@ def resize_images(media_df: DataFrame, target_w: int = 64, target_h: int = 64,
                             )
 
                             src = gif_decode(media)
+                        elif media[:2] == b"BM":
+                            from fortune_500_financial_insights_pipeline_spark.operators.bmp_codec import (
+                                bmp_decode,
+                            )
+
+                            src = bmp_decode(media)
                         else:
                             raise NotImplementedError(
-                                "real resize of non-PNG/JPEG/GIF stills needs PIL"
+                                "real resize of non-PNG/JPEG/GIF/BMP stills "
+                                "needs PIL"
                             ) from exc
                         bitmap = png_encode(
                             resize_nearest(src, target_w, target_h)
@@ -446,6 +460,7 @@ MAGIC_PREFIXES = [
     ("89504E47", "png"),
     ("FFD8FF", "jpeg"),
     ("47494638", "gif"),
+    ("424D", "bmp"),
 ]
 
 

@@ -1376,3 +1376,30 @@ def _label_propagation_sql(rounds: int = 3) -> str:
 
 
 ORACLES["q_label_propagation"] = _label_propagation_sql(3)
+
+# q_bmp_decode_roundtrip: pixel formula replayed in SQL; the Spark side
+# round-trips genuine padded bottom-up BI_RGB bytes.
+ORACLES["q_bmp_decode_roundtrip"] = """
+WITH ids AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 30),
+dims AS (
+  SELECT doc_id,
+         CAST(3 + doc_id % 4 AS BIGINT) AS h,
+         CAST(5 + doc_id % 6 AS BIGINT) AS w
+  FROM ids
+), px AS (
+  SELECT doc_id, w, h,
+         (doc_id * 19 + y.y * 7 + x.x * 3 + 0) % 256 AS r,
+         (doc_id * 19 + y.y * 7 + x.x * 3 + 11) % 256 AS g,
+         (doc_id * 19 + y.y * 7 + x.x * 3 + 22) % 256 AS b
+  FROM dims,
+       LATERAL (SELECT unnest(range(0, h)) AS y) y,
+       LATERAL (SELECT unnest(range(0, w)) AS x) x
+)
+SELECT doc_id,
+       CAST(MAX(w) AS INTEGER) AS width,
+       CAST(MAX(h) AS INTEGER) AS height,
+       CAST(SUM(r + g + b) AS BIGINT) AS sum_pixels,
+       CAST(SUM((299 * r + 587 * g + 114 * b) // 1000) AS BIGINT) AS sum_luma
+FROM px
+GROUP BY doc_id
+"""

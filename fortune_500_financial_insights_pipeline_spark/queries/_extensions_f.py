@@ -799,3 +799,54 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(base, rounds=3).select(
         "node", F.col("label").alias("community")
     )
+
+
+@q("q_bmp_decode_roundtrip")
+def q_bmp_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP decode certified cross-engine: per document (doc_id <
+    30), a (3 + d mod 4) × (5 + d mod 6) RGB image with pixel(y, x, c) =
+    (d·19 + y·7 + x·3 + c·11) mod 256 is encoded as 24-bit BI_RGB
+    (bottom-up rows, 4-byte padding — operators/bmp_codec) and decoded
+    back through the pure codec, then reduced to integer stats incl. the
+    pinned BT.601 floor luma. The oracle replays the pixel formula in
+    SQL; the padding and row-order arithmetic must invert exactly for
+    the hash to match. mapInPandas, Arrow-batched, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 30)
+        .select("doc_id")
+        .distinct()
+    )
+
+    def stats(batches):
+        from fortune_500_financial_insights_pipeline_spark.operators.bmp_codec import (
+            bmp_decode,
+            bmp_encode,
+        )
+        from fortune_500_financial_insights_pipeline_spark.operators.media_codec import (
+            png_luma,
+        )
+
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "sum_pixels": [],
+                   "sum_luma": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                h, w = 3 + d % 4, 5 + d % 6
+                y, x, c = np.ogrid[0:h, 0:w, 0:3]
+                img = ((d * 19 + y * 7 + x * 3 + c * 11) % 256).astype(np.uint8)
+                dec = bmp_decode(bmp_encode(img))
+                out["doc_id"].append(d)
+                out["width"].append(dec.shape[1])
+                out["height"].append(dec.shape[0])
+                out["sum_pixels"].append(int(dec.astype(np.int64).sum()))
+                out["sum_luma"].append(int(png_luma(dec).sum()))
+            yield pd.DataFrame(out)
+
+    return ids.mapInPandas(
+        stats,
+        schema="doc_id long, width int, height int, sum_pixels long, sum_luma long",
+    )

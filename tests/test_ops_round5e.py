@@ -360,3 +360,73 @@ def test_truncated_payloads_raise_valueerror_not_indexerror():
             except ValueError:
                 pass  # the contract
             # anything else (IndexError, struct.error) fails the test
+
+
+def test_bmp_codec_paths():
+    import struct as _struct
+
+    from fortune_500_financial_insights_pipeline_spark.operators.bmp_codec import (
+        bmp_decode,
+        bmp_dimensions,
+        bmp_encode,
+    )
+
+    rnd = np.random.default_rng(5)
+    # 24-bit roundtrip across widths that exercise every padding case
+    for h, w in [(1, 1), (3, 5), (7, 4), (13, 9), (11, 31)]:
+        img = rnd.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        data = bmp_encode(img)
+        assert (bmp_decode(data) == img).all()
+        assert bmp_dimensions(data) == (w, h)
+    # hand-built 8-bit paletted (BGRA palette -> RGB) single row
+    pal = bytes(b for i in range(4) for b in (i * 10 + 2, i * 10 + 1, i * 10, 0))
+    bmp8 = (
+        b"BM" + _struct.pack("<IHHI", 0, 0, 0, 14 + 40 + 16)
+        + _struct.pack("<IiiHHIIiiII", 40, 4, 1, 1, 8, 0, 4, 0, 0, 4, 0)
+        + pal + bytes([0, 1, 2, 3])
+    )
+    dec = bmp_decode(bmp8)
+    assert dec[0, 2].tolist() == [20, 21, 22]  # palette idx 2, RGB order
+    # 32-bit top-down (negative height), BGRX -> RGB
+    bmp32 = (
+        b"BM" + _struct.pack("<IHHI", 0, 0, 0, 54)
+        + _struct.pack("<IiiHHIIiiII", 40, 2, -1, 1, 32, 0, 8, 0, 0, 0, 0)
+        + bytes([10, 20, 30, 0, 40, 50, 60, 0])
+    )
+    assert bmp_decode(bmp32)[0, 0].tolist() == [30, 20, 10]
+    # rejections: RLE compression, truncation, wrong magic
+    with pytest.raises(ValueError, match="BI_RGB"):
+        bad = bytearray(bmp_encode(np.zeros((2, 2, 3), np.uint8)))
+        bad[30] = 1
+        bmp_decode(bytes(bad))
+    with pytest.raises(ValueError):
+        bmp_decode(bmp_encode(np.zeros((4, 4, 3), np.uint8))[:20])
+    with pytest.raises(ValueError, match="not a BMP"):
+        bmp_decode(b"PNG nope")
+
+
+def test_bmp_through_decode_and_resize_seams(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.bmp_codec import (
+        bmp_encode,
+    )
+    from fortune_500_financial_insights_pipeline_spark.operators.media_codec import (
+        png_decode,
+    )
+    from fortune_500_financial_insights_pipeline_spark.operators.multimodal import (
+        decode_image,
+        resize_images,
+    )
+
+    rnd = np.random.default_rng(6)
+    img = rnd.integers(0, 256, size=(10, 14, 3), dtype=np.uint8)
+    w, h, feat = decode_image(bmp_encode(img))
+    assert (w, h) == (14, 10) and len(feat) == 8
+    df = spark.createDataFrame(
+        [(1, "bmp", bytearray(bmp_encode(img)))],
+        "doc_id long, media_type string, media binary",
+    )
+    row = resize_images(df, target_w=7, target_h=5, fake=False).collect()[0]
+    out = png_decode(bytes(row["resized"]))
+    ys = (np.arange(5) * 10) // 5
+    xs = (np.arange(7) * 14) // 7
+    assert (out == img[ys][:, xs]).all()
