@@ -174,9 +174,9 @@ def test_decode_image_real_png_without_pil():
 
 
 def test_decode_image_unknown_format_raises_without_pil():
-    """Formats outside the pure codecs (PNG + baseline JPEG + GIF) still
-    raise NotImplementedError without PIL; corrupt bytes of a SUPPORTED
-    format raise ValueError from the real decoder instead (it genuinely
+    """Formats outside the pure codecs (PNG/JPEG/GIF/BMP) still raise
+    NotImplementedError without PIL; corrupt bytes of a SUPPORTED format
+    raise ValueError from the real decoder instead (it genuinely
     tried)."""
     from fortune_500_financial_insights_pipeline_spark.operators.multimodal import (
         decode_image,
@@ -189,10 +189,12 @@ def test_decode_image_unknown_format_raises_without_pil():
     except ImportError:
         pass
     with pytest.raises(NotImplementedError):
-        decode_image(b"BM bitmap is not among the pure codecs", fake=False)
-    # GIF is now a real codec: corrupt GIF bytes fail INSIDE the decoder
+        decode_image(b"II*\x00 tiff is not among the pure codecs", fake=False)
+    # GIF and BMP are real codecs now: corrupt bytes fail INSIDE them
     with pytest.raises(ValueError):
         decode_image(b"GIF89a corrupt container follows", fake=False)
+    with pytest.raises(ValueError):
+        decode_image(b"BM corrupt header follows here", fake=False)
     with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 corrupt jpeg bytes", fake=False)
 
