@@ -611,3 +611,38 @@ def label_propagation(
             "node", F.coalesce("__new", "label").alias("label")
         )
     return labels
+
+
+def cluster_dedup_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Keep the HIGHEST-SCORING row per duplicate cluster (ties to the
+    smaller id) — the quality-weighted survivor rule a curation pipeline
+    wants over :func:`cluster_dedup`'s min-id canonical: when three
+    near-identical copies differ in quality (truncation, mojibake, ad
+    chrome), dedup should keep the best one, not the first-crawled one.
+    Same transitive-closure semantics; rows untouched by any pair
+    survive unchanged. The argmax is a (score, -id) struct max — a hash
+    aggregate, no window, no per-cluster sort."""
+    comps = connected_components(pairs, src=src, dst=dst)
+    tagged = (
+        df.select(id_col, score_col)
+        .join(comps, df[id_col] == comps.id, "left")
+        .drop("id")
+        .withColumn("comp", F.coalesce("comp", F.col(id_col)))
+    )
+    keep_ids = (
+        tagged.groupBy("comp")
+        .agg(
+            F.max(
+                F.struct(F.col(score_col).alias("s"), (-F.col(id_col)).alias("ni"))
+            ).alias("__m")
+        )
+        .select((-F.col("__m.ni")).alias("_keep"))
+    )
+    return df.join(keep_ids, df[id_col] == keep_ids._keep, "left_semi")

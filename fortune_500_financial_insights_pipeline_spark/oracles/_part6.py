@@ -1403,3 +1403,62 @@ SELECT doc_id,
 FROM px
 GROUP BY doc_id
 """
+
+# q_dedup_keep_best: the q_jaccard_clusters recursive-CTE closure with the
+# survivor rule swapped to (quality DESC, id ASC) per component.
+ORACLES["q_dedup_keep_best"] = """
+WITH RECURSIVE g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(l)),
+                                      x -> l[x] || ' ' || l[x+1])) AS grams
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+), ex AS (
+  SELECT doc_id, UNNEST(grams) AS gram FROM g
+), sizes AS (
+  SELECT doc_id, len(grams) AS n FROM g
+), inter AS (
+  SELECT a.doc_id AS u, b.doc_id AS v, COUNT(*) AS c
+  FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT i.u, i.v
+  FROM inter i
+  JOIN sizes su ON i.u = su.doc_id
+  JOIN sizes sv ON i.v = sv.doc_id
+  WHERE CAST(i.c AS DOUBLE) / (su.n + sv.n - i.c) >= 0.8
+), edges AS (
+  SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+), reach AS (
+  SELECT u AS src, v AS dst FROM edges
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+), comp AS (
+  SELECT src AS id, LEAST(src, MIN(dst)) AS comp FROM reach GROUP BY src
+), feats AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_toks,
+         CAST(len(list_filter(string_split(text, ' '),
+                    t -> list_contains(['the','a','of','and','to','in','is','on','for','with'], t)))
+              AS DOUBLE) AS n_stop
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+         ROUND(
+           LEAST(n_chars / 200.0, 1.0) * 0.4
+           + (CASE WHEN n_chars / n_toks >= 3.0 AND n_chars / n_toks <= 10.0
+                   THEN 1.0 ELSE 0.5 END) * 0.3
+           + LEAST((n_stop / n_toks) * 5.0, 1.0) * 0.3, 6) AS quality
+  FROM feats
+), tagged AS (
+  SELECT s.doc_id, s.quality, COALESCE(c.comp, s.doc_id) AS comp
+  FROM scored s LEFT JOIN comp c ON s.doc_id = c.id
+), best AS (
+  SELECT doc_id, quality FROM (
+    SELECT doc_id, quality,
+           ROW_NUMBER() OVER (PARTITION BY comp
+                              ORDER BY quality DESC, doc_id ASC) AS rn
+    FROM tagged) WHERE rn = 1
+)
+SELECT doc_id, quality FROM best
+"""

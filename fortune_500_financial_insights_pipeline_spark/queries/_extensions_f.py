@@ -850,3 +850,32 @@ def q_bmp_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats,
         schema="doc_id long, width int, height int, sum_pixels long, sum_luma long",
     )
+
+
+@q("q_dedup_keep_best")
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted cluster dedup, fully oracle-checked: the exact
+    bigram-Jaccard-0.8 clusters of q_jaccard_clusters, but the survivor
+    per cluster is the HIGHEST quality_score document (round-6, ties to
+    the smaller id — graph.cluster_dedup_best) instead of the minimum
+    id. This is the survivor rule production curation wants: among
+    near-identical copies, keep the least-degraded one. Pairs come from
+    the shared per-process memo; the oracle replays the recursive-CTE
+    closure plus a per-component (quality DESC, id ASC) argmax."""
+    from fortune_500_financial_insights_pipeline_spark.operators.graph import (
+        cluster_dedup_best,
+    )
+    from fortune_500_financial_insights_pipeline_spark.operators.text import quality_score
+    from fortune_500_financial_insights_pipeline_spark.queries._core import (
+        doc_jaccard_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "quality", F.round(quality_score("text"), 6)
+    )
+    pairs = doc_jaccard_pairs(spark, sf_dir, ngram=2, floor=0.8).select(
+        "id_a", "id_b"
+    )
+    return cluster_dedup_best(d, pairs, "doc_id", "quality").select(
+        "doc_id", "quality"
+    )

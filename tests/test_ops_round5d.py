@@ -296,3 +296,24 @@ def test_label_propagation_tie_breaks_to_smallest(spark):
     edges = spark.createDataFrame([(1, 5), (2, 5)], "src long, dst long")
     out = {r["node"]: r["label"] for r in label_propagation(edges, rounds=1).collect()}
     assert out[5] == 1
+
+
+def test_cluster_dedup_best_keeps_highest_score(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.graph import (
+        cluster_dedup_best,
+    )
+
+    # cluster {1,2,3} via transitive pairs; 3 has the best score; doc 9
+    # untouched by pairs always survives; tie in {20,21} -> smaller id
+    df = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.95), (9, 0.1), (20, 0.5), (21, 0.5)],
+        "doc_id long, score double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (20, 21)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in cluster_dedup_best(df, pairs, "doc_id", "score").collect()
+    )
+    assert kept == [3, 9, 20]
