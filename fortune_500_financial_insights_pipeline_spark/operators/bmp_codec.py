@@ -77,10 +77,13 @@ def bmp_decode(data: bytes) -> np.ndarray:
     return rows[:, :, [2, 1, 0]].copy()  # BGR(X) -> RGB
 
 
+@_truncation_guard
 def bmp_dimensions(data: bytes) -> tuple[int, int]:
     """(width, height) from the info header — metadata-only."""
     if data[:2] != BMP_MAGIC:
         raise ValueError("not a BMP payload")
+    if len(data) < 26:
+        raise ValueError("truncated BMP payload (info header)")
     w, h = struct.unpack("<ii", data[18:26])
     return w, abs(h)
 

@@ -147,17 +147,21 @@ def lzw_encode(indices: "np.ndarray | list[int]", min_code_size: int) -> bytes:
             seq = nxt
             continue
         emit(table[seq])
-        table[nxt] = next_code
-        # the decoder grows its read width when ITS next slot hits
-        # 2**width; its table is one entry behind ours mid-phrase, so the
-        # encoder widens after assigning code 2**width - 1
-        if next_code == (1 << width) and width < _MAX_CODE_WIDTH:
-            width += 1
-        next_code += 1
-        if next_code > (1 << _MAX_CODE_WIDTH):
+        if next_code == (1 << _MAX_CODE_WIDTH):
+            # table is full (codes 0..4095 assigned): never assign the
+            # unemittable 13-bit code 4096 — CLEAR-reset instead, before
+            # inserting, so every table entry is an emittable code
             emit(clear)
             table, next_code = fresh()
             width = min_code_size + 1
+        else:
+            table[nxt] = next_code
+            # the decoder grows its read width when ITS next slot hits
+            # 2**width; its table is one entry behind ours mid-phrase, so
+            # the encoder widens after assigning code 2**width - 1
+            if next_code == (1 << width) and width < _MAX_CODE_WIDTH:
+                width += 1
+            next_code += 1
         seq = bytes([int(idx)])
     if seq:
         emit(table[seq])

@@ -4,19 +4,26 @@ with typed metadata (SURVEY.md §2.11).
 The Spark-side contract is real and tested — schema, Arrow batch shape,
 partition-preserving mapInPandas. Decode status by format (round 5):
 
-* PNG pixels, baseline-JPEG pixels, and WAV-PCM audio samples decode FOR
-  REAL with no media library — operators/media_codec.py (PNG: zlib
-  inflate + the five scanline filters; WAV: RIFF chunk walk + PCM) and
-  operators/jpeg_codec.py (ITU T.81 baseline: canonical Huffman,
-  dequantize, IDCT, chroma upsampling) in stdlib+numpy — so
-  ``decode_image``/``decode_audio`` return actual pixels/samples in this
-  container, unconditionally tested.
+* PNG, baseline AND progressive JPEG, GIF, BMP pixels, and WAV-PCM
+  audio samples decode FOR REAL with no media library —
+  operators/media_codec.py (PNG: zlib inflate + the five scanline
+  filters, Adam7; WAV: RIFF chunk walk + PCM), operators/jpeg_codec.py
+  (ITU T.81 baseline: canonical Huffman, dequantize, IDCT, chroma
+  upsampling) with operators/jpeg_progressive.py (T.81 SOF2 spectral
+  selection + successive approximation, dispatched at
+  jpeg_codec.decode), operators/gif_codec.py (variable-width LZW,
+  interlace, animation), operators/bmp_codec.py — all stdlib+numpy, so
+  ``decode_image``/``decode_audio`` return actual pixels/samples in
+  this container, unconditionally tested.
 * MP4 frame SAMPLING is container-real: ``sample_video_frames`` walks
   the ISO BMFF sample tables (operators/mp4_index) and slices each
   encoded frame's bytes + timestamp out of mdat — the data-plane work.
-* Only H.264 pixel decode of those sliced bytes (and progressive JPEG)
-  still needs a codec stack (ffmpeg/PIL — absent here, installs
-  disallowed): that path keeps the live conditional-import seam and the
+  For MJPEG tracks each sliced frame is itself a JPEG, so
+  ``sample_frames → decode_image`` yields REAL pixels end-to-end for a
+  real video container with zero dependencies.
+* Only H.264/H.265 pixel decode of sliced compressed-video bytes still
+  needs a codec stack (ffmpeg/PIL — absent here, installs disallowed):
+  that one sub-path keeps the live conditional-import seam and the
   deterministic ``fake=True`` stub.
 
 Swapping in PIL/ffmpeg changes only the inner function body; the Spark
@@ -284,11 +291,15 @@ def sample_frames(media_df: DataFrame, fps: float = 1.0, duration_s: float = 4.0
     REAL (operators/gif_codec.gif_decode_frames — full frame composition:
     offsets, transparency, disposal; ``frame_ts`` from the stream's own
     delay fields, ``feature`` = the same 8-strip luma profile as
-    decode_image); MP4/H.264 stays behind the ffmpeg seam (its container
-    walk lives in operators/mp4_index). The stub path derives per-frame
-    bytes deterministically from (payload, idx). Partition-preserving —
-    the explode happens inside the Arrow batch, so row multiplication
-    costs no shuffle."""
+    decode_image), and MP4 payloads whose samples are JPEG (MJPEG tracks)
+    decode END-TO-END: the ISO BMFF sample-table walk
+    (operators/mp4_index) slices each frame's bytes + container timestamp
+    and operators/jpeg_codec decodes them to pixels — a real video
+    container to real pixels with zero dependencies. Only compressed
+    video (H.264/H.265 samples) stays behind the ffmpeg seam. The stub
+    path derives per-frame bytes deterministically from (payload, idx).
+    Partition-preserving — the explode happens inside the Arrow batch, so
+    row multiplication costs no shuffle."""
 
     n_frames = max(1, int(duration_s * fps))
 
@@ -321,13 +332,45 @@ def sample_frames(media_df: DataFrame, fps: float = 1.0, duration_s: float = 4.0
                         out["feature"].append(feat)
                         ts += delay_cs / 100.0
                     continue
+                if not fake and len(media) >= 12 and media[4:8] == b"ftyp":
+                    from fortune_500_financial_insights_pipeline_spark.operators.jpeg_codec import (
+                        jpeg_decode,
+                    )
+                    from fortune_500_financial_insights_pipeline_spark.operators.media_codec import (
+                        png_luma,
+                    )
+                    from fortune_500_financial_insights_pipeline_spark.operators.mp4_index import (
+                        mp4_extract_samples,
+                    )
+
+                    for i, ts, payload in mp4_extract_samples(media):
+                        if not payload.startswith(b"\xff\xd8"):
+                            # compressed-video samples (H.264/H.265) are the
+                            # one library-bound decode left; MJPEG frames
+                            # ARE JPEGs and decode for real above this line
+                            raise NotImplementedError(
+                                "real H.264/H.265 frame decode needs ffmpeg"
+                            )
+                        img = jpeg_decode(payload)
+                        luma = img[:, :, 0] if img.shape[2] == 1 else png_luma(img)
+                        width = luma.shape[1]
+                        feat = []
+                        for sidx in range(8):
+                            x0 = sidx * width // 8
+                            x1 = max(x0 + 1, (sidx + 1) * width // 8)
+                            feat.append(float(luma[:, x0:x1].mean()) / 255.0)
+                        out["doc_id"].append(doc_id)
+                        out["frame_idx"].append(i)
+                        out["frame_ts"].append(ts)
+                        out["n_bytes"].append(int(img.nbytes))
+                        out["feature"].append(feat)
+                    continue
                 for i in range(n_frames):
                     if not fake:
-                        # the one genuinely library-bound decode left:
-                        # MP4/H.264 entropy decoding is a codec stack, not
-                        # a spec-walk — PNG/WAV decode for real (media_codec)
+                        # non-container payload with fake=False: nothing to
+                        # walk — same codec-stack seam as compressed video
                         raise NotImplementedError(
-                            "real MP4/H.264 frame decode needs ffmpeg"
+                            "real frame decode for this payload needs ffmpeg"
                         )
                     frame = hashlib.sha256(media + i.to_bytes(4, "big")).digest()
                     out["doc_id"].append(doc_id)

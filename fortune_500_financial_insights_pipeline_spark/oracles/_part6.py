@@ -1462,3 +1462,51 @@ WITH RECURSIVE g AS (
 )
 SELECT doc_id, quality FROM best
 """
+
+# q_mjpeg_frame_pixels: constant-block frame formula + cumulative-stts
+# clock + strip geometry replayed in SQL; the Spark side packs genuine
+# baseline JPEGs into a real ISO BMFF container and decodes end-to-end
+# through the production sample_frames operator (container walk + Huffman
+# + IDCT). v is y-invariant within a block row, so each (by, x) pixel
+# column contributes 8 identical rows — SUM(v * 8) over by∈{0,1} equals
+# the full 16-row strip sum.
+ORACLES["q_mjpeg_frame_pixels"] = """
+WITH ids AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 20),
+dims AS (
+  SELECT doc_id,
+         CAST(16 + 8 * (doc_id % 2) AS BIGINT) AS w,
+         CAST(16 AS BIGINT) AS h,
+         CAST(2 + doc_id % 4 AS BIGINT) AS n
+  FROM ids
+), frames AS (
+  SELECT doc_id, w, h, f.f,
+         CAST(100 + 10 * ((doc_id + f.f) % 4) AS BIGINT) AS dur
+  FROM dims, LATERAL (SELECT unnest(range(0, n)) AS f) f
+), clock AS (
+  SELECT doc_id, w, h, f,
+         COALESCE(SUM(dur) OVER (PARTITION BY doc_id ORDER BY f
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS dts
+  FROM frames
+), strips AS (
+  SELECT doc_id, w, h, f, dts, s.s,
+         (s.s * w) // 8 AS x0,
+         GREATEST((s.s * w) // 8 + 1, ((s.s + 1) * w) // 8) AS x1
+  FROM clock, LATERAL (SELECT unnest(range(0, 8)) AS s) s
+), px AS (
+  SELECT doc_id, f, dts, w, h, s, x0, x1,
+         ((doc_id * 37 + f * 19 + by.by * 11 + (x.x // 8) * 5) % 256) AS v
+  FROM strips,
+       LATERAL (SELECT unnest(range(0, h // 8)) AS by) by,
+       LATERAL (SELECT unnest(range(x0, x1)) AS x) x
+)
+SELECT doc_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       ROUND(CAST(MAX(dts) AS DOUBLE) / 1000.0, 6) AS ts,
+       CAST(MAX(h * w) AS INTEGER) AS n_bytes,
+       CAST(s AS INTEGER) AS strip,
+       ROUND((CAST(SUM(v * 8) AS DOUBLE)
+              / (MAX(h) * (MAX(x1) - MAX(x0)))) / 255.0, 6) AS lum
+FROM px
+GROUP BY doc_id, f, s
+"""

@@ -1,7 +1,7 @@
 """Per-query profiling harness: time and explain any registered query.
 
-    python -m fortune_500_financial_insights_pipeline_spark.profile q_groupby_agg
-    python -m fortune_500_financial_insights_pipeline_spark.profile q_topk --explain --runs 3
+    python -m fortune_500_financial_insights_pipeline_spark.qprofile q_groupby_agg
+    python -m fortune_500_financial_insights_pipeline_spark.qprofile q_topk --explain --runs 3
 
 Times are steady-state (one untimed warmup, then best of N) in a fresh
 session — long-lived sessions accumulate state that inflates numbers

@@ -879,3 +879,90 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_dedup_best(d, pairs, "doc_id", "quality").select(
         "doc_id", "quality"
     )
+
+
+@q("q_mjpeg_frame_pixels")
+def q_mjpeg_frame_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MJPEG-in-MP4 decoded END-TO-END, certified cross-engine: per
+    document (doc_id < 20), n = 2 + d mod 4 grayscale frames of constant
+    8×8 blocks — frame f, block (by, bx) holds
+    v = (d·37 + f·19 + by·11 + bx·5) mod 256, width 16 + 8·(d mod 2),
+    height 16 — are each Huffman-encoded to a genuine baseline JPEG
+    (all-ones quantization → exact DCT↔IDCT roundtrip) and packed as the
+    sample stream of a real ISO BMFF container (mp4_index.
+    mp4_build_minimal, per-frame duration 100 + 10·((d+f) mod 4) units at
+    timescale 1000, two samples per chunk so stsc/stco resolution is
+    exercised). The PRODUCTION operator multimodal.sample_frames(
+    fake=False) then does the whole video data-plane: walk the sample
+    tables, slice each frame's bytes out of mdat, detect the JPEG SOI,
+    entropy-decode to pixels, and emit the 8-strip luma profile with the
+    container's own cumulative-stts timestamps. Output is one row per
+    (frame, strip); the oracle replays the block formula, the duration
+    clock, and the strip geometry (x0 = s·w//8, x1 = max(x0+1,
+    (s+1)·w//8), strips may straddle block columns) in SQL — a hash
+    match proves container walk, Huffman decode, and IDCT recovered
+    every sample. mapInPandas 1→N inside the Arrow batch, no shuffle.
+    This clears the repo's last weak video sub-path without ffmpeg:
+    reference has no video at all (code/airflow/dags/ingest_data_API.py
+    is tabular/JSON only) — extension surface."""
+    import numpy as np
+    import pandas as pd
+
+    from fortune_500_financial_insights_pipeline_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 20)
+        .select("doc_id")
+        .distinct()
+    )
+
+    def build(batches):
+        from fortune_500_financial_insights_pipeline_spark.operators.jpeg_codec import (
+            jpeg_encode_baseline,
+        )
+        from fortune_500_financial_insights_pipeline_spark.operators.mp4_index import (
+            mp4_build_minimal,
+        )
+
+        for pdf in batches:
+            out = {"doc_id": [], "media": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 16 + 8 * (d % 2), 16
+                n = 2 + d % 4
+                samples, durs = [], []
+                for f in range(n):
+                    img = np.zeros((h, w), np.uint8)
+                    for by in range(h // 8):
+                        for bx in range(w // 8):
+                            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                                d * 37 + f * 19 + by * 11 + bx * 5
+                            ) % 256
+                    samples.append(jpeg_encode_baseline(img))
+                    durs.append(100 + 10 * ((d + f) % 4))
+                out["doc_id"].append(d)
+                out["media"].append(
+                    mp4_build_minimal(samples, durs, timescale=1000,
+                                      samples_per_chunk=2)
+                )
+            yield pd.DataFrame(out)
+
+    media = ids.mapInPandas(build, schema="doc_id long, media binary")
+    frames = sample_frames(media, fake=False)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.round("frame_ts", 6).alias("ts"),
+        "n_bytes",
+        F.posexplode("feature").alias("strip", "lum_raw"),
+    ).select(
+        "doc_id",
+        "frame_idx",
+        "ts",
+        "n_bytes",
+        "strip",
+        F.round("lum_raw", 6).alias("lum"),
+    )

@@ -54,6 +54,7 @@ def streaming_curate(
     overlap: int = 8,
     watermark: tuple[str, str] | None = None,
     gopher_gate: bool = False,
+    gopher_stopwords: list[str] | None = None,
 ) -> DataFrame:
     """Curated chunk stream from a raw document stream.
 
@@ -77,9 +78,13 @@ def streaming_curate(
     if gopher_gate:
         # the published rule suite is integer-exact per-row flags — pure
         # column expressions (text.gopher_flag_columns), so the gate is a
-        # stateless inline filter: no join, no state, stream-safe
+        # stateless inline filter: no join, no state, stream-safe.
+        # gopher_stopwords=None uses the operator's published 8-word
+        # GOPHER_STOPWORDS default, matching batch gopher_rules run with
+        # defaults; pass an explicit list (e.g. TX.EN_STOPWORDS) only for
+        # fixture-oriented corpora.
         flags = TX.gopher_flag_columns(
-            F.col(text_col), stopwords=TX.EN_STOPWORDS
+            F.col(text_col), stopwords=gopher_stopwords
         )
         cond = F.lit(True)
         for expr in flags.values():

@@ -222,7 +222,12 @@ def test_streaming_curate_gopher_gate_matches_batch(spark, tmp_path):
     got = []
     stream = spark.readStream.schema("doc_id long, text string").parquet(src)
     q = (
-        streaming_curate(stream, min_quality=0.0, gopher_gate=True)
+        streaming_curate(
+            stream,
+            min_quality=0.0,
+            gopher_gate=True,
+            gopher_stopwords=TX.EN_STOPWORDS,
+        )
         .writeStream.foreachBatch(lambda df, b: got.extend(df.collect()))
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .start()
