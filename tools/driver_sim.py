@@ -70,6 +70,15 @@ def main() -> int:
     spark.read.parquet(os.path.join(SF_DIR, "nation.parquet")).groupBy(
         "n_regionkey"
     ).count().collect()
+    # ... and one trivial mapInPandas so Python-worker spawn + Arrow serde
+    # init (~2-3 s once per session) lands here, not on whichever
+    # Arrow-batched key happens to run first (r5's record billed it to
+    # q_jpeg_decode_roundtrip: 2.14 s recorded vs 0.4 s steady-state).
+    import pandas as _pd  # noqa: F401 — worker-side import primed below
+
+    spark.createDataFrame([(1,)], "x long").mapInPandas(
+        lambda it: it, schema="x long"
+    ).collect()
     warmup_s = round(time.monotonic() - t_w, 2)
     print(f"[warmup] {warmup_s}s (session JIT/codegen, not attributed to any key)",
           flush=True)
