@@ -1510,3 +1510,57 @@ SELECT doc_id,
 FROM px
 GROUP BY doc_id, f, s
 """
+
+# q_curation_stream_funnel: the streaming module's funnel replayed in SQL —
+# planted-dup union, fingerprint dedup (survivors are byte-identical so any
+# representative text is THE text), the quality formula, the 4-pattern PII
+# regex chain, 32/8 token windows, and a survivor-invariant corpus readout.
+ORACLES["q_curation_stream_funnel"] = """
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000, text FROM documents WHERE doc_id < 30
+), fp AS (
+  SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+         MIN(text) AS text
+  FROM base GROUP BY 1
+), gated AS (
+  SELECT fingerprint, text FROM fp
+  WHERE ROUND(
+        LEAST(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4
+        + (CASE WHEN CAST(length(text) AS DOUBLE)
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 3.0
+                 AND CAST(length(text) AS DOUBLE)
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE) <= 10.0
+                THEN 1.0 ELSE 0.5 END) * 0.3
+        + LEAST((CAST(len(list_filter(string_split(text, ' '),
+                    t -> list_contains(['the','a','of','and','to','in','is','on','for','with'], t)))
+                 AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 5.0,
+                1.0) * 0.3, 6) >= 0.5
+), red AS (
+  SELECT fingerprint,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+             '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'),
+           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IPV4>', 'g') AS rt
+  FROM gated
+), toks AS (
+  SELECT fingerprint, string_split(rt, ' ') AS l FROM red
+), cc AS (
+  SELECT fingerprint,
+         len(list_slice(l, start + 1, start + 32)) AS n_tokens,
+         array_to_string(list_slice(l, start + 1, start + 32), ' ') AS chunk_text
+  FROM (SELECT fingerprint, l, UNNEST(range(0, len(l), 24)) AS start FROM toks)
+)
+SELECT CAST(COUNT(DISTINCT fingerprint) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(COUNT(DISTINCT md5(chunk_text)) AS BIGINT) AS n_distinct_chunks,
+       CAST(SUM(('0x' || substr(md5(chunk_text), 1, 8))::BIGINT) AS BIGINT)
+         AS chunk_checksum
+FROM cc
+"""

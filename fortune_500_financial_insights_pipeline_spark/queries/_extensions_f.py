@@ -966,3 +966,42 @@ def q_mjpeg_frame_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
         "strip",
         F.round("lum_raw", 6).alias("lum"),
     )
+
+
+@q("q_curation_stream_funnel")
+def q_curation_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING curation module's own code path under a driver hash
+    row (r5 verdict item 7, the q_pagerank_dist pattern): this key calls
+    streaming/curation.streaming_curate — not its batch twin — in
+    batch-equivalence mode (no watermark → the same dropDuplicates /
+    quality gate / redact_pii / chunk_documents composition the stream
+    executes per micro-batch; tests/test_streaming.py pins stream ==
+    batch on the real engine). 30 exact duplicates are planted (doc_id <
+    30 re-keyed +200000, byte-identical text) so the content-hash dedup
+    stage provably fires at every SF. Because dedup's survivor between
+    byte-identical copies is engine-arbitrary, the readout is
+    survivor-invariant: corpus-level chunk counts, token sums, and an
+    order-invariant md5-prefix checksum over chunk text — the oracle
+    replays fingerprint dedup (any survivor, identical text), the
+    quality formula, the PII regex chain, and the 32/8 token windows in
+    SQL. One Spark shuffle for dedup + map-side chunk explosion + one
+    aggregate; no window over raw text, no collect."""
+    from fortune_500_financial_insights_pipeline_spark.streaming.curation import (
+        streaming_curate,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.where(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    chunks = streaming_curate(
+        d.unionByName(planted), min_quality=0.5, chunk_tokens=32, overlap=8
+    )
+    csum = F.conv(F.substring(F.md5("chunk_text"), 1, 8), 16, 10).cast("long")
+    return chunks.agg(
+        F.countDistinct("fingerprint").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.countDistinct(F.md5("chunk_text")).cast("long").alias("n_distinct_chunks"),
+        F.sum(csum).cast("long").alias("chunk_checksum"),
+    )

@@ -137,3 +137,40 @@ def test_package_cwd_does_not_shadow_stdlib_profile():
         timeout=120,
     )
     assert r.returncode == 0 and "ok" in r.stdout, r.stderr
+
+
+def test_curation_stream_funnel_readout_is_survivor_invariant(spark):
+    """q_curation_stream_funnel's aggregate must not depend on WHICH of
+    two byte-identical dup copies survives dropDuplicates: flipping the
+    planted-copy id ordering leaves every output value unchanged."""
+    from pyspark.sql import functions as F
+
+    from fortune_500_financial_insights_pipeline_spark.streaming.curation import (
+        streaming_curate,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 6),
+        (2, "a completely different document about suppliers and parts " * 5),
+    ]
+    base = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def readout(df):
+        chunks = streaming_curate(df, min_quality=0.0, chunk_tokens=8, overlap=2)
+        csum = F.conv(F.substring(F.md5("chunk_text"), 1, 8), 16, 10).cast("long")
+        return chunks.agg(
+            F.countDistinct("fingerprint").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.sum(csum).alias("chunk_checksum"),
+        ).head()
+
+    dup_hi = base.unionByName(
+        base.select((F.col("doc_id") + 100).alias("doc_id"), "text")
+    )
+    dup_lo = base.select((F.col("doc_id") + 100).alias("doc_id"), "text").unionByName(
+        base
+    )
+    a, b = readout(dup_hi), readout(dup_lo)
+    assert a == b
+    assert a.n_docs == 2  # dups collapsed
