@@ -174,3 +174,39 @@ def test_curation_stream_funnel_readout_is_survivor_invariant(spark):
     a, b = readout(dup_hi), readout(dup_lo)
     assert a == b
     assert a.n_docs == 2  # dups collapsed
+
+
+def test_extract_features_plan_is_shuffle_free(spark):
+    """Runtime-metrics gate for the codec family (SCALE.md round 6): the
+    decode pass must stay map-only — no Exchange anywhere in the plan —
+    and decode a 200-image PNG fixture well under the generous floor
+    (catches an accidental per-row UDF or shuffle regression)."""
+    import time
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from fortune_500_financial_insights_pipeline_spark.operators.media_codec import (
+        png_encode,
+    )
+    from fortune_500_financial_insights_pipeline_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    rows = []
+    for i in range(200):
+        y, x, c = np.ogrid[0:32, 0:48, 0:3]
+        img = ((i * 31 + y * 17 + x * 7 + c * 3) % 256).astype(np.uint8)
+        rows.append((i, png_encode(img)))
+    df = spark.createDataFrame(rows, "doc_id long, media binary").select(
+        "doc_id",
+        "media",
+        F.lit("image/png").alias("media_type"),
+        F.octet_length("media").alias("n_bytes"),
+    )
+    feats = extract_features(df, fake=False)
+    plan = feats._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    t0 = time.perf_counter()
+    assert feats.count() == 200
+    assert time.perf_counter() - t0 < 30  # ~0.5 s measured; floor is loose
