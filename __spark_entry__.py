@@ -135,11 +135,15 @@ _FLAGSHIP_LLM = [
     "q_quality_gate",
     "q_mix_sources",
     "q_upsample_sources",
-    # round-6 additions: the MJPEG end-to-end video decode and the
-    # streaming-module curation funnel (r5 verdict items 4 and 7) — first
-    # in line for a driver hash row while never-verified
+    # round-6 additions: the MJPEG end-to-end video decode, the
+    # streaming-module curation funnel (r5 verdict items 4 and 7), and
+    # the exact substring-dedup primitive (distributed suffix array +
+    # LCP spans) — first in line for a driver hash row while
+    # never-verified
     "q_mjpeg_frame_pixels",
     "q_curation_stream_funnel",
+    "q_suffix_array",
+    "q_suffix_lcp_spans",
 ]
 
 # Pattern net for the broader LLM-pipeline family (dedup / similarity /

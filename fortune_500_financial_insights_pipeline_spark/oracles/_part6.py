@@ -1564,3 +1564,60 @@ SELECT CAST(COUNT(DISTINCT fingerprint) AS BIGINT) AS n_docs,
          AS chunk_checksum
 FROM cc
 """
+
+# q_suffix_array: brute-force generalized suffix sort — every suffix
+# materialized as a string (order-isomorphic to token-sequence comparison
+# because ' ' sorts below all token characters), ROW_NUMBER with the
+# (suffix, doc, pos) tie-break the Spark prefix-doubling form uses.
+ORACLES["q_suffix_array"] = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents WHERE doc_id < 40
+), s AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(l[i:], ' ') AS suf
+  FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM d)
+)
+SELECT doc_id,
+       CAST(pos AS INTEGER) AS pos,
+       ROW_NUMBER() OVER (ORDER BY suf, doc_id, pos) AS sa_rank
+FROM s
+"""
+
+# q_suffix_lcp_spans: the same brute sort, adjacent pairs via rk join,
+# LCP = position of the first token mismatch over the zipped suffix lists
+# (list_position returns 0 — not NULL — when no mismatch exists, i.e. one
+# suffix is a prefix of the other: then the LCP is the shorter length).
+ORACLES["q_suffix_lcp_spans"] = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents WHERE doc_id < 40
+), s AS (
+  SELECT doc_id, i - 1 AS pos, l[i:] AS sl, array_to_string(l[i:], ' ') AS suf
+  FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM d)
+), ranked AS (
+  SELECT doc_id, pos, sl,
+         ROW_NUMBER() OVER (ORDER BY suf, doc_id, pos) AS rk
+  FROM s
+), pairs AS (
+  SELECT a.doc_id AS doc_a, a.pos AS pos_a, b.doc_id AS doc_b,
+         b.pos AS pos_b, a.sl AS sa, b.sl AS sb
+  FROM ranked a JOIN ranked b ON b.rk = a.rk + 1
+), scored AS (
+  SELECT doc_a, pos_a, doc_b, pos_b, sa,
+         CAST(CASE WHEN fm = 0 OR fm IS NULL
+                   THEN LEAST(len(sa), len(sb))
+                   ELSE fm - 1 END AS BIGINT) AS lcp
+  FROM (
+    SELECT *,
+           list_position(
+             list_transform(range(1, LEAST(len(sa), len(sb)) + 1),
+                            i -> sa[i] != sb[i]),
+             true) AS fm
+    FROM pairs)
+)
+SELECT doc_a,
+       CAST(pos_a AS INTEGER) AS pos_a,
+       doc_b,
+       CAST(pos_b AS INTEGER) AS pos_b,
+       lcp,
+       array_to_string(sa[1:CAST(lcp AS INTEGER)], ' ') AS span
+FROM scored WHERE lcp >= 3
+"""

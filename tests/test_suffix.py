@@ -1,0 +1,120 @@
+"""Suffix-array operator tests: distributed prefix doubling vs
+brute-force suffix sorting (property-tested over generated corpora),
+LCP span exactness, the global dense rank primitive, and the
+no-single-partition-window plan discipline."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _brute_sa(docs):
+    sufs = []
+    for d, t in docs:
+        toks = t.split(" ")
+        for p in range(len(toks)):
+            sufs.append((toks[p:], d, p))
+    sufs.sort()
+    return {(d, p): i + 1 for i, (s, d, p) in enumerate(sufs)}
+
+
+def _brute_spans(docs, min_lcp):
+    sufs = []
+    for d, t in docs:
+        toks = t.split(" ")
+        for p in range(len(toks)):
+            sufs.append((toks[p:], d, p))
+    sufs.sort()
+    out = set()
+    for (sa, da, pa), (sb, db, pb) in zip(sufs, sufs[1:]):
+        lcp = 0
+        for x, y in zip(sa, sb):
+            if x != y:
+                break
+            lcp += 1
+        if lcp >= min_lcp:
+            out.add((da, pa, db, pb, lcp, " ".join(sa[:lcp])))
+    return out
+
+
+def test_global_dense_rank_matches_sorted_order(spark):
+    from pyspark.sql import functions as F
+
+    from fortune_500_financial_insights_pipeline_spark.operators.suffix import (
+        global_dense_rank,
+    )
+
+    rows = [(i, f"k{(i * 7) % 13:02d}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, key string")
+    got = global_dense_rank(df, ["key"], out_col="r", num_partitions=5)
+    keys = sorted({k for _, k in rows})
+    expect = {k: i + 1 for i, k in enumerate(keys)}
+    for row in got.collect():
+        assert row.r == expect[row.key]
+    # dense: every rank 1..n_distinct present
+    assert got.agg(F.max("r")).head()[0] == len(keys)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_suffix_array_matches_brute_force(spark, seed):
+    import random
+
+    from fortune_500_financial_insights_pipeline_spark.operators.suffix import (
+        suffix_array_tokens,
+    )
+
+    rng = random.Random(seed)
+    vocab = ["a", "b", "ab", "ba", "the", "x", ""]
+    docs = []
+    for d in range(12):
+        n = rng.randint(1, 30)
+        docs.append((d, " ".join(rng.choice(vocab) for _ in range(n))))
+    # plant an exact dup (identical cross-doc suffixes: ranks never all
+    # distinct -> exercises the gap >= max_len terminator)
+    docs.append((100, docs[0][1]))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.pos): r.sa_rank for r in suffix_array_tokens(df).collect()
+    }
+    assert got == _brute_sa(docs)
+
+
+def test_suffix_lcp_spans_exact(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.suffix import (
+        suffix_lcp_spans,
+    )
+
+    docs = [
+        (1, "one two three four five"),
+        (2, "zero one two three four six"),
+        (3, "unrelated words entirely here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.pos_a, r.doc_b, r.pos_b, r.lcp, r.span)
+        for r in suffix_lcp_spans(df, min_lcp=2).collect()
+    }
+    assert got == _brute_spans(docs, 2)
+    # the shared 4-token run is found exactly
+    assert any(s == "one two three four" and l == 4 for *_ids, l, s in got)
+
+
+def test_suffix_plans_have_no_single_partition_window(spark):
+    """The global rank primitive must never fall back to a
+    Window.orderBy() without partitioning (the single-partition funnel
+    the repo's plan gates forbid); doc-keyed lead() windows are fine."""
+    from fortune_500_financial_insights_pipeline_spark.operators.suffix import (
+        suffix_array_tokens,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b"), (2, "b c a")], "doc_id long, text string"
+    )
+    plan = (
+        suffix_array_tokens(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for line in plan.splitlines():
+        if "Window" in line and "partitionBy" not in line:
+            # Spark prints window specs as windowspecdefinition(part..., order...)
+            assert "windowspecdefinition(doc" in line or "Window" not in line, line
