@@ -144,6 +144,7 @@ _FLAGSHIP_LLM = [
     "q_curation_stream_funnel",
     "q_suffix_array",
     "q_suffix_lcp_spans",
+    "q_substring_dup_coverage",
 ]
 
 # Pattern net for the broader LLM-pipeline family (dedup / similarity /

@@ -190,6 +190,7 @@ def suffix_lcp_spans(
     text_col: str = "text",
     min_lcp: int = 2,
     max_rounds: int = 20,
+    sa: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT duplicated token spans via the suffix array: adjacent
     suffixes in SA order share their longest common prefix with SOME
@@ -198,8 +199,10 @@ def suffix_lcp_spans(
     adjacent pair. Output: one row per adjacent pair with lcp >=
     min_lcp — (doc_a, pos_a, doc_b, pos_b, lcp, span) where span is the
     shared token prefix. The LCP is a first-mismatch fold over the two
-    zipped token arrays (JVM-side aggregate, no UDF)."""
-    sa = suffix_array_tokens(df, id_col, text_col, max_rounds=max_rounds)
+    zipped token arrays (JVM-side aggregate, no UDF). Pass a precomputed
+    ``sa`` (e.g. the per-process memo) to skip the doubling rounds."""
+    if sa is None:
+        sa = suffix_array_tokens(df, id_col, text_col, max_rounds=max_rounds)
     toks = df.select(
         F.col(id_col).alias("__d"), F.split(F.col(text_col), " ").alias("__l")
     )

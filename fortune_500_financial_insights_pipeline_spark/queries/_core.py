@@ -235,6 +235,32 @@ def _ann_artifacts(spark: SparkSession, sf_dir: str) -> None:
     )
 
 
+def doc_suffix_sa(spark: SparkSession, sf_dir: str, cap: int = 40) -> DataFrame:
+    """Memoized generalized suffix array over `documents` doc_id < cap
+    (operators/suffix.suffix_array_tokens — the distributed
+    prefix-doubling build). Three keys (q_suffix_array,
+    q_suffix_lcp_spans, q_substring_dup_coverage) need the identical
+    deterministic artifact per process; rows are (doc, pos, sa_rank)
+    ints, corpus-slice-bounded like every memoized artifact here. The
+    memoized rows ARE the distributed build's output (first caller pays
+    the real shuffle rounds), so every consumer key still certifies the
+    distributed algorithm."""
+    from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+    from fortune_500_financial_insights_pipeline_spark.operators.suffix import (
+        suffix_array_tokens,
+    )
+
+    def build():
+        d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < cap)
+        return [
+            (r["doc_id"], r["pos"], r["sa_rank"])
+            for r in suffix_array_tokens(d).collect()
+        ]
+
+    rows = _memo_trained(("doc_suffix_sa", sf_dir, cap), build)
+    return spark.createDataFrame(rows, "doc_id long, pos int, sa_rank long")
+
+
 MEMO_BUILDS: "list[tuple[str, Callable[[SparkSession, str], object]]]" = [
     ("doc_jaccard_pairs(3,0.3)", lambda s, d: doc_jaccard_pairs(s, d, 3, 0.3).count()),
     ("doc_jaccard_pairs(2,0.8)", lambda s, d: doc_jaccard_pairs(s, d, 2, 0.8).count()),
@@ -242,4 +268,5 @@ MEMO_BUILDS: "list[tuple[str, Callable[[SparkSession, str], object]]]" = [
     ("bpe_merges_3", lambda s, d: bpe_merges_3(s, d)),
     ("walk_corpus", lambda s, d: walk_corpus(s, d).count()),
     ("ann_artifacts(kmeans8x2,pq4x4,pqres4x4,q0probe)", _ann_artifacts),
+    ("doc_suffix_sa(40)", lambda s, d: doc_suffix_sa(s, d).count()),
 ]

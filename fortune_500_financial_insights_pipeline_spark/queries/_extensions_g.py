@@ -26,12 +26,11 @@ def q_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks byte-for-byte — the Lee et al. 2022 exact-substring-dedup
     primitive, scale path included (suffix strings are never
     materialized on the Spark side)."""
-    from fortune_500_financial_insights_pipeline_spark.operators.suffix import (
-        suffix_array_tokens,
+    from fortune_500_financial_insights_pipeline_spark.queries._core import (
+        doc_suffix_sa,
     )
 
-    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
-    return suffix_array_tokens(d).select("doc_id", "pos", "sa_rank")
+    return doc_suffix_sa(spark, sf_dir).select("doc_id", "pos", "sa_rank")
 
 
 @q("q_suffix_lcp_spans")
@@ -49,8 +48,63 @@ def q_suffix_lcp_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fortune_500_financial_insights_pipeline_spark.operators.suffix import (
         suffix_lcp_spans,
     )
+    from fortune_500_financial_insights_pipeline_spark.queries._core import (
+        doc_suffix_sa,
+    )
 
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
-    return suffix_lcp_spans(d, min_lcp=3).select(
-        "doc_a", "pos_a", "doc_b", "pos_b", "lcp", "span"
+    return suffix_lcp_spans(
+        d, min_lcp=3, sa=doc_suffix_sa(spark, sf_dir)
+    ).select("doc_a", "pos_a", "doc_b", "pos_b", "lcp", "span")
+
+
+@q("q_substring_dup_coverage")
+def q_substring_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document EXACT substring-duplication coverage — the Lee et
+    al. 2022 readout that decides what substring dedup would remove:
+    for every suffix whose SA-adjacent neighbor shares >= 3 tokens, the
+    shared span's token positions are marked; ``dup_tokens`` is the
+    size of the UNION of marked positions per document and ``dup_frac``
+    its share of the document. Exact and maximal where q_dup_spans'
+    fixed-n window hashing is approximate. Built from the shared
+    suffix-array memo + the LCP pair table: explode both pair sides'
+    position ranges, distinct, one count per doc; docs with no repeated
+    span >= 3 report 0. The oracle replays the brute sort with
+    LAG/LEAD first-mismatch scans (per-suffix coverage = the max of its
+    eligible adjacent LCPs — identical to the pair-range union)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.suffix import (
+        suffix_lcp_spans,
+    )
+    from fortune_500_financial_insights_pipeline_spark.queries._core import (
+        doc_suffix_sa,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    pairs = suffix_lcp_spans(d, min_lcp=3, sa=doc_suffix_sa(spark, sf_dir))
+    span_end = lambda pos: F.col(pos) + F.col("lcp").cast("int") - 1  # noqa: E731
+    cov = (
+        pairs.select(
+            F.col("doc_a").alias("doc_id"),
+            F.explode(F.sequence("pos_a", span_end("pos_a"))).alias("p"),
+        )
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("doc_id"),
+                F.explode(F.sequence("pos_b", span_end("pos_b"))).alias("p"),
+            )
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("dup_tokens"))
+    )
+    toks = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    return toks.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0)).cast("double") / F.col("n_tokens"), 6
+        ).alias("dup_frac"),
     )

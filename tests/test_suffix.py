@@ -118,3 +118,27 @@ def test_suffix_plans_have_no_single_partition_window(spark):
         if "Window" in line and "partitionBy" not in line:
             # Spark prints window specs as windowspecdefinition(part..., order...)
             assert "windowspecdefinition(doc" in line or "Window" not in line, line
+
+
+def test_substring_dup_coverage_matches_brute(spark):
+    """Per-doc covered-position union from the pair table equals the
+    brute-force union of adjacent-pair ranges."""
+    from fortune_500_financial_insights_pipeline_spark.operators.suffix import (
+        suffix_lcp_spans,
+    )
+
+    docs = [
+        (1, "p q one two three four five r"),
+        (2, "one two three four six"),
+        (3, "zz yy xx ww"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = suffix_lcp_spans(df, min_lcp=3).collect()
+    brute_cov = {}
+    for r in pairs:
+        for doc, pos in [(r.doc_a, r.pos_a), (r.doc_b, r.pos_b)]:
+            brute_cov.setdefault(doc, set()).update(range(pos, pos + r.lcp))
+    # the "one two three four" span covers 4 positions in each doc
+    assert len(brute_cov.get(1, set())) == 4
+    assert len(brute_cov.get(2, set())) == 4
+    assert 3 not in brute_cov
