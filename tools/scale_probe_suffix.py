@@ -1,0 +1,44 @@
+"""Round-6 scale probe: suffix-array prefix doubling at 1x vs 10x corpus
+(documents doc_id < 40 vs < 400 at sf0.1). What should scale: per-round
+work is one doc-keyed window + one range-partitioned sort over n
+positions — linear bytes per round; round COUNT grows with
+log2(max doc length), which is constant here, so wall should grow
+sublinearly vs the 10x position count (idle cores absorb it at fixture
+scale). Prints one JSON line per corpus size.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+    from fortune_500_financial_insights_pipeline_spark.operators.suffix import (
+        suffix_array_tokens,
+    )
+    from fortune_500_financial_insights_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-probe-suffix")
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    for cap, label in [(40, "1x"), (400, "10x")]:
+        d = load_table(spark, sf, "documents").where(F.col("doc_id") < cap)
+        n = suffix_array_tokens(d).count()  # warm
+        t0 = time.perf_counter()
+        n = suffix_array_tokens(d).count()
+        wall = time.perf_counter() - t0
+        print(json.dumps({
+            "probe": "suffix_array", "corpus": label, "cap": cap,
+            "n_suffixes": n, "wall_s": round(wall, 2),
+        }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
