@@ -142,3 +142,31 @@ def test_substring_dup_coverage_matches_brute(spark):
     assert len(brute_cov.get(1, set())) == 4
     assert len(brute_cov.get(2, set())) == 4
     assert 3 not in brute_cov
+
+
+@pytest.mark.parametrize(
+    "docs",
+    [
+        [(1, "")],                      # empty text -> one empty-token suffix
+        [(1, "x")],                     # single token
+        [(1, "a a a a a a")],           # degenerate: one repeated token
+        [(1, "a a a"), (2, "a a a")],   # fully identical docs
+        [(1, "  ")],                    # spaces only -> empty tokens
+    ],
+)
+def test_suffix_array_edge_corpora(spark, docs):
+    from fortune_500_financial_insights_pipeline_spark.operators.suffix import (
+        suffix_array_tokens,
+        suffix_lcp_spans,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.pos): r.sa_rank for r in suffix_array_tokens(df).collect()
+    }
+    assert got == _brute_sa(docs)
+    spans = {
+        (r.doc_a, r.pos_a, r.doc_b, r.pos_b, r.lcp, r.span)
+        for r in suffix_lcp_spans(df, min_lcp=1).collect()
+    }
+    assert spans == _brute_spans(docs, 1)
