@@ -163,6 +163,10 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         return _decode_baseline(data)
     except (IndexError, struct.error) as exc:
         raise ValueError(f"truncated JPEG payload ({exc})") from exc
+    except KeyError as exc:
+        # a corrupt scan can reference a table id no DHT/DQT defined —
+        # same corrupt-payload contract as truncation
+        raise ValueError(f"corrupt JPEG: undefined table id {exc}") from exc
 
 
 def _decode_baseline(data: bytes) -> np.ndarray:
@@ -228,7 +232,13 @@ def _decode_baseline(data: bytes) -> np.ndarray:
             scan = []
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
-                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                comp = next(
+                    (c for c in frame["comps"] if c["id"] == cs), None
+                )
+                if comp is None:
+                    raise ValueError(
+                        f"corrupt JPEG: SOS references undefined component {cs}"
+                    )
                 scan.append({**comp, "dc": tdta >> 4, "ac": tdta & 0xF})
             reader = _BitReader(data, pos + seglen)
             return _decode_scan(frame, scan, qt, dc_tables, ac_tables,

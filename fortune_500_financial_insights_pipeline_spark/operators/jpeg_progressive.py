@@ -205,6 +205,9 @@ def jpeg_decode_progressive(data: bytes) -> np.ndarray:
     except (IndexError, struct.error) as exc:
         # truncated container: surface the PNG/JPEG ValueError discipline
         raise ValueError(f"truncated JPEG payload ({exc})") from exc
+    except KeyError as exc:
+        # corrupt scans can reference undefined DHT/DQT table ids
+        raise ValueError(f"corrupt JPEG: undefined table id {exc}") from exc
 
 
 def _decode_progressive(data: bytes) -> np.ndarray:
@@ -274,7 +277,13 @@ def _decode_progressive(data: bytes) -> np.ndarray:
             scan = []
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
-                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                comp = next(
+                    (c for c in frame["comps"] if c["id"] == cs), None
+                )
+                if comp is None:
+                    raise ValueError(
+                        f"corrupt JPEG: SOS references undefined component {cs}"
+                    )
                 scan.append({**comp, "dc": tdta >> 4, "ac": tdta & 0xF})
             ss, se, a = seg[1 + 2 * ns : 4 + 2 * ns]
             ah, al = a >> 4, a & 0xF

@@ -242,6 +242,8 @@ def wav_decode(data: bytes) -> tuple[int, int, np.ndarray]:
         body = data[pos + 8 : pos + 8 + ln]
         pos += 8 + ln + (ln & 1)  # chunks are word-aligned
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("corrupt WAV: truncated fmt chunk")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             raw = body
@@ -250,6 +252,8 @@ def wav_decode(data: bytes) -> tuple[int, int, np.ndarray]:
     audio_format, n_ch, rate, _byte_rate, _block_align, bits = fmt
     if audio_format != 1:
         raise ValueError(f"unsupported WAV format {audio_format} (only PCM)")
+    if n_ch < 1:
+        raise ValueError("corrupt WAV: zero channels")
     if bits == 16:
         arr = np.frombuffer(raw[: len(raw) // 2 * 2], "<i2").astype(np.float64)
         arr /= 32768.0

@@ -110,82 +110,124 @@ def _find(data: bytes, start: int, end: int, btype: bytes):
     return None
 
 
+def _must_find(data: bytes, span, btype: bytes):
+    """A required child box; ValueError (not a None unpack) when a
+    corrupt parent lacks it."""
+    if span is None:
+        raise ValueError("corrupt MP4: missing parent box")
+    t = _find(data, span[0], span[1], btype)
+    if t is None:
+        raise ValueError(f"corrupt MP4: missing {btype.decode()} box")
+    return t
+
+
+def _unpack(fmt: str, data: bytes, start: int, end: int):
+    """struct.unpack with the ValueError discipline for short buffers."""
+    if end > len(data) or start < 0:
+        raise ValueError("corrupt MP4: field beyond payload")
+    try:
+        return struct.unpack(fmt, data[start:end])
+    except struct.error as exc:
+        raise ValueError(f"corrupt MP4: truncated field ({exc})") from exc
+
+
 def mp4_sample_index(data: bytes) -> "list[tuple[int, float, int, int]]":
     """Parse the first track's sample tables → one row per sample:
     (sample_idx, dts_seconds, byte_offset, byte_size). Pure box walk —
     stts gives decode timestamps, stsz sizes, stsc maps samples into
-    chunks, stco places chunks in the file."""
-    if _find(data, 0, len(data), b"moov") is None:
+    chunks, stco places chunks in the file. Corrupt containers raise
+    ValueError (never IndexError/struct.error/MemoryError): every
+    required box is presence-checked, every field is bounds-checked, and
+    every count field is sanity-capped against the payload size before
+    it drives an allocation (fuzz-gated by tests/test_fuzz_codecs.py)."""
+    moov = _find(data, 0, len(data), b"moov")
+    if moov is None:
         raise ValueError("not an MP4: no moov box")
-    ms, me = _find(data, 0, len(data), b"moov")
-    trak = _find(data, ms, me, b"trak")
-    if trak is None:
-        raise ValueError("corrupt MP4: no trak")
-    mdia = _find(data, *trak, b"mdia")
-    mdhd = _find(data, *mdia, b"mdhd")
-    version = data[mdhd[0]]
+    trak = _must_find(data, moov, b"trak")
+    mdia = _must_find(data, trak, b"mdia")
+    mdhd = _must_find(data, mdia, b"mdhd")
+    version = data[mdhd[0]] if mdhd[0] < len(data) else 0
     if version == 0:
-        timescale = struct.unpack(">I", data[mdhd[0] + 12 : mdhd[0] + 16])[0]
+        timescale = _unpack(">I", data, mdhd[0] + 12, mdhd[0] + 16)[0]
     else:
-        timescale = struct.unpack(">I", data[mdhd[0] + 20 : mdhd[0] + 24])[0]
-    minf = _find(data, *mdia, b"minf")
-    stbl = _find(data, *minf, b"stbl")
+        timescale = _unpack(">I", data, mdhd[0] + 20, mdhd[0] + 24)[0]
+    if timescale == 0:
+        raise ValueError("corrupt MP4: zero timescale")
+    minf = _must_find(data, mdia, b"minf")
+    stbl = _must_find(data, minf, b"stbl")
 
     def table(btype: bytes) -> tuple[int, int]:
-        t = _find(data, *stbl, btype)
-        if t is None:
-            raise ValueError(f"corrupt MP4: missing {btype.decode()}")
-        return t
+        return _must_find(data, stbl, btype)
+
+    # a sample table can never describe more entries than the payload
+    # has bytes — the cap that keeps a flipped count field from driving
+    # a giant allocation
+    sanity = len(data)
 
     # stts → per-sample dts
     s, _e = table(b"stts")
-    (n_runs,) = struct.unpack(">I", data[s + 4 : s + 8])
+    (n_runs,) = _unpack(">I", data, s + 4, s + 8)
     deltas: list[int] = []
     p = s + 8
     for _ in range(n_runs):
-        c, d = struct.unpack(">II", data[p : p + 8])
+        c, d = _unpack(">II", data, p, p + 8)
+        if c > sanity or len(deltas) + c > sanity:
+            raise ValueError("corrupt MP4: stts sample count exceeds payload")
         deltas.extend([d] * c)
         p += 8
     dts = np.concatenate([[0], np.cumsum(deltas)[:-1]]) if deltas else np.array([])
 
     # stsz → sizes
     s, _e = table(b"stsz")
-    fixed, count = struct.unpack(">II", data[s + 4 : s + 12])
+    fixed, count = _unpack(">II", data, s + 4, s + 12)
+    if count > sanity:
+        raise ValueError("corrupt MP4: stsz sample count exceeds payload")
     if fixed:
         sizes = [fixed] * count
     else:
         sizes = list(
-            struct.unpack(f">{count}I", data[s + 12 : s + 12 + 4 * count])
+            _unpack(f">{count}I", data, s + 12, s + 12 + 4 * count)
         )
 
     # stsc runs
     s, _e = table(b"stsc")
-    (n_sc,) = struct.unpack(">I", data[s + 4 : s + 8])
+    (n_sc,) = _unpack(">I", data, s + 4, s + 8)
+    if n_sc > sanity:
+        raise ValueError("corrupt MP4: stsc run count exceeds payload")
     sc = [
-        struct.unpack(">III", data[s + 8 + 12 * i : s + 20 + 12 * i])
+        _unpack(">III", data, s + 8 + 12 * i, s + 20 + 12 * i)
         for i in range(n_sc)
     ]
 
     # stco offsets
     s, _e = table(b"stco")
-    (n_chunks,) = struct.unpack(">I", data[s + 4 : s + 8])
+    (n_chunks,) = _unpack(">I", data, s + 4, s + 8)
+    if n_chunks > sanity:
+        raise ValueError("corrupt MP4: stco chunk count exceeds payload")
     chunk_offsets = list(
-        struct.unpack(f">{n_chunks}I", data[s + 8 : s + 8 + 4 * n_chunks])
+        _unpack(f">{n_chunks}I", data, s + 8, s + 8 + 4 * n_chunks)
     )
 
     # expand stsc: samples per chunk for every chunk
     per_chunk: list[int] = []
     for i, (first, spc, _desc) in enumerate(sc):
         last = sc[i + 1][0] - 1 if i + 1 < len(sc) else n_chunks
+        if spc > sanity or (last - first + 1) > sanity or \
+                len(per_chunk) + max(0, last - first + 1) > sanity:
+            raise ValueError("corrupt MP4: stsc expansion exceeds payload")
         per_chunk.extend([spc] * (last - first + 1))
 
     out: list[tuple[int, float, int, int]] = []
     idx = 0
     for chunk_i, coff in enumerate(chunk_offsets):
+        if chunk_i >= len(per_chunk):
+            raise ValueError("corrupt MP4: stco/stsc chunk counts disagree")
         pos = coff
         for _ in range(per_chunk[chunk_i]):
             if idx >= len(sizes):
                 break
+            if idx >= len(dts):
+                raise ValueError("corrupt MP4: stts/stsz sample counts disagree")
             out.append((idx, float(dts[idx]) / timescale, pos, sizes[idx]))
             pos += sizes[idx]
             idx += 1
