@@ -145,6 +145,7 @@ _FLAGSHIP_LLM = [
     "q_suffix_array",
     "q_suffix_lcp_spans",
     "q_substring_dup_coverage",
+    "q_substring_dup_strip",
 ]
 
 # Pattern net for the broader LLM-pipeline family (dedup / similarity /

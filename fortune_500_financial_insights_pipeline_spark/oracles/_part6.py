@@ -1676,3 +1676,60 @@ SELECT d.doc_id,
          AS dup_frac
 FROM d LEFT JOIN cov USING (doc_id)
 """
+
+# q_substring_dup_strip: coverage replay (see q_substring_dup_coverage)
+# + anti-join + ordered string_agg reconstruction; md5 certifies the
+# cleaned text byte-for-byte.
+ORACLES["q_substring_dup_strip"] = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents WHERE doc_id < 40
+), s AS (
+  SELECT doc_id, i - 1 AS pos, l[i:] AS sl, array_to_string(l[i:], ' ') AS suf
+  FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM d)
+), ranked AS (
+  SELECT doc_id, pos, sl,
+         ROW_NUMBER() OVER (ORDER BY suf, doc_id, pos) AS rk
+  FROM s
+), nb AS (
+  SELECT doc_id, pos, sl,
+         LAG(sl) OVER (ORDER BY rk) AS pl,
+         LEAD(sl) OVER (ORDER BY rk) AS nl
+  FROM ranked
+), fm AS (
+  SELECT *,
+         list_position(list_transform(range(1, LEAST(len(sl), len(pl)) + 1),
+                                      i -> sl[i] != pl[i]), true) AS fmp,
+         list_position(list_transform(range(1, LEAST(len(sl), len(nl)) + 1),
+                                      i -> sl[i] != nl[i]), true) AS fmn
+  FROM nb
+), scored AS (
+  SELECT doc_id, pos,
+         CASE WHEN pl IS NULL THEN 0
+              WHEN fmp = 0 OR fmp IS NULL THEN LEAST(len(sl), len(pl))
+              ELSE fmp - 1 END AS lcp_prev,
+         CASE WHEN nl IS NULL THEN 0
+              WHEN fmn = 0 OR fmn IS NULL THEN LEAST(len(sl), len(nl))
+              ELSE fmn - 1 END AS lcp_next
+  FROM fm
+), eff AS (
+  SELECT doc_id, pos,
+         GREATEST(CASE WHEN lcp_prev >= 3 THEN lcp_prev ELSE 0 END,
+                  CASE WHEN lcp_next >= 3 THEN lcp_next ELSE 0 END) AS L
+  FROM scored
+), covpos AS (
+  SELECT DISTINCT doc_id, p
+  FROM (SELECT doc_id, unnest(range(pos, pos + L)) AS p
+        FROM eff WHERE L >= 3)
+), t AS (
+  SELECT doc_id, i - 1 AS pos, l[i] AS tok
+  FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM d)
+), kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM t LEFT JOIN covpos ON t.doc_id = covpos.doc_id AND t.pos = covpos.p
+  WHERE covpos.p IS NULL
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+       md5(string_agg(tok, ' ' ORDER BY pos)) AS kept_md5
+FROM kept GROUP BY doc_id
+"""

@@ -108,3 +108,57 @@ def q_substring_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("dup_tokens", F.lit(0)).cast("double") / F.col("n_tokens"), 6
         ).alias("dup_frac"),
     )
+
+
+@q("q_substring_dup_strip")
+def q_substring_dup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-dedup REMOVAL, byte-certified (the
+    q_boilerplate_strip pattern applied to the suffix-exact family):
+    every token position covered by a >=3-token repeated span (the
+    q_substring_dup_coverage union) is dropped and each document is
+    RECONSTRUCTED from its surviving tokens in order — per doc:
+    surviving token count and the md5 of the cleaned text, so the hash
+    row certifies the removal byte-for-byte. Documents with every token
+    covered drop out, like any curation filter. Plan: the shared SA
+    memo + LCP pairs, position explode + distinct, one anti-join
+    against the token frame, ordered array_sort reassembly — no window
+    over raw text, no driver collect."""
+    from fortune_500_financial_insights_pipeline_spark.operators.suffix import (
+        suffix_lcp_spans,
+    )
+    from fortune_500_financial_insights_pipeline_spark.queries._core import (
+        doc_suffix_sa,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    pairs = suffix_lcp_spans(d, min_lcp=3, sa=doc_suffix_sa(spark, sf_dir))
+    span_end = lambda pos: F.col(pos) + F.col("lcp").cast("int") - 1  # noqa: E731
+    cov = (
+        pairs.select(
+            F.col("doc_a").alias("doc_id"),
+            F.explode(F.sequence("pos_a", span_end("pos_a"))).alias("pos"),
+        )
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("doc_id"),
+                F.explode(F.sequence("pos_b", span_end("pos_b"))).alias("pos"),
+            )
+        )
+        .distinct()
+    )
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    )
+    kept = toks.join(cov, ["doc_id", "pos"], "left_anti")
+    cleaned = F.concat_ws(
+        " ",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+            lambda s: s["tok"],
+        ),
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("kept_tokens"),
+        F.md5(cleaned).alias("kept_md5"),
+    )
