@@ -96,3 +96,62 @@ def test_select_disjoint_batch_invariants(cands, want):
             for cl, cr in chosen_before:
                 touched |= {cl, cr, cl + cr}
             assert touched & {l, r, l + r}, (cands, batch, j)
+
+
+# ---------------------------------------------------------------------------
+# Round 6: GIF LZW and the local dense-rank core
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=255), min_size=1, max_size=4000),
+    st.sampled_from([2, 4, 8]),
+)
+@settings(max_examples=60, deadline=None)
+def test_lzw_roundtrip_property(indices, min_code_size):
+    """Any index stream within the code-size alphabet round-trips through
+    the variable-width LZW encoder/decoder exactly — including streams
+    long enough to hit the 4096-entry table reset (r5 advisor's cap fix)."""
+    import numpy as np
+
+    from fortune_500_financial_insights_pipeline_spark.operators.gif_codec import (
+        lzw_decode,
+        lzw_encode,
+    )
+
+    alphabet = 1 << min_code_size
+    idx = np.asarray([i % alphabet for i in indices], np.uint8)
+    dec = lzw_decode(lzw_encode(idx, min_code_size), min_code_size)
+    assert np.array_equal(np.asarray(dec, np.uint8), idx)
+
+
+@given(st.lists(st.tuples(st.integers(-50, 50), st.integers(-3, 3)), max_size=300))
+@settings(max_examples=80, deadline=None)
+def test_local_rank_running_state_is_dense(rows):
+    """The mapInPandas local-rank kernel's invariant, checked purely: a
+    sorted key stream (any batch slicing) yields 1-based dense ranks
+    equal to the distinct-prefix count at each row."""
+    rows = sorted(rows)
+    # replicate the kernel: running (last_key, rank) across batch splits
+    import random
+
+    rng = random.Random(7)
+    cuts = sorted(rng.sample(range(len(rows) + 1), min(3, len(rows) + 1)))
+    batches, prev = [], 0
+    for c in cuts + [len(rows)]:
+        batches.append(rows[prev:c])
+        prev = c
+    last_key, rank, got = None, 0, []
+    for batch in batches:
+        for key in batch:
+            if key != last_key:
+                rank += 1
+                last_key = key
+            got.append(rank)
+    expect = []
+    seen = []
+    for key in rows:
+        if not seen or key != seen[-1]:
+            seen.append(key)
+        expect.append(len(seen))
+    assert got == expect
