@@ -146,6 +146,7 @@ _FLAGSHIP_LLM = [
     "q_suffix_lcp_spans",
     "q_substring_dup_coverage",
     "q_substring_dup_strip",
+    "q_stft_spectrogram",
 ]
 
 # Pattern net for the broader LLM-pipeline family (dedup / similarity /

