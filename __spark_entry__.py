@@ -147,6 +147,7 @@ _FLAGSHIP_LLM = [
     "q_substring_dup_coverage",
     "q_substring_dup_strip",
     "q_stft_spectrogram",
+    "q_image_phash_dedup",
 ]
 
 # Pattern net for the broader LLM-pipeline family (dedup / similarity /

@@ -1760,3 +1760,54 @@ SELECT doc_id,
        ROUND(re_raw * re_raw + im_raw * im_raw, 6) AS power
 FROM raw
 """
+
+
+# q_image_phash_dedup: the integer-cosine basis pixel formula + both DFT
+# passes replayed as the identical left-associative chains (pixel values
+# staged per (doc, y), row pass per kx, column pass over y-ordered
+# lists) — generated programmatically so the chains stay in lockstep
+# with operators/dsp.dft8_2d; sign bits fold into the 15-bit hash and
+# bucket counts mirror the groupBy.
+ORACLES["q_image_phash_dedup"] = """
+WITH ids AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 25),
+docs AS (
+  SELECT doc_id FROM ids
+  UNION ALL
+  SELECT doc_id + 100000 FROM ids
+), px AS (
+  SELECT doc_id, y.y,
+         (((128 + (CASE WHEN ((doc_id % 100000) * 7919 // 1) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((0 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * 0) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 2) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((0 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * 0) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 4) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((0 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * 0) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 8) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((0 * 0) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 16) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * 0) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 32) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * 0) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 64) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * 0) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 128) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((0 * 0) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 256) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * 0) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 512) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * 0) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 1024) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * 0) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 2048) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((0 * 0) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 4096) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * 0) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 8192) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * 0) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 16384) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * 0) % 8) + 1])) + CASE WHEN doc_id >= 100000 AND y = 3 AND 0 = 3 THEN 1 ELSE 0 END) / 256.0) AS xv0,
+         (((128 + (CASE WHEN ((doc_id % 100000) * 7919 // 1) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((0 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * 1) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 2) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((0 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * 1) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 4) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((0 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * 1) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 8) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((0 * 1) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 16) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * 1) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 32) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * 1) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 64) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * 1) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 128) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((0 * 1) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 256) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * 1) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 512) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * 1) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 1024) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * 1) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 2048) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((0 * 1) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 4096) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * 1) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 8192) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * 1) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 16384) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * 1) % 8) + 1])) + CASE WHEN doc_id >= 100000 AND y = 3 AND 1 = 3 THEN 1 ELSE 0 END) / 256.0) AS xv1,
+         (((128 + (CASE WHEN ((doc_id % 100000) * 7919 // 1) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((0 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * 2) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 2) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((0 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * 2) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 4) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((0 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * 2) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 8) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((0 * 2) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 16) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * 2) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 32) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * 2) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 64) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * 2) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 128) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((0 * 2) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 256) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * 2) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 512) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * 2) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 1024) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * 2) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 2048) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((0 * 2) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 4096) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * 2) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 8192) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * 2) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 16384) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * 2) % 8) + 1])) + CASE WHEN doc_id >= 100000 AND y = 3 AND 2 = 3 THEN 1 ELSE 0 END) / 256.0) AS xv2,
+         (((128 + (CASE WHEN ((doc_id % 100000) * 7919 // 1) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((0 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * 3) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 2) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((0 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * 3) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 4) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((0 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * 3) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 8) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((0 * 3) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 16) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * 3) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 32) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * 3) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 64) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * 3) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 128) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((0 * 3) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 256) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * 3) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 512) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * 3) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 1024) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * 3) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 2048) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((0 * 3) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 4096) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * 3) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 8192) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * 3) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 16384) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * 3) % 8) + 1])) + CASE WHEN doc_id >= 100000 AND y = 3 AND 3 = 3 THEN 1 ELSE 0 END) / 256.0) AS xv3,
+         (((128 + (CASE WHEN ((doc_id % 100000) * 7919 // 1) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((0 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * 4) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 2) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((0 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * 4) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 4) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((0 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * 4) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 8) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((0 * 4) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 16) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * 4) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 32) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * 4) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 64) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * 4) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 128) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((0 * 4) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 256) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * 4) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 512) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * 4) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 1024) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * 4) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 2048) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((0 * 4) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 4096) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * 4) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 8192) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * 4) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 16384) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * 4) % 8) + 1])) + CASE WHEN doc_id >= 100000 AND y = 3 AND 4 = 3 THEN 1 ELSE 0 END) / 256.0) AS xv4,
+         (((128 + (CASE WHEN ((doc_id % 100000) * 7919 // 1) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((0 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * 5) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 2) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((0 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * 5) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 4) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((0 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * 5) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 8) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((0 * 5) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 16) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * 5) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 32) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * 5) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 64) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * 5) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 128) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((0 * 5) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 256) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * 5) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 512) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * 5) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 1024) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * 5) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 2048) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((0 * 5) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 4096) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * 5) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 8192) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * 5) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 16384) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * 5) % 8) + 1])) + CASE WHEN doc_id >= 100000 AND y = 3 AND 5 = 3 THEN 1 ELSE 0 END) / 256.0) AS xv5,
+         (((128 + (CASE WHEN ((doc_id % 100000) * 7919 // 1) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((0 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * 6) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 2) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((0 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * 6) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 4) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((0 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * 6) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 8) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((0 * 6) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 16) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * 6) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 32) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * 6) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 64) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * 6) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 128) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((0 * 6) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 256) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * 6) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 512) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * 6) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 1024) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * 6) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 2048) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((0 * 6) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 4096) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * 6) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 8192) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * 6) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 16384) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * 6) % 8) + 1])) + CASE WHEN doc_id >= 100000 AND y = 3 AND 6 = 3 THEN 1 ELSE 0 END) / 256.0) AS xv6,
+         (((128 + (CASE WHEN ((doc_id % 100000) * 7919 // 1) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((0 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * 7) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 2) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((0 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * 7) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 4) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((0 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * 7) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 8) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((0 * 7) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 16) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * 7) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 32) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * 7) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 64) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * 7) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 128) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((0 * 7) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 256) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * 7) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 512) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * 7) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 1024) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * 7) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 2048) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((0 * 7) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 4096) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((1 * 7) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 8192) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((2 * 7) % 8) + 1]) + (CASE WHEN ((doc_id % 100000) * 7919 // 16384) % 2 = 1 THEN 1 ELSE -1 END) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * y) % 8) + 1]) * ([2, 1, 0, -1, -2, -1, 0, 1][((3 * 7) % 8) + 1])) + CASE WHEN doc_id >= 100000 AND y = 3 AND 7 = 3 THEN 1 ELSE 0 END) / 256.0) AS xv7
+  FROM docs, LATERAL (SELECT unnest(range(0, 8)) AS y) y
+), rowp AS (
+  SELECT doc_id, y, kx.kx,
+         CASE WHEN kx = 0 THEN ((((((((0.0 + xv0 * 1.0) + xv1 * 1.0) + xv2 * 1.0) + xv3 * 1.0) + xv4 * 1.0) + xv5 * 1.0) + xv6 * 1.0) + xv7 * 1.0) WHEN kx = 1 THEN ((((((((0.0 + xv0 * 1.0) + xv1 * SQRT(0.5)) + xv2 * 0.0) + xv3 * (-SQRT(0.5))) + xv4 * (-1.0)) + xv5 * (-SQRT(0.5))) + xv6 * 0.0) + xv7 * SQRT(0.5)) WHEN kx = 2 THEN ((((((((0.0 + xv0 * 1.0) + xv1 * 0.0) + xv2 * (-1.0)) + xv3 * 0.0) + xv4 * 1.0) + xv5 * 0.0) + xv6 * (-1.0)) + xv7 * 0.0) WHEN kx = 3 THEN ((((((((0.0 + xv0 * 1.0) + xv1 * (-SQRT(0.5))) + xv2 * 0.0) + xv3 * SQRT(0.5)) + xv4 * (-1.0)) + xv5 * SQRT(0.5)) + xv6 * 0.0) + xv7 * (-SQRT(0.5))) WHEN kx = 4 THEN ((((((((0.0 + xv0 * 1.0) + xv1 * (-1.0)) + xv2 * 1.0) + xv3 * (-1.0)) + xv4 * 1.0) + xv5 * (-1.0)) + xv6 * 1.0) + xv7 * (-1.0)) WHEN kx = 5 THEN ((((((((0.0 + xv0 * 1.0) + xv1 * (-SQRT(0.5))) + xv2 * 0.0) + xv3 * SQRT(0.5)) + xv4 * (-1.0)) + xv5 * SQRT(0.5)) + xv6 * 0.0) + xv7 * (-SQRT(0.5))) WHEN kx = 6 THEN ((((((((0.0 + xv0 * 1.0) + xv1 * 0.0) + xv2 * (-1.0)) + xv3 * 0.0) + xv4 * 1.0) + xv5 * 0.0) + xv6 * (-1.0)) + xv7 * 0.0) WHEN kx = 7 THEN ((((((((0.0 + xv0 * 1.0) + xv1 * SQRT(0.5)) + xv2 * 0.0) + xv3 * (-SQRT(0.5))) + xv4 * (-1.0)) + xv5 * (-SQRT(0.5))) + xv6 * 0.0) + xv7 * SQRT(0.5)) END AS rr,
+         CASE WHEN kx = 0 THEN ((((((((0.0 - xv0 * 0.0) - xv1 * 0.0) - xv2 * 0.0) - xv3 * 0.0) - xv4 * 0.0) - xv5 * 0.0) - xv6 * 0.0) - xv7 * 0.0) WHEN kx = 1 THEN ((((((((0.0 - xv0 * 0.0) - xv1 * SQRT(0.5)) - xv2 * 1.0) - xv3 * SQRT(0.5)) - xv4 * 0.0) - xv5 * (-SQRT(0.5))) - xv6 * (-1.0)) - xv7 * (-SQRT(0.5))) WHEN kx = 2 THEN ((((((((0.0 - xv0 * 0.0) - xv1 * 1.0) - xv2 * 0.0) - xv3 * (-1.0)) - xv4 * 0.0) - xv5 * 1.0) - xv6 * 0.0) - xv7 * (-1.0)) WHEN kx = 3 THEN ((((((((0.0 - xv0 * 0.0) - xv1 * SQRT(0.5)) - xv2 * (-1.0)) - xv3 * SQRT(0.5)) - xv4 * 0.0) - xv5 * (-SQRT(0.5))) - xv6 * 1.0) - xv7 * (-SQRT(0.5))) WHEN kx = 4 THEN ((((((((0.0 - xv0 * 0.0) - xv1 * 0.0) - xv2 * 0.0) - xv3 * 0.0) - xv4 * 0.0) - xv5 * 0.0) - xv6 * 0.0) - xv7 * 0.0) WHEN kx = 5 THEN ((((((((0.0 - xv0 * 0.0) - xv1 * (-SQRT(0.5))) - xv2 * 1.0) - xv3 * (-SQRT(0.5))) - xv4 * 0.0) - xv5 * SQRT(0.5)) - xv6 * (-1.0)) - xv7 * SQRT(0.5)) WHEN kx = 6 THEN ((((((((0.0 - xv0 * 0.0) - xv1 * (-1.0)) - xv2 * 0.0) - xv3 * 1.0) - xv4 * 0.0) - xv5 * (-1.0)) - xv6 * 0.0) - xv7 * 1.0) WHEN kx = 7 THEN ((((((((0.0 - xv0 * 0.0) - xv1 * (-SQRT(0.5))) - xv2 * (-1.0)) - xv3 * (-SQRT(0.5))) - xv4 * 0.0) - xv5 * SQRT(0.5)) - xv6 * 1.0) - xv7 * SQRT(0.5)) END AS ri
+  FROM px, LATERAL (SELECT unnest(range(0, 4)) AS kx) kx
+), colin AS (
+  SELECT doc_id, kx,
+         list(rr ORDER BY y) AS lr,
+         list(ri ORDER BY y) AS li
+  FROM rowp GROUP BY doc_id, kx
+), cells AS (
+  SELECT doc_id, kx, ky.ky,
+         CASE WHEN ky = 0 THEN ((((((((((((((((0.0 + lr[1] * 1.0) + li[1] * 0.0) + lr[2] * 1.0) + li[2] * 0.0) + lr[3] * 1.0) + li[3] * 0.0) + lr[4] * 1.0) + li[4] * 0.0) + lr[5] * 1.0) + li[5] * 0.0) + lr[6] * 1.0) + li[6] * 0.0) + lr[7] * 1.0) + li[7] * 0.0) + lr[8] * 1.0) + li[8] * 0.0) WHEN ky = 1 THEN ((((((((((((((((0.0 + lr[1] * 1.0) + li[1] * 0.0) + lr[2] * SQRT(0.5)) + li[2] * SQRT(0.5)) + lr[3] * 0.0) + li[3] * 1.0) + lr[4] * (-SQRT(0.5))) + li[4] * SQRT(0.5)) + lr[5] * (-1.0)) + li[5] * 0.0) + lr[6] * (-SQRT(0.5))) + li[6] * (-SQRT(0.5))) + lr[7] * 0.0) + li[7] * (-1.0)) + lr[8] * SQRT(0.5)) + li[8] * (-SQRT(0.5))) WHEN ky = 2 THEN ((((((((((((((((0.0 + lr[1] * 1.0) + li[1] * 0.0) + lr[2] * 0.0) + li[2] * 1.0) + lr[3] * (-1.0)) + li[3] * 0.0) + lr[4] * 0.0) + li[4] * (-1.0)) + lr[5] * 1.0) + li[5] * 0.0) + lr[6] * 0.0) + li[6] * 1.0) + lr[7] * (-1.0)) + li[7] * 0.0) + lr[8] * 0.0) + li[8] * (-1.0)) WHEN ky = 3 THEN ((((((((((((((((0.0 + lr[1] * 1.0) + li[1] * 0.0) + lr[2] * (-SQRT(0.5))) + li[2] * SQRT(0.5)) + lr[3] * 0.0) + li[3] * (-1.0)) + lr[4] * SQRT(0.5)) + li[4] * SQRT(0.5)) + lr[5] * (-1.0)) + li[5] * 0.0) + lr[6] * SQRT(0.5)) + li[6] * (-SQRT(0.5))) + lr[7] * 0.0) + li[7] * 1.0) + lr[8] * (-SQRT(0.5))) + li[8] * (-SQRT(0.5))) END AS re2
+  FROM colin, LATERAL (SELECT unnest(range(0, 4)) AS ky) ky
+), hashes AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN NOT (ky = 0 AND kx = 0) AND re2 > 0
+                       THEN CAST(1 AS BIGINT) << CAST(ky * 4 + kx - 1 AS INTEGER)
+                       ELSE 0 END) AS BIGINT) AS phash
+  FROM cells GROUP BY doc_id
+), buckets AS (
+  SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_bucket FROM hashes GROUP BY phash
+)
+SELECT h.doc_id, h.phash, b.n_bucket
+FROM hashes h JOIN buckets b USING (phash)
+"""

@@ -217,3 +217,74 @@ def q_stft_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("im", 6).alias("im"),
         F.round("power", 6).alias("power"),
     )
+
+
+@q("q_image_phash_dedup")
+def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup dedup via an engine-exact perceptual hash: per
+    document (doc_id < 25), a 16×16 gray image whose SAMPLED 8×8 plane
+    is a sum of 15 integer-cosine basis terms — sub(y, x) = 128 +
+    Σ_i s_i·W[(ky_i·y) mod 8]·W[(kx_i·x) mod 8] with W = 2·cos table
+    [2,1,0,-1,-2,-1,0,1] and per-doc signs s_i from bit i of d·7919 —
+    AND a planted near-duplicate (doc_id + 100000: sampled pixel (6,6)
+    brightened one level) are encoded as genuine PNGs and pushed
+    through the PRODUCTION operator dsp.image_spectral_hash (real
+    decode → 8×8 nearest subsample → exact 2-D 8-point DFT → 15
+    low-band sign bits). The hash RECOVERS the planted sign pattern
+    exactly (25 distinct hashes), every planted pair collides into a
+    2-bucket (the near-dup semantics the hash exists for), and every
+    double stays bit-replayable: the oracle regenerates the pixel
+    formula and both DFT passes as the same left-associative chains
+    (row pass inline, column pass over y-ordered lists). One groupBy on
+    the 15-bit hash — the bucket join IS the dedup plan at any
+    scale."""
+    import numpy as np
+    import pandas as pd
+
+    from fortune_500_financial_insights_pipeline_spark.operators.dsp import (
+        image_spectral_hash,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 25)
+        .select("doc_id")
+        .distinct()
+    )
+
+    def build(batches):
+        from fortune_500_financial_insights_pipeline_spark.operators.media_codec import (
+            png_encode,
+        )
+
+        for pdf in batches:
+            out = {"doc_id": [], "media": []}
+            from fortune_500_financial_insights_pipeline_spark.operators.dsp import (
+                PHASH_LOW_BAND,
+            )
+
+            W = [2, 1, 0, -1, -2, -1, 0, 1]
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                sub = np.zeros((8, 8), np.int64)
+                for i, (ky, kx) in enumerate(PHASH_LOW_BAND):
+                    s = 1 if ((d * 7919) >> i) & 1 else -1
+                    for yy in range(8):
+                        for xx in range(8):
+                            sub[yy, xx] += s * W[(ky * yy) % 8] * W[(kx * xx) % 8]
+                img = np.full((16, 16), 128, np.int64)
+                img[::2, ::2] = 128 + sub  # range 68..188: no clipping
+                out["doc_id"].append(d)
+                out["media"].append(png_encode(img.astype(np.uint8)))
+                pert = img.copy()
+                pert[6, 6] += 1  # sampled cell (3,3); 189 max, no wrap
+                out["doc_id"].append(d + 100000)
+                out["media"].append(png_encode(pert.astype(np.uint8)))
+            yield pd.DataFrame(out)
+
+    media = ids.mapInPandas(build, schema="doc_id long, media binary")
+    hashes = image_spectral_hash(media)
+    counts = hashes.groupBy("phash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bucket")
+    )
+    return hashes.join(counts, "phash").select("doc_id", "phash", "n_bucket")

@@ -65,3 +65,51 @@ def test_stft_rejects_non_exact_sizes(spark):
     df = spark.createDataFrame([(1, b"RIFF")], "doc_id long, media binary")
     with pytest.raises(ValueError, match="n_fft=8"):
         stft_power_frames(df, n_fft=16)
+
+
+def test_dft8_2d_matches_numpy_fft2():
+    from fortune_500_financial_insights_pipeline_spark.operators.dsp import dft8_2d
+
+    rng = np.random.default_rng(5)
+    x = rng.uniform(-1, 1, size=(8, 8))
+    re, im = dft8_2d(x)
+    ref = np.fft.fft2(x)
+    assert np.allclose(re, ref.real, atol=1e-12)
+    assert np.allclose(im, ref.imag, atol=1e-12)
+
+
+def test_image_spectral_hash_near_dup_semantics(spark):
+    """A one-pixel perturbation of a spectrally-rich image keeps its
+    hash (near-dup collision); an unrelated sign pattern does not."""
+    from fortune_500_financial_insights_pipeline_spark.operators.dsp import (
+        PHASH_LOW_BAND,
+        image_spectral_hash,
+    )
+    from fortune_500_financial_insights_pipeline_spark.operators.media_codec import (
+        png_encode,
+    )
+
+    W = [2, 1, 0, -1, -2, -1, 0, 1]
+
+    def build(d, perturb=False):
+        sub = np.zeros((8, 8), np.int64)
+        for i, (ky, kx) in enumerate(PHASH_LOW_BAND):
+            s = 1 if ((d * 7919) >> i) & 1 else -1
+            for y in range(8):
+                for x in range(8):
+                    sub[y, x] += s * W[(ky * y) % 8] * W[(kx * x) % 8]
+        img = np.full((16, 16), 128, np.int64)
+        img[::2, ::2] = 128 + sub
+        if perturb:
+            img[6, 6] += 1
+        return png_encode(img.astype(np.uint8))
+
+    rows = [
+        (1, build(3)), (2, build(3, perturb=True)), (3, build(11)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    got = {r.doc_id: r.phash for r in image_spectral_hash(df).collect()}
+    assert got[1] == got[2]        # near-dup collides
+    assert got[1] != got[3]        # different signs -> different hash
+    want = sum((1 << i) for i in range(15) if ((3 * 7919) >> i) & 1)
+    assert got[1] == want          # hash recovers the planted sign pattern
