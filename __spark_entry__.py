@@ -148,6 +148,7 @@ _FLAGSHIP_LLM = [
     "q_substring_dup_strip",
     "q_stft_spectrogram",
     "q_image_phash_dedup",
+    "q_html_main_extract",
 ]
 
 # Pattern net for the broader LLM-pipeline family (dedup / similarity /

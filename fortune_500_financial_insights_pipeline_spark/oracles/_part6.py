@@ -1811,3 +1811,43 @@ docs AS (
 SELECT h.doc_id, h.phash, b.n_bucket
 FROM hashes h JOIN buckets b USING (phash)
 """
+
+# q_html_main_extract: the page generator replayed — 15-token chunks,
+# paragraph 0's planted entity decoded, whitespace collapsed, the same
+# >=30-char / link-density keep rule (nav, ad aside, footer, and title
+# are boilerplate by construction: title/footer under the length floor,
+# nav and aside all link characters), newline-joined md5.
+ORACLES["q_html_main_extract"] = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS l
+  FROM documents WHERE doc_id < 40
+), ch AS (
+  SELECT doc_id, k.k,
+         array_to_string(l[15 * k.k + 1 : 15 * k.k + 15], ' ') AS raw
+  FROM d,
+       LATERAL (SELECT unnest(range(0, CAST(ceil(len(l) / 15.0) AS BIGINT)))
+                AS k) k
+), paras AS (
+  SELECT doc_id, k,
+         trim(regexp_replace(
+           CASE WHEN k = 0 THEN raw || ' A&B' ELSE raw END,
+           '\\s+', ' ', 'g')) AS p
+  FROM ch
+), kept AS (
+  SELECT doc_id, k, p FROM paras WHERE length(p) >= 30
+), agg AS (
+  SELECT doc_id,
+         COUNT(*) AS n_kept,
+         string_agg(p, chr(10) ORDER BY k) AS main
+  FROM kept GROUP BY doc_id
+), blocks AS (
+  SELECT doc_id, COUNT(*) FILTER (WHERE p <> '') AS n_paras FROM paras
+  GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n_paras + 4 AS INTEGER) AS n_blocks,
+       CAST(COALESCE(a.n_kept, 0) AS INTEGER) AS n_kept,
+       CAST(length(COALESCE(a.main, '')) AS INTEGER) AS main_chars,
+       md5(COALESCE(a.main, '')) AS main_md5
+FROM blocks b LEFT JOIN agg a USING (doc_id)
+"""

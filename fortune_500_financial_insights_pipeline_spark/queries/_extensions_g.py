@@ -288,3 +288,68 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_bucket")
     )
     return hashes.join(counts, "phash").select("doc_id", "phash", "n_bucket")
+
+
+@q("q_html_main_extract")
+def q_html_main_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML main-content extraction certified cross-engine — the web
+    pipeline's FIRST stage (WET/trafilatura class) under a hash row:
+    per document (doc_id < 40), a full page is synthesized — title,
+    style + script junk (incl. a raw '<' inside the script CDATA), a
+    3-link nav, the document's text as escaped <p> paragraphs of 15
+    tokens (paragraph 0 carries a planted ' A&amp;B' entity), a
+    46-char all-link ad aside (dropped by link DENSITY, not length),
+    and an &copy; footer — and parsed by the REAL stdlib-HTMLParser
+    operator (operators/html.html_main_text): script/style skipped,
+    entities decoded, block segmentation, and the jusText/Arc90 keep
+    rule (>= 30 chars, link density < 0.33). The oracle replays the
+    page GENERATOR (chunking, entity decode, whitespace collapse, the
+    same keep rule) — a hash match proves the parser recovered exactly
+    the planted main text and dropped exactly the planted boilerplate.
+    mapInPandas, map-only, no shuffle."""
+    import html as html_mod
+
+    import pandas as pd
+
+    from fortune_500_financial_insights_pipeline_spark.operators.html import (
+        html_main_text,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+    )
+
+    def build(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "html": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                toks = text.split(" ")
+                paras = [
+                    " ".join(toks[i : i + 15]) for i in range(0, len(toks), 15)
+                ]
+                body = []
+                for k, p in enumerate(paras):
+                    esc = html_mod.escape(p)
+                    if k == 0:
+                        esc += " A&amp;B"  # planted entity
+                    body.append(f"<p>{esc}</p>")
+                page = (
+                    f"<html><head><title>Doc {d}</title>"
+                    "<style>p {color: red}</style>"
+                    "<script>var x = 1 < 2;</script></head><body>"
+                    "<nav><a href='/'>Home</a> <a href='/about'>About</a> "
+                    "<a href='/contact'>Contact</a></nav>"
+                    + "".join(body)
+                    + f"<aside><a href='/ad'>Buy product {d} now with a "
+                    "great discount today</a></aside>"
+                    "<footer>&copy; 2026 Example Corp</footer></body></html>"
+                )
+                out["doc_id"].append(d)
+                out["html"].append(page)
+            yield pd.DataFrame(out)
+
+    pages = docs.mapInPandas(build, schema="doc_id long, html string")
+    return html_main_text(pages)
