@@ -149,6 +149,7 @@ _FLAGSHIP_LLM = [
     "q_stft_spectrogram",
     "q_image_phash_dedup",
     "q_html_main_extract",
+    "q_url_canonical_dedup",
 ]
 
 # Pattern net for the broader LLM-pipeline family (dedup / similarity /

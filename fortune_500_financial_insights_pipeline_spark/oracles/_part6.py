@@ -1851,3 +1851,66 @@ SELECT b.doc_id,
        md5(COALESCE(a.main, '')) AS main_md5
 FROM blocks b LEFT JOIN agg a USING (doc_id)
 """
+
+# q_url_canonical_dedup: every canonicalization rule replayed in SQL
+# string ops — lowercase scheme/host, :80/:443 strip by scheme, fragment
+# drop, tracking-param filter (utm_*/fbclid/gclid/ref), byte-sorted
+# remaining params. Variants 1-3 collapse (n_raw 3), variant 4 stands
+# alone (n_raw 1).
+ORACLES["q_url_canonical_dedup"] = """
+WITH d AS (
+  SELECT doc_id, doc_id % 7 AS k FROM documents WHERE doc_id < 200
+), raws AS (
+  SELECT doc_id,
+         'HTTP://Example' || k || '.COM:80/path/' || doc_id
+           || '?b=2&utm_source=x&a=1#frag' AS raw
+  FROM d
+  UNION ALL
+  SELECT doc_id,
+         'http://example' || k || '.com/path/' || doc_id || '?a=1&b=2'
+  FROM d
+  UNION ALL
+  SELECT doc_id,
+         'http://example' || k || '.com:80/path/' || doc_id
+           || '?utm_campaign=y&b=2&a=1'
+  FROM d
+  UNION ALL
+  SELECT doc_id,
+         'https://Example' || k || '.com:443/other/' || doc_id
+  FROM d
+), parts AS (
+  SELECT doc_id, raw,
+         lower(regexp_extract(raw, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+           AS scheme,
+         lower(regexp_extract(raw, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+           AS hostport,
+         regexp_extract(raw, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1)
+           AS pathq
+  FROM raws
+), norm AS (
+  SELECT doc_id,
+         scheme,
+         CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+              WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+              ELSE hostport END AS host,
+         regexp_replace(hostport, ':[0-9]+$', '') AS bare_host,
+         CASE WHEN regexp_extract(pathq, '^([^?]*)', 1) = '' THEN '/'
+              ELSE regexp_extract(pathq, '^([^?]*)', 1) END AS path,
+         array_to_string(
+           list_sort(list_filter(
+             string_split(regexp_extract(pathq, '\\?(.*)$', 1), '&'),
+             p -> p <> ''
+                  AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)=')
+           )), '&') AS canon_q
+  FROM parts
+), canon AS (
+  SELECT doc_id,
+         scheme || '://' || host || path
+           || CASE WHEN canon_q <> '' THEN '?' || canon_q ELSE '' END
+           AS canon_url,
+         bare_host AS host
+  FROM norm
+)
+SELECT canon_url, host, CAST(COUNT(*) AS BIGINT) AS n_raw
+FROM canon GROUP BY canon_url, host
+"""

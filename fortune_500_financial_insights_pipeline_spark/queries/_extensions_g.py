@@ -353,3 +353,58 @@ def q_html_main_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pages = docs.mapInPandas(build, schema="doc_id long, html string")
     return html_main_text(pages)
+
+
+@q("q_url_canonical_dedup")
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL dedup certified cross-engine: per document
+    (doc_id < 200), four raw URL variants — a SHOUTING host with
+    explicit :80 + utm_source + fragment, a clean form, a
+    tracking-and-shuffled-params form, and one genuinely distinct URL
+    (https, different path, :443 to strip) — run through the pure
+    column-expression canonicalizer (operators/urltools.canonicalize_url:
+    lowercase scheme/host, default-port strip, fragment drop, tracking
+    params removed, remaining params byte-sorted; no UDF, codegen'd).
+    Output: one row per canonical URL with n_raw (the dedup fold) and
+    the host grouping key — the first three variants MUST collapse to
+    one canonical form (n_raw 3) and the fourth stand alone (n_raw 1).
+    The oracle replays every rule in SQL string ops."""
+    from fortune_500_financial_insights_pipeline_spark.operators.urltools import (
+        canonicalize_url,
+        url_host,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    k = (F.col("doc_id") % 7).cast("long")
+    raws = d.select(
+        F.col("doc_id"),
+        F.explode(
+            F.array(
+                F.concat(
+                    F.lit("HTTP://Example"), k, F.lit(".COM:80/path/"),
+                    F.col("doc_id"), F.lit("?b=2&utm_source=x&a=1#frag"),
+                ),
+                F.concat(
+                    F.lit("http://example"), k, F.lit(".com/path/"),
+                    F.col("doc_id"), F.lit("?a=1&b=2"),
+                ),
+                F.concat(
+                    F.lit("http://example"), k, F.lit(".com:80/path/"),
+                    F.col("doc_id"), F.lit("?utm_campaign=y&b=2&a=1"),
+                ),
+                F.concat(
+                    F.lit("https://Example"), k, F.lit(".com:443/other/"),
+                    F.col("doc_id"), F.lit(""),
+                ),
+            )
+        ).alias("raw"),
+    )
+    canon = raws.select(
+        "doc_id",
+        canonicalize_url("raw").alias("canon_url"),
+        url_host("raw").alias("host"),
+    )
+    return (
+        canon.groupBy("canon_url", "host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_raw"))
+    )
