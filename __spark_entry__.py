@@ -150,6 +150,7 @@ _FLAGSHIP_LLM = [
     "q_image_phash_dedup",
     "q_html_main_extract",
     "q_url_canonical_dedup",
+    "q_web_pipeline_e2e",
 ]
 
 # Pattern net for the broader LLM-pipeline family (dedup / similarity /

@@ -179,3 +179,43 @@ def html_main_text(
     return df.select(
         df[id_col].alias("doc_id"), df[html_col].alias("__html")
     ).mapInPandas(extract, schema=MAIN_SCHEMA)
+
+
+CONTENT_SCHEMA = "doc_id long, url string, main string"
+
+
+def html_main_content(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    html_col: str = "html",
+    min_chars: int = 30,
+    max_link_density: float = 0.33,
+) -> DataFrame:
+    """Like :func:`html_main_text` but returns the extracted main TEXT
+    itself (newline-joined kept blocks) with a passthrough url column —
+    the form downstream pipeline stages (fingerprint dedup, quality
+    gate, chunking) consume."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "url": [], "main": []}
+            for doc_id, url, page in zip(
+                pdf["doc_id"], pdf["__url"], pdf["__html"]
+            ):
+                blocks = parse_blocks(page)
+                kept = [
+                    b["text"] for b in blocks
+                    if len(b["text"]) >= min_chars
+                    and b["link_chars"] < max_link_density * max(1, len(b["text"]))
+                ]
+                out["doc_id"].append(doc_id)
+                out["url"].append(url)
+                out["main"].append("\n".join(kept))
+            yield pd.DataFrame(out)
+
+    return df.select(
+        df[id_col].alias("doc_id"),
+        df[url_col].alias("__url"),
+        df[html_col].alias("__html"),
+    ).mapInPandas(extract, schema=CONTENT_SCHEMA)

@@ -1914,3 +1914,64 @@ WITH d AS (
 SELECT canon_url, host, CAST(COUNT(*) AS BIGINT) AS n_raw
 FROM canon GROUP BY canon_url, host
 """
+
+# q_web_pipeline_e2e: the composed funnel replayed — 4 URL variants per
+# doc of which 3 collapse (2 canonical fetches per doc, both serving the
+# same page), the page-generator extraction replay (paragraph chunks,
+# planted entity, >=30-char keep rule), content dedup by the extracted
+# text itself, the quality formula on the space-joined main, and the
+# 32/8 chunk windows with an order-invariant md5-prefix checksum.
+ORACLES["q_web_pipeline_e2e"] = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS l
+  FROM documents WHERE doc_id < 40
+), ch AS (
+  SELECT doc_id, k.k,
+         array_to_string(l[15 * k.k + 1 : 15 * k.k + 15], ' ') AS raw
+  FROM d,
+       LATERAL (SELECT unnest(range(0, CAST(ceil(len(l) / 15.0) AS BIGINT)))
+                AS k) k
+), paras AS (
+  SELECT doc_id, k,
+         trim(regexp_replace(
+           CASE WHEN k = 0 THEN raw || ' A&B' ELSE raw END,
+           '\\s+', ' ', 'g')) AS p
+  FROM ch
+), mains AS (
+  SELECT d.doc_id,
+         replace(COALESCE(a.main, ''), chr(10), ' ') AS main_sp
+  FROM d LEFT JOIN (
+    SELECT doc_id, string_agg(p, chr(10) ORDER BY k) AS main
+    FROM paras WHERE length(p) >= 30 GROUP BY doc_id
+  ) a USING (doc_id)
+), contents AS (
+  SELECT DISTINCT main_sp FROM mains
+), gated AS (
+  SELECT main_sp FROM contents
+  WHERE ROUND(
+        LEAST(CAST(length(main_sp) AS DOUBLE) / 200.0, 1.0) * 0.4
+        + (CASE WHEN CAST(length(main_sp) AS DOUBLE)
+                     / CAST(len(string_split(main_sp, ' ')) AS DOUBLE) >= 3.0
+                 AND CAST(length(main_sp) AS DOUBLE)
+                     / CAST(len(string_split(main_sp, ' ')) AS DOUBLE) <= 10.0
+                THEN 1.0 ELSE 0.5 END) * 0.3
+        + LEAST((CAST(len(list_filter(string_split(main_sp, ' '),
+                    t -> list_contains(['the','a','of','and','to','in','is','on','for','with'], t)))
+                 AS DOUBLE) / CAST(len(string_split(main_sp, ' ')) AS DOUBLE)) * 5.0,
+                1.0) * 0.3, 6) >= 0.5
+), cc AS (
+  SELECT len(list_slice(gl, start + 1, start + 32)) AS n_tokens,
+         array_to_string(list_slice(gl, start + 1, start + 32), ' ')
+           AS chunk_text
+  FROM (SELECT string_split(main_sp, ' ') AS gl FROM gated),
+       LATERAL (SELECT unnest(range(0, len(gl), 24)) AS start) s
+)
+SELECT CAST((SELECT COUNT(*) FROM d) * 4 AS BIGINT) AS n_raw_urls,
+       CAST((SELECT COUNT(*) FROM d) * 2 AS BIGINT) AS n_fetches,
+       CAST((SELECT COUNT(*) FROM contents) AS BIGINT) AS n_contents,
+       CAST((SELECT COUNT(*) FROM gated) AS BIGINT) AS n_pass_quality,
+       CAST((SELECT COUNT(*) FROM cc) AS BIGINT) AS n_chunks,
+       CAST((SELECT SUM(n_tokens) FROM cc) AS BIGINT) AS sum_chunk_tokens,
+       CAST((SELECT SUM(('0x' || substr(md5(chunk_text), 1, 8))::BIGINT)
+             FROM cc) AS BIGINT) AS chunk_checksum
+"""

@@ -290,6 +290,34 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashes.join(counts, "phash").select("doc_id", "phash", "n_bucket")
 
 
+def _synth_page(d: int, text: str) -> str:
+    """Shared fixture page generator for the web-pipeline keys: title +
+    style/script junk + 3-link nav + escaped 15-token <p> paragraphs
+    (paragraph 0 carries a planted ' A&amp;B' entity) + an all-link ad
+    aside + an &copy; footer. Both oracles replay THIS function."""
+    import html as html_mod
+
+    toks = text.split(" ")
+    paras = [" ".join(toks[i : i + 15]) for i in range(0, len(toks), 15)]
+    body = []
+    for k, para in enumerate(paras):
+        esc = html_mod.escape(para)
+        if k == 0:
+            esc += " A&amp;B"
+        body.append(f"<p>{esc}</p>")
+    return (
+        f"<html><head><title>Doc {d}</title>"
+        "<style>p {color: red}</style>"
+        "<script>var x = 1 < 2;</script></head><body>"
+        "<nav><a href='/'>Home</a> <a href='/about'>About</a> "
+        "<a href='/contact'>Contact</a></nav>"
+        + "".join(body)
+        + f"<aside><a href='/ad'>Buy product {d} now with a "
+        "great discount today</a></aside>"
+        "<footer>&copy; 2026 Example Corp</footer></body></html>"
+    )
+
+
 @q("q_html_main_extract")
 def q_html_main_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML main-content extraction certified cross-engine — the web
@@ -307,8 +335,6 @@ def q_html_main_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     same keep rule) — a hash match proves the parser recovered exactly
     the planted main text and dropped exactly the planted boilerplate.
     mapInPandas, map-only, no shuffle."""
-    import html as html_mod
-
     import pandas as pd
 
     from fortune_500_financial_insights_pipeline_spark.operators.html import (
@@ -325,30 +351,8 @@ def q_html_main_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = {"doc_id": [], "html": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                d = int(doc_id)
-                toks = text.split(" ")
-                paras = [
-                    " ".join(toks[i : i + 15]) for i in range(0, len(toks), 15)
-                ]
-                body = []
-                for k, p in enumerate(paras):
-                    esc = html_mod.escape(p)
-                    if k == 0:
-                        esc += " A&amp;B"  # planted entity
-                    body.append(f"<p>{esc}</p>")
-                page = (
-                    f"<html><head><title>Doc {d}</title>"
-                    "<style>p {color: red}</style>"
-                    "<script>var x = 1 < 2;</script></head><body>"
-                    "<nav><a href='/'>Home</a> <a href='/about'>About</a> "
-                    "<a href='/contact'>Contact</a></nav>"
-                    + "".join(body)
-                    + f"<aside><a href='/ad'>Buy product {d} now with a "
-                    "great discount today</a></aside>"
-                    "<footer>&copy; 2026 Example Corp</footer></body></html>"
-                )
-                out["doc_id"].append(d)
-                out["html"].append(page)
+                out["doc_id"].append(int(doc_id))
+                out["html"].append(_synth_page(int(doc_id), text))
             yield pd.DataFrame(out)
 
     pages = docs.mapInPandas(build, schema="doc_id long, html string")
@@ -407,4 +411,100 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         canon.groupBy("canon_url", "host")
         .agg(F.count(F.lit(1)).cast("long").alias("n_raw"))
+    )
+
+
+@q("q_web_pipeline_e2e")
+def q_web_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole web-corpus front half COMPOSED and certified in one
+    row: raw crawl URLs → canonical dedup (4 variants per doc → 2
+    fetches, operators/urltools) → real HTML main-content extraction
+    (operators/html, both canonical URLs serve the same page) →
+    content-fingerprint dedup (the two fetches collapse; so do any
+    byte-identical cross-doc texts) → quality gate (round-6 score >=
+    0.5 on the space-joined main) → 32/8 token chunking — with funnel
+    counts at every stage and an order-invariant md5-prefix checksum
+    over the final chunk texts. Every stage is individually certified
+    by its own key (q_url_canonical_dedup, q_html_main_extract,
+    q_curation_stream_funnel); this key certifies their COMPOSITION:
+    the oracle replays URL math, the page generator, the keep rule, the
+    dedup folds, the quality formula, and the chunk windows end-to-end.
+    Stages are map-only plus two small dedup shuffles and one chunk
+    aggregate — the 100 TB shape of the real pipeline."""
+    import pandas as pd
+
+    from fortune_500_financial_insights_pipeline_spark.operators.chunking import (
+        chunk_documents,
+    )
+    from fortune_500_financial_insights_pipeline_spark.operators.html import (
+        html_main_content,
+    )
+    from fortune_500_financial_insights_pipeline_spark.operators.text import (
+        quality_score,
+    )
+    from fortune_500_financial_insights_pipeline_spark.operators.urltools import (
+        canonicalize_url,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+    )
+
+    def build(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "html": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                out["doc_id"].append(int(doc_id))
+                out["html"].append(_synth_page(int(doc_id), text))
+            yield pd.DataFrame(out)
+
+    pages = docs.mapInPandas(build, schema="doc_id long, html string")
+    k = (F.col("doc_id") % 7).cast("long")
+    raws = pages.select(
+        "doc_id",
+        "html",
+        F.explode(
+            F.array(
+                F.concat(F.lit("HTTP://Example"), k, F.lit(".COM:80/page/"),
+                         F.col("doc_id"), F.lit("?b=2&utm_source=x&a=1#f")),
+                F.concat(F.lit("http://example"), k, F.lit(".com/page/"),
+                         F.col("doc_id"), F.lit("?a=1&b=2")),
+                F.concat(F.lit("http://example"), k, F.lit(".com:80/page/"),
+                         F.col("doc_id"), F.lit("?utm_campaign=y&b=2&a=1")),
+                F.concat(F.lit("https://example"), k, F.lit(".com/amp/"),
+                         F.col("doc_id"), F.lit("")),
+            )
+        ).alias("raw"),
+    )
+    canon = raws.withColumn("canon_url", canonicalize_url("raw"))
+    fetches = canon.select("doc_id", "canon_url", "html").dropDuplicates(
+        ["canon_url"]
+    )
+    extracted = html_main_content(fetches, url_col="canon_url")
+    content = extracted.select(
+        "url", F.regexp_replace("main", "\n", " ").alias("main_sp")
+    ).withColumn("fp", F.md5("main_sp"))
+    contents = content.select("fp", "main_sp").dropDuplicates(["fp"])
+    gated = contents.where(F.round(quality_score("main_sp"), 6) >= 0.5)
+    chunks = chunk_documents(
+        gated, id_col="fp", text_col="main_sp", chunk_tokens=32, overlap=8
+    )
+    csum = F.conv(F.substring(F.md5("chunk_text"), 1, 8), 16, 10).cast("long")
+    one = F.lit(1)
+    a_raw = raws.agg(F.count(one).cast("long").alias("n_raw_urls"))
+    a_fetch = fetches.agg(F.count(one).cast("long").alias("n_fetches"))
+    a_content = contents.agg(F.count(one).cast("long").alias("n_contents"))
+    a_gated = gated.agg(F.count(one).cast("long").alias("n_pass_quality"))
+    a_chunks = chunks.agg(
+        F.count(one).cast("long").alias("n_chunks"),
+        F.sum("n_tokens").cast("long").alias("sum_chunk_tokens"),
+        F.sum(csum).cast("long").alias("chunk_checksum"),
+    )
+    return (
+        a_raw.crossJoin(F.broadcast(a_fetch))
+        .crossJoin(F.broadcast(a_content))
+        .crossJoin(F.broadcast(a_gated))
+        .crossJoin(F.broadcast(a_chunks))
     )
