@@ -60,3 +60,50 @@ def test_unclosed_and_nested_markup_is_tolerated():
     assert "one" in texts and "two" in texts
     # trailing content outside any block lands in an implicit block
     assert any("three" in t for t in texts)
+
+
+def test_html_extraction_streams_unchanged(spark, tmp_path):
+    """html_main_content is a stateless mapInPandas projection, so the
+    web front half streams as-is: micro-batch output == batch output on
+    the same pages (the streaming-symmetry check every stage of the
+    curation family carries)."""
+    from pyspark.sql import functions as F
+
+    from fortune_500_financial_insights_pipeline_spark.operators.urltools import (
+        canonicalize_url,
+    )
+
+    rows = [
+        (1, "http://A.com:80/x?utm_source=1&q=2", PAGE),
+        (2, "https://b.com/y", PAGE.replace("fox", "wolf")),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        rows, "doc_id long, url string, html string"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    def pipeline(df):
+        from fortune_500_financial_insights_pipeline_spark.operators.html import (
+            html_main_content,
+        )
+
+        canon = df.withColumn("url", canonicalize_url("url"))
+        return html_main_content(canon).select(
+            "doc_id", "url", F.md5("main").alias("fp")
+        )
+
+    got = []
+    stream = spark.readStream.schema(
+        "doc_id long, url string, html string"
+    ).parquet(src)
+    q = (
+        pipeline(stream)
+        .writeStream.foreachBatch(lambda df, b: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    batch = pipeline(spark.read.parquet(src)).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+    assert {r.url for r in batch} == {"http://a.com/x?q=2", "https://b.com/y"}
