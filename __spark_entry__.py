@@ -151,6 +151,7 @@ _FLAGSHIP_LLM = [
     "q_html_main_extract",
     "q_url_canonical_dedup",
     "q_web_pipeline_e2e",
+    "q_audio_ahash_dedup",
 ]
 
 # Pattern net for the broader LLM-pipeline family (dedup / similarity /

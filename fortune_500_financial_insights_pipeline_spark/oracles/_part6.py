@@ -1975,3 +1975,50 @@ SELECT CAST((SELECT COUNT(*) FROM d) * 4 AS BIGINT) AS n_raw_urls,
        CAST((SELECT SUM(('0x' || substr(md5(chunk_text), 1, 8))::BIGINT)
              FROM cc) AS BIGINT) AS chunk_checksum
 """
+
+
+# q_audio_ahash_dedup: the stepped-envelope tone-mix pcm formula + the
+# exact STFT chains (generated like q_stft_spectrogram's oracle, pcm
+# staged per (doc, frame)) reduced to ordinal band-power bits; bucket
+# counts mirror the groupBy.
+ORACLES["q_audio_ahash_dedup"] = """
+WITH ids AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 25),
+docs AS (
+  SELECT doc_id FROM ids
+  UNION ALL
+  SELECT doc_id + 100000 FROM ids
+), px AS (
+  SELECT doc_id, f.f,
+         ((((1000 * (1 + ((doc_id % 100000) * 7919 // 1 + (4 * f + 0) // 4) % 4)) * ([2, 1, 0, -1, -2, -1, 0, 1][(((4 * f + 0) % 8)) + 1]) + (1000 * (1 + ((doc_id % 100000) * 7919 // 4 + (4 * f + 0) // 4) % 4)) * ([1, 0, -1, 0, 1, 0, -1, 0][(((4 * f + 0) % 8)) + 1]) + (1000 * (1 + ((doc_id % 100000) * 7919 // 16 + (4 * f + 0) // 4) % 4)) * ([2, -1, 0, 1, -2, 1, 0, -1][(((4 * f + 0) % 8)) + 1])) + CASE WHEN doc_id >= 100000 AND 4 * f + 0 = 5 THEN 1 ELSE 0 END) / 32768.0) AS xv0,
+         ((((1000 * (1 + ((doc_id % 100000) * 7919 // 1 + (4 * f + 1) // 4) % 4)) * ([2, 1, 0, -1, -2, -1, 0, 1][(((4 * f + 1) % 8)) + 1]) + (1000 * (1 + ((doc_id % 100000) * 7919 // 4 + (4 * f + 1) // 4) % 4)) * ([1, 0, -1, 0, 1, 0, -1, 0][(((4 * f + 1) % 8)) + 1]) + (1000 * (1 + ((doc_id % 100000) * 7919 // 16 + (4 * f + 1) // 4) % 4)) * ([2, -1, 0, 1, -2, 1, 0, -1][(((4 * f + 1) % 8)) + 1])) + CASE WHEN doc_id >= 100000 AND 4 * f + 1 = 5 THEN 1 ELSE 0 END) / 32768.0) AS xv1,
+         ((((1000 * (1 + ((doc_id % 100000) * 7919 // 1 + (4 * f + 2) // 4) % 4)) * ([2, 1, 0, -1, -2, -1, 0, 1][(((4 * f + 2) % 8)) + 1]) + (1000 * (1 + ((doc_id % 100000) * 7919 // 4 + (4 * f + 2) // 4) % 4)) * ([1, 0, -1, 0, 1, 0, -1, 0][(((4 * f + 2) % 8)) + 1]) + (1000 * (1 + ((doc_id % 100000) * 7919 // 16 + (4 * f + 2) // 4) % 4)) * ([2, -1, 0, 1, -2, 1, 0, -1][(((4 * f + 2) % 8)) + 1])) + CASE WHEN doc_id >= 100000 AND 4 * f + 2 = 5 THEN 1 ELSE 0 END) / 32768.0) AS xv2,
+         ((((1000 * (1 + ((doc_id % 100000) * 7919 // 1 + (4 * f + 3) // 4) % 4)) * ([2, 1, 0, -1, -2, -1, 0, 1][(((4 * f + 3) % 8)) + 1]) + (1000 * (1 + ((doc_id % 100000) * 7919 // 4 + (4 * f + 3) // 4) % 4)) * ([1, 0, -1, 0, 1, 0, -1, 0][(((4 * f + 3) % 8)) + 1]) + (1000 * (1 + ((doc_id % 100000) * 7919 // 16 + (4 * f + 3) // 4) % 4)) * ([2, -1, 0, 1, -2, 1, 0, -1][(((4 * f + 3) % 8)) + 1])) + CASE WHEN doc_id >= 100000 AND 4 * f + 3 = 5 THEN 1 ELSE 0 END) / 32768.0) AS xv3,
+         ((((1000 * (1 + ((doc_id % 100000) * 7919 // 1 + (4 * f + 4) // 4) % 4)) * ([2, 1, 0, -1, -2, -1, 0, 1][(((4 * f + 4) % 8)) + 1]) + (1000 * (1 + ((doc_id % 100000) * 7919 // 4 + (4 * f + 4) // 4) % 4)) * ([1, 0, -1, 0, 1, 0, -1, 0][(((4 * f + 4) % 8)) + 1]) + (1000 * (1 + ((doc_id % 100000) * 7919 // 16 + (4 * f + 4) // 4) % 4)) * ([2, -1, 0, 1, -2, 1, 0, -1][(((4 * f + 4) % 8)) + 1])) + CASE WHEN doc_id >= 100000 AND 4 * f + 4 = 5 THEN 1 ELSE 0 END) / 32768.0) AS xv4,
+         ((((1000 * (1 + ((doc_id % 100000) * 7919 // 1 + (4 * f + 5) // 4) % 4)) * ([2, 1, 0, -1, -2, -1, 0, 1][(((4 * f + 5) % 8)) + 1]) + (1000 * (1 + ((doc_id % 100000) * 7919 // 4 + (4 * f + 5) // 4) % 4)) * ([1, 0, -1, 0, 1, 0, -1, 0][(((4 * f + 5) % 8)) + 1]) + (1000 * (1 + ((doc_id % 100000) * 7919 // 16 + (4 * f + 5) // 4) % 4)) * ([2, -1, 0, 1, -2, 1, 0, -1][(((4 * f + 5) % 8)) + 1])) + CASE WHEN doc_id >= 100000 AND 4 * f + 5 = 5 THEN 1 ELSE 0 END) / 32768.0) AS xv5,
+         ((((1000 * (1 + ((doc_id % 100000) * 7919 // 1 + (4 * f + 6) // 4) % 4)) * ([2, 1, 0, -1, -2, -1, 0, 1][(((4 * f + 6) % 8)) + 1]) + (1000 * (1 + ((doc_id % 100000) * 7919 // 4 + (4 * f + 6) // 4) % 4)) * ([1, 0, -1, 0, 1, 0, -1, 0][(((4 * f + 6) % 8)) + 1]) + (1000 * (1 + ((doc_id % 100000) * 7919 // 16 + (4 * f + 6) // 4) % 4)) * ([2, -1, 0, 1, -2, 1, 0, -1][(((4 * f + 6) % 8)) + 1])) + CASE WHEN doc_id >= 100000 AND 4 * f + 6 = 5 THEN 1 ELSE 0 END) / 32768.0) AS xv6,
+         ((((1000 * (1 + ((doc_id % 100000) * 7919 // 1 + (4 * f + 7) // 4) % 4)) * ([2, 1, 0, -1, -2, -1, 0, 1][(((4 * f + 7) % 8)) + 1]) + (1000 * (1 + ((doc_id % 100000) * 7919 // 4 + (4 * f + 7) // 4) % 4)) * ([1, 0, -1, 0, 1, 0, -1, 0][(((4 * f + 7) % 8)) + 1]) + (1000 * (1 + ((doc_id % 100000) * 7919 // 16 + (4 * f + 7) // 4) % 4)) * ([2, -1, 0, 1, -2, 1, 0, -1][(((4 * f + 7) % 8)) + 1])) + CASE WHEN doc_id >= 100000 AND 4 * f + 7 = 5 THEN 1 ELSE 0 END) / 32768.0) AS xv7
+  FROM docs, LATERAL (SELECT unnest(range(0, 7)) AS f) f
+), raw AS (
+  SELECT doc_id, f, k.k,
+         CASE WHEN k = 0 THEN ((((((((0.0 + xv0 * 1.0) + xv1 * 1.0) + xv2 * 1.0) + xv3 * 1.0) + xv4 * 1.0) + xv5 * 1.0) + xv6 * 1.0) + xv7 * 1.0) WHEN k = 1 THEN ((((((((0.0 + xv0 * 1.0) + xv1 * SQRT(0.5)) + xv2 * 0.0) + xv3 * (-SQRT(0.5))) + xv4 * (-1.0)) + xv5 * (-SQRT(0.5))) + xv6 * 0.0) + xv7 * SQRT(0.5)) WHEN k = 2 THEN ((((((((0.0 + xv0 * 1.0) + xv1 * 0.0) + xv2 * (-1.0)) + xv3 * 0.0) + xv4 * 1.0) + xv5 * 0.0) + xv6 * (-1.0)) + xv7 * 0.0) WHEN k = 3 THEN ((((((((0.0 + xv0 * 1.0) + xv1 * (-SQRT(0.5))) + xv2 * 0.0) + xv3 * SQRT(0.5)) + xv4 * (-1.0)) + xv5 * SQRT(0.5)) + xv6 * 0.0) + xv7 * (-SQRT(0.5))) WHEN k = 4 THEN ((((((((0.0 + xv0 * 1.0) + xv1 * (-1.0)) + xv2 * 1.0) + xv3 * (-1.0)) + xv4 * 1.0) + xv5 * (-1.0)) + xv6 * 1.0) + xv7 * (-1.0)) END AS re_raw,
+         CASE WHEN k = 0 THEN ((((((((0.0 - xv0 * 0.0) - xv1 * 0.0) - xv2 * 0.0) - xv3 * 0.0) - xv4 * 0.0) - xv5 * 0.0) - xv6 * 0.0) - xv7 * 0.0) WHEN k = 1 THEN ((((((((0.0 - xv0 * 0.0) - xv1 * SQRT(0.5)) - xv2 * 1.0) - xv3 * SQRT(0.5)) - xv4 * 0.0) - xv5 * (-SQRT(0.5))) - xv6 * (-1.0)) - xv7 * (-SQRT(0.5))) WHEN k = 2 THEN ((((((((0.0 - xv0 * 0.0) - xv1 * 1.0) - xv2 * 0.0) - xv3 * (-1.0)) - xv4 * 0.0) - xv5 * 1.0) - xv6 * 0.0) - xv7 * (-1.0)) WHEN k = 3 THEN ((((((((0.0 - xv0 * 0.0) - xv1 * SQRT(0.5)) - xv2 * (-1.0)) - xv3 * SQRT(0.5)) - xv4 * 0.0) - xv5 * (-SQRT(0.5))) - xv6 * 1.0) - xv7 * (-SQRT(0.5))) WHEN k = 4 THEN ((((((((0.0 - xv0 * 0.0) - xv1 * 0.0) - xv2 * 0.0) - xv3 * 0.0) - xv4 * 0.0) - xv5 * 0.0) - xv6 * 0.0) - xv7 * 0.0) END AS im_raw
+  FROM px, LATERAL (SELECT unnest(range(0, 5)) AS k) k
+), pw AS (
+  SELECT doc_id, f, k, re_raw * re_raw + im_raw * im_raw AS p
+  FROM raw
+), bits AS (
+  SELECT a.doc_id, a.f, a.k,
+         CASE WHEN a.p > b.p
+              THEN CAST(1 AS BIGINT) << CAST(a.f * 3 + (a.k - 1) AS INTEGER)
+              ELSE 0 END AS bit
+  FROM pw a JOIN pw b
+    ON a.doc_id = b.doc_id AND a.f = b.f AND b.k = a.k + 1
+  WHERE a.k BETWEEN 1 AND 3
+), hashes AS (
+  SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS ahash FROM bits GROUP BY doc_id
+), buckets AS (
+  SELECT ahash, CAST(COUNT(*) AS BIGINT) AS n_bucket FROM hashes GROUP BY ahash
+)
+SELECT h.doc_id, h.ahash, b.n_bucket
+FROM hashes h JOIN buckets b USING (ahash)
+"""

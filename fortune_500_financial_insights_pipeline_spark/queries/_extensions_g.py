@@ -508,3 +508,71 @@ def q_web_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(a_gated))
         .crossJoin(F.broadcast(a_chunks))
     )
+
+
+@q("q_audio_ahash_dedup")
+def q_audio_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup dedup via an engine-exact spectral fingerprint —
+    completing modality symmetry (text minhash / image phash / audio
+    ahash): per document (doc_id < 25), a 32-sample PCM mix of three
+    8-periodic integer tones under a stepped per-doc amplitude
+    envelope — pcm[i] = Σ_b A_b(i)·T_b[i mod 8] with
+    A_b(i) = 1000·(1 + (d·7919 div 4^b + i div 4) mod 4) and the
+    integer 2·cos tables for bins 1..3 — AND a planted near-duplicate
+    (doc_id + 100000: sample 5 nudged by one quantization level) are
+    containerized as real WAV and pushed through
+    dsp.audio_spectral_hash (real decode → exact 8/4 STFT → 21 ordinal
+    band-energy bits). Adjacent band powers are separated by ≥5e-3
+    while the one-level nudge moves them ~1e-4 (a 50× sign margin), so
+    EVERY planted pair collides into its bucket; clips sharing ordinal
+    spectral structure bucket together (10 structural groups over the
+    25 docs), which is exactly what a perceptual bucket key is for. The
+    oracle replays the envelope formula and the DFT chains. One groupBy
+    on the hash — the bucket join IS the dedup plan."""
+    import numpy as np
+    import pandas as pd
+
+    from fortune_500_financial_insights_pipeline_spark.operators.dsp import (
+        audio_spectral_hash,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 25)
+        .select("doc_id")
+        .distinct()
+    )
+
+    def build(batches):
+        from fortune_500_financial_insights_pipeline_spark.operators.media_codec import (
+            wav_encode_pcm16,
+        )
+
+        tones = [
+            [2, 1, 0, -1, -2, -1, 0, 1],
+            [1, 0, -1, 0, 1, 0, -1, 0],
+            [2, -1, 0, 1, -2, 1, 0, -1],
+        ]
+        for pdf in batches:
+            out = {"doc_id": [], "media": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                i = np.arange(32)
+                pcm = np.zeros(32, np.int64)
+                for b in range(3):
+                    amp = 1000 * (1 + ((d * 7919 // 4 ** b + i // 4) % 4))
+                    pcm += amp * np.asarray(tones[b])[i % 8]
+                out["doc_id"].append(d)
+                out["media"].append(wav_encode_pcm16(pcm.astype(np.int16), 8000))
+                pert = pcm.copy()
+                pert[5] += 1
+                out["doc_id"].append(d + 100000)
+                out["media"].append(wav_encode_pcm16(pert.astype(np.int16), 8000))
+            yield pd.DataFrame(out)
+
+    media = ids.mapInPandas(build, schema="doc_id long, media binary")
+    hashes = audio_spectral_hash(media)
+    counts = hashes.groupBy("ahash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bucket")
+    )
+    return hashes.join(counts, "ahash").select("doc_id", "ahash", "n_bucket")

@@ -113,3 +113,37 @@ def test_image_spectral_hash_near_dup_semantics(spark):
     assert got[1] != got[3]        # different signs -> different hash
     want = sum((1 << i) for i in range(15) if ((3 * 7919) >> i) & 1)
     assert got[1] == want          # hash recovers the planted sign pattern
+
+
+def test_audio_spectral_hash_near_dup_semantics(spark):
+    """One-quantization-level perturbation keeps the spectral hash (the
+    near-dup collision), a different band structure changes it."""
+    from fortune_500_financial_insights_pipeline_spark.operators.dsp import (
+        audio_spectral_hash,
+    )
+    from fortune_500_financial_insights_pipeline_spark.operators.media_codec import (
+        wav_encode_pcm16,
+    )
+
+    tones = [
+        [2, 1, 0, -1, -2, -1, 0, 1],
+        [1, 0, -1, 0, 1, 0, -1, 0],
+        [2, -1, 0, 1, -2, 1, 0, -1],
+    ]
+
+    def build(d, perturb=False):
+        i = np.arange(32)
+        pcm = np.zeros(32, np.int64)
+        for b in range(3):
+            amp = 1000 * (1 + ((d * 7919 // 4 ** b + i // 4) % 4))
+            pcm += amp * np.asarray(tones[b])[i % 8]
+        if perturb:
+            pcm = pcm.copy()
+            pcm[5] += 1
+        return wav_encode_pcm16(pcm.astype(np.int16), 8000)
+
+    rows = [(1, build(2)), (2, build(2, perturb=True)), (3, build(3))]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    got = {r.doc_id: r.ahash for r in audio_spectral_hash(df).collect()}
+    assert got[1] == got[2]   # near-dup collides
+    assert got[1] != got[3]   # different envelope structure differs
