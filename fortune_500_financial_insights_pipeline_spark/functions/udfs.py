@@ -44,6 +44,16 @@ def make_nearest_cell_udf(centroids):
     return nearest_cell
 
 
+# The series-level implementations live in functions/textclean.py (a
+# Spark-free module) so mapInPandas bodies can import them worker-side:
+# importing THIS module in an executor worker would re-run the pandas_udf
+# decorators and die with SESSION_OR_CONTEXT_NOT_EXISTS.
+from fortune_500_financial_insights_pipeline_spark.functions.textclean import (  # noqa: E402
+    nfc_normalize_series,
+    strip_accents_series,
+)
+
+
 @pandas_udf("string")
 def nfc_normalize(s: pd.Series) -> pd.Series:
     """Unicode NFC normalization (UAX #15), Arrow-vectorized — the first
@@ -51,15 +61,15 @@ def nfc_normalize(s: pd.Series) -> pd.Series:
     (e + U+0301) collapse to their canonical precomposed forms so exact
     dedup, hashing, and tokenization see one spelling. Matches DuckDB's
     ``nfc_normalize`` (both implement the Unicode standard), which is
-    what lets q_unicode_clean hash-certify it cross-engine."""
-    return s.str.normalize("NFC")
+    what lets q_unicode_clean hash-certify it cross-engine. Pure-ASCII
+    rows skip the per-element normalize entirely (identity under NFC)."""
+    return nfc_normalize_series(s)
 
 
 @pandas_udf("string")
 def strip_accents(s: pd.Series) -> pd.Series:
     """Accent folding: NFD-decompose, drop combining diacritical marks
     (U+0300–U+036F) — the aggressive fold used for fuzzy matching and
-    search keys. Semantics match DuckDB's ``strip_accents``."""
-    return s.str.normalize("NFD").str.replace(
-        r"[̀-ͯ]", "", regex=True
-    )
+    search keys. Semantics match DuckDB's ``strip_accents``. Pure-ASCII
+    rows skip the per-element decompose (identity under NFD, no marks)."""
+    return strip_accents_series(s)

@@ -166,6 +166,13 @@ def image_spectral_hash(
                 img = png_decode(bytes(media))
                 luma = img[:, :, 0].astype(np.float64)
                 h, w = luma.shape
+                if h < 8 or w < 8:
+                    # fail closed like the codec family's corrupt-payload
+                    # discipline — an undersized image cannot feed the
+                    # fixed 8-point DFT
+                    raise ValueError(
+                        f"image too small for 8-point DFT: {h}x{w} (need >= 8x8)"
+                    )
                 sub = luma[:: max(1, h // 8), :: max(1, w // 8)][:8, :8] / 256.0
                 re, _im = dft8_2d(sub)
                 phash = 0
@@ -207,6 +214,14 @@ def audio_spectral_hash(
             for doc_id, media in zip(pdf["doc_id"], pdf["__media"]):
                 _rate, _n_ch, samples = wav_decode(bytes(media))
                 mono = samples[:, 0]
+                if len(mono) < 8:
+                    # fail closed like the codec family's corrupt-payload
+                    # discipline — np.stack over zero frames would raise
+                    # an opaque ValueError otherwise
+                    raise ValueError(
+                        f"audio clip too short for 8-point DFT: "
+                        f"{len(mono)} samples (need >= 8)"
+                    )
                 starts = range(0, len(mono) - 8 + 1, 4)
                 x = np.stack([mono[s : s + 8] for s in starts])[:n_frames]
                 re, im = dft8_frame(x)

@@ -92,6 +92,80 @@ def mp4_build_minimal(
     return ftyp + mdat + moov
 
 
+def mp4_build_fragmented(
+    samples: "list[bytes]",
+    durations: "list[int]",
+    timescale: int = 1000,
+    samples_per_frag: int = 3,
+) -> bytes:
+    """One-track FRAGMENTED MP4 (fMP4 — the DASH/CMAF shape web-crawl
+    video actually ships): ftyp + a moov whose stbl is EMPTY (movie-level
+    sample tables live in the fragments) + mvex/trex defaults, then one
+    [moof + mdat] pair per ``samples_per_frag`` samples. Each moof carries
+    mfhd (sequence number), tfhd (track id, default-base-is-moof), tfdt
+    (base media decode time) and a trun with per-sample durations + sizes
+    and a data-offset pointing into the fragment's own mdat."""
+    if len(samples) != len(durations):
+        raise ValueError("samples and durations must align")
+    if samples_per_frag < 1:
+        raise ValueError("samples_per_frag must be >= 1")
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2cmfc")
+
+    def _empty_stbl() -> bytes:
+        stsd = _full(b"stsd", struct.pack(">I", 0))
+        stts = _full(b"stts", struct.pack(">I", 0))
+        stsc = _full(b"stsc", struct.pack(">I", 0))
+        stsz = _full(b"stsz", struct.pack(">II", 0, 0))
+        stco = _full(b"stco", struct.pack(">I", 0))
+        return _box(b"stbl", stsd + stts + stsc + stsz + stco)
+
+    total = sum(durations)
+    mdhd = _full(
+        b"mdhd",
+        struct.pack(">IIII", 0, 0, timescale, total) + struct.pack(">HH", 0x55C4, 0),
+    )
+    mdia = _box(b"mdia", mdhd + _box(b"minf", _empty_stbl()))
+    tkhd = _full(b"tkhd", b"\x00" * 80, version=0, flags=7)
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _full(b"mvhd", struct.pack(">IIII", 0, 0, timescale, total) + b"\x00" * 80)
+    # trex: track_ID, default_sample_description_index, default_sample_
+    # duration, default_sample_size, default_sample_flags
+    trex = _full(b"trex", struct.pack(">IIIII", 1, 1, 0, 0, 0))
+    moov = _box(b"moov", mvhd + trak + _box(b"mvex", trex))
+
+    frags: list[bytes] = []
+    base_dts = 0
+    for seq, i in enumerate(range(0, len(samples), samples_per_frag), start=1):
+        grp = samples[i : i + samples_per_frag]
+        grp_durs = durations[i : i + samples_per_frag]
+        mfhd = _full(b"mfhd", struct.pack(">I", seq))
+        # tfhd flags 0x20000 = default-base-is-moof (no explicit base
+        # data offset; trun offsets are relative to the moof box start)
+        tfhd = _full(b"tfhd", struct.pack(">I", 1), flags=0x20000)
+        tfdt = _full(b"tfdt", struct.pack(">I", base_dts), version=0)
+        # trun flags: 0x01 data-offset, 0x100 per-sample duration,
+        # 0x200 per-sample size
+        trun_body = struct.pack(">I", len(grp))
+        trun_body += struct.pack(">i", 0)  # data_offset patched below
+        for s_bytes, dur in zip(grp, grp_durs):
+            trun_body += struct.pack(">II", dur, len(s_bytes))
+        trun = _full(b"trun", trun_body, flags=0x01 | 0x100 | 0x200)
+        traf = _box(b"traf", tfhd + tfdt + trun)
+        moof = _box(b"moof", mfhd + traf)
+        # patch the trun data_offset: samples start at moof_size + 8
+        # (the fragment mdat's payload), relative to moof start
+        data_offset = len(moof) + 8
+        # the i32 sits right after the trun fullbox header + sample_count:
+        # locate it from the end — trun is the last child, its payload is
+        # 4 (ver/flags) + 4 (count) + 4 (offset) + 8*n from the box end
+        patch_at = len(moof) - (8 * len(grp)) - 4
+        moof = moof[:patch_at] + struct.pack(">i", data_offset) + moof[patch_at + 4 :]
+        mdat = _box(b"mdat", b"".join(grp))
+        frags.append(moof + mdat)
+        base_dts += sum(grp_durs)
+    return ftyp + moov + b"".join(frags)
+
+
 def _walk(data: bytes, start: int, end: int):
     pos = start
     while pos + 8 <= end:
@@ -131,15 +205,126 @@ def _unpack(fmt: str, data: bytes, start: int, end: int):
         raise ValueError(f"corrupt MP4: truncated field ({exc})") from exc
 
 
+def _trex_defaults(data: bytes, moov) -> "tuple[int, int]":
+    """(default_sample_duration, default_sample_size) from moov/mvex/trex,
+    (0, 0) when the movie declares no fragment defaults."""
+    mvex = _find(data, moov[0], moov[1], b"mvex")
+    if mvex is None:
+        return 0, 0
+    trex = _find(data, mvex[0], mvex[1], b"trex")
+    if trex is None:
+        return 0, 0
+    s = trex[0]
+    _tid, _sdi, d_dur, d_size = _unpack(">IIII", data, s + 4, s + 20)
+    return d_dur, d_size
+
+
+def _fragment_samples(
+    data: bytes,
+    timescale: int,
+    d_dur: int,
+    d_size: int,
+    start_idx: int,
+) -> "list[tuple[int, float, int, int]]":
+    """Walk top-level moof boxes (ISO/IEC 14496-12 §8.8 movie fragments —
+    the DASH/CMAF shape): per traf, tfhd supplies the base data offset
+    (or default-base-is-moof), optional per-track default duration/size;
+    tfdt the base media decode time; each trun a run of samples with
+    optional per-sample durations/sizes and a data offset relative to the
+    base. Same ValueError discipline and payload-size sanity caps as the
+    classic stbl walk."""
+    sanity = len(data)
+    out: list[tuple[int, float, int, int]] = []
+    idx = start_idx
+    running_dts = 0
+    for btype, ms, me in _walk(data, 0, len(data)):
+        if btype != b"moof":
+            continue
+        moof_start = ms - 8
+        for ttype, ts_, te_ in _walk(data, ms, me):
+            if ttype != b"traf":
+                continue
+            tfhd = _find(data, ts_, te_, b"tfhd")
+            if tfhd is None:
+                raise ValueError("corrupt MP4: traf missing tfhd")
+            tf_flags = int.from_bytes(data[tfhd[0] + 1 : tfhd[0] + 4], "big")
+            p = tfhd[0] + 8  # ver/flags + track_ID
+            base = moof_start  # default-base-is-moof and the spec default
+            if tf_flags & 0x01:  # base-data-offset-present (u64)
+                (base,) = _unpack(">Q", data, p, p + 8)
+                p += 8
+            if tf_flags & 0x02:  # sample-description-index
+                p += 4
+            tf_dur, tf_size = d_dur, d_size
+            if tf_flags & 0x08:  # default-sample-duration
+                (tf_dur,) = _unpack(">I", data, p, p + 4)
+                p += 4
+            if tf_flags & 0x10:  # default-sample-size
+                (tf_size,) = _unpack(">I", data, p, p + 4)
+                p += 4
+            tfdt = _find(data, ts_, te_, b"tfdt")
+            if tfdt is not None:
+                ver = data[tfdt[0]]
+                if ver == 1:
+                    (running_dts,) = _unpack(">Q", data, tfdt[0] + 4, tfdt[0] + 12)
+                else:
+                    (running_dts,) = _unpack(">I", data, tfdt[0] + 4, tfdt[0] + 8)
+            next_pos: int | None = None  # continues across truns sans offset
+            for rtype, rs, re_ in _walk(data, ts_, te_):
+                if rtype != b"trun":
+                    continue
+                tr_flags = int.from_bytes(data[rs + 1 : rs + 4], "big")
+                (n_samp,) = _unpack(">I", data, rs + 4, rs + 8)
+                if n_samp > sanity:
+                    raise ValueError("corrupt MP4: trun sample count exceeds payload")
+                q = rs + 8
+                pos = next_pos if next_pos is not None else base
+                if tr_flags & 0x01:  # data-offset-present (i32, moof-relative)
+                    (doff,) = _unpack(">i", data, q, q + 4)
+                    q += 4
+                    pos = base + doff
+                if tr_flags & 0x04:  # first-sample-flags
+                    q += 4
+                for _ in range(n_samp):
+                    dur, size = tf_dur, tf_size
+                    if tr_flags & 0x100:
+                        (dur,) = _unpack(">I", data, q, q + 4)
+                        q += 4
+                    if tr_flags & 0x200:
+                        (size,) = _unpack(">I", data, q, q + 4)
+                        q += 4
+                    if tr_flags & 0x400:
+                        q += 4
+                    if tr_flags & 0x800:
+                        q += 4
+                    if size == 0 or dur == 0:
+                        raise ValueError(
+                            "corrupt MP4: fragment sample without size/duration "
+                            "(no trun field, no tfhd/trex default)"
+                        )
+                    if pos + size > sanity:
+                        raise ValueError("corrupt MP4: fragment sample beyond payload")
+                    out.append((idx, float(running_dts) / timescale, pos, size))
+                    pos += size
+                    running_dts += dur
+                    idx += 1
+                next_pos = pos
+    return out
+
+
 def mp4_sample_index(data: bytes) -> "list[tuple[int, float, int, int]]":
     """Parse the first track's sample tables → one row per sample:
     (sample_idx, dts_seconds, byte_offset, byte_size). Pure box walk —
     stts gives decode timestamps, stsz sizes, stsc maps samples into
-    chunks, stco places chunks in the file. Corrupt containers raise
-    ValueError (never IndexError/struct.error/MemoryError): every
-    required box is presence-checked, every field is bounds-checked, and
-    every count field is sanity-capped against the payload size before
-    it drives an allocation (fuzz-gated by tests/test_fuzz_codecs.py)."""
+    chunks, stco places chunks in the file; when the movie is FRAGMENTED
+    (fMP4/DASH/CMAF — empty stbl, samples described by moof/traf/trun),
+    the fragment walk appends those samples after any stbl ones, so both
+    classic and fragmented files index through the one entry point.
+    Corrupt containers raise ValueError (never IndexError/struct.error/
+    MemoryError): every required box is presence-checked, every field is
+    bounds-checked, and every count field is sanity-capped against the
+    payload size before it drives an allocation (fuzz-gated by
+    tests/test_fuzz_codecs.py)."""
     moov = _find(data, 0, len(data), b"moov")
     if moov is None:
         raise ValueError("not an MP4: no moov box")
@@ -233,6 +418,8 @@ def mp4_sample_index(data: bytes) -> "list[tuple[int, float, int, int]]":
             idx += 1
     if idx != len(sizes):
         raise ValueError("corrupt MP4: sample tables disagree on count")
+    d_dur, d_size = _trex_defaults(data, moov)
+    out.extend(_fragment_samples(data, timescale, d_dur, d_size, start_idx=idx))
     return out
 
 

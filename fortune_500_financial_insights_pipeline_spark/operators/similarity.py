@@ -586,6 +586,16 @@ def signature_col_portable(
     # literal calls: the Column form cost ~4.4 s of pure driver-side py4j
     # round trips PER PLAN BUILD (measured sf0.01, round 6) before a single
     # task ran — identical semantics, same optimized plan, ~0.1 s to parse.
+    # vec_col is quoted as ONE backtick identifier, so it must be a plain
+    # top-level column name — a dotted nested-field path ('a.b') would
+    # resolve as the literal column named "a.b", not the struct field the
+    # Column API would reach. Reject both rather than resolve differently.
+    if "`" in vec_col or "." in vec_col:
+        raise ValueError(
+            "signature_col_portable requires a plain top-level column "
+            f"name; got {vec_col!r} — alias the nested field to a top-"
+            "level column first (e.g. .withColumn('v', F.col('a.b')))"
+        )
     vfix_sql = (
         f"transform(`{vec_col}`, x -> "
         f"CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT))"

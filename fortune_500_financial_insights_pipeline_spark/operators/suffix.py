@@ -151,6 +151,15 @@ def suffix_array_tokens(
     head = toks.agg(
         F.count(F.lit(1)).alias("n"), F.max("pos").alias("maxpos")
     ).head()
+    if head["maxpos"] is None:
+        # Empty input (no rows, or no tokens): the doubling loop has
+        # nothing to rank. Return an empty frame with the output schema
+        # (id type preserved from the input) rather than crashing on
+        # int(None).
+        id_type = df.schema[id_col].dataType.simpleString()
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} {id_type}, pos int, sa_rank long"
+        )
     n_total, max_len = int(head["n"]), int(head["maxpos"]) + 1
     n_parts = _rank_partitions(df.sparkSession, n_total)
     p, n_distinct = _global_dense_rank_counted(
@@ -191,6 +200,7 @@ def suffix_lcp_spans(
     min_lcp: int = 2,
     max_rounds: int = 20,
     sa: DataFrame | None = None,
+    max_span: int = 512,
 ) -> DataFrame:
     """EXACT duplicated token spans via the suffix array: adjacent
     suffixes in SA order share their longest common prefix with SOME
@@ -200,7 +210,20 @@ def suffix_lcp_spans(
     min_lcp — (doc_a, pos_a, doc_b, pos_b, lcp, span) where span is the
     shared token prefix. The LCP is a first-mismatch fold over the two
     zipped token arrays (JVM-side aggregate, no UDF). Pass a precomputed
-    ``sa`` (e.g. the per-process memo) to skip the doubling rounds."""
+    ``sa`` (e.g. the per-process memo) to skip the doubling rounds.
+
+    ``max_span`` bounds the per-row materialized suffix slice: each
+    adjacent pair compares at most ``max_span`` tokens, so the working
+    set is O(n * max_span) tokens, never O(sum L^2) — without the cap a
+    corpus of long documents would materialize every full suffix.
+    Reported ``lcp`` is exact whenever the true LCP < max_span and
+    clamps to max_span otherwise (a duplicated span that long is a
+    dedup hit regardless of its exact length)."""
+    if max_span < min_lcp:
+        raise ValueError(
+            f"max_span={max_span} must be >= min_lcp={min_lcp} — a cap "
+            "below the reporting threshold would silently drop spans"
+        )
     if sa is None:
         sa = suffix_array_tokens(df, id_col, text_col, max_rounds=max_rounds)
     toks = df.select(
@@ -213,7 +236,11 @@ def suffix_lcp_spans(
             "pos",
             "sa_rank",
             F.slice(
-                F.col("__l"), F.col("pos") + 1, F.size("__l") - F.col("pos")
+                F.col("__l"),
+                F.col("pos") + 1,
+                F.least(
+                    F.size("__l") - F.col("pos"), F.lit(max_span)
+                ),
             ).alias("suf"),
         )
     )

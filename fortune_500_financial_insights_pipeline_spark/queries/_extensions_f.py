@@ -694,13 +694,18 @@ def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     and strip_accents). The oracle builds the identical string in SQL and
     applies DuckDB's own nfc_normalize / strip_accents: a hash match over
     lengths + md5 digests proves both engines agree on the Unicode
-    normalization itself, byte-for-byte in UTF-8. Arrow-batched,
-    map-only."""
+    normalization itself, byte-for-byte in UTF-8. ONE Arrow-batched
+    map-only Python pass: the builder calls the cleaners' shared series
+    implementations (nfc_normalize_series / strip_accents_series — the
+    exact code the pandas_udf wrappers run) in-batch, instead of chaining
+    four separate ArrowEvalPython evaluations behind the build
+    (1.12 s -> ~0.3 s at the bench floor, round-6 verdict item 4); the
+    lengths and md5 digests stay JVM-side."""
     import pandas as pd
 
-    from fortune_500_financial_insights_pipeline_spark.functions.udfs import (
-        nfc_normalize,
-        strip_accents,
+    from fortune_500_financial_insights_pipeline_spark.functions.textclean import (
+        nfc_normalize_series,
+        strip_accents_series,
     )
 
     ids = (
@@ -726,16 +731,21 @@ def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
                         parts.append("̃")
                 out["doc_id"].append(d)
                 out["raw"].append("".join(parts))
-            yield pd.DataFrame(out)
+            pdf_out = pd.DataFrame(out)
+            pdf_out["nfc"] = nfc_normalize_series(pdf_out["raw"])
+            pdf_out["stripped"] = strip_accents_series(pdf_out["raw"])
+            yield pdf_out
 
-    raw = ids.mapInPandas(build, schema="doc_id long, raw string")
+    raw = ids.mapInPandas(
+        build, schema="doc_id long, raw string, nfc string, stripped string"
+    )
     return raw.select(
         "doc_id",
         F.length("raw").alias("raw_len"),
-        F.length(nfc_normalize("raw")).alias("nfc_len"),
-        F.md5(nfc_normalize("raw")).alias("nfc_md5"),
-        F.length(strip_accents("raw")).alias("stripped_len"),
-        F.md5(strip_accents("raw")).alias("stripped_md5"),
+        F.length("nfc").alias("nfc_len"),
+        F.md5("nfc").alias("nfc_md5"),
+        F.length("stripped").alias("stripped_len"),
+        F.md5("stripped").alias("stripped_md5"),
     )
 
 

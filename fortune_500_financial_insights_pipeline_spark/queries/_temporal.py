@@ -369,10 +369,26 @@ def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("q_embed_neardup_lsh")
 def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate vectors via random-hyperplane LSH bucketing (rows-only:
-    the bucketing is Spark-specific; exact-cosine verification filters the
-    candidates)."""
+    the float bucketing is Spark-specific; exact-cosine verification filters
+    the candidates). The fixture embeddings are near-orthogonal (max pairwise
+    cosine 0.48), so — exactly like the oracle-exact portable twin
+    q_embed_neardup_portable — the query PLANTS 50 near-duplicates (vectors
+    0-49 rescaled by 1.02 under shifted ids; cosine 1.0, scale-invariant and
+    sign-invariant, so each plant collides with its source in every
+    hyperplane bucket) and the detector must recover them: a 0-row result
+    means the bucketing broke, not that the data had no dups.
+    test_lsh_neardup_recovers_planted_pairs pins the recovered pair set."""
     from fortune_500_financial_insights_pipeline_spark.operators.similarity import lsh_neardup_pairs
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
     dim = len(emb.select("embedding").head()[0])
-    return lsh_neardup_pairs(emb, dim=dim, n_planes=12, min_cosine=0.5)
+    planted = emb.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.02)).alias("embedding"),
+    )
+    return lsh_neardup_pairs(
+        emb.unionByName(planted), dim=dim, n_planes=12, min_cosine=0.9
+    )

@@ -60,7 +60,14 @@ def streaming_curate(
 
     ``watermark=(ts_col, delay)`` bounds dedup state when documents carry an
     ingest timestamp; without it the digest state grows with corpus size
-    (fine for bounded backfills, not for a forever-stream)."""
+    (fine for bounded backfills, not for a forever-stream).
+
+    .. note:: behavior change (round 6): ``gopher_gate=True`` with
+       ``gopher_stopwords=None`` now applies the operator's published
+       8-word ``GOPHER_STOPWORDS`` default — matching ``gopher_rules``
+       run with defaults. It previously used ``EN_STOPWORDS``; callers
+       relying on the old gate outcomes must pass
+       ``gopher_stopwords=TX.EN_STOPWORDS`` explicitly."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     df = stream.withColumn("fingerprint", F.md5(norm))
     if watermark is not None:

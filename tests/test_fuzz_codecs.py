@@ -7,7 +7,7 @@ hang, and never a silently-wrong success on a mangled container.
 Round-5 truncation spot checks (test_ops_round5e) sampled a few cuts;
 this fuzzes every truncation offset and deterministic byte flips across
 all six container families, including the MJPEG-in-MP4 path added in
-round 6."""
+round 6 and the fragmented-MP4 (moof/traf/trun) walk added in round 7."""
 
 from __future__ import annotations
 
@@ -37,6 +37,7 @@ def _payloads():
         wav_encode_pcm16,
     )
     from fortune_500_financial_insights_pipeline_spark.operators.mp4_index import (
+        mp4_build_fragmented,
         mp4_build_minimal,
         mp4_sample_index,
     )
@@ -53,10 +54,12 @@ def _payloads():
         ("jpeg", jpg, jpeg_decode),
         ("wav", wav_encode_pcm16(pcm, 8000), wav_decode),
         ("mp4", mp4_build_minimal([jpg, jpg], [100, 120]), mp4_sample_index),
+        ("fmp4", mp4_build_fragmented([jpg, jpg, jpg], [100, 120, 110],
+                                      samples_per_frag=2), mp4_sample_index),
     ]
 
 
-@pytest.mark.parametrize("fmt_idx", range(6))
+@pytest.mark.parametrize("fmt_idx", range(7))
 def test_every_truncation_fails_closed(fmt_idx):
     fmt, data, dec = _payloads()[fmt_idx]
     for cut in range(len(data)):
@@ -75,7 +78,7 @@ def test_every_truncation_fails_closed(fmt_idx):
         # the contract is about exception TYPE, not prefix validity.
 
 
-@pytest.mark.parametrize("fmt_idx", range(6))
+@pytest.mark.parametrize("fmt_idx", range(7))
 def test_byte_flips_fail_closed_or_decode(fmt_idx):
     """Single-byte corruption at deterministic stride: decoders may
     reject (ValueError), may hit the codec seam (NotImplementedError),
