@@ -132,6 +132,7 @@ def suffix_array_tokens(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_rounds: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Generalized (per-document, whitespace-token-level) suffix array:
     one row per (doc, pos) suffix with its 1-based global ``sa_rank`` —
@@ -143,7 +144,12 @@ def suffix_array_tokens(
     2^k covers the longest document (identical cross-doc suffixes keep
     equal ranks forever, so rank-distinctness alone is only the early
     exit, not the terminator). Suffixes never cross document boundaries
-    — each document is its own string, the generalized-SA convention."""
+    — each document is its own string, the generalized-SA convention.
+
+    Pass ``stats={}`` to receive observability fields back: ``rounds``
+    (doubling rounds actually run — bounded by ceil(log2 maxlen), the
+    quantity that stays ~constant as the corpus widens at fixed doc
+    length), ``n_suffixes`` and ``max_len``."""
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
@@ -157,6 +163,8 @@ def suffix_array_tokens(
         # (id type preserved from the input) rather than crashing on
         # int(None).
         id_type = df.schema[id_col].dataType.simpleString()
+        if stats is not None:
+            stats.update(rounds=0, n_suffixes=0, max_len=0)
         return df.sparkSession.createDataFrame(
             [], f"{id_col} {id_type}, pos int, sa_rank long"
         )
@@ -190,6 +198,8 @@ def suffix_array_tokens(
     out, _n = _global_dense_rank_counted(
         p, ["r", "doc", "pos"], "sa_rank", num_partitions=n_parts
     )
+    if stats is not None:
+        stats.update(rounds=rounds, n_suffixes=n_total, max_len=max_len)
     return out.select(F.col("doc").alias(id_col), "pos", "sa_rank")
 
 

@@ -32,3 +32,99 @@ SELECT doc_id,
 FROM ts
 GROUP BY doc_id
 """
+
+# q_substring_reconcile: the CDC chunk chain (q_boilerplate_chunks CTEs,
+# plus per-chunk start/length), the >= 2 distinct-doc recount (flagged ==
+# dup: the cascade is always-positive and realizes zero Bloom FPs at this
+# fill ratio), and the brute-force suffix LCP spans (q_suffix_lcp_spans
+# CTEs, lcp >= 3, cross-doc) exploded to token positions for the
+# coverage fraction.
+ORACLES["q_substring_reconcile"] = """
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 40
+), t AS (
+  SELECT doc_id, i - 1 AS pos, l[i] AS tok
+  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM docs))
+), g AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN pos >= 2
+               AND ('0x' || substr(md5(concat_ws(' ',
+                     LAG(tok, 2) OVER w, LAG(tok, 1) OVER w, tok)),
+                     1, 15))::BIGINT % 16 = 0
+              THEN 1 ELSE 0 END AS b
+  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), c AS (
+  SELECT doc_id, pos, tok,
+         COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS chunk_id
+  FROM g
+), ch AS (
+  SELECT doc_id, chunk_id, MIN(pos) AS chunk_start, COUNT(*) AS n_tokens,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+  FROM c GROUP BY doc_id, chunk_id
+), freq AS (
+  SELECT chunk_hash, COUNT(DISTINCT doc_id) >= 2 AS is_dup
+  FROM ch GROUP BY chunk_hash
+), chunk_stats AS (
+  SELECT COUNT(*) AS n_chunks,
+         SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dup_chunks
+  FROM freq
+), sl AS (
+  SELECT doc_id, i - 1 AS pos, l[i:] AS sl, array_to_string(l[i:], ' ') AS suf
+  FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM docs))
+), ranked AS (
+  SELECT doc_id, pos, sl,
+         ROW_NUMBER() OVER (ORDER BY suf, doc_id, pos) AS rk
+  FROM sl
+), pairs AS (
+  SELECT a.doc_id AS doc_a, a.pos AS pos_a, b.doc_id AS doc_b,
+         b.pos AS pos_b, a.sl AS sa, b.sl AS sb
+  FROM ranked a JOIN ranked b ON b.rk = a.rk + 1
+), scored AS (
+  SELECT doc_a, pos_a, doc_b, pos_b,
+         CAST(CASE WHEN fm = 0 OR fm IS NULL
+                   THEN LEAST(len(sa), len(sb))
+                   ELSE fm - 1 END AS BIGINT) AS lcp
+  FROM (
+    SELECT *,
+           list_position(
+             list_transform(range(1, LEAST(len(sa), len(sb)) + 1),
+                            i -> sa[i] != sb[i]),
+             true) AS fm
+    FROM pairs)
+  WHERE doc_a != doc_b
+), spans AS (
+  SELECT * FROM scored WHERE lcp >= 3
+), dup_pos AS (
+  SELECT DISTINCT doc, pos FROM (
+    SELECT doc_a AS doc, unnest(generate_series(pos_a, pos_a + CAST(lcp AS INTEGER) - 1)) AS pos FROM spans
+    UNION ALL
+    SELECT doc_b AS doc, unnest(generate_series(pos_b, pos_b + CAST(lcp AS INTEGER) - 1)) AS pos FROM spans
+  )
+), flagged_pos AS (
+  SELECT DISTINCT ch.doc_id AS doc,
+         unnest(generate_series(CAST(ch.chunk_start AS INTEGER),
+                                CAST(ch.chunk_start + ch.n_tokens - 1 AS INTEGER))) AS pos
+  FROM ch JOIN freq USING (chunk_hash) WHERE freq.is_dup
+), pos_stats AS (
+  SELECT (SELECT COUNT(*) FROM dup_pos) AS n_dup_positions,
+         (SELECT COUNT(*) FROM dup_pos d
+            WHERE EXISTS (SELECT 1 FROM flagged_pos f
+                          WHERE f.doc = d.doc AND f.pos = d.pos))
+           AS n_covered_positions
+)
+SELECT CAST(n_chunks AS BIGINT) AS n_chunks,
+       CAST(n_dup_chunks AS BIGINT) AS n_dup_chunks,
+       CAST(n_dup_chunks AS BIGINT) AS n_flagged_chunks,
+       CAST(0 AS BIGINT) AS n_missed_chunks,
+       CAST(0 AS BIGINT) AS n_over_chunks,
+       CAST(n_dup_positions AS BIGINT) AS n_dup_positions,
+       CAST(n_covered_positions AS BIGINT) AS n_covered_positions,
+       CASE WHEN n_dup_positions > 0
+            THEN ROUND(CAST(n_covered_positions AS DOUBLE) / n_dup_positions, 6)
+            ELSE NULL END AS span_coverage
+FROM chunk_stats, pos_stats
+"""

@@ -72,3 +72,63 @@ def q_fmp4_frame_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, n_samples long, n_frags long, sum_bytes long, "
         "sum_first_byte long, sum_ts_units long",
     )
+
+
+@q("q_substring_reconcile")
+def q_substring_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-vs-batch reconcile for SUBSTRING dedup (round-6 verdict
+    item 8): the streaming side approximates exact substring dedup with
+    the CDC-chunk Bloom cascade (streaming/boilerplate); this key builds
+    that cascade's REAL persisted state over documents doc_id < 40 (one
+    batch through boilerplate_batch_fn — the documented batch-backfill
+    path with identical semantics and the same atomic stage swaps), then
+    audits it against the EXACT suffix-array truth
+    (reconcile_substring_report): chunk layer — every chunk whose exact
+    recount reaches 2 docs MUST be Bloom-flagged (n_missed_chunks = 0,
+    the always-positive invariant; n_over_chunks = realized false
+    positives, 0 at this fill ratio); span layer — the fraction of exact
+    cross-doc duplicated token positions (adjacent-pair LCP >= 3, both
+    sides) covered by flagged chunks, the stream path's measured
+    granularity loss. The oracle replays the CDC chunk chain, the >= 2
+    recount, and the brute-force suffix LCP spans in SQL. The suffix leg
+    rides the shared doc_suffix_sa memo."""
+    import shutil
+    import tempfile
+
+    from fortune_500_financial_insights_pipeline_spark.queries._core import doc_suffix_sa
+    from fortune_500_financial_insights_pipeline_spark.streaming.boilerplate import (
+        boilerplate_batch_fn,
+        reconcile_substring_report,
+    )
+
+    corpus = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+    )
+    state_dir = tempfile.mkdtemp(prefix="substring_reconcile_state_")
+    try:
+        fn = boilerplate_batch_fn(
+            "doc_id", "text", state_dir, lambda df, b: df.count(), min_docs=2
+        )
+        fn(corpus, 0)
+        rep = reconcile_substring_report(
+            corpus,
+            state_dir,
+            min_docs=2,
+            min_lcp=3,
+            sa=doc_suffix_sa(spark, sf_dir, cap=40),
+        )
+        rep = rep.localCheckpoint(eager=True)  # state dir gone after return
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+    return rep.select(
+        "n_chunks",
+        "n_dup_chunks",
+        "n_flagged_chunks",
+        "n_missed_chunks",
+        "n_over_chunks",
+        "n_dup_positions",
+        "n_covered_positions",
+        "span_coverage",
+    )

@@ -270,3 +270,134 @@ def reconcile_boilerplate_report(
             6,
         ).alias("over_rate"),
     )
+
+
+def reconcile_substring_report(
+    corpus: DataFrame,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    k_cdc: int = 3,
+    divisor: int = 16,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+    min_lcp: int = 2,
+    max_rounds: int = 20,
+    sa: DataFrame | None = None,
+) -> DataFrame:
+    """Offline audit of the STREAMING substring-dedup approximation (this
+    module's CDC-chunk Bloom cascade) against the EXACT batch substring
+    truth (operators/suffix: suffix-array LCP spans — Lee et al. 2022) —
+    the reconcile companion to :func:`reconcile_boilerplate_report`,
+    which audits against the chunk-level recount only.
+
+    Two layers, two guarantees:
+
+    * chunk layer (invariant): every chunk whose exact recount reaches
+      ``min_docs`` distinct docs MUST be flagged by the top cascade
+      stage — CDC boundaries are content-defined (identical content →
+      identical chunks) and Bloom probes are always-positive, so
+      ``n_missed_chunks`` = 0 always; ``n_over_chunks`` measures realized
+      Bloom false positives.
+    * span layer (measured gap, not an invariant): the suffix array
+      yields the exact set of cross-document duplicated token positions
+      (both sides of every adjacent-pair LCP span with lcp >= min_lcp);
+      ``span_coverage`` is the fraction of those positions lying inside
+      stream-flagged chunks. The shortfall is the stream path's
+      granularity loss — duplicated spans shorter than a chunk, or
+      straddling chunk boundaries, that only the exact batch pass sees.
+
+    Run it as a scheduled batch job over the stream's input archive; the
+    suffix pass is the audit's exact-truth cost (log-round prefix
+    doubling, SCALE.md), everything else is linear. Pass a precomputed
+    ``sa`` (suffix_array_tokens output for the same corpus) to skip the
+    doubling rounds.
+
+    Returns one row: (n_chunks, n_dup_chunks, n_flagged_chunks,
+    n_missed_chunks, n_over_chunks, n_dup_positions, n_covered_positions,
+    span_coverage)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.suffix import (
+        suffix_lcp_spans,
+    )
+
+    spark = corpus.sparkSession
+    chunks = cdc_chunks(
+        corpus, id_col=id_col, text_col=text_col, k=k_cdc, divisor=divisor
+    ).localCheckpoint(eager=False)
+
+    # chunk layer: exact recount vs top-stage probe
+    truth = chunks.groupBy("chunk_hash").agg(
+        (F.countDistinct(id_col) >= min_docs).alias("is_dup")
+    )
+    top = _load_state(spark, _stage_dir(state_dir, min_docs))
+    probed = bloom_probe(top, truth, "chunk_hash", m_bits=m_bits, k=k)
+    flags = probed.select(
+        "chunk_hash", "is_dup", F.col("maybe_member").alias("is_flagged")
+    ).localCheckpoint(eager=False)
+
+    # span layer: exact cross-doc duplicated token positions from the SA
+    spans = suffix_lcp_spans(
+        corpus, id_col=id_col, text_col=text_col, min_lcp=min_lcp,
+        max_rounds=max_rounds, sa=sa,
+    ).where(F.col("doc_a") != F.col("doc_b"))
+    side_a = spans.select(
+        F.col("doc_a").alias("doc"), F.col("pos_a").alias("p0"), "lcp"
+    )
+    side_b = spans.select(
+        F.col("doc_b").alias("doc"), F.col("pos_b").alias("p0"), "lcp"
+    )
+    dup_pos = (
+        side_a.unionByName(side_b)
+        .select(
+            "doc",
+            F.explode(
+                F.sequence(F.col("p0"), F.col("p0") + F.col("lcp") - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    flagged_pos = (
+        chunks.join(
+            flags.where("is_flagged").select("chunk_hash"), "chunk_hash"
+        )
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                F.sequence(
+                    F.col("chunk_start"),
+                    F.col("chunk_start") + F.col("n_tokens") - 1,
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    covered = dup_pos.join(flagged_pos, ["doc", "pos"], "left_semi")
+
+    one = F.lit(1)
+    chunk_stats = flags.agg(
+        F.count(one).alias("n_chunks"),
+        F.sum(F.when(F.col("is_dup"), one).otherwise(0))
+        .cast("long").alias("n_dup_chunks"),
+        F.sum(F.when(F.col("is_flagged"), one).otherwise(0))
+        .cast("long").alias("n_flagged_chunks"),
+        F.sum(F.when(F.col("is_dup") & ~F.col("is_flagged"), one).otherwise(0))
+        .cast("long").alias("n_missed_chunks"),
+        F.sum(F.when(F.col("is_flagged") & ~F.col("is_dup"), one).otherwise(0))
+        .cast("long").alias("n_over_chunks"),
+    )
+    pos_stats = dup_pos.agg(
+        F.count(one).cast("long").alias("n_dup_positions")
+    ).crossJoin(
+        covered.agg(F.count(one).cast("long").alias("n_covered_positions"))
+    )
+    return chunk_stats.crossJoin(pos_stats).withColumn(
+        "span_coverage",
+        F.when(
+            F.col("n_dup_positions") > 0,
+            F.round(
+                F.col("n_covered_positions") / F.col("n_dup_positions"), 6
+            ),
+        ).otherwise(F.lit(None).cast("double")),
+    )

@@ -251,3 +251,43 @@ def test_streaming_curate_gopher_gate_matches_batch(spark, tmp_path):
     assert sorted((key(r) for r in got)) == sorted(key(r) for r in want)
     assert any(r["doc_id"] == 1 for r in got)
     assert not any(r["doc_id"] == 2 for r in got)
+
+
+def test_reconcile_substring_missed_is_zero(spark, tmp_path):
+    """Stream the template corpus, then audit the cascade against the
+    EXACT suffix-array substring truth: the chunk-level miss count must
+    be zero (content-defined chunks + always-positive Bloom), and the
+    flagged chunks must cover a nonzero fraction of the exact duplicated
+    token positions (the template region)."""
+    from fortune_500_financial_insights_pipeline_spark.streaming.boilerplate import (
+        reconcile_substring_report,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    rows1 = [(1, _doc(1)), (2, _doc(2))]
+    rows2 = [(3, _doc(3))]
+    _write(spark, src, rows1, "overwrite")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        boilerplate_stream(
+            stream, "doc_id", "text", state, lambda df, b: df.collect(),
+            min_docs=2, m_bits=1 << 16,
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    _write(spark, src, rows2, "append")
+    q.processAllAvailable()
+    q.stop()
+
+    corpus = spark.createDataFrame(rows1 + rows2, "doc_id long, text string")
+    r = reconcile_substring_report(
+        corpus, state, min_docs=2, m_bits=1 << 16
+    ).head()
+    assert r["n_missed_chunks"] == 0  # the invariant
+    assert r["n_dup_chunks"] >= 1
+    assert r["n_dup_positions"] > 0  # template spans found by the SA
+    assert r["n_covered_positions"] > 0
+    assert 0 < r["span_coverage"] <= 1.0

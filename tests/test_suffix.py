@@ -170,3 +170,34 @@ def test_suffix_array_edge_corpora(spark, docs):
         for r in suffix_lcp_spans(df, min_lcp=1).collect()
     }
     assert spans == _brute_spans(docs, 1)
+
+
+def test_doubling_round_count_is_log_of_max_doc_length(spark):
+    """The prefix-doubling loop must run at most ceil(log2(maxlen)) rounds
+    and must NOT grow with corpus width — the property that makes the
+    100x SCALE.md row flat: widening the corpus at fixed doc length adds
+    bytes per round, never rounds. A 16-token doc needs 4 doublings
+    (gap 1->2->4->8->16) regardless of whether there are 2 docs or 40."""
+    import math
+
+    from fortune_500_financial_insights_pipeline_spark.operators.suffix import (
+        suffix_array_tokens,
+    )
+
+    def rounds_for(n_docs: int, doc_len: int) -> int:
+        docs = [
+            (d, " ".join(f"t{(d * 7 + i) % 11}" for i in range(doc_len)))
+            for d in range(n_docs)
+        ]
+        stats: dict = {}
+        suffix_array_tokens(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            stats=stats,
+        ).count()
+        assert stats["max_len"] == doc_len
+        return stats["rounds"]
+
+    narrow = rounds_for(2, 16)
+    wide = rounds_for(40, 16)
+    assert narrow <= math.ceil(math.log2(16)) + 1  # early-exit may use fewer
+    assert wide == narrow  # corpus width never adds rounds
