@@ -152,6 +152,11 @@ _FLAGSHIP_LLM = [
     "q_url_canonical_dedup",
     "q_web_pipeline_e2e",
     "q_audio_ahash_dedup",
+    # round-7 additions: the fragmented-MP4 (DASH/CMAF moof/trun) container
+    # walk and the streaming-vs-batch substring-dedup reconcile audit —
+    # first in line for a driver hash row while never-verified
+    "q_fmp4_frame_index_roundtrip",
+    "q_substring_reconcile",
 ]
 
 # Pattern net for the broader LLM-pipeline family (dedup / similarity /

@@ -176,6 +176,54 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="f500-bench")
 
+    # Session warmup + shared-memo prepay, each on its own recorded line
+    # (round 7 — the driver_sim attribution discipline): the first Spark
+    # job of a JVM pays JIT/codegen/Python-worker spawn that belongs to
+    # the session, and the deterministic training artifacts (centroids,
+    # codebooks, pair lists, walk corpus) are built once per process and
+    # shared by whole key families. Billing either to "build" made
+    # build_s (70.6 s in r6) read as plan-construction cost when most of
+    # it was one-time artifact jobs; now build_s measures actual per-query
+    # plan assembly. Production analogue: artifact jobs are scheduled
+    # separately, not billed to the first query that needs them.
+    t_w = time.perf_counter()
+    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).groupBy(
+        "n_regionkey"
+    ).count().collect()
+    spark.createDataFrame([(1,)], "x long").mapInPandas(
+        lambda it: it, schema="x long"
+    ).collect()
+    warmup_s = round(time.perf_counter() - t_w, 2)
+    # Only memos a BENCH key actually consumes: doc_lsh_candidates
+    # (q_lsh_precision), bpe_merges_3 (q_bpe_segment/q_tokenizer_fertility),
+    # walk_corpus (q_random_walk), the four ANN artifacts (the IVF/PQ
+    # family), and doc_jaccard_pairs(2,0.8) (q_jaccard_clusters' truth
+    # leg). Prepaying the full registry list would ADD work bench never
+    # runs (doc_jaccard_pairs(3,0.3) and doc_suffix_sa have no headline
+    # consumer).
+    _BENCH_MEMOS = {
+        "doc_lsh_candidates",
+        "bpe_merges_3",
+        "walk_corpus",
+        "ann_kmeans8x2",
+        "ann_q0probe",
+        "ann_pq4x4",
+        "ann_pqres4x4",
+        "doc_jaccard_pairs(2,0.8)",
+    }
+    memo_s: dict[str, float] = {}
+    try:
+        from fortune_500_financial_insights_pipeline_spark.queries._core import MEMO_BUILDS
+
+        for mname, thunk in MEMO_BUILDS:
+            if mname not in _BENCH_MEMOS:
+                continue
+            t_m = time.perf_counter()
+            thunk(spark, sf_dir)
+            memo_s[mname] = round(time.perf_counter() - t_m, 2)
+    except Exception:  # noqa: BLE001 — memo prepay is an attribution aid,
+        pass  # never a correctness gate; builds fall back to lazy paths
+
     # warmup: one untimed pass per query so the timed pass measures
     # steady-state engine throughput (the 100 TB-relevant number), not
     # first-call JIT + whole-stage-codegen compilation (~6s once per JVM,
@@ -302,6 +350,9 @@ def main() -> None:
         line["comparable_sec"] = ours
         line["vs_baseline"] = round(ours / base, 3)
     line["build_s"] = build_s
+    line["warmup_s"] = warmup_s
+    line["memo_s"] = memo_s
+    line["memo_total_s"] = round(sum(memo_s.values()), 2)
     line["pass_totals"] = pass_totals
     line["load1"] = load1
     # top per-key spreads (max - min across passes): a clean run shows

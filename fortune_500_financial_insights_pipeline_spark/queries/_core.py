@@ -209,27 +209,50 @@ def _scored_labeled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # completion; all are memoized above, so consumer keys then pay only their
 # marginal work. Production analogue: shared artifacts are built by a
 # scheduled job, not billed to whichever query arrives first.
-def _ann_artifacts(spark: SparkSession, sf_dir: str) -> None:
-    """Train the shared ANN index artifacts (coarse kmeans cells, PQ and
-    residual-PQ codebooks, the vec_id=0 query probe) into _TRAINED_MEMO —
-    the exact keys the five IVF/PQ queries consult."""
+def _ann_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+
+
+def _ann_kmeans(spark: SparkSession, sf_dir: str):
+    """Coarse kmeans cells — the root artifact the probe and residual
+    codebooks derive from."""
     from fortune_500_financial_insights_pipeline_spark.operators.kmeans import (
         kmeans_centroids,
     )
+
+    emb = _ann_emb(spark, sf_dir)
+    return _memo_trained(
+        ("kmeans8x2", sf_dir), lambda: kmeans_centroids(emb, k=8, n_iter=2)
+    )
+
+
+def _ann_probe(spark: SparkSession, sf_dir: str):
+    centroids = _ann_kmeans(spark, sf_dir)
+    emb = _ann_emb(spark, sf_dir)
+    return _memo_trained(
+        ("q0probe8x2", sf_dir), lambda: _qvec_probe(emb, centroids)
+    )
+
+
+def _ann_pq(spark: SparkSession, sf_dir: str):
+    from fortune_500_financial_insights_pipeline_spark.operators.pq import pq_train
+
+    emb = _ann_emb(spark, sf_dir)
+    return _memo_trained(
+        ("pq4x4", sf_dir), lambda: pq_train(emb, m=4, k=4, n_iter=1, dim=64)
+    )
+
+
+def _ann_pq_residual(spark: SparkSession, sf_dir: str):
     from fortune_500_financial_insights_pipeline_spark.operators.pq import (
-        pq_train,
         pq_train_residual,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", "embedding"
-    )
-    centroids = _memo_trained(
-        ("kmeans8x2", sf_dir), lambda: kmeans_centroids(emb, k=8, n_iter=2)
-    )
-    _memo_trained(("q0probe8x2", sf_dir), lambda: _qvec_probe(emb, centroids))
-    _memo_trained(("pq4x4", sf_dir), lambda: pq_train(emb, m=4, k=4, n_iter=1, dim=64))
-    _memo_trained(
+    centroids = _ann_kmeans(spark, sf_dir)
+    emb = _ann_emb(spark, sf_dir)
+    return _memo_trained(
         ("pqres4x4", sf_dir),
         lambda: pq_train_residual(emb, centroids, m=4, k=4, n_iter=1, dim=64),
     )
@@ -267,6 +290,11 @@ MEMO_BUILDS: "list[tuple[str, Callable[[SparkSession, str], object]]]" = [
     ("doc_lsh_candidates", lambda s, d: doc_lsh_candidates(s, d).count()),
     ("bpe_merges_3", lambda s, d: bpe_merges_3(s, d)),
     ("walk_corpus", lambda s, d: walk_corpus(s, d).count()),
-    ("ann_artifacts(kmeans8x2,pq4x4,pqres4x4,q0probe)", _ann_artifacts),
+    # the ANN artifact family, one recorded line per artifact (round 7 —
+    # the combined line read 5.92 s, hiding which artifact cost what)
+    ("ann_kmeans8x2", _ann_kmeans),
+    ("ann_q0probe", _ann_probe),
+    ("ann_pq4x4", _ann_pq),
+    ("ann_pqres4x4", _ann_pq_residual),
     ("doc_suffix_sa(40)", lambda s, d: doc_suffix_sa(s, d).count()),
 ]
