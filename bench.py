@@ -193,6 +193,20 @@ def main() -> None:
     spark.createDataFrame([(1,)], "x long").mapInPandas(
         lambda it: it, schema="x long"
     ).collect()
+    # one tiny higher-order-function plan + lazy checkpoint: first-use
+    # Catalyst analysis of lambda expressions and the first checkpoint
+    # physical-planning pass JIT ~2 s of analyzer paths (measured r7) —
+    # session cost that otherwise lands on the first HOF-heavy build
+    from pyspark.sql import functions as F  # noqa: N812
+
+    spark.createDataFrame([(1, "a b c")], "id long, s string").select(
+        F.array_sort(
+            F.transform(
+                F.split("s", " "),
+                lambda x: F.struct(F.length(x).alias("l"), x.alias("t")),
+            )
+        ).alias("o")
+    ).localCheckpoint(eager=False).count()
     warmup_s = round(time.perf_counter() - t_w, 2)
     # Only memos a BENCH key actually consumes: doc_lsh_candidates
     # (q_lsh_precision), bpe_merges_3 (q_bpe_segment/q_tokenizer_fertility),

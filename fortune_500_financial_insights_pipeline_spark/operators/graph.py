@@ -176,18 +176,23 @@ def connected_components_star(
     small-star(u, over edges oriented high→low): connect every neighbor
     (all ≤ u) and u itself to the minimum. Both preserve connectivity
     and only ever link a node to a smaller node, so the fixpoint is the
-    star rooted at each component's minimum. Convergence is detected by
-    edge-multiset stability (count + sum of a per-edge hash — one cheap
-    aggregate on the frame the round materialized anyway) and CHECKED:
-    raises if ``max_iter`` rounds pass without stabilizing, like the
-    propagation form."""
+    star rooted at each component's minimum. Convergence is detected the
+    round the fixpoint FORMS (round 7 — signature-equality detection
+    needed one extra confirm round): the edge set is the fixpoint star
+    forest iff every parent link is unique (n_edges = countDistinct(u):
+    out-degree 1) and no node sits on both sides (countDistinct(u) +
+    countDistinct(v) = countDistinct over the union: two-level). Both
+    halves only emit child→smaller links, so such a forest is
+    necessarily min-rooted, and both half-steps map it to itself. One
+    stack+aggregate job per round on the frame the round materializes
+    anyway, and CHECKED: raises if ``max_iter`` rounds pass without
+    stabilizing, like the propagation form."""
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
     )
-    prev_sig = None
     converged = False
     rounds = 0
     for _ in range(max_iter):
@@ -226,16 +231,32 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=False)
         )
-        # ---- stability: (n_edges, wraparound hash-sum) — order-invariant
-        sig_row = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("u", "v")).alias("h"),
-        ).head()
-        sig = (sig_row["n"], sig_row["h"])
-        if sig == prev_sig:
+        # ---- fixpoint probe: e is the min-rooted star forest iff
+        # out-degree(u) = 1 for every u (n_edges = d_u over the distinct
+        # edge set) and the u/v sides are disjoint (d_u + d_v = d_all).
+        # Detecting the STATE stops the loop the round the forest forms;
+        # the old signature-equality check needed one more full round to
+        # observe "nothing changed".
+        probe = (
+            e.selectExpr("stack(2, 'u', u, 'v', v) as (side, x)")
+            .agg(
+                F.count(F.when(F.col("side") == "u", 1)).alias("n_edges"),
+                F.count_distinct(
+                    F.when(F.col("side") == "u", F.col("x"))
+                ).alias("d_u"),
+                F.count_distinct(
+                    F.when(F.col("side") == "v", F.col("x"))
+                ).alias("d_v"),
+                F.count_distinct("x").alias("d_all"),
+            )
+            .head()
+        )
+        if (
+            probe["n_edges"] == probe["d_u"]
+            and probe["d_u"] + probe["d_v"] == probe["d_all"]
+        ):
             converged = True
             break
-        prev_sig = sig
     if not converged:
         raise RuntimeError(
             f"connected_components_star did not stabilize in max_iter="

@@ -61,9 +61,19 @@ def _global_dense_rank_counted(
     spark = df.sparkSession
     n_parts = num_partitions or _rank_partitions(spark, n_rows)
     cols = df.columns
-    parts = df.repartitionByRange(n_parts, *key_cols).sortWithinPartitions(
-        *key_cols
-    )
+    if n_parts == 1:
+        # Single-partition inputs (fixture scale): repartitionByRange
+        # would still run the range partitioner's SAMPLING job before the
+        # sort — one extra job per doubling round for bounds that don't
+        # matter when everything lands in one partition anyway. coalesce
+        # is shuffle- and sample-free; the local sort then IS the global
+        # sort, so ranks are identical. Cluster-scale inputs (n_parts > 1)
+        # keep the range path untouched.
+        parts = df.coalesce(1).sortWithinPartitions(*key_cols)
+    else:
+        parts = df.repartitionByRange(n_parts, *key_cols).sortWithinPartitions(
+            *key_cols
+        )
 
     def local_rank(batches):
         import pandas as pd

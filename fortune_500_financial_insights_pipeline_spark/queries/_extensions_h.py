@@ -106,10 +106,17 @@ def q_substring_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") < 40)
         .select("doc_id", "text")
     )
+    # m_bits = 2^18: the cascade state is REAL but sized to the fixture
+    # corpus — ~160 distinct chunk hashes x k=3 set bits gives fill
+    # ~0.2%, so the realized Bloom FP probability per probe is ~1e-8 and
+    # the oracle's flagged == dup replay is exact; 2^20 only made the
+    # stage files and fold unions 4x larger for identical outcomes.
+    m_bits = 1 << 18
     state_dir = tempfile.mkdtemp(prefix="substring_reconcile_state_")
     try:
         fn = boilerplate_batch_fn(
-            "doc_id", "text", state_dir, lambda df, b: df.count(), min_docs=2
+            "doc_id", "text", state_dir, lambda df, b: df.count(),
+            min_docs=2, m_bits=m_bits,
         )
         fn(corpus, 0)
         rep = reconcile_substring_report(
@@ -117,6 +124,7 @@ def q_substring_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             state_dir,
             min_docs=2,
             min_lcp=3,
+            m_bits=m_bits,
             sa=doc_suffix_sa(spark, sf_dir, cap=40),
         )
         rep = rep.localCheckpoint(eager=True)  # state dir gone after return

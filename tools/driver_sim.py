@@ -79,6 +79,23 @@ def main() -> int:
     spark.createDataFrame([(1,)], "x long").mapInPandas(
         lambda it: it, schema="x long"
     ).collect()
+    # ... and one tiny higher-order-function plan with a lazy checkpoint:
+    # the FIRST Catalyst analysis of lambda-bearing expressions plus the
+    # first localCheckpoint physical-planning pass JIT-compiles analyzer
+    # paths worth ~2 s (measured round 7: the doc_jaccard_pairs(3,0.3)
+    # memo line read 6.2 s cold vs 3.9 s with the analyzer warm), which is
+    # session cost, not the first HOF-heavy key's.
+    from pyspark.sql import functions as _F
+
+    warm_df = spark.createDataFrame([(1, "a b c")], "id long, s string")
+    warm_hof = warm_df.select(
+        _F.array_sort(
+            _F.transform(
+                _F.split("s", " "), lambda x: _F.struct(_F.length(x).alias("l"), x.alias("t"))
+            )
+        ).alias("o")
+    ).localCheckpoint(eager=False)
+    warm_hof.count()
     warmup_s = round(time.monotonic() - t_w, 2)
     print(f"[warmup] {warmup_s}s (session JIT/codegen, not attributed to any key)",
           flush=True)
