@@ -96,6 +96,23 @@ def main() -> int:
         ).alias("o")
     ).localCheckpoint(eager=False)
     warm_hof.count()
+    # ... and the prefix-filtered set-similarity plan on a 2-row frame:
+    # its expression classes (posexplode/arrays_zip/slice/ceil +
+    # collect_list struct sorts) are the analyzer/codegen paths the
+    # jaccard memo builds exercise first — JIT-ing them here keeps the
+    # memo lines at marginal cost (measured: 6.1 s cold vs ~3.5 s warm).
+    from fortune_500_financial_insights_pipeline_spark.operators.setjoin import (
+        jaccard_pairs_exact,
+    )
+    from fortune_500_financial_insights_pipeline_spark.operators.text import word_ngrams
+
+    jaccard_pairs_exact(
+        spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b c e")], "doc_id long, text string"
+        ).select("doc_id", word_ngrams(_F.col("text"), 2).alias("grams")),
+        threshold=0.3,
+        return_counts=True,
+    ).count()
     warmup_s = round(time.monotonic() - t_w, 2)
     print(f"[warmup] {warmup_s}s (session JIT/codegen, not attributed to any key)",
           flush=True)
