@@ -156,6 +156,7 @@ _FLAGSHIP_LLM = [
     # walk and the streaming-vs-batch substring-dedup reconcile audit —
     # first in line for a driver hash row while never-verified
     "q_fmp4_frame_index_roundtrip",
+    "q_warc_crawl_extract",
     "q_substring_reconcile",
 ]
 

@@ -1,0 +1,243 @@
+"""Real WARC (ISO 28500) container parsing — the format web-crawl data
+actually ships in (Common Crawl's WARC/WET/WAT files are per-record gzip
+members of this layout). Completes the web-pipeline front door: the
+round-6 trio starts from raw URLs and HTML strings; production corpora
+start one stage earlier, at crawl archives.
+
+Framing (pure public spec): a record is a version line ``WARC/1.0\\r\\n``,
+``Name: value\\r\\n`` header lines, one blank line, exactly
+``Content-Length`` bytes of block, then a ``\\r\\n\\r\\n`` terminator.
+A ``.warc.gz`` is a concatenation of independently-gzipped records (the
+member boundary IS the record boundary, which is what makes the format
+splittable for distributed readers — each worker can start at any member
+boundary). Both forms parse through the one entry point; gzip members
+are walked with stdlib zlib via ``unused_data``.
+
+Corrupt-payload discipline matches the codec family (mp4_index /
+media_codec): every malformed shape raises ValueError — bad magic,
+header without a colon, missing/non-integer Content-Length, a length
+that overruns the payload, a missing record terminator — never an
+IndexError/struct.error/KeyError escaping mid-walk (fuzz-gated by
+tests/test_fuzz_codecs.py).
+
+Spark surface: ``warc_records`` explodes archive blobs into one row per
+record via mapInPandas — map-only, zero shuffle, the same 100 TB shape
+as the other binary decoders (SCALE.md codec rows are its scaling
+evidence).
+
+Reference scope note: /root/reference has no crawl ingestion at all
+(code/airflow/dags/* pulls tabular/JSON market data); this module is
+part of the LLM-training-data extension surface the build brief
+requires.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+
+_CRLF = b"\r\n"
+
+
+def warc_build_record(
+    warc_type: str,
+    payload: bytes,
+    target_uri: str | None = None,
+    record_id: str = "<urn:uuid:00000000-0000-0000-0000-000000000000>",
+    date: str = "2026-01-01T00:00:00Z",
+    content_type: str = "application/octet-stream",
+) -> bytes:
+    """One WARC/1.0 record, spec-framed (version line, headers, blank
+    line, Content-Length bytes, record terminator)."""
+    headers = [
+        ("WARC-Type", warc_type),
+        ("WARC-Record-ID", record_id),
+        ("WARC-Date", date),
+        ("Content-Type", content_type),
+        ("Content-Length", str(len(payload))),
+    ]
+    if target_uri is not None:
+        headers.insert(1, ("WARC-Target-URI", target_uri))
+    head = b"WARC/1.0" + _CRLF + b"".join(
+        f"{k}: {v}".encode() + _CRLF for k, v in headers
+    )
+    return head + _CRLF + payload + _CRLF + _CRLF
+
+
+def http_response_payload(
+    body: bytes, status: int = 200, content_type: str = "text/html"
+) -> bytes:
+    """An HTTP/1.1 response block for a ``response`` record — status
+    line, minimal headers, blank line, body (what a crawler stores)."""
+    reason = {200: "OK", 301: "Moved Permanently", 404: "Not Found"}.get(
+        status, "Status"
+    )
+    return (
+        f"HTTP/1.1 {status} {reason}\r\n"
+        f"Content-Type: {content_type}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+
+
+def warc_build(records: "list[bytes]", gzip_members: bool = False) -> bytes:
+    """Concatenate framed records into an archive; ``gzip_members=True``
+    compresses each record as its own gzip member (the Common Crawl
+    convention — member boundaries = record boundaries, splittable)."""
+    if not gzip_members:
+        return b"".join(records)
+    out = []
+    for rec in records:
+        co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+        out.append(co.compress(rec) + co.flush())
+    return b"".join(out)
+
+
+def _gzip_members(data: bytes) -> Iterator[bytes]:
+    pos = 0
+    while pos < len(data):
+        if data[pos : pos + 2] != b"\x1f\x8b":
+            raise ValueError("corrupt WARC: gzip member without magic")
+        do = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        try:
+            chunk = do.decompress(data[pos:])
+        except zlib.error as exc:
+            raise ValueError(f"corrupt WARC: bad gzip member ({exc})") from exc
+        if not do.eof:
+            raise ValueError("corrupt WARC: truncated gzip member")
+        yield chunk
+        consumed = len(data) - pos - len(do.unused_data)
+        if consumed <= 0:
+            raise ValueError("corrupt WARC: empty gzip member")
+        pos += consumed
+
+
+def _parse_framed(data: bytes) -> "list[dict]":
+    """Walk spec-framed records in an uncompressed buffer."""
+    out: list[dict] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if data[pos : pos + 5] != b"WARC/":
+            raise ValueError("corrupt WARC: record without WARC/ version line")
+        head_end = data.find(_CRLF + _CRLF, pos)
+        if head_end < 0:
+            raise ValueError("corrupt WARC: unterminated header block")
+        head_lines = data[pos:head_end].split(_CRLF)
+        version = head_lines[0].decode("ascii", "replace")
+        if not version.startswith("WARC/1."):
+            raise ValueError(f"corrupt WARC: unsupported version {version!r}")
+        headers: dict[str, str] = {}
+        for line in head_lines[1:]:
+            if b":" not in line:
+                raise ValueError("corrupt WARC: header line without colon")
+            k, v = line.split(b":", 1)
+            headers[k.decode("ascii", "replace").strip().lower()] = (
+                v.decode("utf-8", "replace").strip()
+            )
+        try:
+            length = int(headers["content-length"])
+        except KeyError:
+            raise ValueError("corrupt WARC: record missing Content-Length") from None
+        except ValueError:
+            raise ValueError("corrupt WARC: non-integer Content-Length") from None
+        if length < 0 or length > n:
+            raise ValueError("corrupt WARC: Content-Length exceeds payload")
+        block_start = head_end + 4
+        block_end = block_start + length
+        if block_end + 4 > n:
+            raise ValueError("corrupt WARC: truncated record block")
+        if data[block_end : block_end + 4] != _CRLF + _CRLF:
+            raise ValueError("corrupt WARC: missing record terminator")
+        out.append(
+            {
+                "warc_type": headers.get("warc-type", ""),
+                "target_uri": headers.get("warc-target-uri"),
+                "date": headers.get("warc-date"),
+                "content_type": headers.get("content-type"),
+                "block": data[block_start:block_end],
+            }
+        )
+        pos = block_end + 4
+    return out
+
+
+def http_split(block: bytes) -> "tuple[int | None, bytes]":
+    """(status, body) from an HTTP response block; (None, block) when
+    the block is not HTTP."""
+    if not block.startswith(b"HTTP/"):
+        return None, block
+    sep = block.find(_CRLF + _CRLF)
+    if sep < 0:
+        raise ValueError("corrupt WARC: HTTP block without header terminator")
+    status_line = block[: block.find(_CRLF)].split(b" ")
+    if len(status_line) < 2 or not status_line[1].isdigit():
+        raise ValueError("corrupt WARC: malformed HTTP status line")
+    return int(status_line[1]), block[sep + 4 :]
+
+
+def warc_parse(data: bytes) -> "list[dict]":
+    """All records of a WARC archive (plain or per-record-gzip — detected
+    by magic), each as {warc_type, target_uri, date, content_type,
+    http_status, body}; response records get their HTTP head split off."""
+    if len(data) == 0:
+        raise ValueError("corrupt WARC: empty payload")
+    if data[:2] == b"\x1f\x8b":
+        framed: list[dict] = []
+        for member in _gzip_members(data):
+            framed.extend(_parse_framed(member))
+    else:
+        framed = _parse_framed(data)
+    out = []
+    for rec in framed:
+        status, body = http_split(rec["block"])
+        out.append(
+            {
+                "warc_type": rec["warc_type"],
+                "target_uri": rec["target_uri"],
+                "date": rec["date"],
+                "content_type": rec["content_type"],
+                "http_status": status,
+                "body": body,
+            }
+        )
+    return out
+
+
+def warc_records(
+    archives: DataFrame, id_col: str = "doc_id", payload_col: str = "warc"
+) -> DataFrame:
+    """Explode WARC archive blobs into one row per record — the crawl
+    ingestion data-plane: (id, rec_idx, warc_type, target_uri,
+    content_type, http_status, body). mapInPandas, map-only, zero
+    shuffle; a corrupt archive fails the task closed (ValueError)."""
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "rec_idx": [], "warc_type": [],
+                "target_uri": [], "content_type": [], "http_status": [],
+                "body": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["__warc"]):
+                for i, rec in enumerate(warc_parse(bytes(payload))):
+                    out["doc_id"].append(doc_id)
+                    out["rec_idx"].append(i)
+                    out["warc_type"].append(rec["warc_type"])
+                    out["target_uri"].append(rec["target_uri"])
+                    out["content_type"].append(rec["content_type"])
+                    out["http_status"].append(rec["http_status"])
+                    out["body"].append(rec["body"])
+            yield pd.DataFrame(out)
+
+    return archives.select(
+        archives[id_col].alias("doc_id"), archives[payload_col].alias("__warc")
+    ).mapInPandas(
+        parse,
+        schema="doc_id long, rec_idx int, warc_type string, "
+        "target_uri string, content_type string, http_status int, "
+        "body binary",
+    )

@@ -128,3 +128,46 @@ SELECT CAST(n_chunks AS BIGINT) AS n_chunks,
             ELSE NULL END AS span_coverage
 FROM chunk_stats, pos_stats
 """
+
+# q_warc_crawl_extract: the archive constants (3 records per doc, HTTP
+# 200) plus the q_html_main_extract page-generator replay (15-token
+# chunks, planted entity, >= 30-char keep rule) over doc_id < 30 — the
+# container walk itself has no SQL analogue, so the oracle certifies
+# that whatever came OUT of gzip members -> WARC framing -> HTTP split
+# is byte-for-byte the planted page's main text.
+ORACLES["q_warc_crawl_extract"] = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS l
+  FROM documents WHERE doc_id < 30
+), ch AS (
+  SELECT doc_id, k.k,
+         array_to_string(l[15 * k.k + 1 : 15 * k.k + 15], ' ') AS raw
+  FROM d,
+       LATERAL (SELECT unnest(range(0, CAST(ceil(len(l) / 15.0) AS BIGINT)))
+                AS k) k
+), paras AS (
+  SELECT doc_id, k,
+         trim(regexp_replace(
+           CASE WHEN k = 0 THEN raw || ' A&B' ELSE raw END,
+           '\\s+', ' ', 'g')) AS p
+  FROM ch
+), kept AS (
+  SELECT doc_id, k, p FROM paras WHERE length(p) >= 30
+), agg AS (
+  SELECT doc_id,
+         COUNT(*) AS n_kept,
+         string_agg(p, chr(10) ORDER BY k) AS main
+  FROM kept GROUP BY doc_id
+), blocks AS (
+  SELECT doc_id, COUNT(*) FILTER (WHERE p <> '') AS n_paras FROM paras
+  GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(3 AS INTEGER) AS n_records,
+       CAST(200 AS INTEGER) AS http_status,
+       CAST(b.n_paras + 4 AS INTEGER) AS n_blocks,
+       CAST(COALESCE(a.n_kept, 0) AS INTEGER) AS n_kept,
+       CAST(length(COALESCE(a.main, '')) AS INTEGER) AS main_chars,
+       md5(COALESCE(a.main, '')) AS main_md5
+FROM blocks b LEFT JOIN agg a USING (doc_id)
+"""

@@ -7,7 +7,8 @@ hang, and never a silently-wrong success on a mangled container.
 Round-5 truncation spot checks (test_ops_round5e) sampled a few cuts;
 this fuzzes every truncation offset and deterministic byte flips across
 all six container families, including the MJPEG-in-MP4 path added in
-round 6 and the fragmented-MP4 (moof/traf/trun) walk added in round 7."""
+round 6 and the fragmented-MP4 (moof/traf/trun) and WARC/gzip-member
+walks added in round 7."""
 
 from __future__ import annotations
 
@@ -41,6 +42,12 @@ def _payloads():
         mp4_build_minimal,
         mp4_sample_index,
     )
+    from fortune_500_financial_insights_pipeline_spark.operators.warc import (
+        http_response_payload,
+        warc_build,
+        warc_build_record,
+        warc_parse,
+    )
 
     rnd = np.random.default_rng(11)
     img = rnd.integers(0, 256, size=(8, 12, 3), dtype=np.uint8)
@@ -56,10 +63,15 @@ def _payloads():
         ("mp4", mp4_build_minimal([jpg, jpg], [100, 120]), mp4_sample_index),
         ("fmp4", mp4_build_fragmented([jpg, jpg, jpg], [100, 120, 110],
                                       samples_per_frag=2), mp4_sample_index),
+        ("warc", warc_build([
+            warc_build_record("warcinfo", b"software: t\r\n"),
+            warc_build_record("response", http_response_payload(b"<p>x</p>"),
+                              target_uri="http://e.com/1"),
+        ], gzip_members=True), warc_parse),
     ]
 
 
-@pytest.mark.parametrize("fmt_idx", range(7))
+@pytest.mark.parametrize("fmt_idx", range(8))
 def test_every_truncation_fails_closed(fmt_idx):
     fmt, data, dec = _payloads()[fmt_idx]
     for cut in range(len(data)):
@@ -78,7 +90,7 @@ def test_every_truncation_fails_closed(fmt_idx):
         # the contract is about exception TYPE, not prefix validity.
 
 
-@pytest.mark.parametrize("fmt_idx", range(7))
+@pytest.mark.parametrize("fmt_idx", range(8))
 def test_byte_flips_fail_closed_or_decode(fmt_idx):
     """Single-byte corruption at deterministic stride: decoders may
     reject (ValueError), may hit the codec seam (NotImplementedError),

@@ -1,0 +1,110 @@
+"""Round-7b: WARC (ISO 28500) container parsing — framing, gzip member
+walk, HTTP split, the Spark record explode, and the corrupt-payload
+ValueError discipline (the fuzz gate covers truncation/flips; these pin
+the semantic shapes)."""
+
+from __future__ import annotations
+
+import pytest
+
+from fortune_500_financial_insights_pipeline_spark.operators.warc import (
+    http_response_payload,
+    http_split,
+    warc_build,
+    warc_build_record,
+    warc_parse,
+    warc_records,
+)
+
+HTML = b"<html><body><p>hello crawl world</p></body></html>"
+
+
+def _archive(gz: bool) -> bytes:
+    return warc_build(
+        [
+            warc_build_record(
+                "warcinfo", b"software: synthetic\r\n",
+                content_type="application/warc-fields",
+            ),
+            warc_build_record(
+                "response", http_response_payload(HTML),
+                target_uri="http://example.com/a",
+                content_type="application/http;msgtype=response",
+            ),
+            warc_build_record(
+                "metadata", b"fetchTimeMs: 12\r\n",
+                target_uri="http://example.com/a",
+            ),
+        ],
+        gzip_members=gz,
+    )
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_warc_roundtrip_plain_and_gzip_members(gz):
+    recs = warc_parse(_archive(gz))
+    assert [r["warc_type"] for r in recs] == ["warcinfo", "response", "metadata"]
+    assert recs[1]["http_status"] == 200
+    assert recs[1]["body"] == HTML
+    assert recs[1]["target_uri"] == "http://example.com/a"
+    assert recs[0]["http_status"] is None  # warc-fields block is not HTTP
+    assert recs[0]["body"] == b"software: synthetic\r\n"
+
+
+def test_warc_gzip_members_are_individually_framed():
+    """Each record must be its own gzip member (the splittability
+    property Common Crawl relies on): decompressing the SECOND member
+    alone must yield a full record."""
+    import zlib
+
+    data = _archive(True)
+    do = zlib.decompressobj(16 + zlib.MAX_WBITS)
+    do.decompress(data)
+    second = do.unused_data
+    assert second[:2] == b"\x1f\x8b"  # another member follows
+    recs = warc_parse(second)  # parse from the member boundary
+    assert [r["warc_type"] for r in recs] == ["response", "metadata"]
+
+
+def test_warc_corrupt_shapes_fail_closed():
+    good = _archive(False)
+    bad_cases = [
+        b"",  # empty
+        b"HTTP/1.1 200 OK\r\n\r\n",  # not WARC
+        good.replace(b"Content-Length", b"Content-Lxngth", 1),  # missing length
+        good.replace(b"WARC/1.0", b"WARC/9.9", 1),  # unsupported version
+        good[:-2],  # clipped terminator
+    ]
+    for bad in bad_cases:
+        with pytest.raises(ValueError):
+            warc_parse(bad)
+    # oversized Content-Length must bound-check, not allocate/overrun
+    evil = warc_build_record("response", b"xy")
+    evil = evil.replace(b"Content-Length: 2", b"Content-Length: 99999999")
+    with pytest.raises(ValueError, match="Content-Length|truncated"):
+        warc_parse(evil)
+
+
+def test_http_split_contract():
+    status, body = http_split(http_response_payload(b"abc", status=404))
+    assert (status, body) == (404, b"abc")
+    assert http_split(b"not http") == (None, b"not http")
+    with pytest.raises(ValueError):
+        http_split(b"HTTP/1.1 OK no status here\r\n\r\n")
+    with pytest.raises(ValueError):
+        http_split(b"HTTP/1.1 200 OK\r\nno terminator")
+
+
+def test_warc_records_spark_explode(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(_archive(True))), (2, bytearray(_archive(False)))],
+        "doc_id long, warc binary",
+    )
+    rows = warc_records(df).orderBy("doc_id", "rec_idx").collect()
+    assert len(rows) == 6
+    assert [r["warc_type"] for r in rows[:3]] == [
+        "warcinfo", "response", "metadata",
+    ]
+    resp = [r for r in rows if r["warc_type"] == "response"]
+    assert all(r["http_status"] == 200 for r in resp)
+    assert all(bytes(r["body"]) == HTML for r in resp)
