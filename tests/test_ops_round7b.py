@@ -108,3 +108,70 @@ def test_warc_records_spark_explode(spark):
     resp = [r for r in rows if r["warc_type"] == "response"]
     assert all(r["http_status"] == 200 for r in resp)
     assert all(bytes(r["body"]) == HTML for r in resp)
+
+
+def test_warc_stream_equals_batch(spark, tmp_path):
+    """Streaming ingestion (binaryFile source -> warc_record_stream) must
+    yield exactly the batch parse of the same archives, including across
+    a second micro-batch when a new archive lands."""
+    import glob as globmod
+
+    from pyspark.sql import functions as F
+
+    from fortune_500_financial_insights_pipeline_spark.streaming.warc_ingest import (
+        warc_archive_stream,
+        warc_record_stream,
+        warc_response_stream,
+    )
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+    (src / "a.warc.gz").write_bytes(_archive(True))
+
+    got: list[tuple] = []
+
+    def emit(df, batch_id):
+        for r in df.collect():
+            got.append(
+                (r["warc_type"], r["http_status"],
+                 bytes(r["body"]) if r["body"] is not None else None)
+            )
+
+    stream = warc_archive_stream(spark, str(src))
+    q = (
+        warc_record_stream(stream)
+        .writeStream.foreachBatch(emit)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    (src / "b.warc.gz").write_bytes(_archive(True))
+    q.processAllAvailable()
+    q.stop()
+
+    # batch twin over the same files
+    batch = spark.read.format("binaryFile").load(str(src)).select(
+        F.abs(F.xxhash64("path")).alias("doc_id"),
+        F.col("content").alias("warc"),
+    )
+    from fortune_500_financial_insights_pipeline_spark.operators.warc import warc_records
+
+    want = [
+        (r["warc_type"], r["http_status"],
+         bytes(r["body"]) if r["body"] is not None else None)
+        for r in warc_records(batch).collect()
+    ]
+    assert sorted(got, key=repr) == sorted(want, key=repr)
+    assert len(got) == 6  # 2 archives x 3 records
+    assert len(globmod.glob(str(src / "*.warc.gz"))) == 2
+
+    # the curation-facing projection decodes response bodies to text
+    resp = warc_response_stream(
+        spark.read.format("binaryFile").load(str(src)).select(
+            F.abs(F.xxhash64("path")).alias("doc_id"),
+            F.col("content").alias("warc"),
+        )
+    ).collect()
+    assert len(resp) == 2
+    assert all("hello crawl world" in r["text"] for r in resp)
+    assert all(r["http_status"] == 200 for r in resp)
