@@ -157,6 +157,7 @@ _FLAGSHIP_LLM = [
     # first in line for a driver hash row while never-verified
     "q_fmp4_frame_index_roundtrip",
     "q_warc_crawl_extract",
+    "q_robots_gate",
     "q_substring_reconcile",
 ]
 

@@ -171,3 +171,32 @@ SELECT b.doc_id,
        md5(COALESCE(a.main, '')) AS main_md5
 FROM blocks b LEFT JOIN agg a USING (doc_id)
 """
+
+# q_robots_gate: RFC 9309 longest-match replayed in SQL — odd-k hosts
+# block /path/ except the longer Allow: /path/2 prefix (doc_id text
+# starting with '2'); even-k hosts have no robots.txt (all allowed);
+# the badbot group must not affect the default agent.
+ORACLES["q_robots_gate"] = """
+WITH d AS (
+  SELECT doc_id, doc_id % 7 AS k FROM documents WHERE doc_id < 200
+), urls AS (
+  SELECT doc_id, k, '/path/' || doc_id AS path FROM d
+  UNION ALL
+  SELECT doc_id, k, '/open/' || doc_id AS path FROM d
+), verdicts AS (
+  SELECT k,
+         CASE
+           WHEN k % 2 = 0 THEN TRUE
+           WHEN path LIKE '/path/2%' THEN TRUE
+           WHEN path LIKE '/path/%' THEN FALSE
+           ELSE TRUE
+         END AS allowed
+  FROM urls
+)
+SELECT 'example' || k || '.com' AS host,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(SUM(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+       CAST(SUM(CASE WHEN NOT allowed THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
+FROM verdicts
+GROUP BY k
+"""

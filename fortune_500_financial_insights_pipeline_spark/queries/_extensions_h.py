@@ -228,3 +228,65 @@ def q_warc_crawl_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_blocks", "n_kept", "main_chars", "main_md5",
         )
     )
+
+
+@q("q_robots_gate")
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt evaluation (RFC 9309 longest-match) certified
+    cross-engine — the crawl-POLITENESS gate between URL
+    canonicalization and fetch/retro-filter: per document (doc_id <
+    200, host = example{doc_id mod 7}.com), two URLs (/path/{doc_id}
+    and /open/{doc_id}); ODD-k hosts publish a robots.txt with a
+    badbot total-ban group (which must NOT leak into *), a
+    ``Disallow: /path/`` and the longer ``Allow: /path/2`` for the
+    default agent, and an empty Disallow (matches nothing); even-k
+    hosts publish none. The REAL parser (operators/robots.parse_robots_txt
+    inside the robots_rules dim explode) and the relational gate
+    (broadcast host join + startswith prefix tests + one max_by
+    longest-match-prefer-allow aggregate — no corpus window, no UDF
+    per URL) must therefore block exactly odd-host /path/ URLs whose
+    doc_id does NOT start with digit 2. The oracle replays group
+    selection, prefix semantics and the tie rule in SQL. Output: one
+    row per host with URL/allow/block counts."""
+    from fortune_500_financial_insights_pipeline_spark.operators.robots import (
+        robots_gate,
+        robots_rules,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    k = (F.col("doc_id") % 7).cast("long")
+    urls = d.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.concat(
+                    F.lit("http://example"), k, F.lit(".com/path/"), F.col("doc_id")
+                ),
+                F.concat(
+                    F.lit("http://example"), k, F.lit(".com/open/"), F.col("doc_id")
+                ),
+            )
+        ).alias("url"),
+    )
+    robots_body = (
+        "User-agent: badbot\nDisallow: /\n\n"
+        "User-agent: *\nDisallow: /path/\nAllow: /path/2\nDisallow:\n"
+    )
+    hosts = spark.range(7).select(
+        F.concat(F.lit("example"), F.col("id"), F.lit(".com")).alias("host"),
+        F.lit(robots_body).alias("robots_txt"),
+        F.col("id").alias("k"),
+    ).where(F.col("id") % 2 == 1)
+    rules = robots_rules(hosts.select("host", "robots_txt"))
+    gated = robots_gate(urls, rules)
+    host = F.regexp_extract("url", r"^http://([^/]*)/", 1)
+    return (
+        gated.groupBy(host.alias("host"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.sum(F.when(F.col("allowed"), 1).otherwise(0))
+            .cast("long").alias("n_allowed"),
+            F.sum(F.when(~F.col("allowed"), 1).otherwise(0))
+            .cast("long").alias("n_blocked"),
+        )
+    )

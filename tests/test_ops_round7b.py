@@ -175,3 +175,58 @@ def test_warc_stream_equals_batch(spark, tmp_path):
     assert len(resp) == 2
     assert all("hello crawl world" in r["text"] for r in resp)
     assert all(r["http_status"] == 200 for r in resp)
+
+
+def test_robots_parser_groups_and_scope():
+    """Group selection (badbot rules don't leak into *), empty Disallow
+    matches nothing, comments/unknown directives skipped, wildcard
+    patterns fail closed."""
+    from fortune_500_financial_insights_pipeline_spark.operators.robots import parse_robots_txt
+
+    txt = (
+        "# politeness\n"
+        "User-agent: badbot\nDisallow: /\n\n"
+        "User-agent: *\nUser-agent: trainingbot\n"
+        "Disallow: /path/\nAllow: /path/2\nDisallow:\nCrawl-delay: 10\n"
+    )
+    assert parse_robots_txt(txt) == [("disallow", "/path/"), ("allow", "/path/2")]
+    assert parse_robots_txt(txt, "trainingbot") == [
+        ("disallow", "/path/"), ("allow", "/path/2"),
+    ]
+    assert parse_robots_txt(txt, "badbot") == [("disallow", "/")]
+    with pytest.raises(ValueError, match="wildcard"):
+        parse_robots_txt("User-agent: *\nDisallow: /a/*/b\n")
+    with pytest.raises(ValueError, match="malformed"):
+        parse_robots_txt("User-agent *\n")
+
+
+def test_robots_gate_longest_match_and_tie(spark):
+    """RFC 9309: longest matching prefix wins; at equal length Allow
+    wins; hosts without rules and non-matching paths stay allowed."""
+    from fortune_500_financial_insights_pipeline_spark.operators.robots import (
+        robots_gate,
+        robots_rules,
+    )
+
+    robots = spark.createDataFrame(
+        [(
+            "a.com",
+            "User-agent: *\nDisallow: /x/\nAllow: /x/ok\n"
+            # equal-length tie on /t/1: Allow must win
+            "Allow: /t/1\nDisallow: /t/1\n",
+        )],
+        "host string, robots_txt string",
+    )
+    rules = robots_rules(robots)
+    urls = spark.createDataFrame(
+        [
+            (1, "http://a.com/x/blocked"),
+            (2, "http://a.com/x/ok/deeper"),
+            (3, "http://a.com/t/1"),
+            (4, "http://a.com/elsewhere"),
+            (5, "http://norules.com/x/blocked"),
+        ],
+        "id long, url string",
+    )
+    got = {r["id"]: r["allowed"] for r in robots_gate(urls, rules).collect()}
+    assert got == {1: False, 2: True, 3: True, 4: True, 5: True}
