@@ -158,6 +158,7 @@ _FLAGSHIP_LLM = [
     "q_fmp4_frame_index_roundtrip",
     "q_warc_crawl_extract",
     "q_robots_gate",
+    "q_link_frontier",
     "q_substring_reconcile",
 ]
 

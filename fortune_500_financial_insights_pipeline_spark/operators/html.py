@@ -219,3 +219,74 @@ def html_main_content(
         df[url_col].alias("__url"),
         df[html_col].alias("__html"),
     ).mapInPandas(extract, schema=CONTENT_SCHEMA)
+
+
+class _LinkParser(HTMLParser):
+    """Collect <a href> values in document order, skipping script/style
+    subtrees (attribute values arrive entity-decoded from HTMLParser)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.hrefs: list[str] = []
+        self._skip = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in SKIP_TAGS:
+            self._skip += 1
+            return
+        if tag == "a" and not self._skip:
+            for k, v in attrs:
+                if k == "href" and v:
+                    self.hrefs.append(v)
+
+
+    def handle_endtag(self, tag):
+        if tag in SKIP_TAGS:
+            self._skip = max(0, self._skip - 1)
+
+
+def extract_links(html: str) -> "list[str]":
+    """Driver-free core: hrefs of one page in document order."""
+    p = _LinkParser()
+    p.feed(html)
+    p.close()
+    return p.hrefs
+
+
+LINKS_SCHEMA = "doc_id long, link_idx int, href string, resolved string"
+
+
+def html_links(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    base_col: str = "base_url",
+) -> DataFrame:
+    """One row per anchor: (doc, link_idx, href, resolved) — the crawl
+    loop's FRONTIER-EXPANSION stage: hrefs come out of the real parser
+    and resolve against the page's base URL with full RFC 3986 reference
+    resolution (stdlib urljoin — relative paths, root-relative, dot
+    segments, scheme-relative). Map-only, zero shuffle; feed the output
+    through urltools.canonicalize_url + robots_gate + a seen-set
+    left_anti join to close the loop."""
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from urllib.parse import urljoin
+
+        for pdf in batches:
+            out = {"doc_id": [], "link_idx": [], "href": [], "resolved": []}
+            for doc_id, base, page in zip(
+                pdf["doc_id"], pdf["__base"], pdf["__html"]
+            ):
+                for i, href in enumerate(extract_links(page)):
+                    out["doc_id"].append(doc_id)
+                    out["link_idx"].append(i)
+                    out["href"].append(href)
+                    out["resolved"].append(urljoin(str(base), href))
+            yield pd.DataFrame(out)
+
+    return df.select(
+        df[id_col].alias("doc_id"),
+        df[base_col].alias("__base"),
+        df[html_col].alias("__html"),
+    ).mapInPandas(walk, schema=LINKS_SCHEMA)

@@ -200,3 +200,40 @@ SELECT 'example' || k || '.com' AS host,
 FROM verdicts
 GROUP BY k
 """
+
+# q_link_frontier: the four resolution shapes (root, dot-segment
+# relative, absolute, plain relative) and the canonical rules (tracking
+# strip + byte-sorted params) replayed per link index.
+ORACLES["q_link_frontier"] = """
+WITH d AS (
+  SELECT doc_id, doc_id % 7 AS k FROM documents WHERE doc_id < 200
+), links AS (
+  SELECT doc_id, 0 AS link_idx,
+         '/' AS href,
+         'http://example' || k || '.com/' AS resolved,
+         'http://example' || k || '.com/' AS canon
+  FROM d
+  UNION ALL
+  SELECT doc_id, 1,
+         '../up/' || doc_id,
+         'http://example' || k || '.com/dir/up/' || doc_id,
+         'http://example' || k || '.com/dir/up/' || doc_id
+  FROM d
+  UNION ALL
+  SELECT doc_id, 2,
+         'http://other' || k || '.com/abs/' || doc_id
+           || '?b=2&utm_source=x&a=1',
+         'http://other' || k || '.com/abs/' || doc_id
+           || '?b=2&utm_source=x&a=1',
+         'http://other' || k || '.com/abs/' || doc_id || '?a=1&b=2'
+  FROM d
+  UNION ALL
+  SELECT doc_id, 3,
+         'deep/' || doc_id,
+         'http://example' || k || '.com/dir/sub/deep/' || doc_id,
+         'http://example' || k || '.com/dir/sub/deep/' || doc_id
+  FROM d
+)
+SELECT doc_id, CAST(link_idx AS INTEGER) AS link_idx, href, resolved, canon
+FROM links
+"""

@@ -290,3 +290,60 @@ def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("n_blocked"),
         )
     )
+
+
+@q("q_link_frontier")
+def q_link_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl frontier expansion certified cross-engine — the loop-closing
+    stage after extraction: per document (doc_id < 200, host =
+    example{doc_id mod 7}.com, base page /dir/sub/page{doc_id}.html),
+    a page with four anchors — the nav root '/', a dot-segment relative
+    '../up/{d}', an absolute cross-host link carrying a tracking param
+    ('?b=2&utm_source=x&a=1'), and a plain relative 'deep/{d}' — goes
+    through the REAL parser (operators/html.extract_links inside
+    html_links: script subtrees skipped, entities decoded) and full RFC
+    3986 reference resolution (urljoin: dot segments, root-relative),
+    then urltools.canonicalize_url (tracking strip + param sort). The
+    oracle replays each resolution shape and the canonical rules in SQL:
+    one row per (doc, link) with href/resolved/canon — 800 rows
+    hash-checked. mapInPandas extraction, codegen canonicalization, no
+    shuffle."""
+    import pandas as pd
+
+    from fortune_500_financial_insights_pipeline_spark.operators.html import html_links
+    from fortune_500_financial_insights_pipeline_spark.operators.urltools import (
+        canonicalize_url,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+
+    def build(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "base_url": [], "html": []}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                k = i % 7
+                out["doc_id"].append(i)
+                out["base_url"].append(
+                    f"http://example{k}.com/dir/sub/page{i}.html"
+                )
+                out["html"].append(
+                    "<html><head><script>var a = \"<a href='/no'>\";"
+                    "</script></head><body>"
+                    "<nav><a href='/'>Home</a></nav>"
+                    f"<p><a href='../up/{i}'>up</a> and "
+                    f"<a href='http://other{k}.com/abs/{i}"
+                    "?b=2&amp;utm_source=x&amp;a=1'>abs</a></p>"
+                    f"<aside><a href='deep/{i}'>deep</a></aside>"
+                    "</body></html>"
+                )
+            yield pd.DataFrame(out)
+
+    pages = d.select("doc_id").distinct().mapInPandas(
+        build, schema="doc_id long, base_url string, html string"
+    )
+    links = html_links(pages)
+    return links.select(
+        "doc_id", "link_idx", "href", "resolved",
+        canonicalize_url("resolved").alias("canon"),
+    )

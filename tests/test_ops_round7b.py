@@ -230,3 +230,39 @@ def test_robots_gate_longest_match_and_tie(spark):
     )
     got = {r["id"]: r["allowed"] for r in robots_gate(urls, rules).collect()}
     assert got == {1: False, 2: True, 3: True, 4: True, 5: True}
+
+
+def test_extract_links_skips_script_and_decodes_entities():
+    from fortune_500_financial_insights_pipeline_spark.operators.html import extract_links
+
+    page = (
+        "<html><head><script>var a = \"<a href='/no'>\";</script></head>"
+        "<body><nav><a href='/'>Home</a></nav>"
+        "<p><a href='../up/3'>rel</a> "
+        "<a href='http://x.com/abs?a=1&amp;b=2'>abs</a>"
+        "<a name='anchor-without-href'>n</a></p></body></html>"
+    )
+    assert extract_links(page) == ["/", "../up/3", "http://x.com/abs?a=1&b=2"]
+
+
+def test_html_links_resolution_shapes(spark):
+    """RFC 3986 reference resolution through the real urljoin: root,
+    dot segments, plain relative, absolute, scheme-relative."""
+    from fortune_500_financial_insights_pipeline_spark.operators.html import html_links
+
+    page = (
+        "<p><a href='/'>r</a><a href='../up/x'>u</a><a href='deep/y'>d</a>"
+        "<a href='http://abs.com/z'>a</a><a href='//cdn.com/w'>s</a></p>"
+    )
+    df = spark.createDataFrame(
+        [(1, "http://e.com/dir/sub/page.html", page)],
+        "doc_id long, base_url string, html string",
+    )
+    got = [r["resolved"] for r in html_links(df).orderBy("link_idx").collect()]
+    assert got == [
+        "http://e.com/",
+        "http://e.com/dir/up/x",
+        "http://e.com/dir/sub/deep/y",
+        "http://abs.com/z",
+        "http://cdn.com/w",
+    ]
