@@ -181,7 +181,9 @@ WHERE EXISTS (SELECT 1 FROM orders
 ORACLES["q_join_anti"] = """
 SELECT c_custkey, c_name, c_mktsegment
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= DATE '1995-01-01'
+                  AND o_orderdate < DATE '1996-01-01')
 """
 
 ORACLES["q_union"] = """
@@ -199,7 +201,7 @@ SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
 ORACLES["q_except"] = """
 SELECT c_custkey FROM customer
 EXCEPT
-SELECT o_custkey AS c_custkey FROM orders
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
 """
 
 ORACLES["q_window_rank"] = """

@@ -935,16 +935,14 @@ FROM u ORDER BY fk_edge
 """
 
 ORACLES["q_duplicate_payments"] = """
-SELECT o_custkey, ROUND(o_totalprice, 2) AS amount,
-       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+SELECT o_custkey, CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS amount_k,
        COUNT(*) AS n_orders,
        CAST(MIN(o_orderkey) AS BIGINT) AS first_orderkey,
        CAST(MAX(o_orderkey) AS BIGINT) AS last_orderkey
 FROM orders
-GROUP BY o_custkey, ROUND(o_totalprice, 2),
-         strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')
+GROUP BY o_custkey, CAST(FLOOR(o_totalprice / 1000) AS BIGINT)
 HAVING COUNT(*) >= 2
-ORDER BY o_custkey, amount, order_date
+ORDER BY o_custkey, amount_k
 """
 
 ORACLES["q_seasonality_index"] = f"""

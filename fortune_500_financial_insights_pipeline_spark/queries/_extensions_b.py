@@ -1745,16 +1745,20 @@ def q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("q_duplicate_payments")
 def q_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-payment screen: orders sharing (customer, total, date) —
-    the classic AP audit for double-posted invoices (exact dedup catches
-    byte-identical rows; this catches re-keyed ones). One groupBy on the
-    candidate key, groups of >= 2 reported with their order-id span."""
+    """Duplicate-payment screen: orders sharing (customer, amount
+    bucket) — the classic AP audit for double-posted invoices (exact
+    dedup catches byte-identical rows; this catches re-keyed ones).
+    The candidate key is (custkey, floor(total/1000)): the exact
+    (custkey, total, date) key never collides in the generator's data,
+    so the old shape certified only the empty set (r7 verdict item 3);
+    floor (not round) so Spark and the oracle agree on .5 boundaries.
+    One groupBy on the candidate key, groups of >= 2 reported with
+    their order-id span."""
     o = load_table(spark, sf_dir, "orders")
     return (
         o.groupBy(
             "o_custkey",
-            F.round("o_totalprice", 2).alias("amount"),
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.floor(F.col("o_totalprice") / 1000).cast("long").alias("amount_k"),
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -1762,7 +1766,7 @@ def q_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderkey").alias("last_orderkey"),
         )
         .where(F.col("n_orders") >= 2)
-        .orderBy("o_custkey", "amount", "order_date")
+        .orderBy("o_custkey", "amount_k")
     )
 
 @q("q_seasonality_index")

@@ -343,9 +343,15 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("q_join_anti")
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti (J4): customers with no orders at all."""
+    """Left-anti (J4): customers with no 1995 orders — the date window
+    keeps the result non-empty at every SF (every customer has SOME
+    order in the generator, so the unwindowed anti-join certified only
+    the empty set; r7 verdict item 3)."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name", "c_mktsegment"
     )
@@ -391,8 +397,15 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("q_except")
 def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (U4): customers minus those with a finished ('F') order —
+    the status filter keeps the result non-empty at every SF (customers
+    minus ALL order-holders was the empty set; r7 verdict item 3)."""
     c = load_table(spark, sf_dir, "customer").select("c_custkey")
-    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
     return c.exceptAll(o.distinct()).distinct()
 
 # ---------------------------------------------------------------------------
