@@ -11,20 +11,34 @@ Two halves, both Spark-shaped for the 100 TB case:
   keep ``Allow:``/``Disallow:`` directives. robots.txt files are a
   per-HOST dim (millions of rows at web scale, kilobytes each), so the
   parse is a bounded mapInPandas over the dim, never over the corpus.
+  A host whose robots.txt does not parse is QUARANTINED — one
+  synthetic disallow-all rule with ``quarantined = true`` — instead of
+  failing the job: at web scale one malformed host must not kill the
+  gate for the other millions (fail closed per host, not per job).
 * ``robots_gate``: evaluate every URL against its host's rules with the
-  RFC 9309 longest-match rule — among all rules whose path-prefix
-  matches the URL path, the LONGEST prefix wins; ties prefer Allow; no
-  matching rule (or no rules for the host) means allowed; an empty
-  ``Disallow:`` value matches nothing. Pure relational: URLs join the
-  (broadcastable) rule dim on host, prefix tests are ``startswith``
-  column expressions, and the winner is one max_by aggregate per URL —
-  no UDF in the per-URL path, no window over the corpus.
+  RFC 9309 longest-match rule — among all rules whose pattern matches
+  the URL path, the one with the LONGEST pattern wins; ties prefer
+  Allow; no matching rule (or no rules for the host) means allowed; an
+  empty ``Disallow:`` value matches nothing. Pure relational: URLs join
+  the (broadcastable) rule dim on host; plain-prefix rules (the
+  overwhelming majority in the wild) test with a ``startswith`` column
+  expression, wildcard rules with ``regexp_like`` against their
+  pre-translated anchored regex (compiled once per rule dim row, not
+  per URL, on the tiny wildcard subset); the winner is one max_by
+  aggregate per URL — no UDF in the per-URL path, no window over the
+  corpus.
 
-Scope: exact-prefix rules (the overwhelming majority in the wild);
-``*``/``$`` wildcard patterns are intentionally out of scope and raise
-ValueError at parse time rather than silently mis-evaluating — the
-fail-closed discipline of the codec family. Agent-group selection keeps
-the matched-agent rows the caller asks for (default ``*``).
+Wildcard semantics (RFC 9309 §2.2.3): ``*`` matches any character
+sequence (including empty); a trailing ``$`` anchors the end of the
+path; a non-trailing ``$`` is a literal octet. Match priority is the
+raw pattern length (the RFC's "most specific = longest" rule applied
+to patterns, as in Google's reference matcher).
+
+Agent-group selection (RFC 9309 §2.2.1): rules are taken from the
+groups that explicitly name the requested agent; only when NO group
+names it do the ``*`` groups apply. Unknown directives (Crawl-delay,
+Sitemap, …) are ignored WITHOUT interrupting a group — a Sitemap line
+between two ``User-agent:`` lines does not split the header.
 
 Reference scope note: /root/reference has no crawl ingestion; this
 module is part of the LLM-training-data extension surface.
@@ -32,19 +46,46 @@ module is part of the LLM-training-data extension surface.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+RULES_SCHEMA = (
+    "host string, rule_type string, path_prefix string, "
+    "pattern_re string, quarantined boolean"
+)
+
+
+def pattern_regex(pattern: str) -> "str | None":
+    """Anchored Java-compatible regex for a robots path pattern, or
+    None when the pattern is a plain prefix (the ``startswith`` fast
+    path needs no regex). ``*`` → ``.*``; a trailing ``$`` becomes an
+    end anchor; every other octet is matched literally."""
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    if "*" not in body and not anchored:
+        return None
+    parts = [re.escape(seg) for seg in body.split("*")]
+    return "^" + ".*".join(parts) + ("$" if anchored else "")
+
 
 def parse_robots_txt(text: str, agent: str = "*") -> "list[tuple[str, str]]":
-    """(rule_type, path_prefix) rows for the given agent group of ONE
-    robots.txt body. Pure function (driver- or worker-side). Groups:
-    consecutive ``User-agent:`` lines open a group; the group's
-    directives apply to every listed agent. Unknown directives
-    (Crawl-delay, Sitemap, comments, blanks) are skipped. Wildcard
-    patterns raise ValueError (documented scope)."""
-    rules: list[tuple[str, str]] = []
+    """(rule_type, path_pattern) rows for the given agent of ONE
+    robots.txt body. Pure function (driver- or worker-side).
+
+    Two passes: first group every ``Allow``/``Disallow`` under the
+    agents of its ``User-agent:`` header block (consecutive User-agent
+    lines share a group; unknown directives neither close nor split a
+    header — RFC 9309 says other records must not interfere with group
+    parsing); then select the union of groups explicitly naming
+    ``agent``, falling back to the ``*`` groups only when none does
+    (§2.2.1). Empty values match nothing and are dropped. Malformed
+    lines raise ValueError — ``robots_rules`` turns that into a
+    per-host quarantine rather than a job failure."""
+    groups: list[tuple[list[str], list[tuple[str, str]]]] = []
     current_agents: list[str] = []
+    current_rules: list[tuple[str, str]] = []
     in_group_header = True
     for raw_line in text.splitlines():
         line = raw_line.split("#", 1)[0].strip()
@@ -57,22 +98,32 @@ def parse_robots_txt(text: str, agent: str = "*") -> "list[tuple[str, str]]":
         value = value.strip()
         if key == "user-agent":
             if not in_group_header:
-                current_agents = []
+                groups.append((current_agents, current_rules))
+                current_agents, current_rules = [], []
                 in_group_header = True
             current_agents.append(value.lower())
         elif key in ("allow", "disallow"):
             in_group_header = False
-            if "*" in value or value.endswith("$"):
-                raise ValueError(
-                    f"wildcard robots patterns out of scope: {value!r}"
-                )
-            if agent.lower() in current_agents:
-                # empty Disallow matches nothing (explicit allow-all)
-                if value:
-                    rules.append((key, value))
-        else:
-            in_group_header = False
-    return rules
+            if value:  # empty Disallow matches nothing (explicit allow-all)
+                # reject patterns regex translation can't round-trip:
+                # control octets would change meaning silently
+                if any(ord(ch) < 0x20 for ch in value):
+                    raise ValueError(f"control octet in robots pattern: {value!r}")
+                current_rules.append((key, value))
+        # any other record type (Crawl-delay, Sitemap, …): ignored and
+        # MUST NOT interfere with group parsing (RFC 9309 §2.2.4)
+    groups.append((current_agents, current_rules))
+
+    wanted = agent.lower()
+    named = [rules for agents, rules in groups if wanted in agents]
+    if named:
+        return [r for rules in named for r in rules]
+    return [
+        r
+        for agents, rules in groups
+        if "*" in agents
+        for r in rules
+    ]
 
 
 def robots_rules(
@@ -82,28 +133,47 @@ def robots_rules(
     agent: str = "*",
 ) -> DataFrame:
     """Explode per-host robots.txt bodies into the rule dim:
-    (host, rule_type, path_prefix, prefix_len). mapInPandas over the
-    HOST dim (bounded), broadcastable downstream."""
+    (host, rule_type, path_prefix, pattern_re, quarantined,
+    prefix_len). mapInPandas over the HOST dim (bounded),
+    broadcastable downstream. ``pattern_re`` is non-null only for
+    wildcard patterns (pre-translated anchored regex); ``prefix_len``
+    is the raw pattern length — the RFC longest-match priority. A host
+    whose body fails to parse is quarantined: ONE synthetic
+    disallow-all row flagged ``quarantined = true`` (fail closed per
+    host; the flag is a countable audit column, see ``robots_gate``)."""
 
     def parse(batches):
         import pandas as pd
 
         for pdf in batches:
-            out = {"host": [], "rule_type": [], "path_prefix": []}
+            out: dict[str, list] = {
+                "host": [], "rule_type": [], "path_prefix": [],
+                "pattern_re": [], "quarantined": [],
+            }
             for host, text in zip(pdf["host"], pdf["__txt"]):
-                for rule_type, prefix in parse_robots_txt(str(text), agent):
+                try:
+                    rules = parse_robots_txt(str(text), agent)
+                except ValueError:
+                    # fail closed for THIS host only: disallow-all
+                    out["host"].append(host)
+                    out["rule_type"].append("disallow")
+                    out["path_prefix"].append("/")
+                    out["pattern_re"].append(None)
+                    out["quarantined"].append(True)
+                    continue
+                for rule_type, pat in rules:
                     out["host"].append(host)
                     out["rule_type"].append(rule_type)
-                    out["path_prefix"].append(prefix)
+                    out["path_prefix"].append(pat)
+                    out["pattern_re"].append(pattern_regex(pat))
+                    out["quarantined"].append(False)
             yield pd.DataFrame(out)
 
     return (
         robots.select(
             robots[host_col].alias("host"), robots[text_col].alias("__txt")
         )
-        .mapInPandas(
-            parse, schema="host string, rule_type string, path_prefix string"
-        )
+        .mapInPandas(parse, schema=RULES_SCHEMA)
         .withColumn("prefix_len", F.length("path_prefix"))
     )
 
@@ -113,14 +183,18 @@ def robots_gate(
     rules: DataFrame,
     url_col: str = "url",
 ) -> DataFrame:
-    """Append ``allowed`` (boolean) to a URL frame by RFC 9309
-    longest-match against the rule dim: left-join on host (hosts without
-    rules stay allowed), keep matching-prefix rules, pick the winner
-    with ONE max_by aggregate ordered by (prefix_len, is_allow) — the
-    tie at equal length prefers Allow per the RFC. The rule dim is tiny
-    relative to the corpus: broadcast join, no corpus shuffle beyond the
-    per-URL aggregate. Exact-duplicate URL rows collapse through the
-    aggregate — the normal crawl-frontier shape is distinct URLs."""
+    """Append ``allowed`` (boolean) and ``quarantined_host`` (boolean
+    audit: the verdict came from a quarantined host's synthetic
+    disallow-all) to a URL frame by RFC 9309 longest-match against the
+    rule dim: left-join on host (hosts without rules stay allowed),
+    keep matching rules — ``startswith`` for plain prefixes,
+    ``regexp_like`` against the pre-translated regex for wildcard
+    patterns — and pick the winner with ONE max_by aggregate ordered by
+    (prefix_len, is_allow); the tie at equal pattern length prefers
+    Allow per the RFC. The rule dim is tiny relative to the corpus:
+    broadcast join, no corpus shuffle beyond the per-URL aggregate.
+    Exact-duplicate URL rows collapse through the aggregate — the
+    normal crawl-frontier shape is distinct URLs."""
     c = F.col(url_col)
     path = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
@@ -134,9 +208,12 @@ def robots_gate(
         "__host",
         "left",
     )
+    hit = F.when(
+        F.col("pattern_re").isNotNull(),
+        F.regexp_like(F.col("__path"), F.col("pattern_re")),
+    ).otherwise(F.col("__path").startswith(F.col("path_prefix")))
     matches = F.when(
-        F.col("path_prefix").isNotNull()
-        & F.col("__path").startswith(F.col("path_prefix")),
+        F.col("path_prefix").isNotNull() & hit,
         F.struct(
             F.col("prefix_len").alias("l"),
             # Allow outranks Disallow at equal length: encode as the
@@ -150,12 +227,20 @@ def robots_gate(
             F.max_by(
                 F.when(matches.isNotNull(), F.col("rule_type")),
                 matches,
-            ).alias("__winner")
+            ).alias("__winner"),
+            F.max(
+                F.when(
+                    matches.isNotNull(), F.coalesce("quarantined", F.lit(False))
+                )
+            ).alias("__quar"),
         )
         .withColumn(
             "allowed",
             F.coalesce(F.col("__winner") != "disallow", F.lit(True)),
         )
-        .drop("__winner", "__host", "__path")
+        .withColumn(
+            "quarantined_host", F.coalesce(F.col("__quar"), F.lit(False))
+        )
+        .drop("__winner", "__quar", "__host", "__path")
     )
     return verdict

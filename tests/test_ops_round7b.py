@@ -180,7 +180,7 @@ def test_warc_stream_equals_batch(spark, tmp_path):
 def test_robots_parser_groups_and_scope():
     """Group selection (badbot rules don't leak into *), empty Disallow
     matches nothing, comments/unknown directives skipped, wildcard
-    patterns fail closed."""
+    patterns kept verbatim for regex translation."""
     from fortune_500_financial_insights_pipeline_spark.operators.robots import parse_robots_txt
 
     txt = (
@@ -194,10 +194,142 @@ def test_robots_parser_groups_and_scope():
         ("disallow", "/path/"), ("allow", "/path/2"),
     ]
     assert parse_robots_txt(txt, "badbot") == [("disallow", "/")]
-    with pytest.raises(ValueError, match="wildcard"):
-        parse_robots_txt("User-agent: *\nDisallow: /a/*/b\n")
+    # wildcard patterns are in scope since round 8 (RFC 9309 §2.2.3)
+    assert parse_robots_txt("User-agent: *\nDisallow: /a/*/b\n") == [
+        ("disallow", "/a/*/b"),
+    ]
     with pytest.raises(ValueError, match="malformed"):
         parse_robots_txt("User-agent *\n")
+
+
+def test_robots_parser_star_fallback_and_group_integrity():
+    """RFC 9309 §2.2.1: a named agent with no matching group falls back
+    to the '*' group (was ADVICE r7 medium: the gate silently failed
+    OPEN for named crawlers); §2.2.4: a non-group record between two
+    User-agent lines must not split the header (was ADVICE r7 low)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.robots import parse_robots_txt
+
+    star_only = "User-agent: *\nDisallow: /private/\n"
+    assert parse_robots_txt(star_only, "trainingbot") == [
+        ("disallow", "/private/"),
+    ]
+    # named group exists -> '*' group must NOT be unioned in
+    both = (
+        "User-agent: trainingbot\nDisallow: /tb/\n\n"
+        "User-agent: *\nDisallow: /private/\n"
+    )
+    assert parse_robots_txt(both, "trainingbot") == [("disallow", "/tb/")]
+    assert parse_robots_txt(both) == [("disallow", "/private/")]
+    # Sitemap between two User-agent lines: one header, both agents
+    # share the rules (a Disallow-then-User-agent DOES open a new group)
+    split = (
+        "User-agent: a\nSitemap: http://x.com/s.xml\nUser-agent: b\n"
+        "Disallow: /\n"
+    )
+    assert parse_robots_txt(split, "a") == [("disallow", "/")]
+    assert parse_robots_txt(split, "b") == [("disallow", "/")]
+    # multiple groups naming the same agent: rules union (RFC: groups
+    # targeting the same agent are combined)
+    multi = (
+        "User-agent: a\nDisallow: /one/\n\n"
+        "User-agent: a\nDisallow: /two/\n"
+    )
+    assert parse_robots_txt(multi, "a") == [
+        ("disallow", "/one/"), ("disallow", "/two/"),
+    ]
+
+
+def test_robots_pattern_regex_translation():
+    from fortune_500_financial_insights_pipeline_spark.operators.robots import pattern_regex
+
+    assert pattern_regex("/plain/prefix") is None  # startswith fast path
+    assert pattern_regex("/a/*/b") == "^/a/.*/b"
+    assert pattern_regex("/x$") == "^/x$"
+    assert pattern_regex("/*.gif$") == r"^/.*\.gif$"
+    # '$' not at the end is a literal octet
+    assert pattern_regex("/pa$th*") == r"^/pa\$th.*"
+
+
+def test_robots_gate_wildcards(spark):
+    """'*' and '$' rules evaluate through the pre-translated regex
+    column; priority stays raw-pattern length (longest wins)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.robots import (
+        robots_gate,
+        robots_rules,
+    )
+
+    robots = spark.createDataFrame(
+        [(
+            "a.com",
+            # block any URL with a query string, any .gif, and exactly
+            # /cart; a longer wildcard Allow re-opens /search?safe=
+            "User-agent: *\nDisallow: /*?\nAllow: /search?safe=*\n"
+            "Disallow: /*.gif$\nDisallow: /cart$\n",
+        )],
+        "host string, robots_txt string",
+    )
+    rules = robots_rules(robots)
+    urls = spark.createDataFrame(
+        [
+            (1, "http://a.com/page?x=1"),        # /*? -> blocked
+            (2, "http://a.com/search?safe=on"),  # longer Allow wins
+            (3, "http://a.com/img/pic.gif"),     # $-anchored -> blocked
+            (4, "http://a.com/img/pic.gif2"),    # not at end -> allowed
+            (5, "http://a.com/cart"),            # exact $ -> blocked
+            (6, "http://a.com/cart/extra"),      # $ means no prefix match
+            (7, "http://a.com/plain"),           # nothing matches
+        ],
+        "id long, url string",
+    )
+    got = {r["id"]: r["allowed"] for r in robots_gate(urls, rules).collect()}
+    assert got == {
+        1: False, 2: True, 3: False, 4: True, 5: False, 6: True, 7: True,
+    }
+
+
+def test_robots_rules_quarantines_malformed_host(spark):
+    """A host whose robots.txt fails to parse becomes ONE synthetic
+    disallow-all rule flagged quarantined=true (fail closed per host,
+    never job-fatal — r7 verdict item 2); healthy hosts are untouched
+    and the gate surfaces the audit column."""
+    from fortune_500_financial_insights_pipeline_spark.operators.robots import (
+        robots_gate,
+        robots_rules,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            ("good.com", "User-agent: *\nDisallow: /x/\n"),
+            ("bad.com", "User-agent *\nthis line has no colon either\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    rules = robots_rules(robots)
+    rows = {(r["host"], r["rule_type"], r["path_prefix"]): r["quarantined"]
+            for r in rules.collect()}
+    assert rows == {
+        ("good.com", "disallow", "/x/"): False,
+        ("bad.com", "disallow", "/"): True,
+    }
+    urls = spark.createDataFrame(
+        [
+            (1, "http://good.com/x/deep"),
+            (2, "http://good.com/ok"),
+            (3, "http://bad.com/anything"),
+            (4, "http://norules.com/ok"),
+        ],
+        "id long, url string",
+    )
+    got = {
+        r["id"]: (r["allowed"], r["quarantined_host"])
+        for r in robots_gate(urls, rules).collect()
+    }
+    assert got == {
+        1: (False, False),
+        2: (True, False),
+        3: (False, True),
+        4: (True, False),
+    }
 
 
 def test_robots_gate_longest_match_and_tie(spark):
