@@ -241,6 +241,7 @@ def _fragment_samples(
         if btype != b"moof":
             continue
         moof_start = ms - 8
+        prev_traf_end: int | None = None  # end of previous traf's data
         for ttype, ts_, te_ in _walk(data, ms, me):
             if ttype != b"traf":
                 continue
@@ -249,7 +250,15 @@ def _fragment_samples(
                 raise ValueError("corrupt MP4: traf missing tfhd")
             tf_flags = int.from_bytes(data[tfhd[0] + 1 : tfhd[0] + 4], "big")
             p = tfhd[0] + 8  # ver/flags + track_ID
-            base = moof_start  # default-base-is-moof and the spec default
+            # base data offset (ISO/IEC 14496-12 §8.8.7): explicit u64 if
+            # 0x01; moof start if default-base-is-moof (0x20000); else the
+            # spec default — moof start for the FIRST traf, the END of the
+            # previous traf's data for subsequent ones (ADVICE r7: using
+            # moof start unconditionally mis-indexes multi-traf files)
+            if tf_flags & 0x20000 or prev_traf_end is None:
+                base = moof_start
+            else:
+                base = prev_traf_end
             if tf_flags & 0x01:  # base-data-offset-present (u64)
                 (base,) = _unpack(">Q", data, p, p + 8)
                 p += 8
@@ -270,6 +279,7 @@ def _fragment_samples(
                 else:
                     (running_dts,) = _unpack(">I", data, tfdt[0] + 4, tfdt[0] + 8)
             next_pos: int | None = None  # continues across truns sans offset
+            traf_end: int | None = None  # max data end across this traf's truns
             for rtype, rs, re_ in _walk(data, ts_, te_):
                 if rtype != b"trun":
                     continue
@@ -309,6 +319,9 @@ def _fragment_samples(
                     running_dts += dur
                     idx += 1
                 next_pos = pos
+                traf_end = pos if traf_end is None else max(traf_end, pos)
+            if traf_end is not None:
+                prev_traf_end = traf_end
     return out
 
 

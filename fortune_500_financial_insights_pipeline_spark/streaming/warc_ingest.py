@@ -69,10 +69,14 @@ def warc_record_stream(archives: DataFrame) -> DataFrame:
 def warc_response_stream(archives: DataFrame) -> DataFrame:
     """Response records only, HTTP body decoded to text — the shape
     streaming_curate consumes (doc_id keyed on archive×record so
-    multi-record archives stay distinct documents)."""
+    multi-record archives stay distinct documents). The record id is a
+    HASH COMBINE of the archive id and record index — arithmetic like
+    ``doc_id * 1000 + rec_idx`` overflows bigint for xxhash64-sized
+    archive ids (silent wraparound to negatives under non-ANSI,
+    ArithmeticException under ANSI; ADVICE r7)."""
     recs = warc_records(archives, id_col="doc_id", payload_col="warc")
     return recs.where(F.col("warc_type") == "response").select(
-        (F.col("doc_id") * 1000 + F.col("rec_idx")).alias("doc_id"),
+        F.abs(F.xxhash64("doc_id", "rec_idx")).alias("doc_id"),
         F.col("target_uri"),
         F.col("http_status"),
         F.decode("body", "UTF-8").alias("text"),

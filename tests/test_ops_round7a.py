@@ -206,3 +206,55 @@ def test_sample_video_frames_reads_fragmented_containers(spark):
     )
     rows = sample_video_frames(df, every_n=2).collect()
     assert [r["frame_idx"] for r in rows] == [0, 2, 4]
+
+
+def test_fmp4_multi_traf_default_base_is_previous_traf_end():
+    """ISO/IEC 14496-12 §8.8.7: when tfhd has neither base-data-offset
+    (0x01) nor default-base-is-moof (0x20000), the base for the FIRST
+    traf is the moof start but for SUBSEQUENT trafs it is the END of the
+    previous traf's data — using moof start unconditionally mis-indexes
+    multi-traf files (ADVICE r8)."""
+    import struct
+
+    from fortune_500_financial_insights_pipeline_spark.operators.mp4_index import (
+        _box,
+        _full,
+        mp4_build_fragmented,
+        mp4_sample_index,
+    )
+
+    base = mp4_build_fragmented([b"\x01" * 20, b"\x02" * 20], [100, 100])
+    head = base[: base.index(b"moof") - 4]  # ftyp + moov (empty stbl+trex)
+
+    mfhd = _full(b"mfhd", struct.pack(">I", 1))
+    # traf1: default-base-is-moof, tfhd default dur/size, trun carries
+    # only the data offset (patched after the probe pass)
+    tfhd1 = _full(
+        b"tfhd", struct.pack(">III", 1, 100, 20), flags=0x20000 | 0x08 | 0x10
+    )
+    tfdt1 = _full(b"tfdt", struct.pack(">I", 0), version=0)
+    # traf2: NEITHER 0x01 nor 0x20000 -> base must default to the end of
+    # traf1's data; its trun has NO data offset either
+    tfhd2 = _full(b"tfhd", struct.pack(">III", 1, 100, 20), flags=0x08 | 0x10)
+    tfdt2 = _full(b"tfdt", struct.pack(">I", 100), version=0)
+    trun2 = _full(b"trun", struct.pack(">I", 1), flags=0)
+
+    def build(doff: int) -> bytes:
+        trun1 = _full(b"trun", struct.pack(">Ii", 1, doff), flags=0x01)
+        traf1 = _box(b"traf", tfhd1 + tfdt1 + trun1)
+        traf2 = _box(b"traf", tfhd2 + tfdt2 + trun2)
+        return _box(b"moof", mfhd + traf1 + traf2)
+
+    moof_len = len(build(0))
+    moof = build(moof_len + 8)  # sample 1 starts at mdat payload
+    mdat = _box(b"mdat", b"\x01" * 20 + b"\x02" * 20)
+    data = head + moof + mdat
+
+    idx = mp4_sample_index(data)
+    assert [(i, ts, sz) for i, ts, _off, sz in idx] == [
+        (0, 0.0, 20), (1, 0.1, 20),
+    ]
+    offs = [off for _i, _ts, off, _sz in idx]
+    assert offs[1] == offs[0] + 20  # traf2 base = end of traf1 data
+    assert data[offs[0] : offs[0] + 20] == b"\x01" * 20
+    assert data[offs[1] : offs[1] + 20] == b"\x02" * 20
