@@ -1,0 +1,168 @@
+"""Round-8 operator tests: splittable (member-offset) WARC ingestion
+and its parity with the whole-file batch and streaming readers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _fixture_archives(tmp_path, n_archives=3, recs_per=4, skew_factor=1):
+    """Write .warc.gz fixtures: archive i holds recs_per gzip members
+    (one response record each); archive 0 optionally skewed to
+    skew_factor * recs_per members."""
+    from fortune_500_financial_insights_pipeline_spark.operators.warc import (
+        http_response_payload,
+        warc_build,
+        warc_build_record,
+    )
+
+    src = tmp_path / "warc"
+    src.mkdir()
+    for a in range(n_archives):
+        n = recs_per * (skew_factor if a == 0 else 1)
+        recs = [
+            warc_build_record(
+                "response",
+                http_response_payload(
+                    f"<html><body>doc {a}-{i} hello crawl</body></html>".encode()
+                ),
+                target_uri=f"http://example{a}.com/p/{i}",
+            )
+            for i in range(n)
+        ]
+        (src / f"arch{a}.warc.gz").write_bytes(warc_build(recs, gzip_members=True))
+    return src
+
+
+def test_gzip_member_spans_stream_o_chunk(tmp_path):
+    """iter_gzip_member_spans finds every member boundary with a tiny
+    read chunk (forcing multi-chunk members) and the spans tile the
+    file exactly."""
+    from fortune_500_financial_insights_pipeline_spark.operators.warc import (
+        iter_gzip_member_spans,
+        warc_build,
+        warc_build_record,
+    )
+
+    recs = [
+        warc_build_record("response", b"x" * (5000 + 997 * i))
+        for i in range(7)
+    ]
+    blob = warc_build(recs, gzip_members=True)
+    f = tmp_path / "a.warc.gz"
+    f.write_bytes(blob)
+    with open(f, "rb") as fh:
+        spans = list(iter_gzip_member_spans(fh.read, chunk_size=512))
+    assert len(spans) == 7
+    assert spans[0][0] == 0
+    assert spans[-1][1] == len(blob)
+    for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
+        assert e1 == s2  # spans tile with no gaps/overlap
+    # truncated member fails closed
+    g = tmp_path / "trunc.warc.gz"
+    g.write_bytes(blob[: len(blob) - 10])
+    with open(g, "rb") as fh:
+        with pytest.raises(ValueError, match="truncated|bad gzip"):
+            list(iter_gzip_member_spans(fh.read, chunk_size=512))
+
+
+def test_warc_split_equals_whole_file_batch(spark, tmp_path):
+    """The offset-split reader must produce exactly the records the
+    whole-content (binaryFile + warc_records) path produces — same
+    doc_id keying, same bodies — while never holding an archive in one
+    row."""
+    from fortune_500_financial_insights_pipeline_spark.operators.warc import (
+        warc_records,
+        warc_records_split,
+    )
+
+    src = _fixture_archives(tmp_path, n_archives=3, recs_per=4)
+    whole = warc_records(
+        spark.read.format("binaryFile").load(str(src)).select(
+            F.abs(F.xxhash64("path")).alias("doc_id"),
+            F.col("content").alias("warc"),
+        )
+    ).select("doc_id", "rec_idx", "warc_type", "target_uri", "http_status", "body")
+    split = warc_records_split(spark, str(src)).select(
+        "doc_id",
+        F.col("member_idx").alias("rec_idx"),
+        "warc_type", "target_uri", "http_status", "body",
+    )
+    w = {tuple(r) for r in whole.collect()}
+    s = {tuple(r) for r in split.collect()}
+    assert len(w) == 12
+    assert w == s
+
+
+def test_warc_split_fans_out_skewed_archive(spark, tmp_path):
+    """A skewed mix (one big + several small archives) must fan the big
+    archive's members across multiple buckets — per-member parallelism,
+    the r7 whole-row reader's missing property."""
+    from fortune_500_financial_insights_pipeline_spark.operators.warc import (
+        warc_member_index,
+        warc_records_split,
+    )
+
+    src = _fixture_archives(tmp_path, n_archives=4, recs_per=3, skew_factor=40)
+    files = (
+        spark.read.format("binaryFile").load(str(src)).select("path")
+    )
+    idx = warc_member_index(files)
+    # pick a target that puts ~a few members per bucket for the big file
+    big = (
+        idx.groupBy("path")
+        .agg(F.max("end").alias("sz"), F.count("*").alias("n"))
+        .orderBy(F.desc("sz"))
+        .collect()
+    )
+    assert big[0]["n"] == 120  # 40 * 3 members in the skewed archive
+    target = int(big[0]["sz"]) // 8
+    recs = warc_records_split(spark, str(src), target_split_bytes=target)
+    n_buckets = (
+        warc_member_index(files)
+        .withColumn("bucket", F.floor(F.col("start") / F.lit(target)))
+        .where(F.col("path") == big[0]["path"])
+        .select("bucket")
+        .distinct()
+        .count()
+    )
+    assert n_buckets >= 8  # the big archive splits into >= 8 range units
+    assert recs.count() == 120 + 3 * 3
+
+
+def test_warc_split_equals_stream(spark, tmp_path):
+    """Stream (whole-file rows, the streaming source's granularity) and
+    the split batch reader agree record-for-record under the same
+    doc_id keying."""
+    from fortune_500_financial_insights_pipeline_spark.operators.warc import (
+        warc_records_split,
+    )
+    from fortune_500_financial_insights_pipeline_spark.streaming.warc_ingest import (
+        warc_archive_stream,
+        warc_record_stream,
+    )
+
+    src = _fixture_archives(tmp_path, n_archives=2, recs_per=5)
+    stream = warc_record_stream(warc_archive_stream(spark, str(src)))
+    out = (
+        stream.writeStream.format("memory")
+        .queryName("warc_split_parity")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    out.awaitTermination(120)
+    got_stream = {
+        (r["doc_id"], r["rec_idx"], r["warc_type"], r["target_uri"], bytes(r["body"]))
+        for r in spark.sql("SELECT * FROM warc_split_parity").collect()
+    }
+    got_split = {
+        (
+            r["doc_id"], r["member_idx"], r["warc_type"], r["target_uri"],
+            bytes(r["body"]),
+        )
+        for r in warc_records_split(spark, str(src)).collect()
+    }
+    assert len(got_split) == 10
+    assert got_stream == got_split
