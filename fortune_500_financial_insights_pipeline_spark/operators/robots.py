@@ -184,17 +184,21 @@ def robots_gate(
     url_col: str = "url",
 ) -> DataFrame:
     """Append ``allowed`` (boolean) and ``quarantined_host`` (boolean
-    audit: the verdict came from a quarantined host's synthetic
+    audit: the verdict involved a quarantined host's synthetic
     disallow-all) to a URL frame by RFC 9309 longest-match against the
-    rule dim: left-join on host (hosts without rules stay allowed),
-    keep matching rules — ``startswith`` for plain prefixes,
-    ``regexp_like`` against the pre-translated regex for wildcard
-    patterns — and pick the winner with ONE max_by aggregate ordered by
-    (prefix_len, is_allow); the tie at equal pattern length prefers
-    Allow per the RFC. The rule dim is tiny relative to the corpus:
-    broadcast join, no corpus shuffle beyond the per-URL aggregate.
-    Exact-duplicate URL rows collapse through the aggregate — the
-    normal crawl-frontier shape is distinct URLs."""
+    rule dim — MAP-ONLY over the corpus: the per-host rules collapse
+    into one array row on the (tiny) dim side, that dim broadcasts,
+    and the winner is picked per URL row with array expressions —
+    ``filter`` keeps matching rules (``startswith`` for plain
+    prefixes, ``regexp_like`` against the pre-translated regex for
+    wildcard patterns), ``aggregate`` folds them to the max
+    (pattern_len, is_allow) rule; the tie at equal pattern length
+    prefers Allow per the RFC. Hosts without rules (join miss) and
+    URLs matching no rule stay allowed. ZERO corpus shuffle — the r7
+    version's per-URL max_by aggregate hash-partitioned the whole URL
+    frame (with every carried column, e.g. page HTML in the composed
+    crawl pipeline); the only shuffle left is the per-host collect on
+    the rule dim (rows = rule count). Input rows pass through 1:1."""
     c = F.col(url_col)
     path = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
@@ -202,45 +206,54 @@ def robots_gate(
         F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
     )
     host = F.regexp_replace(host, r":\d+$", "")
+    rule_dim = rules.groupBy(F.col("host").alias("__host")).agg(
+        F.collect_list(
+            F.struct(
+                F.col("prefix_len").alias("l"),
+                # Allow outranks Disallow at equal length: second sort key
+                (F.col("rule_type") == "allow").cast("int").alias("a"),
+                F.col("rule_type").alias("t"),
+                F.col("path_prefix").alias("p"),
+                F.col("pattern_re").alias("re"),
+                F.coalesce("quarantined", F.lit(False)).alias("q"),
+            )
+        ).alias("__rules")
+    )
     keyed = urls.withColumn("__host", host).withColumn("__path", path)
-    joined = keyed.join(
-        F.broadcast(rules.withColumnRenamed("host", "__host")),
-        "__host",
-        "left",
+    joined = keyed.join(F.broadcast(rule_dim), "__host", "left")
+
+    hit = lambda r: F.coalesce(  # noqa: E731
+        F.when(
+            r["re"].isNotNull(), F.regexp_like(F.col("__path"), r["re"])
+        ).otherwise(F.col("__path").startswith(r["p"])),
+        F.lit(False),
     )
-    hit = F.when(
-        F.col("pattern_re").isNotNull(),
-        F.regexp_like(F.col("__path"), F.col("pattern_re")),
-    ).otherwise(F.col("__path").startswith(F.col("path_prefix")))
-    matches = F.when(
-        F.col("path_prefix").isNotNull() & hit,
-        F.struct(
-            F.col("prefix_len").alias("l"),
-            # Allow outranks Disallow at equal length: encode as the
-            # second sort key of the max_by tuple
-            (F.col("rule_type") == "allow").cast("int").alias("a"),
-        ),
-    )
-    verdict = (
-        joined.groupBy(*[F.col(x) for x in keyed.columns])
-        .agg(
-            F.max_by(
-                F.when(matches.isNotNull(), F.col("rule_type")),
-                matches,
-            ).alias("__winner"),
-            F.max(
-                F.when(
-                    matches.isNotNull(), F.coalesce("quarantined", F.lit(False))
-                )
-            ).alias("__quar"),
+    matched = F.filter("__rules", hit)
+
+    def _acc(l, a, t, q):
+        return F.struct(
+            l.alias("l"), a.alias("a"), t.alias("t"), q.alias("q")
         )
+
+    zero = _acc(
+        F.lit(-1), F.lit(-1), F.lit(None).cast("string"), F.lit(False)
+    )
+    win = F.aggregate(
+        matched,
+        zero,
+        lambda acc, r: F.when(
+            (r["l"] > acc["l"]) | ((r["l"] == acc["l"]) & (r["a"] > acc["a"])),
+            _acc(r["l"], r["a"], r["t"], acc["q"] | r["q"]),
+        ).otherwise(_acc(acc["l"], acc["a"], acc["t"], acc["q"] | r["q"])),
+    )
+    return (
+        joined.withColumn("__w", win)
         .withColumn(
             "allowed",
-            F.coalesce(F.col("__winner") != "disallow", F.lit(True)),
+            F.coalesce(F.col("__w.t") != "disallow", F.lit(True)),
         )
         .withColumn(
-            "quarantined_host", F.coalesce(F.col("__quar"), F.lit(False))
+            "quarantined_host", F.coalesce(F.col("__w.q"), F.lit(False))
         )
-        .drop("__winner", "__quar", "__host", "__path")
+        .drop("__w", "__rules", "__host", "__path")
     )
-    return verdict

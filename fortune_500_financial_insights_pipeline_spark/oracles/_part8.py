@@ -38,3 +38,60 @@ SELECT 'example' || k || '.com' AS host,
 FROM verdicts
 GROUP BY k
 """
+
+# q_crawl_pipeline_e2e: the composed crawl funnel replayed — 3 WARC
+# records per doc, the robots verdict (odd hosts block /dir/ except
+# doc-ids starting with '2' via the longer Allow), the page-generator
+# main-text formula (md5-prefix checksum, q_web_pipeline_e2e's proven
+# replay) over ALLOWED docs only, and the five resolved+canonical link
+# shapes per allowed page (4 host-shared + 1 per-doc deep link).
+ORACLES["q_crawl_pipeline_e2e"] = """
+WITH d AS (
+  SELECT doc_id, doc_id % 7 AS k, string_split(text, ' ') AS l
+  FROM documents WHERE doc_id < 40
+), allowed AS (
+  SELECT * FROM d
+  WHERE k % 2 = 0 OR CAST(doc_id AS VARCHAR) LIKE '2%'
+), ch AS (
+  SELECT doc_id, kk.kk AS pk,
+         array_to_string(l[15 * kk.kk + 1 : 15 * kk.kk + 15], ' ') AS raw
+  FROM allowed,
+       LATERAL (SELECT unnest(range(0, CAST(ceil(len(l) / 15.0) AS BIGINT)))
+                AS kk) kk
+), paras AS (
+  SELECT doc_id, pk,
+         trim(regexp_replace(
+           CASE WHEN pk = 0 THEN raw || ' A&B' ELSE raw END,
+           '\\s+', ' ', 'g')) AS p
+  FROM ch
+), mains AS (
+  SELECT a.doc_id,
+         replace(COALESCE(m.main, ''), chr(10), ' ') AS main_sp
+  FROM allowed a LEFT JOIN (
+    SELECT doc_id, string_agg(p, chr(10) ORDER BY pk) AS main
+    FROM paras WHERE length(p) >= 30 GROUP BY doc_id
+  ) m USING (doc_id)
+), links AS (
+  SELECT 'http://example' || k || '.com/' AS canon FROM allowed
+  UNION ALL
+  SELECT 'http://example' || k || '.com/about' FROM allowed
+  UNION ALL
+  SELECT 'http://example' || k || '.com/contact' FROM allowed
+  UNION ALL
+  SELECT 'http://example' || k || '.com/ad' FROM allowed
+  UNION ALL
+  SELECT 'http://example' || k || '.com/dir/deep/' || doc_id FROM allowed
+)
+SELECT CAST((SELECT COUNT(*) FROM d) * 3 AS BIGINT) AS n_records,
+       CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_responses,
+       CAST((SELECT COUNT(*) FROM allowed) AS BIGINT) AS n_allowed,
+       CAST((SELECT COUNT(*) FROM d) - (SELECT COUNT(*) FROM allowed)
+            AS BIGINT) AS n_blocked,
+       CAST((SELECT COUNT(*) FROM mains WHERE length(main_sp) > 0)
+            AS BIGINT) AS n_texts,
+       CAST((SELECT SUM(('0x' || substr(md5(main_sp), 1, 8))::BIGINT)
+             FROM mains) AS BIGINT) AS main_checksum,
+       CAST((SELECT COUNT(*) FROM links) AS BIGINT) AS n_links,
+       CAST((SELECT COUNT(DISTINCT canon) FROM links) AS BIGINT)
+         AS n_frontier
+"""

@@ -79,3 +79,144 @@ def q_robots_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("n_quarantined"),
         )
     )
+
+
+@q("q_crawl_pipeline_e2e")
+def q_crawl_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole CRAWL front half COMPOSED and certified in one row —
+    the crawl twin of q_web_pipeline_e2e (which starts at raw URLs;
+    this starts one stage earlier, at WARC archives, and closes the
+    loop with the link frontier): per document (doc_id < 40, host =
+    example{doc_id mod 7}.com), a 3-record per-member-gzip WARC archive
+    (warcinfo + response carrying the shared _synth_page at
+    /dir/page{d}.html with one extra per-doc 'deep/{d}' anchor +
+    metadata) flows through warc_records → response projection →
+    robots_gate (odd-k hosts publish ``Disallow: /dir/`` with the
+    longer ``Allow: /dir/page2``, so odd-host pages survive only when
+    the doc id starts with digit 2) → html_main_content on ALLOWED
+    pages only → html_links + RFC 3986 resolution + canonicalize_url →
+    distinct-canon frontier. Every stage is individually certified by
+    its own key (q_warc_crawl_extract, q_robots_gate,
+    q_html_main_extract, q_link_frontier, q_url_canonical_dedup); this
+    key certifies their COMPOSITION, incl. that robots drops happen
+    BEFORE extraction. Stages are map-only plus the gate's broadcast
+    aggregate and one frontier distinct — the 100 TB crawl shape. The
+    oracle replays archive constants, group selection, the page
+    generator's main-text formula (md5-prefix checksum) and the five
+    resolved link shapes."""
+    from fortune_500_financial_insights_pipeline_spark.operators.html import (
+        html_links,
+        html_main_content,
+    )
+    from fortune_500_financial_insights_pipeline_spark.operators.robots import (
+        robots_gate,
+        robots_rules,
+    )
+    from fortune_500_financial_insights_pipeline_spark.operators.urltools import (
+        canonicalize_url,
+    )
+    from fortune_500_financial_insights_pipeline_spark.operators.warc import (
+        warc_records,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        from fortune_500_financial_insights_pipeline_spark.operators.warc import (
+            http_response_payload,
+            warc_build,
+            warc_build_record,
+        )
+        from fortune_500_financial_insights_pipeline_spark.queries._extensions_g import (
+            _synth_page,
+        )
+
+        for pdf in batches:
+            out = {"doc_id": [], "warc": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                k = d % 7
+                page = _synth_page(d, str(text)).replace(
+                    "</body></html>",
+                    f"<p><a href='deep/{d}'>more</a></p></body></html>",
+                )
+                recs = [
+                    warc_build_record("warcinfo", b"software: e2e\r\n"),
+                    warc_build_record(
+                        "response",
+                        http_response_payload(page.encode()),
+                        target_uri=f"http://example{k}.com/dir/page{d}.html",
+                    ),
+                    warc_build_record(
+                        "metadata", b"fetchTimeMs: 9\r\n",
+                        target_uri=f"http://example{k}.com/dir/page{d}.html",
+                    ),
+                ]
+                out["doc_id"].append(d)
+                out["warc"].append(warc_build(recs, gzip_members=True))
+            yield pd.DataFrame(out)
+
+    archives = docs.mapInPandas(build, schema="doc_id long, warc binary")
+    recs = warc_records(archives)
+    responses = recs.where(F.col("warc_type") == "response").select(
+        "doc_id",
+        "target_uri",
+        F.decode("body", "UTF-8").alias("html"),
+    )
+    robots_body = "User-agent: *\nDisallow: /dir/\nAllow: /dir/page2\n"
+    hosts = (
+        spark.range(7)
+        .where(F.col("id") % 2 == 1)
+        .select(
+            F.concat(F.lit("example"), F.col("id"), F.lit(".com")).alias("host"),
+            F.lit(robots_body).alias("robots_txt"),
+        )
+    )
+    rules = robots_rules(hosts)
+    gated = robots_gate(responses, rules, url_col="target_uri")
+    allowed = gated.where(F.col("allowed"))
+
+    extracted = html_main_content(
+        allowed.select(
+            "doc_id", F.col("target_uri").alias("url"), "html"
+        )
+    ).withColumn("main_sp", F.regexp_replace("main", "\n", " "))
+    csum = F.conv(F.substring(F.md5("main_sp"), 1, 8), 16, 10).cast("long")
+
+    links = html_links(
+        allowed.select(
+            "doc_id", F.col("target_uri").alias("base_url"), "html"
+        )
+    ).withColumn("canon", canonicalize_url("resolved"))
+
+    one = F.lit(1)
+    a_recs = recs.agg(F.count(one).cast("long").alias("n_records"))
+    a_resp = responses.agg(F.count(one).cast("long").alias("n_responses"))
+    a_gate = gated.agg(
+        F.sum(F.when(F.col("allowed"), 1).otherwise(0))
+        .cast("long").alias("n_allowed"),
+        F.sum(F.when(~F.col("allowed"), 1).otherwise(0))
+        .cast("long").alias("n_blocked"),
+    )
+    a_text = extracted.agg(
+        F.sum(F.when(F.length("main_sp") > 0, 1).otherwise(0))
+        .cast("long").alias("n_texts"),
+        F.sum(csum).cast("long").alias("main_checksum"),
+    )
+    a_links = links.agg(F.count(one).cast("long").alias("n_links"))
+    a_frontier = links.select("canon").distinct().agg(
+        F.count(one).cast("long").alias("n_frontier")
+    )
+    return (
+        a_recs.crossJoin(F.broadcast(a_resp))
+        .crossJoin(F.broadcast(a_gate))
+        .crossJoin(F.broadcast(a_text))
+        .crossJoin(F.broadcast(a_links))
+        .crossJoin(F.broadcast(a_frontier))
+    )

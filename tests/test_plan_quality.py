@@ -635,3 +635,22 @@ def test_label_propagation_no_cartesian_no_window(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_crawl_pipeline_map_only_until_gate_and_frontier(spark, sf_dir):
+    """q_crawl_pipeline_e2e (round 8): the WARC→response→robots-join→
+    extract→links chain must stay map-shaped — the rules dim BROADCASTS
+    (never shuffles the page side), and the only exchanges in the whole
+    composed plan are aggregate/distinct ones (gate max_by, funnel
+    counts, frontier distinct). No hash-partitioning of the corpus by
+    anything except aggregate keys; no SinglePartition exchange."""
+    plan = plan_of(spark, sf_dir, "q_crawl_pipeline_e2e")
+    assert "BroadcastHashJoin" in plan  # robots rules dim
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the only SinglePartition exchanges are the 1-row funnel aggregates,
+    # and those must combine map-side first (partial_count/partial_sum)
+    assert "partial_count" in plan or "partial_sum" in plan
+    # the page corpus never hash-partitions on its own id — only gate /
+    # frontier aggregate keys may shuffle
+    assert "hashpartitioning(doc_id" not in plan
