@@ -160,6 +160,12 @@ _FLAGSHIP_LLM = [
     "q_robots_gate",
     "q_link_frontier",
     "q_substring_reconcile",
+    # round-8 additions: RFC 9309 wildcard robots evaluation with
+    # per-host quarantine, and the composed crawl pipeline (WARC ->
+    # robots -> extract -> frontier) — first in line for a driver hash
+    # row while never-verified
+    "q_robots_wildcard",
+    "q_crawl_pipeline_e2e",
 ]
 
 # Pattern net for the broader LLM-pipeline family (dedup / similarity /

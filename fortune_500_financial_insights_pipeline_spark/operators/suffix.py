@@ -185,7 +185,19 @@ def suffix_array_tokens(
     )
     p = p.select("doc", "pos", "r")
     wdoc = W.partitionBy("doc").orderBy("pos")
-    gap = 1
+    # Radix-8 prefix doubling (the standard higher-radix generalization:
+    # after a round, r covers RADIX x the previous length, because the
+    # rank tuple (r(i), r(i+c), ..., r(i+7c)) lexicographically compares
+    # truncated suffixes up to 8c exactly as the classic pair does up to
+    # 2c — block m's rank encodes block m's content, 0-padding keeps the
+    # shorter-suffix-sorts-first convention). Same exact output, but
+    # ceil(log8 maxlen) global-rank rounds instead of ceil(log2 maxlen):
+    # each round is ONE window pass (all leads share wdoc) + ONE rank
+    # shuffle, and round count — not bytes — is the fixed-cost driver
+    # both at fixture scale (Spark job dispatch) and at 100 TB (shuffle
+    # barriers).
+    radix = 8
+    gap = 1  # tokens covered by the current rank r
     rounds = 0
     while gap < max_len and n_distinct < n_total:
         rounds += 1
@@ -193,16 +205,20 @@ def suffix_array_tokens(
             raise RuntimeError(
                 f"suffix_array_tokens exceeded max_rounds={max_rounds} "
                 "doubling rounds — raise max_rounds for documents longer "
-                f"than 2^{max_rounds} tokens"
+                f"than {radix}^{max_rounds} tokens"
             )
-        keyed = p.withColumn(
-            "r2", F.coalesce(F.lead("r", gap).over(wdoc), F.lit(0))
-        )
+        keyed = p
+        key_cols = ["r"]
+        for j in range(1, radix):
+            keyed = keyed.withColumn(
+                f"r{j}", F.coalesce(F.lead("r", j * gap).over(wdoc), F.lit(0))
+            )
+            key_cols.append(f"r{j}")
         p, n_distinct = _global_dense_rank_counted(
-            keyed, ["r", "r2"], "rr", num_partitions=n_parts
+            keyed, key_cols, "rr", num_partitions=n_parts
         )
         p = p.select("doc", "pos", F.col("rr").alias("r"))
-        gap *= 2
+        gap *= radix
     # final tie-break (identical cross-doc suffixes share r): (r, doc, pos)
     # is unique, so the dense rank IS the 1-based suffix-array position.
     out, _n = _global_dense_rank_counted(
