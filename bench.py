@@ -103,6 +103,23 @@ HEADLINE = [
     "q_gopher_rules",
     "q_gopher_repetition",
     "q_unicode_clean",
+    # round-8 additions: the r6/r7/r8 crawl + suffix families (r7 verdict
+    # item 7 — the newest code had no perf pins). These keys are
+    # cap-bounded fixtures (doc_id < 40/200), so their DuckDB pins are
+    # milliseconds while the Spark side pays distributed-plan overhead:
+    # they widen the basis honestly rather than flatter it; the previous
+    # basis is still reported as vs_baseline_prev_basis for trend
+    # continuity.
+    "q_suffix_array",
+    "q_suffix_lcp_spans",
+    "q_substring_dup_coverage",
+    "q_substring_dup_strip",
+    "q_warc_crawl_extract",
+    "q_robots_gate",
+    "q_robots_wildcard",
+    "q_link_frontier",
+    "q_crawl_pipeline_e2e",
+    "q_fmp4_frame_index_roundtrip",
 ]
 
 # DuckDB oracle wall-clock on the SAME queries at sf0.1, best-of-2, measured
@@ -168,6 +185,28 @@ DUCKDB_BASELINE_SF01: dict[str, float | None] = {
     "q_lsh_precision": 0.8403, "q_byte_entropy": 0.3326,
     "q_grid_dbscan": 0.1791, "q_seasonal_lag": 0.1062,
     "q_basket_triples": 0.9438, "q_ltv_curve": 0.0795,
+    # round-8 pins: crawl + suffix families, measured 2026-08-16 on the
+    # solo box, 3 interleaved passes, per-key min (the r6 recipe)
+    "q_suffix_array": 0.0095,
+    "q_suffix_lcp_spans": 0.0504,
+    "q_substring_dup_coverage": 0.0683,
+    "q_substring_dup_strip": 0.0727,
+    "q_warc_crawl_extract": 0.0091,
+    "q_robots_gate": 0.0029,
+    "q_robots_wildcard": 0.003,
+    "q_link_frontier": 0.0043,
+    "q_crawl_pipeline_e2e": 0.0616,
+    "q_fmp4_frame_index_roundtrip": 0.005,
+}
+
+# Keys pinned before round 8 — the basis r2-r7 ratios were computed on.
+# Reported alongside the full-basis ratio so the cross-round trend stays
+# readable after the r8 basis widening.
+_R8_NEW_PINS = {
+    "q_suffix_array", "q_suffix_lcp_spans", "q_substring_dup_coverage",
+    "q_substring_dup_strip", "q_warc_crawl_extract", "q_robots_gate",
+    "q_robots_wildcard", "q_link_frontier", "q_crawl_pipeline_e2e",
+    "q_fmp4_frame_index_roundtrip",
 }
 
 
@@ -213,8 +252,8 @@ def main() -> None:
     # walk_corpus (q_random_walk), the four ANN artifacts (the IVF/PQ
     # family), and doc_jaccard_pairs(2,0.8) (q_jaccard_clusters' truth
     # leg). Prepaying the full registry list would ADD work bench never
-    # runs (doc_jaccard_pairs(3,0.3) and doc_suffix_sa have no headline
-    # consumer).
+    # runs (doc_jaccard_pairs(3,0.3) has no headline consumer;
+    # doc_suffix_sa gained one in round 8 — the suffix bench keys).
     _BENCH_MEMOS = {
         "doc_lsh_candidates",
         "bpe_merges_3",
@@ -224,6 +263,7 @@ def main() -> None:
         "ann_pq4x4",
         "ann_pqres4x4",
         "doc_jaccard_pairs(2,0.8)",
+        "doc_suffix_sa(40)",
     }
     memo_s: dict[str, float] = {}
     try:
@@ -363,6 +403,11 @@ def main() -> None:
         line["baseline_sec"] = base
         line["comparable_sec"] = ours
         line["vs_baseline"] = round(ours / base, 3)
+        prev = [k for k in comparable if k not in _R8_NEW_PINS]
+        if prev:
+            pbase = sum(DUCKDB_BASELINE_SF01[k] for k in prev)
+            pours = sum(timings[k] for k in prev)
+            line["vs_baseline_prev_basis"] = round(pours / pbase, 3)
     line["build_s"] = build_s
     line["warmup_s"] = warmup_s
     line["memo_s"] = memo_s
