@@ -166,6 +166,7 @@ _FLAGSHIP_LLM = [
     # row while never-verified
     "q_robots_wildcard",
     "q_crawl_pipeline_e2e",
+    "q_warc_split_ingest",
 ]
 
 # Pattern net for the broader LLM-pipeline family (dedup / similarity /

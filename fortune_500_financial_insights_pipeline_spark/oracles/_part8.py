@@ -95,3 +95,14 @@ SELECT CAST((SELECT COUNT(*) FROM d) * 3 AS BIGINT) AS n_records,
        CAST((SELECT COUNT(DISTINCT canon) FROM links) AS BIGINT)
          AS n_frontier
 """
+
+# q_warc_split_ingest: archive constants replayed — 2 gzip members per
+# doc (response + metadata), response body = the document text.
+ORACLES["q_warc_split_ingest"] = """
+SELECT doc_id,
+       CAST(2 AS BIGINT) AS n_members,
+       CAST(2 AS BIGINT) AS n_records,
+       CAST(1 AS BIGINT) AS n_responses,
+       md5(text) AS text_md5
+FROM documents WHERE doc_id < 30
+"""
