@@ -167,6 +167,7 @@ _FLAGSHIP_LLM = [
     "q_robots_wildcard",
     "q_crawl_pipeline_e2e",
     "q_warc_split_ingest",
+    "q_crawl_bfs_frontier",
 ]
 
 # Pattern net for the broader LLM-pipeline family (dedup / similarity /

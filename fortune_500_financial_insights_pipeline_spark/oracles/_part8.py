@@ -106,3 +106,28 @@ SELECT doc_id,
        md5(text) AS text_md5
 FROM documents WHERE doc_id < 30
 """
+
+# q_crawl_bfs_frontier: min-depth BFS over the arithmetic link graph
+# page d -> {(3d+1)%60, (7d+2)%60, (d+1)%60}, seeds {0,1}, 3 rounds.
+ORACLES["q_crawl_bfs_frontier"] = """
+WITH RECURSIVE links AS (
+  SELECT doc_id AS u, (3 * doc_id + 1) % 60 AS v
+  FROM documents WHERE doc_id < 60
+  UNION ALL
+  SELECT doc_id, (7 * doc_id + 2) % 60 FROM documents WHERE doc_id < 60
+  UNION ALL
+  SELECT doc_id, (doc_id + 1) % 60 FROM documents WHERE doc_id < 60
+), bfs(u, d) AS (
+  SELECT * FROM (VALUES (0, 0), (1, 0)) t(u, d)
+  UNION ALL
+  SELECT l.v, b.d + 1
+  FROM bfs b JOIN links l ON l.u = b.u
+  WHERE b.d < 3
+)
+SELECT CAST(u AS BIGINT) AS doc_id,
+       'http://crawl.test/p/' || u AS url,
+       CAST(MIN(d) AS INTEGER) AS depth
+FROM bfs
+GROUP BY u
+ORDER BY doc_id
+"""

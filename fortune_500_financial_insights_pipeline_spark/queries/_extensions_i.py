@@ -297,3 +297,53 @@ def q_warc_split_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(src, ignore_errors=True)
     return out
+
+
+@q("q_crawl_bfs_frontier")
+def q_crawl_bfs_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-loop ITERATION certified cross-engine — the stage the
+    composed q_crawl_pipeline_e2e stops short of: repeated frontier
+    expansion with a seen-set. Per document (doc_id < 60), a page at
+    http://crawl.test/p/{d} carries three anchors whose targets are
+    pure arithmetic — (3d+1) mod 60, (7d+2) mod 60, (d+1) mod 60 — as
+    ROOT-RELATIVE hrefs ('/p/{t}' resolved against the /p/{d} base, so
+    RFC 3986 resolution is in the loop every round). operators/crawl.crawl_bfs
+    runs 3 rounds from seeds {p/0, p/1}: each round parses ONLY the
+    newly-discovered pages (real html_links extraction), canonicalizes,
+    and anti-joins the seen set, so depth is the MINIMUM hop count.
+    The oracle replays the link arithmetic with a recursive CTE
+    (min-depth BFS capped at 3). Output: one row per discovered URL
+    (doc_id, depth) plus the engine's URL string — dead links cannot
+    exist here (targets stay in 0..59), so engine and oracle row sets
+    must match exactly."""
+    from fortune_500_financial_insights_pipeline_spark.operators.crawl import crawl_bfs
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"url": [], "html": []}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                targets = [(3 * i + 1) % 60, (7 * i + 2) % 60, (i + 1) % 60]
+                anchors = "".join(
+                    f"<a href='/p/{t}'>l{j}</a>" for j, t in enumerate(targets)
+                )
+                out["url"].append(f"http://crawl.test/p/{i}")
+                out["html"].append(
+                    f"<html><body><p>page {i}</p>{anchors}</body></html>"
+                )
+            yield pd.DataFrame(out)
+
+    pages = d.select("doc_id").mapInPandas(build, schema="url string, html string")
+    seeds = spark.createDataFrame(
+        [("http://crawl.test/p/0",), ("http://crawl.test/p/1",)], "url string"
+    )
+    out = crawl_bfs(pages, seeds, rounds=3)
+    return out.select(
+        F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long").alias("doc_id"),
+        "url",
+        F.col("depth").cast("int").alias("depth"),
+    ).orderBy("doc_id")

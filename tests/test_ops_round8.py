@@ -257,3 +257,37 @@ def test_robots_gate_survives_mangled_rule_dim(spark):
         4: (True, False),
         5: (False, True),
     }
+
+
+def test_crawl_bfs_min_depth_and_dead_links(spark):
+    """crawl_bfs: depth is the MINIMUM hop count (a page linked at
+    depth 1 and again at depth 2 reports 1), dead links (no page in
+    the corpus) are discovered but expand nothing, and seeds never
+    re-emit."""
+    from fortune_500_financial_insights_pipeline_spark.operators.crawl import crawl_bfs
+
+    def page(u, hrefs):
+        body = "".join(f"<a href='{h}'>x</a>" for h in hrefs)
+        return (u, f"<html><body>{body}</body></html>")
+
+    pages = spark.createDataFrame(
+        [
+            page("http://t.io/a", ["/b", "/c"]),
+            page("http://t.io/b", ["/c", "/dead"]),   # /c again at depth 2
+            page("http://t.io/c", ["/a"]),            # back-link to the seed
+        ],
+        "url string, html string",
+    )
+    seeds = spark.createDataFrame([("http://t.io/a",)], "url string")
+    got = {r["url"]: r["depth"] for r in crawl_bfs(pages, seeds, rounds=3).collect()}
+    assert got == {
+        "http://t.io/a": 0,
+        "http://t.io/b": 1,
+        "http://t.io/c": 1,       # min depth, not 2
+        "http://t.io/dead": 2,    # discovered, expands nothing
+    }
+    # rounds=0: seeds only
+    got0 = {r["url"]: r["depth"] for r in crawl_bfs(pages, seeds, rounds=0).collect()}
+    assert got0 == {"http://t.io/a": 0}
+    with pytest.raises(ValueError, match="rounds"):
+        crawl_bfs(pages, seeds, rounds=-1)
