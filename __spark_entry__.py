@@ -168,6 +168,8 @@ _FLAGSHIP_LLM = [
     "q_crawl_pipeline_e2e",
     "q_warc_split_ingest",
     "q_crawl_bfs_frontier",
+    "q_sitemap_ingest",
+    "q_politeness_schedule",
 ]
 
 # Pattern net for the broader LLM-pipeline family (dedup / similarity /

@@ -84,3 +84,99 @@ def crawl_bfs(
         seen = seen.unionByName(new).localCheckpoint(eager=False)
         frontier = new
     return seen.select(F.col("__url").alias(url_col), "depth")
+
+
+SITEMAP_URLSET_SCHEMA = (
+    "url ARRAY<STRUCT<loc: STRING, lastmod: STRING, "
+    "changefreq: STRING, priority: DOUBLE>>"
+)
+SITEMAP_INDEX_SCHEMA = "sitemap ARRAY<STRUCT<loc: STRING, lastmod: STRING>>"
+
+
+def sitemap_urls(
+    sitemaps: DataFrame,
+    host_col: str = "host",
+    xml_col: str = "sitemap_xml",
+) -> DataFrame:
+    """Explode per-host sitemap XML (sitemaps.org protocol) into one
+    row per entry: (host, kind, loc, lastmod, priority) — the crawl
+    frontier's OTHER seed source besides link extraction. Pure
+    Catalyst: Spark's native ``from_xml`` parses both document shapes
+    (``<urlset>`` page entries, kind='url', and ``<sitemapindex>``
+    child-sitemap pointers, kind='sitemap' — feed those back through
+    a fetch to recurse), no UDF, rides whole-stage codegen. A document
+    that is neither yields zero rows (from_xml returns null structs) —
+    count them upstream if ingest auditing is needed."""
+    x = F.col("__xml")
+    urlset = F.from_xml(x, SITEMAP_URLSET_SCHEMA)
+    index = F.from_xml(x, SITEMAP_INDEX_SCHEMA)
+    base = sitemaps.select(
+        F.col(host_col).alias("host"), F.col(xml_col).alias("__xml")
+    )
+    pages = base.select(
+        "host",
+        F.explode(urlset["url"]).alias("__e"),
+    ).select(
+        "host",
+        F.lit("url").alias("kind"),
+        F.col("__e.loc").alias("loc"),
+        F.col("__e.lastmod").alias("lastmod"),
+        F.col("__e.priority").alias("priority"),
+    )
+    children = base.select(
+        "host",
+        F.explode(index["sitemap"]).alias("__e"),
+    ).select(
+        "host",
+        F.lit("sitemap").alias("kind"),
+        F.col("__e.loc").alias("loc"),
+        F.col("__e.lastmod").alias("lastmod"),
+        F.lit(None).cast("double").alias("priority"),
+    )
+    return pages.unionByName(children)
+
+
+def politeness_schedule(
+    urls: DataFrame,
+    delays: DataFrame,
+    url_col: str = "url",
+    default_delay: float = 1.0,
+) -> DataFrame:
+    """Assign each frontier URL a per-host fetch slot honoring the
+    host's Crawl-delay: slot k of a host fetches at ``k * delay``
+    seconds (k = 0-based rank of the URL within its host, ordered by
+    URL for determinism). ``delays`` is a (host, crawl_delay) dim —
+    see robots.parse_crawl_delay for extracting it from robots.txt;
+    hosts without a row use ``default_delay``. One window per HOST
+    (host-keyed partitioning — never a global window; web-scale
+    frontiers have millions of hosts and politeness bounds per-host
+    row counts) plus a broadcast join of the tiny delay dim. Appends
+    ``fetch_rank`` (0-based within host) and ``fetch_at_s``."""
+    from pyspark.sql import Window as W
+
+    c = F.col(url_col)
+    host = F.lower(
+        F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    host = F.regexp_replace(host, r":\d+$", "")
+    keyed = urls.withColumn("__host", host)
+    joined = keyed.join(
+        F.broadcast(delays.withColumnRenamed("host", "__host")),
+        "__host",
+        "left",
+    )
+    w = W.partitionBy("__host").orderBy(c)
+    return (
+        joined.withColumn(
+            "fetch_rank", (F.row_number().over(w) - 1).cast("long")
+        )
+        .withColumn(
+            "fetch_at_s",
+            F.round(
+                F.col("fetch_rank")
+                * F.coalesce("crawl_delay", F.lit(float(default_delay))),
+                6,
+            ),
+        )
+        .drop("__host", "crawl_delay")
+    )

@@ -83,9 +83,29 @@ def parse_robots_txt(text: str, agent: str = "*") -> "list[tuple[str, str]]":
     (§2.2.1). Empty values match nothing and are dropped. Malformed
     lines raise ValueError — ``robots_rules`` turns that into a
     per-host quarantine rather than a job failure."""
-    groups: list[tuple[list[str], list[tuple[str, str]]]] = []
-    current_agents: list[str] = []
-    current_rules: list[tuple[str, str]] = []
+    groups = _parse_groups(text)
+    wanted = agent.lower()
+    named = [g["rules"] for g in groups if wanted in g["agents"]]
+    if named:
+        return [r for rules in named for r in rules]
+    return [
+        r
+        for g in groups
+        if "*" in g["agents"]
+        for r in g["rules"]
+    ]
+
+
+def _parse_groups(text: str) -> "list[dict]":
+    """Group-structured parse of ONE robots.txt body: [{agents, rules,
+    crawl_delay}]. Shared by :func:`parse_robots_txt` (Allow/Disallow)
+    and :func:`parse_crawl_delay` (the politeness rate directive —
+    non-standard but near-universal in the wild, group-scoped by
+    convention). Unknown records are ignored and never close a group
+    header (RFC 9309 §2.2.4); malformed lines raise ValueError (the
+    per-host quarantine trigger in robots_rules)."""
+    groups: list[dict] = []
+    current: dict = {"agents": [], "rules": [], "crawl_delay": None}
     in_group_header = True
     for raw_line in text.splitlines():
         line = raw_line.split("#", 1)[0].strip()
@@ -98,10 +118,10 @@ def parse_robots_txt(text: str, agent: str = "*") -> "list[tuple[str, str]]":
         value = value.strip()
         if key == "user-agent":
             if not in_group_header:
-                groups.append((current_agents, current_rules))
-                current_agents, current_rules = [], []
+                groups.append(current)
+                current = {"agents": [], "rules": [], "crawl_delay": None}
                 in_group_header = True
-            current_agents.append(value.lower())
+            current["agents"].append(value.lower())
         elif key in ("allow", "disallow"):
             in_group_header = False
             if value:  # empty Disallow matches nothing (explicit allow-all)
@@ -109,21 +129,34 @@ def parse_robots_txt(text: str, agent: str = "*") -> "list[tuple[str, str]]":
                 # control octets would change meaning silently
                 if any(ord(ch) < 0x20 for ch in value):
                     raise ValueError(f"control octet in robots pattern: {value!r}")
-                current_rules.append((key, value))
-        # any other record type (Crawl-delay, Sitemap, …): ignored and
-        # MUST NOT interfere with group parsing (RFC 9309 §2.2.4)
-    groups.append((current_agents, current_rules))
+                current["rules"].append((key, value))
+        elif key == "crawl-delay":
+            # group-scoped politeness rate; a malformed number is a
+            # malformed body (quarantine), not a silent default
+            try:
+                current["crawl_delay"] = float(value)
+            except ValueError:
+                raise ValueError(
+                    f"malformed Crawl-delay value: {value!r}"
+                ) from None
+        # any other record type (Sitemap, …): ignored and MUST NOT
+        # interfere with group parsing (RFC 9309 §2.2.4)
+    groups.append(current)
+    return groups
 
+
+def parse_crawl_delay(text: str, agent: str = "*") -> "float | None":
+    """The Crawl-delay (seconds) applying to ``agent`` for ONE
+    robots.txt body, with the same group selection as
+    :func:`parse_robots_txt` (explicitly-named groups win, else the
+    ``*`` groups); None when no applicable group sets one. Multiple
+    applicable groups: the strictest (largest) delay wins."""
+    groups = _parse_groups(text)
     wanted = agent.lower()
-    named = [rules for agents, rules in groups if wanted in agents]
-    if named:
-        return [r for rules in named for r in rules]
-    return [
-        r
-        for agents, rules in groups
-        if "*" in agents
-        for r in rules
-    ]
+    named = [g for g in groups if wanted in g["agents"]]
+    pool = named if named else [g for g in groups if "*" in g["agents"]]
+    delays = [g["crawl_delay"] for g in pool if g["crawl_delay"] is not None]
+    return max(delays) if delays else None
 
 
 def robots_rules(
@@ -256,4 +289,47 @@ def robots_gate(
             "quarantined_host", F.coalesce(F.col("__w.q"), F.lit(False))
         )
         .drop("__w", "__rules", "__host", "__path")
+    )
+
+
+def robots_crawl_delays(
+    robots: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """(host, crawl_delay) dim from per-host robots.txt bodies — the
+    politeness-RATE companion to :func:`robots_rules` (same bounded
+    mapInPandas over the HOST dim, same group selection via
+    :func:`parse_crawl_delay`). Hosts that set no delay emit no row
+    (callers coalesce a default); a host whose body fails to parse
+    quarantines to a conservative 86400 s delay (fail closed: an
+    unparseable host is fetched at most once a day, mirroring the
+    disallow-all rule quarantine)."""
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "host": [], "crawl_delay": [], "quarantined": [],
+            }
+            for host, text in zip(pdf["host"], pdf["__txt"]):
+                try:
+                    delay = parse_crawl_delay(str(text), agent)
+                except ValueError:
+                    out["host"].append(host)
+                    out["crawl_delay"].append(86400.0)
+                    out["quarantined"].append(True)
+                    continue
+                if delay is not None:
+                    out["host"].append(host)
+                    out["crawl_delay"].append(float(delay))
+                    out["quarantined"].append(False)
+            yield pd.DataFrame(out)
+
+    return robots.select(
+        robots[host_col].alias("host"), robots[text_col].alias("__txt")
+    ).mapInPandas(
+        parse, schema="host string, crawl_delay double, quarantined boolean"
     )

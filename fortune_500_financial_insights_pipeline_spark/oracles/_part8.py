@@ -131,3 +131,56 @@ FROM bfs
 GROUP BY u
 ORDER BY doc_id
 """
+
+# q_sitemap_ingest: the XML-generation arithmetic replayed — even-k
+# docs a 2-entry urlset (priority on entry 0 only), odd-k docs a
+# 1-child sitemapindex.
+ORACLES["q_sitemap_ingest"] = """
+WITH d AS (
+  SELECT doc_id, doc_id % 5 AS k,
+         lpad(CAST(1 + doc_id % 27 AS VARCHAR), 2, '0') AS day
+  FROM documents WHERE doc_id < 50
+), e AS (
+  SELECT doc_id, 'url' AS kind,
+         'http://example' || k || '.com/s/' || doc_id || '/0' AS loc,
+         '2026-01-' || day AS lastmod,
+         (doc_id % 10) / 10.0 AS priority
+  FROM d WHERE k % 2 = 0
+  UNION ALL
+  SELECT doc_id, 'url',
+         'http://example' || k || '.com/s/' || doc_id || '/1',
+         '2026-01-' || day, CAST(NULL AS DOUBLE)
+  FROM d WHERE k % 2 = 0
+  UNION ALL
+  SELECT doc_id, 'sitemap',
+         'http://example' || k || '.com/sitemap' || doc_id || '.xml',
+         '2026-01-' || day, CAST(NULL AS DOUBLE)
+  FROM d WHERE k % 2 = 1
+)
+SELECT doc_id, kind, loc, lastmod, priority FROM e ORDER BY doc_id, loc
+"""
+
+# q_politeness_schedule: per-host delays (odd k -> k+0.5 from the '*'
+# group, k=2 -> 86400 quarantine, else the 2.0 default) and the
+# 0..n-1 rank arithmetic series replayed in closed form (all values
+# binary-exact, so row-wise rounding == closed-form rounding).
+ORACLES["q_politeness_schedule"] = """
+WITH d AS (
+  SELECT doc_id, doc_id % 7 AS k FROM documents WHERE doc_id < 200
+), n AS (
+  SELECT k, 2 * COUNT(*) AS n_urls FROM d GROUP BY k
+), del AS (
+  SELECT k,
+         CASE WHEN k = 2 THEN 86400.0
+              WHEN k % 2 = 1 THEN k + 0.5
+              ELSE 2.0 END AS delay
+  FROM n
+)
+SELECT 'example' || n.k || '.com' AS host,
+       CAST(n.n_urls AS BIGINT) AS n_urls,
+       CAST(n.n_urls - 1 AS BIGINT) AS max_rank,
+       ROUND((n.n_urls - 1) * del.delay, 6) AS last_fetch_s,
+       ROUND(del.delay * n.n_urls * (n.n_urls - 1) / 2, 6) AS total_wait_s
+FROM n JOIN del USING (k)
+ORDER BY host
+"""

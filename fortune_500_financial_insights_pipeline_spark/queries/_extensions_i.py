@@ -347,3 +347,130 @@ def q_crawl_bfs_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url",
         F.col("depth").cast("int").alias("depth"),
     ).orderBy("doc_id")
+
+
+@q("q_sitemap_ingest")
+def q_sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion (sitemaps.org protocol) certified cross-engine
+    — the crawl frontier's OTHER seed source, parsed with Spark's
+    NATIVE from_xml (pure Catalyst, no UDF): per document (doc_id <
+    50, k = doc_id mod 5), even-k docs publish a <urlset> with two
+    page entries (lastmod 2026-01-(1 + d mod 27); entry 0 carries
+    priority (d mod 10)/10, entry 1 a changefreq instead) and odd-k
+    docs publish a <sitemapindex> with one child-sitemap pointer —
+    both shapes flow through operators/crawl.sitemap_urls, which must
+    emit kind='url' page rows and kind='sitemap' recursion pointers.
+    The oracle replays the XML-generation arithmetic. 80 rows
+    hash-checked."""
+    from fortune_500_financial_insights_pipeline_spark.operators.crawl import (
+        sitemap_urls,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "sitemap_xml": []}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                k = i % 5
+                day = 1 + i % 27
+                if k % 2 == 0:
+                    xml = (
+                        '<?xml version="1.0" encoding="UTF-8"?>\n'
+                        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+                        f"<url><loc>http://example{k}.com/s/{i}/0</loc>"
+                        f"<lastmod>2026-01-{day:02d}</lastmod>"
+                        f"<priority>{(i % 10) / 10.0}</priority></url>\n"
+                        f"<url><loc>http://example{k}.com/s/{i}/1</loc>"
+                        f"<lastmod>2026-01-{day:02d}</lastmod>"
+                        "<changefreq>weekly</changefreq></url>\n"
+                        "</urlset>"
+                    )
+                else:
+                    xml = (
+                        '<?xml version="1.0" encoding="UTF-8"?>\n'
+                        '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+                        f"<sitemap><loc>http://example{k}.com/sitemap{i}.xml</loc>"
+                        f"<lastmod>2026-01-{day:02d}</lastmod></sitemap>\n"
+                        "</sitemapindex>"
+                    )
+                out["doc_id"].append(i)
+                out["sitemap_xml"].append(xml)
+            yield pd.DataFrame(out)
+
+    maps = d.select("doc_id").mapInPandas(
+        build, schema="doc_id long, sitemap_xml string"
+    )
+    return (
+        sitemap_urls(maps, host_col="doc_id")
+        .select(
+            F.col("host").alias("doc_id"),
+            "kind", "loc", "lastmod", "priority",
+        )
+        .orderBy("doc_id", "loc")
+    )
+
+
+@q("q_politeness_schedule")
+def q_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host Crawl-delay politeness scheduling certified
+    cross-engine — the fetch-RATE half of the robots contract
+    (q_robots_gate/q_robots_wildcard certify the allow half): per
+    document (doc_id < 200, host = example{doc_id mod 7}.com), two
+    frontier URLs (/a/{d}, /b/{d}); odd-k hosts publish robots.txt
+    with ``Crawl-delay: {k}.5`` under the ``*`` group, host k=2
+    publishes a MALFORMED body (quarantined to the conservative
+    86400 s once-a-day delay), other hosts publish none (the explicit
+    2.0 s default). robots_crawl_delays extracts the rate dim via the
+    REAL group parser; politeness_schedule ranks URLs within each host
+    (ONE host-keyed window, broadcast delay dim) and stamps
+    fetch_at_s = rank x delay. The oracle replays delays and the
+    arithmetic-series totals. One row per host."""
+    from fortune_500_financial_insights_pipeline_spark.operators.crawl import (
+        politeness_schedule,
+    )
+    from fortune_500_financial_insights_pipeline_spark.operators.robots import (
+        robots_crawl_delays,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    k = (F.col("doc_id") % 7).cast("long")
+    base = F.concat(F.lit("http://example"), k, F.lit(".com"))
+    urls = d.select(
+        F.explode(
+            F.array(
+                F.concat(base, F.lit("/a/"), F.col("doc_id")),
+                F.concat(base, F.lit("/b/"), F.col("doc_id")),
+            )
+        ).alias("url")
+    )
+    hosts = (
+        spark.range(7)
+        .where((F.col("id") % 2 == 1) | (F.col("id") == 2))
+        .select(
+            F.concat(F.lit("example"), F.col("id"), F.lit(".com")).alias("host"),
+            F.when(F.col("id") == 2, F.lit("User-agent *\nbroken"))
+            .otherwise(
+                F.concat(
+                    F.lit("User-agent: *\nDisallow: /x/\nCrawl-delay: "),
+                    F.col("id"), F.lit(".5\n"),
+                )
+            ).alias("robots_txt"),
+        )
+    )
+    delays = robots_crawl_delays(hosts).select("host", "crawl_delay")
+    sched = politeness_schedule(urls, delays, default_delay=2.0)
+    host = F.regexp_extract("url", r"^http://([^/]*)/", 1)
+    return (
+        sched.groupBy(host.alias("host"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.max("fetch_rank").cast("long").alias("max_rank"),
+            F.round(F.max("fetch_at_s"), 6).alias("last_fetch_s"),
+            F.round(F.sum("fetch_at_s"), 6).alias("total_wait_s"),
+        )
+        .orderBy("host")
+    )

@@ -291,3 +291,80 @@ def test_crawl_bfs_min_depth_and_dead_links(spark):
     assert got0 == {"http://t.io/a": 0}
     with pytest.raises(ValueError, match="rounds"):
         crawl_bfs(pages, seeds, rounds=-1)
+
+
+def test_parse_crawl_delay_group_selection():
+    """Crawl-delay is group-scoped: named group wins over '*', fallback
+    applies when no group names the agent, strictest (max) wins across
+    multiple applicable groups, malformed values raise (quarantine)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.robots import (
+        parse_crawl_delay,
+    )
+
+    txt = (
+        "User-agent: slowbot\nCrawl-delay: 30\nDisallow: /x\n\n"
+        "User-agent: *\nCrawl-delay: 2.5\nDisallow: /y\n"
+    )
+    assert parse_crawl_delay(txt, "slowbot") == 30.0
+    assert parse_crawl_delay(txt) == 2.5
+    assert parse_crawl_delay(txt, "otherbot") == 2.5  # '*' fallback
+    assert parse_crawl_delay("User-agent: *\nDisallow: /\n") is None
+    multi = (
+        "User-agent: a\nCrawl-delay: 1\n\nUser-agent: a\nCrawl-delay: 9\n"
+    )
+    assert parse_crawl_delay(multi, "a") == 9.0  # strictest wins
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="Crawl-delay"):
+        parse_crawl_delay("User-agent: *\nCrawl-delay: soon\n")
+
+
+def test_sitemap_urls_both_shapes(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.crawl import (
+        sitemap_urls,
+    )
+
+    urlset = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc>http://a.com/1</loc><lastmod>2026-01-05</lastmod>"
+        "<priority>0.8</priority></url>"
+        "<url><loc>http://a.com/2</loc></url></urlset>"
+    )
+    index = (
+        '<?xml version="1.0"?><sitemapindex>'
+        "<sitemap><loc>http://b.com/sm1.xml</loc></sitemap></sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [("a.com", urlset), ("b.com", index), ("c.com", "not xml at all")],
+        "host string, sitemap_xml string",
+    )
+    rows = {
+        (r["host"], r["kind"], r["loc"], r["lastmod"], r["priority"])
+        for r in sitemap_urls(df).collect()
+    }
+    assert rows == {
+        ("a.com", "url", "http://a.com/1", "2026-01-05", 0.8),
+        ("a.com", "url", "http://a.com/2", None, None),
+        ("b.com", "sitemap", "http://b.com/sm1.xml", None, None),
+    }  # the non-XML host yields zero rows, never an error
+
+
+def test_politeness_schedule_ranks_and_defaults(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.crawl import (
+        politeness_schedule,
+    )
+
+    urls = spark.createDataFrame(
+        [("http://a.com/2",), ("http://a.com/1",), ("http://b.com/x",)],
+        "url string",
+    )
+    delays = spark.createDataFrame([("a.com", 3.0)], "host string, crawl_delay double")
+    got = {
+        r["url"]: (r["fetch_rank"], r["fetch_at_s"])
+        for r in politeness_schedule(urls, delays, default_delay=1.5).collect()
+    }
+    assert got == {
+        "http://a.com/1": (0, 0.0),   # URL-ordered within host
+        "http://a.com/2": (1, 3.0),
+        "http://b.com/x": (0, 0.0),   # no dim row: default delay
+    }
