@@ -368,3 +368,80 @@ def test_politeness_schedule_ranks_and_defaults(spark):
         "http://a.com/2": (1, 3.0),
         "http://b.com/x": (0, 0.0),   # no dim row: default delay
     }
+
+
+def test_crawl_frontier_stream_equals_batch(spark, tmp_path):
+    """Streaming frontier expansion == the batch distinct-link frontier
+    on the same fetched pages, with cross-batch duplicate links emitted
+    ONCE and links back to fetched pages suppressed — bounded Bloom
+    seen-set state across micro-batches."""
+    from pyspark.sql import functions as F
+
+    from fortune_500_financial_insights_pipeline_spark.operators.html import html_links
+    from fortune_500_financial_insights_pipeline_spark.operators.urltools import (
+        canonicalize_url,
+    )
+    from fortune_500_financial_insights_pipeline_spark.streaming.crawl_frontier import (
+        crawl_frontier_stream,
+    )
+
+    def page(u, hrefs):
+        body = "".join(f"<a href='{h}'>x</a>" for h in hrefs)
+        return (u, f"<html><body>{body}</body></html>")
+
+    batch1 = [
+        page("http://s.io/a", ["/x", "/y", "/b"]),
+        page("http://s.io/b", ["/x", "/z?b=2&utm_source=t&a=1"]),
+    ]
+    batch2 = [
+        # /x and /y again (must NOT re-emit), a link back to fetched /a
+        # (suppressed), one genuinely new /w
+        page("http://s.io/c", ["/x", "/y", "/a", "/w"]),
+    ]
+    src = tmp_path / "pages"
+    src.mkdir()
+    spark.createDataFrame(batch1, "url string, html string").coalesce(
+        1
+    ).write.parquet(str(src / "b1"))
+    spark.createDataFrame(batch2, "url string, html string").coalesce(
+        1
+    ).write.parquet(str(src / "b2"))
+
+    got: list = []
+    stream = (
+        spark.readStream.schema("url string, html string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "b*"))
+    )
+    state = str(tmp_path / "state")
+    q = (
+        crawl_frontier_stream(
+            stream, state, lambda df, bid: got.extend(
+                r["frontier_url"] for r in df.collect()
+            ),
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # batch twin: distinct canonical links over ALL pages, minus the
+    # fetched pages' own urls
+    pages = spark.createDataFrame(
+        batch1 + batch2, "url string, html string"
+    ).select(
+        F.xxhash64("url").alias("doc_id"),
+        F.col("url").alias("base_url"),
+        "html",
+    )
+    links = html_links(pages).select(
+        canonicalize_url("resolved").alias("u")
+    ).distinct()
+    fetched = spark.createDataFrame(
+        [(u,) for u, _ in batch1 + batch2], "u string"
+    )
+    want = {r["u"] for r in links.join(fetched, "u", "left_anti").collect()}
+    assert len(got) == len(set(got))  # exactly-once emission
+    assert set(got) == want
+    assert "http://s.io/z?a=1&b=2" in want  # canonicalization in the loop

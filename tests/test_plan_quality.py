@@ -654,3 +654,36 @@ def test_crawl_pipeline_map_only_until_gate_and_frontier(spark, sf_dir):
     # the page corpus never hash-partitions on its own id — only gate /
     # frontier aggregate keys may shuffle
     assert "hashpartitioning(doc_id" not in plan
+
+
+def test_robots_gate_is_map_only_over_urls(spark):
+    """robots_gate (round-8 rewrite): the URL side must NOT shuffle —
+    the per-host rules collapse on the (tiny) dim side, the dim
+    broadcasts, and the longest-match winner folds row-locally via
+    array expressions. The only exchange in the gated plan is the rule
+    dim's own per-host collect."""
+    from pyspark.sql import functions as F
+
+    from fortune_500_financial_insights_pipeline_spark.operators.robots import (
+        robots_gate,
+        robots_rules,
+    )
+
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /x/*.gif$\nAllow: /x/ok\n")],
+        "host string, robots_txt string",
+    )
+    urls = spark.range(100).select(
+        F.concat(F.lit("http://a.com/x/p"), F.col("id")).alias("url"),
+        F.col("id").alias("payload"),
+    )
+    gated = robots_gate(urls, robots_rules(robots))
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # no shuffle keyed on anything from the URL frame
+    assert "hashpartitioning(url" not in plan
+    assert "hashpartitioning(payload" not in plan
+    assert "hashpartitioning(__host" not in plan or "collect_list" in plan
+    # rows pass through 1:1 (no aggregate collapse of duplicate URLs)
+    assert gated.count() == 100
