@@ -351,6 +351,20 @@ def warc_records_split(
         .load(path)
         .select("path")
     )
+    return split_records_from_listing(files, target_split_bytes)
+
+
+def split_records_from_listing(
+    files: DataFrame,
+    target_split_bytes: int = 64 << 20,
+) -> DataFrame:
+    """The split-read core shared by the batch (`warc_records_split`)
+    and streaming (`streaming/warc_ingest.warc_split_record_stream`)
+    forms: a (path) listing frame — batch or streaming — goes through
+    the member-span index, the range bucketing, and the per-member
+    ranged reads. Every stage is a narrow/map transformation except the
+    tiny index repartition, so the SAME lineage is legal under
+    Structured Streaming (no stream-side state)."""
     idx = warc_member_index(files).withColumn(
         "bucket", F.floor(F.col("start") / F.lit(int(target_split_bytes)))
     )

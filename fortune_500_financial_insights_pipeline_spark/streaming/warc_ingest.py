@@ -81,3 +81,38 @@ def warc_response_stream(archives: DataFrame) -> DataFrame:
         F.col("http_status"),
         F.decode("body", "UTF-8").alias("text"),
     )
+
+
+def warc_split_record_stream(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.warc.gz",
+    target_split_bytes: int = 64 << 20,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """OFFSET-SPLIT streaming WARC ingestion (round 8): newly landed
+    archives enter as PATH rows (content pruned out of the source scan),
+    then flow through the same member-span index → range buckets →
+    per-member ranged reads the batch reader uses
+    (operators/warc.split_records_from_listing) — so one skewed archive
+    fans across tasks and peak memory is one member, in the STREAM too.
+    The whole lineage is map transformations plus the tiny index
+    repartition (no stream-side state, no watermark), so stream ==
+    split-batch == whole-batch row-for-row on identical inputs (pinned
+    by tests/test_ops_round8.py::test_warc_split_stream_parity)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.warc import (
+        split_records_from_listing,
+    )
+
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", glob)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    files = reader.load(path).select("path")
+    return split_records_from_listing(files, target_split_bytes)

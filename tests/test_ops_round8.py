@@ -445,3 +445,41 @@ def test_crawl_frontier_stream_equals_batch(spark, tmp_path):
     assert len(got) == len(set(got))  # exactly-once emission
     assert set(got) == want
     assert "http://s.io/z?a=1&b=2" in want  # canonicalization in the loop
+
+
+def test_warc_split_stream_parity(spark, tmp_path):
+    """The offset-split STREAMING reader (path-listing stream through
+    the shared split core) produces exactly the batch split reader's
+    records across multi-file triggers."""
+    from fortune_500_financial_insights_pipeline_spark.operators.warc import (
+        warc_records_split,
+    )
+    from fortune_500_financial_insights_pipeline_spark.streaming.warc_ingest import (
+        warc_split_record_stream,
+    )
+
+    src = _fixture_archives(tmp_path, n_archives=3, recs_per=4)
+    stream = warc_split_record_stream(
+        spark, str(src), target_split_bytes=2048, max_files_per_trigger=1
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("warc_split_stream_parity")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got_stream = {
+        (r["doc_id"], r["member_idx"], r["rec_in_member"], r["warc_type"],
+         r["target_uri"], bytes(r["body"]))
+        for r in spark.sql("SELECT * FROM warc_split_stream_parity").collect()
+    }
+    got_batch = {
+        (r["doc_id"], r["member_idx"], r["rec_in_member"], r["warc_type"],
+         r["target_uri"], bytes(r["body"]))
+        for r in warc_records_split(spark, str(src)).collect()
+    }
+    assert len(got_batch) == 12
+    assert got_stream == got_batch
