@@ -120,6 +120,11 @@ HEADLINE = [
     "q_link_frontier",
     "q_crawl_pipeline_e2e",
     "q_fmp4_frame_index_roundtrip",
+    # post-ledger round-8 additions (same recipe, pinned 2026-08-16)
+    "q_warc_split_ingest",
+    "q_crawl_bfs_frontier",
+    "q_sitemap_ingest",
+    "q_politeness_schedule",
 ]
 
 # DuckDB oracle wall-clock on the SAME queries at sf0.1, best-of-2, measured
@@ -197,6 +202,10 @@ DUCKDB_BASELINE_SF01: dict[str, float | None] = {
     "q_link_frontier": 0.0043,
     "q_crawl_pipeline_e2e": 0.0616,
     "q_fmp4_frame_index_roundtrip": 0.005,
+    "q_warc_split_ingest": 0.0034,
+    "q_crawl_bfs_frontier": 0.0089,
+    "q_sitemap_ingest": 0.0041,
+    "q_politeness_schedule": 0.0057,
 }
 
 # Keys pinned before round 8 — the basis r2-r7 ratios were computed on.
@@ -207,6 +216,8 @@ _R8_NEW_PINS = {
     "q_substring_dup_strip", "q_warc_crawl_extract", "q_robots_gate",
     "q_robots_wildcard", "q_link_frontier", "q_crawl_pipeline_e2e",
     "q_fmp4_frame_index_roundtrip",
+    "q_warc_split_ingest", "q_crawl_bfs_frontier",
+    "q_sitemap_ingest", "q_politeness_schedule",
 }
 
 
