@@ -483,3 +483,66 @@ def test_warc_split_stream_parity(spark, tmp_path):
     }
     assert len(got_batch) == 12
     assert got_stream == got_batch
+
+
+def test_robots_pattern_regex_property():
+    """Property: the regex translation of ANY robots pattern agrees
+    with an independent dynamic-programming matcher implementing the
+    RFC 9309 semantics directly ('*' = any octet sequence, trailing
+    '$' = end anchor, everything else literal, prefix match
+    otherwise)."""
+    import re as re_mod
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fortune_500_financial_insights_pipeline_spark.operators.robots import (
+        pattern_regex,
+    )
+
+    def ref_match(pattern: str, path: str) -> bool:
+        anchored = pattern.endswith("$")
+        body = pattern[:-1] if anchored else pattern
+        segs = body.split("*")
+
+        # DP over "can segs[i:] match path[j:]" with '*' gaps between
+        # segments; without the end anchor the final segment may end
+        # anywhere (prefix semantics)
+        def rec(i: int, j: int) -> bool:
+            if i == len(segs):
+                return True
+            seg = segs[i]
+            last = i == len(segs) - 1
+            starts = [j] if i == 0 else range(j, len(path) - len(seg) + 1)
+            for s in starts:
+                if s + len(seg) > len(path):
+                    continue
+                if path[s : s + len(seg)] != seg:
+                    continue
+                if last:
+                    # anchored: the final literal must end AT path end;
+                    # unanchored: prefix semantics, anything may follow
+                    if not anchored or s + len(seg) == len(path):
+                        return True
+                    continue
+                if rec(i + 1, s + len(seg)):
+                    return True
+            return False
+
+        return rec(0, 0)
+
+    alphabet = st.sampled_from(list("ab/.?*$("))
+    pat_st = st.text(alphabet, min_size=0, max_size=8)
+    path_st = st.text(st.sampled_from(list("ab/.?($")), min_size=0, max_size=10)
+
+    @settings(max_examples=400, deadline=None)
+    @given(pat_st, path_st)
+    def check(pattern, path):
+        rx = pattern_regex(pattern)
+        if rx is None:
+            got = path.startswith(pattern)
+        else:
+            got = re_mod.match(rx, path) is not None
+        assert got == ref_match(pattern, path), (pattern, path, rx)
+
+    check()
