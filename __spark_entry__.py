@@ -170,6 +170,7 @@ _FLAGSHIP_LLM = [
     "q_crawl_bfs_frontier",
     "q_sitemap_ingest",
     "q_politeness_schedule",
+    "q_recrawl_delta",
 ]
 
 # Pattern net for the broader LLM-pipeline family (dedup / similarity /

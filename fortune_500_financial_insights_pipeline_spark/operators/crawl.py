@@ -180,3 +180,45 @@ def politeness_schedule(
         )
         .drop("__host", "crawl_delay")
     )
+
+
+def recrawl_delta(
+    entries: DataFrame,
+    state: DataFrame,
+    url_col: str = "loc",
+    lastmod_col: str = "lastmod",
+    state_url_col: str = "url",
+    fetched_col: str = "last_fetch",
+) -> DataFrame:
+    """Incremental RECRAWL scheduling — the lifecycle stage after
+    discovery: sitemap entries (or any (url, lastmod) feed) against the
+    crawl state (url, last_fetch) classify into ``action``:
+
+    * ``new``    — never fetched (no state row): fetch;
+    * ``stale``  — lastmod after last_fetch: re-fetch;
+    * ``fresh``  — fetched at/after lastmod: skip;
+    * ``unknown``— entry carries no lastmod: policy row (callers decide
+      a TTL; emitting it distinctly keeps the decision auditable).
+
+    Pure relational: one url-keyed left join (state is the big side at
+    web scale — both sides hash-partition on url, no window, no UDF);
+    timestamps compare as ISO-8601 strings (lexicographic == temporal
+    for zero-padded dates, the sitemaps.org format)."""
+    e = entries.withColumnRenamed(url_col, "__u")
+    s = state.select(
+        F.col(state_url_col).alias("__u"),
+        F.col(fetched_col).alias("__fetched"),
+    )
+    joined = e.join(s, "__u", "left")
+    action = (
+        F.when(F.col("__fetched").isNull(), F.lit("new"))
+        .when(F.col(lastmod_col).isNull(), F.lit("unknown"))
+        .when(F.col(lastmod_col) > F.col("__fetched"), F.lit("stale"))
+        .otherwise(F.lit("fresh"))
+    )
+    return (
+        joined.withColumn("action", action)
+        .withColumn("last_fetch", F.col("__fetched"))
+        .drop("__fetched")
+        .withColumnRenamed("__u", url_col)
+    )

@@ -184,3 +184,36 @@ SELECT 'example' || n.k || '.com' AS host,
 FROM n JOIN del USING (k)
 ORDER BY host
 """
+
+# q_recrawl_delta: date arithmetic replayed — entry 0 fetched at
+# 2026-01-(1+(3d)%27) vs lastmod 2026-01-(1+d%27): stale iff lastmod >
+# last_fetch (lexicographic == temporal for zero-padded ISO); entry 1
+# never fetched -> 'new' (state-missing outranks the missing-lastmod
+# 'unknown' class, which only applies to d%4==0 rows WITH state — none
+# here, so entry 1 is always 'new').
+ORACLES["q_recrawl_delta"] = """
+WITH d AS (
+  SELECT doc_id, doc_id % 5 AS k,
+         lpad(CAST(1 + doc_id % 27 AS VARCHAR), 2, '0') AS day,
+         lpad(CAST(1 + (3 * doc_id) % 27 AS VARCHAR), 2, '0') AS fday
+  FROM documents WHERE doc_id < 50 AND (doc_id % 5) % 2 = 0
+), e AS (
+  SELECT doc_id,
+         'http://example' || k || '.com/s/' || doc_id || '/0' AS loc,
+         '2026-01-' || day AS lastmod,
+         '2026-01-' || fday AS last_fetch,
+         CASE WHEN '2026-01-' || day > '2026-01-' || fday
+              THEN 'stale' ELSE 'fresh' END AS action
+  FROM d
+  UNION ALL
+  SELECT doc_id,
+         'http://example' || k || '.com/s/' || doc_id || '/1',
+         CASE WHEN doc_id % 4 = 0 THEN NULL
+              ELSE '2026-01-' || day END,
+         CAST(NULL AS VARCHAR),
+         'new'
+  FROM d
+)
+SELECT doc_id, loc, lastmod, last_fetch, action FROM e
+ORDER BY doc_id, loc
+"""

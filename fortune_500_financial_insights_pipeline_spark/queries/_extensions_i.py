@@ -474,3 +474,72 @@ def q_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+@q("q_recrawl_delta")
+def q_recrawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental recrawl scheduling certified cross-engine — the
+    lifecycle stage after discovery (q_sitemap_ingest) and before the
+    politeness queue (q_politeness_schedule): the same even-k sitemap
+    feed (doc_id < 50, two page entries at lastmod 2026-01-(1 + d mod
+    27); entry 1's lastmod is DROPPED for d mod 4 == 0 to exercise the
+    'unknown' class) joins the crawl state, which has fetched entry 0
+    of every doc at 2026-01-(1 + (3d) mod 27) and has never seen
+    entry 1. operators/crawl.recrawl_delta must classify: entry 1 ->
+    'new' (or 'unknown'-less — no state row wins first), entry 0 ->
+    'stale' iff lastmod > last_fetch else 'fresh'. One url-keyed left
+    join, no window, no UDF. The oracle replays the date arithmetic
+    with the same lexicographic ISO comparison. One row per entry."""
+    from fortune_500_financial_insights_pipeline_spark.operators.crawl import (
+        recrawl_delta,
+        sitemap_urls,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 50) & ((F.col("doc_id") % 5) % 2 == 0)
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "sitemap_xml": []}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                k = i % 5
+                day = 1 + i % 27
+                lm1 = (
+                    "" if i % 4 == 0
+                    else f"<lastmod>2026-01-{day:02d}</lastmod>"
+                )
+                xml = (
+                    '<?xml version="1.0" encoding="UTF-8"?>\n'
+                    '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+                    f"<url><loc>http://example{k}.com/s/{i}/0</loc>"
+                    f"<lastmod>2026-01-{day:02d}</lastmod></url>\n"
+                    f"<url><loc>http://example{k}.com/s/{i}/1</loc>{lm1}</url>\n"
+                    "</urlset>"
+                )
+                out["doc_id"].append(i)
+                out["sitemap_xml"].append(xml)
+            yield pd.DataFrame(out)
+
+    maps = d.select("doc_id").mapInPandas(
+        build, schema="doc_id long, sitemap_xml string"
+    )
+    entries = sitemap_urls(maps, host_col="doc_id").select(
+        F.col("host").alias("doc_id"), "loc", "lastmod"
+    )
+    k = (F.col("doc_id") % 5).cast("long")
+    fetch_day = F.lpad(((F.col("doc_id") * 3) % 27 + 1).cast("string"), 2, "0")
+    state = d.select(
+        F.concat(
+            F.lit("http://example"), k, F.lit(".com/s/"), F.col("doc_id"),
+            F.lit("/0"),
+        ).alias("url"),
+        F.concat(F.lit("2026-01-"), fetch_day).alias("last_fetch"),
+    )
+    out = recrawl_delta(entries, state)
+    return out.select("doc_id", "loc", "lastmod", "last_fetch", "action").orderBy(
+        "doc_id", "loc"
+    )

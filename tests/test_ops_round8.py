@@ -546,3 +546,34 @@ def test_robots_pattern_regex_property():
         assert got == ref_match(pattern, path), (pattern, path, rx)
 
     check()
+
+
+def test_recrawl_delta_all_classes(spark):
+    from fortune_500_financial_insights_pipeline_spark.operators.crawl import (
+        recrawl_delta,
+    )
+
+    entries = spark.createDataFrame(
+        [
+            ("http://a/1", "2026-02-01"),  # fetched older -> stale
+            ("http://a/2", "2026-01-01"),  # fetched same day -> fresh
+            ("http://a/3", None),          # fetched, no lastmod -> unknown
+            ("http://a/4", "2026-01-01"),  # never fetched -> new
+        ],
+        "loc string, lastmod string",
+    )
+    state = spark.createDataFrame(
+        [
+            ("http://a/1", "2026-01-15"),
+            ("http://a/2", "2026-01-01"),
+            ("http://a/3", "2026-01-15"),
+        ],
+        "url string, last_fetch string",
+    )
+    got = {r["loc"]: r["action"] for r in recrawl_delta(entries, state).collect()}
+    assert got == {
+        "http://a/1": "stale",
+        "http://a/2": "fresh",
+        "http://a/3": "unknown",
+        "http://a/4": "new",
+    }
