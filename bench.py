@@ -125,6 +125,7 @@ HEADLINE = [
     "q_crawl_bfs_frontier",
     "q_sitemap_ingest",
     "q_politeness_schedule",
+    "q_recrawl_delta",
 ]
 
 # DuckDB oracle wall-clock on the SAME queries at sf0.1, best-of-2, measured
@@ -206,6 +207,7 @@ DUCKDB_BASELINE_SF01: dict[str, float | None] = {
     "q_crawl_bfs_frontier": 0.0089,
     "q_sitemap_ingest": 0.0041,
     "q_politeness_schedule": 0.0057,
+    "q_recrawl_delta": 0.0047,
 }
 
 # Keys pinned before round 8 — the basis r2-r7 ratios were computed on.
@@ -217,7 +219,7 @@ _R8_NEW_PINS = {
     "q_robots_wildcard", "q_link_frontier", "q_crawl_pipeline_e2e",
     "q_fmp4_frame_index_roundtrip",
     "q_warc_split_ingest", "q_crawl_bfs_frontier",
-    "q_sitemap_ingest", "q_politeness_schedule",
+    "q_sitemap_ingest", "q_politeness_schedule", "q_recrawl_delta",
 }
 
 
