@@ -171,6 +171,7 @@ _FLAGSHIP_LLM = [
     "q_sitemap_ingest",
     "q_politeness_schedule",
     "q_recrawl_delta",
+    "q_warc_charset_text",
 ]
 
 # Pattern net for the broader LLM-pipeline family (dedup / similarity /

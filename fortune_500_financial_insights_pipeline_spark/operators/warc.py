@@ -167,15 +167,37 @@ def _parse_framed(data: bytes) -> "list[dict]":
 def http_split(block: bytes) -> "tuple[int | None, bytes]":
     """(status, body) from an HTTP response block; (None, block) when
     the block is not HTTP."""
+    status, _headers, body = http_split_headers(block)
+    return status, body
+
+
+def http_split_headers(
+    block: bytes,
+) -> "tuple[int | None, dict[str, str], bytes]":
+    """(status, headers, body) from an HTTP response block — the full
+    split: header names lowercased, values stripped (crawl analytics
+    need at least Content-Type's charset parameter to decode the body
+    correctly; blind UTF-8 mangles latin-1 crawl payloads). (None, {},
+    block) when the block is not HTTP; the same corrupt-payload
+    ValueError discipline as the framing walk."""
     if not block.startswith(b"HTTP/"):
-        return None, block
+        return None, {}, block
     sep = block.find(_CRLF + _CRLF)
     if sep < 0:
         raise ValueError("corrupt WARC: HTTP block without header terminator")
-    status_line = block[: block.find(_CRLF)].split(b" ")
+    head_lines = block[:sep].split(_CRLF)
+    status_line = head_lines[0].split(b" ")
     if len(status_line) < 2 or not status_line[1].isdigit():
         raise ValueError("corrupt WARC: malformed HTTP status line")
-    return int(status_line[1]), block[sep + 4 :]
+    headers: dict[str, str] = {}
+    for line in head_lines[1:]:
+        if b":" not in line:
+            raise ValueError("corrupt WARC: HTTP header line without colon")
+        k, v = line.split(b":", 1)
+        headers[k.decode("ascii", "replace").strip().lower()] = (
+            v.decode("utf-8", "replace").strip()
+        )
+    return int(status_line[1]), headers, block[sep + 4 :]
 
 
 def warc_parse(data: bytes) -> "list[dict]":
@@ -192,7 +214,7 @@ def warc_parse(data: bytes) -> "list[dict]":
         framed = _parse_framed(data)
     out = []
     for rec in framed:
-        status, body = http_split(rec["block"])
+        status, http_headers, body = http_split_headers(rec["block"])
         out.append(
             {
                 "warc_type": rec["warc_type"],
@@ -200,6 +222,7 @@ def warc_parse(data: bytes) -> "list[dict]":
                 "date": rec["date"],
                 "content_type": rec["content_type"],
                 "http_status": status,
+                "http_content_type": http_headers.get("content-type"),
                 "body": body,
             }
         )
@@ -221,7 +244,7 @@ def warc_records(
             out = {
                 "doc_id": [], "rec_idx": [], "warc_type": [],
                 "target_uri": [], "content_type": [], "http_status": [],
-                "body": [],
+                "http_content_type": [], "body": [],
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["__warc"]):
                 for i, rec in enumerate(warc_parse(bytes(payload))):
@@ -231,6 +254,7 @@ def warc_records(
                     out["target_uri"].append(rec["target_uri"])
                     out["content_type"].append(rec["content_type"])
                     out["http_status"].append(rec["http_status"])
+                    out["http_content_type"].append(rec["http_content_type"])
                     out["body"].append(rec["body"])
             yield pd.DataFrame(out)
 
@@ -240,7 +264,7 @@ def warc_records(
         parse,
         schema="doc_id long, rec_idx int, warc_type string, "
         "target_uri string, content_type string, http_status int, "
-        "body binary",
+        "http_content_type string, body binary",
     )
 
 
@@ -377,7 +401,7 @@ def split_records_from_listing(
             out: dict[str, list] = {
                 "archive_path": [], "member_idx": [], "rec_in_member": [],
                 "warc_type": [], "target_uri": [], "content_type": [],
-                "http_status": [], "body": [],
+                "http_status": [], "http_content_type": [], "body": [],
             }
             pdf = pdf.sort_values(["path", "start"])
             open_path, fh = None, None
@@ -400,6 +424,9 @@ def split_records_from_listing(
                         out["target_uri"].append(rec["target_uri"])
                         out["content_type"].append(rec["content_type"])
                         out["http_status"].append(rec["http_status"])
+                        out["http_content_type"].append(
+                            rec["http_content_type"]
+                        )
                         out["body"].append(rec["body"])
             finally:
                 if fh is not None:
@@ -410,11 +437,63 @@ def split_records_from_listing(
         fetch,
         schema="archive_path string, member_idx int, rec_in_member int, "
         "warc_type string, target_uri string, content_type string, "
-        "http_status int, body binary",
+        "http_status int, http_content_type string, body binary",
     )
     return recs.select(
         "archive_path",
         F.abs(F.xxhash64("archive_path")).alias("doc_id"),
         "member_idx", "rec_in_member", "warc_type", "target_uri",
-        "content_type", "http_status", "body",
+        "content_type", "http_status", "http_content_type", "body",
+    )
+
+
+# charsets the decode expression handles natively (JVM decoder names);
+# everything else quarantines to NULL text + decode_ok=false — at crawl
+# scale an exotic charset is a per-row data condition, not a job error
+_KNOWN_CHARSETS = {
+    "utf-8": "UTF-8",
+    "utf8": "UTF-8",
+    "us-ascii": "US-ASCII",
+    "ascii": "US-ASCII",
+    "iso-8859-1": "ISO-8859-1",
+    "latin-1": "ISO-8859-1",
+    "latin1": "ISO-8859-1",
+    "utf-16": "UTF-16",
+    "utf-16le": "UTF-16LE",
+    "utf-16be": "UTF-16BE",
+}
+
+
+def decoded_text(
+    body_col: str = "body",
+    http_content_type_col: str = "http_content_type",
+    default_charset: str = "UTF-8",
+):
+    """(text, charset, decode_ok) struct column: decode an HTTP response
+    body per its Content-Type ``charset`` parameter — the correctness
+    gap of blind-UTF-8 ingestion (0xE9 is 'é' in the latin-1 half of
+    the web, mojibake under UTF-8). Pure column expressions: the
+    charset parameter is one regexp_extract; the decode is a when-chain
+    over the known charset table (``F.decode`` takes literal charset
+    names, and the table is the realistic crawl set), so the whole
+    thing rides codegen with zero UDFs. Unknown charsets produce
+    (NULL, charset, false) — the per-row quarantine discipline
+    (count them; never fail the job). Missing Content-Type or a
+    parameterless one falls back to ``default_charset``."""
+    cs_raw = F.lower(
+        F.regexp_extract(
+            F.coalesce(F.col(http_content_type_col), F.lit("")),
+            r"charset=\"?([A-Za-z0-9_.:\-]+)\"?",
+            1,
+        )
+    )
+    cs = F.when(cs_raw == "", F.lit(default_charset.lower())).otherwise(cs_raw)
+    text = F.lit(None).cast("string")
+    for alias, jvm in sorted(set(_KNOWN_CHARSETS.items())):
+        text = F.when(cs == alias, F.decode(F.col(body_col), jvm)).otherwise(
+            text
+        )
+    ok = cs.isin(*sorted(_KNOWN_CHARSETS))
+    return F.struct(
+        text.alias("text"), cs.alias("charset"), ok.alias("decode_ok")
     )

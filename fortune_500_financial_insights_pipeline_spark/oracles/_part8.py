@@ -217,3 +217,24 @@ WITH d AS (
 SELECT doc_id, loc, lastmod, last_fetch, action FROM e
 ORDER BY doc_id, loc
 """
+
+# q_warc_charset_text: the per-class decoded strings replayed — the
+# engine must decode 0xE9 as 'é' under ISO-8859-1 and the 3-byte № under
+# UTF-8, fall back to UTF-8 when no charset parameter is present, and
+# quarantine the unknown charset row to NULL text.
+ORACLES["q_warc_charset_text"] = """
+SELECT doc_id,
+       CASE doc_id % 4
+         WHEN 0 THEN 'utf-8'
+         WHEN 1 THEN 'iso-8859-1'
+         WHEN 2 THEN 'utf-8'
+         ELSE 'klingon' END AS charset,
+       (doc_id % 4) <> 3 AS decode_ok,
+       CASE doc_id % 4
+         WHEN 0 THEN md5('Prix é № ' || doc_id)
+         WHEN 1 THEN md5('Prix é ' || doc_id)
+         WHEN 2 THEN md5('Plain ' || doc_id)
+         ELSE NULL END AS text_md5
+FROM documents WHERE doc_id < 40
+ORDER BY doc_id
+"""

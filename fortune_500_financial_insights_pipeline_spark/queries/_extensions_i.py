@@ -543,3 +543,79 @@ def q_recrawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "loc", "lastmod", "last_fetch", "action").orderBy(
         "doc_id", "loc"
     )
+
+
+@q("q_warc_charset_text")
+def q_warc_charset_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset-aware crawl-body decoding certified cross-engine — the
+    real-data gap of blind-UTF-8 ingestion (half the web's 0xE9 bytes
+    are latin-1 'é'): per document (doc_id < 40, k = doc_id mod 4), a
+    WARC response whose HTTP Content-Type and byte encoding vary —
+    k=0 UTF-8 with multi-byte text ('Prix é № {d}', charset=UTF-8),
+    k=1 ISO-8859-1 with the SAME visible text minus № ('Prix é {d}',
+    0xE9 single byte, charset=ISO-8859-1), k=2 plain ASCII with NO
+    charset parameter (falls back to UTF-8), k=3 an UNKNOWN charset
+    (quarantines per row: NULL text, decode_ok=false — never a job
+    error). The engine path: warc_records (which now surfaces the HTTP
+    Content-Type header via http_split_headers) → decoded_text (one
+    regexp_extract + a codegen when-chain over the charset table, zero
+    UDFs). The oracle replays the expected decoded string per class and
+    hashes it. One row per doc."""
+    from fortune_500_financial_insights_pipeline_spark.operators.warc import (
+        decoded_text,
+        warc_records,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+
+    def build(batches):
+        import pandas as pd
+
+        from fortune_500_financial_insights_pipeline_spark.operators.warc import (
+            warc_build,
+            warc_build_record,
+        )
+
+        for pdf in batches:
+            out = {"doc_id": [], "warc": []}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                k = i % 4
+                if k == 0:
+                    body = f"Prix é № {i}".encode("utf-8")
+                    ctype = "text/html; charset=UTF-8"
+                elif k == 1:
+                    body = f"Prix é {i}".encode("iso-8859-1")
+                    ctype = 'text/plain; charset="ISO-8859-1"'
+                elif k == 2:
+                    body = f"Plain {i}".encode("ascii")
+                    ctype = "text/plain"
+                else:
+                    body = f"Mystery {i}".encode("ascii")
+                    ctype = "text/html; charset=klingon"
+                http = (
+                    f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n"
+                    f"Content-Length: {len(body)}\r\n\r\n"
+                ).encode() + body
+                recs = [
+                    warc_build_record(
+                        "response", http,
+                        target_uri=f"http://example{k}.com/cs/{i}",
+                    ),
+                ]
+                out["doc_id"].append(i)
+                out["warc"].append(warc_build(recs, gzip_members=True))
+            yield pd.DataFrame(out)
+
+    archives = d.select("doc_id").mapInPandas(build, schema="doc_id long, warc binary")
+    resp = warc_records(archives).where(F.col("warc_type") == "response")
+    dec = resp.withColumn("__d", decoded_text())
+    return (
+        dec.select(
+            "doc_id",
+            F.col("__d.charset").alias("charset"),
+            F.col("__d.decode_ok").alias("decode_ok"),
+            F.md5(F.col("__d.text")).alias("text_md5"),
+        )
+        .orderBy("doc_id")
+    )

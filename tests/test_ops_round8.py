@@ -577,3 +577,48 @@ def test_recrawl_delta_all_classes(spark):
         "http://a/3": "unknown",
         "http://a/4": "new",
     }
+
+
+def test_http_split_headers_and_decoded_text(spark):
+    """http_split_headers surfaces lowercased HTTP headers; decoded_text
+    decodes per the charset parameter (latin-1 0xE9 -> 'é'; blind UTF-8
+    would emit U+FFFD), falls back on parameterless types, quarantines
+    unknown charsets per row."""
+    from fortune_500_financial_insights_pipeline_spark.operators.warc import (
+        decoded_text,
+        http_split_headers,
+    )
+
+    block = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=ISO-8859-1\r\n"
+        b"X-Custom: V\r\n\r\n\xe9body"
+    )
+    status, headers, body = http_split_headers(block)
+    assert status == 200
+    assert headers == {
+        "content-type": "text/plain; charset=ISO-8859-1",
+        "x-custom": "V",
+    }
+    assert body == b"\xe9body"
+
+    df = spark.createDataFrame(
+        [
+            (1, "text/plain; charset=ISO-8859-1", bytearray(b"\xe9")),
+            (2, "text/html; charset=UTF-8", bytearray("é".encode())),
+            (3, "text/plain", bytearray(b"plain")),
+            (4, "text/html; charset=klingon", bytearray(b"x")),
+            (5, None, bytearray(b"fallback")),
+        ],
+        "id long, http_content_type string, body binary",
+    )
+    got = {
+        r["id"]: (r["d"]["text"], r["d"]["charset"], r["d"]["decode_ok"])
+        for r in df.withColumn("d", decoded_text()).collect()
+    }
+    assert got == {
+        1: ("é", "iso-8859-1", True),
+        2: ("é", "utf-8", True),
+        3: ("plain", "utf-8", True),
+        4: (None, "klingon", False),
+        5: ("fallback", "utf-8", True),
+    }
