@@ -160,8 +160,11 @@ def politeness_schedule(
     )
     host = F.regexp_replace(host, r":\d+$", "")
     keyed = urls.withColumn("__host", host)
+    # Project the dim to exactly (host, crawl_delay): robots_crawl_delays
+    # emits extra audit columns (e.g. ``quarantined``) that must not leak
+    # into every output row of the URL frame.
     joined = keyed.join(
-        F.broadcast(delays.withColumnRenamed("host", "__host")),
+        F.broadcast(delays.select(F.col("host").alias("__host"), "crawl_delay")),
         "__host",
         "left",
     )
@@ -201,19 +204,29 @@ def recrawl_delta(
       a TTL; emitting it distinctly keeps the decision auditable).
 
     Pure relational: one url-keyed left join (state is the big side at
-    web scale — both sides hash-partition on url, no window, no UDF);
-    timestamps compare as ISO-8601 strings (lexicographic == temporal
-    for zero-padded dates, the sitemaps.org format)."""
+    web scale — both sides hash-partition on url, no window, no UDF).
+    Timestamps compare TEMPORALLY: sitemaps.org allows full W3C
+    datetime with timezone offsets and mixed precision (date-only vs
+    datetime, '+02:00' vs 'Z'), where lexicographic order diverges from
+    temporal order — both sides parse with try_to_timestamp (date-only
+    coalesces to midnight, offsets normalize); rows where either side
+    fails to parse fall back to the string compare rather than silently
+    misclassifying."""
     e = entries.withColumnRenamed(url_col, "__u")
     s = state.select(
         F.col(state_url_col).alias("__u"),
         F.col(fetched_col).alias("__fetched"),
     )
     joined = e.join(s, "__u", "left")
+    lm_ts = F.try_to_timestamp(F.col(lastmod_col))
+    ft_ts = F.try_to_timestamp(F.col("__fetched"))
+    newer = F.when(
+        lm_ts.isNotNull() & ft_ts.isNotNull(), lm_ts > ft_ts
+    ).otherwise(F.col(lastmod_col) > F.col("__fetched"))
     action = (
         F.when(F.col("__fetched").isNull(), F.lit("new"))
         .when(F.col(lastmod_col).isNull(), F.lit("unknown"))
-        .when(F.col(lastmod_col) > F.col("__fetched"), F.lit("stale"))
+        .when(newer, F.lit("stale"))
         .otherwise(F.lit("fresh"))
     )
     return (

@@ -234,7 +234,13 @@ def robots_gate(
     the rule dim (rows = rule count). Input rows pass through 1:1."""
     c = F.col(url_col)
     path = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
-    path = F.when(path == "", F.lit("/")).otherwise(path)
+    # RFC 9309 matches on path+query with an implied "/" path: a URL
+    # with a query but empty path (http://host?x=1) extracts "?x=1",
+    # which no "/"-anchored rule would ever match — prepend "/" whenever
+    # the extraction does not already start with one (covers empty too).
+    path = F.when(
+        ~path.startswith("/"), F.concat(F.lit("/"), path)
+    ).otherwise(path)
     host = F.lower(
         F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
     )

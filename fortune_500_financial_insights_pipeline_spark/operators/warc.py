@@ -190,13 +190,24 @@ def http_split_headers(
     if len(status_line) < 2 or not status_line[1].isdigit():
         raise ValueError("corrupt WARC: malformed HTTP status line")
     headers: dict[str, str] = {}
+    last_key: "str | None" = None
     for line in head_lines[1:]:
+        if line[:1] in (b" ", b"\t"):
+            # RFC 7230 obs-fold continuation: append to the previous
+            # header value (single-space joined, per the RFC's unfold).
+            if last_key is not None:
+                cont = line.decode("utf-8", "replace").strip()
+                if cont:
+                    headers[last_key] = (headers[last_key] + " " + cont).strip()
+            continue
         if b":" not in line:
-            raise ValueError("corrupt WARC: HTTP header line without colon")
+            # Malformed-server junk is common in real crawl data; one bad
+            # header line must not kill the ingest job — skip it (the
+            # per-row "count, never fail" discipline used elsewhere).
+            continue
         k, v = line.split(b":", 1)
-        headers[k.decode("ascii", "replace").strip().lower()] = (
-            v.decode("utf-8", "replace").strip()
-        )
+        last_key = k.decode("ascii", "replace").strip().lower()
+        headers[last_key] = v.decode("utf-8", "replace").strip()
     return int(status_line[1]), headers, block[sep + 4 :]
 
 
@@ -293,6 +304,14 @@ def iter_gzip_member_spans(read, chunk_size: int = 1 << 20):
     pos = 0  # absolute offset of the current member's first byte
     buf = read(chunk_size)
     while buf:
+        # A read-chunk boundary can leave a 1-byte tail after a member
+        # ends; top up before the magic check so a valid archive is not
+        # misread as corrupt.  EOF with a 1-byte remainder IS corruption.
+        while len(buf) < 2:
+            more = read(chunk_size)
+            if not more:
+                raise ValueError("corrupt WARC: gzip member without magic")
+            buf += more
         if buf[:2] != b"\x1f\x8b":
             raise ValueError("corrupt WARC: gzip member without magic")
         do = zlib.decompressobj(16 + zlib.MAX_WBITS)

@@ -1,0 +1,177 @@
+"""Round-9 regression tests for the r8 advisor findings: gzip
+member-span chunk-boundary tails, HTTP obs-fold/junk header tolerance,
+robots path normalization for query-only URLs, temporal (not
+lexicographic) recrawl comparison, and politeness dim column hygiene."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_gzip_member_spans_one_byte_tail(tmp_path):
+    """A read-chunk boundary that leaves a 1-byte tail after a member
+    ends must NOT be misread as corruption (r8 advisor, high): with
+    chunk_size = len(member1) + 1 the second iteration's magic check
+    used to see only b'\\x1f' and raise."""
+    from fortune_500_financial_insights_pipeline_spark.operators.warc import (
+        iter_gzip_member_spans,
+        warc_build,
+        warc_build_record,
+    )
+
+    recs = [warc_build_record("response", b"x" * (300 + 97 * i)) for i in range(3)]
+    blob = warc_build(recs, gzip_members=True)
+    f = tmp_path / "a.warc.gz"
+    f.write_bytes(blob)
+    # First find the true member spans with a safe chunk size.
+    with open(f, "rb") as fh:
+        spans = list(iter_gzip_member_spans(fh.read, chunk_size=1 << 20))
+    assert len(spans) == 3
+    member1_len = spans[0][1]
+    # Now force the 1-byte-tail case: the first read returns member 1
+    # plus exactly one byte of member 2.
+    with open(f, "rb") as fh:
+        got = list(iter_gzip_member_spans(fh.read, chunk_size=member1_len + 1))
+    assert got == spans
+    # Sweep a window of adversarial chunk sizes around every boundary.
+    for delta in (-1, 0, 1, 2):
+        for s, e in spans[:-1]:
+            cs = e + delta
+            if cs <= 0:
+                continue
+            with open(f, "rb") as fh:
+                assert list(iter_gzip_member_spans(fh.read, chunk_size=cs)) == spans
+    # EOF with a 1-byte remainder is REAL corruption and still fails closed.
+    g = tmp_path / "tail.warc.gz"
+    g.write_bytes(blob + b"\x1f")
+    with open(g, "rb") as fh:
+        with pytest.raises(ValueError, match="without magic"):
+            list(iter_gzip_member_spans(fh.read, chunk_size=1 << 20))
+
+
+def test_http_headers_obs_fold_and_junk_lines():
+    """RFC 7230 obs-fold continuations unfold into the previous header
+    value; non-colon junk lines are skipped, never job-fatal (r8
+    advisor, medium)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.warc import (
+        http_split_headers,
+    )
+
+    block = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html;\r\n"
+        b"\tcharset=utf-8\r\n"  # obs-fold continuation (HTAB)
+        b"X-Junk no colon here\r\n"  # malformed-server junk: skipped
+        b"Server: demo\r\n"
+        b" 1.0\r\n"  # obs-fold continuation (SP)
+        b"\r\n"
+        b"<html>body</html>"
+    )
+    status, headers, body = http_split_headers(block)
+    assert status == 200
+    assert headers["content-type"] == "text/html; charset=utf-8"
+    assert headers["server"] == "demo 1.0"
+    assert "x-junk no colon here" not in headers
+    assert body == b"<html>body</html>"
+    # A leading continuation with no previous header is ignored, not fatal.
+    status2, headers2, _ = http_split_headers(
+        b"HTTP/1.1 204 No Content\r\n \tdangling\r\n\r\n"
+    )
+    assert status2 == 204 and headers2 == {}
+
+
+def test_robots_gate_query_only_url(spark):
+    """A URL with a query but empty path (http://host?x=1) matches
+    "/"-anchored rules — RFC 9309 implies a "/" path (r8 advisor):
+    previously even a disallow-all rule let it through."""
+    from fortune_500_financial_insights_pipeline_spark.operators.robots import (
+        robots_gate,
+        robots_rules,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            ("closed.com", "User-agent: *\nDisallow: /\n"),
+            ("q.com", "User-agent: *\nDisallow: /*?*\nAllow: /okpage\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    rules = robots_rules(robots)
+    urls = spark.createDataFrame(
+        [
+            (1, "http://closed.com?x=1"),  # query, empty path
+            (2, "http://closed.com"),  # empty path, no query
+            (3, "http://q.com?track=1"),  # wildcard query disallow
+            (4, "http://q.com/okpage?track=1"),  # longer Allow wins
+        ],
+        "id long, url string",
+    )
+    got = {r["id"]: r["allowed"] for r in robots_gate(urls, rules).collect()}
+    assert got == {1: False, 2: False, 3: False, 4: True}
+
+
+def test_recrawl_delta_temporal_not_lexicographic(spark):
+    """Timezone offsets and mixed precision compare temporally (r8
+    advisor): '...T12:00+02:00' == 10:00Z is OLDER than '...T11:00Z'
+    even though it sorts lexicographically later."""
+    from fortune_500_financial_insights_pipeline_spark.operators.crawl import (
+        recrawl_delta,
+    )
+
+    entries = spark.createDataFrame(
+        [
+            # lexicographically "stale", temporally fresh:
+            ("http://a.com/1", "2026-01-05T12:00:00+02:00"),
+            # temporally stale across offsets (13:00+02:00 = 11:00Z > 10:30Z):
+            ("http://a.com/2", "2026-01-05T13:00:00+02:00"),
+            # date-only lastmod vs datetime fetch the same day -> fresh:
+            ("http://a.com/3", "2026-01-05"),
+            # never fetched:
+            ("http://a.com/4", "2026-01-05"),
+            # no lastmod but fetched -> unknown:
+            ("http://a.com/5", None),
+        ],
+        "loc string, lastmod string",
+    )
+    state = spark.createDataFrame(
+        [
+            ("http://a.com/1", "2026-01-05T11:00:00Z"),
+            ("http://a.com/2", "2026-01-05T10:30:00Z"),
+            ("http://a.com/3", "2026-01-05T00:00:00Z"),
+            ("http://a.com/5", "2026-01-04T00:00:00Z"),
+        ],
+        "url string, last_fetch string",
+    )
+    got = {
+        r["loc"]: r["action"] for r in recrawl_delta(entries, state).collect()
+    }
+    assert got == {
+        "http://a.com/1": "fresh",
+        "http://a.com/2": "stale",
+        "http://a.com/3": "fresh",
+        "http://a.com/4": "new",
+        "http://a.com/5": "unknown",
+    }
+
+
+def test_politeness_schedule_dim_columns_do_not_leak(spark):
+    """Extra audit columns on the delays dim (e.g. robots_crawl_delays'
+    'quarantined' flag) must not leak into the URL frame (r8 advisor)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.crawl import (
+        politeness_schedule,
+    )
+
+    urls = spark.createDataFrame(
+        [(f"http://h{i % 2}.com/p/{i}",) for i in range(6)], "url string"
+    )
+    delays = spark.createDataFrame(
+        [("h0.com", 2.0, True), ("h1.com", 0.5, False)],
+        "host string, crawl_delay double, quarantined boolean",
+    )
+    out = politeness_schedule(urls, delays)
+    assert set(out.columns) == {"url", "fetch_rank", "fetch_at_s"}
+    rows = {(r["url"], r["fetch_rank"], r["fetch_at_s"]) for r in out.collect()}
+    assert ("http://h0.com/p/0", 0, 0.0) in rows
+    assert ("http://h0.com/p/2", 1, 2.0) in rows
+    assert ("http://h1.com/p/3", 1, 0.5) in rows
