@@ -86,6 +86,120 @@ def crawl_bfs(
     return seen.select(F.col("__url").alias(url_col), "depth")
 
 
+def crawl_bfs_polite(
+    pages: DataFrame,
+    seeds: DataFrame,
+    rounds: int,
+    rules: DataFrame,
+    delays: "DataFrame | None" = None,
+    url_col: str = "url",
+    html_col: str = "html",
+    default_delay: float = 1.0,
+) -> DataFrame:
+    """:func:`crawl_bfs` with the robots + politeness contract COMPOSED
+    INTO the iteration — the shape a real crawler runs: each round, the
+    newly-discovered frontier is gated through :func:`robots_gate`
+    BEFORE fetching (disallowed URLs are recorded as discovered but
+    never fetched and contribute no links), and the allowed slice is
+    stamped with per-host fetch slots by :func:`politeness_schedule`
+    (rank within (round, host), ordered by URL for determinism).
+
+    Output: one row per DISCOVERED URL — (url, depth, allowed,
+    quarantined_host, fetch_rank, fetch_at_s); rank/fetch time are
+    NULL for disallowed rows. Depth remains the minimum hop count over
+    the POLITE graph: a page only reachable through a disallowed page
+    is simply never discovered.
+
+    100 TB shape: allowed-ness is a property of the URL, not the
+    round, so the gate runs exactly TWICE total regardless of depth —
+    once over the corpus URL dim up front (the fetchable side the loop
+    joins against, so disallowed pages never fetch or expand) and once
+    over the final discovered set (for the output verdicts, covering
+    dead links the corpus pass never sees). Per round the loop is
+    byte-identical to :func:`crawl_bfs` (map-only parse over the
+    frontier slice, distinct, anti-join against the hash-partitioned
+    seen set). Politeness is ONE (depth, host)-keyed window at the
+    end — equivalent to a per-round host window because each round is
+    one depth, and politeness bounds per-(host, depth) row counts.
+    ``delays`` defaults to an empty dim (every host at
+    ``default_delay``); pass ``robots_crawl_delays(robots)`` to honor
+    Crawl-delay."""
+    from fortune_500_financial_insights_pipeline_spark.operators.robots import (
+        robots_gate,
+    )
+
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    if delays is None:
+        delays = pages.sparkSession.createDataFrame(
+            [], "host string, crawl_delay double"
+        )
+    corpus = pages.select(
+        F.col(url_col).alias("__url"), F.col(html_col).alias("__html")
+    )
+    # Gate the corpus ONCE: the loop below only ever fetches from the
+    # allowed slice, so a disallowed page contributes no links.
+    # Cut once: every round's fetch join re-references this frame, and
+    # without the checkpoint the gate would re-run inside every round's
+    # eager job.
+    allowed_corpus = (
+        robots_gate(corpus, rules, url_col="__url")
+        .where(F.col("allowed"))
+        .select("__url", "__html")
+        .localCheckpoint(eager=True)
+    )
+    frontier = (
+        seeds.select(F.col(url_col).alias("__url"))
+        .distinct()
+        .withColumn("depth", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    seen = frontier
+    for r in range(1, rounds + 1):
+        fetched = (
+            frontier.join(allowed_corpus, "__url")
+            .select(
+                F.xxhash64("__url").alias("__fid"),
+                F.col("__url").alias("base_url"),
+                F.col("__html").alias("html"),
+            )
+        )
+        links = html_links(fetched, id_col="__fid")
+        new = (
+            links.select(canonicalize_url("resolved").alias("__url"))
+            .distinct()
+            .join(seen.select("__url"), "__url", "left_anti")
+            .withColumn("depth", F.lit(r))
+            .localCheckpoint(eager=True)
+        )
+        seen = seen.unionByName(new).localCheckpoint(eager=False)
+        frontier = new
+    # One gate pass over the discovered set for the output verdicts
+    # (covers dead links), one (depth, host) politeness window over the
+    # allowed rows.
+    gated = robots_gate(seen, rules, url_col="__url")
+    sched = politeness_schedule(
+        gated.where(F.col("allowed")),
+        delays,
+        url_col="__url",
+        default_delay=default_delay,
+        partition_extra=("depth",),
+    )
+    blocked = (
+        gated.where(~F.col("allowed"))
+        .withColumn("fetch_rank", F.lit(None).cast("long"))
+        .withColumn("fetch_at_s", F.lit(None).cast("double"))
+    )
+    return sched.unionByName(blocked).select(
+        F.col("__url").alias(url_col),
+        "depth",
+        "allowed",
+        "quarantined_host",
+        "fetch_rank",
+        "fetch_at_s",
+    )
+
+
 SITEMAP_URLSET_SCHEMA = (
     "url ARRAY<STRUCT<loc: STRING, lastmod: STRING, "
     "changefreq: STRING, priority: DOUBLE>>"
@@ -141,6 +255,7 @@ def politeness_schedule(
     delays: DataFrame,
     url_col: str = "url",
     default_delay: float = 1.0,
+    partition_extra: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Assign each frontier URL a per-host fetch slot honoring the
     host's Crawl-delay: slot k of a host fetches at ``k * delay``
@@ -151,7 +266,9 @@ def politeness_schedule(
     (host-keyed partitioning — never a global window; web-scale
     frontiers have millions of hosts and politeness bounds per-host
     row counts) plus a broadcast join of the tiny delay dim. Appends
-    ``fetch_rank`` (0-based within host) and ``fetch_at_s``."""
+    ``fetch_rank`` (0-based within host) and ``fetch_at_s``.
+    ``partition_extra`` adds columns to the window partition (e.g.
+    crawl-round/depth, so each round's slots restart at 0)."""
     from pyspark.sql import Window as W
 
     c = F.col(url_col)
@@ -168,7 +285,7 @@ def politeness_schedule(
         "__host",
         "left",
     )
-    w = W.partitionBy("__host").orderBy(c)
+    w = W.partitionBy("__host", *partition_extra).orderBy(c)
     return (
         joined.withColumn(
             "fetch_rank", (F.row_number().over(w) - 1).cast("long")

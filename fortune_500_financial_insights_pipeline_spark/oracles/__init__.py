@@ -22,3 +22,4 @@ from fortune_500_financial_insights_pipeline_spark.oracles import _part5  # noqa
 from fortune_500_financial_insights_pipeline_spark.oracles import _part6  # noqa: F401,E402
 from fortune_500_financial_insights_pipeline_spark.oracles import _part7  # noqa: F401,E402
 from fortune_500_financial_insights_pipeline_spark.oracles import _part8  # noqa: F401,E402
+from fortune_500_financial_insights_pipeline_spark.oracles import _part9  # noqa: F401,E402

@@ -33,3 +33,4 @@ from fortune_500_financial_insights_pipeline_spark.queries import _extensions_f 
 from fortune_500_financial_insights_pipeline_spark.queries import _extensions_g  # noqa: F401,E402
 from fortune_500_financial_insights_pipeline_spark.queries import _extensions_h  # noqa: F401,E402
 from fortune_500_financial_insights_pipeline_spark.queries import _extensions_i  # noqa: F401,E402
+from fortune_500_financial_insights_pipeline_spark.queries import _extensions_j  # noqa: F401,E402

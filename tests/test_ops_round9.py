@@ -175,3 +175,67 @@ def test_politeness_schedule_dim_columns_do_not_leak(spark):
     assert ("http://h0.com/p/0", 0, 0.0) in rows
     assert ("http://h0.com/p/2", 1, 2.0) in rows
     assert ("http://h1.com/p/3", 1, 0.5) in rows
+
+
+def test_crawl_bfs_polite_blocks_expansion_and_schedules(spark):
+    """crawl_bfs_polite composes robots + politeness INTO the loop:
+    a disallowed page is discovered but never fetched (so pages
+    reachable only through it are never discovered), dead links still
+    get a verdict, and allowed rows carry per-(depth, host) fetch
+    slots honoring Crawl-delay."""
+    from fortune_500_financial_insights_pipeline_spark.operators.crawl import (
+        crawl_bfs_polite,
+    )
+    from fortune_500_financial_insights_pipeline_spark.operators.robots import (
+        robots_crawl_delays,
+        robots_rules,
+    )
+
+    # a -> b, blocked, dead ; blocked -> hidden (must never be found);
+    # b -> c
+    pages = spark.createDataFrame(
+        [
+            (
+                "http://s.test/a",
+                "<a href='/b'>x</a><a href='/blocked'>y</a>"
+                "<a href='http://s.test/dead'>z</a>",
+            ),
+            ("http://s.test/b", "<a href='/c'>x</a>"),
+            ("http://s.test/blocked", "<a href='/hidden'>x</a>"),
+            ("http://s.test/c", ""),
+            ("http://s.test/hidden", ""),
+        ],
+        "url string, html string",
+    )
+    robots = spark.createDataFrame(
+        [("s.test", "User-agent: *\nDisallow: /blocked\nCrawl-delay: 2\n")],
+        "host string, robots_txt string",
+    )
+    seeds = spark.createDataFrame([("http://s.test/a",)], "url string")
+    out = crawl_bfs_polite(
+        pages,
+        seeds,
+        rounds=3,
+        rules=robots_rules(robots),
+        delays=robots_crawl_delays(robots),
+    )
+    rows = {r["url"]: r for r in out.collect()}
+    assert set(rows) == {
+        "http://s.test/a",
+        "http://s.test/b",
+        "http://s.test/blocked",
+        "http://s.test/dead",
+        "http://s.test/c",
+    }  # /hidden is only reachable through /blocked -> never discovered
+    assert rows["http://s.test/blocked"]["allowed"] is False
+    assert rows["http://s.test/blocked"]["fetch_rank"] is None
+    assert rows["http://s.test/dead"]["allowed"] is True  # verdict for dead links
+    assert rows["http://s.test/a"]["depth"] == 0
+    assert rows["http://s.test/b"]["depth"] == 1
+    assert rows["http://s.test/c"]["depth"] == 2
+    # depth-1 allowed rows on s.test: b < dead by URL order -> slots 0, 1
+    assert rows["http://s.test/b"]["fetch_rank"] == 0
+    assert rows["http://s.test/b"]["fetch_at_s"] == 0.0
+    assert rows["http://s.test/dead"]["fetch_rank"] == 1
+    assert rows["http://s.test/dead"]["fetch_at_s"] == 2.0
+    assert rows["http://s.test/c"]["fetch_at_s"] == 0.0  # new depth restarts slots
