@@ -172,6 +172,11 @@ _FLAGSHIP_LLM = [
     "q_politeness_schedule",
     "q_recrawl_delta",
     "q_warc_charset_text",
+    # round-9 additions: the POLITE crawl iteration (robots + Crawl-delay
+    # composed into the BFS loop) and the crawl→curation dedup seam —
+    # first in line for a driver hash row while never-verified
+    "q_crawl_bfs_polite",
+    "q_crawl_dedup_e2e",
 ]
 
 # Pattern net for the broader LLM-pipeline family (dedup / similarity /

@@ -52,3 +52,87 @@ SELECT CAST(u AS BIGINT) AS doc_id,
 FROM ranked
 ORDER BY doc_id
 """
+
+# q_crawl_dedup_e2e: the synthetic page text, trigram shingles, md5
+# double-hash signatures, 4-band keys, bucket candidates, exact Jaccard
+# (>= 0.2), and the component closure replayed relationally — mirrors
+# ORACLES["q_minhash_portable"] with the text GENERATED (tiers 0/1 of a
+# group share vocab, tier 1 differs at word 15; tier 2 doc-private) and
+# a recursive min-label closure appended.
+ORACLES["q_crawl_dedup_e2e"] = """
+WITH RECURSIVE base AS (
+  SELECT doc_id AS d, doc_id % 10 AS g, doc_id // 10 AS t
+  FROM documents WHERE doc_id < 30
+), txt AS (
+  SELECT d, g,
+         string_agg(
+           CASE WHEN t = 2 THEN 'z' || d || '_' || j
+                WHEN t = 1 AND j = 15 THEN 'x' || g || '_15'
+                ELSE 'w' || g || '_' || j END,
+           ' ' ORDER BY j) AS text
+  FROM base, range(30) r(j)
+  GROUP BY d, g, t
+), g3 AS (
+  SELECT d, UNNEST(list_distinct(
+    list_transform(range(1, len(l) - 1),
+                   x -> l[x] || ' ' || l[x+1] || ' ' || l[x+2]))) AS gram
+  FROM (SELECT d, string_split(text, ' ') AS l FROM txt)
+), h AS (
+  SELECT d,
+         ('0x' || substr(md5(gram), 1, 15))::BIGINT AS u1,
+         ('0x' || substr(md5(gram), 17, 15))::BIGINT % 72057594037927936 AS u2
+  FROM g3
+), sig AS (
+  SELECT d, t.i, MIN((u1 + t.i * u2) % 1152921504606846976) AS v
+  FROM h CROSS JOIN (SELECT UNNEST(range(0, 16)) AS i) t
+  GROUP BY d, t.i
+), bandk AS (
+  SELECT d, CAST(i // 4 AS BIGINT) AS band,
+         string_agg(CAST(v AS VARCHAR), '_' ORDER BY i) AS key
+  FROM sig GROUP BY 1, 2
+), cand AS (
+  SELECT a.d AS id_a, b.d AS id_b
+  FROM bandk a
+  JOIN bandk b ON a.band = b.band AND a.key = b.key AND a.d < b.d
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT d, COUNT(*) AS n FROM g3 GROUP BY d
+), inter AS (
+  SELECT ga.d AS id_a, gb.d AS id_b, COUNT(*) AS ninter
+  FROM g3 ga JOIN g3 gb ON ga.gram = gb.gram AND ga.d < gb.d
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT c.id_a, c.id_b,
+           ROUND(CAST(COALESCE(i.ninter, 0) AS DOUBLE)
+                 / (sa.n + sb.n - COALESCE(i.ninter, 0)), 6) AS jac
+    FROM cand c
+    JOIN sizes sa ON sa.d = c.id_a
+    JOIN sizes sb ON sb.d = c.id_b
+    LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  ) WHERE jac >= 0.2
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), comp AS (
+  SELECT u AS d, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u
+), np AS (
+  SELECT d, COUNT(*) AS n_pairs FROM (
+    SELECT id_a AS d FROM pairs UNION ALL SELECT id_b FROM pairs
+  ) GROUP BY d
+)
+SELECT b.d AS doc_id,
+       'http://dup' || b.g || '.com/p/' || b.d AS url,
+       CAST(COALESCE(c.comp, b.d) AS BIGINT) AS cluster_id,
+       COALESCE(c.comp, b.d) = b.d AS kept,
+       CAST(COALESCE(np.n_pairs, 0) AS BIGINT) AS n_pairs
+FROM base b
+LEFT JOIN comp c ON c.d = b.d
+LEFT JOIN np ON np.d = b.d
+ORDER BY doc_id
+"""

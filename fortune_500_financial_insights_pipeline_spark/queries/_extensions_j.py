@@ -107,3 +107,114 @@ def q_crawl_bfs_polite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fetch_rank",
         "fetch_at_s",
     ).orderBy("doc_id")
+
+
+@q("q_crawl_dedup_e2e")
+def q_crawl_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl→curation SEAM certified cross-engine — WARC ingestion
+    composed with near-dup dedup over the EXTRACTED main text, the last
+    unjoined link between the two flagship families (r8 verdict item
+    4): WARC → warc_records → html_main_content → portable MinHash+LSH
+    (shingle → md5 double-hash signature → band → bucket pair → exact
+    Jaccard verify) → connected components → min-id survivor.
+
+    Per document (doc_id < 30; g = d mod 10, tier t = d div 10), the
+    page's single main block is 30 words: tiers 0 and 1 share group
+    g's vocabulary ('w{g}_{j}') with tier 1 changing only word 15 —
+    a designed near-dup pair (word-trigram Jaccard 25/31 ≈ 0.806) —
+    while tier 2 uses doc-private vocabulary ('z{d}_{j}', no dups).
+    The HTML wraps the text with a <nav> link block that extraction
+    must DROP (4 chars < min_chars), so the dedup keys on extracted
+    text, not raw HTML. The oracle replays text generation, shingles,
+    the Kirsch–Mitzenmacher md5 expansion, banding, candidates, exact
+    Jaccard, and the component closure (recursive CTE). Output: one
+    row per crawled doc — (doc_id, url, cluster_id, kept, n_pairs);
+    an LSH band miss would drop the pair from BOTH engines
+    identically, so the row set is deterministic."""
+    from fortune_500_financial_insights_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+    from fortune_500_financial_insights_pipeline_spark.operators.html import (
+        html_main_content,
+    )
+    from fortune_500_financial_insights_pipeline_spark.operators.minhash import (
+        minhash_neardup_pairs_portable,
+    )
+    from fortune_500_financial_insights_pipeline_spark.operators.warc import (
+        warc_records,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 30
+    ).select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        from fortune_500_financial_insights_pipeline_spark.operators.warc import (
+            http_response_payload,
+            warc_build,
+            warc_build_record,
+        )
+
+        for pdf in batches:
+            out = {"doc_id": [], "warc": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                g, t = d % 10, d // 10
+                words = [
+                    f"z{d}_{j}" if t == 2
+                    else (f"x{g}_15" if t == 1 and j == 15 else f"w{g}_{j}")
+                    for j in range(30)
+                ]
+                text = " ".join(words)
+                html = (
+                    "<html><body><nav><a href='/home'>home</a></nav>"
+                    f"<p>{text}</p></body></html>"
+                )
+                recs = [
+                    warc_build_record("warcinfo", b"software: dedup-e2e\r\n"),
+                    warc_build_record(
+                        "response",
+                        http_response_payload(html.encode()),
+                        target_uri=f"http://dup{g}.com/p/{d}",
+                    ),
+                ]
+                out["doc_id"].append(d)
+                out["warc"].append(warc_build(recs, gzip_members=True))
+            yield pd.DataFrame(out)
+
+    archives = docs.mapInPandas(build, schema="doc_id long, warc binary")
+    responses = (
+        warc_records(archives)
+        .where(F.col("warc_type") == "response")
+        .select(
+            "doc_id",
+            F.col("target_uri").alias("url"),
+            F.decode("body", "UTF-8").alias("html"),
+        )
+    )
+    extracted = html_main_content(responses).localCheckpoint(eager=False)
+    pairs = minhash_neardup_pairs_portable(
+        extracted, id_col="doc_id", text_col="main"
+    ).localCheckpoint(eager=False)  # consumed by components AND pair counts
+    comps = connected_components(pairs)
+    n_pairs = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__np"))
+    )
+    return (
+        extracted.join(comps, extracted["doc_id"] == comps["id"], "left")
+        .drop("id")
+        .join(n_pairs, "doc_id", "left")
+        .select(
+            "doc_id",
+            "url",
+            F.coalesce("comp", "doc_id").cast("long").alias("cluster_id"),
+            (F.coalesce("comp", "doc_id") == F.col("doc_id")).alias("kept"),
+            F.coalesce("__np", F.lit(0)).cast("long").alias("n_pairs"),
+        )
+        .orderBy("doc_id")
+    )
