@@ -284,6 +284,44 @@ def doc_suffix_sa(spark: SparkSession, sf_dir: str, cap: int = 40) -> DataFrame:
     return spark.createDataFrame(rows, "doc_id long, pos int, sa_rank long")
 
 
+def substring_bloom_state(
+    spark: SparkSession, sf_dir: str, cap: int = 40, m_bits: int = 1 << 18
+) -> str:
+    """Memoized CDC-chunk Bloom-cascade STATE DIRECTORY over `documents`
+    doc_id < cap — the persisted streaming-dedup state
+    q_substring_reconcile audits. First caller pays the real
+    batch-backfill build (streaming/boilerplate.boilerplate_batch_fn,
+    identical semantics and atomic stage swaps as the stream path); the
+    directory lives for the process (same shared-state class as
+    doc_suffix_sa: an artifact job, not billable to whichever consumer
+    runs first) and is removed at interpreter exit."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from fortune_500_financial_insights_pipeline_spark.catalog import load_table
+    from fortune_500_financial_insights_pipeline_spark.streaming.boilerplate import (
+        boilerplate_batch_fn,
+    )
+
+    def build() -> str:
+        corpus = (
+            load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < cap)
+            .select("doc_id", "text")
+        )
+        state_dir = tempfile.mkdtemp(prefix="substring_bloom_state_")
+        atexit.register(shutil.rmtree, state_dir, ignore_errors=True)
+        fn = boilerplate_batch_fn(
+            "doc_id", "text", state_dir, lambda df, b: df.count(),
+            min_docs=2, m_bits=m_bits,
+        )
+        fn(corpus, 0)
+        return state_dir
+
+    return _memo_trained(("substring_bloom_state", sf_dir, cap, m_bits), build)
+
+
 MEMO_BUILDS: "list[tuple[str, Callable[[SparkSession, str], object]]]" = [
     ("doc_jaccard_pairs(3,0.3)", lambda s, d: doc_jaccard_pairs(s, d, 3, 0.3).count()),
     ("doc_jaccard_pairs(2,0.8)", lambda s, d: doc_jaccard_pairs(s, d, 2, 0.8).count()),
@@ -297,4 +335,5 @@ MEMO_BUILDS: "list[tuple[str, Callable[[SparkSession, str], object]]]" = [
     ("ann_pq4x4", _ann_pq),
     ("ann_pqres4x4", _ann_pq_residual),
     ("doc_suffix_sa(40)", lambda s, d: doc_suffix_sa(s, d).count()),
+    ("substring_bloom_state(40)", lambda s, d: substring_bloom_state(s, d)),
 ]
