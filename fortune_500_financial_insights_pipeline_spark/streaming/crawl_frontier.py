@@ -113,3 +113,67 @@ def crawl_frontier_stream(
         m_bits=m_bits, k=k, mark_fetched_seen=mark_fetched_seen,
     )
     return pages.writeStream.foreachBatch(fn).outputMode("append")
+
+
+def polite_frontier_batch_fn(
+    state_dir: str,
+    emit: Callable[[DataFrame, int], None],
+    rules: DataFrame,
+    delays: "DataFrame | None" = None,
+    url_col: str = "url",
+    html_col: str = "html",
+    m_bits: int = 1 << 20,
+    k: int = 3,
+    mark_fetched_seen: bool = True,
+    default_delay: float = 1.0,
+) -> Callable[[DataFrame, int], None]:
+    """The POLITE streaming frontier — the stream twin of
+    ``operators/crawl.crawl_bfs_polite``: each micro-batch's
+    newly-discovered frontier links are gated through the RFC 9309
+    robots rules (``operators/robots.robots_gate`` — broadcast rule
+    dim, MAP-ONLY over the frontier) and the allowed slice is stamped
+    with per-(batch, host) Crawl-delay fetch slots
+    (``operators/crawl.politeness_schedule``) before reaching the
+    user sink.
+
+    Emitted rows carry (frontier_url, allowed, quarantined_host,
+    fetch_rank, fetch_at_s); disallowed rows are still emitted ONCE
+    flagged ``allowed=false`` (the auditable drop record — and their
+    fold into the Bloom seen set means a disallowed URL never
+    re-enters the frontier through another page's link either).
+    Feeding each batch round's ALLOWED fetches back as the next
+    micro-batch reproduces the batch loop's output exactly
+    (batch_id == depth; pinned by
+    tests/test_ops_round9.py::test_polite_frontier_stream_equals_batch).
+    """
+    from fortune_500_financial_insights_pipeline_spark.operators.crawl import (
+        politeness_schedule,
+    )
+    from fortune_500_financial_insights_pipeline_spark.operators.robots import (
+        robots_gate,
+    )
+
+    def gated_emit(df: DataFrame, batch_id: int) -> None:
+        dim = delays
+        if dim is None:
+            dim = df.sparkSession.createDataFrame(
+                [], "host string, crawl_delay double"
+            )
+        gated = robots_gate(df, rules, url_col="frontier_url")
+        sched = politeness_schedule(
+            gated.where(F.col("allowed")),
+            dim,
+            url_col="frontier_url",
+            default_delay=default_delay,
+        )
+        blocked = (
+            gated.where(~F.col("allowed"))
+            .withColumn("fetch_rank", F.lit(None).cast("long"))
+            .withColumn("fetch_at_s", F.lit(None).cast("double"))
+        )
+        emit(sched.unionByName(blocked), batch_id)
+
+    return crawl_frontier_batch_fn(
+        state_dir, gated_emit, url_col=url_col, html_col=html_col,
+        m_bits=m_bits, k=k, mark_fetched_seen=mark_fetched_seen,
+    )

@@ -239,3 +239,82 @@ def test_crawl_bfs_polite_blocks_expansion_and_schedules(spark):
     assert rows["http://s.test/dead"]["fetch_rank"] == 1
     assert rows["http://s.test/dead"]["fetch_at_s"] == 2.0
     assert rows["http://s.test/c"]["fetch_at_s"] == 0.0  # new depth restarts slots
+
+
+def test_polite_frontier_stream_equals_batch(spark, tmp_path):
+    """The POLITE streaming frontier == the batch polite BFS on the
+    same fetch schedule: feeding each round's allowed fetches as the
+    next micro-batch reproduces crawl_bfs_polite's depth>=1 rows
+    exactly — same robots verdicts, same per-(round, host) fetch
+    slots, blocked URLs emitted once flagged and never re-emitted."""
+    from fortune_500_financial_insights_pipeline_spark.operators.crawl import (
+        crawl_bfs_polite,
+    )
+    from fortune_500_financial_insights_pipeline_spark.operators.robots import (
+        robots_crawl_delays,
+        robots_rules,
+    )
+    from fortune_500_financial_insights_pipeline_spark.streaming.crawl_frontier import (
+        polite_frontier_batch_fn,
+    )
+
+    pages_rows = [
+        (
+            "http://s.test/a",
+            "<a href='/b'>x</a><a href='/blocked'>y</a>"
+            "<a href='http://s.test/dead'>z</a>",
+        ),
+        ("http://s.test/b", "<a href='/c'>x</a><a href='/a'>back</a>"),
+        ("http://s.test/blocked", "<a href='/hidden'>x</a>"),
+        ("http://s.test/c", ""),
+        ("http://s.test/hidden", ""),
+    ]
+    pages = spark.createDataFrame(pages_rows, "url string, html string")
+    robots = spark.createDataFrame(
+        [("s.test", "User-agent: *\nDisallow: /blocked\nCrawl-delay: 2\n")],
+        "host string, robots_txt string",
+    )
+    rules = robots_rules(robots).localCheckpoint(eager=True)
+    delays = robots_crawl_delays(robots).localCheckpoint(eager=True)
+    seeds = spark.createDataFrame([("http://s.test/a",)], "url string")
+
+    batch_rows = {
+        (r["url"], r["depth"], r["allowed"], r["fetch_rank"], r["fetch_at_s"])
+        for r in crawl_bfs_polite(
+            pages, seeds, rounds=3, rules=rules, delays=delays
+        ).collect()
+        if r["depth"] >= 1
+    }
+
+    emitted: list[tuple] = []
+    fn = polite_frontier_batch_fn(
+        str(tmp_path / "state"),
+        lambda df, bid: emitted.extend(
+            (
+                r["frontier_url"], bid + 1, r["allowed"],
+                r["fetch_rank"], r["fetch_at_s"],
+            )
+            for r in df.collect()
+        ),
+        rules,
+        delays=delays,
+    )
+    corpus = {u: h for u, h in pages_rows}
+    # fetch schedule: micro-batch b fetches round b's allowed pages
+    fetched = ["http://s.test/a"]
+    for bid in range(3):
+        n_before = len(emitted)
+        fn(
+            spark.createDataFrame(
+                [(u, f"<html><body>{corpus[u]}</body></html>") for u in fetched],
+                "url string, html string",
+            ),
+            bid,
+        )
+        fetched = [
+            u for (u, d, ok, _rk, _at) in emitted[n_before:]
+            if ok and u in corpus
+        ]
+        if not fetched:
+            break
+    assert set(emitted) == batch_rows
