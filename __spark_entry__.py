@@ -177,6 +177,7 @@ _FLAGSHIP_LLM = [
     # first in line for a driver hash row while never-verified
     "q_crawl_bfs_polite",
     "q_crawl_dedup_e2e",
+    "q_minhash_incremental",
 ]
 
 # Pattern net for the broader LLM-pipeline family (dedup / similarity /

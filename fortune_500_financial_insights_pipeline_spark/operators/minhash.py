@@ -314,3 +314,117 @@ def minhash_neardup_pairs_portable(
         .filter(F.col("jac") >= min_jaccard)
         .select("id_a", "id_b", "jac")
     )
+
+
+def _prep_portable_buckets(
+    df: DataFrame, id_col: str, text_col: str,
+    n_hashes: int, bands: int, ngram: int,
+) -> "tuple[DataFrame, DataFrame]":
+    """(grams, band buckets) for one corpus side under the PORTABLE hash
+    family (md5 + Kirsch–Mitzenmacher double hashing — the exact
+    arithmetic of minhash_neardup_pairs_portable, so signatures computed
+    here are interchangeable with persisted ones)."""
+    r = n_hashes // bands
+    m60 = 1 << 60
+    src = ensure_min_parallelism(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")),
+        "_id",
+    )
+    g = src.select(
+        "_id", word_ngrams(F.col("_text"), ngram).alias("_grams")
+    ).localCheckpoint(eager=False)
+    hx = F.md5(F.col("_gram"))
+    u1 = F.conv(F.substring(hx, 1, 15), 16, 10).cast("long")
+    u2 = F.conv(F.substring(hx, 17, 15), 16, 10).cast("long") % (1 << 56)
+    exploded = (
+        g.select("_id", F.explode("_grams").alias("_gram"))
+        .select("_id", u1.alias("_u1"), u2.alias("_u2"))
+    )
+    sig = exploded.groupBy("_id").agg(
+        *[
+            F.min((F.col("_u1") + F.lit(i) * F.col("_u2")) % m60).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_", *[F.col(f"h{b * r + j}").cast("string") for j in range(r)]
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select("_id", F.explode(band_entries).alias("e")).select(
+        "_id", F.col("e.band").alias("band"), F.col("e.key").alias("key")
+    )
+    return g, buckets
+
+
+def minhash_neardup_pairs_incremental_portable(
+    new: DataFrame,
+    old: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    min_jaccard: float = 0.2,
+    ngram: int = 3,
+    max_bucket: "int | None" = None,
+) -> DataFrame:
+    """INCREMENTAL near-dup pairs: every verified pair TOUCHING the new
+    increment — (new × new) from a bucket self-expansion over the new
+    side only, plus (new × old) from a band equi-join against the old
+    side's buckets — and NEVER an old×old pair. This is the daily-
+    ingest shape at 100 TB: the accumulated corpus's bucket and gram
+    tables are persisted artifacts (the ``_prep_portable_buckets``
+    subtrees here are exactly those artifacts — swap a table read in),
+    so each increment pays work proportional to |new| plus the
+    candidates it touches, not a full-corpus recompute. The old-side
+    pair space (the quadratic term that dominates a recompute) never
+    materializes — not even as collect_list arrays: ``bucket_pairs``
+    runs over new-side buckets only, and the cross join emits only
+    (new, old) rows.
+
+    Returns (id_a, id_b, jac, pair_kind) with id_a < id_b and
+    pair_kind in {'new_new', 'new_old'}; ids must be globally unique
+    across both sides. Hash family and verify are byte-identical to
+    :func:`minhash_neardup_pairs_portable`, so on (new ∪ old) minus
+    the old×old pairs the two functions agree exactly — the oracle
+    certifies precisely that."""
+    assert n_hashes % bands == 0, "bands must divide n_hashes"
+    g_new, b_new = _prep_portable_buckets(
+        new, id_col, text_col, n_hashes, bands, ngram
+    )
+    g_old, b_old = _prep_portable_buckets(
+        old, id_col, text_col, n_hashes, bands, ngram
+    )
+    cand_nn = bucket_pairs(
+        b_new, ["band", "key"], "_id", max_bucket=max_bucket
+    ).withColumn("pair_kind", F.lit("new_new"))
+    cand_no = (
+        b_new.select(F.col("_id").alias("_nid"), "band", "key")
+        .join(
+            b_old.select(F.col("_id").alias("_oid"), "band", "key"),
+            ["band", "key"],
+        )
+        .select(
+            F.least("_nid", "_oid").alias("id_a"),
+            F.greatest("_nid", "_oid").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("pair_kind", F.lit("new_old"))
+    )
+    cand = cand_nn.unionByName(cand_no)
+    grams = g_new.unionByName(g_old)
+    ga = grams.select(F.col("_id").alias("id_a"), F.col("_grams").alias("_ga"))
+    gb = grams.select(F.col("_id").alias("id_b"), F.col("_grams").alias("_gb"))
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("jac", F.round(jaccard(F.col("_ga"), F.col("_gb")), 6))
+        .filter(F.col("jac") >= min_jaccard)
+        .select("id_a", "id_b", "jac", "pair_kind")
+    )

@@ -136,3 +136,66 @@ LEFT JOIN comp c ON c.d = b.d
 LEFT JOIN np ON np.d = b.d
 ORDER BY doc_id
 """
+
+# q_minhash_incremental: full-corpus portable LSH candidates with
+# both-old pairs EXCLUDED — the incremental contract: identical hash
+# family / banding / verify as ORACLES["q_minhash_portable"], text
+# generated (50 shared words per vocab group, one variant word at
+# position 5+5t), pair_kind by the id-40 boundary (id_a >= 40 -> both
+# sides new).
+ORACLES["q_minhash_incremental"] = """
+WITH base AS (
+  SELECT doc_id AS d, doc_id % 20 AS v, doc_id // 20 AS t
+  FROM documents WHERE doc_id < 80
+), txt AS (
+  SELECT d, v, t,
+         string_agg(CASE WHEN j = 5 + 5 * t THEN 'x' || v || '_' || t
+                         ELSE 'w' || v || '_' || j END,
+                    ' ' ORDER BY j) AS text
+  FROM base, range(50) r(j)
+  GROUP BY d, v, t
+), g AS (
+  SELECT d, UNNEST(list_distinct(
+    list_transform(range(1, len(l) - 1),
+                   x -> l[x] || ' ' || l[x+1] || ' ' || l[x+2]))) AS gram
+  FROM (SELECT d, string_split(text, ' ') AS l FROM txt)
+), h AS (
+  SELECT d,
+         ('0x' || substr(md5(gram), 1, 15))::BIGINT AS u1,
+         ('0x' || substr(md5(gram), 17, 15))::BIGINT % 72057594037927936 AS u2
+  FROM g
+), sig AS (
+  SELECT d, t.i, MIN((u1 + t.i * u2) % 1152921504606846976) AS v
+  FROM h CROSS JOIN (SELECT UNNEST(range(0, 16)) AS i) t
+  GROUP BY d, t.i
+), bandk AS (
+  SELECT d, CAST(i // 4 AS BIGINT) AS band,
+         string_agg(CAST(v AS VARCHAR), '_' ORDER BY i) AS key
+  FROM sig GROUP BY 1, 2
+), cand AS (
+  SELECT a.d AS id_a, b.d AS id_b
+  FROM bandk a
+  JOIN bandk b ON a.band = b.band AND a.key = b.key AND a.d < b.d
+  WHERE NOT (a.d < 40 AND b.d < 40)
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT d, COUNT(*) AS n FROM g GROUP BY d
+), inter AS (
+  SELECT ga.d AS id_a, gb.d AS id_b, COUNT(*) AS ninter
+  FROM g ga JOIN g gb ON ga.gram = gb.gram AND ga.d < gb.d
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, jac,
+       CASE WHEN id_a >= 40 THEN 'new_new' ELSE 'new_old' END AS pair_kind
+FROM (
+  SELECT c.id_a, c.id_b,
+         ROUND(CAST(COALESCE(i.ninter, 0) AS DOUBLE)
+               / (sa.n + sb.n - COALESCE(i.ninter, 0)), 6) AS jac
+  FROM cand c
+  JOIN sizes sa ON sa.d = c.id_a
+  JOIN sizes sb ON sb.d = c.id_b
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+)
+WHERE jac >= 0.2
+ORDER BY id_a, id_b
+"""

@@ -218,3 +218,50 @@ def q_crawl_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@q("q_minhash_incremental")
+def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MinHash near-dup dedup certified cross-engine — the
+    daily-ingest shape at 100 TB: verified pairs touching the NEW
+    increment only (new×new + new×old), never an old×old recompute
+    (operators/minhash.minhash_neardup_pairs_incremental_portable).
+
+    Per document (doc_id < 80; vocab group v = d mod 20, variant
+    t = d div 20 in 0..3), the text is 50 words of group v's shared
+    vocabulary with ONE variant-specific word at position 5+5t
+    ('x{v}_{t}') — so each group's four variants (two OLD: t 0-1, two
+    NEW: t 2-3) are pairwise near-dups (trigram Jaccard 42/54 ≈ .778).
+    old = doc_id < 40, new = 40..79. The engine must emit the group's
+    new×old pairs (4) and its new×new pair (1) — as LSH banding
+    decides, identically replayed — and MUST NOT emit the old×old
+    pair (t0, t1) even though it passes the same threshold: the oracle
+    computes full-corpus band candidates and EXCLUDES both-old pairs,
+    so any old×old leakage (or omission of a new-touching pair) hash-
+    fails. Text generation is pure Catalyst (concat_ws when-chain,
+    no UDF); the oracle replays it with string_agg over range(50)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.minhash import (
+        minhash_neardup_pairs_incremental_portable,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 80)
+    v = (F.col("doc_id") % 20).cast("string")
+    t = F.expr("doc_id DIV 20")
+    words = []
+    for j in range(50):
+        if j in (5, 10, 15, 20):
+            tj = (j - 5) // 5
+            words.append(
+                F.when(
+                    t == tj,
+                    F.concat(F.lit("x"), v, F.lit(f"_{tj}")),
+                ).otherwise(F.concat(F.lit("w"), v, F.lit(f"_{j}")))
+            )
+        else:
+            words.append(F.concat(F.lit("w"), v, F.lit(f"_{j}")))
+    docs = d.select("doc_id", F.concat_ws(" ", *words).alias("text"))
+    old = docs.where(F.col("doc_id") < 40)
+    new = docs.where(F.col("doc_id") >= 40)
+    return minhash_neardup_pairs_incremental_portable(
+        new, old, id_col="doc_id", text_col="text"
+    ).orderBy("id_a", "id_b")

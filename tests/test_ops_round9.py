@@ -318,3 +318,39 @@ def test_polite_frontier_stream_equals_batch(spark, tmp_path):
         if not fetched:
             break
     assert set(emitted) == batch_rows
+
+
+def test_minhash_incremental_excludes_old_old(spark):
+    """The incremental near-dup join emits every verified pair touching
+    the new increment and NEVER an old-old pair, even when the old pair
+    passes the same threshold."""
+    from fortune_500_financial_insights_pipeline_spark.operators.minhash import (
+        minhash_neardup_pairs_incremental_portable,
+        minhash_neardup_pairs_portable,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = [
+        (1, base + " alpha"),
+        (2, base + " beta"),   # old near-dup of 1
+        (3, base + " gamma"),  # new near-dup of both
+        (4, "совершенно другой текст без общих слов вообще ни одного"),
+    ]
+    old = spark.createDataFrame(docs[:2], "doc_id long, text string")
+    new = spark.createDataFrame(docs[2:], "doc_id long, text string")
+    inc = {
+        (r["id_a"], r["id_b"]): r["pair_kind"]
+        for r in minhash_neardup_pairs_incremental_portable(
+            new, old, "doc_id", "text", min_jaccard=0.2
+        ).collect()
+    }
+    assert (1, 2) not in inc  # old-old suppressed
+    assert all(k == "new_old" for k in inc.values())
+    # parity with the full recompute minus its old-old pairs
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_neardup_pairs_portable(
+            old.unionByName(new), "doc_id", "text", min_jaccard=0.2
+        ).collect()
+    }
+    assert set(inc) == {p for p in full if not (p[0] <= 2 and p[1] <= 2)}
