@@ -178,6 +178,7 @@ _FLAGSHIP_LLM = [
     "q_crawl_bfs_polite",
     "q_crawl_dedup_e2e",
     "q_minhash_incremental",
+    "q_recrawl_pipeline_e2e",
 ]
 
 # Pattern net for the broader LLM-pipeline family (dedup / similarity /

@@ -199,3 +199,35 @@ FROM (
 WHERE jac >= 0.2
 ORDER BY id_a, id_b
 """
+
+# q_recrawl_pipeline_e2e: the refetch lifecycle replayed — per-doc
+# sitemap entry (lastmod 1 + d%27), state for d%3==0 (fetched 1 +
+# (2d)%27), action by temporal compare (same-format zero-padded dates:
+# lexicographic == temporal), to-fetch = new + stale, per-host rank
+# over loc string order, delay k + 0.5.
+ORACLES["q_recrawl_pipeline_e2e"] = """
+WITH d AS (
+  SELECT doc_id AS d, doc_id % 5 AS k,
+         1 + doc_id % 27 AS lday, 1 + (2 * doc_id) % 27 AS fday
+  FROM documents WHERE doc_id < 60
+), e AS (
+  SELECT d, k,
+         'http://example' || k || '.com/s/' || d AS loc,
+         '2026-01-' || lpad(CAST(lday AS VARCHAR), 2, '0') AS lastmod,
+         CASE WHEN d % 3 <> 0 THEN NULL
+              ELSE '2026-01-' || lpad(CAST(fday AS VARCHAR), 2, '0')
+         END AS last_fetch,
+         CASE WHEN d % 3 <> 0 THEN 'new'
+              WHEN lday > fday THEN 'stale'
+              ELSE 'fresh' END AS action
+  FROM d
+), tf AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY loc) - 1 AS rk
+  FROM e WHERE action <> 'fresh'
+)
+SELECT CAST(d AS BIGINT) AS doc_id, loc, action, last_fetch,
+       CAST(rk AS BIGINT) AS fetch_rank,
+       ROUND(rk * (k + 0.5), 6) AS fetch_at_s
+FROM tf
+ORDER BY doc_id
+"""

@@ -265,3 +265,69 @@ def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_neardup_pairs_incremental_portable(
         new, old, id_col="doc_id", text_col="text"
     ).orderBy("id_a", "id_b")
+
+
+@q("q_recrawl_pipeline_e2e")
+def q_recrawl_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RECRAWL lifecycle COMPOSED and certified in one pass —
+    discovery → delta → politeness, the continuous-crawl loop's refetch
+    half (each stage individually certified by q_sitemap_ingest,
+    q_recrawl_delta, q_politeness_schedule; this key certifies their
+    composition): per document (doc_id < 60, host = example{d mod
+    5}.com) a one-entry sitemaps.org <urlset> (lastmod 2026-01-(1 + d
+    mod 27), XML built pure-Catalyst, parsed back through sitemap_urls'
+    NATIVE from_xml), joined against crawl state (every d mod 3 == 0
+    URL fetched at 2026-01-(1 + 2d mod 27)) by recrawl_delta
+    (TEMPORAL compare, post-r9 fix) → the to-fetch slice (new +
+    stale, fresh skipped) → politeness_schedule per-host fetch slots
+    against a (host, k + 0.5) Crawl-delay dim. The oracle replays the
+    date and rank arithmetic. Output: one row per to-fetch URL
+    (doc_id, loc, action, last_fetch, fetch_rank, fetch_at_s)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.crawl import (
+        politeness_schedule,
+        recrawl_delta,
+        sitemap_urls,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    k = (F.col("doc_id") % 5).cast("string")
+    lday = F.lpad((1 + F.col("doc_id") % 27).cast("string"), 2, "0")
+    fday = F.lpad((1 + (2 * F.col("doc_id")) % 27).cast("string"), 2, "0")
+    loc = F.concat(
+        F.lit("http://example"), k, F.lit(".com/s/"), F.col("doc_id")
+    )
+    xml = F.concat(
+        F.lit(
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            "<url><loc>"
+        ),
+        loc,
+        F.lit("</loc><lastmod>2026-01-"),
+        lday,
+        F.lit("</lastmod></url></urlset>"),
+    )
+    sitemaps = d.select(
+        F.concat(F.lit("example"), k, F.lit(".com")).alias("host"),
+        xml.alias("sitemap_xml"),
+    )
+    entries = sitemap_urls(sitemaps)
+    state = d.where(F.col("doc_id") % 3 == 0).select(
+        loc.alias("url"),
+        F.concat(F.lit("2026-01-"), fday).alias("last_fetch"),
+    )
+    delta = recrawl_delta(entries, state)
+    to_fetch = delta.where(F.col("action") != "fresh")
+    delays = spark.range(5).select(
+        F.concat(F.lit("example"), F.col("id"), F.lit(".com")).alias("host"),
+        (F.col("id") + 0.5).alias("crawl_delay"),
+    )
+    sched = politeness_schedule(to_fetch, delays, url_col="loc")
+    return sched.select(
+        F.regexp_extract("loc", r"/s/(\d+)$", 1).cast("long").alias("doc_id"),
+        "loc",
+        "action",
+        "last_fetch",
+        "fetch_rank",
+        "fetch_at_s",
+    ).orderBy("doc_id")
