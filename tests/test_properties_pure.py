@@ -155,3 +155,79 @@ def test_local_rank_running_state_is_dense(rows):
             seen.append(key)
         expect.append(len(seen))
     assert got == expect
+
+
+# ---- round 9: WARC member-span chunking invariance + HTTP header fold ----
+
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=2000), min_size=1, max_size=6),
+    chunk=st.integers(min_value=1, max_value=4096),
+)
+@settings(max_examples=60, deadline=None)
+def test_gzip_member_spans_chunk_size_invariant(sizes, chunk):
+    """iter_gzip_member_spans yields the identical span list for EVERY
+    read chunk size — including sizes that land a 1-byte tail on a
+    member boundary (the r8 advisor's false-corruption case)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.warc import (
+        iter_gzip_member_spans,
+        warc_build,
+        warc_build_record,
+    )
+
+    blob = warc_build(
+        [warc_build_record("response", b"y" * n) for n in sizes],
+        gzip_members=True,
+    )
+
+    def spans_with(cs):
+        pos = {"o": 0}
+
+        def read(n):
+            o = pos["o"]
+            pos["o"] = min(len(blob), o + cs)
+            return blob[o : pos["o"]]
+
+        return list(iter_gzip_member_spans(read, chunk_size=cs))
+
+    reference = spans_with(len(blob) + 1)  # single-read ground truth
+    assert len(reference) == len(sizes)
+    assert reference[0][0] == 0 and reference[-1][1] == len(blob)
+    assert spans_with(chunk) == reference
+
+
+@given(
+    headers=st.lists(
+        st.tuples(
+            st.text(
+                alphabet="abcdefghijklmnopqrstuvwxyz-", min_size=1, max_size=10
+            ),
+            st.text(
+                alphabet="abcdefghijklmnopqrstuvwxyz0123456789 ;=/.",
+                min_size=0,
+                max_size=20,
+            ),
+        ),
+        min_size=0,
+        max_size=6,
+        unique_by=lambda kv: kv[0],
+    ),
+    junk_at=st.integers(min_value=0, max_value=6),
+)
+@settings(max_examples=60, deadline=None)
+def test_http_split_headers_never_raises_on_junk(headers, junk_at):
+    """A junk (no-colon) line anywhere in the header block never raises
+    and never corrupts the parsed map (r8 advisor: one bad header must
+    not kill the ingest job)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.warc import (
+        http_split_headers,
+    )
+
+    lines = [f"{k}: {v}".encode() for k, v in headers]
+    lines.insert(min(junk_at, len(lines)), b"no colon junk line")
+    block = (
+        b"HTTP/1.1 200 OK\r\n" + b"\r\n".join(lines) + b"\r\n\r\nBODY"
+    )
+    status, parsed, body = http_split_headers(block)
+    assert status == 200 and body == b"BODY"
+    for k, v in headers:
+        assert parsed[k.lower()] == v.strip()
