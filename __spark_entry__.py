@@ -179,6 +179,7 @@ _FLAGSHIP_LLM = [
     "q_crawl_dedup_e2e",
     "q_minhash_incremental",
     "q_recrawl_pipeline_e2e",
+    "q_crawl_budget",
 ]
 
 # Pattern net for the broader LLM-pipeline family (dedup / similarity /

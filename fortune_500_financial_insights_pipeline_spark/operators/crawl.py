@@ -352,3 +352,79 @@ def recrawl_delta(
         .drop("__fetched")
         .withColumnRenamed("__u", url_col)
     )
+
+
+def crawl_budget(
+    urls: DataFrame,
+    budget: int,
+    url_col: str = "loc",
+    priority_col: str = "priority",
+    per_host_cap: "int | None" = None,
+    default_priority: float = 0.5,
+) -> DataFrame:
+    """Allocate a GLOBAL fetch budget across hosts host-fairly with
+    priority tie-breaking — the crawl-budget stage between frontier
+    discovery and the fetch schedule: every host's URLs are ranked
+    within the host (priority DESC, URL ASC — sitemaps.org priority,
+    nulls at ``default_priority``), optionally capped per host, and
+    the budget then fills HOST-RANK LEVELS in order (every host's
+    best URL first, then every host's second, ...) — the fair
+    round-robin real crawlers run so one mega-site cannot starve the
+    long tail — with (priority DESC, URL ASC) ordering inside the
+    partially-funded level.
+
+    Appends host_rank, capped, and selected to the input rows (full
+    pass-through: the unselected remainder is the carry-over frontier
+    for the next cycle).
+
+    100 TB shape: NO global sort — selection decomposes into (a) a
+    host-keyed window (politeness bounds per-host rows), (b) a
+    LEVEL-keyed window whose partition count is ``per_host_cap`` and
+    whose partitions hold at most one URL per host, and (c) a
+    broadcast join of the per-level cumulative counts (rows =
+    levels). ``selected`` is then the single rule cum_before_level +
+    intra_level_rank < budget, which covers fully-funded, partial,
+    and unfunded levels alike. At extreme host counts the one
+    partially-funded level's exact rank can be swapped for a priority
+    -threshold estimate without changing the operator shape."""
+    from pyspark.sql import Window as W
+
+    c = F.col(url_col)
+    host = F.lower(
+        F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    host = F.regexp_replace(host, r":\d+$", "")
+    pr = F.coalesce(
+        F.col(priority_col).cast("double"), F.lit(float(default_priority))
+    )
+    keyed = urls.withColumn("__host", host).withColumn("__pr", pr)
+    w_host = W.partitionBy("__host").orderBy(F.desc("__pr"), c)
+    ranked = keyed.withColumn(
+        "host_rank", (F.row_number().over(w_host) - 1).cast("long")
+    ).withColumn(
+        "capped",
+        F.lit(False)
+        if per_host_cap is None
+        else F.col("host_rank") >= int(per_host_cap),
+    )
+    eligible = ranked.where(~F.col("capped"))
+    lvl = eligible.groupBy("host_rank").agg(F.count(F.lit(1)).alias("__n"))
+    w_lvl = (
+        W.orderBy("host_rank").rowsBetween(W.unboundedPreceding, -1)
+    )  # level dim only: rows = per_host_cap levels, never URL-sized
+    lvl = lvl.withColumn(
+        "__cum_before", F.coalesce(F.sum("__n").over(w_lvl), F.lit(0))
+    ).select("host_rank", "__cum_before")
+    w_in_lvl = W.partitionBy("host_rank").orderBy(F.desc("__pr"), c)
+    sel = (
+        eligible.join(F.broadcast(lvl), "host_rank")
+        .withColumn("__lr", F.row_number().over(w_in_lvl) - 1)
+        .withColumn(
+            "selected", F.col("__cum_before") + F.col("__lr") < int(budget)
+        )
+        .drop("__cum_before", "__lr")
+    )
+    rejected = ranked.where(F.col("capped")).withColumn(
+        "selected", F.lit(False)
+    )
+    return sel.unionByName(rejected).drop("__host", "__pr")

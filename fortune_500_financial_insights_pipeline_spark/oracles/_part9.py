@@ -231,3 +231,37 @@ SELECT CAST(d AS BIGINT) AS doc_id, loc, action, last_fetch,
 FROM tf
 ORDER BY doc_id
 """
+
+# q_crawl_budget: host-fair budget selection replayed as the equivalent
+# GLOBAL ordering — rank within host by (priority DESC, loc), cap 10,
+# then selected = row_number over (host_rank, priority DESC, loc) <= 40
+# among uncapped rows; the engine's level-decomposed rule (cum_before +
+# intra_level_rank < budget) must produce the identical set.
+ORACLES["q_crawl_budget"] = """
+WITH d AS (
+  SELECT doc_id AS d,
+         'http://example' || (doc_id % 7) || '.com/s/' || doc_id AS loc,
+         doc_id % 7 AS k,
+         CASE WHEN doc_id % 9 = 0 THEN 0.5
+              ELSE (doc_id % 10) / 10.0 END AS pr
+  FROM documents WHERE doc_id < 100
+), ranked AS (
+  SELECT d, loc, k, pr,
+         ROW_NUMBER() OVER (PARTITION BY k ORDER BY pr DESC, loc) - 1
+           AS host_rank
+  FROM d
+), flagged AS (
+  SELECT *, host_rank >= 10 AS capped FROM ranked
+), sel AS (
+  SELECT d,
+         ROW_NUMBER() OVER (ORDER BY host_rank, pr DESC, loc) AS g
+  FROM flagged WHERE NOT capped
+)
+SELECT f.d AS doc_id, f.loc,
+       f.pr AS priority_eff,
+       CAST(f.host_rank AS BIGINT) AS host_rank,
+       f.capped,
+       COALESCE(s.g <= 40, FALSE) AS selected
+FROM flagged f LEFT JOIN sel s ON s.d = f.d
+ORDER BY doc_id
+"""

@@ -331,3 +331,47 @@ def q_recrawl_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fetch_rank",
         "fetch_at_s",
     ).orderBy("doc_id")
+
+
+@q("q_crawl_budget")
+def q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-fair crawl-budget allocation certified cross-engine — the
+    scheduling stage between frontier discovery and the fetch plan
+    (operators/crawl.crawl_budget): per document (doc_id < 100, host =
+    example{d mod 7}.com, priority (d mod 10)/10 with every d mod 9
+    == 0 row NULL -> the 0.5 default), URLs rank within their host
+    (priority DESC, URL ASC), a per-host cap of 10 marks the overflow
+    ``capped``, and a global budget of 40 fills HOST-RANK LEVELS in
+    order (round-robin fairness) with priority ordering inside the
+    partially-funded level — decomposed engine-side into a host
+    window, a level window (partitions = cap), and a broadcast
+    cumulative-level join; NO global sort. The oracle replays the
+    same selection as the equivalent global ordering (host_rank,
+    priority DESC, loc). Output: all 100 rows with (doc_id, loc,
+    priority_eff, host_rank, capped, selected)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.crawl import (
+        crawl_budget,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    urls = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://example"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com/s/"),
+            F.col("doc_id"),
+        ).alias("loc"),
+        F.when(
+            F.col("doc_id") % 9 == 0, F.lit(None).cast("double")
+        ).otherwise((F.col("doc_id") % 10) / 10.0).alias("priority"),
+    )
+    out = crawl_budget(urls, budget=40, per_host_cap=10)
+    return out.select(
+        "doc_id",
+        "loc",
+        F.coalesce("priority", F.lit(0.5)).alias("priority_eff"),
+        "host_rank",
+        "capped",
+        "selected",
+    ).orderBy("doc_id")

@@ -354,3 +354,36 @@ def test_minhash_incremental_excludes_old_old(spark):
         ).collect()
     }
     assert set(inc) == {p for p in full if not (p[0] <= 2 and p[1] <= 2)}
+
+
+def test_crawl_budget_host_fair_not_priority_greedy(spark):
+    """crawl_budget fills host-rank LEVELS round-robin: with budget 4,
+    each host's best two URLs are funded — NOT the four globally
+    highest priorities (which all sit on one host); the per-host cap
+    marks overflow capped+unselected, and unselected rows pass through
+    as the carry-over frontier."""
+    from fortune_500_financial_insights_pipeline_spark.operators.crawl import (
+        crawl_budget,
+    )
+
+    rows = [(f"http://big.com/p/{i}", 0.9) for i in range(5)] + [
+        ("http://small.com/p/0", 0.1),
+        ("http://small.com/p/1", None),  # null -> default 0.5 outranks 0.1
+    ]
+    urls = spark.createDataFrame(rows, "loc string, priority double")
+    out = {
+        r["loc"]: (r["host_rank"], r["capped"], r["selected"])
+        for r in crawl_budget(
+            urls, budget=4, per_host_cap=4, default_priority=0.5
+        ).collect()
+    }
+    assert len(out) == 7
+    selected = {u for u, (_, _, s) in out.items() if s}
+    assert selected == {
+        "http://big.com/p/0",
+        "http://big.com/p/1",
+        "http://small.com/p/1",  # default 0.5 -> host rank 0
+        "http://small.com/p/0",
+    }
+    assert out["http://big.com/p/4"] == (4, True, False)  # capped overflow
+    assert out["http://small.com/p/1"][0] == 0
