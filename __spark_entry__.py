@@ -180,6 +180,7 @@ _FLAGSHIP_LLM = [
     "q_minhash_incremental",
     "q_recrawl_pipeline_e2e",
     "q_crawl_budget",
+    "q_ivf_incremental",
 ]
 
 # Pattern net for the broader LLM-pipeline family (dedup / similarity /

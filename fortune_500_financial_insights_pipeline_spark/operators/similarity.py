@@ -376,6 +376,39 @@ def knn_join_ivf(
             1,
         ),
     )
+    return knn_search_indexed(
+        queries, indexed, centroids, k, n_probe=n_probe, id_col=id_col,
+        vec_col=vec_col, round_digits=round_digits,
+        out_cols=[c for c in corpus.columns if c != vec_col],
+    )
+
+
+def knn_search_indexed(
+    queries: DataFrame,
+    indexed: DataFrame,
+    centroids: list[list[float]],
+    k: int,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    out_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """k-NN search over a PREBUILT IVF index — the serving half of
+    index MAINTENANCE: ``indexed`` already carries its ``cell``
+    assignment (a persisted index table in production; new increments
+    join it via :func:`ivf_index_portable` against the FROZEN
+    centroids, no rebuild). Same probe/candidate/top-k plan as
+    :func:`knn_join_ivf` (which delegates here after assigning cells):
+    queries explode to their ``n_probe`` nearest cells, candidates
+    meet in a cell equi-join, the per-query window ranks cell-sized
+    partitions only. ``out_cols`` defaults to every indexed column
+    except the vector and the cell id."""
+    cn = (
+        indexed
+        if "__cnorm" in indexed.columns
+        else indexed.withColumn("__cnorm", _norm(F.col(vec_col)))
+    )
     qn = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("__qv"),
@@ -390,11 +423,15 @@ def knn_join_ivf(
         _dot(F.col(vec_col), F.col("__qv")) / (F.col("__cnorm") * F.col("__qnorm")),
         round_digits,
     )
-    other = [c for c in corpus.columns if c != vec_col]
+    if out_cols is None:
+        out_cols = [
+            c for c in indexed.columns
+            if c not in (vec_col, "cell", "__cnorm")
+        ]
     pairs = (
-        indexed.join(F.broadcast(qn), "cell")
+        cn.join(F.broadcast(qn), "cell")
         .where(F.col(id_col) != F.col("q_id"))
-        .select("q_id", *other, sim.alias("sim"))
+        .select("q_id", *out_cols, sim.alias("sim"))
     )
     from pyspark.sql.window import Window
 

@@ -265,3 +265,47 @@ SELECT f.d AS doc_id, f.loc,
 FROM flagged f LEFT JOIN sel s ON s.d = f.d
 ORDER BY doc_id
 """
+
+# q_ivf_incremental: the q_knn_join_ivf replay with the quantizer seeds
+# drawn from the OLD side only (vec_id < 350), assignment over the full
+# union, and a side tag by the id boundary — mirrors
+# ORACLES["q_knn_join_ivf"].
+ORACLES["q_ivf_incremental"] = """
+WITH seeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+         CAST(embedding AS DOUBLE[]) AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 350
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4)
+), sims AS (
+  SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) AS vec, s.cell,
+         ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), s.cvec)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(s.cvec, s.cvec))), 6) AS csim
+  FROM embeddings e CROSS JOIN seeds s
+), corpus_cells AS (
+  SELECT vec_id, label, vec, cell,
+         CASE WHEN vec_id >= 350 THEN 'new' ELSE 'old' END AS side
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY csim DESC, cell ASC) AS rn
+    FROM sims) WHERE rn = 1
+), query_probes AS (
+  SELECT vec_id AS q_id, vec AS qvec, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY csim DESC, cell ASC) AS rn
+    FROM sims WHERE vec_id < 5) WHERE rn <= 2
+), cand AS (
+  SELECT p.q_id, c.vec_id, c.label, c.side,
+         ROUND(list_dot_product(c.vec, p.qvec)
+               / (sqrt(list_dot_product(c.vec, c.vec))
+                  * sqrt(list_dot_product(p.qvec, p.qvec))), 6) AS sim
+  FROM query_probes p JOIN corpus_cells c USING (cell)
+  WHERE c.vec_id <> p.q_id
+)
+SELECT q_id, vec_id, label, side, sim FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY sim DESC, vec_id ASC) AS rn
+  FROM cand) WHERE rn <= 3
+ORDER BY q_id, sim DESC, vec_id
+"""

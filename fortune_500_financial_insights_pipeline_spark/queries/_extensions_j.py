@@ -375,3 +375,45 @@ def q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "capped",
         "selected",
     ).orderBy("doc_id")
+
+
+@q("q_ivf_incremental")
+def q_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index MAINTENANCE certified cross-engine — the ANN twin of
+    q_minhash_incremental's ingest story: the quantizer is FROZEN on
+    the old corpus (md5-seeded centroids from vec_id < 350 ONLY), the
+    new increment (vec_id >= 350) is assigned to those centroids
+    without any rebuild (ivf_index_portable — one projection, no
+    shuffle, exactly what a daily embedding ingest pays), the merged
+    index is searched through the prebuilt-index serving path
+    (operators/similarity.knn_search_indexed: probe 2 cells, top-3,
+    cell-sized windows), and each result row carries which SIDE of
+    the index it came from. The oracle replays seed selection (old
+    rows only), round-6 routing, candidates, and the top-k — so a
+    centroid leak from the new side, a mis-assigned increment, or a
+    serving path that misses new vectors all hash-fail."""
+    from fortune_500_financial_insights_pipeline_spark.operators.similarity import (
+        ivf_index_portable,
+        knn_search_indexed,
+        md5_sample_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    old = emb.where(F.col("vec_id") < 350)
+    new = emb.where(F.col("vec_id") >= 350)
+    centroids = md5_sample_centroids(old, k=4)  # frozen: old corpus only
+    idx_old = ivf_index_portable(old, centroids).withColumn(
+        "side", F.lit("old")
+    )
+    idx_new = ivf_index_portable(new, centroids).withColumn(
+        "side", F.lit("new")
+    )
+    merged = idx_old.unionByName(idx_new)
+    queries = emb.where(F.col("vec_id") < 5)
+    return (
+        knn_search_indexed(queries, merged, centroids, k=3, n_probe=2)
+        .select("q_id", "vec_id", "label", "side", "sim")
+        .orderBy("q_id", F.desc("sim"), "vec_id")
+    )
