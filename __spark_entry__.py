@@ -181,6 +181,7 @@ _FLAGSHIP_LLM = [
     "q_recrawl_pipeline_e2e",
     "q_crawl_budget",
     "q_ivf_incremental",
+    "q_host_quality_gate",
 ]
 
 # Pattern net for the broader LLM-pipeline family (dedup / similarity /

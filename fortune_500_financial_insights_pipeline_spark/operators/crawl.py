@@ -428,3 +428,50 @@ def crawl_budget(
         "selected", F.lit(False)
     )
     return sel.unionByName(rejected).drop("__host", "__pr")
+
+
+def host_quality_gate(
+    docs: DataFrame,
+    url_col: str = "url",
+    quality_col: str = "quality",
+    min_host_quality: float = 0.5,
+    min_docs: int = 5,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """HOST-level quality gating — the domain-reputation filter web
+    curation runs before per-document rules (a spam domain's every
+    page is suspect even when individual pages score adequately):
+    per-host mean quality decides the whole host; hosts with fewer
+    than ``min_docs`` documents pass ungated (insufficient evidence —
+    they fall through to the per-doc gates downstream).
+
+    Appends host, host_n_docs, host_mean_quality (rounded 1e-6) and
+    host_blocked to every input row, 1:1 pass-through — callers filter
+    on ``host_blocked`` and keep the audit columns for the funnel
+    report. The mean is computed over an EXACT integer interior
+    (quality scaled by ``scale`` and summed as BIGINT, one rounded
+    double division at the end), so a SQL oracle reproduces it
+    bit-for-bit regardless of float summation order.
+
+    100 TB shape: one host-keyed aggregate (host-count-sized result)
+    and one host equi-join back — both hash-partition on host, and
+    politeness/budget bounds upstream keep per-host row counts sane;
+    no window, no UDF, no driver state."""
+    c = F.col(url_col)
+    host = F.lower(
+        F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    host = F.regexp_replace(host, r":\d+$", "")
+    keyed = docs.withColumn("host", host)
+    q_int = F.round(F.col(quality_col) * scale).cast("long")
+    stats = keyed.groupBy("host").agg(
+        F.count(F.lit(1)).alias("host_n_docs"),
+        F.round(
+            F.sum(q_int) / (F.count(F.lit(1)) * F.lit(float(scale))), 6
+        ).alias("host_mean_quality"),
+    )
+    return keyed.join(stats, "host").withColumn(
+        "host_blocked",
+        (F.col("host_n_docs") >= int(min_docs))
+        & (F.col("host_mean_quality") < float(min_host_quality)),
+    )

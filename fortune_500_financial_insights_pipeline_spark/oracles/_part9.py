@@ -309,3 +309,30 @@ SELECT q_id, vec_id, label, side, sim FROM (
   FROM cand) WHERE rn <= 3
 ORDER BY q_id, sim DESC, vec_id
 """
+
+# q_host_quality_gate: the host means replayed over the same exact 1e6
+# integer interior; tiny{d}.com hosts have one doc < min_docs=2 ->
+# never blocked.
+ORACLES["q_host_quality_gate"] = """
+WITH d AS (
+  SELECT doc_id AS d,
+         CASE WHEN doc_id % 40 = 0 THEN 'tiny' || doc_id || '.com'
+              ELSE 'example' || (doc_id % 8) || '.com' END AS host,
+         ((doc_id % 8) * 10 + doc_id % 13) / 100.0 AS quality
+  FROM documents WHERE doc_id < 200
+), s AS (
+  SELECT host, COUNT(*) AS n,
+         ROUND(SUM(CAST(ROUND(quality * 1000000) AS BIGINT))
+               / (COUNT(*) * 1000000.0), 6) AS m
+  FROM d GROUP BY host
+)
+SELECT d.d AS doc_id,
+       'http://' || d.host || '/p/' || d.d AS url,
+       d.quality,
+       d.host,
+       CAST(s.n AS BIGINT) AS host_n_docs,
+       s.m AS host_mean_quality,
+       s.n >= 2 AND s.m < 0.45 AS host_blocked
+FROM d JOIN s ON s.host = d.host
+ORDER BY doc_id
+"""

@@ -417,3 +417,40 @@ def q_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id", "label", "side", "sim")
         .orderBy("q_id", F.desc("sim"), "vec_id")
     )
+
+
+@q("q_host_quality_gate")
+def q_host_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level (domain-reputation) quality gating certified
+    cross-engine — the curation stage between the crawl and the
+    per-document gates (operators/crawl.host_quality_gate): per
+    document (doc_id < 200), quality ((d mod 8)*10 + d mod 13)/100 is
+    host-correlated (host example{d mod 8}.com -> mean ≈ (10k+6)/100,
+    cleanly split by the 0.45 threshold), except every d mod 40 == 0
+    doc lives alone on tiny{d}.com — below min_docs=2, so it passes
+    UNGATED whatever its score (the insufficient-evidence rule). The
+    mean rides an exact 1e6 integer interior, so the oracle replays
+    it bit-for-bit. Output: all 200 rows with host, host_n_docs,
+    host_mean_quality, host_blocked."""
+    from fortune_500_financial_insights_pipeline_spark.operators.crawl import (
+        host_quality_gate,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    host = F.when(
+        F.col("doc_id") % 40 == 0,
+        F.concat(F.lit("tiny"), F.col("doc_id"), F.lit(".com")),
+    ).otherwise(
+        F.concat(F.lit("example"), (F.col("doc_id") % 8).cast("string"), F.lit(".com"))
+    )
+    docs = d.select(
+        "doc_id",
+        F.concat(F.lit("http://"), host, F.lit("/p/"), F.col("doc_id")).alias("url"),
+        (((F.col("doc_id") % 8) * 10 + F.col("doc_id") % 13) / 100.0).alias("quality"),
+    )
+    return host_quality_gate(
+        docs, min_host_quality=0.45, min_docs=2
+    ).select(
+        "doc_id", "url", "quality", "host",
+        "host_n_docs", "host_mean_quality", "host_blocked",
+    ).orderBy("doc_id")
