@@ -687,3 +687,64 @@ def test_robots_gate_is_map_only_over_urls(spark):
     assert "hashpartitioning(__host" not in plan or "collect_list" in plan
     # rows pass through 1:1 (no aggregate collapse of duplicate URLs)
     assert gated.count() == 100
+
+
+def test_crawl_budget_has_no_url_sized_global_sort(spark):
+    """crawl_budget (round 9): budget selection must decompose into
+    host/level-keyed windows plus a broadcast cumulative-level join —
+    the ONLY single-partition exchange allowed is the level dim's own
+    cumulative window (rows = per-host cap), never the URL frame."""
+    from pyspark.sql import functions as F
+
+    from fortune_500_financial_insights_pipeline_spark.operators.crawl import (
+        crawl_budget,
+    )
+
+    urls = spark.range(500).select(
+        F.concat(
+            F.lit("http://h"), F.col("id") % 37, F.lit(".com/p/"), F.col("id")
+        ).alias("loc"),
+        ((F.col("id") % 10) / 10.0).alias("priority"),
+    )
+    out = crawl_budget(urls, budget=100, per_host_cap=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # URL-side windows are keyed: host rank by __host, level rank by host_rank
+    assert "hashpartitioning(__host" in plan
+    assert "hashpartitioning(host_rank" in plan
+    # the level dim broadcasts back to the URL frame
+    assert "BroadcastHashJoin" in plan
+    # exactly one single-partition exchange: the level dim's cumulative
+    # window (bounded by per_host_cap rows) — the URL frame never
+    # funnels through one task
+    assert plan.count("Exchange SinglePartition") == 1
+    assert out.count() == 500
+
+
+def test_knn_search_indexed_broadcasts_query_probes(spark):
+    """knn_search_indexed (round 9): the prebuilt index side streams;
+    only the (small) exploded query-probe frame broadcasts, and the
+    top-k window partitions per query — never corpus-wide."""
+    from pyspark.sql import functions as F
+
+    from fortune_500_financial_insights_pipeline_spark.operators.similarity import (
+        ivf_index_portable,
+        knn_search_indexed,
+    )
+
+    emb = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * (i + 3) % 17).cast("float") for i in range(8)]).alias(
+            "embedding"
+        ),
+    )
+    centroids = [[float((i * j + 1) % 5) for j in range(8)] for i in range(4)]
+    indexed = ivf_index_portable(emb, centroids)
+    out = knn_search_indexed(
+        emb.where(F.col("vec_id") < 3), indexed, centroids, k=2, n_probe=2
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # top-k window keyed per query, not corpus-global
+    assert "hashpartitioning(q_id" in plan
+    assert out.count() == 6
