@@ -182,6 +182,7 @@ _FLAGSHIP_LLM = [
     "q_crawl_budget",
     "q_ivf_incremental",
     "q_host_quality_gate",
+    "q_anchor_text_index",
 ]
 
 # Pattern net for the broader LLM-pipeline family (dedup / similarity /

@@ -34,6 +34,7 @@ from html.parser import HTMLParser
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 BLOCK_TAGS = {
     "p", "div", "nav", "aside", "footer", "header", "title", "article",
@@ -290,3 +291,165 @@ def html_links(
         df[base_col].alias("__base"),
         df[html_col].alias("__html"),
     ).mapInPandas(walk, schema=LINKS_SCHEMA)
+
+
+class _AnchorTextParser(HTMLParser):
+    """Collect (href, anchor text) pairs in document order — the text
+    BETWEEN <a href>…</a>, whitespace-normalized, script/style subtrees
+    skipped. An unterminated anchor closes at the next <a> or EOF (the
+    tag-soup tolerance real crawl HTML needs)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.pairs: "list[tuple[str, str]]" = []
+        self._skip = 0
+        self._href: "str | None" = None
+        self._buf: "list[str]" = []
+
+    def _flush(self) -> None:
+        if self._href is not None:
+            self.pairs.append(
+                (self._href, " ".join("".join(self._buf).split()))
+            )
+        self._href = None
+        self._buf = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag in SKIP_TAGS:
+            self._skip += 1
+            return
+        if tag == "a" and not self._skip:
+            self._flush()
+            for k, v in attrs:
+                if k == "href" and v:
+                    self._href = v
+
+    def handle_endtag(self, tag):
+        if tag in SKIP_TAGS:
+            self._skip = max(0, self._skip - 1)
+        elif tag == "a" and not self._skip:
+            self._flush()
+
+    def handle_data(self, data):
+        if self._href is not None and not self._skip:
+            self._buf.append(data)
+
+    def close(self):
+        super().close()
+        self._flush()
+
+
+def extract_anchor_texts(html: str) -> "list[tuple[str, str]]":
+    """Driver-free core: (href, anchor text) of one page in order."""
+    p = _AnchorTextParser()
+    p.feed(html)
+    p.close()
+    return p.pairs
+
+
+ANCHORS_SCHEMA = (
+    "doc_id long, link_idx int, href string, resolved string, "
+    "anchor_text string"
+)
+
+
+def html_anchor_texts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    base_col: str = "base_url",
+) -> DataFrame:
+    """:func:`html_links` carrying the ANCHOR TEXT — the incoming-link
+    description signal web corpora aggregate per target (search
+    indexing, page-quality priors, cheap labels). Map-only, zero
+    shuffle, same RFC 3986 resolution."""
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from urllib.parse import urljoin
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "link_idx": [], "href": [],
+                "resolved": [], "anchor_text": [],
+            }
+            for doc_id, base, page in zip(
+                pdf["doc_id"], pdf["__base"], pdf["__html"]
+            ):
+                for i, (href, text) in enumerate(extract_anchor_texts(page)):
+                    out["doc_id"].append(doc_id)
+                    out["link_idx"].append(i)
+                    out["href"].append(href)
+                    out["resolved"].append(urljoin(str(base), href))
+                    out["anchor_text"].append(text)
+            yield pd.DataFrame(out)
+
+    return df.select(
+        df[id_col].alias("doc_id"),
+        df[base_col].alias("__base"),
+        df[html_col].alias("__html"),
+    ).mapInPandas(walk, schema=ANCHORS_SCHEMA)
+
+
+def anchor_text_index(
+    links: DataFrame,
+    target_col: str = "resolved",
+    text_col: str = "anchor_text",
+    source_col: str = "base_url",
+) -> DataFrame:
+    """Per-TARGET anchor-text aggregation — the classic cross-page
+    signal (a page is well described by what OTHER pages' links call
+    it): for each target URL, the incoming-anchor count, the distinct
+    source-host count, and the dominant anchor text (highest count,
+    ties to the lexicographically smallest — deterministic, oracle-
+    replayable via max_by on a (count, reversed-text) key).
+
+    Two hash aggregates keyed on the target (plus text for the inner
+    one) — both map-side combinable, no window over the full link
+    frame; at web scale the target key is the natural shuffle key and
+    mega-targets (nav links to a homepage) stay one group each."""
+    host = F.lower(
+        F.regexp_extract(
+            F.col(source_col), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1
+        )
+    )
+    per_text = (
+        links.select(
+            F.col(target_col).alias("target"),
+            F.col(text_col).alias("__text"),
+            host.alias("__host"),
+        )
+        .groupBy("target", "__text")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.collect_set("__host").alias("__hosts"),
+        )
+    )
+    # Dominant text: sort the (per-target, per-text) structs by
+    # (-count, text) — struct sort orders by leading field first — and
+    # take the head: highest count, ties to the lexicographically
+    # smallest text. The collected array is text-VARIANT-sized (already
+    # aggregated), not anchor-sized.
+    top = F.array_sort(
+        F.collect_list(
+            F.struct(
+                (-F.col("__n")).alias("negn"), F.col("__text").alias("t")
+            )
+        )
+    )
+    return (
+        per_text.groupBy("target")
+        .agg(
+            F.sum("__n").cast("long").alias("n_anchors"),
+            F.size(
+                F.array_distinct(F.flatten(F.collect_list("__hosts")))
+            ).alias("n_source_hosts"),
+            top.alias("__top"),
+        )
+        .select(
+            "target",
+            "n_anchors",
+            "n_source_hosts",
+            F.col("__top")[0]["t"].alias("top_text"),
+            (-F.col("__top")[0]["negn"]).cast("long").alias("top_text_count"),
+        )
+    )

@@ -336,3 +336,46 @@ SELECT d.d AS doc_id,
 FROM d JOIN s ON s.host = d.host
 ORDER BY doc_id
 """
+
+# q_anchor_text_index: the incoming-anchor arithmetic replayed — each
+# of the 30 targets collects 4 anchors (2 constant-text, 2 variant);
+# dominant text by (count DESC, text ASC).
+ORACLES["q_anchor_text_index"] = """
+WITH d AS (
+  SELECT doc_id AS d, 'h' || (doc_id % 4) || '.com' AS host
+  FROM documents WHERE doc_id < 60
+), links AS (
+  SELECT d, host,
+         'http://t.site/t/' || ((3 * d + 1) % 30) AS target,
+         'page ' || ((3 * d + 1) % 30) || ' ref' || (d % 3) AS text
+  FROM d
+  UNION ALL
+  SELECT d, host,
+         'http://t.site/t/' || ((d + 7) % 30),
+         'page ' || ((d + 7) % 30)
+  FROM d
+), per_text AS (
+  SELECT target, text, COUNT(*) AS n,
+         COUNT(DISTINCT host) AS nh
+  FROM links GROUP BY target, text
+), ranked AS (
+  SELECT target, text, n,
+         ROW_NUMBER() OVER (PARTITION BY target
+                            ORDER BY n DESC, text) AS rk
+  FROM per_text
+), tot AS (
+  SELECT target, CAST(SUM(n) AS BIGINT) AS n_anchors
+  FROM per_text GROUP BY target
+), hosts AS (
+  SELECT target, COUNT(DISTINCT host) AS n_source_hosts
+  FROM links GROUP BY target
+)
+SELECT t.target, t.n_anchors,
+       CAST(h.n_source_hosts AS INTEGER) AS n_source_hosts,
+       r.text AS top_text,
+       CAST(r.n AS BIGINT) AS top_text_count
+FROM tot t
+JOIN hosts h ON h.target = t.target
+JOIN ranked r ON r.target = t.target AND r.rk = 1
+ORDER BY t.target
+"""

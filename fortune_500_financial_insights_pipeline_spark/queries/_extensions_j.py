@@ -454,3 +454,57 @@ def q_host_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "url", "quality", "host",
         "host_n_docs", "host_mean_quality", "host_blocked",
     ).orderBy("doc_id")
+
+
+@q("q_anchor_text_index")
+def q_anchor_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incoming anchor-text aggregation certified cross-engine — the
+    classic a-page-is-what-others-call-it web signal
+    (operators/html.html_anchor_texts + anchor_text_index): per
+    document (doc_id < 60, source host h{d mod 4}.com) the page links
+    twice into a 30-page target site — target (3d+1) mod 30 with a
+    per-source VARIANT text ('page {t} ref{d mod 3}') and target
+    (d+7) mod 30 with the CONSTANT text ('page {t}') — plus a
+    script-wrapped junk anchor the parser must skip. Each target thus
+    collects 4 incoming anchors whose dominant text resolves by
+    (count DESC, text ASC); the oracle replays the arithmetic and the
+    ranking. Output: one row per target (target, n_anchors,
+    n_source_hosts, top_text, top_text_count)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.html import (
+        anchor_text_index,
+        html_anchor_texts,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "base_url": [], "html": []}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                t1, t2 = (3 * i + 1) % 30, (i + 7) % 30
+                out["doc_id"].append(i)
+                out["base_url"].append(f"http://h{i % 4}.com/p/{i}")
+                out["html"].append(
+                    "<html><body>"
+                    f"<a href='http://t.site/t/{t1}'>page {t1} ref{i % 3}</a>"
+                    "<script><a href='http://junk/x'>junk</a></script>"
+                    f"<a href='http://t.site/t/{t2}'>page {t2}</a>"
+                    "</body></html>"
+                )
+            yield pd.DataFrame(out)
+
+    pages = d.select("doc_id").mapInPandas(
+        build, schema="doc_id long, base_url string, html string"
+    )
+    links = html_anchor_texts(pages)
+    return (
+        anchor_text_index(
+            links.join(
+                pages.select("doc_id", "base_url"), "doc_id"
+            )
+        )
+        .orderBy("target")
+    )

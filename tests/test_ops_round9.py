@@ -387,3 +387,28 @@ def test_crawl_budget_host_fair_not_priority_greedy(spark):
     }
     assert out["http://big.com/p/4"] == (4, True, False)  # capped overflow
     assert out["http://small.com/p/1"][0] == 0
+
+
+def test_extract_anchor_texts_tag_soup():
+    """(href, text) extraction tolerates tag soup: unterminated anchors
+    close at the next <a> or EOF, script subtrees are skipped, entities
+    decode, whitespace normalizes."""
+    from fortune_500_financial_insights_pipeline_spark.operators.html import (
+        extract_anchor_texts,
+    )
+
+    page = (
+        "<html><body>"
+        "<a href='/a'>first  link</a>"
+        "<script><a href='/junk'>never</a></script>"
+        "<a href='/b'>unterminated b"  # no </a>: closes at next <a>
+        "<a href='/c'>c &amp; d</a>"
+        "<a href='/d'>at eof"
+        "</body></html>"
+    )
+    assert extract_anchor_texts(page) == [
+        ("/a", "first link"),
+        ("/b", "unterminated b"),
+        ("/c", "c & d"),
+        ("/d", "at eof"),
+    ]
