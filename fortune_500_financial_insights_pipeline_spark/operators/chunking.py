@@ -83,40 +83,66 @@ def cdc_chunks(
     in one groupBy: (doc, chunk_id, chunk_start, n_tokens, chunk_hash)
     with chunk_hash = md5 of the position-ordered chunk text.
 
-    Scale shape: one positioned explode, ONE window family (per-doc by
-    position: lags + cumulative sum share the sort), one partial-agged
-    groupBy — text rides no shuffle except the final chunk-sized rows."""
-    from pyspark.sql import Window as W
+    Scale shape (round 9): the boundary rule, chunk spans, and chunk
+    hashes are ALL functions of one document's own token array, so the
+    whole derivation runs row-locally on higher-order array functions —
+    no explode of the token stream, no per-doc window sort, no
+    collect_list re-assembly. The former plan shuffled every (doc, pos,
+    tok) row into a window and back through a groupBy (two corpus-sized
+    exchanges carrying the text); this one shuffles only once, up front,
+    to spread a compact scan across the cluster (ensure_min_parallelism
+    on the narrow id+text projection), then emits one row per CHUNK via a
+    single posexplode. Boundary positions, chunk ids, starts, token
+    counts and md5 hashes are computed from the same expressions in
+    full-array coordinates, so the output is row-identical to the window
+    formulation (pinned by the edit-stability and reassembly tests)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.compact import (
+        ensure_min_parallelism,
+    )
 
-    src = docs.select(
-        F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok")
+    src = ensure_min_parallelism(
+        docs.select(F.col(id_col), F.col(text_col)), id_col
+    ).select(F.col(id_col), F.split(F.col(text_col), " ").alias("__tk"))
+    tk = F.col("__tk")
+    n = F.size(tk)
+    # gram ending at 0-based position p = tokens p-k+1..p (1-based slice
+    # start p-k+2); md5-long ≡ 0 (mod divisor) marks a boundary AFTER p
+    gram_of = lambda p: F.array_join(F.slice(tk, p - F.lit(k) + 2, k), " ")  # noqa: E731
+    h_of = lambda p: F.conv(F.substring(F.md5(gram_of(p)), 1, 15), 16, 10).cast(  # noqa: E731
+        "long"
     )
-    wo = W.partitionBy(id_col).orderBy("pos")
-    gram = F.concat_ws(
-        " ", *[F.lag("tok", k - 1 - j).over(wo) for j in range(k - 1)], F.col("tok")
+    # CASE WHEN evaluates lazily, so the slice under h_of never sees the
+    # out-of-range starts of the first k-1 positions
+    bnds = F.filter(
+        F.sequence(F.lit(0), n - 1),
+        lambda p: F.when(
+            p >= k - 1, F.pmod(h_of(p), F.lit(divisor)) == 0
+        ).otherwise(F.lit(False)),
     )
-    h = F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
-    bnd = F.when(
-        (F.col("pos") >= k - 1) & (F.pmod(h, F.lit(divisor)) == 0), F.lit(1)
-    ).otherwise(F.lit(0))
-    cum = W.partitionBy(id_col).orderBy("pos").rowsBetween(W.unboundedPreceding, -1)
-    chunked = src.withColumn("b", bnd).withColumn(
-        "chunk_id", F.coalesce(F.sum("b").over(cum), F.lit(0)).cast("long")
-    )
-    ordered_text = F.concat_ws(
-        " ",
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]
+    # a boundary on the LAST token starts no chunk; chunk i spans
+    # [starts[i], ends[i]] in 0-based token positions
+    inner = F.filter(bnds, lambda b: b < n - 1)
+    starts = F.concat(F.array(F.lit(0)), F.transform(inner, lambda b: b + 1))
+    ends = F.concat(inner, F.array(n - 1))
+    chunked = src.select(
+        F.col(id_col),
+        tk,
+        F.posexplode(F.arrays_zip(starts.alias("s"), ends.alias("e"))).alias(
+            "__cid", "__span"
         ),
     )
-    aggs = [
-        F.min("pos").alias("chunk_start"),
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.md5(ordered_text).alias("chunk_hash"),
+    s, e = F.col("__span.s"), F.col("__span.e")
+    chunk_text = F.array_join(F.slice(tk, s + 1, e - s + 1), " ")
+    cols = [
+        F.col(id_col),
+        F.col("__cid").cast("long").alias("chunk_id"),
+        s.alias("chunk_start"),
+        (e - s + 1).cast("long").alias("n_tokens"),
+        F.md5(chunk_text).alias("chunk_hash"),
     ]
     if keep_text:
         # the removal path (boilerplate strip) needs the chunk text back
         # to reconstruct cleaned documents; default off — hashes travel
         # lighter through the dedup-only shuffles
-        aggs.append(ordered_text.alias("chunk_text"))
-    return chunked.groupBy(id_col, "chunk_id").agg(*aggs)
+        cols.append(chunk_text.alias("chunk_text"))
+    return chunked.select(*cols)

@@ -59,14 +59,21 @@ def strip_duplicate_chunks(
     side reduces to (hash, n_docs) before the anti-join back.  Fixed
     chunking (not sliding windows) keeps the exploded volume at 1x corpus.
     """
+    from fortune_500_financial_insights_pipeline_spark.operators.text import _bind
+
     toks = F.split(F.col(text_col), " ")
     nchunks = F.ceil(F.size(toks) / F.lit(chunk_words)).cast("int")
     # Build the chunk array once per doc, then posexplode — the naive
     # explode(sequence)-then-slice form duplicates the full token array
     # into every chunk row (O(chunks x doc_len) intermediate volume).
-    chunk_arr = F.transform(
-        F.sequence(F.lit(0), nchunks - 1),
-        lambda c: F.array_join(F.slice(toks, c * chunk_words + 1, chunk_words), " "),
+    # The token array is lambda-bound (text._bind) so the tokenizer split
+    # runs once per row, not once per chunk slice.
+    chunk_arr = _bind(
+        toks,
+        lambda tk: F.transform(
+            F.sequence(F.lit(0), F.ceil(F.size(tk) / F.lit(chunk_words)).cast("int") - 1),
+            lambda c: F.array_join(F.slice(tk, c * chunk_words + 1, chunk_words), " "),
+        ),
     )
     chunks = df.select(
         F.col(id_col), F.posexplode(chunk_arr).alias("cid", "ctext")

@@ -28,13 +28,20 @@ from pyspark.sql import functions as F
 
 def _bucketed_bigrams(df: DataFrame, id_col: str, text_col: str, n_buckets: int) -> DataFrame:
     """(id, bucket) with multiplicity — hashed-bigram features."""
+    from fortune_500_financial_insights_pipeline_spark.operators.text import _bind
+
     toks = F.split(F.lower(F.col(text_col)), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 2),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(toks, (i + 1).cast("int")),
-            F.element_at(toks, (i + 2).cast("int")),
+    # token array lambda-bound (text._bind): the lower+split runs once per
+    # row instead of twice per gram element
+    grams = _bind(
+        toks,
+        lambda tk: F.transform(
+            F.sequence(F.lit(0), F.size(tk) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(tk, (i + 1).cast("int")),
+                F.element_at(tk, (i + 2).cast("int")),
+            ),
         ),
     )
     h = F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast("long")

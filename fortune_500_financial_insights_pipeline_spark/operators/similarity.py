@@ -726,8 +726,12 @@ def mutual_knn_pairs(
         F.col("q_id").alias("src"), F.col(id_col).alias("dst"), "sim"
     )
     rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # |V|·k id pairs are strictly smaller than the |V| full vectors
+    # knn_join already broadcasts (its query side IS emb here), so the
+    # reciprocity semi-join can always broadcast the swapped edge list —
+    # a shuffle+sort pair (SMJ over a statless subtree) served no one
     return (
-        edges.join(rev, ["src", "dst"], "left_semi")
+        edges.join(F.broadcast(rev), ["src", "dst"], "left_semi")
         .where(F.col("src") < F.col("dst"))
         .select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"), "sim")
     )

@@ -237,6 +237,7 @@ def suffix_lcp_spans(
     max_rounds: int = 20,
     sa: DataFrame | None = None,
     max_span: int = 512,
+    hint_small: bool = False,
 ) -> DataFrame:
     """EXACT duplicated token spans via the suffix array: adjacent
     suffixes in SA order share their longest common prefix with SOME
@@ -254,7 +255,16 @@ def suffix_lcp_spans(
     corpus of long documents would materialize every full suffix.
     Reported ``lcp`` is exact whenever the true LCP < max_span and
     clamps to max_span otherwise (a duplicated span that long is a
-    dedup hit regardless of its exact length)."""
+    dedup hit regardless of its exact length).
+
+    ``hint_small=True`` adds broadcast hints on the SA side of the token
+    join and on the swapped side of the adjacent-pair self-join — for
+    callers whose corpus slice is bounded by construction (the memo-backed
+    doc_id<cap keys): both frames are then slice-sized, and without the
+    hint the planner sees statless RDD-scan subtrees and burns two
+    sort-merge exchange+sort pairs on kilobytes. Default off: at corpus
+    scale the SA is corpus-sized and the shuffle joins are the right
+    plan."""
     if max_span < min_lcp:
         raise ValueError(
             f"max_span={max_span} must be >= min_lcp={min_lcp} — a cap "
@@ -265,6 +275,8 @@ def suffix_lcp_spans(
     toks = df.select(
         F.col(id_col).alias("__d"), F.split(F.col(text_col), " ").alias("__l")
     )
+    if hint_small:
+        sa = F.broadcast(sa)
     suf = (
         sa.join(toks, sa[id_col] == toks["__d"])
         .select(
@@ -288,7 +300,7 @@ def suffix_lcp_spans(
         F.col(id_col).alias("doc_b"), F.col("pos").alias("pos_b"),
         (F.col("sa_rank") - 1).alias("sa_rank"), F.col("suf").alias("suf_b"),
     )
-    pairs = a.join(b, "sa_rank")
+    pairs = a.join(F.broadcast(b) if hint_small else b, "sa_rank")
     lcp = F.expr(
         "aggregate(zip_with(suf_a, suf_b, (x, y) -> CASE WHEN x = y THEN 1 "
         "ELSE 0 END), named_struct('run', CAST(0 AS BIGINT), 'stop', false), "

@@ -72,18 +72,37 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))
 
 
+def _bind(col: Column, fn) -> Column:
+    """Evaluate ``col`` ONCE and hand it to ``fn`` as a lambda variable.
+
+    Column helpers can't materialize a projection, so any helper that
+    references its input expression inside an array lambda re-embeds that
+    expression per element access — for ``word_ngrams`` that re-ran the
+    tokenizer split() for every element_at of every gram (measured 2.3 s →
+    0.37 s at sf0.1, round 9). Wrapping the value in a 1-element array and
+    transform()-ing binds it to a NamedLambdaVariable: inner lambdas then
+    reference the bound value, which Spark evaluates once per row."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def word_ngrams(text: Column | str, n: int = 2) -> Column:
     """Distinct word n-grams as an array (0-indexed array lambda —
-    JVM-side, no UDF)."""
-    toks = tokens(text)
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    gram = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )
-    return F.array_distinct(gram)
+    JVM-side, no UDF; the token array is lambda-bound so the tokenizer
+    runs once per row, not once per gram element)."""
+
+    def grams(tk: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.size(tk) - n)
+        return F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at(tk, (i + j + 1).cast("int")) for j in range(n)],
+                ),
+            )
+        )
+
+    return _bind(tokens(text), grams)
 
 
 def duplicated_spans(df, n: int = 8, id_col: str = "doc_id", text_col: str = "text"):
@@ -163,15 +182,20 @@ def rolling_fingerprint(text: Column | str, base: int = 31, mod: int = 288230376
 def word_ngrams_all(text: Column | str, n: int = 2) -> Column:
     """Word n-grams WITH multiplicity (the stream, not the set) — the
     input for repetition statistics, where how often a gram repeats is
-    the whole point. Same JVM-side array lambda as ``word_ngrams``."""
-    toks = tokens(text)
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )
+    the whole point. Same lambda-bound JVM array form as
+    ``word_ngrams``."""
+
+    def grams(tk: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.size(tk) - n)
+        return F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(tk, (i + j + 1).cast("int")) for j in range(n)],
+            ),
+        )
+
+    return _bind(tokens(text), grams)
 
 
 # PII patterns in the regex subset Java (Spark) and RE2 (DuckDB, Go tooling)
@@ -780,57 +804,64 @@ def gopher_repetition(
     so the flags and fractions hash cross-engine; ``pass_all`` ANDs the
     nine thresholds.
 
-    Plan shape: ONE positioned explode and ONE window pass computing all
-    nine lead depths (the window functions share the per-doc sort), then
-    TALL n-tagged gram frames built inside the projection (explode of an
-    inline struct array — no per-n window, no per-n scan), two hash
-    aggregation families keyed by (n, doc, gram), the coverage
-    semi-join + position explode once over the tall frame, and one
-    conditional-sum rollup per doc — four shuffles total for all nine
-    metrics. Skew bound: the hottest (n, doc, gram) cell is capped by
+    Plan shape (round 9): every gram is a function of one document's own
+    token array, so the tall n-tagged gram frames are built ROW-LOCALLY
+    with higher-order array functions and exploded once — the former
+    lead()-window pass (a corpus-wide exchange+sort carrying nine lead
+    string columns, recomputed once per tall consumer) is gone entirely.
+    What remains shuffled: the two hash-aggregation families keyed by
+    (n, doc, gram), the coverage distinct + (doc, pos)-keyed length join
+    (now int-only rows — token text stays out of it), and the per-doc
+    rollups. Per-doc character totals are arithmetic on the raw text
+    (len(text) − (n_tokens − 1) for single-space splits), not an
+    aggregate. Skew bound: the hottest (n, doc, gram) cell is capped by
     the longest document, same as every gram pipeline in this repo."""
-    from pyspark.sql import Window as W
+    from fortune_500_financial_insights_pipeline_spark.operators.compact import (
+        ensure_min_parallelism,
+    )
 
     top_ns = sorted(GOPHER_TOP_NGRAM_MAX)
     dup_ns = sorted(GOPHER_DUP_NGRAM_MAX)
-    max_n = max(dup_ns + top_ns)
-    toks = df.select(
+    src = ensure_min_parallelism(
+        df.select(F.col(id_col), F.col(text_col)), id_col
+    ).select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("__pos", "__tok"),
-    )
-    total = toks.groupBy(id_col).agg(
-        F.sum(F.length("__tok")).cast("long").alias("__total_chars")
-    )
-    wo = W.partitionBy(id_col).orderBy("__pos")
-    led = toks.select(
+        F.col(text_col).alias("__txt"),
+        F.split(F.col(text_col), " ").alias("__tk"),
+    ).where(F.col("__tk").isNotNull())
+    tk, sz = F.col("__tk"), F.size(F.col("__tk"))
+    # split on every single space ⇒ separators = n_tokens − 1, so the
+    # summed token length is len(text) − (n_tokens − 1): row-local, exact
+    total = src.select(
         F.col(id_col),
-        "__pos",
-        "__tok",
-        *[F.lead("__tok", j).over(wo).alias(f"__l{j}") for j in range(1, max_n)],
+        (F.length("__txt") - sz + 1).cast("long").alias("__total_chars"),
     )
 
-    def gram_struct(n: int):
-        parts = ["__tok"] + [f"__l{j}" for j in range(1, n)]
-        return F.struct(
-            F.lit(n).alias("n"),
-            F.concat_ws(" ", *parts).alias("gram"),
-            F.col(f"__l{n - 1}").isNotNull().alias("valid"),
-        )
+    def gram_arr(n: int):
+        # structs (n, gram, pos) for every n-gram start position; CASE
+        # WHEN evaluates lazily, so docs shorter than n tokens never
+        # reach the (then-illegal) sequence bounds
+        return F.when(
+            sz >= n,
+            F.transform(
+                F.sequence(F.lit(0), sz - n),
+                lambda p: F.struct(
+                    F.lit(n).alias("n"),
+                    F.array_join(F.slice(tk, p + 1, n), " ").alias("gram"),
+                    p.alias("pos"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<n:int,gram:string,pos:int>>"))
 
     def tall(ns: list[int]):
-        return (
-            led.select(
-                F.col(id_col),
-                "__pos",
-                F.explode(F.array(*[gram_struct(n) for n in ns])).alias("__g"),
-            )
-            .where(F.col("__g.valid"))
-            .select(
-                F.col(id_col),
-                "__pos",
-                F.col("__g.n").alias("__n"),
-                F.col("__g.gram").alias("__gram"),
-            )
+        return src.select(
+            F.col(id_col),
+            F.explode(F.concat(*[gram_arr(n) for n in ns])).alias("__g"),
+        ).select(
+            F.col(id_col),
+            F.col("__g.pos").alias("__pos"),
+            F.col("__g.n").alias("__n"),
+            F.col("__g.gram").alias("__gram"),
         )
 
     tmass = (
@@ -860,6 +891,13 @@ def gopher_repetition(
         .where(F.col("__cnt") >= 2)
         .select("__n", id_col, "__gram")
     )
+    # (doc, pos) -> token length, int-only rows for the coverage join
+    lens = src.select(
+        F.col(id_col),
+        F.posexplode(F.transform(tk, lambda t: F.length(t))).alias(
+            "__pos", "__len"
+        ),
+    )
     dcov = (
         dgrams.join(dups, ["__n", id_col, "__gram"], "left_semi")
         .select(
@@ -870,12 +908,12 @@ def gopher_repetition(
             ).alias("__pos"),
         )
         .distinct()
-        .join(toks, [id_col, "__pos"])
+        .join(lens, [id_col, "__pos"])
         .groupBy(id_col)
         .agg(
             *[
                 F.sum(
-                    F.when(F.col("__n") == n, F.length("__tok")).otherwise(0)
+                    F.when(F.col("__n") == n, F.col("__len")).otherwise(0)
                 )
                 .cast("long")
                 .alias(f"__dup{n}_chars")

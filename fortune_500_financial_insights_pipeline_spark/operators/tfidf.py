@@ -267,25 +267,42 @@ def bm25_search(
     (query_id, retrieved doc) with the summed BM25 score over the query's
     DISTINCT terms, ranked 1..k per query.
 
-    Plan shape for the 100 TB design point:
-    - the postings frame (one row per (doc, term)) is the big side and is
-      joined ON TERM to the broadcast query-term list — the classic
-      inverted-index probe: only postings of query terms survive the join,
-      everything else is filtered at the scan of the materialized
-      postings in a real deployment;
+    Plan shape for the 100 TB design point (round 9: score ONLY the
+    postings of query terms, in ONE corpus pass — the previous form ran
+    ``bm25()`` over the whole corpus, deriving df with a per-term window
+    and dl with a per-doc window over the FULL tf frame, i.e. two
+    corpus-wide shuffle+sorts to score a handful of query terms; a first
+    rewrite kept tf as a shared frame with separate dl/stats aggregate
+    branches, but per-branch column pruning defeats ReuseExchange and the
+    explode ran once per branch — measurably slower):
+    - dl (per-doc token count) is ROW-LOCAL arithmetic on the token
+      array, not an aggregate — it rides the tf group key (functionally
+      dependent on the doc id), so the probe needs NO doc-keyed join;
+    - the exploded token stream is filtered ON TERM by the broadcast
+      query vocabulary BEFORE the (doc, term) aggregate — the classic
+      inverted-index probe: the only corpus-sized exchange carries
+      partial counts of query-term postings alone;
+    - df for the surviving terms is a groupBy over the probed postings
+      (identical to the full-corpus per-term count for those terms);
+      total_tf is the sum of the row-local dl projection and n_docs a
+      bare count — one cheap scan each, no second explode;
     - per-(query, doc) score totals are a partial-aggregated groupBy whose
       key cardinality is bounded by (queries x matched docs), tiny next to
       the corpus;
     - top-k per query is a row_number window the optimizer rewrites to
       WindowGroupLimit — per-partition heaps of k rows, not a full sort;
-    - the score sum runs in fixed point (``dsum``) so the total is
-      bit-identical regardless of partitioning or join order.
+    - the score expression is textually identical to ``bm25()``'s and the
+      score sum runs in fixed point (``dsum``), so every value is
+      bit-identical to scoring the full postings frame and filtering
+      (asserted by test_bm25_search_matches_full_postings_route).
     """
     from pyspark.sql.window import Window
 
     from fortune_500_financial_insights_pipeline_spark.functions.deterministic import dsum
+    from fortune_500_financial_insights_pipeline_spark.operators.compact import (
+        ensure_min_parallelism,
+    )
 
-    scored = bm25(docs, id_col=id_col, text_col=text_col, k1=k1, b=b)
     qterms = (
         queries.select(
             "query_id",
@@ -293,9 +310,53 @@ def bm25_search(
         )
         .where(F.col("term") != "")
     )
+    vocab = qterms.select("term").distinct()
+    src = ensure_min_parallelism(
+        docs.select(F.col(id_col), F.col(text_col)), id_col
+    )
+    # dl = non-empty token count, row-local (== sum of tf per doc, since
+    # term_frequencies drops empty tokens); long like the former sum
+    dl_col = F.size(F.array_remove(F.split(F.col(text_col), " "), "")).cast(
+        "long"
+    )
+    tfq = (
+        src.select(
+            F.col(id_col),
+            dl_col.alias("dl"),
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .join(F.broadcast(vocab), "term")
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").alias("tf"))
+        # Materialize ONCE: tfq feeds both the broadcast df build (a
+        # driver-collect job) and the scored path — without the cut the
+        # corpus explode+probe executes once per consumer (measured
+        # 1.5 s -> 2.2 s regression on q_bm25_search when the first
+        # probe-first cut shipped without it). The checkpointed frame is
+        # query-term-postings-sized, not corpus-sized.
+        .localCheckpoint(eager=False)
+    )
+    dfreq = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # one corpus scan for both corpus constants (sum dl + row count)
+    stats = src.agg(
+        F.sum(dl_col).alias("total_tf"), F.count("*").alias("n_docs")
+    )
+    # same expressions, verbatim, as bm25() — bit-identical doubles
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (
+        1.0 - b + b * F.col("dl") / (F.col("total_tf") / F.col("n_docs"))
+    )
+    scored = (
+        tfq.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("score", F.round(idf * F.col("tf") * (k1 + 1.0) / denom, 6))
+    )
     totals = (
-        scored.join(F.broadcast(qterms), "term")
-        .groupBy("query_id", id_col)
+        scored.groupBy("query_id", id_col)
         .agg(
             F.round(dsum("score"), 6).alias("total_score"),
             F.count(F.lit(1)).alias("n_terms_hit"),

@@ -515,16 +515,32 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), F.size(tk) - 8),
         lambda i: F.md5(F.array_join(F.slice(tk, i + 1, 8), " ")),
     )
+    # round 9: the pair expansion runs on the per-hash DISTINCT source set
+    # (collect_set dedups map-side, so the former standalone .distinct()
+    # shuffle AND the hash-keyed self-join's two exchanges collapse into
+    # one aggregate) — per span hash, emit each ordered source pair; the
+    # result rows are identical to the self-join's (hash, a<b) matches
     spans = (
         src.where(F.size(tk) >= 8)
         .select("source", F.explode(windows).alias("span_hash"))
-        .distinct()
+        .groupBy("span_hash")
+        .agg(F.array_sort(F.collect_set("source")).alias("__ss"))
+        .where(F.size("__ss") >= 2)
     )
-    a = spans.select(F.col("source").alias("source_a"), "span_hash")
-    b = spans.select(F.col("source").alias("source_b"), "span_hash")
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("__ss"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("__ss"), i + 2, F.size(F.col("__ss"))),
+                    lambda y: F.struct(x.alias("source_a"), y.alias("source_b")),
+                ),
+            )
+        )
+    )
     return (
-        a.join(b, "span_hash")
-        .where(F.col("source_a") < F.col("source_b"))
+        spans.select(pair.alias("__p"))
+        .select(F.col("__p.source_a"), F.col("__p.source_b"))
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("shared_spans"))
     )
@@ -1395,12 +1411,6 @@ def q_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id int, qtext string",
     )
     ranked = bm25_search(d, queries, k=10).select("query_id", "doc_id", "rank")
-    tf = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-        .where(F.col("term") != "")
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
     qterms = (
         queries.select(
             "query_id", F.explode(F.split("qtext", " ")).alias("term")
@@ -1408,12 +1418,24 @@ def q_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("term") != "")
         .distinct()
     )
+    # probe BEFORE the aggregate (round 9): the previous form counted tf
+    # for EVERY (doc, term) in the corpus and then joined the ~9 query
+    # terms — the broadcast semi on the query vocabulary drops non-query
+    # tokens before the groupBy shuffle, identical counts for the
+    # surviving keys
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+        .join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
     rel_pairs = (
-        qterms.join(tf, "term")
+        F.broadcast(qterms).join(tf, "term")
         .groupBy("query_id", "doc_id")
         .agg(F.least(F.sum("tf"), F.lit(3)).cast("int").alias("rel"))
     )
-    j = ranked.join(rel_pairs, ["query_id", "doc_id"], "left").select(
+    j = ranked.join(F.broadcast(rel_pairs), ["query_id", "doc_id"], "left").select(
         "query_id",
         "rank",
         F.coalesce("rel", F.lit(0)).alias("rel"),
@@ -1772,16 +1794,21 @@ def q_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # regexp tokenization is LINEAR in doc bytes; an index-explode with
     # per-index substring re-scans the string per byte (quadratic — the
     # first cut measured 20 s at sf0.01)
+    # round 9: the per-doc byte total is length/2 — row-local arithmetic,
+    # not an aggregate — and riding it through the histogram's group key
+    # (functionally dependent on doc_id) deletes the former second
+    # aggregate branch AND its doc-keyed re-join
     pairs = hx.select(
         "doc_id",
+        (F.length("__h") / 2).cast("long").alias("__t"),
         F.explode(F.expr("regexp_extract_all(__h, '..', 0)")).alias("byte"),
     )
-    cells = pairs.groupBy("doc_id", "byte").agg(F.count(F.lit(1)).alias("__n"))
-    tot = cells.groupBy("doc_id").agg(F.sum("__n").alias("__t"))
+    cells = pairs.groupBy("doc_id", "__t", "byte").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
     p = F.col("__n").cast("double") / F.col("__t")
     return (
-        cells.join(tot, "doc_id")
-        .groupBy("doc_id")
+        cells.groupBy("doc_id")
         .agg(
             F.max("__t").cast("long").alias("n_bytes"),
             F.count(F.lit(1)).alias("n_distinct_bytes"),
@@ -2199,12 +2226,19 @@ def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     fp = F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
-    rn = F.row_number().over(W.partitionBy(fp).orderBy(F.asc("doc_id")))
+    rn = F.row_number().over(W.partitionBy("__fp").orderBy(F.asc("doc_id")))
     rep = repetition_stats(d, "doc_id", "text").select("doc_id", "top_gram_frac")
     ent = char_entropy(d).select("doc_id", "entropy_bits")
     flags = (
-        d.select("doc_id", "text", (rn == 1).alias("__f1"))
-        .withColumn("__f2", F.round(quality_score("text"), 6) >= 0.5)
+        # round 9: fingerprint + quality flag are row-local — computing
+        # them BEFORE the dedup-rank window means the fp exchange carries
+        # (doc_id, 32-byte fp, bool) instead of the full document text
+        d.select(
+            "doc_id",
+            fp.alias("__fp"),
+            (F.round(quality_score("text"), 6) >= 0.5).alias("__f2"),
+        )
+        .select("doc_id", (rn == 1).alias("__f1"), "__f2")
         .join(rep, "doc_id", "left")
         .join(ent, "doc_id", "left")
         .select(

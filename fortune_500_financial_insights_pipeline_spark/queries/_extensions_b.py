@@ -36,25 +36,29 @@ def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("node", 1).over(w).alias("__n1"),
         F.lead("node", 2).over(w).alias("__n2"),
     )
-    legs = [
-        p.where(F.col("__n1").isNotNull()).select(
-            F.col("node").alias("center"), F.col("__n1").alias("context"),
-            F.lit(1).alias("dist"),
-        ),
-        p.where(F.col("__n1").isNotNull()).select(
-            F.col("__n1").alias("center"), F.col("node").alias("context"),
-            F.lit(1).alias("dist"),
-        ),
-        p.where(F.col("__n2").isNotNull()).select(
-            F.col("node").alias("center"), F.col("__n2").alias("context"),
-            F.lit(2).alias("dist"),
-        ),
-        p.where(F.col("__n2").isNotNull()).select(
-            F.col("__n2").alias("center"), F.col("node").alias("context"),
-            F.lit(2).alias("dist"),
-        ),
-    ]
-    pairs = legs[0].unionByName(legs[1]).unionByName(legs[2]).unionByName(legs[3])
+    # round 9: the four direction/distance legs are an inline struct
+    # array exploded once — the union-of-4 form re-evaluated the lead()
+    # window subtree per leg (4 window passes in the plan for the same
+    # 25-row sort); rows emitted are identical (null contexts filtered
+    # exactly where the legs' isNotNull guards were)
+    leg = lambda c, x, dist: F.struct(  # noqa: E731
+        c.alias("center"), x.alias("context"), F.lit(dist).alias("dist")
+    )
+    node, n1, n2 = F.col("node"), F.col("__n1"), F.col("__n2")
+    structs = F.array(
+        leg(node, n1, 1), leg(n1, node, 1), leg(node, n2, 2), leg(n2, node, 2)
+    )
+    pairs = (
+        p.select(
+            F.explode(
+                F.filter(
+                    structs,
+                    lambda s: s["center"].isNotNull() & s["context"].isNotNull(),
+                )
+            ).alias("__s")
+        )
+        .select("__s.center", "__s.context", "__s.dist")
+    )
     return (
         pairs.groupBy("center", "context", "dist")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
@@ -129,7 +133,9 @@ def q_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     packed = (
-        fused.join(d, "doc_id")
+        # ten rows per query by construction — broadcast so the corpus-
+        # wide token-count projection streams instead of shuffling
+        F.broadcast(fused).join(d, "doc_id")
         .withColumn("cum_tokens", F.sum("tokens").over(w).cast("long"))
         .where(F.col("cum_tokens") <= 256)
     )
@@ -258,13 +264,18 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     cdeg = (
         sc.groupBy("c").agg(F.count(F.lit(1)).alias("deg")).where(F.col("deg") >= 2)
     )
+    # the watchlist leg is bounded by construction (suppliers <= 100 ×
+    # their customers) — broadcast it through both joins so the
+    # corpus-sized incidence list and the degree frame never reshuffle
+    # for it (the checkpointed RDD scan has no stats, so the planner
+    # defaulted to sort-merge exchanges here)
     e1 = (
-        sc.where(F.col("s") <= 100)
+        F.broadcast(sc.where(F.col("s") <= 100))
         .join(cdeg, "c")
         .select(F.col("s").alias("pa"), F.col("c").alias("z"), "deg")
     )
     e2 = sc.select(F.col("c").alias("z"), F.col("s").alias("pb"))
-    hop2 = e1.join(e2, "z").where(F.col("pa") != F.col("pb"))
+    hop2 = F.broadcast(e1).join(e2, "z").where(F.col("pa") != F.col("pb"))
     from fortune_500_financial_insights_pipeline_spark.functions.deterministic import dsum as _ds
 
     return (

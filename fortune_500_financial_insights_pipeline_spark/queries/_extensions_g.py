@@ -54,7 +54,7 @@ def q_suffix_lcp_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
     return suffix_lcp_spans(
-        d, min_lcp=3, sa=doc_suffix_sa(spark, sf_dir)
+        d, min_lcp=3, sa=doc_suffix_sa(spark, sf_dir), hint_small=True
     ).select("doc_a", "pos_a", "doc_b", "pos_b", "lcp", "span")
 
 
@@ -80,7 +80,9 @@ def q_substring_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
-    pairs = suffix_lcp_spans(d, min_lcp=3, sa=doc_suffix_sa(spark, sf_dir))
+    pairs = suffix_lcp_spans(
+        d, min_lcp=3, sa=doc_suffix_sa(spark, sf_dir), hint_small=True
+    )
     span_end = lambda pos: F.col(pos) + F.col("lcp").cast("int") - 1  # noqa: E731
     cov = (
         pairs.select(
@@ -131,7 +133,9 @@ def q_substring_dup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
-    pairs = suffix_lcp_spans(d, min_lcp=3, sa=doc_suffix_sa(spark, sf_dir))
+    pairs = suffix_lcp_spans(
+        d, min_lcp=3, sa=doc_suffix_sa(spark, sf_dir), hint_small=True
+    )
     span_end = lambda pos: F.col(pos) + F.col("lcp").cast("int") - 1  # noqa: E731
     cov = (
         pairs.select(

@@ -63,6 +63,66 @@ def test_bm25_search_unknown_terms_drop_silently(spark):
     assert all(r.n_terms_hit == 1 for r in out)
 
 
+def test_bm25_search_matches_full_postings_route(spark):
+    """Round 9: the probe-first plan (filter tf by query vocabulary before
+    scoring) must be VALUE-identical to scoring the full bm25() postings
+    frame and then filtering — the pre-r9 formulation, reconstructed here
+    row for row."""
+    from pyspark.sql.window import Window
+
+    from fortune_500_financial_insights_pipeline_spark.functions.deterministic import dsum
+    from fortune_500_financial_insights_pipeline_spark.operators.tfidf import bm25
+
+    docs = _docs(spark)
+    queries = spark.createDataFrame(
+        [(1, "join hash"), (2, "window"), (3, "stream zzznotaword")],
+        "query_id int, qtext string",
+    )
+    fast = bm25_search(docs, queries, k=3)
+
+    scored = bm25(docs)
+    qterms = (
+        queries.select(
+            "query_id",
+            F.explode(F.array_distinct(F.split(F.col("qtext"), " "))).alias("term"),
+        )
+        .where(F.col("term") != "")
+    )
+    totals = (
+        scored.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(dsum("score"), 6).alias("total_score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("total_score"), F.asc("doc_id"))
+    slow = totals.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 3)
+
+    key = lambda r: (r.query_id, r.doc_id)  # noqa: E731
+    a = sorted(fast.collect(), key=key)
+    b = sorted(slow.collect(), key=key)
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_bm25_search_plan_has_no_corpus_window(spark, sf_dir):
+    """The probe form derives df/dl with aggregates over the probed or
+    tf frames — the corpus-wide per-term and per-doc window sorts of the
+    pre-r9 plan must not come back (the only Window allowed is the
+    top-k rank, which rewrites to WindowGroupLimit)."""
+    plan = (
+        QUERIES["q_bm25_search"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
+    n_windows = sum(
+        1 for line in plan.splitlines() if line.lstrip("+:- ").startswith("Window [")
+    )
+    assert n_windows <= 1, n_windows
+
+
 def test_bm25_search_broadcasts_query_terms(spark, sf_dir):
     plan = (
         QUERIES["q_bm25_search"](spark, sf_dir)

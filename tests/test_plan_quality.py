@@ -607,24 +607,19 @@ def test_pagerank_dist_runs_the_shuffle_loop(spark, sf_dir, monkeypatch):
 
 
 def test_gopher_repetition_fused_window_pass(spark, sf_dir):
-    """The nine lead depths must FUSE into one WindowExec per consumer
-    branch (same partition/sort → Spark computes all leads in one pass):
-    three consumer branches (top-gram mass, dup detection, dup coverage)
-    means at most 3 Window nodes. The guarded-against regression is the
-    per-n formulation — 9+ window families, ~2x the cold wall-clock
-    (SCALE.md round-5)."""
+    """Round 9: the nine gram depths are built ROW-LOCALLY from each
+    document's own token array (higher-order array lambdas), so the plan
+    must carry NO Window node at all — the guarded-against regressions
+    are (a) the r5 per-n formulation (9+ window families) and (b) the
+    r5-r8 fused-lead formulation (a corpus-wide exchange+sort carrying
+    nine lead string columns, re-run per consumer branch)."""
     df = QUERIES["q_gopher_repetition"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     n_windows = sum(
         1 for line in plan.splitlines() if line.lstrip("+:- ").startswith("Window [")
     )
-    assert 1 <= n_windows <= 3, n_windows
-    # and each fuses all nine depths: lead(tok, 9) appears in a Window line
-    assert any(
-        "lead" in line and "9" in line
-        for line in plan.splitlines()
-        if "Window [" in line
-    ) or "lead(__tok" in plan
+    assert n_windows == 0, n_windows
+    assert "lead(" not in plan
     assert "CartesianProduct" not in plan
 
 
