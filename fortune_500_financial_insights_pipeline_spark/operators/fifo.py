@@ -61,7 +61,13 @@ def fifo_match(
     ``order_cols``) and integer-valued quantities."""
     b = _with_cum(buys, key_cols, order_cols, qty_col, "b")
     s = _with_cum(sells, key_cols, order_cols, qty_col, "s")
-    j = b.join(s, key_cols).where(
+    # Both sides leave their cum windows hash-partitioned on key_cols, so
+    # a merge join needs NO exchange (a per-partition sort only); the
+    # planner's size estimate instead broadcast one whole side — a
+    # driver collect + duplicate hash relation per task that measured
+    # 1.24 s vs 0.95 s for the merge route at sf0.1 (round 9). At scale
+    # both sides are corpus-sized and merge is the only sane choice.
+    j = b.join(s.hint("merge"), key_cols).where(
         (F.col("b_lo") < F.col("s_hi")) & (F.col("s_lo") < F.col("b_hi"))
     )
     matched = F.least("b_hi", "s_hi") - F.greatest("b_lo", "s_lo")

@@ -467,7 +467,14 @@ def hash_guided_walks(
     ).distinct()
     out = cur.select("walk_id", F.lit(0).alias("step"), "node")
     for t in range(1, steps + 1):
-        cand = cur.join(both, cur.node == both.u).select(
+        # The frontier is one row per WALK forever (the rn=1 cut below),
+        # while `both` is the whole edge list — but both sides are
+        # statless checkpoint scans, so the planner shuffled the EDGES by
+        # vertex once per hop. Broadcasting the frontier makes each hop a
+        # map-only probe over the stationary edge partitions (flip to a
+        # shuffle join only at walk counts where walks x 16 B outgrows a
+        # broadcast, i.e. hundreds of millions of simultaneous walks).
+        cand = F.broadcast(cur).join(both, cur.node == both.u).select(
             "walk_id",
             F.col("v").alias("nbr"),
             F.md5(

@@ -276,7 +276,12 @@ def extract_features(media_df: DataFrame, fake: bool = True) -> DataFrame:
                 }
             )
 
-    return media_df.mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
+    # explicit projection before the opaque Python stage: Spark cannot see
+    # which columns the function touches and would otherwise ship (and
+    # scan) every input column across the Arrow boundary
+    return media_df.select("doc_id", "media_type", "n_bytes", "media").mapInPandas(
+        decode_batches, schema=FEATURE_SCHEMA
+    )
 
 
 FRAME_SCHEMA = (

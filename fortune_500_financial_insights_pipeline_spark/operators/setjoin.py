@@ -39,6 +39,7 @@ def jaccard_pairs_exact(
     threshold: float = 0.8,
     return_similarity: bool = False,
     return_counts: bool = False,
+    broadcast_cands: bool = False,
 ) -> DataFrame:
     """(id_a, id_b) with id_a < id_b and Jaccard(grams_a, grams_b) >= t.
 
@@ -52,6 +53,13 @@ def jaccard_pairs_exact(
     result (identical to rebuilding at t, since prefix filtering never
     loses pairs), which is what the per-process pair memo in
     queries/_core.py relies on.
+
+    ``broadcast_cands=True`` broadcast-hints the verified candidate pair
+    list into the two gram-array re-attach joins, so the array payloads
+    never ride an exchange (guide-§8 shape: heavy rows move zero times,
+    the id-pair proxy decides). Opt-in because the candidate list is
+    data-dependent — bounded for near-dup-sized corpora (the memo path),
+    unbounded in the adversarial worst case.
     """
     recs = grams.select(F.col(id_col).alias("_id"), F.col(gram_col).alias("_g"))
 
@@ -60,8 +68,30 @@ def jaccard_pairs_exact(
 
     # Rebuild each record's token list sorted by the global (freq, token)
     # order: array_sort on (freq, token) structs — all JVM-side.
+    #
+    # The explicit keyed repartition REPLACES the aggregate's implicit
+    # ENSURE_REQUIREMENTS exchange (same key, so the groupBy reuses the
+    # partitioning — still exactly one shuffle) and, being user-specified,
+    # is exempt from AQE partition coalescing. That matters because every
+    # downstream stage of this operator (prefix posexplode, candidate
+    # join input, and above all the array-intersect verify) reads the
+    # checkpointed `ordered` partitions directly: AQE sizes partitions by
+    # BYTES, and a few MB of gram arrays coalesce to ~4 partitions while
+    # carrying minutes of per-row CPU (measured round 9: verify ran
+    # 4-wide on 32 cores; a session-global minPartitionSize=64k floor
+    # fixed this stage but taxed every small exchange in the engine —
+    # q_kcore 2x slower — so the width is pinned here, at the one
+    # CPU-dense site, instead). Sized max(defaultParallelism,
+    # spark.sql.shuffle.partitions) so production confs scale it up.
+    spark = grams.sparkSession
+    try:
+        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # e.g. "auto" under some deployments
+        n_shuffle = spark.sparkContext.defaultParallelism
+    n_wide = max(spark.sparkContext.defaultParallelism, n_shuffle)
     ordered = (
         tok.join(freq, "t")
+        .repartition(n_wide, "_id")
         .groupBy("_id")
         .agg(F.array_sort(F.collect_list(F.struct("f", "t"))).alias("_ord"))
         .select(
@@ -153,10 +183,17 @@ def jaccard_pairs_exact(
     )
     ga = ordered.select(F.col("_id").alias("id_a"), F.col("_g").alias("ga"))
     gb = ordered.select(F.col("_id").alias("id_b"), F.col("_g").alias("gb"))
+    if broadcast_cands:
+        cands = F.broadcast(cands)
     pairs = cands.join(ga, "id_a").join(gb, "id_b")
 
     inter = F.size(F.array_intersect("ga", "gb")).cast("double")
-    union = F.size(F.array_union("ga", "gb")).cast("double")
+    # |A ∪ B| = |A| + |B| − |A ∩ B| exactly (both arrays are distinct
+    # sets by construction — rebuilt from distinct (id, token) rows), so
+    # the hash-set build of array_union is pure overhead next to the
+    # arithmetic: verify measured 8.9 s → 6.6 s at sf0.1 / 667k
+    # candidates when it was dropped (round 9)
+    union = (F.size("ga") + F.size("gb")).cast("double") - inter
     kept = pairs.where(inter / union >= threshold)
     if return_counts:
         return kept.select(

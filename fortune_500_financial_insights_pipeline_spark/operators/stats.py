@@ -412,9 +412,20 @@ def ols2(
 
     The determinant arithmetic is shared SQL text (OLS2_DET*) evaluated
     by both engines, so results hash-match exactly. One hash aggregate;
-    shuffle carries 9 moments per group."""
-    from fortune_500_financial_insights_pipeline_spark.functions.deterministic import dsum
+    shuffle carries 9 moments per group.
 
+    Input spread up front (ensure_min_parallelism, projected to the four
+    read columns): the nine fixed-point moment folds are the cost, and a
+    single-row-group parquet scan pins them to one task (the
+    q_mahalanobis lesson, round 9); no-op for inputs that split."""
+    from fortune_500_financial_insights_pipeline_spark.functions.deterministic import dsum
+    from fortune_500_financial_insights_pipeline_spark.operators.compact import (
+        ensure_min_parallelism,
+    )
+
+    df = ensure_min_parallelism(
+        df.select(*group_cols, y_col, x1_col, x2_col), y_col
+    )
     x1, x2, yv = F.col(x1_col), F.col(x2_col), F.col(y_col)
     mom = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("double").alias("n"),
@@ -487,7 +498,22 @@ def mahalanobis_outliers(
     trend; Euclidean z-scores miss it). The 2×2 covariance inverse is
     closed-form, so the whole detector is: one exact moment aggregate,
     a broadcast join back, one row-local distance expression (shared
-    SQL text, bit-exact cross-engine), and a WindowGroupLimit top-k."""
+    SQL text, bit-exact cross-engine), and a WindowGroupLimit top-k.
+
+    The input is projected to the five columns the detector reads and
+    routed through ensure_min_parallelism: both passes (moment aggregate
+    and the scored top-k scan) are CPU-dense, and a compact single-row-
+    group parquet cannot split — without the up-front spread ONE task
+    paid the whole 600k-row decimal moment sum and distance scan
+    (measured 2.3 s → 0.96 s at sf0.1, round 9; no-op on inputs that
+    already split)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.compact import (
+        ensure_min_parallelism,
+    )
+
+    df = ensure_min_parallelism(
+        df.select(*group_cols, x1_col, x2_col, *tiebreak_cols), *tiebreak_cols
+    )
     stats = _central_moments2(df, group_cols, x1_col, x2_col)
     j = df.join(F.broadcast(stats), group_cols).withColumns(
         {

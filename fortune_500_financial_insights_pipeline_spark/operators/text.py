@@ -277,21 +277,23 @@ def char_entropy(df, id_col: str = "doc_id", text_col: str = "text",
     # The empty-text guard matters: sequence(1, 0) defaults to step -1 and
     # yields [1, 0], so an empty doc would surface with entropy 0 while the
     # oracle's range(1, 1) emits no row at all.
+    # the per-doc char total is the prefix length — row-local arithmetic
+    # (every exploded position is counted exactly once), so it rides the
+    # histogram group key instead of a second aggregate + doc-keyed
+    # re-join (the q_byte_entropy pattern, round 9)
     chars = docs.select(
         id_col,
+        F.length("__t").cast("long").alias("__n"),
         F.explode(F.sequence(F.lit(1), F.length("__t"))).alias("__i"),
         "__t",
-    ).select(id_col, F.expr("substring(__t, __i, 1)").alias("__c"))
-    counts = chars.groupBy(id_col, "__c").agg(F.count(F.lit(1)).alias("__n_c"))
-    totals = counts.groupBy(id_col).agg(F.sum("__n_c").alias("__n"))
+    ).select(id_col, "__n", F.expr("substring(__t, __i, 1)").alias("__c"))
+    counts = chars.groupBy(id_col, "__n", "__c").agg(
+        F.count(F.lit(1)).alias("__n_c")
+    )
     p = F.col("__n_c") / F.col("__n")
-    return (
-        counts.join(totals, id_col)
-        .groupBy(id_col)
-        .agg(
-            (-dsum(p * F.log2(p))).alias("entropy_bits"),
-            F.count(F.lit(1)).alias("n_distinct_chars"),
-        )
+    return counts.groupBy(id_col).agg(
+        (-dsum(p * F.log2(p))).alias("entropy_bits"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
     )
 
 

@@ -80,6 +80,9 @@ def doc_jaccard_pairs(
             d.select("doc_id", word_ngrams(F.col("text"), ngram).alias("grams")),
             threshold=floor,
             return_counts=True,
+            # near-dup-bounded corpus by memo contract (_PAIR_MEMO_CAP):
+            # id-pair broadcast keeps the gram arrays off every exchange
+            broadcast_cands=True,
         ).localCheckpoint(eager=False)
         if pairs.count() > _PAIR_MEMO_CAP:
             return pairs  # degenerate corpus: stay distributed, skip the memo

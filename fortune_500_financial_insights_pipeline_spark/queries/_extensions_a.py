@@ -1435,10 +1435,17 @@ def q_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "doc_id")
         .agg(F.least(F.sum("tf"), F.lit(3)).cast("int").alias("rel"))
     )
-    j = ranked.join(F.broadcast(rel_pairs), ["query_id", "doc_id"], "left").select(
-        "query_id",
-        "rank",
-        F.coalesce("rel", F.lit(0)).alias("rel"),
+    j = (
+        ranked.join(F.broadcast(rel_pairs), ["query_id", "doc_id"], "left")
+        .select(
+            "query_id",
+            "rank",
+            F.coalesce("rel", F.lit(0)).alias("rel"),
+        )
+        # (queries × k)-row frame consumed by BOTH the DCG and the IDCG
+        # branch — without the lineage cut each branch re-executes the
+        # whole bm25 retrieval upstream (round 9: 2.2 s → 1.3 s)
+        .localCheckpoint(eager=False)
     )
     gain = F.element_at(
         F.array(F.lit(0.0), F.lit(1.0), F.lit(3.0), F.lit(7.0)), F.col("rel") + 1

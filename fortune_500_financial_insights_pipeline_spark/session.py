@@ -37,6 +37,17 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # NOTE (round 9): a session-global
+        # coalescePartitions.minPartitionSize=64k floor was tried here to
+        # keep CPU-dense small-byte exchanges parallel (jaccard verify ran
+        # 4-wide on 32 cores under the default 1 MB floor). The A/B showed
+        # it taxed every other small exchange instead (q_kcore 0.27->0.58 s,
+        # q_perplexity_bucket 1.30->1.69, q_ltv_curve 1.41->1.58,
+        # q_fifo_pnl 1.26->1.52 at sf0.1): more tasks per tiny shuffle is
+        # pure scheduling overhead where the stage is NOT CPU-bound. The
+        # width is now pinned at the one CPU-dense site that needed it
+        # (operators/setjoin.py: user repartition, AQE-exempt) and the
+        # global floor stays at Spark's default.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # cost-based optimizer: inert without stats, but lets ANALYZE'd
         # tables (warehouse.analyze_table) drive join reordering and
