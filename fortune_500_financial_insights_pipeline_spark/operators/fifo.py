@@ -61,13 +61,16 @@ def fifo_match(
     ``order_cols``) and integer-valued quantities."""
     b = _with_cum(buys, key_cols, order_cols, qty_col, "b")
     s = _with_cum(sells, key_cols, order_cols, qty_col, "s")
-    # Both sides leave their cum windows hash-partitioned on key_cols, so
-    # a merge join needs NO exchange (a per-partition sort only); the
-    # planner's size estimate instead broadcast one whole side — a
-    # driver collect + duplicate hash relation per task that measured
-    # 1.24 s vs 0.95 s for the merge route at sf0.1 (round 9). At scale
-    # both sides are corpus-sized and merge is the only sane choice.
-    j = b.join(s.hint("merge"), key_cols).where(
+    # NOTE (round 9): a `hint("merge")` was tried here — both sides leave
+    # their cum windows hash-partitioned on key_cols, so the merge join
+    # needs no exchange. It measured faster only under a session config
+    # that was itself a regression (AQE minPartitionSize=64k); the
+    # same-session A/B at default confs reads merge 0.63 s vs planner
+    # 0.59 s at sf0.1: the planner's broadcast of the smaller cum side
+    # wins here, and at scale (both sides too big to broadcast) it picks
+    # the exchange-free sort-merge on its own since both sides are
+    # already partitioned by the key. Leave the choice to the planner.
+    j = b.join(s, key_cols).where(
         (F.col("b_lo") < F.col("s_hi")) & (F.col("s_lo") < F.col("b_hi"))
     )
     matched = F.least("b_hi", "s_hi") - F.greatest("b_lo", "s_lo")

@@ -211,21 +211,45 @@ def bm25(
     score = idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)),
     idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
 
-    Plan shape matches tfidf(): one explode pass builds the tf frame; dl
-    (document token count) and df (term document frequency) are windows
-    OVER the tf frame — no second pass over raw text; N and total token
-    count enter as a 1-row broadcast. Scores round to 6dp so libm ln ulp
-    differences can't leak into cross-engine comparisons. avgdl counts
-    tokens/docs over the whole corpus (empty docs lower avgdl but earn no
-    term rows, same convention as tfidf_from_tf's note)."""
+    Plan shape (round 9): one explode pass builds the tf frame with dl —
+    the per-document token count — carried IN the group key as row-local
+    arithmetic on the token array (dl == sum of tf per doc since empty
+    tokens are dropped on both routes; the same equivalence
+    test_bm25_search_matches_full_postings_route pins for the search
+    twin). That deletes the doc-keyed window over the corpus-sized tf
+    frame — a full exchange + sort — that the previous form paid; df
+    (term document frequency) stays a window over the tf frame (no
+    second pass over raw text), and N / total token count enter as a
+    1-row broadcast. Scores round to 6dp so libm ln ulp differences
+    can't leak into cross-engine comparisons. avgdl counts tokens/docs
+    over the whole corpus (empty docs lower avgdl but earn no term rows,
+    same convention as tfidf_from_tf's note)."""
     from pyspark.sql.window import Window
 
-    tf = term_frequencies(docs, id_col=id_col, text_col=text_col)
+    from fortune_500_financial_insights_pipeline_spark.operators.compact import (
+        ensure_min_parallelism,
+    )
+
+    src = ensure_min_parallelism(
+        docs.select(F.col(id_col), F.col(text_col)), id_col
+    )
+    dl_col = F.size(F.array_remove(F.split(F.col(text_col), " "), "")).cast(
+        "long"
+    )
+    tf = (
+        src.select(
+            F.col(id_col),
+            dl_col.alias("dl"),
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
     stats = (
         tf.agg(F.sum("tf").alias("total_tf"))
         .crossJoin(F.broadcast(docs.select(F.count("*").alias("n_docs"))))
     )
-    dl_w = Window.partitionBy(id_col)
     df_w = Window.partitionBy("term")
     idf = F.log(
         1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -234,8 +258,7 @@ def bm25(
         1.0 - b + b * F.col("dl") / (F.col("total_tf") / F.col("n_docs"))
     )
     scored = (
-        tf.withColumn("dl", F.sum("tf").over(dl_w))
-        .withColumn("df", F.count("*").over(df_w))
+        tf.withColumn("df", F.count("*").over(df_w))
         .crossJoin(F.broadcast(stats))
         .withColumn("score", F.round(idf * F.col("tf") * (k1 + 1.0) / denom, 6))
         .select(id_col, "term", "tf", "score")
@@ -309,6 +332,12 @@ def bm25_search(
             F.explode(F.array_distinct(F.split(F.col("qtext"), " "))).alias("term"),
         )
         .where(F.col("term") != "")
+        # (queries x terms)-sized by contract, but its lineage is a scan
+        # of wherever the caller got the query texts (often the corpus
+        # itself, filtered to a handful of ids) — cut it so the two
+        # consumers (vocab build + the scored join's broadcast) don't
+        # re-read that source per execution
+        .localCheckpoint(eager=False)
     )
     vocab = qterms.select("term").distinct()
     src = ensure_min_parallelism(
@@ -318,6 +347,10 @@ def bm25_search(
     # term_frequencies drops empty tokens); long like the former sum
     dl_col = F.size(F.array_remove(F.split(F.col(text_col), " "), "")).cast(
         "long"
+    )
+    # one corpus scan for both corpus constants (sum dl + row count)
+    stats = src.agg(
+        F.sum(dl_col).alias("total_tf"), F.count("*").alias("n_docs")
     )
     tfq = (
         src.select(
@@ -329,6 +362,14 @@ def bm25_search(
         .join(F.broadcast(vocab), "term")
         .groupBy(id_col, "dl", "term")
         .agg(F.count("*").alias("tf"))
+        # the 1-row corpus constants ride the postings frame INTO the
+        # checkpoint below: stats needs its own corpus pass (it cannot be
+        # derived from the term-filtered postings), and leaving it
+        # outside the cut re-tokenized the whole corpus on every
+        # re-execution of every consumer (q_rrf_fusion / q_rag_context_
+        # pack re-run this subtree; measured ~0.6 s of each consumer's
+        # warm time at sf0.1, round 9)
+        .crossJoin(F.broadcast(stats))
         # Materialize ONCE: tfq feeds both the broadcast df build (a
         # driver-collect job) and the scored path — without the cut the
         # corpus explode+probe executes once per consumer (measured
@@ -338,10 +379,6 @@ def bm25_search(
         .localCheckpoint(eager=False)
     )
     dfreq = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    # one corpus scan for both corpus constants (sum dl + row count)
-    stats = src.agg(
-        F.sum(dl_col).alias("total_tf"), F.count("*").alias("n_docs")
-    )
     # same expressions, verbatim, as bm25() — bit-identical doubles
     idf = F.log(
         1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -350,9 +387,9 @@ def bm25_search(
         1.0 - b + b * F.col("dl") / (F.col("total_tf") / F.col("n_docs"))
     )
     scored = (
+        # total_tf / n_docs already ride every tfq row (staged above)
         tfq.join(F.broadcast(dfreq), "term")
         .join(F.broadcast(qterms), "term")
-        .crossJoin(F.broadcast(stats))
         .withColumn("score", F.round(idf * F.col("tf") * (k1 + 1.0) / denom, 6))
     )
     totals = (

@@ -124,18 +124,21 @@ def q_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     fused = QUERIES["q_rrf_fusion"](spark, sf_dir).select(
         "query_id", "doc_id", "rank"
     )
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", TX.token_count("text").alias("tokens")
-    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     w = (
         W.partitionBy("query_id")
         .orderBy("rank")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     packed = (
-        # ten rows per query by construction — broadcast so the corpus-
-        # wide token-count projection streams instead of shuffling
+        # ten rows per query by construction — broadcast so the corpus
+        # scan streams instead of shuffling; token_count is computed
+        # ABOVE the join, so the tokenizer split runs only on the ~30
+        # surviving rows instead of every document in the corpus (the
+        # projection below a broadcast join is evaluated per probe row)
         F.broadcast(fused).join(d, "doc_id")
+        .withColumn("tokens", TX.token_count("text"))
+        .drop("text")
         .withColumn("cum_tokens", F.sum("tokens").over(w).cast("long"))
         .where(F.col("cum_tokens") <= 256)
     )
