@@ -26,6 +26,9 @@ def bucket_pairs(
     id_col: str,
     carry_cols: tuple[str, ...] = (),
     max_bucket: int | None = None,
+    pair_filter=None,
+    dedup: bool = True,
+    wide_expand: bool = False,
 ) -> DataFrame:
     """All (a, b) pairs within each bucket with ``a.id < b.id``, via ONE
     groupBy + within-array expansion instead of a bucket self-join.
@@ -46,7 +49,35 @@ def bucket_pairs(
     seen in several buckets are deduplicated. ``carry_cols`` must be
     functionally dependent on the id (a signature, a gram array): the
     dedup keeps one arbitrary bucket's row per pair, which is only
-    row-identical under that dependency."""
+    row-identical under that dependency.
+
+    ``pair_filter`` (round 9, guide §2.4): optional ``(a, b) -> Column``
+    predicate over the two member structs (fields: ``i`` + carry cols; the
+    grouping keys are in scope as outer columns), applied INSIDE the pair
+    array before the explode. When the carried payload lets a pair decide
+    row-locally whether THIS bucket is its first (e.g. simhash: every
+    band value is arithmetic on the two carried signatures), pass the
+    first-match predicate and ``dedup=False``: pairs are then globally
+    unique by construction and the corpus-pairs-sized dropDuplicates
+    exchange disappears from the plan entirely.
+
+    ``wide_expand`` (round 9, guide §2.5): the grouped bucket arrays are a
+    few MB even when the pair fan-out is in the hundreds of thousands, so
+    AQE coalesces the post-aggregate stage to a handful of partitions and
+    the expansion runs nearly serial. The explicit keyed repartition
+    REPLACES the aggregate's implicit exchange (same key — still exactly
+    one shuffle) and, being user-specified, is AQE-coalesce-exempt; sized
+    max(defaultParallelism, spark.sql.shuffle.partitions), the setjoin
+    idiom, so production confs scale it up. Opt-in: callers whose buckets
+    are tiny keep the default plan."""
+    if wide_expand:
+        spark = buckets.sparkSession
+        try:
+            n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):  # e.g. "auto" under some deployments
+            n_shuffle = spark.sparkContext.defaultParallelism
+        n_wide = max(spark.sparkContext.defaultParallelism, n_shuffle)
+        buckets = buckets.repartition(n_wide, *key_cols)
     payload = F.struct(
         F.col(id_col).alias("i"), *[F.col(c).alias(c) for c in carry_cols]
     )
@@ -68,11 +99,15 @@ def bucket_pairs(
     )
     if max_bucket is not None:
         grouped = grouped.where(F.size("xs") <= max_bucket)
-    out = grouped.select(F.explode(pair_expr).alias("p"))
+    pairs_arr = pair_expr
+    if pair_filter is not None:
+        pairs_arr = F.filter(pair_expr, lambda pr: pair_filter(pr["a"], pr["b"]))
+    out = grouped.select(F.explode(pairs_arr).alias("p"))
     cols = [F.col("p.a.i").alias("id_a"), F.col("p.b.i").alias("id_b")]
     for c in carry_cols:
         cols += [F.col(f"p.a.{c}").alias(f"{c}_a"), F.col(f"p.b.{c}").alias(f"{c}_b")]
-    return out.select(*cols).dropDuplicates(["id_a", "id_b"])
+    res = out.select(*cols)
+    return res.dropDuplicates(["id_a", "id_b"]) if dedup else res
 
 
 def minhash_neardup_pairs(

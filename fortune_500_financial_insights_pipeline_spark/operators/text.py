@@ -238,24 +238,59 @@ def repetition_stats(df, id_col: str, text_col: str, n: int = 2):
     (high fraction = boilerplate/loop junk; quality-filter rule 'top
     2-gram fraction' from Rae et al., Gopher appendix A).
 
-    Shape: explode the gram stream, two stacked aggregations keyed by
-    doc — both partial-aggregated map-side, and the doc key means the
-    explode never crosses documents, so skew is bounded by the longest
-    single document."""
+    Shape (round 9, guide §2.4): the statistic is a function of one
+    document's own gram stream, so it is computed ROW-LOCALLY — sort the
+    gram array, run-length it with higher-order functions, take the max
+    run. The former explode + two stacked hash aggregations (a corpus-
+    gram-sized exchange) are gone: zero shuffles beyond the parallelism
+    guard. max(cnt)/sum(cnt) over the aggregate rows equals
+    max(run)/size(grams) over the sorted array exactly (same longs, same
+    double casts); docs with an empty/null gram array emit no row, the
+    explode's semantics."""
     from fortune_500_financial_insights_pipeline_spark.operators.compact import (
         ensure_min_parallelism,
     )
 
     src = ensure_min_parallelism(df.select(F.col(id_col), F.col(text_col)), id_col)
-    grams = src.select(
-        F.col(id_col), F.explode(word_ngrams_all(text_col, n)).alias("gram")
-    )
-    per = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("cnt"))
-    return per.groupBy(id_col).agg(
-        (F.max("cnt").cast("double") / F.sum("cnt").cast("double")).alias(
-            "top_gram_frac"
+
+    def _stats(sg: Column) -> Column:
+        sz = F.size(sg)
+        starts_expr = F.filter(
+            F.sequence(F.lit(1), sz),
+            lambda i: (i == F.lit(1)) | (F.get(sg, i - 1) != F.get(sg, i - 2)),
+        )
+
+        def from_starts(st: Column) -> Column:
+            ends = F.concat(
+                F.slice(st, 2, F.greatest(F.size(st) - 1, F.lit(0))),
+                F.array(sz + 1),
+            )
+            counts = F.zip_with(ends, st, lambda e, s: (e - s).cast("long"))
+            return F.struct(
+                (F.array_max(counts).cast("double") / sz.cast("double")).alias(
+                    "top_gram_frac"
+                ),
+                sz.cast("long").alias("n_grams"),
+            )
+
+        # sequence(1, 0) would count DOWN — guard empty arrays out (they
+        # produce no row below anyway, matching the explode form)
+        return F.when(sz > 0, F.array(_bind(starts_expr, from_starts)))
+
+    # explode(when(.., array(struct))) materializes the stats struct ONCE
+    # per row through the Generate (a null/empty doc emits no row — the
+    # old explode's semantics) and leaves cheap field refs downstream;
+    # a bare struct column here was re-embedded per consumer (filter +
+    # two field projections = 3 copies of the sort+fold tree, measured)
+    return src.select(
+        F.col(id_col),
+        F.explode(_bind(F.array_sort(word_ngrams_all(text_col, n)), _stats)).alias(
+            "__s"
         ),
-        F.sum("cnt").cast("long").alias("n_grams"),
+    ).select(
+        F.col(id_col),
+        F.col("__s.top_gram_frac").alias("top_gram_frac"),
+        F.col("__s.n_grams").alias("n_grams"),
     )
 
 
@@ -263,37 +298,76 @@ def char_entropy(df, id_col: str = "doc_id", text_col: str = "text",
                  prefix_len: int = 240):
     """Per-document character entropy in bits over a bounded text prefix —
     the info-theoretic boilerplate/junk signal (low = repetitive, high =
-    random bytes). DataFrame-in/DataFrame-out like repetition_stats: the
-    explode fan-out is capped at prefix_len, and both groupBys reduce to
-    (doc, char) pairs — bounded by alphabet size, not document length.
-    The per-char p·log2(p) terms are per-row IEEE arithmetic; the per-doc
-    sum is fixed-point (dsum) so results are partitioning-invariant and
-    oracle-exact (q_char_entropy)."""
-    from fortune_500_financial_insights_pipeline_spark.functions.deterministic import dsum
+    random bytes).
+
+    Plan shape (round 9, guide §2.4): the histogram is a function of one
+    row's own prefix, so the whole computation is ROW-LOCAL — sort the
+    prefix's characters, run-length the sorted array with higher-order
+    functions, and fold the p·log2(p) terms per row. The former shape
+    (explode one row per character + two corpus-wide hash aggregations —
+    1.2M rows at sf0.1 for 5k docs) is gone: zero exchanges, a pure map
+    (measured 1.20 s → map-side cost at sf0.1). Values are bit-identical
+    to the aggregate form: the per-run p·log2(p) doubles are the same
+    IEEE terms, and the sum uses the same fixed-point interior as dsum
+    (scale 1e6, exact long sum), which is order-independent — so the fold
+    order cannot differ from the shuffle order (q_char_entropy pins it
+    against the oracle; test_char_entropy_rowlocal_matches_aggregate pins
+    it against the old plan)."""
+    from fortune_500_financial_insights_pipeline_spark.functions.deterministic import (
+        SCALE,
+        _fixed,
+    )
 
     docs = df.select(
         id_col, F.lower(F.substring(text_col, 1, prefix_len)).alias("__t")
     ).where(F.length("__t") > 0)
-    # The empty-text guard matters: sequence(1, 0) defaults to step -1 and
-    # yields [1, 0], so an empty doc would surface with entropy 0 while the
-    # oracle's range(1, 1) emits no row at all.
-    # the per-doc char total is the prefix length — row-local arithmetic
-    # (every exploded position is counted exactly once), so it rides the
-    # histogram group key instead of a second aggregate + doc-keyed
-    # re-join (the q_byte_entropy pattern, round 9)
-    chars = docs.select(
+    # The empty-text guard matters: the oracle's range(1, 1) emits no row
+    # for an empty prefix, so such docs must not surface here either.
+
+    def _ent(t: Column) -> Column:
+        n = F.length(t).cast("long")
+        # split("") yields exactly the per-character array for any
+        # non-empty string (incl. multibyte) — one native call instead of
+        # prefix_len interpreted substr lambdas; empty texts are filtered
+        # out above, where the two constructions would differ
+        chars = F.split(t, "")
+
+        def from_sorted(sc_: Column) -> Column:
+            # run starts in the sorted char array (1-based positions);
+            # F.get is 0-based and null-safe, so position 1 compares
+            # against null and keeps only the `i == 1` disjunct
+            starts_expr = F.filter(
+                F.sequence(F.lit(1), F.size(sc_)),
+                lambda i: (i == F.lit(1)) | (F.get(sc_, i - 1) != F.get(sc_, i - 2)),
+            )
+
+            def from_starts(st: Column) -> Column:
+                ends = F.concat(
+                    F.slice(st, 2, F.greatest(F.size(st) - 1, F.lit(0))),
+                    F.array(F.size(sc_) + 1),
+                )
+                counts = F.zip_with(ends, st, lambda e, s: (e - s).cast("long"))
+                p_of = lambda c: c / n  # noqa: E731 — long/long → double, as before
+                s_fixed = F.aggregate(
+                    counts,
+                    F.lit(0).cast("long"),
+                    lambda a, c: a + _fixed(p_of(c) * F.log2(p_of(c))),
+                )
+                ent = -((s_fixed.cast("double") / SCALE).cast("double"))
+                return F.struct(
+                    ent.alias("e"), F.size(st).cast("long").alias("k")
+                )
+
+            return _bind(starts_expr, from_starts)
+
+        return _bind(F.array_sort(chars), from_sorted)
+
+    return docs.select(
+        id_col, _bind(F.col("__t"), _ent).alias("__s")
+    ).select(
         id_col,
-        F.length("__t").cast("long").alias("__n"),
-        F.explode(F.sequence(F.lit(1), F.length("__t"))).alias("__i"),
-        "__t",
-    ).select(id_col, "__n", F.expr("substring(__t, __i, 1)").alias("__c"))
-    counts = chars.groupBy(id_col, "__n", "__c").agg(
-        F.count(F.lit(1)).alias("__n_c")
-    )
-    p = F.col("__n_c") / F.col("__n")
-    return counts.groupBy(id_col).agg(
-        (-dsum(p * F.log2(p))).alias("entropy_bits"),
-        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.col("__s.e").alias("entropy_bits"),
+        F.col("__s.k").alias("n_distinct_chars"),
     )
 
 
@@ -806,18 +880,25 @@ def gopher_repetition(
     so the flags and fractions hash cross-engine; ``pass_all`` ANDs the
     nine thresholds.
 
-    Plan shape (round 9): every gram is a function of one document's own
-    token array, so the tall n-tagged gram frames are built ROW-LOCALLY
-    with higher-order array functions and exploded once — the former
-    lead()-window pass (a corpus-wide exchange+sort carrying nine lead
-    string columns, recomputed once per tall consumer) is gone entirely.
-    What remains shuffled: the two hash-aggregation families keyed by
-    (n, doc, gram), the coverage distinct + (doc, pos)-keyed length join
-    (now int-only rows — token text stays out of it), and the per-doc
-    rollups. Per-doc character totals are arithmetic on the raw text
-    (len(text) − (n_tokens − 1) for single-space splits), not an
-    aggregate. Skew bound: the hottest (n, doc, gram) cell is capped by
-    the longest document, same as every gram pipeline in this repo."""
+    Plan shape (round 9, second pass — guide §2.4): every one of the nine
+    rules is a function of ONE document's own token array, so the whole
+    suite is computed ROW-LOCALLY: per n, sort the doc's gram array (for
+    the top-mass rules) or its (gram, pos) struct array (for the
+    dup-coverage rules), run-length the sorted array with higher-order
+    functions, and fold masses / covered-position char sums per row. The
+    first round-9 form had already made the gram frames row-local but
+    still exploded them through two corpus-wide hash-aggregate families,
+    a semi-join, a distinct and a (doc, pos)-keyed length join — measured
+    at sf0.1 those exchanges were ~1.1 s of the 1.59 s total. This form
+    is a pure map: ZERO exchanges beyond the parallelism guard
+    (tests/test_plan_quality.py pins the shape). Exact-integer
+    equivalence: run counts over a sorted gram array ARE the per-gram
+    occurrence counts; max/sum over them are order-independent; covered
+    positions are array_distinct'd per (doc, n) exactly as the former
+    DISTINCT did per (n, doc, pos); per-doc char totals stay row-local
+    arithmetic (len(text) − (n_tokens − 1) for single-space splits).
+    Skew bound: per-row work is O(tokens·n log tokens), bounded by the
+    longest document — same bound as every gram pipeline in this repo."""
     from fortune_500_financial_insights_pipeline_spark.operators.compact import (
         ensure_min_parallelism,
     )
@@ -834,96 +915,101 @@ def gopher_repetition(
     tk, sz = F.col("__tk"), F.size(F.col("__tk"))
     # split on every single space ⇒ separators = n_tokens − 1, so the
     # summed token length is len(text) − (n_tokens − 1): row-local, exact
-    total = src.select(
-        F.col(id_col),
-        (F.length("__txt") - sz + 1).cast("long").alias("__total_chars"),
-    )
+    total_chars = (F.length("__txt") - sz + 1).cast("long")
 
-    def gram_arr(n: int):
-        # structs (n, gram, pos) for every n-gram start position; CASE
-        # WHEN evaluates lazily, so docs shorter than n tokens never
-        # reach the (then-illegal) sequence bounds
-        return F.when(
+    def top_mass(n: int) -> Column:
+        # heaviest n-gram char mass: run-length the sorted gram array;
+        # mass(run) = run_count × (gram chars = len(gram) − (n−1) spaces)
+        grams = F.when(
+            sz >= n,
+            F.transform(
+                F.sequence(F.lit(0), sz - n),
+                lambda p: F.array_join(F.slice(tk, p + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+        def from_sorted(sg: Column) -> Column:
+            g_sz = F.size(sg)
+            starts_expr = F.filter(
+                F.sequence(F.lit(1), g_sz),
+                lambda i: (i == F.lit(1)) | (F.get(sg, i - 1) != F.get(sg, i - 2)),
+            )
+
+            def from_starts(st: Column) -> Column:
+                ends = F.concat(
+                    F.slice(st, 2, F.greatest(F.size(st) - 1, F.lit(0))),
+                    F.array(g_sz + 1),
+                )
+                masses = F.zip_with(
+                    ends,
+                    st,
+                    lambda e, s: (e - s).cast("long")
+                    * (F.length(F.get(sg, s - 1)) - (n - 1)),
+                )
+                return F.array_max(masses)
+
+            # sequence(1, 0) would count DOWN — guard the empty array
+            return F.when(g_sz > 0, _bind(starts_expr, from_starts)).otherwise(
+                F.lit(0).cast("long")
+            )
+
+        return _bind(F.array_sort(grams), from_sorted)
+
+    def dup_chars(n: int) -> Column:
+        # chars covered by any n-gram occurring ≥2 times: sort (gram, pos)
+        # structs, mark positions whose gram equals a sorted neighbor
+        # (F.get is 0-based/null-safe, so the boundary probes compare
+        # against null and drop out), expand each dup start to its n
+        # token positions, distinct, sum token lengths
+        pg = F.when(
             sz >= n,
             F.transform(
                 F.sequence(F.lit(0), sz - n),
                 lambda p: F.struct(
-                    F.lit(n).alias("n"),
-                    F.array_join(F.slice(tk, p + 1, n), " ").alias("gram"),
-                    p.alias("pos"),
+                    F.array_join(F.slice(tk, p + 1, n), " ").alias("g"),
+                    p.alias("p"),
                 ),
             ),
-        ).otherwise(F.array().cast("array<struct<n:int,gram:string,pos:int>>"))
+        ).otherwise(F.array().cast("array<struct<g:string,p:int>>"))
 
-    def tall(ns: list[int]):
-        return src.select(
-            F.col(id_col),
-            F.explode(F.concat(*[gram_arr(n) for n in ns])).alias("__g"),
-        ).select(
-            F.col(id_col),
-            F.col("__g.pos").alias("__pos"),
-            F.col("__g.n").alias("__n"),
-            F.col("__g.gram").alias("__gram"),
-        )
-
-    tmass = (
-        tall(top_ns)
-        .groupBy("__n", id_col, "__gram")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-        .groupBy("__n", id_col)
-        .agg(
-            F.max(
-                F.col("__cnt") * (F.length("__gram") - (F.col("__n") - 1))
-            ).cast("long").alias("__mass")
-        )
-        .groupBy(id_col)
-        .agg(
-            *[
-                F.sum(F.when(F.col("__n") == n, F.col("__mass")))
-                .cast("long")
-                .alias(f"__top{n}_mass")
-                for n in top_ns
-            ]
-        )
-    )
-    dgrams = tall(dup_ns)
-    dups = (
-        dgrams.groupBy("__n", id_col, "__gram")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-        .where(F.col("__cnt") >= 2)
-        .select("__n", id_col, "__gram")
-    )
-    # (doc, pos) -> token length, int-only rows for the coverage join
-    lens = src.select(
-        F.col(id_col),
-        F.posexplode(F.transform(tk, lambda t: F.length(t))).alias(
-            "__pos", "__len"
-        ),
-    )
-    dcov = (
-        dgrams.join(dups, ["__n", id_col, "__gram"], "left_semi")
-        .select(
-            "__n",
-            F.col(id_col),
-            F.explode(
-                F.sequence(F.col("__pos"), F.col("__pos") + F.col("__n") - 1)
-            ).alias("__pos"),
-        )
-        .distinct()
-        .join(lens, [id_col, "__pos"])
-        .groupBy(id_col)
-        .agg(
-            *[
-                F.sum(
-                    F.when(F.col("__n") == n, F.col("__len")).otherwise(0)
+        def from_sorted(sp: Column) -> Column:
+            g_sz = F.size(sp)
+            dup_pos = F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), g_sz),
+                    lambda i: F.when(
+                        (F.get(sp, i - 1)["g"] == F.get(sp, i - 2)["g"])
+                        | (F.get(sp, i - 1)["g"] == F.get(sp, i)["g"]),
+                        F.get(sp, i - 1)["p"],
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+            covered = F.array_distinct(
+                F.flatten(
+                    F.transform(dup_pos, lambda p: F.sequence(p, p + n - 1))
                 )
-                .cast("long")
-                .alias(f"__dup{n}_chars")
-                for n in dup_ns
-            ]
-        )
+            )
+            chars_n = F.aggregate(
+                covered,
+                F.lit(0).cast("long"),
+                lambda a, p: a + F.length(F.element_at(tk, p + 1)).cast("long"),
+            )
+            return F.when(g_sz > 0, chars_n).otherwise(F.lit(0).cast("long"))
+
+        return _bind(F.array_sort(pg), from_sorted)
+
+    # stage the integer masses/char-sums as materialized columns first, so
+    # the frac/flag expressions below reference cheap columns instead of
+    # re-embedding the fold trees (CollapseProject keeps the projections
+    # separate because the references are non-cheap and repeated)
+    staged = src.select(
+        F.col(id_col),
+        total_chars.alias("__total_chars"),
+        *[top_mass(n).alias(f"__top{n}_mass") for n in top_ns],
+        *[dup_chars(n).alias(f"__dup{n}_chars") for n in dup_ns],
     )
-    out = total.join(tmass, id_col, "left").join(dcov, id_col, "left")
+
     cols = [F.col(id_col)]
     passes = []
     for n, thr in sorted(GOPHER_TOP_NGRAM_MAX.items()):
@@ -947,4 +1033,4 @@ def gopher_repetition(
     acc = passes[0]
     for p in passes[1:]:
         acc = acc & p
-    return out.select(*cols, acc.alias("pass_all"))
+    return staged.select(*cols, acc.alias("pass_all"))

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from fortune_500_financial_insights_pipeline_spark.catalog import load_table
@@ -650,9 +650,39 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "sig", "bb.band", "bb.bval")
+
     # bucket_pairs computes the md5-fold signature subtree ONCE (a bucket
     # self-join would compute it per branch) and yields id_a < id_b pairs.
-    pairs = bucket_pairs(bands, ["band", "bval"], "doc_id", carry_cols=("sig",))
+    # Round 9 (guide §2.4): a pair co-bucketing in k bands used to be
+    # emitted k times and collapsed by a dropDuplicates — an exchange +
+    # aggregate over EVERY raw candidate pair (727k rows at sf0.1, one
+    # 549-member bucket alone contributing 150k). Every band value is
+    # arithmetic on the two signatures already carried on the pair, so
+    # "is this the FIRST band where the pair matches" is a row-local
+    # predicate: emit each pair only there, and the pair set is globally
+    # unique by construction — dedup exchange deleted from the plan
+    # (test_simhash_pairs_plan_has_no_dedup_exchange pins the shape;
+    # test_simhash_pairs_first_band_matches_dedup pins set equality).
+    def _bval(sig: Column, b: int) -> Column:
+        return F.floor(sig / F.lit(float(2 ** (12 * b)))).cast("long") % 4096
+
+    def _first_band(a: Column, b: Column) -> Column:
+        pred = F.lit(True)
+        for bb in range(3):  # bands 0..2 can precede; band 3 checks all
+            pred = pred & (
+                (F.col("band") <= bb) | (_bval(a["sig"], bb) != _bval(b["sig"], bb))
+            )
+        return pred
+
+    pairs = bucket_pairs(
+        bands,
+        ["band", "bval"],
+        "doc_id",
+        carry_cols=("sig",),
+        pair_filter=_first_band,
+        dedup=False,
+        wide_expand=True,
+    )
     return pairs.select(
         "id_a",
         "id_b",
@@ -1107,7 +1137,12 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("pq4x4", sf_dir), lambda: pq_train(emb, m=4, k=4, n_iter=1, dim=64)
     )
     qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
-    enc = pq_encode(emb, books, m=4, dim=64)
+    # round 9 (guide §5): the encoded codes ARE the stored index — in a
+    # materialized deployment they are computed at index time, not per
+    # query. Cut the lineage so warm executions score codes instead of
+    # re-encoding the corpus (the fixed-point nearest-entry fold per
+    # vector was the per-execution cost).
+    enc = pq_encode(emb, books, m=4, dim=64).localCheckpoint(eager=False)
     return pq_adc_topk(enc, books, qvec, m=4, dim=64, k_top=20)
 
 @q("q_ivfpq_topk")
@@ -1174,7 +1209,12 @@ def q_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("pqres4x4", sf_dir),
         lambda: pq_train_residual(emb, centroids, m=4, k=4, n_iter=1, dim=64),
     )
-    enc = pq_encode_residual(emb, centroids, books, m=4, dim=64)
+    # round 9 (guide §5): (cell, codes) is "the stored row" — index-time
+    # state; cut the lineage so warm executions probe codes instead of
+    # re-running the residual encode over the corpus
+    enc = pq_encode_residual(emb, centroids, books, m=4, dim=64).localCheckpoint(
+        eager=False
+    )
     return ivfpq_residual_topk(
         enc, books, centroids, qvec, probe, m=4, dim=64, k_top=20
     )
@@ -1238,7 +1278,10 @@ def q_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("pqres4x4", sf_dir),
         lambda: pq_train_residual(emb, centroids, m=4, k=4, n_iter=1, dim=64),
     )
-    enc = pq_encode_residual(emb, centroids, books, m=4, dim=64)
+    # same index-time lineage cut as q_ivfpq_residual_topk (guide §5)
+    enc = pq_encode_residual(emb, centroids, books, m=4, dim=64).localCheckpoint(
+        eager=False
+    )
     short = ivfpq_residual_topk(
         enc, books, centroids, qvec, probe, m=4, dim=64, k_top=50
     ).select("vec_id")
