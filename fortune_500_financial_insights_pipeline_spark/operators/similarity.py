@@ -724,7 +724,10 @@ def mutual_knn_pairs(
     edges = knn_join(emb, emb, k, id_col=id_col, vec_col=vec_col,
                      round_digits=round_digits).select(
         F.col("q_id").alias("src"), F.col(id_col).alias("dst"), "sim"
-    )
+    # round 9 (guide §5): edges feeds BOTH the probe side and the swapped
+    # broadcast build below — without a lineage cut the full |V|² scoring
+    # pass executes twice per action. |V|·k id rows, bounded.
+    ).localCheckpoint(eager=False)
     rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     # |V|·k id pairs are strictly smaller than the |V| full vectors
     # knn_join already broadcasts (its query side IS emb here), so the

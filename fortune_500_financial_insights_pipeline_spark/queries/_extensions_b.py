@@ -121,8 +121,14 @@ def q_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     fusion → budget cut, hash-checked end to end."""
     from fortune_500_financial_insights_pipeline_spark.operators import text as TX
 
-    fused = QUERIES["q_rrf_fusion"](spark, sf_dir).select(
-        "query_id", "doc_id", "rank"
+    fused = (
+        QUERIES["q_rrf_fusion"](spark, sf_dir)
+        .select("query_id", "doc_id", "rank")
+        # round 9 (guide §5, the q_ranking_metrics lesson): this frame is
+        # ten rows per query, but its lineage is the whole two-ranker
+        # retrieval + fusion chain — cut it so the packer's executions
+        # re-read 30 rows instead of re-running retrieval
+        .localCheckpoint(eager=False)
     )
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     w = (
