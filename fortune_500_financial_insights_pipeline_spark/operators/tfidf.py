@@ -54,10 +54,18 @@ def tfidf(
     id_col: str = "doc_id",
     text_col: str = "text",
     top_k: int | None = None,
+    checkpoint_tf: bool = False,
 ) -> DataFrame:
     """(doc_id, term, tf, tfidf) with smoothed idf; optionally keep only
-    the top_k highest-weight terms per document (ties broken by term)."""
+    the top_k highest-weight terms per document (ties broken by term).
+
+    ``checkpoint_tf`` (round 9, guide §5): lazily materialize the
+    term-frequency frame — the ``tfidf_from_tf`` story ("a pipeline can
+    afford one write") applied in-session: warm executions weight the
+    postings instead of re-tokenizing the corpus. Value-neutral."""
     tf = term_frequencies(docs, id_col=id_col, text_col=text_col)
+    if checkpoint_tf:
+        tf = tf.localCheckpoint(eager=False)
     # document frequency as a window over the TF frame: tf already has one
     # row per (doc, term), so count(*) over (partition by term) IS df. A
     # separate tf.groupBy("term") branch would recompute the explode —
@@ -203,6 +211,7 @@ def bm25(
     k1: float = 1.2,
     b: float = 0.75,
     top_k: int | None = None,
+    checkpoint_tf: bool = False,
 ) -> DataFrame:
     """Okapi BM25 term weights — (doc_id, term, tf, score) with the
     document-length saturation TF-IDF lacks; the standard retrieval /
@@ -246,6 +255,13 @@ def bm25(
         .groupBy(id_col, "dl", "term")
         .agg(F.count("*").alias("tf"))
     )
+    if checkpoint_tf:
+        # round 9 (guide §5): the bm25_from_tf story applied in-session —
+        # the postings frame is the materialized artifact; warm
+        # executions weight it instead of re-tokenizing the corpus
+        # (it also feeds BOTH the stats aggregate and the scored path,
+        # which otherwise re-run the explode per consumer). Value-neutral.
+        tf = tf.localCheckpoint(eager=False)
     stats = (
         tf.agg(F.sum("tf").alias("total_tf"))
         .crossJoin(F.broadcast(docs.select(F.count("*").alias("n_docs"))))

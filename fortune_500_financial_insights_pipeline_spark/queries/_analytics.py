@@ -725,7 +725,14 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
     ).where(F.col("tok") != "")
-    doc_tok = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("n_dt"))
+    # round 9 (guide §5): doc_tok feeds the vocab aggregate AND the join
+    # probe under different partitionings — checkpoint so the tokenize
+    # explode runs once per session (the q_perplexity_bucket fix)
+    doc_tok = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("n_dt"))
+        .localCheckpoint(eager=False)
+    )
     vocab = doc_tok.groupBy("tok").agg(F.sum("n_dt").alias("n_t"))
     total = vocab.agg(F.sum("n_t").alias("n_total"))
     scored = doc_tok.join(vocab, "tok").crossJoin(F.broadcast(total))

@@ -775,7 +775,14 @@ def q_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
     ).where(F.col("tok") != "")
-    doc_tok = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("n_dt"))
+    # round 9 (guide §5): doc_tok feeds the vocab aggregate AND the scored
+    # join probe — two different partitionings, so the token explode ran
+    # once per consumer. Lazy checkpoint = one tokenize per session.
+    doc_tok = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("n_dt"))
+        .localCheckpoint(eager=False)
+    )
     vocab = doc_tok.groupBy("tok").agg(F.sum("n_dt").alias("n_t"))
     total = vocab.agg(F.sum("n_t").alias("n_total"))
     term = F.col("n_dt") * F.log2(F.col("n_t") / F.col("n_total"))

@@ -84,7 +84,9 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fortune_500_financial_insights_pipeline_spark.operators.tfidf import tfidf
 
     d = load_table(spark, sf_dir, "documents")
-    return tfidf(d, top_k=3)
+    # round 9: the tf frame is the materialized artifact of the
+    # tfidf_from_tf story — checkpoint it in-session (guide §5)
+    return tfidf(d, top_k=3, checkpoint_tf=True)
 
 @q("q_mix_sources")
 def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -161,7 +163,9 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fortune_500_financial_insights_pipeline_spark.operators.tfidf import bm25
 
     d = load_table(spark, sf_dir, "documents")
-    return bm25(d, top_k=3)
+    # round 9: postings are index-time state (the bm25_from_tf story) —
+    # checkpoint in-session; also fixes the stats/scored double explode
+    return bm25(d, top_k=3, checkpoint_tf=True)
 
 @q("q_chunk_docs")
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

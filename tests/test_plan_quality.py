@@ -137,9 +137,20 @@ def test_chunking_is_exchange_free(spark, sf_dir):
 
 def test_tfidf_single_pass_over_text(spark, sf_dir):
     """TF-IDF may scan `documents.text` once: document frequency is derived
-    from the TF frame, not a second explode of the raw text."""
-    plan = plan_of(spark, sf_dir, "q_tfidf")
+    from the TF frame, not a second explode of the raw text. Round 9:
+    q_tfidf checkpoints the tf frame (the tokenize explode then lives in
+    the checkpointed subtree — 0 Generate nodes in the outer plan), so the
+    single-pass property is asserted on the operator's un-checkpointed
+    form and the key's plan is bounded at <= 1."""
+    from fortune_500_financial_insights_pipeline_spark.operators.tfidf import tfidf
+    from fortune_500_financial_insights_pipeline_spark.queries._core import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = (
+        tfidf(d, top_k=3)._jdf.queryExecution().executedPlan().toString()
+    )
     assert plan.count("Generate explode") == 1
+    assert plan_of(spark, sf_dir, "q_tfidf").count("Generate explode") <= 1
 
 
 def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
