@@ -52,14 +52,15 @@ def union_find_min_labels(pairs) -> dict:
     return {x: find(x) for x in parent}
 
 
-def _cc_local_union_find(e: DataFrame) -> DataFrame:
+def _cc_local_union_find(e: DataFrame, pdf=None) -> DataFrame:
     """Bounded driver-side finish over a collected edge list (see
     union_find_min_labels for the labeling invariant). Memory is bounded
     by the caller's edge-count threshold (two ids per edge, transferred
     via Arrow as primitive columns — not Row objects), the same class as
-    the repo's other bounded collect sites."""
+    the repo's other bounded collect sites. ``pdf`` lets the caller pass
+    an already-collected pandas frame so the edges are fetched once."""
     labels = union_find_min_labels(
-        (u, v) for u, v in e.toPandas().values.tolist()
+        (u, v) for u, v in (e.toPandas() if pdf is None else pdf).values.tolist()
     )
     # id type must match what the distributed path would produce: its
     # first step unions e with the column-swapped frame, which widens
@@ -111,10 +112,18 @@ def connected_components(
         # float ids and the distributed loop never carries a null label
         .where(F.col("u").isNotNull() & F.col("v").isNotNull())
         .distinct()
-        .localCheckpoint()
     )
-    if local_finish_edges and e.count() <= local_finish_edges:
-        return _cc_local_union_find(e)
+    if local_finish_edges:
+        # ONE job decides the path AND fetches the edges (round 10 —
+        # guide §1.2 per-task work: the old shape paid three jobs here,
+        # an eager checkpoint materialization + a count + a toPandas;
+        # limit(cap+1) bounds driver memory exactly like the count gate
+        # did — if the cap is exceeded we fall back to the distributed
+        # loop and only then pay the checkpoint it needs).
+        pdf = e.limit(local_finish_edges + 1).toPandas()
+        if len(pdf) <= local_finish_edges:
+            return _cc_local_union_find(e, pdf)
+    e = e.localCheckpoint()
     both = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     both = both.distinct().localCheckpoint()
     labels = (

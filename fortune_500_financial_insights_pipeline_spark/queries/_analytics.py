@@ -16,6 +16,7 @@ from fortune_500_financial_insights_pipeline_spark.functions.deterministic impor
 from fortune_500_financial_insights_pipeline_spark.queries._core import (  # noqa: F401
     _memo_trained,
     _qvec_probe,
+    pq_codes,
     q,
 )
 
@@ -1135,7 +1136,6 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic."""
     from fortune_500_financial_insights_pipeline_spark.operators.pq import (
         pq_adc_topk,
-        pq_encode,
         pq_train,
     )
 
@@ -1144,12 +1144,11 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("pq4x4", sf_dir), lambda: pq_train(emb, m=4, k=4, n_iter=1, dim=64)
     )
     qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
-    # round 9 (guide §5): the encoded codes ARE the stored index — in a
-    # materialized deployment they are computed at index time, not per
-    # query. Cut the lineage so warm executions score codes instead of
-    # re-encoding the corpus (the fixed-point nearest-entry fold per
-    # vector was the per-execution cost).
-    enc = pq_encode(emb, books, m=4, dim=64).localCheckpoint(eager=False)
+    # round 10 (r9 verdict item 1): the encoded codes ARE the stored index
+    # — now a DECLARED memo artifact (_core.pq_codes, prepaid and recorded
+    # as its own memo_s line by bench.py) instead of a checkpoint whose
+    # materialization the bench min silently excluded.
+    enc = pq_codes(spark, sf_dir, residual=False)
     return pq_adc_topk(enc, books, qvec, m=4, dim=64, k_top=20)
 
 @q("q_ivfpq_topk")
@@ -1202,7 +1201,6 @@ def q_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fortune_500_financial_insights_pipeline_spark.operators.kmeans import kmeans_centroids
     from fortune_500_financial_insights_pipeline_spark.operators.pq import (
         ivfpq_residual_topk,
-        pq_encode_residual,
         pq_train_residual,
     )
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -1216,12 +1214,10 @@ def q_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("pqres4x4", sf_dir),
         lambda: pq_train_residual(emb, centroids, m=4, k=4, n_iter=1, dim=64),
     )
-    # round 9 (guide §5): (cell, codes) is "the stored row" — index-time
-    # state; cut the lineage so warm executions probe codes instead of
-    # re-running the residual encode over the corpus
-    enc = pq_encode_residual(emb, centroids, books, m=4, dim=64).localCheckpoint(
-        eager=False
-    )
+    # round 10 (r9 verdict item 1): (cell, codes) is "the stored row" —
+    # index-time state, now a DECLARED memo artifact (_core.pq_codes,
+    # its own recorded memo_s line) instead of a silent checkpoint
+    enc = pq_codes(spark, sf_dir, residual=True)
     return ivfpq_residual_topk(
         enc, books, centroids, qvec, probe, m=4, dim=64, k_top=20
     )
@@ -1267,7 +1263,6 @@ def q_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fortune_500_financial_insights_pipeline_spark.operators.kmeans import kmeans_centroids
     from fortune_500_financial_insights_pipeline_spark.operators.pq import (
         ivfpq_residual_topk,
-        pq_encode_residual,
         pq_train_residual,
     )
     from fortune_500_financial_insights_pipeline_spark.operators.similarity import (
@@ -1285,10 +1280,8 @@ def q_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("pqres4x4", sf_dir),
         lambda: pq_train_residual(emb, centroids, m=4, k=4, n_iter=1, dim=64),
     )
-    # same index-time lineage cut as q_ivfpq_residual_topk (guide §5)
-    enc = pq_encode_residual(emb, centroids, books, m=4, dim=64).localCheckpoint(
-        eager=False
-    )
+    # same declared index-state memo as q_ivfpq_residual_topk (round 10)
+    enc = pq_codes(spark, sf_dir, residual=True)
     short = ivfpq_residual_topk(
         enc, books, centroids, qvec, probe, m=4, dim=64, k_top=50
     ).select("vec_id")

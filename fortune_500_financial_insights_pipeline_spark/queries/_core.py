@@ -261,6 +261,49 @@ def _ann_pq_residual(spark: SparkSession, sf_dir: str):
     )
 
 
+def pq_codes(spark: SparkSession, sf_dir: str, *, residual: bool) -> DataFrame:
+    """Memoized ENCODED-CODES frame for the PQ / residual-IVF-PQ keys —
+    the stored index rows (Jégou et al. 2011: codes are computed at INDEX
+    time; a query probes codes, never re-encodes the corpus).
+
+    Round 10 (r9 verdict item 1): the r9 form hid this behind a
+    ``localCheckpoint`` inside each query, which the bench's min-of-3
+    silently warmed — "index state belongs in the declared memo lines,
+    visible and excluded, not hidden inside min-of-3". This is that memo:
+    bench.py prepays it as ``ann_pq_codes4x4`` / ``ann_pqres_codes4x4``
+    with its own recorded ``memo_s`` line.
+
+    Unlike the plain-Python artifact memos, the value here is a
+    DataFrame handle (codes are corpus-sized — collecting them to the
+    driver is exactly the wrong shape at 100 TB; production stores them
+    as the index's parquet). The handle is only valid for the session
+    that built it, so the memo is keyed per session and rebuilt on a
+    session change (a cold process — e.g. the driver's one-process-per-
+    query correctness runs — just builds it inline; results identical)."""
+    from fortune_500_financial_insights_pipeline_spark.operators.pq import (
+        pq_encode,
+        pq_encode_residual,
+    )
+
+    key = ("pq_codes", sf_dir, residual)
+    hit = _TRAINED_MEMO.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if residual:
+        centroids = _ann_kmeans(spark, sf_dir)
+        books = _ann_pq_residual(spark, sf_dir)
+        enc = pq_encode_residual(emb, centroids, books, m=4, dim=64)
+    else:
+        books = _ann_pq(spark, sf_dir)
+        enc = pq_encode(emb, books, m=4, dim=64)
+    # the stored-index lineage cut: one encode per session, every
+    # consumer (and every bench pass) probes the materialized codes
+    enc = enc.localCheckpoint(eager=False)
+    _TRAINED_MEMO[key] = (spark, enc)
+    return enc
+
+
 def doc_suffix_sa(spark: SparkSession, sf_dir: str, cap: int = 40) -> DataFrame:
     """Memoized generalized suffix array over `documents` doc_id < cap
     (operators/suffix.suffix_array_tokens — the distributed
@@ -337,6 +380,12 @@ MEMO_BUILDS: "list[tuple[str, Callable[[SparkSession, str], object]]]" = [
     ("ann_q0probe", _ann_probe),
     ("ann_pq4x4", _ann_pq),
     ("ann_pqres4x4", _ann_pq_residual),
+    # encoded-codes index rows (round 10 — r9 verdict item 1: index-time
+    # state as a DECLARED, recorded line instead of a checkpoint the
+    # bench min silently warms); count() forces materialization so the
+    # memo_s line carries the encode cost
+    ("ann_pq_codes4x4", lambda s, d: pq_codes(s, d, residual=False).count()),
+    ("ann_pqres_codes4x4", lambda s, d: pq_codes(s, d, residual=True).count()),
     ("doc_suffix_sa(40)", lambda s, d: doc_suffix_sa(s, d).count()),
     ("substring_bloom_state(40)", lambda s, d: substring_bloom_state(s, d)),
 ]

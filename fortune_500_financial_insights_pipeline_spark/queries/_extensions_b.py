@@ -121,14 +121,15 @@ def q_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     fusion → budget cut, hash-checked end to end."""
     from fortune_500_financial_insights_pipeline_spark.operators import text as TX
 
-    fused = (
-        QUERIES["q_rrf_fusion"](spark, sf_dir)
-        .select("query_id", "doc_id", "rank")
-        # round 9 (guide §5, the q_ranking_metrics lesson): this frame is
-        # ten rows per query, but its lineage is the whole two-ranker
-        # retrieval + fusion chain — cut it so the packer's executions
-        # re-read 30 rows instead of re-running retrieval
-        .localCheckpoint(eager=False)
+    # round 10 (r9 verdict item 1): the r9 localCheckpoint here fed ONE
+    # consumer, so within an action it deduplicated nothing — its only
+    # effect was that bench passes 2-3 read 30 cached rows instead of
+    # running retrieval ("the 20.2x headline is mostly a 30-row cache
+    # read"). Removed: every execution now runs the full two-ranker
+    # retrieval + fusion chain; the real r9 wins (broadcast fused side,
+    # token_count hoisted above the join) remain below.
+    fused = QUERIES["q_rrf_fusion"](spark, sf_dir).select(
+        "query_id", "doc_id", "rank"
     )
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     w = (
@@ -282,13 +283,11 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(sc.where(F.col("s") <= 100))
         .join(cdeg, "c")
         .select(F.col("s").alias("pa"), F.col("c").alias("z"), "deg")
-        # round 9 (guide §5, lineage cut): building this broadcast side
-        # re-ran cdeg (a full-incidence aggregate + exchange) and a second
-        # scan of sc on EVERY execution — e1 is watchlist-bounded (~6k
-        # rows), so cut it once; warm executions then pay one sc scan
-        # (the e2 probe) + the pair aggregate only (1.39 s → 0.72-0.78 s
-        # at sf0.1, same-session A/B)
-        .localCheckpoint(eager=False)
+        # round 10 (r9 verdict item 1): the r9 localCheckpoint here had ONE
+        # consumer — within an action it deduplicated nothing; its only
+        # effect was cross-pass caching in the bench. Removed: every
+        # execution re-runs cdeg + this scan; `sc`'s checkpoint above (3
+        # consumers per action) is the legitimate cut and stays.
     )
     e2 = sc.select(F.col("c").alias("z"), F.col("s").alias("pb"))
     hop2 = F.broadcast(e1).join(e2, "z").where(F.col("pa") != F.col("pb"))
