@@ -54,17 +54,43 @@ def jaccard_pairs_exact(
     loses pairs), which is what the per-process pair memo in
     queries/_core.py relies on.
 
-    ``broadcast_cands=True`` broadcast-hints the verified candidate pair
-    list into the two gram-array re-attach joins, so the array payloads
-    never ride an exchange (guide-§8 shape: heavy rows move zero times,
-    the id-pair proxy decides). Opt-in because the candidate list is
-    data-dependent — bounded for near-dup-sized corpora (the memo path),
-    unbounded in the adversarial worst case.
+    ``broadcast_cands=True`` broadcast-hints the (un-deduplicated, round
+    10) candidate pair list into the two gram-array re-attach joins, so
+    the array payloads never ride an exchange (guide-§8 shape: heavy rows
+    move zero times, the id-pair proxy decides). Opt-in because the
+    candidate list is data-dependent — bounded for near-dup-sized corpora
+    (the memo path), unbounded in the adversarial worst case.
     """
     recs = grams.select(F.col(id_col).alias("_id"), F.col(gram_col).alias("_g"))
 
     tok = recs.select("_id", F.explode("_g").alias("t"))
-    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("f"))
+    # freq is vocabulary-sized; the lazy checkpoint lets the injectivity
+    # guard below read the materialized 1-pass aggregate instead of
+    # re-tokenizing the corpus for a second action (round 10)
+    freq = (
+        tok.groupBy("t").agg(F.count(F.lit(1)).alias("f"))
+        .localCheckpoint(eager=False)
+    )
+
+    # Verify-stage token ids (round 10, guide §2.3 "narrower types"):
+    # array_intersect over long bigram STRINGS hash-builds on string bytes
+    # per pair — the dominant verify cost (measured 2.5-3.0 s vs 1.3 s at
+    # sf0.1 / 784k candidate rows). xxhash64 token ids make it long-typed,
+    # IF the hash is injective on THIS vocabulary — checked, not assumed:
+    # one trivial aggregate over the (already materialized,
+    # vocabulary-sized) freq frame proves zero collisions, else the
+    # string arrays are used unchanged (lossless fallback — this is what
+    # round 9's measured-negative #22 lacked: its per-gram collision
+    # guard re-aggregated the corpus; this guard is vocab-sized and runs
+    # once). Intersection/union SIZES are identical under any injection.
+    try:
+        grow = freq.agg(
+            F.count("t").alias("n"),
+            F.count_distinct(F.xxhash64("t")).alias("nh"),
+        ).head()
+        use_ids = bool(grow["n"] == grow["nh"])
+    except Exception:  # noqa: BLE001 — guard is an optimization, never a gate
+        use_ids = False
 
     # Rebuild each record's token list sorted by the global (freq, token)
     # order: array_sort on (freq, token) structs — all JVM-side.
@@ -101,6 +127,8 @@ def jaccard_pairs_exact(
             # prefix stage below can drop once-in-the-corpus tokens without
             # a rejoin against freq
             F.transform("_ord", lambda s: s["f"]).alias("_f"),
+            # long token ids for the verify intersect (guarded above)
+            F.transform("_ord", lambda s: F.xxhash64(s["t"])).alias("_gid"),
         )
         # Four consumers (both prefix-join branches + both verify rejoins)
         # would each recompute the token-frequency join and the per-record
@@ -172,6 +200,16 @@ def jaccard_pairs_exact(
     ubound = 1 + F.least(
         F.col("sza") - F.col("pa") - 1, F.col("szb") - F.col("pb") - 1
     )
+    # Candidates stream STRAIGHT into the verify, un-deduplicated (round
+    # 10, guide §2.4 "remove shuffles outright"): the old dropDuplicates
+    # here was a full exchange+aggregate over every candidate pair (667k
+    # at sf0.1) run BEFORE the verify — but duplicate candidate rows (one
+    # per extra shared prefix token, measured 1.17x at sf0.1) verify to
+    # bit-identical rows, so deduplicating the few SURVIVORS after the
+    # verify filter is equivalent and removes the exchange from the hot
+    # path. Chain measured 3.5 s → 1.3 s warm at sf0.1 (with the id
+    # arrays above); pair set identical (brute-force suites + both-SF
+    # memo compare).
     cands = (
         a.join(b, "t")
         .where(F.col("id_a") < F.col("id_b"))
@@ -179,10 +217,16 @@ def jaccard_pairs_exact(
         .where(F.col("sza") >= F.ceil(F.lit(threshold) * F.col("szb") - eps))
         .where(ubound >= alpha)
         .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
-    ga = ordered.select(F.col("_id").alias("id_a"), F.col("_g").alias("ga"))
-    gb = ordered.select(F.col("_id").alias("id_b"), F.col("_g").alias("gb"))
+    vcol = "_gid" if use_ids else "_g"
+    ga = ordered.select(
+        F.col("_id").alias("id_a"), F.col(vcol).alias("ga"),
+        F.size("_g").alias("__na"),
+    )
+    gb = ordered.select(
+        F.col("_id").alias("id_b"), F.col(vcol).alias("gb"),
+        F.size("_g").alias("__nb"),
+    )
     if broadcast_cands:
         cands = F.broadcast(cands)
     pairs = cands.join(ga, "id_a").join(gb, "id_b")
@@ -193,7 +237,7 @@ def jaccard_pairs_exact(
     # the hash-set build of array_union is pure overhead next to the
     # arithmetic: verify measured 8.9 s → 6.6 s at sf0.1 / 667k
     # candidates when it was dropped (round 9)
-    union = (F.size("ga") + F.size("gb")).cast("double") - inter
+    union = (F.col("__na") + F.col("__nb")).cast("double") - inter
     kept = pairs.where(inter / union >= threshold)
     if return_counts:
         return kept.select(
@@ -201,12 +245,12 @@ def jaccard_pairs_exact(
             "id_b",
             inter.cast("long").alias("n_i"),
             union.cast("long").alias("n_u"),
-        )
+        ).dropDuplicates(["id_a", "id_b"])
     if return_similarity:
         return kept.select(
             "id_a", "id_b", F.round(inter / union, 6).alias("jac")
-        )
-    return kept.select("id_a", "id_b")
+        ).dropDuplicates(["id_a", "id_b"])
+    return kept.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
 
 
 def containment_scores(
