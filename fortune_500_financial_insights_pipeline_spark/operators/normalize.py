@@ -99,14 +99,26 @@ def weighted_median(
 
     Scale shape: one shuffle on ``group_cols``; the running sum and the
     per-group total share the same window family (one sort); the final
-    min is a partial-aggregated groupBy.
+    min is a partial-aggregated groupBy.  The per-group sort runs as ONE
+    task per group — skew by construction when groups are few.  THREE
+    alternatives were measured and rejected at sf0.1 (guide §1 empirical
+    loop; all value-identical, all slower because an extra corpus pass
+    costs ~0.6 s while the 200k-row per-group sort costs ~0.15 s):
 
-    NOTE (round 9, measured and NOT applied): pre-aggregating weights by
-    (group, value) before the window — the right shape when values repeat
-    heavily, since the skewed per-group sort then sees distinct values
-    only — was value-identical but 0.62 s → 1.11 s at sf0.1: price_cents
-    is 594k distinct of 600k rows, so the extra exchange+hash-agg reduced
-    nothing. Re-try only for low-cardinality value domains.
+    * round 9: pre-aggregate weights by (group, value) before the window
+      — 0.62 → 1.11 s (price_cents ~unique, the exchange reduced nothing);
+    * round 10: two-level selection on a per-group equal-width value-bucket
+      histogram (min/max stats pass + histogram pass + crossing-bucket
+      scan) — 1.0 → 2.08 s;
+    * round 10: same with a FIXED bucket width (drops the stats pass; two
+      scans total) — 0.99 → 1.56 s.
+
+    The fixed-width two-level form is kept below as
+    :func:`weighted_median_histogram` (equivalence-pinned by test): it is
+    the right shape once rows-per-group is large enough that the
+    single-task sort dominates two map-side-aggregated scans — at the
+    100 TB design point switch callers to it; at bench scale the window
+    form measures faster and stays the default.
     """
     w_ord = W.partitionBy(*group_cols).orderBy(value_col)
     cumw = F.sum(F.col(weight_col).cast("long")).over(
@@ -120,4 +132,88 @@ def weighted_median(
         .where(F.col("__cw") * 2 >= F.col("__tw"))
         .groupBy(*group_cols)
         .agg(F.min(value_col).alias(out_col))
+    )
+
+
+def weighted_median_histogram(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    out_col: str = "w_median",
+    bucket_bits: int = 13,
+) -> DataFrame:
+    """:func:`weighted_median` computed by two-level selection on a
+    fixed-width value-bucket histogram — identical output (pinned by
+    test_weighted_median_histogram_matches_window), different scale shape:
+    no per-group full sort ever materializes, so a group with billions of
+    rows costs two map-side-aggregated scans plus a sort of ONE bucket
+    (~rows/2^bucket_bits) instead of a single-task sort of the whole
+    group.  Measured SLOWER at sf0.1 (0.99 → 1.56 s — the second scan
+    outweighs a 200k-row sort); use it when rows-per-group is large
+    enough to invert that trade.
+
+    The bucket id (floor(v / 2^bucket_bits) via double division) only
+    needs to be monotone non-decreasing in the value — buckets partition
+    the value ORDER, exact weights ride the long sums — so double
+    rounding at extreme magnitudes cannot change the result.  NULL values
+    sort first (null bucket), exactly like the window form: if the
+    crossing lands inside the null bucket, every non-null row satisfies
+    2·cumw >= totw, so the answer is the min non-null value — the scan
+    branch then selects the first non-null bucket with no cum condition.
+    """
+    wdt = float(1 << bucket_bits)
+    base = df.select(
+        *group_cols, F.col(value_col).alias("__v"),
+        F.col(weight_col).cast("long").alias("__w"),
+    )
+    b = F.when(F.col("__v").isNull(), F.lit(None).cast("long")).otherwise(
+        F.floor(F.col("__v").cast("double") / wdt).cast("long")
+    )
+    rows = base.withColumn("__b", b)
+    hist = rows.groupBy(*group_cols, "__b").agg(F.sum("__w").alias("__bw"))
+    wg = W.partitionBy(*group_cols).orderBy(F.asc_nulls_first("__b"))
+    cum = F.sum("__bw").over(wg.rowsBetween(W.unboundedPreceding, 0))
+    before = F.coalesce(
+        F.sum("__bw").over(wg.rowsBetween(W.unboundedPreceding, -1)),
+        F.lit(0).cast("long"),
+    )
+    tot = F.sum("__bw").over(W.partitionBy(*group_cols))
+    fnn = F.min(F.when(F.col("__b").isNotNull(), F.col("__b"))).over(
+        W.partitionBy(*group_cols)
+    )
+    hb = hist.select(
+        *group_cols, "__b", cum.alias("__cum"), before.alias("__cb"),
+        tot.alias("__tot"), fnn.alias("__fnn"),
+    )
+    crossing = (
+        hb.where(F.col("__cum") * 2 >= F.col("__tot"))
+        .groupBy(*group_cols)
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("__b").alias("b"), F.col("__cb").alias("cb"),
+                    F.col("__tot").alias("tot"), F.col("__fnn").alias("fnn"),
+                )
+            ).alias("__m")
+        )
+        .select(
+            *group_cols,
+            F.coalesce(F.col("__m.b"), F.col("__m.fnn")).alias("__tb"),
+            F.col("__m.b").isNull().alias("__nullcross"),
+            F.col("__m.cb").alias("__cb"),
+            F.col("__m.tot").alias("__tot"),
+        )
+    )
+    reg = rows.join(F.broadcast(crossing), group_cols).where(
+        F.col("__b") == F.col("__tb")
+    )
+    w_in = W.partitionBy(*group_cols).orderBy("__v").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return (
+        reg.withColumn("__cw", F.col("__cb") + F.sum("__w").over(w_in))
+        .where(F.col("__nullcross") | (F.col("__cw") * 2 >= F.col("__tot")))
+        .groupBy(*group_cols)
+        .agg(F.min("__v").alias(out_col))
     )

@@ -291,3 +291,21 @@ def test_reconcile_substring_missed_is_zero(spark, tmp_path):
     assert r["n_dup_positions"] > 0  # template spans found by the SA
     assert r["n_covered_positions"] > 0
     assert 0 < r["span_coverage"] <= 1.0
+
+
+def test_streaming_chunk_units_plan_has_no_window(spark):
+    """Round-10 gate (r9 verdict item 9): the microbatch transformation the
+    boilerplate twin runs per batch (chunk_units -> cdc_chunks) must keep
+    the round-9 row-local rewrite — zero Window nodes, no corpus-text
+    shuffle beyond the single (id, chunk_hash) aggregate exchange, and no
+    Python evaluation."""
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 6) for i in range(8)],
+        "doc_id long, text string",
+    )
+    units = chunk_units(df)
+    plan = units._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    n_exchange = plan.count("Exchange")
+    assert n_exchange <= 2, plan  # groupBy agg (+ optional AQE reuse line)

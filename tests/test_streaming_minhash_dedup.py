@@ -183,3 +183,23 @@ def test_reconcile_neardup_report(spark, tmp_path):
     assert (rep2.n_dropped, rep2.n_true_drops, rep2.n_false_drops) == (2, 0, 2)
     assert rep2.false_drop_rate == 1.0
     assert rep2.bloom_fill_ratio is None
+
+
+def test_streaming_band_keys_plan_is_single_aggregate(spark):
+    """Round-10 gate (r9 verdict item 9): the minhash twin's per-batch
+    band-key projection inherits the round-9 tokenizer fix — its plan is
+    one gram explode + ONE signature aggregate exchange: zero Window
+    nodes, no second corpus shuffle, no Python evaluation."""
+    from fortune_500_financial_insights_pipeline_spark.streaming.minhash_dedup import (
+        band_bucket_keys,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon " * 4) for i in range(8)],
+        "doc_id long, text string",
+    )
+    keys = band_bucket_keys(df, "doc_id", "text")
+    plan = keys._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") <= 2, plan
