@@ -14,6 +14,12 @@ from fortune_500_financial_insights_pipeline_spark.operators.bpe import (
 )
 from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
 
+# round 10: heavyweight suite — excluded from the driver-budget default
+# run (pytest.ini addopts), executed in full at every round close
+import pytest as _pytest_r10
+pytestmark = _pytest_r10.mark.slow
+
+
 
 def _syms(spark, word: str, lhs: str, rhs: str) -> list[str]:
     df = spark.createDataFrame([(word,)], "w string")

@@ -11,6 +11,12 @@ import random
 import pytest
 from pyspark.sql import functions as F
 
+# round 10: heavyweight suite — excluded from the driver-budget default
+# run (pytest.ini addopts), executed in full at every round close
+import pytest as _pytest_r10
+pytestmark = _pytest_r10.mark.slow
+
+
 
 def _rand_edges(spark, n_nodes=40, n_edges=120, seed=3):
     rnd = random.Random(seed)

@@ -4,12 +4,20 @@ test_oracle_parity)."""
 
 from __future__ import annotations
 
+import pytest as _pytest_r10
+
+# round 10: heavyweight suite — excluded from the driver-budget default
+# run (pytest.ini addopts); the full suite runs at every round close
+pytestmark = _pytest_r10.mark.slow
+
 import math
 
 from pyspark.sql import functions as F
 
 from fortune_500_financial_insights_pipeline_spark.operators.incremental import delta_agg_refresh
 from fortune_500_financial_insights_pipeline_spark.operators.stats import (
+
+
     gini_coefficient,
     info_gain,
 )
@@ -71,6 +79,8 @@ def test_gini_extremes(spark):
     conc = spark.createDataFrame(
         [(0, 0), (1, 0), (2, 0), (3, 100)], "id long, v long"
     )
+
+
     (r2,) = gini_coefficient(conc, "v", "id").collect()
     assert math.isclose(r2["gini"], 3 / 4)
     assert (r2["n"], r2["total"]) == (4, 100)

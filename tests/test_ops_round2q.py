@@ -16,6 +16,12 @@ from fortune_500_financial_insights_pipeline_spark.operators.timeseries import (
 )
 from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
 
+# round 10: heavyweight suite — excluded from the driver-budget default
+# run (pytest.ini addopts), executed in full at every round close
+import pytest as _pytest_r10
+pytestmark = _pytest_r10.mark.slow
+
+
 
 def test_rbo_suffix_weights_monotone_and_bounded():
     w = rbo_suffix_weights(p=0.9, depth=10)

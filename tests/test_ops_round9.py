@@ -8,6 +8,12 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+# round 10: heavyweight suite — excluded from the driver-budget default
+# run (pytest.ini addopts), executed in full at every round close
+import pytest as _pytest_r10
+pytestmark = _pytest_r10.mark.slow
+
+
 
 def test_gzip_member_spans_one_byte_tail(tmp_path):
     """A read-chunk boundary that leaves a 1-byte tail after a member

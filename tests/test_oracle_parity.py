@@ -10,6 +10,12 @@ from fortune_500_financial_insights_pipeline_spark.oracles import ORACLES
 from fortune_500_financial_insights_pipeline_spark.queries import QUERIES
 from fortune_500_financial_insights_pipeline_spark.testing import compare_frames, run_oracle
 
+# round 10: heavyweight suite — excluded from the driver-budget default
+# run (pytest.ini addopts), executed in full at every round close
+import pytest as _pytest_r10
+pytestmark = _pytest_r10.mark.slow
+
+
 ORACLE_KEYS = sorted(set(QUERIES) & set(ORACLES))
 
 

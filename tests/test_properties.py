@@ -4,12 +4,20 @@ silently must hold for ALL inputs, not just the fixture rows."""
 
 from __future__ import annotations
 
+import pytest as _pytest_r10
+
+# round 10: heavyweight suite — excluded from the driver-budget default
+# run (pytest.ini addopts); the full suite runs at every round close
+pytestmark = _pytest_r10.mark.slow
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from pyspark.sql import functions as F
 
 from fortune_500_financial_insights_pipeline_spark.operators.standardize import (
+
+
     STANDARD_COLUMNS,
     standardize_kaggle,
 )
@@ -107,6 +115,8 @@ def test_keep_latest_properties(spark, rows):
        seed=st.integers(min_value=0, max_value=5))
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
 def test_hash_sample_properties(spark, frac, seed):
     """hash_sample: deterministic for (fraction, seed), monotone in the
     fraction, and full at 1.0."""

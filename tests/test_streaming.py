@@ -60,6 +60,7 @@ def test_streaming_tumbling_matches_batch(spark, events_dir):
     assert got == expected
 
 
+@pytest.mark.slow  # round 10: heavy e2e — full-suite-only
 def test_streaming_append_drops_late_rows(spark, events_dir, tmp_path):
     """Append mode + watermark: a row arriving in a later micro-batch with an
     event time far behind the watermark must not resurrect its (closed,
@@ -237,6 +238,7 @@ def test_stream_to_warehouse_upserts(spark, tmp_path):
         q.stop()
 
 
+@pytest.mark.slow  # round 10: heavy e2e — full-suite-only
 def test_stream_stream_interval_join(spark, events_dir, tmp_path):
     """Watermarked stream-stream join == the equivalent batch interval join
     on the same data; the streaming plan carries join state + watermarks."""
@@ -434,6 +436,7 @@ def test_streaming_cms_matches_batch_sketch(spark, events_dir):
     assert got == expected
 
 
+@pytest.mark.slow  # round 10: heavy e2e — full-suite-only
 def test_stream_stream_left_outer_interval_join(spark, tmp_path):
     """Left-outer stream-stream interval join: the unmatched click emits
     with null purchase columns only after the watermark proves no purchase

@@ -5,6 +5,8 @@ set-based cascade, and final-state agreement with the batch operator
 
 from __future__ import annotations
 
+import pytest as _pytest_r10
+
 from pyspark.sql import functions as F
 
 from fortune_500_financial_insights_pipeline_spark.streaming.boilerplate import (
@@ -253,6 +255,7 @@ def test_streaming_curate_gopher_gate_matches_batch(spark, tmp_path):
     assert not any(r["doc_id"] == 2 for r in got)
 
 
+@_pytest_r10.mark.slow  # round 10: heavy e2e — full-suite-only
 def test_reconcile_substring_missed_is_zero(spark, tmp_path):
     """Stream the template corpus, then audit the cascade against the
     EXACT suffix-array substring truth: the chunk-level miss count must

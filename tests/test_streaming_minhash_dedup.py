@@ -4,6 +4,8 @@ and agreement with the batch banding."""
 
 from __future__ import annotations
 
+import pytest as _pytest_r10
+
 from pyspark.sql import functions as F
 
 from fortune_500_financial_insights_pipeline_spark.streaming.minhash_dedup import (
@@ -50,6 +52,7 @@ def test_band_keys_shape_and_determinism(spark):
     assert again == {(r.id, r.band_key) for r in rows}
 
 
+@_pytest_r10.mark.slow  # round 10: heavy e2e — full-suite-only
 def test_streaming_neardup_suppressed_across_batches(spark, tmp_path):
     src = str(tmp_path / "src")
     state = str(tmp_path / "state")

@@ -7,6 +7,12 @@ from __future__ import annotations
 
 import pytest
 
+# round 10: heavyweight suite — excluded from the driver-budget default
+# run (pytest.ini addopts), executed in full at every round close
+import pytest as _pytest_r10
+pytestmark = _pytest_r10.mark.slow
+
+
 
 def _brute_sa(docs):
     sufs = []

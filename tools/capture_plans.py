@@ -1,10 +1,10 @@
-"""Capture .explain("formatted") for bench headline queries into plans/r09/.
+"""Capture .explain("formatted") for bench headline queries into plans/r10/.
 
 Usage:
     python tools/capture_plans.py before            # all headline keys
     python tools/capture_plans.py after q_a,q_b     # named keys only
 
-Writes plans/r09/<key>_<tag>.txt. Query construction runs (memo builds etc.)
+Writes plans/r10/<key>_<tag>.txt. Query construction runs (memo builds etc.)
 but no query is executed end-to-end, so this is safe to run alongside other
 work — it captures plan shape, not timing.
 """
@@ -38,7 +38,7 @@ def main() -> int:
     )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r09"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r10"
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="plan-capture")
