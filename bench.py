@@ -320,7 +320,9 @@ def main() -> None:
             if mname not in _BENCH_MEMOS:
                 continue
             t_m = time.perf_counter()
+            spark.sparkContext.setJobDescription(f"memo:{mname}")
             thunk(spark, sf_dir)
+            spark.sparkContext.setJobDescription(None)
             memo_s[mname] = round(time.perf_counter() - t_m, 2)
     except Exception:  # noqa: BLE001 — memo prepay is an attribution aid,
         pass  # never a correctness gate; builds fall back to lazy paths
@@ -387,10 +389,14 @@ def main() -> None:
     for name in runnable:
         try:
             t_k = time.perf_counter()
+            # label construction-time jobs (iterative loops, collects) so
+            # the UI attributes them to their key (guide §1.5)
+            spark.sparkContext.setJobDescription(f"build:{name}")
             dfs[name] = QUERIES[name](spark, sf_dir)
             plan_s[name] = round(time.perf_counter() - t_k, 4)
         except Exception as e:  # noqa: BLE001
             failed[name] = type(e).__name__
+    spark.sparkContext.setJobDescription(None)
     build_s = round(time.perf_counter() - t_build0, 2)
     gc.collect()
     t_bench0 = time.perf_counter()
@@ -403,7 +409,11 @@ def main() -> None:
                 continue
             try:
                 t0 = time.perf_counter()
+                spark.sparkContext.setJobDescription(
+                    f"bench:{name} pass={pass_i + 1}"
+                )
                 dfs[name].write.format("noop").mode("overwrite").save()
+                spark.sparkContext.setJobDescription(None)
                 elapsed = time.perf_counter() - t0
             except Exception as e:  # noqa: BLE001 — one broken query must not
                 # cost the whole benchmark line; record and keep timing the rest
